@@ -1,0 +1,214 @@
+"""Event-stream operators over the `events` table: as-of join,
+sessionization, tumbling-window aggregation, JSON extraction, pivot.
+
+These are batch-mode definitions; incubator_xtable_spark.streaming mirrors
+the tumbling-window aggregation as a Structured Streaming job and pytest
+asserts batch == streaming (availableNow) equivalence.
+
+The as-of join and sessionization are custom operators the reference lacks
+(SURVEY.md §2.4 "Window functions: none") implemented as compositions of
+built-in DataFrame ops — no UDFs, fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.operators.asof import asof_join
+from incubator_xtable_spark.plans.common import t
+from incubator_xtable_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase matched to the latest view at-or-before it
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS matched_ts, v.value AS matched_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT ts, value
+  FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+  ORDER BY v.ts DESC, v.event_id DESC
+  LIMIT 1
+) v ON true
+"""
+
+
+@register(
+    "events_asof_join",
+    oracle=ASOF_ORACLE,
+    category="events",
+    description="as-of join (latest matching right row <= left ts) via union+window",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("event_id").alias("right_event_id")
+    )
+    return asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"matched_ts": "ts", "matched_value": "value"},
+        right_tiebreak="right_event_id",
+        left_unique="event_id",
+    ).select("event_id", "user_id", "ts", "matched_ts", "matched_value")
+
+
+# ---------------------------------------------------------------------------
+# sessionization: 30-minute inactivity gap splits sessions
+# ---------------------------------------------------------------------------
+
+SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=SESSION_ORACLE,
+    category="events",
+    description="gap-based sessionization (30 min) via lag + running sum",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation (batch twin of streaming.windowed_counts)
+# ---------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=TUMBLING_ORACLE,
+    category="events",
+    description="1h tumbling window counts/sums (streaming twin)",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from the props column
+# ---------------------------------------------------------------------------
+
+JSON_ORACLE = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_json_extract",
+    oracle=JSON_ORACLE,
+    category="events",
+    description="JSON scalar extraction (Delta stats JSON parse analog)",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-user event-type counts
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT
+  user_id,
+  count(*) FILTER (WHERE event_type = 'click') AS click,
+  count(*) FILTER (WHERE event_type = 'error') AS error,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+  count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_counts",
+    oracle=PIVOT_ORACLE,
+    category="events",
+    description="pivot event_type into per-user count columns",
+)
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    # pivot-count leaves NULL for absent combos; the FILTER oracle yields 0
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in EVENT_TYPES]
+    )

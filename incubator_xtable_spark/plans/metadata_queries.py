@@ -1,0 +1,251 @@
+"""Metadata-plane operator semantics (SURVEY.md §2.1-§2.2) expressed as
+oracle-checkable queries over the harness tables.
+
+The reference's unit of work is a *data file with per-column stats*; here
+the same operators (ColumnStat extraction, PartitionFileGroup grouping,
+FilesDiff anti-joins, CommitsBacklog ordering, commit-at-instant
+resolution) run over row tables so DuckDB can act as the oracle. The real
+file-inventory implementations live in incubator_xtable_spark.sources /
+.sync and are covered by pytest differential tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.plans.common import money, t
+from incubator_xtable_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# ColumnStat extraction (HudiFileStatsExtractor recompute path:
+# reference hudi/HudiFileStatsExtractor.java:216-251)
+# ---------------------------------------------------------------------------
+
+COLSTATS_ORACLE = """
+SELECT
+  min(l_quantity) AS min_qty,
+  max(l_quantity) AS max_qty,
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price,
+  min(l_shipdate) AS min_shipdate,
+  max(l_shipdate) AS max_shipdate,
+  min(l_returnflag) AS min_flag,
+  max(l_returnflag) AS max_flag,
+  count(*) - count(l_quantity) AS nulls_qty,
+  count(*) AS num_values
+FROM lineitem
+"""
+
+
+@register(
+    "meta_column_stats",
+    oracle=COLSTATS_ORACLE,
+    category="metadata",
+    description="per-column min/max/nullCount/numValues (ColumnStat model)",
+)
+def meta_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_returnflag").alias("min_flag"),
+        F.max("l_returnflag").alias("max_flag"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("nulls_qty"),
+        F.count(F.lit(1)).alias("num_values"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PartitionFileGroup grouping (model/storage/PartitionFileGroup.java:34-53)
+# with a YEAR partition transform (PartitionTransformType.YEAR)
+# ---------------------------------------------------------------------------
+
+PARTGROUP_ORACLE = """
+SELECT
+  CAST(year(l_shipdate) AS INTEGER) AS part_year,
+  count(*) AS record_count,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS size_proxy,
+  min(l_shipdate) AS min_instant,
+  max(l_shipdate) AS max_instant
+FROM lineitem
+GROUP BY part_year
+"""
+
+
+@register(
+    "meta_partition_file_groups",
+    oracle=PARTGROUP_ORACLE,
+    category="metadata",
+    description="group inventory by partition value (YEAR transform)",
+)
+def meta_partition_file_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.year("l_shipdate").cast("int").alias("part_year")).agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.sum(money(F.col("l_extendedprice"))).cast("decimal(38,2)").alias("size_proxy"),
+        F.min("l_shipdate").alias("min_instant"),
+        F.max("l_shipdate").alias("max_instant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FilesDiff: path-keyed set difference between two snapshots
+# (model/storage/FilesDiff.java:48-85 — implemented as two anti-joins)
+# ---------------------------------------------------------------------------
+
+FILESDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+), v2 AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT 'add' AS change_type, o_orderkey FROM (SELECT o_orderkey FROM v2 EXCEPT SELECT o_orderkey FROM v1)
+UNION ALL
+SELECT 'remove' AS change_type, o_orderkey FROM (SELECT o_orderkey FROM v1 EXCEPT SELECT o_orderkey FROM v2)
+"""
+
+
+@register(
+    "meta_files_diff",
+    oracle=FILESDIFF_ORACLE,
+    category="metadata",
+    description="snapshot diff via two anti-joins (FilesDiff semantics)",
+)
+def meta_files_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).select("o_orderkey")
+
+    v1 = snap("1995-01-01 00:00:00", "1999-01-01 00:00:00")
+    v2 = snap("1996-01-01 00:00:00", "2000-01-01 00:00:00")
+    added = v2.join(v1, "o_orderkey", "left_anti").select(F.lit("add").alias("change_type"), "o_orderkey")
+    removed = v1.join(v2, "o_orderkey", "left_anti").select(F.lit("remove").alias("change_type"), "o_orderkey")
+    return added.unionByName(removed)
+
+
+# ---------------------------------------------------------------------------
+# CommitsBacklog: commits after the last-synced instant, in commit order
+# (model/CommitsBacklog.java:29-69; hudi/HudiConversionSource.java:240-338)
+# ---------------------------------------------------------------------------
+
+BACKLOG_ORACLE = """
+SELECT event_id, ts, event_type
+FROM events
+WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+ORDER BY ts, event_id
+LIMIT 200
+"""
+
+
+@register(
+    "meta_commits_backlog",
+    oracle=BACKLOG_ORACLE,
+    category="metadata",
+    description="instants after bookmark, ordered (CommitsBacklog)",
+)
+def meta_commits_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Commit-at-or-before-instant resolution, per key (time travel:
+# delta/DeltaConversionSource.java:179-189; ITConversionController.java:456-520)
+# ---------------------------------------------------------------------------
+
+ASOF_SNAPSHOT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+WHERE rn = 1
+"""
+
+
+@register(
+    "meta_asof_snapshot",
+    oracle=ASOF_SNAPSHOT_ORACLE,
+    category="metadata",
+    description="latest state at-or-before an instant per key (time travel)",
+)
+def meta_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental changelog vs full snapshot equivalence counts
+# (ConversionController.java:254-352 FULL vs INCREMENTAL decision)
+# ---------------------------------------------------------------------------
+
+INCR_ORACLE = """
+WITH full_snap AS (
+  SELECT count(*) AS n FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+), base AS (
+  SELECT count(*) AS n FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+), delta AS (
+  SELECT count(*) AS n FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT
+  (SELECT n FROM full_snap) AS full_count,
+  (SELECT n FROM base) + (SELECT n FROM delta) AS incremental_count,
+  (SELECT n FROM full_snap) = ((SELECT n FROM base) + (SELECT n FROM delta)) AS converged
+"""
+
+
+@register(
+    "meta_incremental_equivalence",
+    oracle=INCR_ORACLE,
+    category="metadata",
+    description="base + changelog == full snapshot (sync-mode invariant)",
+)
+def meta_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d98 = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    d00 = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    return orders.agg(
+        F.sum(F.when(F.col("o_orderdate") < d00, 1).otherwise(0)).alias("full_count"),
+        (
+            F.sum(F.when(F.col("o_orderdate") < d98, 1).otherwise(0))
+            + F.sum(F.when((F.col("o_orderdate") >= d98) & (F.col("o_orderdate") < d00), 1).otherwise(0))
+        ).alias("incremental_count"),
+    ).select(
+        "full_count",
+        "incremental_count",
+        (F.col("full_count") == F.col("incremental_count")).alias("converged"),
+    )

@@ -1,0 +1,343 @@
+"""Text-analysis / training-data-pipeline operators over `documents`:
+token counting, quality scoring, fingerprinting, exact dedup, n-gram
+Jaccard near-dup, and a heuristic language-ID feature extractor.
+
+All hot-path expressions are built-in JVM functions (split / filter /
+array_* / md5 / regexp_*) — no Python UDFs. Cross-engine exactness:
+token counts and set sizes are integers; ratios are int/int double
+divisions (IEEE-deterministic); fingerprints are md5 hex strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.plans.common import t
+from incubator_xtable_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# token stats per document
+# ---------------------------------------------------------------------------
+
+TOKEN_ORACLE = """
+SELECT
+  doc_id,
+  lang,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+  n_chars,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS distinct_ratio
+FROM documents
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle=TOKEN_ORACLE,
+    category="text",
+    description="whitespace tokenization + vocabulary richness per doc",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("int").alias("n_unique_tokens"),
+        "n_chars",
+        (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus profile per language
+# ---------------------------------------------------------------------------
+
+LANGPROF_ORACLE = """
+SELECT
+  lang,
+  count(*) AS n_docs,
+  sum(n_chars) AS total_chars,
+  count(DISTINCT source) AS n_sources,
+  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register(
+    "text_lang_profile",
+    oracle=LANGPROF_ORACLE,
+    category="text",
+    description="per-language corpus statistics",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: md5 over normalized text
+# ---------------------------------------------------------------------------
+
+FPRINT_ORACLE = r"""
+SELECT
+  doc_id,
+  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+@register(
+    "text_fingerprint",
+    oracle=FPRINT_ORACLE,
+    category="text",
+    description="normalized md5 document fingerprint",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy on content
+# ---------------------------------------------------------------------------
+
+DEDUP_SUMMARY_ORACLE = """
+SELECT
+  count(*) AS n_docs,
+  count(DISTINCT md5(text)) AS n_unique,
+  count(*) - count(DISTINCT md5(text)) AS n_duplicate_docs
+FROM documents
+"""
+
+
+@register(
+    "dedup_exact_summary",
+    oracle=DEDUP_SUMMARY_ORACLE,
+    category="dedup",
+    description="exact dedup cardinality via content hash",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("text"), "UTF-8"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_duplicate_docs"),
+    )
+
+
+DEDUP_GROUPS_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY content_hash
+HAVING count(*) > 1
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=DEDUP_GROUPS_ORACLE,
+    category="dedup",
+    description="duplicate groups: content hash -> keeper id (min)",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: 3-gram word shingles, same-lang/source blocking
+# ---------------------------------------------------------------------------
+
+JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a
+JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE a.doc_id % 7 = 0
+  AND len(list_intersect(a.shingles, b.shingles)) > 0
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=JACCARD_ORACLE,
+    category="dedup",
+    description="3-gram shingle Jaccard similarity with lang/source blocking",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    # 3-gram word shingles; i is 0-based here, 1-based in the DuckDB oracle
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 3),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+        )
+    )
+    sh = docs.filter(F.size(tokens) >= 3).select("doc_id", "lang", "source", shingles.alias("shingles"))
+    a = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("shingles").alias("shingles_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("shingles").alias("shingles_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("shingles_a"), F.col("shingles_b")))
+    union_sz = F.size(F.array_distinct(F.concat(F.col("shingles_a"), F.col("shingles_b"))))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("jaccard", inter.cast("double") / union_sz)
+        .filter(inter > 0)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: length + vocabulary + stopword signals
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+QUALITY_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique,
+         len(list_filter(string_split(text, ' '), w -> w IN {_SW_SQL})) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_unique AS DOUBLE) / n_tokens AS distinct_ratio,
+       0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+         + 0.5 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
+FROM feats
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=QUALITY_ORACLE,
+    category="text",
+    description="doc quality: length/stopword/vocab signals",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_unique = F.size(F.array_distinct(tokens))
+    n_stop = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("int").alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_unique.cast("double") / n_tokens).alias("distinct_ratio"),
+        (
+            0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + 0.5 * (n_unique.cast("double") / n_tokens)
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heuristic language-ID features (stopword-hit voting)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "und", "die"),
+}
+
+
+def _marker_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+
+
+LANGID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang,
+       CAST({_marker_sql(_LANG_MARKERS['en'])} AS INTEGER) AS hits_en,
+       CAST({_marker_sql(_LANG_MARKERS['fr'])} AS INTEGER) AS hits_fr,
+       CAST({_marker_sql(_LANG_MARKERS['es'])} AS INTEGER) AS hits_es,
+       CAST({_marker_sql(_LANG_MARKERS['de'])} AS INTEGER) AS hits_de,
+       CASE
+         WHEN {_marker_sql(_LANG_MARKERS['en'])} >= greatest({_marker_sql(_LANG_MARKERS['fr'])}, {_marker_sql(_LANG_MARKERS['es'])}, {_marker_sql(_LANG_MARKERS['de'])}, 1) THEN 'en'
+         WHEN {_marker_sql(_LANG_MARKERS['fr'])} >= greatest({_marker_sql(_LANG_MARKERS['es'])}, {_marker_sql(_LANG_MARKERS['de'])}, 1) THEN 'fr'
+         WHEN {_marker_sql(_LANG_MARKERS['es'])} >= greatest({_marker_sql(_LANG_MARKERS['de'])}, 1) THEN 'es'
+         WHEN {_marker_sql(_LANG_MARKERS['de'])} >= 1 THEN 'de'
+         ELSE 'unknown'
+       END AS predicted_lang
+FROM documents
+"""
+
+
+@register(
+    "text_langid_features",
+    oracle=LANGID_ORACLE,
+    category="text",
+    description="n-gram/stopword language-ID heuristic features + argmax vote",
+)
+def text_langid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    def marker_hits(words: tuple[str, ...]):
+        return F.size(F.filter(tokens, lambda w: w.isin(*words)))
+
+    hits = {lang: marker_hits(words) for lang, words in _LANG_MARKERS.items()}
+    pred = (
+        F.when(hits["en"] >= F.greatest(hits["fr"], hits["es"], hits["de"], F.lit(1)), "en")
+        .when(hits["fr"] >= F.greatest(hits["es"], hits["de"], F.lit(1)), "fr")
+        .when(hits["es"] >= F.greatest(hits["de"], F.lit(1)), "es")
+        .when(hits["de"] >= 1, "de")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].cast("int").alias("hits_en"),
+        hits["fr"].cast("int").alias("hits_fr"),
+        hits["es"].cast("int").alias("hits_es"),
+        hits["de"].cast("int").alias("hits_de"),
+        pred.alias("predicted_lang"),
+    )

@@ -1,0 +1,155 @@
+"""Similarity-search / embedding operators over `embeddings`
+(vec_id BIGINT, embedding ARRAY<FLOAT> len 64, label INT).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+the LSH-bucketed variant (operators/ann.py) is the scale path and is
+pytest-verified for recall against brute force.
+
+Determinism across engines: embeddings are float32; both sides cast
+element-wise to double (exact) and fold sequentially in list order, so
+dot products agree bit-for-bit; similarity values are additionally
+rounded to 6 dp, and all orderings are fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.plans.common import t
+from incubator_xtable_spark.plans.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(l2sq(a) * l2sq(b))
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (broadcast query set x all candidates)
+# ---------------------------------------------------------------------------
+
+KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT q_id, c_id,
+         round(list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 6) AS cos_sim,
+         list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos_raw
+  FROM q JOIN c ON q_id <> c_id
+)
+SELECT q_id, c_id, cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=KNN_ORACLE,
+    category="vector",
+    description="brute-force cosine top-5 for 8 query vectors",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector norms: top-20 largest
+# ---------------------------------------------------------------------------
+
+NORM_ORACLE = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+ORDER BY sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) DESC, vec_id
+LIMIT 20
+"""
+
+
+@register(
+    "vector_norm_topk",
+    oracle=NORM_ORACLE,
+    category="vector",
+    description="L2 norm computation + top-k ordering",
+)
+def vector_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(l2sq(F.col("embedding")))
+    return (
+        emb.select("vec_id", "label", norm.alias("norm_raw"))
+        .orderBy(F.desc("norm_raw"), "vec_id")
+        .limit(20)
+        .select("vec_id", "label", F.round("norm_raw", 6).alias("l2_norm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# label centroids in long format (elementwise mean via exact decimal sums)
+# ---------------------------------------------------------------------------
+
+CENTROID_ORACLE = """
+SELECT label,
+       CAST(pos AS INTEGER) AS pos,
+       CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean_val,
+       count(*) AS n_vectors
+FROM embeddings, range(1, 65) r(pos)
+GROUP BY label, pos
+"""
+
+
+@register(
+    "vector_label_centroids",
+    oracle=CENTROID_ORACLE,
+    category="vector",
+    description="per-label centroid (exact decimal elementwise mean)",
+)
+def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            (F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
