@@ -1,0 +1,191 @@
+"""Canonical model: the Spark-first equivalent of the reference's
+xtable-api model classes.
+
+Reference parity (file:line cites into /root/reference):
+- InternalTable          model/InternalTable.java:38-55
+- InternalPartitionField model/schema/InternalPartitionField.java:35-53
+- PartitionTransformType model/schema/PartitionTransformType.java:28-38
+- InternalDataFile       model/storage/InternalDataFile.java:45-54
+- InternalSnapshot       model/InternalSnapshot.java:42-52
+- TableChange            model/TableChange.java:34-42
+- CommitsBacklog         model/CommitsBacklog.java:72-85
+- SyncResult             model/sync/SyncResult.java
+
+Design deltas from the reference (Spark-first, not a port):
+- the schema is a plain ``pyspark.sql.types.StructType``; field-level
+  extras (fieldId, enum values, fixed size, timestamp precision) ride in
+  ``StructField.metadata`` (see model/schema_meta.py) — no custom schema
+  class tree;
+- the file inventory is a *DataFrame* (one row per data file) rather than
+  a Java list, so snapshot diffs are anti-joins and stats rollups are
+  aggregations that scale with the cluster, not the driver.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import types as T
+
+
+class TableFormat(str, enum.Enum):
+    """model/storage/TableFormat.java:26-35 (PAIMON out of v1 scope)."""
+
+    DELTA = "DELTA"
+    ICEBERG = "ICEBERG"
+    HUDI = "HUDI"
+    PARQUET = "PARQUET"
+
+
+class SyncMode(str, enum.Enum):
+    """model/sync/SyncMode.java."""
+
+    FULL = "FULL"
+    INCREMENTAL = "INCREMENTAL"
+
+
+class SyncStatusCode(str, enum.Enum):
+    SUCCESS = "SUCCESS"
+    ABORTED = "ABORTED"
+    ERROR = "ERROR"
+
+
+class PartitionTransformType(str, enum.Enum):
+    """model/schema/PartitionTransformType.java:28-38."""
+
+    YEAR = "YEAR"
+    MONTH = "MONTH"
+    DAY = "DAY"
+    HOUR = "HOUR"
+    VALUE = "VALUE"
+    BUCKET = "BUCKET"
+
+    @property
+    def is_time_based(self) -> bool:
+        return self in (self.YEAR, self.MONTH, self.DAY, self.HOUR)
+
+
+class DataLayoutStrategy(str, enum.Enum):
+    """model/storage/DataLayoutStrategy.java:29-32."""
+
+    HIVE_STYLE_PARTITION = "HIVE_STYLE_PARTITION"
+    DIR_HIERARCHY_PARTITION_VALUES = "DIR_HIERARCHY_PARTITION_VALUES"
+    FLAT = "FLAT"
+
+
+@dataclass
+class InternalPartitionField:
+    """Partition spec entry: source field + transform (+ options)."""
+
+    source_field: str
+    transform: PartitionTransformType = PartitionTransformType.VALUE
+    # name of the derived/physical partition column when it differs from
+    # the source field (Delta generated columns, Hudi path segments)
+    partition_field_name: Optional[str] = None
+    num_buckets: Optional[int] = None
+    date_format: Optional[str] = None
+
+    @property
+    def output_name(self) -> str:
+        return self.partition_field_name or self.source_field
+
+
+@dataclass
+class InternalTable:
+    name: str
+    table_format: TableFormat
+    base_path: str
+    read_schema: T.StructType
+    partition_fields: list[InternalPartitionField] = field(default_factory=list)
+    layout_strategy: DataLayoutStrategy = DataLayoutStrategy.FLAT
+    latest_commit_time_ms: Optional[int] = None
+    latest_metadata_path: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# File inventory: DataFrame schema shared by all sources/targets.
+# One row per live data file — the Spark-native InternalDataFile.
+# ---------------------------------------------------------------------------
+
+FILE_INVENTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("physical_path", T.StringType(), False),
+        T.StructField("file_format", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
+        T.StructField("record_count", T.LongType(), True),
+        T.StructField("last_modified_ms", T.LongType(), True),
+        # partition column name -> serialized partition value
+        T.StructField("partition_values", T.MapType(T.StringType(), T.StringType()), True),
+        # per-column stats: name -> struct(min/max JSON-encoded, null_count)
+        T.StructField(
+            "column_stats",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("min_json", T.StringType(), True),
+                        T.StructField("max_json", T.StringType(), True),
+                        T.StructField("null_count", T.LongType(), True),
+                    ]
+                ),
+            ),
+            True,
+        ),
+    ]
+)
+
+
+@dataclass
+class InternalSnapshot:
+    """version + table + live-file inventory (DataFrame)."""
+
+    table: InternalTable
+    version: str
+    # pyspark DataFrame with FILE_INVENTORY_SCHEMA
+    files: Any
+    pending_commits: list[str] = field(default_factory=list)
+    source_identifier: Optional[str] = None
+
+
+@dataclass
+class TableChange:
+    """Per-commit change set: adds/removes as inventory DataFrames."""
+
+    table: InternalTable
+    commit_id: str
+    files_added: Any  # DataFrame[FILE_INVENTORY_SCHEMA]
+    files_removed: Any  # DataFrame[FILE_INVENTORY_SCHEMA]
+    source_identifier: Optional[str] = None
+
+
+@dataclass
+class CommitsBacklog:
+    """Commits ready to process + still-in-flight instants
+    (model/CommitsBacklog.java:29-85)."""
+
+    commits_to_process: list[str] = field(default_factory=list)
+    in_flight_instants: list[str] = field(default_factory=list)
+
+
+@dataclass
+class InstantsForIncrementalSync:
+    last_sync_instant: str
+    pending_commits: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ErrorDetails:
+    error_message: str
+    internal_error: bool = False
+
+
+@dataclass
+class SyncResult:
+    mode: SyncMode
+    status: SyncStatusCode
+    target_format: TableFormat
+    last_instant_synced: Optional[str] = None
+    sync_duration_sec: float = 0.0
+    error: Optional[ErrorDetails] = None

@@ -1,0 +1,265 @@
+"""Parquet-directory conversion source: treat a directory of parquet files
+as a table (newest footer = schema; file mtime = commit instant; stats
+from footers).
+
+Reference parity: parquet/ParquetConversionSource.java:88-260,
+parquet/ParquetStatsExtractor.java:1-134, ParquetMetadataExtractor.java.
+
+Spark-first design, built for 100 TB:
+- schema via ``spark.read.parquet`` (Spark's own footer merge);
+- the file *listing* is small metadata (one row per file) but stats
+  extraction is the expensive part at scale, so footers are read in a
+  DISTRIBUTED ``mapInPandas`` pass over the file-list DataFrame — each
+  executor reads only the ~KB footer of its files, never row data. A
+  100k-file table = a 100k-row DataFrame, partitioned across the cluster.
+- hive-style partition values (col=value path segments) parsed with
+  JVM-side regex on the path column — no Python in the per-file hot loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.core import (
+    CommitsBacklog,
+    DataLayoutStrategy,
+    FILE_INVENTORY_SCHEMA,
+    InstantsForIncrementalSync,
+    InternalPartitionField,
+    InternalSnapshot,
+    InternalTable,
+    TableChange,
+    TableFormat,
+)
+
+_FILE_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("physical_path", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
+        T.StructField("last_modified_ms", T.LongType(), False),
+    ]
+)
+
+
+def _list_parquet_files(base_path: str) -> list[tuple[str, int, int]]:
+    """Driver-side recursive listing (the reference also lists driver-side;
+    object-store listing at scale would swap this for a manifest read)."""
+    out = []
+    for root, _dirs, files in os.walk(base_path):
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith("."):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                out.append((p, st.st_size, int(st.st_mtime * 1000)))
+    return sorted(out)
+
+
+class ParquetConversionSource:
+    """ConversionSource for raw parquet directories
+    (spi/extractor/ConversionSource.java:37-105 surface)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        name: Optional[str] = None,
+        partition_fields: Optional[list[InternalPartitionField]] = None,
+    ) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.name = name or os.path.basename(self.base_path)
+        self.partition_fields = partition_fields or []
+
+    # -- table -------------------------------------------------------------
+
+    def get_current_table(self) -> InternalTable:
+        schema = self.spark.read.parquet(self.base_path).schema
+        files = _list_parquet_files(self.base_path)
+        latest = max((mtime for _, _, mtime in files), default=None)
+        layout = (
+            DataLayoutStrategy.HIVE_STYLE_PARTITION
+            if self.partition_fields
+            else DataLayoutStrategy.FLAT
+        )
+        # partition columns surface in the read schema via Spark partition
+        # discovery; the data-file footers do not contain them
+        return InternalTable(
+            name=self.name,
+            table_format=TableFormat.PARQUET,
+            base_path=self.base_path,
+            read_schema=schema,
+            partition_fields=self.partition_fields,
+            layout_strategy=layout,
+            latest_commit_time_ms=latest,
+        )
+
+    # -- snapshot ----------------------------------------------------------
+
+    def get_current_snapshot(self, with_stats: bool = True) -> InternalSnapshot:
+        table = self.get_current_table()
+        listing = self.spark.createDataFrame(_list_parquet_files(self.base_path), _FILE_LIST_SCHEMA)
+        inventory = self._build_inventory(listing, table, with_stats=with_stats)
+        version = str(table.latest_commit_time_ms or 0)
+        return InternalSnapshot(table=table, version=version, files=inventory)
+
+    def _build_inventory(self, listing: DataFrame, table: InternalTable, with_stats: bool) -> DataFrame:
+        inv = listing
+        # hive-style partition values from path segments (JVM regex)
+        part_entries = []
+        for pf in table.partition_fields:
+            col = pf.output_name
+            part_entries.extend(
+                [F.lit(col), F.regexp_extract(F.col("physical_path"), rf"/{col}=([^/]*)/", 1)]
+            )
+        inv = inv.withColumn(
+            "partition_values",
+            F.create_map(*part_entries).cast("map<string,string>")
+            if part_entries
+            else F.lit(None).cast("map<string,string>"),
+        )
+        if with_stats:
+            stats = footer_stats(self.spark, listing, data_schema(table))
+            inv = inv.join(stats, "physical_path", "left")
+        else:
+            inv = inv.withColumn("record_count", F.lit(None).cast("long")).withColumn(
+                "column_stats", F.lit(None).cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
+            )
+        return inv.select(
+            "physical_path",
+            F.lit("PARQUET").alias("file_format"),
+            "size_bytes",
+            "record_count",
+            "last_modified_ms",
+            "partition_values",
+            "column_stats",
+        )
+
+    # -- commits (mtime-based, like the reference) -------------------------
+
+    def get_commits_backlog(self, instants: "InstantsForIncrementalSync") -> CommitsBacklog:
+        """Commits after the bookmark + previously-pending commits that have
+        since completed (sorted dedup merge, HudiConversionSource.java:311-338)."""
+        last_ms = int(instants.last_sync_instant)
+        all_mtimes = {mtime for _, _, mtime in _list_parquet_files(self.base_path)}
+        new = {m for m in all_mtimes if m > last_ms}
+        pending_done = {int(p) for p in instants.pending_commits if int(p) in all_mtimes}
+        return CommitsBacklog(commits_to_process=[str(i) for i in sorted(new | pending_done)])
+
+    def is_incremental_sync_safe_from(self, instant: str) -> bool:
+        # parquet dirs never expire history: files are either there or not;
+        # a file deleted since the bookmark makes replay unsafe only if the
+        # bookmark predates all current files
+        files = _list_parquet_files(self.base_path)
+        return bool(files) and int(instant) >= 0
+
+    def get_table_change_for_commit(self, commit: str) -> TableChange:
+        commit_ms = int(commit)
+        table = self.get_current_table()
+        listing = self.spark.createDataFrame(_list_parquet_files(self.base_path), _FILE_LIST_SCHEMA)
+        added = listing.filter(F.col("last_modified_ms") == commit_ms)
+        inventory = self._build_inventory(added, table, with_stats=True)
+        empty = self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
+        return TableChange(table=table, commit_id=commit, files_added=inventory, files_removed=empty)
+
+    def get_commit_identifier(self, commit: str) -> str:
+        return commit
+
+
+def data_schema(table: InternalTable) -> T.StructType:
+    """Schema of columns physically present in data files (partition
+    columns live in paths, not footers)."""
+    part_cols = {pf.output_name for pf in table.partition_fields}
+    return T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
+
+
+# ---------------------------------------------------------------------------
+# Distributed footer-stats extraction
+# ---------------------------------------------------------------------------
+
+
+def footer_stats(spark: SparkSession, listing: DataFrame, schema: T.StructType) -> DataFrame:
+    """Per-file record counts + per-column min/max/null-count from parquet
+    footers, computed executor-side via mapInPandas (Arrow-batched).
+
+    Output: physical_path, record_count, column_stats (inventory encoding).
+    """
+    from incubator_xtable_spark.model.stat_codec import encode_stat  # noqa: F401 (used in closure)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("physical_path", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), True),
+            T.StructField("column_stats", FILE_INVENTORY_SCHEMA["column_stats"].dataType, True),
+        ]
+    )
+    schema_json = schema.json()
+    # executor Python workers don't inherit the driver's sys.path; in local /
+    # shared-fs mode the package root is directly importable once added (a
+    # real cluster deployment ships the package via --py-files / a wheel)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def read_footers(batches: Iterator["object"]) -> Iterator["object"]:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.types import StructType as _StructType
+
+        from incubator_xtable_spark.model.stat_codec import encode_stat as _enc
+
+        sch = _StructType.fromJson(__import__("json").loads(schema_json))
+        types_by_name = {f.name: f.dataType for f in sch.fields}
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["physical_path"]:
+                local = path[len("file:") :] if str(path).startswith("file:") else str(path)
+                try:
+                    md = pq.ParquetFile(local).metadata
+                except Exception:
+                    rows.append((path, None, None))
+                    continue
+                mins: dict[str, object] = {}
+                maxs: dict[str, object] = {}
+                nulls: dict[str, int] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema.split(".")[0]
+                        if name not in types_by_name:
+                            continue
+                        st = col.statistics
+                        if st is None:
+                            continue
+                        if st.null_count is not None:
+                            nulls[name] = nulls.get(name, 0) + st.null_count
+                        if st.has_min_max:
+                            if name not in mins or st.min < mins[name]:
+                                mins[name] = st.min
+                            if name not in maxs or st.max > maxs[name]:
+                                maxs[name] = st.max
+                col_stats = {
+                    name: {
+                        "min_json": _enc(mins.get(name), types_by_name[name]),
+                        "max_json": _enc(maxs.get(name), types_by_name[name]),
+                        "null_count": nulls.get(name, 0),
+                    }
+                    for name in types_by_name
+                    if name in mins or name in maxs or name in nulls
+                }
+                rows.append((path, md.num_rows, col_stats))
+            yield pd.DataFrame(rows, columns=["physical_path", "record_count", "column_stats"])
+
+    # spread the file list across the cluster before the footer pass
+    n = max(1, min(listing.count(), spark.sparkContext.defaultParallelism * 2))
+    return listing.select("physical_path").repartition(n).mapInPandas(read_footers, out_schema)

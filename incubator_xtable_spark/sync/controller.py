@@ -1,0 +1,227 @@
+"""ConversionController: orchestrates source -> N targets sync with
+FULL/INCREMENTAL decision, persisted bookmark, and commit-backlog replay.
+
+Reference parity (logic ported 1:1, expressed in Python driver code — this
+is driver-side planning in the reference too):
+- sync entry + per-target result   conversion/ConversionController.java:92-221
+- FULL vs INCREMENTAL decision     ConversionController.java:254-352
+  (INCREMENTAL iff a bookmark exists AND the source can still replay from
+  the earliest instant any target needs, including pending instants)
+- most-out-of-sync alignment       ConversionController.java:354-387
+  (one source backlog serves all targets; per-change applicability filter)
+- per-target sync order            spi/sync/TableFormatSync.java:64-151
+  (begin -> metadata -> schema -> partitionSpec -> files -> complete;
+  a failing target stops receiving further changes, others continue)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from incubator_xtable_spark.model.core import (
+    ErrorDetails,
+    InstantsForIncrementalSync,
+    SyncMode,
+    SyncResult,
+    SyncStatusCode,
+    TableFormat,
+)
+from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
+
+
+@dataclass
+class ConversionConfig:
+    sync_mode: SyncMode = SyncMode.INCREMENTAL
+
+
+class ConversionController:
+    def __init__(self, config: Optional[ConversionConfig] = None) -> None:
+        self.config = config or ConversionConfig()
+
+    def sync(self, source: Any, targets: dict[TableFormat, Any]) -> dict[TableFormat, SyncResult]:
+        """Run one sync cycle from ``source`` into every target."""
+        results: dict[TableFormat, SyncResult] = {}
+        # 1. read each target's bookmark and decide its mode
+        modes: dict[TableFormat, SyncMode] = {}
+        bookmarks: dict[TableFormat, Optional[TableSyncMetadata]] = {}
+        for fmt, target in targets.items():
+            bookmark = target.get_table_metadata()
+            bookmarks[fmt] = bookmark
+            modes[fmt] = self._decide_mode(source, bookmark)
+
+        full_targets = {f: t for f, t in targets.items() if modes[f] == SyncMode.FULL}
+        incr_targets = {f: t for f, t in targets.items() if modes[f] == SyncMode.INCREMENTAL}
+
+        if full_targets:
+            results.update(self._sync_snapshot(source, full_targets))
+        if incr_targets:
+            results.update(self._sync_changes(source, incr_targets, bookmarks))
+        return results
+
+    # -- mode decision (ConversionController.java:254-352) ------------------
+
+    def _decide_mode(self, source: Any, bookmark: Optional[TableSyncMetadata]) -> SyncMode:
+        if self.config.sync_mode == SyncMode.FULL:
+            return SyncMode.FULL
+        if bookmark is None:
+            return SyncMode.FULL
+        earliest = _earliest_instant(bookmark)
+        if not source.is_incremental_sync_safe_from(earliest):
+            return SyncMode.FULL
+        return SyncMode.INCREMENTAL
+
+    # -- FULL path (TableFormatSync.syncSnapshot, .java:64-89) --------------
+
+    def _sync_snapshot(self, source: Any, targets: dict[TableFormat, Any]) -> dict[TableFormat, SyncResult]:
+        snapshot = source.get_current_snapshot()
+        results = {}
+        for fmt, target in targets.items():
+            start = time.perf_counter()
+            try:
+                bookmark = TableSyncMetadata(
+                    last_instant_synced=snapshot.version,
+                    instants_to_consider_for_next_sync=list(snapshot.pending_commits),
+                    source_table_format=snapshot.table.table_format.value,
+                    source_identifier=snapshot.source_identifier,
+                )
+                target.begin_sync(snapshot.table)
+                target.sync_metadata(bookmark)
+                target.sync_schema(snapshot.table.read_schema)
+                target.sync_partition_spec(
+                    [pf.output_name for pf in snapshot.table.partition_fields]
+                )
+                target.sync_files_for_snapshot(snapshot.files)
+                target.complete_sync()
+                results[fmt] = SyncResult(
+                    mode=SyncMode.FULL,
+                    status=SyncStatusCode.SUCCESS,
+                    target_format=fmt,
+                    last_instant_synced=snapshot.version,
+                    sync_duration_sec=time.perf_counter() - start,
+                )
+            except Exception as exc:  # noqa: BLE001 — per-target isolation
+                results[fmt] = SyncResult(
+                    mode=SyncMode.FULL,
+                    status=SyncStatusCode.ERROR,
+                    target_format=fmt,
+                    sync_duration_sec=time.perf_counter() - start,
+                    error=ErrorDetails(error_message=str(exc)),
+                )
+        return results
+
+    # -- INCREMENTAL path (TableFormatSync.syncChanges, .java:99-151) -------
+
+    def _sync_changes(
+        self,
+        source: Any,
+        targets: dict[TableFormat, Any],
+        bookmarks: dict[TableFormat, Optional[TableSyncMetadata]],
+    ) -> dict[TableFormat, SyncResult]:
+        # most-out-of-sync alignment: one backlog from the earliest instant
+        # any target needs serves every target; previously-pending commits
+        # are handed to the source so completed ones re-enter the backlog
+        # (InstantsForIncrementalSync.java:49-61)
+        last_sync = min(
+            (bookmarks[f].last_instant_synced for f in targets), key=_instant_key
+        )
+        pending = sorted(
+            {i for f in targets for i in bookmarks[f].instants_to_consider_for_next_sync},
+            key=_instant_key,
+        )
+        backlog = source.get_commits_backlog(
+            InstantsForIncrementalSync(last_sync_instant=last_sync, pending_commits=pending)
+        )
+        results: dict[TableFormat, SyncResult] = {}
+        failed: set[TableFormat] = set()
+        last_synced: dict[TableFormat, str] = {}
+        durations: dict[TableFormat, float] = {f: 0.0 for f in targets}
+
+        for commit in backlog.commits_to_process:
+            change = None
+            for fmt, target in targets.items():
+                if fmt in failed:
+                    continue
+                bm = bookmarks[fmt]
+                if not _commit_applies(commit, bm):
+                    continue
+                if change is None:  # lazy: only extract when some target needs it
+                    change = source.get_table_change_for_commit(commit)
+                start = time.perf_counter()
+                try:
+                    pending = [
+                        i
+                        for i in backlog.in_flight_instants
+                        if _instant_lt(i, commit)
+                    ]
+                    new_bookmark = TableSyncMetadata(
+                        last_instant_synced=commit,
+                        instants_to_consider_for_next_sync=pending,
+                        source_table_format=change.table.table_format.value,
+                        source_identifier=change.source_identifier,
+                    )
+                    target.begin_sync(change.table)
+                    target.sync_metadata(new_bookmark)
+                    target.sync_schema(change.table.read_schema)
+                    target.sync_partition_spec(
+                        [pf.output_name for pf in change.table.partition_fields]
+                    )
+                    target.sync_files_for_diff(change)
+                    target.complete_sync()
+                    last_synced[fmt] = commit
+                    durations[fmt] += time.perf_counter() - start
+                except Exception as exc:  # noqa: BLE001
+                    failed.add(fmt)
+                    results[fmt] = SyncResult(
+                        mode=SyncMode.INCREMENTAL,
+                        status=SyncStatusCode.ERROR,
+                        target_format=fmt,
+                        last_instant_synced=last_synced.get(fmt),
+                        sync_duration_sec=durations[fmt],
+                        error=ErrorDetails(error_message=str(exc)),
+                    )
+
+        for fmt in targets:
+            if fmt in results:
+                continue
+            results[fmt] = SyncResult(
+                mode=SyncMode.INCREMENTAL,
+                status=SyncStatusCode.SUCCESS,
+                target_format=fmt,
+                last_instant_synced=last_synced.get(
+                    fmt, bookmarks[fmt].last_instant_synced if bookmarks[fmt] else None
+                ),
+                sync_duration_sec=durations[fmt],
+            )
+        return results
+
+
+def _earliest_instant(bookmark: Optional[TableSyncMetadata]) -> str:
+    """Earliest instant a target needs: min(lastSynced, pending instants)
+    (ConversionController.java:330-341)."""
+    if bookmark is None:
+        return "-1"
+    candidates = [bookmark.last_instant_synced, *bookmark.instants_to_consider_for_next_sync]
+    return min(candidates, key=_instant_key)
+
+
+def _commit_applies(commit: str, bookmark: Optional[TableSyncMetadata]) -> bool:
+    """A commit applies to a target iff it is newer than the bookmark, or
+    was previously pending (TableFormatSync.java:104-151)."""
+    if bookmark is None:
+        return True
+    if commit in bookmark.instants_to_consider_for_next_sync:
+        return True
+    return _instant_lt(bookmark.last_instant_synced, commit)
+
+
+def _instant_key(instant: str):
+    try:
+        return (0, int(instant), "")
+    except ValueError:
+        return (1, 0, instant)
+
+
+def _instant_lt(a: str, b: str) -> bool:
+    return _instant_key(a) < _instant_key(b)

@@ -1,0 +1,290 @@
+"""Delta Lake conversion target: commits file-level metadata into a Delta
+transaction log (`_delta_log/`) following the PUBLIC Delta protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): one JSON
+action per line, versioned files ``%020d.json``, atomic put-if-absent
+commits.
+
+Reference parity (what, not how — our implementation is protocol-level
+because this environment has no delta-spark jars):
+- target txn + metaData write      delta/DeltaConversionTarget.java:158-372
+- AddFile building + snapshot-as-diff
+                                   delta/DeltaDataFileUpdatesExtractor.java:65-129
+- stats serialization              delta/DeltaStatsUtils.java:96-124
+- XTABLE_METADATA bookmark in table properties
+                                   model/metadata/TableSyncMetadata.java:43-58
+
+Scale notes: the transaction log is inherently a driver-written artifact
+(single file per commit). Actions stream through ``toLocalIterator`` so a
+100k-file snapshot never materializes as a driver-side list; the diff
+computation (anti-joins) and stats serialization stay distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.core import (
+    InternalSnapshot,
+    InternalTable,
+    TableChange,
+)
+from incubator_xtable_spark.model.stat_codec import to_delta_stats_json
+from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE_METADATA_KEY
+
+MIN_READER_VERSION = 1
+MIN_WRITER_VERSION = 2
+
+
+def _log_dir(base_path: str) -> str:
+    return os.path.join(base_path, "_delta_log")
+
+
+def _version_file(base_path: str, version: int) -> str:
+    return os.path.join(_log_dir(base_path), f"{version:020d}.json")
+
+
+def current_log_version(base_path: str) -> Optional[int]:
+    d = _log_dir(base_path)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(fn[:-5])
+        for fn in os.listdir(d)
+        if fn.endswith(".json") and fn[:-5].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def _relativize(path: str, base_path: str) -> str:
+    base = base_path.rstrip("/") + "/"
+    p = path[len("file:") :] if path.startswith("file:") else path
+    return p[len(base) :] if p.startswith(base) else p
+
+
+class DeltaConversionTarget:
+    """ConversionTarget (spi/sync/ConversionTarget.java:37-104 surface):
+    beginSync -> syncSchema/syncPartitionSpec/syncMetadata ->
+    syncFilesForSnapshot | syncFilesForDiff -> completeSync."""
+
+    def __init__(self, spark: SparkSession, base_path: str) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self._reset()
+
+    def _reset(self) -> None:
+        self._table: Optional[InternalTable] = None
+        self._schema: Optional[T.StructType] = None
+        self._partition_cols: list[str] = []
+        self._metadata_json: Optional[str] = None
+        self._adds: Optional[DataFrame] = None
+        self._removes: Optional[DataFrame] = None
+        self._committed_version: Optional[int] = None
+
+    # -- sync steps --------------------------------------------------------
+
+    def begin_sync(self, table: InternalTable) -> None:
+        self._reset()
+        self._table = table
+        os.makedirs(_log_dir(self.base_path), exist_ok=True)
+
+    def sync_schema(self, schema: T.StructType) -> None:
+        self._schema = schema
+
+    def sync_partition_spec(self, partition_cols: list[str]) -> None:
+        self._partition_cols = list(partition_cols)
+
+    def sync_metadata(self, metadata: TableSyncMetadata) -> None:
+        self._metadata_json = metadata.to_json()
+
+    def sync_files_for_snapshot(self, files: DataFrame) -> None:
+        """Full snapshot, committed as a minimal diff against the target's
+        current live files (snapshot-as-diff,
+        delta/DeltaDataFileUpdatesExtractor.java:70-86)."""
+        live = self._current_live_paths()
+        snap = files.withColumn(
+            "relative_path",
+            F.regexp_replace(F.col("physical_path"), F.lit(self.base_path.rstrip("/") + "/"), ""),
+        )
+        if live is None:
+            self._adds, self._removes = snap.drop("relative_path"), None
+            return
+        self._adds = snap.join(live, snap.relative_path == live.path, "left_anti").drop("relative_path")
+        snap_paths = snap.select(F.col("relative_path").alias("path"))
+        self._removes = live.join(snap_paths, "path", "left_anti")
+
+    def sync_files_for_diff(self, change: TableChange) -> None:
+        self._adds = change.files_added
+        self._removes = change.files_removed.select(
+            F.regexp_replace(
+                F.col("physical_path"), F.lit(self.base_path.rstrip("/") + "/"), ""
+            ).alias("path")
+        )
+
+    def complete_sync(self) -> int:
+        cur = current_log_version(self.base_path)
+        version = (cur if cur is not None else -1) + 1
+        now_ms = int(time.time() * 1000)
+        schema = self._schema or (self._table.read_schema if self._table else None)
+        if schema is None:
+            raise ValueError("sync_schema must run before complete_sync")
+
+        def actions() -> Iterator[str]:
+            yield json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "XTABLE SYNC" if version else "CREATE TABLE",
+                        "operationParameters": {},
+                        "engineInfo": "incubator_xtable_spark/0.1",
+                    }
+                }
+            )
+            if version == 0:
+                yield json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": MIN_READER_VERSION,
+                            "minWriterVersion": MIN_WRITER_VERSION,
+                        }
+                    }
+                )
+            if version == 0 or self._metadata_json is not None or self._schema is not None:
+                configuration = {"delta.logRetentionDuration": "interval 7 days"}
+                if self._metadata_json is not None:
+                    configuration[XTABLE_METADATA_KEY] = self._metadata_json
+                yield json.dumps(
+                    {
+                        "metaData": {
+                            "id": self._table_id(),
+                            "name": self._table.name if self._table else None,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": schema.json(),
+                            "partitionColumns": self._partition_cols,
+                            "configuration": configuration,
+                            "createdTime": now_ms,
+                        }
+                    }
+                )
+            if self._removes is not None:
+                for row in self._removes.toLocalIterator():
+                    yield json.dumps(
+                        {
+                            "remove": {
+                                "path": row["path"],
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            if self._adds is not None:
+                for row in self._adds.toLocalIterator():
+                    yield self._add_action(row, schema, now_ms)
+
+        self._atomic_write(version, actions())
+        self._committed_version = version
+        return version
+
+    # -- helpers -----------------------------------------------------------
+
+    def _add_action(self, row: Row, schema: T.StructType, now_ms: int) -> str:
+        col_stats = {}
+        raw_stats = row["column_stats"]
+        if raw_stats:
+            col_stats = {
+                name: {
+                    "min_json": st["min_json"],
+                    "max_json": st["max_json"],
+                    "null_count": st["null_count"],
+                }
+                for name, st in raw_stats.items()
+            }
+        return json.dumps(
+            {
+                "add": {
+                    "path": _relativize(row["physical_path"], self.base_path),
+                    "partitionValues": dict(row["partition_values"] or {}),
+                    "size": row["size_bytes"],
+                    "modificationTime": row["last_modified_ms"] or now_ms,
+                    "dataChange": True,
+                    "stats": to_delta_stats_json(row["record_count"], col_stats, schema),
+                }
+            }
+        )
+
+    def _table_id(self) -> str:
+        existing = self.get_table_properties()
+        if existing is not None and existing.get("__table_id"):
+            return existing["__table_id"]
+        meta = self._read_latest_metadata()
+        if meta is not None:
+            return meta.get("id", str(uuid.uuid4()))
+        return str(uuid.uuid4())
+
+    def _atomic_write(self, version: int, lines: Iterator[str]) -> None:
+        """Put-if-absent commit: write a temp file, hard-link it into place
+        (fails if the version already exists = optimistic concurrency),
+        mirroring Delta's atomic rename contract."""
+        final = _version_file(self.base_path, version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for line in lines:
+                fh.write(line)
+                fh.write("\n")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise RuntimeError(
+                f"concurrent commit detected for version {version} at {final}"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+    def _read_latest_metadata(self) -> Optional[dict[str, Any]]:
+        v = current_log_version(self.base_path)
+        if v is None:
+            return None
+        meta = None
+        for ver in range(v + 1):
+            fp = _version_file(self.base_path, ver)
+            if not os.path.exists(fp):
+                continue
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+        return meta
+
+    def get_table_properties(self) -> Optional[dict[str, str]]:
+        meta = self._read_latest_metadata()
+        if meta is None:
+            return None
+        return meta.get("configuration") or {}
+
+    def get_table_metadata(self) -> Optional[TableSyncMetadata]:
+        """Read back the sync bookmark (ConversionTarget.getTableMetadata)."""
+        props = self.get_table_properties()
+        if not props or XTABLE_METADATA_KEY not in props:
+            return None
+        return TableSyncMetadata.from_json(props[XTABLE_METADATA_KEY])
+
+    def get_target_commit_identifier(self) -> Optional[str]:
+        if self._committed_version is None:
+            return None
+        return str(self._committed_version)
+
+    def _current_live_paths(self) -> Optional[DataFrame]:
+        v = current_log_version(self.base_path)
+        if v is None:
+            return None
+        from incubator_xtable_spark.sources.delta_source import live_files_df
+
+        return live_files_df(self.spark, self.base_path, v).select("path")

@@ -1,0 +1,175 @@
+"""Differential conversion tests — the reference's crown-jewel strategy
+(ITConversionController.checkDatasetEquivalence, :948-1026) re-expressed:
+after every sync, read the SOURCE and every TARGET back through Spark and
+assert row-identical results.
+
+Scenarios (subset of ITConversionController.testVariousOperations):
+- full snapshot sync parquet-dir -> Delta
+- incremental sync after new files land (controller auto-decides)
+- time travel on the target log
+- delta -> delta re-sync (source adapter + target adapter composed)
+- bookmark round-trip + stats presence
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.model.core import SyncMode, SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.delta_source import (
+    DeltaConversionSource,
+    list_log_versions,
+    live_files_df,
+    read_delta_as_df,
+)
+from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df, order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    """A multi-file parquet table: customer sf0.001 split into 4 files."""
+    d = str(tmp_path / "src_table")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def test_full_snapshot_sync_equivalence(spark, source_dir, tmp_path):
+    target_dir = source_dir  # same files, metadata-only conversion (like the reference)
+    source = ParquetConversionSource(spark, source_dir, name="customer")
+    target = DeltaConversionTarget(spark, target_dir)
+    results = ConversionController().sync(source, {TableFormat.DELTA: target})
+
+    res = results[TableFormat.DELTA]
+    assert res.status == SyncStatusCode.SUCCESS, res.error
+    assert res.mode == SyncMode.FULL
+
+    src_rows = _rows(spark.read.parquet(source_dir), ["c_custkey"])
+    tgt_rows = _rows(read_delta_as_df(spark, target_dir), ["c_custkey"])
+    assert src_rows == tgt_rows
+    assert len(src_rows) > 0
+
+
+def test_incremental_sync_after_append(spark, source_dir):
+    source = ParquetConversionSource(spark, source_dir, name="customer")
+    target = DeltaConversionTarget(spark, source_dir)
+    controller = ConversionController()
+    r1 = controller.sync(source, {TableFormat.DELTA: target})
+    assert r1[TableFormat.DELTA].mode == SyncMode.FULL
+
+    # land two new data files (an "insert" commit)
+    extra = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").filter(F.col("c_custkey") < 20)
+    extra.repartition(2).write.mode("append").parquet(source_dir)
+
+    r2 = controller.sync(source, {TableFormat.DELTA: target})
+    res = r2[TableFormat.DELTA]
+    assert res.status == SyncStatusCode.SUCCESS, res.error
+    assert res.mode == SyncMode.INCREMENTAL
+
+    src_rows = _rows(spark.read.parquet(source_dir), ["c_custkey", "c_name"])
+    tgt_rows = _rows(read_delta_as_df(spark, source_dir), ["c_custkey", "c_name"])
+    assert src_rows == tgt_rows
+    assert len(list_log_versions(source_dir)) >= 2
+
+    # bookmark advanced to the newest commit instant
+    bm = target.get_table_metadata()
+    assert bm is not None
+    assert int(bm.last_instant_synced) >= int(r1[TableFormat.DELTA].last_instant_synced)
+
+
+def test_time_travel_on_target(spark, source_dir):
+    source = ParquetConversionSource(spark, source_dir, name="customer")
+    target = DeltaConversionTarget(spark, source_dir)
+    controller = ConversionController()
+    controller.sync(source, {TableFormat.DELTA: target})
+    v0_rows = _rows(read_delta_as_df(spark, source_dir, version=0), ["c_custkey"])
+
+    extra = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").limit(10)
+    extra.coalesce(1).write.mode("append").parquet(source_dir)
+    controller.sync(source, {TableFormat.DELTA: target})
+
+    # v0 must still read the original snapshot (time travel)
+    assert _rows(read_delta_as_df(spark, source_dir, version=0), ["c_custkey"]) == v0_rows
+    latest = read_delta_as_df(spark, source_dir)
+    assert latest.count() == len(v0_rows) + 10
+
+
+def test_stats_written_and_parsed_back(spark, source_dir):
+    source = ParquetConversionSource(spark, source_dir, name="customer")
+    target = DeltaConversionTarget(spark, source_dir)
+    ConversionController().sync(source, {TableFormat.DELTA: target})
+
+    live = live_files_df(spark, source_dir).collect()
+    assert live, "no live files in target log"
+    stats = json.loads(live[0]["stats"])
+    assert stats["numRecords"] > 0
+    assert "c_custkey" in stats["minValues"]
+    assert stats["minValues"]["c_custkey"] <= stats["maxValues"]["c_custkey"]
+
+    # source adapter re-parses what the target wrote (round-trip)
+    delta_src = DeltaConversionSource(spark, source_dir)
+    snap = delta_src.get_current_snapshot()
+    inv = snap.files.collect()
+    total = sum(r["record_count"] for r in inv)
+    assert total == spark.read.parquet(source_dir).count()
+    one = inv[0]["column_stats"]["c_custkey"]
+    assert one["min_json"] is not None and one["null_count"] == 0
+
+
+def test_delta_to_delta_resync(spark, source_dir, tmp_path):
+    # parquet -> delta (first log), then delta -> a second delta log dir
+    # elsewhere pointing at the same files (absolute paths)
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="customer"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, source_dir)},
+    )
+    second = str(tmp_path / "mirror")
+    os.makedirs(second, exist_ok=True)
+    delta_source = DeltaConversionSource(spark, source_dir)
+    mirror_target = DeltaConversionTarget(spark, second)
+    results = ConversionController().sync(delta_source, {TableFormat.DELTA: mirror_target})
+    assert results[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, results[TableFormat.DELTA].error
+
+    a = _rows(read_delta_as_df(spark, source_dir), ["c_custkey"])
+    b = _rows(read_delta_as_df(spark, second), ["c_custkey"])
+    assert a == b
+
+
+def test_full_resync_is_noop_diff(spark, source_dir):
+    """Snapshot-as-diff: re-running FULL sync on an unchanged table commits
+    no adds/removes (delta/DeltaDataFileUpdatesExtractor.java:70-86)."""
+    source = ParquetConversionSource(spark, source_dir, name="customer")
+    target = DeltaConversionTarget(spark, source_dir)
+    ConversionController(
+        __import__(
+            "incubator_xtable_spark.sync.controller", fromlist=["ConversionConfig"]
+        ).ConversionConfig(sync_mode=SyncMode.FULL)
+    ).sync(source, {TableFormat.DELTA: target})
+    v1 = max(list_log_versions(source_dir))
+
+    ConversionController().sync(source, {TableFormat.DELTA: target})
+    v2 = max(list_log_versions(source_dir))
+    if v2 > v1:
+        # a new commit may exist (metadata refresh) but must carry no file actions
+        with open(
+            os.path.join(source_dir, "_delta_log", f"{v2:020d}.json"), encoding="utf-8"
+        ) as fh:
+            actions = [json.loads(line) for line in fh]
+        assert not any("add" in a or "remove" in a for a in actions)
