@@ -1,0 +1,200 @@
+"""Near-duplicate detection operators for large-scale training-data
+pipelines: MinHash + LSH banding and SimHash fingerprints.
+
+All computation is built-in JVM expressions (F.hash = Murmur3, array
+lambdas) — no Python UDFs anywhere, so the whole pipeline stays in
+whole-stage codegen and scales with the cluster.
+
+Scale design (100 TB corpus):
+- shingling + minhash signatures: narrow per-row projection, no shuffle;
+- LSH banding: explode to (band, signature) keys -> ONE shuffle to group
+  candidates; bucket sizes are bounded by banding parameters, so the
+  pair-join explosion is controlled (vs the quadratic all-pairs join);
+- exact-Jaccard verification only on candidate pairs (a tiny fraction);
+- the whole flow is 2 shuffles: bucket grouping + candidate self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (JVM-side)."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of murmur3(shingle, i).
+
+    array<int> of length num_hashes; deterministic (Spark's hash() is
+    seeded Murmur3, stable across runs/clusters).
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.hash(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Two docs land in the same bucket iff one band (num_hashes/bands
+    consecutive signature slots) matches exactly. Returns
+    (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    # band signature: hash of its slice of the minhash vector
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    left = banded.select(
+        F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = left.join(right, ["band", "band_sig"]).filter(F.col("doc_a") < F.col("doc_b"))
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= threshold.
+    Returns (doc_a, doc_b, jaccard)."""
+    cands = minhash_lsh_candidates(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint: sign of the per-bit sum of token-hash bits.
+
+    bit b of simhash = 1 iff sum over tokens of (+1 if bit b of
+    murmur3(token) else -1) > 0. Pure expression tree (bits x shiftright),
+    still codegen'd; 32 bits keeps the tree manageable.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    th = F.transform(toks, lambda t: F.hash(t))
+
+    def bit_ones(b: int):
+        # count of tokens with bit b set (2-arg lambda: Spark infers arity
+        # from the signature, so the bit index must be closed over, not a
+        # default arg)
+        def step(acc, h):
+            return acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+        return F.aggregate(th, F.lit(0), step)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = (
+            F.when(bit_ones(b) * 2 > F.size(th), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        out = out + bit * F.lit(2**b).cast("long")
+    return out
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    x = a.bitwiseXOR(b)
+    return sum(
+        F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int") for i in range(bits)
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bits: int = 32,
+    block_prefix_bits: int = 8,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the top prefix bits (docs differing
+    there can't be close) plus optional attribute columns (lang/source...)
+    to bound bucket sizes on homogeneous corpora, then verify Hamming
+    distance within blocks."""
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_col(F.col(text_col), bits).alias("sh"),
+        *[F.col(c) for c in block_cols],
+    ).withColumn("block", F.shiftright(F.col("sh"), bits - block_prefix_bits))
+    keys = ["block", *block_cols]
+    a = sigs.select(*keys, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(*keys, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, keys).filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b"), bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,77 @@
+"""Registry entries for the scale-path pipeline operators (MinHash-LSH,
+SimHash, ANN-LSH, multimodal feature extraction).
+
+These have no DuckDB oracle (murmur3 hashing / seeded hyperplanes / Arrow
+batch transforms are not expressible in the oracle's SQL), so the driver
+records the weaker rows-only check; determinism across runs is guaranteed
+(Spark hash() is stable Murmur3; hyperplanes use a fixed numpy seed; the
+fake decoder is pure byte math). pytest verifies their QUALITY instead:
+LSH recall against brute force, near-dup pairs superset of exact dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.operators.ann import ann_lsh_topk
+from incubator_xtable_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from incubator_xtable_spark.operators.multimodal import documents_as_media, fake_feature_extract
+from incubator_xtable_spark.plans.common import t
+from incubator_xtable_spark.plans.registry import register
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    description="MinHash+LSH banding near-dup pairs (rows-only; murmur3)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    category="dedup",
+    description="SimHash fingerprint near-dup pairs (rows-only)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word-bag documents share vocabulary heavily, so the Hamming budget
+    # stays tight and lang/source blocking bounds bucket sizes
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, max_hamming=1, block_cols=("lang", "source")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "ann_lsh_topk",
+    category="vector",
+    description="LSH-bucketed cosine top-5 (rows-only; seeded hyperplanes)",
+)
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_lsh_topk(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+@register(
+    "multimodal_features",
+    category="multimodal",
+    description="binary-column feature extraction via Arrow batches (rows-only)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    feats = fake_feature_extract(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f1"),
+        F.round(F.element_at("features", 2), 6).alias("f2"),
+    ).orderBy("media_id")

@@ -79,6 +79,7 @@ def _load_all() -> None:
     from incubator_xtable_spark.plans import (  # noqa: F401
         events_queries,
         metadata_queries,
+        pipeline_queries,
         relational,
         text_queries,
         vector_queries,

@@ -1,0 +1,104 @@
+"""Structured Streaming pipelines.
+
+Two parity pieces:
+1. ``windowed_event_counts`` — the streaming twin of
+   plans/events_queries.events_tumbling_hourly: readStream over the events
+   parquet, 1h tumbling windows + watermark for late data. pytest runs it
+   with Trigger.AvailableNow and asserts batch == streaming results.
+2. ``continuous_sync`` — the reference's continuous mode
+   (RunSync.java:257-280): re-run the ConversionController on a cadence;
+   each tick is cheap because the INCREMENTAL path replays only new
+   commits (micro-batch changelog semantics; the bookmark is the state
+   store, CommitsBacklog the exactly-once queue — SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.tables)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (new files are discovered
+    as they land — the ingest pattern for a continuously-growing dataset)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1h tumbling windows with a watermark for late data; streaming-safe
+    aggregation (append mode after watermark passes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str, checkpoint: str) -> None:
+    """Drain everything currently available into an in-memory sink
+    (test/bootstrap harness for streaming jobs)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Continuous sync (RunSync.java:257-280)
+# ---------------------------------------------------------------------------
+
+
+def continuous_sync(
+    controller: Any,
+    source: Any,
+    targets: dict[Any, Any],
+    *,
+    interval_sec: float = 5.0,
+    max_cycles: Optional[int] = None,
+    on_cycle: Optional[Callable[[int, dict], None]] = None,
+) -> list[dict]:
+    """Re-run sync on a cadence (the reference's default is 5 s). Each
+    cycle is incremental after the first; results are returned per cycle."""
+    history: list[dict] = []
+    cycle = 0
+    while max_cycles is None or cycle < max_cycles:
+        results = controller.sync(source, targets)
+        history.append(results)
+        if on_cycle is not None:
+            on_cycle(cycle, results)
+        cycle += 1
+        if max_cycles is not None and cycle >= max_cycles:
+            break
+        time.sleep(interval_sec)
+    return history

@@ -1,0 +1,138 @@
+"""Quality tests for the scale-path operators: LSH recall vs brute force,
+near-dup detection on planted duplicates, multimodal batch plumbing, and
+batch==streaming equivalence for the windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.operators.ann import ann_lsh_topk
+from incubator_xtable_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from incubator_xtable_spark.operators.multimodal import (
+    decode_stub,
+    documents_as_media,
+    fake_feature_extract,
+)
+from incubator_xtable_spark.plans.vector_queries import ann_bruteforce_topk
+from incubator_xtable_spark.sources.tables import load
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Documents + planted near-duplicates: copies of some docs with one
+    token appended (high Jaccard, not exact)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    near = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 10).alias("n_chars"),
+        )
+    )
+    exact = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 8)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def test_minhash_finds_planted_dups(spark, docs_with_dups):
+    pairs = minhash_near_duplicates(docs_with_dups, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact copies MUST be found (jaccard 1.0 -> every band matches)
+    for d in range(5, 8):
+        assert (d, d + 200000) in found, f"exact dup {d} missed"
+    # planted near-dups: high jaccard, should mostly be caught
+    near_hits = sum(1 for d in range(5) if (d, d + 100000) in found)
+    assert near_hits >= 3, f"only {near_hits}/5 near-dups found"
+    # jaccard values are sane
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_finds_exact_dups(spark, docs_with_dups):
+    pairs = simhash_near_duplicates(docs_with_dups, max_hamming=4).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for d in range(5, 8):
+        assert (d, d + 200000) in found, f"exact dup {d} missed by simhash"
+    assert all(r["hamming"] == 0 for r in pairs if (r["doc_a"], r["doc_b"]) in {(d, d + 200000) for d in range(5, 8)})
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    brute = ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["c_id"]) for r in brute}
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = ann_lsh_topk(emb, queries, k=5).collect()
+    got = {(r["q_id"], r["c_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # random gaussian embeddings are a worst case for LSH; just require
+    # meaningfully-better-than-chance behavior and correct mechanics
+    assert recall > 0.1, f"LSH recall {recall:.2f} at chance level"
+    # top-1 within each bucket must be a true cosine ordering
+    assert all(r["rank"] >= 1 and r["rank"] <= 5 for r in approx)
+
+
+def test_multimodal_fake_features_shape(spark):
+    docs = load(spark, SF_SMOKE, "documents").limit(50)
+    media = documents_as_media(docs)
+    feats = fake_feature_extract(media, n_features=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 255.0 for f in r["features"])
+
+
+def test_multimodal_decode_stub_raises_at_execution(spark):
+    docs = load(spark, SF_SMOKE, "documents").limit(1)
+    media = documents_as_media(docs)
+    stubbed = decode_stub(media)  # plan-time OK
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        stubbed.collect()
+
+
+def test_streaming_matches_batch_windowed_counts(spark, tmp_path):
+    from incubator_xtable_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    # the file stream source requires a directory (it watches for new
+    # files); stage the events file into one
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    os.symlink(f"{SF_SMOKE}/events.parquet", stream_dir / "events.parquet")
+    stream = events_stream(spark, str(stream_dir))
+    agg = windowed_event_counts(stream)
+    run_available_now(agg, "stream_counts", str(tmp_path / "ckpt"))
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("stream_counts").collect()
+    }
+
+    batch_events = load(spark, SF_SMOKE, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch
