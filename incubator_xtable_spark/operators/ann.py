@@ -85,14 +85,18 @@ def ann_lsh_topk(
     """
     from pyspark.sql import Window as W
 
-    cand = vectors.select(
+    cand = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket0"),
     )
     if multiprobe:
@@ -102,11 +106,11 @@ def ann_lsh_topk(
         )
     else:
         probes = F.array(F.col("bucket0"))
-    q = q.select("q_id", "qv", F.explode(probes).alias("bucket"))
+    q = q.select("q_id", "qv", "q_norm", F.explode(probes).alias("bucket"))
     scored = (
         cand.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (

@@ -20,6 +20,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before heavy per-row
+    compute (single-file tables arrive as a single partition)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -35,18 +42,58 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over shingles of murmur3(shingle, i).
+_MERSENNE_PRIME = 2147483647  # 2^31 - 1
 
-    array<int> of length num_hashes; deterministic (Spark's hash() is
-    seeded Murmur3, stable across runs/clusters).
+
+def _permutation_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a, b), a odd > 0."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = (state | 1) or 1
+        state = (state * 1103515245 + 12345) % (2**31)
+        b = state
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature via ONE murmur3 pass + affine permutations:
+    sig_i = min over shingles of (a_i * h(s) + b_i) mod p.
+
+    The classic universal-hash trick: hashing each shingle once and
+    deriving the family arithmetically is ~num_hashes x cheaper than
+    re-hashing per seed, with equivalent collision behavior.
+    Deterministic (Spark hash() is stable Murmur3; constants are seeded).
+    All arithmetic stays within int64 (h < 2^32, a < 2^31 -> product <
+    2^63), so ANSI overflow checking never trips.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.hash(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+    base = base_hashes(shingles)
+    return signature_from_base(base, num_hashes)
+
+
+def base_hashes(shingles: Column) -> Column:
+    """One murmur3 per shingle, shifted non-negative (int64-safe)."""
+    return F.transform(shingles, lambda s: F.hash(s).cast("long") + F.lit(2**31))
+
+
+def signature_from_base(base: Column, num_hashes: int) -> Column:
+    """Affine permutations over precomputed base hashes.
+
+    PERFORMANCE: pass ``base`` as a materialized *column reference*, not an
+    expression — as an expression it gets inlined into all num_hashes
+    permutations and recomputed each time (measured 30-60x slower at
+    sf0.1). minhash_lsh_candidates does the two-step select.
+    """
+
+    def perm(a: int, b: int) -> Column:
+        def lam(h: Column) -> Column:
+            return (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_PRIME)
+
+        return F.array_min(F.transform(base, lam))
+
+    return F.array(*[perm(a, b) for a, b in _permutation_params(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -65,9 +112,16 @@ def minhash_lsh_candidates(
     (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
+    # spread rows before the signature compute: a table that arrives as one
+    # file is one partition, and per-row expression work would serialize
+    docs = _spread(docs)
+    # two-step select so base hashes materialize once (see signature_from_base)
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        base_hashes(shingles_col(F.col(text_col), shingle_n)).alias("bh"),
+    ).select(
+        "doc_id",
+        signature_from_base(F.col("bh"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
@@ -114,7 +168,7 @@ def minhash_near_duplicates(
     cands = minhash_lsh_candidates(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -143,12 +197,20 @@ def simhash_col(text: Column, bits: int = 32) -> Column:
     """
     toks = F.array_distinct(tokens_col(text))
     th = F.transform(toks, lambda t: F.hash(t))
+    return simhash_from_hashes(th, bits)
 
-    def bit_ones(b: int):
-        # count of tokens with bit b set (2-arg lambda: Spark infers arity
-        # from the signature, so the bit index must be closed over, not a
-        # default arg)
-        def step(acc, h):
+
+def token_hashes(text: Column) -> Column:
+    """One murmur3 per distinct token (materialize this before
+    simhash_from_hashes — see signature_from_base note)."""
+    return F.transform(F.array_distinct(tokens_col(text)), lambda t: F.hash(t))
+
+
+def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
+    # per-bit scalar aggregates; measured faster than a single-pass
+    # array-accumulator (zip_with allocates a fresh array per element)
+    def bit_ones(b: int) -> Column:
+        def step(acc: Column, h: Column) -> Column:
             return acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
 
         return F.aggregate(th, F.lit(0), step)
@@ -184,11 +246,19 @@ def simhash_near_duplicates(
     there can't be close) plus optional attribute columns (lang/source...)
     to bound bucket sizes on homogeneous corpora, then verify Hamming
     distance within blocks."""
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_col(F.col(text_col), bits).alias("sh"),
-        *[F.col(c) for c in block_cols],
-    ).withColumn("block", F.shiftright(F.col("sh"), bits - block_prefix_bits))
+    sigs = (
+        _spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            token_hashes(F.col(text_col)).alias("th"),
+            *[F.col(c) for c in block_cols],
+        )
+        .select(
+            "doc_id",
+            simhash_from_hashes(F.col("th"), bits).alias("sh"),
+            *[F.col(c) for c in block_cols],
+        )
+        .withColumn("block", F.shiftright(F.col("sh"), bits - block_prefix_bits))
+    )
     keys = ["block", *block_cols]
     a = sigs.select(*keys, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sigs.select(*keys, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -92,7 +92,11 @@ def fake_feature_extract(df: DataFrame, n_features: int = 8) -> DataFrame:
                 rows, columns=["media_id", "media_type", "n_bytes", "features"]
             )
 
-    return df.select("media_id", "media_type", "content").mapInPandas(_extract, FEATURE_SCHEMA)
+    narrow = df.select("media_id", "media_type", "content")
+    # single-file inputs arrive as one partition; spread before the
+    # Arrow-batched extraction so workers run in parallel
+    narrow = narrow.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return narrow.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

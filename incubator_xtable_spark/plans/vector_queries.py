@@ -50,8 +50,8 @@ WITH q AS (
   FROM embeddings
 ), scored AS (
   SELECT q_id, c_id,
-         round(list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 6) AS cos_sim,
-         list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos_raw
+         round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
   FROM q JOIN c ON q_id <> c_id
 )
 SELECT q_id, c_id, cos_sim, CAST(rn AS INTEGER) AS rank
@@ -74,13 +74,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = t(spark, sf_dir, "embeddings")
+    # precompute norms once per side: the join then evaluates only the dot
+    # product per pair (3x less arithmetic than a naive cosine per pair)
     q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(l2sq(F.col("embedding"))).alias("q_norm"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    c = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(l2sq(F.col("embedding"))).alias("c_norm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")))
         .withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
