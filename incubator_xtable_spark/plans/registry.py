@@ -81,6 +81,7 @@ def _load_all() -> None:
         metadata_queries,
         pipeline_queries,
         relational,
+        relational2,
         text_queries,
         vector_queries,
     )
