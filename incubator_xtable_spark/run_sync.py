@@ -117,6 +117,10 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
         )
     if fmt == TableFormat.DELTA.value:
         return DeltaConversionSource(spark, base, name=name)
+    if fmt == TableFormat.HUDI.value:
+        from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
+
+        return HudiConversionSource(spark, base, name=name)
     raise ValueError(f"unsupported source format: {fmt}")
 
 
@@ -124,6 +128,10 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
     base = dataset.get("tableDataPath", dataset["tableBasePath"])
     if fmt == TableFormat.DELTA.value:
         return DeltaConversionTarget(spark, base)
+    if fmt == TableFormat.HUDI.value:
+        from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+        return HudiConversionTarget(spark, base, table_name=dataset.get("tableName"))
     raise ValueError(f"unsupported target format: {fmt}")
 
 

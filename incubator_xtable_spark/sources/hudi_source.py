@@ -1,0 +1,288 @@
+"""Hudi (copy-on-write) conversion source: reads the `.hoodie/` timeline
+and reconstructs snapshots / per-commit change sets.
+
+Reference parity:
+- snapshot via fs-view             hudi/HudiConversionSource.java:96-122,
+                                   hudi/HudiDataFileExtractor.java:102-126
+  (file-group resolution: latest base file per fileId at/ before the
+  instant — replaced groups excluded)
+- commit diff                      hudi/HudiConversionSource.java:125-139
+- commits backlog merge            hudi/HudiConversionSource.java:240-338
+- incremental-safety check         hudi/HudiConversionSource.java:164-215
+- schema extraction (drop _hoodie_* meta fields)
+                                   hudi/HudiTableExtractor.java,
+                                   hudi/HudiSchemaExtractor.java
+- instant format                   hudi/HudiInstantUtils.java:42-80
+
+The timeline is small metadata (driver-side JSON, same as the reference's
+timeline reads); the file inventory and footer-stats extraction are
+distributed DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.core import (
+    CommitsBacklog,
+    DataLayoutStrategy,
+    FILE_INVENTORY_SCHEMA,
+    InstantsForIncrementalSync,
+    InternalPartitionField,
+    InternalSnapshot,
+    InternalTable,
+    TableChange,
+    TableFormat,
+)
+from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE_METADATA_KEY
+from incubator_xtable_spark.targets.hudi_target import (
+    HOODIE_DIR,
+    file_id_of,
+    list_completed_instants,
+    read_commit_metadata,
+)
+
+HOODIE_META_FIELDS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+
+def read_properties(base_path: str) -> dict[str, str]:
+    props_path = os.path.join(base_path, HOODIE_DIR, "hoodie.properties")
+    out: dict[str, str] = {}
+    if not os.path.exists(props_path):
+        return out
+    with open(props_path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            k, _, v = line.partition("=")
+            out[k] = v
+    return out
+
+
+def live_files_rows(base_path: str, as_of_instant: Optional[str] = None) -> list[dict]:
+    """File-group resolution over the timeline: walk commits in order,
+    latest version per fileId wins, replaced fileIds drop out.
+    Returns [{path, fileId, size, instant}] (relative paths)."""
+    groups: dict[str, dict] = {}  # fileId -> latest file info
+    for instant, action in list_completed_instants(base_path):
+        if as_of_instant is not None and instant > as_of_instant:
+            break
+        meta = read_commit_metadata(base_path, instant, action)
+        for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values():
+            for fid in fid_list:
+                groups.pop(fid, None)
+        for stats_list in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats_list:
+                groups[st["fileId"]] = {
+                    "path": st["path"],
+                    "fileId": st["fileId"],
+                    "size": st.get("fileSizeInBytes", 0),
+                    "numWrites": st.get("numWrites"),
+                    "instant": instant,
+                }
+    return sorted(groups.values(), key=lambda r: r["path"])
+
+
+class HudiConversionSource:
+    """ConversionSource over a Hudi COW table."""
+
+    def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.name = name or os.path.basename(self.base_path)
+
+    # -- table -------------------------------------------------------------
+
+    def get_current_table(self) -> Optional[InternalTable]:
+        instants = list_completed_instants(self.base_path)
+        if not instants:
+            return None
+        props = read_properties(self.base_path)
+        schema = self._read_schema(instants)
+        part_fields = [
+            InternalPartitionField(source_field=c)
+            for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+            if c
+        ]
+        return InternalTable(
+            name=props.get("hoodie.table.name", self.name),
+            table_format=TableFormat.HUDI,
+            base_path=self.base_path,
+            read_schema=schema,
+            partition_fields=part_fields,
+            layout_strategy=(
+                DataLayoutStrategy.HIVE_STYLE_PARTITION
+                if part_fields
+                else DataLayoutStrategy.FLAT
+            ),
+            latest_metadata_path=os.path.join(self.base_path, HOODIE_DIR),
+        )
+
+    def _read_schema(self, instants: list[tuple[str, str]]) -> T.StructType:
+        """Schema from the newest commit's extraMetadata, else from a live
+        parquet footer; the five _hoodie_* meta fields are dropped
+        (HudiSchemaExtractor semantics)."""
+        for instant, action in reversed(instants):
+            meta = read_commit_metadata(self.base_path, instant, action)
+            raw = (meta.get("extraMetadata") or {}).get("schema")
+            if raw:
+                schema = T.StructType.fromJson(json.loads(raw))
+                return T.StructType(
+                    [f for f in schema.fields if f.name not in HOODIE_META_FIELDS]
+                )
+        rows = live_files_rows(self.base_path)
+        if not rows:
+            return T.StructType([])
+        sample = os.path.join(self.base_path, rows[-1]["path"])
+        schema = self.spark.read.parquet(sample).schema
+        return T.StructType([f for f in schema.fields if f.name not in HOODIE_META_FIELDS])
+
+    # -- snapshot ----------------------------------------------------------
+
+    def get_current_snapshot(self, with_stats: bool = True) -> InternalSnapshot:
+        table = self.get_current_table()
+        if table is None:
+            raise ValueError(f"not a hudi table: {self.base_path}")
+        instants = list_completed_instants(self.base_path)
+        latest = instants[-1][0]
+        rows = live_files_rows(self.base_path, latest)
+        files = self._to_inventory(rows, table, with_stats)
+        return InternalSnapshot(table=table, version=latest, files=files)
+
+    def _to_inventory(self, rows: list[dict], table: InternalTable, with_stats: bool) -> DataFrame:
+        from incubator_xtable_spark.sources.parquet_source import data_schema, footer_stats
+        from incubator_xtable_spark.targets.hudi_target import instant_to_epoch_ms
+
+        if not rows:
+            return self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
+        listing = self.spark.createDataFrame(
+            [
+                (
+                    os.path.join(self.base_path, r["path"]),
+                    int(r["size"]),
+                    instant_to_epoch_ms(r["instant"]),
+                )
+                for r in rows
+            ],
+            "physical_path STRING, size_bytes LONG, last_modified_ms LONG",
+        )
+        part_entries = []
+        for pf in table.partition_fields:
+            col = pf.output_name
+            part_entries.extend(
+                [F.lit(col), F.regexp_extract(F.col("physical_path"), rf"/{col}=([^/]*)/", 1)]
+            )
+        inv = listing.withColumn(
+            "partition_values",
+            F.create_map(*part_entries).cast("map<string,string>")
+            if part_entries
+            else F.lit(None).cast("map<string,string>"),
+        )
+        if with_stats:
+            stats = footer_stats(self.spark, listing, data_schema(table))
+            inv = inv.join(stats, "physical_path", "left")
+        else:
+            inv = inv.withColumn("record_count", F.lit(None).cast("long")).withColumn(
+                "column_stats", F.lit(None).cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
+            )
+        return inv.select(
+            "physical_path",
+            F.lit("PARQUET").alias("file_format"),
+            "size_bytes",
+            "record_count",
+            "last_modified_ms",
+            "partition_values",
+            "column_stats",
+        )
+
+    # -- commits -----------------------------------------------------------
+
+    def get_commits_backlog(self, instants: InstantsForIncrementalSync) -> CommitsBacklog:
+        all_instants = {i for i, _ in list_completed_instants(self.base_path)}
+        new = {i for i in all_instants if i > instants.last_sync_instant}
+        pending_done = {p for p in instants.pending_commits if p in all_instants}
+        return CommitsBacklog(commits_to_process=sorted(new | pending_done))
+
+    def is_incremental_sync_safe_from(self, instant: str) -> bool:
+        """Safe iff a commit at/before the instant survives (the archival /
+        cleaner analog of HudiConversionSource.java:164-215)."""
+        instants = [i for i, _ in list_completed_instants(self.base_path)]
+        return bool(instants) and min(instants) <= instant
+
+    def get_table_change_for_commit(self, commit: str) -> TableChange:
+        table = self.get_current_table()
+        action = next(a for i, a in list_completed_instants(self.base_path) if i == commit)
+        meta = read_commit_metadata(self.base_path, commit, action)
+        added_rows = [
+            {
+                "path": st["path"],
+                "fileId": st["fileId"],
+                "size": st.get("fileSizeInBytes", 0),
+                "instant": commit,
+            }
+            for stats_list in (meta.get("partitionToWriteStats") or {}).values()
+            for st in stats_list
+        ]
+        files_added = self._to_inventory(added_rows, table, with_stats=True)
+        # removed = files of replaced fileIds, resolved against the state
+        # just before this commit
+        replaced_ids = {
+            fid
+            for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values()
+            for fid in fid_list
+        }
+        removed_rows = []
+        if replaced_ids:
+            prev = {r["fileId"]: r for r in live_files_rows(self.base_path, _prev_instant(self.base_path, commit))}
+            removed_rows = [prev[fid] for fid in replaced_ids if fid in prev]
+        files_removed = (
+            self._to_inventory(removed_rows, table, with_stats=False)
+            if removed_rows
+            else self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
+        )
+        return TableChange(
+            table=table, commit_id=commit, files_added=files_added, files_removed=files_removed
+        )
+
+    def get_commit_identifier(self, commit: str) -> str:
+        return commit
+
+    def get_sync_metadata(self) -> Optional[TableSyncMetadata]:
+        for instant, action in reversed(list_completed_instants(self.base_path)):
+            meta = read_commit_metadata(self.base_path, instant, action)
+            raw = (meta.get("extraMetadata") or {}).get(XTABLE_METADATA_KEY)
+            if raw:
+                return TableSyncMetadata.from_json(raw)
+        return None
+
+
+def _prev_instant(base_path: str, commit: str) -> Optional[str]:
+    instants = [i for i, _ in list_completed_instants(base_path) if i < commit]
+    return instants[-1] if instants else None
+
+
+def read_hudi_as_df(spark: SparkSession, base_path: str, as_of_instant: Optional[str] = None) -> DataFrame:
+    """Snapshot read of the Hudi COW table (time travel via as_of_instant):
+    the engine's `spark.read.format("hudi")` equivalent."""
+    rows = live_files_rows(base_path, as_of_instant)
+    src = HudiConversionSource(spark, base_path)
+    table = src.get_current_table()
+    if table is None or not rows:
+        return spark.createDataFrame([], table.read_schema if table else T.StructType([]))
+    paths = [os.path.join(base_path, r["path"]) for r in rows]
+    from incubator_xtable_spark.sources.parquet_source import data_schema
+
+    return spark.read.schema(data_schema(table)).parquet(*paths)

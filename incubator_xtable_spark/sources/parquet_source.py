@@ -140,6 +140,9 @@ class ParquetConversionSource:
         )
 
     # -- commits (mtime-based, like the reference) -------------------------
+    # NOTE: mtime commits only observe ADDITIONS. Deleted files are only
+    # detected by a FULL sync (snapshot-as-diff), matching the reference's
+    # parquet-dir semantics — run FULL periodically if files can vanish.
 
     def get_commits_backlog(self, instants: "InstantsForIncrementalSync") -> CommitsBacklog:
         """Commits after the bookmark + previously-pending commits that have

@@ -1,0 +1,275 @@
+"""Hudi (copy-on-write) conversion target: commits file-level metadata as
+a Hudi timeline (`.hoodie/`) so the same parquet files are readable as a
+Hudi table.
+
+Follows the PUBLIC Hudi table layout (hudi.apache.org/docs — timeline
+instants `<instant>.<action>[.<state>]`, instant format yyyyMMddHHmmssSSS,
+`hoodie.properties` table config, commit metadata JSON with
+partitionToWriteStats, replacecommit with partitionToReplaceFileIds).
+
+Reference parity (what, not how — the reference drives the Hudi Java
+write client; we write the timeline protocol directly because this
+environment has no Hudi jars):
+- target commit + table manage     hudi/HudiConversionTarget.java:267-470,
+                                   hudi/HudiTableManager.java:1-179
+- external file-id mapping         hudi/BaseFileUpdatesExtractor.java:247-323
+  (files not written by Hudi keep their file name stem as fileId)
+- bookmark in commit extraMetadata model/metadata/TableSyncMetadata.java
+- instant format                   hudi/HudiInstantUtils.java:42-80
+
+Known LITE limitations (documented, revisit if jars appear): no metadata
+table / col-stats index, no marker files, base files lack the five
+`_hoodie_*` meta columns (metadata-only conversion never rewrites data —
+readers that require meta columns need `hoodie.populate.meta.fields=false`
+semantics, which this target records in hoodie.properties).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.core import InternalTable, TableChange
+from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE_METADATA_KEY
+
+HOODIE_DIR = ".hoodie"
+COMMIT_ACTION = "commit"
+REPLACE_ACTION = "replacecommit"
+
+
+def instant_now() -> str:
+    """yyyyMMddHHmmssSSS (UTC), the Hudi commit-instant format."""
+    return datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d%H%M%S") + (
+        f"{datetime.datetime.now(datetime.timezone.utc).microsecond // 1000:03d}"
+    )
+
+
+def instant_to_epoch_ms(instant: str) -> int:
+    dt = datetime.datetime.strptime(instant[:17], "%Y%m%d%H%M%S%f").replace(
+        tzinfo=datetime.timezone.utc
+    )
+    return int(dt.timestamp() * 1000)
+
+
+def epoch_ms_to_instant(ms: int) -> str:
+    dt = datetime.datetime.fromtimestamp(ms / 1000.0, tz=datetime.timezone.utc)
+    return dt.strftime("%Y%m%d%H%M%S") + f"{dt.microsecond // 1000:03d}"
+
+
+def _hoodie_dir(base_path: str) -> str:
+    return os.path.join(base_path, HOODIE_DIR)
+
+
+def file_id_of(path: str) -> str:
+    """External files keep their name stem as the Hudi fileId
+    (BaseFileUpdatesExtractor.isFileCreatedByHudiWriter inverse)."""
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def list_completed_instants(base_path: str) -> list[tuple[str, str]]:
+    """[(instant, action)] for completed commits, sorted by instant."""
+    d = _hoodie_dir(base_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in os.listdir(d):
+        parts = fn.split(".")
+        if len(parts) == 2 and parts[1] in (COMMIT_ACTION, REPLACE_ACTION) and parts[0].isdigit():
+            out.append((parts[0], parts[1]))
+    return sorted(out)
+
+
+def read_commit_metadata(base_path: str, instant: str, action: str) -> dict:
+    with open(os.path.join(_hoodie_dir(base_path), f"{instant}.{action}"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+class HudiConversionTarget:
+    """ConversionTarget writing the Hudi timeline protocol."""
+
+    def __init__(self, spark: SparkSession, base_path: str, table_name: Optional[str] = None) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.table_name = table_name
+        self._reset()
+
+    def _reset(self) -> None:
+        self._table: Optional[InternalTable] = None
+        self._schema: Optional[T.StructType] = None
+        self._partition_cols: list[str] = []
+        self._metadata_json: Optional[str] = None
+        self._adds: Optional[DataFrame] = None
+        self._replaced_paths: Optional[DataFrame] = None
+        self._committed_instant: Optional[str] = None
+
+    # -- sync steps --------------------------------------------------------
+
+    def begin_sync(self, table: InternalTable) -> None:
+        self._reset()
+        self._table = table
+        os.makedirs(_hoodie_dir(self.base_path), exist_ok=True)
+        self._ensure_properties(table)
+
+    def _ensure_properties(self, table: InternalTable) -> None:
+        """hoodie.properties — table config (HudiTableManager.java:1-179)."""
+        props_path = os.path.join(_hoodie_dir(self.base_path), "hoodie.properties")
+        if os.path.exists(props_path):
+            return
+        name = self.table_name or table.name
+        part_cols = ",".join(pf.output_name for pf in table.partition_fields)
+        props = {
+            "hoodie.table.name": name,
+            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.base.file.format": "PARQUET",
+            "hoodie.populate.meta.fields": "false",
+            "hoodie.table.partition.fields": part_cols,
+            "hoodie.datasource.write.drop.partition.columns": "false",
+            "hoodie.table.checksum": "0",
+        }
+        with open(props_path, "w", encoding="utf-8") as fh:
+            fh.write("#Updated at " + instant_now() + "\n")
+            for k, v in sorted(props.items()):
+                fh.write(f"{k}={v}\n")
+
+    def sync_schema(self, schema: T.StructType) -> None:
+        self._schema = schema
+
+    def sync_partition_spec(self, partition_cols: list[str]) -> None:
+        self._partition_cols = list(partition_cols)
+
+    def sync_metadata(self, metadata: TableSyncMetadata) -> None:
+        self._metadata_json = metadata.to_json()
+
+    def sync_files_for_snapshot(self, files: DataFrame) -> None:
+        """Snapshot-as-diff against the target's current live files
+        (hudi/BaseFileUpdatesExtractor.java:89-133)."""
+        from pyspark.sql import functions as F
+
+        live = self._current_live_paths()
+        if live is None:
+            self._adds, self._replaced_paths = files, None
+            return
+        snap_paths = files.select(F.col("physical_path").alias("path"))
+        self._adds = files.join(
+            live, files.physical_path == live.path, "left_anti"
+        )
+        self._replaced_paths = live.join(snap_paths, "path", "left_anti")
+
+    def sync_files_for_diff(self, change: TableChange) -> None:
+        from pyspark.sql import functions as F
+
+        self._adds = change.files_added
+        self._replaced_paths = change.files_removed.select(
+            F.col("physical_path").alias("path")
+        )
+
+    def complete_sync(self) -> str:
+        if self._schema is None and self._table is not None:
+            self._schema = self._table.read_schema
+        instant = instant_now()
+        # monotonic guard: never reuse/step behind the last instant
+        existing = list_completed_instants(self.base_path)
+        if existing and instant <= existing[-1][0]:
+            instant = str(int(existing[-1][0]) + 1).zfill(len(instant))
+
+        has_replacements = self._replaced_paths is not None and bool(
+            self._replaced_paths.head(1)
+        )
+        action = REPLACE_ACTION if has_replacements else COMMIT_ACTION
+
+        partition_to_stats: dict[str, list[dict]] = {}
+        if self._adds is not None:
+            for row in self._adds.toLocalIterator():
+                rel = self._relativize(row["physical_path"])
+                partition = os.path.dirname(rel)
+                stats = {
+                    "fileId": file_id_of(rel),
+                    "path": rel,
+                    "prevCommit": "null",
+                    "numWrites": row["record_count"] or 0,
+                    "numInserts": row["record_count"] or 0,
+                    "totalWriteBytes": row["size_bytes"],
+                    "fileSizeInBytes": row["size_bytes"],
+                    "partitionPath": partition,
+                }
+                partition_to_stats.setdefault(partition, []).append(stats)
+
+        partition_to_replaced: dict[str, list[str]] = {}
+        if has_replacements:
+            for row in self._replaced_paths.toLocalIterator():
+                rel = self._relativize(row["path"])
+                partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
+
+        extra = {"schema": self._schema.json() if self._schema else None}
+        if self._metadata_json is not None:
+            extra[XTABLE_METADATA_KEY] = self._metadata_json
+        meta: dict = {
+            "partitionToWriteStats": partition_to_stats,
+            "compacted": False,
+            "extraMetadata": extra,
+            "operationType": "INSERT_OVERWRITE" if has_replacements else "INSERT",
+        }
+        if has_replacements:
+            meta["partitionToReplaceFileIds"] = partition_to_replaced
+
+        self._write_instant_lifecycle(instant, action, meta)
+        self._committed_instant = instant
+        return instant
+
+    # -- helpers -----------------------------------------------------------
+
+    def _relativize(self, path: str) -> str:
+        base = self.base_path.rstrip("/") + "/"
+        p = path[len("file:") :] if path.startswith("file:") else path
+        return p[len(base) :] if p.startswith(base) else p
+
+    def _write_instant_lifecycle(self, instant: str, action: str, meta: dict) -> None:
+        """requested -> inflight -> completed, completed written atomically
+        (put-if-absent via hard link, like the Delta target)."""
+        d = _hoodie_dir(self.base_path)
+        for suffix in (f"{action}.requested", f"{action}.inflight"):
+            open(os.path.join(d, f"{instant}.{suffix}"), "w", encoding="utf-8").close()
+        final = os.path.join(d, f"{instant}.{action}")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh, sort_keys=True)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise RuntimeError(f"concurrent Hudi commit at instant {instant}") from exc
+        finally:
+            os.unlink(tmp)
+
+    def _current_live_paths(self) -> Optional[DataFrame]:
+        instants = list_completed_instants(self.base_path)
+        if not instants:
+            return None
+        from incubator_xtable_spark.sources.hudi_source import live_files_rows
+
+        rows = live_files_rows(self.base_path)
+        from pyspark.sql import functions as F
+
+        if not rows:
+            return self.spark.createDataFrame([], "path STRING")
+        return self.spark.createDataFrame(
+            [(os.path.join(self.base_path, r["path"]),) for r in rows], "path STRING"
+        )
+
+    def get_table_metadata(self) -> Optional[TableSyncMetadata]:
+        for instant, action in reversed(list_completed_instants(self.base_path)):
+            meta = read_commit_metadata(self.base_path, instant, action)
+            raw = (meta.get("extraMetadata") or {}).get(XTABLE_METADATA_KEY)
+            if raw:
+                return TableSyncMetadata.from_json(raw)
+        return None
+
+    def get_target_commit_identifier(self) -> Optional[str]:
+        return self._committed_instant
