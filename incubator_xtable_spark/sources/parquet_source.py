@@ -78,7 +78,9 @@ class ParquetConversionSource:
     # -- table -------------------------------------------------------------
 
     def get_current_table(self) -> InternalTable:
-        schema = self.spark.read.parquet(self.base_path).schema
+        # mergeSchema: schema evolution = union of all footers (newer files
+        # may carry added columns; older files back-fill with NULLs)
+        schema = self.spark.read.option("mergeSchema", "true").parquet(self.base_path).schema
         files = _list_parquet_files(self.base_path)
         latest = max((mtime for _, _, mtime in files), default=None)
         layout = (

@@ -187,7 +187,7 @@ class HudiConversionTarget:
 
         partition_to_stats: dict[str, list[dict]] = {}
         if self._adds is not None:
-            for row in self._adds.toLocalIterator():
+            for row in self._adds.collect():
                 rel = self._relativize(row["physical_path"])
                 partition = os.path.dirname(rel)
                 stats = {
@@ -204,7 +204,7 @@ class HudiConversionTarget:
 
         partition_to_replaced: dict[str, list[str]] = {}
         if has_replacements:
-            for row in self._replaced_paths.toLocalIterator():
+            for row in self._replaced_paths.collect():
                 rel = self._relativize(row["path"])
                 partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
 

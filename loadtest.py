@@ -1,0 +1,200 @@
+"""Load tests matching the reference's LoadTest shapes (BASELINE.md #1/#2):
+
+1. FULL sync of 1,000 partitions x 100 files/partition = 100,000 data
+   files into a Delta log (LoadTest.java:67-95's scale).
+2. INCREMENTAL replay of a 100-commit backlog x 1,000 files per commit
+   (LoadTest.java:97-139's scale) — must be linear in commits and never
+   re-list the table per commit.
+
+The file *inventory* is synthetic (the reference also measures the
+metadata plane, not parquet IO): a generated DataFrame feeds the real
+target commit path — diff computation, stats serialization, atomic log
+write — which is exactly what scales with file count.
+
+Usage: python loadtest.py [--files 100000] [--commits 100] [--per-commit 1000]
+Prints one JSON line per scenario.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.model.core import (
+    CommitsBacklog,
+    FILE_INVENTORY_SCHEMA,
+    InstantsForIncrementalSync,
+    InternalSnapshot,
+    InternalTable,
+    SyncStatusCode,
+    TableChange,
+    TableFormat,
+)
+from incubator_xtable_spark.session import get_spark
+from incubator_xtable_spark.sources.delta_source import live_files_df
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("level", T.StringType(), True),
+    ]
+)
+
+
+def synthetic_inventory(spark, n_files: int, n_partitions: int, commit: str):
+    """Generated file-inventory DataFrame: n_files across n_partitions,
+    with per-file stats — all computed distributed via spark.range."""
+    return (
+        spark.range(n_files)
+        .select(
+            F.concat(
+                F.lit("level="),
+                (F.col("id") % n_partitions).cast("string"),
+                F.lit("/file_"),
+                F.col("id").cast("string"),
+                F.lit(f"_{commit}.parquet"),
+            ).alias("physical_path"),
+            F.lit("PARQUET").alias("file_format"),
+            (F.col("id") % 10000 + 1024).alias("size_bytes"),
+            F.lit(100).cast("long").alias("record_count"),
+            F.lit(1700000000000).alias("last_modified_ms"),
+            F.create_map(F.lit("level"), (F.col("id") % n_partitions).cast("string")).alias(
+                "partition_values"
+            ),
+            F.create_map(
+                F.lit("id"),
+                F.struct(
+                    F.lit("0").alias("min_json"),
+                    F.lit("99").alias("max_json"),
+                    F.lit(0).cast("long").alias("null_count"),
+                ),
+            ).alias("column_stats"),
+        )
+    )
+
+
+class SyntheticSource:
+    """ConversionSource over generated inventories (metadata-plane load)."""
+
+    def __init__(self, spark, n_files: int, n_partitions: int, commits: list[str], per_commit: int):
+        self.spark = spark
+        self.n_files = n_files
+        self.n_partitions = n_partitions
+        self.commits = commits
+        self.per_commit = per_commit
+
+    def _table(self) -> InternalTable:
+        return InternalTable(
+            name="loadtest",
+            table_format=TableFormat.PARQUET,
+            base_path="/synthetic",
+            read_schema=SCHEMA,
+        )
+
+    def get_current_snapshot(self) -> InternalSnapshot:
+        return InternalSnapshot(
+            table=self._table(),
+            version=self.commits[0] if self.commits else "0",
+            files=synthetic_inventory(self.spark, self.n_files, self.n_partitions, "base"),
+        )
+
+    def is_incremental_sync_safe_from(self, instant: str) -> bool:
+        return True
+
+    def get_commits_backlog(self, instants: InstantsForIncrementalSync) -> CommitsBacklog:
+        return CommitsBacklog(
+            commits_to_process=[c for c in self.commits if c > instants.last_sync_instant]
+        )
+
+    def get_table_change_for_commit(self, commit: str) -> TableChange:
+        return TableChange(
+            table=self._table(),
+            commit_id=commit,
+            files_added=synthetic_inventory(self.spark, self.per_commit, self.n_partitions, commit),
+            files_removed=self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA),
+        )
+
+    def get_commit_identifier(self, commit: str) -> str:
+        return commit
+
+
+def scenario_full(spark, n_files: int, n_partitions: int) -> dict:
+    work = tempfile.mkdtemp(prefix="xtable_load_full_")
+    try:
+        source = SyntheticSource(spark, n_files, n_partitions, ["1"], 0)
+        target = DeltaConversionTarget(spark, work)
+        t0 = time.perf_counter()
+        res = ConversionController().sync(source, {TableFormat.DELTA: target})
+        wall = time.perf_counter() - t0
+        status = res[TableFormat.DELTA].status
+        live = live_files_df(spark, work).count()
+        return {
+            "scenario": "full_sync",
+            "files": n_files,
+            "partitions": n_partitions,
+            "status": status.value,
+            "live_files_committed": live,
+            "seconds": round(wall, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def scenario_incremental(spark, n_commits: int, per_commit: int, n_partitions: int) -> dict:
+    work = tempfile.mkdtemp(prefix="xtable_load_incr_")
+    try:
+        commits = [str(i) for i in range(1, n_commits + 1)]
+        source = SyntheticSource(spark, per_commit, n_partitions, commits, per_commit)
+        target = DeltaConversionTarget(spark, work)
+        # seed bookmark so the controller goes incremental
+        ConversionController().sync(
+            SyntheticSource(spark, per_commit, n_partitions, ["0"], per_commit),
+            {TableFormat.DELTA: target},
+        )
+        t0 = time.perf_counter()
+        res = ConversionController().sync(source, {TableFormat.DELTA: target})
+        wall = time.perf_counter() - t0
+        return {
+            "scenario": "incremental_replay",
+            "commits": n_commits,
+            "files_per_commit": per_commit,
+            "status": res[TableFormat.DELTA].status.value,
+            "mode": res[TableFormat.DELTA].mode.value,
+            "seconds": round(wall, 2),
+            "seconds_per_commit": round(wall / n_commits, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=100_000)
+    ap.add_argument("--partitions", type=int, default=1_000)
+    ap.add_argument("--commits", type=int, default=100)
+    ap.add_argument("--per-commit", type=int, default=1_000)
+    args = ap.parse_args()
+
+    spark = get_spark("xtable_loadtest")
+    spark.sparkContext.setLogLevel("ERROR")
+    out1 = scenario_full(spark, args.files, args.partitions)
+    print(json.dumps(out1))
+    out2 = scenario_incremental(spark, args.commits, args.per_commit, args.partitions)
+    print(json.dumps(out2))
+    ok = out1["status"] == "SUCCESS" and out2["status"] == "SUCCESS"
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
