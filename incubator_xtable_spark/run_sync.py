@@ -121,6 +121,10 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
         from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
 
         return HudiConversionSource(spark, base, name=name)
+    if fmt == TableFormat.ICEBERG.value:
+        from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+        return IcebergConversionSource(spark, base, name=name)
     raise ValueError(f"unsupported source format: {fmt}")
 
 
@@ -132,6 +136,10 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
 
         return HudiConversionTarget(spark, base, table_name=dataset.get("tableName"))
+    if fmt == TableFormat.ICEBERG.value:
+        from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+        return IcebergConversionTarget(spark, base, table_name=dataset.get("tableName"))
     raise ValueError(f"unsupported target format: {fmt}")
 
 

@@ -1,0 +1,573 @@
+"""Iceberg conversion target: commits file-level metadata as an Iceberg
+v2 table (HadoopTables layout) — `metadata/vN.metadata.json` +
+`version-hint.text`, Avro manifest lists (`snap-*.avro`) and manifests
+(`*-m0.avro`) — following the PUBLIC Iceberg table spec
+(iceberg.apache.org/spec: field-ids, sequence numbers, snapshot chain).
+
+No Iceberg or spark-avro jars exist in this environment, so Avro files
+are written through the JVM's core Avro classes (org.apache.avro.*, which
+ARE on Spark's classpath) via py4j — Generic records, driver-side. The
+manifest volume is metadata-sized; on a real cluster the bulk path would
+be spark-avro executors, the protocol stays identical.
+
+Reference parity (what, not how):
+- target txn + snapshot commit     iceberg/IcebergConversionTarget.java:152-376
+- table create/manage              iceberg/IcebergTableManager.java:1-126
+- file commits w/ metrics          iceberg/IcebergDataFileUpdatesSync.java:56-150
+- schema with field ids            iceberg/IcebergSchemaExtractor.java:114-300
+- bookmark in table properties     model/metadata/TableSyncMetadata.java
+
+Scoped v2 subset (documented): identity partitions only (partition values
+serialized as strings in the partition struct), no column bounds in
+data_file structs yet, removals commit as a compacted single manifest of
+the surviving file set (valid Iceberg overwrite-by-rewrite semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.core import InternalTable, TableChange
+from incubator_xtable_spark.model.schema_meta import FIELD_ID, assign_field_ids
+from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE_METADATA_KEY
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> Iceberg schema JSON (spec "schemas" field)
+# ---------------------------------------------------------------------------
+
+
+def spark_type_to_iceberg(dt: T.DataType) -> Any:
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    raise ValueError(f"unsupported type for iceberg mapping: {dt}")
+
+
+def iceberg_type_to_spark(t: Any) -> T.DataType:
+    mapping = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }
+    if isinstance(t, str):
+        if t in mapping:
+            return mapping[t]
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+    raise ValueError(f"unsupported iceberg type: {t}")
+
+
+def schema_to_iceberg_fields(schema: T.StructType) -> list[dict]:
+    with_ids = assign_field_ids(schema)
+    out = []
+    for f in with_ids.fields:
+        out.append(
+            {
+                "id": (f.metadata or {}).get(FIELD_ID),
+                "name": f.name,
+                "required": not f.nullable,
+                "type": spark_type_to_iceberg(f.dataType),
+            }
+        )
+    return out
+
+
+def iceberg_fields_to_schema(fields: list[dict]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                iceberg_type_to_spark(f["type"]),
+                not f.get("required", False),
+                {FIELD_ID: f["id"]},
+            )
+            for f in fields
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Avro helpers (py4j into org.apache.avro on Spark's classpath)
+# ---------------------------------------------------------------------------
+
+
+class AvroIO:
+    def __init__(self, spark: SparkSession) -> None:
+        self.jvm = spark._jvm
+
+    def parse_schema(self, schema_json: str):
+        return self.jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+
+    def write_records(self, path: str, schema_json: str, records: list[dict], metadata: dict[str, str]) -> int:
+        """Records are materialized JVM-side from Avro-JSON via JsonDecoder:
+        py4j auto-unboxes java.lang.Long back to Python int at the gateway,
+        so GenericData.Record.put can never receive a proper Long for
+        ["null","long"] unions — the JSON decoder path sidesteps py4j
+        primitive conversion entirely (one gateway call per record)."""
+        sch = self.parse_schema(schema_json)
+        schema_dict = json.loads(schema_json)
+        writer = self.jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        dfw = self.jvm.org.apache.avro.file.DataFileWriter(writer)
+        for k, v in metadata.items():
+            dfw.setMeta(k, v)
+        f = self.jvm.java.io.File(path)
+        dfw.create(sch, f)
+        reader = self.jvm.org.apache.avro.generic.GenericDatumReader(sch)
+        factory = self.jvm.org.apache.avro.io.DecoderFactory.get()
+        for rec in records:
+            encoded = json.dumps(_avro_json_encode(rec, schema_dict))
+            decoder = factory.jsonDecoder(sch, encoded)
+            dfw.append(reader.read(None, decoder))
+        dfw.close()
+        return int(f.length())
+
+    def read_records(self, path: str) -> list[dict]:
+        reader = self.jvm.org.apache.avro.generic.GenericDatumReader()
+        f = self.jvm.java.io.File(path)
+        dfr = self.jvm.org.apache.avro.file.DataFileReader(f, reader)
+        out = []
+        while dfr.hasNext():
+            # GenericRecord.toString() is Avro JSON; union values arrive
+            # wrapped as {"long": v} / {"string": v} — unwrap them
+            out.append(_unwrap_unions(json.loads(str(dfr.next()))))
+        dfr.close()
+        return out
+
+
+_UNION_KEYS = {"boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def _avro_json_encode(value: Any, schema: Any) -> Any:
+    """Python dict -> Avro-JSON shape for JsonDecoder (union values wrapped
+    as {"long": v} / {"string": v}; nested records recursed)."""
+    if isinstance(schema, list):  # union
+        if value is None:
+            return None
+        branch = next(b for b in schema if b != "null")
+        branch_name = branch if isinstance(branch, str) else branch.get("type", "record")
+        if isinstance(branch, dict) and branch.get("type") == "record":
+            branch_name = branch["name"]
+        return {branch_name: _avro_json_encode(value, branch)}
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        return {
+            f["name"]: _avro_json_encode(value.get(f["name"]) if value else None, f["type"])
+            for f in schema["fields"]
+        }
+    if schema == "long" or schema == "int":
+        return int(value)
+    if schema in ("float", "double"):
+        return float(value)
+    if schema == "boolean":
+        return bool(value)
+    return value
+
+
+def _unwrap_unions(value: Any) -> Any:
+    if isinstance(value, dict):
+        if len(value) == 1 and next(iter(value)) in _UNION_KEYS:
+            return _unwrap_unions(next(iter(value.values())))
+        return {k: _unwrap_unions(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_unwrap_unions(v) for v in value]
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifest list / manifest entries (spec field-ids)
+# ---------------------------------------------------------------------------
+
+MANIFEST_LIST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        ],
+    }
+)
+
+
+def manifest_entry_schema(partition_cols: list[str]) -> str:
+    partition_fields = [
+        {
+            "name": c,
+            "type": ["null", "string"],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_cols)
+    ]
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+                {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+                {
+                    "name": "data_file",
+                    "field-id": 2,
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int", "field-id": 134},
+                            {"name": "file_path", "type": "string", "field-id": 100},
+                            {"name": "file_format", "type": "string", "field-id": 101},
+                            {
+                                "name": "partition",
+                                "field-id": 102,
+                                "type": {"type": "record", "name": "r102", "fields": partition_fields},
+                            },
+                            {"name": "record_count", "type": "long", "field-id": 103},
+                            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table metadata helpers
+# ---------------------------------------------------------------------------
+
+
+def metadata_dir(base_path: str) -> str:
+    return os.path.join(base_path, "metadata")
+
+
+def current_metadata_version(base_path: str) -> Optional[int]:
+    hint = os.path.join(metadata_dir(base_path), "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint, encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def read_table_metadata(base_path: str, version: Optional[int] = None) -> Optional[dict]:
+    v = version if version is not None else current_metadata_version(base_path)
+    if v is None:
+        return None
+    path = os.path.join(metadata_dir(base_path), f"v{v}.metadata.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+class IcebergConversionTarget:
+    """ConversionTarget writing the Iceberg v2 HadoopTables protocol."""
+
+    def __init__(self, spark: SparkSession, base_path: str, table_name: Optional[str] = None) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.table_name = table_name
+        self.avro = AvroIO(spark)
+        self._reset()
+
+    def _reset(self) -> None:
+        self._table: Optional[InternalTable] = None
+        self._schema: Optional[T.StructType] = None
+        self._partition_cols: list[str] = []
+        self._metadata_json: Optional[str] = None
+        self._adds: Optional[DataFrame] = None
+        self._removed_paths: Optional[DataFrame] = None
+        self._snapshot_mode = False
+        self._snapshot_files: Optional[DataFrame] = None
+        self._committed_snapshot: Optional[int] = None
+
+    # -- sync steps --------------------------------------------------------
+
+    def begin_sync(self, table: InternalTable) -> None:
+        self._reset()
+        self._table = table
+        os.makedirs(metadata_dir(self.base_path), exist_ok=True)
+
+    def sync_schema(self, schema: T.StructType) -> None:
+        self._schema = schema
+
+    def sync_partition_spec(self, partition_cols: list[str]) -> None:
+        self._partition_cols = list(partition_cols)
+
+    def sync_metadata(self, metadata: TableSyncMetadata) -> None:
+        self._metadata_json = metadata.to_json()
+
+    def sync_files_for_snapshot(self, files: DataFrame) -> None:
+        self._snapshot_mode = True
+        self._snapshot_files = files
+
+    def sync_files_for_diff(self, change: TableChange) -> None:
+        self._snapshot_mode = False
+        self._adds = change.files_added
+        self._removed_paths = change.files_removed
+
+    # -- commit ------------------------------------------------------------
+
+    def complete_sync(self) -> int:
+        if self._schema is None and self._table is not None:
+            self._schema = self._table.read_schema
+        meta = read_table_metadata(self.base_path)
+        now_ms = int(time.time() * 1000)
+        snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+        seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
+
+        current = self._current_live_entries(meta)
+        if self._snapshot_mode:
+            snap_rows = {r["physical_path"]: r for r in self._snapshot_files.collect()}
+            prev_paths = {e["data_file"]["file_path"] for e in current}
+            added = [p for p in snap_rows if p not in prev_paths]
+            survivors = [e for e in current if e["data_file"]["file_path"] in snap_rows]
+            deleted_count = len(prev_paths) - len(survivors)
+            entries = survivors + [
+                self._entry_from_row(snap_rows[p], snapshot_id, seq, status=1) for p in added
+            ]
+            counts = (len(added), len(survivors), deleted_count)
+        else:
+            removed = {r["physical_path"] for r in self._removed_paths.collect()} if self._removed_paths is not None else set()
+            survivors = [e for e in current if e["data_file"]["file_path"] not in removed]
+            add_rows = self._adds.collect() if self._adds is not None else []
+            entries = survivors + [
+                self._entry_from_row(r, snapshot_id, seq, status=1) for r in add_rows
+            ]
+            counts = (len(add_rows), len(survivors), len(current) - len(survivors))
+
+        # carried-forward entries become EXISTING
+        for e in entries:
+            if e.get("status") == 1 and e.get("snapshot_id") != snapshot_id:
+                e["status"] = 0
+
+        manifest_path, manifest_len, n_rows = self._write_manifest(entries, snapshot_id, seq)
+        list_path = self._write_manifest_list(
+            manifest_path, manifest_len, snapshot_id, seq, counts, n_rows
+        )
+        self._write_table_metadata(meta, snapshot_id, seq, list_path, now_ms)
+        self._committed_snapshot = snapshot_id
+        return snapshot_id
+
+    def _entry_from_row(self, row, snapshot_id: int, seq: int, status: int) -> dict:
+        pv = dict(row["partition_values"] or {})
+        return {
+            "status": status,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": row["physical_path"],
+                "file_format": "PARQUET",
+                "partition": {c: pv.get(c) for c in self._partition_cols},
+                "record_count": row["record_count"] or 0,
+                "file_size_in_bytes": row["size_bytes"],
+            },
+        }
+
+    def _current_live_entries(self, meta: Optional[dict]) -> list[dict]:
+        if meta is None or not meta.get("current-snapshot-id"):
+            return []
+        snap = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == meta["current-snapshot-id"]),
+            None,
+        )
+        if snap is None:
+            return []
+        entries: list[dict] = []
+        for mf in self.avro.read_records(snap["manifest-list"]):
+            for entry in self.avro.read_records(mf["manifest_path"]):
+                if entry["status"] != 2:  # not DELETED
+                    entries.append(entry)
+        return entries
+
+    def _write_manifest(self, entries: list[dict], snapshot_id: int, seq: int) -> tuple[str, int, int]:
+        path = os.path.join(metadata_dir(self.base_path), f"{uuid.uuid4().hex}-m0.avro")
+        schema_json = manifest_entry_schema(self._partition_cols)
+        length = self.avro.write_records(
+            path,
+            schema_json,
+            entries,
+            {
+                "schema": json.dumps(self._iceberg_schema_json()),
+                "partition-spec": json.dumps(self._partition_spec_json()["fields"]),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        total_rows = sum(e["data_file"]["record_count"] for e in entries)
+        return path, length, total_rows
+
+    def _write_manifest_list(
+        self,
+        manifest_path: str,
+        manifest_len: int,
+        snapshot_id: int,
+        seq: int,
+        counts: tuple[int, int, int],
+        total_rows: int,
+    ) -> str:
+        added, existing, deleted = counts
+        path = os.path.join(
+            metadata_dir(self.base_path), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        self.avro.write_records(
+            path,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": manifest_len,
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": added,
+                    "existing_files_count": existing,
+                    "deleted_files_count": deleted,
+                    "added_rows_count": total_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            {"format-version": "2"},
+        )
+        return path
+
+    def _iceberg_schema_json(self) -> dict:
+        return {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": schema_to_iceberg_fields(self._schema or T.StructType([])),
+        }
+
+    def _partition_spec_json(self) -> dict:
+        fields = schema_to_iceberg_fields(self._schema or T.StructType([]))
+        by_name = {f["name"]: f["id"] for f in fields}
+        return {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name.get(c, 0),
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(self._partition_cols)
+            ],
+        }
+
+    def _write_table_metadata(
+        self, prev: Optional[dict], snapshot_id: int, seq: int, list_path: str, now_ms: int
+    ) -> None:
+        version = (current_metadata_version(self.base_path) or 0) + 1
+        schema_json = self._iceberg_schema_json()
+        last_column_id = max((f["id"] for f in schema_json["fields"]), default=0)
+        properties = dict((prev or {}).get("properties") or {})
+        if self._metadata_json is not None:
+            properties[XTABLE_METADATA_KEY] = self._metadata_json
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": (prev or {}).get("current-snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": {"operation": "overwrite" if prev else "append"},
+            "schema-id": 0,
+        }
+        if snapshot["parent-snapshot-id"] is None:
+            snapshot.pop("parent-snapshot-id")
+        meta = {
+            "format-version": 2,
+            "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
+            "location": self.base_path,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_column_id,
+            "current-schema-id": 0,
+            "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [self._partition_spec_json()],
+            "last-partition-id": 1000 + max(len(self._partition_cols) - 1, 0),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": properties,
+            "current-snapshot-id": snapshot_id,
+            "snapshots": (prev or {}).get("snapshots", []) + [snapshot],
+            "snapshot-log": (prev or {}).get("snapshot-log", [])
+            + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+            "metadata-log": [],
+        }
+        final = os.path.join(metadata_dir(self.base_path), f"v{version}.metadata.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise RuntimeError(f"concurrent iceberg commit at version {version}") from exc
+        finally:
+            os.unlink(tmp)
+        with open(os.path.join(metadata_dir(self.base_path), "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+
+    # -- metadata read-back ------------------------------------------------
+
+    def get_table_metadata(self) -> Optional[TableSyncMetadata]:
+        meta = read_table_metadata(self.base_path)
+        if meta is None:
+            return None
+        raw = (meta.get("properties") or {}).get(XTABLE_METADATA_KEY)
+        return TableSyncMetadata.from_json(raw) if raw else None
+
+    def get_target_commit_identifier(self) -> Optional[str]:
+        return str(self._committed_snapshot) if self._committed_snapshot else None

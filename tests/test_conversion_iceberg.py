@@ -1,0 +1,149 @@
+"""Iceberg conversion differential tests: 4-way read equivalence
+(parquet == delta == hudi == iceberg), incremental snapshot chain,
+time travel, iceberg -> delta conversion, snapshot-chain safety."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.model.core import (
+    InstantsForIncrementalSync,
+    SyncMode,
+    SyncStatusCode,
+    TableFormat,
+)
+from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+from incubator_xtable_spark.sources.iceberg_source import (
+    IcebergConversionSource,
+    read_iceberg_as_df,
+)
+from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+from incubator_xtable_spark.targets.iceberg_target import (
+    IcebergConversionTarget,
+    current_metadata_version,
+    read_table_metadata,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df, order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    d = str(tmp_path / "ice_table")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def test_four_way_equivalence(spark, source_dir):
+    source = ParquetConversionSource(spark, source_dir, name="region")
+    targets = {
+        TableFormat.DELTA: DeltaConversionTarget(spark, source_dir),
+        TableFormat.HUDI: HudiConversionTarget(spark, source_dir, table_name="region"),
+        TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region"),
+    }
+    results = ConversionController().sync(source, targets)
+    for fmt, res in results.items():
+        assert res.status == SyncStatusCode.SUCCESS, (fmt, res.error)
+
+    order = ["r_regionkey"]
+    a = _rows(spark.read.parquet(source_dir), order)
+    b = _rows(read_delta_as_df(spark, source_dir), order)
+    c = _rows(read_hudi_as_df(spark, source_dir), order)
+    d = _rows(read_iceberg_as_df(spark, source_dir), order)
+    assert a == b == c == d
+    assert len(a) == 5
+
+
+def test_iceberg_metadata_shape(spark, source_dir):
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    md = os.path.join(source_dir, "metadata")
+    assert os.path.exists(os.path.join(md, "version-hint.text"))
+    assert current_metadata_version(source_dir) == 1
+    meta = read_table_metadata(source_dir)
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == meta["snapshots"][0]["snapshot-id"]
+    # field ids assigned in the schema
+    ids = [f["id"] for f in meta["schemas"][0]["fields"]]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # avro artifacts exist
+    snap = meta["snapshots"][0]
+    assert os.path.exists(snap["manifest-list"]) and snap["manifest-list"].endswith(".avro")
+
+
+def test_iceberg_incremental_chain_and_time_travel(spark, source_dir):
+    source = ParquetConversionSource(spark, source_dir, name="region")
+    target = IcebergConversionTarget(spark, source_dir, table_name="region")
+    controller = ConversionController()
+    r1 = controller.sync(source, {TableFormat.ICEBERG: target})
+    assert r1[TableFormat.ICEBERG].mode == SyncMode.FULL
+    meta1 = read_table_metadata(source_dir)
+    snap1 = meta1["current-snapshot-id"]
+
+    extra = spark.read.parquet(f"{SF_SMOKE}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey") + 10
+    )
+    extra.coalesce(1).write.mode("append").parquet(source_dir)
+    r2 = controller.sync(source, {TableFormat.ICEBERG: target})
+    assert r2[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, r2[TableFormat.ICEBERG].error
+    assert r2[TableFormat.ICEBERG].mode == SyncMode.INCREMENTAL
+
+    meta2 = read_table_metadata(source_dir)
+    snap2 = meta2["current-snapshot-id"]
+    assert snap2 != snap1
+    # parent chain intact
+    cur = next(s for s in meta2["snapshots"] if s["snapshot-id"] == snap2)
+    assert cur["parent-snapshot-id"] == snap1
+    # time travel: old snapshot still reads 5 rows, new reads 10
+    assert read_iceberg_as_df(spark, source_dir, snapshot_id=snap1).count() == 5
+    assert read_iceberg_as_df(spark, source_dir).count() == 10
+
+    # source-side chain walk
+    src = IcebergConversionSource(spark, source_dir)
+    backlog = src.get_commits_backlog(
+        InstantsForIncrementalSync(last_sync_instant=str(snap1))
+    )
+    assert backlog.commits_to_process == [str(snap2)]
+    assert src.is_incremental_sync_safe_from(str(snap1))
+    assert not src.is_incremental_sync_safe_from("12345")
+
+    change = src.get_table_change_for_commit(str(snap2))
+    assert change.files_added.count() == 1
+    assert change.files_removed.count() == 0
+
+
+def test_iceberg_to_delta_conversion(spark, source_dir, tmp_path):
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    mirror = str(tmp_path / "delta_mirror")
+    os.makedirs(mirror, exist_ok=True)
+    res = ConversionController().sync(
+        IcebergConversionSource(spark, source_dir),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, mirror)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res[TableFormat.DELTA].error
+    assert _rows(read_delta_as_df(spark, mirror), ["r_regionkey"]) == _rows(
+        read_iceberg_as_df(spark, source_dir), ["r_regionkey"]
+    )
