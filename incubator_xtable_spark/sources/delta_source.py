@@ -264,12 +264,35 @@ class DeltaConversionSource:
             return None
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = list(meta["partitionColumns"] or [])
+        # generated partition columns carry delta.generationExpression and
+        # are filtered out of the logical read schema
+        # (DeltaSchemaExtractor.java:70-237 + DeltaPartitionExtractor.java:105-230)
+        from incubator_xtable_spark.functions.partition_transforms import (
+            parse_generation_expression,
+        )
+
+        partition_fields: list[InternalPartitionField] = []
+        generated_names: set[str] = set()
+        by_name = {f.name: f for f in schema.fields}
+        for c in part_cols:
+            f = by_name.get(c)
+            expr = (f.metadata or {}).get("delta.generationExpression") if f is not None else None
+            if expr:
+                parsed = parse_generation_expression(expr)
+                if parsed is not None:
+                    parsed.partition_field_name = c
+                    partition_fields.append(parsed)
+                    generated_names.add(c)
+                    continue
+            partition_fields.append(InternalPartitionField(source_field=c))
+        if generated_names:
+            schema = T.StructType([f for f in schema.fields if f.name not in generated_names])
         return InternalTable(
             name=meta["name"] or self.name,
             table_format=TableFormat.DELTA,
             base_path=self.base_path,
             read_schema=schema,
-            partition_fields=[InternalPartitionField(source_field=c) for c in part_cols],
+            partition_fields=partition_fields,
             layout_strategy=(
                 DataLayoutStrategy.HIVE_STYLE_PARTITION if part_cols else DataLayoutStrategy.FLAT
             ),

@@ -63,9 +63,15 @@ class IcebergConversionSource:
         spec = next(
             s for s in meta["partition-specs"] if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
         )
-        part_fields = [
-            InternalPartitionField(source_field=f["name"]) for f in spec.get("fields", [])
-        ]
+        from incubator_xtable_spark.functions.partition_transforms import from_iceberg_transform
+
+        id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+        part_fields = []
+        for f in spec.get("fields", []):
+            source_name = id_to_name.get(f.get("source-id"), f["name"])
+            pf = from_iceberg_transform(f.get("transform", "identity"), source_name)
+            pf.partition_field_name = f["name"]
+            part_fields.append(pf)
         return InternalTable(
             name=self.name,
             table_format=TableFormat.ICEBERG,

@@ -89,9 +89,7 @@ class ConversionController:
                 target.begin_sync(snapshot.table)
                 target.sync_metadata(bookmark)
                 target.sync_schema(snapshot.table.read_schema)
-                target.sync_partition_spec(
-                    [pf.output_name for pf in snapshot.table.partition_fields]
-                )
+                target.sync_partition_spec(snapshot.table.partition_fields)
                 target.sync_files_for_snapshot(snapshot.files)
                 target.complete_sync()
                 results[fmt] = SyncResult(
@@ -164,9 +162,7 @@ class ConversionController:
                     target.begin_sync(change.table)
                     target.sync_metadata(new_bookmark)
                     target.sync_schema(change.table.read_schema)
-                    target.sync_partition_spec(
-                        [pf.output_name for pf in change.table.partition_fields]
-                    )
+                    target.sync_partition_spec(change.table.partition_fields)
                     target.sync_files_for_diff(change)
                     target.complete_sync()
                     last_synced[fmt] = commit

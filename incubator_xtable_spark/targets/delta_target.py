@@ -94,6 +94,7 @@ class DeltaConversionTarget:
         self._table: Optional[InternalTable] = None
         self._schema: Optional[T.StructType] = None
         self._partition_cols: list[str] = []
+        self._generated_fields: list[T.StructField] = []
         self._metadata_json: Optional[str] = None
         self._adds: Optional[DataFrame] = None
         self._removes: Optional[DataFrame] = None
@@ -109,8 +110,44 @@ class DeltaConversionTarget:
     def sync_schema(self, schema: T.StructType) -> None:
         self._schema = schema
 
-    def sync_partition_spec(self, partition_cols: list[str]) -> None:
-        self._partition_cols = list(partition_cols)
+    def sync_partition_spec(self, partition_fields: list) -> None:
+        """Accepts canonical InternalPartitionField objects (or bare
+        column-name strings for identity partitions). Non-VALUE transforms
+        become Delta generated columns: a derived field named
+        xtable_partition_col_{TRANSFORM}_{src} carrying
+        delta.generationExpression (DeltaPartitionExtractor.java:71-88)."""
+        from incubator_xtable_spark.functions.partition_transforms import (
+            generated_column_name,
+            to_generation_expression,
+        )
+        from incubator_xtable_spark.model.core import (
+            InternalPartitionField,
+            PartitionTransformType,
+        )
+
+        self._partition_cols = []
+        self._generated_fields: list[T.StructField] = []
+        for pf in partition_fields:
+            if isinstance(pf, str):
+                self._partition_cols.append(pf)
+                continue
+            if pf.transform == PartitionTransformType.VALUE:
+                self._partition_cols.append(pf.output_name)
+                continue
+            name = pf.partition_field_name or generated_column_name(pf.transform, pf.source_field)
+            expr = to_generation_expression(
+                InternalPartitionField(
+                    source_field=pf.source_field,
+                    transform=pf.transform,
+                    num_buckets=pf.num_buckets,
+                    date_format=pf.date_format,
+                )
+            )
+            dtype = T.IntegerType() if pf.transform == PartitionTransformType.BUCKET else T.StringType()
+            self._generated_fields.append(
+                T.StructField(name, dtype, True, {"delta.generationExpression": expr})
+            )
+            self._partition_cols.append(name)
 
     def sync_metadata(self, metadata: TableSyncMetadata) -> None:
         self._metadata_json = metadata.to_json()
@@ -159,11 +196,14 @@ class DeltaConversionTarget:
                 }
             )
             if version == 0:
+                # generated columns require writer protocol v4
+                # (DeltaConversionTarget.java:341 minReader/Writer >= 1/4)
+                writer_version = 4 if self._generated_fields else MIN_WRITER_VERSION
                 yield json.dumps(
                     {
                         "protocol": {
                             "minReaderVersion": MIN_READER_VERSION,
-                            "minWriterVersion": MIN_WRITER_VERSION,
+                            "minWriterVersion": writer_version,
                         }
                     }
                 )
@@ -171,13 +211,18 @@ class DeltaConversionTarget:
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}
                 if self._metadata_json is not None:
                     configuration[XTABLE_METADATA_KEY] = self._metadata_json
+                full_schema = (
+                    T.StructType(list(schema.fields) + self._generated_fields)
+                    if self._generated_fields
+                    else schema
+                )
                 yield json.dumps(
                     {
                         "metaData": {
                             "id": self._table_id(),
                             "name": self._table.name if self._table else None,
                             "format": {"provider": "parquet", "options": {}},
-                            "schemaString": schema.json(),
+                            "schemaString": full_schema.json(),
                             "partitionColumns": self._partition_cols,
                             "configuration": configuration,
                             "createdTime": now_ms,

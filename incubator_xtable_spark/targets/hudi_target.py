@@ -142,8 +142,10 @@ class HudiConversionTarget:
     def sync_schema(self, schema: T.StructType) -> None:
         self._schema = schema
 
-    def sync_partition_spec(self, partition_cols: list[str]) -> None:
-        self._partition_cols = list(partition_cols)
+    def sync_partition_spec(self, partition_fields: list) -> None:
+        self._partition_cols = [
+            pf if isinstance(pf, str) else pf.output_name for pf in partition_fields
+        ]
 
     def sync_metadata(self, metadata: TableSyncMetadata) -> None:
         self._metadata_json = metadata.to_json()

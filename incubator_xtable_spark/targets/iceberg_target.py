@@ -337,8 +337,14 @@ class IcebergConversionTarget:
     def sync_schema(self, schema: T.StructType) -> None:
         self._schema = schema
 
-    def sync_partition_spec(self, partition_cols: list[str]) -> None:
-        self._partition_cols = list(partition_cols)
+    def sync_partition_spec(self, partition_fields: list) -> None:
+        from incubator_xtable_spark.model.core import InternalPartitionField
+
+        self._partition_fields = [
+            InternalPartitionField(source_field=pf) if isinstance(pf, str) else pf
+            for pf in partition_fields
+        ]
+        self._partition_cols = [pf.output_name for pf in self._partition_fields]
 
     def sync_metadata(self, metadata: TableSyncMetadata) -> None:
         self._metadata_json = metadata.to_json()
@@ -491,18 +497,21 @@ class IcebergConversionTarget:
         }
 
     def _partition_spec_json(self) -> dict:
+        from incubator_xtable_spark.functions.partition_transforms import to_iceberg_transform
+
         fields = schema_to_iceberg_fields(self._schema or T.StructType([]))
         by_name = {f["name"]: f["id"] for f in fields}
+        pfs = getattr(self, "_partition_fields", None) or []
         return {
             "spec-id": 0,
             "fields": [
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": by_name.get(c, 0),
+                    "name": pf.output_name,
+                    "transform": to_iceberg_transform(pf),
+                    "source-id": by_name.get(pf.source_field, 0),
                     "field-id": 1000 + i,
                 }
-                for i, c in enumerate(self._partition_cols)
+                for i, pf in enumerate(pfs)
             ],
         }
 
