@@ -82,6 +82,7 @@ def _load_all() -> None:
         pipeline_queries,
         relational,
         relational2,
+        relational3,
         text_queries,
         vector_queries,
     )
