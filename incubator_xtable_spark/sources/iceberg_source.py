@@ -117,11 +117,38 @@ class IcebergConversionSource:
     def _to_inventory(self, entries: list[dict], table: InternalTable) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
-        part_cols = [pf.source_field for pf in table.partition_fields]
+        from incubator_xtable_spark.model.iceberg_values import from_iceberg_bytes
+        from incubator_xtable_spark.model.stat_codec import encode_stat
+
+        part_cols = [pf.output_name for pf in table.partition_fields]
+        id_to_field = {
+            (f.metadata or {}).get("xtable.fieldId"): f for f in table.read_schema.fields
+        }
+
+        def bounds_map(raw_entries) -> dict[int, bytes]:
+            out = {}
+            for kv in raw_entries or []:
+                v = kv["value"]
+                out[kv["key"]] = v.encode("latin-1") if isinstance(v, str) else bytes(v)
+            return out
+
         rows = []
         for e in entries:
             df = e["data_file"]
             pv = {c: df["partition"].get(c) for c in part_cols} if part_cols else None
+            lower = bounds_map(df.get("lower_bounds"))
+            upper = bounds_map(df.get("upper_bounds"))
+            nulls = {kv["key"]: int(kv["value"]) for kv in (df.get("null_value_counts") or [])}
+            col_stats = {}
+            for fid in set(lower) | set(upper) | set(nulls):
+                f = id_to_field.get(fid)
+                if f is None:
+                    continue
+                col_stats[f.name] = {
+                    "min_json": encode_stat(from_iceberg_bytes(lower.get(fid), f.dataType), f.dataType),
+                    "max_json": encode_stat(from_iceberg_bytes(upper.get(fid), f.dataType), f.dataType),
+                    "null_count": nulls.get(fid),
+                }
             rows.append(
                 (
                     df["file_path"],
@@ -130,7 +157,7 @@ class IcebergConversionSource:
                     int(df["record_count"]),
                     None,
                     pv,
-                    None,
+                    col_stats or None,
                 )
             )
         return self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)

@@ -188,6 +188,11 @@ def _avro_json_encode(value: Any, schema: Any) -> Any:
             f["name"]: _avro_json_encode(value.get(f["name"]) if value else None, f["type"])
             for f in schema["fields"]
         }
+    if isinstance(schema, dict) and schema.get("type") == "array":
+        return [_avro_json_encode(v, schema["items"]) for v in (value or [])]
+    if schema == "bytes":
+        # Avro-JSON encodes bytes as an ISO-8859-1 mapped string
+        return value.decode("latin-1") if isinstance(value, (bytes, bytearray)) else value
     if schema == "long" or schema == "int":
         return int(value)
     if schema in ("float", "double"):
@@ -234,6 +239,30 @@ MANIFEST_LIST_SCHEMA = json.dumps(
 )
 
 
+def _kv_map_field(name: str, map_field_id: int, key_id: int, value_id: int, value_type: str) -> dict:
+    """Spec encoding of map<int, X> columns: nullable array of key/value
+    records with field-ids (e.g. lower_bounds = k126_v127)."""
+    return {
+        "name": name,
+        "field-id": map_field_id,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{value_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {"name": "value", "type": value_type, "field-id": value_id},
+                    ],
+                },
+            },
+        ],
+    }
+
+
 def manifest_entry_schema(partition_cols: list[str]) -> str:
     partition_fields = [
         {
@@ -270,6 +299,10 @@ def manifest_entry_schema(partition_cols: list[str]) -> str:
                             },
                             {"name": "record_count", "type": "long", "field-id": 103},
                             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                            _kv_map_field("value_counts", 109, 119, 120, "long"),
+                            _kv_map_field("null_value_counts", 110, 121, 122, "long"),
+                            _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
+                            _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
                         ],
                     },
                 },
@@ -403,20 +436,60 @@ class IcebergConversionTarget:
 
     def _entry_from_row(self, row, snapshot_id: int, seq: int, status: int) -> dict:
         pv = dict(row["partition_values"] or {})
+        data_file = {
+            "content": 0,
+            "file_path": row["physical_path"],
+            "file_format": "PARQUET",
+            "partition": {c: pv.get(c) for c in self._partition_cols},
+            "record_count": row["record_count"] or 0,
+            "file_size_in_bytes": row["size_bytes"],
+        }
+        data_file.update(self._stats_maps(row))
         return {
             "status": status,
             "snapshot_id": snapshot_id,
             "sequence_number": seq,
             "file_sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": row["physical_path"],
-                "file_format": "PARQUET",
-                "partition": {c: pv.get(c) for c in self._partition_cols},
-                "record_count": row["record_count"] or 0,
-                "file_size_in_bytes": row["size_bytes"],
-            },
+            "data_file": data_file,
         }
+
+    def _stats_maps(self, row) -> dict:
+        """Inventory column_stats -> spec bounds/null-count maps keyed by
+        field id (IcebergColumnStatsConverter.java:53-87 semantics)."""
+        from incubator_xtable_spark.model.iceberg_values import to_iceberg_bytes
+        from incubator_xtable_spark.model.stat_codec import decode_stat
+
+        col_stats = row["column_stats"]
+        if not col_stats or self._schema is None:
+            return {}
+        ids = {f["name"]: f["id"] for f in schema_to_iceberg_fields(self._schema)}
+        types = {f.name: f.dataType for f in self._schema.fields}
+        lower, upper, nulls, values = [], [], [], []
+        record_count = row["record_count"] or 0
+        for name, st in col_stats.items():
+            fid = ids.get(name)
+            dtype = types.get(name)
+            if fid is None or dtype is None:
+                continue
+            mn = decode_stat(st["min_json"], dtype) if st["min_json"] else None
+            mx = decode_stat(st["max_json"], dtype) if st["max_json"] else None
+            if mn is not None:
+                lower.append({"key": fid, "value": to_iceberg_bytes(mn, dtype)})
+            if mx is not None:
+                upper.append({"key": fid, "value": to_iceberg_bytes(mx, dtype)})
+            if st["null_count"] is not None:
+                nulls.append({"key": fid, "value": int(st["null_count"])})
+            values.append({"key": fid, "value": int(record_count)})
+        out = {}
+        if lower:
+            out["lower_bounds"] = sorted(lower, key=lambda e: e["key"])
+        if upper:
+            out["upper_bounds"] = sorted(upper, key=lambda e: e["key"])
+        if nulls:
+            out["null_value_counts"] = sorted(nulls, key=lambda e: e["key"])
+        if values:
+            out["value_counts"] = sorted(values, key=lambda e: e["key"])
+        return out
 
     def _current_live_entries(self, meta: Optional[dict]) -> list[dict]:
         if meta is None or not meta.get("current-snapshot-id"):

@@ -147,3 +147,39 @@ def test_iceberg_to_delta_conversion(spark, source_dir, tmp_path):
     assert _rows(read_delta_as_df(spark, mirror), ["r_regionkey"]) == _rows(
         read_iceberg_as_df(spark, source_dir), ["r_regionkey"]
     )
+
+
+def test_iceberg_stats_roundtrip_to_delta(spark, source_dir, tmp_path):
+    """Footer stats -> iceberg manifest bounds (binary single-value
+    serialization) -> parsed back -> delta stats JSON: full stats chain."""
+    import json as _json
+
+    from incubator_xtable_spark.sources.delta_source import live_files_df
+
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    # manifest carries bounds keyed by field id
+    src = IcebergConversionSource(spark, source_dir)
+    snap = src.get_current_snapshot()
+    inv = snap.files.collect()
+    assert any(r["column_stats"] for r in inv), "no stats parsed from manifests"
+    st = next(r["column_stats"] for r in inv if r["column_stats"])
+    assert "r_regionkey" in st and st["r_regionkey"]["min_json"] is not None
+
+    # iceberg -> delta mirror: stats survive into delta add.stats JSON
+    mirror = str(tmp_path / "stats_mirror")
+    os.makedirs(mirror, exist_ok=True)
+    ConversionController().sync(
+        src, {TableFormat.DELTA: DeltaConversionTarget(spark, mirror)}
+    )
+    live = live_files_df(spark, mirror).collect()
+    stats = _json.loads(live[0]["stats"])
+    assert stats["minValues"]["r_regionkey"] >= 0
+    assert stats["maxValues"]["r_regionkey"] <= 4
+    assert stats["nullCount"]["r_regionkey"] == 0
+    # global min/max across files must match the actual data
+    all_mins = [_json.loads(r["stats"])["minValues"]["r_regionkey"] for r in live]
+    all_maxs = [_json.loads(r["stats"])["maxValues"]["r_regionkey"] for r in live]
+    assert min(all_mins) == 0 and max(all_maxs) == 4

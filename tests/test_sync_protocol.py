@@ -11,6 +11,7 @@ TestTableFormatSync/TestConversionController style.
 from __future__ import annotations
 
 import datetime
+import decimal
 
 import pytest
 
@@ -289,3 +290,45 @@ def test_find_field_by_path_missing():
     schema = T.StructType([T.StructField("a", T.LongType())])
     assert find_field_by_path(schema, "a.b") is None
     assert find_field_by_path(schema, "zzz") is None
+
+
+# ---------------------------------------------------------------------------
+# iceberg binary single-value serialization
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "value,dtype",
+    [
+        (42, T.IntegerType()),
+        (-1, T.IntegerType()),
+        (2**40, T.LongType()),
+        (3.25, T.FloatType()),
+        (-2.5e10, T.DoubleType()),
+        (True, T.BooleanType()),
+        ("héllo", T.StringType()),
+        (b"\x00\xff", T.BinaryType()),
+        (datetime.date(2024, 2, 29), T.DateType()),
+        (datetime.datetime(2024, 1, 2, 3, 4, 5, 678901), T.TimestampNTZType()),
+        (decimal.Decimal("123.45"), T.DecimalType(10, 2)),
+        (decimal.Decimal("-0.01"), T.DecimalType(10, 2)),
+    ],
+)
+def test_iceberg_value_codec_roundtrip(value, dtype):
+    from incubator_xtable_spark.model.iceberg_values import (
+        from_iceberg_bytes,
+        to_iceberg_bytes,
+    )
+
+    raw = to_iceberg_bytes(value, dtype)
+    assert isinstance(raw, bytes)
+    assert from_iceberg_bytes(raw, dtype) == value
+
+
+def test_iceberg_value_codec_endianness():
+    """Spec: little-endian numerics, big-endian unscaled decimals."""
+    from incubator_xtable_spark.model.iceberg_values import to_iceberg_bytes
+
+    assert to_iceberg_bytes(1, T.IntegerType()) == b"\x01\x00\x00\x00"
+    assert to_iceberg_bytes(1, T.LongType()) == b"\x01" + b"\x00" * 7
+    assert to_iceberg_bytes(decimal.Decimal("1.00"), T.DecimalType(5, 2)) == b"\x64"
