@@ -113,19 +113,110 @@ def list_log_versions(base_path: str) -> list[int]:
     )
 
 
-def read_log_actions(spark: SparkSession, base_path: str) -> DataFrame:
-    """Distributed read of every log JSON, tagged with its commit version
-    parsed from the file name."""
-    path = os.path.join(_log_dir(base_path), "*.json")
-    df = spark.read.schema(_ACTION_SCHEMA).json(path)
-    version = F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1).cast("long")
-    return df.withColumn("version", version)
+def read_last_checkpoint(base_path: str) -> Optional[dict]:
+    """Parse `_last_checkpoint` (Delta spec checkpoint pointer)."""
+    p = os.path.join(_log_dir(base_path), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.loads(fh.read())
+
+
+def read_log_actions(
+    spark: SparkSession, base_path: str, max_version: Optional[int] = None
+) -> DataFrame:
+    """Distributed read of the transaction log, tagged with commit version.
+
+    Checkpoint-aware (Delta spec): when a checkpoint at version C exists
+    and the requested view is >= C, read the checkpoint PARQUET (one
+    columnar file instead of C+1 JSON files) plus only the JSON commits
+    after C. Time travel below C falls back to pure JSON replay (commit
+    files are retained). At 100k commits this is the difference between
+    a bounded scan and an ever-growing one.
+    """
+    cp = read_last_checkpoint(base_path)
+    use_checkpoint = cp is not None and (max_version is None or max_version >= cp["version"])
+    version_col = F.regexp_extract(F.input_file_name(), r"(\d{20})\.", 1).cast("long")
+    if not use_checkpoint:
+        path = os.path.join(_log_dir(base_path), "*.json")
+        return spark.read.schema(_ACTION_SCHEMA).json(path).withColumn("version", version_col)
+    cp_version = cp["version"]
+    cp_path = os.path.join(_log_dir(base_path), f"{cp_version:020d}.checkpoint.parquet")
+    cp_df = (
+        spark.read.parquet(cp_path)
+        .select(*[F.col(f.name) for f in _ACTION_SCHEMA.fields])
+        .withColumn("version", F.lit(cp_version).cast("long"))
+    )
+    tail_versions = [v for v in list_log_versions(base_path) if v > cp_version]
+    if not tail_versions:
+        return cp_df
+    tail_paths = [os.path.join(_log_dir(base_path), f"{v:020d}.json") for v in tail_versions]
+    tail_df = (
+        spark.read.schema(_ACTION_SCHEMA).json(tail_paths).withColumn("version", version_col)
+    )
+    return cp_df.unionByName(tail_df)
+
+
+def write_checkpoint(spark: SparkSession, base_path: str, version: int) -> None:
+    """Write a spec checkpoint at ``version``: one parquet file holding the
+    reconstructed state (latest protocol + metaData + live add actions) and
+    the `_last_checkpoint` pointer. Readers then scan one columnar file
+    plus post-checkpoint JSON commits instead of the whole log."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    live = live_files_df(spark, base_path, version)
+    meta = latest_metadata(spark, base_path, version)
+    proto_rows = (
+        read_log_actions(spark, base_path, version)
+        .filter((F.col("protocol.minReaderVersion").isNotNull()) & (F.col("version") <= version))
+        .orderBy(F.desc("version"))
+        .select("protocol")
+        .limit(1)
+        .collect()
+    )
+    null_struct = lambda name: F.lit(None).cast(_ACTION_SCHEMA[name].dataType)  # noqa: E731
+    adds = live.select(
+        F.struct(
+            F.col("path"),
+            F.col("partitionValues"),
+            F.col("size"),
+            F.col("modificationTime"),
+            F.lit(False).alias("dataChange"),  # checkpoint entries are state, not changes
+            F.col("stats"),
+        ).alias("add"),
+        null_struct("remove").alias("remove"),
+        null_struct("metaData").alias("metaData"),
+        null_struct("protocol").alias("protocol"),
+        null_struct("commitInfo").alias("commitInfo"),
+    )
+    head_rows = []
+    if meta is not None:
+        head_rows.append((None, None, meta, None, None))
+    if proto_rows:
+        head_rows.append((None, None, None, proto_rows[0]["protocol"], None))
+    head = spark.createDataFrame(head_rows, _ACTION_SCHEMA) if head_rows else None
+    out = head.unionByName(adds) if head is not None else adds
+
+    tmp_dir = os.path.join(_log_dir(base_path), f".cp-tmp-{_uuid.uuid4().hex}")
+    out.coalesce(1).write.parquet(tmp_dir)
+    part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+    final = os.path.join(_log_dir(base_path), f"{version:020d}.checkpoint.parquet")
+    os.replace(part, final)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    n = out.count()
+    pointer = os.path.join(_log_dir(base_path), "_last_checkpoint")
+    tmp_ptr = pointer + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp_ptr, "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": n}, fh)
+    os.replace(tmp_ptr, pointer)
 
 
 def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
     """Live AddFiles at a version (time travel when version is given):
     last action per path wins; a remove kills the path."""
-    actions = read_log_actions(spark, base_path)
+    actions = read_log_actions(spark, base_path, version)
     if version is not None:
         actions = actions.filter(F.col("version") <= version)
     file_actions = actions.select(
@@ -143,7 +234,7 @@ def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = 
 
 
 def latest_metadata(spark: SparkSession, base_path: str, version: Optional[int] = None):
-    actions = read_log_actions(spark, base_path)
+    actions = read_log_actions(spark, base_path, version)
     if version is not None:
         actions = actions.filter(F.col("version") <= version)
     rows = (

@@ -46,13 +46,23 @@ _FILE_LIST_SCHEMA = T.StructType(
 )
 
 
+_METADATA_DIRS = {"metadata"}  # iceberg metadata tree
+
+
 def _list_parquet_files(base_path: str) -> list[tuple[str, int, int]]:
     """Driver-side recursive listing (the reference also lists driver-side;
-    object-store listing at scale would swap this for a manifest read)."""
+    object-store listing at scale would swap this for a manifest read).
+
+    Metadata trees are pruned: `_delta_log` / `.hoodie` (underscore/dot
+    prefixes, Spark's own hidden-dir convention) and iceberg's `metadata`
+    dir — a Delta CHECKPOINT parquet must never be mistaken for data."""
     out = []
-    for root, _dirs, files in os.walk(base_path):
+    for root, dirs, files in os.walk(base_path):
+        dirs[:] = [
+            d for d in dirs if not d.startswith(("_", ".")) and d not in _METADATA_DIRS
+        ]
         for fn in files:
-            if fn.endswith(".parquet") and not fn.startswith("."):
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
                 p = os.path.join(root, fn)
                 st = os.stat(p)
                 out.append((p, st.st_size, int(st.st_mtime * 1000)))

@@ -85,9 +85,14 @@ class DeltaConversionTarget:
     beginSync -> syncSchema/syncPartitionSpec/syncMetadata ->
     syncFilesForSnapshot | syncFilesForDiff -> completeSync."""
 
-    def __init__(self, spark: SparkSession, base_path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, base_path: str, checkpoint_interval: int = 10
+    ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
+        # spec checkpoints every N commits (delta's own default is 10);
+        # 0 disables
+        self.checkpoint_interval = checkpoint_interval
         self._reset()
 
     def _reset(self) -> None:
@@ -246,6 +251,10 @@ class DeltaConversionTarget:
 
         self._atomic_write(version, actions())
         self._committed_version = version
+        if self.checkpoint_interval and version > 0 and version % self.checkpoint_interval == 0:
+            from incubator_xtable_spark.sources.delta_source import write_checkpoint
+
+            write_checkpoint(self.spark, self.base_path, version)
         return version
 
     # -- helpers -----------------------------------------------------------
