@@ -75,6 +75,44 @@ def run_available_now(stream_df: DataFrame, table_name: str, checkpoint: str) ->
 
 
 # ---------------------------------------------------------------------------
+# Streaming sync hook: sync-after-every-micro-batch, the Structured
+# Streaming equivalent of the reference's Hudi post-commit XTableSyncTool
+# (xtable-hudi-support/.../sync/XTableSyncTool.java:55-100): each arriving
+# batch of source files triggers an incremental metadata sync so targets
+# never lag more than one micro-batch behind the source.
+# ---------------------------------------------------------------------------
+
+
+def streaming_sync(
+    spark: SparkSession,
+    controller: Any,
+    source: Any,
+    targets: dict[Any, Any],
+    *,
+    watch_dir: str,
+    schema: T.StructType,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Watch ``watch_dir`` for new data files; every micro-batch runs one
+    controller sync cycle (FULL first time, INCREMENTAL after). Returns the
+    StreamingQuery; results accumulate in query metadata via logs."""
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch content is only the arrival signal; the sync reads
+        # authoritative state from the source adapter
+        controller.sync(source, targets)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
 # Continuous sync (RunSync.java:257-280)
 # ---------------------------------------------------------------------------
 

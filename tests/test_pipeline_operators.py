@@ -136,3 +136,57 @@ def test_streaming_matches_batch_windowed_counts(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_sync_foreachbatch(spark, tmp_path):
+    """Structured-Streaming sync hook: each micro-batch of arriving files
+    triggers a metadata sync; the Delta log tracks the stream."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.model.core import TableFormat
+    from incubator_xtable_spark.sources.delta_source import (
+        list_log_versions,
+        read_delta_as_df,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.streaming.pipeline import streaming_sync
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+    d = str(tmp_path / "stream_table")
+    base = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    base.coalesce(1).write.parquet(d)
+
+    source = ParquetConversionSource(spark, d, name="region")
+    targets = {TableFormat.DELTA: DeltaConversionTarget(spark, d)}
+    controller = ConversionController()
+
+    q = streaming_sync(
+        spark,
+        controller,
+        source,
+        targets,
+        watch_dir=d,
+        schema=base.schema,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert list_log_versions(d) == [0]
+    assert read_delta_as_df(spark, d).count() == 5
+
+    # new files arrive; a second availableNow pass syncs incrementally
+    base.withColumn("r_regionkey", F.col("r_regionkey") + 10).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    q2 = streaming_sync(
+        spark,
+        controller,
+        source,
+        targets,
+        watch_dir=d,
+        schema=base.schema,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert max(list_log_versions(d)) >= 1
+    assert read_delta_as_df(spark, d).count() == 10
