@@ -72,11 +72,41 @@ def read_properties(base_path: str) -> dict[str, str]:
     return out
 
 
+def _archived_commits(base_path: str) -> list[tuple[str, str, dict]]:
+    """Replay-able archived instants ([(instant, action, metadata)]) from
+    `.hoodie/archived/commits.archive` (see sync/retention.py)."""
+    p = os.path.join(base_path, HOODIE_DIR, "archived", "commits.archive")
+    if not os.path.exists(p):
+        return []
+    out = []
+    with open(p, encoding="utf-8") as fh:
+        for line in fh:
+            d = json.loads(line)
+            out.append((d["instant"], d["action"], d["metadata"]))
+    return sorted(out)
+
+
 def live_files_rows(base_path: str, as_of_instant: Optional[str] = None) -> list[dict]:
-    """File-group resolution over the timeline: walk commits in order,
-    latest version per fileId wins, replaced fileIds drop out.
+    """File-group resolution over the timeline (archived log first, then
+    the active timeline): walk commits in order, latest version per fileId
+    wins, replaced fileIds drop out.
     Returns [{path, fileId, size, instant}] (relative paths)."""
     groups: dict[str, dict] = {}  # fileId -> latest file info
+    for instant, action, meta in _archived_commits(base_path):
+        if as_of_instant is not None and instant > as_of_instant:
+            break
+        for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values():
+            for fid in fid_list:
+                groups.pop(fid, None)
+        for stats_list in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats_list:
+                groups[st["fileId"]] = {
+                    "path": st["path"],
+                    "fileId": st["fileId"],
+                    "size": st.get("fileSizeInBytes", 0),
+                    "numWrites": st.get("numWrites"),
+                    "instant": instant,
+                }
     for instant, action in list_completed_instants(base_path):
         if as_of_instant is not None and instant > as_of_instant:
             break

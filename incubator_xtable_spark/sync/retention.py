@@ -1,0 +1,153 @@
+"""Retention maintenance: the engine-side equivalents of Delta
+VACUUM/log-retention, Iceberg expire_snapshots, and Hudi timeline
+archival.
+
+Reference parity:
+- Delta log retention property      delta/DeltaConversionTarget.java:341-343
+- Iceberg expireSnapshots at completeSync
+                                    iceberg/IcebergConversionTarget.java:290-298
+- Hudi archival/cleaning configs    hudi/HudiConversionTarget.java (CommitState)
+
+Safety model mirrors each format:
+- Delta: commit JSONs at/below the last checkpoint are prunable (the
+  checkpoint reconstructs state); data-file vacuum deletes files no
+  retained version references;
+- Iceberg: expiring a snapshot breaks the parent chain behind it — which
+  is exactly what the source's incremental-safety check detects;
+- Hudi: completed instants beyond the retained window move to an
+  archived log (single JSON-lines file), keeping the active timeline
+  bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+# ---------------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------------
+
+
+def delta_expire_log(base_path: str) -> list[int]:
+    """Delete commit JSONs at/below the last checkpoint (they are
+    reconstructable from it). Returns the pruned versions."""
+    from incubator_xtable_spark.sources.delta_source import (
+        list_log_versions,
+        read_last_checkpoint,
+    )
+
+    cp = read_last_checkpoint(base_path)
+    if cp is None:
+        return []
+    pruned = []
+    for v in list_log_versions(base_path):
+        if v <= cp["version"]:
+            os.unlink(os.path.join(base_path, "_delta_log", f"{v:020d}.json"))
+            pruned.append(v)
+    return pruned
+
+
+def delta_vacuum(spark: SparkSession, base_path: str, dry_run: bool = True) -> list[str]:
+    """Delete data files not referenced by the CURRENT snapshot (retention
+    window = head only, the aggressive setting; a time-based window keeps
+    files from all versions newer than the horizon). Never touches
+    `_delta_log`. Returns the (to-be-)deleted paths."""
+    from incubator_xtable_spark.sources.delta_source import live_files_df
+    from incubator_xtable_spark.sources.parquet_source import _list_parquet_files
+
+    live = {
+        r["path"] for r in live_files_df(spark, base_path).select("path").collect()
+    }
+    base = base_path.rstrip("/") + "/"
+    orphans = []
+    for path, _size, _m in _list_parquet_files(base_path):
+        rel = path[len(base):] if path.startswith(base) else path
+        if rel not in live and path not in live:
+            orphans.append(path)
+    if not dry_run:
+        for p in orphans:
+            os.unlink(p)
+    return orphans
+
+
+# ---------------------------------------------------------------------------
+# Iceberg
+# ---------------------------------------------------------------------------
+
+
+def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots from the table
+    metadata and delete their manifest-list files. Expired snapshot ids are
+    returned; the parent chain behind the retained window is broken, which
+    downstream incremental-safety checks detect
+    (IcebergConversionSource.java:266-290)."""
+    from incubator_xtable_spark.targets.iceberg_target import (
+        current_metadata_version,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        return []
+    snapshots = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
+    if len(snapshots) <= keep_last:
+        return []
+    expired = snapshots[:-keep_last]
+    retained = snapshots[-keep_last:]
+    for s in expired:
+        ml = s.get("manifest-list")
+        if ml and os.path.exists(ml):
+            os.unlink(ml)
+    meta["snapshots"] = retained
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in {s["snapshot-id"] for s in retained}
+    ]
+    version = (current_metadata_version(base_path) or 0) + 1
+    path = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return [s["snapshot-id"] for s in expired]
+
+
+# ---------------------------------------------------------------------------
+# Hudi
+# ---------------------------------------------------------------------------
+
+
+def hudi_archive_timeline(base_path: str, keep_last: int = 10) -> list[str]:
+    """Move completed instants beyond the retained window into
+    `.hoodie/archived/commits.archive` (JSON lines), bounding the active
+    timeline like Hudi's archival service."""
+    from incubator_xtable_spark.targets.hudi_target import (
+        list_completed_instants,
+        read_commit_metadata,
+    )
+
+    instants = list_completed_instants(base_path)
+    if len(instants) <= keep_last:
+        return []
+    to_archive = instants[:-keep_last]
+    hoodie = os.path.join(base_path, ".hoodie")
+    archived_dir = os.path.join(hoodie, "archived")
+    os.makedirs(archived_dir, exist_ok=True)
+    archive_path = os.path.join(archived_dir, "commits.archive")
+    with open(archive_path, "a", encoding="utf-8") as fh:
+        for instant, action in to_archive:
+            meta = read_commit_metadata(base_path, instant, action)
+            fh.write(json.dumps({"instant": instant, "action": action, "metadata": meta}))
+            fh.write("\n")
+    for instant, action in to_archive:
+        for suffix in (action, f"{action}.requested", f"{action}.inflight"):
+            p = os.path.join(hoodie, f"{instant}.{suffix}")
+            if os.path.exists(p):
+                os.unlink(p)
+    return [i for i, _ in to_archive]
