@@ -161,3 +161,58 @@ def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (threshold-based, blocked by label)
+# ---------------------------------------------------------------------------
+
+COSDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.dv, b.dv)
+             / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.dv, b.dv)
+      / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))) >= 0.2
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=COSDUP_ORACLE,
+    category="dedup",
+    description="embedding-cosine near-dup pairs with label blocking",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("dv"),
+        F.sqrt(l2sq(F.col("embedding"))).alias("norm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("dv").alias("dv_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("dv").alias("dv_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    joined = a.join(
+        b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    cos = dot(F.col("dv_a"), F.col("dv_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        joined.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.2)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
