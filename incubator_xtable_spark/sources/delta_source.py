@@ -340,6 +340,27 @@ def column_stats_expr(schema: T.StructType, parsed: Column) -> Column:
     return F.create_map(*entries)
 
 
+def _lift_column_mapping(schema: T.StructType) -> T.StructType:
+    """Delta column-mapping metadata -> canonical conventions: the
+    rename-stable `delta.columnMapping.id` becomes the canonical fieldId
+    and `delta.columnMapping.physicalName` the storage name
+    (DeltaSchemaExtractor.java:57-58,137-144)."""
+    from incubator_xtable_spark.model.schema_meta import FIELD_ID, STORAGE_NAME
+
+    def visit(f: T.StructField) -> T.StructField:
+        meta = dict(f.metadata or {})
+        if "delta.columnMapping.id" in meta and FIELD_ID not in meta:
+            meta[FIELD_ID] = meta["delta.columnMapping.id"]
+        if "delta.columnMapping.physicalName" in meta and STORAGE_NAME not in meta:
+            meta[STORAGE_NAME] = meta["delta.columnMapping.physicalName"]
+        dt = f.dataType
+        if isinstance(dt, T.StructType):
+            dt = T.StructType([visit(c) for c in dt.fields])
+        return T.StructField(f.name, dt, f.nullable, meta)
+
+    return T.StructType([visit(f) for f in schema.fields])
+
+
 class DeltaConversionSource:
     """ConversionSource over a Delta table
     (spi/extractor/ConversionSource.java:37-105 surface)."""
@@ -354,6 +375,7 @@ class DeltaConversionSource:
         if meta is None:
             return None
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        schema = _lift_column_mapping(schema)
         part_cols = list(meta["partitionColumns"] or [])
         # generated partition columns carry delta.generationExpression and
         # are filtered out of the logical read schema
@@ -440,12 +462,30 @@ class DeltaConversionSource:
         table = self.get_current_table()
         actions = read_log_actions(self.spark, self.base_path).filter(F.col("version") == version)
         adds = actions.filter(F.col("add.path").isNotNull()).select("add.*")
+        removes_raw = actions.filter(F.col("remove.path").isNotNull()).select("remove.path")
+        # deletion-vector update commits re-add a path they also remove:
+        # the file itself did not change, so it is dropped from BOTH sides
+        # of the diff (with a warning), matching
+        # delta/DeltaConversionSource.java:104-174
+        dv_paths = adds.select("path").intersect(removes_raw.select("path"))
+        n_dv = dv_paths.count()
+        if n_dv:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "version %s: %d path(s) both added and removed (deletion-vector "
+                "update) — excluded from the change set",
+                version,
+                n_dv,
+            )
+            adds = adds.join(dv_paths, "path", "left_anti")
+            removes_raw = removes_raw.join(dv_paths, "path", "left_anti")
         files_added = self._to_inventory_adds(adds, table)
         base = self.base_path.rstrip("/") + "/"
         files_removed = (
-            actions.filter(F.col("remove.path").isNotNull())
+            removes_raw
             .select(
-                F.concat(F.lit(base), F.col("remove.path")).alias("physical_path"),
+                F.concat(F.lit(base), F.col("path")).alias("physical_path"),
                 F.lit("PARQUET").alias("file_format"),
                 F.lit(0).cast("long").alias("size_bytes"),
                 F.lit(None).cast("long").alias("record_count"),

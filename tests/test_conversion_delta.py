@@ -202,3 +202,72 @@ def test_concurrent_writers_one_wins(spark, source_dir):
     assert versions == [0, 1]
     # the table is still fully readable
     assert read_delta_as_df(spark, source_dir).count() >= 150
+
+
+def test_deletion_vector_style_diff_dropped(spark, source_dir):
+    """A commit that both adds and removes the same path (DV update shape)
+    contributes NOTHING to the change set (DeltaConversionSource.java:104-174)."""
+    source = ParquetConversionSource(spark, source_dir, name="customer")
+    target = DeltaConversionTarget(spark, source_dir)
+    ConversionController().sync(source, {TableFormat.DELTA: target})
+
+    # hand-craft a DV-style commit: same path removed and re-added
+    live = live_files_df(spark, source_dir).select("path", "size").collect()
+    p, sz = live[0]["path"], live[0]["size"]
+    v = max(list_log_versions(source_dir)) + 1
+    with open(
+        os.path.join(source_dir, "_delta_log", f"{v:020d}.json"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps({"remove": {"path": p, "deletionTimestamp": 1, "dataChange": True}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": p,
+                        "partitionValues": {},
+                        "size": sz,
+                        "modificationTime": 1,
+                        "dataChange": True,
+                        "stats": "{}",
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    change = DeltaConversionSource(spark, source_dir).get_table_change_for_commit(str(v))
+    assert change.files_added.count() == 0
+    assert change.files_removed.count() == 0
+
+
+def test_column_mapping_ids_lifted(spark, tmp_path):
+    """delta.columnMapping.{id,physicalName} surface as canonical
+    fieldId/storageName metadata."""
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import InternalTable, TableFormat as TF
+    from incubator_xtable_spark.model.schema_meta import FIELD_ID, STORAGE_NAME
+
+    d = str(tmp_path / "colmap")
+    os.makedirs(d)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "id",
+                T.LongType(),
+                False,
+                {"delta.columnMapping.id": 7, "delta.columnMapping.physicalName": "col-7abc"},
+            )
+        ]
+    )
+    table = InternalTable(name="cm", table_format=TF.PARQUET, base_path=d, read_schema=schema)
+    target = DeltaConversionTarget(spark, d)
+    target.begin_sync(table)
+    target.sync_schema(schema)
+    target.sync_partition_spec([])
+    target.complete_sync()
+
+    extracted = DeltaConversionSource(spark, d).get_current_table()
+    f = extracted.read_schema["id"]
+    assert f.metadata[FIELD_ID] == 7
+    assert f.metadata[STORAGE_NAME] == "col-7abc"
