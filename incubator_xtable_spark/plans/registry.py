@@ -83,6 +83,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         text_queries,
         vector_queries,
     )
