@@ -28,6 +28,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _load_all()
 
+    # Warm the JVM/codegen paths once (untimed): the very first query in a
+    # fresh JVM otherwise pays multi-second JIT/classloading costs that have
+    # nothing to do with the query being measured.
+    try:
+        warm = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+        warm.write.mode("overwrite").format("noop").save()
+    except Exception:  # noqa: BLE001
+        pass
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name, spec in sorted(REGISTRY.items()):

@@ -135,3 +135,32 @@ def test_conversion_service_contract(spark, tmp_path):
         }
     )
     assert resp2["convertedTables"][0]["sync-mode"] == SyncMode.INCREMENTAL.value
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Co-located bucketed tables join WITHOUT a shuffle exchange — the
+    repeated-join pattern for 100 TB fact tables."""
+    from incubator_xtable_spark.functions.bucketing import (
+        bucketed_join_plan_is_shuffle_free,
+        write_bucketed,
+    )
+
+    # disable broadcast so the join would otherwise require a shuffle
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "b_orders", bucket_cols=["o_orderkey"], n_buckets=8)
+        write_bucketed(lineitem, "b_lineitem", bucket_cols=["o_orderkey"], n_buckets=8)
+        assert bucketed_join_plan_is_shuffle_free(spark, "b_orders", "b_lineitem", "o_orderkey")
+        # and the join is still correct
+        n = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey").count()
+        plain = orders.join(lineitem, "o_orderkey").count()
+        assert n == plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
