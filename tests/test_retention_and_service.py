@@ -164,3 +164,26 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_validate_target_all_formats(spark, tmp_path):
+    from incubator_xtable_spark.model.validation import validate_target
+
+    d = str(tmp_path / "val_table")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(d)
+    svc = ConversionService(spark)
+    svc.convert_table(
+        {
+            "source-format": "PARQUET",
+            "source-table-path": d,
+            "target-formats": ["DELTA", "HUDI", "ICEBERG"],
+        }
+    )
+    for fmt in ("DELTA", "HUDI", "ICEBERG"):
+        report = validate_target(spark, d, fmt, expected_rows=5)
+        assert report.passed, (fmt, [r for r in report.results if not r.passed])
+    # negative: wrong expectation fails the row-count check only
+    bad = validate_target(spark, d, "DELTA", expected_rows=999)
+    assert not bad.passed
+    failed = [r.check.value for r in bad.results if not r.passed]
+    assert failed == ["ROW_COUNT_MATCH"]
