@@ -42,7 +42,7 @@ def to_iceberg_bytes(value: Any, dtype: T.DataType) -> Optional[bytes]:
         return struct.pack("<i", (d - _EPOCH_DATE).days)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         if isinstance(value, str):
-            value = datetime.datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%f")
+            value = datetime.datetime.fromisoformat(value)
         # timedelta floor-division avoids float precision loss on large epochs
         micros = (value.replace(tzinfo=None) - _EPOCH_DT) // datetime.timedelta(microseconds=1)
         return struct.pack("<q", micros)

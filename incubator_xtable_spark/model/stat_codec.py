@@ -51,7 +51,10 @@ def _to_jsonable(value: Any, dtype: T.DataType) -> Any:
         return v
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         if isinstance(value, datetime.datetime):
-            return value.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            # isoformat with forced microseconds: zero-padded years (< 1000
+            # broke strftime round-trips — found by hypothesis) and a fixed
+            # shape "YYYY-MM-DDTHH:MM:SS.ffffff"
+            return value.isoformat(timespec="microseconds")
         return value
     if isinstance(dtype, T.DateType):
         if isinstance(value, datetime.date):
@@ -82,7 +85,7 @@ def _from_jsonable(value: Any, dtype: T.DataType) -> Any:
             return float("-inf")
         return float(value)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return datetime.datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%f")
+        return datetime.datetime.fromisoformat(value)
     if isinstance(dtype, T.DateType):
         return datetime.date.fromisoformat(value)
     if isinstance(dtype, T.DecimalType):
