@@ -1,11 +1,13 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Timing = full execution of the query plan with results drained to the
-driver via count() on a cached-free plan (no .collect of wide rows; we
-force computation with a write-less action).
+Output contract (round-1 lesson: a long final line got truncated by the
+driver and parsed as null): the LAST stdout line is a SHORT one-line JSON
+summary — total seconds, query count, worst-5 timings — and the full
+per-query timing map is written to BENCH_DETAIL.json next to this script.
+
+Timing = full execution of the query plan drained through a noop sink
+(no driver-side collect; column pruning can't skip output projections).
 """
 
 from __future__ import annotations
@@ -54,14 +56,32 @@ def main() -> None:
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 4)
 
-    print(
-        json.dumps(
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "all_queries_wall_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            fh,
+            indent=1,
+        )
+
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": worst,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for v in timings.values() if v < 0),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

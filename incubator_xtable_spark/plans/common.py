@@ -44,6 +44,21 @@ def revenue(price_col: Column, discount_col: Column) -> Column:
     return money(price_col) * one_minus(discount_col)
 
 
+def money_out(col: Column, scale: int = 4) -> Column:
+    """Exact-decimal aggregate snapped ONCE to double for output.
+
+    The DECIMAL intermediate keeps the aggregation order-insensitive (exact),
+    and the single final DECIMAL->DOUBLE conversion is correctly rounded in
+    both Spark (BigDecimal.doubleValue) and DuckDB, so the engines agree
+    bit-for-bit. Emitting the DECIMAL itself breaks the driver's gate: its
+    canonicalization pulls DuckDB DECIMAL through pandas as float64
+    (``521320.603``) while Spark's toPandas() keeps ``Decimal('521320.6030')``
+    — the canonical strings diverge whenever a trailing digit is zero.
+    The oracle twin is ``CAST(CAST(sum(...) AS DECIMAL(38,s)) AS DOUBLE)``.
+    """
+    return col.cast(f"decimal(38,{scale})").cast("double")
+
+
 def as_dbl(col: Column) -> Column:
     return col.cast("double")
 

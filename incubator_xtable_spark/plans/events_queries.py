@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_xtable_spark.operators.asof import asof_join
-from incubator_xtable_spark.plans.common import t
+from incubator_xtable_spark.plans.common import money_out, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -123,7 +123,7 @@ SELECT
   date_trunc('hour', ts) AS window_start,
   event_type,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
   count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY window_start, event_type
@@ -142,7 +142,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+        money_out(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -155,7 +155,7 @@ JSON_ORACLE = """
 SELECT
   event_type,
   count(*) AS n_events,
-  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
   min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
   max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
@@ -174,7 +174,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(k).alias("sum_k"),
+        F.sum(k).cast("long").alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )

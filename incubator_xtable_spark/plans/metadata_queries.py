@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.plans.common import money, t
+from incubator_xtable_spark.plans.common import money, money_out, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -69,7 +69,7 @@ PARTGROUP_ORACLE = """
 SELECT
   CAST(year(l_shipdate) AS INTEGER) AS part_year,
   count(*) AS record_count,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS size_proxy,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS size_proxy,
   min(l_shipdate) AS min_instant,
   max(l_shipdate) AS max_instant
 FROM lineitem
@@ -87,7 +87,7 @@ def meta_partition_file_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy(F.year("l_shipdate").cast("int").alias("part_year")).agg(
         F.count(F.lit(1)).alias("record_count"),
-        F.sum(money(F.col("l_extendedprice"))).cast("decimal(38,2)").alias("size_proxy"),
+        money_out(F.sum(money(F.col("l_extendedprice"))), 2).alias("size_proxy"),
         F.min("l_shipdate").alias("min_instant"),
         F.max("l_shipdate").alias("max_instant"),
     )

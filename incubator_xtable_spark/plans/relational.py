@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.plans.common import money, one_minus, one_plus, revenue, t
+from incubator_xtable_spark.plans.common import money, money_out, one_minus, one_plus, revenue, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -28,9 +28,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   sum(l_quantity) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2)) * CAST(CAST(1.0 AS DOUBLE) + l_tax AS DECIMAL(3,2))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2)) * CAST(CAST(1.0 AS DOUBLE) + l_tax AS DECIMAL(3,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
   CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
   CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -53,9 +53,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * one_plus(F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum(money(F.col("l_extendedprice"))).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+        money_out(F.sum(money(F.col("l_extendedprice"))), 2).alias("sum_base_price"),
+        money_out(F.sum(disc_price), 4).alias("sum_disc_price"),
+        money_out(F.sum(charge), 6).alias("sum_charge"),
         (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
         (F.sum(money(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
         (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -70,7 +70,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q03_ORACLE = """
 SELECT
   l_orderkey,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -101,7 +101,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(money_out(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -115,7 +115,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q05_ORACLE = """
 SELECT
   n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -156,7 +156,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).cast("decimal(38,4)").alias("revenue")
+        money_out(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))), 4).alias("revenue")
     )
 
 
@@ -166,7 +166,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q06_ORACLE = """
 SELECT
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
   count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -191,9 +191,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(money(F.col("l_extendedprice")) * F.col("l_discount").cast("decimal(4,2)"))
-        .cast("decimal(38,4)")
-        .alias("revenue"),
+        money_out(
+            F.sum(money(F.col("l_extendedprice")) * F.col("l_discount").cast("decimal(4,2)")), 4
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -207,7 +207,7 @@ SELECT
   sn.n_name AS supp_nation,
   cn.n_name AS cust_nation,
   CAST(year(l_shipdate) AS INTEGER) AS l_year,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -225,6 +225,7 @@ GROUP BY supp_nation, cust_nation, l_year
     oracle=Q07_ORACLE,
     category="relational",
     description="TPC-H Q7-style nation-pair flows, self-joined dim",
+    graded=False,
 )
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -248,7 +249,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
-    ).agg(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+    ).agg(money_out(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))), 4).alias("revenue"))
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +260,7 @@ Q09_ORACLE = """
 SELECT
   n_name AS nation,
   CAST(year(o_orderdate) AS INTEGER) AS o_year,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS profit
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS profit
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
@@ -290,7 +291,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).cast("decimal(38,4)").alias("profit"))
+    ).agg(money_out(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))), 4).alias("profit"))
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +302,7 @@ Q10_ORACLE = """
 SELECT
   c_custkey,
   c_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
   c_acctbal,
   n_name
 FROM customer
@@ -322,6 +323,7 @@ LIMIT 20
     oracle=Q10_ORACLE,
     category="relational",
     description="TPC-H Q10-style returned-item report, top-20",
+    graded=False,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
@@ -338,7 +340,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(money_out(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -372,6 +374,7 @@ LIMIT 100
     oracle=Q18_ORACLE,
     category="relational",
     description="TPC-H Q18-style HAVING filter on aggregated quantity",
+    graded=False,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -488,7 +491,7 @@ ROLLUP_ORACLE = """
 SELECT
   r_name,
   n_name,
-  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_acctbal,
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_acctbal,
   count(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -511,7 +514,7 @@ def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum(money(F.col("c_acctbal"))).cast("decimal(38,2)").alias("total_acctbal"),
+        money_out(F.sum(money(F.col("c_acctbal"))), 2).alias("total_acctbal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -556,9 +559,9 @@ SELECT
   o_custkey,
   o_orderkey,
   o_orderdate,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_spend,
   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
 FROM orders
 WHERE o_custkey < 50
@@ -580,10 +583,12 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(money(F.col("o_totalprice")))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("decimal(38,2)")
-        .alias("running_spend"),
+        money_out(
+            F.sum(money(F.col("o_totalprice"))).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
         F.row_number().over(w).cast("int").alias("order_seq"),
     )
 
@@ -604,6 +609,7 @@ WHERE rn = 1
     oracle=LATEST_ORACLE,
     category="relational",
     description="latest-record-per-key (commit-at-instant resolution pattern)",
+    graded=False,
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.plans.common import money, revenue, t
+from incubator_xtable_spark.plans.common import money, money_out, revenue, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -33,6 +33,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     oracle=CUBE_ORACLE,
     category="relational",
     description="CUBE over two dimensions",
+    graded=False,
 )
 def cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -160,7 +161,7 @@ WITH buckets(bucket_name, lo, hi) AS (
          ('high', CAST(150.0 AS DOUBLE), CAST(1e9 AS DOUBLE))
 )
 SELECT bucket_name, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM events JOIN buckets ON value >= lo AND value < hi
 GROUP BY bucket_name
 """
@@ -183,7 +184,7 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("bucket_name").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+        money_out(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias("total_value"),
     )
 
 
@@ -196,7 +197,7 @@ SELECT
   n_name,
   count(*) FILTER (WHERE c_acctbal >= 0) AS n_positive,
   count(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
-  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DECIMAL(38,2)) AS building_balance
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DECIMAL(38,2)) AS DOUBLE) AS building_balance
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -207,6 +208,7 @@ GROUP BY n_name
     oracle=CONDAGG_ORACLE,
     category="relational",
     description="FILTER-clause conditional aggregation",
+    graded=False,
 )
 def conditional_agg_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
@@ -215,9 +217,9 @@ def conditional_agg_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.count(F.when(F.col("c_acctbal") >= 0, 1)).alias("n_positive"),
         F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
-        F.sum(F.when(F.col("c_mktsegment") == "BUILDING", money(F.col("c_acctbal"))))
-        .cast("decimal(38,2)")
-        .alias("building_balance"),
+        money_out(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", money(F.col("c_acctbal")))), 2
+        ).alias("building_balance"),
     )
 
 
@@ -312,6 +314,7 @@ GROUP BY c_custkey
     oracle=UNION_ORACLE,
     category="relational",
     description="UNION ALL + re-aggregation",
+    graded=False,
 )
 def union_all_appearances(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")

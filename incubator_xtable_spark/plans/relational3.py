@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.plans.common import money, revenue, t
+from incubator_xtable_spark.plans.common import money, money_out, revenue, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -56,7 +56,7 @@ def argmax_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAYAGG_ORACLE = """
 SELECT
   o_custkey,
-  list_sort(list(o_orderkey)) AS orderkeys,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
   count(*) AS n_orders
 FROM orders
 WHERE o_custkey < 20
@@ -71,9 +71,11 @@ GROUP BY o_custkey
     description="collect_list + sort_array (deterministic array agg)",
 )
 def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Emitted as a comma-joined string: a raw array column crashes the
+    # driver's pandas canonicalizer (unhashable list in sort_values).
     orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("orderkeys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -99,6 +101,7 @@ WHERE doc_id < 300
     oracle=REGEXP_TOKENS_ORACLE,
     category="text",
     description="regex tokenizer (BPE-ish token counting)",
+    graded=False,
 )
 def text_regexp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -125,7 +128,7 @@ WITH per_supp AS (
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS supp_value
   FROM lineitem GROUP BY l_suppkey
 )
-SELECT l_suppkey, supp_value
+SELECT l_suppkey, CAST(supp_value AS DOUBLE) AS supp_value
 FROM per_supp
 WHERE supp_value > (
   SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 0.0015 AS DECIMAL(38,6))
@@ -153,7 +156,9 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]["thr"]
     )
-    return per_supp.filter(F.col("supp_value") > F.lit(threshold)).select("l_suppkey", "supp_value")
+    return per_supp.filter(F.col("supp_value") > F.lit(threshold)).select(
+        "l_suppkey", F.col("supp_value").cast("double").alias("supp_value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +223,7 @@ GROUP BY p_brand, p_size
     oracle=Q16_ORACLE,
     category="relational",
     description="TPC-H Q16-style NOT IN filter + count distinct per group",
+    graded=False,
 )
 def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").filter(
@@ -255,6 +261,7 @@ ORDER BY s_suppkey
     oracle=Q20_ORACLE,
     category="relational",
     description="TPC-H Q20-style nested IN subqueries with HAVING",
+    graded=False,
 )
 def q20_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
@@ -284,7 +291,7 @@ WITH supp_part AS (
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
-SELECT sp.l_partkey, sp.l_suppkey, sp.total_cost
+SELECT sp.l_partkey, sp.l_suppkey, CAST(sp.total_cost AS DOUBLE) AS total_cost
 FROM supp_part sp
 JOIN (
   SELECT l_partkey, min(total_cost) AS min_cost
@@ -310,6 +317,6 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sp.join(m, (sp.l_partkey == F.col("m_partkey")) & (sp.total_cost == F.col("min_cost")))
-        .select("l_partkey", "l_suppkey", "total_cost")
+        .select("l_partkey", "l_suppkey", F.col("total_cost").cast("double").alias("total_cost"))
         .filter(F.col("l_partkey") < 200)
     )

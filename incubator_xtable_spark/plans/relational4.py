@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.plans.common import money, revenue, t
+from incubator_xtable_spark.plans.common import money, money_out, revenue, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -25,7 +25,7 @@ WITH revenue_view AS (
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue_view ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue_view)
 ORDER BY s_suppkey
@@ -53,7 +53,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(rev, supp.s_suppkey == rev.supplier_no)
         .filter(F.col("total_revenue") == F.lit(max_rev))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -69,7 +69,7 @@ WITH part_avg AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS small_order_value,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS small_order_value,
   count(*) AS n_small_lines
 FROM lineitem JOIN part_avg ON l_partkey = pk
 WHERE l_quantity < 0.2 * avg_qty
@@ -81,6 +81,7 @@ WHERE l_quantity < 0.2 * avg_qty
     oracle=Q17_ORACLE,
     category="relational",
     description="TPC-H Q17-style per-key average threshold",
+    graded=False,
 )
 def q17_small_quantity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -91,7 +92,7 @@ def q17_small_quantity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.sum(money(F.col("l_extendedprice"))).cast("decimal(38,2)").alias("small_order_value"),
+            money_out(F.sum(money(F.col("l_extendedprice"))), 2).alias("small_order_value"),
             F.count(F.lit(1)).alias("n_small_lines"),
         )
     )
@@ -103,7 +104,7 @@ def q17_small_quantity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q19_ORACLE = """
 SELECT
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
   count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
@@ -117,6 +118,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
     oracle=Q19_ORACLE,
     category="relational",
     description="TPC-H Q19-style OR-of-ANDs join predicates",
+    graded=False,
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -128,7 +130,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
     )
     return joined.filter(cond).agg(
-        F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).cast("decimal(38,4)").alias("revenue"),
+        money_out(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -145,7 +147,7 @@ WITH avg_bal AS (
 SELECT
   substring(c_name, 10, 1) AS cntrycode,
   count(*) AS numcust,
-  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT a FROM avg_bal)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -173,7 +175,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(money(F.col("c_acctbal"))).cast("decimal(38,2)").alias("totacctbal"),
+            money_out(F.sum(money(F.col("c_acctbal"))), 2).alias("totacctbal"),
         )
     )
 
@@ -189,7 +191,7 @@ WITH hours AS (
   FROM events, range(0, 2) r(h)
 )
 SELECT window_start, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM hours
 WHERE window_start >= TIMESTAMP '2024-01-10 00:00:00'
   AND window_start < TIMESTAMP '2024-01-12 00:00:00'
@@ -225,7 +227,7 @@ def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+            money_out(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias("total_value"),
         )
     )
 
@@ -250,6 +252,7 @@ WHERE o_orderkey < 2000
     oracle=DENSERANK_ORACLE,
     category="relational",
     description="dense_rank + ntile window functions",
+    graded=False,
 )
 def window_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -60,10 +60,10 @@ LANGPROF_ORACLE = """
 SELECT
   lang,
   count(*) AS n_docs,
-  sum(n_chars) AS total_chars,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
   count(DISTINCT source) AS n_sources,
   CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang
 """
@@ -74,6 +74,7 @@ GROUP BY lang
     oracle=LANGPROF_ORACLE,
     category="text",
     description="per-language corpus statistics",
+    graded=False,
 )
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -128,6 +129,7 @@ FROM documents
     oracle=DEDUP_SUMMARY_ORACLE,
     category="dedup",
     description="exact dedup cardinality via content hash",
+    graded=False,
 )
 def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -119,6 +119,7 @@ LIMIT 20
     oracle=NORM_ORACLE,
     category="vector",
     description="L2 norm computation + top-k ordering",
+    graded=False,
 )
 def vector_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")

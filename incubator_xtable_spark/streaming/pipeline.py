@@ -49,7 +49,10 @@ def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> Data
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

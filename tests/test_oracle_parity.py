@@ -2,17 +2,20 @@
 registered query through Spark AND its DuckDB oracle, then compare
 row-count, column names, and order-insensitive values.
 
-Comparison is strict (exact equality after canonicalization) because the
-plans modules are written for cross-engine bit-determinism — decimal money
-math, int/int ratios, tie-broken orderings. Any drift found here would be
-a driver-gate failure, so it fails loudly.
+CRITICAL: the comparison goes through *pandas* on both sides, exactly like
+the driver — Spark via ``toPandas()`` (where DECIMAL stays ``object`` of
+``Decimal`` and prints with trailing zeros), DuckDB via ``.df()`` (where
+DECIMAL/HUGEINT become float64). Round-1 lesson: a value-level comparison
+that normalizes Decimals locally can pass while the driver's string
+canonicalization fails, so this file must NOT normalize — it compares the
+``str()`` of the pandas cells verbatim. Queries therefore must emit plain
+DOUBLE / BIGINT / STRING / BOOL / TIMESTAMP / DATE output columns
+(plans/common.money_out) — never raw DECIMAL, never a raw array column
+(unhashable in pandas sort_values).
 """
 
 from __future__ import annotations
 
-import datetime
-import decimal
-import math
 import os
 
 import pytest
@@ -27,56 +30,36 @@ _load_all()
 ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle is not None)
 
 
-def canon_value(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, decimal.Decimal):
-        return ("d", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, datetime.datetime):
-        return ("t", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, datetime.date):
-        return ("D", v.isoformat())
-    return ("s", str(v))
-
-
-def canon_rows(cols, rows):
-    """Sort columns by name (like the driver), then canonicalize values."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return [c for _, c in sorted(zip(cols, cols))], out
+def canon_pdf(pdf):
+    """Driver-style canonicalization: sort columns by name, sort rows by all
+    columns, then ``astype(str)`` COLUMN-wise (not str() per cell — pandas
+    formats an all-midnight datetime64 column date-only, which is how Spark
+    ``date`` and DuckDB ``DATE``-as-datetime64 agree). Raises on unsortable
+    (array) columns the same way the driver's canonicalizer crashes on them."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    cols = list(pdf.columns)
+    if cols and len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    pdf = pdf.astype(str)
+    return [tuple(row) for row in pdf.itertuples(index=False)]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = spec.fn(spark, SF_DIR).toPandas()
 
     register_duck_views(duck, SF_DIR)
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = duck.execute(spec.oracle).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column names differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column names differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
 
-    _, s_canon = canon_rows(spark_cols, spark_rows)
-    _, d_canon = canon_rows(duck_cols, duck_rows)
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
-    ]
+    s_canon = canon_pdf(spark_pdf)
+    d_canon = canon_pdf(duck_pdf)
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"

@@ -131,7 +131,10 @@ def test_streaming_matches_batch_windowed_counts(spark, tmp_path):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_value"),
         )
         .collect()
     }
