@@ -371,7 +371,16 @@ class DeltaConversionSource:
         self.name = name or os.path.basename(self.base_path)
 
     def get_current_table(self) -> Optional[InternalTable]:
-        meta = latest_metadata(self.spark, self.base_path)
+        return self.get_table_at_version(None)
+
+    def get_table_at_version(self, version: Optional[int]) -> Optional[InternalTable]:
+        """InternalTable from the metaData action in effect AT `version`
+        (None = latest). Commit replay must use the historical schema —
+        the reference resolves the snapshot at the version
+        (delta/DeltaConversionSource.java:106 getSnapshotAt); parsing
+        add.stats of an old commit with the latest schema mis-types the
+        min/max values whenever the backlog crosses a schema change."""
+        meta = latest_metadata(self.spark, self.base_path, version)
         if meta is None:
             return None
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -459,7 +468,7 @@ class DeltaConversionSource:
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
         version = int(commit)
-        table = self.get_current_table()
+        table = self.get_table_at_version(version)
         actions = read_log_actions(self.spark, self.base_path).filter(F.col("version") == version)
         adds = actions.filter(F.col("add.path").isNotNull()).select("add.*")
         removes_raw = actions.filter(F.col("remove.path").isNotNull()).select("remove.path")

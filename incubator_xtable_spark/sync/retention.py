@@ -111,8 +111,18 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     ]
     version = (current_metadata_version(base_path) or 0) + 1
     path = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
-    with open(path, "w", encoding="utf-8") as fh:
+    # put-if-absent via tmp + os.link, matching IcebergConversionTarget's
+    # commit protocol: a concurrent commit at the same version raises
+    # instead of silently clobbering, and a crash never leaves a torn file.
+    import uuid as _uuid
+
+    tmp = path + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
     with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return [s["snapshot-id"] for s in expired]

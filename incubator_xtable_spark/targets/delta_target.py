@@ -27,7 +27,7 @@ import time
 import uuid
 from typing import Any, Iterator, Optional
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,6 +78,15 @@ def _relativize(path: str, base_path: str) -> str:
     base = base_path.rstrip("/") + "/"
     p = path[len("file:") :] if path.startswith("file:") else path
     return p[len(base) :] if p.startswith(base) else p
+
+
+def _relativize_col(col: Column, base_path: str) -> Column:
+    """Literal prefix strip (NOT regexp_replace: a base path containing
+    regex metacharacters like '(' or '+' would throw or mis-relativize)."""
+    base = base_path.rstrip("/") + "/"
+    return F.when(
+        col.startswith(base), col.substr(F.lit(len(base) + 1), F.length(col))
+    ).otherwise(col)
 
 
 class DeltaConversionTarget:
@@ -163,8 +172,7 @@ class DeltaConversionTarget:
         delta/DeltaDataFileUpdatesExtractor.java:70-86)."""
         live = self._current_live_paths()
         snap = files.withColumn(
-            "relative_path",
-            F.regexp_replace(F.col("physical_path"), F.lit(self.base_path.rstrip("/") + "/"), ""),
+            "relative_path", _relativize_col(F.col("physical_path"), self.base_path)
         )
         if live is None:
             self._adds, self._removes = snap.drop("relative_path"), None
@@ -176,9 +184,7 @@ class DeltaConversionTarget:
     def sync_files_for_diff(self, change: TableChange) -> None:
         self._adds = change.files_added
         self._removes = change.files_removed.select(
-            F.regexp_replace(
-                F.col("physical_path"), F.lit(self.base_path.rstrip("/") + "/"), ""
-            ).alias("path")
+            _relativize_col(F.col("physical_path"), self.base_path).alias("path")
         )
 
     def complete_sync(self) -> int:

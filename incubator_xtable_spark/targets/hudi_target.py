@@ -177,10 +177,12 @@ class HudiConversionTarget:
         if self._schema is None and self._table is not None:
             self._schema = self._table.read_schema
         instant = instant_now()
-        # monotonic guard: never reuse/step behind the last instant
+        # monotonic guard: never reuse/step behind the last instant.
+        # Increment via epoch math, not string +1 — an instant ending in
+        # ...59999 would roll to second=60 and strptime would reject it.
         existing = list_completed_instants(self.base_path)
         if existing and instant <= existing[-1][0]:
-            instant = str(int(existing[-1][0]) + 1).zfill(len(instant))
+            instant = epoch_ms_to_instant(instant_to_epoch_ms(existing[-1][0]) + 1)
 
         has_replacements = self._replaced_paths is not None and bool(
             self._replaced_paths.head(1)

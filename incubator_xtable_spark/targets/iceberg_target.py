@@ -426,9 +426,23 @@ class IcebergConversionTarget:
             if e.get("status") == 1 and e.get("snapshot_id") != snapshot_id:
                 e["status"] = 0
 
-        manifest_path, manifest_len, n_rows = self._write_manifest(entries, snapshot_id, seq)
+        # spec-accurate manifest-list stats: carried-forward EXISTING entries
+        # keep their original (older) sequence numbers, so min_sequence_number
+        # is the minimum across entries, and row counts split added (this
+        # snapshot) vs existing — readers prune on these
+        # (iceberg spec manifest-list fields 516/512-514).
+        min_seq = min((e.get("sequence_number") or seq for e in entries), default=seq)
+        added_rows = sum(
+            e["data_file"]["record_count"] for e in entries if e.get("snapshot_id") == snapshot_id
+        )
+        existing_rows = sum(
+            e["data_file"]["record_count"] for e in entries if e.get("snapshot_id") != snapshot_id
+        )
+
+        manifest_path, manifest_len = self._write_manifest(entries, snapshot_id, seq)
         list_path = self._write_manifest_list(
-            manifest_path, manifest_len, snapshot_id, seq, counts, n_rows
+            manifest_path, manifest_len, snapshot_id, seq, min_seq, counts,
+            (added_rows, existing_rows),
         )
         self._write_table_metadata(meta, snapshot_id, seq, list_path, now_ms)
         self._committed_snapshot = snapshot_id
@@ -522,8 +536,7 @@ class IcebergConversionTarget:
                 "content": "data",
             },
         )
-        total_rows = sum(e["data_file"]["record_count"] for e in entries)
-        return path, length, total_rows
+        return path, length
 
     def _write_manifest_list(
         self,
@@ -531,10 +544,12 @@ class IcebergConversionTarget:
         manifest_len: int,
         snapshot_id: int,
         seq: int,
+        min_seq: int,
         counts: tuple[int, int, int],
-        total_rows: int,
+        row_counts: tuple[int, int],
     ) -> str:
         added, existing, deleted = counts
+        added_rows, existing_rows = row_counts
         path = os.path.join(
             metadata_dir(self.base_path), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         )
@@ -548,13 +563,13 @@ class IcebergConversionTarget:
                     "partition_spec_id": 0,
                     "content": 0,
                     "sequence_number": seq,
-                    "min_sequence_number": seq,
+                    "min_sequence_number": min_seq,
                     "added_snapshot_id": snapshot_id,
                     "added_files_count": added,
                     "existing_files_count": existing,
                     "deleted_files_count": deleted,
-                    "added_rows_count": total_rows,
-                    "existing_rows_count": 0,
+                    "added_rows_count": added_rows,
+                    "existing_rows_count": existing_rows,
                     "deleted_rows_count": 0,
                 }
             ],

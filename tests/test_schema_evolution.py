@@ -78,3 +78,14 @@ def test_schema_evolution_delta_and_hudi(spark, evolving_dir):
     via_delta = sorted(map(tuple, read_delta_as_df(spark, evolving_dir).select("r_regionkey", "r_name", "score").collect()))
     via_hudi = sorted(map(tuple, read_hudi_as_df(spark, evolving_dir).select("r_regionkey", "r_name", "score").collect()))
     assert via_parquet == via_delta == via_hudi
+
+    # replaying a commit that PRECEDES the schema change must label the
+    # change with the historical schema, not the latest one
+    # (reference: delta/DeltaConversionSource.java:106 getSnapshotAt)
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+
+    dsrc = DeltaConversionSource(spark, evolving_dir)
+    old_change = dsrc.get_table_change_for_commit("0")
+    assert "score" not in [f.name for f in old_change.table.read_schema.fields]
+    new_change = dsrc.get_table_change_for_commit("1")
+    assert "score" in [f.name for f in new_change.table.read_schema.fields]
