@@ -213,7 +213,9 @@ def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
         def step(acc: Column, h: Column) -> Column:
             return acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
 
-        return F.aggregate(th, F.lit(0), step)
+        # long accumulator: 64-bit (xxhash64) token hashes make the step
+        # expression BIGINT, and aggregate requires init/step types to match
+        return F.aggregate(th, F.lit(0).cast("long"), step)
 
     out = F.lit(0).cast("long")
     for b in range(bits):
@@ -221,15 +223,15 @@ def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
             F.when(bit_ones(b) * 2 > F.size(th), F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
-        out = out + bit * F.lit(2**b).cast("long")
+        # shiftleft, not bit * 2**b: at bits=64 the literal 2**63 overflows long
+        out = out.bitwiseOR(F.shiftleft(bit, b))
     return out
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
-    x = a.bitwiseXOR(b)
-    return sum(
-        F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int") for i in range(bits)
-    )
+    # native popcount (single codegen'd expression) instead of a bits-term
+    # shift/mask/sum chain
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_near_duplicates(
@@ -237,32 +239,63 @@ def simhash_near_duplicates(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 6,
-    bits: int = 32,
-    block_prefix_bits: int = 8,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int = 4,
     block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top prefix bits (docs differing
-    there can't be close) plus optional attribute columns (lang/source...)
-    to bound bucket sizes on homogeneous corpora, then verify Hamming
-    distance within blocks."""
-    sigs = (
-        _spread(docs).select(
-            F.col(id_col).alias("doc_id"),
-            token_hashes(F.col(text_col)).alias("th"),
-            *[F.col(c) for c in block_cols],
-        )
-        .select(
-            "doc_id",
-            simhash_from_hashes(F.col("th"), bits).alias("sh"),
-            *[F.col(c) for c in block_cols],
-        )
-        .withColumn("block", F.shiftright(F.col("sh"), bits - block_prefix_bits))
+    """SimHash near-dup pairs via multi-band blocking (the MinHash-banding
+    shape applied to Hamming space).
+
+    The signature is split into n_bands contiguous slices; by pigeonhole,
+    any pair within Hamming <= n_bands-1 agrees EXACTLY on at least one
+    band, so self-joining on (band_index, band_value) finds every such
+    pair — recall is guaranteed for max_hamming <= n_bands-1 and degrades
+    gracefully above. Candidates are then verified with the exact Hamming
+    distance.
+
+    Scale: buckets per band = 2^(bits/n_bands) (65,536 at 64/4) multiplied
+    by the optional attribute blocks — unlike a global prefix block (256
+    buckets at 8 bits, quadratic within bucket on a skewed one-language
+    corpus), bucket population stays bounded as the corpus grows. Shuffles:
+    one for the band self-join, one for the pair distinct.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        # 64-bit token hashes (xxhash64) feed a 64-bit signature
+        F.transform(
+            F.array_distinct(tokens_col(F.col(text_col))),
+            (lambda tok: F.xxhash64(tok)) if bits > 32 else (lambda tok: F.hash(tok)),
+        ).alias("th"),
+        *[F.col(c) for c in block_cols],
+    ).select(
+        "doc_id",
+        simhash_from_hashes(F.col("th"), bits).alias("sh"),
+        *[F.col(c) for c in block_cols],
     )
-    keys = ["block", *block_cols]
-    a = sigs.select(*keys, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sigs.select(*keys, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, keys).filter(F.col("doc_a") < F.col("doc_b"))
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sh"), i * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
+            for i in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "sh", *block_cols, F.posexplode(band_vals).alias("band", "bval")
+    )
+    keys = ["band", "bval", *block_cols]
+    a = bands.select(*keys, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = bands.select(*keys, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # a close pair can agree on several bands — dedupe before verify
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
     return (
         pairs.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b"), bits))
         .filter(F.col("hamming") <= max_hamming)

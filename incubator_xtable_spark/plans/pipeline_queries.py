@@ -40,11 +40,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SimHash fingerprint near-dup pairs (rows-only)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # word-bag documents share vocabulary heavily, so the Hamming budget
-    # stays tight and lang/source blocking bounds bucket sizes
+    # 64-bit signature, 4x16-bit band blocking: recall is exact for
+    # Hamming <= 3 (pigeonhole), buckets stay bounded on skewed corpora
     docs = t(spark, sf_dir, "documents")
     return simhash_near_duplicates(
-        docs, max_hamming=1, block_cols=("lang", "source")
+        docs, max_hamming=3, block_cols=("lang", "source")
     ).orderBy("doc_a", "doc_b")
 
 
