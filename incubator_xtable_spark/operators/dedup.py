@@ -228,9 +228,9 @@ def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
     return out
 
 
-def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+def hamming_distance(a: Column, b: Column) -> Column:
     # native popcount (single codegen'd expression) instead of a bits-term
-    # shift/mask/sum chain
+    # shift/mask/sum chain; covers the full 64-bit width
     return F.bit_count(a.bitwiseXOR(b))
 
 
@@ -297,7 +297,7 @@ def simhash_near_duplicates(
         .distinct()
     )
     return (
-        pairs.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b"), bits))
+        pairs.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

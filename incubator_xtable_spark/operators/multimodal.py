@@ -93,9 +93,14 @@ def fake_feature_extract(df: DataFrame, n_features: int = 8) -> DataFrame:
             )
 
     narrow = df.select("media_id", "media_type", "content")
-    # single-file inputs arrive as one partition; spread before the
-    # Arrow-batched extraction so workers run in parallel
-    narrow = narrow.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Skew gate: only spread the blobs when the input arrives in FEWER
+    # partitions than cores (the single-file test-table case). A well-split
+    # big input (maxPartitionBytes-sized scan tasks) must NOT be
+    # repartitioned — at 100 TB that unconditional repartition is a
+    # full shuffle of every blob byte for nothing (r2 verdict).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
     return narrow.mapInPandas(_extract, FEATURE_SCHEMA)
 
 

@@ -115,4 +115,12 @@ def _load_all() -> None:
         relational4,
     )
 
+    graded = sum(1 for s in REGISTRY.values() if s.graded)
+    # Hard invariant: the driver grades only the first GRADED_LIMIT entries
+    # of queries(); one extra graded @register would silently push an entry
+    # out of the window. Fail loudly at import instead.
+    assert graded <= GRADED_LIMIT, (
+        f"{graded} graded registry entries exceed the driver window of "
+        f"{GRADED_LIMIT}; demote one to graded=False"
+    )
     _LOADED = True

@@ -421,11 +421,18 @@ def semi_join_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANTI_ORACLE = """
+# Every customer has at least one order in the testdata, so the plain
+# "no orders ever" predicate is vacuous (0 rows on both engines — proved
+# nothing). Scope it to "lapsed" customers with no RECENT order instead:
+# ~255 of 1,500 customers at sf0.01, so the anti-join visibly fires.
+ANTI_CUTOFF = "2000-06-01"
+
+ANTI_ORACLE = f"""
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer
 WHERE NOT EXISTS (
-  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '{ANTI_CUTOFF}'
 )
 GROUP BY c_mktsegment
 """
@@ -439,7 +446,9 @@ GROUP BY c_mktsegment
 )
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(ANTI_CUTOFF).cast("date")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

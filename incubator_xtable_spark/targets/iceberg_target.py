@@ -18,9 +18,11 @@ Reference parity (what, not how):
 - bookmark in table properties     model/metadata/TableSyncMetadata.java
 
 Scoped v2 subset (documented): identity partitions only (partition values
-serialized as strings in the partition struct), no column bounds in
-data_file structs yet, removals commit as a compacted single manifest of
-the surviving file set (valid Iceberg overwrite-by-rewrite semantics).
+serialized as strings in the partition struct); column bounds/null-counts
+ARE written into data_file structs in the spec's single-value binary
+encoding (see `model/iceberg_values.py` and `_entry_from_row`); removals
+commit as a compacted single manifest of the surviving file set (valid
+Iceberg overwrite-by-rewrite semantics).
 """
 
 from __future__ import annotations
@@ -431,7 +433,13 @@ class IcebergConversionTarget:
         # is the minimum across entries, and row counts split added (this
         # snapshot) vs existing — readers prune on these
         # (iceberg spec manifest-list fields 516/512-514).
-        min_seq = min((e.get("sequence_number") or seq for e in entries), default=seq)
+        min_seq = min(
+            (
+                e["sequence_number"] if e.get("sequence_number") is not None else seq
+                for e in entries
+            ),
+            default=seq,
+        )
         added_rows = sum(
             e["data_file"]["record_count"] for e in entries if e.get("snapshot_id") == snapshot_id
         )
@@ -521,7 +529,7 @@ class IcebergConversionTarget:
                     entries.append(entry)
         return entries
 
-    def _write_manifest(self, entries: list[dict], snapshot_id: int, seq: int) -> tuple[str, int, int]:
+    def _write_manifest(self, entries: list[dict], snapshot_id: int, seq: int) -> tuple[str, int]:
         path = os.path.join(metadata_dir(self.base_path), f"{uuid.uuid4().hex}-m0.avro")
         schema_json = manifest_entry_schema(self._partition_cols)
         length = self.avro.write_records(
