@@ -1,0 +1,272 @@
+"""Hudi metadata-table column-stats index (Spark-native analog).
+
+Reference parity (what, not how):
+- col_stats-first stats tier with per-file parquet-footer fallback and a
+  warning for uncovered files      hudi/HudiFileStatsExtractor.java:99-186
+- availability gated on the table config listing the COLUMN_STATS
+  metadata partition                hudi/HudiFileStatsExtractor.java:101-105
+  (``hoodie.table.metadata.partitions`` — the real Hudi config key read by
+  ``isMetadataPartitionAvailable``)
+- record count = max valueCount across top-level columns
+                                   hudi/HudiFileStatsExtractor.java:204-214
+- target-side index maintenance on every commit (the write-client's
+  metadata-table update)           hudi/HudiConversionTarget.java:267-470
+
+Layout deviation (documented): real Hudi stores the index as an MOR
+metadata table with HFile base files; this environment has no Hudi jars or
+HFile codec, so the index is a directory of per-commit parquet delta files
+``.hoodie/metadata/col_stats/<instant>.parquet`` with the SAME logical
+record model as HoodieMetadataColumnStats — keyed by (partition_path,
+file_name, column_name), latest-instant-wins merge, ``is_deleted``
+tombstones — replayed with a window function instead of the HFile merge.
+A real Hudi table's HFile index is detected (no parquet deltas present)
+and falls back to footers with a warning, which is exactly the reference's
+uncovered-file path.
+
+Scale notes: the index is read distributed (``spark.read.parquet`` over
+the delta files); the merge is one shuffle on (partition_path, file_name,
+column_name); delta rows per commit = files_touched x n_columns (metadata
+volume, ~1e-6 of data volume). Writes go through a Spark single-partition
+write + atomic rename — no driver-side collect of stats rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.core import FILE_INVENTORY_SCHEMA
+
+log = logging.getLogger(__name__)
+
+COL_STATS_SUBDIR = os.path.join(".hoodie", "metadata", "col_stats")
+METADATA_PARTITIONS_KEY = "hoodie.table.metadata.partitions"
+COLUMN_STATS_PARTITION = "column_stats"
+
+# logical HoodieMetadataColumnStats record (column_name NULL = file-level
+# tombstone written when a file group is replaced)
+COL_STATS_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_instant", T.StringType(), False),
+        T.StructField("partition_path", T.StringType(), True),
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), True),
+        T.StructField("min_json", T.StringType(), True),
+        T.StructField("max_json", T.StringType(), True),
+        T.StructField("null_count", T.LongType(), True),
+        T.StructField("value_count", T.LongType(), True),
+        T.StructField("is_deleted", T.BooleanType(), False),
+    ]
+)
+
+
+def col_stats_dir(base_path: str) -> str:
+    return os.path.join(base_path, COL_STATS_SUBDIR)
+
+
+def _delta_files(base_path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(col_stats_dir(base_path), "*.parquet")))
+
+
+def col_stats_available(base_path: str) -> bool:
+    """Mirror of isMetadataPartitionAvailable(COLUMN_STATS): the table
+    config must list the partition AND readable (parquet) delta files must
+    exist — a real-Hudi HFile index satisfies the first but not the
+    second, and correctly drops to the footer tier."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if COLUMN_STATS_PARTITION not in parts:
+        return False
+    return bool(_delta_files(base_path))
+
+
+def relativize_expr(base_path: str, col: str = "physical_path"):
+    """Strip an optional file: scheme plus the literal base-path prefix
+    (substring arithmetic, no regex — metachar-safe)."""
+    base = base_path.rstrip("/") + "/"
+    p = F.regexp_replace(F.col(col), r"^file:", "")
+    return F.when(p.startswith(base), p.substr(F.lit(len(base) + 1), F.length(p))).otherwise(p)
+
+
+def stats_records_for_commit(
+    adds: DataFrame | None,
+    removed_rel_paths: DataFrame | None,
+    base_path: str,
+    instant: str,
+) -> DataFrame | None:
+    """Build the index delta records for one commit: one record per
+    (added file x column) plus a file-level tombstone per replaced file."""
+    parts = []
+    if adds is not None:
+        rel = relativize_expr(base_path)
+        exploded = (
+            adds.select(
+                rel.alias("rel_path"),
+                F.col("record_count"),
+                F.explode(F.col("column_stats")).alias("column_name", "stat"),
+            )
+            .select(
+                F.lit(instant).alias("commit_instant"),
+                _dirname(F.col("rel_path")).alias("partition_path"),
+                _basename(F.col("rel_path")).alias("file_name"),
+                "column_name",
+                F.col("stat.min_json").alias("min_json"),
+                F.col("stat.max_json").alias("max_json"),
+                F.col("stat.null_count").alias("null_count"),
+                # valueCount counts all values incl. nulls = file row count
+                F.col("record_count").alias("value_count"),
+                F.lit(False).alias("is_deleted"),
+            )
+        )
+        parts.append(exploded)
+    if removed_rel_paths is not None:
+        tombs = removed_rel_paths.select(
+            F.lit(instant).alias("commit_instant"),
+            _dirname(F.col("rel_path")).alias("partition_path"),
+            _basename(F.col("rel_path")).alias("file_name"),
+            F.lit(None).cast("string").alias("column_name"),
+            F.lit(None).cast("string").alias("min_json"),
+            F.lit(None).cast("string").alias("max_json"),
+            F.lit(None).cast("long").alias("null_count"),
+            F.lit(None).cast("long").alias("value_count"),
+            F.lit(True).alias("is_deleted"),
+        )
+        parts.append(tombs)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dirname(col):
+    # '' for root-partition files (Hudi's empty partitionPath)
+    slash = F.length(col) - F.length(F.substring_index(col, "/", -1)) - 1
+    return F.when(col.contains("/"), col.substr(F.lit(1), slash)).otherwise(F.lit(""))
+
+
+def _basename(col):
+    return F.substring_index(col, "/", -1)
+
+
+def write_col_stats_delta(
+    adds: DataFrame | None,
+    removed_rel_paths: DataFrame | None,
+    base_path: str,
+    instant: str,
+) -> bool:
+    """Append one index delta file for this commit (single parquet file,
+    atomic rename — same put-if-absent posture as the timeline write)."""
+    recs = stats_records_for_commit(adds, removed_rel_paths, base_path, instant)
+    if recs is None:
+        return False
+    d = col_stats_dir(base_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    recs.repartition(1).write.mode("overwrite").parquet(tmp)
+    part = next(iter(glob.glob(os.path.join(tmp, "part-*.parquet"))), None)
+    if part is None:  # zero-row delta (adds had no stats) — nothing to index
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    final = os.path.join(d, f"{instant}.parquet")
+    os.rename(part, final)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
+
+
+def read_col_stats_index(spark: SparkSession, base_path: str) -> DataFrame:
+    """Merged live view of the index: latest record per key wins, records
+    at/behind a newer file-level tombstone drop out (the MOR payload-merge
+    semantics of HoodieMetadataPayload, expressed as window + anti-filter)."""
+    raw = spark.read.schema(COL_STATS_RECORD_SCHEMA).parquet(*_delta_files(base_path))
+    tombs = (
+        raw.filter(F.col("is_deleted"))
+        .groupBy("partition_path", "file_name")
+        .agg(F.max("commit_instant").alias("del_instant"))
+    )
+    stats = raw.filter(~F.col("is_deleted"))
+    live = stats.join(tombs, ["partition_path", "file_name"], "left").filter(
+        F.col("del_instant").isNull() | (F.col("commit_instant") > F.col("del_instant"))
+    )
+    w = Window.partitionBy("partition_path", "file_name", "column_name").orderBy(
+        F.col("commit_instant").desc()
+    )
+    return (
+        live.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "del_instant", "is_deleted")
+    )
+
+
+def file_stats_from_index(spark: SparkSession, base_path: str) -> DataFrame:
+    """Pivot the merged index into the inventory stats encoding:
+    physical_path, record_count, column_stats (same shape/bytes as
+    parquet_source.footer_stats, so the two tiers are interchangeable)."""
+    idx = read_col_stats_index(spark, base_path)
+    base = base_path.rstrip("/")
+    abs_path = F.concat(
+        F.lit(base + "/"),
+        F.when(F.col("partition_path") != "", F.concat(F.col("partition_path"), F.lit("/"))).otherwise(
+            F.lit("")
+        ),
+        F.col("file_name"),
+    )
+    stat_struct = F.struct(
+        F.col("min_json").alias("min_json"),
+        F.col("max_json").alias("max_json"),
+        F.col("null_count").alias("null_count"),
+    )
+    return (
+        idx.withColumn("physical_path", abs_path)
+        .groupBy("physical_path")
+        .agg(
+            # recordCount = max valueCount across columns (ref :204-214)
+            F.max("value_count").alias("record_count"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("column_name"), stat_struct)))
+            ).alias("column_stats"),
+        )
+        .select(
+            "physical_path",
+            "record_count",
+            F.col("column_stats").cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType),
+        )
+    )
+
+
+def stats_with_index_tier(
+    spark: SparkSession,
+    base_path: str,
+    listing: DataFrame,
+    schema: T.StructType,
+) -> DataFrame:
+    """The two-tier stats read of HudiFileStatsExtractor.addStatsToFiles:
+    index-first for covered files, parquet-footer recompute (with a
+    warning) for the rest. Output schema matches footer_stats."""
+    from incubator_xtable_spark.sources.parquet_source import footer_stats
+
+    paths = listing.select("physical_path")
+    idx = file_stats_from_index(spark, base_path).join(paths, "physical_path")
+    uncovered = paths.join(idx.select("physical_path"), "physical_path", "left_anti")
+    n_missing = uncovered.count()
+    if n_missing:
+        log.warning(
+            "%d file(s) had no column stats in the metadata index for table %s; "
+            "falling back to parquet footers",
+            n_missing,
+            base_path,
+        )
+        listing_missing = listing.join(uncovered, "physical_path")
+        fb = footer_stats(spark, listing_missing, schema)
+        return idx.unionByName(fb)
+    return idx

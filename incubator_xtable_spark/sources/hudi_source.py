@@ -13,6 +13,9 @@ Reference parity:
                                    hudi/HudiTableExtractor.java,
                                    hudi/HudiSchemaExtractor.java
 - instant format                   hudi/HudiInstantUtils.java:42-80
+- two-tier file stats (metadata-table col_stats index first, parquet
+  footers for uncovered files)     hudi/HudiFileStatsExtractor.java:99-186
+  (see sources/hudi_metadata.py)
 
 The timeline is small metadata (driver-side JSON, same as the reference's
 timeline reads); the file inventory and footer-stats extraction are
@@ -222,7 +225,20 @@ class HudiConversionSource:
             else F.lit(None).cast("map<string,string>"),
         )
         if with_stats:
-            stats = footer_stats(self.spark, listing, data_schema(table))
+            # two-tier stats read (HudiFileStatsExtractor.java:99-186):
+            # metadata-table col_stats index first when the table config
+            # advertises it, parquet-footer recompute for uncovered files
+            from incubator_xtable_spark.sources.hudi_metadata import (
+                col_stats_available,
+                stats_with_index_tier,
+            )
+
+            if col_stats_available(self.base_path):
+                stats = stats_with_index_tier(
+                    self.spark, self.base_path, listing, data_schema(table)
+                )
+            else:
+                stats = footer_stats(self.spark, listing, data_schema(table))
             inv = inv.join(stats, "physical_path", "left")
         else:
             inv = inv.withColumn("record_count", F.lit(None).cast("long")).withColumn(

@@ -17,11 +17,18 @@ environment has no Hudi jars):
 - bookmark in commit extraMetadata model/metadata/TableSyncMetadata.java
 - instant format                   hudi/HudiInstantUtils.java:42-80
 
-Known LITE limitations (documented, revisit if jars appear): no metadata
-table / col-stats index, no marker files, base files lack the five
-`_hoodie_*` meta columns (metadata-only conversion never rewrites data —
-readers that require meta columns need `hoodie.populate.meta.fields=false`
-semantics, which this target records in hoodie.properties).
+Metadata-table col-stats index: every commit also appends a delta to the
+column-stats index under `.hoodie/metadata/col_stats/` and advertises it
+via `hoodie.table.metadata.partitions=column_stats` (see
+`sources/hudi_metadata.py`; mirrors HudiConversionTarget.java:267-470's
+write-client metadata update), so converted tables keep data-skipping.
+
+Known LITE limitations (documented, revisit if jars appear): the index is
+parquet-delta, not HFile MOR (no Hudi jars in env); no marker files; base
+files lack the five `_hoodie_*` meta columns (metadata-only conversion
+never rewrites data — readers that require meta columns need
+`hoodie.populate.meta.fields=false` semantics, which this target records
+in hoodie.properties).
 """
 
 from __future__ import annotations
@@ -118,8 +125,27 @@ class HudiConversionTarget:
 
     def _ensure_properties(self, table: InternalTable) -> None:
         """hoodie.properties — table config (HudiTableManager.java:1-179)."""
+        from incubator_xtable_spark.sources.hudi_metadata import (
+            COLUMN_STATS_PARTITION,
+            METADATA_PARTITIONS_KEY,
+        )
+
         props_path = os.path.join(_hoodie_dir(self.base_path), "hoodie.properties")
         if os.path.exists(props_path):
+            # upgrade path: older tables created before the col-stats index
+            # existed get the availability flag; their historical files are
+            # simply uncovered (source falls back to footers per-file)
+            from incubator_xtable_spark.sources.hudi_source import read_properties
+
+            existing = read_properties(self.base_path)
+            parts = [p for p in (existing.get(METADATA_PARTITIONS_KEY) or "").split(",") if p]
+            if COLUMN_STATS_PARTITION not in parts:
+                with open(props_path, "a", encoding="utf-8") as fh:
+                    fh.write(
+                        f"{METADATA_PARTITIONS_KEY}="
+                        + ",".join(parts + [COLUMN_STATS_PARTITION])
+                        + "\n"
+                    )
             return
         name = self.table_name or table.name
         part_cols = ",".join(pf.output_name for pf in table.partition_fields)
@@ -133,6 +159,7 @@ class HudiConversionTarget:
             "hoodie.table.partition.fields": part_cols,
             "hoodie.datasource.write.drop.partition.columns": "false",
             "hoodie.table.checksum": "0",
+            METADATA_PARTITIONS_KEY: COLUMN_STATS_PARTITION,
         }
         with open(props_path, "w", encoding="utf-8") as fh:
             fh.write("#Updated at " + instant_now() + "\n")
@@ -211,6 +238,26 @@ class HudiConversionTarget:
             for row in self._replaced_paths.collect():
                 rel = self._relativize(row["path"])
                 partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
+
+        # maintain the col-stats index BEFORE completing the instant (the
+        # write-client posture: an orphan index delta from a crashed commit
+        # is harmless — readers only look up files the timeline says live)
+        from incubator_xtable_spark.sources.hudi_metadata import (
+            relativize_expr,
+            write_col_stats_delta,
+        )
+
+        adds_for_index = (
+            self._adds
+            if self._adds is not None and "column_stats" in self._adds.columns
+            else None
+        )
+        removed_for_index = (
+            self._replaced_paths.select(relativize_expr(self.base_path, "path").alias("rel_path"))
+            if has_replacements
+            else None
+        )
+        write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
 
         extra = {"schema": self._schema.json() if self._schema else None}
         if self._metadata_json is not None:
