@@ -52,6 +52,18 @@ _ACTION_SCHEMA = T.StructType(
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
                     T.StructField("stats", T.StringType()),
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField("storageType", T.StringType()),
+                                T.StructField("pathOrInlineDv", T.StringType()),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField("sizeInBytes", T.IntegerType()),
+                                T.StructField("cardinality", T.LongType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -142,8 +154,10 @@ def read_log_actions(
         return spark.read.schema(_ACTION_SCHEMA).json(path).withColumn("version", version_col)
     cp_version = cp["version"]
     cp_path = os.path.join(_log_dir(base_path), f"{cp_version:020d}.checkpoint.parquet")
+    # explicit schema: checkpoints written before newer action fields (e.g.
+    # add.deletionVector) existed read back with nulls for those fields
     cp_df = (
-        spark.read.parquet(cp_path)
+        spark.read.schema(_ACTION_SCHEMA).parquet(cp_path)
         .select(*[F.col(f.name) for f in _ACTION_SCHEMA.fields])
         .withColumn("version", F.lit(cp_version).cast("long"))
     )
@@ -185,6 +199,7 @@ def write_checkpoint(spark: SparkSession, base_path: str, version: int) -> None:
             F.col("modificationTime"),
             F.lit(False).alias("dataChange"),  # checkpoint entries are state, not changes
             F.col("stats"),
+            F.col("deletionVector"),
         ).alias("add"),
         null_struct("remove").alias("remove"),
         null_struct("metaData").alias("metaData"),
@@ -227,8 +242,12 @@ def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = 
         F.col("add.size").alias("size"),
         F.col("add.modificationTime").alias("modificationTime"),
         F.col("add.stats").alias("stats"),
+        F.col("add.deletionVector").alias("deletionVector"),
     ).filter(F.col("path").isNotNull())
-    w = W.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+    # within one version, the add wins the tie: a DV commit removes AND
+    # re-adds the same path (the add carries the new deletionVector), and
+    # the file stays live
+    w = W.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
     latest = file_actions.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return latest.filter(F.col("is_add")).drop("rn")
 
@@ -251,12 +270,19 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     """The engine's `spark.read.format("delta")` equivalent: reconstruct
     the live file set (optionally at a past version = time travel) and read
     those parquet files, re-attaching partition columns from
-    partitionValues (they are not stored in the data files)."""
+    partitionValues (they are not stored in the data files). Deletion
+    vectors are applied row-level: deleted positions are decoded
+    executor-side and anti-joined on (_metadata.file_path,
+    _metadata.row_index) — distributes with the scan, no driver collect."""
     meta = latest_metadata(spark, base_path, version)
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {base_path}")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    live = live_files_df(spark, base_path, version).select("path", "partitionValues").collect()
+    live = (
+        live_files_df(spark, base_path, version)
+        .select("path", "partitionValues", "deletionVector")
+        .collect()
+    )
     part_cols = list(meta["partitionColumns"] or [])
     base = base_path.rstrip("/")
     paths = [os.path.join(base, r["path"]) for r in live]
@@ -264,6 +290,38 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         return spark.createDataFrame([], schema)
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     df = spark.read.schema(T.StructType(data_fields)).parquet(*paths)
+    dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
+    if dv_rows:
+        from incubator_xtable_spark.sources.delta_dv import (
+            DV_DESCRIPTOR_SPARK_TYPE,
+            dv_positions_df,
+        )
+
+        dv_files = spark.createDataFrame(
+            [
+                (os.path.join(base, r["path"]), r["deletionVector"].asDict())
+                for r in dv_rows
+            ],
+            T.StructType(
+                [
+                    T.StructField("abs_path", T.StringType()),
+                    T.StructField("deletionVector", DV_DESCRIPTOR_SPARK_TYPE),
+                ]
+            ),
+        )
+        positions = dv_positions_df(spark, base, dv_files)
+        df = (
+            df.withColumn(
+                "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+            )
+            .withColumn("_ri", F.col("_metadata.row_index"))
+            .join(
+                positions,
+                (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
+                "left_anti",
+            )
+            .drop("_fp", "_ri")
+        )
     if part_cols:
         pv = spark.createDataFrame(
             [(os.path.join(base, r["path"]), dict(r["partitionValues"] or {})) for r in live],
@@ -435,6 +493,11 @@ class DeltaConversionSource:
         return T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
 
     def _to_inventory_adds(self, adds: DataFrame, table: InternalTable) -> DataFrame:
+        """Adds -> inventory. DV'd adds are converted to their purged
+        shadow files (materialized idempotently, stats recomputed from the
+        shadow's footer) so targets reference row-accurate data — the
+        deliberate improvement over the reference's pair-drop
+        (delta/DeltaConversionSource.java:147-163); see sources/delta_dv.py."""
         base = self.base_path.rstrip("/") + "/"
         data_schema = self._data_schema(table)
         parsed = parsed_stats_expr(data_schema)
@@ -443,7 +506,12 @@ class DeltaConversionSource:
         abs_path = F.when(
             F.col("path").startswith("/"), F.col("path")
         ).otherwise(F.concat(F.lit(base), F.col("path")))
-        return adds.select(
+        has_dv = (
+            F.col("deletionVector.storageType").isNotNull()
+            if "deletionVector" in adds.columns
+            else F.lit(False)
+        )
+        plain_inv = adds.filter(~has_dv).select(
             abs_path.alias("physical_path"),
             F.lit("PARQUET").alias("file_format"),
             F.col("size").alias("size_bytes"),
@@ -452,6 +520,51 @@ class DeltaConversionSource:
             F.col("partitionValues").alias("partition_values"),
             column_stats_expr(data_schema, parsed).alias("column_stats"),
         )
+        if "deletionVector" not in adds.columns:
+            return plain_inv
+        dv_list = adds.filter(has_dv).select(
+            abs_path.alias("abs_path"), "deletionVector", "partitionValues", "modificationTime"
+        ).collect()
+        if not dv_list:
+            return plain_inv
+        from incubator_xtable_spark.sources.delta_dv import purged_path, write_purged_files
+        from incubator_xtable_spark.sources.parquet_source import footer_stats
+
+        write_purged_files(
+            self.spark,
+            self.base_path,
+            [
+                {"abs_path": r["abs_path"], "deletionVector": r["deletionVector"].asDict()}
+                for r in dv_list
+            ],
+        )
+        shadow_rows = []
+        for r in dv_list:
+            sp = purged_path(r["abs_path"], r["deletionVector"].asDict())
+            shadow_rows.append(
+                (
+                    sp,
+                    os.path.getsize(sp),
+                    r["modificationTime"],
+                    dict(r["partitionValues"] or {}) or None,
+                )
+            )
+        listing = self.spark.createDataFrame(
+            shadow_rows,
+            "physical_path STRING, size_bytes LONG, last_modified_ms LONG, "
+            "partition_values MAP<STRING,STRING>",
+        )
+        stats = footer_stats(self.spark, listing.select("physical_path"), data_schema)
+        dv_inv = listing.join(stats, "physical_path", "left").select(
+            "physical_path",
+            F.lit("PARQUET").alias("file_format"),
+            "size_bytes",
+            "record_count",
+            "last_modified_ms",
+            "partition_values",
+            "column_stats",
+        )
+        return plain_inv.unionByName(dv_inv)
 
     def get_commits_backlog(self, instants: InstantsForIncrementalSync) -> CommitsBacklog:
         last_v = int(instants.last_sync_instant)
@@ -467,43 +580,60 @@ class DeltaConversionSource:
         return bool(versions) and min(versions) <= int(instant)
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
+        """Per-version diff with deletion-vector awareness.
+
+        Every file is tracked by its EFFECTIVE path — the purged shadow
+        when a DV is attached, the original otherwise. A DV update commit
+        (remove path X + re-add X with a new DV) therefore diffs to
+        "remove X's previous effective file, add the new shadow", giving
+        targets row parity after deletes. (The reference instead drops the
+        pair and goes row-stale: delta/DeltaConversionSource.java:147-163.)
+        True no-ops — add+remove of the same path with an unchanged
+        effective path (e.g. stats-recompute commits) — still drop out.
+        """
+        from incubator_xtable_spark.sources.delta_dv import purged_path_expr
+
         version = int(commit)
         table = self.get_table_at_version(version)
         actions = read_log_actions(self.spark, self.base_path).filter(F.col("version") == version)
         adds = actions.filter(F.col("add.path").isNotNull()).select("add.*")
         removes_raw = actions.filter(F.col("remove.path").isNotNull()).select("remove.path")
-        # deletion-vector update commits re-add a path they also remove:
-        # the file itself did not change, so it is dropped from BOTH sides
-        # of the diff (with a warning), matching
-        # delta/DeltaConversionSource.java:104-174
-        dv_paths = adds.select("path").intersect(removes_raw.select("path"))
-        n_dv = dv_paths.count()
-        if n_dv:
-            import logging
 
-            logging.getLogger(__name__).warning(
-                "version %s: %d path(s) both added and removed (deletion-vector "
-                "update) — excluded from the change set",
-                version,
-                n_dv,
-            )
-            adds = adds.join(dv_paths, "path", "left_anti")
-            removes_raw = removes_raw.join(dv_paths, "path", "left_anti")
+        def eff_expr(dv_col):
+            return F.when(
+                dv_col["storageType"].isNotNull(),
+                purged_path_expr(F.col("path"), dv_col),
+            ).otherwise(F.col("path"))
+
+        # removed paths resolve through the state just BEFORE this commit
+        # (a removed file that carried a DV was synced as its shadow)
+        prev_dv = live_files_df(self.spark, self.base_path, version - 1).select(
+            "path", F.col("deletionVector").alias("prev_dv")
+        )
+        removes_eff = (
+            removes_raw.join(prev_dv, "path", "left")
+            .select(eff_expr(F.col("prev_dv")).alias("eff_path"))
+        )
+        adds = adds.withColumn("_eff", eff_expr(F.col("deletionVector")))
+        noop = adds.select(F.col("_eff").alias("eff_path")).intersect(removes_eff)
+        adds = adds.join(noop, adds["_eff"] == noop["eff_path"], "left_anti").drop("_eff")
+        removes_eff = removes_eff.join(noop, "eff_path", "left_anti")
+
         files_added = self._to_inventory_adds(adds, table)
         base = self.base_path.rstrip("/") + "/"
-        files_removed = (
-            removes_raw
-            .select(
-                F.concat(F.lit(base), F.col("path")).alias("physical_path"),
-                F.lit("PARQUET").alias("file_format"),
-                F.lit(0).cast("long").alias("size_bytes"),
-                F.lit(None).cast("long").alias("record_count"),
-                F.lit(None).cast("long").alias("last_modified_ms"),
-                F.lit(None).cast("map<string,string>").alias("partition_values"),
-                F.lit(None)
-                .cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
-                .alias("column_stats"),
-            )
+        abs_removed = F.when(
+            F.col("eff_path").startswith("/"), F.col("eff_path")
+        ).otherwise(F.concat(F.lit(base), F.col("eff_path")))
+        files_removed = removes_eff.select(
+            abs_removed.alias("physical_path"),
+            F.lit("PARQUET").alias("file_format"),
+            F.lit(0).cast("long").alias("size_bytes"),
+            F.lit(None).cast("long").alias("record_count"),
+            F.lit(None).cast("long").alias("last_modified_ms"),
+            F.lit(None).cast("map<string,string>").alias("partition_values"),
+            F.lit(None)
+            .cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
+            .alias("column_stats"),
         )
         return TableChange(
             table=table, commit_id=commit, files_added=files_added, files_removed=files_removed
