@@ -71,10 +71,18 @@ def assign_field_ids(schema: T.StructType, start: int = 1) -> T.StructType:
 
 
 def iter_field_ids(schema: T.StructType):
+    def from_type(dt: T.DataType):
+        if isinstance(dt, T.StructType):
+            yield from iter_field_ids(dt)
+        elif isinstance(dt, T.ArrayType):
+            yield from from_type(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            yield from from_type(dt.keyType)
+            yield from from_type(dt.valueType)
+
     for f in schema.fields:
         yield (f.metadata or {}).get(FIELD_ID)
-        if isinstance(f.dataType, T.StructType):
-            yield from iter_field_ids(f.dataType)
+        yield from from_type(f.dataType)
 
 
 def find_field_by_path(schema: T.StructType, dot_path: str) -> Optional[T.StructField]:

@@ -46,7 +46,20 @@ from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE
 # ---------------------------------------------------------------------------
 
 
-def spark_type_to_iceberg(dt: T.DataType) -> Any:
+# element/key/value ids of nested list/map types, stashed on the owning
+# named field in type-tree pre-order (array: element-id then element type;
+# map: key-id, value-id, then key type, then value type; named struct
+# fields carry their own FIELD_ID) so iceberg -> spark -> iceberg keeps
+# every nested id stable (IcebergSchemaExtractor.java:114-300 parity)
+NESTED_IDS = "xtable.iceberg.nestedIds"
+
+
+def spark_type_to_iceberg(dt: T.DataType, field_meta: Optional[dict] = None) -> Any:
+    """Primitive mapping; uuid/fixed ride on field metadata conventions
+    (LOGICAL_TYPE/FIXED_BYTES_SIZE, see model/schema_meta.py). Enum
+    collapses to string and timestamps to microseconds — Iceberg spec
+    semantics, same loss as the reference."""
+    meta = field_meta or {}
     if isinstance(dt, T.LongType):
         return "long"
     if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
@@ -66,13 +79,22 @@ def spark_type_to_iceberg(dt: T.DataType) -> Any:
     if isinstance(dt, T.TimestampNTZType):
         return "timestamp"
     if isinstance(dt, T.BinaryType):
+        from incubator_xtable_spark.model.schema_meta import FIXED_BYTES_SIZE, LOGICAL_TYPE
+
+        if meta.get(LOGICAL_TYPE) == "uuid":
+            return "uuid"
+        if FIXED_BYTES_SIZE in meta:
+            return f"fixed[{int(meta[FIXED_BYTES_SIZE])}]"
         return "binary"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
     raise ValueError(f"unsupported type for iceberg mapping: {dt}")
 
 
-def iceberg_type_to_spark(t: Any) -> T.DataType:
+def iceberg_type_to_spark(t: Any) -> tuple[T.DataType, dict]:
+    """Iceberg primitive type -> (spark type, extra field metadata)."""
+    from incubator_xtable_spark.model.schema_meta import FIXED_BYTES_SIZE, LOGICAL_TYPE
+
     mapping = {
         "long": T.LongType(),
         "int": T.IntegerType(),
@@ -87,40 +109,125 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
     }
     if isinstance(t, str):
         if t in mapping:
-            return mapping[t]
+            return mapping[t], {}
         if t.startswith("decimal"):
             p, s = t[t.index("(") + 1 : t.index(")")].split(",")
-            return T.DecimalType(int(p), int(s))
+            return T.DecimalType(int(p), int(s)), {}
+        if t == "uuid":
+            return T.BinaryType(), {LOGICAL_TYPE: "uuid", FIXED_BYTES_SIZE: 16}
+        if t.startswith("fixed["):
+            return T.BinaryType(), {FIXED_BYTES_SIZE: int(t[len("fixed[") : -1])}
     raise ValueError(f"unsupported iceberg type: {t}")
 
 
+def _max_field_id(schema: T.StructType) -> int:
+    """Largest id anywhere: named fields at any depth (through arrays and
+    maps) plus stashed nested element/key/value ids."""
+    best = 0
+
+    def visit_type(dt: T.DataType) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                visit_field(f)
+        elif isinstance(dt, T.ArrayType):
+            visit_type(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            visit_type(dt.keyType)
+            visit_type(dt.valueType)
+
+    def visit_field(f: T.StructField) -> None:
+        nonlocal best
+        meta = f.metadata or {}
+        if meta.get(FIELD_ID) is not None:
+            best = max(best, int(meta[FIELD_ID]))
+        for i in meta.get(NESTED_IDS) or []:
+            best = max(best, int(i))
+        visit_type(f.dataType)
+
+    visit_type(schema)
+    return best
+
+
 def schema_to_iceberg_fields(schema: T.StructType) -> list[dict]:
+    """Spark schema -> Iceberg schema JSON `fields`, full nested
+    struct/map/list support with stable field ids
+    (IcebergSchemaExtractor.java:114-300)."""
     with_ids = assign_field_ids(schema)
-    out = []
-    for f in with_ids.fields:
-        out.append(
-            {
-                "id": (f.metadata or {}).get(FIELD_ID),
-                "name": f.name,
-                "required": not f.nullable,
-                "type": spark_type_to_iceberg(f.dataType),
+    counter = [_max_field_id(with_ids)]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv_type(dt: T.DataType, stash: list[int], field_meta: dict) -> Any:
+        if isinstance(dt, T.StructType):
+            return {"type": "struct", "fields": [conv_field(f) for f in dt.fields]}
+        if isinstance(dt, T.ArrayType):
+            eid = stash.pop(0) if stash else alloc()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element-required": not dt.containsNull,
+                "element": conv_type(dt.elementType, stash, {}),
             }
-        )
-    return out
+        if isinstance(dt, T.MapType):
+            kid = stash.pop(0) if stash else alloc()
+            vid = stash.pop(0) if stash else alloc()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv_type(dt.keyType, stash, {}),
+                "value-id": vid,
+                "value-required": not dt.valueContainsNull,
+                "value": conv_type(dt.valueType, stash, {}),
+            }
+        return spark_type_to_iceberg(dt, field_meta)
+
+    def conv_field(f: T.StructField) -> dict:
+        meta = dict(f.metadata or {})
+        stash = [int(i) for i in (meta.get(NESTED_IDS) or [])]
+        return {
+            "id": meta.get(FIELD_ID),
+            "name": f.name,
+            "required": not f.nullable,
+            "type": conv_type(f.dataType, stash, meta),
+        }
+
+    return [conv_field(f) for f in with_ids.fields]
 
 
 def iceberg_fields_to_schema(fields: list[dict]) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(
-                f["name"],
-                iceberg_type_to_spark(f["type"]),
-                not f.get("required", False),
-                {FIELD_ID: f["id"]},
-            )
-            for f in fields
-        ]
-    )
+    """Iceberg schema JSON `fields` -> Spark schema; nested element/key/
+    value ids are stashed in NESTED_IDS metadata so a re-export reuses
+    them verbatim."""
+
+    def conv_type(t: Any, stash: list[int]) -> tuple[T.DataType, dict]:
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return T.StructType([conv_field(f) for f in t["fields"]]), {}
+            if kind == "list":
+                stash.append(int(t["element-id"]))
+                elem, _ = conv_type(t["element"], stash)
+                return T.ArrayType(elem, not t.get("element-required", False)), {}
+            if kind == "map":
+                stash.append(int(t["key-id"]))
+                stash.append(int(t["value-id"]))
+                key, _ = conv_type(t["key"], stash)
+                val, _ = conv_type(t["value"], stash)
+                return T.MapType(key, val, not t.get("value-required", False)), {}
+            raise ValueError(f"unsupported iceberg type: {t}")
+        return iceberg_type_to_spark(t)
+
+    def conv_field(f: dict) -> T.StructField:
+        stash: list[int] = []
+        dt, extra = conv_type(f["type"], stash)
+        meta = {FIELD_ID: f["id"], **extra}
+        if stash:
+            meta[NESTED_IDS] = stash
+        return T.StructField(f["name"], dt, not f.get("required", False), meta)
+
+    return T.StructType([conv_field(f) for f in fields])
 
 
 # ---------------------------------------------------------------------------

@@ -136,3 +136,143 @@ def test_wide_schema_through_delta_metadata(spark, tmp_path):
 )
 def test_type_simple_strings(dtype, expected):
     assert dtype.simpleString() == expected
+
+
+# ---------------------------------------------------------------------------
+# Iceberg nested-schema round-trips (IcebergSchemaExtractor.java:114-300)
+# ---------------------------------------------------------------------------
+
+
+def deep_schema() -> T.StructType:
+    """Nesting shapes beyond F1: list<struct>, map<string,struct>,
+    list<list<int>>, map<string,list<double>> — every nested component
+    needs its own stable Iceberg field id."""
+    inner = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("b", T.StringType(), False),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("rec", inner, True),
+            T.StructField("arr_of_struct", T.ArrayType(inner, True), True),
+            T.StructField("map_of_struct", T.MapType(T.StringType(), inner, True), True),
+            T.StructField(
+                "arr_of_arr", T.ArrayType(T.ArrayType(T.IntegerType(), False), True), True
+            ),
+            T.StructField(
+                "map_of_list",
+                T.MapType(T.StringType(), T.ArrayType(T.DoubleType(), True), False),
+                True,
+            ),
+        ]
+    )
+
+
+def _collect_ids(fields):
+    """Every id in an iceberg schema JSON fields list (named + nested)."""
+    out = []
+
+    def from_type(t):
+        if isinstance(t, dict):
+            if t["type"] == "struct":
+                for f in t["fields"]:
+                    out.append(f["id"])
+                    from_type(f["type"])
+            elif t["type"] == "list":
+                out.append(t["element-id"])
+                from_type(t["element"])
+            elif t["type"] == "map":
+                out.append(t["key-id"])
+                out.append(t["value-id"])
+                from_type(t["key"])
+                from_type(t["value"])
+
+    from_type({"type": "struct", "fields": fields})
+    return out
+
+
+def test_iceberg_nested_schema_roundtrip_and_id_stability():
+    from incubator_xtable_spark.targets.iceberg_target import (
+        iceberg_fields_to_schema,
+        schema_to_iceberg_fields,
+    )
+
+    fields1 = schema_to_iceberg_fields(deep_schema())
+    ids = _collect_ids(fields1)
+    assert len(ids) == len(set(ids)), "field ids must be unique"
+    assert all(i is not None for i in ids)
+
+    back = iceberg_fields_to_schema(fields1)
+    # structural parity (names / types / nullability), ignoring metadata
+    import json as _json
+
+    strip = _json.loads(T.StructType.fromJson(back.jsonValue()).json())
+
+    def no_meta(node):
+        if isinstance(node, dict):
+            return {k: no_meta(v) for k, v in node.items() if k != "metadata"}
+        if isinstance(node, list):
+            return [no_meta(v) for v in node]
+        return node
+
+    assert no_meta(strip) == no_meta(_json.loads(deep_schema().json()))
+
+    # re-export keeps EVERY id verbatim (nested ids stashed in metadata)
+    fields2 = schema_to_iceberg_fields(back)
+    assert fields2 == fields1
+
+
+def test_iceberg_wide_schema_target_to_source(spark, tmp_path):
+    """F1 wide-type schema survives Iceberg target metadata -> source
+    extraction (the Delta twin above), modulo the documented Iceberg
+    collapses: enum->string, timestamps->microseconds."""
+    import os
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        InternalTable,
+        TableFormat,
+    )
+    from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    schema = assign_field_ids(basic_schema())
+    d = str(tmp_path / "wide_iceberg")
+    os.makedirs(d)
+    table = InternalTable(
+        name="basic", table_format=TableFormat.PARQUET, base_path=d, read_schema=schema
+    )
+    target = IcebergConversionTarget(spark, d, table_name="basic")
+    target.begin_sync(table)
+    target.sync_metadata(TableSyncMetadata(last_instant_synced="1"))
+    target.sync_schema(schema)
+    target.sync_partition_spec([])
+    target.sync_files_for_snapshot(spark.createDataFrame([], FILE_INVENTORY_SCHEMA))
+    target.complete_sync()
+
+    extracted = IcebergConversionSource(spark, d).get_current_table().read_schema
+    by_name = {f.name: f for f in extracted.fields}
+    # nested record round-trips with ids
+    nr = by_name["nested_record"]
+    assert isinstance(nr.dataType, T.StructType)
+    assert [f.name for f in nr.dataType.fields] == ["nested_int", "level"]
+    assert nr.dataType["nested_int"].metadata[FIELD_ID] is not None
+    # map-of-struct and array-of-struct shapes
+    assert isinstance(by_name["nullable_map_field"].dataType, T.MapType)
+    assert isinstance(by_name["nullable_map_field"].dataType.valueType, T.StructType)
+    assert isinstance(by_name["array_field"].dataType, T.ArrayType)
+    # uuid maps to the native Iceberg uuid type and back
+    assert by_name["uuid_field"].metadata[LOGICAL_TYPE] == "uuid"
+    assert by_name["uuid_field"].metadata[FIXED_BYTES_SIZE] == 16
+    # decimal precision/scale kept
+    assert by_name["decimal_field"].dataType == T.DecimalType(20, 2)
+    # top-level ids preserved verbatim
+    for f in schema.fields:
+        assert by_name[f.name].metadata[FIELD_ID] == f.metadata[FIELD_ID]
+    # nullability preserved
+    for f in schema.fields:
+        assert by_name[f.name].nullable == f.nullable
