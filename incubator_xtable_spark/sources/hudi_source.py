@@ -89,44 +89,64 @@ def _archived_commits(base_path: str) -> list[tuple[str, str, dict]]:
     return sorted(out)
 
 
-def live_files_rows(base_path: str, as_of_instant: Optional[str] = None) -> list[dict]:
+def is_log_file(path: str) -> bool:
+    """Hudi MOR log file (`.{fileId}_{baseInstant}.log.{v}_{token}`)."""
+    return ".log." in os.path.basename(path)
+
+
+def _apply_commit(groups: dict[str, dict], instant: str, meta: dict) -> None:
+    """File-slice resolution for one commit, mirroring the reference
+    fs-view (hudi/HudiDataFileExtractor.java:128-345): a replaced fileId
+    drops its whole group; a BASE file write starts a new slice for the
+    group (log files of the old slice compact away); a LOG file write
+    appends to the group's current slice."""
+    for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values():
+        for fid in fid_list:
+            groups.pop(fid, None)
+    for stats_list in (meta.get("partitionToWriteStats") or {}).values():
+        for st in stats_list:
+            fid = st["fileId"]
+            if is_log_file(st["path"]):
+                grp = groups.setdefault(
+                    fid,
+                    # log-only file group (insert into MOR log before any
+                    # base file exists): tracked, but exposes no base file
+                    {"path": None, "fileId": fid, "size": 0, "numWrites": None, "instant": instant, "log_files": []},
+                )
+                grp.setdefault("log_files", []).append(st["path"])
+            else:
+                groups[fid] = {
+                    "path": st["path"],
+                    "fileId": fid,
+                    "size": st.get("fileSizeInBytes", 0),
+                    "numWrites": st.get("numWrites"),
+                    "instant": instant,
+                    "log_files": [],  # new base file = new slice
+                }
+
+
+def live_files_rows(
+    base_path: str, as_of_instant: Optional[str] = None, include_log_only: bool = False
+) -> list[dict]:
     """File-group resolution over the timeline (archived log first, then
-    the active timeline): walk commits in order, latest version per fileId
-    wins, replaced fileIds drop out.
-    Returns [{path, fileId, size, instant}] (relative paths)."""
-    groups: dict[str, dict] = {}  # fileId -> latest file info
+    the active timeline): walk commits in order, latest base file per
+    fileId wins, replaced fileIds drop out, MOR log files attach to their
+    slice. Returns [{path, fileId, size, instant, log_files}] (relative
+    paths) — the READ-OPTIMIZED view (base files), matching the
+    reference's getLatestBaseFiles conversion scope."""
+    groups: dict[str, dict] = {}  # fileId -> latest slice info
     for instant, action, meta in _archived_commits(base_path):
         if as_of_instant is not None and instant > as_of_instant:
             break
-        for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values():
-            for fid in fid_list:
-                groups.pop(fid, None)
-        for stats_list in (meta.get("partitionToWriteStats") or {}).values():
-            for st in stats_list:
-                groups[st["fileId"]] = {
-                    "path": st["path"],
-                    "fileId": st["fileId"],
-                    "size": st.get("fileSizeInBytes", 0),
-                    "numWrites": st.get("numWrites"),
-                    "instant": instant,
-                }
+        _apply_commit(groups, instant, meta)
     for instant, action in list_completed_instants(base_path):
         if as_of_instant is not None and instant > as_of_instant:
             break
-        meta = read_commit_metadata(base_path, instant, action)
-        for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values():
-            for fid in fid_list:
-                groups.pop(fid, None)
-        for stats_list in (meta.get("partitionToWriteStats") or {}).values():
-            for st in stats_list:
-                groups[st["fileId"]] = {
-                    "path": st["path"],
-                    "fileId": st["fileId"],
-                    "size": st.get("fileSizeInBytes", 0),
-                    "numWrites": st.get("numWrites"),
-                    "instant": instant,
-                }
-    return sorted(groups.values(), key=lambda r: r["path"])
+        _apply_commit(groups, instant, read_commit_metadata(base_path, instant, action))
+    rows = [
+        g for g in groups.values() if g["path"] is not None or include_log_only
+    ]
+    return sorted(rows, key=lambda r: (r["path"] is None, r["path"] or "", r["fileId"]))
 
 
 class HudiConversionSource:
@@ -272,6 +292,9 @@ class HudiConversionSource:
         table = self.get_current_table()
         action = next(a for i, a in list_completed_instants(self.base_path) if i == commit)
         meta = read_commit_metadata(self.base_path, commit, action)
+        # only BASE files enter the conversion diff: a deltacommit that
+        # writes log files changes no convertible file (the reference's
+        # newBaseFileAdded gate, HudiDataFileExtractor.java:300-310)
         added_rows = [
             {
                 "path": st["path"],
@@ -281,19 +304,31 @@ class HudiConversionSource:
             }
             for stats_list in (meta.get("partitionToWriteStats") or {}).values()
             for st in stats_list
+            if not is_log_file(st["path"])
         ]
         files_added = self._to_inventory(added_rows, table, with_stats=True)
-        # removed = files of replaced fileIds, resolved against the state
-        # just before this commit
+        # removed = files of replaced fileIds, plus the PREVIOUS base file
+        # of any group that got a new base file this commit (slice
+        # supersession — HudiDataFileExtractor.java:303-313), both
+        # resolved against the state just before this commit
         replaced_ids = {
             fid
             for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values()
             for fid in fid_list
         }
         removed_rows = []
-        if replaced_ids:
-            prev = {r["fileId"]: r for r in live_files_rows(self.base_path, _prev_instant(self.base_path, commit))}
+        if replaced_ids or added_rows:
+            prev = {
+                r["fileId"]: r
+                for r in live_files_rows(self.base_path, _prev_instant(self.base_path, commit))
+            }
             removed_rows = [prev[fid] for fid in replaced_ids if fid in prev]
+            new_paths = {r["fileId"]: r["path"] for r in added_rows}
+            removed_rows.extend(
+                prev[fid]
+                for fid, p in new_paths.items()
+                if fid in prev and prev[fid]["path"] not in (None, p)
+            )
         files_removed = (
             self._to_inventory(removed_rows, table, with_stats=False)
             if removed_rows

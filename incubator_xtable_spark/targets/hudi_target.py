@@ -48,6 +48,7 @@ from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE
 HOODIE_DIR = ".hoodie"
 COMMIT_ACTION = "commit"
 REPLACE_ACTION = "replacecommit"
+DELTA_COMMIT_ACTION = "deltacommit"  # MOR log-file writes
 
 
 def instant_now() -> str:
@@ -87,7 +88,11 @@ def list_completed_instants(base_path: str) -> list[tuple[str, str]]:
     out = []
     for fn in os.listdir(d):
         parts = fn.split(".")
-        if len(parts) == 2 and parts[1] in (COMMIT_ACTION, REPLACE_ACTION) and parts[0].isdigit():
+        if (
+            len(parts) == 2
+            and parts[1] in (COMMIT_ACTION, REPLACE_ACTION, DELTA_COMMIT_ACTION)
+            and parts[0].isdigit()
+        ):
             out.append((parts[0], parts[1]))
     return sorted(out)
 
