@@ -64,14 +64,13 @@ def current_log_version(base_path: str) -> Optional[int]:
 
 
 def _drain(df: DataFrame) -> Iterator[Row]:
-    """Bring a (metadata-sized) inventory DataFrame to the driver in ONE
-    batched job. Measured: toLocalIterator's per-partition jobs + per-batch
-    socket round-trips cost ~4 s per 1000-row commit (it dominated a
-    100-commit replay); collect() is a single job with bulk serialization.
-    Inventory rows are small (path + stat strings) — 100k files ≈ tens of
-    MB on the driver, the same order the reference's Java lists hold.
-    Inventories beyond ~10M files should chunk by partition ranges."""
-    return iter(df.collect())
+    """See model.core.drain_rows: bulk collect() by default (measured
+    faster for per-commit inventories), toLocalIterator streaming with
+    flat driver RSS when XT_STREAM_INVENTORY=1 (multi-million-file
+    inventories)."""
+    from incubator_xtable_spark.model.core import drain_rows
+
+    return drain_rows(df)
 
 
 def _relativize(path: str, base_path: str) -> str:

@@ -221,9 +221,11 @@ class HudiConversionTarget:
         )
         action = REPLACE_ACTION if has_replacements else COMMIT_ACTION
 
+        from incubator_xtable_spark.model.core import drain_rows
+
         partition_to_stats: dict[str, list[dict]] = {}
         if self._adds is not None:
-            for row in self._adds.collect():
+            for row in drain_rows(self._adds):
                 rel = self._relativize(row["physical_path"])
                 partition = os.path.dirname(rel)
                 stats = {
@@ -240,7 +242,7 @@ class HudiConversionTarget:
 
         partition_to_replaced: dict[str, list[str]] = {}
         if has_replacements:
-            for row in self._replaced_paths.collect():
+            for row in drain_rows(self._replaced_paths):
                 rel = self._relativize(row["path"])
                 partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
 

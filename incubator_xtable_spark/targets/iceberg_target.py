@@ -510,9 +510,13 @@ class IcebergConversionTarget:
         snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
         seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
 
+        from incubator_xtable_spark.model.core import drain_rows
+
         current = self._current_live_entries(meta)
         if self._snapshot_mode:
-            snap_rows = {r["physical_path"]: r for r in self._snapshot_files.collect()}
+            # snapshot-as-diff inherently compares full sets; the dict is
+            # the bound here, not the transfer (drain_rows streams it in)
+            snap_rows = {r["physical_path"]: r for r in drain_rows(self._snapshot_files)}
             prev_paths = {e["data_file"]["file_path"] for e in current}
             added = [p for p in snap_rows if p not in prev_paths]
             survivors = [e for e in current if e["data_file"]["file_path"] in snap_rows]
@@ -522,43 +526,27 @@ class IcebergConversionTarget:
             ]
             counts = (len(added), len(survivors), deleted_count)
         else:
-            removed = {r["physical_path"] for r in self._removed_paths.collect()} if self._removed_paths is not None else set()
+            removed = (
+                {r["physical_path"] for r in drain_rows(self._removed_paths)}
+                if self._removed_paths is not None
+                else set()
+            )
             survivors = [e for e in current if e["data_file"]["file_path"] not in removed]
-            add_rows = self._adds.collect() if self._adds is not None else []
-            entries = survivors + [
-                self._entry_from_row(r, snapshot_id, seq, status=1) for r in add_rows
-            ]
-            counts = (len(add_rows), len(survivors), len(current) - len(survivors))
+            n_added = 0
+            entries = list(survivors)
+            if self._adds is not None:
+                for r in drain_rows(self._adds):
+                    entries.append(self._entry_from_row(r, snapshot_id, seq, status=1))
+                    n_added += 1
+            counts = (n_added, len(survivors), len(current) - len(survivors))
 
         # carried-forward entries become EXISTING
         for e in entries:
             if e.get("status") == 1 and e.get("snapshot_id") != snapshot_id:
                 e["status"] = 0
 
-        # spec-accurate manifest-list stats: carried-forward EXISTING entries
-        # keep their original (older) sequence numbers, so min_sequence_number
-        # is the minimum across entries, and row counts split added (this
-        # snapshot) vs existing — readers prune on these
-        # (iceberg spec manifest-list fields 516/512-514).
-        min_seq = min(
-            (
-                e["sequence_number"] if e.get("sequence_number") is not None else seq
-                for e in entries
-            ),
-            default=seq,
-        )
-        added_rows = sum(
-            e["data_file"]["record_count"] for e in entries if e.get("snapshot_id") == snapshot_id
-        )
-        existing_rows = sum(
-            e["data_file"]["record_count"] for e in entries if e.get("snapshot_id") != snapshot_id
-        )
-
-        manifest_path, manifest_len = self._write_manifest(entries, snapshot_id, seq)
-        list_path = self._write_manifest_list(
-            manifest_path, manifest_len, snapshot_id, seq, min_seq, counts,
-            (added_rows, existing_rows),
-        )
+        manifests = self._write_manifests(entries, snapshot_id, seq, counts[2])
+        list_path = self._write_manifest_list(manifests, snapshot_id, seq)
         self._write_table_metadata(meta, snapshot_id, seq, list_path, now_ms)
         self._committed_snapshot = snapshot_id
         return snapshot_id
@@ -636,6 +624,12 @@ class IcebergConversionTarget:
                     entries.append(entry)
         return entries
 
+    # entries per manifest file: bounds each driver-side avro write (and
+    # the py4j buffer behind it) — a 10M-file snapshot becomes 100
+    # manifests in one manifest list, the spec's own fan-out, instead of
+    # one giant file
+    MANIFEST_CHUNK = 100_000
+
     def _write_manifest(self, entries: list[dict], snapshot_id: int, seq: int) -> tuple[str, int]:
         path = os.path.join(metadata_dir(self.base_path), f"{uuid.uuid4().hex}-m0.avro")
         schema_json = manifest_entry_schema(self._partition_cols)
@@ -653,42 +647,63 @@ class IcebergConversionTarget:
         )
         return path, length
 
-    def _write_manifest_list(
-        self,
-        manifest_path: str,
-        manifest_len: int,
-        snapshot_id: int,
-        seq: int,
-        min_seq: int,
-        counts: tuple[int, int, int],
-        row_counts: tuple[int, int],
-    ) -> str:
-        added, existing, deleted = counts
-        added_rows, existing_rows = row_counts
-        path = os.path.join(
-            metadata_dir(self.base_path), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
-        )
-        self.avro.write_records(
-            path,
-            MANIFEST_LIST_SCHEMA,
-            [
+    def _write_manifests(
+        self, entries: list[dict], snapshot_id: int, seq: int, deleted_count: int
+    ) -> list[dict]:
+        """Write entries as MANIFEST_CHUNK-sized manifest files and return
+        one manifest-list record per file with spec-accurate per-manifest
+        stats: carried-forward EXISTING entries keep their original
+        (older) sequence numbers, so min_sequence_number is the minimum
+        across that manifest's entries, and row counts split added (this
+        snapshot) vs existing — readers prune on these (iceberg spec
+        manifest-list fields 516/512-514)."""
+        chunk_sz = self.MANIFEST_CHUNK
+        chunks = [
+            entries[i : i + chunk_sz] for i in range(0, len(entries), chunk_sz)
+        ] or [[]]
+        records = []
+        for idx, chunk in enumerate(chunks):
+            path, length = self._write_manifest(chunk, snapshot_id, seq)
+            min_seq = min(
+                (
+                    e["sequence_number"] if e.get("sequence_number") is not None else seq
+                    for e in chunk
+                ),
+                default=seq,
+            )
+            added = [e for e in chunk if e.get("snapshot_id") == snapshot_id]
+            existing = [e for e in chunk if e.get("snapshot_id") != snapshot_id]
+            records.append(
                 {
-                    "manifest_path": manifest_path,
-                    "manifest_length": manifest_len,
+                    "manifest_path": path,
+                    "manifest_length": length,
                     "partition_spec_id": 0,
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": min_seq,
                     "added_snapshot_id": snapshot_id,
-                    "added_files_count": added,
-                    "existing_files_count": existing,
-                    "deleted_files_count": deleted,
-                    "added_rows_count": added_rows,
-                    "existing_rows_count": existing_rows,
+                    "added_files_count": len(added),
+                    "existing_files_count": len(existing),
+                    # compacted-overwrite semantics write no DELETED
+                    # entries; the snapshot-level deletion tally rides on
+                    # the first manifest record (back-compat with the
+                    # single-manifest layout)
+                    "deleted_files_count": deleted_count if idx == 0 else 0,
+                    "added_rows_count": sum(e["data_file"]["record_count"] for e in added),
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in existing
+                    ),
                     "deleted_rows_count": 0,
                 }
-            ],
-            {"format-version": "2"},
+            )
+        return records
+
+    def _write_manifest_list(self, manifest_records: list[dict], snapshot_id: int, seq: int) -> str:
+        path = os.path.join(
+            metadata_dir(self.base_path), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        self.avro.write_records(
+            path, MANIFEST_LIST_SCHEMA, manifest_records, {"format-version": "2"}
         )
         return path
 

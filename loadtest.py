@@ -19,10 +19,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+
+def rss_mb() -> float:
+    """Driver resident set size in MB (/proc, linux)."""
+    with open("/proc/self/status", encoding="utf-8") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return round(int(line.split()[1]) / 1024.0, 1)
+    return -1.0
 
 from pyspark.sql import functions as F
 
@@ -134,6 +144,7 @@ def scenario_full(spark, n_files: int, n_partitions: int) -> dict:
     try:
         source = SyntheticSource(spark, n_files, n_partitions, ["1"], 0)
         target = DeltaConversionTarget(spark, work)
+        rss_before = rss_mb()
         t0 = time.perf_counter()
         res = ConversionController().sync(source, {TableFormat.DELTA: target})
         wall = time.perf_counter() - t0
@@ -146,6 +157,9 @@ def scenario_full(spark, n_files: int, n_partitions: int) -> dict:
             "status": status.value,
             "live_files_committed": live,
             "seconds": round(wall, 2),
+            "streaming": os.environ.get("XT_STREAM_INVENTORY", "") == "1",
+            "rss_mb_before": rss_before,
+            "rss_mb_after": rss_mb(),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -162,9 +176,11 @@ def scenario_incremental(spark, n_commits: int, per_commit: int, n_partitions: i
             SyntheticSource(spark, per_commit, n_partitions, ["0"], per_commit),
             {TableFormat.DELTA: target},
         )
+        rss_curve = [rss_mb()]
         t0 = time.perf_counter()
         res = ConversionController().sync(source, {TableFormat.DELTA: target})
         wall = time.perf_counter() - t0
+        rss_curve.append(rss_mb())
         return {
             "scenario": "incremental_replay",
             "commits": n_commits,
@@ -173,6 +189,8 @@ def scenario_incremental(spark, n_commits: int, per_commit: int, n_partitions: i
             "mode": res[TableFormat.DELTA].mode.value,
             "seconds": round(wall, 2),
             "seconds_per_commit": round(wall / n_commits, 3),
+            "streaming": os.environ.get("XT_STREAM_INVENTORY", "") == "1",
+            "rss_mb_curve": rss_curve,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -184,7 +202,15 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=1_000)
     ap.add_argument("--commits", type=int, default=100)
     ap.add_argument("--per-commit", type=int, default=1_000)
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="drain inventories via toLocalIterator (flat driver RSS; "
+        "see model.core.drain_rows)",
+    )
     args = ap.parse_args()
+    if args.stream:
+        os.environ["XT_STREAM_INVENTORY"] = "1"
 
     spark = get_spark("xtable_loadtest")
     spark.sparkContext.setLogLevel("ERROR")

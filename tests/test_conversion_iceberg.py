@@ -183,3 +183,39 @@ def test_iceberg_stats_roundtrip_to_delta(spark, source_dir, tmp_path):
     all_mins = [_json.loads(r["stats"])["minValues"]["r_regionkey"] for r in live]
     all_maxs = [_json.loads(r["stats"])["maxValues"]["r_regionkey"] for r in live]
     assert min(all_mins) == 0 and max(all_maxs) == 4
+
+
+def test_chunked_manifests_roundtrip(spark, tmp_path, monkeypatch):
+    """With MANIFEST_CHUNK smaller than the file count, a commit fans out
+    into multiple manifests in one manifest list and reads back whole."""
+    from incubator_xtable_spark.model.core import TableFormat as TF
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "chunked")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .repartition(7)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    monkeypatch.setattr(IcebergConversionTarget, "MANIFEST_CHUNK", 3)
+    source = ParquetConversionSource(spark, d, name="nation")
+    target = IcebergConversionTarget(spark, d, table_name="nation")
+    res = ConversionController().sync(source, {TF.ICEBERG: target})
+    assert res[TF.ICEBERG].status.value == "SUCCESS", res[TF.ICEBERG].error
+
+    src = IcebergConversionSource(spark, d)
+    meta = src._meta()
+    snap = src._snapshot_by_id(meta, meta["current-snapshot-id"])
+    manifests = src.avro.read_records(snap["manifest-list"])
+    assert len(manifests) >= 3  # 7 files / chunk of 3
+    assert sum(m["added_files_count"] for m in manifests) == 7
+    assert read_iceberg_as_df(spark, d).count() == 25
