@@ -120,6 +120,67 @@ def iceberg_type_to_spark(t: Any) -> tuple[T.DataType, dict]:
     raise ValueError(f"unsupported iceberg type: {t}")
 
 
+NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+def name_mapping_json(schema: T.StructType) -> list[dict]:
+    """Iceberg name-mapping (spec `schema.name-mapping.default`) so
+    engines can read field-id-less Parquet written by other tools: maps
+    every field id to its readable names, nested element/key/value
+    included. When a field carries a storage name (Delta column-mapping
+    physical name), both names map to the id — the reference swaps in the
+    storage name the same way (IcebergConversionTarget.java:182-213,
+    IcebergTableManager.java:1-126 sets the property)."""
+    from incubator_xtable_spark.model.schema_meta import STORAGE_NAME
+
+    fields_json = schema_to_iceberg_fields(assign_field_ids(schema))
+    spark_by_name = {f.name: f for f in schema.fields}
+
+    def map_type(t: Any, spark_dt: Optional[T.DataType]) -> list[dict]:
+        if not isinstance(t, dict):
+            return []
+        kind = t.get("type")
+        if kind == "struct":
+            sub_spark = spark_dt if isinstance(spark_dt, T.StructType) else None
+            return [
+                map_field(f, sub_spark[f["name"]] if sub_spark and f["name"] in sub_spark.fieldNames() else None)
+                for f in t["fields"]
+            ]
+        if kind == "list":
+            elem_spark = spark_dt.elementType if isinstance(spark_dt, T.ArrayType) else None
+            entry = {"field-id": t["element-id"], "names": ["element"]}
+            nested = map_type(t["element"], elem_spark)
+            if nested:
+                entry["fields"] = nested
+            return [entry]
+        if kind == "map":
+            key_spark = spark_dt.keyType if isinstance(spark_dt, T.MapType) else None
+            val_spark = spark_dt.valueType if isinstance(spark_dt, T.MapType) else None
+            key_entry = {"field-id": t["key-id"], "names": ["key"]}
+            val_entry = {"field-id": t["value-id"], "names": ["value"]}
+            kn, vn = map_type(t["key"], key_spark), map_type(t["value"], val_spark)
+            if kn:
+                key_entry["fields"] = kn
+            if vn:
+                val_entry["fields"] = vn
+            return [key_entry, val_entry]
+        return []
+
+    def map_field(f: dict, spark_field: Optional[T.StructField]) -> dict:
+        names = [f["name"]]
+        meta = (spark_field.metadata or {}) if spark_field is not None else {}
+        storage = meta.get(STORAGE_NAME)
+        if storage and storage != f["name"]:
+            names.insert(0, storage)
+        entry = {"field-id": f["id"], "names": names}
+        nested = map_type(f["type"], spark_field.dataType if spark_field is not None else None)
+        if nested:
+            entry["fields"] = nested
+        return entry
+
+    return [map_field(f, spark_by_name.get(f["name"])) for f in fields_json]
+
+
 def _max_field_id(schema: T.StructType) -> int:
     """Largest id anywhere: named fields at any depth (through arrays and
     maps) plus stashed nested element/key/value ids."""
@@ -742,6 +803,10 @@ class IcebergConversionTarget:
         properties = dict((prev or {}).get("properties") or {})
         if self._metadata_json is not None:
             properties[XTABLE_METADATA_KEY] = self._metadata_json
+        if self._schema is not None and len(self._schema.fields):
+            # converted data files carry no iceberg field ids; the name
+            # mapping keeps them readable by id-based engines
+            properties[NAME_MAPPING_PROP] = json.dumps(name_mapping_json(self._schema))
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": (prev or {}).get("current-snapshot-id"),

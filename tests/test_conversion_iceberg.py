@@ -219,3 +219,75 @@ def test_chunked_manifests_roundtrip(spark, tmp_path, monkeypatch):
     assert len(manifests) >= 3  # 7 files / chunk of 3
     assert sum(m["added_files_count"] for m in manifests) == 7
     assert read_iceberg_as_df(spark, d).count() == 25
+
+
+def test_name_mapping_property_written(spark, tmp_path):
+    """Converted tables advertise schema.name-mapping.default so id-based
+    engines resolve the field-id-less parquet
+    (IcebergTableManager.java:1-126)."""
+    import json as _json
+
+    from incubator_xtable_spark.model.core import TableFormat as TF
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_target import (
+        NAME_MAPPING_PROP,
+        IcebergConversionTarget,
+        read_table_metadata,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "nm")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").write.mode("overwrite").parquet(d)
+    source = ParquetConversionSource(spark, d, name="nation")
+    target = IcebergConversionTarget(spark, d, table_name="nation")
+    res = ConversionController().sync(source, {TF.ICEBERG: target})
+    assert res[TF.ICEBERG].status.value == "SUCCESS", res[TF.ICEBERG].error
+
+    meta = read_table_metadata(d)
+    mapping = _json.loads(meta["properties"][NAME_MAPPING_PROP])
+    schema_fields = meta["schemas"][0]["fields"]
+    # every schema field id is mapped to its name
+    by_id = {e["field-id"]: e["names"] for e in mapping}
+    for f in schema_fields:
+        assert f["name"] in by_id[f["id"]]
+
+
+def test_name_mapping_nested_and_storage_names():
+    """Nested element/key/value ids map; Delta column-mapping storage
+    names map alongside logical names."""
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.schema_meta import FIELD_ID, STORAGE_NAME
+    from incubator_xtable_spark.targets.iceberg_target import (
+        name_mapping_json,
+        schema_to_iceberg_fields,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False, {FIELD_ID: 1, STORAGE_NAME: "col-abc123"}),
+            T.StructField(
+                "tags",
+                T.ArrayType(
+                    T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())])
+                ),
+                True,
+            ),
+            T.StructField("attrs", T.MapType(T.StringType(), T.DoubleType()), True),
+        ]
+    )
+    mapping = name_mapping_json(schema)
+    by_name = {e["names"][-1]: e for e in mapping}
+    assert by_name["id"]["names"] == ["col-abc123", "id"]
+    tags = by_name["tags"]
+    assert tags["fields"][0]["names"] == ["element"]
+    elem_fields = {f["names"][0] for f in tags["fields"][0]["fields"]}
+    assert elem_fields == {"k", "v"}
+    attrs = by_name["attrs"]
+    assert [f["names"] for f in attrs["fields"]] == [["key"], ["value"]]
+    # ids in the mapping agree with the schema export
+    fields = schema_to_iceberg_fields(schema)
+    t = next(f for f in fields if f["name"] == "tags")["type"]
+    assert tags["fields"][0]["field-id"] == t["element-id"]
