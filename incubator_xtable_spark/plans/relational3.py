@@ -148,16 +148,17 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(money(F.col("l_extendedprice"))).cast("decimal(38,2)").alias("supp_value")
     )
-    threshold = (
-        li.agg(
-            (F.sum(money(F.col("l_extendedprice"))) * F.lit("0.0015").cast("decimal(6,4)"))
-            .cast("decimal(38,6)")
-            .alias("thr")
-        )
-        .collect()[0]["thr"]
+    # scalar "subquery" stays in-plan: broadcast the 1-row aggregate
+    # instead of a driver collect (one job, no synchronous round-trip)
+    threshold = li.agg(
+        (F.sum(money(F.col("l_extendedprice"))) * F.lit("0.0015").cast("decimal(6,4)"))
+        .cast("decimal(38,6)")
+        .alias("thr")
     )
-    return per_supp.filter(F.col("supp_value") > F.lit(threshold)).select(
-        "l_suppkey", F.col("supp_value").cast("double").alias("supp_value")
+    return (
+        per_supp.crossJoin(F.broadcast(threshold))
+        .filter(F.col("supp_value") > F.col("thr"))
+        .select("l_suppkey", F.col("supp_value").cast("double").alias("supp_value"))
     )
 
 

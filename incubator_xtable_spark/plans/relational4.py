@@ -48,11 +48,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("total_revenue")
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    # broadcast the 1-row max instead of a driver collect (in-plan scalar)
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
     supp = t(spark, sf_dir, "supplier")
     return (
         supp.join(rev, supp.s_suppkey == rev.supplier_no)
-        .filter(F.col("total_revenue") == F.lit(max_rev))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
         .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -175,13 +177,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("date")
     )
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(money(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("a"))
-        .collect()[0]["a"]
+    # broadcast the 1-row global average instead of a driver collect
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(money(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("a")
     )
     return (
-        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .drop("a")
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
         .agg(
