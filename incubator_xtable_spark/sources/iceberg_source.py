@@ -10,6 +10,11 @@ Reference parity:
 - incremental-safety (broken chain => snapshot expired => unsafe)
                                      iceberg/IcebergConversionSource.java:266-290
 - schema w/ field ids                iceberg/IcebergSchemaExtractor.java:114-300
+- v2 position deletes: content=1 manifests, file_path/pos delete parquet,
+  the delete_seq >= data_seq application rule. Reads apply them row-level
+  (delete scan distributes with the data scan); conversions expose purged
+  shadow files so every target stays row-accurate (same posture as the
+  Delta DV path in sources/delta_dv.py).
 """
 
 from __future__ import annotations
@@ -93,28 +98,149 @@ class IcebergConversionSource:
         return next((s for s in meta.get("snapshots", []) if s["snapshot-id"] == snapshot_id), None)
 
     def _live_entries(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """Live DATA entries (data_file.content 0/absent)."""
+        return self._entries_by_content(meta, snapshot_id)[0]
+
+    def _live_delete_entries(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """Live v2 POSITION-DELETE entries (data_file.content == 1)."""
+        return self._entries_by_content(meta, snapshot_id)[1]
+
+    def _entries_by_content(self, meta: dict, snapshot_id: int) -> tuple[list[dict], list[dict]]:
         snap = self._snapshot_by_id(meta, snapshot_id)
         if snap is None:
-            return []
-        entries: list[dict] = []
+            return [], []
+        data: list[dict] = []
+        deletes: list[dict] = []
         for mf in self.avro.read_records(snap["manifest-list"]):
             for entry in self.avro.read_records(mf["manifest_path"]):
-                if entry["status"] != 2:
-                    entries.append(entry)
-        return entries
+                if entry["status"] == 2:
+                    continue
+                content = entry["data_file"].get("content") or 0
+                (deletes if content == 1 else data).append(entry)
+        return data, deletes
+
+    # -- v2 position deletes ------------------------------------------------
+
+    def _positions_df(self, delete_entries: list[dict]) -> DataFrame:
+        """Union the position-delete parquet files (spec columns
+        file_path/pos) tagged with each delete file's sequence number —
+        a distributed scan, the positions never touch the driver."""
+        parts = []
+        for e in delete_entries:
+            seq = e.get("sequence_number") or 0
+            p = (
+                self.spark.read.schema("file_path STRING, pos LONG")
+                .parquet(e["data_file"]["file_path"])
+                .withColumn("delete_seq", F.lit(int(seq)))
+            )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _applicable_deletes(
+        self, data_entries: list[dict], delete_entries: list[dict]
+    ) -> dict[str, dict]:
+        """Per affected data file: the delete-file set that applies (v2
+        rule: delete.sequence_number >= data file's sequence number) and
+        the deterministic shadow path. Metadata-sized driver dict — one
+        row per AFFECTED file, not per deleted row."""
+        import hashlib
+
+        if not delete_entries:
+            return {}
+        data_seq = {
+            e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
+            for e in data_entries
+        }
+        seq_rows = [(p, s) for p, s in data_seq.items()]
+        seq_df = self.spark.createDataFrame(seq_rows, "file_path STRING, data_seq LONG")
+        counts = (
+            self._positions_df(delete_entries)
+            .join(F.broadcast(seq_df), "file_path")
+            .filter(F.col("delete_seq") >= F.col("data_seq"))
+            .groupBy("file_path")
+            .agg(F.countDistinct("pos").alias("n_deleted"))
+            .collect()
+        )
+        del_id = hashlib.md5(
+            "|".join(sorted(e["data_file"]["file_path"] for e in delete_entries)).encode()
+        ).hexdigest()[:8]
+        out = {}
+        for r in counts:
+            path = r["file_path"]
+            stem = path[: -len(".parquet")] if path.endswith(".parquet") else path
+            out[path] = {
+                "shadow_path": f"{stem}.purged-{del_id}.parquet",
+                "n_deleted": int(r["n_deleted"]),
+            }
+        return out
+
+    def _materialize_delete_shadows(
+        self, affected: dict[str, dict], delete_entries: list[dict], data_entries: list[dict]
+    ) -> None:
+        """Write purged shadow files for data files with applicable
+        position deletes — executor-side, one task per affected file,
+        idempotent (same posture as sources/delta_dv.write_purged_files;
+        no target format here can express row-level deletes without its
+        own delete files, so conversion rewrites ONLY the affected
+        files)."""
+        todo = {p: i for p, i in affected.items() if not os.path.exists(i["shadow_path"])}
+        if not todo:
+            return
+        data_seq = {
+            e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
+            for e in data_entries
+        }
+        positions = self._positions_df(delete_entries)
+        plan = self.spark.createDataFrame(
+            [(p, i["shadow_path"], data_seq.get(p, 0)) for p, i in todo.items()],
+            "file_path STRING, shadow_path STRING, data_seq LONG",
+        )
+        joined = positions.join(F.broadcast(plan), "file_path").filter(
+            F.col("delete_seq") >= F.col("data_seq")
+        )
+
+        def _purge(key, pdf):
+            import os as _os
+
+            import pandas as pd
+            import pyarrow.parquet as pq
+            import numpy as np
+
+            src = pdf["file_path"].iloc[0]
+            out = pdf["shadow_path"].iloc[0]
+            if not _os.path.exists(out):
+                table = pq.read_table(src)
+                drop = np.unique(pdf["pos"].to_numpy().astype(np.int64))
+                keep = np.setdiff1d(
+                    np.arange(table.num_rows, dtype=np.int64), drop, assume_unique=True
+                )
+                tmp = out + f".tmp-{_os.getpid()}"
+                pq.write_table(table.take(keep), tmp)
+                _os.replace(tmp, out)
+            return pd.DataFrame({"out": [out]})
+
+        joined.groupBy("file_path").applyInPandas(_purge, "out STRING").count()
 
     def get_current_snapshot(self) -> InternalSnapshot:
         meta = self._meta()
         table = self.get_current_table()
         snapshot_id = meta["current-snapshot-id"]
-        entries = self._live_entries(meta, snapshot_id)
+        entries, deletes = self._entries_by_content(meta, snapshot_id)
+        affected = self._applicable_deletes(entries, deletes)
+        if affected:
+            self._materialize_delete_shadows(affected, deletes, entries)
         return InternalSnapshot(
             table=table,
             version=str(snapshot_id),
-            files=self._to_inventory(entries, table),
+            files=self._to_inventory(entries, table, affected),
         )
 
-    def _to_inventory(self, entries: list[dict], table: InternalTable) -> DataFrame:
+    def _to_inventory(
+        self, entries: list[dict], table: InternalTable, affected: Optional[dict] = None
+    ) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
         from incubator_xtable_spark.model.iceberg_values import from_iceberg_bytes
@@ -149,18 +275,67 @@ class IcebergConversionSource:
                     "max_json": encode_stat(from_iceberg_bytes(upper.get(fid), f.dataType), f.dataType),
                     "null_count": nulls.get(fid),
                 }
-            rows.append(
-                (
-                    df["file_path"],
-                    df["file_format"],
-                    int(df["file_size_in_bytes"]),
-                    int(df["record_count"]),
-                    None,
-                    pv,
-                    col_stats or None,
+            shadow = (affected or {}).get(df["file_path"])
+            if shadow is not None:
+                # position deletes apply: expose the purged shadow with
+                # corrected row count; stats recomputed from its footer
+                sp = shadow["shadow_path"]
+                size = (
+                    int(os.path.getsize(sp))
+                    if os.path.exists(sp)
+                    else int(df["file_size_in_bytes"])
                 )
+                rows.append(
+                    (
+                        sp,
+                        df["file_format"],
+                        size,
+                        int(df["record_count"]) - shadow["n_deleted"],
+                        None,
+                        pv,
+                        None,
+                    )
+                )
+            else:
+                rows.append(
+                    (
+                        df["file_path"],
+                        df["file_format"],
+                        int(df["file_size_in_bytes"]),
+                        int(df["record_count"]),
+                        None,
+                        pv,
+                        col_stats or None,
+                    )
+                )
+        inv = self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)
+        if affected:
+            from incubator_xtable_spark.sources.parquet_source import data_schema, footer_stats
+
+            # only footer-read shadows that exist on disk (a removed-side
+            # inventory may reference shadows from an earlier sync run)
+            shadow_paths = [
+                i["shadow_path"]
+                for i in affected.values()
+                if os.path.exists(i["shadow_path"])
+            ]
+            if not shadow_paths:
+                return inv
+            shadows = inv.filter(F.col("physical_path").isin(shadow_paths))
+            stats = footer_stats(
+                self.spark, shadows.select("physical_path"), data_schema(table)
+            ).withColumnRenamed("record_count", "rc2").withColumnRenamed(
+                "column_stats", "cs2"
             )
-        return self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)
+            shadows = (
+                shadows.join(stats, "physical_path", "left")
+                .withColumn("record_count", F.coalesce(F.col("rc2"), F.col("record_count")))
+                .withColumn("column_stats", F.col("cs2"))
+                .drop("rc2", "cs2")
+                .select(*[f.name for f in FILE_INVENTORY_SCHEMA.fields])
+            )
+            inv = inv.filter(~F.col("physical_path").isin(shadow_paths)).unionByName(shadows)
+        return inv
 
     # -- commits -----------------------------------------------------------
 
@@ -195,28 +370,40 @@ class IcebergConversionSource:
         return False
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
-        """added/removed files = set difference against the parent snapshot
-        (snapshot.addedDataFiles/removedDataFiles equivalent)."""
+        """added/removed files = set difference against the parent
+        snapshot (snapshot.addedDataFiles/removedDataFiles equivalent),
+        keyed by EFFECTIVE path: a data file whose applicable position-
+        delete set changed swaps its previous shadow for the new one, so
+        targets stay row-accurate (same posture as the Delta DV diff)."""
         meta = self._meta()
         table = self.get_current_table()
         snapshot_id = int(commit)
         snap = self._snapshot_by_id(meta, snapshot_id)
-        cur_paths = {
-            e["data_file"]["file_path"]: e for e in self._live_entries(meta, snapshot_id)
-        }
+
+        def eff_view(sid: Optional[int], materialize: bool):
+            if sid is None:
+                return {}, {}
+            data, dels = self._entries_by_content(meta, sid)
+            affected = self._applicable_deletes(data, dels)
+            if affected and materialize:
+                self._materialize_delete_shadows(affected, dels, data)
+            eff = {}
+            for e in data:
+                p = e["data_file"]["file_path"]
+                eff[affected[p]["shadow_path"] if p in affected else p] = e
+            return eff, affected
+
+        cur_eff, cur_affected = eff_view(snapshot_id, materialize=True)
         parent = snap.get("parent-snapshot-id") if snap else None
-        prev_paths = (
-            {e["data_file"]["file_path"]: e for e in self._live_entries(meta, parent)}
-            if parent is not None
-            else {}
-        )
-        added = [e for p, e in cur_paths.items() if p not in prev_paths]
-        removed = [e for p, e in prev_paths.items() if p not in cur_paths]
+        prev_eff, prev_affected = eff_view(parent, materialize=False)
+
+        added = [e for p, e in cur_eff.items() if p not in prev_eff]
+        removed = [e for p, e in prev_eff.items() if p not in cur_eff]
         return TableChange(
             table=table,
             commit_id=commit,
-            files_added=self._to_inventory(added, table),
-            files_removed=self._to_inventory(removed, table),
+            files_added=self._to_inventory(added, table, cur_affected),
+            files_removed=self._to_inventory(removed, table, prev_affected),
         )
 
     def get_commit_identifier(self, commit: str) -> str:
@@ -237,7 +424,7 @@ def read_iceberg_as_df(
     meta = src._meta()
     table = src.get_current_table()
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
-    entries = src._live_entries(meta, sid)
+    entries, delete_entries = src._entries_by_content(meta, sid)
     paths = [e["data_file"]["file_path"] for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)
@@ -246,6 +433,36 @@ def read_iceberg_as_df(
 
     data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
     df = spark.read.schema(data_fields).parquet(*paths)
+    if delete_entries:
+        # v2 position deletes applied row-level: the delete parquet scan
+        # distributes with the data scan, anti-joined on
+        # (_metadata.file_path, _metadata.row_index) under the sequence
+        # rule delete_seq >= data_seq — no driver-side positions
+        seq_df = spark.createDataFrame(
+            [
+                (e["data_file"]["file_path"], int(e.get("sequence_number") or 0))
+                for e in entries
+            ],
+            "file_path STRING, data_seq LONG",
+        )
+        applicable = (
+            src._positions_df(delete_entries)
+            .join(F.broadcast(seq_df), "file_path")
+            .filter(F.col("delete_seq") >= F.col("data_seq"))
+            .select("file_path", "pos")
+        )
+        df = (
+            df.withColumn(
+                "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+            )
+            .withColumn("_ri", F.col("_metadata.row_index"))
+            .join(
+                applicable,
+                (F.col("_fp") == applicable.file_path) & (F.col("_ri") == applicable.pos),
+                "left_anti",
+            )
+            .drop("_fp", "_ri")
+        )
     if part_cols:
         pv_rows = [
             (e["data_file"]["file_path"], {c: e["data_file"]["partition"].get(c) for c in part_cols})
