@@ -31,14 +31,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and floor-truncate to micros —
-        # exactly what DuckDB does when it reads the same file, so the
-        # oracle sees identical values.
+        # The events table's ts column has shipped in two flavors across
+        # testdata generations: TIMESTAMP(NANOS) (Spark rejects without
+        # nanosAsLong; floor-truncate to micros exactly like DuckDB) and
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+        # TIMESTAMP_NTZ). Normalize both to TIMESTAMP_LTZ under a pinned
+        # UTC session so unix_micros/date_trunc/windows are deterministic
+        # and bit-match the DuckDB oracle's naive-timestamp view.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # wall-clock == UTC instant under the pinned session tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
