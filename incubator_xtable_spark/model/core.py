@@ -31,12 +31,13 @@ from pyspark.sql import types as T
 
 
 class TableFormat(str, enum.Enum):
-    """model/storage/TableFormat.java:26-35 (PAIMON out of v1 scope)."""
+    """model/storage/TableFormat.java:26-35."""
 
     DELTA = "DELTA"
     ICEBERG = "ICEBERG"
     HUDI = "HUDI"
     PARQUET = "PARQUET"
+    PAIMON = "PAIMON"  # source-only, like the reference
 
 
 class SyncMode(str, enum.Enum):

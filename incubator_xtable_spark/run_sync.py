@@ -125,6 +125,10 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
         from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
 
         return IcebergConversionSource(spark, base, name=name)
+    if fmt == TableFormat.PAIMON.value:
+        from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
+
+        return PaimonConversionSource(spark, base, name=name)
     raise ValueError(f"unsupported source format: {fmt}")
 
 

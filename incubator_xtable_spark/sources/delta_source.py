@@ -327,7 +327,9 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             [(os.path.join(base, r["path"]), dict(r["partitionValues"] or {})) for r in live],
             "abs_path STRING, pv MAP<STRING,STRING>",
         )
-        df = df.withColumn("abs_path", F.regexp_replace(F.input_file_name(), "^file:", ""))
+        # input_file_name() may yield file:/p or file:///p depending on the
+        # file index path — strip both forms (URI authority is empty)
+        df = df.withColumn("abs_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", ""))
         df = df.join(F.broadcast(pv), "abs_path", "left")
         for c in part_cols:
             df = df.withColumn(c, F.col("pv").getItem(c).cast(schema[c].dataType))

@@ -93,7 +93,7 @@ def relativize_expr(base_path: str, col: str = "physical_path"):
     """Strip an optional file: scheme plus the literal base-path prefix
     (substring arithmetic, no regex — metachar-safe)."""
     base = base_path.rstrip("/") + "/"
-    p = F.regexp_replace(F.col(col), r"^file:", "")
+    p = F.regexp_replace(F.col(col), r"^file:(//)?", "")
     return F.when(p.startswith(base), p.substr(F.lit(len(base) + 1), F.length(p))).otherwise(p)
 
 

@@ -469,7 +469,7 @@ def read_iceberg_as_df(
             for e in entries
         ]
         pv = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
-        df = df.withColumn("abs_path", F.regexp_replace(F.input_file_name(), "^file:", ""))
+        df = df.withColumn("abs_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", ""))
         df = df.join(F.broadcast(pv), "abs_path", "left")
         for c in part_cols:
             df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))

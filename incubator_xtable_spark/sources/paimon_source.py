@@ -1,0 +1,658 @@
+"""Paimon conversion source: reads a Paimon FileStore table's metadata
+tree (schema/schema-N JSON -> snapshot/snapshot-N JSON -> manifest-list
+avro -> manifest avro -> BinaryRow-encoded partitions/stats) directly —
+the environment has no Paimon jars, so the on-disk format is implemented
+from the public Paimon spec (no Paimon code involved).
+
+Reference parity (behavior mirrored, file:line into /root/reference):
+- table extraction (schema at snapshot.schemaId, identity partition
+  fields, HIVE_STYLE layout)     paimon/PaimonConversionSource.java:70-95
+- snapshot scan (full base+delta manifest merge; primary-key tables read
+  only top-level i.e. fully-compacted files)
+                                 paimon/PaimonDataFileExtractor.java:58-66,155-168
+- commit diff (delta manifests only; ADD -> added, DELETE -> removed;
+  PK tables skip non-top levels) paimon/PaimonDataFileExtractor.java:108-153
+- commits backlog (snapshots strictly after the last-synced instant)
+                                 paimon/PaimonConversionSource.java:139-175
+- incremental-safety (future instant / expired snapshots -> unsafe)
+                                 paimon/PaimonConversionSource.java:177-221
+- schema extraction              paimon/PaimonSchemaExtractor.java:71-231
+- stats extraction (valueStats min/max/nullCounts + valueStatsCols)
+                                 paimon/PaimonStatsExtractor.java:53-187
+- partition values + hive path (key=value, default name for null)
+                                 paimon/PaimonPartitionExtractor.java:63-88
+
+Design deltas (documented, Spark-first):
+- commit handles and InternalSnapshot.version are snapshot-id strings
+  (the reference uses timeMillis; ids are the same total order, without
+  same-millisecond collisions, and match the repo's Iceberg convention);
+- the file inventory is a DataFrame (FILE_INVENTORY_SCHEMA) — diffs are
+  anti-joins downstream, not driver lists.
+
+Scale posture: manifest avro files are read driver-side through the JVM
+(same posture as the Iceberg source — one manifest is ~O(10k) entries of
+metadata, and manifest-list fan-out is bounded by Paimon's own manifest
+compaction); the data files themselves are never touched except via
+distributed Spark scans in read_paimon_as_df.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model import schema_meta
+from incubator_xtable_spark.model.core import (
+    CommitsBacklog,
+    DataLayoutStrategy,
+    FILE_INVENTORY_SCHEMA,
+    InstantsForIncrementalSync,
+    InternalPartitionField,
+    InternalSnapshot,
+    InternalTable,
+    PartitionTransformType,
+    TableChange,
+    TableFormat,
+)
+from incubator_xtable_spark.model.paimon_binary import (
+    PaimonFieldType,
+    decode_binary_row,
+    decode_long_array,
+)
+from incubator_xtable_spark.model.stat_codec import encode_stat
+from incubator_xtable_spark.targets.iceberg_target import AvroIO
+
+DEFAULT_PARTITION_NAME = "__DEFAULT_PARTITION__"  # CoreOptions partition.default-name
+# CoreOptions: num-levels defaults to num-sorted-run.compaction-trigger (5) + 1
+DEFAULT_NUM_LEVELS = 6
+
+FILE_KIND_ADD = 0
+FILE_KIND_DELETE = 1
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifest-list / manifest files. Field names follow the
+# public RowTypes of ManifestFileMeta.SCHEMA / ManifestEntry.SCHEMA /
+# DataFileMeta.SCHEMA (leading-underscore convention); records carry the
+# Paimon avro record name. Shared with the test fixture writer.
+# ---------------------------------------------------------------------------
+
+SIMPLE_STATS_SCHEMA = {
+    "type": "record",
+    "name": "SimpleStats",
+    "namespace": "org.apache.paimon.avro.generated",
+    "fields": [
+        {"name": "_MIN_VALUES", "type": "bytes"},
+        {"name": "_MAX_VALUES", "type": "bytes"},
+        {"name": "_NULL_COUNTS", "type": "bytes"},
+    ],
+}
+
+MANIFEST_LIST_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "record",
+        "namespace": "org.apache.paimon.avro.generated",
+        "fields": [
+            {"name": "_VERSION", "type": "int"},
+            {"name": "_FILE_NAME", "type": "string"},
+            {"name": "_FILE_SIZE", "type": "long"},
+            {"name": "_NUM_ADDED_FILES", "type": "long"},
+            {"name": "_NUM_DELETED_FILES", "type": "long"},
+            {"name": "_PARTITION_STATS", "type": SIMPLE_STATS_SCHEMA},
+            {"name": "_SCHEMA_ID", "type": "long"},
+        ],
+    }
+)
+
+MANIFEST_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "record",
+        "namespace": "org.apache.paimon.avro.generated",
+        "fields": [
+            {"name": "_VERSION", "type": "int"},
+            {"name": "_KIND", "type": "int"},
+            {"name": "_PARTITION", "type": "bytes"},
+            {"name": "_BUCKET", "type": "int"},
+            {"name": "_TOTAL_BUCKETS", "type": "int"},
+            {
+                "name": "_FILE",
+                "type": {
+                    "type": "record",
+                    "name": "DataFileMeta",
+                    "namespace": "org.apache.paimon.avro.generated",
+                    "fields": [
+                        {"name": "_FILE_NAME", "type": "string"},
+                        {"name": "_FILE_SIZE", "type": "long"},
+                        {"name": "_ROW_COUNT", "type": "long"},
+                        {"name": "_MIN_KEY", "type": "bytes"},
+                        {"name": "_MAX_KEY", "type": "bytes"},
+                        # first use defines the named record; the second
+                        # references it by name (standard Avro)
+                        {"name": "_KEY_STATS", "type": SIMPLE_STATS_SCHEMA},
+                        {"name": "_VALUE_STATS", "type": "SimpleStats"},
+                        {"name": "_MIN_SEQUENCE_NUMBER", "type": "long"},
+                        {"name": "_MAX_SEQUENCE_NUMBER", "type": "long"},
+                        {"name": "_SCHEMA_ID", "type": "long"},
+                        {"name": "_LEVEL", "type": "int"},
+                        {"name": "_EXTRA_FILES", "type": {"type": "array", "items": "string"}},
+                        {"name": "_CREATION_TIME", "type": "long"},
+                        {"name": "_DELETE_ROW_COUNT", "type": ["null", "long"], "default": None},
+                        {"name": "_EMBEDDED_FILE_INDEX", "type": ["null", "bytes"], "default": None},
+                        {"name": "_FILE_SOURCE", "type": ["null", "int"], "default": None},
+                        {
+                            "name": "_VALUE_STATS_COLS",
+                            "type": ["null", {"type": "array", "items": "string"}],
+                            "default": None,
+                        },
+                        {"name": "_EXTERNAL_PATH", "type": ["null", "string"], "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Paimon SQL type strings -> (Spark type, codec type)
+# ---------------------------------------------------------------------------
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def parse_paimon_type(type_str: str) -> tuple[T.DataType, Optional[PaimonFieldType], bool]:
+    """Parse a Paimon SQL type string into (spark type, codec type,
+    nullable). Mirrors PaimonSchemaExtractor.java:108-231's type mapping.
+    """
+    s = type_str.strip()
+    nullable = True
+    upper = s.upper()
+    if upper.endswith(" NOT NULL"):
+        nullable = False
+        s = s[: -len(" NOT NULL")].strip()
+        upper = s.upper()
+    if upper.startswith("ROW<") or upper.startswith("ROW("):
+        inner = s[4:-1]
+        fields = []
+        for part in _split_top(inner):
+            m = re.match(r"`?([^`\s]+)`?\s+(.+)", part.strip())
+            name, sub = m.group(1), m.group(2)
+            sub_t, _, sub_null = parse_paimon_type(sub)
+            fields.append(T.StructField(name, sub_t, sub_null))
+        return T.StructType(fields), None, nullable
+    if upper.startswith("ARRAY<"):
+        el_t, _, el_null = parse_paimon_type(s[6:-1])
+        return T.ArrayType(el_t, el_null), None, nullable
+    if upper.startswith("MAP<"):
+        k_s, v_s = _split_top(s[4:-1])
+        k_t, _, _ = parse_paimon_type(k_s)
+        v_t, _, v_null = parse_paimon_type(v_s)
+        return T.MapType(k_t, v_t, v_null), None, nullable
+    m = re.match(r"([A-Z_ ]+?)(\((\d+)(,\s*(\d+))?\))?( WITH LOCAL TIME ZONE)?$", upper)
+    base = m.group(1).strip()
+    p1 = int(m.group(3)) if m.group(3) else None
+    p2 = int(m.group(5)) if m.group(5) else None
+    ltz = bool(m.group(6))
+    if base in ("CHAR", "VARCHAR", "STRING"):
+        return T.StringType(), PaimonFieldType("string"), nullable
+    if base == "BOOLEAN":
+        return T.BooleanType(), PaimonFieldType("boolean"), nullable
+    if base == "TINYINT":
+        return T.ByteType(), PaimonFieldType("tinyint"), nullable
+    if base == "SMALLINT":
+        return T.ShortType(), PaimonFieldType("smallint"), nullable
+    if base in ("INT", "INTEGER"):
+        return T.IntegerType(), PaimonFieldType("int"), nullable
+    if base == "BIGINT":
+        return T.LongType(), PaimonFieldType("bigint"), nullable
+    if base == "FLOAT":
+        return T.FloatType(), PaimonFieldType("float"), nullable
+    if base == "DOUBLE":
+        return T.DoubleType(), PaimonFieldType("double"), nullable
+    if base in ("BINARY", "VARBINARY", "BYTES"):
+        return T.BinaryType(), PaimonFieldType("bytes"), nullable
+    if base == "DATE":
+        return T.DateType(), PaimonFieldType("date"), nullable
+    if base == "DECIMAL" or base == "NUMERIC":
+        p, sc = p1 or 10, p2 or 0
+        return T.DecimalType(p, sc), PaimonFieldType("decimal", p, sc), nullable
+    if base == "TIMESTAMP":
+        precision = p1 if p1 is not None else 6
+        spark_t = T.TimestampType() if ltz else T.TimestampNTZType()
+        return spark_t, PaimonFieldType("timestamp", precision), nullable
+    raise ValueError(f"unsupported Paimon type: {type_str!r}")
+
+
+def paimon_fields_to_schema(fields: list[dict]) -> T.StructType:
+    """schema/schema-N "fields" array -> StructType with field ids and
+    timestamp precision riding in StructField metadata (repo convention,
+    model/schema_meta.py)."""
+    out = []
+    for f in fields:
+        dtype, codec, nullable = parse_paimon_type(f["type"])
+        md: dict[str, Any] = {schema_meta.FIELD_ID: f["id"]}
+        if codec is not None and codec.kind == "timestamp":
+            md[schema_meta.TIMESTAMP_PRECISION] = (
+                "MILLIS" if codec.precision <= 3 else ("MICROS" if codec.precision <= 6 else "NANOS")
+            )
+        out.append(T.StructField(f["name"], dtype, nullable, metadata=md))
+    return T.StructType(out)
+
+
+# ---------------------------------------------------------------------------
+
+
+class PaimonConversionSource:
+    def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.name = name or os.path.basename(self.base_path)
+        self.avro = AvroIO(spark)
+
+    # -- metadata tree -----------------------------------------------------
+
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.base_path, "snapshot")
+
+    def _read_hint(self, hint: str) -> Optional[int]:
+        p = os.path.join(self._snapshot_dir(), hint)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return int(fh.read().strip())
+        return None
+
+    def _snapshot_ids(self) -> list[int]:
+        d = self._snapshot_dir()
+        if not os.path.isdir(d):
+            return []
+        ids = [
+            int(n[len("snapshot-") :])
+            for n in os.listdir(d)
+            if n.startswith("snapshot-") and n[len("snapshot-") :].isdigit()
+        ]
+        return sorted(ids)
+
+    def latest_snapshot_id(self) -> Optional[int]:
+        hint = self._read_hint("LATEST")
+        if hint is not None:
+            return hint
+        ids = self._snapshot_ids()
+        return ids[-1] if ids else None
+
+    def earliest_snapshot_id(self) -> Optional[int]:
+        hint = self._read_hint("EARLIEST")
+        if hint is not None:
+            return hint
+        ids = self._snapshot_ids()
+        return ids[0] if ids else None
+
+    def _snapshot(self, snapshot_id: int) -> dict:
+        p = os.path.join(self._snapshot_dir(), f"snapshot-{snapshot_id}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _schema(self, schema_id: int) -> dict:
+        p = os.path.join(self.base_path, "schema", f"schema-{schema_id}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _latest(self) -> dict:
+        sid = self.latest_snapshot_id()
+        if sid is None:
+            raise ValueError(f"No snapshots found for table {self.name}")
+        return self._snapshot(sid)
+
+    # -- manifests ---------------------------------------------------------
+
+    def _read_manifest_list(self, name: str) -> list[dict]:
+        if not name:
+            return []
+        return self.avro.read_records(os.path.join(self.base_path, "manifest", name))
+
+    def _read_manifest(self, name: str) -> list[dict]:
+        return self.avro.read_records(os.path.join(self.base_path, "manifest", name))
+
+    def _entries_for_lists(self, list_names: list[str]) -> list[dict]:
+        entries = []
+        for ln in list_names:
+            for mf in self._read_manifest_list(ln):
+                entries.extend(self._read_manifest(mf["_FILE_NAME"]))
+        return entries
+
+    @staticmethod
+    def _entry_key(e: dict) -> tuple:
+        return (e["_PARTITION"], e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+
+    def _merged_live_entries(self, snap: dict) -> list[dict]:
+        """Full view at a snapshot: base + delta manifests merged, DELETE
+        entries cancelling ADDs (SnapshotReader.readFileIterator
+        equivalent)."""
+        entries = self._entries_for_lists(
+            [snap.get("baseManifestList") or "", snap.get("deltaManifestList") or ""]
+        )
+        live: dict[tuple, dict] = {}
+        for e in entries:
+            k = self._entry_key(e)
+            if e["_KIND"] == FILE_KIND_ADD:
+                live[k] = e
+            else:
+                live.pop(k, None)
+        return list(live.values())
+
+    # -- table / schema ----------------------------------------------------
+
+    def _num_levels(self, options: dict) -> int:
+        if "num-levels" in options:
+            return int(options["num-levels"])
+        trigger = int(options.get("num-sorted-run.compaction-trigger", 5))
+        return trigger + 1
+
+    def get_table(self, snapshot_id: int) -> InternalTable:
+        snap = self._snapshot(snapshot_id)
+        sch = self._schema(snap.get("schemaId", 0))
+        schema = paimon_fields_to_schema(sch["fields"])
+        part_fields = [
+            InternalPartitionField(source_field=k, transform=PartitionTransformType.VALUE)
+            for k in sch.get("partitionKeys") or []
+        ]
+        return InternalTable(
+            name=self.name,
+            table_format=TableFormat.PAIMON,
+            base_path=self.base_path,
+            read_schema=schema,
+            partition_fields=part_fields,
+            layout_strategy=(
+                DataLayoutStrategy.HIVE_STYLE_PARTITION if part_fields else DataLayoutStrategy.FLAT
+            ),
+            latest_commit_time_ms=snap.get("timeMillis"),
+            latest_metadata_path=os.path.join(self._snapshot_dir(), f"snapshot-{snapshot_id}"),
+        )
+
+    def get_current_table(self) -> InternalTable:
+        sid = self.latest_snapshot_id()
+        if sid is None:
+            raise ValueError(f"No snapshots found for table {self.name}")
+        return self.get_table(sid)
+
+    # -- partition / stats decode -------------------------------------------
+
+    def _partition_ctx(self, sch: dict) -> tuple[list[str], list[PaimonFieldType], list[T.DataType]]:
+        keys = sch.get("partitionKeys") or []
+        by_name = {f["name"]: f for f in sch["fields"]}
+        codecs, dtypes = [], []
+        for k in keys:
+            dt, codec, _ = parse_paimon_type(by_name[k]["type"])
+            codecs.append(codec)
+            dtypes.append(dt)
+        return keys, codecs, dtypes
+
+    def _partition_value_str(self, v: Any, dtype: T.DataType, options: dict) -> str:
+        """InternalRowPartitionComputer.generatePartValues equivalent."""
+        if v is None:
+            return options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+        if isinstance(dtype, T.DateType):
+            return (datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))).isoformat()
+        if isinstance(dtype, T.BooleanType):
+            return "true" if v else "false"
+        return str(v)
+
+    def _decode_partition(
+        self, raw: Any, keys: list[str], codecs: list, dtypes: list, options: dict
+    ) -> tuple[Optional[dict], Optional[str]]:
+        """-> (partition_values map, hive path 'k=v/k2=v2' or None)."""
+        if not keys:
+            return None, None
+        data = raw.encode("latin-1") if isinstance(raw, str) else bytes(raw)
+        vals = decode_binary_row(data, codecs)
+        pv = {
+            k: self._partition_value_str(v, dt, options)
+            for k, v, dt in zip(keys, vals, dtypes)
+        }
+        path = "/".join(f"{k}={pv[k]}" for k in keys)
+        return pv, path
+
+    def _decode_value_stats(
+        self, file_meta: dict, schema: T.StructType
+    ) -> Optional[dict]:
+        """SimpleStats (valueStats + valueStatsCols) -> inventory
+        column_stats map. PaimonStatsExtractor.java:53-130: stats columns
+        default to every field when valueStatsCols is absent; arity must
+        match the stats row."""
+        stats = file_meta.get("_VALUE_STATS")
+        if not stats:
+            return None
+        cols = file_meta.get("_VALUE_STATS_COLS")
+        if cols is None:
+            cols = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        codecs = []
+        for c in cols:
+            f = by_name.get(c)
+            codec = None
+            if f is not None:
+                _, codec, _ = parse_paimon_type_from_spark(f.dataType)
+            codecs.append(codec or PaimonFieldType("bigint"))
+
+        def blob(x):
+            return x.encode("latin-1") if isinstance(x, str) else bytes(x)
+
+        mins = decode_binary_row(blob(stats["_MIN_VALUES"]), codecs)
+        maxs = decode_binary_row(blob(stats["_MAX_VALUES"]), codecs)
+        nulls = decode_long_array(blob(stats["_NULL_COUNTS"]))
+        out = {}
+        for i, c in enumerate(cols):
+            f = by_name.get(c)
+            if f is None:
+                continue
+            mn, mx = self._stat_value(mins[i], f), self._stat_value(maxs[i], f)
+            out[c] = {
+                "min_json": encode_stat(mn, f.dataType),
+                "max_json": encode_stat(mx, f.dataType),
+                "null_count": nulls[i] if i < len(nulls) else None,
+            }
+        return out or None
+
+    @staticmethod
+    def _stat_value(v: Any, field: T.StructField) -> Any:
+        if v is None:
+            return None
+        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+            millis, nanos = v if isinstance(v, tuple) else (v, 0)
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                milliseconds=millis, microseconds=nanos // 1000
+            )
+        if isinstance(field.dataType, T.DateType):
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        return v
+
+    # -- inventory ---------------------------------------------------------
+
+    def _full_path(self, part_path: Optional[str], bucket: int, file_name: str) -> str:
+        segs = [self.base_path]
+        if part_path:
+            segs.append(part_path)
+        segs.append(f"bucket-{bucket}")
+        segs.append(file_name)
+        return "/".join(segs)
+
+    def _to_inventory(self, entries: list[dict], sch: dict) -> DataFrame:
+        if not entries:
+            return self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
+        schema = paimon_fields_to_schema(sch["fields"])
+        options = sch.get("options") or {}
+        keys, codecs, dtypes = self._partition_ctx(sch)
+        rows = []
+        for e in entries:
+            fm = e["_FILE"]
+            pv, part_path = self._decode_partition(
+                e["_PARTITION"], keys, codecs, dtypes, options
+            )
+            ext = fm.get("_EXTERNAL_PATH")
+            path = ext or self._full_path(part_path, e["_BUCKET"], fm["_FILE_NAME"])
+            fmt = fm["_FILE_NAME"].rsplit(".", 1)[-1] if "." in fm["_FILE_NAME"] else "parquet"
+            rows.append(
+                (
+                    path,
+                    fmt,
+                    int(fm["_FILE_SIZE"]),
+                    int(fm["_ROW_COUNT"]),
+                    int(fm["_CREATION_TIME"]) if fm.get("_CREATION_TIME") else None,
+                    pv,
+                    self._decode_value_stats(fm, schema),
+                )
+            )
+        return self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)
+
+    # -- snapshots / commits -----------------------------------------------
+
+    def get_current_snapshot(self) -> InternalSnapshot:
+        snap = self._latest()
+        sch = self._schema(snap.get("schemaId", 0))
+        table = self.get_table(snap["id"])
+        entries = self._merged_live_entries(snap)
+        if sch.get("primaryKeys"):
+            top = self._num_levels(sch.get("options") or {}) - 1
+            entries = [e for e in entries if e["_FILE"]["_LEVEL"] == top]
+        return InternalSnapshot(
+            table=table,
+            version=str(snap["id"]),
+            files=self._to_inventory(entries, sch),
+            source_identifier=str(snap.get("commitIdentifier")),
+        )
+
+    def get_table_change_for_commit(self, commit: str) -> TableChange:
+        snap = self._snapshot(int(commit))
+        sch = self._schema(snap.get("schemaId", 0))
+        table = self.get_table(snap["id"])
+        entries = self._entries_for_lists([snap.get("deltaManifestList") or ""])
+        if sch.get("primaryKeys"):
+            top = self._num_levels(sch.get("options") or {}) - 1
+            entries = [e for e in entries if e["_FILE"]["_LEVEL"] == top]
+        added = [e for e in entries if e["_KIND"] == FILE_KIND_ADD]
+        removed = [e for e in entries if e["_KIND"] == FILE_KIND_DELETE]
+        return TableChange(
+            table=table,
+            commit_id=commit,
+            files_added=self._to_inventory(added, sch),
+            files_removed=self._to_inventory(removed, sch),
+            source_identifier=str(snap.get("commitIdentifier")),
+        )
+
+    def get_commits_backlog(self, instants: InstantsForIncrementalSync) -> CommitsBacklog:
+        """Snapshots strictly after the last-synced one, in commit order
+        (PaimonConversionSource.java:139-175 uses timeMillis; snapshot
+        ids are the same total order)."""
+        last = (
+            int(instants.last_sync_instant)
+            if instants.last_sync_instant and instants.last_sync_instant.isdigit()
+            else -1
+        )
+        ids = [i for i in self._snapshot_ids() if i > last]
+        return CommitsBacklog(commits_to_process=[str(i) for i in ids])
+
+    def is_incremental_sync_safe_from(self, instant: str) -> bool:
+        """Three checks of PaimonConversionSource.java:177-221: no
+        snapshots -> unsafe; future instant -> unsafe; snapshots expired
+        past the instant -> unsafe; else safe."""
+        earliest, latest = self.earliest_snapshot_id(), self.latest_snapshot_id()
+        if earliest is None or latest is None:
+            return False
+        if not instant.isdigit():
+            return False
+        target = int(instant)
+        if target > latest:
+            return False
+        if earliest > target:
+            return False
+        return True
+
+    def get_commit_identifier(self, commit: str) -> str:
+        return str(self._snapshot(int(commit)).get("commitIdentifier"))
+
+
+def parse_paimon_type_from_spark(dtype: T.DataType) -> tuple[T.DataType, Optional[PaimonFieldType], bool]:
+    """Spark type -> codec type (inverse helper for stats decode)."""
+    if isinstance(dtype, T.StringType):
+        return dtype, PaimonFieldType("string"), True
+    if isinstance(dtype, T.BooleanType):
+        return dtype, PaimonFieldType("boolean"), True
+    if isinstance(dtype, T.ByteType):
+        return dtype, PaimonFieldType("tinyint"), True
+    if isinstance(dtype, T.ShortType):
+        return dtype, PaimonFieldType("smallint"), True
+    if isinstance(dtype, T.IntegerType):
+        return dtype, PaimonFieldType("int"), True
+    if isinstance(dtype, T.LongType):
+        return dtype, PaimonFieldType("bigint"), True
+    if isinstance(dtype, T.FloatType):
+        return dtype, PaimonFieldType("float"), True
+    if isinstance(dtype, T.DoubleType):
+        return dtype, PaimonFieldType("double"), True
+    if isinstance(dtype, T.BinaryType):
+        return dtype, PaimonFieldType("bytes"), True
+    if isinstance(dtype, T.DateType):
+        return dtype, PaimonFieldType("date"), True
+    if isinstance(dtype, T.DecimalType):
+        return dtype, PaimonFieldType("decimal", dtype.precision, dtype.scale), True
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return dtype, PaimonFieldType("timestamp", 6), True
+    return dtype, None, True
+
+
+def read_paimon_as_df(
+    spark: SparkSession, base_path: str, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """Snapshot read (time travel via snapshot_id). Primary-key tables
+    read top-level (fully compacted) files only — the same read-optimized
+    view the conversion source exposes. Partition columns are not stored
+    in Paimon data files; they are attached from the manifest partition
+    values via a broadcast map join (distributed scan, no driver rows)."""
+    src = PaimonConversionSource(spark, base_path)
+    sid = snapshot_id if snapshot_id is not None else src.latest_snapshot_id()
+    if sid is None:
+        raise ValueError(f"No snapshots found for table {base_path}")
+    snap = src._snapshot(sid)
+    sch = src._schema(snap.get("schemaId", 0))
+    table = src.get_table(sid)
+    entries = src._merged_live_entries(snap)
+    if sch.get("primaryKeys"):
+        top = src._num_levels(sch.get("options") or {}) - 1
+        entries = [e for e in entries if e["_FILE"]["_LEVEL"] == top]
+    keys, codecs, dtypes = src._partition_ctx(sch)
+    options = sch.get("options") or {}
+    paths = []
+    for e in entries:
+        fm = e["_FILE"]
+        _, part_path = src._decode_partition(e["_PARTITION"], keys, codecs, dtypes, options)
+        paths.append(
+            fm.get("_EXTERNAL_PATH") or src._full_path(part_path, e["_BUCKET"], fm["_FILE_NAME"])
+        )
+    if not paths:
+        return spark.createDataFrame([], table.read_schema)
+    # Paimon data files store the full row INCLUDING partition columns
+    # (the hive-style dirs are layout only) — a plain distributed scan
+    df = spark.read.schema(table.read_schema).parquet(*paths)
+    return df.select(*[f.name for f in table.read_schema.fields])

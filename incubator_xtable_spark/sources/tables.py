@@ -27,9 +27,19 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    # Pinned unconditionally for every table load (not just events): a
+    # vanilla harness session that never touches events must still run
+    # tz-sensitive queries (date_trunc, windows) against the same UTC
+    # wall clock the DuckDB oracle sees.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _pin_session_confs(spark)
     if name == "events":
         # The events table's ts column has shipped in two flavors across
         # testdata generations: TIMESTAMP(NANOS) (Spark rejects without
@@ -38,14 +48,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ). Normalize both to TIMESTAMP_LTZ under a pinned
         # UTC session so unix_micros/date_trunc/windows are deterministic
         # and bit-match the DuckDB oracle's naive-timestamp view.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            # wall-clock == UTC instant under the pinned session tz
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # wall-clock == UTC instant under the pinned session tz.
+            # Explicit TimestampType (LTZ): a bare cast("timestamp")
+            # resolves via spark.sql.timestampType and becomes a no-op
+            # if a harness session set that conf to TIMESTAMP_NTZ.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -21,24 +21,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.tables)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (new files are discovered
-    as they land — the ingest pattern for a continuously-growing dataset)."""
+    as they land — the ingest pattern for a continuously-growing dataset).
+
+    The events ts column ships in two flavors across testdata generations
+    (TIMESTAMP(NANOS) -> long under nanosAsLong, or TIMESTAMP(MICROS,
+    NTZ)); a batch probe of the same directory picks the right streaming
+    schema + normalization — mirrors sources/tables.load."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = spark.read.parquet(sf_dir).schema["ts"].dataType
+    raw = spark.readStream.schema(_events_raw_schema(probed)).parquet(f"{sf_dir}")
+    if isinstance(probed, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -339,12 +339,37 @@ class AvroIO:
         return out
 
 
-_UNION_KEYS = {"boolean", "int", "long", "float", "double", "bytes", "string"}
+_UNION_KEYS = {"boolean", "int", "long", "float", "double", "bytes", "string", "array"}
 
 
-def _avro_json_encode(value: Any, schema: Any) -> Any:
+def _collect_named_defs(schema: Any, defs: dict) -> None:
+    """Register record definitions by (short and full) name so later
+    named-type references ("SimpleStats") resolve during encoding."""
+    if isinstance(schema, list):
+        for b in schema:
+            _collect_named_defs(b, defs)
+    elif isinstance(schema, dict):
+        if schema.get("type") == "record":
+            defs[schema["name"]] = schema
+            if schema.get("namespace"):
+                defs[schema["namespace"] + "." + schema["name"]] = schema
+            for f in schema["fields"]:
+                _collect_named_defs(f["type"], defs)
+        elif schema.get("type") == "array":
+            _collect_named_defs(schema["items"], defs)
+        elif schema.get("type") == "map":
+            _collect_named_defs(schema["values"], defs)
+
+
+def _avro_json_encode(value: Any, schema: Any, defs: Optional[dict] = None) -> Any:
     """Python dict -> Avro-JSON shape for JsonDecoder (union values wrapped
-    as {"long": v} / {"string": v}; nested records recursed)."""
+    as {"long": v} / {"string": v}; nested records recursed; named-type
+    references resolved via defs)."""
+    if defs is None:
+        defs = {}
+        _collect_named_defs(schema, defs)
+    if isinstance(schema, str) and schema in defs:
+        schema = defs[schema]
     if isinstance(schema, list):  # union
         if value is None:
             return None
@@ -352,14 +377,14 @@ def _avro_json_encode(value: Any, schema: Any) -> Any:
         branch_name = branch if isinstance(branch, str) else branch.get("type", "record")
         if isinstance(branch, dict) and branch.get("type") == "record":
             branch_name = branch["name"]
-        return {branch_name: _avro_json_encode(value, branch)}
+        return {branch_name: _avro_json_encode(value, branch, defs)}
     if isinstance(schema, dict) and schema.get("type") == "record":
         return {
-            f["name"]: _avro_json_encode(value.get(f["name"]) if value else None, f["type"])
+            f["name"]: _avro_json_encode(value.get(f["name"]) if value else None, f["type"], defs)
             for f in schema["fields"]
         }
     if isinstance(schema, dict) and schema.get("type") == "array":
-        return [_avro_json_encode(v, schema["items"]) for v in (value or [])]
+        return [_avro_json_encode(v, schema["items"], defs) for v in (value or [])]
     if schema == "bytes":
         # Avro-JSON encodes bytes as an ISO-8859-1 mapped string
         return value.decode("latin-1") if isinstance(value, (bytes, bytearray)) else value
