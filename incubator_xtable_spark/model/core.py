@@ -138,6 +138,19 @@ FILE_INVENTORY_SCHEMA = T.StructType(
 )
 
 
+# Row-level delete channel (sources with expose_row_deletes=True): one
+# row per (data file, complete delete set). positions_path is an
+# Iceberg-shaped parquet of (file_path, pos) sorted by pos.
+ROW_DELETES_SCHEMA = T.StructType(
+    [
+        T.StructField("data_file_path", T.StringType(), False),
+        T.StructField("positions_path", T.StringType(), False),
+        T.StructField("delete_count", T.LongType(), True),
+        T.StructField("partition_values", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
 @dataclass
 class InternalSnapshot:
     """version + table + live-file inventory (DataFrame)."""
@@ -148,6 +161,9 @@ class InternalSnapshot:
     files: Any
     pending_commits: list[str] = field(default_factory=list)
     source_identifier: Optional[str] = None
+    # DataFrame[ROW_DELETES_SCHEMA] when the source exposes row-level
+    # deletes instead of purging shadow files (None otherwise)
+    row_deletes: Any = None
 
 
 @dataclass
@@ -159,6 +175,7 @@ class TableChange:
     files_added: Any  # DataFrame[FILE_INVENTORY_SCHEMA]
     files_removed: Any  # DataFrame[FILE_INVENTORY_SCHEMA]
     source_identifier: Optional[str] = None
+    row_deletes: Any = None  # DataFrame[ROW_DELETES_SCHEMA] or None
 
 
 @dataclass

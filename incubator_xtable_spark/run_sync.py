@@ -159,6 +159,15 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
             for fmt in target_formats
             if fmt != source_format  # skip same-as-source (ConversionController.java:178-186)
         }
+        # when EVERY target can express row-level deletes (Iceberg v2
+        # position deletes), let the source skip purged-shadow rewrites
+        # and pass delete sets through as position files
+        if (
+            hasattr(source, "expose_row_deletes")
+            and targets
+            and all(getattr(t, "supports_row_deletes", False) for t in targets.values())
+        ):
+            source.expose_row_deletes = True
         results = controller.sync(source, targets)
         for fmt, res in results.items():
             line = {

@@ -409,3 +409,87 @@ def dv_positions_df(spark: SparkSession, base_path: str, files_with_dv: DataFram
                 )
 
     return src.mapInPandas(_explode, "file_path STRING, pos LONG")
+
+
+# ---------------------------------------------------------------------------
+# Row-delete exposure: Iceberg-shaped position-delete files
+# ---------------------------------------------------------------------------
+
+
+def delete_positions_path(path: str, desc: dict) -> str:
+    """Deterministic positions-file path for a (data file, DV) pair:
+    <path minus .parquet>.deletes-<md5(uniqueId)[:8]>.parquet. The stem
+    identifies the covered data file (targets use it to supersede older
+    delete files for the same data file); the hash makes a changed DV a
+    new file, so writes stay idempotent."""
+    import hashlib
+
+    h = hashlib.md5(dv_unique_id(desc).encode()).hexdigest()[:8]
+    stem = path[: -len(".parquet")] if path.endswith(".parquet") else path
+    return f"{stem}.deletes-{h}.parquet"
+
+
+def delete_file_stem(path: str) -> Optional[str]:
+    """Inverse of delete_positions_path: the covered data-file stem, or
+    None if the path is not a positions file."""
+    import re as _re
+
+    m = _re.match(r"^(.*)\.deletes-[0-9a-f]{8}\.parquet$", path)
+    return m.group(1) if m else None
+
+
+def write_delete_position_files(
+    spark: SparkSession, base_path: str, dv_adds: list[dict]
+) -> None:
+    """Materialize Iceberg-spec position-delete files for DV'd adds,
+    executor-side: one task per (file, DV), idempotent. Each output
+    parquet holds (file_path STRING, pos BIGINT) sorted by pos — directly
+    referenceable from an Iceberg v2 content=1 manifest, so conversion
+    never rewrites data bytes (contrast write_purged_files above)."""
+    if not dv_adds:
+        return
+    import json as _json
+
+    rows = [
+        (
+            r["abs_path"],
+            _json.dumps(r["deletionVector"]),
+            delete_positions_path(r["abs_path"], r["deletionVector"]),
+        )
+        for r in dv_adds
+    ]
+    df = spark.createDataFrame(rows, "abs_path STRING, dv_json STRING, out_path STRING")
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    bp = base_path
+
+    def _write(batches: Iterator["object"]) -> Iterator["object"]:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import json as _j
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from incubator_xtable_spark.sources.delta_dv import read_dv_positions
+
+        for pdf in batches:
+            outs = []
+            for src, dv_json, out in zip(pdf["abs_path"], pdf["dv_json"], pdf["out_path"]):
+                if not os.path.exists(out):
+                    positions = np.sort(read_dv_positions(bp, _j.loads(dv_json)).astype(np.int64))
+                    table = pa.table(
+                        {
+                            "file_path": pa.array([src] * len(positions), pa.string()),
+                            "pos": pa.array(positions, pa.int64()),
+                        }
+                    )
+                    tmp = out + f".tmp-{os.getpid()}"
+                    pq.write_table(table, tmp)
+                    os.replace(tmp, out)
+                outs.append(out)
+            yield pd.DataFrame({"out_path": outs})
+
+    df.repartition(len(rows)).mapInPandas(_write, "out_path STRING").count()

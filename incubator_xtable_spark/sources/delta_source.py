@@ -425,10 +425,23 @@ class DeltaConversionSource:
     """ConversionSource over a Delta table
     (spi/extractor/ConversionSource.java:37-105 surface)."""
 
-    def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        name: Optional[str] = None,
+        expose_row_deletes: bool = False,
+    ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
+        # When True, DV'd files are inventoried at their ORIGINAL paths
+        # and the delete sets ride on snapshot/change.row_deletes as
+        # Iceberg-shaped position parquets — no data-file rewrite. Only
+        # enable when every target can express row-level deletes (the
+        # Iceberg v2 target); otherwise the default purged-shadow path
+        # keeps row parity for targets that cannot.
+        self.expose_row_deletes = expose_row_deletes
 
     def get_current_table(self) -> Optional[InternalTable]:
         return self.get_table_at_version(None)
@@ -488,7 +501,56 @@ class DeltaConversionSource:
         version = max(list_log_versions(self.base_path))
         live = live_files_df(self.spark, self.base_path, version)
         files = self._to_inventory_adds(live, table)
-        return InternalSnapshot(table=table, version=str(version), files=files)
+        return InternalSnapshot(
+            table=table,
+            version=str(version),
+            files=files,
+            row_deletes=self._row_deletes_for(live) if self.expose_row_deletes else None,
+        )
+
+    def _row_deletes_for(self, adds: DataFrame) -> Optional[DataFrame]:
+        """DV'd adds -> ROW_DELETES_SCHEMA rows; materializes the
+        Iceberg-shaped (file_path, pos) positions parquet per (file, DV)
+        executor-side, idempotently. Returns None when no DVs."""
+        from incubator_xtable_spark.model.core import ROW_DELETES_SCHEMA
+        from incubator_xtable_spark.sources.delta_dv import (
+            delete_positions_path,
+            write_delete_position_files,
+        )
+
+        if "deletionVector" not in adds.columns:
+            return None
+        base = self.base_path.rstrip("/") + "/"
+        abs_path = F.when(F.col("path").startswith("/"), F.col("path")).otherwise(
+            F.concat(F.lit(base), F.col("path"))
+        )
+        dv_list = (
+            adds.filter(F.col("deletionVector.storageType").isNotNull())
+            .select(abs_path.alias("abs_path"), "deletionVector", "partitionValues")
+            .collect()
+        )
+        if not dv_list:
+            return None
+        write_delete_position_files(
+            self.spark,
+            self.base_path,
+            [
+                {"abs_path": r["abs_path"], "deletionVector": r["deletionVector"].asDict()}
+                for r in dv_list
+            ],
+        )
+        rows = []
+        for r in dv_list:
+            desc = r["deletionVector"].asDict()
+            rows.append(
+                (
+                    r["abs_path"],
+                    delete_positions_path(r["abs_path"], desc),
+                    int(desc.get("cardinality") or 0),
+                    dict(r["partitionValues"] or {}) or None,
+                )
+            )
+        return self.spark.createDataFrame(rows, ROW_DELETES_SCHEMA)
 
     def _data_schema(self, table: InternalTable) -> T.StructType:
         part_cols = {pf.source_field for pf in table.partition_fields}
@@ -510,9 +572,12 @@ class DeltaConversionSource:
         ).otherwise(F.concat(F.lit(base), F.col("path")))
         has_dv = (
             F.col("deletionVector.storageType").isNotNull()
-            if "deletionVector" in adds.columns
+            if "deletionVector" in adds.columns and not self.expose_row_deletes
             else F.lit(False)
         )
+        # expose_row_deletes: DV'd adds stay at their ORIGINAL path with
+        # physical record_count/stats (Iceberg data-file semantics); the
+        # delete sets travel separately on row_deletes
         plain_inv = adds.filter(~has_dv).select(
             abs_path.alias("physical_path"),
             F.lit("PARQUET").alias("file_format"),
@@ -600,6 +665,38 @@ class DeltaConversionSource:
         actions = read_log_actions(self.spark, self.base_path).filter(F.col("version") == version)
         adds = actions.filter(F.col("add.path").isNotNull()).select("add.*")
         removes_raw = actions.filter(F.col("remove.path").isNotNull()).select("remove.path")
+
+        if self.expose_row_deletes:
+            # row-delete exposure: files diff on their RAW paths (a DV
+            # update commit — remove X + re-add X with a new DV — is a
+            # data-file no-op); the commit's DV'd adds ride separately on
+            # row_deletes, so the target swaps delete files, not data
+            row_deletes = self._row_deletes_for(adds)
+            noop = adds.select("path").intersect(removes_raw)
+            pure_adds = adds.join(noop, "path", "left_anti")
+            pure_removes = removes_raw.join(noop, "path", "left_anti")
+            base = self.base_path.rstrip("/") + "/"
+            abs_removed = F.when(
+                F.col("path").startswith("/"), F.col("path")
+            ).otherwise(F.concat(F.lit(base), F.col("path")))
+            files_removed = pure_removes.select(
+                abs_removed.alias("physical_path"),
+                F.lit("PARQUET").alias("file_format"),
+                F.lit(0).cast("long").alias("size_bytes"),
+                F.lit(None).cast("long").alias("record_count"),
+                F.lit(None).cast("long").alias("last_modified_ms"),
+                F.lit(None).cast("map<string,string>").alias("partition_values"),
+                F.lit(None)
+                .cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
+                .alias("column_stats"),
+            )
+            return TableChange(
+                table=table,
+                commit_id=commit,
+                files_added=self._to_inventory_adds(pure_adds, table),
+                files_removed=files_removed,
+                row_deletes=row_deletes,
+            )
 
         def eff_expr(dv_col):
             return F.when(

@@ -91,6 +91,11 @@ class ConversionController:
                 target.sync_schema(snapshot.table.read_schema)
                 target.sync_partition_spec(snapshot.table.partition_fields)
                 target.sync_files_for_snapshot(snapshot.files)
+                if getattr(snapshot, "row_deletes", None) is not None:
+                    # only sources configured for row-delete exposure set
+                    # this; a target without sync_row_deletes fails here
+                    # and is isolated like any other target error
+                    target.sync_row_deletes(snapshot.row_deletes)
                 target.complete_sync()
                 results[fmt] = SyncResult(
                     mode=SyncMode.FULL,
@@ -164,6 +169,8 @@ class ConversionController:
                     target.sync_schema(change.table.read_schema)
                     target.sync_partition_spec(change.table.partition_fields)
                     target.sync_files_for_diff(change)
+                    if getattr(change, "row_deletes", None) is not None:
+                        target.sync_row_deletes(change.row_deletes)
                     target.complete_sync()
                     last_synced[fmt] = commit
                     durations[fmt] += time.perf_counter() - start

@@ -544,6 +544,10 @@ class IcebergConversionTarget:
         self.avro = AvroIO(spark)
         self._reset()
 
+    # Iceberg v2 can express row-level deletes natively (position-delete
+    # files); sources with expose_row_deletes=True may skip shadow rewrites
+    supports_row_deletes = True
+
     def _reset(self) -> None:
         self._table: Optional[InternalTable] = None
         self._schema: Optional[T.StructType] = None
@@ -554,6 +558,7 @@ class IcebergConversionTarget:
         self._snapshot_mode = False
         self._snapshot_files: Optional[DataFrame] = None
         self._committed_snapshot: Optional[int] = None
+        self._row_deletes: Optional[DataFrame] = None
 
     # -- sync steps --------------------------------------------------------
 
@@ -586,6 +591,12 @@ class IcebergConversionTarget:
         self._adds = change.files_added
         self._removed_paths = change.files_removed
 
+    def sync_row_deletes(self, deletes: DataFrame) -> None:
+        """Row-delete channel (ROW_DELETES_SCHEMA): each row becomes a v2
+        position-delete file entry in a content=1 manifest at this
+        commit's sequence number — the data files are NOT rewritten."""
+        self._row_deletes = deletes
+
     # -- commit ------------------------------------------------------------
 
     def complete_sync(self) -> int:
@@ -598,7 +609,11 @@ class IcebergConversionTarget:
 
         from incubator_xtable_spark.model.core import drain_rows
 
-        current = self._current_live_entries(meta)
+        current_all = self._current_live_entries(meta)
+        current = [e for e in current_all if (e["data_file"].get("content") or 0) == 0]
+        current_deletes = [
+            e for e in current_all if (e["data_file"].get("content") or 0) == 1
+        ]
         if self._snapshot_mode:
             # snapshot-as-diff inherently compares full sets; the dict is
             # the bound here, not the transfer (drain_rows streams it in)
@@ -611,6 +626,9 @@ class IcebergConversionTarget:
                 self._entry_from_row(snap_rows[p], snapshot_id, seq, status=1) for p in added
             ]
             counts = (len(added), len(survivors), deleted_count)
+            # full restatement: prior delete files are replaced wholesale
+            # by this snapshot's row_deletes (if any)
+            delete_entries = self._new_delete_entries(snapshot_id, seq)
         else:
             removed = (
                 {r["physical_path"] for r in drain_rows(self._removed_paths)}
@@ -625,17 +643,72 @@ class IcebergConversionTarget:
                     entries.append(self._entry_from_row(r, snapshot_id, seq, status=1))
                     n_added += 1
             counts = (n_added, len(survivors), len(current) - len(survivors))
+            # carry prior delete files, superseding any whose covered data
+            # file (identified by the shared path stem of the row-delete
+            # protocol) got a NEW delete set this commit
+            new_deletes = self._new_delete_entries(snapshot_id, seq)
+            from incubator_xtable_spark.sources.delta_dv import delete_file_stem
+
+            new_stems = {
+                delete_file_stem(e["data_file"]["file_path"]) for e in new_deletes
+            }
+            new_paths = {e["data_file"]["file_path"] for e in new_deletes}
+            carried = [
+                e
+                for e in current_deletes
+                if delete_file_stem(e["data_file"]["file_path"]) not in new_stems
+                and e["data_file"]["file_path"] not in new_paths
+            ]
+            delete_entries = carried + new_deletes
 
         # carried-forward entries become EXISTING
-        for e in entries:
+        for e in entries + delete_entries:
             if e.get("status") == 1 and e.get("snapshot_id") != snapshot_id:
                 e["status"] = 0
 
         manifests = self._write_manifests(entries, snapshot_id, seq, counts[2])
+        if delete_entries:
+            manifests += self._write_manifests(
+                delete_entries, snapshot_id, seq, 0, content=1
+            )
         list_path = self._write_manifest_list(manifests, snapshot_id, seq)
         self._write_table_metadata(meta, snapshot_id, seq, list_path, now_ms)
         self._committed_snapshot = snapshot_id
         return snapshot_id
+
+    def _new_delete_entries(self, snapshot_id: int, seq: int) -> list[dict]:
+        """ROW_DELETES_SCHEMA rows -> v2 position-delete manifest entries
+        (content=1) at this commit's sequence number — which satisfies the
+        spec application rule delete_seq >= data_seq for every data file
+        committed at or before this sequence."""
+        from incubator_xtable_spark.model.core import drain_rows
+
+        if self._row_deletes is None:
+            return []
+        out = []
+        for row in drain_rows(self._row_deletes):
+            pv = dict(row["partition_values"] or {})
+            out.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": row["positions_path"],
+                        "file_format": "PARQUET",
+                        "partition": {c: pv.get(c) for c in self._partition_cols},
+                        "record_count": row["delete_count"] or 0,
+                        "file_size_in_bytes": (
+                            os.path.getsize(row["positions_path"])
+                            if os.path.exists(row["positions_path"])
+                            else 0
+                        ),
+                    },
+                }
+            )
+        return out
 
     def _entry_from_row(self, row, snapshot_id: int, seq: int, status: int) -> dict:
         pv = dict(row["partition_values"] or {})
@@ -716,7 +789,9 @@ class IcebergConversionTarget:
     # one giant file
     MANIFEST_CHUNK = 100_000
 
-    def _write_manifest(self, entries: list[dict], snapshot_id: int, seq: int) -> tuple[str, int]:
+    def _write_manifest(
+        self, entries: list[dict], snapshot_id: int, seq: int, content: int = 0
+    ) -> tuple[str, int]:
         path = os.path.join(metadata_dir(self.base_path), f"{uuid.uuid4().hex}-m0.avro")
         schema_json = manifest_entry_schema(self._partition_cols)
         length = self.avro.write_records(
@@ -728,13 +803,18 @@ class IcebergConversionTarget:
                 "partition-spec": json.dumps(self._partition_spec_json()["fields"]),
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "data",
+                "content": "deletes" if content == 1 else "data",
             },
         )
         return path, length
 
     def _write_manifests(
-        self, entries: list[dict], snapshot_id: int, seq: int, deleted_count: int
+        self,
+        entries: list[dict],
+        snapshot_id: int,
+        seq: int,
+        deleted_count: int,
+        content: int = 0,
     ) -> list[dict]:
         """Write entries as MANIFEST_CHUNK-sized manifest files and return
         one manifest-list record per file with spec-accurate per-manifest
@@ -749,7 +829,7 @@ class IcebergConversionTarget:
         ] or [[]]
         records = []
         for idx, chunk in enumerate(chunks):
-            path, length = self._write_manifest(chunk, snapshot_id, seq)
+            path, length = self._write_manifest(chunk, snapshot_id, seq, content)
             min_seq = min(
                 (
                     e["sequence_number"] if e.get("sequence_number") is not None else seq
@@ -764,7 +844,7 @@ class IcebergConversionTarget:
                     "manifest_path": path,
                     "manifest_length": length,
                     "partition_spec_id": 0,
-                    "content": 0,
+                    "content": content,
                     "sequence_number": seq,
                     "min_sequence_number": min_seq,
                     "added_snapshot_id": snapshot_id,
