@@ -113,6 +113,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
     )
 
     graded = sum(1 for s in REGISTRY.values() if s.graded)
