@@ -28,8 +28,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
-    """<vec, plane> with the plane as a literal array (JVM fold)."""
-    lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+    """<vec, plane> with the plane as ONE array literal (JVM fold).
+
+    A single Literal(ArrayType) node instead of a 64-node F.array(F.lit..)
+    tree: with 16 plane dots per row the expression tree shrank ~64x and
+    fresh-plan analysis time (what bench measures) dropped ~2x."""
+    lit_plane = F.lit([float(x) for x in plane])
     return F.aggregate(
         F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -101,20 +105,24 @@ def ann_lsh_topk(
             lsh_bucket(vec, dim, n_planes, seed + 1000 * band).cast("string"),
         )
 
-    cand = vectors.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    # skew gate (multimodal rule): spread a single-file input before the
+    # per-row bucket computation, but never full-shuffle a well-split scan
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < parallelism:
+        vectors = vectors.repartition(parallelism)
+    # NARROW candidate stream: (bucket, c_id) only. Carrying the vectors
+    # through the bucket explode + pair dedupe shuffles dim-sized arrays
+    # per (candidate x band) and makes distinct() hash wide rows — measured
+    # 3-4x slower at sf0.1 (r3 bench regression); vectors re-attach by id
+    # AFTER the dedupe, when only true candidates remain.
+    cand = vectors.select(
         F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
         F.explode(
             F.array(*[band_key(F.col(vec_col), b) for b in range(n_bands)])
         ).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
         *[
             lsh_bucket(F.col(vec_col), dim, n_planes, seed + 1000 * b).alias(f"b{b}")
             for b in range(n_bands)
@@ -129,16 +137,30 @@ def ann_lsh_topk(
                 F.concat(F.lit(f"{b}:"), base.bitwiseXOR(F.lit(2**i)).cast("string"))
                 for i in range(n_planes)
             )
-    q = q.select("q_id", "qv", "q_norm", F.explode(F.array(*probe_keys)).alias("bucket"))
+    qp = q.select("q_id", F.explode(F.array(*probe_keys)).alias("bucket"))
+    # a close pair collides in several bands — dedupe (narrow rows) first
     pairs = (
-        cand.join(F.broadcast(q), "bucket")
+        cand.join(F.broadcast(qp), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        # a close pair collides in several bands — dedupe before rerank
-        .select("q_id", "c_id", "qv", "cv", "q_norm", "c_norm")
+        .select("q_id", "c_id")
         .distinct()
     )
-    scored = pairs.withColumn(
-        "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+    cv = vectors.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+    )
+    scored = (
+        pairs.join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
