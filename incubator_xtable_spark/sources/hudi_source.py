@@ -192,7 +192,12 @@ class HudiConversionSource:
             meta = read_commit_metadata(self.base_path, instant, action)
             raw = (meta.get("extraMetadata") or {}).get("schema")
             if raw:
-                schema = T.StructType.fromJson(json.loads(raw))
+                # real Hudi (and this engine's target) stores an AVRO
+                # record schema with hudi_id_tracking field ids; legacy
+                # Spark StructType JSON is still accepted
+                from incubator_xtable_spark.model.hudi_ids import parse_schema_json
+
+                schema, _ = parse_schema_json(raw)
                 return T.StructType(
                     [f for f in schema.fields if f.name not in HOODIE_META_FIELDS]
                 )

@@ -205,6 +205,33 @@ class HudiConversionTarget:
             F.col("physical_path").alias("path")
         )
 
+    def _avro_schema_with_ids(self) -> str:
+        """Commit-metadata schema string: an AVRO record schema (what real
+        Hudi writes) carrying the hudi_id_tracking property — field ids
+        stay STABLE across commits by reusing the previous completed
+        commit's tracking (IdTracker.java:121-196 analog; see
+        model/hudi_ids.py)."""
+        from incubator_xtable_spark.model.hudi_ids import (
+            add_id_tracking,
+            generate_id_tracking,
+            read_id_tracking,
+            spark_to_avro,
+        )
+
+        prev_tracking = None
+        for instant, action in reversed(list_completed_instants(self.base_path)):
+            raw = (read_commit_metadata(self.base_path, instant, action).get("extraMetadata") or {}).get(
+                "schema"
+            )
+            if raw:
+                parsed = json.loads(raw)
+                if isinstance(parsed, dict) and parsed.get("type") == "record":
+                    prev_tracking = read_id_tracking(parsed)
+                break
+        avro = spark_to_avro(self._schema, name=self.table_name or "record")
+        tracking = generate_id_tracking(avro, prev_tracking)
+        return json.dumps(add_id_tracking(avro, tracking))
+
     def complete_sync(self) -> str:
         if self._schema is None and self._table is not None:
             self._schema = self._table.read_schema
@@ -266,7 +293,7 @@ class HudiConversionTarget:
         )
         write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
 
-        extra = {"schema": self._schema.json() if self._schema else None}
+        extra = {"schema": self._avro_schema_with_ids() if self._schema else None}
         if self._metadata_json is not None:
             extra[XTABLE_METADATA_KEY] = self._metadata_json
         meta: dict = {
