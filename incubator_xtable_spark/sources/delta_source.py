@@ -412,7 +412,16 @@ def _lift_column_mapping(schema: T.StructType) -> T.StructType:
         if "delta.columnMapping.id" in meta and FIELD_ID not in meta:
             meta[FIELD_ID] = meta["delta.columnMapping.id"]
         if "delta.columnMapping.physicalName" in meta and STORAGE_NAME not in meta:
-            meta[STORAGE_NAME] = meta["delta.columnMapping.physicalName"]
+            stored = meta["delta.columnMapping.physicalName"]
+            # physicalName == logical name (this engine's write mode) is
+            # not a rename — only record a storage name when they differ
+            if stored != f.name:
+                meta[STORAGE_NAME] = stored
+        # raw Delta keys do not travel past extraction — the canonical
+        # schema carries only fieldId/storageName, like the reference's
+        # InternalField (and so a write->read round trip is idempotent)
+        meta.pop("delta.columnMapping.id", None)
+        meta.pop("delta.columnMapping.physicalName", None)
         dt = f.dataType
         if isinstance(dt, T.StructType):
             dt = T.StructType([visit(c) for c in dt.fields])

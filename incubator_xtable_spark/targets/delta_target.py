@@ -186,6 +186,59 @@ class DeltaConversionTarget:
             _relativize_col(F.col("physical_path"), self.base_path).alias("path")
         )
 
+    @staticmethod
+    def _with_column_mapping(schema: T.StructType) -> tuple[T.StructType, int]:
+        """When the source schema carries canonical field ids (Iceberg
+        sources, Hudi id-tracking), persist them as Delta column mapping:
+        every field gets delta.columnMapping.id (source id, or the next
+        free id for unmapped fields — Delta requires a complete mapping)
+        and delta.columnMapping.physicalName. Physical names default to
+        the ACTUAL column names: conversion references pre-existing
+        parquet whose columns are named, so name-mode resolution must hit
+        them verbatim (also keeps add.partitionValues keys unchanged).
+        Returns (annotated schema, maxColumnId); maxColumnId == 0 means
+        no ids anywhere -> no mapping written. Write-side extension of
+        the read path in delta_source._lift_column_mapping
+        (DeltaSchemaExtractor.java:57-58,137-144)."""
+        from incubator_xtable_spark.model.schema_meta import FIELD_ID, STORAGE_NAME
+
+        def has_ids(st: T.StructType) -> bool:
+            for f in st.fields:
+                if FIELD_ID in (f.metadata or {}):
+                    return True
+                if isinstance(f.dataType, T.StructType) and has_ids(f.dataType):
+                    return True
+            return False
+
+        if not has_ids(schema):
+            return schema, 0
+
+        def collect_max(st: T.StructType, mx: int) -> int:
+            for f in st.fields:
+                fid = (f.metadata or {}).get(FIELD_ID)
+                if fid is not None:
+                    mx = max(mx, int(fid))
+                if isinstance(f.dataType, T.StructType):
+                    mx = collect_max(f.dataType, mx)
+            return mx
+
+        next_id = [collect_max(schema, 0)]
+
+        def visit(f: T.StructField) -> T.StructField:
+            meta = dict(f.metadata or {})
+            fid = meta.get(FIELD_ID)
+            if fid is None:
+                next_id[0] += 1
+                fid = next_id[0]
+            meta["delta.columnMapping.id"] = int(fid)
+            meta["delta.columnMapping.physicalName"] = meta.get(STORAGE_NAME, f.name)
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                dt = T.StructType([visit(c) for c in dt.fields])
+            return T.StructField(f.name, dt, f.nullable, meta)
+
+        return T.StructType([visit(f) for f in schema.fields]), next_id[0]
+
     def complete_sync(self) -> int:
         cur = current_log_version(self.base_path)
         version = (cur if cur is not None else -1) + 1
@@ -193,6 +246,8 @@ class DeltaConversionTarget:
         schema = self._schema or (self._table.read_schema if self._table else None)
         if schema is None:
             raise ValueError("sync_schema must run before complete_sync")
+
+        mapped_schema, max_col_id = self._with_column_mapping(schema)
 
         def actions() -> Iterator[str]:
             yield json.dumps(
@@ -206,13 +261,17 @@ class DeltaConversionTarget:
                 }
             )
             if version == 0:
-                # generated columns require writer protocol v4
-                # (DeltaConversionTarget.java:341 minReader/Writer >= 1/4)
+                # generated columns require writer protocol v4; column
+                # mapping requires reader 2 / writer 5 (Delta PROTOCOL.md)
                 writer_version = 4 if self._generated_fields else MIN_WRITER_VERSION
+                reader_version = MIN_READER_VERSION
+                if max_col_id:
+                    reader_version = max(reader_version, 2)
+                    writer_version = max(writer_version, 5)
                 yield json.dumps(
                     {
                         "protocol": {
-                            "minReaderVersion": MIN_READER_VERSION,
+                            "minReaderVersion": reader_version,
                             "minWriterVersion": writer_version,
                         }
                     }
@@ -221,10 +280,21 @@ class DeltaConversionTarget:
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}
                 if self._metadata_json is not None:
                     configuration[XTABLE_METADATA_KEY] = self._metadata_json
+                # column mapping only on tables CREATED with it (a later
+                # mode flip would need a mid-table protocol upgrade +
+                # physical-name rewrite; out of scope for conversion)
+                use_mapping = bool(max_col_id) and (
+                    version == 0
+                    or "delta.columnMapping.mode" in self._previous_configuration()
+                )
+                out_schema = mapped_schema if use_mapping else schema
+                if use_mapping:
+                    configuration["delta.columnMapping.mode"] = "name"
+                    configuration["delta.columnMapping.maxColumnId"] = str(max_col_id)
                 full_schema = (
-                    T.StructType(list(schema.fields) + self._generated_fields)
+                    T.StructType(list(out_schema.fields) + self._generated_fields)
                     if self._generated_fields
-                    else schema
+                    else out_schema
                 )
                 yield json.dumps(
                     {
@@ -316,6 +386,10 @@ class DeltaConversionTarget:
             ) from exc
         finally:
             os.unlink(tmp)
+
+    def _previous_configuration(self) -> dict[str, Any]:
+        meta = self._read_latest_metadata()
+        return dict(meta.get("configuration") or {}) if meta else {}
 
     def _read_latest_metadata(self) -> Optional[dict[str, Any]]:
         v = current_log_version(self.base_path)
