@@ -493,3 +493,77 @@ def write_delete_position_files(
             yield pd.DataFrame({"out_path": outs})
 
     df.repartition(len(rows)).mapInPandas(_write, "out_path STRING").count()
+
+
+def write_dv_files_from_positions(
+    spark: SparkSession, base_path: str, deletes_rows: list[dict]
+) -> dict[str, dict]:
+    """ROW_DELETES rows -> 'u'-storage Delta DV files, executor-side (one
+    task per data file; the positions parquet is read in the task, never
+    on the driver). The DV file uuid derives deterministically from the
+    positions file name (which already encodes the delete-set hash), so
+    rewrites are idempotent and a changed delete set yields a new file.
+    Returns {data_file_path: deletionVector descriptor}."""
+    if not deletes_rows:
+        return {}
+    rows = [
+        (r["data_file_path"], r["positions_path"]) for r in deletes_rows
+    ]
+    df = spark.createDataFrame(rows, "data_file_path STRING, positions_path STRING")
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    bp = base_path
+
+    def _write(batches: Iterator["object"]) -> Iterator["object"]:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import hashlib as _hashlib
+        import json as _j
+        import uuid as _u
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from incubator_xtable_spark.sources.delta_dv import (
+            serialize_dv_data,
+            z85_encode,
+        )
+
+        for pdf in batches:
+            data_paths, descs = [], []
+            for data_path, pos_path in zip(pdf["data_file_path"], pdf["positions_path"]):
+                uid = _u.UUID(bytes=_hashlib.md5(os.path.basename(pos_path).encode()).digest())
+                out = os.path.join(bp, f"deletion_vector_{uid}.bin")
+                positions = pq.read_table(pos_path, columns=["pos"])["pos"].to_numpy()
+                data = serialize_dv_data(positions)
+                if not os.path.exists(out):
+                    tmp = out + f".tmp-{os.getpid()}"
+                    with open(tmp, "wb") as fh:
+                        fh.write(b"\x01")
+                        fh.write(struct.pack(">i", len(data)))
+                        fh.write(data)
+                        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+                    os.replace(tmp, out)
+                data_paths.append(data_path)
+                descs.append(
+                    _j.dumps(
+                        {
+                            "storageType": "u",
+                            "pathOrInlineDv": z85_encode(uid.bytes),
+                            "offset": 1,
+                            "sizeInBytes": len(data),
+                            "cardinality": int(len(positions)),
+                        }
+                    )
+                )
+            yield pd.DataFrame({"data_file_path": data_paths, "desc_json": descs})
+
+    out_rows = (
+        df.repartition(len(rows))
+        .mapInPandas(_write, "data_file_path STRING, desc_json STRING")
+        .collect()
+    )
+    import json as _json
+
+    return {r["data_file_path"]: _json.loads(r["desc_json"]) for r in out_rows}

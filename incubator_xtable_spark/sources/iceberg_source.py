@@ -45,11 +45,22 @@ from incubator_xtable_spark.targets.iceberg_target import (
 
 
 class IcebergConversionSource:
-    def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        name: Optional[str] = None,
+        expose_row_deletes: bool = False,
+    ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
         self.avro = AvroIO(spark)
+        # When True, v2 position deletes are NOT rewritten into purged
+        # shadows; data files stay at their original paths and per-file
+        # delete sets ride on snapshot/change.row_deletes (only valid
+        # when every target can express row-level deletes)
+        self.expose_row_deletes = expose_row_deletes
 
     # -- table -------------------------------------------------------------
 
@@ -173,6 +184,10 @@ class IcebergConversionSource:
             stem = path[: -len(".parquet")] if path.endswith(".parquet") else path
             out[path] = {
                 "shadow_path": f"{stem}.purged-{del_id}.parquet",
+                # row-delete exposure: Iceberg-shaped per-file positions
+                # parquet under the stem convention targets use for
+                # supersession (delta_dv.delete_positions_path shape)
+                "positions_path": f"{stem}.deletes-{del_id}.parquet",
                 "n_deleted": int(r["n_deleted"]),
             }
         return out
@@ -224,12 +239,90 @@ class IcebergConversionSource:
 
         joined.groupBy("file_path").applyInPandas(_purge, "out STRING").count()
 
+    def _materialize_position_files(
+        self, affected: dict[str, dict], delete_entries: list[dict], data_entries: list[dict]
+    ) -> None:
+        """Per-file (file_path, pos) parquets for row-delete exposure —
+        the union of each data file's APPLICABLE delete positions under
+        the v2 sequence rule, written executor-side (one task per file,
+        idempotent), sorted by pos as the Iceberg spec requires."""
+        todo = {p: i for p, i in affected.items() if not os.path.exists(i["positions_path"])}
+        if not todo:
+            return
+        data_seq = {
+            e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
+            for e in data_entries
+        }
+        positions = self._positions_df(delete_entries)
+        plan = self.spark.createDataFrame(
+            [(p, i["positions_path"], data_seq.get(p, 0)) for p, i in todo.items()],
+            "file_path STRING, positions_path STRING, data_seq LONG",
+        )
+        joined = positions.join(F.broadcast(plan), "file_path").filter(
+            F.col("delete_seq") >= F.col("data_seq")
+        )
+
+        def _write(key, pdf):
+            import os as _os
+
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            src = pdf["file_path"].iloc[0]
+            out = pdf["positions_path"].iloc[0]
+            if not _os.path.exists(out):
+                pos = np.unique(pdf["pos"].to_numpy().astype(np.int64))
+                table = pa.table(
+                    {
+                        "file_path": pa.array([src] * len(pos), pa.string()),
+                        "pos": pa.array(pos, pa.int64()),
+                    }
+                )
+                tmp = out + f".tmp-{_os.getpid()}"
+                pq.write_table(table, tmp)
+                _os.replace(tmp, out)
+            return pd.DataFrame({"out": [out]})
+
+        joined.groupBy("file_path").applyInPandas(_write, "out STRING").count()
+
+    def _row_deletes_df(
+        self, affected: dict[str, dict], data_entries: list[dict], table: InternalTable
+    ):
+        from incubator_xtable_spark.model.core import ROW_DELETES_SCHEMA
+
+        if not affected:
+            return None
+        part_cols = [pf.output_name for pf in table.partition_fields]
+        pv_by_path = {
+            e["data_file"]["file_path"]: (
+                {c: e["data_file"]["partition"].get(c) for c in part_cols}
+                if part_cols
+                else None
+            )
+            for e in data_entries
+        }
+        rows = [
+            (p, i["positions_path"], int(i["n_deleted"]), pv_by_path.get(p))
+            for p, i in affected.items()
+        ]
+        return self.spark.createDataFrame(rows, ROW_DELETES_SCHEMA)
+
     def get_current_snapshot(self) -> InternalSnapshot:
         meta = self._meta()
         table = self.get_current_table()
         snapshot_id = meta["current-snapshot-id"]
         entries, deletes = self._entries_by_content(meta, snapshot_id)
         affected = self._applicable_deletes(entries, deletes)
+        if affected and self.expose_row_deletes:
+            self._materialize_position_files(affected, deletes, entries)
+            return InternalSnapshot(
+                table=table,
+                version=str(snapshot_id),
+                files=self._to_inventory(entries, table, None),
+                row_deletes=self._row_deletes_df(affected, entries, table),
+            )
         if affected:
             self._materialize_delete_shadows(affected, deletes, entries)
         return InternalSnapshot(
@@ -379,6 +472,30 @@ class IcebergConversionSource:
         table = self.get_current_table()
         snapshot_id = int(commit)
         snap = self._snapshot_by_id(meta, snapshot_id)
+
+        if self.expose_row_deletes:
+            # raw-path diff; the commit's full applicable delete map rides
+            # on row_deletes (targets supersede by stem, so re-stating an
+            # unchanged set is a no-op and a changed set swaps files)
+            cur_data, cur_dels = self._entries_by_content(meta, snapshot_id)
+            parent = snap.get("parent-snapshot-id") if snap else None
+            prev_data, _ = (
+                self._entries_by_content(meta, parent) if parent is not None else ([], [])
+            )
+            cur_paths = {e["data_file"]["file_path"] for e in cur_data}
+            prev_paths = {e["data_file"]["file_path"] for e in prev_data}
+            added = [e for e in cur_data if e["data_file"]["file_path"] not in prev_paths]
+            removed = [e for e in prev_data if e["data_file"]["file_path"] not in cur_paths]
+            affected = self._applicable_deletes(cur_data, cur_dels)
+            if affected:
+                self._materialize_position_files(affected, cur_dels, cur_data)
+            return TableChange(
+                table=table,
+                commit_id=commit,
+                files_added=self._to_inventory(added, table, None),
+                files_removed=self._to_inventory(removed, table, None),
+                row_deletes=self._row_deletes_df(affected, cur_data, table),
+            )
 
         def eff_view(sid: Optional[int], materialize: bool):
             if sid is None:

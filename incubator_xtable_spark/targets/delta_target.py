@@ -103,6 +103,10 @@ class DeltaConversionTarget:
         self.checkpoint_interval = checkpoint_interval
         self._reset()
 
+    # Delta can express row-level deletes natively (deletion vectors);
+    # sources with expose_row_deletes=True may skip shadow rewrites
+    supports_row_deletes = True
+
     def _reset(self) -> None:
         self._table: Optional[InternalTable] = None
         self._schema: Optional[T.StructType] = None
@@ -112,6 +116,7 @@ class DeltaConversionTarget:
         self._adds: Optional[DataFrame] = None
         self._removes: Optional[DataFrame] = None
         self._committed_version: Optional[int] = None
+        self._row_deletes: Optional[DataFrame] = None
 
     # -- sync steps --------------------------------------------------------
 
@@ -186,6 +191,15 @@ class DeltaConversionTarget:
             _relativize_col(F.col("physical_path"), self.base_path).alias("path")
         )
 
+    def sync_row_deletes(self, deletes: DataFrame) -> None:
+        """Row-delete channel (ROW_DELETES_SCHEMA): each covered data file
+        gets a REAL Delta deletion vector ('u'-storage roaring bitmap,
+        written executor-side from the positions parquet) attached to its
+        add action — data files are never rewritten. Files already live
+        in the target re-commit as remove + re-add with the new DV (the
+        shape a Delta DELETE writes); an unchanged delete set is a no-op."""
+        self._row_deletes = deletes
+
     @staticmethod
     def _with_column_mapping(schema: T.StructType) -> tuple[T.StructType, int]:
         """When the source schema carries canonical field ids (Iceberg
@@ -249,6 +263,52 @@ class DeltaConversionTarget:
 
         mapped_schema, max_col_id = self._with_column_mapping(schema)
 
+        # row-delete channel: write DV files and split them into
+        # (a) descriptors attached to this commit's adds and
+        # (b) remove+re-add pairs for files already live in the target
+        dv_map: dict[str, dict] = {}
+        dv_readds: list[dict] = []
+        if self._row_deletes is not None:
+            from incubator_xtable_spark.model.core import drain_rows
+            from incubator_xtable_spark.sources.delta_dv import (
+                write_dv_files_from_positions,
+            )
+
+            rd_rows = [r.asDict() for r in drain_rows(self._row_deletes)]
+            dv_map = write_dv_files_from_positions(self.spark, self.base_path, rd_rows)
+            if dv_map and version > 0:
+                from incubator_xtable_spark.sources.delta_source import live_files_df
+
+                base = self.base_path.rstrip("/") + "/"
+                add_paths = (
+                    {r["physical_path"] for r in drain_rows(self._adds)}
+                    if self._adds is not None
+                    else set()
+                )
+                live_cols = ["path", "partitionValues", "size", "modificationTime", "stats"]
+                live = live_files_df(self.spark, self.base_path, version - 1)
+                has_live_dv = "deletionVector" in live.columns
+                if has_live_dv:
+                    live_cols.append("deletionVector")
+                for r in live.select(*live_cols).collect():
+                    abs_p = r["path"] if r["path"].startswith("/") else base + r["path"]
+                    desc = dv_map.get(abs_p)
+                    if desc is None or abs_p in add_paths:
+                        continue
+                    cur = r["deletionVector"] if has_live_dv else None
+                    if cur is not None and cur["pathOrInlineDv"] == desc["pathOrInlineDv"]:
+                        continue  # unchanged delete set — no-op
+                    dv_readds.append(
+                        {
+                            "path": r["path"],
+                            "partitionValues": dict(r["partitionValues"] or {}),
+                            "size": r["size"],
+                            "modificationTime": r["modificationTime"],
+                            "stats": r["stats"],
+                            "deletionVector": desc,
+                        }
+                    )
+
         def actions() -> Iterator[str]:
             yield json.dumps(
                 {
@@ -260,22 +320,32 @@ class DeltaConversionTarget:
                     }
                 }
             )
-            if version == 0:
-                # generated columns require writer protocol v4; column
-                # mapping requires reader 2 / writer 5 (Delta PROTOCOL.md)
-                writer_version = 4 if self._generated_fields else MIN_WRITER_VERSION
-                reader_version = MIN_READER_VERSION
-                if max_col_id:
-                    reader_version = max(reader_version, 2)
-                    writer_version = max(writer_version, 5)
-                yield json.dumps(
-                    {
-                        "protocol": {
-                            "minReaderVersion": reader_version,
-                            "minWriterVersion": writer_version,
-                        }
-                    }
-                )
+            # generated columns require writer protocol v4; column mapping
+            # reader 2 / writer 5; deletion vectors reader 3 / writer 7
+            # with named table features (Delta PROTOCOL.md)
+            writer_version = 4 if self._generated_fields else MIN_WRITER_VERSION
+            reader_version = MIN_READER_VERSION
+            if max_col_id:
+                reader_version = max(reader_version, 2)
+                writer_version = max(writer_version, 5)
+            need_dv = bool(dv_map) or bool(dv_readds)
+            if need_dv:
+                reader_version = max(reader_version, 3)
+                writer_version = max(writer_version, 7)
+            prev_proto = None if version == 0 else self._read_latest_protocol()
+            if version == 0 or (
+                need_dv
+                and prev_proto is not None
+                and prev_proto.get("minReaderVersion", 1) < 3
+            ):
+                proto: dict[str, Any] = {
+                    "minReaderVersion": reader_version,
+                    "minWriterVersion": writer_version,
+                }
+                if need_dv:
+                    proto["readerFeatures"] = ["deletionVectors"]
+                    proto["writerFeatures"] = ["deletionVectors"]
+                yield json.dumps({"protocol": proto})
             if version == 0 or self._metadata_json is not None or self._schema is not None:
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}
                 if self._metadata_json is not None:
@@ -322,7 +392,22 @@ class DeltaConversionTarget:
                     )
             if self._adds is not None:
                 for row in _drain(self._adds):
-                    yield self._add_action(row, schema, now_ms)
+                    yield self._add_action(row, schema, now_ms, dv_map.get(row["physical_path"]))
+            # DV-update shape for files already live: remove + re-add with
+            # the new deletion vector (what a Delta DELETE commit writes)
+            for ra in dv_readds:
+                yield json.dumps(
+                    {
+                        "remove": {
+                            "path": ra["path"],
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                add = dict(ra)
+                add["dataChange"] = True
+                yield json.dumps({"add": add})
 
         self._atomic_write(version, actions())
         self._committed_version = version
@@ -334,7 +419,9 @@ class DeltaConversionTarget:
 
     # -- helpers -----------------------------------------------------------
 
-    def _add_action(self, row: Row, schema: T.StructType, now_ms: int) -> str:
+    def _add_action(
+        self, row: Row, schema: T.StructType, now_ms: int, dv_desc: Optional[dict] = None
+    ) -> str:
         col_stats = {}
         raw_stats = row["column_stats"]
         if raw_stats:
@@ -346,18 +433,17 @@ class DeltaConversionTarget:
                 }
                 for name, st in raw_stats.items()
             }
-        return json.dumps(
-            {
-                "add": {
-                    "path": _relativize(row["physical_path"], self.base_path),
-                    "partitionValues": dict(row["partition_values"] or {}),
-                    "size": row["size_bytes"],
-                    "modificationTime": row["last_modified_ms"] or now_ms,
-                    "dataChange": True,
-                    "stats": to_delta_stats_json(row["record_count"], col_stats, schema),
-                }
-            }
-        )
+        add = {
+            "path": _relativize(row["physical_path"], self.base_path),
+            "partitionValues": dict(row["partition_values"] or {}),
+            "size": row["size_bytes"],
+            "modificationTime": row["last_modified_ms"] or now_ms,
+            "dataChange": True,
+            "stats": to_delta_stats_json(row["record_count"], col_stats, schema),
+        }
+        if dv_desc is not None:
+            add["deletionVector"] = dv_desc
+        return json.dumps({"add": add})
 
     def _table_id(self) -> str:
         existing = self.get_table_properties()
@@ -390,6 +476,23 @@ class DeltaConversionTarget:
     def _previous_configuration(self) -> dict[str, Any]:
         meta = self._read_latest_metadata()
         return dict(meta.get("configuration") or {}) if meta else {}
+
+    def _read_latest_protocol(self) -> Optional[dict[str, Any]]:
+        v = current_log_version(self.base_path)
+        if v is None:
+            return None
+        for ver in range(v, -1, -1):
+            fp = _version_file(self.base_path, ver)
+            if not os.path.exists(fp):
+                continue
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    if '"protocol"' not in line:
+                        continue
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        return action["protocol"]
+        return None
 
     def _read_latest_metadata(self) -> Optional[dict[str, Any]]:
         v = current_log_version(self.base_path)

@@ -27,6 +27,7 @@ from incubator_xtable_spark.sources.iceberg_source import (
     read_iceberg_as_df,
 )
 from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
 from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
 
 SCHEMA_STRING = json.dumps(
@@ -225,3 +226,307 @@ def test_run_sync_auto_enables_exposure(spark, tmp_path):
     assert getattr(t_ice, "supports_row_deletes", False) is True
     assert getattr(t_hudi, "supports_row_deletes", False) is False
     assert source.expose_row_deletes is False  # default stays off
+
+
+# ---------------------------------------------------------------------------
+# Iceberg position deletes -> Delta deletion vectors (the mirror path)
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_deleted_table(spark, tmp_path):
+    """Iceberg table (via our target) + a spec-shaped snapshot carrying a
+    position-delete manifest for 3 rows of one data file — same build as
+    tests/test_iceberg_deletes.deleted_table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import (
+        MANIFEST_LIST_SCHEMA,
+        AvroIO,
+        IcebergConversionTarget,
+        manifest_entry_schema,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    d = str(tmp_path / "icedel")
+    df = spark.range(0, 20).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="icedel"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, d, table_name="icedel")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+
+    meta = read_table_metadata(d)
+    avro = AvroIO(spark)
+    src = IcebergConversionSource(spark, d)
+    entries = src._live_entries(meta, meta["current-snapshot-id"])
+    victim = sorted(e["data_file"]["file_path"] for e in entries)[0]
+    pos_path = os.path.join(d, "delete-0001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([victim] * 3, pa.string()),
+                "pos": pa.array([0, 1, 2], pa.int64()),
+            }
+        ),
+        pos_path,
+    )
+    del_manifest = os.path.join(metadata_dir(d), "del-m0.avro")
+    dlen = avro.write_records(
+        del_manifest,
+        manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": 999,
+                "sequence_number": 2,
+                "file_sequence_number": 2,
+                "data_file": {
+                    "content": 1,
+                    "file_path": pos_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 3,
+                    "file_size_in_bytes": os.path.getsize(pos_path),
+                },
+            }
+        ],
+        {"format-version": "2", "content": "deletes"},
+    )
+    snap1 = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    old_manifests = avro.read_records(snap1["manifest-list"])
+    new_list = os.path.join(metadata_dir(d), "snap-999-del.avro")
+    avro.write_records(
+        new_list,
+        MANIFEST_LIST_SCHEMA,
+        old_manifests
+        + [
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": dlen,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 999,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 3,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 3,
+            }
+        ],
+        {"format-version": "2"},
+    )
+    meta2 = json.loads(json.dumps(meta))
+    meta2["last-sequence-number"] = 2
+    meta2["current-snapshot-id"] = 999
+    meta2["snapshots"].append(
+        {
+            "snapshot-id": 999,
+            "parent-snapshot-id": snap1["snapshot-id"],
+            "sequence-number": 2,
+            "timestamp-ms": snap1["timestamp-ms"] + 1,
+            "manifest-list": new_list,
+            "summary": {"operation": "delete"},
+        }
+    )
+    v = 1 + max(
+        int(p.split("v")[-1].split(".")[0])
+        for p in os.listdir(metadata_dir(d))
+        if p.endswith(".metadata.json")
+    )
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    with open(os.path.join(metadata_dir(d), "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return d, victim
+
+
+def test_iceberg_deletes_to_delta_dv(spark, tmp_path):
+    """Iceberg v2 position deletes convert to REAL Delta deletion
+    vectors — no data rewrite in either format."""
+    d, victim = _iceberg_deleted_table(spark, tmp_path)
+    src = IcebergConversionSource(spark, d, name="icedel", expose_row_deletes=True)
+    snap = src.get_current_snapshot()
+    rd = snap.row_deletes.collect()
+    assert len(rd) == 1 and rd[0]["data_file_path"] == victim
+    assert rd[0]["delete_count"] == 3
+    # data inventory references ORIGINAL files, not purged shadows
+    paths = {r["physical_path"] for r in snap.files.collect()}
+    assert victim in paths and not any(".purged-" in p for p in paths)
+
+    res = ConversionController().sync(
+        src, {TableFormat.DELTA: DeltaConversionTarget(spark, d)}
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res
+
+    # the add action for the victim carries a 'u'-storage deletion vector
+    import glob as _glob
+
+    adds = {}
+    proto = None
+    for f in sorted(_glob.glob(os.path.join(d, "_delta_log", "*.json"))):
+        for line in open(f):
+            a = json.loads(line)
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            if "protocol" in a:
+                proto = a["protocol"]
+    victim_rel = os.path.basename(victim)
+    dv = next(v for p, v in adds.items() if p.endswith(victim_rel))["deletionVector"]
+    assert dv["storageType"] == "u" and dv["cardinality"] == 3
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+
+    ice_rows = sorted(tuple(r) for r in read_iceberg_as_df(spark, d).collect())
+    delta_rows = sorted(tuple(r) for r in read_delta_as_df(spark, d).collect())
+    assert delta_rows == ice_rows and len(delta_rows) == 17
+    assert not glob.glob(os.path.join(d, "*.purged-*"))
+
+    # idempotent re-sync: unchanged delete set -> DV re-add is a no-op
+    n_log = len(_glob.glob(os.path.join(d, "_delta_log", "*.json")))
+    res = ConversionController().sync(
+        IcebergConversionSource(spark, d, name="icedel", expose_row_deletes=True),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    logs = sorted(_glob.glob(os.path.join(d, "_delta_log", "*.json")))
+    # nothing new to sync: either no commit at all (empty backlog) or a
+    # bookkeeping commit with no file churn
+    assert len(logs) <= n_log + 1
+    if len(logs) == n_log + 1:
+        last = [json.loads(l) for l in open(logs[-1])]
+        assert not any("add" in a or "remove" in a for a in last)
+    assert sorted(tuple(r) for r in read_delta_as_df(spark, d).collect()) == ice_rows
+
+
+def test_iceberg_delete_widening_updates_delta_dv(spark, tmp_path):
+    """A widened Iceberg delete set re-commits the affected file in Delta
+    as remove + re-add with the NEW deletion vector (dv-update shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.targets.iceberg_target import (
+        MANIFEST_LIST_SCHEMA,
+        AvroIO,
+        manifest_entry_schema,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    d, victim = _iceberg_deleted_table(spark, tmp_path)
+    src = IcebergConversionSource(spark, d, name="icedel", expose_row_deletes=True)
+    target = DeltaConversionTarget(spark, d)
+    res = ConversionController().sync(src, {TableFormat.DELTA: target})
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+
+    # snapshot 1000: a second delete file adds position 3 of the victim
+    avro = AvroIO(spark)
+    meta = read_table_metadata(d)
+    pos_path2 = os.path.join(d, "delete-0002.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([victim], pa.string()),
+                "pos": pa.array([3], pa.int64()),
+            }
+        ),
+        pos_path2,
+    )
+    del_manifest2 = os.path.join(metadata_dir(d), "del-m1.avro")
+    dlen2 = avro.write_records(
+        del_manifest2,
+        manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1000,
+                "sequence_number": 3,
+                "file_sequence_number": 3,
+                "data_file": {
+                    "content": 1,
+                    "file_path": pos_path2,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(pos_path2),
+                },
+            }
+        ],
+        {"format-version": "2", "content": "deletes"},
+    )
+    snap2 = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    old_manifests = avro.read_records(snap2["manifest-list"])
+    new_list = os.path.join(metadata_dir(d), "snap-1000-del.avro")
+    avro.write_records(
+        new_list,
+        MANIFEST_LIST_SCHEMA,
+        old_manifests
+        + [
+            {
+                "manifest_path": del_manifest2,
+                "manifest_length": dlen2,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 3,
+                "min_sequence_number": 3,
+                "added_snapshot_id": 1000,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 1,
+            }
+        ],
+        {"format-version": "2"},
+    )
+    meta2 = json.loads(json.dumps(meta))
+    meta2["last-sequence-number"] = 3
+    meta2["current-snapshot-id"] = 1000
+    meta2["snapshots"].append(
+        {
+            "snapshot-id": 1000,
+            "parent-snapshot-id": snap2["snapshot-id"],
+            "sequence-number": 3,
+            "timestamp-ms": snap2["timestamp-ms"] + 1,
+            "manifest-list": new_list,
+            "summary": {"operation": "delete"},
+        }
+    )
+    v = 1 + max(
+        int(p.split("v")[-1].split(".")[0])
+        for p in os.listdir(metadata_dir(d))
+        if p.endswith(".metadata.json")
+    )
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    with open(os.path.join(metadata_dir(d), "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+    res = ConversionController().sync(
+        IcebergConversionSource(spark, d, name="icedel", expose_row_deletes=True),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res
+    import glob as _glob
+
+    logs = sorted(_glob.glob(os.path.join(d, "_delta_log", "*.json")))
+    last = [json.loads(l) for l in open(logs[-1])]
+    removes = [a["remove"]["path"] for a in last if "remove" in a]
+    adds = [a["add"] for a in last if "add" in a]
+    assert len(removes) == 1 and len(adds) == 1
+    assert removes[0] == adds[0]["path"]
+    assert adds[0]["deletionVector"]["cardinality"] == 4
+    ice_rows = sorted(tuple(r) for r in read_iceberg_as_df(spark, d).collect())
+    delta_rows = sorted(tuple(r) for r in read_delta_as_df(spark, d).collect())
+    assert delta_rows == ice_rows and len(delta_rows) == 16
