@@ -501,9 +501,22 @@ class PaimonConversionSource:
     def _to_inventory(self, entries: list[dict], sch: dict) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
-        schema = paimon_fields_to_schema(sch["fields"])
         options = sch.get("options") or {}
         keys, codecs, dtypes = self._partition_ctx(sch)
+        # stats rows decode against the schema the FILE was written with
+        # (file _SCHEMA_ID) — after schema evolution an old file's stats
+        # arity matches its write schema, not the snapshot schema
+        schema_cache: dict[int, T.StructType] = {}
+
+        def file_schema(schema_id: int) -> T.StructType:
+            if schema_id not in schema_cache:
+                try:
+                    fields = self._schema(schema_id)["fields"]
+                except FileNotFoundError:
+                    fields = sch["fields"]
+                schema_cache[schema_id] = paimon_fields_to_schema(fields)
+            return schema_cache[schema_id]
+
         rows = []
         for e in entries:
             fm = e["_FILE"]
@@ -521,7 +534,7 @@ class PaimonConversionSource:
                     int(fm["_ROW_COUNT"]),
                     int(fm["_CREATION_TIME"]) if fm.get("_CREATION_TIME") else None,
                     pv,
-                    self._decode_value_stats(fm, schema),
+                    self._decode_value_stats(fm, file_schema(int(fm.get("_SCHEMA_ID") or 0))),
                 )
             )
         return self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)

@@ -92,6 +92,7 @@ class PaimonTestTable:
         self.stats_cols = list(stats_cols) if stats_cols is not None else None
         self.avro = AvroIO(spark)
         self._codecs = {n: parse_paimon_type(t)[1] for n, t in self.fields}
+        self._schema_id = 0
         self._snapshot_id = 0
         self._commit_identifier = 0
         self._sequence = 0
@@ -121,6 +122,30 @@ class PaimonTestTable:
             "timeMillis": EPOCH_MS,
         }
         with open(os.path.join(self.base, "schema", "schema-0"), "w") as fh:
+            json.dump(schema, fh)
+        return self
+
+    def evolve(self, fields) -> "PaimonTestTable":
+        """Schema evolution: write schema-(id+1); later commits reference
+        it via snapshot.schemaId and per-file _SCHEMA_ID."""
+        self.fields = list(fields)
+        self._codecs = {n: parse_paimon_type(t)[1] for n, t in self.fields}
+        self._schema_id += 1
+        schema = {
+            "version": 3,
+            "id": self._schema_id,
+            "fields": [
+                {"id": i, "name": n, "type": t} for i, (n, t) in enumerate(self.fields)
+            ],
+            "highestFieldId": len(self.fields) - 1,
+            "partitionKeys": self.partition_keys,
+            "primaryKeys": self.primary_keys,
+            "options": self.options,
+            "timeMillis": EPOCH_MS + self._schema_id,
+        }
+        with open(
+            os.path.join(self.base, "schema", f"schema-{self._schema_id}"), "w"
+        ) as fh:
             json.dump(schema, fh)
         return self
 
@@ -216,7 +241,7 @@ class PaimonTestTable:
                 "_VALUE_STATS": stats,
                 "_MIN_SEQUENCE_NUMBER": seq,
                 "_MAX_SEQUENCE_NUMBER": seq,
-                "_SCHEMA_ID": 0,
+                "_SCHEMA_ID": self._schema_id,
                 "_LEVEL": level,
                 "_EXTRA_FILES": [],
                 "_CREATION_TIME": EPOCH_MS + self._snapshot_id * 1000,
@@ -251,7 +276,7 @@ class PaimonTestTable:
                 "_MAX_VALUES": encode_binary_row([], []),
                 "_NULL_COUNTS": encode_long_array([]),
             },
-            "_SCHEMA_ID": 0,
+            "_SCHEMA_ID": self._schema_id,
         }
 
     def _write_manifest_list(self, metas: list[dict], suffix: int) -> str:
@@ -277,7 +302,7 @@ class PaimonTestTable:
         snapshot = {
             "version": 3,
             "id": sid,
-            "schemaId": 0,
+            "schemaId": self._schema_id,
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
             "changelogManifestList": None,

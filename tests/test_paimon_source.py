@@ -388,3 +388,67 @@ def test_paimon_to_delta_row_parity(spark, part_table):
     paimon_rows = {tuple(r) for r in read_paimon_as_df(spark, part_table.base).collect()}
     assert delta_rows == paimon_rows
     assert len(delta_rows) == 26
+
+
+def test_schema_evolution(spark, tmp_path):
+    """schema-N chain: a snapshot reads with ITS schema id; files written
+    under the old schema keep stats decodable (per-file _SCHEMA_ID) and
+    read back with nulls for the added column."""
+    t = PaimonTestTable(spark, str(tmp_path / "evo"), FIELDS, partition_keys=["level"]).create()
+    t.append(_mkrows(0, 6, "INFO"))
+    t.evolve(FIELDS + [("rank", "INT")])
+    rows2 = [dict(r, rank=r["id"] * 10) for r in _mkrows(6, 4, "INFO")]
+    t.append(rows2)
+
+    src = PaimonConversionSource(spark, t.base)
+    # table at the new snapshot has the evolved schema
+    table = src.get_current_table()
+    assert [f.name for f in table.read_schema.fields] == ["id", "name", "score", "level", "rank"]
+    # table at snapshot 1 still reports the original schema
+    assert [f.name for f in src.get_table(1).read_schema.fields] == [
+        "id",
+        "name",
+        "score",
+        "level",
+    ]
+    # both files inventory with per-write-schema stats intact
+    files = src.get_current_snapshot().files.collect()
+    assert len(files) == 2
+    by_count = {f.record_count: f for f in files}
+    assert "rank" not in by_count[6].column_stats  # old file: no rank stats
+    assert by_count[4].column_stats["rank"].null_count == 0
+    # read: old rows surface NULL rank
+    df = read_paimon_as_df(spark, t.base)
+    got = {r["id"]: r["rank"] for r in df.collect()}
+    assert got[0] is None and got[7] == 70
+    assert df.count() == 10
+
+
+def test_paimon_multi_target_equivalence(spark, part_table):
+    """One Paimon source -> Delta AND Hudi AND Iceberg targets in ONE
+    sync; all four read paths produce identical rows
+    (ITConversionController.checkDatasetEquivalence analog)."""
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    base = part_table.base
+    targets = {
+        TableFormat.DELTA: DeltaConversionTarget(spark, base),
+        TableFormat.HUDI: HudiConversionTarget(spark, base, table_name="pt"),
+        TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="pt"),
+    }
+    results = ConversionController().sync(
+        PaimonConversionSource(spark, base, name="pt"), targets
+    )
+    for fmt, res in results.items():
+        assert res.status == SyncStatusCode.SUCCESS, (fmt, res.error)
+
+    cols = ["id", "name", "score", "level"]
+    via_paimon = {tuple(r) for r in read_paimon_as_df(spark, base).select(cols).collect()}
+    via_delta = {tuple(r) for r in read_delta_as_df(spark, base).select(cols).collect()}
+    via_hudi = {tuple(r) for r in read_hudi_as_df(spark, base).select(cols).collect()}
+    via_iceberg = {tuple(r) for r in read_iceberg_as_df(spark, base).select(cols).collect()}
+    assert via_paimon == via_delta == via_hudi == via_iceberg
+    assert len(via_paimon) == 22
