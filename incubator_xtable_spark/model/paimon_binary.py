@@ -107,8 +107,13 @@ class BinaryRowWriter:
         k = ftype.kind
         if k == "boolean":
             self._slot(i, 1 if value else 0)
-        elif k in ("tinyint", "smallint", "int", "date"):
-            self._slot(i, int(value))
+        elif k == "tinyint":
+            # spec layout: writeByte touches ONE byte of the zeroed slot
+            struct.pack_into("<b", self.fixed, self.null_width + 8 * i, int(value))
+        elif k == "smallint":
+            struct.pack_into("<h", self.fixed, self.null_width + 8 * i, int(value))
+        elif k in ("int", "date"):
+            struct.pack_into("<i", self.fixed, self.null_width + 8 * i, int(value))
         elif k == "bigint":
             self._slot(i, int(value))
         elif k == "float":
@@ -194,8 +199,13 @@ class BinaryRowReader:
         k = ftype.kind
         if k == "boolean":
             return bool(self._slot(i))
-        if k in ("tinyint", "smallint", "int", "date"):
-            # slot is a full little-endian word; low 4 bytes hold the int
+        if k == "tinyint":
+            # real Paimon writes ONE signed byte (writeByte) — reading a
+            # wider slice would lose the sign (e.g. -1 -> 255)
+            return struct.unpack_from("<b", self.data, self.null_width + 8 * i)[0]
+        if k == "smallint":
+            return struct.unpack_from("<h", self.data, self.null_width + 8 * i)[0]
+        if k in ("int", "date"):
             return struct.unpack_from("<i", self.data, self.null_width + 8 * i)[0]
         if k == "bigint":
             return self._slot(i)

@@ -23,6 +23,11 @@ class TableSyncMetadata:
     version: int = CURRENT_VERSION
     source_table_format: Optional[str] = None
     source_identifier: Optional[str] = None
+    # True when the sync that wrote this bookmark ran with row-delete
+    # exposure (original paths + delete files) rather than purged shadows;
+    # a mode flip between syncs forces a FULL restatement (the two
+    # representations use different effective paths)
+    row_deletes_mode: bool = False
 
     def to_json(self) -> str:
         return json.dumps(
@@ -32,6 +37,7 @@ class TableSyncMetadata:
                 "version": self.version,
                 "sourceTableFormat": self.source_table_format,
                 "sourceIdentifier": self.source_identifier,
+                "rowDeletesMode": self.row_deletes_mode,
             },
             sort_keys=True,
         )
@@ -45,4 +51,5 @@ class TableSyncMetadata:
             version=d.get("version", CURRENT_VERSION),
             source_table_format=d.get("sourceTableFormat"),
             source_identifier=d.get("sourceIdentifier"),
+            row_deletes_mode=bool(d.get("rowDeletesMode", False)),
         )

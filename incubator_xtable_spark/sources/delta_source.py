@@ -422,10 +422,17 @@ def _lift_column_mapping(schema: T.StructType) -> T.StructType:
         # InternalField (and so a write->read round trip is idempotent)
         meta.pop("delta.columnMapping.id", None)
         meta.pop("delta.columnMapping.physicalName", None)
-        dt = f.dataType
+        return T.StructField(f.name, visit_type(f.dataType), f.nullable, meta)
+
+    def visit_type(dt: T.DataType) -> T.DataType:
+        # structs nested inside arrays/maps carry mapped ids too
         if isinstance(dt, T.StructType):
-            dt = T.StructType([visit(c) for c in dt.fields])
-        return T.StructField(f.name, dt, f.nullable, meta)
+            return T.StructType([visit(c) for c in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(visit_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(visit_type(dt.keyType), visit_type(dt.valueType), dt.valueContainsNull)
+        return dt
 
     return T.StructType([visit(f) for f in schema.fields])
 
@@ -517,10 +524,16 @@ class DeltaConversionSource:
             row_deletes=self._row_deletes_for(live) if self.expose_row_deletes else None,
         )
 
-    def _row_deletes_for(self, adds: DataFrame) -> Optional[DataFrame]:
-        """DV'd adds -> ROW_DELETES_SCHEMA rows; materializes the
+    def _row_deletes_for(self, adds: DataFrame) -> DataFrame:
+        """DV'd files -> ROW_DELETES_SCHEMA rows; materializes the
         Iceberg-shaped (file_path, pos) positions parquet per (file, DV)
-        executor-side, idempotently. Returns None when no DVs."""
+        executor-side, idempotently.
+
+        The result states the table's COMPLETE current delete set (pass
+        the full live file set, not a commit's adds): targets clear
+        deletes for any live file absent from it, which is what makes a
+        RESTORE (re-add without DV) propagate. An empty DataFrame means
+        'no rows are deleted' — never None, so the channel stays active."""
         from incubator_xtable_spark.model.core import ROW_DELETES_SCHEMA
         from incubator_xtable_spark.sources.delta_dv import (
             delete_positions_path,
@@ -528,7 +541,7 @@ class DeltaConversionSource:
         )
 
         if "deletionVector" not in adds.columns:
-            return None
+            return self.spark.createDataFrame([], ROW_DELETES_SCHEMA)
         base = self.base_path.rstrip("/") + "/"
         abs_path = F.when(F.col("path").startswith("/"), F.col("path")).otherwise(
             F.concat(F.lit(base), F.col("path"))
@@ -539,7 +552,7 @@ class DeltaConversionSource:
             .collect()
         )
         if not dv_list:
-            return None
+            return self.spark.createDataFrame([], ROW_DELETES_SCHEMA)
         write_delete_position_files(
             self.spark,
             self.base_path,
@@ -678,9 +691,12 @@ class DeltaConversionSource:
         if self.expose_row_deletes:
             # row-delete exposure: files diff on their RAW paths (a DV
             # update commit — remove X + re-add X with a new DV — is a
-            # data-file no-op); the commit's DV'd adds ride separately on
-            # row_deletes, so the target swaps delete files, not data
-            row_deletes = self._row_deletes_for(adds)
+            # data-file no-op); row_deletes restates the COMPLETE delete
+            # state at this version so a dropped DV (RESTORE) clears the
+            # target's delete file as well as a widened DV swapping it
+            row_deletes = self._row_deletes_for(
+                live_files_df(self.spark, self.base_path, version)
+            )
             noop = adds.select("path").intersect(removes_raw)
             pure_adds = adds.join(noop, "path", "left_anti")
             pure_removes = removes_raw.join(noop, "path", "left_anti")

@@ -290,10 +290,13 @@ class IcebergConversionSource:
     def _row_deletes_df(
         self, affected: dict[str, dict], data_entries: list[dict], table: InternalTable
     ):
+        """COMPLETE current delete state (empty DataFrame = no deletes,
+        never None — targets clear stale delete files/DVs for live data
+        files absent from this restatement)."""
         from incubator_xtable_spark.model.core import ROW_DELETES_SCHEMA
 
         if not affected:
-            return None
+            return self.spark.createDataFrame([], ROW_DELETES_SCHEMA)
         part_cols = [pf.output_name for pf in table.partition_fields]
         pv_by_path = {
             e["data_file"]["file_path"]: (

@@ -265,6 +265,35 @@ def paimon_fields_to_schema(fields: list[dict]) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
+def format_partition_value(v: Any, dtype: T.DataType, options: dict) -> str:
+    """InternalRowPartitionComputer.generatePartValues equivalent.
+
+    Accepts codec-native values (date as days-int, timestamp as a
+    (millis, nano_of_milli) tuple) AND Python date/datetime objects, so
+    the test fixture's path builder and the manifest decoder render the
+    SAME directory segment for a given value."""
+    if v is None:
+        return options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return (datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))).isoformat()
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, tuple):
+            millis, nanos = v
+            v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                milliseconds=millis, microseconds=nanos // 1000
+            )
+        # LocalDateTime.toString() shape (Paimon Timestamp.toString):
+        # 'T' separator, seconds omitted when zero
+        if v.second == 0 and v.microsecond == 0:
+            return v.strftime("%Y-%m-%dT%H:%M")
+        return v.isoformat()
+    if isinstance(dtype, T.BooleanType):
+        return "true" if v else "false"
+    return str(v)
+
+
 class PaimonConversionSource:
     def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
         self.spark = spark
@@ -410,14 +439,7 @@ class PaimonConversionSource:
         return keys, codecs, dtypes
 
     def _partition_value_str(self, v: Any, dtype: T.DataType, options: dict) -> str:
-        """InternalRowPartitionComputer.generatePartValues equivalent."""
-        if v is None:
-            return options.get("partition.default-name", DEFAULT_PARTITION_NAME)
-        if isinstance(dtype, T.DateType):
-            return (datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))).isoformat()
-        if isinstance(dtype, T.BooleanType):
-            return "true" if v else "false"
-        return str(v)
+        return format_partition_value(v, dtype, options)
 
     def _decode_partition(
         self, raw: Any, keys: list[str], codecs: list, dtypes: list, options: dict

@@ -44,7 +44,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema + normalization — mirrors sources/tables.load."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    probed = spark.read.parquet(sf_dir).schema["ts"].dataType
+    try:
+        probed = spark.read.parquet(sf_dir).schema["ts"].dataType
+    except Exception:
+        # empty ingest dir at startup (files land later): default to the
+        # nanos-as-long flavor — the startup-before-first-file pattern
+        # must keep working
+        probed = T.LongType()
     raw = spark.readStream.schema(_events_raw_schema(probed)).parquet(f"{sf_dir}")
     if isinstance(probed, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

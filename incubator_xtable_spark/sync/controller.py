@@ -67,6 +67,12 @@ class ConversionController:
             return SyncMode.FULL
         if bookmark is None:
             return SyncMode.FULL
+        # delete-representation flip (purged shadows <-> row-delete
+        # exposure) changes every DV'd file's effective path — an
+        # incremental diff against the other representation corrupts the
+        # target; a FULL restatement swaps representations safely
+        if bool(getattr(source, "expose_row_deletes", False)) != bookmark.row_deletes_mode:
+            return SyncMode.FULL
         earliest = _earliest_instant(bookmark)
         if not source.is_incremental_sync_safe_from(earliest):
             return SyncMode.FULL
@@ -85,6 +91,7 @@ class ConversionController:
                     instants_to_consider_for_next_sync=list(snapshot.pending_commits),
                     source_table_format=snapshot.table.table_format.value,
                     source_identifier=snapshot.source_identifier,
+                    row_deletes_mode=bool(getattr(source, "expose_row_deletes", False)),
                 )
                 target.begin_sync(snapshot.table)
                 target.sync_metadata(bookmark)
@@ -163,6 +170,7 @@ class ConversionController:
                         instants_to_consider_for_next_sync=pending,
                         source_table_format=change.table.table_format.value,
                         source_identifier=change.source_identifier,
+                        row_deletes_mode=bool(getattr(source, "expose_row_deletes", False)),
                     )
                     target.begin_sync(change.table)
                     target.sync_metadata(new_bookmark)

@@ -216,11 +216,22 @@ class DeltaConversionTarget:
         (DeltaSchemaExtractor.java:57-58,137-144)."""
         from incubator_xtable_spark.model.schema_meta import FIELD_ID, STORAGE_NAME
 
+        def nested_structs(dt: T.DataType):
+            """Struct types reachable through arrays/maps (Iceberg sources
+            carry field ids on fields nested inside both)."""
+            if isinstance(dt, T.StructType):
+                yield dt
+            elif isinstance(dt, T.ArrayType):
+                yield from nested_structs(dt.elementType)
+            elif isinstance(dt, T.MapType):
+                yield from nested_structs(dt.keyType)
+                yield from nested_structs(dt.valueType)
+
         def has_ids(st: T.StructType) -> bool:
             for f in st.fields:
                 if FIELD_ID in (f.metadata or {}):
                     return True
-                if isinstance(f.dataType, T.StructType) and has_ids(f.dataType):
+                if any(has_ids(s) for s in nested_structs(f.dataType)):
                     return True
             return False
 
@@ -232,11 +243,22 @@ class DeltaConversionTarget:
                 fid = (f.metadata or {}).get(FIELD_ID)
                 if fid is not None:
                     mx = max(mx, int(fid))
-                if isinstance(f.dataType, T.StructType):
-                    mx = collect_max(f.dataType, mx)
+                for s in nested_structs(f.dataType):
+                    mx = collect_max(s, mx)
             return mx
 
         next_id = [collect_max(schema, 0)]
+
+        def visit_type(dt: T.DataType) -> T.DataType:
+            if isinstance(dt, T.StructType):
+                return T.StructType([visit(c) for c in dt.fields])
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(visit_type(dt.elementType), dt.containsNull)
+            if isinstance(dt, T.MapType):
+                return T.MapType(
+                    visit_type(dt.keyType), visit_type(dt.valueType), dt.valueContainsNull
+                )
+            return dt
 
         def visit(f: T.StructField) -> T.StructField:
             meta = dict(f.metadata or {})
@@ -246,10 +268,7 @@ class DeltaConversionTarget:
                 fid = next_id[0]
             meta["delta.columnMapping.id"] = int(fid)
             meta["delta.columnMapping.physicalName"] = meta.get(STORAGE_NAME, f.name)
-            dt = f.dataType
-            if isinstance(dt, T.StructType):
-                dt = T.StructType([visit(c) for c in dt.fields])
-            return T.StructField(f.name, dt, f.nullable, meta)
+            return T.StructField(f.name, visit_type(f.dataType), f.nullable, meta)
 
         return T.StructType([visit(f) for f in schema.fields]), next_id[0]
 
@@ -276,7 +295,11 @@ class DeltaConversionTarget:
 
             rd_rows = [r.asDict() for r in drain_rows(self._row_deletes)]
             dv_map = write_dv_files_from_positions(self.spark, self.base_path, rd_rows)
-            if dv_map and version > 0:
+            if version > 0:
+                # row_deletes is the COMPLETE delete state: a live file
+                # with a changed set re-adds with the new DV; one absent
+                # from the map whose live add still carries a DV re-adds
+                # WITHOUT it (RESTORE propagation); unchanged sets no-op
                 from incubator_xtable_spark.sources.delta_source import live_files_df
 
                 base = self.base_path.rstrip("/") + "/"
@@ -292,22 +315,29 @@ class DeltaConversionTarget:
                     live_cols.append("deletionVector")
                 for r in live.select(*live_cols).collect():
                     abs_p = r["path"] if r["path"].startswith("/") else base + r["path"]
-                    desc = dv_map.get(abs_p)
-                    if desc is None or abs_p in add_paths:
+                    if abs_p in add_paths:
                         continue
+                    desc = dv_map.get(abs_p)
                     cur = r["deletionVector"] if has_live_dv else None
-                    if cur is not None and cur["pathOrInlineDv"] == desc["pathOrInlineDv"]:
+                    cur_active = cur is not None and cur["storageType"]
+                    if desc is None and not cur_active:
+                        continue  # never deleted — untouched
+                    if (
+                        desc is not None
+                        and cur_active
+                        and cur["pathOrInlineDv"] == desc["pathOrInlineDv"]
+                    ):
                         continue  # unchanged delete set — no-op
-                    dv_readds.append(
-                        {
-                            "path": r["path"],
-                            "partitionValues": dict(r["partitionValues"] or {}),
-                            "size": r["size"],
-                            "modificationTime": r["modificationTime"],
-                            "stats": r["stats"],
-                            "deletionVector": desc,
-                        }
-                    )
+                    readd = {
+                        "path": r["path"],
+                        "partitionValues": dict(r["partitionValues"] or {}),
+                        "size": r["size"],
+                        "modificationTime": r["modificationTime"],
+                        "stats": r["stats"],
+                    }
+                    if desc is not None:
+                        readd["deletionVector"] = desc
+                    dv_readds.append(readd)
 
         def actions() -> Iterator[str]:
             yield json.dumps(
@@ -343,8 +373,22 @@ class DeltaConversionTarget:
                     "minWriterVersion": writer_version,
                 }
                 if need_dv:
-                    proto["readerFeatures"] = ["deletionVectors"]
-                    proto["writerFeatures"] = ["deletionVectors"]
+                    # a table-features protocol (3/7) must list EVERY
+                    # active feature, including those the replaced legacy
+                    # protocol implied — not just deletionVectors
+                    reader_feats = ["deletionVectors"]
+                    writer_feats = ["appendOnly", "invariants", "deletionVectors"]
+                    if max_col_id:
+                        reader_feats.append("columnMapping")
+                        writer_feats.append("columnMapping")
+                    if self._generated_fields:
+                        writer_feats.append("generatedColumns")
+                    prev_cfg = self._previous_configuration() if version else {}
+                    if "delta.columnMapping.mode" in prev_cfg and "columnMapping" not in reader_feats:
+                        reader_feats.append("columnMapping")
+                        writer_feats.append("columnMapping")
+                    proto["readerFeatures"] = sorted(reader_feats)
+                    proto["writerFeatures"] = sorted(writer_feats)
                 yield json.dumps({"protocol": proto})
             if version == 0 or self._metadata_json is not None or self._schema is not None:
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}

@@ -643,23 +643,21 @@ class IcebergConversionTarget:
                     entries.append(self._entry_from_row(r, snapshot_id, seq, status=1))
                     n_added += 1
             counts = (n_added, len(survivors), len(current) - len(survivors))
-            # carry prior delete files, superseding any whose covered data
-            # file (identified by the shared path stem of the row-delete
-            # protocol) got a NEW delete set this commit
-            new_deletes = self._new_delete_entries(snapshot_id, seq)
-            from incubator_xtable_spark.sources.delta_dv import delete_file_stem
-
-            new_stems = {
-                delete_file_stem(e["data_file"]["file_path"]) for e in new_deletes
-            }
-            new_paths = {e["data_file"]["file_path"] for e in new_deletes}
-            carried = [
-                e
-                for e in current_deletes
-                if delete_file_stem(e["data_file"]["file_path"]) not in new_stems
-                and e["data_file"]["file_path"] not in new_paths
-            ]
-            delete_entries = carried + new_deletes
+            # row_deletes restates the COMPLETE delete set: rebuild the
+            # delete manifests from it, reusing a carried entry when the
+            # same delete file re-appears (keeps its original sequence
+            # number). A changed set supersedes (new path, same stem), a
+            # vanished set (RESTORE) or a removed data file drops its
+            # stale entry — nothing dangles. Channel inactive (None):
+            # legacy carry-forward.
+            if self._row_deletes is not None:
+                new_deletes = self._new_delete_entries(snapshot_id, seq)
+                by_path = {e["data_file"]["file_path"]: e for e in current_deletes}
+                delete_entries = [
+                    by_path.get(e["data_file"]["file_path"], e) for e in new_deletes
+                ]
+            else:
+                delete_entries = list(current_deletes)
 
         # carried-forward entries become EXISTING
         for e in entries + delete_entries:

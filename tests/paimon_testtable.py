@@ -161,12 +161,13 @@ class PaimonTestTable:
     def _partition_path(self, part_vals: dict) -> Optional[str]:
         if not self.partition_keys:
             return None
+        from incubator_xtable_spark.sources.paimon_source import format_partition_value
+
+        by_name = dict(self.fields)
         segs = []
         for k in self.partition_keys:
-            v = part_vals[k]
-            if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
-                v = v.isoformat()
-            segs.append(f"{k}={v}")
+            dtype = parse_paimon_type(by_name[k])[0]
+            segs.append(f"{k}={format_partition_value(part_vals[k], dtype, self.options)}")
         return "/".join(segs)
 
     def _value_stats(self, rows: list[dict], data_cols: list[str]) -> tuple[dict, Optional[list]]:

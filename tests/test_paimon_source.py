@@ -452,3 +452,35 @@ def test_paimon_multi_target_equivalence(spark, part_table):
     via_iceberg = {tuple(r) for r in read_iceberg_as_df(spark, base).select(cols).collect()}
     assert via_paimon == via_delta == via_hudi == via_iceberg
     assert len(via_paimon) == 22
+
+
+def test_binary_row_small_int_sign_and_layout():
+    """Real Paimon writes ONE byte for tinyint / TWO for smallint: the
+    reader must sign-extend from the narrow width (a 4-byte read turns
+    -1 into 255), and the writer must produce that spec layout."""
+    types = [PaimonFieldType("tinyint"), PaimonFieldType("smallint")]
+    blob = encode_binary_row(types, [-1, -2])
+    # spec layout: slot 0 byte0 = 0xff then zeros; slot 1 bytes = fe ff
+    assert blob[8] == 0xFF and blob[9] == 0x00
+    assert blob[16] == 0xFE and blob[17] == 0xFF and blob[18] == 0x00
+    assert decode_binary_row(blob, types) == [-1, -2]
+    # a slot written by real Paimon (single byte, rest zero) decodes signed
+    raw = b"\x00" * 8 + b"\xff" + b"\x00" * 7 + b"\x80\xff" + b"\x00" * 6
+    assert decode_binary_row(raw, types) == [-1, -128]
+
+
+def test_timestamp_partition_key(spark, tmp_path):
+    """TIMESTAMP partition keys render LocalDateTime-style directory
+    segments (not Python tuple reprs) and round-trip through paths."""
+    fields = [("id", "INT NOT NULL"), ("hr", "TIMESTAMP(6) NOT NULL")]
+    t = PaimonTestTable(
+        spark, str(tmp_path / "tspart"), fields, partition_keys=["hr"]
+    ).create()
+    hr = datetime.datetime(2024, 3, 1, 12, 0)
+    t.append([{"id": i, "hr": hr} for i in range(4)])
+    src = PaimonConversionSource(spark, t.base)
+    f = src.get_current_snapshot().files.collect()[0]
+    assert f.partition_values["hr"] == "2024-03-01T12:00"
+    assert "/hr=2024-03-01T12:00/" in f.physical_path
+    assert os.path.exists(f.physical_path)
+    assert read_paimon_as_df(spark, t.base).count() == 4

@@ -193,3 +193,15 @@ def test_streaming_sync_foreachbatch(spark, tmp_path):
     q2.awaitTermination()
     assert max(list_log_versions(d)) >= 1
     assert read_delta_as_df(spark, d).count() == 10
+
+
+def test_events_stream_starts_on_empty_dir(spark, tmp_path):
+    """The file-source stream must start before the first file lands
+    (schema probe falls back to the nanos-as-long flavor)."""
+    from incubator_xtable_spark.streaming.pipeline import events_stream
+
+    empty = tmp_path / "empty_ingest"
+    empty.mkdir()
+    stream = events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert "ts" in stream.columns

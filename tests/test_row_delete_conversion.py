@@ -530,3 +530,153 @@ def test_iceberg_delete_widening_updates_delta_dv(spark, tmp_path):
     ice_rows = sorted(tuple(r) for r in read_iceberg_as_df(spark, d).collect())
     delta_rows = sorted(tuple(r) for r in read_delta_as_df(spark, d).collect())
     assert delta_rows == ice_rows and len(delta_rows) == 16
+
+
+# ---------------------------------------------------------------------------
+# Complete-state semantics: RESTORE, compaction, mode flips
+# ---------------------------------------------------------------------------
+
+
+def test_restore_clears_iceberg_delete_files(spark, tmp_path):
+    """A Delta RESTORE (re-add without DV) clears the converted Iceberg
+    table's position-delete entry — restored rows become visible."""
+    base, s1, _ = _base_table(tmp_path)
+    src = DeltaConversionSource(spark, base, expose_row_deletes=True)
+    target = IcebergConversionTarget(spark, base, table_name="dvtab")
+    ConversionController().sync(src, {TableFormat.ICEBERG: target})
+    _dv_commit(base, 1, s1, [2, 3, 7])
+    ConversionController().sync(src, {TableFormat.ICEBERG: target})
+    assert read_iceberg_as_df(spark, base).count() == 17
+
+    # v2: RESTORE — re-add part-0001 with NO deletion vector
+    _log_write(
+        base,
+        2,
+        [
+            {"remove": {"path": "part-0001.parquet", "deletionTimestamp": 3, "dataChange": True}},
+            _add(base, "part-0001.parquet", s1),
+        ],
+    )
+    res = ConversionController().sync(src, {TableFormat.ICEBERG: target})
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res
+    assert _ids(read_iceberg_as_df(spark, base)) == list(range(20))
+    isrc = IcebergConversionSource(spark, base)
+    _, deletes = isrc._entries_by_content(isrc._meta(), isrc._meta()["current-snapshot-id"])
+    assert deletes == []
+
+
+def test_rewrite_drops_dangling_delete_entries(spark, tmp_path):
+    """Removing a DV'd data file (compaction rewrite) also drops its
+    delete entry — no dangling content=1 manifests accumulate."""
+    base, s1, _ = _base_table(tmp_path)
+    src = DeltaConversionSource(spark, base, expose_row_deletes=True)
+    target = IcebergConversionTarget(spark, base, table_name="dvtab")
+    _dv_commit(base, 1, s1, [2, 3, 7])
+    ConversionController().sync(src, {TableFormat.ICEBERG: target})
+
+    # v2: rewrite — drop part-0001 (and its DV), add compacted part-0003
+    s3 = _write_data_file(os.path.join(base, "part-0003.parquet"), [i for i in range(10) if i not in (2, 3, 7)])
+    _log_write(
+        base,
+        2,
+        [
+            {"remove": {"path": "part-0001.parquet", "deletionTimestamp": 3, "dataChange": True}},
+            _add(base, "part-0003.parquet", s3),
+        ],
+    )
+    res = ConversionController().sync(src, {TableFormat.ICEBERG: target})
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res
+    expected = [i for i in range(20) if i not in (2, 3, 7)]
+    assert _ids(read_iceberg_as_df(spark, base)) == expected
+    isrc = IcebergConversionSource(spark, base)
+    data, deletes = isrc._entries_by_content(isrc._meta(), isrc._meta()["current-snapshot-id"])
+    assert deletes == []  # nothing dangles
+    assert {os.path.basename(e["data_file"]["file_path"]) for e in data} == {
+        "part-0002.parquet",
+        "part-0003.parquet",
+    }
+
+
+def test_mode_flip_forces_full_restatement(spark, tmp_path):
+    """A table first synced with purged shadows re-syncs FULL when the
+    source flips to row-delete exposure: shadows swap for original paths
+    + delete files (no corrupted incremental continuity)."""
+    base, s1, _ = _base_table(tmp_path)
+    _dv_commit(base, 1, s1, [2, 3, 7])
+    target = IcebergConversionTarget(spark, base, table_name="dvtab")
+    # r3-style sync: shadows
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, base), {TableFormat.ICEBERG: target}
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    isrc = IcebergConversionSource(spark, base)
+    data, _ = isrc._entries_by_content(isrc._meta(), isrc._meta()["current-snapshot-id"])
+    assert any(".purged-" in e["data_file"]["file_path"] for e in data)
+
+    # flip to exposure: must run FULL (not incremental) and swap paths
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, base, expose_row_deletes=True),
+        {TableFormat.ICEBERG: target},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    assert res[TableFormat.ICEBERG].mode.value == "FULL"
+    data, deletes = isrc._entries_by_content(isrc._meta(), isrc._meta()["current-snapshot-id"])
+    paths = {os.path.basename(e["data_file"]["file_path"]) for e in data}
+    assert paths == {"part-0001.parquet", "part-0002.parquet"}
+    assert len(deletes) == 1
+    expected = [i for i in range(20) if i not in (2, 3, 7)]
+    assert _ids(read_iceberg_as_df(spark, base)) == expected
+
+
+def test_iceberg_restore_clears_delta_dv(spark, tmp_path):
+    """The mirror: an Iceberg snapshot that drops its delete manifest
+    re-syncs to Delta as a re-add WITHOUT the deletion vector."""
+    from incubator_xtable_spark.targets.iceberg_target import (
+        MANIFEST_LIST_SCHEMA,
+        AvroIO,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    d, victim = _iceberg_deleted_table(spark, tmp_path)
+    src = IcebergConversionSource(spark, d, name="icedel", expose_row_deletes=True)
+    target = DeltaConversionTarget(spark, d)
+    ConversionController().sync(src, {TableFormat.DELTA: target})
+    assert read_delta_as_df(spark, d).count() == 17
+
+    # snapshot 1001: manifest list WITHOUT the delete manifest (restore)
+    avro = AvroIO(spark)
+    meta = read_table_metadata(d)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    manifests = [m for m in avro.read_records(snap["manifest-list"]) if m.get("content") != 1]
+    new_list = os.path.join(metadata_dir(d), "snap-1001-restore.avro")
+    avro.write_records(new_list, MANIFEST_LIST_SCHEMA, manifests, {"format-version": "2"})
+    meta2 = json.loads(json.dumps(meta))
+    meta2["last-sequence-number"] = meta["last-sequence-number"] + 1
+    meta2["current-snapshot-id"] = 1001
+    meta2["snapshots"].append(
+        {
+            "snapshot-id": 1001,
+            "parent-snapshot-id": snap["snapshot-id"],
+            "sequence-number": meta2["last-sequence-number"],
+            "timestamp-ms": snap["timestamp-ms"] + 1,
+            "manifest-list": new_list,
+            "summary": {"operation": "overwrite"},
+        }
+    )
+    v = 1 + max(
+        int(p.split("v")[-1].split(".")[0])
+        for p in os.listdir(metadata_dir(d))
+        if p.endswith(".metadata.json")
+    )
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    with open(os.path.join(metadata_dir(d), "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+    res = ConversionController().sync(
+        IcebergConversionSource(spark, d, name="icedel", expose_row_deletes=True),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res
+    assert read_delta_as_df(spark, d).count() == 20
