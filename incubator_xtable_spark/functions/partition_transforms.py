@@ -191,3 +191,80 @@ def to_generation_expression(pf: InternalPartitionField) -> Optional[str]:
         return f"MOD((HASH({pf.source_field}) & {mask}), {pf.num_buckets})"
     fmt = pf.date_format or DELTA_FORMATS[t]
     return f"DATE_FORMAT({pf.source_field}, '{fmt}')"
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-native partition VALUES (spec: year/month/day/hour store ints
+# relative to the 1970 epoch, bucket stores the bucket ordinal). The
+# engine's cross-format inventory uses the Delta string formats above;
+# these two functions convert at the Iceberg manifest boundary so
+# converted tables carry spec-typed partition structs (what Iceberg's
+# own partition pruning evaluates against).
+# ---------------------------------------------------------------------------
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def to_iceberg_partition_value(raw: Optional[str], pf: InternalPartitionField):
+    """Inventory partition string -> Iceberg-native typed value.
+
+    Time transforms arrive in either engine representation: the Delta
+    formats (yyyy / yyyy-MM / yyyy-MM-dd / yyyy-MM-dd-HH) or epoch-millis
+    (the parquet-dir source's Range codec)."""
+    if raw is None or raw == "":
+        # a file spanning several transform buckets has no single value
+        # (the parquet-dir source emits ''): null partition in the spec
+        return None
+    t = pf.transform
+    if t.is_time_based:
+        if raw.isdigit() and len(raw) > 4:  # epoch millis
+            dt = _EPOCH + datetime.timedelta(milliseconds=int(raw))
+        else:
+            parts = [int(p) for p in raw.split("-")]
+            parts += [1] * (3 - len(parts)) if len(parts) < 3 else []
+            dt = datetime.datetime(*parts[:4])
+        if t == PartitionTransformType.YEAR:
+            return dt.year - 1970
+        if t == PartitionTransformType.MONTH:
+            return (dt.year - 1970) * 12 + dt.month - 1
+        if t == PartitionTransformType.DAY:
+            return (datetime.datetime(dt.year, dt.month, dt.day) - _EPOCH).days
+        delta = datetime.datetime(dt.year, dt.month, dt.day, dt.hour) - _EPOCH
+        return delta.days * 24 + delta.seconds // 3600
+    if t == PartitionTransformType.BUCKET:
+        return int(raw)
+    return raw  # identity: source-typed string (engine convention)
+
+
+def from_iceberg_partition_value(value, pf: InternalPartitionField) -> Optional[str]:
+    """Iceberg-native typed value -> inventory partition string."""
+    if value is None:
+        return None
+    t = pf.transform
+    if t == PartitionTransformType.YEAR:
+        return str(1970 + int(value))
+    if t == PartitionTransformType.MONTH:
+        v = int(value)
+        return f"{1970 + v // 12:04d}-{v % 12 + 1:02d}"
+    if t == PartitionTransformType.DAY:
+        d = _EPOCH + datetime.timedelta(days=int(value))
+        return d.strftime("%Y-%m-%d")
+    if t == PartitionTransformType.HOUR:
+        d = _EPOCH + datetime.timedelta(hours=int(value))
+        return d.strftime("%Y-%m-%d-%H")
+    if t == PartitionTransformType.BUCKET:
+        return str(int(value))
+    return str(value)
+
+
+def iceberg_partition_avro_type(pf: InternalPartitionField) -> str:
+    """Avro type of the manifest partition struct field for a transform."""
+    if pf.transform in (
+        PartitionTransformType.YEAR,
+        PartitionTransformType.MONTH,
+        PartitionTransformType.DAY,
+        PartitionTransformType.HOUR,
+        PartitionTransformType.BUCKET,
+    ):
+        return "int"
+    return "string"

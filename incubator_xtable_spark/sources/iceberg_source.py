@@ -354,10 +354,24 @@ class IcebergConversionSource:
                 out[kv["key"]] = v.encode("latin-1") if isinstance(v, str) else bytes(v)
             return out
 
+        from incubator_xtable_spark.functions.partition_transforms import (
+            from_iceberg_partition_value,
+        )
+
+        pf_by_name = {pf.output_name: pf for pf in table.partition_fields}
         rows = []
         for e in entries:
             df = e["data_file"]
-            pv = {c: df["partition"].get(c) for c in part_cols} if part_cols else None
+            # spec-native manifest values (int days/months/... for time
+            # transforms) convert back to the engine's partition strings
+            pv = (
+                {
+                    c: from_iceberg_partition_value(df["partition"].get(c), pf_by_name[c])
+                    for c in part_cols
+                }
+                if part_cols
+                else None
+            )
             lower = bounds_map(df.get("lower_bounds"))
             upper = bounds_map(df.get("upper_bounds"))
             nulls = {kv["key"]: int(kv["value"]) for kv in (df.get("null_value_counts") or [])}
@@ -548,7 +562,16 @@ def read_iceberg_as_df(
     paths = [e["data_file"]["file_path"] for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)
-    part_cols = {pf.source_field for pf in table.partition_fields}
+    from incubator_xtable_spark.model.core import PartitionTransformType
+
+    # only IDENTITY partition columns are absent from the data files and
+    # re-attach from manifest values; non-identity transforms (day/bucket)
+    # derive from source columns that remain in the files
+    part_cols = {
+        pf.source_field
+        for pf in table.partition_fields
+        if pf.transform == PartitionTransformType.VALUE
+    }
     from pyspark.sql import types as T
 
     data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])

@@ -458,11 +458,14 @@ def _kv_map_field(name: str, map_field_id: int, key_id: int, value_id: int, valu
     }
 
 
-def manifest_entry_schema(partition_cols: list[str]) -> str:
+def manifest_entry_schema(partition_cols: list) -> str:
+    """partition_cols: names (string-typed identity values) or
+    (name, avro_type) pairs — time/bucket transforms store spec-native
+    ints (year/month/day/hour since epoch, bucket ordinal)."""
     partition_fields = [
         {
-            "name": c,
-            "type": ["null", "string"],
+            "name": c if isinstance(c, str) else c[0],
+            "type": ["null", "string" if isinstance(c, str) else c[1]],
             "default": None,
             "field-id": 1000 + i,
         }
@@ -696,7 +699,7 @@ class IcebergConversionTarget:
                         "content": 1,
                         "file_path": row["positions_path"],
                         "file_format": "PARQUET",
-                        "partition": {c: pv.get(c) for c in self._partition_cols},
+                        "partition": self._iceberg_partition(pv),
                         "record_count": row["delete_count"] or 0,
                         "file_size_in_bytes": (
                             os.path.getsize(row["positions_path"])
@@ -714,7 +717,7 @@ class IcebergConversionTarget:
             "content": 0,
             "file_path": row["physical_path"],
             "file_format": "PARQUET",
-            "partition": {c: pv.get(c) for c in self._partition_cols},
+            "partition": self._iceberg_partition(pv),
             "record_count": row["record_count"] or 0,
             "file_size_in_bytes": row["size_bytes"],
         }
@@ -787,11 +790,39 @@ class IcebergConversionTarget:
     # one giant file
     MANIFEST_CHUNK = 100_000
 
+    def _typed_partition_cols(self) -> list:
+        from incubator_xtable_spark.functions.partition_transforms import (
+            iceberg_partition_avro_type,
+        )
+
+        pfs = getattr(self, "_partition_fields", None) or []
+        by_name = {pf.output_name: pf for pf in pfs}
+        return [
+            (c, iceberg_partition_avro_type(by_name[c])) if c in by_name else c
+            for c in self._partition_cols
+        ]
+
+    def _iceberg_partition(self, pv: dict) -> dict:
+        """Inventory partition strings -> spec-native manifest values."""
+        from incubator_xtable_spark.functions.partition_transforms import (
+            to_iceberg_partition_value,
+        )
+
+        pfs = getattr(self, "_partition_fields", None) or []
+        by_name = {pf.output_name: pf for pf in pfs}
+        out = {}
+        for c in self._partition_cols:
+            raw = pv.get(c)
+            out[c] = (
+                to_iceberg_partition_value(raw, by_name[c]) if c in by_name else raw
+            )
+        return out
+
     def _write_manifest(
         self, entries: list[dict], snapshot_id: int, seq: int, content: int = 0
     ) -> tuple[str, int]:
         path = os.path.join(metadata_dir(self.base_path), f"{uuid.uuid4().hex}-m0.avro")
-        schema_json = manifest_entry_schema(self._partition_cols)
+        schema_json = manifest_entry_schema(self._typed_partition_cols())
         length = self.avro.write_records(
             path,
             schema_json,

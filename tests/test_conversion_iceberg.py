@@ -291,3 +291,80 @@ def test_name_mapping_nested_and_storage_names():
     fields = schema_to_iceberg_fields(schema)
     t = next(f for f in fields if f["name"] == "tags")["type"]
     assert tags["fields"][0]["field-id"] == t["element-id"]
+
+
+def test_transform_partition_values_are_spec_native(spark, tmp_path):
+    """DAY/BUCKET partition specs write Iceberg-native manifest values
+    (days-since-epoch / bucket ordinal ints), and the source converts
+    them back to the engine's partition strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        InternalPartitionField,
+        InternalTable,
+        PartitionTransformType,
+        TableFormat,
+    )
+    from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "ice_day")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, "f1.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), fp)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    pfs = [
+        InternalPartitionField(
+            source_field="ts",
+            transform=PartitionTransformType.DAY,
+            partition_field_name="ts_day",
+        ),
+        InternalPartitionField(
+            source_field="id",
+            transform=PartitionTransformType.BUCKET,
+            partition_field_name="id_bucket",
+            num_buckets=4,
+        ),
+    ]
+    table = InternalTable(
+        name="ice_day",
+        table_format=TableFormat.PARQUET,
+        base_path=d,
+        read_schema=schema,
+        partition_fields=pfs,
+    )
+    inv = spark.createDataFrame(
+        [(fp, "PARQUET", os.path.getsize(fp), 2, None, {"ts_day": "2024-03-01", "id_bucket": "3"}, None)],
+        FILE_INVENTORY_SCHEMA,
+    )
+    target = IcebergConversionTarget(spark, d, table_name="ice_day")
+    target.begin_sync(table)
+    target.sync_metadata(TableSyncMetadata(last_instant_synced="1"))
+    target.sync_schema(schema)
+    target.sync_partition_spec(pfs)
+    target.sync_files_for_snapshot(inv)
+    target.complete_sync()
+
+    src = IcebergConversionSource(spark, d)
+    meta = src._meta()
+    entries = src._live_entries(meta, meta["current-snapshot-id"])
+    part = entries[0]["data_file"]["partition"]
+    assert part["ts_day"] == 19783  # days since epoch for 2024-03-01
+    assert part["id_bucket"] == 3
+    # and the inventory strings round-trip
+    f = src.get_current_snapshot().files.collect()[0]
+    assert f.partition_values == {"ts_day": "2024-03-01", "id_bucket": "3"}
+    t = src.get_current_table()
+    assert {pf.output_name: pf.transform.value for pf in t.partition_fields} == {
+        "ts_day": "DAY",
+        "id_bucket": "BUCKET",
+    }
