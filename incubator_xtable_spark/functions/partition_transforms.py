@@ -217,7 +217,10 @@ def to_iceberg_partition_value(raw: Optional[str], pf: InternalPartitionField):
         return None
     t = pf.transform
     if t.is_time_based:
-        if raw.isdigit() and len(raw) > 4:  # epoch millis
+        # epoch millis (Range codec) — may be negative for pre-1970 data;
+        # no date format starts with '-', so any leading-dash int is millis
+        digits = raw.lstrip("-")
+        if digits.isdigit() and (raw.startswith("-") or len(digits) > 4):
             dt = _EPOCH + datetime.timedelta(milliseconds=int(raw))
         else:
             parts = [int(p) for p in raw.split("-")]

@@ -154,24 +154,60 @@ def _spark_field(f: dict) -> T.StructField:
     return T.StructField(f["name"], _spark_type(f["type"]), isinstance(f["type"], list))
 
 
+def _stamp_type(dt: T.DataType, mapping_fields: Optional[list[dict]], stash: list[int]) -> T.DataType:
+    """Recurse a Spark type alongside idMappings[].fields: nested struct
+    members get FIELD_ID metadata; array ``element`` and map ``key``/
+    ``value`` pseudo-field ids append to ``stash`` in the pre-order the
+    Iceberg target's NESTED_IDS convention expects (IdTracker.java:154-170
+    pseudo-field shape)."""
+    by_name = {m["name"]: m for m in (mapping_fields or [])}
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [_stamp_field(f, by_name.get(f.name)) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        m = by_name.get(ARRAY_FIELD)
+        if m is None:
+            return dt
+        stash.append(int(m["id"]))
+        elem = _stamp_type(dt.elementType, m.get("fields"), stash)
+        return T.ArrayType(elem, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        mk, mv = by_name.get(KEY_FIELD), by_name.get(VALUE_FIELD)
+        if mk is None or mv is None:
+            return dt
+        stash.append(int(mk["id"]))
+        stash.append(int(mv["id"]))
+        val = _stamp_type(dt.valueType, mv.get("fields"), stash)
+        return T.MapType(dt.keyType, val, dt.valueContainsNull)
+    return dt
+
+
+def _stamp_field(f: T.StructField, m: Optional[dict]) -> T.StructField:
+    if m is None:
+        return f
+    md = dict(f.metadata or {})
+    md[schema_meta.FIELD_ID] = m["id"]
+    stash: list[int] = []
+    dt = _stamp_type(f.dataType, m.get("fields"), stash)
+    if stash:
+        md[schema_meta.NESTED_IDS] = stash
+    return T.StructField(f.name, dt, f.nullable, metadata=md)
+
+
 def avro_to_spark(avro: dict) -> T.StructType:
     """Avro record schema -> StructType; field ids from the
-    hudi_id_tracking property land in StructField metadata (FIELD_ID),
-    so downstream targets (Iceberg) keep the stable ids."""
+    hudi_id_tracking property land in StructField metadata (FIELD_ID) at
+    EVERY nesting level — struct members recursively, array element and
+    map key/value ids via the NESTED_IDS stash — so downstream targets
+    (Iceberg) keep the stable ids instead of re-deriving nested ids per
+    sync."""
     schema = T.StructType([_spark_field(f) for f in avro["fields"]])
     tracking = avro.get(ID_TRACKING_PROP)
     if not tracking:
         return schema
     by_name = {m["name"]: m for m in tracking.get("idMappings", [])}
-    out = []
-    for f in schema.fields:
-        m = by_name.get(f.name)
-        if m is not None:
-            md = dict(f.metadata or {})
-            md[schema_meta.FIELD_ID] = m["id"]
-            f = T.StructField(f.name, f.dataType, f.nullable, metadata=md)
-        out.append(f)
-    return T.StructType(out)
+    return T.StructType([_stamp_field(f, by_name.get(f.name)) for f in schema.fields])
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from typing import Any, Optional
 from pyspark.sql import types as T
 
 FIELD_ID = "xtable.fieldId"
+NESTED_IDS = "xtable.iceberg.nestedIds"  # pre-order element/key/value ids
 STORAGE_NAME = "xtable.storageName"  # physical name under column mapping
 ENUM_VALUES = "xtable.enumValues"
 FIXED_BYTES_SIZE = "xtable.fixedBytesSize"

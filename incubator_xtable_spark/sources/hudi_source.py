@@ -368,33 +368,55 @@ def read_hudi_as_df(spark: SparkSession, base_path: str, as_of_instant: Optional
     table = src.get_current_table()
     if table is None or not rows:
         return spark.createDataFrame([], table.read_schema if table else T.StructType([]))
-    paths = [os.path.join(base_path, r["path"]) for r in rows]
     # partition columns may live INSIDE the data files (Paimon-sourced
     # conversions store the full row) or only in the hive-style path
-    # (parquet-dir sources): probe one footer and split accordingly
+    # (parquet-dir sources) — and a table synced from BOTH kinds of
+    # source is heterogeneous, so group files by which partition columns
+    # their footer actually stores and read each group with its own
+    # schema (footer-only probes, same driver-side posture as the file
+    # listing itself)
     import pyarrow.parquet as _pq
 
     part_cols = [pf.output_name for pf in table.partition_fields]
-    present = set(_pq.read_schema(paths[0]).names)
-    fields = [
-        f for f in table.read_schema.fields if f.name not in part_cols or f.name in present
-    ]
-    df = spark.read.schema(T.StructType(fields)).parquet(*paths)
-    missing = [c for c in part_cols if c not in present]
-    if missing:
-        pv_rows = []
-        for r in rows:
-            pv = {}
-            for seg in os.path.dirname(r["path"]).split("/"):
-                if "=" in seg:
-                    k, _, v = seg.partition("=")
-                    pv[k] = v
-            pv_rows.append((os.path.join(base_path, r["path"]), pv))
-        pv_df = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
-        df = df.withColumn(
-            "abs_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", "")
-        ).join(F.broadcast(pv_df), "abs_path", "left")
-        for c in missing:
-            df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))
-        df = df.drop("abs_path", "pv")
-    return df.select(*[f.name for f in table.read_schema.fields])
+    groups: dict[frozenset, list[dict]] = {}
+    for r in rows:
+        abs_p = os.path.join(base_path, r["path"])
+        if part_cols:
+            present = frozenset(
+                c for c in part_cols if c in set(_pq.read_schema(abs_p).names)
+            )
+        else:
+            present = frozenset()
+        groups.setdefault(present, []).append(r)
+
+    parts: list[DataFrame] = []
+    for present, grp_rows in groups.items():
+        grp_paths = [os.path.join(base_path, r["path"]) for r in grp_rows]
+        fields = [
+            f
+            for f in table.read_schema.fields
+            if f.name not in part_cols or f.name in present
+        ]
+        df = spark.read.schema(T.StructType(fields)).parquet(*grp_paths)
+        missing = [c for c in part_cols if c not in present]
+        if missing:
+            pv_rows = []
+            for r in grp_rows:
+                pv = {}
+                for seg in os.path.dirname(r["path"]).split("/"):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        pv[k] = v
+                pv_rows.append((os.path.join(base_path, r["path"]), pv))
+            pv_df = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
+            df = df.withColumn(
+                "abs_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", "")
+            ).join(F.broadcast(pv_df), "abs_path", "left")
+            for c in missing:
+                df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))
+            df = df.drop("abs_path", "pv")
+        parts.append(df.select(*[f.name for f in table.read_schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

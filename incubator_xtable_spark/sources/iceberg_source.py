@@ -297,10 +297,22 @@ class IcebergConversionSource:
 
         if not affected:
             return self.spark.createDataFrame([], ROW_DELETES_SCHEMA)
+        from incubator_xtable_spark.functions.partition_transforms import (
+            from_iceberg_partition_value,
+        )
+
         part_cols = [pf.output_name for pf in table.partition_fields]
+        pf_by_name = {pf.output_name: pf for pf in table.partition_fields}
+        # manifests hold spec-native values (int days/buckets/...);
+        # convert to the engine's string convention like _to_inventory
         pv_by_path = {
             e["data_file"]["file_path"]: (
-                {c: e["data_file"]["partition"].get(c) for c in part_cols}
+                {
+                    c: from_iceberg_partition_value(
+                        e["data_file"]["partition"].get(c), pf_by_name[c]
+                    )
+                    for c in part_cols
+                }
                 if part_cols
                 else None
             )

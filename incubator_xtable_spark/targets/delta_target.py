@@ -308,12 +308,21 @@ class DeltaConversionTarget:
                     if self._adds is not None
                     else set()
                 )
+                # files removed in THIS commit must not be resurrected by
+                # the re-add loop (their DVs die with them)
+                removed_paths = (
+                    {r["path"] for r in drain_rows(self._removes)}
+                    if self._removes is not None
+                    else set()
+                )
                 live_cols = ["path", "partitionValues", "size", "modificationTime", "stats"]
                 live = live_files_df(self.spark, self.base_path, version - 1)
                 has_live_dv = "deletionVector" in live.columns
                 if has_live_dv:
                     live_cols.append("deletionVector")
                 for r in live.select(*live_cols).collect():
+                    if r["path"] in removed_paths:
+                        continue
                     abs_p = r["path"] if r["path"].startswith("/") else base + r["path"]
                     if abs_p in add_paths:
                         continue

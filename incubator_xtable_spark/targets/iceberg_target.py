@@ -51,7 +51,7 @@ from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE
 # map: key-id, value-id, then key type, then value type; named struct
 # fields carry their own FIELD_ID) so iceberg -> spark -> iceberg keeps
 # every nested id stable (IcebergSchemaExtractor.java:114-300 parity)
-NESTED_IDS = "xtable.iceberg.nestedIds"
+from incubator_xtable_spark.model.schema_meta import NESTED_IDS  # noqa: E402
 
 
 def spark_type_to_iceberg(dt: T.DataType, field_meta: Optional[dict] = None) -> Any:

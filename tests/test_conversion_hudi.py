@@ -159,3 +159,64 @@ def test_hudi_replacecommit_time_travel(spark, source_dir):
     assert len(live_files_rows(source_dir, v1_instant)) == v1_rows
     assert len(live_files_rows(source_dir)) == 2
     assert read_hudi_as_df(spark, source_dir).count() == 25
+
+
+def test_read_hudi_heterogeneous_partition_storage(spark, tmp_path):
+    """A Hudi table whose files DISAGREE about storing the partition
+    column in-file (parquet-dir-sourced commit: hive path only;
+    Paimon-sourced commit: full row) must read back correctly — the
+    footer probe groups files per-schema instead of trusting file #1
+    (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        InternalPartitionField,
+        InternalTable,
+    )
+    from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
+
+    base = str(tmp_path / "hetero")
+    os.makedirs(os.path.join(base, "p=a"))
+    os.makedirs(os.path.join(base, "p=b"))
+    f1 = os.path.join(base, "p=a", "f1.parquet")
+    f2 = os.path.join(base, "p=b", "f2.parquet")
+    # f1: partition col only in the path; f2: stored in the file
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), f1)
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([3, 4], pa.int64()), "p": pa.array(["b", "b"], pa.string())}
+        ),
+        f2,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), True), T.StructField("p", T.StringType(), True)]
+    )
+    table = InternalTable(
+        name="hetero",
+        table_format=TableFormat.PARQUET,
+        base_path=base,
+        read_schema=schema,
+        partition_fields=[InternalPartitionField(source_field="p")],
+    )
+    inv = spark.createDataFrame(
+        [
+            (f1, "PARQUET", os.path.getsize(f1), 2, 1, {"p": "a"}, None),
+            (f2, "PARQUET", os.path.getsize(f2), 2, 1, {"p": "b"}, None),
+        ],
+        FILE_INVENTORY_SCHEMA,
+    )
+    target = HudiConversionTarget(spark, base, table_name="hetero")
+    target.begin_sync(table)
+    target.sync_metadata(TableSyncMetadata(last_instant_synced="1"))
+    target.sync_schema(schema)
+    target.sync_partition_spec(table.partition_fields)
+    target.sync_files_for_snapshot(inv)
+    target.complete_sync()
+
+    got = _rows(read_hudi_as_df(spark, base), ["id"])
+    assert got == [(1, "a"), (2, "a"), (3, "b"), (4, "b")]

@@ -159,3 +159,55 @@ def test_commit_metadata_carries_stable_ids(spark, tmp_path):
     hudi_src = HudiConversionSource(spark, d)
     schema = hudi_src.get_current_table().read_schema
     assert [f.name for f in schema.fields] == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_nested_ids_survive_avro_to_spark():
+    """ADVICE r4: idMappings[].fields must land on nested StructFields
+    (FIELD_ID metadata) and array element / map key/value pseudo-fields
+    (NESTED_IDS stash) — not just the top level — so Iceberg targets
+    keep stable nested ids across syncs."""
+    avro = add_id_tracking(
+        spark_to_avro(NESTED, "t"), generate_id_tracking(spark_to_avro(NESTED, "t"))
+    )
+    tracking = avro[
+        "hudi_id_tracking"
+    ]
+    by_name = {m["name"]: m for m in tracking["idMappings"]}
+    back = avro_to_spark(avro)
+
+    # nested struct members carry their own stable FIELD_ID
+    addr = back["address"]
+    addr_ids = {m["name"]: m["id"] for m in by_name["address"]["fields"]}
+    for f in addr.dataType.fields:
+        assert f.metadata[schema_meta.FIELD_ID] == addr_ids[f.name]
+
+    # array element id rides the NESTED_IDS stash on the owning field
+    tags = back["tags"]
+    assert tags.metadata[schema_meta.NESTED_IDS] == [
+        by_name["tags"]["fields"][0]["id"]
+    ]
+    # map key/value ids, key first (pre-order)
+    attrs = back["attrs"]
+    kv = {m["name"]: m["id"] for m in by_name["attrs"]["fields"]}
+    assert attrs.metadata[schema_meta.NESTED_IDS] == [kv["key"], kv["value"]]
+
+
+def test_nested_ids_stable_into_iceberg_schema():
+    """End-to-end: an avro-tracked schema exported to Iceberg schema JSON
+    reuses the tracked nested ids verbatim (no per-sync re-derivation)."""
+    from incubator_xtable_spark.targets.iceberg_target import schema_to_iceberg_fields
+
+    avro = add_id_tracking(
+        spark_to_avro(NESTED, "t"), generate_id_tracking(spark_to_avro(NESTED, "t"))
+    )
+    tracking = avro["hudi_id_tracking"]
+    by_name = {m["name"]: m for m in tracking["idMappings"]}
+    fields = {f["name"]: f for f in schema_to_iceberg_fields(avro_to_spark(avro))}
+
+    addr_ids = {m["name"]: m["id"] for m in by_name["address"]["fields"]}
+    for f in fields["address"]["type"]["fields"]:
+        assert f["id"] == addr_ids[f["name"]]
+    assert fields["tags"]["type"]["element-id"] == by_name["tags"]["fields"][0]["id"]
+    kv = {m["name"]: m["id"] for m in by_name["attrs"]["fields"]}
+    assert fields["attrs"]["type"]["key-id"] == kv["key"]
+    assert fields["attrs"]["type"]["value-id"] == kv["value"]

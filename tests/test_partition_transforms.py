@@ -215,3 +215,27 @@ def test_transform_roundtrip_through_delta_and_iceberg(spark, tmp_path):
         f for f in imeta["schemas"][0]["fields"] if f["id"] == spec_field["source-id"]
     )
     assert src_field["name"] == "o_orderdate"
+
+
+def test_negative_epoch_millis_partition_values():
+    """Pre-1970 Range-codec values ("-86400000") must parse as epoch
+    millis, not crash the dash-split date fallback (ADVICE r4)."""
+    from incubator_xtable_spark.functions.partition_transforms import (
+        from_iceberg_partition_value,
+        to_iceberg_partition_value,
+    )
+
+    day = InternalPartitionField(source_field="ts", transform=PartitionTransformType.DAY)
+    # 1969-12-31 00:00:00 UTC = -86400000 ms -> -1 days since epoch
+    assert to_iceberg_partition_value("-86400000", day) == -1
+    assert from_iceberg_partition_value(-1, day) == "1969-12-31"
+    # small negative values also take the millis branch
+    assert to_iceberg_partition_value("-9000", day) == -1
+    year = InternalPartitionField(source_field="ts", transform=PartitionTransformType.YEAR)
+    assert to_iceberg_partition_value("-86400000", year) == 1969 - 1970
+    hour = InternalPartitionField(source_field="ts", transform=PartitionTransformType.HOUR)
+    assert to_iceberg_partition_value("-86400000", hour) == -24
+    # positive epoch-millis still works
+    assert to_iceberg_partition_value("86400000", day) == 1
+    # and date strings are untouched
+    assert to_iceberg_partition_value("2024-03-01", day) == 19783

@@ -680,3 +680,264 @@ def test_iceberg_restore_clears_delta_dv(spark, tmp_path):
     )
     assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res
     assert read_delta_as_df(spark, d).count() == 20
+
+
+def test_removed_dv_file_not_resurrected(spark, tmp_path):
+    """A commit that REMOVES a DV'd data file (compaction / rewrite /
+    full-file delete) must NOT have the DV re-add loop resurrect it:
+    the removed file previously came back WITHOUT its deletion vector,
+    restoring every deleted row. Regression for ADVICE r4 (high)."""
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        ROW_DELETES_SCHEMA,
+        InternalTable,
+        TableChange,
+    )
+    from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
+
+    base = str(tmp_path / "resurrect")
+    os.makedirs(base)
+    _write_data_file(os.path.join(base, "A.parquet"), list(range(10)))
+    _write_data_file(os.path.join(base, "B.parquet"), list(range(10, 20)))
+    # A compacted without its deleted rows 0..6
+    _write_data_file(os.path.join(base, "C.parquet"), [7, 8, 9])
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    table = InternalTable(
+        name="t", table_format=TableFormat.PARQUET, base_path=base, read_schema=schema
+    )
+
+    def inv(names):
+        rows = [
+            (
+                os.path.join(base, n),
+                "parquet",
+                os.path.getsize(os.path.join(base, n)),
+                None,
+                1,
+                None,
+                None,
+            )
+            for n in names
+        ]
+        return spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)
+
+    def deletes(spec):
+        rows = []
+        for name, positions in spec.items():
+            abs_p = os.path.join(base, name)
+            pos_path = os.path.join(base, f"pos-{name}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array([abs_p] * len(positions), pa.string()),
+                        "pos": pa.array(positions, pa.int64()),
+                    }
+                ),
+                pos_path,
+            )
+            rows.append((abs_p, pos_path, len(positions), None))
+        return spark.createDataFrame(rows, ROW_DELETES_SCHEMA)
+
+    target = DeltaConversionTarget(spark, base)
+
+    def commit(instant, snapshot_files=None, change=None, row_deletes=None):
+        target.begin_sync(table)
+        target.sync_metadata(TableSyncMetadata(instant, row_deletes_mode=True))
+        target.sync_schema(schema)
+        target.sync_partition_spec([])
+        if snapshot_files is not None:
+            target.sync_files_for_snapshot(snapshot_files)
+        else:
+            target.sync_files_for_diff(change)
+        if row_deletes is not None:
+            target.sync_row_deletes(row_deletes)
+        target.complete_sync()
+
+    # v0: A,B live
+    commit("i0", snapshot_files=inv(["A.parquet", "B.parquet"]))
+    # v1: deletes land on A (rows 0..6) — A re-adds with a DV
+    commit(
+        "i1",
+        change=TableChange(table=table, commit_id="i1", files_added=inv([]), files_removed=inv([])),
+        row_deletes=deletes({"A.parquet": list(range(7))}),
+    )
+    # v2: compaction removes A, adds C; complete delete state now only
+    # covers B (row 10) — the re-add loop must skip removed A entirely
+    commit(
+        "i2",
+        change=TableChange(
+            table=table,
+            commit_id="i2",
+            files_added=inv(["C.parquet"]),
+            files_removed=inv(["A.parquet"]),
+        ),
+        row_deletes=deletes({"B.parquet": [0]}),
+    )
+
+    from incubator_xtable_spark.sources.delta_source import live_files_df
+
+    live = {r["path"]: r.asDict() for r in live_files_df(spark, base).collect()}
+    assert "A.parquet" not in live, "removed DV'd file resurrected by re-add loop"
+    assert set(live) == {"B.parquet", "C.parquet"}
+    dv_b = live["B.parquet"].get("deletionVector")
+    assert dv_b is not None and dv_b["cardinality"] == 1
+    assert _ids(read_delta_as_df(spark, base)) == [7, 8, 9] + list(range(11, 20))
+
+
+def test_transform_partitioned_iceberg_row_deletes(spark, tmp_path):
+    """Position deletes on a DAY-partitioned Iceberg table: manifests
+    store spec-native ints, so the row-delete channel must convert them
+    back to the engine's partition strings (ADVICE r4 medium — the raw
+    int previously failed ROW_DELETES_SCHEMA verification)."""
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        InternalPartitionField,
+        InternalTable,
+        PartitionTransformType,
+    )
+    from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
+    from incubator_xtable_spark.targets.iceberg_target import (
+        MANIFEST_LIST_SCHEMA,
+        AvroIO,
+        manifest_entry_schema,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    d = str(tmp_path / "ice_day_del")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, "f1.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(range(6), pa.int64())}), fp
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), True), T.StructField("ts", T.TimestampType(), True)]
+    )
+    pfs = [
+        InternalPartitionField(
+            source_field="ts",
+            transform=PartitionTransformType.DAY,
+            partition_field_name="ts_day",
+        )
+    ]
+    table = InternalTable(
+        name="ice_day_del",
+        table_format=TableFormat.PARQUET,
+        base_path=d,
+        read_schema=schema,
+        partition_fields=pfs,
+    )
+    inv = spark.createDataFrame(
+        [(fp, "PARQUET", os.path.getsize(fp), 6, None, {"ts_day": "2024-03-01"}, None)],
+        FILE_INVENTORY_SCHEMA,
+    )
+    target = IcebergConversionTarget(spark, d, table_name="ice_day_del")
+    target.begin_sync(table)
+    target.sync_metadata(TableSyncMetadata(last_instant_synced="1"))
+    target.sync_schema(schema)
+    target.sync_partition_spec(pfs)
+    target.sync_files_for_snapshot(inv)
+    target.complete_sync()
+
+    # append a position-delete snapshot covering rows 1,4 of f1
+    avro = AvroIO(spark)
+    meta = read_table_metadata(d)
+    pos_path = os.path.join(d, "delete-0001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([fp, fp], pa.string()),
+                "pos": pa.array([1, 4], pa.int64()),
+            }
+        ),
+        pos_path,
+    )
+    del_manifest = os.path.join(metadata_dir(d), "del-m0.avro")
+    dlen = avro.write_records(
+        del_manifest,
+        manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": 999,
+                "sequence_number": 2,
+                "file_sequence_number": 2,
+                "data_file": {
+                    "content": 1,
+                    "file_path": pos_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(pos_path),
+                },
+            }
+        ],
+        {"format-version": "2", "content": "deletes"},
+    )
+    snap1 = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    new_list = os.path.join(metadata_dir(d), "snap-999-del.avro")
+    avro.write_records(
+        new_list,
+        MANIFEST_LIST_SCHEMA,
+        avro.read_records(snap1["manifest-list"])
+        + [
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": dlen,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 999,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 2,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 2,
+            }
+        ],
+        {"format-version": "2"},
+    )
+    meta2 = json.loads(json.dumps(meta))
+    meta2["last-sequence-number"] = 2
+    meta2["current-snapshot-id"] = 999
+    meta2["snapshots"].append(
+        {
+            "snapshot-id": 999,
+            "parent-snapshot-id": snap1["snapshot-id"],
+            "sequence-number": 2,
+            "timestamp-ms": snap1["timestamp-ms"] + 1,
+            "manifest-list": new_list,
+            "summary": {"operation": "delete"},
+        }
+    )
+    v = 1 + max(
+        int(p.split("v")[-1].split(".")[0])
+        for p in os.listdir(metadata_dir(d))
+        if p.endswith(".metadata.json")
+    )
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    with open(os.path.join(metadata_dir(d), "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+    src = IcebergConversionSource(spark, d, expose_row_deletes=True)
+    snap = src.get_current_snapshot()
+    rd = snap.row_deletes.collect()
+    assert len(rd) == 1 and rd[0]["delete_count"] == 2
+    # spec-native int (19783) converted back to the engine's string
+    assert rd[0]["partition_values"] == {"ts_day": "2024-03-01"}
+    # and it agrees with the data inventory's convention
+    f = snap.files.collect()[0]
+    assert f["partition_values"] == {"ts_day": "2024-03-01"}
