@@ -200,6 +200,16 @@ class ErrorDetails:
 
 
 @dataclass
+class CatalogSyncStatus:
+    """Per-catalog registration outcome, carried on the format's
+    SyncResult (model/sync/SyncResult.java CatalogSyncStatus)."""
+
+    catalog_id: str
+    status: SyncStatusCode
+    error: Optional[ErrorDetails] = None
+
+
+@dataclass
 class SyncResult:
     mode: SyncMode
     status: SyncStatusCode
@@ -207,6 +217,9 @@ class SyncResult:
     last_instant_synced: Optional[str] = None
     sync_duration_sec: float = 0.0
     error: Optional[ErrorDetails] = None
+    # populated by sync_table_across_catalogs (ConversionController.java:389-400
+    # mergeSyncResults analog)
+    catalog_sync_statuses: list = field(default_factory=list)
 
 
 def drain_rows(df: Any, streaming: Optional[bool] = None):

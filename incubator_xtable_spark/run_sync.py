@@ -70,6 +70,8 @@ def load_config(path: str) -> dict[str, Any]:
 
 
 def _parse_mini_yaml(text: str) -> dict[str, Any]:
+    """Flat mapping + lists-of-flat-mappings only (the reference config
+    shape). Deeper nesting raises instead of silently half-parsing."""
     root: dict[str, Any] = {}
     current_list: list[Any] | None = None
     current_item: dict[str, Any] | None = None
@@ -103,6 +105,11 @@ def _parse_mini_yaml(text: str) -> dict[str, Any]:
         else:
             if current_item is None:
                 raise ValueError(f"unexpected continuation: {raw!r}")
+            if stripped.endswith(":"):
+                raise ValueError(
+                    f"unsupported nesting (this purpose-built reader handles "
+                    f"flat mappings and lists of flat mappings only): {raw!r}"
+                )
             k, _, v = stripped.partition(":")
             current_item[k.strip()] = v.strip()
     return root
@@ -147,10 +154,70 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
     raise ValueError(f"unsupported target format: {fmt}")
 
 
+def _resolve_impl(spec: str):
+    """``module.path:attr`` -> the attribute (the reference's custom
+    catalogSyncClientImpl plug-point, ExternalCatalogConfig.java)."""
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    obj: Any = importlib.import_module(mod_name)
+    for part in attr.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _parse_props(raw: str | None) -> dict[str, str]:
+    """Flat ``k=v,k2=v2`` catalogProperties string."""
+    if not raw:
+        return {}
+    out = {}
+    for pair in raw.split(","):
+        k, _, v = pair.partition("=")
+        out[k.strip()] = v.strip()
+    return out
+
+
+def build_catalog_clients(cfg: dict[str, Any]) -> dict[str, Any]:
+    """``targetCatalogs`` section -> {catalogId: live client}
+    (RunCatalogSync.java:141-143 catalogsById). Each entry names a
+    factory via catalogSyncClientImpl (module:callable, called with the
+    catalogProperties dict) — the reference's custom-impl config shape;
+    real HMS/Glue deployments wire thrift/boto3 transports there."""
+    clients: dict[str, Any] = {}
+    for entry in cfg.get("targetCatalogs") or []:
+        factory = _resolve_impl(entry["catalogSyncClientImpl"])
+        clients[entry["catalogId"]] = factory(_parse_props(entry.get("catalogProperties")))
+    return clients
+
+
+def parse_catalog_idents(raw: str | None) -> list[tuple[str, str, str, str]]:
+    """Per-dataset ``catalogId:database.table:FORMAT`` list ->
+    [(catalog_id, database, table, format)] (the flat rendering of
+    RunCatalogSync's targetCatalogTableIdentifiers)."""
+    out = []
+    for item in (raw or "").split(","):
+        item = item.strip()
+        if not item:
+            continue
+        cat_id, _, rest = item.partition(":")
+        ident, _, fmt = rest.partition(":")
+        db, _, tbl = ident.partition(".")
+        if not (cat_id and db and tbl and fmt):
+            raise ValueError(
+                f"targetCatalogTableIdentifiers entry must be "
+                f"'catalogId:database.table:FORMAT', got {item!r}"
+            )
+        out.append((cat_id, db, tbl, fmt.upper()))
+    return out
+
+
 def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
+    from incubator_xtable_spark.sync.controller import TargetCatalogConfig
+
     source_format = cfg["sourceFormat"]
     target_formats = [t if isinstance(t, str) else t for t in cfg["targetFormats"]]
     controller = ConversionController(ConversionConfig(sync_mode=mode))
+    catalog_clients = build_catalog_clients(cfg)
     failures = 0
     for dataset in cfg["datasets"]:
         source = build_source(spark, source_format, dataset)
@@ -168,7 +235,50 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
             and all(getattr(t, "supports_row_deletes", False) for t in targets.values())
         ):
             source.expose_row_deletes = True
-        results = controller.sync(source, targets)
+
+        # catalog registrations for this dataset (convert AND register in
+        # one run — RunCatalogSync.java:129-185)
+        target_catalogs: dict[TableFormat, list[TargetCatalogConfig]] = {}
+        readback_sources: dict[TableFormat, Any] = {}
+        for cat_id, db, tbl, fmt_name in parse_catalog_idents(
+            dataset.get("targetCatalogTableIdentifiers")
+        ):
+            from incubator_xtable_spark.catalog.sync_client import CatalogTableIdentifier
+
+            if cat_id not in catalog_clients:
+                raise ValueError(f"unknown catalogId {cat_id!r} (not in targetCatalogs)")
+            fmt = TableFormat(fmt_name)
+            if fmt not in targets:
+                raise ValueError(
+                    f"catalog identifier targets format {fmt_name} but it is "
+                    f"not in targetFormats"
+                )
+            target_catalogs.setdefault(fmt, []).append(
+                TargetCatalogConfig(
+                    catalog_id=cat_id,
+                    client=catalog_clients[cat_id],
+                    ident=CatalogTableIdentifier(database=db, table=tbl),
+                )
+            )
+            if fmt not in readback_sources:
+                # the reference re-reads the CONVERTED table's state before
+                # registering (ConversionController.java:233-244); the
+                # converted table lives where the TARGET wrote it
+                readback_sources[fmt] = build_source(
+                    spark,
+                    fmt.value,
+                    {
+                        "tableBasePath": dataset.get("tableDataPath", dataset["tableBasePath"]),
+                        "tableName": dataset.get("tableName"),
+                    },
+                )
+
+        if target_catalogs:
+            results = controller.sync_table_across_catalogs(
+                source, targets, target_catalogs, readback_sources
+            )
+        else:
+            results = controller.sync(source, targets)
         for fmt, res in results.items():
             line = {
                 "table": dataset.get("tableName", dataset["tableBasePath"]),
@@ -181,6 +291,18 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
             if res.error:
                 line["error"] = res.error.error_message
                 failures += 1
+            if res.catalog_sync_statuses:
+                line["catalogs"] = [
+                    {
+                        "catalogId": c.catalog_id,
+                        "status": c.status.value,
+                        **({"error": c.error.error_message} if c.error else {}),
+                    }
+                    for c in res.catalog_sync_statuses
+                ]
+                failures += sum(
+                    1 for c in res.catalog_sync_statuses if c.status != SyncStatusCode.SUCCESS
+                )
             print(json.dumps(line))
     return failures
 

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from incubator_xtable_spark.model.core import (
+    CatalogSyncStatus,
     ErrorDetails,
     InstantsForIncrementalSync,
     SyncMode,
@@ -34,6 +35,18 @@ from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata
 @dataclass
 class ConversionConfig:
     sync_mode: SyncMode = SyncMode.INCREMENTAL
+
+
+@dataclass
+class TargetCatalogConfig:
+    """One catalog registration for one target format
+    (conversion/TargetCatalogConfig.java: catalogTableIdentifier +
+    catalogConfig, resolved here to a live client)."""
+
+    catalog_id: str
+    client: Any  # CatalogSyncClient surface (HMS/Glue/in-memory)
+    ident: Any  # CatalogTableIdentifier
+    sync_partitions: bool = True
 
 
 class ConversionController:
@@ -59,6 +72,92 @@ class ConversionController:
         if incr_targets:
             results.update(self._sync_changes(source, incr_targets, bookmarks))
         return results
+
+    def sync_table_across_catalogs(
+        self,
+        source: Any,
+        targets: dict[TableFormat, Any],
+        target_catalogs: dict[TableFormat, list[TargetCatalogConfig]],
+        readback_sources: Optional[dict[TableFormat, Any]] = None,
+    ) -> dict[TableFormat, SyncResult]:
+        """Format sync first, then register each successfully-synced
+        target into its catalogs — one call does "convert AND register"
+        (ConversionController.syncTableAcrossCatalogs, .java:127-163;
+        catalog statuses merged onto the format SyncResult like
+        mergeSyncResults, .java:389-400).
+
+        ``readback_sources`` maps a target format to a conversion source
+        over the CONVERTED table (the reference re-reads the target's own
+        current state before registering,
+        ConversionController.java:233-244); it also powers partition
+        registration. Without one, registration falls back to the source
+        table's state.
+        """
+        results = self.sync(source, targets)
+        for fmt, entries in (target_catalogs or {}).items():
+            res = results.get(fmt)
+            if res is None or not entries:
+                continue
+            if res.status != SyncStatusCode.SUCCESS:
+                # a failed format sync registers nothing — every catalog
+                # reports ERROR so callers see the skip explicitly
+                res.catalog_sync_statuses.extend(
+                    CatalogSyncStatus(
+                        catalog_id=e.catalog_id,
+                        status=SyncStatusCode.ERROR,
+                        error=ErrorDetails("format sync failed; catalog sync skipped"),
+                    )
+                    for e in entries
+                )
+                continue
+            readback = (readback_sources or {}).get(fmt)
+            try:
+                table = (
+                    readback.get_current_table()
+                    if readback is not None
+                    else source.get_current_table()
+                )
+            except Exception as exc:  # noqa: BLE001
+                res.catalog_sync_statuses.extend(
+                    CatalogSyncStatus(
+                        catalog_id=e.catalog_id,
+                        status=SyncStatusCode.ERROR,
+                        error=ErrorDetails(f"target read-back failed: {exc}"),
+                    )
+                    for e in entries
+                )
+                continue
+            for entry in entries:
+                res.catalog_sync_statuses.append(
+                    self._sync_one_catalog(entry, table, readback)
+                )
+        return results
+
+    @staticmethod
+    def _sync_one_catalog(entry: TargetCatalogConfig, table: Any, readback: Any) -> CatalogSyncStatus:
+        """spi/sync/CatalogSync.java:52-86 — per-catalog isolation: a
+        failing catalog reports ERROR without stopping the others."""
+        from incubator_xtable_spark.catalog.external_clients import sync_external_table
+        from incubator_xtable_spark.catalog.partition_sync import CatalogPartitionSyncTool
+
+        try:
+            sync_external_table(entry.client, table, entry.ident)
+            if (
+                entry.sync_partitions
+                and readback is not None
+                and table.partition_fields
+                and hasattr(entry.client, "get_all_partitions")
+            ):
+                CatalogPartitionSyncTool(entry.client, readback).sync_partitions(
+                    table, entry.ident
+                )
+            return CatalogSyncStatus(catalog_id=entry.catalog_id, status=SyncStatusCode.SUCCESS)
+        except Exception as exc:  # noqa: BLE001
+            return CatalogSyncStatus(
+                catalog_id=entry.catalog_id,
+                status=SyncStatusCode.ERROR,
+                error=ErrorDetails(error_message=str(exc)),
+            )
 
     # -- mode decision (ConversionController.java:254-352) ------------------
 

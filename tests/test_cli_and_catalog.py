@@ -110,3 +110,155 @@ def test_catalog_sync_parquet_and_delta(spark, tmp_path):
     ident2 = CatalogTableIdentifier(database="default", table="region_delta")
     sync_table_to_catalog(client, ident2, table_dir, "DELTA")
     assert spark.table("region_delta").count() == 5
+
+
+def test_mini_yaml_rejects_deep_nesting():
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported nesting"):
+        _parse_mini_yaml(
+            """
+datasets:
+  - tableBasePath: /data/t
+    nested:
+      deeper: x
+"""
+        )
+
+
+def test_sync_table_across_catalogs_inprocess(spark, tmp_path):
+    """Format sync + catalog registration in ONE controller call, with
+    per-catalog statuses and failure isolation
+    (ConversionController.syncTableAcrossCatalogs analog)."""
+    from incubator_xtable_spark.catalog.external_clients import HMSCatalogSyncClient
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import (
+        ConversionController,
+        TargetCatalogConfig,
+    )
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+    from .test_catalog_external import FakeThriftTransport
+
+    d = str(tmp_path / "acr")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(d)
+
+    good = HMSCatalogSyncClient(FakeThriftTransport())
+
+    class BrokenClient:
+        def has_database(self, ident):
+            raise RuntimeError("catalog down")
+
+    source = ParquetConversionSource(spark, d, name="region")
+    targets = {TableFormat.DELTA: DeltaConversionTarget(spark, d)}
+    cats = {
+        TableFormat.DELTA: [
+            TargetCatalogConfig("hms-1", good, CatalogTableIdentifier("db1", "region_delta")),
+            TargetCatalogConfig("broken", BrokenClient(), CatalogTableIdentifier("db1", "x")),
+        ]
+    }
+    readback = {TableFormat.DELTA: DeltaConversionSource(spark, d, name="region")}
+    results = ConversionController().sync_table_across_catalogs(
+        source, targets, cats, readback
+    )
+    res = results[TableFormat.DELTA]
+    assert res.status == SyncStatusCode.SUCCESS
+    by_id = {c.catalog_id: c for c in res.catalog_sync_statuses}
+    assert by_id["hms-1"].status == SyncStatusCode.SUCCESS
+    assert by_id["broken"].status == SyncStatusCode.ERROR
+    assert "catalog down" in by_id["broken"].error.error_message
+    # the good catalog actually holds the table
+    assert good.get_table(CatalogTableIdentifier("db1", "region_delta")) is not None
+
+
+def test_run_catalog_sync_cli_end_to_end(spark, tmp_path):
+    """RunCatalogSync analog: ONE subprocess command converts a
+    partitioned parquet table to Delta AND Iceberg and registers
+    tables + partitions into file-backed fake HMS and Glue catalogs."""
+    table_dir = tmp_path / "cat_e2e"
+    (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .withColumn("region", F.concat(F.lit("r"), F.col("n_regionkey")))
+        .write.partitionBy("region")
+        .mode("overwrite")
+        .parquet(str(table_dir))
+    )
+    hms_state = tmp_path / "hms.json"
+    glue_state = tmp_path / "glue.json"
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"""
+sourceFormat: PARQUET
+targetFormats:
+  - DELTA
+  - ICEBERG
+targetCatalogs:
+  - catalogId: hms-1
+    catalogSyncClientImpl: tests.fake_catalog:make_hms_client
+    catalogProperties: path={hms_state}
+  - catalogId: glue-1
+    catalogSyncClientImpl: tests.fake_catalog:make_glue_client
+    catalogProperties: path={glue_state}
+datasets:
+  - tableBasePath: {table_dir}
+    tableName: nation_cat
+    partitionSpec: region:VALUE
+    targetCatalogTableIdentifiers: hms-1:analytics.nation_delta:DELTA,glue-1:analytics.nation_iceberg:ICEBERG
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "incubator_xtable_spark.run_sync", "--config", str(cfg)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    by_target = {l["target"]: l for l in lines}
+    assert by_target["DELTA"]["status"] == "SUCCESS"
+    assert by_target["ICEBERG"]["status"] == "SUCCESS"
+    assert by_target["DELTA"]["catalogs"] == [{"catalogId": "hms-1", "status": "SUCCESS"}]
+    assert by_target["ICEBERG"]["catalogs"] == [{"catalogId": "glue-1", "status": "SUCCESS"}]
+
+    # fake HMS holds the Delta table + its 5 region partitions
+    hms = json.loads(hms_state.read_text())
+    (delta_tbl,) = [t for k, t in hms["tables"].items() if "nation_delta" in k]
+    assert delta_tbl["dbName"] == "analytics"
+    all_values = sorted(
+        p["values"][0] for parts in hms["partitions"].values() for p in parts.values()
+    )
+    assert all_values == ["r0", "r1", "r2", "r3", "r4"]
+    assert all(
+        p["sd"]["location"].startswith(str(table_dir))
+        for parts in hms["partitions"].values()
+        for p in parts.values()
+    )
+
+    # fake Glue holds the Iceberg table (metadata_location property) + partitions
+    glue = json.loads(glue_state.read_text())
+    (ice_tbl,) = [t for k, t in glue["tables"].items() if "nation_iceberg" in k]
+    assert "metadata_location" in ice_tbl.get("Parameters", {})
+    glue_values = sorted(
+        p["Values"][0] for parts in glue["partitions"].values() for p in parts.values()
+    )
+    assert glue_values == ["r0", "r1", "r2", "r3", "r4"]
+
+    # second run: incremental no-op converts nothing new but refreshes
+    # catalogs without error (idempotent convert-and-register)
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "incubator_xtable_spark.run_sync", "--config", str(cfg)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    lines2 = [json.loads(l) for l in proc2.stdout.splitlines() if l.startswith("{")]
+    assert all(
+        c["status"] == "SUCCESS" for l in lines2 for c in l.get("catalogs", [])
+    )
+    hms2 = json.loads(hms_state.read_text())
+    assert len([p for parts in hms2["partitions"].values() for p in parts.values()]) == 5
