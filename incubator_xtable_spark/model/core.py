@@ -222,25 +222,58 @@ class SyncResult:
     catalog_sync_statuses: list = field(default_factory=list)
 
 
-def drain_rows(df: Any, streaming: Optional[bool] = None):
+# Above this many inventory rows, the "auto" drain mode switches from one
+# bulk collect() to toLocalIterator(): measured at 1 M files, collect is
+# 48.6 s / 276 MB driver RSS vs stream 28.6 s / 151 MB flat — below it,
+# collect's single job wins. "auto" is requested only on snapshot-scale
+# drains (FULL sync inventories, the one unbounded case); per-commit diff
+# drains stay on plain collect because ANY probe there (count, limit,
+# plan-size estimate) measurably doubled-to-5x'd replay cost when tried.
+STREAM_DRAIN_THRESHOLD = 200_000
+
+
+def drain_rows(df: Any, streaming: Any = None):
     """Iterate a (metadata-sized) inventory DataFrame driver-side.
 
-    Default is one bulk collect(): measured in round 1, toLocalIterator's
-    per-partition jobs + per-batch socket round-trips cost ~4 s per
-    1,000-row commit and dominated a 100-commit replay, while collect()
-    is a single job. A 100k-file inventory is tens of driver MB — the
-    same order the reference's Java lists hold.
-
-    Streaming mode (XT_STREAM_INVENTORY=1, or streaming=True) switches to
-    toLocalIterator(prefetchPartitions=True): one partition resident at a
-    time, so a multi-million-file inventory replays with flat driver RSS
-    instead of materializing the whole row list (verified by loadtest.py
-    --stream at 1M files).
+    ``streaming``:
+    - ``None`` (default): bulk ``collect()`` — one job, right for
+      bounded per-commit diffs — unless env ``XT_STREAM_INVENTORY=1``
+      forces streaming;
+    - ``True`` / env ``XT_STREAM_INVENTORY=1``:
+      ``toLocalIterator(prefetchPartitions=True)`` — one partition
+      resident in python at a time, flat driver RSS;
+    - ``"auto"`` (snapshot-scale drains): ``persist()`` + ``count()``
+      materializes the plan once into the executor block cache (in
+      local mode the shared JVM, NOT python driver RSS), then drains
+      from cache — ``collect()`` at or below
+      ``STREAM_DRAIN_THRESHOLD`` rows, streaming iterator above it
+      (cache also prevents toLocalIterator's per-partition recompute
+      of the upstream plan). The cache drops when iteration finishes.
+      Env ``XT_STREAM_INVENTORY`` = ``1``/``0`` overrides "auto" too.
     """
     import os as _os
 
+    env = _os.environ.get("XT_STREAM_INVENTORY", "")
     if streaming is None:
-        streaming = _os.environ.get("XT_STREAM_INVENTORY", "") == "1"
+        streaming = env == "1"
+    elif streaming == "auto" and env in ("0", "1"):
+        streaming = env == "1"
+    if streaming == "auto":
+        df = df.persist()
+        n = df.count()
+        rows = (
+            df.toLocalIterator(prefetchPartitions=True)
+            if n > STREAM_DRAIN_THRESHOLD
+            else iter(df.collect())
+        )
+
+        def _drain_then_unpersist(frame, it):
+            try:
+                yield from it
+            finally:
+                frame.unpersist()
+
+        return _drain_then_unpersist(df, rows)
     if streaming:
         return df.toLocalIterator(prefetchPartitions=True)
     return iter(df.collect())

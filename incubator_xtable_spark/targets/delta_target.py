@@ -63,14 +63,14 @@ def current_log_version(base_path: str) -> Optional[int]:
     return max(versions) if versions else None
 
 
-def _drain(df: DataFrame) -> Iterator[Row]:
-    """See model.core.drain_rows: bulk collect() by default (measured
-    faster for per-commit inventories), toLocalIterator streaming with
-    flat driver RSS when XT_STREAM_INVENTORY=1 (multi-million-file
-    inventories)."""
+def _drain(df: DataFrame, auto: bool = False) -> Iterator[Row]:
+    """See model.core.drain_rows: bulk collect() for bounded per-commit
+    inventories; auto=True (snapshot-scale drains) self-selects streaming
+    above STREAM_DRAIN_THRESHOLD rows for flat driver RSS at
+    multi-million files."""
     from incubator_xtable_spark.model.core import drain_rows
 
-    return drain_rows(df)
+    return drain_rows(df, "auto" if auto else None)
 
 
 def _relativize(path: str, base_path: str) -> str:
@@ -117,6 +117,9 @@ class DeltaConversionTarget:
         self._removes: Optional[DataFrame] = None
         self._committed_version: Optional[int] = None
         self._row_deletes: Optional[DataFrame] = None
+        # True when adds/removes came from a FULL-snapshot sync (the one
+        # unbounded inventory) -> drains use the auto collect/stream probe
+        self._snapshot_sync = False
 
     # -- sync steps --------------------------------------------------------
 
@@ -174,6 +177,7 @@ class DeltaConversionTarget:
         """Full snapshot, committed as a minimal diff against the target's
         current live files (snapshot-as-diff,
         delta/DeltaDataFileUpdatesExtractor.java:70-86)."""
+        self._snapshot_sync = True
         live = self._current_live_paths()
         snap = files.withColumn(
             "relative_path", _relativize_col(F.col("physical_path"), self.base_path)
@@ -186,6 +190,7 @@ class DeltaConversionTarget:
         self._removes = live.join(snap_paths, "path", "left_anti")
 
     def sync_files_for_diff(self, change: TableChange) -> None:
+        self._snapshot_sync = False
         self._adds = change.files_added
         self._removes = change.files_removed.select(
             _relativize_col(F.col("physical_path"), self.base_path).alias("path")
@@ -433,7 +438,7 @@ class DeltaConversionTarget:
                     }
                 )
             if self._removes is not None:
-                for row in _drain(self._removes):
+                for row in _drain(self._removes, auto=self._snapshot_sync):
                     yield json.dumps(
                         {
                             "remove": {
@@ -444,7 +449,7 @@ class DeltaConversionTarget:
                         }
                     )
             if self._adds is not None:
-                for row in _drain(self._adds):
+                for row in _drain(self._adds, auto=self._snapshot_sync):
                     yield self._add_action(row, schema, now_ms, dv_map.get(row["physical_path"]))
             # DV-update shape for files already live: remove + re-add with
             # the new deletion vector (what a Delta DELETE commit writes)

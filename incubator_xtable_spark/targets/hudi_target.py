@@ -53,9 +53,8 @@ DELTA_COMMIT_ACTION = "deltacommit"  # MOR log-file writes
 
 def instant_now() -> str:
     """yyyyMMddHHmmssSSS (UTC), the Hudi commit-instant format."""
-    return datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d%H%M%S") + (
-        f"{datetime.datetime.now(datetime.timezone.utc).microsecond // 1000:03d}"
-    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    return now.strftime("%Y%m%d%H%M%S") + f"{now.microsecond // 1000:03d}"
 
 
 def instant_to_epoch_ms(instant: str) -> int:
@@ -119,6 +118,7 @@ class HudiConversionTarget:
         self._adds: Optional[DataFrame] = None
         self._replaced_paths: Optional[DataFrame] = None
         self._committed_instant: Optional[str] = None
+        self._snapshot_sync = False
 
     # -- sync steps --------------------------------------------------------
 
@@ -187,6 +187,7 @@ class HudiConversionTarget:
         (hudi/BaseFileUpdatesExtractor.java:89-133)."""
         from pyspark.sql import functions as F
 
+        self._snapshot_sync = True
         live = self._current_live_paths()
         if live is None:
             self._adds, self._replaced_paths = files, None
@@ -200,6 +201,7 @@ class HudiConversionTarget:
     def sync_files_for_diff(self, change: TableChange) -> None:
         from pyspark.sql import functions as F
 
+        self._snapshot_sync = False
         self._adds = change.files_added
         self._replaced_paths = change.files_removed.select(
             F.col("physical_path").alias("path")
@@ -252,7 +254,7 @@ class HudiConversionTarget:
 
         partition_to_stats: dict[str, list[dict]] = {}
         if self._adds is not None:
-            for row in drain_rows(self._adds):
+            for row in drain_rows(self._adds, "auto" if self._snapshot_sync else None):
                 rel = self._relativize(row["physical_path"])
                 partition = os.path.dirname(rel)
                 stats = {

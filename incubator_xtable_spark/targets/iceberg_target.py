@@ -620,7 +620,7 @@ class IcebergConversionTarget:
         if self._snapshot_mode:
             # snapshot-as-diff inherently compares full sets; the dict is
             # the bound here, not the transfer (drain_rows streams it in)
-            snap_rows = {r["physical_path"]: r for r in drain_rows(self._snapshot_files)}
+            snap_rows = {r["physical_path"]: r for r in drain_rows(self._snapshot_files, "auto")}
             prev_paths = {e["data_file"]["file_path"] for e in current}
             added = [p for p in snap_rows if p not in prev_paths]
             survivors = [e for e in current if e["data_file"]["file_path"] in snap_rows]

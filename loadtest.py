@@ -157,7 +157,7 @@ def scenario_full(spark, n_files: int, n_partitions: int) -> dict:
             "status": status.value,
             "live_files_committed": live,
             "seconds": round(wall, 2),
-            "streaming": os.environ.get("XT_STREAM_INVENTORY", "") == "1",
+            "drain_mode": os.environ.get("XT_STREAM_INVENTORY") or "auto-snapshot/collect-diff",
             "rss_mb_before": rss_before,
             "rss_mb_after": rss_mb(),
         }
@@ -189,7 +189,7 @@ def scenario_incremental(spark, n_commits: int, per_commit: int, n_partitions: i
             "mode": res[TableFormat.DELTA].mode.value,
             "seconds": round(wall, 2),
             "seconds_per_commit": round(wall / n_commits, 3),
-            "streaming": os.environ.get("XT_STREAM_INVENTORY", "") == "1",
+            "drain_mode": os.environ.get("XT_STREAM_INVENTORY") or "auto-snapshot/collect-diff",
             "rss_mb_curve": rss_curve,
         }
     finally:
