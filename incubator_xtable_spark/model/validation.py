@@ -20,6 +20,7 @@ class ValidationCheckType(str, enum.Enum):
     FILES_EXIST = "FILES_EXIST"
     ROW_COUNT_MATCH = "ROW_COUNT_MATCH"
     METADATA_READABLE = "METADATA_READABLE"
+    SPEC_CONFORMANT = "SPEC_CONFORMANT"
 
 
 @dataclass
@@ -41,10 +42,37 @@ class TableValidationReport:
 
 
 def validate_target(
-    spark: SparkSession, base_path: str, table_format: str, expected_rows: Optional[int] = None
+    spark: SparkSession,
+    base_path: str,
+    table_format: str,
+    expected_rows: Optional[int] = None,
+    conformance: bool = False,
 ) -> TableValidationReport:
-    """Run the integrity checks against a converted target."""
+    """Run the integrity checks against a converted target.
+
+    ``conformance=True`` additionally runs the spec-conformance layer
+    (model/conformance.py — structural checks written from the public
+    format specs, the stand-in for the reference's official-reader gate,
+    ref ITConversionController.java:948-1026)."""
     report = TableValidationReport(base_path=base_path, table_format=table_format)
+    if conformance:
+        from incubator_xtable_spark.model.conformance import check_conformance
+
+        try:
+            conf = check_conformance(spark, base_path, table_format)
+            report.results.append(
+                ValidationResult(
+                    ValidationCheckType.SPEC_CONFORMANT,
+                    conf.passed,
+                    None
+                    if conf.passed
+                    else "; ".join(f"{i.code}@{i.where}" for i in conf.issues[:5]),
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            report.results.append(
+                ValidationResult(ValidationCheckType.SPEC_CONFORMANT, False, str(exc))
+            )
 
     try:
         if table_format == "DELTA":

@@ -156,7 +156,7 @@ def hudi_archive_timeline(base_path: str, keep_last: int = 10) -> list[str]:
             fh.write(json.dumps({"instant": instant, "action": action, "metadata": meta}))
             fh.write("\n")
     for instant, action in to_archive:
-        for suffix in (action, f"{action}.requested", f"{action}.inflight"):
+        for suffix in (action, f"{action}.requested", f"{action}.inflight", "inflight"):
             p = os.path.join(hoodie, f"{instant}.{suffix}")
             if os.path.exists(p):
                 os.unlink(p)

@@ -322,7 +322,11 @@ class HudiConversionTarget:
         """requested -> inflight -> completed, completed written atomically
         (put-if-absent via hard link, like the Delta target)."""
         d = _hoodie_dir(self.base_path)
-        for suffix in (f"{action}.requested", f"{action}.inflight"):
+        # real-Hudi timeline naming: the commit action's inflight marker
+        # is the bare "<instant>.inflight" (HoodieTimeline special-cases
+        # commits); other actions use "<instant>.<action>.inflight"
+        inflight = "inflight" if action == COMMIT_ACTION else f"{action}.inflight"
+        for suffix in (f"{action}.requested", inflight):
             open(os.path.join(d, f"{instant}.{suffix}"), "w", encoding="utf-8").close()
         final = os.path.join(d, f"{instant}.{action}")
         tmp = final + f".tmp-{uuid.uuid4().hex}"

@@ -99,7 +99,8 @@ def test_hudi_timeline_protocol_shape(spark, source_dir):
     assert action == "commit" and len(instant) == 17
     # lifecycle files exist (requested/inflight)
     assert os.path.exists(os.path.join(hoodie, f"{instant}.commit.requested"))
-    assert os.path.exists(os.path.join(hoodie, f"{instant}.commit.inflight"))
+    # real-Hudi naming: commit-action inflight marker is the bare .inflight
+    assert os.path.exists(os.path.join(hoodie, f"{instant}.inflight"))
     meta = read_commit_metadata(source_dir, instant, action)
     stats = [s for lst in meta["partitionToWriteStats"].values() for s in lst]
     assert len(stats) == 3  # three data files
