@@ -47,8 +47,10 @@ from incubator_xtable_spark.model.core import FILE_INVENTORY_SCHEMA
 log = logging.getLogger(__name__)
 
 COL_STATS_SUBDIR = os.path.join(".hoodie", "metadata", "col_stats")
+FILES_SUBDIR = os.path.join(".hoodie", "metadata", "files")
 METADATA_PARTITIONS_KEY = "hoodie.table.metadata.partitions"
 COLUMN_STATS_PARTITION = "column_stats"
+FILES_PARTITION = "files"
 
 # logical HoodieMetadataColumnStats record (column_name NULL = file-level
 # tombstone written when a file group is replaced)
@@ -67,8 +69,26 @@ COL_STATS_RECORD_SCHEMA = T.StructType(
 )
 
 
+# logical HoodieMetadataFileInfo record for the `files` partition: one
+# row per (partition, file) mutation; is_deleted=True when the file group
+# was replaced/removed at commit_instant
+FILES_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_instant", T.StringType(), False),
+        T.StructField("partition_path", T.StringType(), True),
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("file_size", T.LongType(), True),
+        T.StructField("is_deleted", T.BooleanType(), False),
+    ]
+)
+
+
 def col_stats_dir(base_path: str) -> str:
     return os.path.join(base_path, COL_STATS_SUBDIR)
+
+
+def files_dir(base_path: str) -> str:
+    return os.path.join(base_path, FILES_SUBDIR)
 
 
 def _delta_files(base_path: str) -> list[str]:
@@ -87,6 +107,20 @@ def col_stats_available(base_path: str) -> bool:
     if COLUMN_STATS_PARTITION not in parts:
         return False
     return bool(_delta_files(base_path))
+
+
+def files_index_available(base_path: str) -> bool:
+    """isMetadataPartitionAvailable(FILES) analog: the table config must
+    list the `files` partition AND readable parquet deltas must exist (a
+    real-Hudi HFile files index satisfies the first only — callers drop
+    to timeline replay, the same posture as the col-stats footer tier)."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if FILES_PARTITION not in parts:
+        return False
+    return bool(glob.glob(os.path.join(files_dir(base_path), "*.parquet")))
 
 
 def relativize_expr(base_path: str, col: str = "physical_path"):
@@ -159,29 +193,122 @@ def _basename(col):
     return F.substring_index(col, "/", -1)
 
 
-def write_col_stats_delta(
-    adds: DataFrame | None,
-    removed_rel_paths: DataFrame | None,
-    base_path: str,
-    instant: str,
-) -> bool:
-    """Append one index delta file for this commit (single parquet file,
-    atomic rename — same put-if-absent posture as the timeline write)."""
-    recs = stats_records_for_commit(adds, removed_rel_paths, base_path, instant)
-    if recs is None:
-        return False
-    d = col_stats_dir(base_path)
+def _write_index_delta(recs: DataFrame, d: str, instant: str) -> bool:
+    """Single-parquet atomic append (rename — same put-if-absent posture
+    as the timeline write)."""
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     recs.repartition(1).write.mode("overwrite").parquet(tmp)
     part = next(iter(glob.glob(os.path.join(tmp, "part-*.parquet"))), None)
-    if part is None:  # zero-row delta (adds had no stats) — nothing to index
+    if part is None:  # zero-row delta — nothing to index
         shutil.rmtree(tmp, ignore_errors=True)
         return False
     final = os.path.join(d, f"{instant}.parquet")
     os.rename(part, final)
     shutil.rmtree(tmp, ignore_errors=True)
     return True
+
+
+def write_col_stats_delta(
+    adds: DataFrame | None,
+    removed_rel_paths: DataFrame | None,
+    base_path: str,
+    instant: str,
+) -> bool:
+    """Append one col-stats index delta file for this commit."""
+    recs = stats_records_for_commit(adds, removed_rel_paths, base_path, instant)
+    if recs is None:
+        return False
+    return _write_index_delta(recs, col_stats_dir(base_path), instant)
+
+
+def files_records_for_commit(
+    adds: DataFrame | None,
+    removed_rel_paths: DataFrame | None,
+    base_path: str,
+    instant: str,
+) -> DataFrame | None:
+    """`files`-partition delta records for one commit: one row per added
+    file (with size) plus an is_deleted row per replaced/removed file
+    (HoodieMetadataPayload file-list records, ref
+    hudi/HudiConversionTarget.java:267-470 metadata-table maintenance)."""
+    parts = []
+    if adds is not None:
+        rel = relativize_expr(base_path)
+        parts.append(
+            adds.select(
+                F.lit(instant).alias("commit_instant"),
+                _dirname(rel).alias("partition_path"),
+                _basename(rel).alias("file_name"),
+                F.col("size_bytes").cast("long").alias("file_size"),
+                F.lit(False).alias("is_deleted"),
+            )
+        )
+    if removed_rel_paths is not None:
+        parts.append(
+            removed_rel_paths.select(
+                F.lit(instant).alias("commit_instant"),
+                _dirname(F.col("rel_path")).alias("partition_path"),
+                _basename(F.col("rel_path")).alias("file_name"),
+                F.lit(None).cast("long").alias("file_size"),
+                F.lit(True).alias("is_deleted"),
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_files_delta(
+    adds: DataFrame | None,
+    removed_rel_paths: DataFrame | None,
+    base_path: str,
+    instant: str,
+) -> bool:
+    """Append one `files` index delta file for this commit."""
+    recs = files_records_for_commit(adds, removed_rel_paths, base_path, instant)
+    if recs is None:
+        return False
+    return _write_index_delta(recs, files_dir(base_path), instant)
+
+
+def read_files_index(spark: SparkSession, base_path: str) -> DataFrame:
+    """Merged live file listing from the `files` partition: latest record
+    per (partition_path, file_name) wins, deleted entries drop out — the
+    HoodieMetadataPayload merge as a window function. One shuffle on the
+    file key; input volume = files-touched-per-commit x commits (metadata
+    scale, compactable by rewriting deltas into one)."""
+    deltas = sorted(glob.glob(os.path.join(files_dir(base_path), "*.parquet")))
+    raw = spark.read.schema(FILES_RECORD_SCHEMA).parquet(*deltas)
+    w = Window.partitionBy("partition_path", "file_name").orderBy(
+        F.col("commit_instant").desc()
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("is_deleted"))
+        .drop("_rn", "is_deleted")
+    )
+
+
+def file_listing_from_index(spark: SparkSession, base_path: str) -> DataFrame:
+    """Inventory-shaped listing (physical_path, size_bytes) from the
+    `files` index — the listing-acceleration tier real Hudi readers get
+    from the metadata table instead of recursive fs listing."""
+    base = base_path.rstrip("/")
+    idx = read_files_index(spark, base_path)
+    abs_path = F.concat(
+        F.lit(base + "/"),
+        F.when(
+            F.col("partition_path") != "", F.concat(F.col("partition_path"), F.lit("/"))
+        ).otherwise(F.lit("")),
+        F.col("file_name"),
+    )
+    return idx.select(
+        abs_path.alias("physical_path"), F.col("file_size").alias("size_bytes")
+    )
 
 
 def read_col_stats_index(spark: SparkSession, base_path: str) -> DataFrame:

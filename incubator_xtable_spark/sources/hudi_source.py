@@ -216,12 +216,72 @@ class HudiConversionSource:
             raise ValueError(f"not a hudi table: {self.base_path}")
         instants = list_completed_instants(self.base_path)
         latest = instants[-1][0]
-        rows = live_files_rows(self.base_path, latest)
-        files = self._to_inventory(rows, table, with_stats)
+        files = self._indexed_listing(table, latest, with_stats)
+        if files is None:
+            rows = live_files_rows(self.base_path, latest)
+            files = self._to_inventory(rows, table, with_stats)
         return InternalSnapshot(table=table, version=latest, files=files)
 
+    def _indexed_listing(
+        self, table: InternalTable, latest: str, with_stats: bool
+    ) -> Optional[DataFrame]:
+        """Listing-acceleration tier: when the metadata-table `files`
+        partition is available AND covers the head instant, the live-file
+        listing comes from a distributed parquet read of the index deltas
+        instead of a driver-side timeline replay — the same acceleration
+        real Hudi readers get from the metadata table (ref
+        hudi/HudiConversionTarget.java:267-470 maintains it; readers gate
+        on hoodie.table.metadata.partitions). Returns None to fall back.
+
+        Scale: timeline replay is O(commits x files/commit) driver-side;
+        the index read is one distributed scan + one shuffle on the file
+        key, so a 10k-commit table lists in bounded driver memory."""
+        import glob as _glob
+
+        from incubator_xtable_spark.sources.hudi_metadata import (
+            files_dir,
+            files_index_available,
+            file_listing_from_index,
+            read_files_index,
+        )
+
+        if not files_index_available(self.base_path):
+            return None
+        # freshness: the newest index delta must match the head instant —
+        # a lagging index (e.g. real-Hudi HFile index, or a writer that
+        # stopped maintaining it) falls back to timeline replay
+        deltas = sorted(
+            os.path.basename(p)[: -len(".parquet")]
+            for p in _glob.glob(os.path.join(files_dir(self.base_path), "*.parquet"))
+        )
+        if not deltas or deltas[-1] != latest:
+            return None
+        from incubator_xtable_spark.targets.hudi_target import instant_to_epoch_ms
+
+        idx = read_files_index(self.spark, self.base_path)
+        base = self.base_path.rstrip("/")
+        abs_path = F.concat(
+            F.lit(base + "/"),
+            F.when(
+                F.col("partition_path") != "",
+                F.concat(F.col("partition_path"), F.lit("/")),
+            ).otherwise(F.lit("")),
+            F.col("file_name"),
+        )
+        # epoch ms per instant resolved driver-side (bounded by commit
+        # count) and joined in as a small map literal
+        instants = sorted({r["commit_instant"] for r in idx.select("commit_instant").distinct().collect()})
+        ms_map = F.create_map(
+            *[x for i in instants for x in (F.lit(i), F.lit(instant_to_epoch_ms(i)))]
+        )
+        listing = idx.select(
+            abs_path.alias("physical_path"),
+            F.col("file_size").cast("long").alias("size_bytes"),
+            ms_map[F.col("commit_instant")].alias("last_modified_ms"),
+        )
+        return self._listing_to_inventory(listing, table, with_stats)
+
     def _to_inventory(self, rows: list[dict], table: InternalTable, with_stats: bool) -> DataFrame:
-        from incubator_xtable_spark.sources.parquet_source import data_schema, footer_stats
         from incubator_xtable_spark.targets.hudi_target import instant_to_epoch_ms
 
         if not rows:
@@ -237,6 +297,13 @@ class HudiConversionSource:
             ],
             "physical_path STRING, size_bytes LONG, last_modified_ms LONG",
         )
+        return self._listing_to_inventory(listing, table, with_stats)
+
+    def _listing_to_inventory(
+        self, listing: DataFrame, table: InternalTable, with_stats: bool
+    ) -> DataFrame:
+        from incubator_xtable_spark.sources.parquet_source import data_schema, footer_stats
+
         part_entries = []
         for pf in table.partition_fields:
             col = pf.output_name

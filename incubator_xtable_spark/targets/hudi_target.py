@@ -132,24 +132,26 @@ class HudiConversionTarget:
         """hoodie.properties — table config (HudiTableManager.java:1-179)."""
         from incubator_xtable_spark.sources.hudi_metadata import (
             COLUMN_STATS_PARTITION,
+            FILES_PARTITION,
             METADATA_PARTITIONS_KEY,
         )
 
         props_path = os.path.join(_hoodie_dir(self.base_path), "hoodie.properties")
         if os.path.exists(props_path):
-            # upgrade path: older tables created before the col-stats index
-            # existed get the availability flag; their historical files are
-            # simply uncovered (source falls back to footers per-file)
+            # upgrade path: older tables created before the indexes existed
+            # get the availability flags; their historical files are simply
+            # uncovered (sources fall back to footers / timeline replay)
             from incubator_xtable_spark.sources.hudi_source import read_properties
 
             existing = read_properties(self.base_path)
             parts = [p for p in (existing.get(METADATA_PARTITIONS_KEY) or "").split(",") if p]
-            if COLUMN_STATS_PARTITION not in parts:
+            missing = [
+                p for p in (COLUMN_STATS_PARTITION, FILES_PARTITION) if p not in parts
+            ]
+            if missing:
                 with open(props_path, "a", encoding="utf-8") as fh:
                     fh.write(
-                        f"{METADATA_PARTITIONS_KEY}="
-                        + ",".join(parts + [COLUMN_STATS_PARTITION])
-                        + "\n"
+                        f"{METADATA_PARTITIONS_KEY}=" + ",".join(parts + missing) + "\n"
                     )
             return
         name = self.table_name or table.name
@@ -164,7 +166,7 @@ class HudiConversionTarget:
             "hoodie.table.partition.fields": part_cols,
             "hoodie.datasource.write.drop.partition.columns": "false",
             "hoodie.table.checksum": "0",
-            METADATA_PARTITIONS_KEY: COLUMN_STATS_PARTITION,
+            METADATA_PARTITIONS_KEY: f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}",
         }
         with open(props_path, "w", encoding="utf-8") as fh:
             fh.write("#Updated at " + instant_now() + "\n")
@@ -281,6 +283,7 @@ class HudiConversionTarget:
         from incubator_xtable_spark.sources.hudi_metadata import (
             relativize_expr,
             write_col_stats_delta,
+            write_files_delta,
         )
 
         adds_for_index = (
@@ -294,6 +297,7 @@ class HudiConversionTarget:
             else None
         )
         write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
+        write_files_delta(self._adds, removed_for_index, self.base_path, instant)
 
         extra = {"schema": self._avro_schema_with_ids() if self._schema else None}
         if self._metadata_json is not None:
