@@ -228,7 +228,13 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
         }
         # when EVERY target can express row-level deletes (Iceberg v2
         # position deletes), let the source skip purged-shadow rewrites
-        # and pass delete sets through as position files
+        # and pass delete sets through as position files.
+        # GUARANTEE (tested: test_mixed_targets_degrade_to_shadows_with_
+        # row_parity): if ANY target lacks supports_row_deletes (Hudi COW
+        # cannot express position tombstones), exposure stays OFF for the
+        # whole run and every target converges via purged-shadow rewrites
+        # with identical row content — correctness is never format-gated,
+        # only the metadata-only fast path is
         if (
             hasattr(source, "expose_row_deletes")
             and targets

@@ -941,3 +941,40 @@ def test_transform_partitioned_iceberg_row_deletes(spark, tmp_path):
     # and it agrees with the data inventory's convention
     f = snap.files.collect()[0]
     assert f["partition_values"] == {"ts_day": "2024-03-01"}
+
+
+def test_mixed_targets_degrade_to_shadows_with_row_parity(spark, tmp_path):
+    """The documented guarantee: when ANY target lacks
+    supports_row_deletes (Hudi COW cannot express position tombstones),
+    run_sync keeps exposure OFF for the whole run and every target
+    converges via purged-shadow rewrites — with row parity across all
+    three read paths."""
+    from incubator_xtable_spark.model.core import SyncMode
+    from incubator_xtable_spark.run_sync import run_once
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+
+    base, s1, _ = _base_table(tmp_path)
+    _dv_commit(base, 1, s1, [2, 3, 7])
+
+    cfg = {
+        "sourceFormat": "DELTA",
+        "targetFormats": ["ICEBERG", "HUDI"],
+        "datasets": [{"tableBasePath": base, "tableName": "dvtab"}],
+    }
+    failures = run_once(spark, cfg, SyncMode.INCREMENTAL)
+    assert failures == 0
+
+    expected = sorted(range(20))
+    expected = [i for i in expected if i not in (2, 3, 7)]
+    via_delta = _ids(read_delta_as_df(spark, base))
+    via_ice = _ids(read_iceberg_as_df(spark, base))
+    via_hudi = _ids(read_hudi_as_df(spark, base))
+    assert via_delta == via_ice == via_hudi == expected
+
+    # degraded mode is visible: shadows exist, iceberg wrote NO delete
+    # manifests (all content=0)
+    assert glob.glob(os.path.join(base, "*.purged-*"))
+    src = IcebergConversionSource(spark, base)
+    meta = src._meta()
+    entries = src._live_entries(meta, meta["current-snapshot-id"])
+    assert all((e["data_file"].get("content") or 0) == 0 for e in entries)
