@@ -588,6 +588,12 @@ def read_iceberg_as_df(
 
     data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
     df = spark.read.schema(data_fields).parquet(*paths)
+    # scan-time path column: _metadata.file_path binds to THIS relation
+    # (input_file_name() would fail once the delete-positions parquet
+    # joins in — "does not support more than one source")
+    df = df.withColumn(
+        "_scan_path", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+    )
     if delete_entries:
         # v2 position deletes applied row-level: the delete parquet scan
         # distributes with the data scan, anti-joined on
@@ -607,16 +613,13 @@ def read_iceberg_as_df(
             .select("file_path", "pos")
         )
         df = (
-            df.withColumn(
-                "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
-            )
-            .withColumn("_ri", F.col("_metadata.row_index"))
+            df.withColumn("_ri", F.col("_metadata.row_index"))
             .join(
                 applicable,
-                (F.col("_fp") == applicable.file_path) & (F.col("_ri") == applicable.pos),
+                (F.col("_scan_path") == applicable.file_path) & (F.col("_ri") == applicable.pos),
                 "left_anti",
             )
-            .drop("_fp", "_ri")
+            .drop("_ri")
         )
     if part_cols:
         pv_rows = [
@@ -624,8 +627,7 @@ def read_iceberg_as_df(
             for e in entries
         ]
         pv = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
-        df = df.withColumn("abs_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", ""))
-        df = df.join(F.broadcast(pv), "abs_path", "left")
+        df = df.join(F.broadcast(pv), df["_scan_path"] == pv["abs_path"], "left")
         for c in part_cols:
             df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))
         df = df.drop("abs_path", "pv")

@@ -161,6 +161,53 @@ MANIFEST_AVRO_SCHEMA = json.dumps(
 )
 
 
+# Index manifest (snapshot.indexManifest): IndexManifestEntry.SCHEMA —
+# per (partition, bucket) index files; DELETION_VECTORS entries carry the
+# per-data-file (offset, length, cardinality) ranges into the index file.
+INDEX_MANIFEST_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "record",
+        "namespace": "org.apache.paimon.avro.generated",
+        "fields": [
+            {"name": "_VERSION", "type": "int"},
+            {"name": "_KIND", "type": "int"},
+            {"name": "_PARTITION", "type": "bytes"},
+            {"name": "_BUCKET", "type": "int"},
+            {"name": "_INDEX_TYPE", "type": "string"},
+            {"name": "_FILE_NAME", "type": "string"},
+            {"name": "_FILE_SIZE", "type": "long"},
+            {"name": "_ROW_COUNT", "type": "long"},
+            {
+                "name": "_DELETION_VECTORS_RANGES",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "DeletionVectorMeta",
+                            "namespace": "org.apache.paimon.avro.generated",
+                            "fields": [
+                                {"name": "_FILE_NAME", "type": "string"},
+                                {"name": "_OFFSET", "type": "int"},
+                                {"name": "_LENGTH", "type": "int"},
+                                {
+                                    "name": "_CARDINALITY",
+                                    "type": ["null", "long"],
+                                    "default": None,
+                                },
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+            },
+        ],
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Paimon SQL type strings -> (Spark type, codec type)
 # ---------------------------------------------------------------------------
@@ -295,11 +342,21 @@ def format_partition_value(v: Any, dtype: T.DataType, options: dict) -> str:
 
 
 class PaimonConversionSource:
-    def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        name: Optional[str] = None,
+        expose_row_deletes: bool = False,
+    ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
         self.avro = AvroIO(spark)
+        # True -> deletion-vector index entries flow through the row-delete
+        # channel (ROW_DELETES_SCHEMA) instead of purged-shadow rewrites;
+        # run_sync auto-enables when every target supports row deletes
+        self.expose_row_deletes = expose_row_deletes
 
     # -- metadata tree -----------------------------------------------------
 
@@ -520,7 +577,105 @@ class PaimonConversionSource:
         segs.append(file_name)
         return "/".join(segs)
 
-    def _to_inventory(self, entries: list[dict], sch: dict) -> DataFrame:
+    # -- deletion-vector index (snapshot.indexManifest) ---------------------
+
+    def _index_dv_map(self, snap: dict, sch: dict) -> dict[str, dict]:
+        """abs data path -> {index_file, offset, length, cardinality,
+        partition_values} from the snapshot's DELETION_VECTORS index
+        entries (full state per snapshot — Paimon index manifests list the
+        complete current index files)."""
+        from incubator_xtable_spark.sources.paimon_dv import DELETION_VECTORS_INDEX
+
+        name = snap.get("indexManifest")
+        if not name:
+            return {}
+        options = sch.get("options") or {}
+        keys, codecs, dtypes = self._partition_ctx(sch)
+        out: dict[str, dict] = {}
+        for e in self._read_manifest(name):
+            if e.get("_KIND") != FILE_KIND_ADD or e.get("_INDEX_TYPE") != DELETION_VECTORS_INDEX:
+                continue
+            pv, part_path = self._decode_partition(
+                e["_PARTITION"], keys, codecs, dtypes, options
+            )
+            for r in e.get("_DELETION_VECTORS_RANGES") or []:
+                path = self._full_path(part_path, e["_BUCKET"], r["_FILE_NAME"])
+                out[path] = {
+                    "index_file": e["_FILE_NAME"],
+                    "offset": int(r["_OFFSET"]),
+                    "length": int(r["_LENGTH"]),
+                    "cardinality": r.get("_CARDINALITY"),
+                    "partition_values": pv,
+                }
+        return out
+
+    def _dv_cardinality(self, meta: dict) -> int:
+        """Manifest cardinality when present; else one bounded driver-side
+        decode of the DV (index files are metadata-sized)."""
+        if meta.get("cardinality") is not None:
+            return int(meta["cardinality"])
+        from incubator_xtable_spark.sources.paimon_dv import INDEX_DIR, read_dv_from_index
+
+        idx = os.path.join(self.base_path, INDEX_DIR, meta["index_file"])
+        n = len(read_dv_from_index(idx, meta["offset"], meta["length"]))
+        meta["cardinality"] = n
+        return n
+
+    def _dv_items(self, dv: dict[str, dict]) -> list[dict]:
+        return [
+            {
+                "data_path": p,
+                "index_file": m["index_file"],
+                "offset": m["offset"],
+                "length": m["length"],
+            }
+            for p, m in sorted(dv.items())
+        ]
+
+    def _row_deletes_df(self, dv: dict[str, dict]) -> DataFrame:
+        """COMPLETE current delete state (empty = no deletes, never None —
+        targets clear stale DVs/delete files absent from a restatement).
+        Positions files are materialized executor-side first."""
+        from incubator_xtable_spark.model.core import ROW_DELETES_SCHEMA
+        from incubator_xtable_spark.sources.paimon_dv import (
+            materialize_dv_outputs,
+            positions_path_for,
+        )
+
+        if not dv:
+            return self.spark.createDataFrame([], ROW_DELETES_SCHEMA)
+        materialize_dv_outputs(self.spark, self.base_path, self._dv_items(dv), "positions")
+        rows = [
+            (
+                p,
+                positions_path_for(p, m["index_file"], m["offset"], m["length"]),
+                self._dv_cardinality(m),
+                m["partition_values"],
+            )
+            for p, m in sorted(dv.items())
+        ]
+        return self.spark.createDataFrame(rows, ROW_DELETES_SCHEMA)
+
+    def _shadow_overrides(self, dv: dict[str, dict]) -> dict[str, tuple]:
+        """Materialize purged shadows for covered files and return the
+        inventory overrides map path -> (new_path, new_size, row_delta)."""
+        from incubator_xtable_spark.sources.paimon_dv import (
+            materialize_dv_outputs,
+            shadow_path_for,
+        )
+
+        if not dv:
+            return {}
+        materialize_dv_outputs(self.spark, self.base_path, self._dv_items(dv), "shadows")
+        out = {}
+        for p, m in dv.items():
+            sp = shadow_path_for(p, m["index_file"], m["offset"], m["length"])
+            out[p] = (sp, os.path.getsize(sp), self._dv_cardinality(m))
+        return out
+
+    def _to_inventory(
+        self, entries: list[dict], sch: dict, overrides: Optional[dict[str, tuple]] = None
+    ) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
         options = sch.get("options") or {}
@@ -548,34 +703,74 @@ class PaimonConversionSource:
             ext = fm.get("_EXTERNAL_PATH")
             path = ext or self._full_path(part_path, e["_BUCKET"], fm["_FILE_NAME"])
             fmt = fm["_FILE_NAME"].rsplit(".", 1)[-1] if "." in fm["_FILE_NAME"] else "parquet"
+            size = int(fm["_FILE_SIZE"])
+            count = int(fm["_ROW_COUNT"])
+            stats = self._decode_value_stats(fm, file_schema(int(fm.get("_SCHEMA_ID") or 0)))
+            if overrides and path in overrides:
+                # purged-shadow substitution (expose-off DV conversion):
+                # stats dropped — they describe the pre-purge content and
+                # null counts could overstate the shadow's rows
+                path, size, removed = overrides[path]
+                count -= int(removed)
+                stats = None
             rows.append(
                 (
                     path,
                     fmt,
-                    int(fm["_FILE_SIZE"]),
-                    int(fm["_ROW_COUNT"]),
+                    size,
+                    count,
                     int(fm["_CREATION_TIME"]) if fm.get("_CREATION_TIME") else None,
                     pv,
-                    self._decode_value_stats(fm, file_schema(int(fm.get("_SCHEMA_ID") or 0))),
+                    stats,
                 )
             )
         return self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)
 
     # -- snapshots / commits -----------------------------------------------
 
-    def get_current_snapshot(self) -> InternalSnapshot:
-        snap = self._latest()
-        sch = self._schema(snap.get("schemaId", 0))
-        table = self.get_table(snap["id"])
+    def _view_entries(self, snap: dict, sch: dict) -> list[dict]:
+        """Live entries of the read-optimized view at a snapshot (PK
+        tables: top-level only)."""
         entries = self._merged_live_entries(snap)
         if sch.get("primaryKeys"):
             top = self._num_levels(sch.get("options") or {}) - 1
             entries = [e for e in entries if e["_FILE"]["_LEVEL"] == top]
+        return entries
+
+    def _entry_abs_path(self, e: dict, sch: dict) -> str:
+        options = sch.get("options") or {}
+        keys, codecs, dtypes = self._partition_ctx(sch)
+        _, part_path = self._decode_partition(e["_PARTITION"], keys, codecs, dtypes, options)
+        fm = e["_FILE"]
+        return fm.get("_EXTERNAL_PATH") or self._full_path(
+            part_path, e["_BUCKET"], fm["_FILE_NAME"]
+        )
+
+    def _view_dvs(self, snap: dict, sch: dict, view_paths: set[str]) -> dict[str, dict]:
+        """DV index state restricted to files in the read-optimized view."""
+        return {
+            p: m for p, m in self._index_dv_map(snap, sch).items() if p in view_paths
+        }
+
+    def get_current_snapshot(self) -> InternalSnapshot:
+        snap = self._latest()
+        sch = self._schema(snap.get("schemaId", 0))
+        table = self.get_table(snap["id"])
+        entries = self._view_entries(snap, sch)
+        view_paths = {self._entry_abs_path(e, sch) for e in entries}
+        dv = self._view_dvs(snap, sch, view_paths)
+        row_deletes = None
+        overrides = None
+        if dv and self.expose_row_deletes:
+            row_deletes = self._row_deletes_df(dv)
+        elif dv:
+            overrides = self._shadow_overrides(dv)
         return InternalSnapshot(
             table=table,
             version=str(snap["id"]),
-            files=self._to_inventory(entries, sch),
+            files=self._to_inventory(entries, sch, overrides),
             source_identifier=str(snap.get("commitIdentifier")),
+            row_deletes=row_deletes,
         )
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
@@ -588,11 +783,68 @@ class PaimonConversionSource:
             entries = [e for e in entries if e["_FILE"]["_LEVEL"] == top]
         added = [e for e in entries if e["_KIND"] == FILE_KIND_ADD]
         removed = [e for e in entries if e["_KIND"] == FILE_KIND_DELETE]
+
+        live_entries = self._view_entries(snap, sch)
+        live_paths = {self._entry_abs_path(e, sch) for e in live_entries}
+        cur_dv = self._view_dvs(snap, sch, live_paths)
+        prev_dv: dict[str, dict] = {}
+        try:
+            prev_snap = self._snapshot(int(commit) - 1)
+            prev_dv = self._index_dv_map(prev_snap, sch)
+        except FileNotFoundError:
+            pass  # expired/first snapshot: treat prior DV state as empty
+
+        if self.expose_row_deletes:
+            # original paths; complete delete-state restatement rides the
+            # row-delete channel whenever DV state exists or just cleared
+            row_deletes = (
+                self._row_deletes_df(cur_dv) if (cur_dv or prev_dv) else None
+            )
+            return TableChange(
+                table=table,
+                commit_id=commit,
+                files_added=self._to_inventory(added, sch),
+                files_removed=self._to_inventory(removed, sch),
+                source_identifier=str(snap.get("commitIdentifier")),
+                row_deletes=row_deletes,
+            )
+
+        # expose-off: covered files become purged shadows. A DV-only
+        # change (no data-file churn) must still restate the file —
+        # remove the previous effective path, add the new shadow.
+        def dv_key(m: Optional[dict]):
+            return (m["index_file"], m["offset"], m["length"]) if m else None
+
+        added_paths = {self._entry_abs_path(e, sch) for e in added}
+        removed_paths = {self._entry_abs_path(e, sch) for e in removed}
+        changed = [
+            p
+            for p in sorted(live_paths - added_paths - removed_paths)
+            if dv_key(cur_dv.get(p)) != dv_key(prev_dv.get(p))
+        ]
+        by_path = {self._entry_abs_path(e, sch): e for e in live_entries}
+        extra_adds = [by_path[p] for p in changed if p in by_path]
+        cur_overrides = self._shadow_overrides(
+            {p: m for p, m in cur_dv.items() if p in added_paths | set(changed)}
+        )
+        # removes resolve through the PREVIOUS snapshot's effective paths
+        prev_overrides = {}
+        prev_cover = {
+            p: m for p, m in prev_dv.items() if p in removed_paths | set(changed)
+        }
+        if prev_cover:
+            from incubator_xtable_spark.sources.paimon_dv import shadow_path_for
+
+            prev_overrides = {
+                p: (shadow_path_for(p, m["index_file"], m["offset"], m["length"]), 0, 0)
+                for p, m in prev_cover.items()
+            }
+        extra_removes = [by_path[p] for p in changed if p in by_path]
         return TableChange(
             table=table,
             commit_id=commit,
-            files_added=self._to_inventory(added, sch),
-            files_removed=self._to_inventory(removed, sch),
+            files_added=self._to_inventory(added + extra_adds, sch, cur_overrides),
+            files_removed=self._to_inventory(removed + extra_removes, sch, prev_overrides),
             source_identifier=str(snap.get("commitIdentifier")),
         )
 
@@ -672,22 +924,113 @@ def read_paimon_as_df(
     snap = src._snapshot(sid)
     sch = src._schema(snap.get("schemaId", 0))
     table = src.get_table(sid)
-    entries = src._merged_live_entries(snap)
-    if sch.get("primaryKeys"):
-        top = src._num_levels(sch.get("options") or {}) - 1
-        entries = [e for e in entries if e["_FILE"]["_LEVEL"] == top]
-    keys, codecs, dtypes = src._partition_ctx(sch)
-    options = sch.get("options") or {}
-    paths = []
-    for e in entries:
-        fm = e["_FILE"]
-        _, part_path = src._decode_partition(e["_PARTITION"], keys, codecs, dtypes, options)
-        paths.append(
-            fm.get("_EXTERNAL_PATH") or src._full_path(part_path, e["_BUCKET"], fm["_FILE_NAME"])
-        )
+    entries = src._view_entries(snap, sch)
+    paths = [src._entry_abs_path(e, sch) for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)
     # Paimon data files store the full row INCLUDING partition columns
     # (the hive-style dirs are layout only) — a plain distributed scan
     df = spark.read.schema(table.read_schema).parquet(*paths)
+    dv = src._view_dvs(snap, sch, set(paths))
+    if dv:
+        # deletion vectors apply row-level: decode positions executor-side
+        # and anti-join on (_metadata.file_path, row_index) — same shape
+        # as the Delta DV read path, distributes with the scan
+        from incubator_xtable_spark.sources.paimon_dv import dv_positions_df
+
+        positions = dv_positions_df(spark, base_path, src._dv_items(dv))
+        df = (
+            df.withColumn("_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""))
+            .withColumn("_ri", F.col("_metadata.row_index"))
+            .join(
+                positions,
+                (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
+                "left_anti",
+            )
+        )
     return df.select(*[f.name for f in table.read_schema.fields])
+
+
+# RowKind ordinal -> Delta-CDF-style change type string
+_CHANGE_TYPES = {0: "insert", 1: "update_preimage", 2: "update_postimage", 3: "delete"}
+
+
+def read_paimon_changelog(
+    spark: SparkSession, base_path: str, snapshot_id: int
+) -> DataFrame:
+    """Row-level changes of ONE commit as a CDC-shaped DataFrame: the row
+    columns plus `_change_type` (insert / update_preimage /
+    update_postimage / delete) and `_commit_snapshot_id`.
+
+    Source of truth, in order:
+    1. the snapshot's changelogManifestList (changelog-producer=
+       input/lookup/full-compaction) — changelog data files store the
+       RowKind as a leading `_VALUE_KIND` tinyint column;
+    2. for append-only tables' APPEND commits with no changelog
+       manifests, the delta data files themselves (every row an insert —
+       Paimon's own fallback for changelog-producer=none);
+    otherwise raises: PK deltas without a changelog producer are
+    compaction artifacts, not row changes.
+
+    Scale: one distributed parquet scan over the commit's changelog
+    files; no driver rows. Feeds Structured Streaming / CDC pipelines a
+    per-commit micro-batch (pair with get_commits_backlog for the
+    commit cursor).
+    """
+    src = PaimonConversionSource(spark, base_path)
+    snap = src._snapshot(snapshot_id)
+    sch = src._schema(snap.get("schemaId", 0))
+    table = src.get_table(snapshot_id)
+    data_cols = [f.name for f in table.read_schema.fields]
+
+    cl_list = snap.get("changelogManifestList")
+    cl_entries = [
+        e
+        for e in (src._entries_for_lists([cl_list]) if cl_list else [])
+        if e["_KIND"] == FILE_KIND_ADD
+    ]
+    if cl_entries:
+        paths = [src._entry_abs_path(e, sch) for e in cl_entries]
+        read_schema = T.StructType(
+            [T.StructField("_VALUE_KIND", T.ByteType(), True)]
+            + list(table.read_schema.fields)
+        )
+        df = spark.read.schema(read_schema).parquet(*paths)
+        mapping = F.create_map(
+            *[x for k, v in _CHANGE_TYPES.items() for x in (F.lit(k), F.lit(v))]
+        )
+        return df.select(
+            *data_cols,
+            mapping[F.col("_VALUE_KIND").cast("int")].alias("_change_type"),
+            F.lit(int(snapshot_id)).alias("_commit_snapshot_id"),
+        )
+
+    if sch.get("primaryKeys") or snap.get("commitKind") != "APPEND":
+        raise ValueError(
+            f"snapshot {snapshot_id} has no changelog manifests and its "
+            "delta files are not row changes (PK table or non-APPEND "
+            "commit); enable a changelog producer on the source table"
+        )
+    entries = [
+        e
+        for e in src._entries_for_lists([snap.get("deltaManifestList") or ""])
+        if e["_KIND"] == FILE_KIND_ADD
+    ]
+    if not entries:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(table.read_schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), True),
+                    T.StructField("_commit_snapshot_id", T.LongType(), False),
+                ]
+            ),
+        )
+    paths = [src._entry_abs_path(e, sch) for e in entries]
+    df = spark.read.schema(table.read_schema).parquet(*paths)
+    return df.select(
+        *data_cols,
+        F.lit("insert").alias("_change_type"),
+        F.lit(int(snapshot_id)).alias("_commit_snapshot_id"),
+    )

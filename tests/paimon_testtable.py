@@ -97,6 +97,9 @@ class PaimonTestTable:
         self._commit_identifier = 0
         self._sequence = 0
         self._base_manifests: list[dict] = []  # accumulated ManifestFileMeta rows
+        # full-state deletion-vectors index manifest, carried on every
+        # subsequent snapshot until replaced/cleared
+        self._index_manifest: Optional[str] = None
 
     # -- layout ------------------------------------------------------------
 
@@ -286,7 +289,12 @@ class PaimonTestTable:
         self.avro.write_records(path, MANIFEST_LIST_AVRO_SCHEMA, metas, {})
         return name
 
-    def commit(self, delta_entries: list[dict], kind: str = "APPEND") -> int:
+    def commit(
+        self,
+        delta_entries: list[dict],
+        kind: str = "APPEND",
+        changelog_entries: Optional[list[dict]] = None,
+    ) -> int:
         """Write delta manifest (+list), base list = accumulated prior
         manifests, snapshot JSON, hints. Returns the new snapshot id."""
         self._snapshot_id += 1
@@ -299,6 +307,12 @@ class PaimonTestTable:
         )
         if delta_meta:
             self._base_manifests.append(delta_meta)
+        changelog_list = None
+        changelog_rows = 0
+        if changelog_entries:
+            cl_meta = self._write_manifest(changelog_entries)
+            changelog_list = self._write_manifest_list([cl_meta], 2)
+            changelog_rows = sum(e["_FILE"]["_ROW_COUNT"] for e in changelog_entries)
         total = None  # Paimon stores counts; reader does not rely on them
         snapshot = {
             "version": 3,
@@ -306,7 +320,8 @@ class PaimonTestTable:
             "schemaId": self._schema_id,
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
-            "changelogManifestList": None,
+            "changelogManifestList": changelog_list,
+            "indexManifest": self._index_manifest,
             "commitUser": "test-user",
             "commitIdentifier": self._commit_identifier,
             "commitKind": kind,
@@ -316,7 +331,7 @@ class PaimonTestTable:
             "deltaRecordCount": sum(
                 e["_FILE"]["_ROW_COUNT"] for e in delta_entries if e["_KIND"] == 0
             ),
-            "changelogRecordCount": 0,
+            "changelogRecordCount": changelog_rows,
             "watermark": None,
         }
         with open(os.path.join(self.base, "snapshot", f"snapshot-{sid}"), "w") as fh:
@@ -373,6 +388,149 @@ class PaimonTestTable:
             adds.append(self._make_entry(grp, part_vals, 0, 0))
         sid = self.commit(deletes + adds, kind="OVERWRITE")
         return sid, adds
+
+    # -- deletion vectors ---------------------------------------------------
+
+    def _write_index_manifest(self, entries: list[dict]) -> str:
+        from incubator_xtable_spark.sources.paimon_source import (
+            INDEX_MANIFEST_AVRO_SCHEMA,
+        )
+
+        name = f"index-manifest-{uuid.uuid4().hex}-0"
+        self.avro.write_records(
+            os.path.join(self.base, "manifest", name), INDEX_MANIFEST_AVRO_SCHEMA, entries, {}
+        )
+        return name
+
+    def set_deletion_vectors(
+        self, groups: list[tuple[dict, int, dict[str, list[int]]]], kind: str = "APPEND"
+    ) -> int:
+        """Write deletion vectors as a FULL-state index (one DV index file
+        per (partition, bucket) group, one index manifest listing them
+        all), then commit with no data-file changes — the shape of a
+        Paimon delete statement under deletion-vectors.enabled.
+
+        groups: [(part_vals, bucket, {data_file_name: positions})]."""
+        from incubator_xtable_spark.sources.paimon_dv import (
+            DELETION_VECTORS_INDEX,
+            write_dv_index_file,
+        )
+
+        entries = []
+        for part_vals, bucket, dvs in groups:
+            name, size, metas = write_dv_index_file(self.base, dvs)
+            entries.append(
+                {
+                    "_VERSION": 1,
+                    "_KIND": 0,
+                    "_PARTITION": self._partition_blob(part_vals),
+                    "_BUCKET": bucket,
+                    "_INDEX_TYPE": DELETION_VECTORS_INDEX,
+                    "_FILE_NAME": name,
+                    "_FILE_SIZE": size,
+                    "_ROW_COUNT": sum(m["cardinality"] for m in metas.values()),
+                    "_DELETION_VECTORS_RANGES": [
+                        {
+                            "_FILE_NAME": f,
+                            "_OFFSET": m["offset"],
+                            "_LENGTH": m["length"],
+                            "_CARDINALITY": m["cardinality"],
+                        }
+                        for f, m in metas.items()
+                    ],
+                }
+            )
+        self._index_manifest = self._write_index_manifest(entries)
+        return self.commit([], kind=kind)
+
+    def clear_deletion_vectors(self, kind: str = "APPEND") -> int:
+        self._index_manifest = None
+        return self.commit([], kind=kind)
+
+    # -- changelog ----------------------------------------------------------
+
+    # RowKind ordinals (Paimon/Flink convention)
+    ROW_KIND = {"+I": 0, "-U": 1, "+U": 2, "-D": 3}
+
+    def _make_changelog_entry(
+        self, rows_with_kind: list[tuple[str, dict]], part_vals: dict, bucket: int
+    ) -> dict:
+        """A changelog data file: parquet of _VALUE_KIND (tinyint RowKind
+        ordinal) + the row columns — the key-value layout's kind field
+        surfaced as a column (documented fixture simplification)."""
+        part_path = self._partition_path(part_vals)
+        bucket_dir = (
+            os.path.join(self.base, part_path, f"bucket-{bucket}")
+            if part_path
+            else os.path.join(self.base, f"bucket-{bucket}")
+        )
+        os.makedirs(bucket_dir, exist_ok=True)
+        fname = f"changelog-{uuid.uuid4().hex[:12]}-0.parquet"
+        fpath = os.path.join(bucket_dir, fname)
+        arrays = {
+            "_VALUE_KIND": pa.array(
+                [self.ROW_KIND[k] for k, _ in rows_with_kind], pa.int8()
+            )
+        }
+        for c, _t in self.fields:
+            arrays[c] = pa.array(
+                [r.get(c) for _, r in rows_with_kind], _pa_type(self._codecs[c])
+            )
+        pq.write_table(pa.table(arrays), fpath)
+        empty_row = encode_binary_row([], [])
+        empty_stats = {
+            "_MIN_VALUES": empty_row,
+            "_MAX_VALUES": empty_row,
+            "_NULL_COUNTS": encode_long_array([]),
+        }
+        seq = self._sequence
+        self._sequence += 1
+        return {
+            "_VERSION": 2,
+            "_KIND": 0,
+            "_PARTITION": self._partition_blob(part_vals),
+            "_BUCKET": bucket,
+            "_TOTAL_BUCKETS": 1,
+            "_FILE": {
+                "_FILE_NAME": fname,
+                "_FILE_SIZE": os.path.getsize(fpath),
+                "_ROW_COUNT": len(rows_with_kind),
+                "_MIN_KEY": empty_row,
+                "_MAX_KEY": empty_row,
+                "_KEY_STATS": empty_stats,
+                "_VALUE_STATS": dict(empty_stats),
+                "_MIN_SEQUENCE_NUMBER": seq,
+                "_MAX_SEQUENCE_NUMBER": seq,
+                "_SCHEMA_ID": self._schema_id,
+                "_LEVEL": 0,
+                "_EXTRA_FILES": [],
+                "_CREATION_TIME": EPOCH_MS + self._snapshot_id * 1000,
+                "_DELETE_ROW_COUNT": None,
+                "_EMBEDDED_FILE_INDEX": None,
+                "_FILE_SOURCE": 0,
+                "_VALUE_STATS_COLS": [],
+                "_EXTERNAL_PATH": None,
+            },
+        }
+
+    def commit_with_changelog(
+        self,
+        delta_entries: list[dict],
+        changes: list[tuple[str, dict]],
+        kind: str = "APPEND",
+    ) -> int:
+        """Commit data-file changes together with a changelog manifest
+        describing the row-level changes (changelog-producer=input/lookup
+        shape)."""
+        groups: dict[tuple, list[tuple[str, dict]]] = {}
+        for kind_str, r in changes:
+            key = tuple(r.get(k) for k in self.partition_keys)
+            groups.setdefault(key, []).append((kind_str, r))
+        cl_entries = [
+            self._make_changelog_entry(grp, dict(zip(self.partition_keys, key)), 0)
+            for key, grp in groups.items()
+        ]
+        return self.commit(delta_entries, kind=kind, changelog_entries=cl_entries)
 
     def expire_snapshots_before(self, keep_from_id: int) -> None:
         """Simulate snapshot expiration: delete snapshot-N files with
