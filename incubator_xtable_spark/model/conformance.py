@@ -475,18 +475,34 @@ def _check_delta_checkpoint(spark: SparkSession, log_dir: str, report: Conforman
     if "version" not in meta or "size" not in meta:
         report.add("DELTA_LAST_CHECKPOINT_FIELDS", lc, "version and size are required")
         return
-    cp = os.path.join(log_dir, f"{meta['version']:020d}.checkpoint.parquet")
-    if not os.path.exists(cp):
-        report.add("DELTA_CHECKPOINT_MISSING", lc, f"checkpoint parquet absent: {cp}")
+    import glob as _glob
+
+    v = meta["version"]
+    classic = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    candidates = (
+        [classic]
+        if os.path.exists(classic)
+        else _glob.glob(os.path.join(log_dir, f"{v:020d}.checkpoint.*.parquet"))
+    )
+    if not candidates:
+        report.add("DELTA_CHECKPOINT_MISSING", lc, f"no checkpoint parquet for version {v}")
         return
     try:
-        n = spark.read.parquet(cp).count()
-        if n != meta["size"]:
-            report.add(
-                "DELTA_CHECKPOINT_SIZE", cp, f"checkpoint rows {n} != _last_checkpoint.size {meta['size']}"
-            )
+        # action-count equality is only defined for the classic
+        # single-file layout; multi-part/v2 layouts spread actions across
+        # parts and sidecars
+        if candidates == [classic]:
+            n = spark.read.parquet(classic).count()
+            if n != meta["size"]:
+                report.add(
+                    "DELTA_CHECKPOINT_SIZE",
+                    classic,
+                    f"checkpoint rows {n} != _last_checkpoint.size {meta['size']}",
+                )
+        else:
+            spark.read.parquet(*candidates).count()  # readability check
     except Exception as exc:  # noqa: BLE001
-        report.add("DELTA_CHECKPOINT_UNREADABLE", cp, str(exc))
+        report.add("DELTA_CHECKPOINT_UNREADABLE", candidates[0], str(exc))
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
@@ -134,41 +135,152 @@ def read_last_checkpoint(base_path: str) -> Optional[dict]:
         return json.loads(fh.read())
 
 
+def _checkpoint_parquets(base_path: str, version: int) -> list[str]:
+    """All parquet files that make up the checkpoint at ``version``,
+    covering the three spec layouts: classic single-file
+    (<v>.checkpoint.parquet), v1 multi-part
+    (<v>.checkpoint.<i>.<n>.parquet), and v2 UUID-named
+    (<v>.checkpoint.<uuid>.parquet — may reference sidecars)."""
+    import glob as _glob
+
+    d = _log_dir(base_path)
+    classic = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return [classic]
+    multipart = sorted(_glob.glob(os.path.join(d, f"{version:020d}.checkpoint.*.*.parquet")))
+    if multipart:
+        return multipart
+    v2 = sorted(_glob.glob(os.path.join(d, f"{version:020d}.checkpoint.*.parquet")))
+    # several UUID candidates can exist after writer retries; any single
+    # one is a complete checkpoint — take the lexicographically last
+    return v2[-1:]
+
+
+_SIDECAR_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "sidecar",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("sizeInBytes", T.LongType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def _sidecar_paths(spark: SparkSession, base_path: str, cp_paths: list[str]) -> list[str]:
+    """V2 checkpoints move file actions into sidecar parquets under
+    _delta_log/_sidecars/; the top-level file lists them as sidecar
+    actions. Absent column -> nulls -> empty list (v1 checkpoints)."""
+    rows = (
+        spark.read.schema(_SIDECAR_PROBE_SCHEMA)
+        .parquet(*cp_paths)
+        .filter(F.col("sidecar.path").isNotNull())
+        .select("sidecar.path")
+        .collect()
+    )
+    d = os.path.join(_log_dir(base_path), "_sidecars")
+    return [p if p.startswith("/") else os.path.join(d, p) for (p,) in rows]
+
+
+def list_compacted_ranges(base_path: str) -> list[tuple[int, int, str]]:
+    """Minor log-compaction files <start>.<end>.compacted.json (Delta
+    spec log compaction), sorted by start."""
+    d = _log_dir(base_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in os.listdir(d):
+        m = re.match(r"^(\d{20})\.(\d{20})\.compacted\.json$", fn)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), os.path.join(d, fn)))
+    return sorted(out)
+
+
+def _commit_slices(
+    base_path: str, floor: int, max_version: Optional[int]
+) -> list[tuple[str, int]]:
+    """(path, version-tag) pairs for the JSON tail above ``floor``,
+    substituting compacted-range files where available: a compacted file
+    replaces its whole commit range and tags as the range END (last-wins
+    windows downstream then order it correctly). At 100k commits with
+    compaction every 100, the listing drops 100x."""
+    versions = [
+        v
+        for v in list_log_versions(base_path)
+        if v > floor and (max_version is None or v <= max_version)
+    ]
+    remaining = set(versions)
+    covered: set[int] = set()
+    slices: list[tuple[str, int]] = []
+    for s, e, p in list_compacted_ranges(base_path):
+        if s <= floor or (max_version is not None and e > max_version):
+            continue
+        span = set(range(s, e + 1))
+        if span & covered:  # ranges must not overlap an earlier pick
+            continue
+        slices.append((p, e))
+        covered |= span
+        remaining -= span  # the range's commit files (even already-cleaned
+        # ones) are fully represented by the compacted file
+    for v in sorted(remaining):
+        slices.append((os.path.join(_log_dir(base_path), f"{v:020d}.json"), v))
+    return slices
+
+
 def read_log_actions(
     spark: SparkSession, base_path: str, max_version: Optional[int] = None
 ) -> DataFrame:
     """Distributed read of the transaction log, tagged with commit version.
 
     Checkpoint-aware (Delta spec): when a checkpoint at version C exists
-    and the requested view is >= C, read the checkpoint PARQUET (one
-    columnar file instead of C+1 JSON files) plus only the JSON commits
-    after C. Time travel below C falls back to pure JSON replay (commit
-    files are retained). At 100k commits this is the difference between
-    a bounded scan and an ever-growing one.
+    and the requested view is >= C, read the checkpoint PARQUET(s) (one
+    columnar read instead of C+1 JSON files — classic, v1 multi-part and
+    v2 UUID+sidecar layouts all supported) plus only the JSON commits
+    after C — with minor log-compaction files substituting their commit
+    ranges. Time travel below C falls back to JSON replay (commit files
+    are retained). At 100k commits this is the difference between a
+    bounded scan and an ever-growing one.
     """
     cp = read_last_checkpoint(base_path)
     use_checkpoint = cp is not None and (max_version is None or max_version >= cp["version"])
-    version_col = F.regexp_extract(F.input_file_name(), r"(\d{20})\.", 1).cast("long")
-    if not use_checkpoint:
-        path = os.path.join(_log_dir(base_path), "*.json")
-        return spark.read.schema(_ACTION_SCHEMA).json(path).withColumn("version", version_col)
-    cp_version = cp["version"]
-    cp_path = os.path.join(_log_dir(base_path), f"{cp_version:020d}.checkpoint.parquet")
-    # explicit schema: checkpoints written before newer action fields (e.g.
-    # add.deletionVector) existed read back with nulls for those fields
-    cp_df = (
-        spark.read.schema(_ACTION_SCHEMA).parquet(cp_path)
-        .select(*[F.col(f.name) for f in _ACTION_SCHEMA.fields])
-        .withColumn("version", F.lit(cp_version).cast("long"))
-    )
-    tail_versions = [v for v in list_log_versions(base_path) if v > cp_version]
-    if not tail_versions:
-        return cp_df
-    tail_paths = [os.path.join(_log_dir(base_path), f"{v:020d}.json") for v in tail_versions]
+    # filename version: compacted files tag as their range END (group 2),
+    # commit files as their single version (group 1)
+    fname = F.input_file_name()
+    compact_end = F.regexp_extract(fname, r"\d{20}\.(\d{20})\.compacted\.json", 1)
+    single = F.regexp_extract(fname, r"(\d{20})\.", 1)
+    version_col = F.when(compact_end != "", compact_end).otherwise(single).cast("long")
+    floor = -1
+    cp_df = None
+    if use_checkpoint:
+        cp_version = cp["version"]
+        cp_paths = _checkpoint_parquets(base_path, cp_version)
+        cp_paths = cp_paths + _sidecar_paths(spark, base_path, cp_paths)
+        # explicit schema: checkpoints written before newer action fields
+        # (e.g. add.deletionVector) existed read back with nulls; v2
+        # checkpointMetadata/sidecar columns are simply not selected
+        cp_df = (
+            spark.read.schema(_ACTION_SCHEMA).parquet(*cp_paths)
+            .select(*[F.col(f.name) for f in _ACTION_SCHEMA.fields])
+            .withColumn("version", F.lit(cp_version).cast("long"))
+        )
+        floor = cp_version
+    slices = _commit_slices(base_path, floor, max_version)
+    if not slices:
+        if cp_df is not None:
+            return cp_df
+        return spark.createDataFrame(
+            [], T.StructType(list(_ACTION_SCHEMA.fields) + [T.StructField("version", T.LongType())])
+        )
     tail_df = (
-        spark.read.schema(_ACTION_SCHEMA).json(tail_paths).withColumn("version", version_col)
+        spark.read.schema(_ACTION_SCHEMA)
+        .json([p for p, _ in slices])
+        .withColumn("version", version_col)
     )
-    return cp_df.unionByName(tail_df)
+    return cp_df.unionByName(tail_df) if cp_df is not None else tail_df
 
 
 def write_checkpoint(spark: SparkSession, base_path: str, version: int) -> None:

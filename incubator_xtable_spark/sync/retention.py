@@ -52,6 +52,63 @@ def delta_expire_log(base_path: str) -> list[int]:
     return pruned
 
 
+def delta_compact_log(base_path: str, start: int, end: int) -> str:
+    """Minor log compaction (Delta spec <start>.<end>.compacted.json):
+    write one file holding the RECONCILED actions of the commit range —
+    last file-action per path (an add following a remove of the same
+    path in one commit stays an add: the DV-update shape), the latest
+    metaData/protocol, the latest txn per appId; commitInfo dropped.
+    Readers then open one file per range instead of (end-start+1)
+    commits (see delta_source._commit_slices). Raw JSON dicts are
+    carried verbatim, so fields this engine does not model survive.
+
+    Scale: driver-side over one range's commit files — ranges are
+    bounded (compact every N commits), and a 100k-commit log compacted
+    at N=100 lists 1,000 files instead of 100,000."""
+    import uuid as _uuid
+
+    d = os.path.join(base_path, "_delta_log")
+    per_path: dict[str, dict] = {}
+    latest_meta: Optional[dict] = None
+    latest_proto: Optional[dict] = None
+    txns: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        p = os.path.join(d, f"{v:020d}.json")
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    per_path[a["add"]["path"]] = a
+                elif "remove" in a:
+                    per_path[a["remove"]["path"]] = a
+                elif "metaData" in a:
+                    latest_meta = a
+                elif "protocol" in a:
+                    latest_proto = a
+                elif "txn" in a:
+                    txns[a["txn"].get("appId", "")] = a
+    out = os.path.join(d, f"{start:020d}.{end:020d}.compacted.json")
+    tmp = out + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for a in [latest_proto, latest_meta]:
+            if a is not None:
+                fh.write(json.dumps(a) + "\n")
+        for a in txns.values():
+            fh.write(json.dumps(a) + "\n")
+        for path in sorted(per_path):
+            fh.write(json.dumps(per_path[path]) + "\n")
+    try:
+        os.link(tmp, out)
+    except FileExistsError:
+        pass  # another writer compacted the same range — identical content
+    finally:
+        os.unlink(tmp)
+    return out
+
+
 def delta_vacuum(spark: SparkSession, base_path: str, dry_run: bool = True) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot (retention
     window = head only, the aggressive setting; a time-based window keeps
