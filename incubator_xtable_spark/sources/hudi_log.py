@@ -1,0 +1,215 @@
+"""Hudi log-file (MOR) block format: reader + merge semantics.
+
+Implemented from the PUBLIC Hudi log-format spec (no Hudi jars in this
+environment — the same from-spec posture as the Paimon BinaryRow codec).
+Block layout (format version 1, java DataOutputStream = big-endian):
+
+    [6 bytes  magic "#HUDI#"]
+    [int64    block size        = bytes of everything after this field,
+                                  through the trailing total-length long]
+    [int32    log format version (1)]
+    [int32    block type ordinal: 0 COMMAND_BLOCK, 1 DELETE_BLOCK,
+              2 CORRUPT_BLOCK, 3 AVRO_DATA_BLOCK, 4 HFILE_DATA_BLOCK,
+              5 PARQUET_DATA_BLOCK, 6 CDC_DATA_BLOCK]
+    [header map: int32 count; per entry int32 key-ordinal
+              (0 INSTANT_TIME, 1 TARGET_INSTANT_TIME, 2 SCHEMA,
+               3 COMMAND_BLOCK_TYPE), int32 len, utf8 bytes]
+    [int64    content length]
+    [content]
+    [footer map, same shape as header (usually empty)]
+    [int64    total block length incl. magic — enables reverse traversal]
+
+Content shapes:
+- AVRO_DATA_BLOCK: [int32 version (3)][int32 record count]
+  [per record: int32 length + Avro binary record] — record schema is the
+  header SCHEMA JSON;
+- PARQUET_DATA_BLOCK: raw parquet bytes;
+- DELETE_BLOCK: [int32 version][int32 length][Avro binary
+  HoodieDeleteRecordList] (keys to delete; schema in header SCHEMA);
+- COMMAND_BLOCK: empty content; COMMAND_BLOCK_TYPE=0 is ROLLBACK —
+  previously-read blocks whose INSTANT_TIME equals TARGET_INSTANT_TIME
+  are discarded (HoodieLogFileReader rollback semantics).
+
+Merge semantics (HoodieMergedLogRecordScanner behavior): scan blocks in
+file order across a slice's log files (ordered by log version); data
+blocks upsert records keyed by the record-key field (later block wins),
+delete blocks drop keys, rollback commands drop the target instant's
+blocks. The merged map overlays the slice's base file: matching keys
+replace base rows, new keys append, deleted keys vanish.
+
+Scale note: AVRO blocks decode via the JVM's official Avro library
+driver-side (bounded: log files are the un-compacted tail of a slice —
+compaction regularly folds them into base files, which is also why the
+CONVERSION scope stays read-optimized like the reference); PARQUET
+blocks decode with Arrow. read_hudi_as_df(mode="snapshot") applies the
+merged overlay per slice.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from typing import Any, Optional
+
+MAGIC = b"#HUDI#"
+
+COMMAND_BLOCK = 0
+DELETE_BLOCK = 1
+CORRUPT_BLOCK = 2
+AVRO_DATA_BLOCK = 3
+HFILE_DATA_BLOCK = 4
+PARQUET_DATA_BLOCK = 5
+CDC_DATA_BLOCK = 6
+
+H_INSTANT_TIME = 0
+H_TARGET_INSTANT_TIME = 1
+H_SCHEMA = 2
+H_COMMAND_BLOCK_TYPE = 3
+
+ROLLBACK_COMMAND = 0
+
+DELETE_RECORD_LIST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "HoodieDeleteRecordList",
+        "fields": [
+            {
+                "name": "deleteRecordList",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "HoodieDeleteRecord",
+                        "fields": [
+                            {"name": "recordKey", "type": ["null", "string"], "default": None},
+                            {"name": "partitionPath", "type": ["null", "string"], "default": None},
+                        ],
+                    },
+                },
+            }
+        ],
+    }
+)
+
+
+class LogBlock:
+    __slots__ = ("block_type", "headers", "content")
+
+    def __init__(self, block_type: int, headers: dict[int, str], content: bytes) -> None:
+        self.block_type = block_type
+        self.headers = headers
+        self.content = content
+
+    @property
+    def instant(self) -> Optional[str]:
+        return self.headers.get(H_INSTANT_TIME)
+
+
+def _read_meta_map(buf: io.BytesIO) -> dict[int, str]:
+    (count,) = struct.unpack(">i", buf.read(4))
+    out = {}
+    for _ in range(count):
+        ordinal, length = struct.unpack(">ii", buf.read(8))
+        out[ordinal] = buf.read(length).decode("utf-8")
+    return out
+
+
+def read_log_blocks(path: str) -> list[LogBlock]:
+    """Parse one log file into blocks, applying rollback commands and
+    skipping corrupt blocks (bad sizes abort the scan of the rest of the
+    file, like a torn write would)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    blocks: list[LogBlock] = []
+    pos = 0
+    while pos + 14 <= len(data):
+        if data[pos : pos + 6] != MAGIC:
+            break  # torn/garbage tail
+        (block_size,) = struct.unpack_from(">q", data, pos + 6)
+        end = pos + 6 + 8 + block_size
+        if block_size <= 0 or end > len(data):
+            break  # truncated block
+        buf = io.BytesIO(data[pos + 14 : end])
+        (_version, btype) = struct.unpack(">ii", buf.read(8))
+        headers = _read_meta_map(buf)
+        (content_len,) = struct.unpack(">q", buf.read(8))
+        content = buf.read(content_len)
+        _footers = _read_meta_map(buf)
+        (total_len,) = struct.unpack(">q", buf.read(8))
+        if total_len != 6 + 8 + block_size:
+            break  # inconsistent trailer -> treat as corrupt tail
+        if btype == COMMAND_BLOCK:
+            if headers.get(H_COMMAND_BLOCK_TYPE) == str(ROLLBACK_COMMAND):
+                target = headers.get(H_TARGET_INSTANT_TIME)
+                blocks = [b for b in blocks if b.instant != target]
+        elif btype != CORRUPT_BLOCK:
+            blocks.append(LogBlock(btype, headers, content))
+        pos = end
+    return blocks
+
+
+def _decode_avro_records(spark, schema_json: str, blobs: list[bytes]) -> list[dict]:
+    """Avro binary records -> dicts via the JVM's official Avro library
+    (one BinaryDecoder per record; driver-side, bounded by log size)."""
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    from incubator_xtable_spark.targets.iceberg_target import _unwrap_unions
+
+    out = []
+    for blob in blobs:
+        decoder = factory.binaryDecoder(blob, None)
+        out.append(_unwrap_unions(json.loads(str(reader.read(None, decoder)))))
+    return out
+
+
+def block_records(spark, block: LogBlock) -> tuple[str, list[dict]]:
+    """-> ("upsert"|"delete", records). Data records are plain dicts;
+    delete records are {"recordKey": ...} dicts."""
+    if block.block_type == AVRO_DATA_BLOCK:
+        buf = io.BytesIO(block.content)
+        (_cv, count) = struct.unpack(">ii", buf.read(8))
+        blobs = []
+        for _ in range(count):
+            (ln,) = struct.unpack(">i", buf.read(4))
+            blobs.append(buf.read(ln))
+        return "upsert", _decode_avro_records(spark, block.headers[H_SCHEMA], blobs)
+    if block.block_type == PARQUET_DATA_BLOCK:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(io.BytesIO(block.content))
+        return "upsert", table.to_pylist()
+    if block.block_type == DELETE_BLOCK:
+        buf = io.BytesIO(block.content)
+        (_dv, ln) = struct.unpack(">ii", buf.read(8))
+        blob = buf.read(ln)
+        schema_json = block.headers.get(H_SCHEMA) or DELETE_RECORD_LIST_SCHEMA
+        (wrapper,) = _decode_avro_records(spark, schema_json, [blob])
+        return "delete", list(wrapper.get("deleteRecordList") or [])
+    raise ValueError(f"unsupported log block type {block.block_type}")
+
+
+def merged_log_records(
+    spark, log_paths: list[str], key_field: str
+) -> tuple[dict[str, dict], set[str]]:
+    """Scan a slice's log files in order -> (upserts by key, deleted
+    keys). Later blocks win; a delete tombstone is cleared by a later
+    upsert of the same key (and vice versa)."""
+    upserts: dict[str, dict] = {}
+    deleted: set[str] = set()
+    for path in log_paths:
+        for block in read_log_blocks(path):
+            kind, records = block_records(spark, block)
+            if kind == "upsert":
+                for r in records:
+                    k = str(r.get(key_field))
+                    upserts[k] = r
+                    deleted.discard(k)
+            else:
+                for r in records:
+                    k = str(r.get("recordKey"))
+                    deleted.add(k)
+                    upserts.pop(k, None)
+    return upserts, deleted

@@ -427,14 +427,33 @@ def _prev_instant(base_path: str, commit: str) -> Optional[str]:
     return instants[-1] if instants else None
 
 
-def read_hudi_as_df(spark: SparkSession, base_path: str, as_of_instant: Optional[str] = None) -> DataFrame:
-    """Snapshot read of the Hudi COW table (time travel via as_of_instant):
-    the engine's `spark.read.format("hudi")` equivalent."""
-    rows = live_files_rows(base_path, as_of_instant)
+def read_hudi_as_df(
+    spark: SparkSession,
+    base_path: str,
+    as_of_instant: Optional[str] = None,
+    mode: str = "read_optimized",
+) -> DataFrame:
+    """Snapshot read of the Hudi table (time travel via as_of_instant):
+    the engine's `spark.read.format("hudi")` equivalent.
+
+    mode="read_optimized" (default): latest base files only — the same
+    view the conversion scope syncs (reference getLatestBaseFiles).
+    mode="snapshot" (MOR): the un-compacted log-file tail of every slice
+    is merged in — log upserts replace/append rows keyed by
+    hoodie.table.recordkey.fields, delete blocks drop keys (see
+    sources/hudi_log.py for the from-spec block codec and the
+    HoodieMergedLogRecordScanner merge semantics)."""
+    include_logs = mode == "snapshot"
+    rows = live_files_rows(base_path, as_of_instant, include_log_only=include_logs)
+    log_rows = [r for r in rows if r.get("log_files")]
+    rows = [r for r in rows if r["path"] is not None]
     src = HudiConversionSource(spark, base_path)
     table = src.get_current_table()
-    if table is None or not rows:
+    if table is None or (not rows and not log_rows):
         return spark.createDataFrame([], table.read_schema if table else T.StructType([]))
+    if not rows:  # log-only slices: everything comes from the overlay
+        base_df = spark.createDataFrame([], table.read_schema)
+        return _apply_log_overlay(spark, base_path, base_df, log_rows, table) if include_logs else base_df
     # partition columns may live INSIDE the data files (Paimon-sourced
     # conversions store the full row) or only in the hive-style path
     # (parquet-dir sources) — and a table synced from BOTH kinds of
@@ -486,4 +505,39 @@ def read_hudi_as_df(spark: SparkSession, base_path: str, as_of_instant: Optional
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if include_logs and log_rows:
+        out = _apply_log_overlay(spark, base_path, out, log_rows, table)
+    return out
+
+
+def _apply_log_overlay(
+    spark: SparkSession,
+    base_path: str,
+    base_df: DataFrame,
+    log_rows: list[dict],
+    table: InternalTable,
+) -> DataFrame:
+    """Merge the log-file tail over the base rows: upserts replace by
+    record key, deletes drop, new keys append (per-slice log order is
+    preserved by live_files_rows' log_files accumulation)."""
+    from incubator_xtable_spark.sources.hudi_log import merged_log_records
+
+    props = read_properties(base_path)
+    key_field = (
+        props.get("hoodie.table.recordkey.fields") or table.read_schema.fields[0].name
+    ).split(",")[0]
+    log_paths = [
+        os.path.join(base_path, lf) for r in log_rows for lf in (r.get("log_files") or [])
+    ]
+    upserts, deleted = merged_log_records(spark, log_paths, key_field)
+    if not upserts and not deleted:
+        return base_df
+    drop_keys = [str(k) for k in (set(upserts) | deleted)]
+    out = base_df.filter(~F.col(key_field).cast("string").isin(drop_keys))
+    if upserts:
+        urows = [
+            tuple(rec.get(f.name) for f in table.read_schema.fields)
+            for rec in upserts.values()
+        ]
+        out = out.unionByName(spark.createDataFrame(urows, table.read_schema))
     return out
