@@ -857,6 +857,126 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
 
 
 # ---------------------------------------------------------------------------
+# Paimon (FileStore layout; checked because this engine WRITES it too)
+# ---------------------------------------------------------------------------
+
+
+def check_paimon_conformance(spark: SparkSession, base_path: str) -> ConformanceReport:
+    report = ConformanceReport(base_path=base_path, table_format="PAIMON")
+    snap_dir = os.path.join(base_path, "snapshot")
+    schema_dir = os.path.join(base_path, "schema")
+    if not os.path.isdir(snap_dir) or not os.path.isdir(schema_dir):
+        report.add("PAI_NO_LAYOUT", base_path, "snapshot/ or schema/ directory missing")
+        return report
+
+    schema_ids = sorted(
+        int(n[len("schema-") :])
+        for n in os.listdir(schema_dir)
+        if n.startswith("schema-") and n[len("schema-") :].isdigit()
+    )
+    if not schema_ids or schema_ids[0] != 0:
+        report.add("PAI_SCHEMA_CHAIN", schema_dir, f"schema ids must start at 0, got {schema_ids[:3]}")
+    for sid in schema_ids:
+        p = os.path.join(schema_dir, f"schema-{sid}")
+        report.checked_files += 1
+        try:
+            with open(p) as fh:
+                sch = json.load(fh)
+        except json.JSONDecodeError as exc:
+            report.add("PAI_SCHEMA_JSON", p, str(exc))
+            continue
+        for req in ("id", "fields", "partitionKeys", "primaryKeys", "options", "highestFieldId"):
+            if req not in sch:
+                report.add("PAI_SCHEMA_FIELD", p, f"{req} required")
+        if sch.get("id") != sid:
+            report.add("PAI_SCHEMA_ID", p, f"embedded id {sch.get('id')} != file id {sid}")
+        ids = [f.get("id") for f in sch.get("fields", [])]
+        if ids and sch.get("highestFieldId", -1) < max(ids):
+            report.add("PAI_HIGHEST_FIELD_ID", p, "highestFieldId below max field id")
+        names = {f.get("name") for f in sch.get("fields", [])}
+        for k in sch.get("partitionKeys", []):
+            if k not in names:
+                report.add("PAI_PARTITION_KEY", p, f"partition key {k!r} not a field")
+
+    snap_ids = sorted(
+        int(n[len("snapshot-") :])
+        for n in os.listdir(snap_dir)
+        if n.startswith("snapshot-") and n[len("snapshot-") :].isdigit()
+    )
+    if not snap_ids:
+        report.add("PAI_NO_SNAPSHOTS", snap_dir, "no snapshot-N files")
+        return report
+    gaps = [b for a, b in zip(snap_ids, snap_ids[1:]) if b != a + 1]
+    if gaps:
+        report.add("PAI_SNAPSHOT_GAP", snap_dir, f"non-contiguous snapshots at {gaps[:3]}")
+    hint = os.path.join(snap_dir, "LATEST")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            h = int(fh.read().strip())
+        if h != snap_ids[-1]:
+            report.add("PAI_LATEST_HINT", hint, f"LATEST={h} but newest snapshot is {snap_ids[-1]}")
+
+    latest = os.path.join(snap_dir, f"snapshot-{snap_ids[-1]}")
+    report.checked_files += 1
+    with open(latest) as fh:
+        snap = json.load(fh)
+    for req in ("id", "schemaId", "baseManifestList", "deltaManifestList", "commitKind", "commitIdentifier"):
+        if req not in snap:
+            report.add("PAI_SNAPSHOT_FIELD", latest, f"{req} required")
+    if snap.get("schemaId") not in schema_ids:
+        report.add("PAI_SNAPSHOT_SCHEMA", latest, f"schemaId {snap.get('schemaId')} has no schema file")
+
+    # manifest tree of the latest snapshot: every listed manifest exists
+    # with the recorded size; every live entry's data file exists
+    mdir = os.path.join(base_path, "manifest")
+    for list_name in (snap.get("baseManifestList"), snap.get("deltaManifestList")):
+        if not list_name:
+            continue
+        lp = os.path.join(mdir, list_name)
+        if not os.path.exists(lp):
+            report.add("PAI_MANIFEST_LIST_MISSING", latest, lp)
+            continue
+        report.checked_files += 1
+        try:
+            metas, _ = _read_avro_with_meta(spark, lp, [])
+        except Exception as exc:  # noqa: BLE001
+            report.add("PAI_MANIFEST_LIST_UNREADABLE", lp, str(exc))
+            continue
+        for m in metas:
+            m = {k: _unwrap(v) for k, v in m.items()}
+            mp = os.path.join(mdir, m.get("_FILE_NAME") or "")
+            if not os.path.exists(mp):
+                report.add("PAI_MANIFEST_MISSING", lp, mp)
+                continue
+            if m.get("_FILE_SIZE") is not None and os.path.getsize(mp) != m["_FILE_SIZE"]:
+                report.add(
+                    "PAI_MANIFEST_SIZE",
+                    mp,
+                    f"_FILE_SIZE {m['_FILE_SIZE']} != actual {os.path.getsize(mp)}",
+                )
+
+    from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
+
+    try:
+        src = PaimonConversionSource(spark, base_path)
+        sch = src._schema(snap.get("schemaId", 0))
+        for e in src._merged_live_entries(snap):
+            fp = src._entry_abs_path(e, sch)
+            report.checked_files += 1
+            if not os.path.exists(fp):
+                report.add("PAI_DATA_FILE_MISSING", latest, fp)
+            elif os.path.getsize(fp) != e["_FILE"]["_FILE_SIZE"]:
+                report.add(
+                    "PAI_DATA_FILE_SIZE",
+                    fp,
+                    f"_FILE_SIZE {e['_FILE']['_FILE_SIZE']} != actual {os.path.getsize(fp)}",
+                )
+    except Exception as exc:  # noqa: BLE001
+        report.add("PAI_ENTRIES_UNREADABLE", latest, str(exc))
+    return report
+
+
+# ---------------------------------------------------------------------------
 # Facade
 # ---------------------------------------------------------------------------
 
@@ -869,4 +989,6 @@ def check_conformance(spark: SparkSession, base_path: str, table_format: str) ->
         return check_iceberg_conformance(spark, base_path)
     if fmt == "HUDI":
         return check_hudi_conformance(base_path)
+    if fmt == "PAIMON":
+        return check_paimon_conformance(spark, base_path)
     raise ValueError(f"no conformance checker for format {table_format}")

@@ -37,7 +37,7 @@ class TableFormat(str, enum.Enum):
     ICEBERG = "ICEBERG"
     HUDI = "HUDI"
     PARQUET = "PARQUET"
-    PAIMON = "PAIMON"  # source-only, like the reference
+    PAIMON = "PAIMON"  # source AND target here (the reference is source-only)
 
 
 class SyncMode(str, enum.Enum):

@@ -151,6 +151,10 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
         from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
 
         return IcebergConversionTarget(spark, base, table_name=dataset.get("tableName"))
+    if fmt == TableFormat.PAIMON.value:
+        from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+
+        return PaimonConversionTarget(spark, base, table_name=dataset.get("tableName"))
     raise ValueError(f"unsupported target format: {fmt}")
 
 

@@ -928,9 +928,32 @@ def read_paimon_as_df(
     paths = [src._entry_abs_path(e, sch) for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)
-    # Paimon data files store the full row INCLUDING partition columns
-    # (the hive-style dirs are layout only) — a plain distributed scan
-    df = spark.read.schema(table.read_schema).parquet(*paths)
+    # Native Paimon data files store the full row INCLUDING partition
+    # columns (the hive-style dirs are layout only). EXTERNAL files from
+    # a conversion (paimon_target references them via _EXTERNAL_PATH) may
+    # lack them — probe one footer and re-attach manifest partition
+    # values when missing (same posture as the hudi read path).
+    import pyarrow.parquet as _pq
+
+    part_keys = sch.get("partitionKeys") or []
+    footer_cols = set(_pq.read_schema(paths[0]).names)
+    missing_parts = [k for k in part_keys if k not in footer_cols]
+    scan_fields = [f for f in table.read_schema.fields if f.name not in missing_parts]
+    df = spark.read.schema(T.StructType(scan_fields)).parquet(*paths)
+    if missing_parts:
+        keys, codecs, dtypes = src._partition_ctx(sch)
+        options = sch.get("options") or {}
+        pv_rows = []
+        for e, p in zip(entries, paths):
+            pv, _ = src._decode_partition(e["_PARTITION"], keys, codecs, dtypes, options)
+            pv_rows.append((p, pv or {}))
+        pv_df = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
+        df = df.withColumn(
+            "abs_path", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        ).join(F.broadcast(pv_df), "abs_path", "left")
+        for k in missing_parts:
+            df = df.withColumn(k, F.col("pv").getItem(k).cast(table.read_schema[k].dataType))
+        df = df.drop("abs_path", "pv")
     dv = src._view_dvs(snap, sch, set(paths))
     if dv:
         # deletion vectors apply row-level: decode positions executor-side

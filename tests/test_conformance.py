@@ -401,3 +401,52 @@ def test_hudi_detects_missing_table_property(table_copy):
     lines = [l for l in open(props) if not l.startswith("hoodie.table.version")]
     open(props, "w").writelines(lines)
     assert "HUDI_PROPERTY" in _codes(check_hudi_conformance(table_copy))
+
+
+# ---------------------------------------------------------------------------
+# Paimon (this engine WRITES the layout too, via targets/paimon_target.py)
+# ---------------------------------------------------------------------------
+
+
+def _own_paimon_table(spark, tmp_path):
+    from incubator_xtable_spark.model.conformance import check_paimon_conformance
+    from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+
+    base = str(tmp_path / "pai_own")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(base)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, base, name="region"),
+        {TableFormat.PAIMON: PaimonConversionTarget(spark, base, table_name="region")},
+    )
+    assert res[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS
+    return base, check_paimon_conformance
+
+
+def test_paimon_target_output_conforms(spark, tmp_path):
+    base, check = _own_paimon_table(spark, tmp_path)
+    report = check(spark, base)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
+    assert report.checked_files >= 3
+
+
+def test_paimon_detects_missing_data_file(spark, tmp_path):
+    base, check = _own_paimon_table(spark, tmp_path)
+    victim = [f for f in os.listdir(base) if f.endswith(".parquet")][0]
+    os.remove(os.path.join(base, victim))
+    assert "PAI_DATA_FILE_MISSING" in {i.code for i in check(spark, base).issues}
+
+
+def test_paimon_detects_latest_hint_lie(spark, tmp_path):
+    base, check = _own_paimon_table(spark, tmp_path)
+    with open(os.path.join(base, "snapshot", "LATEST"), "w") as fh:
+        fh.write("99")
+    assert "PAI_LATEST_HINT" in {i.code for i in check(spark, base).issues}
+
+
+def test_paimon_detects_schema_shape(spark, tmp_path):
+    base, check = _own_paimon_table(spark, tmp_path)
+    p = os.path.join(base, "schema", "schema-0")
+    sch = json.load(open(p))
+    del sch["partitionKeys"]
+    json.dump(sch, open(p, "w"))
+    assert "PAI_SCHEMA_FIELD" in {i.code for i in check(spark, base).issues}
