@@ -599,7 +599,14 @@ class PaimonConversionSource:
                 e["_PARTITION"], keys, codecs, dtypes, options
             )
             for r in e.get("_DELETION_VECTORS_RANGES") or []:
-                path = self._full_path(part_path, e["_BUCKET"], r["_FILE_NAME"])
+                # external-layout tables (paimon_target) record the full
+                # path; bucket-layout tables record the bare file name
+                name = r["_FILE_NAME"]
+                path = (
+                    name
+                    if "/" in name
+                    else self._full_path(part_path, e["_BUCKET"], name)
+                )
                 out[path] = {
                     "index_file": e["_FILE_NAME"],
                     "offset": int(r["_OFFSET"]),

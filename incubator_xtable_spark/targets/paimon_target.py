@@ -135,7 +135,11 @@ def _stat_typed_value(v: Any, codec: PaimonFieldType) -> Any:
 class PaimonConversionTarget:
     """ConversionTarget writing the Paimon FileStore layout."""
 
-    supports_row_deletes = False  # DV index WRITES are not implemented
+    # row-delete channel entries become deletion-vectors index files
+    # (sources/paimon_dv.py V1 codec) listed in the snapshot's
+    # indexManifest — deletes round-trip metadata-only through all four
+    # formats (Delta DVs <-> Iceberg position deletes <-> Paimon DVs)
+    supports_row_deletes = True
 
     def __init__(self, spark: SparkSession, base_path: str, table_name: Optional[str] = None) -> None:
         self.spark = spark
@@ -152,6 +156,7 @@ class PaimonConversionTarget:
         self._adds: Optional[DataFrame] = None
         self._removes: Optional[DataFrame] = None
         self._snapshot_sync = False
+        self._row_deletes: Optional[DataFrame] = None
 
     # -- dirs / current state ----------------------------------------------
 
@@ -242,6 +247,72 @@ class PaimonConversionTarget:
             F.col("physical_path").alias("path"),
             F.col("partition_values"),
         )
+
+    def sync_row_deletes(self, deletes: DataFrame) -> None:
+        """Row-delete channel (ROW_DELETES_SCHEMA): the COMPLETE delete
+        state — each covered data file gets a deletion vector in a V1
+        index file; the snapshot's indexManifest restates the full set
+        (an empty restatement clears all DVs)."""
+        self._row_deletes = deletes
+
+    def _write_dv_index(self, schema_id: int) -> Optional[str]:
+        """row_deletes rows -> DV index file(s) per partition group + one
+        full-state index manifest. Returns the manifest name or None."""
+        from incubator_xtable_spark.model.core import drain_rows
+        from incubator_xtable_spark.sources.paimon_dv import (
+            DELETION_VECTORS_INDEX,
+            write_dv_index_file,
+        )
+        from incubator_xtable_spark.sources.paimon_source import (
+            INDEX_MANIFEST_AVRO_SCHEMA,
+        )
+
+        rows = list(drain_rows(self._row_deletes))
+        if not rows:
+            return None
+        import pyarrow.parquet as pq
+
+        groups: dict[tuple, tuple[Optional[dict], dict]] = {}
+        for r in rows:
+            pv = dict(r["partition_values"]) if r["partition_values"] else None
+            key = tuple(sorted((pv or {}).items()))
+            _, dvs = groups.setdefault(key, (pv, {}))
+            positions = pq.read_table(r["positions_path"], columns=["pos"])["pos"].to_pylist()
+            # external layout: record the FULL data path as the DV's file
+            # name so readers resolve it without the bucket convention
+            dvs[r["data_file_path"]] = positions
+        entries = []
+        for _key, (pv, dvs) in sorted(groups.items()):
+            name, size, metas = write_dv_index_file(self.base_path, dvs)
+            entries.append(
+                {
+                    "_VERSION": 1,
+                    "_KIND": 0,
+                    "_PARTITION": self._partition_blob(pv),
+                    "_BUCKET": 0,
+                    "_INDEX_TYPE": DELETION_VECTORS_INDEX,
+                    "_FILE_NAME": name,
+                    "_FILE_SIZE": size,
+                    "_ROW_COUNT": sum(m["cardinality"] for m in metas.values()),
+                    "_DELETION_VECTORS_RANGES": [
+                        {
+                            "_FILE_NAME": f,
+                            "_OFFSET": m["offset"],
+                            "_LENGTH": m["length"],
+                            "_CARDINALITY": m["cardinality"],
+                        }
+                        for f, m in metas.items()
+                    ],
+                }
+            )
+        manifest_name = f"index-manifest-{uuid.uuid4().hex}-0"
+        self.avro.write_records(
+            os.path.join(self._dir("manifest"), manifest_name),
+            INDEX_MANIFEST_AVRO_SCHEMA,
+            entries,
+            {},
+        )
+        return manifest_name
 
     def _current_live_paths_df(self) -> Optional[DataFrame]:
         snap = self._latest_snapshot()
@@ -524,6 +595,12 @@ class PaimonConversionTarget:
         delta_rows = sum(
             e["_FILE"]["_ROW_COUNT"] for e in entries if e["_KIND"] == 0
         )
+        # deletion vectors: a row-delete restatement (even empty) replaces
+        # the index; a sync WITHOUT the channel carries the prior index
+        if self._row_deletes is not None:
+            index_manifest = self._write_dv_index(schema_id)
+        else:
+            index_manifest = prev.get("indexManifest") if prev else None
         snapshot = {
             "version": 3,
             "id": new_id,
@@ -531,7 +608,7 @@ class PaimonConversionTarget:
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
             "changelogManifestList": None,
-            "indexManifest": None,
+            "indexManifest": index_manifest,
             "commitUser": "xtable-spark",
             "commitIdentifier": new_id,
             "commitKind": "OVERWRITE" if n_removed else "APPEND",

@@ -228,3 +228,69 @@ def test_paimon_to_paimon_roundtrip_via_delta(spark, tmp_path):
         for r in read_paimon_as_df(spark, out).select("id", "name", "level").collect()
     )
     assert a == b and len(a) == 8
+
+
+# ---------------------------------------------------------------------------
+# Row-delete channel INTO Paimon (DV index writes)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_dv_to_paimon_dv_metadata_only(spark, tmp_path):
+    """Delta deletion vectors convert to Paimon deletion-vector index
+    files — zero data rewrite, row parity through both readers."""
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+
+    from .test_row_delete_conversion import _base_table, _dv_commit
+
+    base, s1, _ = _base_table(tmp_path)
+    _dv_commit(base, 1, s1, [2, 3, 7])
+
+    out = str(tmp_path / "paimon_out")
+    os.makedirs(out)
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, base, expose_row_deletes=True),
+        {TableFormat.PAIMON: PaimonConversionTarget(spark, out, table_name="dvt")},
+    )
+    assert res[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS, res[TableFormat.PAIMON].error
+
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(out, "index", "index-*"))
+    assert not _glob.glob(os.path.join(base, "*.purged-*"))
+    expected = sorted(i for i in range(20) if i not in (2, 3, 7))
+    via_delta = sorted(r["id"] for r in read_delta_as_df(spark, base).collect())
+    via_paimon = sorted(r["id"] for r in read_paimon_as_df(spark, out).collect())
+    assert via_delta == via_paimon == expected
+
+    # widen the DV -> incremental restatement in Paimon
+    _dv_commit(base, 2, s1, [1, 2, 3, 7, 9])
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, base, expose_row_deletes=True),
+        {TableFormat.PAIMON: PaimonConversionTarget(spark, out, table_name="dvt")},
+    )
+    assert res[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS, res[TableFormat.PAIMON].error
+    assert res[TableFormat.PAIMON].mode == SyncMode.INCREMENTAL
+    expected = sorted(i for i in range(20) if i not in (1, 2, 3, 7, 9))
+    assert sorted(r["id"] for r in read_paimon_as_df(spark, out).collect()) == expected
+
+
+def test_paimon_dv_roundtrip_paimon_to_paimon(spark, tmp_path):
+    """Paimon DV source -> Paimon target lands an equivalent DV index."""
+    from .paimon_testtable import PaimonTestTable
+
+    FIELDS = [("id", "INT NOT NULL"), ("name", "STRING"), ("level", "STRING NOT NULL")]
+    t = PaimonTestTable(spark, str(tmp_path / "pin"), FIELDS, partition_keys=["level"]).create()
+    _, entries = t.append([{"id": i, "name": f"n{i}", "level": "INFO"} for i in range(10)])
+    fname = entries[0]["_FILE"]["_FILE_NAME"]
+    t.set_deletion_vectors([({"level": "INFO"}, 0, {fname: [1, 4]})])
+
+    out = str(tmp_path / "pout")
+    os.makedirs(out)
+    res = ConversionController().sync(
+        PaimonConversionSource(spark, t.base, name="pin", expose_row_deletes=True),
+        {TableFormat.PAIMON: PaimonConversionTarget(spark, out, table_name="pout")},
+    )
+    assert res[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS, res[TableFormat.PAIMON].error
+    a = sorted(r["id"] for r in read_paimon_as_df(spark, t.base).collect())
+    b = sorted(r["id"] for r in read_paimon_as_df(spark, out).collect())
+    assert a == b == [0, 2, 3, 5, 6, 7, 8, 9]
