@@ -102,6 +102,15 @@ def validate_target(
             snap = src.get_current_snapshot()
             abs_paths = [r["physical_path"] for r in snap.files.select("physical_path").collect()]
             reader = read_iceberg_as_df
+        elif table_format == "PAIMON":
+            from incubator_xtable_spark.sources.paimon_source import (
+                PaimonConversionSource,
+                read_paimon_as_df,
+            )
+
+            snap = PaimonConversionSource(spark, base_path).get_current_snapshot()
+            abs_paths = [r["physical_path"] for r in snap.files.select("physical_path").collect()]
+            reader = read_paimon_as_df
         else:
             raise ValueError(f"unsupported format {table_format}")
         report.results.append(ValidationResult(ValidationCheckType.METADATA_READABLE, True))

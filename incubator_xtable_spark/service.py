@@ -26,6 +26,7 @@ def _target_metadata_path(fmt: TableFormat, base_path: str) -> str:
         TableFormat.DELTA: f"{base}/_delta_log",
         TableFormat.ICEBERG: f"{base}/metadata",
         TableFormat.HUDI: f"{base}/.hoodie",
+        TableFormat.PAIMON: f"{base}/snapshot",
     }.get(fmt, base)
 
 

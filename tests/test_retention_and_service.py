@@ -116,11 +116,11 @@ def test_conversion_service_contract(spark, tmp_path):
             "source-format": "PARQUET",
             "source-table-name": "nation_svc",
             "source-table-path": d,
-            "target-formats": ["DELTA", "HUDI", "ICEBERG"],
+            "target-formats": ["DELTA", "HUDI", "ICEBERG", "PAIMON"],
         }
     )
     tables = resp["convertedTables"]
-    assert [e["target-format"] for e in tables] == ["DELTA", "HUDI", "ICEBERG"]
+    assert [e["target-format"] for e in tables] == ["DELTA", "HUDI", "ICEBERG", "PAIMON"]
     for e in tables:
         assert e["sync-status"] == "SUCCESS", e
         assert e["target-schema"].startswith("struct<n_nationkey")
@@ -176,11 +176,12 @@ def test_validate_target_all_formats(spark, tmp_path):
         {
             "source-format": "PARQUET",
             "source-table-path": d,
-            "target-formats": ["DELTA", "HUDI", "ICEBERG"],
+            "target-formats": ["DELTA", "HUDI", "ICEBERG", "PAIMON"],
         }
     )
-    for fmt in ("DELTA", "HUDI", "ICEBERG"):
-        report = validate_target(spark, d, fmt, expected_rows=5)
+    for fmt in ("DELTA", "HUDI", "ICEBERG", "PAIMON"):
+        # conformance=True also runs the spec-conformance layer per format
+        report = validate_target(spark, d, fmt, expected_rows=5, conformance=True)
         assert report.passed, (fmt, [r for r in report.results if not r.passed])
     # negative: wrong expectation fails the row-count check only
     bad = validate_target(spark, d, "DELTA", expected_rows=999)
