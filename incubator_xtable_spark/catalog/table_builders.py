@@ -189,6 +189,33 @@ class HudiCatalogTableBuilder:
         return req
 
 
+class PaimonCatalogTableBuilder:
+    """Paimon HMS registration shape: the table registers through the
+    Paimon storage handler with the warehouse path in serde params (the
+    public paimon-hive catalog convention)."""
+
+    STORAGE_HANDLER = "org.apache.paimon.hive.PaimonStorageHandler"
+
+    def get_create_table_request(self, table: InternalTable, ident) -> dict:
+        req = _base_request(table, ident, hive_columns(table.read_schema))
+        sd = req["storage_descriptor"]
+        sd["serde_lib"] = None
+        sd["serde_parameters"] = {"path": table.base_path}
+        req["parameters"].update(
+            {
+                TABLE_TYPE_PROP: "PAIMON",
+                STORAGE_HANDLER_PROP: self.STORAGE_HANDLER,
+                SPARK_PROVIDER_PROP: "paimon",
+            }
+        )
+        return req
+
+    def get_update_table_request(self, table: InternalTable, catalog_table: dict, ident) -> dict:
+        req = json.loads(json.dumps(catalog_table))
+        req["storage_descriptor"]["columns"] = hive_columns(table.read_schema)
+        return req
+
+
 def builder_for_format(table_format: str):
     from incubator_xtable_spark.model.core import TableFormat
 
@@ -196,4 +223,5 @@ def builder_for_format(table_format: str):
         TableFormat.ICEBERG: IcebergCatalogTableBuilder,
         TableFormat.DELTA: DeltaCatalogTableBuilder,
         TableFormat.HUDI: HudiCatalogTableBuilder,
+        TableFormat.PAIMON: PaimonCatalogTableBuilder,
     }[table_format]()

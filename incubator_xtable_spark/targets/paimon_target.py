@@ -638,6 +638,12 @@ class PaimonConversionTarget:
                 fh.write(str(new_id))
         return new_id
 
+    def get_target_commit_identifier(self) -> Optional[str]:
+        """ConversionTarget.getTargetCommitIdentifier: the snapshot id of
+        the last commit this target object completed."""
+        snap = self._latest_snapshot()
+        return str(snap["id"]) if snap else None
+
     # -- bookmark ----------------------------------------------------------
 
     def get_table_metadata(self) -> Optional[TableSyncMetadata]:

@@ -363,3 +363,19 @@ def test_partition_sync_detects_adds_and_drops(spark, partitioned_source):
 def test_partition_values_helpers():
     assert partition_values_in_path("region=eu/day=2024-01-01") == ["eu", "2024-01-01"]
     assert partition_values_in_path("") == []
+
+
+def test_paimon_builder_request():
+    from incubator_xtable_spark.catalog.table_builders import (
+        PaimonCatalogTableBuilder,
+        builder_for_format,
+    )
+
+    req = PaimonCatalogTableBuilder().get_create_table_request(
+        make_table(TableFormat.PAIMON), IDENT
+    )
+    assert req["parameters"]["table_type"] == "PAIMON"
+    assert req["parameters"]["spark.sql.sources.provider"] == "paimon"
+    assert "Paimon" in req["parameters"]["storage_handler"]
+    assert req["storage_descriptor"]["serde_parameters"]["path"] == "/data/orders"
+    assert isinstance(builder_for_format(TableFormat.PAIMON), PaimonCatalogTableBuilder)
