@@ -218,3 +218,34 @@ def hudi_archive_timeline(base_path: str, keep_last: int = 10) -> list[str]:
             if os.path.exists(p):
                 os.unlink(p)
     return [i for i, _ in to_archive]
+
+
+# ---------------------------------------------------------------------------
+# Paimon
+# ---------------------------------------------------------------------------
+
+
+def paimon_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
+    """Paimon snapshot expiration (CoreOptions snapshot.num-retained.*
+    behavior): delete snapshot-N files older than the newest ``keep_last``
+    and advance the EARLIEST hint. Head reads are unaffected (the
+    retained snapshots' base lists still cover full state); expired ids
+    become unreachable, which the source's incremental-safety check
+    (earliest > target) detects, forcing a FULL re-sync — the same
+    contract as Iceberg expiration here."""
+    snap_dir = os.path.join(base_path, "snapshot")
+    if not os.path.isdir(snap_dir):
+        return []
+    ids = sorted(
+        int(n[len("snapshot-") :])
+        for n in os.listdir(snap_dir)
+        if n.startswith("snapshot-") and n[len("snapshot-") :].isdigit()
+    )
+    if len(ids) <= keep_last:
+        return []
+    expired = ids[:-keep_last]
+    for sid in expired:
+        os.unlink(os.path.join(snap_dir, f"snapshot-{sid}"))
+    with open(os.path.join(snap_dir, "EARLIEST"), "w", encoding="utf-8") as fh:
+        fh.write(str(ids[-keep_last]))
+    return expired

@@ -188,3 +188,38 @@ def test_validate_target_all_formats(spark, tmp_path):
     assert not bad.passed
     failed = [r.check.value for r in bad.results if not r.passed]
     assert failed == ["ROW_COUNT_MATCH"]
+
+
+def test_paimon_expire_snapshots(spark, tmp_path):
+    """Expiration keeps head reads intact and flips incremental safety
+    below the retained window (the contract the controller's
+    full-sync fallback relies on)."""
+    from incubator_xtable_spark.sources.paimon_source import (
+        PaimonConversionSource,
+        read_paimon_as_df,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.retention import paimon_expire_snapshots
+    from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+
+    d = str(tmp_path / "pexp")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").coalesce(1).write.parquet(d)
+    source = ParquetConversionSource(spark, d, name="nation")
+    target = PaimonConversionTarget(spark, d, table_name="nation")
+    ctrl = ConversionController()
+    ctrl.sync(source, {TableFormat.PAIMON: target})
+    base_df = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    for i in range(2):
+        base_df.withColumn("n_nationkey", F.col("n_nationkey") + 100 * (i + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        ctrl.sync(source, {TableFormat.PAIMON: target})
+
+    src = PaimonConversionSource(spark, d)
+    assert src.latest_snapshot_id() == 3
+    assert src.is_incremental_sync_safe_from("1")
+    expired = paimon_expire_snapshots(d, keep_last=1)
+    assert expired == [1, 2]
+    assert read_paimon_as_df(spark, d).count() == 75  # head intact
+    assert not src.is_incremental_sync_safe_from("1")  # window gone
+    assert src.is_incremental_sync_safe_from("3")
