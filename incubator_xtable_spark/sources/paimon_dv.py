@@ -50,8 +50,10 @@ DELETION_VECTORS_INDEX = "DELETION_VECTORS"
 
 
 def serialize_paimon_dv(positions: Iterable[int]) -> bytes:
-    """One DV's data section: BE magic + 32-bit portable roaring bitmap."""
-    values = np.asarray(sorted(set(int(p) for p in positions)), dtype=np.uint32)
+    """One DV's data section: BE magic + 32-bit portable roaring bitmap.
+    Vectorized (np.unique, no python-int loop): a multi-million-row
+    delete set serializes in milliseconds, not seconds."""
+    values = np.unique(np.asarray(list(positions) if not isinstance(positions, np.ndarray) else positions, dtype=np.uint32))
     return struct.pack(">i", PAIMON_DV_MAGIC) + _serialize_bitmap32(values)
 
 
@@ -75,11 +77,17 @@ def write_dv_index_file(
     metas: dict[str, dict] = {}
     buf = bytearray([PAIMON_DV_VERSION])
     for data_file, positions in dvs.items():
-        data = serialize_paimon_dv(positions)
+        values = np.unique(
+            np.asarray(
+                positions if isinstance(positions, np.ndarray) else list(positions),
+                dtype=np.uint32,
+            )
+        )
+        data = serialize_paimon_dv(values)
         metas[data_file] = {
             "offset": len(buf),
             "length": len(data),
-            "cardinality": len(set(int(p) for p in positions)),
+            "cardinality": int(len(values)),
         }
         buf += struct.pack(">i", len(data))
         buf += data

@@ -277,7 +277,12 @@ class PaimonConversionTarget:
             pv = dict(r["partition_values"]) if r["partition_values"] else None
             key = tuple(sorted((pv or {}).items()))
             _, dvs = groups.setdefault(key, (pv, {}))
-            positions = pq.read_table(r["positions_path"], columns=["pos"])["pos"].to_pylist()
+            # numpy end-to-end: no python-int materialization of what can
+            # be a multi-million-position delete set
+            positions = (
+                pq.read_table(r["positions_path"], columns=["pos"])["pos"]
+                .to_numpy(zero_copy_only=False)
+            )
             # external layout: record the FULL data path as the DV's file
             # name so readers resolve it without the bucket convention
             dvs[r["data_file_path"]] = positions
