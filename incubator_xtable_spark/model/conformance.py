@@ -554,8 +554,8 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
     ):
         if req not in meta:
             report.add("ICE_METADATA_FIELD", latest, f"{req} required in v2 metadata")
-    if meta.get("format-version") != 2:
-        report.add("ICE_FORMAT_VERSION", latest, f"format-version must be 2, got {meta.get('format-version')}")
+    if meta.get("format-version") not in (2, 3):
+        report.add("ICE_FORMAT_VERSION", latest, f"format-version must be 2 or 3, got {meta.get('format-version')}")
 
     # schema: unique ids, current-schema-id resolvable, last-column-id bound
     schemas = {s.get("schema-id"): s for s in meta.get("schemas", [])}
@@ -705,7 +705,7 @@ def _check_iceberg_manifest_file(
     for key in ("schema", "partition-spec", "format-version"):
         if key not in meta:
             report.add("ICE_MANIFEST_META", path, f"avro key-value metadata {key!r} required")
-    if meta.get("format-version") not in (None, "2"):
+    if meta.get("format-version") not in (None, "2", "3"):
         report.add("ICE_MANIFEST_FORMAT_VERSION", path, f"format-version {meta.get('format-version')}")
     expected_content = "deletes" if list_content == 1 else "data"
     if meta.get("content") not in (None, expected_content):

@@ -458,10 +458,13 @@ def _kv_map_field(name: str, map_field_id: int, key_id: int, value_id: int, valu
     }
 
 
-def manifest_entry_schema(partition_cols: list) -> str:
+def manifest_entry_schema(partition_cols: list, format_version: int = 2) -> str:
     """partition_cols: names (string-typed identity values) or
     (name, avro_type) pairs — time/bucket transforms store spec-native
-    ints (year/month/day/hour since epoch, bucket ordinal)."""
+    ints (year/month/day/hour since epoch, bucket ordinal).
+    format_version=3 adds the deletion-vector reference fields
+    (referenced_data_file 143, content_offset 144,
+    content_size_in_bytes 145)."""
     partition_fields = [
         {
             "name": c if isinstance(c, str) else c[0],
@@ -501,7 +504,31 @@ def manifest_entry_schema(partition_cols: list) -> str:
                             _kv_map_field("null_value_counts", 110, 121, 122, "long"),
                             _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
                             _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
-                        ],
+                        ]
+                        + (
+                            [
+                                {
+                                    "name": "referenced_data_file",
+                                    "type": ["null", "string"],
+                                    "default": None,
+                                    "field-id": 143,
+                                },
+                                {
+                                    "name": "content_offset",
+                                    "type": ["null", "long"],
+                                    "default": None,
+                                    "field-id": 144,
+                                },
+                                {
+                                    "name": "content_size_in_bytes",
+                                    "type": ["null", "long"],
+                                    "default": None,
+                                    "field-id": 145,
+                                },
+                            ]
+                            if format_version >= 3
+                            else []
+                        ),
                     },
                 },
             ],
@@ -540,10 +567,22 @@ def read_table_metadata(base_path: str, version: Optional[int] = None) -> Option
 class IcebergConversionTarget:
     """ConversionTarget writing the Iceberg v2 HadoopTables protocol."""
 
-    def __init__(self, spark: SparkSession, base_path: str, table_name: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        table_name: Optional[str] = None,
+        format_version: int = 2,
+    ) -> None:
+        if format_version not in (2, 3):
+            raise ValueError(f"unsupported Iceberg format version {format_version}")
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_name = table_name
+        # v3 expresses row-level deletes as puffin deletion vectors
+        # (deletion-vector-v1 blobs, the Delta-compatible frame) instead
+        # of v2 position-delete parquets
+        self.format_version = format_version
         self.avro = AvroIO(spark)
         self._reset()
 
@@ -686,8 +725,13 @@ class IcebergConversionTarget:
 
         if self._row_deletes is None:
             return []
+        rows = list(drain_rows(self._row_deletes))
+        if not rows:
+            return []
+        if self.format_version >= 3:
+            return self._new_dv_entries(rows, snapshot_id, seq)
         out = []
-        for row in drain_rows(self._row_deletes):
+        for row in rows:
             pv = dict(row["partition_values"] or {})
             out.append(
                 {
@@ -706,6 +750,66 @@ class IcebergConversionTarget:
                             if os.path.exists(row["positions_path"])
                             else 0
                         ),
+                    },
+                }
+            )
+        return out
+
+    def _new_dv_entries(self, rows: list, snapshot_id: int, seq: int) -> list[dict]:
+        """v3 deletion vectors: one puffin file for this commit's complete
+        delete state, one deletion-vector-v1 blob per covered data file,
+        one content=1 manifest entry per blob referencing it via
+        (referenced_data_file, content_offset, content_size_in_bytes)."""
+        import pyarrow.parquet as pq
+
+        from incubator_xtable_spark.model.puffin import (
+            DELETION_VECTOR_V1,
+            dv_blob_bytes,
+            write_puffin,
+        )
+
+        blobs = []
+        for row in rows:
+            positions = (
+                pq.read_table(row["positions_path"], columns=["pos"])["pos"]
+                .to_numpy(zero_copy_only=False)
+            )
+            blobs.append(
+                (
+                    DELETION_VECTOR_V1,
+                    dv_blob_bytes(positions),
+                    {
+                        "referenced-data-file": row["data_file_path"],
+                        "cardinality": int(row["delete_count"] or len(positions)),
+                    },
+                )
+            )
+        puffin_path = os.path.join(
+            metadata_dir(self.base_path), f"{uuid.uuid4().hex}-deletes.puffin"
+        )
+        metas = write_puffin(
+            puffin_path, blobs, snapshot_id=snapshot_id, sequence_number=seq
+        )
+        puffin_size = os.path.getsize(puffin_path)
+        out = []
+        for row, meta in zip(rows, metas):
+            pv = dict(row["partition_values"] or {})
+            out.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": puffin_path,
+                        "file_format": "PUFFIN",
+                        "partition": self._iceberg_partition(pv),
+                        "record_count": row["delete_count"] or 0,
+                        "file_size_in_bytes": puffin_size,
+                        "referenced_data_file": row["data_file_path"],
+                        "content_offset": meta["offset"],
+                        "content_size_in_bytes": meta["length"],
                     },
                 }
             )
@@ -822,7 +926,7 @@ class IcebergConversionTarget:
         self, entries: list[dict], snapshot_id: int, seq: int, content: int = 0
     ) -> tuple[str, int]:
         path = os.path.join(metadata_dir(self.base_path), f"{uuid.uuid4().hex}-m0.avro")
-        schema_json = manifest_entry_schema(self._typed_partition_cols())
+        schema_json = manifest_entry_schema(self._typed_partition_cols(), self.format_version)
         length = self.avro.write_records(
             path,
             schema_json,
@@ -831,7 +935,7 @@ class IcebergConversionTarget:
                 "schema": json.dumps(self._iceberg_schema_json()),
                 "partition-spec": json.dumps(self._partition_spec_json()["fields"]),
                 "partition-spec-id": "0",
-                "format-version": "2",
+                "format-version": str(self.format_version),
                 "content": "deletes" if content == 1 else "data",
             },
         )
@@ -898,7 +1002,10 @@ class IcebergConversionTarget:
             metadata_dir(self.base_path), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         )
         self.avro.write_records(
-            path, MANIFEST_LIST_SCHEMA, manifest_records, {"format-version": "2"}
+            path,
+            MANIFEST_LIST_SCHEMA,
+            manifest_records,
+            {"format-version": str(self.format_version)},
         )
         return path
 
@@ -953,7 +1060,7 @@ class IcebergConversionTarget:
         if snapshot["parent-snapshot-id"] is None:
             snapshot.pop("parent-snapshot-id")
         meta = {
-            "format-version": 2,
+            "format-version": self.format_version,
             "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
             "location": self.base_path,
             "last-sequence-number": seq,
