@@ -150,7 +150,13 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
 
-        return IcebergConversionTarget(spark, base, table_name=dataset.get("tableName"))
+        return IcebergConversionTarget(
+            spark,
+            base,
+            table_name=dataset.get("tableName"),
+            # v3 writes row deletes as puffin deletion vectors
+            format_version=int(dataset.get("icebergFormatVersion", 2)),
+        )
     if fmt == TableFormat.PAIMON.value:
         from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
 

@@ -94,13 +94,21 @@ class DeltaConversionTarget:
     syncFilesForSnapshot | syncFilesForDiff -> completeSync."""
 
     def __init__(
-        self, spark: SparkSession, base_path: str, checkpoint_interval: int = 10
+        self,
+        spark: SparkSession,
+        base_path: str,
+        checkpoint_interval: int = 10,
+        compaction_interval: int = 0,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         # spec checkpoints every N commits (delta's own default is 10);
         # 0 disables
         self.checkpoint_interval = checkpoint_interval
+        # minor log compaction every N commits (<s>.<e>.compacted.json,
+        # see sync/retention.delta_compact_log): keeps JSON-tail listing
+        # bounded between checkpoints on commit-heavy tables; 0 disables
+        self.compaction_interval = compaction_interval
         self._reset()
 
     # Delta can express row-level deletes natively (deletion vectors);
@@ -473,6 +481,16 @@ class DeltaConversionTarget:
             from incubator_xtable_spark.sources.delta_source import write_checkpoint
 
             write_checkpoint(self.spark, self.base_path, version)
+        if (
+            self.compaction_interval
+            and version > 0
+            and (version + 1) % self.compaction_interval == 0
+        ):
+            from incubator_xtable_spark.sync.retention import delta_compact_log
+
+            delta_compact_log(
+                self.base_path, version - self.compaction_interval + 1, version
+            )
         return version
 
     # -- helpers -----------------------------------------------------------

@@ -269,3 +269,33 @@ def test_time_travel_below_compaction_end_uses_commits(spark, tmp_path):
     at_v2 = sorted(tuple(r) for r in read_delta_as_df(spark, base, version=2).collect())
     delta_compact_log(base, 1, 4)
     assert sorted(tuple(r) for r in read_delta_as_df(spark, base, version=2).collect()) == at_v2
+
+
+def test_target_auto_compaction(spark, tmp_path):
+    """compaction_interval=3: the target writes <s>.<e>.compacted.json
+    every 3 commits and reads survive pruning the covered commit files."""
+    base = str(tmp_path / "autocompact")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(base)
+    source = ParquetConversionSource(spark, base, name="region")
+    target = DeltaConversionTarget(
+        spark, base, checkpoint_interval=0, compaction_interval=3
+    )
+    ctrl = ConversionController()
+    ctrl.sync(source, {TableFormat.DELTA: target})
+    src_df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    for i in range(5):  # versions 1..5; compactions at v2 ([0,2]) and v5 ([3,5])
+        src_df.withColumn("r_regionkey", F.col("r_regionkey") + 100 * (i + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(base)
+        ctrl.sync(source, {TableFormat.DELTA: target})
+
+    log = os.path.join(base, "_delta_log")
+    compacted = sorted(glob.glob(os.path.join(log, "*.compacted.json")))
+    assert [os.path.basename(p) for p in compacted] == [
+        f"{0:020d}.{2:020d}.compacted.json",
+        f"{3:020d}.{5:020d}.compacted.json",
+    ]
+    expected = _rows(spark, base)
+    for v in range(6):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(spark, base) == expected and len(expected) == 30
