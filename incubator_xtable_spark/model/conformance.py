@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # Result model
@@ -304,7 +305,7 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 "deletionVector present but deletionVectors not in reader+writer features",
             )
 
-    _check_delta_checkpoint(spark, log_dir, report)
+    _check_delta_checkpoint(spark, log_dir, report, protocol_seen)
     return report
 
 
@@ -461,7 +462,12 @@ def _check_delta_dv_descriptor(
             report.add("DELTA_DV_FILE_MISSING", where, dv["pathOrInlineDv"])
 
 
-def _check_delta_checkpoint(spark: SparkSession, log_dir: str, report: ConformanceReport) -> None:
+def _check_delta_checkpoint(
+    spark: SparkSession,
+    log_dir: str,
+    report: ConformanceReport,
+    protocol_seen: Optional[dict] = None,
+) -> None:
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
         return
@@ -487,6 +493,11 @@ def _check_delta_checkpoint(spark: SparkSession, log_dir: str, report: Conforman
     if not candidates:
         report.add("DELTA_CHECKPOINT_MISSING", lc, f"no checkpoint parquet for version {v}")
         return
+    # v2 layout = UUID-named single-token suffix (<v>.checkpoint.<uuid>.parquet);
+    # v1 multi-part has two numeric tokens (<v>.checkpoint.<i>.<n>.parquet)
+    is_v2 = candidates != [classic] and all(
+        len(os.path.basename(p).split(".")) == 4 for p in candidates
+    )
     try:
         # action-count equality is only defined for the classic
         # single-file layout; multi-part/v2 layouts spread actions across
@@ -499,10 +510,83 @@ def _check_delta_checkpoint(spark: SparkSession, log_dir: str, report: Conforman
                     classic,
                     f"checkpoint rows {n} != _last_checkpoint.size {meta['size']}",
                 )
+        elif is_v2:
+            _check_delta_v2_checkpoint(spark, log_dir, candidates, v, protocol_seen, report)
         else:
             spark.read.parquet(*candidates).count()  # readability check
     except Exception as exc:  # noqa: BLE001
         report.add("DELTA_CHECKPOINT_UNREADABLE", candidates[0], str(exc))
+
+
+def _check_delta_v2_checkpoint(
+    spark: SparkSession,
+    log_dir: str,
+    candidates: list,
+    version: int,
+    protocol_seen: Optional[dict],
+    report: ConformanceReport,
+) -> None:
+    """V2 checkpoint invariants (PROTOCOL.md V2 Checkpoints): the
+    top-level file carries exactly one checkpointMetadata action whose
+    version matches the file name; every referenced sidecar parquet
+    exists under _delta_log/_sidecars/; and the table protocol must
+    declare the v2Checkpoint reader+writer feature."""
+    # writer retries may leave several complete UUID candidates; each one
+    # must independently satisfy the invariants, so check the one a
+    # reader would pick (lexicographically last, same as our source)
+    top = sorted(candidates)[-1]
+    report.checked_files += 1
+    probe = T.StructType(
+        [
+            T.StructField(
+                "checkpointMetadata",
+                T.StructType([T.StructField("version", T.LongType())]),
+            ),
+            T.StructField(
+                "sidecar",
+                T.StructType(
+                    [T.StructField("path", T.StringType()), T.StructField("sizeInBytes", T.LongType())]
+                ),
+            ),
+        ]
+    )
+    rows = spark.read.schema(probe).parquet(top).collect()
+    cpm = [r["checkpointMetadata"] for r in rows if r["checkpointMetadata"] is not None]
+    if len(cpm) != 1:
+        report.add(
+            "DELTA_V2_CHECKPOINT_METADATA",
+            top,
+            f"expected exactly one checkpointMetadata action, found {len(cpm)}",
+        )
+    elif cpm[0]["version"] != version:
+        report.add(
+            "DELTA_V2_CHECKPOINT_VERSION",
+            top,
+            f"checkpointMetadata.version {cpm[0]['version']} != file version {version}",
+        )
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    for r in rows:
+        sc = r["sidecar"]
+        if sc is None or sc["path"] is None:
+            continue
+        p = sc["path"] if sc["path"].startswith("/") else os.path.join(sidecar_dir, sc["path"])
+        if not os.path.exists(p):
+            report.add("DELTA_V2_SIDECAR_MISSING", top, f"sidecar {sc['path']} not found")
+        elif sc["sizeInBytes"] is not None and os.path.getsize(p) != sc["sizeInBytes"]:
+            report.add(
+                "DELTA_V2_SIDECAR_SIZE",
+                p,
+                f"sizeInBytes {sc['sizeInBytes']} != actual {os.path.getsize(p)}",
+            )
+    if protocol_seen is not None:
+        rf = set(protocol_seen.get("readerFeatures") or [])
+        wf = set(protocol_seen.get("writerFeatures") or [])
+        if "v2Checkpoint" not in rf or "v2Checkpoint" not in wf:
+            report.add(
+                "DELTA_V2_FEATURE_MISSING",
+                log_dir,
+                "v2 checkpoint present but v2Checkpoint not in reader+writer features",
+            )
 
 
 # ---------------------------------------------------------------------------

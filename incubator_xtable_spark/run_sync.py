@@ -142,7 +142,12 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
 def build_target(spark, fmt: str, dataset: dict[str, Any]):
     base = dataset.get("tableDataPath", dataset["tableBasePath"])
     if fmt == TableFormat.DELTA.value:
-        return DeltaConversionTarget(spark, base)
+        return DeltaConversionTarget(
+            spark,
+            base,
+            # "v2" -> UUID+sidecar checkpoints (v2Checkpoint table feature)
+            checkpoint_layout=dataset.get("deltaCheckpointLayout", "classic"),
+        )
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
 

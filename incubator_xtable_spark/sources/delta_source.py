@@ -283,11 +283,24 @@ def read_log_actions(
     return cp_df.unionByName(tail_df) if cp_df is not None else tail_df
 
 
-def write_checkpoint(spark: SparkSession, base_path: str, version: int) -> None:
-    """Write a spec checkpoint at ``version``: one parquet file holding the
-    reconstructed state (latest protocol + metaData + live add actions) and
-    the `_last_checkpoint` pointer. Readers then scan one columnar file
-    plus post-checkpoint JSON commits instead of the whole log."""
+def write_checkpoint(
+    spark: SparkSession, base_path: str, version: int, layout: str = "classic"
+) -> None:
+    """Write a spec checkpoint at ``version`` plus the `_last_checkpoint`
+    pointer. Readers then scan columnar checkpoint file(s) plus
+    post-checkpoint JSON commits instead of the whole log.
+
+    layout="classic": one <v>.checkpoint.parquet holding the reconstructed
+    state (latest protocol + metaData + live add actions).
+    layout="v2" (Delta PROTOCOL.md V2 Checkpoints, requires the
+    `v2Checkpoint` reader/writer table feature): file actions go to
+    sidecar parquets under _delta_log/_sidecars/<uuid>.parquet; the
+    UUID-named top-level <v>.checkpoint.<uuid>.parquet holds only
+    checkpointMetadata + protocol + metaData + one `sidecar` action per
+    sidecar file. At 10M+ live files the sidecars are written as multiple
+    bounded parquets (distributed write, no single-file coalesce), which
+    is the layout's whole point.
+    """
     import glob
     import shutil
     import uuid as _uuid
@@ -323,21 +336,94 @@ def write_checkpoint(spark: SparkSession, base_path: str, version: int) -> None:
         head_rows.append((None, None, meta, None, None))
     if proto_rows:
         head_rows.append((None, None, None, proto_rows[0]["protocol"], None))
-    head = spark.createDataFrame(head_rows, _ACTION_SCHEMA) if head_rows else None
-    out = head.unionByName(adds) if head is not None else adds
-
-    tmp_dir = os.path.join(_log_dir(base_path), f".cp-tmp-{_uuid.uuid4().hex}")
-    out.coalesce(1).write.parquet(tmp_dir)
-    part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
-    final = os.path.join(_log_dir(base_path), f"{version:020d}.checkpoint.parquet")
-    os.replace(part, final)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    n = out.count()
-    pointer = os.path.join(_log_dir(base_path), "_last_checkpoint")
+    log_dir = _log_dir(base_path)
+    if layout == "v2":
+        n_total = _write_v2_checkpoint(spark, log_dir, version, adds, head_rows)
+    else:
+        head = spark.createDataFrame(head_rows, _ACTION_SCHEMA) if head_rows else None
+        out = head.unionByName(adds) if head is not None else adds
+        tmp_dir = os.path.join(log_dir, f".cp-tmp-{_uuid.uuid4().hex}")
+        out.coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        os.replace(part, final)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        n_total = out.count()
+    pointer = os.path.join(log_dir, "_last_checkpoint")
     tmp_ptr = pointer + f".tmp-{_uuid.uuid4().hex}"
     with open(tmp_ptr, "w", encoding="utf-8") as fh:
-        json.dump({"version": version, "size": n}, fh)
+        json.dump({"version": version, "size": n_total}, fh)
     os.replace(tmp_ptr, pointer)
+
+
+# actions per sidecar parquet: bounds per-file memory for readers while
+# keeping file count low (10M live files -> 20 sidecars)
+_SIDECAR_ACTIONS_PER_FILE = 500_000
+
+
+def _write_v2_checkpoint(
+    spark: SparkSession, log_dir: str, version: int, adds: DataFrame, head_rows: list
+) -> int:
+    """V2 checkpoint layout: returns the total action count (sidecar file
+    actions + top-level non-file actions) for `_last_checkpoint.size`."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    n_adds = adds.persist().count()
+    n_parts = max(1, -(-n_adds // _SIDECAR_ACTIONS_PER_FILE))
+    tmp_dir = os.path.join(log_dir, f".cp-tmp-{_uuid.uuid4().hex}")
+    (adds.repartition(n_parts) if n_parts > 1 else adds.coalesce(1)).write.parquet(tmp_dir)
+    adds.unpersist()
+    sidecars: list[tuple[str, int, int]] = []  # (fileName, sizeInBytes, mtimeMs)
+    for part in sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet"))):
+        name = f"{_uuid.uuid4()}.parquet"
+        dst = os.path.join(sidecar_dir, name)
+        os.replace(part, dst)
+        st = os.stat(dst)
+        sidecars.append((name, st.st_size, int(st.st_mtime * 1000)))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    top_schema = T.StructType(
+        list(_ACTION_SCHEMA.fields)
+        + [
+            T.StructField(
+                "checkpointMetadata",
+                T.StructType(
+                    [
+                        T.StructField("version", T.LongType()),
+                        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "sidecar",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("sizeInBytes", T.LongType()),
+                        T.StructField("modificationTime", T.LongType()),
+                        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    top_rows: list[tuple] = [(None, None, None, None, None, (version, None), None)]
+    for _, _, m, p, _ in head_rows:
+        top_rows.append((None, None, m, p, None, None, None))
+    for name, size, mtime in sidecars:
+        top_rows.append((None, None, None, None, None, None, (name, size, mtime, None)))
+    top = spark.createDataFrame(top_rows, top_schema)
+    tmp_dir = os.path.join(log_dir, f".cp-tmp-{_uuid.uuid4().hex}")
+    top.coalesce(1).write.parquet(tmp_dir)
+    part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+    final = os.path.join(log_dir, f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet")
+    os.replace(part, final)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return n_adds + len(top_rows)
 
 
 def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:

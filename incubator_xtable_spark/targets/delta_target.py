@@ -99,12 +99,20 @@ class DeltaConversionTarget:
         base_path: str,
         checkpoint_interval: int = 10,
         compaction_interval: int = 0,
+        checkpoint_layout: str = "classic",
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         # spec checkpoints every N commits (delta's own default is 10);
         # 0 disables
         self.checkpoint_interval = checkpoint_interval
+        # "classic" = single <v>.checkpoint.parquet; "v2" = UUID top-level
+        # + sidecar parquets (PROTOCOL.md V2 Checkpoints — requires and
+        # auto-declares the v2Checkpoint reader/writer table feature).
+        # v2 keeps checkpointing distributed at 10M+ live files.
+        if checkpoint_layout not in ("classic", "v2"):
+            raise ValueError(f"unsupported checkpoint_layout: {checkpoint_layout}")
+        self.checkpoint_layout = checkpoint_layout
         # minor log compaction every N commits (<s>.<e>.compacted.json,
         # see sync/retention.delta_compact_log): keeps JSON-tail listing
         # bounded between checkpoints on commit-heavy tables; 0 disables
@@ -381,34 +389,46 @@ class DeltaConversionTarget:
                 reader_version = max(reader_version, 2)
                 writer_version = max(writer_version, 5)
             need_dv = bool(dv_map) or bool(dv_readds)
-            if need_dv:
+            need_v2cp = self.checkpoint_layout == "v2" and self.checkpoint_interval > 0
+            if need_dv or need_v2cp:
                 reader_version = max(reader_version, 3)
                 writer_version = max(writer_version, 7)
             prev_proto = None if version == 0 else self._read_latest_protocol()
+            prev_reader_feats = set((prev_proto or {}).get("readerFeatures") or [])
             if version == 0 or (
                 need_dv
                 and prev_proto is not None
-                and prev_proto.get("minReaderVersion", 1) < 3
-            ):
+                and (
+                    prev_proto.get("minReaderVersion", 1) < 3
+                    or "deletionVectors" not in prev_reader_feats
+                )
+            ) or (need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats):
                 proto: dict[str, Any] = {
                     "minReaderVersion": reader_version,
                     "minWriterVersion": writer_version,
                 }
-                if need_dv:
+                if need_dv or need_v2cp:
                     # a table-features protocol (3/7) must list EVERY
                     # active feature, including those the replaced legacy
-                    # protocol implied — not just deletionVectors
-                    reader_feats = ["deletionVectors"]
-                    writer_feats = ["appendOnly", "invariants", "deletionVectors"]
+                    # protocol implied — not just the newly needed one
+                    reader_feats = set(prev_reader_feats)
+                    writer_feats = set((prev_proto or {}).get("writerFeatures") or [])
+                    writer_feats |= {"appendOnly", "invariants"}
+                    if need_dv or "deletionVectors" in prev_reader_feats:
+                        reader_feats.add("deletionVectors")
+                        writer_feats.add("deletionVectors")
+                    if need_v2cp:
+                        reader_feats.add("v2Checkpoint")
+                        writer_feats.add("v2Checkpoint")
                     if max_col_id:
-                        reader_feats.append("columnMapping")
-                        writer_feats.append("columnMapping")
+                        reader_feats.add("columnMapping")
+                        writer_feats.add("columnMapping")
                     if self._generated_fields:
-                        writer_feats.append("generatedColumns")
+                        writer_feats.add("generatedColumns")
                     prev_cfg = self._previous_configuration() if version else {}
-                    if "delta.columnMapping.mode" in prev_cfg and "columnMapping" not in reader_feats:
-                        reader_feats.append("columnMapping")
-                        writer_feats.append("columnMapping")
+                    if "delta.columnMapping.mode" in prev_cfg:
+                        reader_feats.add("columnMapping")
+                        writer_feats.add("columnMapping")
                     proto["readerFeatures"] = sorted(reader_feats)
                     proto["writerFeatures"] = sorted(writer_feats)
                 yield json.dumps({"protocol": proto})
@@ -480,7 +500,7 @@ class DeltaConversionTarget:
         if self.checkpoint_interval and version > 0 and version % self.checkpoint_interval == 0:
             from incubator_xtable_spark.sources.delta_source import write_checkpoint
 
-            write_checkpoint(self.spark, self.base_path, version)
+            write_checkpoint(self.spark, self.base_path, version, layout=self.checkpoint_layout)
         if (
             self.compaction_interval
             and version > 0

@@ -299,3 +299,119 @@ def test_target_auto_compaction(spark, tmp_path):
     for v in range(6):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     assert _rows(spark, base) == expected and len(expected) == 30
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoint WRITE path (target-side, PROTOCOL.md V2 Checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _make_v2_table(spark, tmp_path, commits=3, interval=2):
+    """Delta target configured for v2 checkpoints; `commits` commits."""
+    base = str(tmp_path / "v2w")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(base)
+    source = ParquetConversionSource(spark, base, name="region")
+    target = DeltaConversionTarget(
+        spark, base, checkpoint_interval=interval, checkpoint_layout="v2"
+    )
+    ctrl = ConversionController()
+    res = ctrl.sync(source, {TableFormat.DELTA: target})
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    src_df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    for i in range(commits - 1):
+        src_df.withColumn("r_regionkey", F.col("r_regionkey") + 100 * (i + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(base)
+        res = ctrl.sync(source, {TableFormat.DELTA: target})
+        assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    return base
+
+
+def test_v2_checkpoint_write_layout_and_readback(spark, tmp_path):
+    base = _make_v2_table(spark, tmp_path, commits=3, interval=2)
+    log = os.path.join(base, "_delta_log")
+    # no classic checkpoint; exactly one UUID top-level at v2 + sidecar(s)
+    assert not os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    tops = glob.glob(os.path.join(log, f"{2:020d}.checkpoint.*.parquet"))
+    assert len(tops) == 1
+    sidecars = glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(sidecars) >= 1
+    # protocol declares the v2Checkpoint feature both sides
+    proto = None
+    for line in open(os.path.join(log, f"{0:020d}.json")):
+        a = json.loads(line)
+        if "protocol" in a:
+            proto = a["protocol"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    # pointer + readback purely from the checkpoint
+    cp = read_last_checkpoint(base)
+    assert cp["version"] == 2
+    expected = _rows(spark, base)
+    assert len(expected) == 15
+    assert delta_expire_log(base) == [0, 1, 2]
+    assert _rows(spark, base) == expected
+
+
+def test_v2_checkpoint_write_conformance_green_then_red(spark, tmp_path):
+    from incubator_xtable_spark.model.conformance import check_delta_conformance
+
+    base = _make_v2_table(spark, tmp_path, commits=3, interval=2)
+    report = check_delta_conformance(spark, base)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+    # red 1: a referenced sidecar goes missing
+    side = glob.glob(os.path.join(base, "_delta_log", "_sidecars", "*.parquet"))[0]
+    stash = side + ".stash"
+    os.rename(side, stash)
+    codes = {i.code for i in check_delta_conformance(spark, base).issues}
+    assert "DELTA_V2_SIDECAR_MISSING" in codes
+    os.rename(stash, side)
+
+    # red 2: a top-level candidate that sorts last but lacks
+    # checkpointMetadata (truncated/bogus writer retry)
+    log = os.path.join(base, "_delta_log")
+    bogus = os.path.join(log, f"{2:020d}.checkpoint.zzzzzzzz.parquet")
+    schema = T.StructType(
+        [
+            T.StructField(
+                "sidecar",
+                T.StructType(
+                    [T.StructField("path", T.StringType()), T.StructField("sizeInBytes", T.LongType())]
+                ),
+            )
+        ]
+    )
+    _single_parquet(
+        spark.createDataFrame([((os.path.basename(side), os.path.getsize(side)),)], schema),
+        bogus,
+    )
+    codes = {i.code for i in check_delta_conformance(spark, base).issues}
+    assert "DELTA_V2_CHECKPOINT_METADATA" in codes
+    os.remove(bogus)
+
+    # red 3: protocol loses the v2Checkpoint feature
+    v0 = os.path.join(log, f"{0:020d}.json")
+    lines = []
+    for line in open(v0):
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = [
+                f for f in a["protocol"]["readerFeatures"] if f != "v2Checkpoint"
+            ]
+        lines.append(json.dumps(a))
+    with open(v0, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    codes = {i.code for i in check_delta_conformance(spark, base).issues}
+    assert "DELTA_V2_FEATURE_MISSING" in codes
+
+
+def test_v2_checkpoint_then_incremental_commits(spark, tmp_path):
+    """Commits after the v2 checkpoint layer on top of it correctly."""
+    base = _make_v2_table(spark, tmp_path, commits=4, interval=2)  # cp at v2, commit v3
+    expected = _rows(spark, base)
+    assert len(expected) == 20
+    # prune pre-checkpoint JSON; v3 must still apply on top of the checkpoint
+    assert delta_expire_log(base) == [0, 1, 2]
+    assert _rows(spark, base) == expected
