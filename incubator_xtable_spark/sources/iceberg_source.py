@@ -15,15 +15,22 @@ Reference parity:
   (delete scan distributes with the data scan); conversions expose purged
   shadow files so every target stays row-accurate (same posture as the
   Delta DV path in sources/delta_dv.py).
+- v2 equality deletes: content=2 manifests with equality_ids resolve to
+  positions via a distributed null-safe join against the candidate data
+  files under the STRICT rule data_seq < delete_seq (with per-partition
+  scoping), then ride the same position pipeline — reads, purged
+  shadows, and row-delete exposure all inherit them.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from incubator_xtable_spark.model.core import (
     CommitsBacklog,
@@ -113,7 +120,7 @@ class IcebergConversionSource:
         return self._entries_by_content(meta, snapshot_id)[0]
 
     def _live_delete_entries(self, meta: dict, snapshot_id: int) -> list[dict]:
-        """Live v2 POSITION-DELETE entries (data_file.content == 1)."""
+        """Live v2 DELETE entries (position content==1, equality content==2)."""
         return self._entries_by_content(meta, snapshot_id)[1]
 
     def _entries_by_content(self, meta: dict, snapshot_id: int) -> tuple[list[dict], list[dict]]:
@@ -127,17 +134,28 @@ class IcebergConversionSource:
                 if entry["status"] == 2:
                     continue
                 content = entry["data_file"].get("content") or 0
-                (deletes if content == 1 else data).append(entry)
+                (deletes if content in (1, 2) else data).append(entry)
         return data, deletes
 
-    # -- v2 position deletes ------------------------------------------------
+    # -- v2 position + equality deletes -------------------------------------
 
-    def _positions_df(self, delete_entries: list[dict]) -> DataFrame:
+    def _positions_df(
+        self, delete_entries: list[dict], data_entries: Optional[list[dict]] = None
+    ) -> DataFrame:
         """Union the delete positions tagged with each delete file's
         sequence number. v2 position-delete parquets are a distributed
         scan (positions never touch the driver); v3 puffin deletion
         vectors (file_format PUFFIN / referenced_data_file set) decode
-        executor-side from their (content_offset, content_size) blob."""
+        executor-side from their (content_offset, content_size) blob;
+        v2 equality deletes (content==2) resolve to positions with a
+        distributed join against the candidate data files
+        (``data_entries`` supplies the candidates)."""
+        eq_entries = [
+            e for e in delete_entries if (e["data_file"].get("content") or 0) == 2
+        ]
+        delete_entries = [
+            e for e in delete_entries if (e["data_file"].get("content") or 0) != 2
+        ]
         parts = []
         dv_items = []
         for e in delete_entries:
@@ -164,10 +182,162 @@ class IcebergConversionSource:
             parts.append(p)
         if dv_items:
             parts.append(self._puffin_positions_df(dv_items))
+        if eq_entries:
+            parts.append(self._equality_positions_df(eq_entries, data_entries or []))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "file_path STRING, pos LONG, delete_seq LONG"
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _equality_positions_df(
+        self, eq_entries: list[dict], data_entries: list[dict]
+    ) -> DataFrame:
+        """Resolve v2 EQUALITY deletes (content==2) to concrete
+        (file_path, pos, delete_seq) rows — the Spark-first expression of
+        the spec rule "a data row is deleted when a matching equality
+        delete row exists with delete_seq strictly greater than the data
+        file's sequence number".
+
+        Per distinct equality-id set: ONE distributed scan of only the
+        candidate data files (data_seq < max delete_seq), pruned to just
+        the equality columns + _metadata.row_index, joined null-safely
+        (Iceberg equality matches NULLs) against the delete rows with
+        data_seq < delete_seq and partition scoping (a delete file
+        written into a partition applies only there; partition-less
+        delete files apply globally). Identity-partition equality columns
+        absent from the data files re-attach from manifest values. Only
+        matched rows emit, each already satisfying the strict rule, so
+        the downstream position-delete filters (delete_seq >= data_seq)
+        pass them through unchanged.
+
+        Scale: cost is one column-pruned scan of candidate files per id
+        set — the minimum any engine pays to apply equality deletes; the
+        join keys are the equality columns, so AQE broadcasts the
+        (typically tiny CDC-key) delete side."""
+        empty = self.spark.createDataFrame([], "file_path STRING, pos LONG, delete_seq LONG")
+        if not eq_entries or not data_entries:
+            return empty
+        table = self.get_current_table()
+        by_id = {
+            (f.metadata or {}).get("xtable.fieldId"): f for f in table.read_schema.fields
+        }
+        from incubator_xtable_spark.model.core import PartitionTransformType
+
+        identity_cols = {
+            pf.source_field
+            for pf in table.partition_fields
+            if pf.transform == PartitionTransformType.VALUE
+        }
+        data_seq = {
+            e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
+            for e in data_entries
+        }
+        pv_raw = {
+            e["data_file"]["file_path"]: e["data_file"].get("partition") or {}
+            for e in data_entries
+        }
+
+        def _scope(part: dict) -> Optional[str]:
+            if not part:
+                return None
+            return json.dumps({k: str(v) for k, v in sorted(part.items())}, sort_keys=True)
+
+        groups: dict[tuple, list[dict]] = {}
+        for e in eq_entries:
+            ids = tuple(sorted(e["data_file"].get("equality_ids") or []))
+            if not ids:
+                raise ValueError(
+                    f"equality delete file {e['data_file']['file_path']} has no equality_ids"
+                )
+            groups.setdefault(ids, []).append(e)
+
+        out_parts = []
+        for ids, group in groups.items():
+            fields = []
+            for fid in ids:
+                f = by_id.get(fid)
+                if f is None:
+                    raise ValueError(
+                        f"equality delete references field id {fid} that is not a "
+                        "top-level column; nested equality columns are not supported"
+                    )
+                fields.append(f)
+            cols = [f.name for f in fields]
+            max_seq = max(int(e.get("sequence_number") or 0) for e in group)
+            cand = [p for p, s in data_seq.items() if s < max_seq]
+            if not cand:
+                continue
+            file_fields = [f for f in fields if f.name not in identity_cols]
+            df = self.spark.read.schema(T.StructType(file_fields)).parquet(*cand)
+            df = df.withColumn(
+                "file_path",
+                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),
+            ).withColumn("pos", F.col("_metadata.row_index"))
+            seq_scope = self.spark.createDataFrame(
+                [(p, data_seq[p], _scope(pv_raw[p])) for p in cand],
+                "file_path STRING, data_seq LONG, data_scope STRING",
+            )
+            df = df.join(F.broadcast(seq_scope), "file_path")
+            part_fields = [f for f in fields if f.name in identity_cols]
+            if part_fields:
+                pv_rows = [
+                    (
+                        p,
+                        {
+                            f.name: (
+                                None
+                                if pv_raw[p].get(f.name) is None
+                                else str(pv_raw[p].get(f.name))
+                            )
+                            for f in part_fields
+                        },
+                    )
+                    for p in cand
+                ]
+                pv = self.spark.createDataFrame(
+                    pv_rows, "file_path STRING, pv MAP<STRING,STRING>"
+                )
+                df = df.join(F.broadcast(pv), "file_path")
+                for f in part_fields:
+                    df = df.withColumn(f.name, F.col("pv").getItem(f.name).cast(f.dataType))
+                df = df.drop("pv")
+            del_schema = T.StructType([T.StructField(f.name, f.dataType) for f in fields])
+            del_parts = []
+            for e in group:
+                dfile = e["data_file"]
+                p = (
+                    self.spark.read.schema(del_schema)
+                    .parquet(dfile["file_path"])
+                    .withColumn("delete_seq", F.lit(int(e.get("sequence_number") or 0)))
+                    .withColumn(
+                        "del_scope", F.lit(_scope(dfile.get("partition") or {})).cast("string")
+                    )
+                )
+                del_parts.append(p)
+            dels = del_parts[0]
+            for p in del_parts[1:]:
+                dels = dels.unionByName(p)
+            dels = dels.select(
+                *[F.col(c).alias(f"_del_{c}") for c in cols], "delete_seq", "del_scope"
+            )
+            cond = F.col("data_seq") < F.col("delete_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_del_{c}"))
+            cond = cond & (
+                F.col("del_scope").isNull() | (F.col("del_scope") == F.col("data_scope"))
+            )
+            out_parts.append(df.join(dels, cond).select("file_path", "pos", "delete_seq"))
+        if not out_parts:
+            return empty
+        out = out_parts[0]
+        for p in out_parts[1:]:
+            out = out.unionByName(p)
+        # a row matched by several delete files/rows must count once downstream
+        return out.groupBy("file_path", "pos").agg(F.max("delete_seq").alias("delete_seq"))
 
     def _puffin_positions_df(self, items: list[tuple]) -> DataFrame:
         """(puffin_path, offset, length, referenced_file, seq) -> exploded
@@ -222,7 +392,7 @@ class IcebergConversionSource:
         seq_rows = [(p, s) for p, s in data_seq.items()]
         seq_df = self.spark.createDataFrame(seq_rows, "file_path STRING, data_seq LONG")
         counts = (
-            self._positions_df(delete_entries)
+            self._positions_df(delete_entries, data_entries)
             .join(F.broadcast(seq_df), "file_path")
             .filter(F.col("delete_seq") >= F.col("data_seq"))
             .groupBy("file_path")
@@ -262,7 +432,7 @@ class IcebergConversionSource:
             e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
             for e in data_entries
         }
-        positions = self._positions_df(delete_entries)
+        positions = self._positions_df(delete_entries, data_entries)
         plan = self.spark.createDataFrame(
             [(p, i["shadow_path"], data_seq.get(p, 0)) for p, i in todo.items()],
             "file_path STRING, shadow_path STRING, data_seq LONG",
@@ -307,7 +477,7 @@ class IcebergConversionSource:
             e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
             for e in data_entries
         }
-        positions = self._positions_df(delete_entries)
+        positions = self._positions_df(delete_entries, data_entries)
         plan = self.spark.createDataFrame(
             [(p, i["positions_path"], data_seq.get(p, 0)) for p, i in todo.items()],
             "file_path STRING, positions_path STRING, data_seq LONG",
@@ -661,7 +831,7 @@ def read_iceberg_as_df(
             "file_path STRING, data_seq LONG",
         )
         applicable = (
-            src._positions_df(delete_entries)
+            src._positions_df(delete_entries, entries)
             .join(F.broadcast(seq_df), "file_path")
             .filter(F.col("delete_seq") >= F.col("data_seq"))
             .select("file_path", "pos")

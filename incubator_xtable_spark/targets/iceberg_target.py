@@ -504,6 +504,17 @@ def manifest_entry_schema(partition_cols: list, format_version: int = 2) -> str:
                             _kv_map_field("null_value_counts", 110, 121, 122, "long"),
                             _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
                             _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
+                            {
+                                # spec field 135: equality-delete files name
+                                # the columns their rows match on
+                                "name": "equality_ids",
+                                "type": [
+                                    "null",
+                                    {"type": "array", "items": "int", "element-id": 136},
+                                ],
+                                "default": None,
+                                "field-id": 135,
+                            },
                         ]
                         + (
                             [
