@@ -28,6 +28,11 @@ class TableSyncMetadata:
     # a mode flip between syncs forces a FULL restatement (the two
     # representations use different effective paths)
     row_deletes_mode: bool = False
+    # non-default source view the sync ran under (e.g. Hudi MOR
+    # "snapshot" = log-merged compaction shadows); a view flip between
+    # syncs changes every log-bearing slice's effective path, so it
+    # forces a FULL restatement like a row-delete-mode flip
+    source_view: Optional[str] = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -38,6 +43,7 @@ class TableSyncMetadata:
                 "sourceTableFormat": self.source_table_format,
                 "sourceIdentifier": self.source_identifier,
                 "rowDeletesMode": self.row_deletes_mode,
+                "sourceView": self.source_view,
             },
             sort_keys=True,
         )
@@ -52,4 +58,5 @@ class TableSyncMetadata:
             source_table_format=d.get("sourceTableFormat"),
             source_identifier=d.get("sourceIdentifier"),
             row_deletes_mode=bool(d.get("rowDeletesMode", False)),
+            source_view=d.get("sourceView"),
         )

@@ -127,7 +127,13 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
 
-        return HudiConversionSource(spark, base, name=name)
+        return HudiConversionSource(
+            spark,
+            base,
+            name=name,
+            # "snapshot" syncs the MOR real-time view via compaction shadows
+            view=dataset.get("hudiView", "read_optimized"),
+        )
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
 

@@ -149,10 +149,150 @@ def live_files_rows(
     return sorted(rows, key=lambda r: (r["path"] is None, r["path"] or "", r["fileId"]))
 
 
-class HudiConversionSource:
-    """ConversionSource over a Hudi COW table."""
+def materialize_mor_shadows(
+    spark: SparkSession, base_path: str, log_rows: list[dict], table: InternalTable
+) -> dict[str, dict]:
+    """Materialize log-bearing MOR slices as compaction shadows:
+    base-file rows minus upserted/deleted keys plus the log tail's final
+    row versions — the same result real Hudi compaction produces, here
+    computed by the conversion engine so snapshot-view syncs can hand
+    targets plain parquet.
 
-    def __init__(self, spark: SparkSession, base_path: str, name: Optional[str] = None) -> None:
+    Shadow paths are deterministic (slice stem + md5 of the log-file
+    list), so materialization is idempotent across syncs and as-of
+    states. Returns {fileId: {path(rel), size}} for slices whose
+    effective representation is a shadow; slices whose logs merge to a
+    no-op keep their base file and are absent from the result.
+
+    Scale: the log tail decodes driver-side (metadata-sized, same
+    posture as the read path's merge — blocks hold the RECENT mutations,
+    not the table); the base-file bytes rewrite executor-side, one
+    mapInPandas task per affected slice, no shuffle. A 10k-slice table
+    with 100 log-bearing slices rewrites exactly those 100 files."""
+    import glob as _glob
+    import hashlib
+    import json as _json
+    import shutil as _shutil
+
+    from incubator_xtable_spark.sources.hudi_log import merged_log_records
+
+    props = read_properties(base_path)
+    key_field = (
+        props.get("hoodie.table.recordkey.fields") or table.read_schema.fields[0].name
+    ).split(",")[0]
+    data_cols = [f.name for f in table.read_schema.fields]
+    plan_rows: list[tuple] = []
+    out: dict[str, dict] = {}
+    for r in log_rows:
+        logs = [os.path.join(base_path, lf) for lf in r["log_files"]]
+        upserts, deleted = merged_log_records(spark, logs, key_field)
+        if not upserts and not deleted and r["path"] is not None:
+            continue  # no-op log tail: the base file IS the snapshot view
+        tag = hashlib.md5("|".join(sorted(r["log_files"])).encode()).hexdigest()[:8]
+        if r["path"]:
+            stem = r["path"][: -len(".parquet")] if r["path"].endswith(".parquet") else r["path"]
+        else:  # log-only slice: shadow sits beside its logs
+            part_dir = os.path.dirname(r["log_files"][0])
+            stem = os.path.join(part_dir, r["fileId"]) if part_dir else r["fileId"]
+        shadow_rel = f"{stem}.compacted-{tag}.parquet"
+        plan_rows.append(
+            (
+                os.path.join(base_path, r["path"]) if r["path"] else None,
+                os.path.join(base_path, shadow_rel),
+                _json.dumps(sorted({str(k) for k in upserts} | {str(k) for k in deleted})),
+                _json.dumps(
+                    [{c: rec.get(c) for c in data_cols} for rec in upserts.values()]
+                ),
+            )
+        )
+        out[r["fileId"]] = {"path": shadow_rel, "fileId": r["fileId"]}
+    todo = [p for p in plan_rows if not os.path.exists(p[1])]
+    if todo:
+        # schema probe for log-only slices: one empty parquet carrying the
+        # table schema, readable by every executor task
+        probe = os.path.join(base_path, ".hoodie", ".xtable_schema_probe.parquet")
+        if any(p[0] is None for p in todo) and not os.path.exists(probe):
+            tmp = probe + ".tmpdir"
+            spark.createDataFrame([], table.read_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.replace(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], probe)
+            _shutil.rmtree(tmp, ignore_errors=True)
+        plan = spark.createDataFrame(
+            todo, "base STRING, shadow STRING, drop_keys STRING, upserts STRING"
+        )
+
+        def _compact(batches):
+            import json as _j
+            import os as _os
+
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                for base, shadow, dk, us in zip(
+                    pdf["base"], pdf["shadow"], pdf["drop_keys"], pdf["upserts"]
+                ):
+                    if _os.path.exists(shadow):
+                        continue
+                    t = _pq.read_table(base if base is not None else probe)
+                    drop = set(_j.loads(dk))
+                    if drop:
+                        keys = t.column(key_field).to_pylist()
+                        keep = [i for i, k in enumerate(keys) if str(k) not in drop]
+                        t = t.take(_pa.array(keep, type=_pa.int64()))
+                    ups = _j.loads(us)
+                    if ups:
+                        add = _pa.Table.from_pylist(ups, schema=_pa.schema(
+                            [t.schema.field(c) for c in data_cols]
+                        ))
+                        # base files may carry extra (e.g. _hoodie_*) columns;
+                        # appended rows hold them as nulls
+                        for name in t.column_names:
+                            if name not in data_cols:
+                                add = add.append_column(
+                                    t.schema.field(name),
+                                    _pa.nulls(len(ups), t.schema.field(name).type),
+                                )
+                        t = _pa.concat_tables([t, add.select(t.column_names)])
+                    tmp = shadow + f".tmp-{_os.getpid()}"
+                    _pq.write_table(t, tmp)
+                    _os.replace(tmp, shadow)
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        plan.repartition(max(1, len(todo))).mapInPandas(_compact, "n LONG").count()
+    for info in out.values():
+        info["size"] = os.path.getsize(os.path.join(base_path, info["path"]))
+    return out
+
+
+class HudiConversionSource:
+    """ConversionSource over a Hudi COW or MOR table.
+
+    ``view`` (MOR only):
+    - "read_optimized" (default): latest base files per slice — the
+      reference's conversion scope (getLatestBaseFiles).
+    - "snapshot": log-bearing slices materialize as compaction shadows
+      (base + merged log tail, see materialize_mor_shadows), so targets
+      see the real-time view including un-compacted upserts/deletes —
+      beyond the reference, which always syncs read-optimized. Effective
+      paths differ between views, so flipping forces a FULL restatement
+      (sync_view rides the bookmark).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        name: Optional[str] = None,
+        view: str = "read_optimized",
+    ) -> None:
+        if view not in ("read_optimized", "snapshot"):
+            raise ValueError(f"unsupported hudi view: {view}")
+        self.view = view
+        # bookmark tag: non-default views force FULL on flip (controller)
+        self.sync_view = view if view != "read_optimized" else None
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
@@ -216,11 +356,43 @@ class HudiConversionSource:
             raise ValueError(f"not a hudi table: {self.base_path}")
         instants = list_completed_instants(self.base_path)
         latest = instants[-1][0]
+        if self.view == "snapshot":
+            # snapshot view bypasses the files index (it lists base
+            # files, not compaction shadows) and swaps log-bearing
+            # slices for their materialized shadows
+            rows = self._effective_rows(latest, table)
+            return InternalSnapshot(
+                table=table,
+                version=latest,
+                files=self._to_inventory(rows, table, with_stats),
+            )
         files = self._indexed_listing(table, latest, with_stats)
         if files is None:
             rows = live_files_rows(self.base_path, latest)
             files = self._to_inventory(rows, table, with_stats)
         return InternalSnapshot(table=table, version=latest, files=files)
+
+    def _effective_rows(self, as_of: str, table: InternalTable) -> list[dict]:
+        """Snapshot-view file rows at ``as_of``: base files as-is for
+        log-free slices, compaction shadows for log-bearing ones
+        (including log-only slices, which have no base file at all)."""
+        rows = live_files_rows(self.base_path, as_of, include_log_only=True)
+        log_rows = [r for r in rows if r.get("log_files")]
+        shadows = (
+            materialize_mor_shadows(self.spark, self.base_path, log_rows, table)
+            if log_rows
+            else {}
+        )
+        eff = []
+        for r in rows:
+            s = shadows.get(r["fileId"])
+            if s is not None:
+                eff.append(
+                    {"path": s["path"], "fileId": r["fileId"], "size": s["size"], "instant": r["instant"]}
+                )
+            elif r["path"] is not None:
+                eff.append(r)
+        return eff
 
     def _indexed_listing(
         self, table: InternalTable, latest: str, with_stats: bool
@@ -362,6 +534,8 @@ class HudiConversionSource:
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
         table = self.get_current_table()
+        if self.view == "snapshot":
+            return self._snapshot_view_change(commit, table)
         action = next(a for i, a in list_completed_instants(self.base_path) if i == commit)
         meta = read_commit_metadata(self.base_path, commit, action)
         # only BASE files enter the conversion diff: a deltacommit that
@@ -401,6 +575,39 @@ class HudiConversionSource:
                 for fid, p in new_paths.items()
                 if fid in prev and prev[fid]["path"] not in (None, p)
             )
+        files_removed = (
+            self._to_inventory(removed_rows, table, with_stats=False)
+            if removed_rows
+            else self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
+        )
+        return TableChange(
+            table=table, commit_id=commit, files_added=files_added, files_removed=files_removed
+        )
+
+    def _snapshot_view_change(self, commit: str, table: InternalTable) -> TableChange:
+        """Snapshot-view commit diff as a representation diff: the
+        effective file (base or compaction shadow) of every slice before
+        vs after this commit. A log-only deltacommit — invisible to the
+        read-optimized diff — becomes a shadow swap here, which is
+        exactly the update the RT view gained. Shadow materialization is
+        idempotent and as-of-aware, so replaying an old backlog after a
+        restart rebuilds the same paths."""
+        prev = _prev_instant(self.base_path, commit)
+        cur = {r["fileId"]: r for r in self._effective_rows(commit, table)}
+        prv = (
+            {r["fileId"]: r for r in self._effective_rows(prev, table)} if prev else {}
+        )
+        added_rows = [
+            r for fid, r in cur.items() if prv.get(fid, {}).get("path") != r["path"]
+        ]
+        removed_rows = [
+            r for fid, r in prv.items() if cur.get(fid, {}).get("path") != r["path"]
+        ]
+        files_added = (
+            self._to_inventory(added_rows, table, with_stats=True)
+            if added_rows
+            else self.spark.createDataFrame([], FILE_INVENTORY_SCHEMA)
+        )
         files_removed = (
             self._to_inventory(removed_rows, table, with_stats=False)
             if removed_rows

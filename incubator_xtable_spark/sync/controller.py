@@ -172,6 +172,10 @@ class ConversionController:
         # target; a FULL restatement swaps representations safely
         if bool(getattr(source, "expose_row_deletes", False)) != bookmark.row_deletes_mode:
             return SyncMode.FULL
+        # source-view flip (e.g. Hudi MOR read-optimized <-> snapshot):
+        # effective paths of log-bearing slices differ between views
+        if getattr(source, "sync_view", None) != bookmark.source_view:
+            return SyncMode.FULL
         earliest = _earliest_instant(bookmark)
         if not source.is_incremental_sync_safe_from(earliest):
             return SyncMode.FULL
@@ -191,6 +195,7 @@ class ConversionController:
                     source_table_format=snapshot.table.table_format.value,
                     source_identifier=snapshot.source_identifier,
                     row_deletes_mode=bool(getattr(source, "expose_row_deletes", False)),
+                    source_view=getattr(source, "sync_view", None),
                 )
                 target.begin_sync(snapshot.table)
                 target.sync_metadata(bookmark)
@@ -270,6 +275,7 @@ class ConversionController:
                         source_table_format=change.table.table_format.value,
                         source_identifier=change.source_identifier,
                         row_deletes_mode=bool(getattr(source, "expose_row_deletes", False)),
+                        source_view=getattr(source, "sync_view", None),
                     )
                     target.begin_sync(change.table)
                     target.sync_metadata(new_bookmark)

@@ -1,0 +1,195 @@
+"""Hudi MOR snapshot-view SYNC: conversions of the real-time view.
+
+The reference always converts the read-optimized view
+(HudiDataFileExtractor getLatestBaseFiles); with
+HudiConversionSource(view="snapshot") the conversion engine itself
+materializes log-bearing slices as compaction shadows (base + merged
+log tail, executor-side rewrite of only the affected files) so every
+target sees un-compacted upserts/deletes. Log-only deltacommits —
+invisible to the read-optimized diff — become shadow swaps in the
+incremental path, and a real compaction commit swaps the shadow back
+out for the new base file. Flipping the view between syncs forces a
+FULL restatement via the bookmark's sourceView tag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from incubator_xtable_spark.model.core import SyncMode, SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+from incubator_xtable_spark.sources.hudi_source import HudiConversionSource, read_hudi_as_df
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+from .hudi_logtable import avro_data_block, delete_block
+from .test_hudi_log_merge import AVRO_SCHEMA, _add_log, _commit, _write_base, mor_base  # noqa: F401
+
+
+def _rows(df):
+    return sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+
+
+def _sync(spark, base, delta_dir, view):
+    source = HudiConversionSource(spark, base, view=view)
+    target = DeltaConversionTarget(spark, delta_dir)
+    res = ConversionController().sync(source, {TableFormat.DELTA: target})[TableFormat.DELTA]
+    assert res.status == SyncStatusCode.SUCCESS, res.error
+    return res
+
+
+def test_full_sync_snapshot_view(spark, tmp_path, mor_base):
+    """Upserts + deletes + a log-only slice all land in the target."""
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [
+            avro_data_block(
+                spark,
+                "20240101000002000",
+                AVRO_SCHEMA,
+                [{"id": 2, "v": "updated"}, {"id": 10, "v": "new"}],
+            ),
+            delete_block(spark, "20240101000002000", ["0"]),
+        ],
+    )
+    _add_log(
+        mor_base,
+        ".g9_001.log.1_0-1-0",
+        "20240101000003000",
+        [avro_data_block(spark, "20240101000003000", AVRO_SCHEMA, [{"id": 99, "v": "logonly"}])],
+        file_id="g9",
+    )
+    delta_dir = str(tmp_path / "as_delta")
+    _sync(spark, mor_base, delta_dir, view="snapshot")
+    expect = _rows(read_hudi_as_df(spark, mor_base, mode="snapshot"))
+    assert _rows(read_delta_as_df(spark, delta_dir)) == expect
+    assert (99, "logonly") in expect and (2, "updated") in expect
+    # the shadows are new files; originals are untouched
+    assert os.path.exists(os.path.join(mor_base, "g1_0-0-0_001.parquet"))
+
+    # default read-optimized sync is unchanged by all of this
+    ro_dir = str(tmp_path / "as_delta_ro")
+    _sync(spark, mor_base, ro_dir, view="read_optimized")
+    assert _rows(read_delta_as_df(spark, ro_dir)) == [(i, f"x{i}") for i in range(5)]
+
+
+def test_incremental_log_commits_swap_shadows(spark, tmp_path, mor_base):
+    """Log-only deltacommits produce incremental shadow swaps; a later
+    compaction (new base file) swaps the shadow back out."""
+    delta_dir = str(tmp_path / "as_delta")
+    res = _sync(spark, mor_base, delta_dir, view="snapshot")
+    assert res.mode == SyncMode.FULL
+
+    # log commit 1: upsert id 1
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", AVRO_SCHEMA, [{"id": 1, "v": "u1"}])],
+    )
+    res = _sync(spark, mor_base, delta_dir, view="snapshot")
+    assert res.mode == SyncMode.INCREMENTAL
+    assert _rows(read_delta_as_df(spark, delta_dir)) == _rows(
+        read_hudi_as_df(spark, mor_base, mode="snapshot")
+    )
+
+    # log commit 2: delete id 4 — the slice's shadow is superseded
+    _add_log(
+        mor_base,
+        ".g1_001.log.2_0-1-0",
+        "20240101000003000",
+        [delete_block(spark, "20240101000003000", ["4"])],
+    )
+    res = _sync(spark, mor_base, delta_dir, view="snapshot")
+    assert res.mode == SyncMode.INCREMENTAL
+    got = _rows(read_delta_as_df(spark, delta_dir))
+    assert got == _rows(read_hudi_as_df(spark, mor_base, mode="snapshot"))
+    assert (1, "u1") in got and all(i != 4 for i, _ in got)
+
+    # compaction: a commit writes the merged base file for g1
+    merged = sorted(got)
+    s = _write_base(mor_base, "g1_0-0-0_004.parquet", [i for i, _ in merged])
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([i for i, _ in merged], pa.int64()),
+                "v": [v for _, v in merged],
+            }
+        ),
+        os.path.join(mor_base, "g1_0-0-0_004.parquet"),
+    )
+    _commit(
+        mor_base,
+        "20240101000004000",
+        "commit",
+        [
+            {
+                "fileId": "g1",
+                "path": "g1_0-0-0_004.parquet",
+                "fileSizeInBytes": os.path.getsize(os.path.join(mor_base, "g1_0-0-0_004.parquet")),
+                "numWrites": len(merged),
+            }
+        ],
+    )
+    res = _sync(spark, mor_base, delta_dir, view="snapshot")
+    assert res.mode == SyncMode.INCREMENTAL
+    assert _rows(read_delta_as_df(spark, delta_dir)) == merged
+    # the live delta file set is now the compacted base, no shadows
+    from incubator_xtable_spark.sources.delta_source import live_files_df
+
+    paths = [r["path"] for r in live_files_df(spark, delta_dir).collect()]
+    assert any("g1_0-0-0_004" in p for p in paths)
+    assert not any(".compacted-" in p for p in paths)
+
+
+def test_view_flip_forces_full_restatement(spark, tmp_path, mor_base):
+    """read-optimized bookmark + snapshot-view source -> FULL, and the
+    target converges to the snapshot view."""
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", AVRO_SCHEMA, [{"id": 0, "v": "flip"}])],
+    )
+    delta_dir = str(tmp_path / "as_delta")
+    res = _sync(spark, mor_base, delta_dir, view="read_optimized")
+    assert res.mode == SyncMode.FULL
+    assert _rows(read_delta_as_df(spark, delta_dir)) == [(i, f"x{i}") for i in range(5)]
+
+    res = _sync(spark, mor_base, delta_dir, view="snapshot")
+    assert res.mode == SyncMode.FULL  # the flip, not the timeline, forced it
+    got = _rows(read_delta_as_df(spark, delta_dir))
+    assert got == _rows(read_hudi_as_df(spark, mor_base, mode="snapshot"))
+    assert (0, "flip") in got
+
+    # flipping back also restates
+    res = _sync(spark, mor_base, delta_dir, view="read_optimized")
+    assert res.mode == SyncMode.FULL
+    assert _rows(read_delta_as_df(spark, delta_dir)) == [(i, f"x{i}") for i in range(5)]
+
+
+def test_shadow_materialization_idempotent(spark, tmp_path, mor_base):
+    """Same timeline state -> same shadow paths, no re-write churn."""
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", AVRO_SCHEMA, [{"id": 7, "v": "seven"}])],
+    )
+    src = HudiConversionSource(spark, mor_base, view="snapshot")
+    snap1 = src.get_current_snapshot()
+    paths1 = sorted(r["physical_path"] for r in snap1.files.collect())
+    mtimes = {p: os.path.getmtime(p) for p in paths1 if ".compacted-" in p}
+    assert mtimes
+    snap2 = HudiConversionSource(spark, mor_base, view="snapshot").get_current_snapshot()
+    paths2 = sorted(r["physical_path"] for r in snap2.files.collect())
+    assert paths1 == paths2
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m  # untouched on re-materialize
