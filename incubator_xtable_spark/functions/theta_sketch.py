@@ -1,0 +1,288 @@
+"""Theta sketches for distinct counting (Iceberg Puffin
+``apache-datasketches-theta-v1`` statistics blobs).
+
+Everything here derives from public specifications:
+- MurmurHash3 x64 128 (Austin Appleby's public-domain algorithm) with
+  the DataSketches default update seed 9001 — the hash family the
+  Apache DataSketches library standardizes for theta sketches.
+- The Compact Theta Sketch binary layout (serial version 3, family 3)
+  documented by the Apache DataSketches project: an 8-byte preamble
+  (preamble-longs, serial-version, family, lgK, lgArr, flags, seed
+  hash), optional count/theta longs, then the ordered retained hashes.
+- The KMV/theta estimator: retain the k smallest 63-bit hashes of the
+  distinct items; in estimation mode theta is the (k+1)-th smallest and
+  estimate = retained / (theta / 2^63).
+
+The reference (apache/incubator-xtable) writes no statistics files at
+all; Iceberg's table spec defines the `statistics` metadata field and
+Puffin theta blobs, so converted tables can carry engine-usable NDV
+stats — cost-based optimizers (Trino/Spark) read exactly this blob
+type.
+
+Scale: sketching runs as distinct -> per-batch Python hashing with
+per-batch k-min pre-reduction (the Arrow batches stream; only k
+candidate hashes per batch survive to the driver merge). The Python
+hash loop touches DISTINCT values only — the deliberate trade for an
+opt-in statistics job; the per-row scan stays JVM-side in the distinct.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Iterable, Optional
+
+_MASK = (1 << 64) - 1
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+MAX_THETA = (1 << 63) - 1  # Long.MAX_VALUE
+DEFAULT_SEED = 9001
+DEFAULT_LG_K = 12
+
+# preamble flags (datasketches Flags byte)
+_FLAG_BIG_ENDIAN = 1
+_FLAG_READ_ONLY = 2
+_FLAG_EMPTY = 4
+_FLAG_COMPACT = 8
+_FLAG_ORDERED = 16
+
+_FAMILY_COMPACT = 3
+_SERIAL_VERSION = 3
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _fmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = DEFAULT_SEED) -> tuple[int, int]:
+    """MurmurHash3 x64 128-bit (public-domain reference algorithm)."""
+    h1 = h2 = seed & _MASK
+    length = len(data)
+    nblocks = length // 16
+    for i in range(nblocks):
+        o = i * 16
+        k1 = int.from_bytes(data[o : o + 8], "little")
+        k2 = int.from_bytes(data[o + 8 : o + 16], "little")
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _MASK
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _MASK
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK
+    tail = data[nblocks * 16 :]
+    tl = len(tail)
+    k1 = k2 = 0
+    if tl > 8:
+        for i in range(tl - 1, 7, -1):
+            k2 ^= tail[i] << ((i - 8) * 8)
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+    if tl > 0:
+        for i in range(min(tl, 8) - 1, -1, -1):
+            k1 ^= tail[i] << (i * 8)
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    return h1, h2
+
+
+def seed_hash(seed: int = DEFAULT_SEED) -> int:
+    """16-bit seed hash stored in the preamble (murmur of the seed long,
+    hashed with seed 0; must be non-zero)."""
+    h = murmur3_x64_128(struct.pack("<q", seed), 0)[0] & 0xFFFF
+    if h == 0:
+        raise ValueError("seed produced zero seed-hash; choose another seed")
+    return h
+
+
+def hash_item(value, seed: int = DEFAULT_SEED) -> int:
+    """Item -> 63-bit theta-space hash (first 64 bits >>> 1).
+
+    Byte representations follow the DataSketches update() conventions:
+    str -> UTF-8 bytes; int -> 8-byte little-endian long; float ->
+    8-byte little-endian IEEE double (canonicalizing -0.0 to 0.0);
+    bytes used as-is; bool -> long 0/1; None is not hashable (callers
+    skip nulls — NDV counts non-null values, matching engines)."""
+    if isinstance(value, bool):
+        data = struct.pack("<q", int(value))
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, int):
+        data = struct.pack("<q", value)
+    elif isinstance(value, float):
+        data = struct.pack("<d", value + 0.0)
+    elif isinstance(value, (bytes, bytearray)):
+        data = bytes(value)
+    else:
+        data = str(value).encode("utf-8")
+    return murmur3_x64_128(data, seed)[0] >> 1
+
+
+@dataclass
+class ThetaSketch:
+    """Compact ordered theta sketch state: retained hashes all < theta."""
+
+    lg_k: int = DEFAULT_LG_K
+    theta: int = MAX_THETA
+    entries: tuple = ()  # sorted ascending, each in [0, 2^63)
+
+    @property
+    def k(self) -> int:
+        return 1 << self.lg_k
+
+    @property
+    def is_estimation(self) -> bool:
+        return self.theta < MAX_THETA
+
+    def estimate(self) -> float:
+        if not self.is_estimation:
+            return float(len(self.entries))
+        return len(self.entries) / (self.theta / float(1 << 63))
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_hashes(cls, hashes: Iterable[int], lg_k: int = DEFAULT_LG_K) -> "ThetaSketch":
+        uniq = sorted(set(hashes))
+        k = 1 << lg_k
+        if len(uniq) <= k:
+            return cls(lg_k=lg_k, theta=MAX_THETA, entries=tuple(uniq))
+        theta = uniq[k]  # (k+1)-th smallest bounds the retained set
+        return cls(lg_k=lg_k, theta=theta, entries=tuple(uniq[:k]))
+
+    @classmethod
+    def from_items(cls, items: Iterable, lg_k: int = DEFAULT_LG_K) -> "ThetaSketch":
+        return cls.from_hashes(
+            (hash_item(v) for v in items if v is not None), lg_k=lg_k
+        )
+
+    def union(self, other: "ThetaSketch") -> "ThetaSketch":
+        lg_k = min(self.lg_k, other.lg_k)
+        theta = min(self.theta, other.theta)
+        merged = sorted({h for h in self.entries if h < theta} | {
+            h for h in other.entries if h < theta
+        })
+        k = 1 << lg_k
+        if len(merged) > k:
+            theta = merged[k]
+            merged = merged[:k]
+        return ThetaSketch(lg_k=lg_k, theta=theta, entries=tuple(merged))
+
+    # -- serialization (compact ordered, serial version 3) -----------------
+
+    def to_bytes(self, seed: int = DEFAULT_SEED) -> bytes:
+        sh = seed_hash(seed)
+        if not self.entries and not self.is_estimation:
+            flags = _FLAG_READ_ONLY | _FLAG_EMPTY | _FLAG_COMPACT | _FLAG_ORDERED
+            return struct.pack(
+                "<BBBBBBH", 1, _SERIAL_VERSION, _FAMILY_COMPACT, self.lg_k, 0, flags, sh
+            )
+        flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
+        pre_longs = 3 if self.is_estimation else 2
+        out = bytearray(
+            struct.pack(
+                "<BBBBBBH", pre_longs, _SERIAL_VERSION, _FAMILY_COMPACT, self.lg_k, 0, flags, sh
+            )
+        )
+        out += struct.pack("<if", len(self.entries), 1.0)  # curCount + p
+        if self.is_estimation:
+            out += struct.pack("<q", self.theta)
+        for h in self.entries:
+            out += struct.pack("<q", h)
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, seed: int = DEFAULT_SEED) -> "ThetaSketch":
+        if len(data) < 8:
+            raise ValueError("theta sketch shorter than preamble")
+        pre_longs, serial, family, lg_k, _lg_arr, flags, sh = struct.unpack(
+            "<BBBBBBH", data[:8]
+        )
+        if serial != _SERIAL_VERSION or family != _FAMILY_COMPACT:
+            raise ValueError(f"unsupported theta sketch (serial={serial} family={family})")
+        if not flags & _FLAG_BIG_ENDIAN and sh != seed_hash(seed):
+            raise ValueError("seed hash mismatch")
+        if flags & _FLAG_EMPTY or pre_longs == 1:
+            return cls(lg_k=lg_k or DEFAULT_LG_K, theta=MAX_THETA, entries=())
+        (count,) = struct.unpack("<i", data[8:12])
+        off = 16
+        theta = MAX_THETA
+        if pre_longs >= 3:
+            (theta,) = struct.unpack("<q", data[16:24])
+            off = 24
+        entries = struct.unpack(f"<{count}q", data[off : off + 8 * count])
+        return cls(lg_k=lg_k or DEFAULT_LG_K, theta=theta, entries=tuple(entries))
+
+
+# ---------------------------------------------------------------------------
+# Distributed sketching over a DataFrame
+# ---------------------------------------------------------------------------
+
+
+def build_column_sketches(
+    spark,
+    df,
+    columns: Optional[list[str]] = None,
+    lg_k: int = DEFAULT_LG_K,
+) -> dict[str, ThetaSketch]:
+    """One theta sketch per column of ``df``.
+
+    Plan per column: JVM-side distinct (one shuffle; dedupe costs no
+    Python time), then an Arrow-batched pass that hashes each batch and
+    pre-reduces to its k smallest hashes, so at most k longs per batch
+    reach the driver, where the final KMV merge runs. Null values are
+    skipped (NDV counts non-null distinct values)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    out: dict[str, ThetaSketch] = {}
+    k = 1 << lg_k
+    for col in columns or [f.name for f in df.schema.fields]:
+        distinct = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull()).distinct()
+
+        def _hash_batches(batches, _k=k):
+            import sys as _sys
+
+            if pkg_root not in _sys.path:
+                _sys.path.insert(0, pkg_root)
+            import pandas as pd
+
+            from incubator_xtable_spark.functions.theta_sketch import hash_item as _hi
+
+            for pdf in batches:
+                hashes = sorted(_hi(v) for v in pdf["v"] if v is not None)[:_k]
+                yield pd.DataFrame({"h": pd.Series(hashes, dtype="int64")})
+
+        candidate_rows = distinct.mapInPandas(_hash_batches, "h LONG").collect()
+        out[col] = ThetaSketch.from_hashes((r["h"] for r in candidate_rows), lg_k=lg_k)
+    return out

@@ -77,16 +77,20 @@ def write_puffin(
     snapshot_id: int = -1,
     sequence_number: int = -1,
 ) -> list[dict]:
-    """Write a puffin file. ``blobs``: (type, payload bytes, properties).
-    Returns the footer blob-metadata list (with offsets/lengths) so the
-    caller can reference blobs from manifests."""
+    """Write a puffin file. ``blobs``: (type, payload bytes, properties)
+    or (type, payload, properties, field-ids) — `fields` names the
+    iceberg field ids a statistics blob covers. Returns the footer
+    blob-metadata list (with offsets/lengths) so the caller can
+    reference blobs from manifests."""
     metas: list[dict] = []
     buf = bytearray(MAGIC)
-    for btype, payload, props in blobs:
+    for blob in blobs:
+        btype, payload, props = blob[0], blob[1], blob[2]
+        fields = list(blob[3]) if len(blob) > 3 else []
         metas.append(
             {
                 "type": btype,
-                "fields": [],
+                "fields": fields,
                 "snapshot-id": snapshot_id,
                 "sequence-number": sequence_number,
                 "offset": len(buf),
