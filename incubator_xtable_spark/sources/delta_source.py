@@ -464,6 +464,197 @@ def latest_metadata(spark: SparkSession, base_path: str, version: Optional[int] 
     return rows[0]["metaData"] if rows else None
 
 
+def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFrame:
+    """Change Data Feed of ONE commit as a CDC-shaped DataFrame: the row
+    columns plus `_change_type` (insert / update_preimage /
+    update_postimage / delete) and `_commit_version` — the Delta twin of
+    sources/paimon_source.read_paimon_changelog.
+
+    Source of truth, in order (Delta PROTOCOL.md Change Data Files):
+    1. the commit's `cdc` actions — explicit change files under
+       _change_data/ whose rows carry `_change_type`;
+    2. derivation from the file actions, per the spec's CDF-read rules:
+       add(dataChange) = inserts of the file's visible rows,
+       remove(dataChange) = deletes of the rows visible at the previous
+       version, and the remove+re-add deletion-vector update shape (what
+       our own target writes) = row-level deletes of exactly the NEWLY
+       deleted positions (new DV minus old DV; positions restored by a
+       shrinking DV emit as inserts).
+
+    Scale: one distributed scan over only the files this commit touched;
+    DV position sets decode executor-side; no row ever collects to the
+    driver. Pair with get_commits_backlog for the commit cursor.
+    """
+    meta = latest_metadata(spark, base_path, version)
+    if meta is None:
+        raise ValueError(f"not a delta table (no metaData): {base_path}")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta["partitionColumns"] or [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    out_names = [f.name for f in schema.fields] + ["_change_type", "_commit_version"]
+    commit_file = os.path.join(_log_dir(base_path), f"{version:020d}.json")
+    if not os.path.exists(commit_file):
+        raise ValueError(
+            f"commit {version} has no retained JSON file (expired or compacted); "
+            "CDF reads need the commit's own actions"
+        )
+    actions = [json.loads(line) for line in open(commit_file, encoding="utf-8") if line.strip()]
+    base = base_path.rstrip("/")
+
+    def _with_parts(df: DataFrame, items: list[tuple]) -> DataFrame:
+        if not part_cols:
+            return df
+        pv = spark.createDataFrame(
+            [(os.path.join(base, p), dict(v or {})) for p, v, _ in items],
+            "abs_path STRING, pv MAP<STRING,STRING>",
+        )
+        df = df.join(F.broadcast(pv), df["_fp"] == pv["abs_path"], "left")
+        for c in part_cols:
+            df = df.withColumn(c, F.col("pv").getItem(c).cast(schema[c].dataType))
+        return df.drop("abs_path", "pv")
+
+    def _positions_for(items: list[tuple]) -> Optional[DataFrame]:
+        """(file_path, pos) rows for the items' DV descriptors."""
+        dv_items = [(p, d) for p, _, d in items if d and d.get("storageType")]
+        if not dv_items:
+            return None
+        from incubator_xtable_spark.sources.delta_dv import (
+            DV_DESCRIPTOR_SPARK_TYPE,
+            dv_positions_df,
+        )
+
+        dv_files = spark.createDataFrame(
+            [(os.path.join(base, p), d) for p, d in dv_items],
+            T.StructType(
+                [
+                    T.StructField("abs_path", T.StringType()),
+                    T.StructField("deletionVector", DV_DESCRIPTOR_SPARK_TYPE),
+                ]
+            ),
+        )
+        return dv_positions_df(spark, base, dv_files)
+
+    def _rows_of(items: list[tuple], change_type: str, positions=None, mode: str = "drop") -> DataFrame:
+        """Read the items' rows tagged ``change_type``; ``positions``
+        restricts via anti (mode=drop: everything except) or semi
+        (mode=keep: only) join on (file, row_index)."""
+        df = spark.read.schema(T.StructType(data_fields)).parquet(
+            *[os.path.join(base, p) for p, _, _ in items]
+        )
+        df = df.withColumn(
+            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        ).withColumn("_ri", F.col("_metadata.row_index"))
+        if positions is not None:
+            df = df.join(
+                positions,
+                (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
+                "left_anti" if mode == "drop" else "left_semi",
+            )
+        df = _with_parts(df, items)
+        return df.withColumn("_change_type", F.lit(change_type)).withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        ).select(*out_names)
+
+    parts: list[DataFrame] = []
+    cdc = [a["cdc"] for a in actions if a.get("cdc")]
+    if cdc:
+        cdc_fields = data_fields + [T.StructField("_change_type", T.StringType())]
+        df = spark.read.schema(T.StructType(cdc_fields)).parquet(
+            *[os.path.join(base, c["path"]) for c in cdc]
+        )
+        df = df.withColumn(
+            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        )
+        df = _with_parts(df, [(c["path"], c.get("partitionValues"), None) for c in cdc])
+        return df.withColumn("_commit_version", F.lit(version).cast("long")).select(*out_names)
+
+    adds = {a["add"]["path"]: a["add"] for a in actions if a.get("add")}
+    removes = {
+        a["remove"]["path"]: a["remove"]
+        for a in actions
+        if a.get("remove") and a["remove"].get("dataChange", True)
+    }
+    adds = {p: a for p, a in adds.items() if a.get("dataChange", True)}
+    pair_paths = sorted(set(adds) & set(removes))
+    prev_dv: dict[str, Optional[dict]] = {}
+    prev_pv: dict[str, Optional[dict]] = {}
+    if (pair_paths or removes) and version > 0:
+        prev_rows = (
+            live_files_df(spark, base_path, version - 1)
+            .select("path", "partitionValues", "deletionVector")
+            .collect()
+        )
+        prev_dv = {
+            r["path"]: (r["deletionVector"].asDict() if r["deletionVector"] else None)
+            for r in prev_rows
+        }
+        prev_pv = {
+            r["path"]: (dict(r["partitionValues"]) if r["partitionValues"] else None)
+            for r in prev_rows
+        }
+
+    # 1. DV-update pairs: remove+re-add of the same path -> row-level diff,
+    # batched into ONE position-set comparison across every paired file
+    # (the join keys on (file_path, pos), so files never cross-talk)
+    if pair_paths:
+        new_items = [
+            (p, adds[p].get("partitionValues"), adds[p].get("deletionVector"))
+            for p in pair_paths
+        ]
+        old_items = [
+            (p, adds[p].get("partitionValues"), prev_dv.get(p)) for p in pair_paths
+        ]
+        new_pos = _positions_for(new_items)
+        old_pos = _positions_for(old_items)
+        newly_deleted = restored = None
+        if new_pos is not None and old_pos is not None:
+            newly_deleted = new_pos.join(old_pos, ["file_path", "pos"], "left_anti")
+            restored = old_pos.join(new_pos, ["file_path", "pos"], "left_anti")
+        elif new_pos is not None:
+            newly_deleted = new_pos
+        elif old_pos is not None:
+            restored = old_pos
+        if newly_deleted is not None:
+            parts.append(_rows_of(new_items, "delete", newly_deleted, mode="keep"))
+        if restored is not None:
+            parts.append(_rows_of(new_items, "insert", restored, mode="keep"))
+
+    # 2. pure adds: the file's visible rows are inserts
+    pure_adds = [
+        (p, a.get("partitionValues"), a.get("deletionVector"))
+        for p, a in adds.items()
+        if p not in removes
+    ]
+    if pure_adds:
+        parts.append(_rows_of(pure_adds, "insert", _positions_for(pure_adds), mode="drop"))
+
+    # 3. pure removes: rows visible at the previous version are deletes
+    pure_removes = [
+        (p, r.get("partitionValues") or prev_pv.get(p), prev_dv.get(p))
+        for p, r in removes.items()
+        if p not in adds
+    ]
+    gone = [p for p, _, _ in pure_removes if not os.path.exists(os.path.join(base, p))]
+    if gone:
+        raise ValueError(
+            f"CDF derivation for commit {version} needs the removed data files, "
+            f"but they are vacuumed: {gone[:3]}"
+        )
+    if pure_removes:
+        parts.append(_rows_of(pure_removes, "delete", _positions_for(pure_removes), mode="drop"))
+
+    if not parts:
+        out_fields = list(schema.fields) + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+        return spark.createDataFrame([], T.StructType(out_fields))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
     """The engine's `spark.read.format("delta")` equivalent: reconstruct
     the live file set (optionally at a past version = time travel) and read

@@ -237,6 +237,10 @@ class ConversionController:
         # any target needs serves every target; previously-pending commits
         # are handed to the source so completed ones re-enter the backlog
         # (InstantsForIncrementalSync.java:49-61)
+        # NOTE: with random-id sources (Iceberg snapshot ids) this min is
+        # only meaningful when targets share a bookmark (the normal case);
+        # diverged bookmarks re-align through the FULL fallback if the
+        # chosen start turns out not to be replayable
         last_sync = min(
             (bookmarks[f].last_instant_synced for f in targets), key=_instant_key
         )
@@ -247,6 +251,7 @@ class ConversionController:
         backlog = source.get_commits_backlog(
             InstantsForIncrementalSync(last_sync_instant=last_sync, pending_commits=pending)
         )
+        order = {c: i for i, c in enumerate(backlog.commits_to_process)}
         results: dict[TableFormat, SyncResult] = {}
         failed: set[TableFormat] = set()
         last_synced: dict[TableFormat, str] = {}
@@ -258,7 +263,7 @@ class ConversionController:
                 if fmt in failed:
                     continue
                 bm = bookmarks[fmt]
-                if not _commit_applies(commit, bm):
+                if not _commit_applies(commit, bm, last_sync, order):
                     continue
                 if change is None:  # lazy: only extract when some target needs it
                     change = source.get_table_change_for_commit(commit)
@@ -322,14 +327,33 @@ def _earliest_instant(bookmark: Optional[TableSyncMetadata]) -> str:
     return min(candidates, key=_instant_key)
 
 
-def _commit_applies(commit: str, bookmark: Optional[TableSyncMetadata]) -> bool:
+def _commit_applies(
+    commit: str,
+    bookmark: Optional[TableSyncMetadata],
+    backlog_start: Optional[str] = None,
+    order: Optional[dict[str, int]] = None,
+) -> bool:
     """A commit applies to a target iff it is newer than the bookmark, or
-    was previously pending (TableFormatSync.java:104-151)."""
+    was previously pending (TableFormatSync.java:104-151).
+
+    "Newer" follows the SOURCE's backlog ordering (``order`` maps commit
+    id -> position), never a numeric compare of the ids themselves:
+    Iceberg snapshot ids are random longs, so a valid newer snapshot can
+    have a numerically smaller id. The target whose bookmark the backlog
+    starts after (``backlog_start``) takes every commit; a fresher
+    target takes the commits positioned after its own bookmark. The
+    numeric compare survives only as the fallback for a bookmark that is
+    no longer in the chain (monotonic-instant sources)."""
     if bookmark is None:
         return True
     if commit in bookmark.instants_to_consider_for_next_sync:
         return True
-    return _instant_lt(bookmark.last_instant_synced, commit)
+    last = bookmark.last_instant_synced
+    if backlog_start is not None and last == backlog_start:
+        return True
+    if order is not None and last in order and commit in order:
+        return order[commit] > order[last]
+    return _instant_lt(last, commit)
 
 
 def _instant_key(instant: str):
