@@ -166,8 +166,19 @@ def _decode_avro_records(spark, schema_json: str, blobs: list[bytes]) -> list[di
 
 
 def block_records(spark, block: LogBlock) -> tuple[str, list[dict]]:
-    """-> ("upsert"|"delete", records). Data records are plain dicts;
-    delete records are {"recordKey": ...} dicts."""
+    """-> ("upsert"|"delete"|"cdc", records). Data records are plain
+    dicts; delete records are {"recordKey": ...} dicts; cdc records are
+    {"op": "i"|"u"|"d", "before": dict|None, "after": dict|None} (the
+    CDC block reuses the Avro data-block framing with the CDC schema in
+    its header — HoodieCDCDataBlock extends HoodieAvroDataBlock)."""
+    if block.block_type == CDC_DATA_BLOCK:
+        buf = io.BytesIO(block.content)
+        (_cv, count) = struct.unpack(">ii", buf.read(8))
+        blobs = []
+        for _ in range(count):
+            (ln,) = struct.unpack(">i", buf.read(4))
+            blobs.append(buf.read(ln))
+        return "cdc", _decode_avro_records(spark, block.headers[H_SCHEMA], blobs)
     if block.block_type == AVRO_DATA_BLOCK:
         buf = io.BytesIO(block.content)
         (_cv, count) = struct.unpack(">ii", buf.read(8))
@@ -202,6 +213,8 @@ def merged_log_records(
     for path in log_paths:
         for block in read_log_blocks(path):
             kind, records = block_records(spark, block)
+            if kind == "cdc":
+                continue  # CDC supplements don't participate in the merge
             if kind == "upsert":
                 for r in records:
                     k = str(r.get(key_field))

@@ -629,6 +629,125 @@ class HudiConversionSource:
         return None
 
 
+def read_hudi_cdc(spark: SparkSession, base_path: str, instant: str) -> DataFrame:
+    """Row-level changes of ONE commit as a CDC-shaped DataFrame: the row
+    columns plus `_change_type` (insert / update_preimage /
+    update_postimage / delete) and `_commit_instant` — the Hudi member of
+    the CDC-read triple (read_paimon_changelog / read_delta_cdf).
+
+    Source of truth, in order:
+    1. the commit's CDC supplemental log files (hoodie.table.cdc.enabled
+       writers; cdcStats in the commit's write stats name them) — CDC
+       blocks carry {op: i|u|d, before, after} records, logging mode
+       data_before_after;
+    2. derivation: the commit's touched file groups' EFFECTIVE rows
+       (base or log-merged compaction shadow — the snapshot-view
+       machinery) before vs after the commit, full-outer-joined on the
+       record key; value changes emit preimage+postimage pairs.
+
+    Scale: the derivation scans only the touched groups' files on both
+    sides and joins on the record key — the minimum any engine pays to
+    reconstruct CDC that was never logged; with CDC logging enabled the
+    read is just the cdc blocks."""
+    src = HudiConversionSource(spark, base_path, view="snapshot")
+    table = src.get_current_table()
+    if table is None:
+        raise ValueError(f"not a hudi table: {base_path}")
+    action = next(
+        (a for i, a in list_completed_instants(base_path) if i == instant), None
+    )
+    if action is None:
+        raise ValueError(f"no completed instant {instant} in {base_path}")
+    meta = read_commit_metadata(base_path, instant, action)
+    props = read_properties(base_path)
+    key_field = (
+        props.get("hoodie.table.recordkey.fields") or table.read_schema.fields[0].name
+    ).split(",")[0]
+    out_names = [f.name for f in table.read_schema.fields] + ["_change_type", "_commit_instant"]
+    out_schema = T.StructType(
+        list(table.read_schema.fields)
+        + [T.StructField("_change_type", T.StringType()), T.StructField("_commit_instant", T.StringType())]
+    )
+
+    # tier 1: CDC supplemental files named by cdcStats
+    cdc_paths = [
+        p
+        for stats_list in (meta.get("partitionToWriteStats") or {}).values()
+        for st in stats_list
+        for p in (st.get("cdcStats") or {})
+    ]
+    if cdc_paths:
+        from incubator_xtable_spark.sources.hudi_log import block_records, read_log_blocks
+
+        rows: list[tuple] = []
+        cols = [f.name for f in table.read_schema.fields]
+        for p in cdc_paths:
+            for block in read_log_blocks(os.path.join(base_path, p)):
+                kind, records = block_records(spark, block)
+                if kind != "cdc":
+                    continue
+                for r in records:
+                    op = r.get("op")
+                    before, after = r.get("before"), r.get("after")
+                    if op == "i" and after is not None:
+                        rows.append(tuple(after.get(c) for c in cols) + ("insert", instant))
+                    elif op == "d" and before is not None:
+                        rows.append(tuple(before.get(c) for c in cols) + ("delete", instant))
+                    elif op == "u":
+                        if before is not None:
+                            rows.append(
+                                tuple(before.get(c) for c in cols) + ("update_preimage", instant)
+                            )
+                        if after is not None:
+                            rows.append(
+                                tuple(after.get(c) for c in cols) + ("update_postimage", instant)
+                            )
+        return spark.createDataFrame(rows, out_schema)
+
+    # tier 2: derivation by effective-representation diff of the touched
+    # file groups (replaced groups count as fully deleted)
+    touched = {
+        st["fileId"]
+        for stats_list in (meta.get("partitionToWriteStats") or {}).values()
+        for st in stats_list
+    }
+    touched |= {
+        fid
+        for fid_list in (meta.get("partitionToReplaceFileIds") or {}).values()
+        for fid in fid_list
+    }
+    prev = _prev_instant(base_path, instant)
+    eff_new = {r["fileId"]: r for r in src._effective_rows(instant, table)}
+    eff_old = {r["fileId"]: r for r in src._effective_rows(prev, table)} if prev else {}
+
+    def _read(reps: dict, alias: str) -> DataFrame:
+        paths = [
+            os.path.join(base_path, reps[fid]["path"]) for fid in touched if fid in reps
+        ]
+        if not paths:
+            return spark.createDataFrame([], table.read_schema)
+        return spark.read.schema(table.read_schema).parquet(*paths)
+
+    old_df = _read(eff_old, "o")
+    new_df = _read(eff_new, "n")
+    data_cols = [f.name for f in table.read_schema.fields]
+    o = old_df.select(F.col(key_field).alias("_k"), F.struct(*data_cols).alias("_o"))
+    n = new_df.select(F.col(key_field).alias("_k"), F.struct(*data_cols).alias("_n"))
+    j = o.join(n, "_k", "full_outer")
+    ins = j.filter(F.col("_o").isNull()).select("_n.*").withColumn("_change_type", F.lit("insert"))
+    dels = j.filter(F.col("_n").isNull()).select("_o.*").withColumn("_change_type", F.lit("delete"))
+    # eqNullSafe: a null column value inside the struct must still compare
+    upd = j.filter(
+        F.col("_o").isNotNull()
+        & F.col("_n").isNotNull()
+        & ~F.col("_o").eqNullSafe(F.col("_n"))
+    )
+    pre = upd.select("_o.*").withColumn("_change_type", F.lit("update_preimage"))
+    post = upd.select("_n.*").withColumn("_change_type", F.lit("update_postimage"))
+    out = ins.unionByName(dels).unionByName(pre).unionByName(post)
+    return out.withColumn("_commit_instant", F.lit(instant)).select(*out_names)
+
+
 def _prev_instant(base_path: str, commit: str) -> Optional[str]:
     instants = [i for i, _ in list_completed_instants(base_path) if i < commit]
     return instants[-1] if instants else None

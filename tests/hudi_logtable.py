@@ -110,3 +110,34 @@ def rollback_block(instant: str, target_instant: str) -> bytes:
         },
         b"",
     )
+
+
+def cdc_data_block(spark, instant: str, row_schema_json: str, changes: list[dict]) -> bytes:
+    """CDC_DATA_BLOCK: avro-data framing with the CDC record schema
+    (op i|u|d + nullable before/after of the row schema), logging mode
+    data_before_after."""
+    import json as _json
+
+    from incubator_xtable_spark.sources.hudi_log import CDC_DATA_BLOCK
+
+    row_schema = _json.loads(row_schema_json)
+    before_schema = dict(row_schema, name="before_rec")
+    after_schema = dict(row_schema, name="after_rec")
+    cdc_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "HoodieCDCRecord",
+            "fields": [
+                {"name": "op", "type": "string"},
+                {"name": "before", "type": ["null", before_schema], "default": None},
+                {"name": "after", "type": ["null", after_schema], "default": None},
+            ],
+        }
+    )
+    content = struct.pack(">ii", 3, len(changes))
+    for r in changes:
+        blob = avro_binary(spark, cdc_schema, r)
+        content += struct.pack(">i", len(blob)) + blob
+    return block_bytes(
+        CDC_DATA_BLOCK, {H_INSTANT_TIME: instant, H_SCHEMA: cdc_schema}, content
+    )

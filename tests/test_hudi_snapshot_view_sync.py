@@ -193,3 +193,97 @@ def test_shadow_materialization_idempotent(spark, tmp_path, mor_base):
     assert paths1 == paths2
     for p, m in mtimes.items():
         assert os.path.getmtime(p) == m  # untouched on re-materialize
+
+
+# ---------------------------------------------------------------------------
+# CDC reads (read_hudi_cdc) — the Hudi member of the CDC-read triple
+# ---------------------------------------------------------------------------
+
+
+def _cdc(df):
+    return sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in df.select("id", "v", "_change_type").collect()
+    )
+
+
+def test_cdc_derivation_from_log_commit(spark, mor_base):
+    """A deltacommit's CDC derives from the effective-representation diff:
+    upsert of an existing key = pre+post pair, new key = insert, delete
+    block = delete."""
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_cdc
+
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [
+            avro_data_block(
+                spark,
+                "20240101000002000",
+                AVRO_SCHEMA,
+                [{"id": 2, "v": "updated"}, {"id": 10, "v": "new"}],
+            ),
+            delete_block(spark, "20240101000002000", ["0"]),
+        ],
+    )
+    got = _cdc(read_hudi_cdc(spark, mor_base, "20240101000002000"))
+    assert got == [
+        (0, "x0", "delete"),
+        (2, "updated", "update_postimage"),
+        (2, "x2", "update_preimage"),
+        (10, "new", "insert"),
+    ]
+
+
+def test_cdc_derivation_first_commit_all_inserts(spark, mor_base):
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_cdc
+
+    got = _cdc(read_hudi_cdc(spark, mor_base, "20240101000001000"))
+    assert got == [(i, f"x{i}", "insert") for i in range(5)]
+
+
+def test_cdc_supplemental_block_tier(spark, mor_base):
+    """cdcStats in the write stats route the read to CDC blocks, which
+    override derivation entirely."""
+    import os
+
+    from .hudi_logtable import cdc_data_block
+    from .test_hudi_log_merge import SPARK_SCHEMA_JSON, _commit
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_cdc
+
+    cdc_name = ".g1_002.cdc.log.1_0-1-0"
+    with open(os.path.join(mor_base, cdc_name), "wb") as fh:
+        fh.write(
+            cdc_data_block(
+                spark,
+                "20240101000005000",
+                AVRO_SCHEMA,
+                [
+                    {"op": "u", "before": {"id": 1, "v": "x1"}, "after": {"id": 1, "v": "cdc"}},
+                    {"op": "d", "before": {"id": 3, "v": "x3"}, "after": None},
+                    {"op": "i", "before": None, "after": {"id": 42, "v": "fresh"}},
+                ],
+            )
+        )
+    _commit(
+        mor_base,
+        "20240101000005000",
+        "deltacommit",
+        [
+            {
+                "fileId": "g1",
+                "path": "g1_0-0-0_001.parquet",
+                "fileSizeInBytes": 1,
+                "numWrites": 0,
+                "cdcStats": {cdc_name: os.path.getsize(os.path.join(mor_base, cdc_name))},
+            }
+        ],
+    )
+    got = _cdc(read_hudi_cdc(spark, mor_base, "20240101000005000"))
+    assert got == [
+        (1, "cdc", "update_postimage"),
+        (1, "x1", "update_preimage"),
+        (3, "x3", "delete"),
+        (42, "fresh", "insert"),
+    ]
