@@ -176,6 +176,11 @@ class TableChange:
     files_removed: Any  # DataFrame[FILE_INVENTORY_SCHEMA]
     source_identifier: Optional[str] = None
     row_deletes: Any = None  # DataFrame[ROW_DELETES_SCHEMA] or None
+    # CDC channel (sources with emit_row_changes=True): the commit's
+    # row-level changes — table columns + `_change_type` (insert /
+    # update_preimage / update_postimage / delete). Targets that can
+    # express a change feed (Delta CDF) persist them.
+    row_changes: Any = None  # DataFrame or None
 
 
 @dataclass

@@ -122,8 +122,9 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
         return ParquetConversionSource(
             spark, base, name=name, partition_fields=parse_partition_spec(dataset.get("partitionSpec"))
         )
+    emit_rc = str(dataset.get("emitRowChanges", "")).lower() == "true"
     if fmt == TableFormat.DELTA.value:
-        return DeltaConversionSource(spark, base, name=name)
+        return DeltaConversionSource(spark, base, name=name, emit_row_changes=emit_rc)
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
 
@@ -133,6 +134,7 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
             name=name,
             # "snapshot" syncs the MOR real-time view via compaction shadows
             view=dataset.get("hudiView", "read_optimized"),
+            emit_row_changes=emit_rc,
         )
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
@@ -141,7 +143,7 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
     if fmt == TableFormat.PAIMON.value:
         from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
 
-        return PaimonConversionSource(spark, base, name=name)
+        return PaimonConversionSource(spark, base, name=name, emit_row_changes=emit_rc)
     raise ValueError(f"unsupported source format: {fmt}")
 
 
@@ -153,6 +155,8 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             base,
             # "v2" -> UUID+sidecar checkpoints (v2Checkpoint table feature)
             checkpoint_layout=dataset.get("deltaCheckpointLayout", "classic"),
+            # persist CDC-channel row changes as Change Data Files
+            change_feed=str(dataset.get("deltaChangeFeed", "")).lower() == "true",
         )
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget

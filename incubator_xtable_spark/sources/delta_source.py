@@ -836,10 +836,14 @@ class DeltaConversionSource:
         base_path: str,
         name: Optional[str] = None,
         expose_row_deletes: bool = False,
+        emit_row_changes: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
+        # CDC channel: attach each commit's row-level changes (CDF read)
+        # to the TableChange so change-feed-capable targets persist them
+        self.emit_row_changes = emit_row_changes
         # When True, DV'd files are inventoried at their ORIGINAL paths
         # and the delete sets ride on snapshot/change.row_deletes as
         # Iceberg-shaped position parquets — no data-file rewrite. Only
@@ -1058,6 +1062,14 @@ class DeltaConversionSource:
         return bool(versions) and min(versions) <= int(instant)
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
+        change = self._table_change_impl(commit)
+        if self.emit_row_changes:
+            change.row_changes = read_delta_cdf(
+                self.spark, self.base_path, int(commit)
+            ).drop("_commit_version")
+        return change
+
+    def _table_change_impl(self, commit: str) -> TableChange:
         """Per-version diff with deletion-vector awareness.
 
         Every file is tracked by its EFFECTIVE path — the purged shadow

@@ -287,10 +287,13 @@ class HudiConversionSource:
         base_path: str,
         name: Optional[str] = None,
         view: str = "read_optimized",
+        emit_row_changes: bool = False,
     ) -> None:
         if view not in ("read_optimized", "snapshot"):
             raise ValueError(f"unsupported hudi view: {view}")
         self.view = view
+        # CDC channel: attach each commit's CDC read to the TableChange
+        self.emit_row_changes = emit_row_changes
         # bookmark tag: non-default views force FULL on flip (controller)
         self.sync_view = view if view != "read_optimized" else None
         self.spark = spark
@@ -533,6 +536,14 @@ class HudiConversionSource:
         return bool(instants) and min(instants) <= instant
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
+        change = self._table_change_impl(commit)
+        if self.emit_row_changes:
+            change.row_changes = read_hudi_cdc(
+                self.spark, self.base_path, commit
+            ).drop("_commit_instant")
+        return change
+
+    def _table_change_impl(self, commit: str) -> TableChange:
         table = self.get_current_table()
         if self.view == "snapshot":
             return self._snapshot_view_change(commit, table)

@@ -348,11 +348,14 @@ class PaimonConversionSource:
         base_path: str,
         name: Optional[str] = None,
         expose_row_deletes: bool = False,
+        emit_row_changes: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
         self.avro = AvroIO(spark)
+        # CDC channel: attach each commit's changelog to the TableChange
+        self.emit_row_changes = emit_row_changes
         # True -> deletion-vector index entries flow through the row-delete
         # channel (ROW_DELETES_SCHEMA) instead of purged-shadow rewrites;
         # run_sync auto-enables when every target supports row deletes
@@ -781,6 +784,14 @@ class PaimonConversionSource:
         )
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
+        change = self._table_change_impl(commit)
+        if self.emit_row_changes:
+            change.row_changes = read_paimon_changelog(
+                self.spark, self.base_path, int(commit)
+            ).drop("_commit_snapshot_id")
+        return change
+
+    def _table_change_impl(self, commit: str) -> TableChange:
         snap = self._snapshot(int(commit))
         sch = self._schema(snap.get("schemaId", 0))
         table = self.get_table(snap["id"])

@@ -289,6 +289,10 @@ class ConversionController:
                     target.sync_files_for_diff(change)
                     if getattr(change, "row_deletes", None) is not None:
                         target.sync_row_deletes(change.row_deletes)
+                    if getattr(change, "row_changes", None) is not None and hasattr(
+                        target, "sync_row_changes"
+                    ):
+                        target.sync_row_changes(change.row_changes)
                     target.complete_sync()
                     last_synced[fmt] = commit
                     durations[fmt] += time.perf_counter() - start

@@ -100,6 +100,7 @@ class DeltaConversionTarget:
         checkpoint_interval: int = 10,
         compaction_interval: int = 0,
         checkpoint_layout: str = "classic",
+        change_feed: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -113,6 +114,12 @@ class DeltaConversionTarget:
         if checkpoint_layout not in ("classic", "v2"):
             raise ValueError(f"unsupported checkpoint_layout: {checkpoint_layout}")
         self.checkpoint_layout = checkpoint_layout
+        # Change Data Feed: when True, incremental row changes arriving on
+        # the CDC channel (TableChange.row_changes) persist as cdc actions
+        # + _change_data parquet, and the table declares
+        # delta.enableChangeDataFeed (writer protocol 4) so CDF consumers
+        # read exact row-level changes instead of file-level derivation
+        self.change_feed = change_feed
         # minor log compaction every N commits (<s>.<e>.compacted.json,
         # see sync/retention.delta_compact_log): keeps JSON-tail listing
         # bounded between checkpoints on commit-heavy tables; 0 disables
@@ -133,6 +140,7 @@ class DeltaConversionTarget:
         self._removes: Optional[DataFrame] = None
         self._committed_version: Optional[int] = None
         self._row_deletes: Optional[DataFrame] = None
+        self._row_changes: Optional[DataFrame] = None
         # True when adds/removes came from a FULL-snapshot sync (the one
         # unbounded inventory) -> drains use the auto collect/stream probe
         self._snapshot_sync = False
@@ -220,6 +228,15 @@ class DeltaConversionTarget:
         in the target re-commit as remove + re-add with the new DV (the
         shape a Delta DELETE writes); an unchanged delete set is a no-op."""
         self._row_deletes = deletes
+
+    def sync_row_changes(self, changes: DataFrame) -> None:
+        """CDC channel: the commit's row-level changes (table columns +
+        `_change_type`). Persisted as spec Change Data Files when this
+        target was created with change_feed=True; ignored otherwise (the
+        channel is advisory — a target that can't express a change feed
+        simply doesn't)."""
+        if self.change_feed:
+            self._row_changes = changes
 
     @staticmethod
     def _with_column_mapping(schema: T.StructType) -> tuple[T.StructType, int]:
@@ -369,6 +386,14 @@ class DeltaConversionTarget:
                         readd["deletionVector"] = desc
                     dv_readds.append(readd)
 
+        # CDC channel -> spec Change Data Files: the commit's row changes
+        # land as parquet under _change_data/ plus one cdc action each
+        # (dataChange=false — CDF supplements the file actions, never
+        # replaces them). Distributed write, bounded file count.
+        cdc_actions: list[dict] = []
+        if self.change_feed and self._row_changes is not None and version > 0:
+            cdc_actions = self._write_change_data(self._row_changes)
+
         def actions() -> Iterator[str]:
             yield json.dumps(
                 {
@@ -383,7 +408,10 @@ class DeltaConversionTarget:
             # generated columns require writer protocol v4; column mapping
             # reader 2 / writer 5; deletion vectors reader 3 / writer 7
             # with named table features (Delta PROTOCOL.md)
-            writer_version = 4 if self._generated_fields else MIN_WRITER_VERSION
+            # generated columns and change data feed both need writer 4
+            writer_version = (
+                4 if (self._generated_fields or self.change_feed) else MIN_WRITER_VERSION
+            )
             reader_version = MIN_READER_VERSION
             if max_col_id:
                 reader_version = max(reader_version, 2)
@@ -434,6 +462,8 @@ class DeltaConversionTarget:
                 yield json.dumps({"protocol": proto})
             if version == 0 or self._metadata_json is not None or self._schema is not None:
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}
+                if self.change_feed:
+                    configuration["delta.enableChangeDataFeed"] = "true"
                 if self._metadata_json is not None:
                     configuration[XTABLE_METADATA_KEY] = self._metadata_json
                 # column mapping only on tables CREATED with it (a later
@@ -494,6 +524,8 @@ class DeltaConversionTarget:
                 add = dict(ra)
                 add["dataChange"] = True
                 yield json.dumps({"add": add})
+            for c in cdc_actions:
+                yield json.dumps({"cdc": c})
 
         self._atomic_write(version, actions())
         self._committed_version = version
@@ -514,6 +546,38 @@ class DeltaConversionTarget:
         return version
 
     # -- helpers -----------------------------------------------------------
+
+    def _write_change_data(self, changes: DataFrame) -> list[dict]:
+        """Write the CDC rows as parquet under _change_data/ and return
+        the cdc action dicts. Empty change sets write nothing (readers
+        then correctly derive "no changes" from the file actions)."""
+        import glob
+        import shutil
+        import uuid as _uuid
+
+        if changes.isEmpty():
+            return []
+        cd_dir = os.path.join(self.base_path, "_change_data")
+        os.makedirs(cd_dir, exist_ok=True)
+        tmp = os.path.join(cd_dir, f".cdc-tmp-{_uuid.uuid4().hex}")
+        # per-commit change sets are change-volume-sized; bound the file
+        # count rather than inheriting the session's shuffle parallelism
+        changes.coalesce(4).write.parquet(tmp)
+        out: list[dict] = []
+        for part in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            name = f"cdc-{_uuid.uuid4().hex}.parquet"
+            dst = os.path.join(cd_dir, name)
+            os.replace(part, dst)
+            out.append(
+                {
+                    "path": f"_change_data/{name}",
+                    "partitionValues": {},
+                    "size": os.path.getsize(dst),
+                    "dataChange": False,
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
 
     def _add_action(
         self, row: Row, schema: T.StructType, now_ms: int, dv_desc: Optional[dict] = None

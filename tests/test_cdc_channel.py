@@ -1,0 +1,164 @@
+"""Cross-format CDC channel: per-commit row changes from any CDC-capable
+source persist as REAL Delta Change Data Files in the target.
+
+Sources with emit_row_changes=True attach each commit's CDC read
+(read_hudi_cdc / read_paimon_changelog / read_delta_cdf) to the
+TableChange; DeltaConversionTarget(change_feed=True) writes them as cdc
+actions + _change_data parquet and declares delta.enableChangeDataFeed
+(writer protocol 4). The differential: reading the TARGET's CDF must
+reproduce the SOURCE's change set — CDC-preserving conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.delta_source import read_delta_as_df, read_delta_cdf
+from incubator_xtable_spark.sources.hudi_source import HudiConversionSource, read_hudi_cdc
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget, current_log_version
+
+from .hudi_logtable import avro_data_block, delete_block
+from .test_hudi_log_merge import AVRO_SCHEMA, _add_log, mor_base  # noqa: F401
+
+
+def _cdc_set(df, cols):
+    return sorted(
+        tuple(r[c] for c in cols) + (r["_change_type"],)
+        for r in df.select(*cols, "_change_type").collect()
+    )
+
+
+def test_hudi_to_delta_cdf_preserved(spark, tmp_path, mor_base):
+    src = HudiConversionSource(spark, mor_base, view="snapshot", emit_row_changes=True)
+    delta_dir = str(tmp_path / "delta")
+    target = DeltaConversionTarget(spark, delta_dir, change_feed=True)
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+
+    # a log commit with an upsert, an insert and a delete
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [
+            avro_data_block(
+                spark,
+                "20240101000002000",
+                AVRO_SCHEMA,
+                [{"id": 2, "v": "updated"}, {"id": 10, "v": "new"}],
+            ),
+            delete_block(spark, "20240101000002000", ["0"]),
+        ],
+    )
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    v = current_log_version(delta_dir)
+    # the target commit carries explicit cdc actions + _change_data files
+    commit = [
+        json.loads(line)
+        for line in open(os.path.join(delta_dir, "_delta_log", f"{v:020d}.json"))
+    ]
+    cdc_actions = [a["cdc"] for a in commit if a.get("cdc")]
+    assert cdc_actions and all(a["path"].startswith("_change_data/") for a in cdc_actions)
+    assert all(a["dataChange"] is False for a in cdc_actions)
+    # TARGET CDF == SOURCE CDC
+    got = _cdc_set(read_delta_cdf(spark, delta_dir, v), ["id", "v"])
+    want = _cdc_set(read_hudi_cdc(spark, mor_base, "20240101000002000"), ["id", "v"])
+    assert got == want
+    assert (0, "x0", "delete") in got and (10, "new", "insert") in got
+    assert (2, "x2", "update_preimage") in got and (2, "updated", "update_postimage") in got
+
+    # protocol + table property declare CDF
+    first = [
+        json.loads(line)
+        for line in open(os.path.join(delta_dir, "_delta_log", f"{0:020d}.json"))
+    ]
+    proto = next(a["protocol"] for a in first if a.get("protocol"))
+    assert proto["minWriterVersion"] >= 4
+    meta = next(a["metaData"] for a in first if a.get("metaData"))
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+
+
+def test_paimon_to_delta_cdf_preserved(spark, tmp_path):
+    from incubator_xtable_spark.sources.paimon_source import (
+        PaimonConversionSource,
+        read_paimon_changelog,
+    )
+
+    from .paimon_testtable import PaimonTestTable
+
+    fields = [("id", "INT"), ("label", "STRING"), ("level", "INT")]
+    t = PaimonTestTable(
+        spark, str(tmp_path / "pt"), fields, partition_keys=["level"]
+    ).create()
+    rows1 = [{"id": i, "label": f"l{i}", "level": 0} for i in range(4)]
+    t.append(rows1)
+    src = PaimonConversionSource(spark, t.base, emit_row_changes=True)
+    delta_dir = str(tmp_path / "delta")
+    target = DeltaConversionTarget(spark, delta_dir, change_feed=True)
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+
+    rows2 = [{"id": i, "label": f"l{i}", "level": 0} for i in range(4, 7)]
+    sid, _ = t.append(rows2)
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    v = current_log_version(delta_dir)
+    got = _cdc_set(read_delta_cdf(spark, delta_dir, v), ["id", "label"])
+    want = _cdc_set(
+        read_paimon_changelog(spark, t.base, sid), ["id", "label"]
+    )
+    assert got == want == [(i, f"l{i}", "insert") for i in range(4, 7)]
+    # row state still converges
+    assert sorted(r["id"] for r in read_delta_as_df(spark, delta_dir).collect()) == list(range(7))
+
+
+def test_delta_to_delta_cdf_relay(spark, tmp_path):
+    """Delta source re-emits its own CDF into the target (DV deletes
+    become explicit change files on the other side)."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+
+    # build a Delta table WITH a DV commit (via the iceberg route)
+    d = _make_table(spark, tmp_path)
+    isrc = IcebergConversionSource(spark, d, expose_row_deletes=True)
+    fid = _field_id(isrc, "id")
+    src_delta = str(tmp_path / "src_delta")
+    ctrl = ConversionController()
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, src_delta)})
+    eq = _eq_parquet(os.path.join(d, "e.parquet"), {"id": pa.array([6], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, src_delta)})
+
+    # now relay src_delta -> dst_delta with the CDC channel
+    relay_src = DeltaConversionSource(spark, src_delta, emit_row_changes=True)
+    dst = str(tmp_path / "dst_delta")
+    dst_target = DeltaConversionTarget(spark, dst, change_feed=True)
+    ctrl2 = ConversionController()
+    assert ctrl2.sync(relay_src, {TableFormat.DELTA: dst_target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    # FULL sync carries no CDC; the incremental DV commit does
+    relay_v0 = current_log_version(dst)
+    from incubator_xtable_spark.sources.delta_source import live_files_df  # noqa: F401
+
+    # replay the source's DV commit incrementally
+    eq2 = _eq_parquet(os.path.join(d, "e2.parquet"), {"id": pa.array([15], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq2, [fid], {})], seq=3, snapshot_id=1000)
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, src_delta)})
+    assert ctrl2.sync(relay_src, {TableFormat.DELTA: dst_target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    v = current_log_version(dst)
+    assert v > relay_v0
+    got = _cdc_set(read_delta_cdf(spark, dst, v), ["id"])
+    assert got == [(15, "delete")]
+    # and the relayed table state matches the source
+    assert sorted(r["id"] for r in read_delta_as_df(spark, dst).collect()) == sorted(
+        r["id"] for r in read_delta_as_df(spark, src_delta).collect()
+    )
