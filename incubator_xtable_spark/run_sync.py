@@ -139,7 +139,7 @@ def build_source(spark, fmt: str, dataset: dict[str, Any]):
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
 
-        return IcebergConversionSource(spark, base, name=name)
+        return IcebergConversionSource(spark, base, name=name, emit_row_changes=emit_rc)
     if fmt == TableFormat.PAIMON.value:
         from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
 

@@ -58,11 +58,15 @@ class IcebergConversionSource:
         base_path: str,
         name: Optional[str] = None,
         expose_row_deletes: bool = False,
+        emit_row_changes: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
         self.avro = AvroIO(spark)
+        # CDC channel: attach each snapshot's changelog-scan derivation
+        # (read_iceberg_cdc) to the TableChange for CDF-capable targets
+        self.emit_row_changes = emit_row_changes
         # When True, v2 position deletes are NOT rewritten into purged
         # shadows; data files stay at their original paths and per-file
         # delete sets ride on snapshot/change.row_deletes (only valid
@@ -716,6 +720,14 @@ class IcebergConversionSource:
         return False
 
     def get_table_change_for_commit(self, commit: str) -> TableChange:
+        change = self._table_change_impl(commit)
+        if self.emit_row_changes:
+            change.row_changes = read_iceberg_cdc(
+                self.spark, self.base_path, int(commit)
+            ).drop("_commit_snapshot_id")
+        return change
+
+    def _table_change_impl(self, commit: str) -> TableChange:
         """added/removed files = set difference against the parent
         snapshot (snapshot.addedDataFiles/removedDataFiles equivalent),
         keyed by EFFECTIVE path: a data file whose applicable position-
@@ -856,3 +868,143 @@ def read_iceberg_as_df(
             df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))
         df = df.drop("abs_path", "pv")
     return df.select(*[f.name for f in table.read_schema.fields])
+
+
+def read_iceberg_cdc(spark: SparkSession, base_path: str, snapshot_id: int) -> DataFrame:
+    """Row-level changes of ONE snapshot as a CDC-shaped DataFrame: the
+    row columns plus `_change_type` (insert / delete) and
+    `_commit_snapshot_id` — the Iceberg member of the CDC-read family
+    (read_delta_cdf / read_hudi_cdc / read_paimon_changelog).
+
+    Derivation against the parent snapshot (Iceberg logs no explicit
+    change files; this is the changelog-scan semantics):
+    - data files added by the snapshot -> inserts of their visible rows
+      (the snapshot's applicable delete positions excluded);
+    - data files removed -> deletes of the rows that were visible under
+      the PARENT's delete state;
+    - persisting files whose applicable position/equality-delete set
+      widened -> deletes of exactly the newly covered positions (a
+      narrowed set emits the restored rows as inserts).
+
+    Iceberg expresses updates as delete+insert pairs, so `update_*`
+    change types never occur here — consumers treat a same-key
+    delete+insert in one snapshot as an update if they key the stream.
+
+    Scale: scans only the files the snapshot touched plus position-set
+    joins; nothing row-sized reaches the driver."""
+    src = IcebergConversionSource(spark, base_path)
+    meta = src._meta()
+    table = src.get_current_table()
+    snap = src._snapshot_by_id(meta, snapshot_id)
+    if snap is None:
+        raise ValueError(f"no snapshot {snapshot_id} in {base_path}")
+    parent = snap.get("parent-snapshot-id")
+    cur_data, cur_dels = src._entries_by_content(meta, snapshot_id)
+    prev_data, prev_dels = (
+        src._entries_by_content(meta, parent) if parent is not None else ([], [])
+    )
+
+    from incubator_xtable_spark.model.core import PartitionTransformType
+
+    part_cols = {
+        pf.source_field
+        for pf in table.partition_fields
+        if pf.transform == PartitionTransformType.VALUE
+    }
+    data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
+    out_names = [f.name for f in table.read_schema.fields] + [
+        "_change_type",
+        "_commit_snapshot_id",
+    ]
+
+    def applicable_positions(data, dels) -> Optional[DataFrame]:
+        """(file_path, pos) delete positions in force for this state."""
+        if not dels or not data:
+            return None
+        seq_df = spark.createDataFrame(
+            [(e["data_file"]["file_path"], int(e.get("sequence_number") or 0)) for e in data],
+            "file_path STRING, data_seq LONG",
+        )
+        return (
+            src._positions_df(dels, data)
+            .join(F.broadcast(seq_df), "file_path")
+            .filter(F.col("delete_seq") >= F.col("data_seq"))
+            .select("file_path", "pos")
+            .distinct()
+        )
+
+    def rows_of(entries, change_type: str, positions, mode: str) -> DataFrame:
+        df = spark.read.schema(data_fields).parquet(
+            *[e["data_file"]["file_path"] for e in entries]
+        )
+        df = df.withColumn(
+            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        ).withColumn("_ri", F.col("_metadata.row_index"))
+        if positions is not None:
+            df = df.join(
+                positions,
+                (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
+                "left_anti" if mode == "drop" else "left_semi",
+            )
+        if part_cols:
+            pv = spark.createDataFrame(
+                [
+                    (
+                        e["data_file"]["file_path"],
+                        {c: e["data_file"]["partition"].get(c) for c in part_cols},
+                    )
+                    for e in entries
+                ],
+                "abs_path STRING, pv MAP<STRING,STRING>",
+            )
+            df = df.join(F.broadcast(pv), df["_fp"] == pv["abs_path"], "left")
+            for c in part_cols:
+                df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))
+            df = df.drop("abs_path", "pv")
+        return (
+            df.withColumn("_change_type", F.lit(change_type))
+            .withColumn("_commit_snapshot_id", F.lit(int(snapshot_id)))
+            .select(*out_names)
+        )
+
+    cur_by_path = {e["data_file"]["file_path"]: e for e in cur_data}
+    prev_by_path = {e["data_file"]["file_path"]: e for e in prev_data}
+    added = [e for p, e in cur_by_path.items() if p not in prev_by_path]
+    removed = [e for p, e in prev_by_path.items() if p not in cur_by_path]
+    common = [e for p, e in cur_by_path.items() if p in prev_by_path]
+
+    cur_pos = applicable_positions(cur_data, cur_dels)
+    prev_pos = applicable_positions(prev_data, prev_dels)
+
+    parts: list[DataFrame] = []
+    if added:
+        parts.append(rows_of(added, "insert", cur_pos, mode="drop"))
+    if removed:
+        parts.append(rows_of(removed, "delete", prev_pos, mode="drop"))
+    if common and (cur_pos is not None or prev_pos is not None):
+        common_paths = {e["data_file"]["file_path"] for e in common}
+        in_common = F.col("file_path").isin(*common_paths)
+        c = cur_pos.filter(in_common) if cur_pos is not None else None
+        p = prev_pos.filter(in_common) if prev_pos is not None else None
+        newly, restored = None, None
+        if c is not None and p is not None:
+            newly = c.join(p, ["file_path", "pos"], "left_anti")
+            restored = p.join(c, ["file_path", "pos"], "left_anti")
+        elif c is not None:
+            newly = c
+        else:
+            restored = p
+        if newly is not None:
+            parts.append(rows_of(common, "delete", newly, mode="keep"))
+        if restored is not None:
+            parts.append(rows_of(common, "insert", restored, mode="keep"))
+    if not parts:
+        out_fields = list(table.read_schema.fields) + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_snapshot_id", T.LongType()),
+        ]
+        return spark.createDataFrame([], T.StructType(out_fields))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out

@@ -162,3 +162,57 @@ def test_delta_to_delta_cdf_relay(spark, tmp_path):
     assert sorted(r["id"] for r in read_delta_as_df(spark, dst).collect()) == sorted(
         r["id"] for r in read_delta_as_df(spark, src_delta).collect()
     )
+
+
+def test_iceberg_cdc_read_and_channel(spark, tmp_path):
+    """read_iceberg_cdc derives inserts/deletes per snapshot, and the
+    channel routes them into Delta Change Data Files."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_cdc,
+    )
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+
+    d = _make_table(spark, tmp_path)  # ids 0..19 over 2 files, snapshot 1
+    src_probe = IcebergConversionSource(spark, d)
+    meta = src_probe._meta()
+    first_sid = meta["current-snapshot-id"]
+    # snapshot 1's CDC: everything is an insert (no parent)
+    cdc1 = read_iceberg_cdc(spark, d, first_sid)
+    assert sorted(r["id"] for r in cdc1.collect()) == list(range(20))
+    assert {r["_change_type"] for r in cdc1.collect()} == {"insert"}
+
+    fid = _field_id(src_probe, "id")
+    eq = _eq_parquet(os.path.join(d, "eqc.parquet"), {"id": pa.array([5, 13], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+    cdc2 = read_iceberg_cdc(spark, d, 999)
+    assert sorted((r["id"], r["_change_type"]) for r in cdc2.collect()) == [
+        (5, "delete"),
+        (13, "delete"),
+    ]
+
+    # channel: Iceberg -> Delta CDF (incremental commit carries the deletes)
+    src = IcebergConversionSource(spark, d, expose_row_deletes=True, emit_row_changes=True)
+    delta_dir = str(tmp_path / "delta")
+    target = DeltaConversionTarget(spark, delta_dir, change_feed=True)
+    ctrl = ConversionController()
+    # rebuild from scratch so the delete snapshot replays incrementally
+    import shutil
+
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    # sync at snapshot 1 state is gone (table already at 999) — FULL then no CDC;
+    # append ANOTHER delete so an incremental commit exists
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    eq2 = _eq_parquet(os.path.join(d, "eqc2.parquet"), {"id": pa.array([17], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq2, [fid], {})], seq=3, snapshot_id=1000)
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    v = current_log_version(delta_dir)
+    got = _cdc_set(read_delta_cdf(spark, delta_dir, v), ["id"])
+    assert got == [(17, "delete")]
