@@ -243,6 +243,7 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
 
     protocol_seen: Optional[dict] = None
     metadata_seen: Optional[dict] = None
+    cdc_seen = False
     live_dv_uses = []  # (file, descriptor)
     schema_fields: set[str] = set()
     partition_columns: list[str] = []
@@ -288,11 +289,46 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 elif key == "remove":
                     if "path" not in body:
                         report.add("DELTA_REMOVE_NO_PATH", where, "remove.path required")
+                elif key == "cdc":
+                    cdc_seen = True
+                    if "path" not in body:
+                        report.add("DELTA_CDC_NO_PATH", where, "cdc.path required")
+                    elif not os.path.exists(_abs_path(body["path"], base_path)):
+                        report.add("DELTA_CDC_FILE_MISSING", where, body["path"])
+                    if body.get("dataChange") is not False:
+                        report.add(
+                            "DELTA_CDC_DATACHANGE",
+                            where,
+                            "cdc actions must carry dataChange=false (they "
+                            "supplement the file actions, never replace them)",
+                        )
         if v == versions[0] and versions[0] == 0:
             if protocol_seen is None:
                 report.add("DELTA_V0_NO_PROTOCOL", fname, "version 0 must contain protocol")
             if metadata_seen is None:
                 report.add("DELTA_V0_NO_METADATA", fname, "version 0 must contain metaData")
+
+    # feature gating: cdc actions require change data feed to be enabled
+    # (property) and a writer that understands it (protocol 4+ legacy or
+    # the changeDataFeed table feature)
+    if cdc_seen:
+        cfg = (metadata_seen or {}).get("configuration") or {}
+        if cfg.get("delta.enableChangeDataFeed") != "true":
+            report.add(
+                "DELTA_CDF_NOT_ENABLED",
+                log_dir,
+                "cdc actions present but delta.enableChangeDataFeed is not 'true'",
+            )
+        if protocol_seen is not None:
+            wv = protocol_seen.get("minWriterVersion", 1)
+            wf = set(protocol_seen.get("writerFeatures") or [])
+            if wv < 4 and "changeDataFeed" not in wf:
+                report.add(
+                    "DELTA_CDF_PROTOCOL",
+                    log_dir,
+                    "cdc actions require minWriterVersion>=4 or the "
+                    "changeDataFeed writer feature",
+                )
 
     # feature gating: any DV use requires the deletionVectors feature
     if live_dv_uses and protocol_seen is not None:

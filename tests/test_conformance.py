@@ -450,3 +450,80 @@ def test_paimon_detects_schema_shape(spark, tmp_path):
     del sch["partitionKeys"]
     json.dump(sch, open(p, "w"))
     assert "PAI_SCHEMA_FIELD" in {i.code for i in check(spark, base).issues}
+
+
+def test_cdf_conformance_green_then_red(spark, tmp_path):
+    """Change Data Files: green on channel-written tables; red when a cdc
+    parquet vanishes or the enabling property is stripped."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+    from .hudi_logtable import avro_data_block
+    from .test_hudi_log_merge import AVRO_SCHEMA as HUDI_SCHEMA
+    from .test_hudi_log_merge import _add_log, _commit, _write_base
+
+    base = str(tmp_path / "mor")
+    os.makedirs(os.path.join(base, ".hoodie"))
+    props = {
+        "hoodie.table.name": "t",
+        "hoodie.table.type": "MERGE_ON_READ",
+        "hoodie.table.version": "6",
+        "hoodie.table.base.file.format": "PARQUET",
+        "hoodie.populate.meta.fields": "false",
+        "hoodie.table.partition.fields": "",
+        "hoodie.table.recordkey.fields": "id",
+    }
+    with open(os.path.join(base, ".hoodie", "hoodie.properties"), "w") as fh:
+        for k, v in props.items():
+            fh.write(f"{k}={v}\n")
+    s1 = _write_base(base, "g1_0-0-0_001.parquet", list(range(4)))
+    _commit(
+        base,
+        "20240101000001000",
+        "deltacommit",
+        [{"fileId": "g1", "path": "g1_0-0-0_001.parquet", "fileSizeInBytes": s1, "numWrites": 4}],
+    )
+    delta_dir = str(tmp_path / "delta")
+    src = HudiConversionSource(spark, base, view="snapshot", emit_row_changes=True)
+    target = DeltaConversionTarget(spark, delta_dir, change_feed=True)
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    _add_log(
+        base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", HUDI_SCHEMA, [{"id": 1, "v": "u"}])],
+    )
+    assert ctrl.sync(src, {TableFormat.DELTA: target})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+
+    report = check_delta_conformance(spark, delta_dir)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+    # red 1: cdc parquet vanishes
+    cdc_file = glob.glob(os.path.join(delta_dir, "_change_data", "*.parquet"))[0]
+    stash = cdc_file + ".stash"
+    os.rename(cdc_file, stash)
+    assert "DELTA_CDC_FILE_MISSING" in _codes(check_delta_conformance(spark, delta_dir))
+    os.rename(stash, cdc_file)
+
+    # red 2: enabling property stripped from every metaData action
+    log = os.path.join(delta_dir, "_delta_log")
+    for fn in sorted(os.listdir(log)):
+        if not (fn.endswith(".json") and fn[:-5].isdigit()):
+            continue
+        lines = []
+        for line in open(os.path.join(log, fn)):
+            a = json.loads(line)
+            if "metaData" in a:
+                a["metaData"]["configuration"].pop("delta.enableChangeDataFeed", None)
+            lines.append(json.dumps(a))
+        with open(os.path.join(log, fn), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    assert "DELTA_CDF_NOT_ENABLED" in _codes(check_delta_conformance(spark, delta_dir))
