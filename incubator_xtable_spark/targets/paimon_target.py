@@ -23,7 +23,16 @@ Key design points:
 - identity (VALUE) partitions only — Paimon partitioning IS identity;
   non-identity specs raise a clear error instead of mis-landing;
 - append-only (no primaryKeys): converted tables have no merge
-  semantics to express, every file lands at level 0.
+  semantics to express, every file lands at level 0. A PK-table target
+  is DELIBERATELY out of scope: Paimon PK data files physically store
+  the KeyValue row layout (_KEY_* copies of the key columns,
+  _SEQUENCE_NUMBER, _VALUE_KIND prefixed to the value columns), so no
+  metadata-only registration can make external parquet readable as a
+  PK table — it would require rewriting every data file, defeating the
+  conversion model. Sources that HAVE merge semantics (Delta DVs,
+  Iceberg deletes, Hudi MOR) convert their RESOLVED row state here
+  instead (shadows / row-delete channel), which is lossless for
+  readers.
 
 Scale: manifest/metadata writes are driver-side and bounded by
 files-touched-per-commit (the inventory drains use the same auto
@@ -157,6 +166,7 @@ class PaimonConversionTarget:
         self._removes: Optional[DataFrame] = None
         self._snapshot_sync = False
         self._row_deletes: Optional[DataFrame] = None
+        self._row_changes: Optional[DataFrame] = None
 
     # -- dirs / current state ----------------------------------------------
 
@@ -254,6 +264,100 @@ class PaimonConversionTarget:
         index file; the snapshot's indexManifest restates the full set
         (an empty restatement clears all DVs)."""
         self._row_deletes = deletes
+
+    def sync_row_changes(self, changes: DataFrame) -> None:
+        """CDC channel: the commit's row-level changes persist as REAL
+        Paimon changelog files — _VALUE_KIND-prefixed parquet registered
+        on the snapshot's changelogManifestList, exactly what a
+        changelog-producer writer emits. read_paimon_changelog then
+        serves them tier-1 (the append-fallback only covers APPEND
+        commits, so OVERWRITE commits from delete-carrying sources NEED
+        the explicit changelog)."""
+        self._row_changes = changes
+
+    def _write_changelog(self, schema_id: int) -> Optional[tuple[str, int]]:
+        """CDC rows -> changelog data parquet(s) (_VALUE_KIND tinyint +
+        row columns, the changelog-producer file shape) + their manifest
+        + list. Returns (changelogManifestList path, total rows) or None
+        for an empty change set. Distributed write, bounded file count;
+        entries register via _EXTERNAL_PATH like the data files."""
+        import glob as _glob
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        df = self._row_changes
+        if df is None or df.isEmpty():
+            return None
+        # inverse of sources/paimon_source._CHANGE_TYPES (RowKind bytes)
+        kind_map = F.create_map(
+            F.lit("insert"), F.lit(0),
+            F.lit("update_preimage"), F.lit(1),
+            F.lit("update_postimage"), F.lit(2),
+            F.lit("delete"), F.lit(3),
+        )
+        out = df.withColumn(
+            "_VALUE_KIND", kind_map[F.col("_change_type")].cast("tinyint")
+        ).drop("_change_type")
+        tmp = os.path.join(self.base_path, f".cl-tmp-{uuid.uuid4().hex}")
+        out.coalesce(4).write.parquet(tmp)
+        import pyarrow.parquet as _pq
+
+        entries: list[dict] = []
+        total = 0
+        empty = encode_binary_row([], [])
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            n = _pq.read_metadata(part).num_rows
+            if n == 0:
+                os.remove(part)
+                continue
+            name = f"changelog-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.base_path, name)
+            os.replace(part, dst)
+            total += n
+            entries.append(
+                {
+                    "_VERSION": 2,
+                    "_KIND": 0,
+                    "_PARTITION": self._partition_blob(None),
+                    "_BUCKET": 0,
+                    "_TOTAL_BUCKETS": 1,
+                    "_FILE": {
+                        "_FILE_NAME": name,
+                        "_FILE_SIZE": os.path.getsize(dst),
+                        "_ROW_COUNT": n,
+                        "_MIN_KEY": empty,
+                        "_MAX_KEY": empty,
+                        "_KEY_STATS": {
+                            "_MIN_VALUES": empty,
+                            "_MAX_VALUES": empty,
+                            "_NULL_COUNTS": encode_long_array([]),
+                        },
+                        "_VALUE_STATS": {
+                            "_MIN_VALUES": empty,
+                            "_MAX_VALUES": empty,
+                            "_NULL_COUNTS": encode_long_array([]),
+                        },
+                        "_MIN_SEQUENCE_NUMBER": 0,
+                        "_MAX_SEQUENCE_NUMBER": 0,
+                        "_SCHEMA_ID": schema_id,
+                        "_LEVEL": 0,
+                        "_EXTRA_FILES": [],
+                        "_CREATION_TIME": EPOCH_MS_BASE,
+                        "_DELETE_ROW_COUNT": None,
+                        "_EMBEDDED_FILE_INDEX": None,
+                        "_FILE_SOURCE": 0,
+                        # empty stats advertise no columns, not all columns
+                        "_VALUE_STATS_COLS": [],
+                        "_EXTERNAL_PATH": dst,
+                    },
+                }
+            )
+        _shutil.rmtree(tmp, ignore_errors=True)
+        if not entries:
+            return None
+        meta = self._write_manifest(entries, schema_id)
+        return self._write_manifest_list([meta], 2), total
 
     def _write_dv_index(self, schema_id: int) -> Optional[str]:
         """row_deletes rows -> DV index file(s) per partition group + one
@@ -606,13 +710,19 @@ class PaimonConversionTarget:
             index_manifest = self._write_dv_index(schema_id)
         else:
             index_manifest = prev.get("indexManifest") if prev else None
+        changelog_list = None
+        changelog_rows = 0
+        if self._row_changes is not None and prev is not None:
+            cl = self._write_changelog(schema_id)
+            if cl is not None:
+                changelog_list, changelog_rows = cl
         snapshot = {
             "version": 3,
             "id": new_id,
             "schemaId": schema_id,
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
-            "changelogManifestList": None,
+            "changelogManifestList": changelog_list,
             "indexManifest": index_manifest,
             "commitUser": "xtable-spark",
             "commitIdentifier": new_id,
@@ -621,7 +731,7 @@ class PaimonConversionTarget:
             "logOffsets": {},
             "totalRecordCount": None,
             "deltaRecordCount": delta_rows,
-            "changelogRecordCount": 0,
+            "changelogRecordCount": changelog_rows,
             "watermark": None,
         }
         snap_dir = self._dir("snapshot")

@@ -216,3 +216,47 @@ def test_iceberg_cdc_read_and_channel(spark, tmp_path):
     v = current_log_version(delta_dir)
     got = _cdc_set(read_delta_cdf(spark, delta_dir, v), ["id"])
     assert got == [(17, "delete")]
+
+
+def test_hudi_to_paimon_changelog_preserved(spark, tmp_path, mor_base):
+    """The CDC channel also lands in Paimon targets: row changes become
+    real changelog files (changelogManifestList), which
+    read_paimon_changelog serves tier-1 — needed because OVERWRITE
+    commits have no append fallback."""
+    from incubator_xtable_spark.sources.paimon_source import read_paimon_changelog
+    from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+
+    src = HudiConversionSource(spark, mor_base, view="snapshot", emit_row_changes=True)
+    pdir = str(tmp_path / "paimon")
+    target = PaimonConversionTarget(spark, pdir, table_name="t")
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.PAIMON: target})[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS
+
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [
+            avro_data_block(
+                spark, "20240101000002000", AVRO_SCHEMA, [{"id": 3, "v": "upd"}]
+            ),
+            delete_block(spark, "20240101000002000", ["1"]),
+        ],
+    )
+    assert ctrl.sync(src, {TableFormat.PAIMON: target})[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS
+    # target snapshot 2 carries the changelog; this is an OVERWRITE
+    # commit (shadow swap), so only the explicit tier can serve it
+    snap = json.load(open(os.path.join(pdir, "snapshot", "snapshot-2")))
+    assert snap["changelogManifestList"] is not None
+    assert snap["commitKind"] == "OVERWRITE"
+    got = _cdc_set(read_paimon_changelog(spark, pdir, 2), ["id", "v"])
+    want = _cdc_set(read_hudi_cdc(spark, mor_base, "20240101000002000"), ["id", "v"])
+    assert got == want
+    assert (1, "x1", "delete") in got and (3, "upd", "update_postimage") in got
+    # row-state parity still holds
+    from incubator_xtable_spark.sources.paimon_source import read_paimon_as_df
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+
+    assert sorted((r["id"], r["v"]) for r in read_paimon_as_df(spark, pdir).collect()) == sorted(
+        (r["id"], r["v"]) for r in read_hudi_as_df(spark, mor_base, mode="snapshot").collect()
+    )
