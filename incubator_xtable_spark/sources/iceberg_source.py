@@ -59,11 +59,14 @@ class IcebergConversionSource:
         name: Optional[str] = None,
         expose_row_deletes: bool = False,
         emit_row_changes: bool = False,
+        ref: Optional[str] = None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.name = name or os.path.basename(self.base_path)
         self.avro = AvroIO(spark)
+        # branch/tag to sync from (spec `refs`); None = the main head
+        self.ref = ref
         # CDC channel: attach each snapshot's changelog-scan derivation
         # (read_iceberg_cdc) to the TableChange for CDF-capable targets
         self.emit_row_changes = emit_row_changes
@@ -80,6 +83,20 @@ class IcebergConversionSource:
         if meta is None:
             raise ValueError(f"not an iceberg table: {self.base_path}")
         return meta
+
+    def _head_snapshot_id(self, meta: dict) -> Optional[int]:
+        """The snapshot this source reads as "current": the named
+        branch/tag head when ``ref`` is set (spec refs map), else
+        current-snapshot-id."""
+        if self.ref is not None:
+            refs = meta.get("refs") or {}
+            if self.ref not in refs:
+                raise ValueError(
+                    f"no branch/tag {self.ref!r} in {self.base_path} "
+                    f"(refs: {sorted(refs)})"
+                )
+            return refs[self.ref]["snapshot-id"]
+        return meta.get("current-snapshot-id")
 
     def get_current_table(self) -> InternalTable:
         meta = self._meta()
@@ -555,7 +572,7 @@ class IcebergConversionSource:
     def get_current_snapshot(self) -> InternalSnapshot:
         meta = self._meta()
         table = self.get_current_table()
-        snapshot_id = meta["current-snapshot-id"]
+        snapshot_id = self._head_snapshot_id(meta)
         entries, deletes = self._entries_by_content(meta, snapshot_id)
         affected = self._applicable_deletes(entries, deletes)
         if affected and self.expose_row_deletes:
@@ -695,7 +712,7 @@ class IcebergConversionSource:
         meta = self._meta()
         last = int(instants.last_sync_instant) if instants.last_sync_instant.isdigit() else None
         chain: list[str] = []
-        cur = self._snapshot_by_id(meta, meta.get("current-snapshot-id"))
+        cur = self._snapshot_by_id(meta, self._head_snapshot_id(meta))
         while cur is not None and cur["snapshot-id"] != last:
             chain.append(str(cur["snapshot-id"]))
             parent = cur.get("parent-snapshot-id")
@@ -709,7 +726,7 @@ class IcebergConversionSource:
         if not instant.isdigit():
             return False
         target = int(instant)
-        cur = self._snapshot_by_id(meta, meta.get("current-snapshot-id"))
+        cur = self._snapshot_by_id(meta, self._head_snapshot_id(meta))
         while cur is not None:
             if cur["snapshot-id"] == target:
                 return True
@@ -798,14 +815,18 @@ class IcebergConversionSource:
 
 
 def read_iceberg_as_df(
-    spark: SparkSession, base_path: str, snapshot_id: Optional[int] = None
+    spark: SparkSession,
+    base_path: str,
+    snapshot_id: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
-    """Snapshot read (time travel via snapshot_id): the engine's
-    `spark.read.format("iceberg")` equivalent for our subset."""
-    src = IcebergConversionSource(spark, base_path)
+    """Snapshot read (time travel via snapshot_id, or a branch/tag name
+    via ref — spec `refs`): the engine's `spark.read.format("iceberg")`
+    equivalent for our subset."""
+    src = IcebergConversionSource(spark, base_path, ref=ref)
     meta = src._meta()
     table = src.get_current_table()
-    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    sid = snapshot_id if snapshot_id is not None else src._head_snapshot_id(meta)
     entries, delete_entries = src._entries_by_content(meta, sid)
     paths = [e["data_file"]["file_path"] for e in entries]
     if not paths:

@@ -1089,7 +1089,34 @@ class IcebergConversionTarget:
             "snapshots": (prev or {}).get("snapshots", []) + [snapshot],
             "snapshot-log": (prev or {}).get("snapshot-log", [])
             + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
-            "metadata-log": [],
+            # spec: previous metadata files, oldest first (readers use it
+            # for metadata time travel; retention may prune it)
+            "metadata-log": (
+                (prev or {}).get("metadata-log", [])
+                + (
+                    [
+                        {
+                            "timestamp-ms": (prev or {}).get("last-updated-ms", now_ms),
+                            "metadata-file": os.path.join(
+                                metadata_dir(self.base_path),
+                                f"v{version - 1}.metadata.json",
+                            ),
+                        }
+                    ]
+                    if prev is not None
+                    else []
+                )
+            ),
+            # main branch ref for the new head; preserve any OTHER
+            # branches/tags an external writer created (spec `refs`)
+            "refs": {
+                **{
+                    name: r
+                    for name, r in ((prev or {}).get("refs") or {}).items()
+                    if name != "main"
+                },
+                "main": {"snapshot-id": snapshot_id, "type": "branch"},
+            },
         }
         final = os.path.join(metadata_dir(self.base_path), f"v{version}.metadata.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"

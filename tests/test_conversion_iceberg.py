@@ -368,3 +368,62 @@ def test_transform_partition_values_are_spec_native(spark, tmp_path):
         "ts_day": "DAY",
         "id_bucket": "BUCKET",
     }
+
+
+def test_refs_and_metadata_log(spark, tmp_path):
+    """Spec completeness: the target maintains the main branch ref and
+    the metadata-log chain; readers resolve branch/tag names, and
+    conversions can sync FROM a tag (stable historical head)."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import (
+        IcebergConversionTarget,
+        current_metadata_version,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    d = str(tmp_path / "refs")
+    df = spark.range(0, 8).select(F.col("id").cast("long"))
+    df.coalesce(1).write.parquet(d)
+    source = ParquetConversionSource(spark, d, name="refs")
+    target = IcebergConversionTarget(spark, d, table_name="refs")
+    ctrl = ConversionController()
+    ctrl.sync(source, {TableFormat.ICEBERG: target})
+    meta1 = read_table_metadata(d)
+    first_sid = meta1["current-snapshot-id"]
+    assert meta1["refs"]["main"] == {"snapshot-id": first_sid, "type": "branch"}
+    assert meta1["metadata-log"] == []  # no previous metadata at creation
+
+    # tag the first snapshot the way an external writer would, then commit more
+    v = current_metadata_version(d)
+    meta1["refs"]["v1-audit"] = {"snapshot-id": first_sid, "type": "tag"}
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta1, fh)
+    df.withColumn("id", F.col("id") + 100).coalesce(1).write.mode("append").parquet(d)
+    ctrl.sync(source, {TableFormat.ICEBERG: target})
+
+    meta2 = read_table_metadata(d)
+    # main advanced; the foreign tag survived; metadata-log chains back
+    assert meta2["refs"]["main"]["snapshot-id"] == meta2["current-snapshot-id"]
+    assert meta2["refs"]["v1-audit"]["snapshot-id"] == first_sid
+    assert [e["metadata-file"].endswith(f"v{v}.metadata.json") for e in meta2["metadata-log"]] == [True]
+
+    # ref-resolved reads: the tag sees 8 rows, main sees 16
+    assert read_iceberg_as_df(spark, d, ref="v1-audit").count() == 8
+    assert read_iceberg_as_df(spark, d, ref="main").count() == 16
+    # conversion FROM the tag: snapshot is the tagged head
+    src_tag = IcebergConversionSource(spark, d, ref="v1-audit")
+    assert src_tag.get_current_snapshot().version == str(first_sid)
+    import pytest
+
+    with pytest.raises(ValueError, match="no branch/tag"):
+        read_iceberg_as_df(spark, d, ref="nope")
