@@ -129,8 +129,16 @@ def hash_item(value, seed: int = DEFAULT_SEED) -> int:
     Byte representations follow the DataSketches update() conventions:
     str -> UTF-8 bytes; int -> 8-byte little-endian long; float ->
     8-byte little-endian IEEE double (canonicalizing -0.0 to 0.0);
+    date -> days-since-epoch long (how engines sketch DATE columns);
     bytes used as-is; bool -> long 0/1; None is not hashable (callers
-    skip nulls — NDV counts non-null values, matching engines)."""
+    skip nulls — NDV counts non-null values, matching engines).
+
+    numpy scalars (what Arrow batches hand to the executor pass)
+    normalize to their Python equivalents FIRST — np.int64 is not an
+    `int`, and letting it fall through to str() would silently produce
+    non-interoperable hashes."""
+    if hasattr(value, "item") and type(value).__module__ == "numpy":
+        value = value.item()
     if isinstance(value, bool):
         data = struct.pack("<q", int(value))
     elif isinstance(value, str):
@@ -142,7 +150,16 @@ def hash_item(value, seed: int = DEFAULT_SEED) -> int:
     elif isinstance(value, (bytes, bytearray)):
         data = bytes(value)
     else:
-        data = str(value).encode("utf-8")
+        import datetime as _dt
+
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            data = struct.pack("<q", (value - _dt.date(1970, 1, 1)).days)
+        else:
+            raise TypeError(
+                f"unhashable sketch item type {type(value).__name__}: add an "
+                "explicit byte convention rather than silently str()-hashing "
+                "(interoperability would break)"
+            )
     return murmur3_x64_128(data, seed)[0] >> 1
 
 

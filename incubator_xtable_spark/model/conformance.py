@@ -322,12 +322,14 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
         if protocol_seen is not None:
             wv = protocol_seen.get("minWriterVersion", 1)
             wf = set(protocol_seen.get("writerFeatures") or [])
-            if wv < 4 and "changeDataFeed" not in wf:
+            # legacy 4-6 implies CDF; a table-features writer (7) enables
+            # ONLY listed features; below 4 nothing implies it
+            if wv < 4 or (wv >= 7 and "changeDataFeed" not in wf):
                 report.add(
                     "DELTA_CDF_PROTOCOL",
                     log_dir,
-                    "cdc actions require minWriterVersion>=4 or the "
-                    "changeDataFeed writer feature",
+                    "cdc actions require minWriterVersion 4-6 (legacy) or "
+                    "the changeDataFeed writer feature on version 7",
                 )
 
     # feature gating: any DV use requires the deletionVectors feature

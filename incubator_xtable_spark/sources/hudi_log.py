@@ -203,18 +203,40 @@ def block_records(spark, block: LogBlock) -> tuple[str, list[dict]]:
 
 
 def merged_log_records(
-    spark, log_paths: list[str], key_field: str
+    spark, log_paths: list[str], key_field: str, max_instant: Optional[str] = None
 ) -> tuple[dict[str, dict], set[str]]:
     """Scan a slice's log files in order -> (upserts by key, deleted
     keys). Later blocks win; a delete tombstone is cleared by a later
-    upsert of the same key (and vice versa)."""
+    upsert of the same key (and vice versa). ``max_instant`` bounds the
+    merge for as-of reads: a log FILE can carry blocks from several
+    deltacommits (Hudi appends), so blocks whose INSTANT_TIME header is
+    newer than the as-of instant must not leak into the view."""
+    upserts, deleted, _ = merged_log_records_with_boundary(
+        spark, log_paths, key_field, max_instant
+    )
+    return upserts, deleted
+
+
+def merged_log_records_with_boundary(
+    spark, log_paths: list[str], key_field: str, max_instant: Optional[str] = None
+) -> tuple[dict[str, dict], set[str], str]:
+    """merged_log_records + the boundary: the newest block instant that
+    was APPLIED. Shadow materialization keys its deterministic file
+    names on (log files, boundary) so an as-of state maps to a stable
+    path even while later blocks keep appending to the same files."""
     upserts: dict[str, dict] = {}
     deleted: set[str] = set()
+    boundary = ""
     for path in log_paths:
         for block in read_log_blocks(path):
+            inst = block.instant
+            if max_instant is not None and inst is not None and inst > max_instant:
+                continue
             kind, records = block_records(spark, block)
             if kind == "cdc":
                 continue  # CDC supplements don't participate in the merge
+            if inst is not None and inst > boundary:
+                boundary = inst
             if kind == "upsert":
                 for r in records:
                     k = str(r.get(key_field))
@@ -225,4 +247,4 @@ def merged_log_records(
                     k = str(r.get("recordKey"))
                     deleted.add(k)
                     upserts.pop(k, None)
-    return upserts, deleted
+    return upserts, deleted, boundary

@@ -150,7 +150,11 @@ def live_files_rows(
 
 
 def materialize_mor_shadows(
-    spark: SparkSession, base_path: str, log_rows: list[dict], table: InternalTable
+    spark: SparkSession,
+    base_path: str,
+    log_rows: list[dict],
+    table: InternalTable,
+    as_of: Optional[str] = None,
 ) -> dict[str, dict]:
     """Materialize log-bearing MOR slices as compaction shadows:
     base-file rows minus upserted/deleted keys plus the log tail's final
@@ -174,7 +178,7 @@ def materialize_mor_shadows(
     import json as _json
     import shutil as _shutil
 
-    from incubator_xtable_spark.sources.hudi_log import merged_log_records
+    from incubator_xtable_spark.sources.hudi_log import merged_log_records_with_boundary
 
     props = read_properties(base_path)
     key_field = (
@@ -185,10 +189,17 @@ def materialize_mor_shadows(
     out: dict[str, dict] = {}
     for r in log_rows:
         logs = [os.path.join(base_path, lf) for lf in r["log_files"]]
-        upserts, deleted = merged_log_records(spark, logs, key_field)
+        # as-of bounded: Hudi appends later commits' blocks to the SAME
+        # log files, so the merge (and the shadow identity) must only
+        # see blocks up to the requested instant
+        upserts, deleted, boundary = merged_log_records_with_boundary(
+            spark, logs, key_field, max_instant=as_of
+        )
         if not upserts and not deleted and r["path"] is not None:
             continue  # no-op log tail: the base file IS the snapshot view
-        tag = hashlib.md5("|".join(sorted(r["log_files"])).encode()).hexdigest()[:8]
+        tag = hashlib.md5(
+            ("|".join(sorted(r["log_files"])) + "|" + boundary).encode()
+        ).hexdigest()[:8]
         if r["path"]:
             stem = r["path"][: -len(".parquet")] if r["path"].endswith(".parquet") else r["path"]
         else:  # log-only slice: shadow sits beside its logs
@@ -375,14 +386,23 @@ class HudiConversionSource:
             files = self._to_inventory(rows, table, with_stats)
         return InternalSnapshot(table=table, version=latest, files=files)
 
-    def _effective_rows(self, as_of: str, table: InternalTable) -> list[dict]:
+    def _effective_rows(
+        self, as_of: str, table: InternalTable, only_file_ids: Optional[set] = None
+    ) -> list[dict]:
         """Snapshot-view file rows at ``as_of``: base files as-is for
         log-free slices, compaction shadows for log-bearing ones
-        (including log-only slices, which have no base file at all)."""
+        (including log-only slices, which have no base file at all).
+        ``only_file_ids`` restricts BOTH the listing and the shadow
+        materialization — a CDC read of a 2-slice commit must not
+        compact the table's other 998 log-bearing slices."""
         rows = live_files_rows(self.base_path, as_of, include_log_only=True)
+        if only_file_ids is not None:
+            rows = [r for r in rows if r["fileId"] in only_file_ids]
         log_rows = [r for r in rows if r.get("log_files")]
         shadows = (
-            materialize_mor_shadows(self.spark, self.base_path, log_rows, table)
+            materialize_mor_shadows(
+                self.spark, self.base_path, log_rows, table, as_of=as_of
+            )
             if log_rows
             else {}
         )
@@ -728,8 +748,10 @@ def read_hudi_cdc(spark: SparkSession, base_path: str, instant: str) -> DataFram
         for fid in fid_list
     }
     prev = _prev_instant(base_path, instant)
-    eff_new = {r["fileId"]: r for r in src._effective_rows(instant, table)}
-    eff_old = {r["fileId"]: r for r in src._effective_rows(prev, table)} if prev else {}
+    eff_new = {r["fileId"]: r for r in src._effective_rows(instant, table, touched)}
+    eff_old = (
+        {r["fileId"]: r for r in src._effective_rows(prev, table, touched)} if prev else {}
+    )
 
     def _read(reps: dict, alias: str) -> DataFrame:
         paths = [
@@ -790,7 +812,11 @@ def read_hudi_as_df(
         return spark.createDataFrame([], table.read_schema if table else T.StructType([]))
     if not rows:  # log-only slices: everything comes from the overlay
         base_df = spark.createDataFrame([], table.read_schema)
-        return _apply_log_overlay(spark, base_path, base_df, log_rows, table) if include_logs else base_df
+        return (
+            _apply_log_overlay(spark, base_path, base_df, log_rows, table, as_of_instant)
+            if include_logs
+            else base_df
+        )
     # partition columns may live INSIDE the data files (Paimon-sourced
     # conversions store the full row) or only in the hive-style path
     # (parquet-dir sources) — and a table synced from BOTH kinds of
@@ -843,7 +869,7 @@ def read_hudi_as_df(
     for p in parts[1:]:
         out = out.unionByName(p)
     if include_logs and log_rows:
-        out = _apply_log_overlay(spark, base_path, out, log_rows, table)
+        out = _apply_log_overlay(spark, base_path, out, log_rows, table, as_of_instant)
     return out
 
 
@@ -853,6 +879,7 @@ def _apply_log_overlay(
     base_df: DataFrame,
     log_rows: list[dict],
     table: InternalTable,
+    as_of: Optional[str] = None,
 ) -> DataFrame:
     """Merge the log-file tail over the base rows: upserts replace by
     record key, deletes drop, new keys append (per-slice log order is
@@ -866,7 +893,7 @@ def _apply_log_overlay(
     log_paths = [
         os.path.join(base_path, lf) for r in log_rows for lf in (r.get("log_files") or [])
     ]
-    upserts, deleted = merged_log_records(spark, log_paths, key_field)
+    upserts, deleted = merged_log_records(spark, log_paths, key_field, max_instant=as_of)
     if not upserts and not deleted:
         return base_df
     drop_keys = [str(k) for k in (set(upserts) | deleted)]

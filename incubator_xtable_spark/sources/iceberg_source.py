@@ -920,6 +920,13 @@ def read_iceberg_cdc(spark: SparkSession, base_path: str, snapshot_id: int) -> D
     if snap is None:
         raise ValueError(f"no snapshot {snapshot_id} in {base_path}")
     parent = snap.get("parent-snapshot-id")
+    if parent is not None and src._snapshot_by_id(meta, parent) is None:
+        # an expired parent would silently turn the whole table into
+        # "inserts" — refuse instead (same contract as an expired cursor)
+        raise ValueError(
+            f"snapshot {snapshot_id}'s parent {parent} has been expired; "
+            "its changelog can no longer be derived"
+        )
     cur_data, cur_dels = src._entries_by_content(meta, snapshot_id)
     prev_data, prev_dels = (
         src._entries_by_content(meta, parent) if parent is not None else ([], [])

@@ -39,7 +39,16 @@ def _commits_after(
         from incubator_xtable_spark.sources.delta_source import list_log_versions
 
         floor = int(after) if after is not None else -1
-        return [str(v) for v in list_log_versions(base_path) if v > floor]
+        versions = [v for v in list_log_versions(base_path) if v > floor]
+        # Delta versions are contiguous: a gap right after the cursor
+        # means retention pruned commits the consumer never saw — losing
+        # them silently is worse than failing
+        if after is not None and versions and versions[0] != floor + 1:
+            raise ValueError(
+                f"commits {floor + 1}..{versions[0] - 1} after the cursor have "
+                "been expired; restart the stream without a cursor"
+            )
+        return [str(v) for v in versions]
     if fmt == "HUDI":
         from incubator_xtable_spark.targets.hudi_target import list_completed_instants
 

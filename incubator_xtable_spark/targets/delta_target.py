@@ -423,6 +423,19 @@ class DeltaConversionTarget:
                 writer_version = max(writer_version, 7)
             prev_proto = None if version == 0 else self._read_latest_protocol()
             prev_reader_feats = set((prev_proto or {}).get("readerFeatures") or [])
+            prev_writer_feats = set((prev_proto or {}).get("writerFeatures") or [])
+            # CDF on an existing table: legacy writer 4-6 implies it; a
+            # table-features writer (7) must LIST changeDataFeed; below 4
+            # an upgrade commit is required before cdc actions are legal
+            prev_wv = (prev_proto or {}).get("minWriterVersion", 1)
+            cdf_upgrade_needed = (
+                self.change_feed
+                and prev_proto is not None
+                and (
+                    prev_wv < 4
+                    or (prev_wv >= 7 and "changeDataFeed" not in prev_writer_feats)
+                )
+            )
             if version == 0 or (
                 need_dv
                 and prev_proto is not None
@@ -430,18 +443,29 @@ class DeltaConversionTarget:
                     prev_proto.get("minReaderVersion", 1) < 3
                     or "deletionVectors" not in prev_reader_feats
                 )
-            ) or (need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats):
+            ) or (
+                need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats
+            ) or cdf_upgrade_needed:
+                # an existing table-features protocol stays on 3/7 even if
+                # this commit's own needs are lower (features cannot demote)
+                if prev_reader_feats:
+                    reader_version = max(reader_version, 3)
+                if prev_writer_feats:
+                    writer_version = max(writer_version, 7)
                 proto: dict[str, Any] = {
                     "minReaderVersion": reader_version,
                     "minWriterVersion": writer_version,
                 }
-                if need_dv or need_v2cp:
+                if need_dv or need_v2cp or prev_writer_feats:
                     # a table-features protocol (3/7) must list EVERY
                     # active feature, including those the replaced legacy
                     # protocol implied — not just the newly needed one
                     reader_feats = set(prev_reader_feats)
-                    writer_feats = set((prev_proto or {}).get("writerFeatures") or [])
+                    writer_feats = set(prev_writer_feats)
                     writer_feats |= {"appendOnly", "invariants"}
+                    if self.change_feed:
+                        # writer-7 tables enable ONLY listed features
+                        writer_feats.add("changeDataFeed")
                     if need_dv or "deletionVectors" in prev_reader_feats:
                         reader_feats.add("deletionVectors")
                         writer_feats.add("deletionVectors")
@@ -550,28 +574,45 @@ class DeltaConversionTarget:
     def _write_change_data(self, changes: DataFrame) -> list[dict]:
         """Write the CDC rows as parquet under _change_data/ and return
         the cdc action dicts. Empty change sets write nothing (readers
-        then correctly derive "no changes" from the file actions)."""
+        then correctly derive "no changes" from the file actions).
+
+        Partitioned tables: CDF readers re-derive the partition columns
+        from each cdc action's partitionValues (the columns are NOT in
+        the change files, same as data files), so the write goes through
+        partitionBy and each emitted file carries its hive-path values."""
         import glob
         import shutil
         import uuid as _uuid
+        from urllib.parse import unquote
 
         if changes.isEmpty():
             return []
         cd_dir = os.path.join(self.base_path, "_change_data")
         os.makedirs(cd_dir, exist_ok=True)
         tmp = os.path.join(cd_dir, f".cdc-tmp-{_uuid.uuid4().hex}")
+        part_cols = [c for c in self._partition_cols if c in changes.columns]
         # per-commit change sets are change-volume-sized; bound the file
         # count rather than inheriting the session's shuffle parallelism
-        changes.coalesce(4).write.parquet(tmp)
+        writer = changes.coalesce(4).write
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
         out: list[dict] = []
-        for part in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+        for part in sorted(glob.glob(os.path.join(tmp, "**", "part-*.parquet"), recursive=True)):
+            rel_dir = os.path.relpath(os.path.dirname(part), tmp)
+            pv: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    v = unquote(v)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
             name = f"cdc-{_uuid.uuid4().hex}.parquet"
             dst = os.path.join(cd_dir, name)
             os.replace(part, dst)
             out.append(
                 {
                     "path": f"_change_data/{name}",
-                    "partitionValues": {},
+                    "partitionValues": pv,
                     "size": os.path.getsize(dst),
                     "dataChange": False,
                 }

@@ -299,14 +299,38 @@ class PaimonConversionTarget:
         out = df.withColumn(
             "_VALUE_KIND", kind_map[F.col("_change_type")].cast("tinyint")
         ).drop("_change_type")
+        # partitioned tables: one changelog file group per touched
+        # partition so entries carry REAL partition blobs (partition
+        # predicates on the changelog scan must prune correctly); the
+        # row columns stay in the files (changelog files keep full rows,
+        # unlike hive-partitioned data layouts). The per-partition loop
+        # is bounded by partitions-touched-per-commit.
+        part_cols = [k for k in self._partition_keys if k in out.columns]
         tmp = os.path.join(self.base_path, f".cl-tmp-{uuid.uuid4().hex}")
-        out.coalesce(4).write.parquet(tmp)
+        pv_list: list[Optional[dict]] = [None]
+        if part_cols:
+            pv_list = [
+                {k: (None if r[k] is None else str(r[k])) for k in part_cols}
+                for r in out.select(*part_cols).distinct().collect()
+            ]
         import pyarrow.parquet as _pq
 
         entries: list[dict] = []
         total = 0
         empty = encode_binary_row([], [])
-        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+        parts_written: list[tuple[str, Optional[dict]]] = []
+        for i, pv in enumerate(pv_list):
+            sel = out
+            if pv is not None:
+                for k, v in pv.items():
+                    sel = sel.filter(
+                        F.col(k).isNull() if v is None else (F.col(k).cast("string") == v)
+                    )
+            sub_tmp = f"{tmp}-{i}"
+            sel.coalesce(4).write.parquet(sub_tmp)
+            for part in sorted(_glob.glob(os.path.join(sub_tmp, "part-*.parquet"))):
+                parts_written.append((part, pv))
+        for part, pv in parts_written:
             n = _pq.read_metadata(part).num_rows
             if n == 0:
                 os.remove(part)
@@ -319,7 +343,7 @@ class PaimonConversionTarget:
                 {
                     "_VERSION": 2,
                     "_KIND": 0,
-                    "_PARTITION": self._partition_blob(None),
+                    "_PARTITION": self._partition_blob(pv),
                     "_BUCKET": 0,
                     "_TOTAL_BUCKETS": 1,
                     "_FILE": {
@@ -353,7 +377,8 @@ class PaimonConversionTarget:
                     },
                 }
             )
-        _shutil.rmtree(tmp, ignore_errors=True)
+        for i in range(len(pv_list)):
+            _shutil.rmtree(f"{tmp}-{i}", ignore_errors=True)
         if not entries:
             return None
         meta = self._write_manifest(entries, schema_id)

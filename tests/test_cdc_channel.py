@@ -260,3 +260,98 @@ def test_hudi_to_paimon_changelog_preserved(spark, tmp_path, mor_base):
     assert sorted((r["id"], r["v"]) for r in read_paimon_as_df(spark, pdir).collect()) == sorted(
         (r["id"], r["v"]) for r in read_hudi_as_df(spark, mor_base, mode="snapshot").collect()
     )
+
+
+def test_partitioned_cdf_carries_partition_values(spark, tmp_path):
+    """Partitioned targets: cdc actions carry real partitionValues so
+    CDF readers re-derive non-null partition columns."""
+    from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
+
+    from .paimon_testtable import PaimonTestTable
+
+    fields = [("id", "INT"), ("label", "STRING"), ("level", "INT")]
+    t = PaimonTestTable(spark, str(tmp_path / "pt"), fields, partition_keys=["level"]).create()
+    t.append([{"id": i, "label": f"l{i}", "level": i % 2} for i in range(4)])
+    src = PaimonConversionSource(spark, t.base, emit_row_changes=True)
+    delta_dir = str(tmp_path / "delta")
+    target = DeltaConversionTarget(spark, delta_dir, change_feed=True)
+    ctrl = ConversionController()
+    ctrl.sync(src, {TableFormat.DELTA: target})
+    t.append([{"id": 10, "label": "ten", "level": 0}, {"id": 11, "label": "eleven", "level": 1}])
+    ctrl.sync(src, {TableFormat.DELTA: target})
+    v = current_log_version(delta_dir)
+    commit = [
+        json.loads(line)
+        for line in open(os.path.join(delta_dir, "_delta_log", f"{v:020d}.json"))
+    ]
+    cdc_actions = [a["cdc"] for a in commit if a.get("cdc")]
+    assert cdc_actions and all(a["partitionValues"].get("level") in ("0", "1") for a in cdc_actions)
+    cdf = read_delta_cdf(spark, delta_dir, v)
+    got = sorted((r["id"], r["level"], r["_change_type"]) for r in cdf.select("id", "level", "_change_type").collect())
+    assert got == [(10, 0, "insert"), (11, 1, "insert")]
+
+
+def test_change_feed_enablement_upgrades_protocol(spark, tmp_path, mor_base):
+    """Turning change_feed on for an EXISTING table must commit a
+    protocol upgrade before cdc actions appear (writer 4+, and writer-7
+    tables must list the changeDataFeed feature)."""
+    from incubator_xtable_spark.model.conformance import check_delta_conformance
+
+    delta_dir = str(tmp_path / "delta")
+    src_off = HudiConversionSource(spark, mor_base, view="snapshot")
+    ctrl = ConversionController()
+    ctrl.sync(src_off, {TableFormat.DELTA: DeltaConversionTarget(spark, delta_dir)})
+
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", AVRO_SCHEMA, [{"id": 1, "v": "u"}])],
+    )
+    src_on = HudiConversionSource(spark, mor_base, view="snapshot", emit_row_changes=True)
+    ctrl.sync(src_on, {TableFormat.DELTA: DeltaConversionTarget(spark, delta_dir, change_feed=True)})
+    v = current_log_version(delta_dir)
+    commit = [
+        json.loads(line)
+        for line in open(os.path.join(delta_dir, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert any(a.get("cdc") for a in commit)
+    protos = [a["protocol"] for a in commit if a.get("protocol")]
+    assert protos and protos[0]["minWriterVersion"] >= 4
+    report = check_delta_conformance(spark, delta_dir)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+
+def test_iceberg_cdc_expired_parent_raises(spark, tmp_path):
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_cdc,
+    )
+    from incubator_xtable_spark.targets.iceberg_target import (
+        current_metadata_version,
+        metadata_dir,
+        read_table_metadata,
+    )
+    import pyarrow as pa
+    import pytest
+
+    d = _make_table(spark, tmp_path)
+    src = IcebergConversionSource(spark, d)
+    fid = _field_id(src, "id")
+    first_sid = src._meta()["current-snapshot-id"]
+    eq = _eq_parquet(os.path.join(d, "eqx.parquet"), {"id": pa.array([1], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+    # expire the parent snapshot from the chain
+    meta = read_table_metadata(d)
+    meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] != first_sid]
+    v = current_metadata_version(d)
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="expired"):
+        read_iceberg_cdc(spark, d, 999)

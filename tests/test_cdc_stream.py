@@ -150,3 +150,27 @@ def test_paimon_stream(spark, tmp_path):
     state = _replay(cdc_batches(spark, "PAIMON", t.base))
     assert sorted(state) == list(range(5))
     assert [c for c, _ in cdc_batches(spark, "PAIMON", t.base, after_commit="1")] == ["2"]
+
+
+def test_delta_stream_raises_on_pruned_gap(spark, tmp_path):
+    """Commits expired between cursor and head must fail loudly, never
+    silently drop changes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+
+    base = str(tmp_path / "t")
+    spark.range(0, 3).select(F.col("id").cast("long")).coalesce(1).write.parquet(base)
+    source = ParquetConversionSource(spark, base, name="t")
+    target = DeltaConversionTarget(spark, base)
+    ctrl = ConversionController()
+    for i in range(3):
+        if i:
+            spark.range(3 + i, 4 + i).select(F.col("id").cast("long")).coalesce(
+                1
+            ).write.mode("append").parquet(base)
+        ctrl.sync(source, {TableFormat.DELTA: target})
+    os.remove(os.path.join(base, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="expired"):
+        list(cdc_batches(spark, "DELTA", base, after_commit="0"))

@@ -287,3 +287,47 @@ def test_cdc_supplemental_block_tier(spark, mor_base):
         (3, "x3", "delete"),
         (42, "fresh", "insert"),
     ]
+
+
+def test_as_of_shadows_exclude_later_blocks_in_same_file(spark, mor_base):
+    """Hudi appends later commits' blocks to the SAME log file; an as-of
+    view (and the prev-side of a CDC/commit diff) must not see them."""
+    import os
+
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_cdc
+
+    # T2: upsert id 1 in a new log file
+    path = _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", AVRO_SCHEMA, [{"id": 1, "v": "t2"}])],
+    )
+    # T3: APPEND a block for the next commit to the SAME file
+    with open(path, "ab") as fh:
+        fh.write(
+            avro_data_block(spark, "20240101000003000", AVRO_SCHEMA, [{"id": 1, "v": "t3"}])
+        )
+    _commit(
+        mor_base,
+        "20240101000003000",
+        "deltacommit",
+        [
+            {
+                "fileId": "g1",
+                "path": os.path.basename(path),
+                "fileSizeInBytes": os.path.getsize(path),
+                "numWrites": 0,
+            }
+        ],
+    )
+    # as-of T2 sees t2, head sees t3
+    at_t2 = dict(_rows(read_hudi_as_df(spark, mor_base, as_of_instant="20240101000002000", mode="snapshot")))
+    at_t3 = dict(_rows(read_hudi_as_df(spark, mor_base, mode="snapshot")))
+    assert at_t2[1] == "t2" and at_t3[1] == "t3"
+    # and the T3 commit's CDC is exactly the t2->t3 update pair
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in read_hudi_cdc(spark, mor_base, "20240101000003000").collect()
+    )
+    assert got == [(1, "t2", "update_preimage"), (1, "t3", "update_postimage")]

@@ -209,3 +209,21 @@ def test_statistics_replaced_per_snapshot(spark, tmp_path):
     meta = read_table_metadata(base)
     assert len(meta["statistics"]) == 1  # same snapshot: replaced, not stacked
     assert len(meta["statistics"][0]["blob-metadata"]) == 2
+
+
+def test_numpy_scalars_hash_like_python_values():
+    """Arrow batches hand numpy scalars to the executor pass; they must
+    hash identically to the Python values (np.int64 is NOT an int and
+    would otherwise fall through to a non-interoperable branch)."""
+    import datetime
+
+    import numpy as np
+    import pytest
+
+    assert hash_item(np.int64(5)) == hash_item(5)
+    assert hash_item(np.float64(1.5)) == hash_item(1.5)
+    assert hash_item(np.bool_(True)) == hash_item(True)
+    assert hash_item(np.str_("ab")) == hash_item("ab")
+    assert hash_item(datetime.date(1970, 1, 11)) == hash_item(10)
+    with pytest.raises(TypeError, match="unhashable sketch item"):
+        hash_item(object())
