@@ -310,6 +310,20 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
             )
         else:
             results = controller.sync(source, targets)
+        # opt-in post-sync statistics: theta-sketch NDV blobs on the
+        # converted Iceberg table (icebergCollectStats: true)
+        if (
+            str(dataset.get("icebergCollectStats", "")).lower() == "true"
+            and TableFormat.ICEBERG in results
+            and results[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+        ):
+            from incubator_xtable_spark.targets.iceberg_statistics import (
+                write_ndv_statistics,
+            )
+
+            write_ndv_statistics(
+                spark, dataset.get("tableDataPath", dataset["tableBasePath"])
+            )
         for fmt, res in results.items():
             line = {
                 "table": dataset.get("tableName", dataset["tableBasePath"]),

@@ -162,10 +162,29 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
         if ml and os.path.exists(ml):
             os.unlink(ml)
     meta["snapshots"] = retained
+    retained_ids = {s["snapshot-id"] for s in retained}
     meta["snapshot-log"] = [
-        e for e in meta.get("snapshot-log", [])
-        if e["snapshot-id"] in {s["snapshot-id"] for s in retained}
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in retained_ids
     ]
+    # branches/tags pointing at expired snapshots would dangle; the spec
+    # removes them with the snapshot (main always tracks the head)
+    if meta.get("refs"):
+        meta["refs"] = {
+            name: r
+            for name, r in meta["refs"].items()
+            if r.get("snapshot-id") in retained_ids
+        }
+    # statistics files of expired snapshots are unreachable — drop their
+    # entries and puffin files with the snapshot
+    if meta.get("statistics"):
+        dropped = [s for s in meta["statistics"] if s["snapshot-id"] not in retained_ids]
+        for s in dropped:
+            p = s.get("statistics-path")
+            if p and os.path.exists(p):
+                os.unlink(p)
+        meta["statistics"] = [
+            s for s in meta["statistics"] if s["snapshot-id"] in retained_ids
+        ]
     version = (current_metadata_version(base_path) or 0) + 1
     path = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
     # put-if-absent via tmp + os.link, matching IcebergConversionTarget's

@@ -1107,6 +1107,10 @@ class IcebergConversionTarget:
                     else []
                 )
             ),
+            # statistics entries describe prior snapshots, which this
+            # commit keeps — carry them forward (write_ndv_statistics
+            # appends the new snapshot's entry separately)
+            "statistics": (prev or {}).get("statistics", []),
             # main branch ref for the new head; preserve any OTHER
             # branches/tags an external writer created (spec `refs`)
             "refs": {

@@ -227,3 +227,51 @@ def test_numpy_scalars_hash_like_python_values():
     assert hash_item(datetime.date(1970, 1, 11)) == hash_item(10)
     with pytest.raises(TypeError, match="unhashable sketch item"):
         hash_item(object())
+
+
+def test_retention_drops_expired_statistics_and_refs(spark, tmp_path):
+    """Expiring snapshots removes their statistics entries + puffin files
+    and any branch/tag refs left dangling."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.sync.retention import iceberg_expire_snapshots
+    from incubator_xtable_spark.targets.iceberg_statistics import write_ndv_statistics
+    from incubator_xtable_spark.targets.iceberg_target import (
+        current_metadata_version,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    base = _converted_iceberg(spark, tmp_path)
+    stats_path = write_ndv_statistics(spark, base, columns=["n_nationkey"])
+    meta = read_table_metadata(base)
+    first_sid = meta["current-snapshot-id"]
+    # tag the first snapshot, then commit a second one
+    meta.setdefault("refs", {})["old-tag"] = {"snapshot-id": first_sid, "type": "tag"}
+    with open(
+        os.path.join(metadata_dir(base), f"v{current_metadata_version(base)}.metadata.json"),
+        "w",
+    ) as fh:
+        json.dump(meta, fh)
+    from incubator_xtable_spark.model.core import TableFormat
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100
+    ).coalesce(1).write.mode("append").parquet(base)
+    ConversionController().sync(
+        ParquetConversionSource(spark, base, name="nation"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="nation")},
+    )
+
+    expired = iceberg_expire_snapshots(base, keep_last=1)
+    assert first_sid in expired
+    meta2 = read_table_metadata(base)
+    assert meta2.get("statistics", []) == []  # entry dropped with the snapshot
+    assert not os.path.exists(stats_path)  # puffin removed
+    assert "old-tag" not in (meta2.get("refs") or {})  # dangling tag pruned
+    assert "main" in (meta2.get("refs") or {})  # head branch survives
