@@ -318,12 +318,15 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
             and results[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
         ):
             from incubator_xtable_spark.targets.iceberg_statistics import (
+                has_statistics_for_current_snapshot,
                 write_ndv_statistics,
             )
 
-            write_ndv_statistics(
-                spark, dataset.get("tableDataPath", dataset["tableBasePath"])
-            )
+            ice_base = dataset.get("tableDataPath", dataset["tableBasePath"])
+            # a no-op sync (continuous mode, unchanged table) must not
+            # re-scan every column: skip when the head already has stats
+            if not has_statistics_for_current_snapshot(ice_base):
+                write_ndv_statistics(spark, ice_base)
         for fmt, res in results.items():
             line = {
                 "table": dataset.get("tableName", dataset["tableBasePath"]),

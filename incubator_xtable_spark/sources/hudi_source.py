@@ -803,6 +803,11 @@ def read_hudi_as_df(
     sources/hudi_log.py for the from-spec block codec and the
     HoodieMergedLogRecordScanner merge semantics)."""
     include_logs = mode == "snapshot"
+    if include_logs and as_of_instant is None:
+        # bound head reads at the latest COMPLETED instant: a writer may
+        # already have appended an inflight commit's blocks to log files
+        instants = list_completed_instants(base_path)
+        as_of_instant = instants[-1][0] if instants else None
     rows = live_files_rows(base_path, as_of_instant, include_log_only=include_logs)
     log_rows = [r for r in rows if r.get("log_files")]
     rows = [r for r in rows if r["path"] is not None]

@@ -52,9 +52,16 @@ def _commits_after(
     if fmt == "HUDI":
         from incubator_xtable_spark.targets.hudi_target import list_completed_instants
 
-        return [
-            i for i, _ in list_completed_instants(base_path) if after is None or i > after
-        ]
+        instants = [i for i, _ in list_completed_instants(base_path)]
+        # archival moves oldest instants out of the active timeline; a
+        # cursor older than the active head means commits were archived
+        # past the consumer — fail instead of silently skipping them
+        if after is not None and instants and after < instants[0] and after not in instants:
+            raise ValueError(
+                f"instants after cursor {after} have been archived; "
+                "restart the stream without a cursor"
+            )
+        return [i for i in instants if after is None or i > after]
     if fmt == "PAIMON":
         from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
 
@@ -63,6 +70,11 @@ def _commits_after(
         if latest is None:
             return []
         floor = int(after) if after is not None else (earliest or 1) - 1
+        if earliest is not None and floor + 1 < earliest and floor + 1 <= latest:
+            raise ValueError(
+                f"snapshots {floor + 1}..{earliest - 1} after the cursor have "
+                "expired; restart the stream without a cursor"
+            )
         return [str(s) for s in range(floor + 1, latest + 1)]
     if fmt == "ICEBERG":
         from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource

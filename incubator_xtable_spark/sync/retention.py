@@ -155,8 +155,19 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     snapshots = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
     if len(snapshots) <= keep_last:
         return []
-    expired = snapshots[:-keep_last]
-    retained = snapshots[-keep_last:]
+    # spec: snapshots referenced by branches/tags are NOT expirable by
+    # the count policy — a tag pins its snapshot until the REF is
+    # dropped (refs age out via their own retention, not snapshot count)
+    ref_pinned = {
+        r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
+    }
+    window = {s["snapshot-id"] for s in snapshots[-keep_last:]}
+    retained = [
+        s for s in snapshots if s["snapshot-id"] in window or s["snapshot-id"] in ref_pinned
+    ]
+    expired = [s for s in snapshots if s["snapshot-id"] not in {r["snapshot-id"] for r in retained}]
+    if not expired:
+        return []
     for s in expired:
         ml = s.get("manifest-list")
         if ml and os.path.exists(ml):
@@ -166,8 +177,8 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     meta["snapshot-log"] = [
         e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in retained_ids
     ]
-    # branches/tags pointing at expired snapshots would dangle; the spec
-    # removes them with the snapshot (main always tracks the head)
+    # defensive only: refs can never dangle here (they pin), but refs
+    # already broken by an external writer are dropped with the cleanup
     if meta.get("refs"):
         meta["refs"] = {
             name: r
@@ -268,3 +279,36 @@ def paimon_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     with open(os.path.join(snap_dir, "EARLIEST"), "w", encoding="utf-8") as fh:
         fh.write(str(ids[-keep_last]))
     return expired
+
+
+def hudi_clean_mor_shadows(spark, base_path: str) -> list[str]:
+    """Delete compaction shadows superseded by the CURRENT head state.
+
+    Snapshot-view syncs materialize one shadow per (log-file list,
+    applied-block boundary); every deltacommit that appends to a slice's
+    log file therefore leaves the previous boundary's shadow behind —
+    deliberately, because target tables' earlier versions still
+    reference it. This maintenance action reclaims that space once
+    history is no longer needed: targets lose time travel to versions
+    referencing the removed shadows (the same contract as delta_vacuum).
+    Returns the removed relative paths."""
+    import glob as _glob
+
+    from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
+    from incubator_xtable_spark.targets.hudi_target import list_completed_instants
+
+    src = HudiConversionSource(spark, base_path, view="snapshot")
+    table = src.get_current_table()
+    instants = list_completed_instants(base_path)
+    if table is None or not instants:
+        return []
+    current = {r["path"] for r in src._effective_rows(instants[-1][0], table)}
+    removed: list[str] = []
+    for p in _glob.glob(
+        os.path.join(base_path, "**", "*.compacted-*.parquet"), recursive=True
+    ):
+        rel = os.path.relpath(p, base_path)
+        if rel not in current:
+            os.unlink(p)
+            removed.append(rel)
+    return sorted(removed)

@@ -463,6 +463,18 @@ class DeltaConversionTarget:
                     reader_feats = set(prev_reader_feats)
                     writer_feats = set(prev_writer_feats)
                     writer_feats |= {"appendOnly", "invariants"}
+                    # spec legacy-feature mapping: replacing a legacy
+                    # writer version must list everything it implied
+                    if prev_proto is not None and not prev_writer_feats:
+                        if prev_wv >= 3:
+                            writer_feats.add("checkConstraints")
+                        if prev_wv >= 4:
+                            writer_feats |= {"changeDataFeed", "generatedColumns"}
+                        if prev_wv >= 5:
+                            writer_feats.add("columnMapping")
+                            reader_feats.add("columnMapping")
+                        if prev_wv >= 6:
+                            writer_feats.add("identityColumns")
                     if self.change_feed:
                         # writer-7 tables enable ONLY listed features
                         writer_feats.add("changeDataFeed")

@@ -115,8 +115,14 @@ def write_ndv_statistics(
 
 def _commit_statistics_entry(base_path: str, entry: dict) -> None:
     """New metadata.json version: replace any prior statistics entry for
-    the same snapshot, keep others (spec: one entry per snapshot)."""
+    the same snapshot, keep others (spec: one entry per snapshot). A
+    replaced entry's puffin file is unreferenced the moment the new
+    metadata version lands — unlink it (orphans would otherwise grow
+    one per re-collection)."""
     meta = read_table_metadata(base_path)
+    replaced = [
+        s for s in meta.get("statistics", []) if s["snapshot-id"] == entry["snapshot-id"]
+    ]
     stats = [
         s for s in meta.get("statistics", []) if s["snapshot-id"] != entry["snapshot-id"]
     ]
@@ -134,6 +140,22 @@ def _commit_statistics_entry(base_path: str, entry: dict) -> None:
         os.unlink(tmp)
     with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
         fh.write(str(v))
+    # only after the new version landed: the replaced puffin is garbage
+    for s in replaced:
+        p = s.get("statistics-path")
+        if p and p != entry["statistics-path"] and os.path.exists(p):
+            os.unlink(p)
+
+
+def has_statistics_for_current_snapshot(base_path: str) -> bool:
+    """Cheap skip probe for schedulers: True when the CURRENT snapshot
+    already carries a statistics entry (a no-op sync needs no
+    re-collection — sketching scans every sketchable column)."""
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        return False
+    sid = meta.get("current-snapshot-id")
+    return any(s["snapshot-id"] == sid for s in meta.get("statistics", []))
 
 
 def read_ndv_statistics(base_path: str, snapshot_id: Optional[int] = None) -> dict[str, dict]:

@@ -307,10 +307,13 @@ class PaimonConversionTarget:
         # is bounded by partitions-touched-per-commit.
         part_cols = [k for k in self._partition_keys if k in out.columns]
         tmp = os.path.join(self.base_path, f".cl-tmp-{uuid.uuid4().hex}")
+        # (typed values for row filtering, stringified for the blob) —
+        # matching via cast-to-string would disagree with Python str()
+        # for booleans/floats and silently drop rows
         pv_list: list[Optional[dict]] = [None]
         if part_cols:
             pv_list = [
-                {k: (None if r[k] is None else str(r[k])) for k in part_cols}
+                {k: r[k] for k in part_cols}
                 for r in out.select(*part_cols).distinct().collect()
             ]
         import pyarrow.parquet as _pq
@@ -323,14 +326,17 @@ class PaimonConversionTarget:
             sel = out
             if pv is not None:
                 for k, v in pv.items():
-                    sel = sel.filter(
-                        F.col(k).isNull() if v is None else (F.col(k).cast("string") == v)
-                    )
+                    sel = sel.filter(F.col(k).eqNullSafe(F.lit(v)))
             sub_tmp = f"{tmp}-{i}"
             sel.coalesce(4).write.parquet(sub_tmp)
             for part in sorted(_glob.glob(os.path.join(sub_tmp, "part-*.parquet"))):
                 parts_written.append((part, pv))
         for part, pv in parts_written:
+            pv_str = (
+                None
+                if pv is None
+                else {k: (None if v is None else str(v)) for k, v in pv.items()}
+            )
             n = _pq.read_metadata(part).num_rows
             if n == 0:
                 os.remove(part)
@@ -343,7 +349,7 @@ class PaimonConversionTarget:
                 {
                     "_VERSION": 2,
                     "_KIND": 0,
-                    "_PARTITION": self._partition_blob(pv),
+                    "_PARTITION": self._partition_blob(pv_str),
                     "_BUCKET": 0,
                     "_TOTAL_BUCKETS": 1,
                     "_FILE": {

@@ -355,3 +355,51 @@ def test_iceberg_cdc_expired_parent_raises(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="expired"):
         read_iceberg_cdc(spark, d, 999)
+
+
+def test_legacy_cdf_protocol_survives_feature_upgrade(spark, tmp_path):
+    """A legacy writer-4 table (CDF implied) upgraded to table features
+    (writer 7) by a later DV sync must LIST changeDataFeed and
+    generatedColumns — writer-7 tables enable only listed features."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+
+    d = _make_table(spark, tmp_path)
+    delta_dir = str(tmp_path / "delta")
+    ctrl = ConversionController()
+    # phase 1: CDF-enabled target -> legacy protocol (1, 4)
+    src1 = IcebergConversionSource(spark, d, expose_row_deletes=True, emit_row_changes=True)
+    ctrl.sync(src1, {TableFormat.DELTA: DeltaConversionTarget(spark, delta_dir, change_feed=True)})
+    log = os.path.join(delta_dir, "_delta_log")
+    proto0 = next(
+        json.loads(line)["protocol"]
+        for line in open(os.path.join(log, f"{0:020d}.json"))
+        if '"protocol"' in line
+    )
+    # iceberg field ids add column mapping -> legacy writer 5 (CDF still
+    # implied by >=4); still a LEGACY protocol, no feature lists
+    assert proto0["minWriterVersion"] == 5 and "writerFeatures" not in proto0
+
+    # phase 2: a DV commit synced by a change_feed=False target instance
+    fid = _field_id(src1, "id")
+    eq = _eq_parquet(os.path.join(d, "lg.parquet"), {"id": pa.array([2], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+    src2 = IcebergConversionSource(spark, d, expose_row_deletes=True)
+    ctrl.sync(src2, {TableFormat.DELTA: DeltaConversionTarget(spark, delta_dir)})
+    v = current_log_version(delta_dir)
+    protos = [
+        json.loads(line)["protocol"]
+        for line in open(os.path.join(log, f"{v:020d}.json"))
+        if '"protocol"' in line
+    ]
+    assert protos and protos[0]["minWriterVersion"] == 7
+    wf = set(protos[0]["writerFeatures"])
+    # legacy-implied features carried into the feature list
+    assert {"changeDataFeed", "generatedColumns", "columnMapping", "deletionVectors"} <= wf

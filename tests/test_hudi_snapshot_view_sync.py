@@ -331,3 +331,48 @@ def test_as_of_shadows_exclude_later_blocks_in_same_file(spark, mor_base):
         for r in read_hudi_cdc(spark, mor_base, "20240101000003000").collect()
     )
     assert got == [(1, "t2", "update_preimage"), (1, "t3", "update_postimage")]
+
+
+def test_clean_mor_shadows_keeps_current_boundary(spark, mor_base):
+    """Appending commits to the same log file accumulates one shadow per
+    boundary; the retention action removes the superseded ones and keeps
+    the head's."""
+    import glob
+    import os
+
+    from incubator_xtable_spark.sync.retention import hudi_clean_mor_shadows
+
+    path = _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", AVRO_SCHEMA, [{"id": 1, "v": "a"}])],
+    )
+    src = HudiConversionSource(spark, mor_base, view="snapshot")
+    src.get_current_snapshot()  # materializes boundary-T2 shadow
+    with open(path, "ab") as fh:
+        fh.write(
+            avro_data_block(spark, "20240101000003000", AVRO_SCHEMA, [{"id": 1, "v": "b"}])
+        )
+    _commit(
+        mor_base,
+        "20240101000003000",
+        "deltacommit",
+        [
+            {
+                "fileId": "g1",
+                "path": os.path.basename(path),
+                "fileSizeInBytes": os.path.getsize(path),
+                "numWrites": 0,
+            }
+        ],
+    )
+    src.get_current_snapshot()  # materializes boundary-T3 shadow
+    shadows = glob.glob(os.path.join(mor_base, "*.compacted-*.parquet"))
+    assert len(shadows) == 2
+    removed = hudi_clean_mor_shadows(spark, mor_base)
+    assert len(removed) == 1
+    left = glob.glob(os.path.join(mor_base, "*.compacted-*.parquet"))
+    assert len(left) == 1
+    # the kept shadow is the head's: reads still work
+    assert dict(_rows(read_hudi_as_df(spark, mor_base, mode="snapshot")))[1] == "b"

@@ -229,9 +229,11 @@ def test_numpy_scalars_hash_like_python_values():
         hash_item(object())
 
 
-def test_retention_drops_expired_statistics_and_refs(spark, tmp_path):
-    """Expiring snapshots removes their statistics entries + puffin files
-    and any branch/tag refs left dangling."""
+def test_retention_respects_refs_and_drops_expired_statistics(spark, tmp_path):
+    """A tag PINS its snapshot against count-based expiry (the spec rule
+    — refs age out by their own policy, not snapshot count); once the
+    tag is dropped, expiry removes the snapshot along with its
+    statistics entry and puffin file."""
     import json
 
     from pyspark.sql import functions as F
@@ -248,7 +250,6 @@ def test_retention_drops_expired_statistics_and_refs(spark, tmp_path):
     stats_path = write_ndv_statistics(spark, base, columns=["n_nationkey"])
     meta = read_table_metadata(base)
     first_sid = meta["current-snapshot-id"]
-    # tag the first snapshot, then commit a second one
     meta.setdefault("refs", {})["old-tag"] = {"snapshot-id": first_sid, "type": "tag"}
     with open(
         os.path.join(metadata_dir(base), f"v{current_metadata_version(base)}.metadata.json"),
@@ -268,10 +269,23 @@ def test_retention_drops_expired_statistics_and_refs(spark, tmp_path):
         {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="nation")},
     )
 
-    expired = iceberg_expire_snapshots(base, keep_last=1)
-    assert first_sid in expired
+    # the tag pins the first snapshot: nothing expires, stats survive
+    assert iceberg_expire_snapshots(base, keep_last=1) == []
     meta2 = read_table_metadata(base)
-    assert meta2.get("statistics", []) == []  # entry dropped with the snapshot
-    assert not os.path.exists(stats_path)  # puffin removed
-    assert "old-tag" not in (meta2.get("refs") or {})  # dangling tag pruned
-    assert "main" in (meta2.get("refs") or {})  # head branch survives
+    assert any(s["snapshot-id"] == first_sid for s in meta2["snapshots"])
+    assert os.path.exists(stats_path)
+    assert "old-tag" in meta2["refs"]
+
+    # drop the tag -> the snapshot, its statistics entry and its puffin go
+    del meta2["refs"]["old-tag"]
+    with open(
+        os.path.join(metadata_dir(base), f"v{current_metadata_version(base)}.metadata.json"),
+        "w",
+    ) as fh:
+        json.dump(meta2, fh)
+    expired = iceberg_expire_snapshots(base, keep_last=1)
+    assert first_sid in {s for s in expired}
+    meta3 = read_table_metadata(base)
+    assert meta3.get("statistics", []) == []
+    assert not os.path.exists(stats_path)
+    assert "main" in (meta3.get("refs") or {})
