@@ -632,6 +632,53 @@ def _check_delta_v2_checkpoint(
 # ---------------------------------------------------------------------------
 
 
+def _check_puffin_file(path: str, blob_metadata: list[dict], report: ConformanceReport) -> None:
+    """Puffin container invariants, parsed independently (spec: 4-byte
+    magic PFA1 at start and framing the FooterPayload; footer JSON lists
+    the blobs): magics, parseable footer, and every metadata-referenced
+    blob range inside the file and covered by a footer blob entry."""
+    magic = b"PFA\x31"
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        if fh.read(4) != magic:
+            report.add("PUFFIN_LEAD_MAGIC", path, "bad leading magic")
+            return
+        fh.seek(size - 12)
+        (payload_size,) = struct.unpack("<i", fh.read(4))
+        flags = fh.read(4)
+        if fh.read(4) != magic:
+            report.add("PUFFIN_TRAIL_MAGIC", path, "bad trailing magic")
+            return
+        if flags[0] & 0x01:
+            return  # compressed footer: out of scope for the check
+        footer_start = size - 12 - payload_size
+        fh.seek(footer_start - 4)
+        if fh.read(4) != magic:
+            report.add("PUFFIN_FOOTER_MAGIC", path, "bad footer-start magic")
+            return
+        try:
+            footer = json.loads(fh.read(payload_size).decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as exc:
+            report.add("PUFFIN_FOOTER_JSON", path, str(exc))
+            return
+    footer_blobs = footer.get("blobs") or []
+    covered = {(b.get("offset"), b.get("length")) for b in footer_blobs}
+    for bm in blob_metadata:
+        off, ln = bm.get("offset"), bm.get("length")
+        if off is None or ln is None or off < 4 or off + ln > footer_start - 4:
+            report.add(
+                "PUFFIN_BLOB_RANGE",
+                path,
+                f"blob range ({off}, {ln}) outside the payload region",
+            )
+        elif (off, ln) not in covered:
+            report.add(
+                "PUFFIN_BLOB_UNLISTED",
+                path,
+                f"metadata blob at ({off}, {ln}) not in the puffin footer",
+            )
+
+
 def check_iceberg_conformance(spark: SparkSession, base_path: str) -> ConformanceReport:
     report = ConformanceReport(base_path=base_path, table_format="ICEBERG")
     meta_dir = os.path.join(base_path, "metadata")
@@ -732,6 +779,44 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
     cur_id = meta.get("current-snapshot-id")
     if cur_id is not None and cur_id != -1 and cur_id not in snapshots:
         report.add("ICE_CURRENT_SNAPSHOT", latest, f"current-snapshot-id {cur_id} not in snapshots")
+    # refs: every branch/tag must resolve to a live snapshot, main (when
+    # present) must match the current head, types constrained by spec
+    for name, r in (meta.get("refs") or {}).items():
+        if r.get("type") not in ("branch", "tag"):
+            report.add("ICE_REF_TYPE", latest, f"ref {name!r} type {r.get('type')!r}")
+        if r.get("snapshot-id") not in snapshots:
+            report.add(
+                "ICE_REF_DANGLING",
+                latest,
+                f"ref {name!r} points at missing snapshot {r.get('snapshot-id')}",
+            )
+        if name == "main" and cur_id is not None and r.get("snapshot-id") != cur_id:
+            report.add(
+                "ICE_MAIN_REF_MISMATCH",
+                latest,
+                f"main ref {r.get('snapshot-id')} != current-snapshot-id {cur_id}",
+            )
+    # statistics: entries must reference live snapshots and existing,
+    # well-formed puffin files whose sizes match
+    for st in meta.get("statistics") or []:
+        where = f"{latest} statistics[{st.get('snapshot-id')}]"
+        if st.get("snapshot-id") not in snapshots:
+            report.add("ICE_STATS_SNAPSHOT", where, "statistics entry for missing snapshot")
+        p = st.get("statistics-path")
+        if not p or not os.path.exists(p):
+            report.add("ICE_STATS_FILE_MISSING", where, str(p))
+            continue
+        report.checked_files += 1
+        if st.get("file-size-in-bytes") != os.path.getsize(p):
+            report.add(
+                "ICE_STATS_FILE_SIZE",
+                p,
+                f"file-size-in-bytes {st.get('file-size-in-bytes')} != actual {os.path.getsize(p)}",
+            )
+        try:
+            _check_puffin_file(p, st.get("blob-metadata") or [], report)
+        except Exception as exc:  # noqa: BLE001
+            report.add("ICE_STATS_PUFFIN", p, str(exc))
     last_seq = meta.get("last-sequence-number", 0)
     for s in snapshots.values():
         if s.get("sequence-number", 0) > last_seq:
@@ -1049,9 +1134,16 @@ def check_paimon_conformance(spark: SparkSession, base_path: str) -> Conformance
         report.add("PAI_SNAPSHOT_SCHEMA", latest, f"schemaId {snap.get('schemaId')} has no schema file")
 
     # manifest tree of the latest snapshot: every listed manifest exists
-    # with the recorded size; every live entry's data file exists
+    # with the recorded size; every live entry's data file exists.
+    # The changelog list (when a producer wrote one) is held to the same
+    # existence/size rules — a broken changelog silently starves CDC
+    # consumers of OVERWRITE commits.
     mdir = os.path.join(base_path, "manifest")
-    for list_name in (snap.get("baseManifestList"), snap.get("deltaManifestList")):
+    for list_name in (
+        snap.get("baseManifestList"),
+        snap.get("deltaManifestList"),
+        snap.get("changelogManifestList"),
+    ):
         if not list_name:
             continue
         lp = os.path.join(mdir, list_name)
@@ -1095,6 +1187,19 @@ def check_paimon_conformance(spark: SparkSession, base_path: str) -> Conformance
                 )
     except Exception as exc:  # noqa: BLE001
         report.add("PAI_ENTRIES_UNREADABLE", latest, str(exc))
+    # changelog data files (CDC consumers read them long after commit)
+    cl = snap.get("changelogManifestList")
+    if cl:
+        try:
+            src = PaimonConversionSource(spark, base_path)
+            sch = src._schema(snap.get("schemaId", 0))
+            for e in src._entries_for_lists([cl]):
+                fp = src._entry_abs_path(e, sch)
+                report.checked_files += 1
+                if not os.path.exists(fp):
+                    report.add("PAI_CHANGELOG_FILE_MISSING", latest, fp)
+        except Exception as exc:  # noqa: BLE001
+            report.add("PAI_CHANGELOG_UNREADABLE", latest, str(exc))
     return report
 
 

@@ -527,3 +527,107 @@ def test_cdf_conformance_green_then_red(spark, tmp_path):
         with open(os.path.join(log, fn), "w") as fh:
             fh.write("\n".join(lines) + "\n")
     assert "DELTA_CDF_NOT_ENABLED" in _codes(check_delta_conformance(spark, delta_dir))
+
+
+def test_iceberg_refs_and_statistics_conformance(spark, tmp_path):
+    """Refs must resolve (main == head), statistics must reference live
+    snapshots + intact puffin files — green on engine output, red on a
+    dangling ref, a vanished puffin, and a mangled puffin magic."""
+    import json
+    import os
+
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_statistics import write_ndv_statistics
+    from incubator_xtable_spark.targets.iceberg_target import (
+        IcebergConversionTarget,
+        current_metadata_version,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    base = str(tmp_path / "ice")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(base)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, base, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="region")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    stats_path = write_ndv_statistics(spark, base, columns=["r_regionkey"])
+    assert check_iceberg_conformance(spark, base).passed
+
+    def _mutate(fn):
+        meta = read_table_metadata(base)
+        fn(meta)
+        v = current_metadata_version(base)
+        with open(os.path.join(metadata_dir(base), f"v{v}.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    # red 1: dangling tag
+    _mutate(lambda m: m.setdefault("refs", {}).update(bogus={"snapshot-id": 123456, "type": "tag"}))
+    assert "ICE_REF_DANGLING" in _codes(check_iceberg_conformance(spark, base))
+    _mutate(lambda m: m["refs"].pop("bogus"))
+    # red 2: main mismatched from head
+    _mutate(lambda m: m["refs"].update(main={"snapshot-id": m["snapshots"][0]["snapshot-id"] + 1, "type": "branch"}))
+    codes = _codes(check_iceberg_conformance(spark, base))
+    assert "ICE_MAIN_REF_MISMATCH" in codes
+    _mutate(lambda m: m["refs"].update(main={"snapshot-id": m["current-snapshot-id"], "type": "branch"}))
+    # red 3: puffin vanishes
+    stash = stats_path + ".stash"
+    os.rename(stats_path, stash)
+    assert "ICE_STATS_FILE_MISSING" in _codes(check_iceberg_conformance(spark, base))
+    os.rename(stash, stats_path)
+    # red 4: puffin magic corrupted
+    raw = open(stats_path, "rb").read()
+    open(stats_path, "wb").write(b"XXXX" + raw[4:])
+    assert "PUFFIN_LEAD_MAGIC" in _codes(check_iceberg_conformance(spark, base))
+    open(stats_path, "wb").write(raw)
+    assert check_iceberg_conformance(spark, base).passed
+
+
+def test_paimon_changelog_conformance(spark, tmp_path):
+    """Changelog manifests and data files are checked like the data
+    tree: green on channel output, red when a changelog file vanishes."""
+    import glob
+    import os
+
+    from incubator_xtable_spark.model.conformance import check_paimon_conformance
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+    from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from pyspark.sql import functions as F
+
+    # delta source with a commit -> paimon target with CDC channel
+    dbase = str(tmp_path / "delta_src")
+    spark.range(0, 5).select(F.col("id").cast("long")).coalesce(1).write.parquet(dbase)
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+
+    ctrl = ConversionController()
+    ctrl.sync(
+        ParquetConversionSource(spark, dbase, name="t"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, dbase)},
+    )
+    src = DeltaConversionSource(spark, dbase, emit_row_changes=True)
+    pdir = str(tmp_path / "paimon")
+    tgt = PaimonConversionTarget(spark, pdir, table_name="t")
+    ctrl.sync(src, {TableFormat.PAIMON: tgt})
+    spark.range(5, 8).select(F.col("id").cast("long")).coalesce(1).write.mode("append").parquet(dbase)
+    ctrl.sync(
+        ParquetConversionSource(spark, dbase, name="t"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, dbase)},
+    )
+    res = ctrl.sync(src, {TableFormat.PAIMON: tgt})
+    assert res[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS
+    cls = glob.glob(os.path.join(pdir, "changelog-*.parquet"))
+    assert cls  # the channel wrote a changelog
+    assert check_paimon_conformance(spark, pdir).passed
+    stash = cls[0] + ".stash"
+    os.rename(cls[0], stash)
+    assert "PAI_CHANGELOG_FILE_MISSING" in _codes(check_paimon_conformance(spark, pdir))
+    os.rename(stash, cls[0])
+    assert check_paimon_conformance(spark, pdir).passed
