@@ -148,9 +148,24 @@ class IcebergConversionSource:
         snap = self._snapshot_by_id(meta, snapshot_id)
         if snap is None:
             return [], []
+        default_spec = meta.get("default-spec-id", 0)
         data: list[dict] = []
         deletes: list[dict] = []
         for mf in self.avro.read_records(snap["manifest-list"]):
+            # partition-spec EVOLUTION guard: a manifest written under an
+            # older spec stores that spec's partition tuple — mapping it
+            # onto the current spec's field names would silently null the
+            # values (wrong partition metadata, wrong identity-column
+            # attach). Refuse loudly until per-spec resolution exists.
+            mf_spec = mf.get("partition_spec_id")
+            if mf_spec is not None and mf_spec != default_spec:
+                raise ValueError(
+                    f"manifest {mf.get('manifest_path')} was written under "
+                    f"partition spec {mf_spec} but the table's default spec is "
+                    f"{default_spec}: partition-spec evolution is not supported "
+                    "(values would silently mis-map); rewrite manifests to the "
+                    "current spec or convert from a snapshot before the change"
+                )
             for entry in self.avro.read_records(mf["manifest_path"]):
                 if entry["status"] == 2:
                     continue

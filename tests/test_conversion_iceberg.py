@@ -427,3 +427,50 @@ def test_refs_and_metadata_log(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no branch/tag"):
         read_iceberg_as_df(spark, d, ref="nope")
+
+
+def test_partition_spec_evolution_guard(spark, tmp_path):
+    """A manifest written under a non-default partition spec must refuse
+    loudly — silently mapping its partition tuple onto the current
+    spec's names would null the values."""
+    import json
+    import os
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import (
+        AvroIO,
+        IcebergConversionTarget,
+        current_metadata_version,
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    d = str(tmp_path / "specs")
+    spark.range(0, 6).select(F.col("id").cast("long")).coalesce(1).write.parquet(d)
+    ConversionController().sync(
+        ParquetConversionSource(spark, d, name="specs"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, d, table_name="specs")},
+    )
+    # simulate spec evolution: bump the default spec, leaving the
+    # existing manifest tagged with the old spec id
+    meta = read_table_metadata(d)
+    meta["partition-specs"].append({"spec-id": 1, "fields": []})
+    meta["default-spec-id"] = 1
+    avro = AvroIO(spark)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    mfs = avro.read_records(snap["manifest-list"])
+    assert all(m.get("partition_spec_id") == 0 for m in mfs)
+    v = current_metadata_version(d)
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="partition-spec evolution"):
+        read_iceberg_as_df(spark, d)
+    with pytest.raises(ValueError, match="partition-spec evolution"):
+        IcebergConversionSource(spark, d).get_current_snapshot()
