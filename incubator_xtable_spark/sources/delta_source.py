@@ -655,6 +655,29 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
     return out
 
 
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rename struct fields to their column-mapping physical
+    names (what the parquet files actually store under mode=name)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get("delta.columnMapping.physicalName", f.name),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType), _physical_type(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
 def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
     """The engine's `spark.read.format("delta")` equivalent: reconstruct
     the live file set (optionally at a past version = time travel) and read
@@ -662,11 +685,23 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     partitionValues (they are not stored in the data files). Deletion
     vectors are applied row-level: deleted positions are decoded
     executor-side and anti-joined on (_metadata.file_path,
-    _metadata.row_index) — distributes with the scan, no driver collect."""
+    _metadata.row_index) — distributes with the scan, no driver collect.
+
+    Column mapping: mode=name tables read by each column's PHYSICAL name
+    (renamed columns would otherwise silently return nulls) and rename/
+    cast back to the logical schema; mode=id needs parquet field-id
+    resolution this reader cannot do — it raises instead."""
     meta = latest_metadata(spark, base_path, version)
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {base_path}")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    # latest_metadata returns a pyspark Row — subscript, never .get
+    cm_mode = dict(meta["configuration"] or {}).get("delta.columnMapping.mode", "none")
+    if cm_mode == "id":
+        raise ValueError(
+            "delta.columnMapping.mode=id resolves parquet columns by field "
+            "id, which this reader does not support; mode=name tables work"
+        )
     live = (
         live_files_df(spark, base_path, version)
         .select("path", "partitionValues", "deletionVector")
@@ -678,7 +713,20 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     if not paths:
         return spark.createDataFrame([], schema)
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    df = spark.read.schema(T.StructType(data_fields)).parquet(*paths)
+    read_struct = (
+        _physical_type(T.StructType(data_fields))
+        if cm_mode == "name"
+        else T.StructType(data_fields)
+    )
+    df = spark.read.schema(read_struct).parquet(*paths)
+    if cm_mode == "name":
+        # physical -> logical: rename top-level columns and cast nested
+        # structs back (struct casts match by position, same shape)
+        for f, rf in zip(data_fields, read_struct.fields):
+            if rf.name != f.name:
+                df = df.withColumnRenamed(rf.name, f.name)
+            if rf.dataType != f.dataType:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
     if dv_rows:
         from incubator_xtable_spark.sources.delta_dv import (

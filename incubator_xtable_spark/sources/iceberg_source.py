@@ -859,7 +859,37 @@ def read_iceberg_as_df(
     from pyspark.sql import types as T
 
     data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
+    # name mapping (spec schema.name-mapping.default): files whose parquet
+    # columns carry STORAGE names (column-mapped Delta sources) read by
+    # the mapped name and rename back to the logical schema; the footer
+    # of the first file decides which candidate name the files store
+    # (conversion file groups are homogeneous in this engine)
+    renames: dict[str, str] = {}
+    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if nm_raw:
+        import pyarrow.parquet as _pq
+
+        names_by_id = {
+            m.get("field-id"): m.get("names") or [] for m in json.loads(nm_raw)
+        }
+        footer_cols = set(_pq.read_schema(paths[0]).names)
+        mapped_fields = []
+        for f in data_fields.fields:
+            fid = (f.metadata or {}).get("xtable.fieldId")
+            candidates = names_by_id.get(fid, [])
+            stored = next(
+                (n for n in candidates if n in footer_cols),
+                f.name if f.name in footer_cols else None,
+            )
+            if stored is not None and stored != f.name:
+                renames[stored] = f.name
+                mapped_fields.append(T.StructField(stored, f.dataType, f.nullable))
+            else:
+                mapped_fields.append(f)
+        data_fields = T.StructType(mapped_fields)
     df = spark.read.schema(data_fields).parquet(*paths)
+    for stored, logical in renames.items():
+        df = df.withColumnRenamed(stored, logical)
     # scan-time path column: _metadata.file_path binds to THIS relation
     # (input_file_name() would fail once the delete-positions parquet
     # joins in — "does not support more than one source")

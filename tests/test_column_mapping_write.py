@@ -122,3 +122,172 @@ def test_partial_ids_complete_the_mapping(spark, tmp_path):
     ids = {f.name: f.metadata["delta.columnMapping.id"] for f in mapped.fields}
     assert ids == {"a": 7, "b": 8, "c": 3}
     assert max_id == 8
+
+
+def test_read_renamed_physical_columns(spark, tmp_path):
+    """External mode=name tables store PHYSICAL column names in parquet
+    (e.g. after ALTER TABLE RENAME); reading by logical name would
+    silently null the column — the reader must resolve physical names
+    and present the logical schema."""
+    import json
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+
+    base = str(tmp_path / "renamed")
+    os.makedirs(os.path.join(base, "_delta_log"))
+    # parquet stores the ORIGINAL (physical) name col-abc123
+    pq.write_table(
+        pa.table({"col-abc123": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(base, "part-0.parquet"),
+    )
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {
+                # logical name after a rename; physical stays col-abc123
+                "name": "renamed_id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-abc123",
+                },
+            }
+        ],
+    }
+    now = int(time.time() * 1000)
+    with open(os.path.join(base, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": json.dumps(schema_json),
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                        "format": {"provider": "parquet"},
+                        "createdTime": now,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-0.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(base, "part-0.parquet")),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    df = read_delta_as_df(spark, base)
+    assert df.columns == ["renamed_id"]
+    assert sorted(r["renamed_id"] for r in df.collect()) == [1, 2, 3]
+
+    # mode=id refuses instead of silently nulling
+    log = os.path.join(base, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log):
+        a = json.loads(line)
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        lines.append(json.dumps(a))
+    with open(log, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="mode=id"):
+        read_delta_as_df(spark, base)
+
+
+def test_renamed_column_converts_and_reads_via_name_mapping(spark, tmp_path):
+    """Column-mapped Delta source with a renamed column (physical name
+    differs) -> Iceberg: the name mapping written by the target lets the
+    Iceberg reader resolve the stored column and present the logical
+    schema — the full cross-format rename round trip."""
+    import json
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.delta_source import (
+        DeltaConversionSource,
+        read_delta_as_df,
+    )
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    base = str(tmp_path / "src")
+    os.makedirs(os.path.join(base, "_delta_log"))
+    pq.write_table(
+        pa.table({"col-xyz": pa.array([7, 8], pa.int64())}),
+        os.path.join(base, "p0.parquet"),
+    )
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "logical_id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-xyz",
+                },
+            }
+        ],
+    }
+    now = int(time.time() * 1000)
+    with open(os.path.join(base, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": json.dumps(schema_json),
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                        "createdTime": now,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "p0.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(base, "p0.parquet")),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert sorted(r[0] for r in read_delta_as_df(spark, base).collect()) == [7, 8]
+    idir = str(tmp_path / "ice")
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, base, name="t"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, idir, table_name="t")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    ice = read_iceberg_as_df(spark, idir)
+    assert ice.columns == ["logical_id"]
+    assert sorted(r[0] for r in ice.collect()) == [7, 8]
