@@ -489,8 +489,25 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {base_path}")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    cm_mode = dict(meta["configuration"] or {}).get("delta.columnMapping.mode", "none")
+    if cm_mode == "id":
+        raise ValueError(
+            "delta.columnMapping.mode=id resolves parquet columns by field "
+            "id, which this reader does not support; mode=name tables work"
+        )
     part_cols = list(meta["partitionColumns"] or [])
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    logical_fields = [f for f in schema.fields if f.name not in part_cols]
+    # column mapping: data AND change files store physical names
+    data_fields = (
+        list(_physical_type(T.StructType(logical_fields)).fields)
+        if cm_mode == "name"
+        else logical_fields
+    )
+    cm_renames = {
+        rf.name: f.name
+        for f, rf in zip(logical_fields, data_fields)
+        if rf.name != f.name
+    }
     out_names = [f.name for f in schema.fields] + ["_change_type", "_commit_version"]
     commit_file = os.path.join(_log_dir(base_path), f"{version:020d}.json")
     if not os.path.exists(commit_file):
@@ -541,6 +558,8 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         df = spark.read.schema(T.StructType(data_fields)).parquet(
             *[os.path.join(base, p) for p, _, _ in items]
         )
+        for stored, logical in cm_renames.items():
+            df = df.withColumnRenamed(stored, logical)
         df = df.withColumn(
             "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         ).withColumn("_ri", F.col("_metadata.row_index"))
@@ -562,6 +581,8 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         df = spark.read.schema(T.StructType(cdc_fields)).parquet(
             *[os.path.join(base, c["path"]) for c in cdc]
         )
+        for stored, logical in cm_renames.items():
+            df = df.withColumnRenamed(stored, logical)
         df = df.withColumn(
             "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         )
