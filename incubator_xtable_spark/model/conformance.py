@@ -802,9 +802,10 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
         where = f"{latest} statistics[{st.get('snapshot-id')}]"
         if st.get("snapshot-id") not in snapshots:
             report.add("ICE_STATS_SNAPSHOT", where, "statistics entry for missing snapshot")
-        p = st.get("statistics-path")
+        # spec paths are URIs — normalize like the manifest checks do
+        p = _abs_path(st.get("statistics-path") or "", base_path)
         if not p or not os.path.exists(p):
-            report.add("ICE_STATS_FILE_MISSING", where, str(p))
+            report.add("ICE_STATS_FILE_MISSING", where, str(st.get("statistics-path")))
             continue
         report.checked_files += 1
         if st.get("file-size-in-bytes") != os.path.getsize(p):

@@ -527,7 +527,9 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         )
         df = df.join(F.broadcast(pv), df["_fp"] == pv["abs_path"], "left")
         for c in part_cols:
-            df = df.withColumn(c, F.col("pv").getItem(c).cast(schema[c].dataType))
+            df = df.withColumn(
+                c, F.col("pv").getItem(_physical_name(schema, c)).cast(schema[c].dataType)
+            )
         return df.drop("abs_path", "pv")
 
     def _positions_for(items: list[tuple]) -> Optional[DataFrame]:
@@ -558,8 +560,10 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         df = spark.read.schema(T.StructType(data_fields)).parquet(
             *[os.path.join(base, p) for p, _, _ in items]
         )
-        for stored, logical in cm_renames.items():
-            df = df.withColumnRenamed(stored, logical)
+        df = _rename_back(df, cm_renames)
+        for f, rf in zip(logical_fields, data_fields):
+            if rf.dataType != f.dataType:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
         df = df.withColumn(
             "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         ).withColumn("_ri", F.col("_metadata.row_index"))
@@ -581,8 +585,10 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         df = spark.read.schema(T.StructType(cdc_fields)).parquet(
             *[os.path.join(base, c["path"]) for c in cdc]
         )
-        for stored, logical in cm_renames.items():
-            df = df.withColumnRenamed(stored, logical)
+        df = _rename_back(df, cm_renames)
+        for f, rf in zip(logical_fields, data_fields):
+            if rf.dataType != f.dataType:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
         df = df.withColumn(
             "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         )
@@ -676,6 +682,29 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
     return out
 
 
+
+def _physical_name(schema: T.StructType, name: str) -> str:
+    """Column-mapping physical name of a top-level column (spec: file
+    paths AND add.partitionValues key by PHYSICAL name under mode=name)."""
+    try:
+        f = schema[name]
+    except KeyError:
+        return name
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", name)
+
+
+def _rename_back(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """stored->logical renames, collision-safe (swap renames like a->b,
+    b->a would corrupt with sequential withColumnRenamed): two phases via
+    unique temporaries. Keeps hidden columns (_metadata) reachable."""
+    tmp_names = {stored: f"__xtable_rn_{i}" for i, stored in enumerate(mapping)}
+    for stored, tmp in tmp_names.items():
+        df = df.withColumnRenamed(stored, tmp)
+    for stored, tmp in tmp_names.items():
+        df = df.withColumnRenamed(tmp, mapping[stored])
+    return df
+
+
 def _physical_type(dt: T.DataType) -> T.DataType:
     """Recursively rename struct fields to their column-mapping physical
     names (what the parquet files actually store under mode=name)."""
@@ -741,11 +770,12 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     )
     df = spark.read.schema(read_struct).parquet(*paths)
     if cm_mode == "name":
-        # physical -> logical: rename top-level columns and cast nested
+        # physical -> logical: collision-safe rename, then cast nested
         # structs back (struct casts match by position, same shape)
+        df = _rename_back(
+            df, {rf.name: f.name for f, rf in zip(data_fields, read_struct.fields) if rf.name != f.name}
+        )
         for f, rf in zip(data_fields, read_struct.fields):
-            if rf.name != f.name:
-                df = df.withColumnRenamed(rf.name, f.name)
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
@@ -790,7 +820,9 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         df = df.withColumn("abs_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", ""))
         df = df.join(F.broadcast(pv), "abs_path", "left")
         for c in part_cols:
-            df = df.withColumn(c, F.col("pv").getItem(c).cast(schema[c].dataType))
+            df = df.withColumn(
+                c, F.col("pv").getItem(_physical_name(schema, c)).cast(schema[c].dataType)
+            )
         df = df.drop("abs_path", "pv")
     return df.select(*[f.name for f in schema.fields])
 

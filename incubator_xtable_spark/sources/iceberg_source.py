@@ -829,6 +829,36 @@ class IcebergConversionSource:
         return TableSyncMetadata.from_json(raw) if raw else None
 
 
+def _name_mapped_fields(
+    meta: dict, fields, probe_path: str
+) -> tuple["T.StructType", dict[str, str]]:
+    """schema.name-mapping.default resolution: (read struct in the names
+    the files store, stored->logical renames). The first file's footer
+    decides which candidate name applies (conversion file groups are
+    homogeneous in this engine)."""
+    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not nm_raw:
+        return T.StructType(list(fields)), {}
+    import pyarrow.parquet as _pq
+
+    names_by_id = {m.get("field-id"): m.get("names") or [] for m in json.loads(nm_raw)}
+    footer_cols = set(_pq.read_schema(probe_path).names)
+    mapped, renames = [], {}
+    for f in fields:
+        fid = (f.metadata or {}).get("xtable.fieldId")
+        candidates = names_by_id.get(fid, [])
+        stored = next(
+            (n for n in candidates if n in footer_cols),
+            f.name if f.name in footer_cols else None,
+        )
+        if stored is not None and stored != f.name:
+            renames[stored] = f.name
+            mapped.append(T.StructField(stored, f.dataType, f.nullable))
+        else:
+            mapped.append(f)
+    return T.StructType(mapped), renames
+
+
 def read_iceberg_as_df(
     spark: SparkSession,
     base_path: str,
@@ -861,35 +891,12 @@ def read_iceberg_as_df(
     data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
     # name mapping (spec schema.name-mapping.default): files whose parquet
     # columns carry STORAGE names (column-mapped Delta sources) read by
-    # the mapped name and rename back to the logical schema; the footer
-    # of the first file decides which candidate name the files store
-    # (conversion file groups are homogeneous in this engine)
-    renames: dict[str, str] = {}
-    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
-    if nm_raw:
-        import pyarrow.parquet as _pq
-
-        names_by_id = {
-            m.get("field-id"): m.get("names") or [] for m in json.loads(nm_raw)
-        }
-        footer_cols = set(_pq.read_schema(paths[0]).names)
-        mapped_fields = []
-        for f in data_fields.fields:
-            fid = (f.metadata or {}).get("xtable.fieldId")
-            candidates = names_by_id.get(fid, [])
-            stored = next(
-                (n for n in candidates if n in footer_cols),
-                f.name if f.name in footer_cols else None,
-            )
-            if stored is not None and stored != f.name:
-                renames[stored] = f.name
-                mapped_fields.append(T.StructField(stored, f.dataType, f.nullable))
-            else:
-                mapped_fields.append(f)
-        data_fields = T.StructType(mapped_fields)
+    # the mapped name and rename back to the logical schema
+    data_fields, renames = _name_mapped_fields(meta, data_fields.fields, paths[0])
     df = spark.read.schema(data_fields).parquet(*paths)
-    for stored, logical in renames.items():
-        df = df.withColumnRenamed(stored, logical)
+    from incubator_xtable_spark.sources.delta_source import _rename_back
+
+    df = _rename_back(df, renames)
     # scan-time path column: _metadata.file_path binds to THIS relation
     # (input_file_name() would fail once the delete-positions parquet
     # joins in — "does not support more than one source")
@@ -1007,9 +1014,12 @@ def read_iceberg_cdc(spark: SparkSession, base_path: str, snapshot_id: int) -> D
         )
 
     def rows_of(entries, change_type: str, positions, mode: str) -> DataFrame:
-        df = spark.read.schema(data_fields).parquet(
-            *[e["data_file"]["file_path"] for e in entries]
-        )
+        file_paths = [e["data_file"]["file_path"] for e in entries]
+        mapped, renames = _name_mapped_fields(meta, data_fields.fields, file_paths[0])
+        df = spark.read.schema(mapped).parquet(*file_paths)
+        from incubator_xtable_spark.sources.delta_source import _rename_back
+
+        df = _rename_back(df, renames)
         df = df.withColumn(
             "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         ).withColumn("_ri", F.col("_metadata.row_index"))

@@ -54,13 +54,18 @@ def _commits_after(
 
         instants = [i for i, _ in list_completed_instants(base_path)]
         # archival moves oldest instants out of the active timeline; a
-        # cursor older than the active head means commits were archived
-        # past the consumer — fail instead of silently skipping them
+        # cursor below the active head is only a loss when an ARCHIVED
+        # instant NEWER than the cursor exists (a cursor equal to the
+        # newest archived instant missed nothing)
         if after is not None and instants and after < instants[0] and after not in instants:
-            raise ValueError(
-                f"instants after cursor {after} have been archived; "
-                "restart the stream without a cursor"
-            )
+            from incubator_xtable_spark.sources.hudi_source import _archived_commits
+
+            archived = [i for i, _, _ in _archived_commits(base_path)]
+            if any(i > after for i in archived) or after not in archived:
+                raise ValueError(
+                    f"instants after cursor {after} have been archived; "
+                    "restart the stream without a cursor"
+                )
         return [i for i in instants if after is None or i > after]
     if fmt == "PAIMON":
         from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource

@@ -161,11 +161,9 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     ref_pinned = {
         r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
     }
-    window = {s["snapshot-id"] for s in snapshots[-keep_last:]}
-    retained = [
-        s for s in snapshots if s["snapshot-id"] in window or s["snapshot-id"] in ref_pinned
-    ]
-    expired = [s for s in snapshots if s["snapshot-id"] not in {r["snapshot-id"] for r in retained}]
+    keep = {s["snapshot-id"] for s in snapshots[-keep_last:]} | ref_pinned
+    retained = [s for s in snapshots if s["snapshot-id"] in keep]
+    expired = [s for s in snapshots if s["snapshot-id"] not in keep]
     if not expired:
         return []
     for s in expired:

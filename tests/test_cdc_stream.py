@@ -174,3 +174,44 @@ def test_delta_stream_raises_on_pruned_gap(spark, tmp_path):
     os.remove(os.path.join(base, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(ValueError, match="expired"):
         list(cdc_batches(spark, "DELTA", base, after_commit="0"))
+
+
+def test_hudi_cursor_at_archive_boundary_not_a_gap(spark, tmp_path):
+    """A cursor equal to the newest ARCHIVED instant missed nothing —
+    the stream must resume cleanly, while an older archived cursor
+    still raises."""
+    import pytest
+
+    from .test_hudi_log_merge import _commit, _write_base
+    from incubator_xtable_spark.sync.retention import hudi_archive_timeline
+
+    base = str(tmp_path / "mor")
+    os.makedirs(os.path.join(base, ".hoodie"))
+    props = {
+        "hoodie.table.name": "t",
+        "hoodie.table.type": "MERGE_ON_READ",
+        "hoodie.table.version": "6",
+        "hoodie.table.base.file.format": "PARQUET",
+        "hoodie.populate.meta.fields": "false",
+        "hoodie.table.partition.fields": "",
+        "hoodie.table.recordkey.fields": "id",
+    }
+    with open(os.path.join(base, ".hoodie", "hoodie.properties"), "w") as fh:
+        for k, v in props.items():
+            fh.write(f"{k}={v}\n")
+    instants = [f"2024010100000{i}000" for i in range(1, 6)]
+    for i, inst in enumerate(instants):
+        s = _write_base(base, f"g{i}_0-0-0_00{i}.parquet", [i])
+        _commit(
+            base,
+            inst,
+            "deltacommit",
+            [{"fileId": f"g{i}", "path": f"g{i}_0-0-0_00{i}.parquet", "fileSizeInBytes": s, "numWrites": 1}],
+        )
+    hudi_archive_timeline(base, keep_last=2)  # archives instants[0:3]
+    # cursor == newest archived instant: clean resume over the active tail
+    commits = [c for c, _ in cdc_batches(spark, "HUDI", base, after_commit=instants[2])]
+    assert commits == instants[3:]
+    # cursor below the archive horizon: loss -> raise
+    with pytest.raises(ValueError, match="archived"):
+        list(cdc_batches(spark, "HUDI", base, after_commit=instants[0]))

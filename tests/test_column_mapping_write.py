@@ -291,3 +291,123 @@ def test_renamed_column_converts_and_reads_via_name_mapping(spark, tmp_path):
     ice = read_iceberg_as_df(spark, idir)
     assert ice.columns == ["logical_id"]
     assert sorted(r[0] for r in ice.collect()) == [7, 8]
+
+
+def _cm_table(tmp_path, columns, rows, part_col=None):
+    """Hand-built external mode=name Delta table. ``columns``:
+    [(logical, physical, arrow_type)]; ``part_col``: (logical, physical,
+    value) partition stored ONLY in partitionValues under its PHYSICAL
+    key (the spec's keying)."""
+    import json
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "cm")
+    os.makedirs(os.path.join(base, "_delta_log"))
+    pq.write_table(
+        pa.table({phys: pa.array(vals, typ) for (_, phys, typ), vals in zip(columns, rows)}),
+        os.path.join(base, "p0.parquet"),
+    )
+    fields = [
+        {
+            "name": lg,
+            "type": "long" if typ == pa.int64() else "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+        for i, (lg, phys, typ) in enumerate(columns)
+    ]
+    part_names = []
+    pv = {}
+    if part_col is not None:
+        lg, phys, val = part_col
+        fields.append(
+            {
+                "name": lg,
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": len(fields) + 1,
+                    "delta.columnMapping.physicalName": phys,
+                },
+            }
+        )
+        part_names = [lg]
+        pv = {phys: str(val)}
+    now = int(time.time() * 1000)
+    with open(os.path.join(base, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                        "partitionColumns": part_names,
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                        "createdTime": now,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "p0.parquet",
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(base, "p0.parquet")),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    return base
+
+
+def test_partition_values_keyed_by_physical_name(spark, tmp_path):
+    """The spec keys add.partitionValues by PHYSICAL name; the reader
+    must look partition columns up by it (logical lookup -> all-null)."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df, read_delta_cdf
+
+    base = _cm_table(
+        tmp_path,
+        [("value_col", "col-v1", pa.int64())],
+        [[10, 20]],
+        part_col=("part_col", "col-p9", 7),
+    )
+    df = read_delta_as_df(spark, base)
+    got = sorted((r["value_col"], r["part_col"]) for r in df.collect())
+    assert got == [(10, 7), (20, 7)]
+    cdf = read_delta_cdf(spark, base, 0)
+    got = sorted((r["value_col"], r["part_col"], r["_change_type"]) for r in cdf.collect())
+    assert got == [(10, 7, "insert"), (20, 7, "insert")]
+
+
+def test_swap_renamed_columns_read_correctly(spark, tmp_path):
+    """a<->b swap renames (each column's physical name is the OTHER's
+    logical name): sequential renames would collide; the collision-safe
+    two-phase rename must land values under the right logical names."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+
+    base = _cm_table(
+        tmp_path,
+        [("a", "b", pa.int64()), ("b", "a", pa.int64())],
+        [[1, 2], [100, 200]],
+    )
+    df = read_delta_as_df(spark, base)
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    # logical a stores in physical column "b" and vice versa
+    assert rows == [(1, 100), (2, 200)]
