@@ -308,7 +308,15 @@ class IcebergConversionSource:
             if not cand:
                 continue
             file_fields = [f for f in fields if f.name not in identity_cols]
-            df = self.spark.read.schema(T.StructType(file_fields)).parquet(*cand)
+            # name mapping: renamed sources' files store physical names
+            mapped, eq_renames = _name_mapped_fields(
+                self._meta(), file_fields, cand[0]
+            )
+            df = self.spark.read.schema(mapped).parquet(*cand)
+            if eq_renames:
+                from incubator_xtable_spark.sources.delta_source import _rename_back
+
+                df = _rename_back(df, eq_renames)
             df = df.withColumn(
                 "file_path",
                 F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),

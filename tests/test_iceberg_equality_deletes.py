@@ -512,3 +512,79 @@ def test_equality_on_identity_partition_column(spark, tmp_path):
     _append_delete_snapshot(spark, d, [(eq, [fid_bucket], {})])
     got = _ids(read_iceberg_as_df(spark, d))
     assert got == [i for i in range(12) if i % 3 != 1]
+
+
+def test_equality_delete_on_name_mapped_column(spark, tmp_path):
+    """Data files store the PHYSICAL column name (column-mapped Delta
+    source); the equality join must resolve it via the name mapping —
+    a logical-name read would null the join key and delete nothing."""
+    import time
+
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    dbase = str(tmp_path / "src")
+    os.makedirs(os.path.join(dbase, "_delta_log"))
+    pq.write_table(
+        pa.table({"col-xyz": pa.array(list(range(10)), pa.int64())}),
+        os.path.join(dbase, "p0.parquet"),
+    )
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "logical_id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-xyz",
+                },
+            }
+        ],
+    }
+    now = int(time.time() * 1000)
+    with open(os.path.join(dbase, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": json.dumps(schema_json),
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                        "createdTime": now,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "p0.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(dbase, "p0.parquet")),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    idir = str(tmp_path / "ice")
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, dbase, name="t"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, idir, table_name="t")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    src = IcebergConversionSource(spark, idir)
+    fid = _field_id(src, "logical_id")
+    eq = _eq_parquet(
+        os.path.join(idir, "eq.parquet"), {"logical_id": pa.array([3, 7], pa.int64())}
+    )
+    _append_delete_snapshot(spark, idir, [(eq, [fid], {})])
+    got = sorted(r["logical_id"] for r in read_iceberg_as_df(spark, idir).collect())
+    assert got == [i for i in range(10) if i not in (3, 7)]
