@@ -392,7 +392,7 @@ class DeltaConversionTarget:
         # replaces them). Distributed write, bounded file count.
         cdc_actions: list[dict] = []
         if self.change_feed and self._row_changes is not None and version > 0:
-            cdc_actions = self._write_change_data(self._row_changes)
+            cdc_actions = self._write_change_data(self._row_changes, mapped_schema)
 
         def actions() -> Iterator[str]:
             yield json.dumps(
@@ -583,7 +583,9 @@ class DeltaConversionTarget:
 
     # -- helpers -----------------------------------------------------------
 
-    def _write_change_data(self, changes: DataFrame) -> list[dict]:
+    def _write_change_data(
+        self, changes: DataFrame, mapped_schema: T.StructType
+    ) -> list[dict]:
         """Write the CDC rows as parquet under _change_data/ and return
         the cdc action dicts. Empty change sets write nothing (readers
         then correctly derive "no changes" from the file actions).
@@ -591,7 +593,15 @@ class DeltaConversionTarget:
         Partitioned tables: CDF readers re-derive the partition columns
         from each cdc action's partitionValues (the columns are NOT in
         the change files, same as data files), so the write goes through
-        partitionBy and each emitted file carries its hive-path values."""
+        partitionBy and each emitted file carries its hive-path values.
+
+        Column mapping (mode=name): change files store PHYSICAL column
+        names and cdc partitionValues key by physical name, exactly like
+        data files (Delta PROTOCOL.md; the reader resolves both through
+        delta.columnMapping.physicalName). ``mapped_schema`` is the
+        annotated schema this commit's metaData will carry — renamed
+        columns (physicalName != logical) are renamed/cast before write,
+        nested renames via a cast to the physical struct type."""
         import glob
         import shutil
         import uuid as _uuid
@@ -599,10 +609,32 @@ class DeltaConversionTarget:
 
         if changes.isEmpty():
             return []
+        from incubator_xtable_spark.sources.delta_source import _physical_type
+
+        phys_schema = _physical_type(mapped_schema)
+        phys_of = {
+            f.name: pf for f, pf in zip(mapped_schema.fields, phys_schema.fields)
+        }
+        exprs = []
+        for c in changes.columns:
+            f = next((x for x in mapped_schema.fields if x.name == c), None)
+            if f is None:  # _change_type and any non-table column
+                exprs.append(F.col(c))
+                continue
+            pf = phys_of[c]
+            e = F.col(c)
+            if pf.dataType != f.dataType:  # nested renames live in the type
+                e = e.cast(pf.dataType)
+            exprs.append(e.alias(pf.name))
+        changes = changes.select(*exprs)
         cd_dir = os.path.join(self.base_path, "_change_data")
         os.makedirs(cd_dir, exist_ok=True)
         tmp = os.path.join(cd_dir, f".cdc-tmp-{_uuid.uuid4().hex}")
-        part_cols = [c for c in self._partition_cols if c in changes.columns]
+        part_cols = [
+            phys_of[c].name if c in phys_of else c
+            for c in self._partition_cols
+            if (phys_of[c].name if c in phys_of else c) in changes.columns
+        ]
         # per-commit change sets are change-volume-sized; bound the file
         # count rather than inheriting the session's shuffle parallelism
         writer = changes.coalesce(4).write

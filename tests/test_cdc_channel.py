@@ -403,3 +403,69 @@ def test_legacy_cdf_protocol_survives_feature_upgrade(spark, tmp_path):
     wf = set(protos[0]["writerFeatures"])
     # legacy-implied features carried into the feature list
     assert {"changeDataFeed", "generatedColumns", "columnMapping", "deletionVectors"} <= wf
+
+
+def test_cdf_written_with_physical_names_under_column_mapping(spark, tmp_path):
+    """ADVICE r5: under columnMapping mode=name with RENAMED columns
+    (physicalName != logical), change data files must store PHYSICAL
+    column names and cdc partitionValues must key by physical name —
+    exactly like data files — or CDF reads silently return nulls."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import InternalTable
+    from incubator_xtable_spark.model.core import TableFormat as TF
+    from incubator_xtable_spark.model.schema_meta import FIELD_ID, STORAGE_NAME
+
+    base = str(tmp_path / "cm_cdf")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True, {FIELD_ID: 1, STORAGE_NAME: "col-aa"}),
+            T.StructField("label", T.StringType(), True, {FIELD_ID: 2, STORAGE_NAME: "col-bb"}),
+            T.StructField("level", T.IntegerType(), True, {FIELD_ID: 3, STORAGE_NAME: "col-cc"}),
+        ]
+    )
+    table = InternalTable(name="cm", table_format=TF.PARQUET, base_path=base, read_schema=schema)
+    target = DeltaConversionTarget(spark, base, change_feed=True)
+    target.begin_sync(table)
+    target.sync_schema(schema)
+    target.sync_partition_spec(["level"])
+    assert target.complete_sync() == 0
+
+    changes = spark.createDataFrame(
+        [(10, "ten", 0, "insert"), (11, "eleven", 1, "insert"), (2, "two", 0, "delete")],
+        "id LONG, label STRING, level INT, _change_type STRING",
+    )
+    target.begin_sync(table)
+    target.sync_schema(schema)
+    target.sync_partition_spec(["level"])
+    target.sync_row_changes(changes)
+    v = target.complete_sync()
+    assert v == 1
+
+    commit = [
+        json.loads(line)
+        for line in open(os.path.join(base, "_delta_log", f"{v:020d}.json"))
+    ]
+    cdc = [a["cdc"] for a in commit if a.get("cdc")]
+    assert cdc
+    # partitionValues keyed by the partition column's PHYSICAL name
+    assert all(set(a["partitionValues"]) == {"col-cc"} for a in cdc)
+    # the change parquet stores physical column names (level is hive-pathed)
+    files = glob.glob(os.path.join(base, "_change_data", "*.parquet"))
+    assert files
+    stored = set(pq.read_schema(files[0]).names)
+    assert "col-aa" in stored and "col-bb" in stored
+    assert "id" not in stored and "label" not in stored
+
+    cdf = read_delta_cdf(spark, base, v)
+    got = sorted(
+        (r["id"], r["label"], r["level"], r["_change_type"]) for r in cdf.collect()
+    )
+    assert got == [
+        (2, "two", 0, "delete"),
+        (10, "ten", 0, "insert"),
+        (11, "eleven", 1, "insert"),
+    ]
