@@ -19,11 +19,11 @@ Puffin theta blobs, so converted tables can carry engine-usable NDV
 stats — cost-based optimizers (Trino/Spark) read exactly this blob
 type.
 
-Scale: sketching runs as distinct -> per-batch Python hashing with
-per-batch k-min pre-reduction (the Arrow batches stream; only k
-candidate hashes per batch survive to the driver merge). The Python
-hash loop touches DISTINCT values only — the deliberate trade for an
-opt-in statistics job; the per-row scan stays JVM-side in the distinct.
+Scale: sketching is ONE shuffle-free Spark job for ALL requested
+columns — a single mapInArrow scan that hashes each batch and
+pre-reduces to the k smallest distinct hashes per (batch, column), so
+only k longs per batch-column survive to the driver's KMV merge. Wide
+tables pay one scan instead of a sequential shuffle per column.
 """
 
 from __future__ import annotations
@@ -247,8 +247,16 @@ class ThetaSketch:
             raise ValueError(f"unsupported theta sketch (serial={serial} family={family})")
         if not flags & _FLAG_BIG_ENDIAN and sh != seed_hash(seed):
             raise ValueError("seed hash mismatch")
-        if flags & _FLAG_EMPTY or pre_longs == 1:
+        if flags & _FLAG_EMPTY:
             return cls(lg_k=lg_k or DEFAULT_LG_K, theta=MAX_THETA, entries=())
+        if pre_longs == 1:
+            # DataSketches single-item compact format: preLongs=1 with the
+            # EMPTY flag ABSENT carries exactly one retained hash at
+            # bytes 8-16 (theta = 1.0). Only an EMPTY flag means empty.
+            if len(data) < 16:
+                raise ValueError("single-item theta sketch shorter than 16 bytes")
+            (h,) = struct.unpack("<q", data[8:16])
+            return cls(lg_k=lg_k or DEFAULT_LG_K, theta=MAX_THETA, entries=(h,))
         (count,) = struct.unpack("<i", data[8:12])
         off = 16
         theta = MAX_THETA
@@ -270,36 +278,53 @@ def build_column_sketches(
     columns: Optional[list[str]] = None,
     lg_k: int = DEFAULT_LG_K,
 ) -> dict[str, ThetaSketch]:
-    """One theta sketch per column of ``df``.
+    """One theta sketch per column of ``df``, built in ONE Spark job.
 
-    Plan per column: JVM-side distinct (one shuffle; dedupe costs no
-    Python time), then an Arrow-batched pass that hashes each batch and
-    pre-reduces to its k smallest hashes, so at most k longs per batch
-    reach the driver, where the final KMV merge runs. Null values are
-    skipped (NDV counts non-null distinct values)."""
+    Plan: a single mapInArrow pass over only the requested columns. Each
+    Arrow batch hashes every column's non-null values and pre-reduces to
+    that column's k smallest DISTINCT hashes, so at most k longs per
+    (batch, column) reach the driver, where the final per-column KMV
+    merge runs. Arrow-level null dropping is deliberate: a pandas
+    conversion would float-ify integer batches that contain nulls and
+    silently corrupt the hashes (ints would hash as doubles).
+
+    Versus the previous one-distinct-job-per-column plan this trades
+    JVM-side dedupe (duplicates now cost a Python hash each, dedupe
+    happens in the per-batch set) for a shuffle-free single scan: an
+    N-column stats collection costs 1 job / 0 shuffles instead of N
+    sequential shuffles — the latency win dominates for wide tables,
+    which is what table-statistics collection runs against."""
     import os as _os
 
-    from pyspark.sql import functions as F
-
     pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    out: dict[str, ThetaSketch] = {}
+    cols = list(columns or [f.name for f in df.schema.fields])
+    if not cols:
+        return {}
     k = 1 << lg_k
-    for col in columns or [f.name for f in df.schema.fields]:
-        distinct = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull()).distinct()
+    sel = df.select(*cols)
 
-        def _hash_batches(batches, _k=k):
-            import sys as _sys
+    def _hash_batches(batches, _cols=tuple(cols), _k=k):
+        import sys as _sys
 
-            if pkg_root not in _sys.path:
-                _sys.path.insert(0, pkg_root)
-            import pandas as pd
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import pyarrow as pa
 
-            from incubator_xtable_spark.functions.theta_sketch import hash_item as _hi
+        from incubator_xtable_spark.functions.theta_sketch import hash_item as _hi
 
-            for pdf in batches:
-                hashes = sorted(_hi(v) for v in pdf["v"] if v is not None)[:_k]
-                yield pd.DataFrame({"h": pd.Series(hashes, dtype="int64")})
+        for rb in batches:
+            names: list[str] = []
+            hs: list[int] = []
+            for c in _cols:
+                arr = rb.column(rb.schema.get_field_index(c))
+                mins = sorted({_hi(v) for v in arr.drop_null().to_pylist()})[:_k]
+                names.extend([c] * len(mins))
+                hs.extend(mins)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(names, pa.string()), pa.array(hs, pa.int64())], ["c", "h"]
+            )
 
-        candidate_rows = distinct.mapInPandas(_hash_batches, "h LONG").collect()
-        out[col] = ThetaSketch.from_hashes((r["h"] for r in candidate_rows), lg_k=lg_k)
-    return out
+    by_col: dict[str, list[int]] = {c: [] for c in cols}
+    for r in sel.mapInArrow(_hash_batches, "c STRING, h LONG").collect():
+        by_col[r["c"]].append(r["h"])
+    return {c: ThetaSketch.from_hashes(by_col[c], lg_k=lg_k) for c in cols}

@@ -116,6 +116,34 @@ def test_seed_mismatch_rejected():
         ThetaSketch.from_bytes(s.to_bytes(), seed=1234)
 
 
+def test_single_item_compact_format_decodes():
+    """DataSketches' single-item compact theta sketch uses preLongs=1
+    WITHOUT the EMPTY flag and one hash at bytes 8-16; treating every
+    preLongs==1 blob as empty would silently decode it as NDV 0."""
+    import struct
+
+    from incubator_xtable_spark.functions.theta_sketch import (
+        _FAMILY_COMPACT,
+        _FLAG_COMPACT,
+        _FLAG_ORDERED,
+        _FLAG_READ_ONLY,
+        _SERIAL_VERSION,
+        hash_item,
+        seed_hash,
+    )
+
+    h = hash_item(42)
+    flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
+    blob = struct.pack(
+        "<BBBBBBH", 1, _SERIAL_VERSION, _FAMILY_COMPACT, 0, 0, flags, seed_hash()
+    ) + struct.pack("<q", h)
+    s = ThetaSketch.from_bytes(blob)
+    assert s.entries == (h,) and s.estimate() == 1.0
+    # truncated single-item blob is an error, not an empty sketch
+    with pytest.raises(ValueError, match="single-item"):
+        ThetaSketch.from_bytes(blob[:8])
+
+
 # -- distributed build -------------------------------------------------------
 
 
@@ -131,6 +159,26 @@ def test_build_column_sketches_matches_exact_counts(spark):
     for c, sk in sketches.items():
         # sf0.001 counts are far below k -> exact mode, equality holds
         assert sk.estimate() == float(exact[c]), c
+
+
+def test_build_column_sketches_is_one_job(spark):
+    """The whole multi-column build must run as ONE Spark job (a wide
+    table previously paid a sequential distinct-shuffle per column)."""
+    df = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    sc = spark.sparkContext
+    group = "theta-one-job"
+    sc.setJobGroup(group, "theta build")
+    try:
+        sketches = build_column_sketches(spark, df, columns=cols)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 1, jobs
+    assert set(sketches) == set(cols)
+    # int columns containing no nulls must hash as longs end-to-end
+    exact = df.select("c_nationkey").distinct().count()
+    assert sketches["c_nationkey"].estimate() == float(exact)
 
 
 # -- Iceberg statistics commit ----------------------------------------------
