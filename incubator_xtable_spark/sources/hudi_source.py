@@ -176,6 +176,7 @@ def materialize_mor_shadows(
     import glob as _glob
     import hashlib
     import json as _json
+    import pickle as _pickle
     import shutil as _shutil
 
     from incubator_xtable_spark.sources.hudi_log import merged_log_records_with_boundary
@@ -211,7 +212,10 @@ def materialize_mor_shadows(
                 os.path.join(base_path, r["path"]) if r["path"] else None,
                 os.path.join(base_path, shadow_rel),
                 _json.dumps(sorted({str(k) for k in upserts} | {str(k) for k in deleted})),
-                _json.dumps(
+                # pickle, NOT json: parquet log blocks decode to typed
+                # Python values (bytes, Decimal, date/datetime) that JSON
+                # cannot represent — bytes would not even round-trip
+                _pickle.dumps(
                     [{c: rec.get(c) for c in data_cols} for rec in upserts.values()]
                 ),
             )
@@ -230,12 +234,13 @@ def materialize_mor_shadows(
             os.replace(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], probe)
             _shutil.rmtree(tmp, ignore_errors=True)
         plan = spark.createDataFrame(
-            todo, "base STRING, shadow STRING, drop_keys STRING, upserts STRING"
+            todo, "base STRING, shadow STRING, drop_keys STRING, upserts BINARY"
         )
 
         def _compact(batches):
             import json as _j
             import os as _os
+            import pickle as _p
 
             import pandas as pd
             import pyarrow as _pa
@@ -253,7 +258,7 @@ def materialize_mor_shadows(
                         keys = t.column(key_field).to_pylist()
                         keep = [i for i, k in enumerate(keys) if str(k) not in drop]
                         t = t.take(_pa.array(keep, type=_pa.int64()))
-                    ups = _j.loads(us)
+                    ups = _p.loads(bytes(us))
                     if ups:
                         add = _pa.Table.from_pylist(ups, schema=_pa.schema(
                             [t.schema.field(c) for c in data_cols]

@@ -376,3 +376,144 @@ def test_clean_mor_shadows_keeps_current_boundary(spark, mor_base):
     assert len(left) == 1
     # the kept shadow is the head's: reads still work
     assert dict(_rows(read_hudi_as_df(spark, mor_base, mode="snapshot")))[1] == "b"
+
+
+def test_typed_values_survive_shadow_materialization(spark, tmp_path):
+    """ADVICE r5: parquet log blocks decode to typed Python values
+    (bytes / Decimal / date) that JSON cannot carry — the shadow plan
+    must serialize them losslessly (pickle), or snapshot-view sync
+    crashes (and bytes could never round-trip)."""
+    import datetime
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    from .hudi_logtable import parquet_data_block
+    from .test_hudi_log_merge import _commit as _commit_simple  # noqa: F401
+
+    base = str(tmp_path / "mor_typed")
+    os.makedirs(os.path.join(base, ".hoodie"))
+    props = {
+        "hoodie.table.name": "mor_typed",
+        "hoodie.table.type": "MERGE_ON_READ",
+        "hoodie.table.version": "6",
+        "hoodie.table.base.file.format": "PARQUET",
+        "hoodie.populate.meta.fields": "false",
+        "hoodie.table.partition.fields": "",
+        "hoodie.table.recordkey.fields": "id",
+    }
+    with open(os.path.join(base, ".hoodie", "hoodie.properties"), "w") as fh:
+        for k, v in props.items():
+            fh.write(f"{k}={v}\n")
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "payload", "type": "binary", "nullable": True, "metadata": {}},
+                {"name": "amount", "type": "decimal(10,2)", "nullable": True, "metadata": {}},
+                {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    arrow_schema = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("payload", pa.binary()),
+            ("amount", pa.decimal128(10, 2)),
+            ("day", pa.date32()),
+        ]
+    )
+
+    def row(i, tag):
+        return {
+            "id": i,
+            "payload": bytes([i, 0xFF, 0x00]) + tag.encode(),
+            "amount": decimal.Decimal(f"{i}.25"),
+            "day": datetime.date(2024, 1, 1 + i),
+        }
+
+    base_tbl = pa.Table.from_pylist([row(i, "base") for i in range(3)], schema=arrow_schema)
+    pq.write_table(base_tbl, os.path.join(base, "g1_0-0-0_001.parquet"))
+
+    def _typed_commit(instant, stats):
+        d = os.path.join(base, ".hoodie")
+        meta = {
+            "partitionToWriteStats": {"": stats},
+            "extraMetadata": {"schema": schema_json},
+            "operationType": "UPSERT",
+        }
+        for suffix in ("deltacommit.requested", "deltacommit.inflight"):
+            open(os.path.join(d, f"{instant}.{suffix}"), "w").close()
+        with open(os.path.join(d, f"{instant}.deltacommit"), "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+
+    _typed_commit(
+        "20240101000001000",
+        [
+            {
+                "fileId": "g1",
+                "path": "g1_0-0-0_001.parquet",
+                "fileSizeInBytes": os.path.getsize(os.path.join(base, "g1_0-0-0_001.parquet")),
+                "numWrites": 3,
+            }
+        ],
+    )
+    # log upsert of id=1 + a new id=7 via a PARQUET data block
+    log_tbl = pa.Table.from_pylist([row(1, "upd"), row(7, "new")], schema=arrow_schema)
+    log_name = ".g1_001.log.1_0-1-0"
+    with open(os.path.join(base, log_name), "wb") as fh:
+        fh.write(parquet_data_block("20240101000002000", log_tbl))
+    _typed_commit(
+        "20240101000002000",
+        [
+            {
+                "fileId": "g1",
+                "path": log_name,
+                "fileSizeInBytes": os.path.getsize(os.path.join(base, log_name)),
+                "numWrites": 0,
+            }
+        ],
+    )
+
+    delta_dir = str(tmp_path / "as_delta")
+    _sync(spark, base, delta_dir, view="snapshot")
+    got = sorted(
+        (r["id"], bytes(r["payload"]), r["amount"], r["day"])
+        for r in read_delta_as_df(spark, delta_dir).collect()
+    )
+    want = sorted(
+        (r["id"], r["payload"], r["amount"], r["day"])
+        for r in [row(0, "base"), row(1, "upd"), row(2, "base"), row(7, "new")]
+    )
+    assert got == want
+
+
+def test_avro_block_bytes_schema_refused_loudly(spark, mor_base):
+    """Avro log blocks with bytes/fixed fields cannot round-trip through
+    the Avro-JSON decode — the merge must refuse with the column name,
+    never silently corrupt."""
+    import pytest
+
+    from incubator_xtable_spark.sources.hudi_log import merged_log_records
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "rec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "blob", "type": ["null", "bytes"], "default": None},
+            ],
+        }
+    )
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [avro_data_block(spark, "20240101000002000", schema, [{"id": 1, "blob": None}])],
+    )
+    with pytest.raises(ValueError, match="blob"):
+        merged_log_records(
+            spark, [os.path.join(mor_base, ".g1_001.log.1_0-1-0")], "id"
+        )
