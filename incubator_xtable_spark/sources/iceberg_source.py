@@ -308,19 +308,14 @@ class IcebergConversionSource:
             if not cand:
                 continue
             file_fields = [f for f in fields if f.name not in identity_cols]
-            # name mapping: renamed sources' files store physical names
-            mapped, eq_renames = _name_mapped_fields(
-                self._meta(), file_fields, cand[0]
+            # name mapping: renamed sources' files store physical names,
+            # resolved per distinct footer schema (mixed provenances read
+            # each with their own resolution)
+            df = (
+                _read_name_mapped(self.spark, self._meta(), file_fields, cand)
+                .withColumnRenamed("_nm_path", "file_path")
+                .withColumnRenamed("_nm_pos", "pos")
             )
-            df = self.spark.read.schema(mapped).parquet(*cand)
-            if eq_renames:
-                from incubator_xtable_spark.sources.delta_source import _rename_back
-
-                df = _rename_back(df, eq_renames)
-            df = df.withColumn(
-                "file_path",
-                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),
-            ).withColumn("pos", F.col("_metadata.row_index"))
             seq_scope = self.spark.createDataFrame(
                 [(p, data_seq[p], _scope(pv_raw[p])) for p in cand],
                 "file_path STRING, data_seq LONG, data_scope STRING",
@@ -838,19 +833,15 @@ class IcebergConversionSource:
 
 
 def _name_mapped_fields(
-    meta: dict, fields, probe_path: str
+    meta: dict, fields, footer_cols: set
 ) -> tuple["T.StructType", dict[str, str]]:
-    """schema.name-mapping.default resolution: (read struct in the names
-    the files store, stored->logical renames). The first file's footer
-    decides which candidate name applies (conversion file groups are
-    homogeneous in this engine)."""
+    """schema.name-mapping.default resolution against ONE footer's
+    column-name set: (read struct in the names the files store,
+    stored->logical renames)."""
     nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
     if not nm_raw:
         return T.StructType(list(fields)), {}
-    import pyarrow.parquet as _pq
-
     names_by_id = {m.get("field-id"): m.get("names") or [] for m in json.loads(nm_raw)}
-    footer_cols = set(_pq.read_schema(probe_path).names)
     mapped, renames = [], {}
     for f in fields:
         fid = (f.metadata or {}).get("xtable.fieldId")
@@ -865,6 +856,80 @@ def _name_mapped_fields(
         else:
             mapped.append(f)
     return T.StructType(mapped), renames
+
+
+def _footer_column_groups(spark, paths: list[str]) -> dict[frozenset, list[str]]:
+    """Group files by their parquet footer's column-name set. Small
+    groups read footers driver-side; large ones in one distributed
+    footer-only pass (the parquet_source stats posture) — the distinct
+    sets coming back to the driver are few regardless of file count."""
+    import pyarrow.parquet as _pq
+
+    groups: dict[frozenset, list[str]] = {}
+    if len(paths) <= 64:
+        for p in paths:
+            groups.setdefault(frozenset(_pq.read_schema(p).names), []).append(p)
+        return groups
+    pdf = spark.createDataFrame([(p,) for p in paths], "p STRING")
+
+    def _read(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "p": b["p"],
+                    "cols": ["\x00".join(sorted(pq.read_schema(x).names)) for x in b["p"]],
+                }
+            )
+
+    n_parts = max(1, min(len(paths) // 64, 256))
+    for r in pdf.repartition(n_parts).mapInPandas(_read, "p STRING, cols STRING").collect():
+        key = frozenset(r["cols"].split("\x00")) if r["cols"] else frozenset()
+        groups.setdefault(key, []).append(r["p"])
+    return groups
+
+
+def _read_name_mapped(spark, meta: dict, fields, paths: list[str]) -> DataFrame:
+    """Read ``paths`` presenting the LOGICAL columns of ``fields``, with
+    schema.name-mapping.default resolved PER DISTINCT FOOTER SCHEMA — a
+    file group mixing provenances (some files storing logical names,
+    some storing physical/storage names, e.g. files written before and
+    after a rename) reads each file with its own resolution instead of
+    silently nulling the mismatched ones (ADVICE r5). Also attaches
+    `_nm_path` (normalized file path) and `_nm_pos` (row index) —
+    `_metadata` binds per relation, so they must be captured before the
+    per-group union. Without a name-mapping property this is exactly one
+    parquet relation (no footer reads, no union)."""
+    from incubator_xtable_spark.sources.delta_source import _rename_back
+
+    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    groups = (
+        _footer_column_groups(spark, paths) if nm_raw else {None: list(paths)}
+    )
+    logical_names = [f.name for f in fields]
+    parts = []
+    for footer_cols, grp_paths in groups.items():
+        if footer_cols is None:
+            mapped, renames = T.StructType(list(fields)), {}
+        else:
+            mapped, renames = _name_mapped_fields(meta, fields, set(footer_cols))
+        df = (
+            spark.read.schema(mapped)
+            .parquet(*grp_paths)
+            .withColumn(
+                "_nm_path",
+                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),
+            )
+            .withColumn("_nm_pos", F.col("_metadata.row_index"))
+        )
+        df = _rename_back(df, renames)
+        parts.append(df.select(*logical_names, "_nm_path", "_nm_pos"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_iceberg_as_df(
@@ -899,17 +964,13 @@ def read_iceberg_as_df(
     data_fields = T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
     # name mapping (spec schema.name-mapping.default): files whose parquet
     # columns carry STORAGE names (column-mapped Delta sources) read by
-    # the mapped name and rename back to the logical schema
-    data_fields, renames = _name_mapped_fields(meta, data_fields.fields, paths[0])
-    df = spark.read.schema(data_fields).parquet(*paths)
-    from incubator_xtable_spark.sources.delta_source import _rename_back
-
-    df = _rename_back(df, renames)
-    # scan-time path column: _metadata.file_path binds to THIS relation
-    # (input_file_name() would fail once the delete-positions parquet
-    # joins in — "does not support more than one source")
-    df = df.withColumn(
-        "_scan_path", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+    # the mapped name and rename back to the logical schema, resolved
+    # per distinct footer schema (mixed-provenance groups read correctly).
+    # _nm_path doubles as the scan-time path column: _metadata.file_path
+    # binds per relation (input_file_name() would fail once the
+    # delete-positions parquet joins in)
+    df = _read_name_mapped(spark, meta, data_fields.fields, paths).withColumnRenamed(
+        "_nm_path", "_scan_path"
     )
     if delete_entries:
         # v2 position deletes applied row-level: the delete parquet scan
@@ -929,14 +990,11 @@ def read_iceberg_as_df(
             .filter(F.col("delete_seq") >= F.col("data_seq"))
             .select("file_path", "pos")
         )
-        df = (
-            df.withColumn("_ri", F.col("_metadata.row_index"))
-            .join(
-                applicable,
-                (F.col("_scan_path") == applicable.file_path) & (F.col("_ri") == applicable.pos),
-                "left_anti",
-            )
-            .drop("_ri")
+        df = df.join(
+            applicable,
+            (F.col("_scan_path") == applicable.file_path)
+            & (F.col("_nm_pos") == applicable.pos),
+            "left_anti",
         )
     if part_cols:
         pv_rows = [
@@ -1023,14 +1081,11 @@ def read_iceberg_cdc(spark: SparkSession, base_path: str, snapshot_id: int) -> D
 
     def rows_of(entries, change_type: str, positions, mode: str) -> DataFrame:
         file_paths = [e["data_file"]["file_path"] for e in entries]
-        mapped, renames = _name_mapped_fields(meta, data_fields.fields, file_paths[0])
-        df = spark.read.schema(mapped).parquet(*file_paths)
-        from incubator_xtable_spark.sources.delta_source import _rename_back
-
-        df = _rename_back(df, renames)
-        df = df.withColumn(
-            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
-        ).withColumn("_ri", F.col("_metadata.row_index"))
+        df = (
+            _read_name_mapped(spark, meta, data_fields.fields, file_paths)
+            .withColumnRenamed("_nm_path", "_fp")
+            .withColumnRenamed("_nm_pos", "_ri")
+        )
         if positions is not None:
             df = df.join(
                 positions,

@@ -411,3 +411,64 @@ def test_swap_renamed_columns_read_correctly(spark, tmp_path):
     rows = sorted((r["a"], r["b"]) for r in df.collect())
     # logical a stores in physical column "b" and vice versa
     assert rows == [(1, 100), (2, 200)]
+
+
+def test_name_mapping_resolves_per_footer_schema(spark, tmp_path):
+    """ADVICE r5: a file group mixing provenances — files written before
+    a rename store the LOGICAL column name, files written after store
+    the physical/storage name — must read each file with its own
+    name-mapping resolution. First-footer-wins resolution silently
+    nulls the mismatched files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+    from incubator_xtable_spark.targets.iceberg_target import (
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _field_id,
+        _make_table,
+    )
+
+    d = _make_table(spark, tmp_path, n=10, files=1)  # files store logical names
+    src = IcebergConversionSource(spark, d)
+    fid_id, fid_name = _field_id(src, "id"), _field_id(src, "name")
+
+    # a second-provenance data file storing the physical name
+    het = os.path.join(d, "hetero.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([100, 101, 102], pa.int64()),
+                "stored-name": pa.array(["h100", "h101", "h102"]),
+            }
+        ),
+        het,
+    )
+    _append_delete_snapshot(spark, d, [], data_files=[(het, 3)], snapshot_id=777)
+
+    # name mapping says logical `name` may be stored as `stored-name`
+    meta = read_table_metadata(d)
+    nm = [
+        {"field-id": fid_id, "names": ["id"]},
+        {"field-id": fid_name, "names": ["stored-name", "name"]},
+    ]
+    meta.setdefault("properties", {})["schema.name-mapping.default"] = json.dumps(nm)
+    hint = int(open(os.path.join(metadata_dir(d), "version-hint.text")).read().strip())
+    with open(os.path.join(metadata_dir(d), f"v{hint}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    got = sorted(
+        (r["id"], r["name"]) for r in read_iceberg_as_df(spark, d).collect()
+    )
+    want = sorted(
+        [(i, f"n{i}") for i in range(10)] + [(i, f"h{i}") for i in (100, 101, 102)]
+    )
+    assert got == want  # no nulls from either provenance
