@@ -144,31 +144,77 @@ class IcebergConversionSource:
         """Live v2 DELETE entries (position content==1, equality content==2)."""
         return self._entries_by_content(meta, snapshot_id)[1]
 
+    def _spec_field_mapping(self, meta: dict, mf_spec_id: int) -> list[tuple[str, Optional[str]]]:
+        """Partition-spec EVOLUTION resolution: how a manifest written
+        under spec ``mf_spec_id`` maps into the table's DEFAULT spec
+        representation — [(default_field_name, old_field_name|None)].
+        Match by partition field-id (stable across evolution), falling
+        back to (source-id, transform). A default-spec field absent from
+        the old spec resolves to None: per the Iceberg spec's read
+        semantics, files written before a partition field was added have
+        null for it. Old-spec fields absent from the default spec drop
+        (removed partition fields). This EXCEEDS the reference, which
+        reads every manifest with only the current spec and silently
+        mis-maps old manifests (ref IcebergDataFileExtractor.java:174,207,
+        IcebergPartitionSpecExtractor.java:1-172)."""
+        specs_by_id = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
+        old = specs_by_id.get(mf_spec_id)
+        if old is None:
+            raise ValueError(
+                f"manifest references partition spec {mf_spec_id}, which is "
+                f"not in metadata.json partition-specs ({sorted(specs_by_id)})"
+            )
+        default_fields = (
+            specs_by_id.get(meta.get("default-spec-id", 0)) or {"fields": []}
+        ).get("fields", [])
+        old_fields = old.get("fields", [])
+        by_fid = {
+            f.get("field-id"): f for f in old_fields if f.get("field-id") is not None
+        }
+        out = []
+        for f in default_fields:
+            m = by_fid.get(f.get("field-id"))
+            if m is None:
+                m = next(
+                    (
+                        g
+                        for g in old_fields
+                        if g.get("source-id") == f.get("source-id")
+                        and g.get("transform") == f.get("transform")
+                    ),
+                    None,
+                )
+            out.append((f["name"], m["name"] if m is not None else None))
+        return out
+
     def _entries_by_content(self, meta: dict, snapshot_id: int) -> tuple[list[dict], list[dict]]:
         snap = self._snapshot_by_id(meta, snapshot_id)
         if snap is None:
             return [], []
         default_spec = meta.get("default-spec-id", 0)
+        mappings: dict[int, list[tuple[str, Optional[str]]]] = {}
         data: list[dict] = []
         deletes: list[dict] = []
         for mf in self.avro.read_records(snap["manifest-list"]):
-            # partition-spec EVOLUTION guard: a manifest written under an
-            # older spec stores that spec's partition tuple — mapping it
-            # onto the current spec's field names would silently null the
-            # values (wrong partition metadata, wrong identity-column
-            # attach). Refuse loudly until per-spec resolution exists.
+            # partition-spec evolution: a manifest written under an older
+            # spec stores THAT spec's partition tuple; resolve it into the
+            # default spec's field names (null where the old spec lacks a
+            # field) so every consumer sees ONE unified representation
             mf_spec = mf.get("partition_spec_id")
+            mapping = None
             if mf_spec is not None and mf_spec != default_spec:
-                raise ValueError(
-                    f"manifest {mf.get('manifest_path')} was written under "
-                    f"partition spec {mf_spec} but the table's default spec is "
-                    f"{default_spec}: partition-spec evolution is not supported "
-                    "(values would silently mis-map); rewrite manifests to the "
-                    "current spec or convert from a snapshot before the change"
-                )
+                if mf_spec not in mappings:
+                    mappings[mf_spec] = self._spec_field_mapping(meta, mf_spec)
+                mapping = mappings[mf_spec]
             for entry in self.avro.read_records(mf["manifest_path"]):
                 if entry["status"] == 2:
                     continue
+                if mapping is not None:
+                    part = entry["data_file"].get("partition") or {}
+                    entry["data_file"]["partition"] = {
+                        dn: (part.get(on) if on is not None else None)
+                        for dn, on in mapping
+                    }
                 content = entry["data_file"].get("content") or 0
                 (deletes if content in (1, 2) else data).append(entry)
         return data, deletes

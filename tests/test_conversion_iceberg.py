@@ -430,9 +430,10 @@ def test_refs_and_metadata_log(spark, tmp_path):
 
 
 def test_partition_spec_evolution_guard(spark, tmp_path):
-    """A manifest written under a non-default partition spec must refuse
-    loudly — silently mapping its partition tuple onto the current
-    spec's names would null the values."""
+    """r6: manifests under a non-default spec now RESOLVE against their
+    own spec (per-spec resolution, exceeding the reference's silent
+    current-spec mis-map); only a spec id missing from
+    metadata.json partition-specs still refuses loudly."""
     import json
     import os
 
@@ -470,7 +471,14 @@ def test_partition_spec_evolution_guard(spark, tmp_path):
     v = current_metadata_version(d)
     with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(ValueError, match="partition-spec evolution"):
-        read_iceberg_as_df(spark, d)
-    with pytest.raises(ValueError, match="partition-spec evolution"):
+    # benign evolution (no partition fields either side) resolves fine
+    assert sorted(r["id"] for r in read_iceberg_as_df(spark, d).collect()) == list(range(6))
+    assert IcebergConversionSource(spark, d).get_current_snapshot().files.count() == 1
+
+    # a spec id metadata.json does not know is still a loud error
+    meta = read_table_metadata(d)
+    meta["partition-specs"] = [s for s in meta["partition-specs"] if s.get("spec-id", 0) != 0]
+    with open(os.path.join(metadata_dir(d), f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="not in metadata.json partition-specs"):
         IcebergConversionSource(spark, d).get_current_snapshot()
