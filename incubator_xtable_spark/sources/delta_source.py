@@ -491,16 +491,14 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     cm_mode = dict(meta["configuration"] or {}).get("delta.columnMapping.mode", "none")
     if cm_mode == "id":
-        raise ValueError(
-            "delta.columnMapping.mode=id resolves parquet columns by field "
-            "id, which this reader does not support; mode=name tables work"
-        )
+        _enable_field_id_reads(spark)
     part_cols = list(meta["partitionColumns"] or [])
     logical_fields = [f for f in schema.fields if f.name not in part_cols]
     # column mapping: data AND change files store physical names
+    # (mode=id additionally resolves by parquet field id)
     data_fields = (
-        list(_physical_type(T.StructType(logical_fields)).fields)
-        if cm_mode == "name"
+        list(_physical_type(T.StructType(logical_fields), with_field_ids=cm_mode == "id").fields)
+        if cm_mode in ("name", "id")
         else logical_fields
     )
     cm_renames = {
@@ -705,27 +703,48 @@ def _rename_back(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     return df
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _physical_type(dt: T.DataType, with_field_ids: bool = False) -> T.DataType:
     """Recursively rename struct fields to their column-mapping physical
-    names (what the parquet files actually store under mode=name)."""
+    names (what the parquet files actually store under mode=name). With
+    ``with_field_ids`` (mode=id reads), each field additionally carries
+    `parquet.field.id` metadata from delta.columnMapping.id so Spark's
+    parquet reader resolves columns BY FIELD ID
+    (spark.sql.parquet.fieldId.read.enabled) instead of by name —
+    mirroring the read ids the reference honors at
+    DeltaSchemaExtractor.java:57-58,137-144."""
     if isinstance(dt, T.StructType):
-        return T.StructType(
-            [
+        fields = []
+        for f in dt.fields:
+            meta = {}
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if with_field_ids and fid is not None:
+                meta["parquet.field.id"] = int(fid)
+            fields.append(
                 T.StructField(
                     (f.metadata or {}).get("delta.columnMapping.physicalName", f.name),
-                    _physical_type(f.dataType),
+                    _physical_type(f.dataType, with_field_ids),
                     f.nullable,
+                    meta,
                 )
-                for f in dt.fields
-            ]
-        )
+            )
+        return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(_physical_type(dt.elementType, with_field_ids), dt.containsNull)
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType), _physical_type(dt.valueType), dt.valueContainsNull
+            _physical_type(dt.keyType, with_field_ids),
+            _physical_type(dt.valueType, with_field_ids),
+            dt.valueContainsNull,
         )
     return dt
+
+
+def _enable_field_id_reads(spark: SparkSession) -> None:
+    """mode=id resolution rides Spark's native parquet field-id matching;
+    runtime-settable, and inert for read schemas without parquet.field.id
+    metadata (the harness uses a vanilla session — conf must be set here,
+    not at session build)."""
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
 
 def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
@@ -739,8 +758,10 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
 
     Column mapping: mode=name tables read by each column's PHYSICAL name
     (renamed columns would otherwise silently return nulls) and rename/
-    cast back to the logical schema; mode=id needs parquet field-id
-    resolution this reader cannot do — it raises instead."""
+    cast back to the logical schema; mode=id tables resolve columns by
+    PARQUET FIELD ID (Spark's fieldId.read matching fed from
+    delta.columnMapping.id), so files whose column names match neither
+    logical nor physical names still read correctly."""
     meta = latest_metadata(spark, base_path, version)
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {base_path}")
@@ -748,10 +769,7 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     # latest_metadata returns a pyspark Row — subscript, never .get
     cm_mode = dict(meta["configuration"] or {}).get("delta.columnMapping.mode", "none")
     if cm_mode == "id":
-        raise ValueError(
-            "delta.columnMapping.mode=id resolves parquet columns by field "
-            "id, which this reader does not support; mode=name tables work"
-        )
+        _enable_field_id_reads(spark)
     live = (
         live_files_df(spark, base_path, version)
         .select("path", "partitionValues", "deletionVector")
@@ -764,12 +782,12 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         return spark.createDataFrame([], schema)
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_struct = (
-        _physical_type(T.StructType(data_fields))
-        if cm_mode == "name"
+        _physical_type(T.StructType(data_fields), with_field_ids=cm_mode == "id")
+        if cm_mode in ("name", "id")
         else T.StructType(data_fields)
     )
     df = spark.read.schema(read_struct).parquet(*paths)
-    if cm_mode == "name":
+    if cm_mode in ("name", "id"):
         # physical -> logical: collision-safe rename, then cast nested
         # structs back (struct casts match by position, same shape)
         df = _rename_back(

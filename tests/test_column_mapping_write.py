@@ -472,3 +472,149 @@ def test_name_mapping_resolves_per_footer_schema(spark, tmp_path):
         [(i, f"n{i}") for i in range(10)] + [(i, f"h{i}") for i in (100, 101, 102)]
     )
     assert got == want  # no nulls from either provenance
+
+
+def _cm_id_table(tmp_path, file_names, ids, values, mode="id", part=None):
+    """Hand-built external mode=id Delta table: ONE data file whose
+    parquet column NAMES are ``file_names`` with field ids ``ids`` —
+    names deliberately match neither logical nor physical names, so only
+    field-id resolution can read it. Logical schema: value_col (long,
+    id 1, physical col-v), label_col (string, id 2, physical col-l);
+    optional (part_logical, id, value) identity partition."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "cmid")
+    os.makedirs(os.path.join(base, "_delta_log"))
+    sch = pa.schema(
+        [
+            pa.field(file_names[0], pa.int64(), metadata={b"PARQUET:field_id": str(ids[0]).encode()}),
+            pa.field(file_names[1], pa.string(), metadata={b"PARQUET:field_id": str(ids[1]).encode()}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {file_names[0]: pa.array(values[0], pa.int64()), file_names[1]: values[1]},
+            schema=sch,
+        ),
+        os.path.join(base, "p0.parquet"),
+    )
+    fields = [
+        {
+            "name": "value_col",
+            "type": "long",
+            "nullable": True,
+            "metadata": {"delta.columnMapping.id": ids[0], "delta.columnMapping.physicalName": "col-v"},
+        },
+        {
+            "name": "label_col",
+            "type": "string",
+            "nullable": True,
+            "metadata": {"delta.columnMapping.id": ids[1], "delta.columnMapping.physicalName": "col-l"},
+        },
+    ]
+    part_names, pv = [], {}
+    if part is not None:
+        lg, fid, val = part
+        fields.append(
+            {
+                "name": lg,
+                "type": "long",
+                "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid, "delta.columnMapping.physicalName": f"col-p{fid}"},
+            }
+        )
+        part_names = [lg]
+        pv = {f"col-p{fid}": str(val)}
+    now = int(time.time() * 1000)
+    with open(os.path.join(base, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                        "partitionColumns": part_names,
+                        "configuration": {"delta.columnMapping.mode": mode},
+                        "createdTime": now,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "p0.parquet",
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(base, "p0.parquet")),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    return base
+
+
+def test_mode_id_reads_resolve_by_parquet_field_id(spark, tmp_path):
+    """r6: mode=id tables resolve columns by parquet FIELD ID — the data
+    file's column names here match neither the logical nor the physical
+    names, so only id resolution yields values (name matching would
+    read all-null or fail)."""
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df, read_delta_cdf
+
+    base = _cm_id_table(
+        tmp_path,
+        file_names=("weird_x", "weird_y"),
+        ids=(1, 2),
+        values=([10, 20], ["a", "b"]),
+        part=("level", 3, 7),
+    )
+    df = read_delta_as_df(spark, base)
+    got = sorted((r["value_col"], r["label_col"], r["level"]) for r in df.collect())
+    assert got == [(10, "a", 7), (20, "b", 7)]
+
+    cdf = read_delta_cdf(spark, base, 0)
+    got = sorted(
+        (r["value_col"], r["label_col"], r["level"], r["_change_type"])
+        for r in cdf.collect()
+    )
+    assert got == [(10, "a", 7, "insert"), (20, "b", 7, "insert")]
+
+
+def test_mode_id_conversion_to_iceberg_keeps_ids(spark, tmp_path):
+    """mode=id source converts to Iceberg with the Delta column-mapping
+    ids as stable Iceberg field ids, and the Iceberg read resolves the
+    oddly-named parquet via the same field ids Spark honors natively."""
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    base = _cm_id_table(
+        tmp_path,
+        file_names=("weird_x", "weird_y"),
+        ids=(1, 2),
+        values=([10, 20], ["a", "b"]),
+    )
+    src = DeltaConversionSource(spark, base)
+    table = src.get_current_table()
+    fids = {f.name: (f.metadata or {}).get("xtable.fieldId") for f in table.read_schema.fields}
+    assert fids == {"value_col": 1, "label_col": 2}
+    res = ConversionController().sync(
+        src, {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="cmid")}
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res[TableFormat.ICEBERG].error
+    ice = IcebergConversionSource(spark, base).get_current_table()
+    ice_fids = {f.name: (f.metadata or {}).get("xtable.fieldId") for f in ice.read_schema.fields}
+    assert ice_fids == {"value_col": 1, "label_col": 2}
