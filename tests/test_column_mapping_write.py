@@ -196,7 +196,11 @@ def test_read_renamed_physical_columns(spark, tmp_path):
     assert df.columns == ["renamed_id"]
     assert sorted(r["renamed_id"] for r in df.collect()) == [1, 2, 3]
 
-    # mode=id refuses instead of silently nulling
+    # r6: mode=id is now a supported read path (field-id resolution,
+    # test_mode_id_reads_resolve_by_parquet_field_id). Flipping THIS
+    # table to mode=id must still fail loudly rather than silently null:
+    # its files carry no parquet field ids, which violates the mode=id
+    # writer contract.
     log = os.path.join(base, "_delta_log", f"{0:020d}.json")
     lines = []
     for line in open(log):
@@ -206,8 +210,8 @@ def test_read_renamed_physical_columns(spark, tmp_path):
         lines.append(json.dumps(a))
     with open(log, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    with pytest.raises(ValueError, match="mode=id"):
-        read_delta_as_df(spark, base)
+    with pytest.raises(Exception, match="[Ff]ield Id"):
+        read_delta_as_df(spark, base).collect()
 
 
 def test_renamed_column_converts_and_reads_via_name_mapping(spark, tmp_path):
