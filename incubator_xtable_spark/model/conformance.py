@@ -998,6 +998,31 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
                 report.add("HUDI_PROPERTY", props_path, f"{req} required")
         if props.get("hoodie.table.type") not in (None, "COPY_ON_WRITE", "MERGE_ON_READ"):
             report.add("HUDI_TABLE_TYPE", props_path, props.get("hoodie.table.type", ""))
+        # LITE metadata-index contract (README "Hudi metadata-index
+        # interop boundary"): every ADVERTISED metadata partition must be
+        # a directory of per-commit PARQUET delta files — the shape this
+        # engine claims and its own source reads. An advertised partition
+        # that is missing or holds non-parquet entries breaks the claim.
+        adv = [p for p in (props.get("hoodie.table.metadata.partitions") or "").split(",") if p]
+        for part in adv:
+            sub = "col_stats" if part == "column_stats" else part
+            pdir = os.path.join(hoodie, "metadata", sub)
+            if not os.path.isdir(pdir):
+                report.add(
+                    "HUDI_META_INDEX_MISSING",
+                    pdir,
+                    f"metadata partition {part} advertised but directory absent",
+                )
+                continue
+            for fn in os.listdir(pdir):
+                if fn.startswith("."):
+                    continue
+                if not fn.endswith(".parquet"):
+                    report.add(
+                        "HUDI_META_INDEX_SHAPE",
+                        os.path.join(pdir, fn),
+                        "LITE index partitions hold per-commit parquet deltas only",
+                    )
 
     completed: list[tuple[str, str]] = []
     names = set(os.listdir(hoodie))

@@ -161,7 +161,13 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
 
-        return HudiConversionTarget(spark, base, table_name=dataset.get("tableName"))
+        return HudiConversionTarget(
+            spark,
+            base,
+            table_name=dataset.get("tableName"),
+            # persist CDC-channel row changes as CDC supplemental blocks
+            change_feed=str(dataset.get("hudiChangeFeed", "")).lower() == "true",
+        )
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
 

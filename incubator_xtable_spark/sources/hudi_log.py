@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 from typing import Any, Optional
 
@@ -277,3 +278,97 @@ def merged_log_records_with_boundary(
                     deleted.add(k)
                     upserts.pop(k, None)
     return upserts, deleted, boundary
+
+
+# ---------------------------------------------------------------------------
+# Write side: CDC supplemental blocks (targets/hudi_target.py change_feed).
+# Produces the same public framing the reader above parses; real Hudi's
+# HoodieCDCLogger writes the equivalent blocks when
+# hoodie.table.cdc.enabled=true (logging mode data_before_after).
+# ---------------------------------------------------------------------------
+
+
+def _meta_map_bytes(entries: dict[int, str]) -> bytes:
+    out = struct.pack(">i", len(entries))
+    for k, v in entries.items():
+        vb = v.encode("utf-8")
+        out += struct.pack(">ii", k, len(vb)) + vb
+    return out
+
+
+def _block_bytes(block_type: int, headers: dict[int, str], content: bytes) -> bytes:
+    """One framed log block: magic, block size, format version, type,
+    header map, content length + content, footer map, total length."""
+    body = struct.pack(">ii", 1, block_type)
+    body += _meta_map_bytes(headers)
+    body += struct.pack(">q", len(content)) + content
+    body += _meta_map_bytes({})
+    block_size = len(body) + 8
+    total = len(MAGIC) + 8 + block_size
+    return MAGIC + struct.pack(">q", block_size) + body + struct.pack(">q", total)
+
+
+def cdc_record_schema(row_schema_json: str) -> str:
+    """The CDC record Avro schema: op i|u|d + nullable before/after of
+    the row schema (distinct record names — Avro requires unique names,
+    so the second embedding is renamed rather than re-declared)."""
+    row_schema = json.loads(row_schema_json)
+    before = dict(row_schema, name="before_rec")
+    after = dict(row_schema, name="after_rec")
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "HoodieCDCRecord",
+            "fields": [
+                {"name": "op", "type": "string"},
+                {"name": "before", "type": ["null", before], "default": None},
+                {"name": "after", "type": ["null", after], "default": None},
+            ],
+        }
+    )
+
+
+def _avro_binary(spark, schema_json: str, record: dict) -> bytes:
+    """dict -> Avro binary via the JVM's official Avro library
+    (JsonDecoder -> GenericRecord -> BinaryEncoder; py4j unboxes
+    java.lang.Long, so records must be built JVM-side from Avro-JSON —
+    same seam as targets/iceberg_target.AvroIO)."""
+    from incubator_xtable_spark.targets.iceberg_target import _avro_json_encode
+
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    efactory = jvm.org.apache.avro.io.EncoderFactory.get()
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    decoder = factory.jsonDecoder(
+        sch, json.dumps(_avro_json_encode(record, json.loads(schema_json)))
+    )
+    rec = reader.read(None, decoder)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    encoder = efactory.binaryEncoder(baos, None)
+    writer.write(rec, encoder)
+    encoder.flush()
+    return bytes(baos.toByteArray())
+
+
+def write_cdc_log_file(
+    spark, path: str, instant: str, row_schema_json: str, records: list[dict]
+) -> int:
+    """Write CDC records ({op, before, after} dicts) as ONE framed
+    CDC_DATA_BLOCK log file; returns the file size. Driver-side and
+    bounded by the commit's change volume — the same metadata-sized
+    posture as the reader's block decode."""
+    schema = cdc_record_schema(row_schema_json)
+    content = struct.pack(">ii", 3, len(records))
+    for r in records:
+        blob = _avro_binary(spark, schema, r)
+        content += struct.pack(">i", len(blob)) + blob
+    block = _block_bytes(
+        CDC_DATA_BLOCK, {H_INSTANT_TIME: instant, H_SCHEMA: schema}, content
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(block)
+    os.replace(tmp, path)
+    return os.path.getsize(path)

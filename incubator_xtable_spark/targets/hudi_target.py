@@ -104,10 +104,22 @@ def read_commit_metadata(base_path: str, instant: str, action: str) -> dict:
 class HudiConversionTarget:
     """ConversionTarget writing the Hudi timeline protocol."""
 
-    def __init__(self, spark: SparkSession, base_path: str, table_name: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        table_name: Optional[str] = None,
+        change_feed: bool = False,
+    ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_name = table_name
+        # CDC channel -> Hudi CDC supplemental blocks: incremental row
+        # changes persist as CDC_DATA_BLOCK log files named by cdcStats
+        # in the commit's write stats (the shape hoodie.table.cdc.enabled
+        # writers produce and read_hudi_cdc's tier 1 reads), symmetric
+        # with DeltaConversionTarget(change_feed=True)
+        self.change_feed = change_feed
         self._reset()
 
     def _reset(self) -> None:
@@ -118,7 +130,15 @@ class HudiConversionTarget:
         self._adds: Optional[DataFrame] = None
         self._replaced_paths: Optional[DataFrame] = None
         self._committed_instant: Optional[str] = None
+        self._row_changes: Optional[DataFrame] = None
         self._snapshot_sync = False
+
+    def sync_row_changes(self, changes: DataFrame) -> None:
+        """CDC channel: the commit's row-level changes (table columns +
+        `_change_type`). Persisted as CDC supplemental blocks when this
+        target was created with change_feed=True; ignored otherwise."""
+        if self.change_feed:
+            self._row_changes = changes
 
     # -- sync steps --------------------------------------------------------
 
@@ -153,6 +173,10 @@ class HudiConversionTarget:
                     fh.write(
                         f"{METADATA_PARTITIONS_KEY}=" + ",".join(parts + missing) + "\n"
                     )
+            if self.change_feed and existing.get("hoodie.table.cdc.enabled") != "true":
+                with open(props_path, "a", encoding="utf-8") as fh:
+                    fh.write("hoodie.table.cdc.enabled=true\n")
+                    fh.write("hoodie.table.cdc.supplemental.logging.mode=data_before_after\n")
             return
         name = self.table_name or table.name
         part_cols = ",".join(pf.output_name for pf in table.partition_fields)
@@ -168,6 +192,9 @@ class HudiConversionTarget:
             "hoodie.table.checksum": "0",
             METADATA_PARTITIONS_KEY: f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}",
         }
+        if self.change_feed:
+            props["hoodie.table.cdc.enabled"] = "true"
+            props["hoodie.table.cdc.supplemental.logging.mode"] = "data_before_after"
         with open(props_path, "w", encoding="utf-8") as fh:
             fh.write("#Updated at " + instant_now() + "\n")
             for k, v in sorted(props.items()):
@@ -299,6 +326,19 @@ class HudiConversionTarget:
         write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
         write_files_delta(self._adds, removed_for_index, self.base_path, instant)
 
+        # CDC channel -> CDC supplemental block file + cdcStats on a write
+        # stat (read_hudi_cdc tier 1 locates CDC files exclusively through
+        # cdcStats, as does Hudi's own CDC extractor). Commits without
+        # write stats carry no CDC file — in this engine's flows a
+        # row-changing commit always re-adds files (COW shadows), so an
+        # empty-stats commit has an empty change set anyway.
+        if (
+            self.change_feed
+            and self._row_changes is not None
+            and partition_to_stats
+        ):
+            self._write_cdc_supplement(instant, partition_to_stats)
+
         extra = {"schema": self._avro_schema_with_ids() if self._schema else None}
         if self._metadata_json is not None:
             extra[XTABLE_METADATA_KEY] = self._metadata_json
@@ -316,6 +356,92 @@ class HudiConversionTarget:
         return instant
 
     # -- helpers -----------------------------------------------------------
+
+    def _write_cdc_supplement(
+        self, instant: str, partition_to_stats: dict[str, list[dict]]
+    ) -> None:
+        """Persist the commit's CDC-channel rows as ONE CDC_DATA_BLOCK
+        log file and name it in the first write stat's cdcStats.
+
+        Record shape mirrors Hudi's data_before_after logging mode
+        ({op: i|u|d, before, after}); update preimage/postimage pairs
+        re-pair on the record key (same convention as read_hudi_cdc:
+        hoodie.table.recordkey.fields, else the first schema field).
+        Driver-side and bounded by the commit's change volume — the
+        CDC block posture of the log codec. Timestamps/dates normalize
+        to their Avro logical-type representation; decimal columns
+        refuse loudly (the Avro-JSON seam cannot carry them)."""
+        import datetime as _dt
+        import decimal as _decimal
+
+        from incubator_xtable_spark.sources.hudi_log import write_cdc_log_file
+
+        schema = self._schema
+        cols = [f.name for f in schema.fields]
+        from incubator_xtable_spark.sources.hudi_source import read_properties
+
+        props = read_properties(self.base_path)
+        key = (props.get("hoodie.table.recordkey.fields") or cols[0]).split(",")[0]
+
+        bad = [
+            f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)
+        ]
+        if bad:
+            raise ValueError(
+                f"hudi change_feed cannot carry decimal columns {bad}: the "
+                "Avro-JSON record seam has no decimal byte convention"
+            )
+
+        def _norm(v, dt):
+            if v is None:
+                return None
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                base = v.replace(tzinfo=None) if getattr(v, "tzinfo", None) else v
+                return int(
+                    (base - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+                )
+            if isinstance(dt, T.DateType):
+                return (v - _dt.date(1970, 1, 1)).days
+            if isinstance(v, _decimal.Decimal):
+                raise ValueError("decimal value in hudi CDC row")
+            return v
+
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def _row(r) -> dict:
+            return {c: _norm(r[c], types[c]) for c in cols}
+
+        pre: dict = {}
+        post: dict = {}
+        records: list[dict] = []
+        for r in self._row_changes.collect():
+            ct = r["_change_type"]
+            row = _row(r)
+            if ct == "insert":
+                records.append({"op": "i", "before": None, "after": row})
+            elif ct == "delete":
+                records.append({"op": "d", "before": row, "after": None})
+            elif ct == "update_preimage":
+                pre[row.get(key)] = row
+            elif ct == "update_postimage":
+                post[row.get(key)] = row
+        for k, p in pre.items():
+            records.append({"op": "u", "before": p, "after": post.get(k)})
+        for k, p in post.items():
+            if k not in pre:
+                records.append({"op": "u", "before": None, "after": p})
+        if not records:
+            return
+        rel = f".cdc-{instant}.log.1_0-0-0.cdc"
+        size = write_cdc_log_file(
+            self.spark,
+            os.path.join(self.base_path, rel),
+            instant,
+            self._avro_schema_with_ids(),
+            records,
+        )
+        first_partition = next(iter(partition_to_stats))
+        partition_to_stats[first_partition][0]["cdcStats"] = {rel: size}
 
     def _relativize(self, path: str) -> str:
         base = self.base_path.rstrip("/") + "/"

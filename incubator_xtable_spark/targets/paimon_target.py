@@ -150,7 +150,24 @@ class PaimonConversionTarget:
     # formats (Delta DVs <-> Iceberg position deletes <-> Paimon DVs)
     supports_row_deletes = True
 
-    def __init__(self, spark: SparkSession, base_path: str, table_name: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        table_name: Optional[str] = None,
+        primary_keys: Optional[list] = None,
+    ) -> None:
+        if primary_keys:
+            raise ValueError(
+                "Paimon PK-table targets are not supported: PK data files "
+                "physically store the KeyValue row layout (_KEY_* columns, "
+                "_SEQUENCE_NUMBER, _VALUE_KIND), so metadata-only "
+                "registration of external parquet cannot produce a readable "
+                "PK table — it would require rewriting every data file. "
+                "Convert the source's RESOLVED row state as an append-only "
+                "table instead (merge semantics arrive via the row-delete / "
+                "CDC channels); see README 'Paimon conversion matrix'."
+            )
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_name = table_name

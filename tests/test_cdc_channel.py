@@ -469,3 +469,131 @@ def test_cdf_written_with_physical_names_under_column_mapping(spark, tmp_path):
         (10, "ten", 0, "insert"),
         (11, "eleven", 1, "insert"),
     ]
+
+
+def test_delta_to_hudi_cdc_preserved(spark, tmp_path):
+    """r6: symmetric CDC writes for HUDI targets — a Delta source's CDF
+    relays into Hudi CDC supplemental blocks (cdcStats tier), and
+    reading the TARGET's CDC reproduces the SOURCE's change set."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from incubator_xtable_spark.targets.hudi_target import (
+        HudiConversionTarget,
+        list_completed_instants,
+        read_commit_metadata,
+    )
+
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+
+    # a Delta table with an incremental DV-delete commit (iceberg route)
+    d = _make_table(spark, tmp_path)
+    isrc = IcebergConversionSource(spark, d, expose_row_deletes=True)
+    fid = _field_id(isrc, "id")
+    src_delta = str(tmp_path / "src_delta")
+    ctrl = ConversionController()
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, src_delta)})
+
+    relay_src = DeltaConversionSource(spark, src_delta, emit_row_changes=True)
+    hudi_dir = str(tmp_path / "as_hudi")
+    target = HudiConversionTarget(spark, hudi_dir, table_name="cdct", change_feed=True)
+    ctrl2 = ConversionController()
+    assert (
+        ctrl2.sync(relay_src, {TableFormat.HUDI: target})[TableFormat.HUDI].status
+        == SyncStatusCode.SUCCESS
+    )
+    props = read_properties(hudi_dir)
+    assert props.get("hoodie.table.cdc.enabled") == "true"
+
+    # source-side delete commit -> relay incrementally
+    eq = _eq_parquet(os.path.join(d, "e.parquet"), {"id": pa.array([6], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, src_delta)})
+    res = ctrl2.sync(relay_src, {TableFormat.HUDI: target})[TableFormat.HUDI]
+    assert res.status == SyncStatusCode.SUCCESS, res.error
+
+    instant, action = list_completed_instants(hudi_dir)[-1]
+    meta = read_commit_metadata(hudi_dir, instant, action)
+    cdc_paths = [
+        p
+        for stats in (meta.get("partitionToWriteStats") or {}).values()
+        for st in stats
+        for p in (st.get("cdcStats") or {})
+    ]
+    assert cdc_paths, "commit must name its CDC supplemental file in cdcStats"
+    assert all(os.path.exists(os.path.join(hudi_dir, p)) for p in cdc_paths)
+
+    src_v = current_log_version(src_delta)
+    want = _cdc_set(read_delta_cdf(spark, src_delta, src_v), ["id", "name"])
+    got = _cdc_set(read_hudi_cdc(spark, hudi_dir, instant), ["id", "name"])
+    assert want == [(6, "n6", "delete")]
+    assert got == want
+
+    # conformance stays green with cdcStats attached
+    from incubator_xtable_spark.model.conformance import check_hudi_conformance
+
+    report = check_hudi_conformance(hudi_dir)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+
+def test_hudi_to_hudi_cdc_relay_with_updates(spark, tmp_path, mor_base):
+    """Update preimage/postimage pairs re-pair into single u-records in
+    the target's CDC block; inserts and deletes keep their ops."""
+    from incubator_xtable_spark.sources.hudi_log import block_records, read_log_blocks
+    from incubator_xtable_spark.targets.hudi_target import (
+        HudiConversionTarget,
+        list_completed_instants,
+        read_commit_metadata,
+    )
+
+    src = HudiConversionSource(spark, mor_base, view="snapshot", emit_row_changes=True)
+    hudi_dir = str(tmp_path / "as_hudi")
+    target = HudiConversionTarget(spark, hudi_dir, table_name="relay", change_feed=True)
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.HUDI: target})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+
+    _add_log(
+        mor_base,
+        ".g1_001.log.1_0-1-0",
+        "20240101000002000",
+        [
+            avro_data_block(
+                spark,
+                "20240101000002000",
+                AVRO_SCHEMA,
+                [{"id": 2, "v": "updated"}, {"id": 10, "v": "new"}],
+            ),
+            delete_block(spark, "20240101000002000", ["0"]),
+        ],
+    )
+    assert ctrl.sync(src, {TableFormat.HUDI: target})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+
+    instant, action = list_completed_instants(hudi_dir)[-1]
+    meta = read_commit_metadata(hudi_dir, instant, action)
+    cdc_paths = [
+        p
+        for stats in (meta.get("partitionToWriteStats") or {}).values()
+        for st in stats
+        for p in (st.get("cdcStats") or {})
+    ]
+    assert cdc_paths
+    ops = []
+    for p in cdc_paths:
+        for block in read_log_blocks(os.path.join(hudi_dir, p)):
+            kind, records = block_records(spark, block)
+            assert kind == "cdc"
+            ops.extend(r["op"] for r in records)
+    # one insert (id 10), one true u-record (id 2), one delete (id 0)
+    assert sorted(ops) == ["d", "i", "u"]
+
+    src_instant = src.get_current_snapshot().version
+    want = _cdc_set(read_hudi_cdc(spark, mor_base, src_instant), ["id", "v"])
+    got = _cdc_set(read_hudi_cdc(spark, hudi_dir, instant), ["id", "v"])
+    assert got == want and len(want) == 4

@@ -215,3 +215,85 @@ def test_hudi_cursor_at_archive_boundary_not_a_gap(spark, tmp_path):
     # cursor below the archive horizon: loss -> raise
     with pytest.raises(ValueError, match="archived"):
         list(cdc_batches(spark, "HUDI", base, after_commit=instants[0]))
+
+
+def test_available_now_checkpointed_run_equals_batch(spark, tmp_path):
+    """r6: run_cdc_stream(available_now=True) — the Structured-Streaming
+    shaped driver — drains the backlog exactly once, its replayed state
+    equals the batch read, and the cursor lands durably in the
+    checkpoint dir."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.streaming.cdc_stream import run_cdc_stream
+
+    base = str(tmp_path / "t")
+    spark.range(0, 6).select(F.col("id").cast("long")).coalesce(1).write.parquet(base)
+    source = ParquetConversionSource(spark, base, name="t")
+    target = DeltaConversionTarget(spark, base)
+    ctrl = ConversionController()
+    ctrl.sync(source, {TableFormat.DELTA: target})
+    spark.range(6, 9).select(F.col("id").cast("long")).coalesce(1).write.mode("append").parquet(base)
+    ctrl.sync(source, {TableFormat.DELTA: target})
+
+    cp = str(tmp_path / "cp")
+    state = {}
+
+    def on_batch(commit, df):
+        for r in df.collect():
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[r["id"]] = r
+            elif r["_change_type"] == "delete":
+                state.pop(r["id"], None)
+
+    cursor = run_cdc_stream(spark, "DELTA", base, on_batch, cp, available_now=True)
+    assert cursor == "1"
+    assert open(os.path.join(cp, "cursor")).read() == "1"
+    assert sorted(state) == sorted(r["id"] for r in read_delta_as_df(spark, base).collect())
+
+    # second availableNow run: checkpoint prevents reprocessing
+    calls = []
+    cursor = run_cdc_stream(spark, "DELTA", base, lambda c, d: calls.append(c), cp, available_now=True)
+    assert calls == [] and cursor == "1"
+
+
+def test_restart_mid_backlog_resumes_from_checkpoint(spark, tmp_path):
+    """A crash after N processed commits resumes at commit N+1 — the
+    checkpoint advances per batch, not per run."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.streaming.cdc_stream import run_cdc_stream
+
+    base = str(tmp_path / "t")
+    source = ParquetConversionSource(spark, base, name="t")
+    target = DeltaConversionTarget(spark, base)
+    ctrl = ConversionController()
+    for lo, hi in ((0, 3), (3, 6), (6, 9)):
+        spark.range(lo, hi).select(F.col("id").cast("long")).coalesce(1).write.mode(
+            "append"
+        ).parquet(base)
+        ctrl.sync(source, {TableFormat.DELTA: target})
+
+    cp = str(tmp_path / "cp")
+    processed: list[str] = []
+
+    class Boom(Exception):
+        pass
+
+    def crashy(commit, df):
+        if len(processed) == 2:
+            raise Boom()
+        processed.append(commit)
+
+    import pytest
+
+    with pytest.raises(Boom):
+        run_cdc_stream(spark, "DELTA", base, crashy, cp, available_now=True)
+    assert processed == ["0", "1"]
+    assert open(os.path.join(cp, "cursor")).read() == "1"
+
+    resumed: list[str] = []
+    cursor = run_cdc_stream(spark, "DELTA", base, lambda c, d: resumed.append(c), cp, available_now=True)
+    assert resumed == ["2"] and cursor == "2"

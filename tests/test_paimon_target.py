@@ -294,3 +294,13 @@ def test_paimon_dv_roundtrip_paimon_to_paimon(spark, tmp_path):
     a = sorted(r["id"] for r in read_paimon_as_df(spark, t.base).collect())
     b = sorted(r["id"] for r in read_paimon_as_df(spark, out).collect())
     assert a == b == [0, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_pk_target_request_refused_with_rationale(spark, tmp_path):
+    """r6 decision (README 'Paimon conversion matrix'): PK-table targets
+    are physically impossible metadata-only (KeyValue layout) — the
+    request fails up front with the rationale, never a broken table."""
+    import pytest
+
+    with pytest.raises(ValueError, match="KeyValue row layout"):
+        PaimonConversionTarget(spark, str(tmp_path / "pk"), primary_keys=["id"])
