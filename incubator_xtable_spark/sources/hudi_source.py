@@ -713,10 +713,29 @@ def read_hudi_cdc(spark: SparkSession, base_path: str, instant: str) -> DataFram
         for p in (st.get("cdcStats") or {})
     ]
     if cdc_paths:
+        import datetime as _dt
+
         from incubator_xtable_spark.sources.hudi_log import block_records, read_log_blocks
+
+        types = {f.name: f.dataType for f in table.read_schema.fields}
+
+        def _decode(v, dt):
+            """Avro logical-type representations back to Spark values
+            (the decode path yields raw longs/ints for them)."""
+            if v is None:
+                return None
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and isinstance(v, int):
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            if isinstance(dt, T.DateType) and isinstance(v, int):
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+            return v
 
         rows: list[tuple] = []
         cols = [f.name for f in table.read_schema.fields]
+
+        def _vals(rec) -> tuple:
+            return tuple(_decode(rec.get(c), types[c]) for c in cols)
+
         for p in cdc_paths:
             for block in read_log_blocks(os.path.join(base_path, p)):
                 kind, records = block_records(spark, block)
@@ -726,18 +745,14 @@ def read_hudi_cdc(spark: SparkSession, base_path: str, instant: str) -> DataFram
                     op = r.get("op")
                     before, after = r.get("before"), r.get("after")
                     if op == "i" and after is not None:
-                        rows.append(tuple(after.get(c) for c in cols) + ("insert", instant))
+                        rows.append(_vals(after) + ("insert", instant))
                     elif op == "d" and before is not None:
-                        rows.append(tuple(before.get(c) for c in cols) + ("delete", instant))
+                        rows.append(_vals(before) + ("delete", instant))
                     elif op == "u":
                         if before is not None:
-                            rows.append(
-                                tuple(before.get(c) for c in cols) + ("update_preimage", instant)
-                            )
+                            rows.append(_vals(before) + ("update_preimage", instant))
                         if after is not None:
-                            rows.append(
-                                tuple(after.get(c) for c in cols) + ("update_postimage", instant)
-                            )
+                            rows.append(_vals(after) + ("update_postimage", instant))
         return spark.createDataFrame(rows, out_schema)
 
     # tier 2: derivation by effective-representation diff of the touched

@@ -904,17 +904,23 @@ def _name_mapped_fields(
     return T.StructType(mapped), renames
 
 
-def _footer_column_groups(spark, paths: list[str]) -> dict[frozenset, list[str]]:
-    """Group files by their parquet footer's column-name set. Small
-    groups read footers driver-side; large ones in one distributed
+def _footer_column_groups(spark, paths: list[str]) -> dict[tuple, list[str]]:
+    """Group files by (footer column-name set, carries-parquet-field-ids).
+    Small groups read footers driver-side; large ones in one distributed
     footer-only pass (the parquet_source stats posture) — the distinct
-    sets coming back to the driver are few regardless of file count."""
+    keys coming back to the driver are few regardless of file count."""
     import pyarrow.parquet as _pq
 
-    groups: dict[frozenset, list[str]] = {}
+    def _key_of(sch) -> tuple:
+        has_ids = any(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
+        )
+        return (frozenset(sch.names), has_ids)
+
+    groups: dict[tuple, list[str]] = {}
     if len(paths) <= 64:
         for p in paths:
-            groups.setdefault(frozenset(_pq.read_schema(p).names), []).append(p)
+            groups.setdefault(_key_of(_pq.read_schema(p)), []).append(p)
         return groups
     pdf = spark.createDataFrame([(p,) for p in paths], "p STRING")
 
@@ -922,44 +928,87 @@ def _footer_column_groups(spark, paths: list[str]) -> dict[frozenset, list[str]]
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def enc(x):
+            sch = pq.read_schema(x)
+            has = any(f.metadata and b"PARQUET:field_id" in f.metadata for f in sch)
+            return ("1|" if has else "0|") + "\x00".join(sorted(sch.names))
+
         for b in batches:
-            yield pd.DataFrame(
-                {
-                    "p": b["p"],
-                    "cols": ["\x00".join(sorted(pq.read_schema(x).names)) for x in b["p"]],
-                }
-            )
+            yield pd.DataFrame({"p": b["p"], "cols": [enc(x) for x in b["p"]]})
 
     n_parts = max(1, min(len(paths) // 64, 256))
     for r in pdf.repartition(n_parts).mapInPandas(_read, "p STRING, cols STRING").collect():
-        key = frozenset(r["cols"].split("\x00")) if r["cols"] else frozenset()
+        has_ids = r["cols"].startswith("1|")
+        names = r["cols"][2:]
+        key = (frozenset(names.split("\x00")) if names else frozenset(), has_ids)
         groups.setdefault(key, []).append(r["p"])
     return groups
 
 
+def _with_parquet_field_ids(dt: "T.DataType"):
+    """Attach parquet.field.id metadata (from canonical xtable.fieldId)
+    so Spark's field-id matching resolves columns BY ID — the Iceberg
+    spec's primary column-resolution rule for files that store field
+    ids. Returns (annotated type, all-ids-present)."""
+    complete = True
+
+    def visit_type(t):
+        nonlocal complete
+        if isinstance(t, T.StructType):
+            out = []
+            for f in t.fields:
+                fid = (f.metadata or {}).get("xtable.fieldId")
+                meta = dict(f.metadata or {})
+                if fid is None:
+                    complete = False
+                else:
+                    meta["parquet.field.id"] = int(fid)
+                out.append(T.StructField(f.name, visit_type(f.dataType), f.nullable, meta))
+            return T.StructType(out)
+        if isinstance(t, T.ArrayType):
+            return T.ArrayType(visit_type(t.elementType), t.containsNull)
+        if isinstance(t, T.MapType):
+            return T.MapType(visit_type(t.keyType), visit_type(t.valueType), t.valueContainsNull)
+        return t
+
+    annotated = visit_type(dt)
+    return annotated, complete
+
+
 def _read_name_mapped(spark, meta: dict, fields, paths: list[str]) -> DataFrame:
-    """Read ``paths`` presenting the LOGICAL columns of ``fields``, with
-    schema.name-mapping.default resolved PER DISTINCT FOOTER SCHEMA — a
-    file group mixing provenances (some files storing logical names,
-    some storing physical/storage names, e.g. files written before and
-    after a rename) reads each file with its own resolution instead of
-    silently nulling the mismatched ones (ADVICE r5). Also attaches
-    `_nm_path` (normalized file path) and `_nm_pos` (row index) —
-    `_metadata` binds per relation, so they must be captured before the
-    per-group union. Without a name-mapping property this is exactly one
-    parquet relation (no footer reads, no union)."""
+    """Read ``paths`` presenting the LOGICAL columns of ``fields``,
+    resolved PER DISTINCT FOOTER SCHEMA (one footer-only pass;
+    driver-side up to 64 files, distributed beyond):
+
+    - files that STORE PARQUET FIELD IDS resolve by id (the Iceberg
+      spec's primary rule) via Spark's native field-id matching, with
+      ignoreMissing semantics so a column added after the file was
+      written reads as null — renamed columns in foreign tables resolve
+      correctly regardless of stored names;
+    - id-less files resolve through schema.name-mapping.default (the
+      spec's fallback for exactly those files), each footer group with
+      its OWN resolution — a group mixing provenances (logical names
+      alongside physical/storage names) never silently nulls (ADVICE
+      r5).
+
+    Also attaches `_nm_path` (normalized file path) and `_nm_pos` (row
+    index) — `_metadata` binds per relation, so they are captured before
+    the per-group union."""
     from incubator_xtable_spark.sources.delta_source import _rename_back
 
-    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
-    groups = (
-        _footer_column_groups(spark, paths) if nm_raw else {None: list(paths)}
-    )
     logical_names = [f.name for f in fields]
+    groups = _footer_column_groups(spark, paths) if fields else {(frozenset(), False): list(paths)}
     parts = []
-    for footer_cols, grp_paths in groups.items():
-        if footer_cols is None:
-            mapped, renames = T.StructType(list(fields)), {}
-        else:
+    for (footer_cols, has_ids), grp_paths in groups.items():
+        renames: dict[str, str] = {}
+        mapped = None
+        if has_ids:
+            annotated, complete = _with_parquet_field_ids(T.StructType(list(fields)))
+            if complete:
+                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+                spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+                mapped = annotated
+        if mapped is None:
             mapped, renames = _name_mapped_fields(meta, fields, set(footer_cols))
         df = (
             spark.read.schema(mapped)

@@ -110,10 +110,17 @@ class HudiConversionTarget:
         base_path: str,
         table_name: Optional[str] = None,
         change_feed: bool = False,
+        metadata_indexes: bool = True,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_name = table_name
+        # False = write no hoodie.table.metadata.partitions flag and no
+        # LITE index deltas (README "Hudi metadata-index interop
+        # boundary"): real-Hudi readers then need no
+        # hoodie.metadata.enable=false escape hatch, and this engine's
+        # source uses its timeline-replay + footer tiers
+        self.metadata_indexes = metadata_indexes
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -168,7 +175,7 @@ class HudiConversionTarget:
             missing = [
                 p for p in (COLUMN_STATS_PARTITION, FILES_PARTITION) if p not in parts
             ]
-            if missing:
+            if missing and self.metadata_indexes:
                 with open(props_path, "a", encoding="utf-8") as fh:
                     fh.write(
                         f"{METADATA_PARTITIONS_KEY}=" + ",".join(parts + missing) + "\n"
@@ -190,8 +197,9 @@ class HudiConversionTarget:
             "hoodie.table.partition.fields": part_cols,
             "hoodie.datasource.write.drop.partition.columns": "false",
             "hoodie.table.checksum": "0",
-            METADATA_PARTITIONS_KEY: f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}",
         }
+        if self.metadata_indexes:
+            props[METADATA_PARTITIONS_KEY] = f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}"
         if self.change_feed:
             props["hoodie.table.cdc.enabled"] = "true"
             props["hoodie.table.cdc.supplemental.logging.mode"] = "data_before_after"
@@ -323,8 +331,9 @@ class HudiConversionTarget:
             if has_replacements
             else None
         )
-        write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
-        write_files_delta(self._adds, removed_for_index, self.base_path, instant)
+        if self.metadata_indexes:
+            write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
+            write_files_delta(self._adds, removed_for_index, self.base_path, instant)
 
         # CDC channel -> CDC supplemental block file + cdcStats on a write
         # stat (read_hudi_cdc tier 1 locates CDC files exclusively through

@@ -17,12 +17,15 @@ Reference parity (what, not how):
 - schema with field ids            iceberg/IcebergSchemaExtractor.java:114-300
 - bookmark in table properties     model/metadata/TableSyncMetadata.java
 
-Scoped v2 subset (documented): identity partitions only (partition values
-serialized as strings in the partition struct); column bounds/null-counts
-ARE written into data_file structs in the spec's single-value binary
-encoding (see `model/iceberg_values.py` and `_entry_from_row`); removals
-commit as a compacted single manifest of the surviving file set (valid
-Iceberg overwrite-by-rewrite semantics).
+Scope notes: partition specs are TRANSFORM-AWARE (identity plus
+year/month/day/hour and bucket — spec-native manifest values, e.g. int
+days-since-epoch for days(ts); see `_partition_spec_json` and
+`tests/test_iceberg_transform_to_delta.py` for the e2e proof); column
+bounds/null-counts ARE written into data_file structs in the spec's
+single-value binary encoding (see `model/iceberg_values.py` and
+`_entry_from_row`); removals commit as a compacted single manifest of
+the surviving file set (valid Iceberg overwrite-by-rewrite semantics);
+opt-in format_version=3 writes row deletes as Puffin deletion vectors.
 """
 
 from __future__ import annotations
@@ -659,6 +662,11 @@ class IcebergConversionTarget:
         now_ms = int(time.time() * 1000)
         snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
         seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
+        # spec evolution resolves BEFORE any manifest writes so every
+        # manifest this sync is tagged with the (possibly new) spec id
+        self._spec_id, self._all_specs, self._last_partition_id = (
+            self._resolve_partition_specs(meta)
+        )
 
         from incubator_xtable_spark.model.core import drain_rows
 
@@ -945,7 +953,7 @@ class IcebergConversionTarget:
             {
                 "schema": json.dumps(self._iceberg_schema_json()),
                 "partition-spec": json.dumps(self._partition_spec_json()["fields"]),
-                "partition-spec-id": "0",
+                "partition-spec-id": str(getattr(self, "_spec_id", 0)),
                 "format-version": str(self.format_version),
                 "content": "deletes" if content == 1 else "data",
             },
@@ -987,7 +995,7 @@ class IcebergConversionTarget:
                 {
                     "manifest_path": path,
                     "manifest_length": length,
-                    "partition_spec_id": 0,
+                    "partition_spec_id": getattr(self, "_spec_id", 0),
                     "content": content,
                     "sequence_number": seq,
                     "min_sequence_number": min_seq,
@@ -1028,6 +1036,13 @@ class IcebergConversionTarget:
         }
 
     def _partition_spec_json(self) -> dict:
+        """The CURRENT partition spec. After complete_sync's resolution
+        this is the (possibly evolved) spec from the table's spec list;
+        the fallback construction covers pre-resolution callers."""
+        specs = getattr(self, "_all_specs", None)
+        if specs:
+            sid = getattr(self, "_spec_id", 0)
+            return next(s for s in specs if s.get("spec-id", 0) == sid)
         from incubator_xtable_spark.functions.partition_transforms import to_iceberg_transform
 
         fields = schema_to_iceberg_fields(self._schema or T.StructType([]))
@@ -1045,6 +1060,74 @@ class IcebergConversionTarget:
                 for i, pf in enumerate(pfs)
             ],
         }
+
+    def _resolve_partition_specs(self, prev: Optional[dict]) -> tuple[int, list[dict], int]:
+        """Partition-spec EVOLUTION on the write side: when the source's
+        partition fields change between syncs, APPEND a new spec (next
+        spec-id) and flip default-spec-id instead of silently redefining
+        spec 0 under the old manifests' feet — field-ids are reused from
+        any prior spec's matching (source-id, transform) so evolution
+        keeps them stable (Iceberg spec rules; the matching half of the
+        source's per-manifest resolution). Returns
+        (current_spec_id, full spec list, last-partition-id)."""
+        from incubator_xtable_spark.functions.partition_transforms import to_iceberg_transform
+
+        fields = schema_to_iceberg_fields(self._schema or T.StructType([]))
+        by_name = {f["name"]: f["id"] for f in fields}
+        pfs = getattr(self, "_partition_fields", None) or []
+        want = [
+            {
+                "name": pf.output_name,
+                "transform": to_iceberg_transform(pf),
+                "source-id": by_name.get(pf.source_field, 0),
+            }
+            for pf in pfs
+        ]
+        prev_specs = list((prev or {}).get("partition-specs") or [])
+        prev_default_id = (prev or {}).get("default-spec-id", 0)
+        prev_default = next(
+            (s for s in prev_specs if s.get("spec-id", 0) == prev_default_id), None
+        )
+
+        def shape(spec_fields):
+            return [
+                (f["name"], f.get("transform"), f.get("source-id")) for f in spec_fields
+            ]
+
+        if prev_default is not None and shape(prev_default.get("fields", [])) == shape(want):
+            return (
+                prev_default_id,
+                prev_specs,
+                int((prev or {}).get("last-partition-id", 999)),
+            )
+        last_pid = max(
+            [int((prev or {}).get("last-partition-id", 999))]
+            + [
+                int(f.get("field-id", 999))
+                for s in prev_specs
+                for f in s.get("fields", [])
+            ]
+            + [999]
+        )
+        reuse: dict[tuple, int] = {}
+        for s in prev_specs:
+            for f in s.get("fields", []):
+                reuse.setdefault(
+                    (f.get("source-id"), f.get("transform")), f.get("field-id")
+                )
+        out_fields = []
+        for w in want:
+            fid = reuse.get((w["source-id"], w["transform"]))
+            if fid is None:
+                last_pid += 1
+                fid = last_pid
+            out_fields.append(dict(w, **{"field-id": fid}))
+        spec_id = (
+            max((int(s.get("spec-id", 0)) for s in prev_specs), default=-1) + 1
+            if prev_specs
+            else 0
+        )
+        return spec_id, prev_specs + [{"spec-id": spec_id, "fields": out_fields}], last_pid
 
     def _write_table_metadata(
         self, prev: Optional[dict], snapshot_id: int, seq: int, list_path: str, now_ms: int
@@ -1079,9 +1162,12 @@ class IcebergConversionTarget:
             "last-column-id": last_column_id,
             "current-schema-id": 0,
             "schemas": [schema_json],
-            "default-spec-id": 0,
-            "partition-specs": [self._partition_spec_json()],
-            "last-partition-id": 1000 + max(len(self._partition_cols) - 1, 0),
+            "default-spec-id": getattr(self, "_spec_id", 0),
+            "partition-specs": getattr(self, "_all_specs", None)
+            or [self._partition_spec_json()],
+            "last-partition-id": getattr(
+                self, "_last_partition_id", 1000 + max(len(self._partition_cols) - 1, 0)
+            ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": properties,

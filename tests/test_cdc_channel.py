@@ -597,3 +597,77 @@ def test_hudi_to_hudi_cdc_relay_with_updates(spark, tmp_path, mor_base):
     want = _cdc_set(read_hudi_cdc(spark, mor_base, src_instant), ["id", "v"])
     got = _cdc_set(read_hudi_cdc(spark, hudi_dir, instant), ["id", "v"])
     assert got == want and len(want) == 4
+
+
+def test_hudi_cdc_round_trips_timestamp_and_date(spark, tmp_path):
+    """Typed CDC fidelity through the Hudi channel: timestamp/date
+    values normalize to Avro logical representations on write and
+    decode back to Spark values on read."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import InternalTable
+    from incubator_xtable_spark.model.core import TableFormat as TF
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.hudi_target import (
+        HudiConversionTarget,
+        list_completed_instants,
+    )
+
+    base = str(tmp_path / "typed")
+    import pyspark.sql.functions as F
+
+    spark.range(0, 3).select(
+        F.col("id").cast("long"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("ts"),
+        F.to_date(F.lit("2024-03-01")).alias("day"),
+    ).coalesce(1).write.parquet(base)
+    target = HudiConversionTarget(spark, base, table_name="typed", change_feed=True)
+    src = ParquetConversionSource(spark, base, name="typed")
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.HUDI: target})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+
+    # drive an incremental-style commit with typed row changes directly
+    table = src.get_current_table()
+    ts = datetime.datetime(2024, 3, 2, 12, 30, 45, 123456)
+    day = datetime.date(2024, 3, 2)
+    changes = spark.createDataFrame(
+        [
+            (7, ts, day, "insert"),
+            (1, ts, day, "delete"),
+            (2, ts, day, "update_preimage"),
+            (2, ts, None, "update_postimage"),
+        ],
+        T.StructType(
+            list(table.read_schema.fields)
+            + [T.StructField("_change_type", T.StringType())]
+        ),
+    )
+    # a row-changing commit always carries file actions (the cdcStats
+    # anchor) — mirror that: one new data file lands with the changes
+    spark.range(7, 8).select(
+        F.col("id").cast("long"),
+        F.to_timestamp(F.lit("2024-03-02 12:30:45.123456")).alias("ts"),
+        F.to_date(F.lit("2024-03-02")).alias("day"),
+    ).coalesce(1).write.mode("append").parquet(base)
+    snap = src.get_current_snapshot()
+    target.begin_sync(table)
+    target.sync_schema(table.read_schema)
+    target.sync_partition_spec([])
+    target.sync_files_for_snapshot(snap.files)
+    target.sync_row_changes(changes)
+    instant = target.complete_sync()
+
+    cdc = read_hudi_cdc(spark, base, instant)
+    got = {
+        (r["id"], r["ts"], r["day"], r["_change_type"])
+        for r in cdc.select("id", "ts", "day", "_change_type").collect()
+    }
+    want = {
+        (7, ts, day, "insert"),
+        (1, ts, day, "delete"),
+        (2, ts, day, "update_preimage"),
+        (2, ts, None, "update_postimage"),
+    }
+    assert got == want

@@ -622,3 +622,7 @@ def test_mode_id_conversion_to_iceberg_keeps_ids(spark, tmp_path):
     ice = IcebergConversionSource(spark, base).get_current_table()
     ice_fids = {f.name: (f.metadata or {}).get("xtable.fieldId") for f in ice.read_schema.fields}
     assert ice_fids == {"value_col": 1, "label_col": 2}
+    # the file stores ids -> the iceberg read resolves BY FIELD ID (the
+    # spec's primary rule), so the oddly-named parquet reads correctly
+    got = sorted((r["value_col"], r["label_col"]) for r in read_iceberg_as_df(spark, base).collect())
+    assert got == [(10, "a"), (20, "b")]

@@ -631,3 +631,42 @@ def test_paimon_changelog_conformance(spark, tmp_path):
     assert "PAI_CHANGELOG_FILE_MISSING" in _codes(check_paimon_conformance(spark, pdir))
     os.rename(stash, cls[0])
     assert check_paimon_conformance(spark, pdir).passed
+
+
+def test_hudi_detects_lite_index_missing_dir(table_copy):
+    """README 'Hudi metadata-index interop boundary': an advertised
+    metadata partition must exist as a LITE parquet-delta dir."""
+    shutil.rmtree(os.path.join(table_copy, ".hoodie", "metadata", "files"))
+    assert "HUDI_META_INDEX_MISSING" in _codes(check_hudi_conformance(table_copy))
+
+
+def test_hudi_detects_lite_index_foreign_shape(table_copy):
+    """A non-parquet entry (e.g. an HFile) in an advertised partition
+    breaks the LITE-shape claim."""
+    with open(
+        os.path.join(table_copy, ".hoodie", "metadata", "col_stats", "0001.hfile"), "wb"
+    ) as fh:
+        fh.write(b"HFILEBLK")
+    assert "HUDI_META_INDEX_SHAPE" in _codes(check_hudi_conformance(table_copy))
+
+
+def test_hudi_metadata_indexes_opt_out(spark, tmp_path):
+    """HudiConversionTarget(metadata_indexes=False) writes neither the
+    partitions flag nor index deltas; the table stays green."""
+    from incubator_xtable_spark.sources.hudi_source import HudiConversionSource, read_properties
+
+    base = str(tmp_path / "noidx")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").coalesce(1).write.parquet(base)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, base, name="nation"),
+        {TableFormat.HUDI: HudiConversionTarget(spark, base, metadata_indexes=False)},
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    props = read_properties(base)
+    assert "hoodie.table.metadata.partitions" not in props
+    assert not os.path.exists(os.path.join(base, ".hoodie", "metadata"))
+    report = check_hudi_conformance(base)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+    # source reads via timeline replay, full row parity
+    n = HudiConversionSource(spark, base).get_current_snapshot().files.count()
+    assert n >= 1

@@ -344,3 +344,101 @@ def test_unknown_spec_id_still_refuses(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="not in metadata.json partition-specs"):
         IcebergConversionSource(spark, d, name="evo").get_current_snapshot()
+
+
+def test_target_appends_new_spec_on_partition_change(spark, tmp_path):
+    """WRITE-side evolution: when the source's partition fields change
+    between syncs, the Iceberg target appends a NEW spec (next spec-id,
+    field-ids reused by (source-id, transform)) and flips
+    default-spec-id — never redefining spec 0 under the old manifests.
+    Carried-forward entries land in current-spec manifests with null
+    for the added field (the spec's predates-the-field semantics)."""
+    d = str(tmp_path / "evo_w")
+    os.makedirs(d)
+    f1, n1 = _write_file(d, "a.parquet", [1, 2, 3], "2024-03-01")
+    f2, n2 = _write_file(d, "b.parquet", [4, 5], "2024-03-02")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("region", T.StringType(), True),
+        ]
+    )
+
+    def sync(pfs, inv_rows):
+        table = InternalTable(
+            name="evo_w",
+            table_format=TableFormat.PARQUET,
+            base_path=d,
+            read_schema=schema,
+            partition_fields=pfs,
+        )
+        inv = spark.createDataFrame(inv_rows, FILE_INVENTORY_SCHEMA)
+        target = IcebergConversionTarget(spark, d, table_name="evo_w")
+        target.begin_sync(table)
+        target.sync_metadata(TableSyncMetadata(last_instant_synced="1"))
+        target.sync_schema(schema)
+        target.sync_partition_spec(pfs)
+        target.sync_files_for_snapshot(inv)
+        return target.complete_sync()
+
+    pfs1 = [
+        InternalPartitionField(
+            source_field="region",
+            transform=PartitionTransformType.VALUE,
+            partition_field_name="region",
+        )
+    ]
+    sync(
+        pfs1,
+        [
+            (f1, "PARQUET", os.path.getsize(f1), n1, None, {"region": "a"}, None),
+            (f2, "PARQUET", os.path.getsize(f2), n2, None, {"region": "b"}, None),
+        ],
+    )
+
+    f3, n3 = _write_file(d, "c.parquet", [10, 11], "2024-03-05")
+    pfs2 = pfs1 + [
+        InternalPartitionField(
+            source_field="ts",
+            transform=PartitionTransformType.DAY,
+            partition_field_name="ts_day",
+        )
+    ]
+    sync(
+        pfs2,
+        [
+            (f1, "PARQUET", os.path.getsize(f1), n1, None, {"region": "a"}, None),
+            (f2, "PARQUET", os.path.getsize(f2), n2, None, {"region": "b"}, None),
+            (
+                f3,
+                "PARQUET",
+                os.path.getsize(f3),
+                n3,
+                None,
+                {"region": "c", "ts_day": "2024-03-05"},
+                None,
+            ),
+        ],
+    )
+
+    meta = read_table_metadata(d)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    assert sorted(specs) == [0, 1] and meta["default-spec-id"] == 1
+    f_by_name = {f["name"]: f for f in specs[1]["fields"]}
+    assert f_by_name["region"]["field-id"] == specs[0]["fields"][0]["field-id"]
+    assert f_by_name["ts_day"]["field-id"] == meta["last-partition-id"]
+    # manifests of the evolved snapshot are tagged with the new spec
+    avro = AvroIO(spark)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert all(
+        m["partition_spec_id"] == 1 for m in avro.read_records(snap["manifest-list"])
+    )
+
+    # and the SOURCE (per-spec resolution) round-trips the values
+    src = IcebergConversionSource(spark, d, name="evo_w")
+    pv = _pv_by_path(src.get_current_snapshot().files)
+    assert pv["a.parquet"] == {"region": "a", "ts_day": None}
+    assert pv["c.parquet"] == {"region": "c", "ts_day": "2024-03-05"}
+    rows = sorted((r["id"], r["region"]) for r in read_iceberg_as_df(spark, d).collect())
+    assert [i for i, _ in rows] == [1, 2, 3, 4, 5, 10, 11]
