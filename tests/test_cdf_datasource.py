@@ -1,0 +1,190 @@
+"""`spark.readStream.format("delta_cdf")` (streaming/cdf_datasource.py):
+a real Structured-Streaming source over Delta CDF — Spark-native
+offsets/checkpointing/triggers, pure-python planning, arrow-batch
+executor reads. Differentials against the engine's batch CDF read."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.delta_source import read_delta_cdf
+from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+from incubator_xtable_spark.streaming.cdf_datasource import DeltaCDFDataSource
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget, current_log_version
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(DeltaCDFDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def _drain(spark, base, cp, name):
+    df = spark.readStream.format("delta_cdf").option("path", base).load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}")
+
+
+def _mk_table(spark, tmp_path):
+    base = str(tmp_path / "t")
+    spark.range(0, 6).select(F.col("id").cast("long")).coalesce(1).write.parquet(base)
+    src = ParquetConversionSource(spark, base, name="t")
+    tgt = DeltaConversionTarget(spark, base)
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.DELTA: tgt})[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    return base, src, tgt, ctrl
+
+
+def test_available_now_stream_equals_batch_cdf(spark, tmp_path):
+    base, src, tgt, ctrl = _mk_table(spark, tmp_path)
+    spark.range(6, 9).select(F.col("id").cast("long")).coalesce(1).write.mode("append").parquet(base)
+    ctrl.sync(src, {TableFormat.DELTA: tgt})
+
+    _register(spark)
+    got = _drain(spark, base, str(tmp_path / "cp"), "cdf_eq")
+    rows = sorted(
+        (r["id"], r["_change_type"], r["_commit_version"]) for r in got.collect()
+    )
+    want = []
+    for v in range(current_log_version(base) + 1):
+        want.extend(
+            (r["id"], r["_change_type"], v)
+            for r in read_delta_cdf(spark, base, v).collect()
+        )
+    assert rows == sorted(want)
+    assert len(rows) == 9 and all(c == "insert" for _, c, _ in rows)
+
+
+def test_stream_checkpoint_resume_emits_only_new_commits(spark, tmp_path):
+    """Restarting against the same checkpoint processes only the commits
+    after the recorded offset (a fault-tolerant sink — file sink — is
+    required for recovery; memory sink can't recover)."""
+    base, src, tgt, ctrl = _mk_table(spark, tmp_path)
+    _register(spark)
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def run():
+        df = spark.readStream.format("delta_cdf").option("path", base).load()
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert spark.read.parquet(out).count() == 6
+
+    spark.range(100, 102).select(F.col("id").cast("long")).coalesce(1).write.mode("append").parquet(base)
+    ctrl.sync(src, {TableFormat.DELTA: tgt})
+    run()
+    rows = sorted((r["id"], r["_change_type"]) for r in spark.read.parquet(out).collect())
+    # exactly once: 6 original inserts + ONLY the new commit's 2 rows
+    assert len(rows) == 8
+    assert [(i, c) for i, c in rows if i >= 100] == [(100, "insert"), (101, "insert")]
+
+
+def test_stream_emits_dv_deletes_as_row_deletes(spark, tmp_path):
+    """A deletion-vector commit streams as row-level deletes — the
+    executor-side pure-python DV decode path."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+
+    d = _make_table(spark, tmp_path)
+    isrc = IcebergConversionSource(spark, d, expose_row_deletes=True)
+    fid = _field_id(isrc, "id")
+    delta_dir = str(tmp_path / "as_delta")
+    ctrl = ConversionController()
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, delta_dir)})
+    eq = _eq_parquet(os.path.join(d, "e.parquet"), {"id": pa.array([3, 7], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+    ctrl.sync(isrc, {TableFormat.DELTA: DeltaConversionTarget(spark, delta_dir)})
+
+    _register(spark)
+    got = _drain(spark, delta_dir, str(tmp_path / "cp"), "cdf_dv")
+    v = current_log_version(delta_dir)
+    deletes = sorted(
+        r["id"] for r in got.filter(f"_commit_version = {v}").collect()
+    )
+    types = {r["_change_type"] for r in got.filter(f"_commit_version = {v}").collect()}
+    assert deletes == [3, 7] and types == {"delete"}
+    # differential vs the engine's batch CDF
+    want = sorted(
+        (r["id"], r["_change_type"]) for r in read_delta_cdf(spark, delta_dir, v).collect()
+    )
+    assert want == [(3, "delete"), (7, "delete")]
+
+
+def test_stream_partitioned_table_attaches_partition_columns(spark, tmp_path):
+    from incubator_xtable_spark.model.core import InternalPartitionField
+
+    base = str(tmp_path / "pt")
+    (
+        spark.range(0, 8)
+        .select(F.col("id").cast("long"), (F.col("id") % 2).cast("int").alias("bucket"))
+        .repartition(2, "bucket")
+        .write.partitionBy("bucket")
+        .parquet(base)
+    )
+    src = ParquetConversionSource(
+        spark, base, name="pt", partition_fields=[InternalPartitionField("bucket")]
+    )
+    ctrl = ConversionController()
+    assert (
+        ctrl.sync(src, {TableFormat.DELTA: DeltaConversionTarget(spark, base)})[
+            TableFormat.DELTA
+        ].status
+        == SyncStatusCode.SUCCESS
+    )
+    _register(spark)
+    got = _drain(spark, base, str(tmp_path / "cp"), "cdf_part")
+    rows = got.select("id", "bucket").collect()
+    assert len(rows) == 8
+    assert all(r["bucket"] == r["id"] % 2 for r in rows)
+
+
+def test_stream_starting_version_option(spark, tmp_path):
+    base, src, tgt, ctrl = _mk_table(spark, tmp_path)
+    spark.range(6, 8).select(F.col("id").cast("long")).coalesce(1).write.mode("append").parquet(base)
+    ctrl.sync(src, {TableFormat.DELTA: tgt})
+    _register(spark)
+    df = (
+        spark.readStream.format("delta_cdf")
+        .option("path", base)
+        .option("startingVersion", "1")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("cdf_sv")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(r["id"] for r in spark.sql("select * from cdf_sv").collect())
+    assert rows == [6, 7]

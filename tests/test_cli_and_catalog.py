@@ -262,3 +262,16 @@ datasets:
     )
     hms2 = json.loads(hms_state.read_text())
     assert len([p for parts in hms2["partitions"].values() for p in parts.values()]) == 5
+
+
+def test_build_target_change_feed_flags(spark, tmp_path):
+    """CLI flag routing: deltaChangeFeed / hudiChangeFeed (r6) construct
+    CDC-persisting targets."""
+    from incubator_xtable_spark.run_sync import build_target
+
+    h = build_target(spark, "HUDI", {"tableBasePath": str(tmp_path), "hudiChangeFeed": "true"})
+    assert h.change_feed is True
+    h2 = build_target(spark, "HUDI", {"tableBasePath": str(tmp_path)})
+    assert h2.change_feed is False
+    d = build_target(spark, "DELTA", {"tableBasePath": str(tmp_path), "deltaChangeFeed": "true"})
+    assert d.change_feed is True
