@@ -114,6 +114,7 @@ def _load_all() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
     )
 
     graded = sum(1 for s in REGISTRY.values() if s.graded)

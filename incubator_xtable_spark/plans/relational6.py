@@ -1,0 +1,302 @@
+"""Sixth relational batch (r6): the remaining TPC-H query SHAPES the
+registry had not yet gated — Q4/Q8/Q12/Q13/Q21 adapted to the testdata's
+reduced column set (no commitdate/receiptdate/shipmode/comment columns;
+the join topology, operator mix and determinism discipline are the
+point, not the literal predicates).
+
+All entries are pytest-tier (graded=False): the driver's graded window
+is capped at 50 curated entries; these are differential-tested by
+tests/test_oracle_parity.py and timed by bench.py.
+
+Operator coverage added here:
+- q04: NON-EQUI semi join (EXISTS with an inequality across tables) —
+  the correlated-predicate membership shape.
+- q08: two-level market-share ratio across a 6-table snowflake with a
+  conditional numerator (nation share of regional revenue per year).
+- q12: conditional CASE counts over a date-bounded join (priority
+  class split per line status).
+- q13: LEFT OUTER join distribution — customers with ZERO orders must
+  survive into the histogram (the outer-join-then-re-aggregate shape).
+- q21: chained EXISTS + NOT-EXISTS with inequalities (multi-supplier
+  order blame analysis).
+
+Cross-engine determinism: same rules as plans/common.py — decimal-cast
+money, single final DECIMAL->DOUBLE snap, int/int ratios, tie-broken
+orderings, identical aliases both sides.
+
+Scale notes: every join keys on the natural join columns (shuffle on
+orderkey/custkey/suppkey); dimensions (nation/region/part/supplier)
+broadcast; the q21 exists/not-exists chain is two semi/anti joins on
+l_orderkey — no correlated per-row subquery execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.plans.common import money_out, revenue, t
+from incubator_xtable_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# q04-style: priority counts of orders with a LATE lineitem (non-equi EXISTS)
+# ---------------------------------------------------------------------------
+
+Q04_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q04_order_priority",
+    oracle=Q04_ORACLE,
+    category="relational",
+    description="TPC-H Q4-style EXISTS with cross-table inequality (late lines)",
+    graded=False,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08-style: national market share of regional revenue per year
+# ---------------------------------------------------------------------------
+
+Q08_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))
+        ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+    AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+@register(
+    "q08_market_share",
+    oracle=Q08_ORACLE,
+    category="relational",
+    description="TPC-H Q8-style national market share over a 6-table snowflake",
+    graded=False,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    rev = revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("n2.n_name") == "NATION_3", rev).otherwise(
+                        F.lit(0).cast("decimal(15,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-style: priority class split per line status over a date window
+# ---------------------------------------------------------------------------
+
+Q12_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q12_priority_class_split",
+    oracle=Q12_ORACLE,
+    category="relational",
+    description="TPC-H Q12-style CASE-split counts over a date-bounded join",
+    graded=False,
+)
+def q12_priority_class_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13-style: customer order-count distribution (LEFT OUTER histogram)
+# ---------------------------------------------------------------------------
+
+Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q13_customer_distribution",
+    oracle=Q13_ORACLE,
+    category="relational",
+    description="TPC-H Q13-style left-outer count distribution (zero-order customers kept)",
+    graded=False,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21-style: suppliers blamed for the latest line in multi-supplier orders
+# ---------------------------------------------------------------------------
+
+Q21_ORACLE = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle=Q21_ORACLE,
+    category="relational",
+    description="TPC-H Q21-style chained EXISTS / NOT-EXISTS with inequalities",
+    graded=False,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_shipdate").alias("d3")
+    ).alias("l3")
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("d3") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
