@@ -160,20 +160,17 @@ def _avro_bytes(v: Any) -> bytes:
 
 
 def _read_avro_with_meta(spark: SparkSession, path: str, meta_keys: list[str]):
-    """(records, metadata) via the JVM's official Apache Avro reader."""
-    jvm = spark._jvm
-    reader = jvm.org.apache.avro.generic.GenericDatumReader()
-    f = jvm.java.io.File(path)
-    dfr = jvm.org.apache.avro.file.DataFileReader(f, reader)
-    meta = {}
-    for k in meta_keys:
-        v = dfr.getMetaString(k)
-        if v is not None:
-            meta[k] = str(v)
-    records = []
-    while dfr.hasNext():
-        records.append(json.loads(str(dfr.next())))
-    dfr.close()
+    """(records, metadata) via the INDEPENDENT pure-python OCF reader
+    (model/avro_codec) — r6: the conformance layer no longer shares the
+    JVM Avro stack the engine writes manifests with, so an engine-side
+    encode bug cannot cancel out in its own validation. ``spark`` kept
+    for signature stability."""
+    from incubator_xtable_spark.model.avro_codec import read_ocf
+
+    records, raw_meta = read_ocf(path)
+    meta = {
+        k: raw_meta[k].decode("utf-8") for k in meta_keys if k in raw_meta
+    }
     return records, meta
 
 

@@ -150,49 +150,24 @@ def read_log_blocks(path: str) -> list[LogBlock]:
     return blocks
 
 
-def _avro_binary_fields(schema) -> list[str]:
-    """Names of record fields whose (possibly union-wrapped) type is
-    avro bytes or fixed — incl. decimal logical types, which annotate
-    those base types."""
-    out = []
-    for f in schema.get("fields", []) if isinstance(schema, dict) else []:
-        t = f.get("type")
-        branches = t if isinstance(t, list) else [t]
-        for b in branches:
-            base = b.get("type") if isinstance(b, dict) else b
-            if base in ("bytes", "fixed"):
-                out.append(f["name"])
-                break
-    return out
-
-
 def _decode_avro_records(spark, schema_json: str, blobs: list[bytes]) -> list[dict]:
-    """Avro binary records -> dicts via the JVM's official Avro library
-    (one BinaryDecoder per record; driver-side, bounded by log size).
+    """Avro binary records -> TYPED dicts via the pure-python decoder
+    (model/avro_codec; driver-side, bounded by log size).
 
-    The decode goes through GenericRecord.toString (Avro JSON), which
-    mangles bytes/fixed values (ISO-8859-1 escape text) — they cannot
-    round-trip. Rather than silently corrupt such columns, refuse with
-    the column names up front."""
-    bad = _avro_binary_fields(json.loads(schema_json))
-    if bad:
-        raise ValueError(
-            "avro log block schema has bytes/fixed (or decimal) fields "
-            f"{bad}, which the Avro-JSON decode path cannot round-trip; "
-            "write such tables with parquet log blocks "
-            "(hoodie.logfile.data.block.format=parquet) instead"
-        )
-    jvm = spark._jvm
-    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
-    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
-    factory = jvm.org.apache.avro.io.DecoderFactory.get()
-    from incubator_xtable_spark.targets.iceberg_target import _unwrap_unions
+    r6: previously decoded through the JVM's GenericRecord.toString
+    Avro-JSON, which mangled bytes/fixed values (forcing a loud refusal)
+    and flattened logical types to raw ints. The pure decoder yields
+    real bytes / Decimal / date / datetime values, aligning avro data
+    blocks with parquet data blocks in the merge — and needs no JVM at
+    all (``spark`` is kept for signature stability)."""
+    import json as _json
 
-    out = []
-    for blob in blobs:
-        decoder = factory.binaryDecoder(blob, None)
-        out.append(_unwrap_unions(json.loads(str(reader.read(None, decoder)))))
-    return out
+    from incubator_xtable_spark.model.avro_codec import decode_value
+
+    import io as _io
+
+    schema = _json.loads(schema_json)
+    return [decode_value(schema, _io.BytesIO(blob)) for blob in blobs]
 
 
 def block_records(spark, block: LogBlock) -> tuple[str, list[dict]]:

@@ -489,12 +489,10 @@ def test_typed_values_survive_shadow_materialization(spark, tmp_path):
     assert got == want
 
 
-def test_avro_block_bytes_schema_refused_loudly(spark, mor_base):
-    """Avro log blocks with bytes/fixed fields cannot round-trip through
-    the Avro-JSON decode — the merge must refuse with the column name,
-    never silently corrupt."""
-    import pytest
-
+def test_avro_block_bytes_round_trip(spark, mor_base):
+    """r6: avro log blocks with bytes fields decode TYPED through the
+    pure-python avro codec (the old Avro-JSON route mangled them and
+    had to refuse)."""
     from incubator_xtable_spark.sources.hudi_log import merged_log_records
 
     schema = json.dumps(
@@ -507,13 +505,24 @@ def test_avro_block_bytes_schema_refused_loudly(spark, mor_base):
             ],
         }
     )
+    payload = b"\x00\xff\x7fbin"
     _add_log(
         mor_base,
         ".g1_001.log.1_0-1-0",
         "20240101000002000",
-        [avro_data_block(spark, "20240101000002000", schema, [{"id": 1, "blob": None}])],
+        [
+            avro_data_block(
+                spark,
+                "20240101000002000",
+                schema,
+                [
+                    {"id": 1, "blob": payload.decode("latin-1")},
+                    {"id": 2, "blob": None},
+                ],
+            )
+        ],
     )
-    with pytest.raises(ValueError, match="blob"):
-        merged_log_records(
-            spark, [os.path.join(mor_base, ".g1_001.log.1_0-1-0")], "id"
-        )
+    upserts, deleted = merged_log_records(
+        spark, [os.path.join(mor_base, ".g1_001.log.1_0-1-0")], "id"
+    )
+    assert upserts["1"]["blob"] == payload and upserts["2"]["blob"] is None
