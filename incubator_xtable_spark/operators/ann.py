@@ -168,3 +168,154 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_sample: int = 100_000,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Coarse-quantizer training for IVF: Lloyd's k-means on a BOUNDED
+    driver-side sample (numpy, vectorized, deterministic seed).
+
+    Why not MLlib: with k ~ sqrt(N) the quantizer quality is set by a
+    modest sample, and per-iteration Spark job latency dominates any
+    accuracy gain from full-corpus iterations — a 100k x 64-float
+    sample is ~25 MB and converges in milliseconds locally. One Spark
+    job total (the limited sample collect); the corpus itself is never
+    shuffled for training."""
+    rows = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    k = min(n_centroids, n)
+    centers = x[rng.choice(n, size=k, replace=False)]
+    for _ in range(max_iter):
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 (vectorized assign)
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * x @ centers.T
+            + (centers * centers).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        new_centers = centers.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_centers[j] = members.mean(axis=0)
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers.tolist()
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the data-driven counterpart to
+    ann_lsh_topk. A KMeans coarse quantizer assigns every vector to its
+    nearest centroid (one JVM-side argmin over broadcast centroid
+    literals — no Python, no shuffle); each query probes its n_probe
+    nearest centroids' lists; exact cosine reranks inside the probed
+    union. Returns (q_id, c_id, cos_sim, rank).
+
+    Versus LSH: probe fraction is ~n_probe/n_centroids of the corpus but
+    ADAPTS to the data's cluster structure (hyperplanes are oblivious),
+    which is why IVF recalls higher on clustered embeddings at equal
+    probe cost. 100 TB tuning: n_centroids ~ sqrt(N) keeps lists ~sqrt(N)
+    long; the candidate join shuffles on centroid id with queries
+    broadcast; assignment is a projection (no shuffle).
+
+    Recall < 1.0 by construction; pytest checks recall against the
+    brute-force baseline. ``centroids`` accepts a pre-trained quantizer
+    (skip training, e.g. for incremental corpora)."""
+    from pyspark.sql import Window as W
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+
+    # ONE 2-D literal + one indexed transform: the whole argmin is a
+    # 3-node expression regardless of n_centroids (a per-centroid
+    # struct/aggregate tree made Catalyst analysis the bottleneck)
+    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
+
+    def nearest(vec: Column, n: int) -> Column:
+        """array of the n nearest centroid ids, JVM-side argsort via
+        array_sort over (dist, id) structs."""
+        cells = F.transform(
+            lit_cents,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.alias("i"),
+            ),
+        )
+        return F.slice(F.array_sort(cells), 1, n).getField("i")
+
+    # skew gate (multimodal rule): spread a single-file input before the
+    # per-row assignment, never full-shuffle a well-split scan
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < parallelism:
+        vectors = vectors.repartition(parallelism)
+
+    cand = vectors.select(
+        F.col(id_col).alias("c_id"),
+        nearest(F.col(vec_col), 1).getItem(0).alias("cell"),
+    )
+    qp = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(nearest(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    pairs = (
+        cand.join(F.broadcast(qp), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+    )
+    scored = (
+        pairs.join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )

@@ -75,3 +75,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f1"),
         F.round(F.element_at("features", 2), 6).alias("f2"),
     ).orderBy("media_id")
+
+
+@register(
+    "ann_ivf_topk",
+    category="vector",
+    description="IVF (KMeans coarse quantizer) cosine top-5 (rows-only)",
+    graded=False,
+)
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_xtable_spark.operators.ann import ann_ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=3).orderBy(
+        "q_id", "rank"
+    )

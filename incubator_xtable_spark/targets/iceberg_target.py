@@ -330,16 +330,14 @@ class AvroIO:
         return int(f.length())
 
     def read_records(self, path: str) -> list[dict]:
-        reader = self.jvm.org.apache.avro.generic.GenericDatumReader()
-        f = self.jvm.java.io.File(path)
-        dfr = self.jvm.org.apache.avro.file.DataFileReader(f, reader)
-        out = []
-        while dfr.hasNext():
-            # GenericRecord.toString() is Avro JSON; union values arrive
-            # wrapped as {"long": v} / {"string": v} — unwrap them
-            out.append(_unwrap_unions(json.loads(str(dfr.next()))))
-        dfr.close()
-        return out
+        """r6: reads ride the pure-python OCF decoder (model/avro_codec)
+        — typed values (real bytes, resolved unions) with no py4j
+        round-trips per record; the previous JVM GenericRecord.toString
+        route surfaced bytes as latin-1 codepoint strings (consumers
+        keep their defensive re-encode for old fixtures)."""
+        from incubator_xtable_spark.model.avro_codec import read_ocf
+
+        return read_ocf(path)[0]
 
 
 _UNION_KEYS = {"boolean", "int", "long", "float", "double", "bytes", "string", "array"}

@@ -205,3 +205,26 @@ def test_events_stream_starts_on_empty_dir(spark, tmp_path):
     stream = events_stream(spark, str(empty))
     assert stream.isStreaming
     assert "ts" in stream.columns
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from incubator_xtable_spark.operators.ann import ann_ivf_topk
+
+    brute = ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["c_id"]) for r in brute}
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=3).collect()
+    got = {(r["q_id"], r["c_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # gaussian embeddings cluster weakly; require clearly-above-chance
+    # recall at ~3/16 probe fraction plus correct mechanics
+    assert recall > 0.2, f"IVF recall {recall:.2f} at chance level"
+    assert all(1 <= r["rank"] <= 5 for r in approx)
+    # probing MORE cells must not lose pairs (monotone recall)
+    wide = ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16).collect()
+    got_wide = {(r["q_id"], r["c_id"]) for r in wide}
+    full_recall = len(truth & got_wide) / len(truth)
+    assert full_recall >= recall
+    # n_probe = n_centroids probes everything -> recall 1.0 (exact)
+    assert full_recall == 1.0
