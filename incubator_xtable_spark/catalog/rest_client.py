@@ -61,9 +61,14 @@ class IcebergRestCatalogSyncClient:
 
     catalog_type = "ICEBERG_REST"
 
-    def __init__(self, transport, prefix: str = "") -> None:
+    def __init__(self, transport, prefix: str = "", max_commit_retries: int = 2) -> None:
         self.t = transport
         self._base = f"/v1/{prefix.strip('/')}" if prefix.strip("/") else "/v1"
+        # commit endpoint: a concurrent writer surfaces as 409
+        # CommitFailedException; the spec's client behavior is refresh +
+        # retry. Our property commit carries no requirements (it is
+        # self-contained), so a bounded re-post IS the refresh+retry.
+        self.max_commit_retries = max_commit_retries
 
     # -- route helpers -----------------------------------------------------
 
@@ -164,16 +169,17 @@ class IcebergRestCatalogSyncClient:
         which is the same semantics the HMS/Glue property merge has)."""
         if not properties:
             return
-        status, resp = self._call(
-            "POST",
-            self._table_path(ident),
-            {
-                "identifier": {"namespace": self._ns_parts(ident), "name": ident.table},
-                "requirements": [],
-                "updates": [{"action": "set-properties", "updates": dict(properties)}],
-            },
-        )
-        if status != 200:
+        body = {
+            "identifier": {"namespace": self._ns_parts(ident), "name": ident.table},
+            "requirements": [],
+            "updates": [{"action": "set-properties", "updates": dict(properties)}],
+        }
+        for attempt in range(self.max_commit_retries + 1):
+            status, resp = self._call("POST", self._table_path(ident), body)
+            if status == 200:
+                return
+            if status == 409 and attempt < self.max_commit_retries:
+                continue  # commit conflict (concurrent writer) — retry
             raise RestCatalogError(status, f"commit set-properties failed: {resp}")
 
     # -- helpers -----------------------------------------------------------

@@ -299,3 +299,41 @@ def test_across_catalogs_with_rest_client_skips_partition_sync(spark, tmp_path):
     # no partition routes exist on the REST surface; only namespace/table
     # calls were made
     assert all("/partitions" not in p for _, p in server.calls)
+
+
+def test_commit_conflict_retries_then_succeeds(spark, tmp_path):
+    """r6: 409 CommitFailedException from a concurrent writer retries
+    the self-contained property commit (spec refresh+retry behavior); a
+    persistent conflict surfaces after the bounded retries."""
+    import pytest
+
+    base, readback = _converted_iceberg(spark, tmp_path)
+    server = FakeIcebergRestServer()
+    client = IcebergRestCatalogSyncClient(server)
+    ident = CatalogTableIdentifier("analytics", "region")
+    client.create_database(ident)
+    client.create_table(readback.get_current_table(), ident)
+
+    state = {"n": 0}
+    orig = server.request
+
+    def flaky(method, path, body=None):
+        if method == "POST" and path.endswith("/tables/region"):
+            state["n"] += 1
+            if state["n"] == 1:
+                return 409, {"error": {"type": "CommitFailedException"}}
+        return orig(method, path, body)
+
+    server.request = flaky
+    client.update_table_properties(ident, {"k": "v"})
+    assert state["n"] == 2  # one conflict + one successful retry
+    assert client.get_table_properties(ident, ["k"]) == {"k": "v"}
+
+    def always_conflict(method, path, body=None):
+        if method == "POST" and path.endswith("/tables/region"):
+            return 409, {"error": {"type": "CommitFailedException"}}
+        return orig(method, path, body)
+
+    server.request = always_conflict
+    with pytest.raises(RestCatalogError, match="409"):
+        client.update_table_properties(ident, {"k": "v2"})
