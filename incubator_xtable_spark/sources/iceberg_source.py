@@ -145,47 +145,7 @@ class IcebergConversionSource:
         return self._entries_by_content(meta, snapshot_id)[1]
 
     def _spec_field_mapping(self, meta: dict, mf_spec_id: int) -> list[tuple[str, Optional[str]]]:
-        """Partition-spec EVOLUTION resolution: how a manifest written
-        under spec ``mf_spec_id`` maps into the table's DEFAULT spec
-        representation — [(default_field_name, old_field_name|None)].
-        Match by partition field-id (stable across evolution), falling
-        back to (source-id, transform). A default-spec field absent from
-        the old spec resolves to None: per the Iceberg spec's read
-        semantics, files written before a partition field was added have
-        null for it. Old-spec fields absent from the default spec drop
-        (removed partition fields). This EXCEEDS the reference, which
-        reads every manifest with only the current spec and silently
-        mis-maps old manifests (ref IcebergDataFileExtractor.java:174,207,
-        IcebergPartitionSpecExtractor.java:1-172)."""
-        specs_by_id = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
-        old = specs_by_id.get(mf_spec_id)
-        if old is None:
-            raise ValueError(
-                f"manifest references partition spec {mf_spec_id}, which is "
-                f"not in metadata.json partition-specs ({sorted(specs_by_id)})"
-            )
-        default_fields = (
-            specs_by_id.get(meta.get("default-spec-id", 0)) or {"fields": []}
-        ).get("fields", [])
-        old_fields = old.get("fields", [])
-        by_fid = {
-            f.get("field-id"): f for f in old_fields if f.get("field-id") is not None
-        }
-        out = []
-        for f in default_fields:
-            m = by_fid.get(f.get("field-id"))
-            if m is None:
-                m = next(
-                    (
-                        g
-                        for g in old_fields
-                        if g.get("source-id") == f.get("source-id")
-                        and g.get("transform") == f.get("transform")
-                    ),
-                    None,
-                )
-            out.append((f["name"], m["name"] if m is not None else None))
-        return out
+        return spec_field_mapping(meta, mf_spec_id)
 
     def _entries_by_content(self, meta: dict, snapshot_id: int) -> tuple[list[dict], list[dict]]:
         snap = self._snapshot_by_id(meta, snapshot_id)
@@ -876,6 +836,51 @@ class IcebergConversionSource:
         meta = self._meta()
         raw = (meta.get("properties") or {}).get(XTABLE_METADATA_KEY)
         return TableSyncMetadata.from_json(raw) if raw else None
+
+
+def spec_field_mapping(meta: dict, mf_spec_id: int) -> list:
+    """Partition-spec EVOLUTION resolution: how a manifest written under
+    spec ``mf_spec_id`` maps into the table's DEFAULT spec representation
+    — [(default_field_name, old_field_name|None)]. Match by partition
+    field-id (stable across evolution), falling back to
+    (source-id, transform). A default-spec field absent from the old
+    spec resolves to None: per the Iceberg spec's read semantics, files
+    written before a partition field was added have null for it.
+    Old-spec fields absent from the default spec drop (removed
+    partition fields). This EXCEEDS the reference, which reads every
+    manifest with only the current spec and silently mis-maps old
+    manifests (ref IcebergDataFileExtractor.java:174,207,
+    IcebergPartitionSpecExtractor.java:1-172). Module-level and
+    Spark-free so the streaming data source shares it."""
+    specs_by_id = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
+    old = specs_by_id.get(mf_spec_id)
+    if old is None:
+        raise ValueError(
+            f"manifest references partition spec {mf_spec_id}, which is "
+            f"not in metadata.json partition-specs ({sorted(specs_by_id)})"
+        )
+    default_fields = (
+        specs_by_id.get(meta.get("default-spec-id", 0)) or {"fields": []}
+    ).get("fields", [])
+    old_fields = old.get("fields", [])
+    by_fid = {
+        f.get("field-id"): f for f in old_fields if f.get("field-id") is not None
+    }
+    out = []
+    for f in default_fields:
+        m = by_fid.get(f.get("field-id"))
+        if m is None:
+            m = next(
+                (
+                    g
+                    for g in old_fields
+                    if g.get("source-id") == f.get("source-id")
+                    and g.get("transform") == f.get("transform")
+                ),
+                None,
+            )
+        out.append((f["name"], m["name"] if m is not None else None))
+    return out
 
 
 def _name_mapped_fields(

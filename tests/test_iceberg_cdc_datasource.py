@@ -1,0 +1,144 @@
+"""`spark.readStream.format("iceberg_cdc")`
+(streaming/iceberg_cdc_datasource.py): parent-chain offsets, pure-python
+manifest planning, executor-side pyarrow reads with position-delete /
+puffin-DV decode. Differentials against read_iceberg_cdc."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.iceberg_source import (
+    IcebergConversionSource,
+    read_iceberg_cdc,
+)
+from incubator_xtable_spark.streaming.iceberg_cdc_datasource import IcebergCDCDataSource
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.iceberg_target import read_table_metadata
+
+from .test_iceberg_deletes import deleted_table  # noqa: F401
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(IcebergCDCDataSource)
+    except Exception:
+        pass
+
+
+def _drain(spark, base, cp, name, starting=None):
+    reader = spark.readStream.format("iceberg_cdc").option("path", base)
+    if starting is not None:
+        reader = reader.option("startingSnapshot", str(starting))
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}")
+
+
+def _chain(base):
+    meta = read_table_metadata(base)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    chain, cur = [], meta["current-snapshot-id"]
+    while cur is not None:
+        chain.append(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    return list(reversed(chain))
+
+
+def test_stream_equals_batch_changelog_with_position_deletes(spark, deleted_table):
+    base, _victim = deleted_table
+    _register(spark)
+    got = _drain(spark, base, base + "/.cp", "ice_cdc_eq")
+    rows = sorted(
+        (r["id"], r["_change_type"], r["_commit_snapshot_id"]) for r in got.collect()
+    )
+    want = []
+    for sid in _chain(base):
+        want.extend(
+            (r["id"], r["_change_type"], sid)
+            for r in read_iceberg_cdc(spark, base, sid).collect()
+        )
+    assert rows == sorted(want)
+    # the delete snapshot contributed exactly rows 0..2 as deletes
+    deletes = [(i, c) for i, c, _ in rows if c == "delete"]
+    assert sorted(i for i, _ in deletes) == [0, 1, 2]
+    inserts = [i for i, c, _ in rows if c == "insert"]
+    assert sorted(inserts) == list(range(20))
+
+
+def test_starting_snapshot_skips_history(spark, deleted_table):
+    base, _victim = deleted_table
+    _register(spark)
+    first = _chain(base)[0]
+    got = _drain(spark, base, base + "/.cp2", "ice_cdc_sv", starting=first)
+    rows = sorted((r["id"], r["_change_type"]) for r in got.collect())
+    # only the delete snapshot is after the cursor
+    assert rows == [(0, "delete"), (1, "delete"), (2, "delete")]
+
+
+def test_equality_deletes_refused_loudly(spark, tmp_path):
+    import pyarrow as pa
+
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+        _make_table,
+    )
+
+    d = _make_table(spark, tmp_path)
+    src = IcebergConversionSource(spark, d)
+    fid = _field_id(src, "id")
+    eq = _eq_parquet(os.path.join(d, "e.parquet"), {"id": pa.array([3], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+
+    _register(spark)
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .option("path", d)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_cdc_eqdel")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="EQUALITY deletes"):
+        q.awaitTermination(300)
+        raise RuntimeError(str(q.exception()))
+
+
+def test_identity_partitioned_stream_attaches_partition_values(spark, tmp_path):
+    from incubator_xtable_spark.model.core import InternalPartitionField
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    base = str(tmp_path / "pt")
+    (
+        spark.range(0, 8)
+        .select(F.col("id").cast("long"), (F.col("id") % 2).cast("int").alias("bucket"))
+        .repartition(2, "bucket")
+        .write.partitionBy("bucket")
+        .parquet(base)
+    )
+    src = ParquetConversionSource(
+        spark, base, name="pt", partition_fields=[InternalPartitionField("bucket")]
+    )
+    res = ConversionController().sync(
+        src, {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="pt")}
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    _register(spark)
+    got = _drain(spark, base, str(tmp_path / "cp"), "ice_cdc_part")
+    rows = got.select("id", "bucket").collect()
+    assert len(rows) == 8 and all(r["bucket"] == r["id"] % 2 for r in rows)
