@@ -300,8 +300,11 @@ def iceberg_fields_to_schema(fields: list[dict]) -> T.StructType:
 
 
 class AvroIO:
-    def __init__(self, spark: SparkSession) -> None:
-        self.jvm = spark._jvm
+    def __init__(self, spark: Optional[SparkSession]) -> None:
+        # reads are pure-python (read_records -> model/avro_codec); only
+        # WRITES need the JVM encoder. spark=None builds a read-only
+        # AvroIO usable in data-source worker processes.
+        self.jvm = spark._jvm if spark is not None else None
 
     def parse_schema(self, schema_json: str):
         return self.jvm.org.apache.avro.Schema.Parser().parse(schema_json)
