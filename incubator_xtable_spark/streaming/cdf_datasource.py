@@ -131,17 +131,18 @@ def _py_versioned_actions(
 
 
 def _py_live_files(base_path: str, version: int) -> dict[str, dict]:
-    """path -> {"partitionValues", "deletionVector"} live at ``version``
-    (last-action-per-path fold)."""
+    """path -> {"partitionValues", "deletionVector"} live at ``version``.
+    Last version per path wins, and WITHIN one version the add beats the
+    remove regardless of line order — a DV commit removes AND re-adds
+    the same path and the file stays live (exactly live_files_df's
+    (version desc, is_add desc) fold)."""
     state: dict[str, Optional[dict]] = {}
     order: dict[str, tuple] = {}
-    seq = 0
     for v, action in _py_versioned_actions(base_path, version):
-        seq += 1
         if "add" in action:
             a = action["add"]
-            key = (v, seq)
-            if order.get(a["path"], (-1, -1)) <= key:
+            key = (v, 1)
+            if key >= order.get(a["path"], (-1, -1)):
                 order[a["path"]] = key
                 state[a["path"]] = {
                     "partitionValues": a.get("partitionValues") or {},
@@ -149,8 +150,8 @@ def _py_live_files(base_path: str, version: int) -> dict[str, dict]:
                 }
         elif "remove" in action:
             r = action["remove"]
-            key = (v, seq)
-            if order.get(r["path"], (-1, -1)) <= key:
+            key = (v, 0)
+            if key >= order.get(r["path"], (-1, -1)):
                 order[r["path"]] = key
                 state[r["path"]] = None
     return {p: s for p, s in state.items() if s is not None}

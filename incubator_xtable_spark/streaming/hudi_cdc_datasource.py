@@ -78,10 +78,20 @@ def _plan_instant(base_path: str, instant: str, action: str) -> list[dict]:
     if cdc_paths:
         return [{"kind": "cdc", "path": p} for p in cdc_paths]
     log_stats = [st for st in stats if not (st.get("path") or "").endswith(".parquet")]
+    rewrites = [
+        st
+        for st in stats
+        if st.get("prevCommit") not in (None, "null")
+        or int(st.get("numUpdateWrites") or 0) > 0
+        or int(st.get("numDeletes") or 0) > 0
+    ]
     if (
         action == "commit"
         and not meta.get("partitionToReplaceFileIds")
         and not log_stats
+        and not rewrites  # a COW upsert rewrites a file GROUP — its new
+        # file version is not all-inserts (prevCommit names the rewritten
+        # base; numUpdateWrites/numDeletes count the mutated rows)
     ):
         # adds-only commit: every added file's rows are inserts
         return [

@@ -117,7 +117,15 @@ def _delete_sources(deletes: list[dict], file_path: str, data_seq: int) -> list[
         if (df.get("file_format") or "").upper() == "PUFFIN" or df.get(
             "referenced_data_file"
         ):
-            if df.get("referenced_data_file") not in (None, file_path):
+            ref = df.get("referenced_data_file")
+            if ref is None:
+                # a DV blob is positions OF ONE data file; without the
+                # manifest reference (field 143) it cannot be attributed
+                raise ValueError(
+                    f"puffin deletion vector {df['file_path']} carries no "
+                    "referenced_data_file; cannot attribute its positions"
+                )
+            if ref != file_path:
                 continue
             out.append(
                 {

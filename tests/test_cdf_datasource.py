@@ -188,3 +188,26 @@ def test_stream_starting_version_option(spark, tmp_path):
     q.awaitTermination(300)
     rows = sorted(r["id"] for r in spark.sql("select * from cdf_sv").collect())
     assert rows == [6, 7]
+
+
+def test_py_live_files_add_wins_within_a_version(spark, tmp_path):
+    """Self-review r6: within one commit the ADD beats the REMOVE
+    regardless of line order (the DV-update shape) — a last-line-wins
+    fold would wrongly kill the path when the add is written first."""
+    import json as _json
+
+    from incubator_xtable_spark.streaming.cdf_datasource import _py_live_files
+
+    base = str(tmp_path / "t")
+    log = os.path.join(base, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"metaData": {"id": "t", "schemaString": "{\"type\":\"struct\",\"fields\":[]}", "partitionColumns": [], "configuration": {}}}) + "\n")
+        fh.write(_json.dumps({"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}}) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        # ADD first, REMOVE second — the file must stay live
+        fh.write(_json.dumps({"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 2, "dataChange": True, "deletionVector": {"storageType": "u", "pathOrInlineDv": "x", "offset": 1, "sizeInBytes": 1, "cardinality": 1}}}) + "\n")
+        fh.write(_json.dumps({"remove": {"path": "f1.parquet", "deletionTimestamp": 2, "dataChange": True}}) + "\n")
+    live = _py_live_files(base, 1)
+    assert "f1.parquet" in live
+    assert (live["f1.parquet"]["deletionVector"] or {}).get("storageType") == "u"

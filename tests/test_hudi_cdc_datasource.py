@@ -130,3 +130,34 @@ def test_unlogged_rewrite_refused_loudly(spark, tmp_path, mor_base):
     with pytest.raises(Exception, match="without CDC logging"):
         q.awaitTermination(300)
         raise RuntimeError(str(q.exception()))
+
+
+def test_upsert_rewrite_commit_refused(spark, tmp_path):
+    """Self-review r6: a COW upsert commit (prevCommit names the
+    rewritten base / numUpdateWrites > 0) is NOT all-inserts — planning
+    must refuse it, not derive wrong inserts."""
+    import json
+
+    from incubator_xtable_spark.streaming.hudi_cdc_datasource import _plan_instant
+
+    base = str(tmp_path / "t")
+    os.makedirs(os.path.join(base, ".hoodie"))
+    meta = {
+        "partitionToWriteStats": {
+            "": [
+                {
+                    "fileId": "g1",
+                    "path": "g1_0-0-1_002.parquet",
+                    "prevCommit": "001",
+                    "numWrites": 10,
+                    "numUpdateWrites": 3,
+                    "fileSizeInBytes": 1,
+                }
+            ]
+        },
+        "operationType": "UPSERT",
+    }
+    with open(os.path.join(base, ".hoodie", "002.commit"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="without CDC logging"):
+        _plan_instant(base, "002", "commit")
