@@ -555,9 +555,10 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         """Read the items' rows tagged ``change_type``; ``positions``
         restricts via anti (mode=drop: everything except) or semi
         (mode=keep: only) join on (file, row_index)."""
-        df = spark.read.schema(T.StructType(data_fields)).parquet(
-            *[os.path.join(base, p) for p, _, _ in items]
-        )
+        item_paths = [os.path.join(base, p) for p, _, _ in items]
+        if cm_mode == "id":
+            _require_field_ids(spark, item_paths)
+        df = spark.read.schema(T.StructType(data_fields)).parquet(*item_paths)
         df = _rename_back(df, cm_renames)
         for f, rf in zip(logical_fields, data_fields):
             if rf.dataType != f.dataType:
@@ -580,9 +581,10 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
     cdc = [a["cdc"] for a in actions if a.get("cdc")]
     if cdc:
         cdc_fields = data_fields + [T.StructField("_change_type", T.StringType())]
-        df = spark.read.schema(T.StructType(cdc_fields)).parquet(
-            *[os.path.join(base, c["path"]) for c in cdc]
-        )
+        cdc_paths = [os.path.join(base, c["path"]) for c in cdc]
+        if cm_mode == "id":
+            _require_field_ids(spark, cdc_paths)
+        df = spark.read.schema(T.StructType(cdc_fields)).parquet(*cdc_paths)
         df = _rename_back(df, cm_renames)
         for f, rf in zip(logical_fields, data_fields):
             if rf.dataType != f.dataType:
@@ -743,8 +745,32 @@ def _enable_field_id_reads(spark: SparkSession) -> None:
     """mode=id resolution rides Spark's native parquet field-id matching;
     runtime-settable, and inert for read schemas without parquet.field.id
     metadata (the harness uses a vanilla session — conf must be set here,
-    not at session build)."""
+    not at session build). ignoreMissing=true is the SPEC semantics for
+    schema evolution: a column added after a file was written has no id
+    in that file and must read as null. The writer-contract violation
+    this could mask — a file with NO ids at all silently nulling — is
+    guarded explicitly by _require_field_ids instead."""
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+
+
+def _require_field_ids(spark: SparkSession, paths: list[str]) -> None:
+    """mode=id files MUST store parquet field ids (Delta columnMapping
+    writer contract); refuse id-less files loudly — with ignoreMissing
+    evolution semantics they would otherwise silently read all-null."""
+    from incubator_xtable_spark.sources.iceberg_source import _footer_column_groups
+
+    bad = [
+        p
+        for (cols, has_ids), grp in _footer_column_groups(spark, paths).items()
+        if not has_ids
+        for p in grp
+    ]
+    if bad:
+        raise ValueError(
+            "delta.columnMapping.mode=id requires every data file to "
+            f"store parquet field Ids; files without them: {bad[:3]}"
+        )
 
 
 def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
@@ -786,6 +812,8 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         if cm_mode in ("name", "id")
         else T.StructType(data_fields)
     )
+    if cm_mode == "id":
+        _require_field_ids(spark, paths)
     df = spark.read.schema(read_struct).parquet(*paths)
     if cm_mode in ("name", "id"):
         # physical -> logical: collision-safe rename, then cast nested

@@ -210,7 +210,7 @@ def test_read_renamed_physical_columns(spark, tmp_path):
         lines.append(json.dumps(a))
     with open(log, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    with pytest.raises(Exception, match="[Ff]ield Id"):
+    with pytest.raises(ValueError, match="field Ids"):
         read_delta_as_df(spark, base).collect()
 
 
@@ -626,3 +626,47 @@ def test_mode_id_conversion_to_iceberg_keeps_ids(spark, tmp_path):
     # spec's primary rule), so the oddly-named parquet reads correctly
     got = sorted((r["value_col"], r["label_col"]) for r in read_iceberg_as_df(spark, base).collect())
     assert got == [(10, "a"), (20, "b")]
+
+
+def test_mode_id_added_column_reads_null_from_old_files(spark, tmp_path):
+    """Schema evolution under mode=id: a column added AFTER a file was
+    written has no field id in that file and must read as null (the
+    spec's ignoreMissing semantics) — while wholly id-less files still
+    refuse loudly (test_read_renamed_physical_columns tail)."""
+    import json as _json
+
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+
+    base = _cm_id_table(
+        tmp_path,
+        file_names=("weird_x", "weird_y"),
+        ids=(1, 2),
+        values=([10, 20], ["a", "b"]),
+    )
+    # evolve: add a third logical column with id 3 (absent from the file)
+    log = os.path.join(base, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log):
+        a = _json.loads(line)
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"].append(
+                {
+                    "name": "added_col",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-add",
+                    },
+                }
+            )
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+        lines.append(_json.dumps(a))
+    with open(log, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    got = sorted(
+        (r["value_col"], r["label_col"], r["added_col"])
+        for r in read_delta_as_df(spark, base).collect()
+    )
+    assert got == [(10, "a", None), (20, "b", None)]
