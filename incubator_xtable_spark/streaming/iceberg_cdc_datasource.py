@@ -21,11 +21,12 @@ never occur. Offsets follow the PARENT CHAIN ({"snapshot": id} —
 snapshot ids are random and must never be ordered numerically); an
 expired parent refuses rather than restating the table as inserts.
 
-Boundary (documented, loud): EQUALITY deletes (content=2) need a
-value-join against candidate data files — a genuinely relational
-step this per-file source does not re-implement; planning raises and
-points at streaming/cdc_stream.run_cdc_stream, whose batches run the
-engine's full Spark-native read.
+EQUALITY deletes (content=2) resolve per partition with a pure-python
+value match against the file's resolved columns: the spec's STRICT
+data_seq < delete_seq rule, null-safe tuple comparison, and partition
+scoping (a partition-less delete file applies globally) — the
+per-file-bounded twin of the batch reader's distributed null-safe
+join. Nested equality columns refuse loudly (same as batch).
 
 Register per-session:  spark.dataSource.register(IcebergCDCDataSource)
 then  spark.readStream.format("iceberg_cdc").option("path", p).load().
@@ -96,24 +97,42 @@ def _py_entries(meta: dict, snapshot_id: Optional[int]) -> tuple[list[dict], lis
     return data, deletes
 
 
-def _delete_sources(deletes: list[dict], file_path: str, data_seq: int) -> list[dict]:
+def _scope_key(part: Optional[dict]) -> Optional[str]:
+    """Stringified partition scope (the batch reader's _scope twin):
+    None for a partition-less (global) delete file."""
+    if not part:
+        return None
+    return json.dumps({k: str(v) for k, v in sorted(part.items())}, sort_keys=True)
+
+
+def _delete_sources(
+    deletes: list[dict], file_path: str, data_seq: int, file_partition: Optional[dict] = None
+) -> list[dict]:
     """Metadata-sized descriptors of every delete source applicable to
-    ``file_path`` at ``data_seq`` (delete_seq >= data_seq). Equality
-    deletes refuse — see module docstring."""
+    ``file_path`` at ``data_seq``. Sequence rules per the Iceberg spec:
+    position deletes and DV blobs apply at delete_seq >= data_seq;
+    EQUALITY deletes apply STRICTLY at data_seq < delete_seq and only
+    within their partition scope (empty partition = global)."""
     out = []
     for e in deletes:
         df = e["data_file"]
         seq = int(e.get("sequence_number") or 0)
-        if seq < data_seq:
-            continue
         content = df.get("content") or 0
         if content == 2:
-            raise ValueError(
-                "iceberg_cdc cannot stream EQUALITY deletes (content=2): "
-                "their resolution is a value-join against candidate data "
-                "files; consume this table through "
-                "streaming.cdc_stream.run_cdc_stream instead"
-            )
+            if seq <= data_seq:
+                continue
+            scope = _scope_key(df.get("partition"))
+            if scope is not None and scope != _scope_key(file_partition):
+                continue
+            ids = sorted(df.get("equality_ids") or [])
+            if not ids:
+                raise ValueError(
+                    f"equality delete file {df['file_path']} has no equality_ids"
+                )
+            out.append({"kind": "eqfile", "path": df["file_path"], "eq_ids": ids})
+            continue
+        if seq < data_seq:
+            continue
         if (df.get("file_format") or "").upper() == "PUFFIN" or df.get(
             "referenced_data_file"
         ):
@@ -173,6 +192,7 @@ def _plan_snapshot(meta: dict, snapshot_id: int) -> list[dict]:
     units: list[dict] = []
     for p, e in cur_by_path.items():
         seq = int(e.get("sequence_number") or 0)
+        part = e["data_file"].get("partition")
         if p not in prev_by_path:
             units.append(
                 unit(
@@ -180,12 +200,13 @@ def _plan_snapshot(meta: dict, snapshot_id: int) -> list[dict]:
                     {
                         "kind": "rows",
                         "change": "insert",
-                        "drop": _delete_sources(cur_dels, p, seq),
+                        "drop": _delete_sources(cur_dels, p, seq, part),
                     },
                 )
             )
     for p, e in prev_by_path.items():
         seq = int(e.get("sequence_number") or 0)
+        part = e["data_file"].get("partition")
         if p not in cur_by_path:
             units.append(
                 unit(
@@ -193,15 +214,16 @@ def _plan_snapshot(meta: dict, snapshot_id: int) -> list[dict]:
                     {
                         "kind": "rows",
                         "change": "delete",
-                        "drop": _delete_sources(prev_dels, p, seq),
+                        "drop": _delete_sources(prev_dels, p, seq, part),
                     },
                 )
             )
         else:
             cur_e = cur_by_path[p]
             cur_seq = int(cur_e.get("sequence_number") or 0)
-            cur_src = _delete_sources(cur_dels, p, cur_seq)
-            prev_src = _delete_sources(prev_dels, p, seq)
+            cur_part = cur_e["data_file"].get("partition")
+            cur_src = _delete_sources(cur_dels, p, cur_seq, cur_part)
+            prev_src = _delete_sources(prev_dels, p, seq, part)
             if cur_src != prev_src:
                 units.append(
                     unit(cur_e, {"kind": "pos_diff", "cur": cur_src, "prev": prev_src})
@@ -219,9 +241,57 @@ class _Part(InputPartition):
         self.payload = payload
 
 
+def _eq_positions(
+    sources: list[dict],
+    cols: dict,
+    schema: T.StructType,
+    part_cols: list[str],
+    pv: dict,
+    n: int,
+) -> set:
+    """Row indices matching any equality-delete tuple: per-file
+    pure-python value match, null-safe (None == None matches, the spec
+    rule), identity partition columns compared against the file's
+    constant partition value. ``cols`` holds the file's RESOLVED column
+    arrays (field-id / name-mapping resolution already applied)."""
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.streaming.cdf_datasource import _pv_value
+
+    by_fid = {(f.metadata or {}).get("xtable.fieldId"): f for f in schema.fields}
+    out: set[int] = set()
+    for s in sources:
+        fields = []
+        for fid in s["eq_ids"]:
+            f = by_fid.get(fid)
+            if f is None:
+                raise ValueError(
+                    f"equality delete references field id {fid} that is not "
+                    "a top-level column; nested equality columns are not "
+                    "supported"
+                )
+            fields.append(f)
+        dtbl = pq.read_table(s["path"], columns=[f.name for f in fields])
+        if len(dtbl) == 0:
+            continue
+        del_set = set(zip(*[dtbl.column(f.name).to_pylist() for f in fields]))
+        data_cols = []
+        for f in fields:
+            if f.name in part_cols:
+                data_cols.append([_pv_value(pv.get(f.name), f.dataType)] * n)
+            else:
+                data_cols.append(cols[f.name].to_pylist())
+        for i, tup in enumerate(zip(*data_cols)):
+            if tup in del_set:
+                out.add(i)
+    return out
+
+
 def _positions_from(sources: list[dict], file_path: str) -> set:
     out: set[int] = set()
     for s in sources:
+        if s["kind"] == "eqfile":
+            continue  # resolved by _eq_positions with data context
         if s["kind"] == "puffin":
             from incubator_xtable_spark.model.puffin import (
                 read_dv_positions_from_puffin,
@@ -363,13 +433,21 @@ class IcebergCDCStreamReader(DataSourceStreamReader):
                 cols[f.name] = pa.nulls(len(tbl), _arrow_type(f.dataType))
 
         n = len(tbl)
+
+        def resolved(sources) -> set:
+            out = _positions_from(sources, u["path"])
+            eqs = [s for s in sources if s["kind"] == "eqfile"]
+            if eqs:
+                out |= _eq_positions(eqs, cols, schema, part_cols, u["pv"], n)
+            return out
+
         if u["kind"] == "rows":
-            drop = _positions_from(u.get("drop") or [], u["path"])
+            drop = resolved(u.get("drop") or [])
             keep = [i for i in range(n) if i not in drop]
             change = [u["change"]] * len(keep)
         else:  # pos_diff
-            cur = _positions_from(u.get("cur") or [], u["path"])
-            prev = _positions_from(u.get("prev") or [], u["path"])
+            cur = resolved(u.get("cur") or [])
+            prev = resolved(u.get("prev") or [])
             deleted = sorted(cur - prev)
             restored = sorted(prev - cur)
             keep = deleted + restored

@@ -86,7 +86,10 @@ def test_starting_snapshot_skips_history(spark, deleted_table):
     assert rows == [(0, "delete"), (1, "delete"), (2, "delete")]
 
 
-def test_equality_deletes_refused_loudly(spark, tmp_path):
+def test_equality_deletes_stream_as_row_deletes(spark, tmp_path):
+    """r6 second pass: equality deletes (content=2) resolve in-stream —
+    pure-python null-safe value match under the STRICT
+    data_seq < delete_seq rule — matching the batch changelog."""
     import pyarrow as pa
 
     from .test_iceberg_equality_deletes import (
@@ -99,23 +102,26 @@ def test_equality_deletes_refused_loudly(spark, tmp_path):
     d = _make_table(spark, tmp_path)
     src = IcebergConversionSource(spark, d)
     fid = _field_id(src, "id")
-    eq = _eq_parquet(os.path.join(d, "e.parquet"), {"id": pa.array([3], pa.int64())})
+    eq = _eq_parquet(
+        os.path.join(d, "e.parquet"), {"id": pa.array([3, 7, 12], pa.int64())}
+    )
     _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
 
     _register(spark)
-    q = (
-        spark.readStream.format("iceberg_cdc")
-        .option("path", d)
-        .load()
-        .writeStream.format("memory")
-        .queryName("ice_cdc_eqdel")
-        .option("checkpointLocation", str(tmp_path / "cp"))
-        .trigger(availableNow=True)
-        .start()
+    got = _drain(spark, d, str(tmp_path / "cp"), "ice_cdc_eqdel")
+    sid = 999
+    stream_rows = sorted(
+        (r["id"], r["_change_type"])
+        for r in got.filter(f"_commit_snapshot_id = {sid}").collect()
     )
-    with pytest.raises(Exception, match="EQUALITY deletes"):
-        q.awaitTermination(300)
-        raise RuntimeError(str(q.exception()))
+    batch_rows = sorted(
+        (r["id"], r["_change_type"]) for r in read_iceberg_cdc(spark, d, sid).collect()
+    )
+    assert stream_rows == batch_rows == [(3, "delete"), (7, "delete"), (12, "delete")]
+    inserts = sorted(
+        r["id"] for r in got.filter("_change_type = 'insert'").collect()
+    )
+    assert inserts == list(range(20))
 
 
 def test_identity_partitioned_stream_attaches_partition_values(spark, tmp_path):
