@@ -425,7 +425,12 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         out_names = []
         for f in schema.fields:
             if f.name in part_cols:
-                val = _pv_value(u["pv"].get(f.name), f.dataType)
+                # spec: partitionValues key by the PHYSICAL name under
+                # column mapping — logical lookup reads null
+                pv_key = (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                val = _pv_value(u["pv"].get(pv_key), f.dataType)
                 out_arrays.append(
                     pa.array([val] * len(keep), type=_arrow_type(f.dataType))
                 )

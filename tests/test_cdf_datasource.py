@@ -211,3 +211,26 @@ def test_py_live_files_add_wins_within_a_version(spark, tmp_path):
     live = _py_live_files(base, 1)
     assert "f1.parquet" in live
     assert (live["f1.parquet"]["deletionVector"] or {}).get("storageType") == "u"
+
+
+def test_stream_resolves_renamed_columns_and_physical_partitions(spark, tmp_path):
+    """Composition: a mode=name table with RENAMED columns (physical !=
+    logical, physically-keyed partitionValues) streams with correct
+    values — the executor read resolves physicalName and the partition
+    attach uses the logical field's type."""
+    import pyarrow as pa
+
+    from .test_column_mapping_write import _cm_table
+
+    base = _cm_table(
+        tmp_path,
+        [("value_col", "col-v1", pa.int64())],
+        [[10, 20]],
+        part_col=("part_col", "col-p9", 7),
+    )
+    _register(spark)
+    got = _drain(spark, base, str(tmp_path / "cp"), "cdf_cm")
+    rows = sorted(
+        (r["value_col"], r["part_col"], r["_change_type"]) for r in got.collect()
+    )
+    assert rows == [(10, 7, "insert"), (20, 7, "insert")]

@@ -148,3 +148,31 @@ def test_identity_partitioned_stream_attaches_partition_values(spark, tmp_path):
     got = _drain(spark, base, str(tmp_path / "cp"), "ice_cdc_part")
     rows = got.select("id", "bucket").collect()
     assert len(rows) == 8 and all(r["bucket"] == r["id"] % 2 for r in rows)
+
+
+def test_stream_across_partition_spec_evolution(spark, tmp_path):
+    """Composition: the stream's pure-python planning resolves each
+    manifest against ITS OWN spec (shared spec_field_mapping), so both
+    generations of an identity -> +days(ts) evolution stream with
+    correct partition values."""
+    from .test_iceberg_spec_evolution import (
+        _evolve_add_day_field,
+        _identity_partitioned_table,
+    )
+
+    d = str(tmp_path / "evo")
+    _identity_partitioned_table(spark, d)
+    _evolve_add_day_field(spark, d)
+
+    _register(spark)
+    got = _drain(spark, d, str(tmp_path / "cp"), "ice_cdc_evo")
+    rows = sorted((r["id"], r["region"], r["_change_type"]) for r in got.collect())
+    assert rows == [
+        (1, "a", "insert"),
+        (2, "a", "insert"),
+        (3, "a", "insert"),
+        (4, "b", "insert"),
+        (5, "b", "insert"),
+        (10, "c", "insert"),
+        (11, "c", "insert"),
+    ]
