@@ -234,3 +234,16 @@ def test_stream_resolves_renamed_columns_and_physical_partitions(spark, tmp_path
         (r["value_col"], r["part_col"], r["_change_type"]) for r in got.collect()
     )
     assert rows == [(10, 7, "insert"), (20, 7, "insert")]
+
+
+def test_register_stream_sources_registers_all_four(spark, tmp_path):
+    from incubator_xtable_spark.streaming import register_stream_sources
+
+    names = register_stream_sources(spark)
+    assert names == ["delta_cdf", "iceberg_cdc", "hudi_cdc", "paimon_changelog"]
+    # and they are live in the registry: a delta stream plans fine
+    base, *_ = _mk_table(spark, tmp_path)
+    got = _drain(spark, base, str(tmp_path / "cp"), "cdf_reg")
+    assert got.count() == 6
+    # idempotent
+    assert register_stream_sources(spark) == names
