@@ -176,3 +176,46 @@ def test_stream_across_partition_spec_evolution(spark, tmp_path):
         (10, "c", "insert"),
         (11, "c", "insert"),
     ]
+
+
+def test_stream_equality_null_safe_match(spark, tmp_path):
+    """A NULL equality value matches NULL data values in the stream's
+    pure-python tuple match (spec null-safe rule) — batch parity."""
+    import pyarrow as pa
+
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    from .test_iceberg_equality_deletes import (
+        _append_delete_snapshot,
+        _eq_parquet,
+        _field_id,
+    )
+
+    d = str(tmp_path / "icnull")
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "c"), (3, None)], "id LONG, name STRING"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="icnull"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, d, table_name="icnull")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    src = IcebergConversionSource(spark, d)
+    fid = _field_id(src, "name")
+    eq = _eq_parquet(
+        os.path.join(d, "eqdel-null.parquet"), {"name": pa.array([None], pa.string())}
+    )
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], snapshot_id=999)
+
+    _register(spark)
+    got = _drain(spark, d, str(tmp_path / "cp"), "ice_cdc_null")
+    stream_rows = sorted(
+        (r["id"], r["_change_type"])
+        for r in got.filter("_commit_snapshot_id = 999").collect()
+    )
+    batch_rows = sorted(
+        (r["id"], r["_change_type"]) for r in read_iceberg_cdc(spark, d, 999).collect()
+    )
+    assert stream_rows == batch_rows == [(1, "delete"), (3, "delete")]
