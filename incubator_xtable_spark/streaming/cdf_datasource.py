@@ -324,6 +324,19 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         if not self.base_path:
             raise ValueError("delta_cdf requires .option('path', <table dir>)")
         self.starting = int(options.get("startingversion", options.get("startingVersion", 0)))
+        # maxCommitsPerTrigger: bound each micro-batch to N commits —
+        # the scale lever for draining a large backlog in paced batches
+        # instead of one giant one. Best-effort per the Python API's
+        # limits (latestOffset carries no start): the floor advances
+        # from each batch's own planning, so the first batch after a
+        # RESTART with a fully-committed checkpoint is unpaced, then
+        # pacing resumes. With Trigger.AvailableNow, Spark samples
+        # latestOffset ONCE per run, so the option bounds the RUN to N
+        # commits — repeated availableNow runs against one checkpoint
+        # drain the backlog N commits at a time (bounded catch-up).
+        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
+        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        self._floor = self.starting - 1
         self.schema = schema
         meta = _py_latest_metadata(self.base_path)
         if meta is None:
@@ -343,9 +356,14 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         from incubator_xtable_spark.sources.delta_source import list_log_versions
 
         versions = list_log_versions(self.base_path)
-        return {"version": versions[-1] if versions else self.starting - 1}
+        latest = versions[-1] if versions else self.starting - 1
+        if self.max_per_trigger is not None:
+            latest = min(latest, self._floor + self.max_per_trigger)
+        self._floor = max(self._floor, latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(self._floor, int(end["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for unit in _plan_commit(self.base_path, v):

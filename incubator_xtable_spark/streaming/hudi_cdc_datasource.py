@@ -119,6 +119,11 @@ class HudiCDCStreamReader(DataSourceStreamReader):
         if not self.base_path:
             raise ValueError("hudi_cdc requires .option('path', <table dir>)")
         self.starting = options.get("startinginstant", options.get("startingInstant"))
+        # best-effort micro-batch pacing; see cdf_datasource for the
+        # floor-tracking contract and its restart caveat
+        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
+        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        self._floor = self.starting
         self.table_schema = _table_schema(self.base_path)
 
     def initialOffset(self) -> dict:
@@ -127,13 +132,26 @@ class HudiCDCStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from incubator_xtable_spark.targets.hudi_target import list_completed_instants
 
-        instants = list_completed_instants(self.base_path)
-        return {"instant": instants[-1][0] if instants else self.starting}
+        instants = [i for i, _ in list_completed_instants(self.base_path)]
+        latest = instants[-1] if instants else self.starting
+        if self.max_per_trigger is not None and instants:
+            ahead = [i for i in instants if self._floor is None or i > self._floor]
+            if ahead:
+                latest = ahead[: self.max_per_trigger][-1]
+            else:
+                latest = self._floor
+        if latest is not None and (self._floor is None or latest > self._floor):
+            self._floor = latest
+        return {"instant": latest}
 
     def partitions(self, start: dict, end: dict):
         from incubator_xtable_spark.targets.hudi_target import list_completed_instants
 
         floor = start.get("instant")
+        if end.get("instant") is not None and (
+            self._floor is None or end["instant"] > self._floor
+        ):
+            self._floor = end["instant"]
         ceil = end.get("instant")
         parts = []
         for instant, action in list_completed_instants(self.base_path):

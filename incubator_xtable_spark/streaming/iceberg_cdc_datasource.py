@@ -321,6 +321,11 @@ class IcebergCDCStreamReader(DataSourceStreamReader):
         meta = _py_meta(self.base_path)
         raw = options.get("startingsnapshot", options.get("startingSnapshot"))
         self.starting = int(raw) if raw is not None else None
+        # best-effort micro-batch pacing; see cdf_datasource for the
+        # floor-tracking contract and its restart caveat
+        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
+        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        self._floor = self.starting
         from incubator_xtable_spark.model.core import PartitionTransformType
         from incubator_xtable_spark.sources.iceberg_source import (
             iceberg_fields_to_schema,
@@ -361,9 +366,28 @@ class IcebergCDCStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         meta = _py_meta(self.base_path)
         cur = meta.get("current-snapshot-id")
-        return {"snapshot": cur if cur is not None else self.starting}
+        latest = cur if cur is not None else self.starting
+        if self.max_per_trigger is not None and cur is not None:
+            by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+            chain, c = [], cur
+            while c is not None and c != self._floor:
+                chain.append(c)
+                c = (by_id.get(c) or {}).get("parent-snapshot-id")
+            if c == self._floor or self._floor is None:
+                ordered = list(reversed(chain))
+                if ordered:
+                    latest = ordered[min(self.max_per_trigger, len(ordered)) - 1]
+                elif self._floor is not None:
+                    latest = self._floor
+            # else: floor no longer on the chain — no pacing this round;
+            # partitions() raises the expiry error with the full context
+        if latest is not None:
+            self._floor = latest
+        return {"snapshot": latest}
 
     def partitions(self, start: dict, end: dict):
+        if end.get("snapshot") is not None:
+            self._floor = end["snapshot"]
         meta = _py_meta(self.base_path)
         stop = start.get("snapshot")
         chain: list[int] = []

@@ -95,6 +95,11 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
         if latest is None:
             raise ValueError(f"not a paimon table (no snapshots): {self.base_path}")
         self.starting = int(raw) if raw is not None else 0
+        # best-effort micro-batch pacing; see cdf_datasource for the
+        # floor-tracking contract and its restart caveat
+        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
+        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        self._floor = self.starting
         self.table_schema = src.get_table(latest).read_schema
 
     def initialOffset(self) -> dict:
@@ -102,9 +107,14 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = _src(self.base_path).latest_snapshot_id()
-        return {"snapshot": latest if latest is not None else self.starting}
+        latest = latest if latest is not None else self.starting
+        if self.max_per_trigger is not None:
+            latest = min(latest, self._floor + self.max_per_trigger)
+        self._floor = max(self._floor, latest)
+        return {"snapshot": latest}
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(self._floor, int(end.get("snapshot") or 0))
         src = _src(self.base_path)
         floor = int(start.get("snapshot") or 0)
         ceil = int(end.get("snapshot") or 0)

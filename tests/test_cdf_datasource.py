@@ -247,3 +247,39 @@ def test_register_stream_sources_registers_all_four(spark, tmp_path):
     assert got.count() == 6
     # idempotent
     assert register_stream_sources(spark) == names
+
+
+def test_max_commits_per_trigger_bounded_catch_up(spark, tmp_path):
+    """maxCommitsPerTrigger=1 with availableNow bounds each RUN to one
+    commit (Spark samples latestOffset once per run): three runs against
+    one checkpoint drain the 3-commit backlog one commit at a time."""
+    base, src, tgt, ctrl = _mk_table(spark, tmp_path)
+    for lo, hi in ((6, 9), (9, 12)):
+        spark.range(lo, hi).select(F.col("id").cast("long")).coalesce(1).write.mode(
+            "append"
+        ).parquet(base)
+        ctrl.sync(src, {TableFormat.DELTA: tgt})
+
+    _register(spark)
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", base)
+            .option("maxCommitsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    assert run() == list(range(6))          # run 1: commit 0 only
+    assert run() == list(range(9))          # run 2: commit 1
+    assert run() == list(range(12))         # run 3: commit 2 -> drained
+    assert run() == list(range(12))         # nothing new

@@ -219,3 +219,37 @@ def test_stream_equality_null_safe_match(spark, tmp_path):
         (r["id"], r["_change_type"]) for r in read_iceberg_cdc(spark, d, 999).collect()
     )
     assert stream_rows == batch_rows == [(1, "delete"), (3, "delete")]
+
+
+def test_max_commits_per_trigger_bounded_catch_up_chain(spark, deleted_table, tmp_path):
+    """Chain-walk pacing: with maxCommitsPerTrigger=1 each availableNow
+    run advances ONE snapshot along the parent chain; two runs drain the
+    2-snapshot history."""
+    base, _victim = deleted_table
+    _register(spark)
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_cdc")
+            .option("path", base)
+            .option("maxCommitsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r["id"], r["_change_type"]) for r in spark.read.parquet(out).collect()
+        )
+
+    first = run()
+    assert [i for i, c in first if c == "insert"] == list(range(20))
+    assert not [i for i, c in first if c == "delete"]
+    second = run()
+    assert [i for i, c in second if c == "delete"] == [0, 1, 2]
+    assert len(second) == 23
