@@ -313,6 +313,40 @@ def _arrow_type(dt: T.DataType):
     return pa.string()
 
 
+def _version_at_or_after(base_path: str, ts: str) -> int:
+    """startingTimestamp -> the first commit version whose
+    commitInfo.timestamp (fallback: commit-file mtime) is >= ts
+    (ISO date/datetime or epoch millis); past-the-end if none qualify —
+    only future commits stream."""
+    import datetime
+
+    from incubator_xtable_spark.sources.delta_source import list_log_versions
+
+    raw = ts.strip()
+    if raw.isdigit():
+        target_ms = int(raw)
+    else:
+        dt = datetime.datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        target_ms = int(dt.timestamp() * 1000)
+    versions = list_log_versions(base_path)
+    for v in versions:
+        p = os.path.join(_log_dir(base_path), f"{v:020d}.json")
+        commit_ms = None
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                a = json.loads(line)
+                if a.get("commitInfo") and a["commitInfo"].get("timestamp") is not None:
+                    commit_ms = int(a["commitInfo"]["timestamp"])
+                    break
+        if commit_ms is None:
+            commit_ms = int(os.path.getmtime(p) * 1000)
+        if commit_ms >= target_ms:
+            return v
+    return (versions[-1] + 1) if versions else 0
+
+
 class _CDFPartition(InputPartition):
     def __init__(self, payload: str) -> None:
         self.payload = payload
@@ -324,6 +358,9 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         if not self.base_path:
             raise ValueError("delta_cdf requires .option('path', <table dir>)")
         self.starting = int(options.get("startingversion", options.get("startingVersion", 0)))
+        raw_ts = options.get("startingtimestamp", options.get("startingTimestamp"))
+        if raw_ts is not None:
+            self.starting = _version_at_or_after(self.base_path, raw_ts)
         # maxCommitsPerTrigger: bound each micro-batch to N commits —
         # the scale lever for draining a large backlog in paced batches
         # instead of one giant one. Best-effort per the Python API's

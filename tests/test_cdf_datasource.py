@@ -283,3 +283,55 @@ def test_max_commits_per_trigger_bounded_catch_up(spark, tmp_path):
     assert run() == list(range(9))          # run 2: commit 1
     assert run() == list(range(12))         # run 3: commit 2 -> drained
     assert run() == list(range(12))         # nothing new
+
+
+def test_starting_timestamp_option(spark, tmp_path):
+    """startingTimestamp resolves to the first commit at/after it
+    (commitInfo.timestamp); epoch-millis and ISO forms both work."""
+    import json as _json
+    import time as _time
+
+    base, src, tgt, ctrl = _mk_table(spark, tmp_path)
+    spark.range(6, 8).select(F.col("id").cast("long")).coalesce(1).write.mode("append").parquet(base)
+    ctrl.sync(src, {TableFormat.DELTA: tgt})
+    # commit 1's recorded timestamp is the boundary
+    v1 = os.path.join(base, "_delta_log", f"{1:020d}.json")
+    ts1 = next(
+        _json.loads(l)["commitInfo"]["timestamp"]
+        for l in open(v1)
+        if '"commitInfo"' in l
+    )
+    _register(spark)
+    df = (
+        spark.readStream.format("delta_cdf")
+        .option("path", base)
+        .option("startingTimestamp", str(ts1))
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("cdf_ts")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(r["id"] for r in spark.sql("select * from cdf_ts").collect())
+    assert rows == [6, 7]
+    # a far-future timestamp streams nothing (only future commits)
+    future = str(int(_time.time() * 1000) + 10_000_000)
+    df2 = (
+        spark.readStream.format("delta_cdf")
+        .option("path", base)
+        .option("startingTimestamp", future)
+        .load()
+    )
+    q2 = (
+        df2.writeStream.format("memory")
+        .queryName("cdf_ts2")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.sql("select * from cdf_ts2").count() == 0
