@@ -1,0 +1,471 @@
+"""Pure-stdlib media container codecs for the multimodal operator family.
+
+The container has no PIL/librosa/ffmpeg, but the *container formats*
+themselves are public specs decodable with ``struct`` + ``zlib`` alone:
+
+  - PNG   — 8-byte signature, chunked layout; IHDR carries width/height/
+            bit-depth/color-type (CRC32-verified here). [PNG spec §11.2.2]
+  - JPEG  — marker stream; SOFn segments carry precision/height/width/
+            component count. [ITU-T T.81 §B.2.2]
+  - GIF   — 87a/89a logical screen descriptor + block walk; image
+            descriptors count frames, 89a graphic-control extensions carry
+            per-frame delays (1/100 s). [GIF89a spec §§18-23]
+  - WAV   — RIFF chunk walk; ``fmt `` carries channels/rate/bits, ``data``
+            size + byte-rate give duration. [RIFF/WAVE, MS multimedia spec]
+  - MP4   — ISO BMFF big-endian box walk; ``moov/mvhd`` carries timescale +
+            duration, ``trak/tkhd`` carries 16.16-fixed width/height.
+            [ISO/IEC 14496-12 §§8.2.2, 8.3.2]
+  - zlib  — RFC-1950 wrapped payloads are probed (decompress + re-sniff).
+
+``sniff_media`` dispatches on magic bytes and returns a uniform metadata
+dict; ``encode_*`` builds REAL, structurally-valid fixture files of each
+container (the WAV path goes through the stdlib ``wave`` writer) so tests
+can differential encode-params == decode-output without any media library.
+
+These run inside Arrow ``mapInPandas`` batches (operators/multimodal.py):
+pure byte math per blob, no Spark API use, so they ship to executors as
+plain closures. Scale posture: decoding touches only the header bytes of
+each blob (bounded work per row regardless of blob size).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+import wave as _wave
+
+# ---------------------------------------------------------------------------
+# Decoders
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channel count (PNG spec §6.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class MediaDecodeError(ValueError):
+    pass
+
+
+def _info(
+    mime,
+    *,
+    width=None,
+    height=None,
+    bit_depth=None,
+    channels=None,
+    sample_rate_hz=None,
+    duration_ms=None,
+    n_frames=None,
+    container=None,
+):
+    return {
+        "mime": mime,
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "channels": channels,
+        "sample_rate_hz": sample_rate_hz,
+        "duration_ms": duration_ms,
+        "n_frames": n_frames,
+        "container": container or mime,
+    }
+
+
+def decode_png(data: bytes) -> dict:
+    if len(data) < 33 or not data.startswith(_PNG_SIG):
+        raise MediaDecodeError("not a PNG: bad signature")
+    length, ctype = struct.unpack(">I4s", data[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise MediaDecodeError("PNG: first chunk is not a 13-byte IHDR")
+    body = data[16:29]
+    (crc,) = struct.unpack(">I", data[29:33])
+    if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+        raise MediaDecodeError("PNG: IHDR CRC mismatch")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+    if color_type not in _PNG_CHANNELS:
+        raise MediaDecodeError(f"PNG: unknown color type {color_type}")
+    return _info(
+        "image/png",
+        width=width,
+        height=height,
+        bit_depth=bit_depth,
+        channels=_PNG_CHANNELS[color_type],
+    )
+
+
+# SOFn markers carrying frame dims: C0-C3, C5-C7, C9-CB, CD-CF (C4=DHT,
+# C8=JPG extension, CC=DAC are not frame headers). T.81 table B.1.
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+}
+
+
+def decode_jpeg(data: bytes) -> dict:
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG: missing SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaDecodeError(f"JPEG: expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte padding
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > len(data):
+            raise MediaDecodeError(f"JPEG: bad segment length at offset {pos}")
+        if marker in _JPEG_SOF:
+            precision, height, width, n_comp = struct.unpack(
+                ">BHHB", data[pos + 4 : pos + 10]
+            )
+            return _info(
+                "image/jpeg",
+                width=width,
+                height=height,
+                bit_depth=precision,
+                channels=n_comp,
+            )
+        if marker == 0xDA:  # SOS: entropy data follows, stop scanning
+            break
+        pos += 2 + seg_len
+    raise MediaDecodeError("JPEG: no SOF frame header found")
+
+
+def decode_gif(data: bytes) -> dict:
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF: bad header")
+    width, height, packed = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    total_delay_cs = 0
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(data):
+            size = data[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        raise MediaDecodeError("GIF: unterminated sub-blocks")
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise MediaDecodeError("GIF: truncated extension")
+            label = data[pos + 1]
+            if label == 0xF9 and pos + 7 < len(data) and data[pos + 2] == 4:
+                (delay_cs,) = struct.unpack("<H", data[pos + 4 : pos + 6])
+                total_delay_cs += delay_cs
+            pos = _skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise MediaDecodeError("GIF: truncated image descriptor")
+            local_packed = data[pos + 9]
+            pos += 10
+            if local_packed & 0x80:  # local color table
+                pos += 3 * (2 << (local_packed & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = _skip_subblocks(pos)
+            n_frames += 1
+        else:
+            raise MediaDecodeError(f"GIF: unknown block 0x{block:02x} at {pos}")
+    if n_frames == 0:
+        raise MediaDecodeError("GIF: no image descriptors")
+    return _info(
+        "image/gif",
+        width=width,
+        height=height,
+        n_frames=n_frames,
+        duration_ms=total_delay_cs * 10 if total_delay_cs else None,
+    )
+
+
+def decode_wav(data: bytes) -> dict:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack("<4sI", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise MediaDecodeError("WAV: missing fmt/data chunk")
+    _audio_format, channels, sample_rate, byte_rate, _block_align, bits = fmt
+    if byte_rate == 0:
+        raise MediaDecodeError("WAV: zero byte rate")
+    return _info(
+        "audio/wav",
+        channels=channels,
+        sample_rate_hz=sample_rate,
+        bit_depth=bits,
+        duration_ms=data_size * 1000 // byte_rate,
+    )
+
+
+def decode_mp4(data: bytes) -> dict:
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise MediaDecodeError("not an MP4: missing ftyp box")
+
+    def _boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,), btype = struct.unpack(">I", buf[pos : pos + 4]), buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                yield btype, pos + 16, pos + size
+            elif size == 0:  # to end of enclosing box
+                yield btype, pos + 8, end
+                return
+            else:
+                yield btype, pos + 8, pos + size
+            if size < 8:
+                raise MediaDecodeError("MP4: bad box size")
+            pos += size
+
+    timescale = duration = width = height = None
+    for btype, s, e in _boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _boxes(data, s, e):
+            if ctype == b"mvhd":
+                version = data[cs]
+                if version == 1:
+                    timescale, duration = struct.unpack(">IQ", data[cs + 20 : cs + 32])
+                else:
+                    timescale, duration = struct.unpack(">II", data[cs + 12 : cs + 20])
+            elif ctype == b"trak":
+                for ttype, ts, te in _boxes(data, cs, ce):
+                    if ttype == b"tkhd":
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w_fixed, h_fixed = struct.unpack(">II", data[te - 8 : te])
+                        width, height = w_fixed >> 16, h_fixed >> 16
+    if timescale is None:
+        raise MediaDecodeError("MP4: no moov/mvhd box")
+    return _info(
+        "video/mp4",
+        width=width,
+        height=height,
+        duration_ms=duration * 1000 // timescale if timescale else None,
+    )
+
+
+def sniff_media(data: bytes) -> dict:
+    """Dispatch on magic bytes; zlib-wrapped payloads are decompressed and
+    re-sniffed (``container`` records the wrapping). Raises MediaDecodeError
+    for unrecognized/corrupt payloads."""
+    if data is None or len(data) < 4:
+        raise MediaDecodeError("payload too short to sniff")
+    if data.startswith(_PNG_SIG):
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return decode_mp4(data)
+    # RFC-1950 zlib stream: CMF low nibble 8 (deflate), FCHECK multiple of 31
+    if data[0] & 0x0F == 8 and ((data[0] << 8) | data[1]) % 31 == 0:
+        try:
+            payload = zlib.decompress(data)
+        except zlib.error as exc:
+            raise MediaDecodeError(f"zlib payload failed to inflate: {exc}") from exc
+        inner = sniff_media(payload)
+        inner["container"] = "zlib+" + inner["container"]
+        return inner
+    raise MediaDecodeError(f"unrecognized media magic {data[:8]!r}")
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoders — real, structurally valid files built from the specs
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, *, bit_depth: int = 8, seed: int = 0) -> bytes:
+    """Grayscale (color type 0) PNG with deterministic pixel bytes."""
+    if bit_depth != 8:
+        raise ValueError("fixture encoder supports bit_depth=8 only")
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        raw.extend((x * 31 + y * 7 + seed) & 0xFF for x in range(width))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg(width: int, height: int, *, n_components: int = 1) -> bytes:
+    """Structurally valid JPEG marker stream (baseline SOF0, one scan)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif  # APP0
+    dqt = bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt  # DQT
+    sof = struct.pack(">BHHB", 8, height, width, n_components)
+    for c in range(n_components):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    # minimal DC huffman table: one 2-bit code
+    dht = bytes([0x00]) + bytes([0, 1] + [0] * 14) + bytes([0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht  # DHT
+    sos = bytes([n_components])
+    for c in range(n_components):
+        sos += struct.pack(">BB", c + 1, 0x00)
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos  # SOS
+    out += b"\x00" * 8  # fake entropy-coded data (no 0xFF bytes)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _LSBBitWriter:
+    """GIF packs LZW codes little-endian within a growing byte stream."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def _gif_lzw_encode(pixels: list[int], min_code_size: int = 2) -> bytes:
+    """Degenerate-but-valid LZW: CLEAR before every literal keeps the code
+    table permanently empty so every code is (min_code_size+1) bits — the
+    classic tiny-GIF trick; decoders accept it per GIF89a appendix F."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LSBBitWriter()
+    width = min_code_size + 1
+    w.write(clear, width)
+    for p in pixels:
+        w.write(p, width)
+        w.write(clear, width)
+    w.write(eoi, width)
+    return w.finish()
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, *, n_frames: int = 1, delay_cs: int = 4
+) -> bytes:
+    """GIF89a with a 4-entry global color table and per-frame graphic
+    control extensions carrying ``delay_cs`` (1/100 s units)."""
+    out = bytearray(b"GIF89a")
+    # packed: GCT present, 2 bits/color => 4-entry table
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x01, 0, 0)
+    out += bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255])  # GCT
+    pixels = [(x + y) & 0x03 for y in range(height) for x in range(width)]
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([2])  # LZW minimum code size
+        out += _gif_subblocks(_gif_lzw_encode(pixels))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_wav(
+    n_samples: int, *, sample_rate: int = 8000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """REAL WAV via the stdlib ``wave`` writer (deterministic sawtooth)."""
+    if bits != 16:
+        raise ValueError("fixture encoder emits 16-bit PCM only")
+    bio = io.BytesIO()
+    with _wave.open(bio, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_samples * channels):
+            frames += struct.pack("<h", ((i * 257) % 8192) - 4096)
+        wf.writeframes(bytes(frames))
+    return bio.getvalue()
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_mp4(
+    width: int, height: int, *, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal ISO-BMFF skeleton: ftyp + moov(mvhd, trak(tkhd))."""
+    duration = duration_ms * timescale // 1000
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next track id
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = _box("moov".encode(), _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov

@@ -77,6 +77,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_MM_DECODE_ORACLE = """
+SELECT
+  doc_id AS media_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+    WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,
+  CASE
+    WHEN doc_id % 16 = 0 THEN 'zlib+image/png'
+    WHEN doc_id % 4 = 0 THEN 'image/png'
+    WHEN doc_id % 4 = 1 THEN 'image/gif'
+    WHEN doc_id % 4 = 2 THEN 'audio/wav'
+    ELSE 'image/jpeg' END AS container,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 16 + doc_id % 31 WHEN 1 THEN 4 + doc_id % 9
+    WHEN 3 THEN 10 + doc_id % 50 ELSE -1 END AS BIGINT) AS width,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 8 + doc_id % 13 WHEN 1 THEN 3 + doc_id % 7
+    WHEN 3 THEN 10 + doc_id % 40 ELSE -1 END AS BIGINT) AS height,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 8 ELSE -1 END AS BIGINT) AS bit_depth,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE -1 END AS BIGINT) AS channels,
+  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 ELSE -1 END AS BIGINT) AS sample_rate_hz,
+  CAST(CASE doc_id % 4
+    WHEN 1 THEN (1 + doc_id % 3) * 40
+    WHEN 2 THEN 100 + (n_chars % 100) * 5
+    ELSE -1 END AS BIGINT) AS duration_ms,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 1 + doc_id % 3 ELSE -1 END AS BIGINT) AS n_frames
+FROM documents
+ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_decode",
+    category="multimodal",
+    description="REAL container-header decode (PNG/GIF/WAV/JPEG + zlib probe) "
+    "of deterministically synthesized media blobs",
+    oracle=_MM_DECODE_ORACLE,
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark round-trips REAL bytes (encode → decode through the pure-stdlib
+    container codecs); the oracle recomputes the synthesis parameters in SQL.
+    A header-decode bug on any of the 4 containers breaks the hash match."""
+    from incubator_xtable_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    info = decode_media(synthesize_media(docs), strict=True)
+    ints = ("width", "height", "bit_depth", "channels", "sample_rate_hz",
+            "duration_ms", "n_frames")
+    return info.select(
+        "media_id",
+        "mime",
+        "container",
+        *[F.coalesce(F.col(c).cast("long"), F.lit(-1).cast("long")).alias(c) for c in ints],
+    ).orderBy("media_id")
+
+
 @register(
     "ann_ivf_topk",
     category="vector",

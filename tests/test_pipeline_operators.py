@@ -16,7 +16,7 @@ from incubator_xtable_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from incubator_xtable_spark.operators.multimodal import (
-    decode_stub,
+    decode_media,
     documents_as_media,
     fake_feature_extract,
 )
@@ -95,12 +95,25 @@ def test_multimodal_fake_features_shape(spark):
         assert all(0.0 <= f <= 255.0 for f in r["features"])
 
 
-def test_multimodal_decode_stub_raises_at_execution(spark):
+def test_multimodal_decode_strict_raises_naming_the_row(spark):
+    # documents_as_media wraps raw UTF-8 text — NOT a recognizable container;
+    # strict decode must fail at execution naming the offending media_id
     docs = load(spark, SF_SMOKE, "documents").limit(1)
     media = documents_as_media(docs)
-    stubbed = decode_stub(media)  # plan-time OK
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        stubbed.collect()
+    decoded = decode_media(media, strict=True)  # plan-time OK
+    with pytest.raises(Exception, match="media_id=0"):
+        decoded.collect()
+
+
+def test_multimodal_decode_quarantine_reports_errors(spark):
+    docs = load(spark, SF_SMOKE, "documents").limit(5)
+    media = documents_as_media(docs)
+    rows = decode_media(media, strict=False).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mime"] is None
+        assert r["error"] is not None and "unrecognized" in r["error"]
+        assert r["n_bytes"] > 0
 
 
 def test_streaming_matches_batch_windowed_counts(spark, tmp_path):
