@@ -84,6 +84,17 @@ _ACTION_SCHEMA = T.StructType(
                 [
                     T.StructField("id", T.StringType()),
                     T.StructField("name", T.StringType()),
+                    T.StructField(
+                        "format",
+                        T.StructType(
+                            [
+                                T.StructField("provider", T.StringType()),
+                                T.StructField(
+                                    "options", T.MapType(T.StringType(), T.StringType())
+                                ),
+                            ]
+                        ),
+                    ),
                     T.StructField("schemaString", T.StringType()),
                     T.StructField("partitionColumns", T.ArrayType(T.StringType())),
                     T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
@@ -556,6 +567,9 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         restricts via anti (mode=drop: everything except) or semi
         (mode=keep: only) join on (file, row_index)."""
         item_paths = [os.path.join(base, p) for p, _, _ in items]
+        from incubator_xtable_spark.model.file_formats import require_parquet
+
+        require_parquet(((p, None) for p in item_paths), reader="read_delta_cdf")
         if cm_mode == "id":
             _require_field_ids(spark, item_paths)
         df = spark.read.schema(T.StructType(data_fields)).parquet(*item_paths)
@@ -806,6 +820,20 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     paths = [os.path.join(base, r["path"]) for r in live]
     if not paths:
         return spark.createDataFrame([], schema)
+    # non-parquet data files must refuse loudly here, never parse as parquet
+    from incubator_xtable_spark.model.file_formats import (
+        from_delta_provider,
+        from_extension,
+        require_parquet,
+    )
+
+    provider_fmt = from_delta_provider(
+        meta["format"]["provider"] if meta["format"] is not None else None
+    )
+    require_parquet(
+        ((p, from_extension(p, default=provider_fmt)) for p in paths),
+        reader="read_delta_as_df",
+    )
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_struct = (
         _physical_type(T.StructType(data_fields), with_field_ids=cm_mode == "id")
@@ -1118,6 +1146,28 @@ class DeltaConversionSource:
         part_cols = {pf.source_field for pf in table.partition_fields}
         return T.StructType([f for f in table.read_schema.fields if f.name not in part_cols])
 
+    def _default_file_format(self) -> str:
+        """Table-level format from metaData.format.provider (ref
+        delta/DeltaActionsConverter.java:91-97: parquet/orc recognized,
+        anything else refused loudly). Cached — Delta never changes a
+        table's provider, and latest_metadata is a log scan."""
+        if getattr(self, "_format_default", None) is None:
+            from incubator_xtable_spark.model.file_formats import from_delta_provider
+
+            meta = latest_metadata(self.spark, self.base_path)
+            provider = None
+            if meta is not None and meta["format"] is not None:
+                provider = meta["format"]["provider"]
+            self._format_default = from_delta_provider(provider)
+        return self._format_default
+
+    def _file_format_expr(self, path_col):
+        """Per-file format column: extension wins (a mixed-format table is
+        tagged per file), the table provider is the extension-less default."""
+        from incubator_xtable_spark.model.file_formats import format_expr
+
+        return format_expr(path_col, default=self._default_file_format())
+
     def _to_inventory_adds(self, adds: DataFrame, table: InternalTable) -> DataFrame:
         """Adds -> inventory. DV'd adds are converted to their purged
         shadow files (materialized idempotently, stats recomputed from the
@@ -1142,7 +1192,7 @@ class DeltaConversionSource:
         # delete sets travel separately on row_deletes
         plain_inv = adds.filter(~has_dv).select(
             abs_path.alias("physical_path"),
-            F.lit("PARQUET").alias("file_format"),
+            self._file_format_expr(abs_path).alias("file_format"),
             F.col("size").alias("size_bytes"),
             parsed["numRecords"].alias("record_count"),
             F.col("modificationTime").alias("last_modified_ms"),
@@ -1186,7 +1236,7 @@ class DeltaConversionSource:
         stats = footer_stats(self.spark, listing.select("physical_path"), data_schema)
         dv_inv = listing.join(stats, "physical_path", "left").select(
             "physical_path",
-            F.lit("PARQUET").alias("file_format"),
+            F.lit("PARQUET").alias("file_format"),  # purged shadows are engine-written parquet
             "size_bytes",
             "record_count",
             "last_modified_ms",
@@ -1254,7 +1304,7 @@ class DeltaConversionSource:
             ).otherwise(F.concat(F.lit(base), F.col("path")))
             files_removed = pure_removes.select(
                 abs_removed.alias("physical_path"),
-                F.lit("PARQUET").alias("file_format"),
+                self._file_format_expr(abs_removed).alias("file_format"),
                 F.lit(0).cast("long").alias("size_bytes"),
                 F.lit(None).cast("long").alias("record_count"),
                 F.lit(None).cast("long").alias("last_modified_ms"),
@@ -1298,7 +1348,7 @@ class DeltaConversionSource:
         ).otherwise(F.concat(F.lit(base), F.col("eff_path")))
         files_removed = removes_eff.select(
             abs_removed.alias("physical_path"),
-            F.lit("PARQUET").alias("file_format"),
+            self._file_format_expr(abs_removed).alias("file_format"),
             F.lit(0).cast("long").alias("size_bytes"),
             F.lit(None).cast("long").alias("record_count"),
             F.lit(None).cast("long").alias("last_modified_ms"),

@@ -536,9 +536,23 @@ class HudiConversionSource:
             inv = inv.withColumn("record_count", F.lit(None).cast("long")).withColumn(
                 "column_stats", F.lit(None).cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
             )
+        # base-file format from hoodie.properties (real Hudi supports HFILE/
+        # ORC base files too); extension wins per file, unknown table formats
+        # refuse loudly instead of mis-tagging (ref model/storage/FileFormat)
+        from incubator_xtable_spark.model.file_formats import format_expr
+
+        declared = (
+            read_properties(self.base_path).get("hoodie.table.base.file.format")
+            or "PARQUET"
+        ).upper()
+        if declared not in ("PARQUET", "ORC"):
+            raise NotImplementedError(
+                f"Hudi base file format {declared} is not supported (PARQUET/ORC)"
+            )
+        default_fmt = "PARQUET" if declared == "PARQUET" else "APACHE_ORC"
         return inv.select(
             "physical_path",
-            F.lit("PARQUET").alias("file_format"),
+            format_expr(F.col("physical_path"), default=default_fmt).alias("file_format"),
             "size_bytes",
             "record_count",
             "last_modified_ms",

@@ -43,6 +43,7 @@ from incubator_xtable_spark.model.core import (
     TableChange,
     TableFormat,
 )
+from incubator_xtable_spark.model import file_formats as _ff
 from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE_METADATA_KEY
 from incubator_xtable_spark.targets.iceberg_target import (
     AvroIO,
@@ -216,6 +217,10 @@ class IcebergConversionSource:
                     )
                 )
                 continue
+            _ff.require_parquet(
+                [(df["file_path"], _ff.from_iceberg_manifest(df.get("file_format")))],
+                reader="iceberg position-delete read",
+            )
             p = (
                 self.spark.read.schema("file_path STRING, pos LONG")
                 .parquet(df["file_path"])
@@ -354,6 +359,10 @@ class IcebergConversionSource:
             del_parts = []
             for e in group:
                 dfile = e["data_file"]
+                _ff.require_parquet(
+                    [(dfile["file_path"], _ff.from_iceberg_manifest(dfile.get("file_format")))],
+                    reader="iceberg equality-delete read",
+                )
                 p = (
                     self.spark.read.schema(del_schema)
                     .parquet(dfile["file_path"])
@@ -473,6 +482,14 @@ class IcebergConversionSource:
         todo = {p: i for p, i in affected.items() if not os.path.exists(i["shadow_path"])}
         if not todo:
             return
+        fmt_by_path = {
+            e["data_file"]["file_path"]: e["data_file"].get("file_format")
+            for e in data_entries
+        }
+        _ff.require_parquet(
+            ((p, _ff.from_iceberg_manifest(fmt_by_path.get(p))) for p in todo),
+            reader="iceberg delete-shadow purge",
+        )
         data_seq = {
             e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
             for e in data_entries
@@ -679,7 +696,7 @@ class IcebergConversionSource:
                 rows.append(
                     (
                         sp,
-                        df["file_format"],
+                        "PARQUET",  # purged shadows are engine-written parquet
                         size,
                         int(df["record_count"]) - shadow["n_deleted"],
                         None,
@@ -691,7 +708,9 @@ class IcebergConversionSource:
                 rows.append(
                     (
                         df["file_path"],
-                        df["file_format"],
+                        # manifest spelling (PARQUET/ORC/AVRO) -> engine tag;
+                        # unknown formats refuse loudly instead of mis-tagging
+                        _ff.from_iceberg_manifest(df["file_format"]),
                         int(df["file_size_in_bytes"]),
                         int(df["record_count"]),
                         None,
@@ -1049,6 +1068,14 @@ def read_iceberg_as_df(
     paths = [e["data_file"]["file_path"] for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)
+    # ORC/AVRO data files refuse loudly (never silently parsed as parquet)
+    _ff.require_parquet(
+        (
+            (e["data_file"]["file_path"], _ff.from_iceberg_manifest(e["data_file"].get("file_format")))
+            for e in entries
+        ),
+        reader="read_iceberg_as_df",
+    )
     from incubator_xtable_spark.model.core import PartitionTransformType
 
     # only IDENTITY partition columns are absent from the data files and
@@ -1148,6 +1175,13 @@ def read_iceberg_cdc(spark: SparkSession, base_path: str, snapshot_id: int) -> D
     cur_data, cur_dels = src._entries_by_content(meta, snapshot_id)
     prev_data, prev_dels = (
         src._entries_by_content(meta, parent) if parent is not None else ([], [])
+    )
+    _ff.require_parquet(
+        (
+            (e["data_file"]["file_path"], _ff.from_iceberg_manifest(e["data_file"].get("file_format")))
+            for e in cur_data + prev_data
+        ),
+        reader="read_iceberg_cdc",
     )
 
     from incubator_xtable_spark.model.core import PartitionTransformType

@@ -712,7 +712,11 @@ class PaimonConversionSource:
             )
             ext = fm.get("_EXTERNAL_PATH")
             path = ext or self._full_path(part_path, e["_BUCKET"], fm["_FILE_NAME"])
-            fmt = fm["_FILE_NAME"].rsplit(".", 1)[-1] if "." in fm["_FILE_NAME"] else "parquet"
+            # Paimon identifies the format by the file suffix; normalize to
+            # the engine tag (PARQUET / APACHE_ORC / APACHE_AVRO)
+            from incubator_xtable_spark.model.file_formats import from_extension
+
+            fmt = from_extension(fm["_FILE_NAME"], default="PARQUET")
             size = int(fm["_FILE_SIZE"])
             count = int(fm["_ROW_COUNT"])
             stats = self._decode_value_stats(fm, file_schema(int(fm.get("_SCHEMA_ID") or 0)))

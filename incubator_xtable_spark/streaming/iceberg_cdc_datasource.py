@@ -180,6 +180,14 @@ def _plan_snapshot(meta: dict, snapshot_id: int) -> list[dict]:
 
     def unit(e, kind_extra) -> dict:
         df = e["data_file"]
+        fmt = (df.get("file_format") or "PARQUET").upper()
+        if fmt != "PARQUET":
+            # partition readers parse data files with pyarrow.parquet;
+            # refuse at PLAN time naming the file, never mis-parse
+            raise NotImplementedError(
+                f"iceberg_cdc stream: data file {df['file_path']!r} has "
+                f"format {fmt}; row-level reads are parquet-only"
+            )
         return dict(
             path=df["file_path"],
             pv={

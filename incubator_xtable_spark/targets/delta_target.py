@@ -678,6 +678,13 @@ class DeltaConversionTarget:
                 }
                 for name, st in raw_stats.items()
             }
+        if (row["file_format"] or "PARQUET").upper() != "PARQUET":
+            # the target writes metaData.format.provider=parquet; registering
+            # a non-parquet file would silently corrupt every reader
+            raise NotImplementedError(
+                f"Delta target: data file {row['physical_path']!r} has format "
+                f"{row['file_format']}; Delta tables here are parquet-only"
+            )
         add = {
             "path": _relativize(row["physical_path"], self.base_path),
             "partitionValues": dict(row["partition_values"] or {}),

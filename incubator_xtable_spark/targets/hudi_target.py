@@ -292,6 +292,13 @@ class HudiConversionTarget:
         partition_to_stats: dict[str, list[dict]] = {}
         if self._adds is not None:
             for row in drain_rows(self._adds, "auto" if self._snapshot_sync else None):
+                if (row["file_format"] or "PARQUET").upper() != "PARQUET":
+                    # hoodie.table.base.file.format is PARQUET table-wide
+                    raise NotImplementedError(
+                        f"Hudi target: data file {row['physical_path']!r} has "
+                        f"format {row['file_format']}; the target declares a "
+                        "PARQUET base file format"
+                    )
                 rel = self._relativize(row["physical_path"])
                 partition = os.path.dirname(rel)
                 stats = {

@@ -836,11 +836,17 @@ class IcebergConversionTarget:
         return out
 
     def _entry_from_row(self, row, snapshot_id: int, seq: int, status: int) -> dict:
+        from incubator_xtable_spark.model.file_formats import to_iceberg_manifest
+
         pv = dict(row["partition_values"] or {})
+        # inventory tag -> manifest spelling (PARQUET/ORC/AVRO): an ORC file
+        # arriving from a Delta provider=orc table registers as ORC, not a
+        # silent PARQUET mis-tag (ref delta/DeltaActionsConverter.java:91-97)
+        fmt = to_iceberg_manifest(row["file_format"])
         data_file = {
             "content": 0,
             "file_path": row["physical_path"],
-            "file_format": "PARQUET",
+            "file_format": fmt,
             "partition": self._iceberg_partition(pv),
             "record_count": row["record_count"] or 0,
             "file_size_in_bytes": row["size_bytes"],

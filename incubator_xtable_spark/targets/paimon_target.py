@@ -551,6 +551,15 @@ class PaimonConversionTarget:
         )
 
     def _entry_from_row(self, row, kind: int, schema_id: int, seq: int) -> dict:
+        fmt = row["file_format"] if "file_format" in (row.__fields__ or ()) else None
+        if kind == 0 and (fmt or "PARQUET").upper() != "PARQUET":
+            # Paimon infers format from the file suffix; our FileStore
+            # registration and read paths are parquet-based — refuse rather
+            # than register a file readers would mis-parse
+            raise NotImplementedError(
+                f"Paimon target: data file {row['physical_path']!r} has format "
+                f"{fmt}; the metadata-only FileStore layout here is parquet-only"
+            )
         fm_stats, stats_cols = self._value_stats(
             {k: v.asDict() for k, v in row["column_stats"].items()}
             if row["column_stats"] is not None

@@ -153,7 +153,7 @@ def test_snapshot_partitioned(spark, part_table):
     for f in files:
         assert f.physical_path.startswith(part_table.base)
         assert "/bucket-0/" in f.physical_path
-        assert f.file_format == "parquet"
+        assert f.file_format == "PARQUET"
         assert f.size_bytes > 0
         by_part.setdefault(f.partition_values["level"], []).append(f)
     assert sorted(by_part) == ["ERROR", "INFO"]
