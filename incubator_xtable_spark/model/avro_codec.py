@@ -62,6 +62,32 @@ class _Resolver:
             return self.named[schema]
         return schema
 
+    def define_all(self, schema: Any) -> None:
+        """Pre-register every named type in the tree. Avro allows a union
+        branch (or any later field) to reference a named type by string
+        even when the DEFINING branch was never decoded/encoded for this
+        datum — lazy definition would miss it (r7 fix)."""
+        if isinstance(schema, list):
+            for s in schema:
+                self.define_all(s)
+            return
+        if not isinstance(schema, dict):
+            return
+        name = schema.get("name")
+        if name and schema.get("type") in ("record", "enum", "fixed"):
+            if name in self.named:
+                return  # cycle guard: already walked
+            self.define(schema)
+        t = schema.get("type")
+        if isinstance(t, (dict, list)):
+            self.define_all(t)
+        for f in schema.get("fields", []) or []:
+            self.define_all(f.get("type"))
+        if "items" in schema:
+            self.define_all(schema["items"])
+        if "values" in schema:
+            self.define_all(schema["values"])
+
 
 def _zigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
@@ -112,7 +138,9 @@ def _logical(schema: dict, raw: Any) -> Any:
 
 def decode_value(schema: Any, buf: BinaryIO, res: Optional[_Resolver] = None) -> Any:
     """One value of ``schema`` from the binary stream."""
-    res = res or _Resolver()
+    if res is None:
+        res = _Resolver()
+        res.define_all(schema)
     schema = res.resolve(schema)
     if isinstance(schema, list):  # union: long index prefix
         idx = _read_long(buf)
@@ -220,9 +248,207 @@ def read_ocf(path: str) -> tuple[list[dict], dict[str, bytes]]:
                 raise ValueError(f"unsupported avro codec: {codec}")
             bio = io.BytesIO(block)
             res = _Resolver()
+            res.define_all(schema)
             for _ in range(n):
                 records.append(decode_value(schema, bio, res))
             marker = fh.read(16)
             if marker != sync:
                 raise ValueError(f"avro sync marker mismatch in {path}")
         return records, meta
+
+
+# ---------------------------------------------------------------------------
+# Binary ENCODER (r7) — the decoder's inverse, for building Avro payloads
+# without the JVM (HFile fixture records, future manifest writes).
+# ---------------------------------------------------------------------------
+
+
+class Branch:
+    """Explicit union-branch choice: ``Branch("IntWrapper", {"value": 3})``.
+    Needed when a union has several branches a Python value could satisfy
+    (e.g. Hudi's typed min/max wrapper records)."""
+
+    __slots__ = ("name", "value")
+
+    def __init__(self, name: str, value: Any) -> None:
+        self.name = name
+        self.value = value
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    # python ints are unbounded; mask AFTER zigzag like the decoder expects
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _write_bytes(out: bytearray, raw: bytes) -> None:
+    _write_long(out, len(raw))
+    out.extend(raw)
+
+
+def _branch_name(schema: Any) -> str:
+    if isinstance(schema, dict):
+        return schema.get("name") or schema.get("type")
+    return schema
+
+
+def _unlogical(schema: dict, value: Any) -> Any:
+    lt = schema.get("logicalType")
+    if lt is None:
+        return value
+    if lt == "decimal" and isinstance(value, decimal.Decimal):
+        scale = int(schema.get("scale", 0))
+        unscaled = int(value.scaleb(scale).to_integral_value())
+        if schema.get("type") == "fixed" or (
+            isinstance(schema.get("type"), dict)
+            and schema["type"].get("type") == "fixed"
+        ):
+            size = int(schema.get("size") or schema["type"]["size"])
+            return unscaled.to_bytes(size, "big", signed=True)
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    if lt == "date" and isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
+        return (value - _EPOCH_D).days
+    if lt in ("timestamp-millis", "local-timestamp-millis") and isinstance(value, datetime.datetime):
+        return round((value - _EPOCH_TS).total_seconds() * 1000)
+    if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(value, datetime.datetime):
+        d = value - _EPOCH_TS
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    return value
+
+
+def _pick_union_branch(schemas: list, value: Any, res: "_Resolver") -> int:
+    if isinstance(value, Branch):
+        for i, s in enumerate(schemas):
+            if _branch_name(res.resolve(s)) == value.name:
+                return i
+        raise ValueError(f"union has no branch named {value.name!r}")
+    if value is None:
+        for i, s in enumerate(schemas):
+            if s == "null":
+                return i
+        raise ValueError("None for a union without a null branch")
+    non_null = [(i, res.resolve(s)) for i, s in enumerate(schemas) if s != "null"]
+    if len(non_null) == 1:
+        return non_null[0][0]
+
+    def matches(s: Any) -> bool:
+        t = s.get("type") if isinstance(s, dict) else s
+        if isinstance(value, bool):
+            return t == "boolean"
+        if isinstance(value, int):
+            return t in ("int", "long")
+        if isinstance(value, float):
+            return t in ("float", "double")
+        if isinstance(value, str):
+            return t in ("string", "enum")
+        if isinstance(value, (bytes, bytearray)):
+            return t in ("bytes", "fixed")
+        if isinstance(value, dict):
+            return t in ("record", "map")
+        if isinstance(value, (list, tuple)):
+            return t == "array"
+        if isinstance(value, decimal.Decimal):
+            return isinstance(s, dict) and s.get("logicalType") == "decimal"
+        if isinstance(value, datetime.datetime):
+            return isinstance(s, dict) and "timestamp" in (s.get("logicalType") or "")
+        if isinstance(value, datetime.date):
+            return isinstance(s, dict) and s.get("logicalType") == "date"
+        return False
+
+    for i, s in non_null:
+        if matches(s):
+            return i
+    raise ValueError(
+        f"cannot infer union branch for {type(value).__name__}; pass Branch(name, value)"
+    )
+
+
+def encode_value(schema: Any, value: Any, out: bytearray, res: Optional[_Resolver] = None) -> None:
+    if res is None:
+        res = _Resolver()
+        res.define_all(schema)
+    schema = res.resolve(schema)
+    if isinstance(schema, list):  # union
+        idx = _pick_union_branch(schema, value, res)
+        _write_long(out, idx)
+        inner = value.value if isinstance(value, Branch) else value
+        encode_value(schema[idx], inner, out, res)
+        return
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            res.define(schema)
+            for f in schema["fields"]:
+                if f["name"] not in value and "default" not in f:
+                    raise ValueError(f"record field {f['name']!r} missing and has no default")
+                encode_value(f["type"], value.get(f["name"], f.get("default")), out, res)
+            return
+        if t == "enum":
+            res.define(schema)
+            _write_long(out, schema["symbols"].index(value))
+            return
+        if t == "fixed":
+            res.define(schema)
+            raw = _unlogical(schema, value)
+            if len(raw) != int(schema["size"]):
+                raise ValueError(f"fixed size mismatch: {len(raw)} != {schema['size']}")
+            out.extend(raw)
+            return
+        if t == "array":
+            if value:
+                _write_long(out, len(value))
+                for item in value:
+                    encode_value(schema["items"], item, out, res)
+            _write_long(out, 0)
+            return
+        if t == "map":
+            if value:
+                _write_long(out, len(value))
+                for k, v in value.items():
+                    _write_bytes(out, k.encode("utf-8"))
+                    encode_value(schema["values"], v, out, res)
+            _write_long(out, 0)
+            return
+        encode_value(t, _unlogical(schema, value), out, res)
+        return
+    if schema == "null":
+        if value is not None:
+            raise ValueError(f"non-null value {value!r} for null schema")
+        return
+    if schema == "boolean":
+        out.append(1 if value else 0)
+        return
+    if schema in ("int", "long"):
+        _write_long(out, int(value))
+        return
+    if schema == "float":
+        out.extend(struct.pack("<f", value))
+        return
+    if schema == "double":
+        out.extend(struct.pack("<d", value))
+        return
+    if schema == "bytes":
+        _write_bytes(out, bytes(value))
+        return
+    if schema == "string":
+        _write_bytes(out, str(value).encode("utf-8"))
+        return
+    raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+def encode_binary_record(schema_json: str | dict, record: dict) -> bytes:
+    """One schema'd record to raw Avro binary bytes (no container) —
+    round-trips through ``decode_binary_record``."""
+    schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    out = bytearray()
+    encode_value(schema, record, out)
+    return bytes(out)

@@ -83,6 +83,11 @@ FILES_RECORD_SCHEMA = T.StructType(
 )
 
 
+# real Hudi metadata-table layout: .hoodie/metadata is itself an MOR Hudi
+# table whose column_stats partition holds HFile base files
+HFILE_COL_STATS_SUBDIR = os.path.join(".hoodie", "metadata", "column_stats")
+
+
 def col_stats_dir(base_path: str) -> str:
     return os.path.join(base_path, COL_STATS_SUBDIR)
 
@@ -107,6 +112,211 @@ def col_stats_available(base_path: str) -> bool:
     if COLUMN_STATS_PARTITION not in parts:
         return False
     return bool(_delta_files(base_path))
+
+
+def _latest_hfile_slices(d: str) -> list[str]:
+    """Latest base .hfile per metadata file group. Base file names are
+    ``<fileId>_<writeToken>_<instant>.hfile``; the latest instant per
+    fileId is the current slice's base file."""
+    best: dict[str, tuple[str, str]] = {}
+    for p in glob.glob(os.path.join(d, "*.hfile")):
+        name = os.path.basename(p)[: -len(".hfile")]
+        parts = name.split("_")
+        if len(parts) < 3:
+            continue
+        file_id, instant = parts[0], parts[2]
+        cur = best.get(file_id)
+        if cur is None or instant > cur[0]:
+            best[file_id] = (instant, p)
+    return sorted(p for _, p in best.values())
+
+
+def hfile_col_stats_available(base_path: str) -> bool:
+    """REAL-Hudi col-stats tier availability: the table config advertises
+    the partition, HFile base files exist, and no unmerged log files sit on
+    top of them (this reader is read-optimized; a log-bearing slice could
+    carry newer stats, so it drops to footers with a warning instead of
+    serving stale values)."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if COLUMN_STATS_PARTITION not in parts:
+        return False
+    d = os.path.join(base_path, HFILE_COL_STATS_SUBDIR)
+    bases = _latest_hfile_slices(d)
+    if not bases:
+        return False
+    logs = glob.glob(os.path.join(d, "*.log.*")) + glob.glob(os.path.join(d, ".*.log.*"))
+    if logs:
+        log.warning(
+            "column_stats metadata partition of %s has %d unmerged log file(s); "
+            "the HFile tier is read-optimized — falling back to parquet footers",
+            base_path,
+            len(logs),
+        )
+        return False
+    return True
+
+
+def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructType) -> DataFrame:
+    """Decode a REAL Hudi column_stats partition (HFile base files) into
+    the engine's stat-record shape: one row per (file_name, column_name)
+    with min/max re-encoded by the data schema's column types.
+
+    Distribution: one task per HFile (pure-python HFile + Avro decode in
+    Arrow batch workers — index files are metadata-sized); the schema
+    travels as JSON, values re-encode executor-side. No driver funnel.
+    """
+    paths = _latest_hfile_slices(os.path.join(base_path, HFILE_COL_STATS_SUBDIR))
+    schema_json = schema.json()
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType(), False),
+            T.StructField("column_name", T.StringType(), False),
+            T.StructField("min_json", T.StringType(), True),
+            T.StructField("max_json", T.StringType(), True),
+            T.StructField("null_count", T.LongType(), True),
+            T.StructField("value_count", T.LongType(), True),
+            T.StructField("is_deleted", T.BooleanType(), False),
+        ]
+    )
+
+    def _decode(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import datetime as _dt
+        import decimal as _decimal
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql import types as _T
+
+        from incubator_xtable_spark.model.avro_codec import decode_binary_record
+        from incubator_xtable_spark.model.hfile import read_hfile
+        from incubator_xtable_spark.model.stat_codec import encode_stat
+
+        data_schema = _T.StructType.fromJson(_json.loads(schema_json))
+        dtypes = {f.name: f.dataType for f in data_schema.fields}
+        cols = [f.name for f in out_schema.fields]
+
+        def _coerce(v, dtype):
+            # Hudi's typed wrappers store dates as plain epoch DAYS ints,
+            # timestamps as plain epoch MICROS longs (no avro logicalType),
+            # and decimals rescaled to the fixed (30,15) wrapper scale —
+            # normalize to the column's Spark type so encode_stat emits the
+            # byte-identical encoding the footer tier produces
+            if v is None:
+                return None
+            if isinstance(dtype, _T.DateType) and isinstance(v, int):
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+            if isinstance(dtype, (_T.TimestampType, _T.TimestampNTZType)) and isinstance(v, int):
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            if isinstance(dtype, _T.DecimalType) and isinstance(v, _decimal.Decimal):
+                return v.quantize(_decimal.Decimal(1).scaleb(-dtype.scale))
+            return v
+        for pdf in batches:
+            rows = []
+            for p in pdf["hfile_path"]:
+                hf = read_hfile(p)
+                avsc = hf.file_info.get("schema")
+                if avsc is None:
+                    raise ValueError(f"{p}: HFile carries no avro schema in file info")
+                avsc = avsc.decode("utf-8")
+                for cell in hf.cells:
+                    rec = decode_binary_record(avsc, cell.value)
+                    cs = rec.get("ColumnStatsMetadata")
+                    if cs is None:
+                        continue
+                    col = cs.get("columnName")
+                    dtype = dtypes.get(col)
+                    mn = _coerce((cs.get("minValue") or {}).get("value"), dtype)
+                    mx = _coerce((cs.get("maxValue") or {}).get("value"), dtype)
+                    rows.append(
+                        (
+                            cs.get("fileName"),
+                            col,
+                            encode_stat(mn, dtype) if dtype is not None else None,
+                            encode_stat(mx, dtype) if dtype is not None else None,
+                            cs.get("nullCount"),
+                            cs.get("valueCount"),
+                            bool(cs.get("isDeleted")),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    listing = spark.createDataFrame([(p,) for p in paths], "hfile_path STRING")
+    if listing.rdd.getNumPartitions() < len(paths):
+        listing = listing.repartition(len(paths))
+    return listing.mapInPandas(_decode, out_schema)
+
+
+def file_stats_from_hfile_index(
+    spark: SparkSession, base_path: str, schema: T.StructType
+) -> DataFrame:
+    """Pivot the decoded HFile records into (file_name, record_count,
+    column_stats) — the REAL-Hudi twin of file_stats_from_index, keyed by
+    file NAME (Hudi file names are uuid-unique; the payload carries no
+    partition path)."""
+    recs = hfile_stats_records(spark, base_path, schema).filter(~F.col("is_deleted"))
+    stat_struct = F.struct(
+        F.col("min_json").alias("min_json"),
+        F.col("max_json").alias("max_json"),
+        F.col("null_count").alias("null_count"),
+    )
+    return (
+        recs.groupBy("file_name")
+        .agg(
+            F.max("value_count").alias("record_count"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("column_name"), stat_struct)))
+            ).alias("column_stats"),
+        )
+        .select(
+            "file_name",
+            "record_count",
+            F.col("column_stats").cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType),
+        )
+    )
+
+
+def stats_with_hfile_tier(
+    spark: SparkSession,
+    base_path: str,
+    listing: DataFrame,
+    schema: T.StructType,
+) -> DataFrame:
+    """Index-first stats over a REAL Hudi metadata table (HFile base
+    files), parquet-footer recompute with a warning for uncovered files —
+    the same two-tier contract as stats_with_index_tier (ref
+    hudi/HudiFileStatsExtractor.java:99-186, which reads these HFiles via
+    the Hudi client; this engine decodes them directly)."""
+    from incubator_xtable_spark.sources.parquet_source import footer_stats
+
+    paths = listing.select("physical_path")
+    idx = file_stats_from_hfile_index(spark, base_path, schema)
+    covered = (
+        paths.withColumn("file_name", _basename(F.col("physical_path")))
+        .join(idx, "file_name")
+        .select("physical_path", "record_count", "column_stats")
+    )
+    uncovered = paths.join(
+        covered.select("physical_path"), "physical_path", "left_anti"
+    )
+    n_missing = uncovered.count()
+    if n_missing:
+        log.warning(
+            "%d file(s) had no column stats in the HFile metadata index for table %s; "
+            "falling back to parquet footers",
+            n_missing,
+            base_path,
+        )
+        listing_missing = listing.join(uncovered, "physical_path")
+        return covered.unionByName(footer_stats(spark, listing_missing, schema))
+    return covered
 
 
 def files_index_available(base_path: str) -> bool:

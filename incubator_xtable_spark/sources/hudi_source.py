@@ -517,16 +517,23 @@ class HudiConversionSource:
             else F.lit(None).cast("map<string,string>"),
         )
         if with_stats:
-            # two-tier stats read (HudiFileStatsExtractor.java:99-186):
-            # metadata-table col_stats index first when the table config
-            # advertises it, parquet-footer recompute for uncovered files
+            # three-tier stats read (HudiFileStatsExtractor.java:99-186):
+            # engine LITE col_stats index first, REAL-Hudi HFile index
+            # second (r7: decoded directly, no Hudi/HBase jars), parquet-
+            # footer recompute for uncovered files / unindexed tables
             from incubator_xtable_spark.sources.hudi_metadata import (
                 col_stats_available,
+                hfile_col_stats_available,
+                stats_with_hfile_tier,
                 stats_with_index_tier,
             )
 
             if col_stats_available(self.base_path):
                 stats = stats_with_index_tier(
+                    self.spark, self.base_path, listing, data_schema(table)
+                )
+            elif hfile_col_stats_available(self.base_path):
+                stats = stats_with_hfile_tier(
                     self.spark, self.base_path, listing, data_schema(table)
                 )
             else:

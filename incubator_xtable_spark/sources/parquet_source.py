@@ -229,10 +229,36 @@ def footer_stats(spark: SparkSession, listing: DataFrame, schema: T.StructType) 
 
         from pyspark.sql.types import StructType as _StructType
 
+        from decimal import Decimal as _Decimal
+
+        from pyspark.sql.types import DecimalType as _DecimalType
+
         from incubator_xtable_spark.model.stat_codec import encode_stat as _enc
 
         sch = _StructType.fromJson(__import__("json").loads(schema_json))
         types_by_name = {f.name: f.dataType for f in sch.fields}
+
+        def _min_max(st, dtype):
+            # pyarrow raises ArrowNotImplementedError converting stats of
+            # int-backed decimals (Spark writes DECIMAL(<=18) as INT32/64);
+            # fall back to the raw physical values and unscale ourselves
+            try:
+                return st.min, st.max
+            except Exception:
+                if not isinstance(dtype, _DecimalType):
+                    raise
+
+            def conv(raw):
+                if raw is None:
+                    return None
+                unscaled = (
+                    int.from_bytes(bytes(raw), "big", signed=True)
+                    if isinstance(raw, (bytes, bytearray))
+                    else int(raw)
+                )
+                return _Decimal(unscaled).scaleb(-dtype.scale)
+
+            return conv(st.min_raw), conv(st.max_raw)
 
         for pdf in batches:
             rows = []
@@ -259,10 +285,11 @@ def footer_stats(spark: SparkSession, listing: DataFrame, schema: T.StructType) 
                         if st.null_count is not None:
                             nulls[name] = nulls.get(name, 0) + st.null_count
                         if st.has_min_max:
-                            if name not in mins or st.min < mins[name]:
-                                mins[name] = st.min
-                            if name not in maxs or st.max > maxs[name]:
-                                maxs[name] = st.max
+                            mn, mx = _min_max(st, types_by_name[name])
+                            if mn is not None and (name not in mins or mn < mins[name]):
+                                mins[name] = mn
+                            if mx is not None and (name not in maxs or mx > maxs[name]):
+                                maxs[name] = mx
                 col_stats = {
                     name: {
                         "min_json": _enc(mins.get(name), types_by_name[name]),
