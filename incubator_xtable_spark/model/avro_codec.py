@@ -276,6 +276,8 @@ class Branch:
 
 
 def _write_long(out: bytearray, n: int) -> None:
+    if not -(1 << 63) <= n <= (1 << 63) - 1:
+        raise ValueError(f"avro long out of int64 range: {n}")
     n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
     # python ints are unbounded; mask AFTER zigzag like the decoder expects
     n &= (1 << 64) - 1

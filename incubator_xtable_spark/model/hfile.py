@@ -233,8 +233,14 @@ def _parse_trailer(data: bytes, path: str) -> dict:
     return out
 
 
-def _read_block(data: bytes, off: int, path: str, verify: bool = True) -> tuple[bytes, bytes, int]:
-    """-> (magic, uncompressed payload, next offset)."""
+def _read_block(
+    data: bytes, off: int, path: str, verify: bool = True, codec: int = COMPRESSION_NONE
+) -> tuple[bytes, bytes, int]:
+    """-> (magic, uncompressed payload, next offset).
+
+    Decompression is decided by the trailer's compression_codec (passed as
+    ``codec``) — never by sniffing the payload, which could misfire on an
+    uncompressed block whose first cell's keyLen bytes start 0x1f8b."""
     magic = data[off : off + 8]
     ods, usize = struct.unpack(">ii", data[off + 8 : off + 16])
     ctype = data[off + 24]
@@ -251,7 +257,7 @@ def _read_block(data: bytes, off: int, path: str, verify: bool = True) -> tuple[
             want = struct.unpack(">I", checks[i * 4 : i * 4 + 4])[0]
             if _checksum(ctype, chunk) != want:
                 raise HFileError(f"{path}: checksum mismatch in block at {off}")
-    if body[:2] == b"\x1f\x8b":  # gzip'd (compression GZ)
+    if codec == COMPRESSION_GZ:
         body = zlib.decompress(body, 31)
     if len(body) != usize:
         raise HFileError(
@@ -314,7 +320,7 @@ def read_hfile(path: str, verify_checksums: bool = True) -> HFileData:
     file_info = {}
     fi_off = trailer.get("file_info_offset")
     if fi_off is not None:
-        magic, payload, _ = _read_block(data, fi_off, path, verify_checksums)
+        magic, payload, _ = _read_block(data, fi_off, path, verify_checksums, codec)
         if magic != FILE_INFO_MAGIC:
             raise HFileError(f"{path}: expected FILEINF2 at {fi_off}, got {magic!r}")
         file_info = _parse_file_info(payload, path)
@@ -325,7 +331,7 @@ def read_hfile(path: str, verify_checksums: bool = True) -> HFileData:
     n_entries = trailer.get("data_index_count", 0)
     if n_entries:
         loo = trailer["load_on_open_data_offset"]
-        magic, payload, _ = _read_block(data, loo, path, verify_checksums)
+        magic, payload, _ = _read_block(data, loo, path, verify_checksums, codec)
         if magic != ROOT_INDEX_MAGIC:
             raise HFileError(f"{path}: expected IDXROOT2 at {loo}, got {magic!r}")
         pos = 0
@@ -337,7 +343,7 @@ def read_hfile(path: str, verify_checksums: bool = True) -> HFileData:
             pos += klen
             offsets.append(boff)
         for boff in offsets:
-            magic, payload, _ = _read_block(data, boff, path, verify_checksums)
+            magic, payload, _ = _read_block(data, boff, path, verify_checksums, codec)
             if magic == ENCODED_DATA_MAGIC:
                 raise HFileError(
                     f"{path}: DataBlockEncoding'd blocks not supported (block at {boff})"

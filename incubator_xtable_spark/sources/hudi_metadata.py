@@ -213,7 +213,13 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
                 return None
             if isinstance(dtype, _T.DateType) and isinstance(v, int):
                 return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
-            if isinstance(dtype, (_T.TimestampType, _T.TimestampNTZType)) and isinstance(v, int):
+            if isinstance(dtype, _T.TimestampType) and isinstance(v, int):
+                # LTZ columns: footer tier encodes pyarrow's tz-aware UTC
+                # stats — stay aware here or min/max bytes diverge
+                return _dt.datetime(
+                    1970, 1, 1, tzinfo=_dt.timezone.utc
+                ) + _dt.timedelta(microseconds=v)
+            if isinstance(dtype, _T.TimestampNTZType) and isinstance(v, int):
                 return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
             if isinstance(dtype, _T.DecimalType) and isinstance(v, _decimal.Decimal):
                 return v.quantize(_decimal.Decimal(1).scaleb(-dtype.scale))

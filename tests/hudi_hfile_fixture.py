@@ -116,7 +116,9 @@ def wrap_value(value, dtype: T.DataType) -> Branch | None:
     if isinstance(dtype, T.DecimalType):
         return Branch("DecimalWrapper", {"value": decimal.Decimal(value)})
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        d = value - _EPOCH_TS
+        # LTZ footer stats decode tz-aware; epoch-micros are the same either way
+        epoch = _EPOCH_TS.replace(tzinfo=datetime.timezone.utc) if value.tzinfo else _EPOCH_TS
+        d = value - epoch
         micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
         return Branch("TimestampMicrosWrapper", {"value": micros})
     raise ValueError(f"no Hudi wrapper for {dtype}")

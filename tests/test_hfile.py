@@ -263,14 +263,17 @@ def test_typed_wrappers_roundtrip(spark, tmp_path):
             T.StructField("id", T.LongType()),
             T.StructField("d", T.DateType()),
             T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("tsz", T.TimestampType()),
             T.StructField("m", T.DecimalType(10, 2)),
             T.StructField("f", T.FloatType()),
             T.StructField("ok", T.BooleanType()),
         ]
     )
     rows = [
-        (1, datetime.date(2021, 3, 4), datetime.datetime(2021, 3, 4, 5, 6, 7, 123456), Decimal("12.34"), 1.5, True),
-        (2, datetime.date(2022, 12, 31), datetime.datetime(2022, 12, 31, 23, 59, 59, 999999), Decimal("-0.07"), -2.25, False),
+        (1, datetime.date(2021, 3, 4), datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+         datetime.datetime(2021, 3, 4, 5, 6, 7, 123456, tzinfo=datetime.timezone.utc), Decimal("12.34"), 1.5, True),
+        (2, datetime.date(2022, 12, 31), datetime.datetime(2022, 12, 31, 23, 59, 59, 999999),
+         datetime.datetime(2022, 12, 31, 23, 59, 59, 999999, tzinfo=datetime.timezone.utc), Decimal("-0.07"), -2.25, False),
     ]
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(d)
     source = ParquetConversionSource(spark, d, name="typed")

@@ -101,7 +101,8 @@ def test_multimodal_decode_strict_raises_naming_the_row(spark):
     docs = load(spark, SF_SMOKE, "documents").limit(1)
     media = documents_as_media(docs)
     decoded = decode_media(media, strict=True)  # plan-time OK
-    with pytest.raises(Exception, match="media_id=0"):
+    # limit(1) doesn't pin WHICH row survives — assert any media_id is named
+    with pytest.raises(Exception, match="media_id="):
         decoded.collect()
 
 
