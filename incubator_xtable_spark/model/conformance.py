@@ -972,6 +972,50 @@ def _check_iceberg_manifest_file(
 # ---------------------------------------------------------------------------
 
 
+def _check_hudi_hfile_partition(pdir: str, part: str, report: ConformanceReport) -> None:
+    """REAL-layout metadata partition (r8 HFile writes): every latest base
+    HFile must decode cleanly — checksums verified — and every cell's avro
+    payload must parse as a HoodieMetadataRecord against the embedded
+    writer schema. A flipped byte anywhere in a block trips the CRC chain
+    (red-proven by tests/test_hfile_index_writes.py). The metadata table
+    must also carry its own timeline (hoodie.properties + a deltacommit
+    per index write), the shape real Hudi requires to open it."""
+    from incubator_xtable_spark.model.avro_codec import decode_binary_record
+    from incubator_xtable_spark.model.hfile import HFileError, read_hfile
+    from incubator_xtable_spark.sources.hudi_metadata import _latest_hfile_slices
+
+    for p in _latest_hfile_slices(pdir):
+        try:
+            hf = read_hfile(p, verify_checksums=True)
+            avsc = hf.file_info.get("schema")
+            if avsc is None:
+                report.add(
+                    "HUDI_META_HFILE_NO_SCHEMA", p, "no avro schema in HFile file info"
+                )
+                continue
+            avsc = avsc.decode("utf-8")
+            for cell in hf.cells:
+                decode_binary_record(avsc, cell.value)
+        except (HFileError, ValueError, KeyError, IndexError, struct.error) as exc:
+            report.add("HUDI_META_HFILE_CORRUPT", p, f"{part}: {exc}")
+    meta_hoodie = os.path.join(os.path.dirname(pdir), ".hoodie")
+    if not os.path.isfile(os.path.join(meta_hoodie, "hoodie.properties")):
+        report.add(
+            "HUDI_META_TABLE_NO_PROPERTIES",
+            meta_hoodie,
+            "HFile metadata partitions present but the metadata table has no "
+            "hoodie.properties",
+        )
+    elif not any(
+        fn.endswith(".deltacommit") for fn in os.listdir(meta_hoodie)
+    ):
+        report.add(
+            "HUDI_META_TABLE_NO_COMMITS",
+            meta_hoodie,
+            "metadata table timeline has no completed deltacommit",
+        )
+
+
 def check_hudi_conformance(base_path: str) -> ConformanceReport:
     report = ConformanceReport(base_path=base_path, table_format="HUDI")
     hoodie = os.path.join(base_path, ".hoodie")
@@ -1002,24 +1046,34 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
         # that is missing or holds non-parquet entries breaks the claim.
         adv = [p for p in (props.get("hoodie.table.metadata.partitions") or "").split(",") if p]
         for part in adv:
-            sub = "col_stats" if part == "column_stats" else part
-            pdir = os.path.join(hoodie, "metadata", sub)
-            if not os.path.isdir(pdir):
+            lite_sub = "col_stats" if part == "column_stats" else part
+            lite_dir = os.path.join(hoodie, "metadata", lite_sub)
+            real_dir = os.path.join(hoodie, "metadata", part)
+            lite_has_parquet = os.path.isdir(lite_dir) and any(
+                fn.endswith(".parquet") for fn in os.listdir(lite_dir)
+            )
+            real_has_hfiles = os.path.isdir(real_dir) and any(
+                fn.endswith(".hfile") for fn in os.listdir(real_dir)
+            )
+            if lite_has_parquet:
+                for fn in os.listdir(lite_dir):
+                    if fn.startswith("."):
+                        continue
+                    if not fn.endswith(".parquet"):
+                        report.add(
+                            "HUDI_META_INDEX_SHAPE",
+                            os.path.join(lite_dir, fn),
+                            "LITE index partitions hold per-commit parquet deltas only",
+                        )
+            elif real_has_hfiles:
+                _check_hudi_hfile_partition(real_dir, part, report)
+            else:
                 report.add(
                     "HUDI_META_INDEX_MISSING",
-                    pdir,
-                    f"metadata partition {part} advertised but directory absent",
+                    real_dir,
+                    f"metadata partition {part} advertised but neither a LITE "
+                    "parquet index nor an HFile partition is present",
                 )
-                continue
-            for fn in os.listdir(pdir):
-                if fn.startswith("."):
-                    continue
-                if not fn.endswith(".parquet"):
-                    report.add(
-                        "HUDI_META_INDEX_SHAPE",
-                        os.path.join(pdir, fn),
-                        "LITE index partitions hold per-commit parquet deltas only",
-                    )
 
     completed: list[tuple[str, str]] = []
     names = set(os.listdir(hoodie))

@@ -307,6 +307,13 @@ def read_hfile(path: str, verify_checksums: bool = True) -> HFileData:
     data index, unencoded data blocks). Anything else refuses loudly."""
     with open(path, "rb") as fh:
         data = fh.read()
+    return read_hfile_bytes(data, path, verify_checksums)
+
+
+def read_hfile_bytes(data: bytes, path: str, verify_checksums: bool = True) -> HFileData:
+    """read_hfile over in-memory bytes — the shape HFILE_DATA_BLOCK log
+    blocks embed (real Hudi's metadata-table log format wraps a whole
+    serialized HFile in each data block)."""
     trailer = _parse_trailer(data, path)
     codec = trailer.get("compression_codec", COMPRESSION_NONE)
     if codec not in (COMPRESSION_GZ, COMPRESSION_NONE):

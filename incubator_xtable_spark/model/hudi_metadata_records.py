@@ -1,0 +1,387 @@
+"""HoodieMetadataRecord avro codec — the record model of real Hudi's
+metadata table (public HoodieMetadata.avsc shape, verified byte-level
+against the schema embedded in an actual Hudi-written HFile under
+/root/reference/demo/data/db/hudi_dimCustomer/.hoodie/metadata).
+
+Reference parity (what, not how): real Hudi's write client maintains the
+metadata table's ``files`` and ``column_stats`` partitions on every
+commit (ref hudi/HudiConversionTarget.java:267-470 drives that client);
+records are HoodieMetadataRecord avro values keyed by record type:
+
+- type 1 (ALL_PARTITIONS): row key ``__all_partitions__``,
+  filesystemMetadata maps partition name -> {size: 0, isDeleted}.
+- type 2 (PARTITION_FILES): row key = partition path (``.`` for a
+  non-partitioned table), filesystemMetadata maps file name ->
+  {size, isDeleted}.
+- type 3 (COLUMN_STATS): ColumnStatsMetadata with min/max wrapped in the
+  typed wrapper records (DateWrapper plain epoch-days ints,
+  TimestampMicrosWrapper plain epoch-micros longs, DecimalWrapper a
+  logical decimal(30, 15)).
+
+The writer schema here is the resolvable subset of the real record (the
+``_hoodie_*`` meta fields and Bloom/recordIndex branches are absent);
+avro schema resolution fills a reader's missing fields from their null
+defaults, which is exactly how real Hudi decodes HFile cells (writer
+schema embedded under file-info key ``schema``).
+
+Interop boundary (documented): record keys use the engine's readable
+``<column>;;<file>`` convention for column_stats, not real Hudi's hashed
+ColumnIndexID/FileIndexID base64 keys — real Hudi's point lookups by
+hashed key find no record and fall back to footer stats (the safe
+direction); full-partition scans see correct payloads either way.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.model.avro_codec import (
+    Branch,
+    decode_binary_record,
+    encode_binary_record,
+)
+
+ALL_PARTITIONS_KEY = "__all_partitions__"
+NON_PARTITIONED_NAME = "."  # real Hudi's record key for the root partition
+
+_WRAPPERS = [
+    {"type": "record", "name": "BooleanWrapper", "fields": [{"name": "value", "type": "boolean"}]},
+    {"type": "record", "name": "IntWrapper", "fields": [{"name": "value", "type": "int"}]},
+    {"type": "record", "name": "LongWrapper", "fields": [{"name": "value", "type": "long"}]},
+    {"type": "record", "name": "FloatWrapper", "fields": [{"name": "value", "type": "float"}]},
+    {"type": "record", "name": "DoubleWrapper", "fields": [{"name": "value", "type": "double"}]},
+    {"type": "record", "name": "BytesWrapper", "fields": [{"name": "value", "type": "bytes"}]},
+    {"type": "record", "name": "StringWrapper", "fields": [{"name": "value", "type": "string"}]},
+    {"type": "record", "name": "DateWrapper", "fields": [{"name": "value", "type": "int"}]},
+    {
+        "type": "record",
+        "name": "DecimalWrapper",
+        "fields": [
+            {
+                "name": "value",
+                "type": {"type": "bytes", "logicalType": "decimal", "precision": 30, "scale": 15},
+            }
+        ],
+    },
+    {"type": "record", "name": "TimeMicrosWrapper", "fields": [{"name": "value", "type": "long"}]},
+    {"type": "record", "name": "TimestampMicrosWrapper", "fields": [{"name": "value", "type": "long"}]},
+]
+
+_WRAPPER_NAMES = [w["name"] for w in _WRAPPERS]
+
+COLUMN_STATS_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataColumnStats",
+    "fields": [
+        {"name": "fileName", "type": ["null", "string"], "default": None},
+        {"name": "columnName", "type": ["null", "string"], "default": None},
+        {"name": "minValue", "type": ["null"] + _WRAPPERS, "default": None},
+        {"name": "maxValue", "type": ["null"] + _WRAPPER_NAMES, "default": None},
+        {"name": "valueCount", "type": ["null", "long"], "default": None},
+        {"name": "nullCount", "type": ["null", "long"], "default": None},
+        {"name": "totalSize", "type": ["null", "long"], "default": None},
+        {"name": "totalUncompressedSize", "type": ["null", "long"], "default": None},
+        {"name": "isDeleted", "type": "boolean", "default": False},
+    ],
+}
+
+HUDI_METADATA_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "filesystemMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {
+                        "type": "record",
+                        "name": "HoodieMetadataFileInfo",
+                        "fields": [
+                            {"name": "size", "type": "long"},
+                            {"name": "isDeleted", "type": "boolean"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+        {"name": "ColumnStatsMetadata", "type": ["null", COLUMN_STATS_SCHEMA], "default": None},
+    ],
+}
+
+_EPOCH_D = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1)
+_EPOCH_TS_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def wrap_value(value, dtype: T.DataType) -> Branch | None:
+    """Python stat value -> the Hudi wrapper branch real writers pick."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.BooleanType):
+        return Branch("BooleanWrapper", {"value": bool(value)})
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        return Branch("IntWrapper", {"value": int(value)})
+    if isinstance(dtype, T.LongType):
+        return Branch("LongWrapper", {"value": int(value)})
+    if isinstance(dtype, T.FloatType):
+        return Branch("FloatWrapper", {"value": float(value)})
+    if isinstance(dtype, T.DoubleType):
+        return Branch("DoubleWrapper", {"value": float(value)})
+    if isinstance(dtype, T.BinaryType):
+        return Branch("BytesWrapper", {"value": bytes(value)})
+    if isinstance(dtype, T.StringType):
+        return Branch("StringWrapper", {"value": str(value)})
+    if isinstance(dtype, T.DateType):
+        return Branch("DateWrapper", {"value": (value - _EPOCH_D).days})
+    if isinstance(dtype, T.DecimalType):
+        return Branch("DecimalWrapper", {"value": decimal.Decimal(value)})
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # LTZ stats decode tz-aware (UTC); epoch-micros are tz-agnostic
+        epoch = _EPOCH_TS_UTC if value.tzinfo else _EPOCH_TS
+        d = value - epoch
+        micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        return Branch("TimestampMicrosWrapper", {"value": micros})
+    raise ValueError(f"no Hudi wrapper for {dtype}")
+
+
+def col_stats_key(column_name: str, file_name: str) -> str:
+    return f"{column_name};;{file_name}"
+
+
+def col_stats_key_file(key: str) -> str | None:
+    """file name out of a column_stats record key, None for foreign keys."""
+    _, sep, fname = key.partition(";;")
+    return fname if sep else None
+
+
+def col_stats_record(
+    file_name: str,
+    column_name: str,
+    min_value,
+    max_value,
+    dtype: T.DataType,
+    value_count: int,
+    null_count: int,
+    is_deleted: bool = False,
+) -> tuple[bytes, bytes]:
+    """-> (cell row key, avro value bytes) for one column-stats record."""
+    key = col_stats_key(column_name, file_name)
+    rec = {
+        "key": key,
+        "type": 3,  # MetadataPartitionType COLUMN_STATS record type
+        "filesystemMetadata": None,
+        "ColumnStatsMetadata": {
+            "fileName": file_name,
+            "columnName": column_name,
+            "minValue": wrap_value(min_value, dtype),
+            "maxValue": wrap_value(max_value, dtype),
+            "valueCount": value_count,
+            "nullCount": null_count,
+            "totalSize": None,
+            "totalUncompressedSize": None,
+            "isDeleted": is_deleted,
+        },
+    }
+    blob = encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec)
+    return key.encode("utf-8"), blob
+
+
+def files_partition_records(
+    state: dict[str, dict[str, int]],
+) -> list[tuple[bytes, bytes]]:
+    """Full-state ``files`` partition records from
+    {partition_path: {file_name: size}} (partition_path "" = root).
+
+    One type-2 record per partition plus the type-1 ``__all_partitions__``
+    listing — the HoodieMetadataPayload file-list shape real readers
+    expect (sizes in the all-partitions map are 0 like real Hudi's)."""
+    out: list[tuple[bytes, bytes]] = []
+    all_parts: dict[str, dict] = {}
+    for part, files in sorted(state.items()):
+        key = part if part else NON_PARTITIONED_NAME
+        all_parts[key] = {"size": 0, "isDeleted": False}
+        rec = {
+            "key": key,
+            "type": 2,  # PARTITION_FILES record type
+            "filesystemMetadata": {
+                fn: {"size": int(sz), "isDeleted": False} for fn, sz in sorted(files.items())
+            },
+            "ColumnStatsMetadata": None,
+        }
+        out.append((key.encode("utf-8"), encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec)))
+    head = {
+        "key": ALL_PARTITIONS_KEY,
+        "type": 1,  # ALL_PARTITIONS record type
+        "filesystemMetadata": all_parts,
+        "ColumnStatsMetadata": None,
+    }
+    out.append(
+        (ALL_PARTITIONS_KEY.encode("utf-8"), encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, head))
+    )
+    return out
+
+
+def merge_metadata_records(
+    ordered: list[tuple[str, dict]],
+) -> dict[str, dict]:
+    """HoodieMetadataPayload merge over an ordered (oldest-first) record
+    stream: -> {record key: merged record}.
+
+    - type 3 (COLUMN_STATS): newest record replaces; isDeleted tombstones
+      drop the key.
+    - type 1/2 (file lists): filesystemMetadata maps COMBINE per entry —
+      a log record carries only the commit's mutations, so newer entries
+      override per file name and isDeleted entries prune that file (the
+      reference merges through HoodieMetadataPayload.combineAndGetUpdateValue
+      via the Hudi client; semantics restated here from the public payload
+      contract)."""
+    out: dict[str, dict] = {}
+    for key, rec in ordered:
+        if rec.get("_tombstone"):
+            # DELETE_BLOCK record key: drops the key for every type
+            out.pop(key, None)
+            continue
+        rtype = rec.get("type")
+        if rtype == 3:
+            cs = rec.get("ColumnStatsMetadata") or {}
+            if cs.get("isDeleted"):
+                out.pop(key, None)
+            else:
+                out[key] = rec
+            continue
+        if rtype in (1, 2):
+            prev = out.get(key)
+            merged = dict((prev or {}).get("filesystemMetadata") or {})
+            for fn, info in (rec.get("filesystemMetadata") or {}).items():
+                if info.get("isDeleted"):
+                    merged.pop(fn, None)
+                else:
+                    merged[fn] = info
+            nrec = dict(rec)
+            nrec["filesystemMetadata"] = merged
+            out[key] = nrec
+            continue
+        out[key] = rec  # unknown types: latest wins verbatim
+    return out
+
+
+def merged_metadata_slice_records(
+    hfile_path: str, log_paths: list[str]
+) -> list[tuple[str, dict]]:
+    """Decode one metadata file slice — base HFile plus its ordered log
+    files — into merged (key, HoodieMetadataRecord) pairs.
+
+    Log blocks supported: AVRO_DATA_BLOCK (length-prefixed avro records,
+    writer schema in the block's SCHEMA header), HFILE_DATA_BLOCK (a whole
+    serialized HFile as block content — real Hudi's metadata log format),
+    DELETE_BLOCK (record keys to drop), rollback COMMAND blocks (applied
+    by the log reader). Anything else refuses loudly — callers probe with
+    metadata_logs_supported first and fall back instead of serving stale
+    state. Runs wherever called (executor-side from the read tiers);
+    bounded by index size, never data size."""
+    import io as _io
+    import json as _json
+    import struct as _struct
+
+    from incubator_xtable_spark.model.avro_codec import decode_value
+    from incubator_xtable_spark.model.hfile import read_hfile, read_hfile_bytes
+    from incubator_xtable_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        DELETE_BLOCK,
+        DELETE_RECORD_LIST_SCHEMA,
+        HFILE_DATA_BLOCK,
+        H_SCHEMA,
+        read_log_blocks,
+    )
+
+    def _hfile_records(hf) -> list[tuple[str, dict]]:
+        avsc = hf.file_info.get("schema")
+        if avsc is None:
+            raise ValueError(f"{hfile_path}: HFile carries no avro schema in file info")
+        schema = _json.loads(avsc.decode("utf-8"))
+        out = []
+        for cell in hf.cells:
+            rec = decode_value(schema, _io.BytesIO(cell.value))
+            # writers may leave the avro key field empty (virtual keys);
+            # the cell row IS the record key then — real readers refill it
+            key = rec.get("key") or cell.row.decode("utf-8")
+            out.append((key, rec))
+        return out
+
+    ordered: list[tuple[str, dict]] = list(_hfile_records(read_hfile(hfile_path)))
+    for lp in log_paths:
+        for block in read_log_blocks(lp):
+            if block.block_type == AVRO_DATA_BLOCK:
+                schema = _json.loads(block.headers[H_SCHEMA])
+                buf = _io.BytesIO(block.content)
+                (_v, count) = _struct.unpack(">ii", buf.read(8))
+                for _ in range(count):
+                    (ln,) = _struct.unpack(">i", buf.read(4))
+                    rec = decode_value(schema, _io.BytesIO(buf.read(ln)))
+                    ordered.append((rec.get("key") or "", rec))
+            elif block.block_type == HFILE_DATA_BLOCK:
+                ordered.extend(
+                    _hfile_records(read_hfile_bytes(block.content, f"{lp}:hfile-block"))
+                )
+            elif block.block_type == DELETE_BLOCK:
+                buf = _io.BytesIO(block.content)
+                (_dv, ln) = _struct.unpack(">ii", buf.read(8))
+                schema_json = block.headers.get(H_SCHEMA) or DELETE_RECORD_LIST_SCHEMA
+                wrapper = decode_value(_json.loads(schema_json), _io.BytesIO(buf.read(ln)))
+                for dr in wrapper.get("deleteRecordList") or []:
+                    key = dr.get("recordKey")
+                    if key:
+                        ordered.append((key, {"_tombstone": True}))
+            else:
+                raise ValueError(
+                    f"{lp}: unsupported metadata log block type {block.block_type}"
+                )
+    return sorted(merge_metadata_records(ordered).items())
+
+
+def metadata_logs_supported(log_paths: list[str]) -> bool:
+    """Cheap probe: every block in every log parses and is a type the
+    merge supports. Corrupt/unknown content -> False (callers warn and
+    fall back to footers / timeline replay instead of failing the read)."""
+    from incubator_xtable_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        DELETE_BLOCK,
+        HFILE_DATA_BLOCK,
+        read_log_blocks,
+    )
+
+    try:
+        for lp in log_paths:
+            for block in read_log_blocks(lp):
+                if block.block_type not in (AVRO_DATA_BLOCK, HFILE_DATA_BLOCK, DELETE_BLOCK):
+                    return False
+    except Exception:
+        return False
+    return True
+
+
+def decode_files_partition(cells: list[tuple[bytes, bytes]], schema_json: str) -> dict[str, dict[str, int]]:
+    """Inverse of files_partition_records over raw HFile cells (row, value):
+    -> {partition_path: {file_name: size}}, tombstoned files dropped."""
+    state: dict[str, dict[str, int]] = {}
+    for _row, value in cells:
+        rec = decode_binary_record(schema_json, value)
+        if rec.get("type") != 2:
+            continue
+        part = rec["key"]
+        part = "" if part == NON_PARTITIONED_NAME else part
+        files = {}
+        for fn, info in (rec.get("filesystemMetadata") or {}).items():
+            if not info.get("isDeleted"):
+                files[fn] = int(info["size"])
+        state[part] = files
+    return state

@@ -33,6 +33,7 @@ write + atomic rename — no driver-side collect of stats rows.
 from __future__ import annotations
 
 import glob
+import json
 import logging
 import os
 import shutil
@@ -131,12 +132,53 @@ def _latest_hfile_slices(d: str) -> list[str]:
     return sorted(p for _, p in best.values())
 
 
+def slice_log_files(d: str, hfile_path: str) -> list[str]:
+    """Unmerged log files of the slice whose base file is ``hfile_path``:
+    names ``.<fileId>_<baseInstant>.log.<version>_<writeToken>`` matching
+    the base's fileId and instant, ordered by log version (the merge
+    order real Hudi's MOR view applies)."""
+    name = os.path.basename(hfile_path)[: -len(".hfile")]
+    parts = name.split("_")
+    if len(parts) < 3:
+        return []
+    file_id, instant = parts[0], parts[2]
+    prefix = f".{file_id}_{instant}.log."
+    out = []
+    for p in glob.glob(os.path.join(d, f"{prefix}*")):
+        tail = os.path.basename(p)[len(prefix):]
+        try:
+            version = int(tail.split("_")[0])
+        except ValueError:
+            continue
+        out.append((version, p))
+    return [p for _, p in sorted(out)]
+
+
+def _hfile_partition_state(d: str) -> tuple[list[tuple[str, list[str]]], bool]:
+    """-> ([(latest base hfile, its ordered logs)], logs_ok). logs_ok is
+    False when any slice carries a log file the merge cannot decode — the
+    caller warns and falls back instead of serving stale/partial state
+    (r7 refused ALL log-bearing slices; r8 merges supported ones through
+    sources/hudi_log + the pure avro codec)."""
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        metadata_logs_supported,
+    )
+
+    slices = []
+    for base in _latest_hfile_slices(d):
+        logs = slice_log_files(d, base)
+        if logs and not metadata_logs_supported(logs):
+            return [], False
+        slices.append((base, logs))
+    return slices, True
+
+
 def hfile_col_stats_available(base_path: str) -> bool:
     """REAL-Hudi col-stats tier availability: the table config advertises
-    the partition, HFile base files exist, and no unmerged log files sit on
-    top of them (this reader is read-optimized; a log-bearing slice could
-    carry newer stats, so it drops to footers with a warning instead of
-    serving stale values)."""
+    the partition and HFile base files exist. Log-bearing slices are
+    MERGED (AVRO/HFILE/DELETE log blocks via the pure-python codecs);
+    only an undecodable log file drops the tier to parquet footers, with
+    a warning."""
     from incubator_xtable_spark.sources.hudi_source import read_properties
 
     props = read_properties(base_path)
@@ -144,19 +186,15 @@ def hfile_col_stats_available(base_path: str) -> bool:
     if COLUMN_STATS_PARTITION not in parts:
         return False
     d = os.path.join(base_path, HFILE_COL_STATS_SUBDIR)
-    bases = _latest_hfile_slices(d)
-    if not bases:
-        return False
-    logs = glob.glob(os.path.join(d, "*.log.*")) + glob.glob(os.path.join(d, ".*.log.*"))
-    if logs:
+    slices, logs_ok = _hfile_partition_state(d)
+    if not logs_ok:
         log.warning(
-            "column_stats metadata partition of %s has %d unmerged log file(s); "
-            "the HFile tier is read-optimized — falling back to parquet footers",
+            "column_stats metadata partition of %s has undecodable log "
+            "file(s); falling back to parquet footers",
             base_path,
-            len(logs),
         )
         return False
-    return True
+    return bool(slices)
 
 
 def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructType) -> DataFrame:
@@ -164,11 +202,12 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
     the engine's stat-record shape: one row per (file_name, column_name)
     with min/max re-encoded by the data schema's column types.
 
-    Distribution: one task per HFile (pure-python HFile + Avro decode in
-    Arrow batch workers — index files are metadata-sized); the schema
-    travels as JSON, values re-encode executor-side. No driver funnel.
+    Distribution: one task per file SLICE — base HFile plus its unmerged
+    log files (pure-python HFile/log/Avro codecs in Arrow batch workers —
+    index files are metadata-sized); the schema travels as JSON, values
+    re-encode executor-side. No driver funnel.
     """
-    paths = _latest_hfile_slices(os.path.join(base_path, HFILE_COL_STATS_SUBDIR))
+    slices, _ = _hfile_partition_state(os.path.join(base_path, HFILE_COL_STATS_SUBDIR))
     schema_json = schema.json()
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out_schema = T.StructType(
@@ -195,8 +234,9 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
         import pandas as pd
         from pyspark.sql import types as _T
 
-        from incubator_xtable_spark.model.avro_codec import decode_binary_record
-        from incubator_xtable_spark.model.hfile import read_hfile
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            merged_metadata_slice_records,
+        )
         from incubator_xtable_spark.model.stat_codec import encode_stat
 
         data_schema = _T.StructType.fromJson(_json.loads(schema_json))
@@ -226,14 +266,11 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
             return v
         for pdf in batches:
             rows = []
-            for p in pdf["hfile_path"]:
-                hf = read_hfile(p)
-                avsc = hf.file_info.get("schema")
-                if avsc is None:
-                    raise ValueError(f"{p}: HFile carries no avro schema in file info")
-                avsc = avsc.decode("utf-8")
-                for cell in hf.cells:
-                    rec = decode_binary_record(avsc, cell.value)
+            for p, logs_json in zip(pdf["hfile_path"], pdf["log_paths"]):
+                # base + unmerged log files resolve slice-side (r8: the
+                # log-bearing limitation is lifted; tombstoned records
+                # drop out in the merge)
+                for _key, rec in merged_metadata_slice_records(p, _json.loads(logs_json)):
                     cs = rec.get("ColumnStatsMetadata")
                     if cs is None:
                         continue
@@ -254,9 +291,12 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    listing = spark.createDataFrame([(p,) for p in paths], "hfile_path STRING")
-    if listing.rdd.getNumPartitions() < len(paths):
-        listing = listing.repartition(len(paths))
+    listing = spark.createDataFrame(
+        [(p, json.dumps(logs)) for p, logs in slices],
+        "hfile_path STRING, log_paths STRING",
+    )
+    if listing.rdd.getNumPartitions() < len(slices):
+        listing = listing.repartition(len(slices))
     return listing.mapInPandas(_decode, out_schema)
 
 
@@ -328,8 +368,8 @@ def stats_with_hfile_tier(
 def files_index_available(base_path: str) -> bool:
     """isMetadataPartitionAvailable(FILES) analog: the table config must
     list the `files` partition AND readable parquet deltas must exist (a
-    real-Hudi HFile files index satisfies the first only — callers drop
-    to timeline replay, the same posture as the col-stats footer tier)."""
+    real-Hudi HFile files index satisfies the first only — those route
+    through hfile_files_available / hfile_files_listing instead)."""
     from incubator_xtable_spark.sources.hudi_source import read_properties
 
     props = read_properties(base_path)
@@ -337,6 +377,105 @@ def files_index_available(base_path: str) -> bool:
     if FILES_PARTITION not in parts:
         return False
     return bool(glob.glob(os.path.join(files_dir(base_path), "*.parquet")))
+
+
+def hfile_files_available(base_path: str) -> bool:
+    """REAL-Hudi `files`-partition listing tier (r8): the config advertises
+    the partition and HFile base files exist in it. Log-bearing slices are
+    merged like the col-stats tier; only undecodable logs drop to timeline
+    replay, with a warning. Ref hudi/HudiDataFileExtractor.java:102-126 —
+    the reference's primary listing path via the metadata table."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if FILES_PARTITION not in parts:
+        return False
+    slices, logs_ok = _hfile_partition_state(files_dir(base_path))
+    if not logs_ok:
+        log.warning(
+            "files metadata partition of %s has undecodable log file(s); "
+            "falling back to timeline replay",
+            base_path,
+        )
+        return False
+    return bool(slices)
+
+
+def hfile_files_head_instant(base_path: str) -> str | None:
+    """Freshness mark of the `files` HFile index: the newest base-file
+    instant, advanced by any unmerged log blocks' INSTANT_TIME headers
+    (a log-bearing slice is as fresh as its newest applied delta) — a
+    lagging index must not serve a stale listing."""
+    from incubator_xtable_spark.sources.hudi_log import H_INSTANT_TIME, read_log_blocks
+
+    d = files_dir(base_path)
+    best = None
+    for p in _latest_hfile_slices(d):
+        name = os.path.basename(p)[: -len(".hfile")]
+        parts = name.split("_")
+        if len(parts) >= 3 and (best is None or parts[2] > best):
+            best = parts[2]
+        for lp in slice_log_files(d, p):
+            try:
+                for block in read_log_blocks(lp):
+                    inst = block.headers.get(H_INSTANT_TIME)
+                    if inst and (best is None or inst > best):
+                        best = inst
+            except Exception:  # undecodable logs already disable the tier
+                continue
+    return best
+
+
+def hfile_files_listing(spark: SparkSession, base_path: str) -> DataFrame:
+    """Decode a REAL Hudi `files` partition (HFile base files + unmerged
+    log files) into (partition_path, file_name, file_size) — one task per
+    file slice, pure-python HFile/log/avro codecs in Arrow batch workers;
+    the same distribution as hfile_stats_records. Tombstoned files drop
+    out in the HoodieMetadataPayload map merge."""
+    slices, _ = _hfile_partition_state(files_dir(base_path))
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_schema = T.StructType(
+        [
+            T.StructField("partition_path", T.StringType(), False),
+            T.StructField("file_name", T.StringType(), False),
+            T.StructField("file_size", T.LongType(), False),
+        ]
+    )
+
+    def _decode(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import json as _json
+
+        import pandas as pd
+
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            NON_PARTITIONED_NAME,
+            merged_metadata_slice_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for p, logs_json in zip(pdf["hfile_path"], pdf["log_paths"]):
+                for key, rec in merged_metadata_slice_records(p, _json.loads(logs_json)):
+                    if rec.get("type") != 2:
+                        continue
+                    part = "" if key == NON_PARTITIONED_NAME else key
+                    for fn, info in (rec.get("filesystemMetadata") or {}).items():
+                        if not info.get("isDeleted"):
+                            rows.append((part, fn, int(info["size"])))
+            yield pd.DataFrame(rows, columns=["partition_path", "file_name", "file_size"])
+
+    listing = spark.createDataFrame(
+        [(p, json.dumps(logs)) for p, logs in slices],
+        "hfile_path STRING, log_paths STRING",
+    )
+    if listing.rdd.getNumPartitions() < len(slices):
+        listing = listing.repartition(len(slices))
+    return listing.mapInPandas(_decode, out_schema)
 
 
 def relativize_expr(base_path: str, col: str = "physical_path"):

@@ -441,24 +441,13 @@ class HudiConversionSource:
         from incubator_xtable_spark.sources.hudi_metadata import (
             files_dir,
             files_index_available,
-            file_listing_from_index,
+            hfile_files_available,
+            hfile_files_head_instant,
+            hfile_files_listing,
             read_files_index,
         )
-
-        if not files_index_available(self.base_path):
-            return None
-        # freshness: the newest index delta must match the head instant —
-        # a lagging index (e.g. real-Hudi HFile index, or a writer that
-        # stopped maintaining it) falls back to timeline replay
-        deltas = sorted(
-            os.path.basename(p)[: -len(".parquet")]
-            for p in _glob.glob(os.path.join(files_dir(self.base_path), "*.parquet"))
-        )
-        if not deltas or deltas[-1] != latest:
-            return None
         from incubator_xtable_spark.targets.hudi_target import instant_to_epoch_ms
 
-        idx = read_files_index(self.spark, self.base_path)
         base = self.base_path.rstrip("/")
         abs_path = F.concat(
             F.lit(base + "/"),
@@ -468,18 +457,49 @@ class HudiConversionSource:
             ).otherwise(F.lit("")),
             F.col("file_name"),
         )
-        # epoch ms per instant resolved driver-side (bounded by commit
-        # count) and joined in as a small map literal
-        instants = sorted({r["commit_instant"] for r in idx.select("commit_instant").distinct().collect()})
-        ms_map = F.create_map(
-            *[x for i in instants for x in (F.lit(i), F.lit(instant_to_epoch_ms(i)))]
-        )
-        listing = idx.select(
-            abs_path.alias("physical_path"),
-            F.col("file_size").cast("long").alias("size_bytes"),
-            ms_map[F.col("commit_instant")].alias("last_modified_ms"),
-        )
-        return self._listing_to_inventory(listing, table, with_stats)
+
+        if files_index_available(self.base_path):
+            # freshness: the newest index delta must match the head instant —
+            # a lagging index (a writer that stopped maintaining it) falls
+            # back to timeline replay
+            deltas = sorted(
+                os.path.basename(p)[: -len(".parquet")]
+                for p in _glob.glob(os.path.join(files_dir(self.base_path), "*.parquet"))
+            )
+            if not deltas or deltas[-1] != latest:
+                return None
+            idx = read_files_index(self.spark, self.base_path)
+            # epoch ms per instant resolved driver-side (bounded by commit
+            # count) and joined in as a small map literal
+            instants = sorted({r["commit_instant"] for r in idx.select("commit_instant").distinct().collect()})
+            ms_map = F.create_map(
+                *[x for i in instants for x in (F.lit(i), F.lit(instant_to_epoch_ms(i)))]
+            )
+            listing = idx.select(
+                abs_path.alias("physical_path"),
+                F.col("file_size").cast("long").alias("size_bytes"),
+                ms_map[F.col("commit_instant")].alias("last_modified_ms"),
+            )
+            return self._listing_to_inventory(listing, table, with_stats)
+
+        if hfile_files_available(self.base_path):
+            # REAL-Hudi HFile `files` partition (r8): full-state base file
+            # at the head instant serves the listing; a lagging index falls
+            # back to timeline replay. The full-state model carries no
+            # per-file commit instant, so last_modified_ms is the index
+            # snapshot instant (the head commit) for every row.
+            head = hfile_files_head_instant(self.base_path)
+            if head != latest:
+                return None
+            idx = hfile_files_listing(self.spark, self.base_path)
+            listing = idx.select(
+                abs_path.alias("physical_path"),
+                F.col("file_size").cast("long").alias("size_bytes"),
+                F.lit(instant_to_epoch_ms(head)).alias("last_modified_ms"),
+            )
+            return self._listing_to_inventory(listing, table, with_stats)
+
+        return None
 
     def _to_inventory(self, rows: list[dict], table: InternalTable, with_stats: bool) -> DataFrame:
         from incubator_xtable_spark.targets.hudi_target import instant_to_epoch_ms

@@ -111,6 +111,7 @@ class HudiConversionTarget:
         table_name: Optional[str] = None,
         change_feed: bool = False,
         metadata_indexes: bool = True,
+        metadata_index_format: str = "parquet",
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -121,6 +122,17 @@ class HudiConversionTarget:
         # hoodie.metadata.enable=false escape hatch, and this engine's
         # source uses its timeline-replay + footer tiers
         self.metadata_indexes = metadata_indexes
+        # "parquet" (default): engine-internal LITE per-commit parquet
+        # deltas. "hfile": REAL Hudi metadata-table layout — full-state
+        # HFile base files + the metadata table's own timeline, readable
+        # by real Hudi AND by this engine's HFile read tier (r7). See
+        # targets/hudi_metadata_index.py for the always-compacted model.
+        if metadata_index_format not in ("parquet", "hfile"):
+            raise ValueError(
+                f"metadata_index_format must be 'parquet' or 'hfile', "
+                f"got {metadata_index_format!r}"
+            )
+        self.metadata_index_format = metadata_index_format
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -289,6 +301,9 @@ class HudiConversionTarget:
 
         from incubator_xtable_spark.model.core import drain_rows
 
+        hfile_mode = self.metadata_indexes and self.metadata_index_format == "hfile"
+        hfile_adds: list[dict] = []
+        adds_have_stats = self._adds is not None and "column_stats" in self._adds.columns
         partition_to_stats: dict[str, list[dict]] = {}
         if self._adds is not None:
             for row in drain_rows(self._adds, "auto" if self._snapshot_sync else None):
@@ -312,12 +327,24 @@ class HudiConversionTarget:
                     "partitionPath": partition,
                 }
                 partition_to_stats.setdefault(partition, []).append(stats)
+                if hfile_mode:
+                    hfile_adds.append(
+                        {
+                            "rel_path": rel,
+                            "size_bytes": row["size_bytes"],
+                            "record_count": row["record_count"],
+                            "column_stats": row["column_stats"] if adds_have_stats else None,
+                        }
+                    )
 
         partition_to_replaced: dict[str, list[str]] = {}
+        hfile_removed: list[str] = []
         if has_replacements:
             for row in drain_rows(self._replaced_paths):
                 rel = self._relativize(row["path"])
                 partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
+                if hfile_mode:
+                    hfile_removed.append(rel)
 
         # maintain the col-stats index BEFORE completing the instant (the
         # write-client posture: an orphan index delta from a crashed commit
@@ -338,7 +365,20 @@ class HudiConversionTarget:
             if has_replacements
             else None
         )
-        if self.metadata_indexes:
+        if hfile_mode:
+            from incubator_xtable_spark.targets.hudi_metadata_index import (
+                write_hfile_index_commit,
+            )
+
+            write_hfile_index_commit(
+                self.base_path,
+                instant,
+                hfile_adds,
+                hfile_removed,
+                self._schema,
+                self.table_name or (self._table.name if self._table else "table"),
+            )
+        elif self.metadata_indexes:
             write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
             write_files_delta(self._adds, removed_for_index, self.base_path, instant)
 

@@ -317,9 +317,15 @@ def test_tombstoned_file_falls_back_to_footer(spark, hudi_table):
     assert _stats_by_path(served) == _stats_by_path(footers)
 
 
-def test_unmerged_logs_disable_hfile_tier(spark, hudi_table):
-    """A log file atop the column_stats base files means newer unmerged
-    stats exist; the read-optimized tier must refuse (footer fallback)."""
+def test_undecodable_log_disables_hfile_tier(spark, hudi_table):
+    """r8: log-bearing slices MERGE; only a log the codec cannot decode
+    (an unsupported block type) drops the tier to footers. A bare torn
+    tail (magic only, no complete block) is a recovered write — the tier
+    stays available and serves the base state."""
+    from incubator_xtable_spark.sources.hudi_log import (
+        PARQUET_DATA_BLOCK,
+        _block_bytes,
+    )
     from incubator_xtable_spark.sources.hudi_metadata import (
         HFILE_COL_STATS_SUBDIR,
         hfile_col_stats_available,
@@ -330,8 +336,12 @@ def test_unmerged_logs_disable_hfile_tier(spark, hudi_table):
     _drop_lite_index(hudi_table)
     assert hfile_col_stats_available(hudi_table)
     d = os.path.join(hudi_table, HFILE_COL_STATS_SUBDIR)
-    with open(os.path.join(d, ".col-stats-0000-0_00000000000000010.log.1_0-1-1"), "wb") as fh:
-        fh.write(b"#HUDI#")
+    torn = os.path.join(d, ".col-stats-0000-0_00000000000000010.log.1_0-1-1")
+    with open(torn, "wb") as fh:
+        fh.write(b"#HUDI#")  # torn write: magic, no block
+    assert hfile_col_stats_available(hudi_table)
+    with open(torn, "wb") as fh:
+        fh.write(_block_bytes(PARQUET_DATA_BLOCK, {}, b"PAR1notreallyparquet"))
     assert not hfile_col_stats_available(hudi_table)
 
 
