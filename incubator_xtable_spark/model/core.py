@@ -164,6 +164,12 @@ class InternalSnapshot:
     # DataFrame[ROW_DELETES_SCHEMA] when the source exposes row-level
     # deletes instead of purging shadow files (None otherwise)
     row_deletes: Any = None
+    # equality-delete channel (Iceberg expose_equality_deletes=True):
+    # {"files": [{file_path, file_size, record_count, sequence_number,
+    # equality_columns, partition}], "data_sequences": {path: seq}} —
+    # metadata-sized; targets that can express content=2 deletes
+    # re-register the SAME files with preserved sequence ordering
+    equality_deletes: Any = None
 
 
 @dataclass
@@ -176,6 +182,7 @@ class TableChange:
     files_removed: Any  # DataFrame[FILE_INVENTORY_SCHEMA]
     source_identifier: Optional[str] = None
     row_deletes: Any = None  # DataFrame[ROW_DELETES_SCHEMA] or None
+    equality_deletes: Any = None  # see InternalSnapshot.equality_deletes
     # CDC channel (sources with emit_row_changes=True): the commit's
     # row-level changes — table columns + `_change_type` (insert /
     # update_preimage / update_postimage / delete). Targets that can

@@ -28,6 +28,10 @@ class TableSyncMetadata:
     # a mode flip between syncs forces a FULL restatement (the two
     # representations use different effective paths)
     row_deletes_mode: bool = False
+    # True when the sync ran with the equality-delete channel active
+    # (content=2 files re-registered instead of lowered to positions);
+    # a flip forces a FULL restatement like row_deletes_mode
+    equality_deletes_mode: bool = False
     # non-default source view the sync ran under (e.g. Hudi MOR
     # "snapshot" = log-merged compaction shadows); a view flip between
     # syncs changes every log-bearing slice's effective path, so it
@@ -43,6 +47,7 @@ class TableSyncMetadata:
                 "sourceTableFormat": self.source_table_format,
                 "sourceIdentifier": self.source_identifier,
                 "rowDeletesMode": self.row_deletes_mode,
+                "equalityDeletesMode": self.equality_deletes_mode,
                 "sourceView": self.source_view,
             },
             sort_keys=True,
@@ -58,5 +63,6 @@ class TableSyncMetadata:
             source_table_format=d.get("sourceTableFormat"),
             source_identifier=d.get("sourceIdentifier"),
             row_deletes_mode=bool(d.get("rowDeletesMode", False)),
+            equality_deletes_mode=bool(d.get("equalityDeletesMode", False)),
             source_view=d.get("sourceView"),
         )

@@ -347,6 +347,25 @@ def _version_at_or_after(base_path: str, ts: str) -> int:
     return (versions[-1] + 1) if versions else 0
 
 
+def _commit_data_bytes(base_path: str, version: int) -> int:
+    """Planned data bytes of one commit from its OWN json: dataChange add
+    sizes + CDC file sizes (metadata read only — no file stats)."""
+    commit_file = os.path.join(_log_dir(base_path), f"{version:020d}.json")
+    if not os.path.exists(commit_file):
+        return 0
+    total = 0
+    with open(commit_file, encoding="utf-8") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if a.get("add") and a["add"].get("dataChange", True):
+                total += int(a["add"].get("size") or 0)
+            elif a.get("cdc"):
+                total += int(a["cdc"].get("size") or 0)
+    return total
+
+
 class _CDFPartition(InputPartition):
     def __init__(self, payload: str) -> None:
         self.payload = payload
@@ -371,8 +390,9 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         # latestOffset ONCE per run, so the option bounds the RUN to N
         # commits — repeated availableNow runs against one checkpoint
         # drain the backlog N commits at a time (bounded catch-up).
-        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
-        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        from incubator_xtable_spark.streaming.pacing import read_pacing_options
+
+        self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
         self._floor = self.starting - 1
         self.schema = schema
         meta = _py_latest_metadata(self.base_path)
@@ -391,11 +411,19 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         from incubator_xtable_spark.sources.delta_source import list_log_versions
+        from incubator_xtable_spark.streaming.pacing import paced_head
 
         versions = list_log_versions(self.base_path)
         latest = versions[-1] if versions else self.starting - 1
-        if self.max_per_trigger is not None:
-            latest = min(latest, self._floor + self.max_per_trigger)
+        ahead = [v for v in versions if v > self._floor]
+        head = paced_head(
+            ahead,
+            lambda v: _commit_data_bytes(self.base_path, v),
+            self.max_per_trigger,
+            self.max_bytes_per_trigger,
+        )
+        if head is not None:
+            latest = min(latest, head)
         self._floor = max(self._floor, latest)
         return {"version": latest}
 

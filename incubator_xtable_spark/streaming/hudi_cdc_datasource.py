@@ -108,6 +108,24 @@ def _plan_instant(base_path: str, instant: str, action: str) -> list[dict]:
     )
 
 
+def _instant_data_bytes(base_path: str, instant: str, action: str) -> int:
+    """Planned data bytes of one instant from its commit metadata: write
+    stats' fileSizeInBytes plus CDC supplemental file sizes."""
+    from incubator_xtable_spark.targets.hudi_target import read_commit_metadata
+
+    try:
+        meta = read_commit_metadata(base_path, instant, action)
+    except OSError:
+        return 0
+    total = 0
+    for stats in (meta.get("partitionToWriteStats") or {}).values():
+        for st in stats:
+            total += int(st.get("fileSizeInBytes") or 0)
+            for sz in (st.get("cdcStats") or {}).values():
+                total += int(sz or 0)
+    return total
+
+
 class _Part(InputPartition):
     def __init__(self, payload: str) -> None:
         self.payload = payload
@@ -121,8 +139,9 @@ class HudiCDCStreamReader(DataSourceStreamReader):
         self.starting = options.get("startinginstant", options.get("startingInstant"))
         # best-effort micro-batch pacing; see cdf_datasource for the
         # floor-tracking contract and its restart caveat
-        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
-        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        from incubator_xtable_spark.streaming.pacing import read_pacing_options
+
+        self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
         self._floor = self.starting
         self.table_schema = _table_schema(self.base_path)
 
@@ -130,16 +149,22 @@ class HudiCDCStreamReader(DataSourceStreamReader):
         return {"instant": self.starting}
 
     def latestOffset(self) -> dict:
+        from incubator_xtable_spark.streaming.pacing import paced_head
         from incubator_xtable_spark.targets.hudi_target import list_completed_instants
 
-        instants = [i for i, _ in list_completed_instants(self.base_path)]
+        completed = list_completed_instants(self.base_path)
+        instants = [i for i, _ in completed]
+        actions = dict(completed)
         latest = instants[-1] if instants else self.starting
-        if self.max_per_trigger is not None and instants:
+        if (self.max_per_trigger is not None or self.max_bytes_per_trigger is not None) and instants:
             ahead = [i for i in instants if self._floor is None or i > self._floor]
-            if ahead:
-                latest = ahead[: self.max_per_trigger][-1]
-            else:
-                latest = self._floor
+            head = paced_head(
+                ahead,
+                lambda i: _instant_data_bytes(self.base_path, i, actions[i]),
+                self.max_per_trigger,
+                self.max_bytes_per_trigger,
+            )
+            latest = head if head is not None else self._floor
         if latest is not None and (self._floor is None or latest > self._floor):
             self._floor = latest
         return {"instant": latest}

@@ -321,6 +321,21 @@ def _positions_from(sources: list[dict], file_path: str) -> set:
     return out
 
 
+def _snapshot_data_bytes(snapshot: dict) -> int:
+    """Planned data bytes of one snapshot from its summary
+    (added-files-size + removed-files-size, the standard Iceberg summary
+    keys — the engine's own target writes them since r8). Snapshots
+    without size summaries count 0 (best-effort pacing)."""
+    summary = snapshot.get("summary") or {}
+    total = 0
+    for key in ("added-files-size", "removed-files-size"):
+        try:
+            total += int(summary.get(key) or 0)
+        except (TypeError, ValueError):
+            pass
+    return total
+
+
 class IcebergCDCStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.base_path = (options.get("path") or "").rstrip("/")
@@ -331,8 +346,9 @@ class IcebergCDCStreamReader(DataSourceStreamReader):
         self.starting = int(raw) if raw is not None else None
         # best-effort micro-batch pacing; see cdf_datasource for the
         # floor-tracking contract and its restart caveat
-        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
-        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        from incubator_xtable_spark.streaming.pacing import read_pacing_options
+
+        self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
         self._floor = self.starting
         from incubator_xtable_spark.model.core import PartitionTransformType
         from incubator_xtable_spark.sources.iceberg_source import (
@@ -372,10 +388,14 @@ class IcebergCDCStreamReader(DataSourceStreamReader):
         return {"snapshot": self.starting}
 
     def latestOffset(self) -> dict:
+        from incubator_xtable_spark.streaming.pacing import paced_head
+
         meta = _py_meta(self.base_path)
         cur = meta.get("current-snapshot-id")
         latest = cur if cur is not None else self.starting
-        if self.max_per_trigger is not None and cur is not None:
+        if (
+            self.max_per_trigger is not None or self.max_bytes_per_trigger is not None
+        ) and cur is not None:
             by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
             chain, c = [], cur
             while c is not None and c != self._floor:
@@ -383,8 +403,14 @@ class IcebergCDCStreamReader(DataSourceStreamReader):
                 c = (by_id.get(c) or {}).get("parent-snapshot-id")
             if c == self._floor or self._floor is None:
                 ordered = list(reversed(chain))
-                if ordered:
-                    latest = ordered[min(self.max_per_trigger, len(ordered)) - 1]
+                head = paced_head(
+                    ordered,
+                    lambda sid: _snapshot_data_bytes(by_id.get(sid) or {}),
+                    self.max_per_trigger,
+                    self.max_bytes_per_trigger,
+                )
+                if head is not None:
+                    latest = head
                 elif self._floor is not None:
                     latest = self._floor
             # else: floor no longer on the chain — no pacing this round;

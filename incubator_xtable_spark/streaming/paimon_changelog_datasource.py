@@ -79,6 +79,26 @@ def _plan_snapshot(base_path: str, snapshot_id: int) -> list[dict]:
     return [{"kind": "rows", "path": src._entry_abs_path(e, sch)} for e in entries]
 
 
+def _snapshot_data_bytes(base_path: str, snapshot_id: int) -> int:
+    """Planned data bytes of one snapshot: _FILE_SIZE over its changelog
+    (or delta) manifests' ADD entries — metadata-sized avro reads only.
+    Missing/expired snapshots count 0 (partitions() raises the real
+    expiry error with context)."""
+    from incubator_xtable_spark.sources.paimon_source import FILE_KIND_ADD
+
+    src = _src(base_path)
+    try:
+        snap = src._snapshot(snapshot_id)
+    except (OSError, ValueError):
+        return 0
+    lists = [snap.get("changelogManifestList") or snap.get("deltaManifestList") or ""]
+    total = 0
+    for e in src._entries_for_lists([l for l in lists if l]):
+        if e["_KIND"] == FILE_KIND_ADD:
+            total += int(e["_FILE"]["_FILE_SIZE"] or 0)
+    return total
+
+
 class _Part(InputPartition):
     def __init__(self, payload: str) -> None:
         self.payload = payload
@@ -97,8 +117,9 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
         self.starting = int(raw) if raw is not None else 0
         # best-effort micro-batch pacing; see cdf_datasource for the
         # floor-tracking contract and its restart caveat
-        raw_max = options.get("maxcommitspertrigger", options.get("maxCommitsPerTrigger"))
-        self.max_per_trigger = int(raw_max) if raw_max is not None else None
+        from incubator_xtable_spark.streaming.pacing import read_pacing_options
+
+        self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
         self._floor = self.starting
         self.table_schema = src.get_table(latest).read_schema
 
@@ -106,10 +127,19 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
         return {"snapshot": self.starting}
 
     def latestOffset(self) -> dict:
+        from incubator_xtable_spark.streaming.pacing import paced_head
+
         latest = _src(self.base_path).latest_snapshot_id()
         latest = latest if latest is not None else self.starting
-        if self.max_per_trigger is not None:
-            latest = min(latest, self._floor + self.max_per_trigger)
+        if self.max_per_trigger is not None or self.max_bytes_per_trigger is not None:
+            ahead = list(range(self._floor + 1, latest + 1))
+            head = paced_head(
+                ahead,
+                lambda sid: _snapshot_data_bytes(self.base_path, sid),
+                self.max_per_trigger,
+                self.max_bytes_per_trigger,
+            )
+            latest = head if head is not None else min(latest, self._floor)
         self._floor = max(self._floor, latest)
         return {"snapshot": latest}
 

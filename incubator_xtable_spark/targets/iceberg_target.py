@@ -726,6 +726,31 @@ class IcebergConversionTarget:
             if e.get("status") == 1 and e.get("snapshot_id") != snapshot_id:
                 e["status"] = 0
 
+        # standard snapshot summary size/count stats (real Iceberg writers
+        # emit these; readers — incl. the engine's maxBytesPerTrigger
+        # stream pacing — size micro-batches from them)
+        added_entries = [
+            e for e in entries if e.get("snapshot_id") == snapshot_id and e.get("status") == 1
+        ]
+        survivor_paths = {e["data_file"]["file_path"] for e in entries}
+        removed_entries = [
+            e for e in current if e["data_file"]["file_path"] not in survivor_paths
+        ]
+        self._summary_stats = {
+            "added-data-files": str(len(added_entries)),
+            "added-files-size": str(
+                sum(int(e["data_file"].get("file_size_in_bytes") or 0) for e in added_entries)
+            ),
+            "added-records": str(
+                sum(int(e["data_file"].get("record_count") or 0) for e in added_entries)
+            ),
+            "deleted-data-files": str(len(removed_entries)),
+            "removed-files-size": str(
+                sum(int(e["data_file"].get("file_size_in_bytes") or 0) for e in removed_entries)
+            ),
+            "total-data-files": str(len(entries)),
+        }
+
         manifests = self._write_manifests(entries, snapshot_id, seq, counts[2])
         if delete_entries:
             manifests += self._write_manifests(
@@ -1155,7 +1180,10 @@ class IcebergConversionTarget:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
-            "summary": {"operation": "overwrite" if prev else "append"},
+            "summary": {
+                "operation": "overwrite" if prev else "append",
+                **getattr(self, "_summary_stats", {}),
+            },
             "schema-id": 0,
         }
         if snapshot["parent-snapshot-id"] is None:
