@@ -888,7 +888,9 @@ def _check_iceberg_manifests(
             )
         if e.get("added_snapshot_id") is not None and e["added_snapshot_id"] not in snapshots:
             report.add("ICE_MANIFEST_SNAPSHOT", mp, f"added_snapshot_id {e['added_snapshot_id']} unknown")
-        _check_iceberg_manifest_file(spark, base_path, mp, e.get("content") or 0, field_types, report)
+        _check_iceberg_manifest_file(
+            spark, base_path, mp, e.get("content") or 0, field_types, report, snap_seq
+        )
 
 
 def _check_iceberg_manifest_file(
@@ -898,6 +900,7 @@ def _check_iceberg_manifest_file(
     list_content: int,
     field_types: dict[int, str],
     report: ConformanceReport,
+    snap_seq: int = 0,
 ) -> None:
     report.checked_files += 1
     try:
@@ -932,6 +935,24 @@ def _check_iceberg_manifest_file(
         content = df.get("content") or 0
         if list_content == 1 and content not in (1, 2):
             report.add("ICE_DELETE_CONTENT", path, "delete manifest entries must have content 1/2")
+        if content == 2:
+            # v2 equality-delete shape + sequence rule: the ids must name
+            # real schema fields, and the entry's explicit sequence number
+            # must not exceed the snapshot's (the strict `delete_seq >
+            # data_seq` application rule relies on honest sequencing)
+            eq_ids = [_unwrap(x) for x in (df.get("equality_ids") or [])]
+            if not eq_ids:
+                report.add("ICE_EQ_IDS", path, "content=2 entry without equality_ids")
+            for fid in eq_ids:
+                if fid not in field_types:
+                    report.add("ICE_EQ_FIELD", path, f"equality id {fid} not in schema")
+            entry_seq = rec.get("sequence_number")
+            if entry_seq is not None and snap_seq and entry_seq > snap_seq:
+                report.add(
+                    "ICE_EQ_SEQ",
+                    path,
+                    f"equality delete sequence {entry_seq} > snapshot sequence {snap_seq}",
+                )
         if list_content == 0 and content != 0:
             report.add("ICE_DATA_CONTENT", path, "data manifest entries must have content 0")
         fp = _abs_path(df.get("file_path") or "", base_path)

@@ -61,6 +61,7 @@ class IcebergConversionSource:
         expose_row_deletes: bool = False,
         emit_row_changes: bool = False,
         ref: Optional[str] = None,
+        expose_equality_deletes: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -76,6 +77,17 @@ class IcebergConversionSource:
         # delete sets ride on snapshot/change.row_deletes (only valid
         # when every target can express row-level deletes)
         self.expose_row_deletes = expose_row_deletes
+        # When True, content=2 EQUALITY deletes keep their shape: the
+        # delete files + their equality columns and sequence numbers ride
+        # the equality channel for targets that can re-register them
+        # (Iceberg->Iceberg relays; ref keeps file content as-is).
+        # Requires expose_row_deletes (mixing carried equality deletes
+        # with purged position shadows would double-apply rows).
+        if expose_equality_deletes and not expose_row_deletes:
+            raise ValueError(
+                "expose_equality_deletes requires expose_row_deletes"
+            )
+        self.expose_equality_deletes = expose_equality_deletes
 
     # -- table -------------------------------------------------------------
 
@@ -610,19 +622,89 @@ class IcebergConversionSource:
         ]
         return self.spark.createDataFrame(rows, ROW_DELETES_SCHEMA)
 
+    def _equality_channel(
+        self, data_entries: list[dict], eq_entries: list[dict], table
+    ) -> dict:
+        """The equality-delete channel payload: the content=2 delete files
+        as-is (path, equality COLUMN NAMES, sequence number, partition)
+        plus every live data file's sequence number — the ordering a
+        target must preserve for the strict `delete_seq > data_seq` rule
+        to keep meaning the same thing after the relay. Metadata-sized."""
+        from incubator_xtable_spark.functions.partition_transforms import (
+            from_iceberg_partition_value,
+        )
+
+        by_id = {
+            (f.metadata or {}).get("xtable.fieldId"): f for f in table.read_schema.fields
+        }
+        pf_by_name = {pf.output_name: pf for pf in table.partition_fields}
+        files = []
+        for e in eq_entries:
+            df = e["data_file"]
+            ids = df.get("equality_ids") or []
+            if not ids:
+                raise ValueError(
+                    f"equality delete file {df['file_path']} has no equality_ids"
+                )
+            cols = []
+            for fid in ids:
+                f = by_id.get(fid)
+                if f is None:
+                    raise ValueError(
+                        f"equality delete references field id {fid} that is not a "
+                        "top-level column; nested equality columns are not supported"
+                    )
+                cols.append(f.name)
+            # spec-native manifest partition values -> the engine's
+            # serialized strings (the same conversion the inventory uses),
+            # so targets re-serialize transform-aware; {} = global delete
+            raw_part = df.get("partition") or {}
+            part = {
+                c: from_iceberg_partition_value(raw_part.get(c), pf_by_name[c])
+                for c in pf_by_name
+                if raw_part.get(c) is not None
+            }
+            files.append(
+                {
+                    "file_path": df["file_path"],
+                    "file_size": int(df.get("file_size_in_bytes") or 0),
+                    "record_count": int(df.get("record_count") or 0),
+                    "sequence_number": int(e.get("sequence_number") or 0),
+                    "equality_columns": cols,
+                    "partition": part,
+                }
+            )
+        return {
+            "files": files,
+            "data_sequences": {
+                e["data_file"]["file_path"]: int(e.get("sequence_number") or 0)
+                for e in data_entries
+            },
+        }
+
     def get_current_snapshot(self) -> InternalSnapshot:
         meta = self._meta()
         table = self.get_current_table()
         snapshot_id = self._head_snapshot_id(meta)
         entries, deletes = self._entries_by_content(meta, snapshot_id)
+        eq_entries: list[dict] = []
+        if self.expose_equality_deletes:
+            eq_entries = [e for e in deletes if (e["data_file"].get("content") or 0) == 2]
+            deletes = [e for e in deletes if (e["data_file"].get("content") or 0) != 2]
         affected = self._applicable_deletes(entries, deletes)
-        if affected and self.expose_row_deletes:
-            self._materialize_position_files(affected, deletes, entries)
+        if (affected or self.expose_equality_deletes) and self.expose_row_deletes:
+            if affected:
+                self._materialize_position_files(affected, deletes, entries)
             return InternalSnapshot(
                 table=table,
                 version=str(snapshot_id),
                 files=self._to_inventory(entries, table, None),
                 row_deletes=self._row_deletes_df(affected, entries, table),
+                equality_deletes=(
+                    self._equality_channel(entries, eq_entries, table)
+                    if self.expose_equality_deletes
+                    else None
+                ),
             )
         if affected:
             self._materialize_delete_shadows(affected, deletes, entries)
@@ -803,6 +885,14 @@ class IcebergConversionSource:
             # on row_deletes (targets supersede by stem, so re-stating an
             # unchanged set is a no-op and a changed set swaps files)
             cur_data, cur_dels = self._entries_by_content(meta, snapshot_id)
+            eq_entries: list[dict] = []
+            if self.expose_equality_deletes:
+                eq_entries = [
+                    e for e in cur_dels if (e["data_file"].get("content") or 0) == 2
+                ]
+                cur_dels = [
+                    e for e in cur_dels if (e["data_file"].get("content") or 0) != 2
+                ]
             parent = snap.get("parent-snapshot-id") if snap else None
             prev_data, _ = (
                 self._entries_by_content(meta, parent) if parent is not None else ([], [])
@@ -820,6 +910,11 @@ class IcebergConversionSource:
                 files_added=self._to_inventory(added, table, None),
                 files_removed=self._to_inventory(removed, table, None),
                 row_deletes=self._row_deletes_df(affected, cur_data, table),
+                equality_deletes=(
+                    self._equality_channel(cur_data, eq_entries, table)
+                    if self.expose_equality_deletes
+                    else None
+                ),
             )
 
         def eff_view(sid: Optional[int], materialize: bool):

@@ -172,6 +172,10 @@ class ConversionController:
         # target; a FULL restatement swaps representations safely
         if bool(getattr(source, "expose_row_deletes", False)) != bookmark.row_deletes_mode:
             return SyncMode.FULL
+        # equality-delete-channel flip: the two modes register different
+        # delete-file shapes (content=2 carries vs lowered positions)
+        if bool(getattr(source, "expose_equality_deletes", False)) != bookmark.equality_deletes_mode:
+            return SyncMode.FULL
         # source-view flip (e.g. Hudi MOR read-optimized <-> snapshot):
         # effective paths of log-bearing slices differ between views
         if getattr(source, "sync_view", None) != bookmark.source_view:
@@ -195,6 +199,7 @@ class ConversionController:
                     source_table_format=snapshot.table.table_format.value,
                     source_identifier=snapshot.source_identifier,
                     row_deletes_mode=bool(getattr(source, "expose_row_deletes", False)),
+                    equality_deletes_mode=bool(getattr(source, "expose_equality_deletes", False)),
                     source_view=getattr(source, "sync_view", None),
                 )
                 target.begin_sync(snapshot.table)
@@ -207,6 +212,8 @@ class ConversionController:
                     # this; a target without sync_row_deletes fails here
                     # and is isolated like any other target error
                     target.sync_row_deletes(snapshot.row_deletes)
+                if getattr(snapshot, "equality_deletes", None) is not None:
+                    target.sync_equality_deletes(snapshot.equality_deletes)
                 target.complete_sync()
                 results[fmt] = SyncResult(
                     mode=SyncMode.FULL,
@@ -280,6 +287,7 @@ class ConversionController:
                         source_table_format=change.table.table_format.value,
                         source_identifier=change.source_identifier,
                         row_deletes_mode=bool(getattr(source, "expose_row_deletes", False)),
+                        equality_deletes_mode=bool(getattr(source, "expose_equality_deletes", False)),
                         source_view=getattr(source, "sync_view", None),
                     )
                     target.begin_sync(change.table)
@@ -289,6 +297,8 @@ class ConversionController:
                     target.sync_files_for_diff(change)
                     if getattr(change, "row_deletes", None) is not None:
                         target.sync_row_deletes(change.row_deletes)
+                    if getattr(change, "equality_deletes", None) is not None:
+                        target.sync_equality_deletes(change.equality_deletes)
                     if getattr(change, "row_changes", None) is not None and hasattr(
                         target, "sync_row_changes"
                     ):

@@ -616,6 +616,7 @@ class IcebergConversionTarget:
         self._snapshot_files: Optional[DataFrame] = None
         self._committed_snapshot: Optional[int] = None
         self._row_deletes: Optional[DataFrame] = None
+        self._equality_deletes: Optional[dict] = None
 
     # -- sync steps --------------------------------------------------------
 
@@ -654,6 +655,18 @@ class IcebergConversionTarget:
         commit's sequence number — the data files are NOT rewritten."""
         self._row_deletes = deletes
 
+    def sync_equality_deletes(self, eq: dict) -> None:
+        """Equality-delete channel (Iceberg->Iceberg relay, r8): the
+        source's content=2 delete files re-register AS equality deletes —
+        same physical files, equality columns mapped by name into this
+        table's field ids, and the source's per-entry sequence numbers
+        preserved on BOTH the delete entries and the data entries so the
+        strict `delete_seq > data_seq` application rule keeps meaning
+        exactly what it meant in the source (the reference relays file
+        content as-is). Restates the COMPLETE set each sync — stale
+        carried entries drop."""
+        self._equality_deletes = eq
+
     # -- commit ------------------------------------------------------------
 
     def complete_sync(self) -> int:
@@ -663,6 +676,17 @@ class IcebergConversionTarget:
         now_ms = int(time.time() * 1000)
         snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
         seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
+        if self._equality_deletes is not None:
+            # source sequence numbers ride onto this table's entries; the
+            # snapshot's own sequence must dominate them all so that (a)
+            # every entry seq <= snapshot seq (spec rule) and (b) NEW
+            # position deletes written at `seq` still cover every data
+            # file (>= rule) regardless of how large the source seqs are
+            src_seqs = list(self._equality_deletes.get("data_sequences", {}).values()) + [
+                f["sequence_number"] for f in self._equality_deletes.get("files", [])
+            ]
+            if src_seqs:
+                seq = max(seq, max(src_seqs) + 1)
         # spec evolution resolves BEFORE any manifest writes so every
         # manifest this sync is tagged with the (possibly new) spec id
         self._spec_id, self._all_specs, self._last_partition_id = (
@@ -675,6 +699,9 @@ class IcebergConversionTarget:
         current = [e for e in current_all if (e["data_file"].get("content") or 0) == 0]
         current_deletes = [
             e for e in current_all if (e["data_file"].get("content") or 0) == 1
+        ]
+        current_eq = [
+            e for e in current_all if (e["data_file"].get("content") or 0) == 2
         ]
         if self._snapshot_mode:
             # snapshot-as-diff inherently compares full sets; the dict is
@@ -720,6 +747,22 @@ class IcebergConversionTarget:
                 ]
             else:
                 delete_entries = list(current_deletes)
+
+        if self._equality_deletes is not None:
+            # channel active: the complete equality set restates (stale
+            # carried content=2 entries drop), and this sync's NEW data
+            # entries inherit the SOURCE's sequence numbers so the strict
+            # `delete_seq > data_seq` rule is preserved verbatim
+            seq_map = self._equality_deletes.get("data_sequences", {})
+            for e in entries:
+                src_seq = seq_map.get(e["data_file"]["file_path"])
+                if src_seq is not None and e.get("snapshot_id") == snapshot_id:
+                    e["sequence_number"] = src_seq
+                    e["file_sequence_number"] = src_seq
+            delete_entries = delete_entries + self._equality_entries(snapshot_id)
+        else:
+            # legacy carry-forward, same posture as position deletes
+            delete_entries = delete_entries + list(current_eq)
 
         # carried-forward entries become EXISTING
         for e in entries + delete_entries:
@@ -795,6 +838,60 @@ class IcebergConversionTarget:
                             if os.path.exists(row["positions_path"])
                             else 0
                         ),
+                    },
+                }
+            )
+        return out
+
+    def _equality_entries(self, snapshot_id: int) -> list[dict]:
+        """Equality-delete channel -> content=2 manifest entries: the
+        SOURCE's physical delete files re-register with their equality
+        columns mapped into this table's field ids (stable across the
+        relay via xtable.fieldId) and their source sequence numbers
+        preserved. Global (partition-less) equality deletes on a
+        PARTITIONED table refuse loudly: the spec scopes them via an
+        unpartitioned spec this writer does not emit — lowering
+        (expose_equality_deletes=False) handles that case instead."""
+        eq = self._equality_deletes
+        files = eq.get("files") or []
+        if not files:
+            return []
+        ids = {f["name"]: f["id"] for f in schema_to_iceberg_fields(self._schema)}
+        partitioned = bool(getattr(self, "_partition_fields", None))
+        out = []
+        for f in files:
+            pv = dict(f.get("partition") or {})
+            if partitioned and not pv:
+                raise NotImplementedError(
+                    f"global equality delete {f['file_path']} cannot be "
+                    "relayed onto a partitioned table (needs an "
+                    "unpartitioned spec); convert with "
+                    "expose_equality_deletes=False to lower it to positions"
+                )
+            eq_ids = []
+            for name in f["equality_columns"]:
+                fid = ids.get(name)
+                if fid is None:
+                    raise ValueError(
+                        f"equality delete column {name!r} is not in the "
+                        "target schema"
+                    )
+                eq_ids.append(fid)
+            src_seq = int(f["sequence_number"])
+            out.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": src_seq,
+                    "file_sequence_number": src_seq,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": f["file_path"],
+                        "file_format": "PARQUET",
+                        "partition": self._iceberg_partition(pv),
+                        "record_count": f.get("record_count") or 0,
+                        "file_size_in_bytes": f.get("file_size") or 0,
+                        "equality_ids": eq_ids,
                     },
                 }
             )

@@ -588,3 +588,176 @@ def test_equality_delete_on_name_mapped_column(spark, tmp_path):
     _append_delete_snapshot(spark, idir, [(eq, [fid], {})])
     got = sorted(r["logical_id"] for r in read_iceberg_as_df(spark, idir).collect())
     assert got == [i for i in range(10) if i not in (3, 7)]
+
+
+# -- r8: equality-delete WRITES (Iceberg -> Iceberg relay) -------------------
+
+
+def _relay(spark, d, tmp_path, name="relay"):
+    """Source-with-eq-deletes -> fresh Iceberg target via the equality
+    channel; returns the target dir."""
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    out = str(tmp_path / name)
+    src = IcebergConversionSource(
+        spark, d, expose_row_deletes=True, expose_equality_deletes=True
+    )
+    res = ConversionController().sync(
+        src, {TableFormat.ICEBERG: IcebergConversionTarget(spark, out, table_name=name)}
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res[
+        TableFormat.ICEBERG
+    ].error
+    return out
+
+
+def _target_delete_entries(spark, out):
+    src = IcebergConversionSource(spark, out)
+    meta = src._meta()
+    return src._live_delete_entries(meta, meta["current-snapshot-id"])
+
+
+def test_relay_preserves_equality_shape_and_rows(spark, tmp_path):
+    """Equality deletes in -> equality deletes out: the target carries
+    content=2 entries referencing the SAME files with mapped ids, and the
+    row view matches the source exactly."""
+    d = _make_table(spark, tmp_path)
+    src0 = IcebergConversionSource(spark, d)
+    fid = _field_id(src0, "id")
+    eq = _eq_parquet(
+        os.path.join(d, "eqdel-1.parquet"), {"id": pa.array([3, 7, 12], pa.int64())}
+    )
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})])
+
+    out = _relay(spark, d, tmp_path)
+    dels = _target_delete_entries(spark, out)
+    eq_entries = [e for e in dels if (e["data_file"].get("content") or 0) == 2]
+    assert len(eq_entries) == 1
+    e = eq_entries[0]
+    assert e["data_file"]["file_path"] == eq  # SAME physical file
+    out_src = IcebergConversionSource(spark, out)
+    assert e["data_file"]["equality_ids"] == [_field_id(out_src, "id")]
+
+    assert _ids(read_iceberg_as_df(spark, out)) == _ids(read_iceberg_as_df(spark, d))
+    assert _ids(read_iceberg_as_df(spark, out)) == [
+        i for i in range(20) if i not in (3, 7, 12)
+    ]
+
+
+def test_relay_preserves_strict_sequence_rule(spark, tmp_path):
+    """The poisoned case for naive re-sequencing: a data file added AFTER
+    the equality delete (higher source seq) contains a matching row; if
+    the relay flattened all data to one sequence below the delete's, that
+    row would wrongly vanish. It must survive in the target."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import pyspark.sql.functions as F
+
+    d = _make_table(spark, tmp_path)
+    src0 = IcebergConversionSource(spark, d)
+    fid = _field_id(src0, "id")
+    newfile = os.path.join(d, "upsert-00001.parquet")
+    spark.createDataFrame([(3, "NEW")], "id LONG, name STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(newfile + ".dir")
+    part = _glob.glob(os.path.join(newfile + ".dir", "part-*.parquet"))[0]
+    _shutil.move(part, newfile)
+    _shutil.rmtree(newfile + ".dir")
+    eq = _eq_parquet(os.path.join(d, "eqdel-2.parquet"), {"id": pa.array([3], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})], data_files=[(newfile, 1)])
+
+    out = _relay(spark, d, tmp_path)
+    df = read_iceberg_as_df(spark, out)
+    assert _ids(df) == list(range(20))
+    assert df.filter(F.col("id") == 3).select("name").collect()[0][0] == "NEW"
+
+
+def test_relay_conformance_green_then_red_on_sequence_violation(spark, tmp_path):
+    """The relayed table passes conformance (incl. the new content=2
+    checks); stripping the equality_ids red-flags ICE_EQ_IDS and bumping
+    an entry's sequence past the snapshot's red-flags ICE_EQ_SEQ."""
+    from incubator_xtable_spark.model.avro_codec import read_ocf
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+    from incubator_xtable_spark.targets.iceberg_target import AvroIO, manifest_entry_schema
+
+    d = _make_table(spark, tmp_path)
+    src0 = IcebergConversionSource(spark, d)
+    fid = _field_id(src0, "id")
+    eq = _eq_parquet(os.path.join(d, "eqdel-1.parquet"), {"id": pa.array([3], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq, [fid], {})])
+    out = _relay(spark, d, tmp_path)
+    report = check_iceberg_conformance(spark, out)
+    assert report.passed, report.issues
+
+    # find the delete manifest and corrupt the entry's sequence number
+    src = IcebergConversionSource(spark, out)
+    meta = src._meta()
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    avro = AvroIO(spark)
+    victim = None
+    for mf in avro.read_records(snap["manifest-list"]):
+        if mf.get("content") == 1:
+            victim = mf["manifest_path"]
+            break
+    assert victim is not None
+    records, raw_meta = read_ocf(victim)
+    for rec in records:
+        df = rec.get("data_file") or {}
+        if (df.get("content") or 0) == 2:
+            rec["sequence_number"] = int(snap["sequence-number"]) + 100
+    schema_json = manifest_entry_schema([])
+    avro.write_records(
+        victim,
+        schema_json,
+        records,
+        {
+            "schema": raw_meta.get("schema", b"{}").decode("utf-8"),
+            "partition-spec": raw_meta.get("partition-spec", b"[]").decode("utf-8"),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    report = check_iceberg_conformance(spark, out)
+    assert any(i.code == "ICE_EQ_SEQ" for i in report.issues)
+
+
+def test_relay_incremental_restates_delete_set(spark, tmp_path):
+    """Incremental sync after a second delete snapshot: the target's
+    equality set restates (both files present) and rows stay in parity."""
+    d = _make_table(spark, tmp_path)
+    src0 = IcebergConversionSource(spark, d)
+    fid = _field_id(src0, "id")
+    eq1 = _eq_parquet(os.path.join(d, "eqdel-1.parquet"), {"id": pa.array([3], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq1, [fid], {})], seq=2, snapshot_id=999)
+
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    out = str(tmp_path / "relay")
+    src = IcebergConversionSource(
+        spark, d, expose_row_deletes=True, expose_equality_deletes=True
+    )
+    tgt = IcebergConversionTarget(spark, out, table_name="relay")
+    ctrl = ConversionController()
+    assert ctrl.sync(src, {TableFormat.ICEBERG: tgt})[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+
+    eq2 = _eq_parquet(os.path.join(d, "eqdel-2.parquet"), {"id": pa.array([7], pa.int64())})
+    _append_delete_snapshot(spark, d, [(eq2, [fid], {})], seq=3, snapshot_id=998)
+    res = ctrl.sync(src, {TableFormat.ICEBERG: tgt})
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res[
+        TableFormat.ICEBERG
+    ].error
+
+    dels = _target_delete_entries(spark, out)
+    eq_paths = sorted(
+        e["data_file"]["file_path"]
+        for e in dels
+        if (e["data_file"].get("content") or 0) == 2
+    )
+    assert eq_paths == sorted([eq1, eq2])
+    assert _ids(read_iceberg_as_df(spark, out)) == _ids(read_iceberg_as_df(spark, d))
+    assert _ids(read_iceberg_as_df(spark, out)) == [
+        i for i in range(20) if i not in (3, 7)
+    ]
