@@ -81,6 +81,28 @@ def to_iceberg_manifest(tag: str | None) -> str:
     return fmt
 
 
+def split_readable(pairs, *, reader: str) -> tuple[list[str], list[str]]:
+    """(parquet_paths, orc_paths) for readers that serve BOTH via Spark's
+    native scans (r8: ORC row-level reads behind the former refusal
+    sites). APACHE_AVRO and unknown tags still refuse loudly, naming the
+    file — the require_parquet contract, minus the orc branch."""
+    pq: list[str] = []
+    orc: list[str] = []
+    for path, tag in pairs:
+        tag = (tag or from_extension(path)).upper()
+        if tag == PARQUET:
+            pq.append(path)
+        elif tag == APACHE_ORC:
+            orc.append(path)
+        else:
+            raise NotImplementedError(
+                f"{reader}: data file {path!r} has format {tag}; this "
+                "row-level reader serves PARQUET and ORC only — convert "
+                "the file or read it with a format-native reader"
+            )
+    return pq, orc
+
+
 def require_parquet(pairs, *, reader: str) -> None:
     """Refuse loudly when a non-parquet data file reaches a parquet-based
     row-level read. ``pairs`` is an iterable of (path, format_tag); the

@@ -139,7 +139,7 @@ def vector_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENTROID_ORACLE = """
 SELECT label,
        CAST(pos AS INTEGER) AS pos,
-       CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean_val,
+       CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS mean_val,
        count(*) AS n_vectors
 FROM embeddings, range(1, 65) r(pos)
 GROUP BY label, pos
@@ -155,10 +155,19 @@ GROUP BY label, pos
 def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    # fixed-point mean: floor(x*1e9 + 0.5) -> exact int64 sum -> IEEE
+    # double division. Pure IEEE ops on BOTH engines — a decimal(18,9)
+    # cast is NOT cross-engine deterministic (Spark quantizes the double's
+    # SHORTEST string repr, DuckDB the exact binary value; they disagree
+    # by 1 ulp at digit 9 on ~1-in-1e4 float32 inputs — bit at sf0.1)
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(
-            (F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("mean_val"),
+            (
+                F.sum(F.floor(F.col("val").cast("double") * F.lit(1e9) + F.lit(0.5))).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e9)
+            ).alias("mean_val"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )

@@ -567,19 +567,52 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         restricts via anti (mode=drop: everything except) or semi
         (mode=keep: only) join on (file, row_index)."""
         item_paths = [os.path.join(base, p) for p, _, _ in items]
-        from incubator_xtable_spark.model.file_formats import require_parquet
+        from incubator_xtable_spark.model.file_formats import (
+            from_delta_provider,
+            from_extension,
+            split_readable,
+        )
 
-        require_parquet(((p, None) for p in item_paths), reader="read_delta_cdf")
+        provider_fmt = from_delta_provider(
+            meta["format"]["provider"] if meta["format"] is not None else None
+        )
+        pq_paths, orc_paths = split_readable(
+            ((p, from_extension(p, default=provider_fmt)) for p in item_paths),
+            reader="read_delta_cdf",
+        )
+        if orc_paths and (cm_mode in ("name", "id") or positions is not None):
+            raise NotImplementedError(
+                "read_delta_cdf: ORC data files do not support column "
+                "mapping or deletion-vector row diffs"
+            )
         if cm_mode == "id":
-            _require_field_ids(spark, item_paths)
-        df = spark.read.schema(T.StructType(data_fields)).parquet(*item_paths)
+            _require_field_ids(spark, pq_paths)
+        # _fp/_ri attach per branch: row_index is a parquet-only metadata
+        # field; the orc branch carries a null _ri (only consumed by the
+        # positions join, which orc refuses above)
+        fp = F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        branches = []
+        if pq_paths:
+            branches.append(
+                spark.read.schema(T.StructType(data_fields))
+                .parquet(*pq_paths)
+                .withColumn("_fp", fp)
+                .withColumn("_ri", F.col("_metadata.row_index"))
+            )
+        if orc_paths:
+            branches.append(
+                spark.read.schema(T.StructType(data_fields))
+                .orc(*orc_paths)
+                .withColumn("_fp", fp)
+                .withColumn("_ri", F.lit(None).cast("long"))
+            )
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
         df = _rename_back(df, cm_renames)
         for f, rf in zip(logical_fields, data_fields):
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        df = df.withColumn(
-            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
-        ).withColumn("_ri", F.col("_metadata.row_index"))
         if positions is not None:
             df = df.join(
                 positions,
@@ -820,20 +853,25 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     paths = [os.path.join(base, r["path"]) for r in live]
     if not paths:
         return spark.createDataFrame([], schema)
-    # non-parquet data files must refuse loudly here, never parse as parquet
+    # avro/unknown data files refuse loudly; orc row-reads natively (r8)
     from incubator_xtable_spark.model.file_formats import (
         from_delta_provider,
         from_extension,
-        require_parquet,
+        split_readable,
     )
 
     provider_fmt = from_delta_provider(
         meta["format"]["provider"] if meta["format"] is not None else None
     )
-    require_parquet(
+    pq_paths, orc_paths = split_readable(
         ((p, from_extension(p, default=provider_fmt)) for p in paths),
         reader="read_delta_as_df",
     )
+    if orc_paths and cm_mode in ("name", "id"):
+        raise NotImplementedError(
+            "read_delta_as_df: column mapping with ORC data files is not "
+            "supported (column mapping is a parquet-era table feature)"
+        )
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_struct = (
         _physical_type(T.StructType(data_fields), with_field_ids=cm_mode == "id")
@@ -841,9 +879,9 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         else T.StructType(data_fields)
     )
     if cm_mode == "id":
-        _require_field_ids(spark, paths)
-    df = spark.read.schema(read_struct).parquet(*paths)
-    if cm_mode in ("name", "id"):
+        _require_field_ids(spark, pq_paths)
+    df = spark.read.schema(read_struct).parquet(*pq_paths) if pq_paths else None
+    if df is not None and cm_mode in ("name", "id"):
         # physical -> logical: collision-safe rename, then cast nested
         # structs back (struct casts match by position, same shape)
         df = _rename_back(
@@ -853,6 +891,13 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
+    if orc_paths:
+        orc_set = set(orc_paths)
+        if any(os.path.join(base, r["path"]) in orc_set for r in dv_rows):
+            raise NotImplementedError(
+                "read_delta_as_df: deletion vectors on ORC data files are "
+                "not supported (DVs key on parquet row indexes)"
+            )
     if dv_rows:
         from incubator_xtable_spark.sources.delta_dv import (
             DV_DESCRIPTOR_SPARK_TYPE,
@@ -884,6 +929,12 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             )
             .drop("_fp", "_ri")
         )
+    if orc_paths:
+        # DV logic is parquet-branch-only (refused for orc above); the orc
+        # scan unions in afterwards — partition attachment below keys on
+        # input_file_name(), which is source-format-agnostic
+        orc_df = spark.read.schema(T.StructType(data_fields)).orc(*orc_paths)
+        df = orc_df if df is None else df.unionByName(orc_df)
     if part_cols:
         pv = spark.createDataFrame(
             [(os.path.join(base, r["path"]), dict(r["partitionValues"] or {})) for r in live],

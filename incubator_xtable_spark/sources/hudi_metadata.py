@@ -118,7 +118,12 @@ def col_stats_available(base_path: str) -> bool:
 def _latest_hfile_slices(d: str) -> list[str]:
     """Latest base .hfile per metadata file group. Base file names are
     ``<fileId>_<writeToken>_<instant>.hfile``; the latest instant per
-    fileId is the current slice's base file."""
+    fileId is the current slice's base file.
+
+    Known limitation (documented): real Hudi can be configured to write
+    metadata partitions with PARQUET base files; this probe globs .hfile
+    only, so such tables fall to the footer/timeline tiers — the safe
+    (slower, never wrong) direction."""
     best: dict[str, tuple[str, str]] = {}
     for p in glob.glob(os.path.join(d, "*.hfile")):
         name = os.path.basename(p)[: -len(".hfile")]

@@ -892,27 +892,50 @@ def read_hudi_as_df(
     # listing itself)
     import pyarrow.parquet as _pq
 
+    from incubator_xtable_spark.model.file_formats import APACHE_ORC, PARQUET
+    from incubator_xtable_spark.model.file_formats import from_extension as _from_ext
+
+    declared = (
+        read_properties(base_path).get("hoodie.table.base.file.format") or "PARQUET"
+    ).upper()
+    default_fmt = PARQUET if declared == "PARQUET" else APACHE_ORC
+
+    def _file_cols(abs_p: str, fmt: str) -> set[str]:
+        if fmt == APACHE_ORC:
+            import pyarrow.orc as _orc
+
+            return set(_orc.ORCFile(abs_p).schema.names)
+        return set(_pq.read_schema(abs_p).names)
+
+    # groups key on (partition-cols-present, file format): orc base files
+    # (hoodie.table.base.file.format=ORC, r8) read via spark.read.orc;
+    # avro refuses loudly in split_readable below
     part_cols = [pf.output_name for pf in table.partition_fields]
-    groups: dict[frozenset, list[dict]] = {}
+    groups: dict[tuple, list[dict]] = {}
     for r in rows:
         abs_p = os.path.join(base_path, r["path"])
-        if part_cols:
-            present = frozenset(
-                c for c in part_cols if c in set(_pq.read_schema(abs_p).names)
+        fmt = _from_ext(abs_p, default=default_fmt)
+        if fmt not in (PARQUET, APACHE_ORC):
+            raise NotImplementedError(
+                f"read_hudi_as_df: data file {abs_p!r} has format {fmt}; "
+                "PARQUET and ORC base files are row-readable"
             )
+        if part_cols:
+            present = frozenset(c for c in part_cols if c in _file_cols(abs_p, fmt))
         else:
             present = frozenset()
-        groups.setdefault(present, []).append(r)
+        groups.setdefault((present, fmt), []).append(r)
 
     parts: list[DataFrame] = []
-    for present, grp_rows in groups.items():
+    for (present, fmt), grp_rows in groups.items():
         grp_paths = [os.path.join(base_path, r["path"]) for r in grp_rows]
         fields = [
             f
             for f in table.read_schema.fields
             if f.name not in part_cols or f.name in present
         ]
-        df = spark.read.schema(T.StructType(fields)).parquet(*grp_paths)
+        reader = spark.read.schema(T.StructType(fields))
+        df = reader.orc(*grp_paths) if fmt == APACHE_ORC else reader.parquet(*grp_paths)
         missing = [c for c in part_cols if c not in present]
         if missing:
             pv_rows = []

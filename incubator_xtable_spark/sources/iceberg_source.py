@@ -1160,17 +1160,24 @@ def read_iceberg_as_df(
     table = src.get_current_table()
     sid = snapshot_id if snapshot_id is not None else src._head_snapshot_id(meta)
     entries, delete_entries = src._entries_by_content(meta, sid)
-    paths = [e["data_file"]["file_path"] for e in entries]
-    if not paths:
+    if not entries:
         return spark.createDataFrame([], table.read_schema)
-    # ORC/AVRO data files refuse loudly (never silently parsed as parquet)
-    _ff.require_parquet(
+    # AVRO data files refuse loudly; ORC row-reads natively (r8) as long
+    # as no row-level deletes are in force (delete application keys on
+    # parquet row indexes)
+    pq_paths, orc_paths = _ff.split_readable(
         (
             (e["data_file"]["file_path"], _ff.from_iceberg_manifest(e["data_file"].get("file_format")))
             for e in entries
         ),
         reader="read_iceberg_as_df",
     )
+    if orc_paths and delete_entries:
+        raise NotImplementedError(
+            "read_iceberg_as_df: row-level deletes with ORC data files are "
+            "not supported (delete application keys on parquet row indexes)"
+        )
+    paths = pq_paths
     from incubator_xtable_spark.model.core import PartitionTransformType
 
     # only IDENTITY partition columns are absent from the data files and
@@ -1191,9 +1198,24 @@ def read_iceberg_as_df(
     # _nm_path doubles as the scan-time path column: _metadata.file_path
     # binds per relation (input_file_name() would fail once the
     # delete-positions parquet joins in)
-    df = _read_name_mapped(spark, meta, data_fields.fields, paths).withColumnRenamed(
-        "_nm_path", "_scan_path"
+    df = (
+        _read_name_mapped(spark, meta, data_fields.fields, paths).withColumnRenamed(
+            "_nm_path", "_scan_path"
+        )
+        if paths
+        else None
     )
+    if orc_paths:
+        orc_df = (
+            spark.read.schema(data_fields)
+            .orc(*orc_paths)
+            .withColumn(
+                "_scan_path",
+                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),
+            )
+            .withColumn("_nm_pos", F.lit(None).cast("long"))
+        )
+        df = orc_df if df is None else df.unionByName(orc_df)
     if delete_entries:
         # v2 position deletes applied row-level: the delete parquet scan
         # distributes with the data scan, anti-joined on

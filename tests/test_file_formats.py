@@ -93,18 +93,33 @@ def _stats(ids):
     )
 
 
+def _write_real_orc(spark, path: str, rows: list[tuple]):
+    """One REAL orc file with the (id, label) schema at ``path``."""
+    import glob as _glob
+    import shutil as _shutil
+
+    d = path + ".dir"
+    spark.createDataFrame(rows, "id LONG, label STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).orc(d)
+    part = _glob.glob(os.path.join(d, "part-*.orc"))[0]
+    _shutil.move(part, path)
+    _shutil.rmtree(d)
+
+
 @pytest.fixture()
-def mixed_format_delta(tmp_path):
+def mixed_format_delta(tmp_path, spark):
     """A Delta table (provider=parquet) whose log registers one real parquet
-    file AND one .orc-named file (as a foreign writer could)."""
+    file AND one REAL orc file (as a foreign writer could)."""
     base = str(tmp_path / "mixed")
     os.makedirs(base, exist_ok=True)
     pq.write_table(
         pa.table({"id": pa.array([0, 1, 2], pa.int64()), "label": ["a", "b", "c"]}),
         os.path.join(base, "part-0001.parquet"),
     )
-    with open(os.path.join(base, "part-0002.orc"), "wb") as fh:
-        fh.write(b"ORC\x00not-really-readable-here")
+    _write_real_orc(
+        spark, os.path.join(base, "part-0002.orc"), [(3, "d"), (4, "e"), (5, "f")]
+    )
     meta = {
         "id": "fmt-test",
         "name": "fmt",
@@ -179,20 +194,22 @@ def test_orc_tag_survives_delta_to_iceberg(spark, mixed_format_delta, tmp_path):
     }
     assert fmts["part-0002.orc"] == "APACHE_ORC"
 
-    # row-level reads refuse loudly on BOTH sides, naming the file
-    with pytest.raises(NotImplementedError, match=r"part-0002\.orc"):
-        read_delta_as_df(spark, mixed_format_delta)
-    with pytest.raises(NotImplementedError, match=r"part-0002\.orc"):
-        read_iceberg_as_df(spark, mixed_format_delta)
+    # r8: BOTH row-level reads serve the ORC branch natively, and agree
+    want = [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"), (5, "f")]
+    got = sorted((r["id"], r["label"]) for r in read_delta_as_df(spark, mixed_format_delta).collect())
+    assert got == want
+    got_ice = sorted(
+        (r["id"], r["label"]) for r in read_iceberg_as_df(spark, mixed_format_delta).collect()
+    )
+    assert got_ice == want
 
 
 def test_provider_orc_defaults_extensionless_files(spark, tmp_path):
     """provider=orc: extension-less files default to APACHE_ORC (the
-    reference's provider rule), read refuses loudly."""
+    reference's provider rule) and row-read natively (r8)."""
     base = str(tmp_path / "orc_table")
     os.makedirs(base, exist_ok=True)
-    with open(os.path.join(base, "part-0001"), "wb") as fh:
-        fh.write(b"ORC\x00")
+    _write_real_orc(spark, os.path.join(base, "part-0001"), [(0, "x"), (1, "y")])
     meta = {
         "id": "orc-test",
         "name": "orc",
@@ -212,7 +229,7 @@ def test_provider_orc_defaults_extensionless_files(spark, tmp_path):
                 "add": {
                     "path": "part-0001",
                     "partitionValues": {},
-                    "size": 4,
+                    "size": os.path.getsize(os.path.join(base, "part-0001")),
                     "modificationTime": 1,
                     "dataChange": True,
                     "stats": _stats([0]),
@@ -223,8 +240,14 @@ def test_provider_orc_defaults_extensionless_files(spark, tmp_path):
     src = DeltaConversionSource(spark, base)
     rows = src.get_current_snapshot().files.collect()
     assert [r["file_format"] for r in rows] == ["APACHE_ORC"]
-    with pytest.raises(NotImplementedError, match="part-0001"):
-        read_delta_as_df(spark, base)
+    got = sorted((r["id"], r["label"]) for r in read_delta_as_df(spark, base).collect())
+    assert got == [(0, "x"), (1, "y")]
+    # row parity against the format-native reader (VERDICT r7 #5 done-gate)
+    native = sorted(
+        (r["id"], r["label"])
+        for r in spark.read.orc(os.path.join(base, "part-0001")).collect()
+    )
+    assert got == native
 
 
 def test_unknown_provider_refuses(spark, tmp_path):
@@ -279,3 +302,68 @@ def test_parquet_only_targets_refuse_orc(spark, mixed_format_delta, tmp_path):
         res = ConversionController().sync(source, {fmt: target})[fmt]
         assert res.status != SyncStatusCode.SUCCESS
         assert "APACHE_ORC" in str(res.error), (fmt, res.error)
+
+
+def test_split_readable_unit():
+    from incubator_xtable_spark.model.file_formats import split_readable
+
+    assert split_readable(
+        [("/a.parquet", None), ("/b.orc", None)], reader="t"
+    ) == (["/a.parquet"], ["/b.orc"])
+    with pytest.raises(NotImplementedError, match=r"a\.avro.*APACHE_AVRO"):
+        split_readable([("/x/a.avro", None)], reader="t")
+
+
+def test_cdf_reads_orc_adds(spark, mixed_format_delta):
+    """r8: the CDF derivation row-reads the commit's ORC adds natively —
+    all six rows emit as inserts, parquet and orc alike."""
+    from incubator_xtable_spark.sources.delta_source import read_delta_cdf
+
+    df = read_delta_cdf(spark, mixed_format_delta, 0)
+    got = sorted((r["id"], r["_change_type"]) for r in df.collect())
+    assert got == [(i, "insert") for i in range(6)]
+
+
+def test_read_hudi_orc_base_files(spark, tmp_path):
+    """r8: a Hudi COW table with ORC base files
+    (hoodie.table.base.file.format=ORC) row-reads natively, equal to the
+    format-native reader."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    base = str(tmp_path / "horc")
+    spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "id LONG, label STRING"
+    ).coalesce(1).write.parquet(base)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, base, name="horc"),
+        {TableFormat.HUDI: HudiConversionTarget(spark, base, table_name="horc")},
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+
+    # swap the data file for an ORC twin and retarget the metadata, the
+    # shape a real ORC-base Hudi writer would have produced
+    pq_file = _glob.glob(os.path.join(base, "part-*.parquet"))[0]
+    orc_file = pq_file[: -len(".parquet")] + ".orc"
+    _write_real_orc(spark, orc_file, [(0, "a"), (1, "b"), (2, "c")])
+    os.unlink(pq_file)
+    hoodie = os.path.join(base, ".hoodie")
+    for fn in os.listdir(hoodie):
+        p = os.path.join(hoodie, fn)
+        if fn.endswith(".commit"):
+            raw = open(p, encoding="utf-8").read().replace(".parquet", ".orc")
+            open(p, "w", encoding="utf-8").write(raw)
+        if fn == "hoodie.properties":
+            raw = open(p, encoding="utf-8").read().replace(
+                "hoodie.table.base.file.format=PARQUET",
+                "hoodie.table.base.file.format=ORC",
+            )
+            open(p, "w", encoding="utf-8").write(raw)
+
+    got = sorted((r["id"], r["label"]) for r in read_hudi_as_df(spark, base).collect())
+    native = sorted((r["id"], r["label"]) for r in spark.read.orc(orc_file).collect())
+    assert got == native == [(0, "a"), (1, "b"), (2, "c")]
