@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import hashlib
 import io
 import json
 import struct
@@ -226,8 +227,10 @@ _OCF_MAGIC = b"Obj\x01"
 _OCF_META_SCHEMA = {"type": "map", "values": "bytes"}
 
 
-def read_ocf(path: str) -> tuple[list[dict], dict[str, bytes]]:
-    """-> (records, file metadata). Codecs: null, deflate (raw zlib)."""
+def iter_ocf(path: str):
+    """Yield records from an OCF block-streamingly — peak memory is one
+    decompressed data block, never the whole file (the data-file scan
+    path `sources/avro_scan.py` rides this). Codecs: null, deflate."""
     with open(path, "rb") as fh:
         if fh.read(4) != _OCF_MAGIC:
             raise ValueError(f"not an avro object container file: {path}")
@@ -235,7 +238,6 @@ def read_ocf(path: str) -> tuple[list[dict], dict[str, bytes]]:
         sync = fh.read(16)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = (meta.get("avro.codec") or b"null").decode("utf-8")
-        records: list[dict] = []
         while True:
             try:
                 n = _read_long(fh)
@@ -250,11 +252,19 @@ def read_ocf(path: str) -> tuple[list[dict], dict[str, bytes]]:
             res = _Resolver()
             res.define_all(schema)
             for _ in range(n):
-                records.append(decode_value(schema, bio, res))
+                yield decode_value(schema, bio, res)
             marker = fh.read(16)
             if marker != sync:
                 raise ValueError(f"avro sync marker mismatch in {path}")
-        return records, meta
+
+
+def read_ocf(path: str) -> tuple[list[dict], dict[str, bytes]]:
+    """-> (records, file metadata). Codecs: null, deflate (raw zlib)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != _OCF_MAGIC:
+            raise ValueError(f"not an avro object container file: {path}")
+        meta = decode_value(_OCF_META_SCHEMA, fh)
+    return list(iter_ocf(path)), meta
 
 
 # ---------------------------------------------------------------------------
@@ -454,3 +464,52 @@ def encode_binary_record(schema_json: str | dict, record: dict) -> bytes:
     out = bytearray()
     encode_value(schema, record, out)
     return bytes(out)
+
+
+def write_ocf(
+    path: str,
+    schema_json: str | dict,
+    records: list[dict],
+    *,
+    codec: str = "null",
+    extra_meta: Optional[dict] = None,
+) -> None:
+    """Write an Avro Object Container File (spec 1.11 §Object Container
+    Files): magic, metadata map (avro.schema/avro.codec + extras), 16-byte
+    sync marker, then one data block. Codecs: null, deflate (raw zlib).
+
+    The sync marker is DETERMINISTIC — derived from the schema + record
+    count — because scripts here must stay reproducible (no RNG in the
+    engine's write paths); the marker's only spec role is block-boundary
+    detection, which any fixed value serves. Round-trips through
+    ``read_ocf`` and the JVM DataFileReader (gated in tests)."""
+    schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    schema_bytes = json.dumps(schema).encode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    meta: dict[str, bytes] = {
+        "avro.schema": schema_bytes,
+        "avro.codec": codec.encode("ascii"),
+    }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
+    sync = hashlib.md5(b"xtable-ocf:%d:" % len(records) + schema_bytes).digest()
+    body = bytearray()
+    res = _Resolver()
+    res.define_all(schema)
+    for rec in records:
+        encode_value(schema, rec, body, res)
+    block = bytes(body)
+    if codec == "deflate":
+        block = zlib.compress(block)[2:-4]  # raw: strip zlib header + adler
+    out = bytearray()
+    out += _OCF_MAGIC
+    encode_value(_OCF_META_SCHEMA, meta, out)
+    out += sync
+    if records:
+        _write_long(out, len(records))
+        _write_long(out, len(block))
+        out += block
+        out += sync
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

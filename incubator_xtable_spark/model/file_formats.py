@@ -81,26 +81,30 @@ def to_iceberg_manifest(tag: str | None) -> str:
     return fmt
 
 
-def split_readable(pairs, *, reader: str) -> tuple[list[str], list[str]]:
-    """(parquet_paths, orc_paths) for readers that serve BOTH via Spark's
-    native scans (r8: ORC row-level reads behind the former refusal
-    sites). APACHE_AVRO and unknown tags still refuse loudly, naming the
-    file — the require_parquet contract, minus the orc branch."""
+def split_readable(pairs, *, reader: str) -> tuple[list[str], list[str], list[str]]:
+    """(parquet_paths, orc_paths, avro_paths) for readers that serve all
+    three reference FileFormat members (r8: ORC via Spark's native scan,
+    AVRO via the engine's distributed OCF decoder in
+    `sources/avro_scan.py`). Unknown tags still refuse loudly, naming the
+    file — the require_parquet contract, minus the orc/avro branches."""
     pq: list[str] = []
     orc: list[str] = []
+    avro: list[str] = []
     for path, tag in pairs:
         tag = (tag or from_extension(path)).upper()
         if tag == PARQUET:
             pq.append(path)
         elif tag == APACHE_ORC:
             orc.append(path)
+        elif tag == APACHE_AVRO:
+            avro.append(path)
         else:
             raise NotImplementedError(
                 f"{reader}: data file {path!r} has format {tag}; this "
-                "row-level reader serves PARQUET and ORC only — convert "
-                "the file or read it with a format-native reader"
+                "row-level reader serves PARQUET, ORC, and AVRO only — "
+                "convert the file or read it with a format-native reader"
             )
-    return pq, orc
+    return pq, orc, avro
 
 
 def require_parquet(pairs, *, reader: str) -> None:

@@ -1,0 +1,89 @@
+"""Distributed row-level reads of Avro Object Container Files.
+
+The environment ships no spark-avro module, so the engine serves
+``file_format=AVRO`` data files through its own pure-python OCF decoder
+(`model/avro_codec.read_ocf` — the same codec that decodes Iceberg
+manifests and Hudi metadata payloads), distributed one-task-per-file via
+``mapInPandas``. Mirrors the role of the reference's format-agnostic
+data-file model (ref xtable-api `model/storage/FileFormat.java:26-30`:
+APACHE_AVRO is a first-class member of the enum, so a complete engine
+must row-read it, not just tag it).
+
+Scale: one Spark task per avro file (a paths DataFrame repartitioned to
+file count) — on a 1000-executor cluster every file decodes in parallel
+and no bytes route through the driver. Each task decodes its file
+block-sequentially and emits pandas batches of ``_BATCH_ROWS`` rows, so
+peak memory is one OCF data block + one batch, not the whole file.
+Avro's schema-on-read projection happens by FIELD NAME (avro carries no
+field ids); fields absent from a record resolve to null — the avro spec's
+own reader-schema defaulting, restricted to the engine's read schemas.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_BATCH_ROWS = 65536
+
+
+def _ddl(fields: list[T.StructField], path_col: Optional[str]) -> T.StructType:
+    out = T.StructType(list(fields))
+    if path_col:
+        out = out.add(path_col, T.StringType())
+    return out
+
+
+def read_avro_rows(
+    spark: SparkSession,
+    paths: list[str],
+    fields: list[T.StructField],
+    *,
+    path_col: Optional[str] = None,
+) -> DataFrame:
+    """Scan ``paths`` (avro OCFs) into a DataFrame of ``fields``,
+    projected by name. ``path_col`` optionally appends the absolute file
+    path per row (the `_scan_path` convention of the delete-aware
+    readers)."""
+    out_schema = _ddl(fields, path_col)
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names = [f.name for f in fields]
+    pdf_paths = spark.createDataFrame([(p,) for p in paths], "path STRING").repartition(
+        len(paths)
+    )
+
+    def _scan(batches: Iterator["object"]) -> Iterator["object"]:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import pandas as pd
+
+        from incubator_xtable_spark.model.avro_codec import iter_ocf
+
+        def _flush(rows: list[dict], path: str):
+            data = {n: [r.get(n) for r in rows] for n in names}
+            pdf = pd.DataFrame(data, columns=names, dtype=object)
+            if path_col:
+                pdf[path_col] = path
+            return pdf
+
+        for pdf_in in batches:
+            for path in pdf_in["path"]:
+                buf: list[dict] = []
+                n_out = 0
+                for rec in iter_ocf(path):
+                    buf.append(rec)
+                    if len(buf) >= _BATCH_ROWS:
+                        yield _flush(buf, path)
+                        n_out += len(buf)
+                        buf = []
+                if buf or n_out == 0:
+                    yield _flush(buf, path)
+
+    return pdf_paths.mapInPandas(_scan, out_schema)

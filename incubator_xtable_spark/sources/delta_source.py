@@ -576,20 +576,20 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         provider_fmt = from_delta_provider(
             meta["format"]["provider"] if meta["format"] is not None else None
         )
-        pq_paths, orc_paths = split_readable(
+        pq_paths, orc_paths, avro_paths = split_readable(
             ((p, from_extension(p, default=provider_fmt)) for p in item_paths),
             reader="read_delta_cdf",
         )
-        if orc_paths and (cm_mode in ("name", "id") or positions is not None):
+        if (orc_paths or avro_paths) and (cm_mode in ("name", "id") or positions is not None):
             raise NotImplementedError(
-                "read_delta_cdf: ORC data files do not support column "
+                "read_delta_cdf: ORC/AVRO data files do not support column "
                 "mapping or deletion-vector row diffs"
             )
         if cm_mode == "id":
             _require_field_ids(spark, pq_paths)
         # _fp/_ri attach per branch: row_index is a parquet-only metadata
-        # field; the orc branch carries a null _ri (only consumed by the
-        # positions join, which orc refuses above)
+        # field; the orc/avro branches carry a null _ri (only consumed by
+        # the positions join, which both refuse above)
         fp = F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         branches = []
         if pq_paths:
@@ -604,6 +604,13 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
                 spark.read.schema(T.StructType(data_fields))
                 .orc(*orc_paths)
                 .withColumn("_fp", fp)
+                .withColumn("_ri", F.lit(None).cast("long"))
+            )
+        if avro_paths:
+            from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+            branches.append(
+                read_avro_rows(spark, avro_paths, data_fields, path_col="_fp")
                 .withColumn("_ri", F.lit(None).cast("long"))
             )
         df = branches[0]
@@ -863,14 +870,14 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     provider_fmt = from_delta_provider(
         meta["format"]["provider"] if meta["format"] is not None else None
     )
-    pq_paths, orc_paths = split_readable(
+    pq_paths, orc_paths, avro_paths = split_readable(
         ((p, from_extension(p, default=provider_fmt)) for p in paths),
         reader="read_delta_as_df",
     )
-    if orc_paths and cm_mode in ("name", "id"):
+    if (orc_paths or avro_paths) and cm_mode in ("name", "id"):
         raise NotImplementedError(
-            "read_delta_as_df: column mapping with ORC data files is not "
-            "supported (column mapping is a parquet-era table feature)"
+            "read_delta_as_df: column mapping with ORC/AVRO data files is "
+            "not supported (column mapping is a parquet-era table feature)"
         )
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_struct = (
@@ -891,12 +898,12 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
-    if orc_paths:
-        orc_set = set(orc_paths)
-        if any(os.path.join(base, r["path"]) in orc_set for r in dv_rows):
+    if orc_paths or avro_paths:
+        non_pq = set(orc_paths) | set(avro_paths)
+        if any(os.path.join(base, r["path"]) in non_pq for r in dv_rows):
             raise NotImplementedError(
-                "read_delta_as_df: deletion vectors on ORC data files are "
-                "not supported (DVs key on parquet row indexes)"
+                "read_delta_as_df: deletion vectors on ORC/AVRO data files "
+                "are not supported (DVs key on parquet row indexes)"
             )
     if dv_rows:
         from incubator_xtable_spark.sources.delta_dv import (
@@ -935,6 +942,30 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         # input_file_name(), which is source-format-agnostic
         orc_df = spark.read.schema(T.StructType(data_fields)).orc(*orc_paths)
         df = orc_df if df is None else df.unionByName(orc_df)
+    if avro_paths:
+        # AVRO rows come from the distributed OCF scan (no file-scan
+        # relation, so input_file_name() is empty there) — the branch
+        # attaches its own partition values keyed on the scan's path
+        # column, then unions fully-formed
+        from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+        avro_df = read_avro_rows(spark, avro_paths, data_fields, path_col="abs_path")
+        if part_cols:
+            apv = spark.createDataFrame(
+                [(os.path.join(base, r["path"]), dict(r["partitionValues"] or {})) for r in live],
+                "abs_path STRING, pv MAP<STRING,STRING>",
+            )
+            avro_df = avro_df.join(F.broadcast(apv), "abs_path", "left")
+            for c in part_cols:
+                avro_df = avro_df.withColumn(
+                    c, F.col("pv").getItem(_physical_name(schema, c)).cast(schema[c].dataType)
+                )
+            avro_df = avro_df.drop("pv")
+        avro_df = avro_df.select(*[f.name for f in schema.fields])
+    else:
+        avro_df = None
+    if df is None:
+        return avro_df if avro_df is not None else spark.createDataFrame([], schema)
     if part_cols:
         pv = spark.createDataFrame(
             [(os.path.join(base, r["path"]), dict(r["partitionValues"] or {})) for r in live],
@@ -949,7 +980,8 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
                 c, F.col("pv").getItem(_physical_name(schema, c)).cast(schema[c].dataType)
             )
         df = df.drop("abs_path", "pv")
-    return df.select(*[f.name for f in schema.fields])
+    out = df.select(*[f.name for f in schema.fields])
+    return out.unionByName(avro_df) if avro_df is not None else out
 
 
 # ---------------------------------------------------------------------------

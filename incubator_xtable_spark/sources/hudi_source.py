@@ -909,7 +909,8 @@ def read_hudi_as_df(
 
     # groups key on (partition-cols-present, file format): orc base files
     # (hoodie.table.base.file.format=ORC, r8) read via spark.read.orc;
-    # avro refuses loudly in split_readable below
+    # avro refuses here — real Hudi base formats are PARQUET/ORC/HFILE
+    # only, so an avro base file is a corrupt table, not a read gap
     part_cols = [pf.output_name for pf in table.partition_fields]
     groups: dict[tuple, list[dict]] = {}
     for r in rows:

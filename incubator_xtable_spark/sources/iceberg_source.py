@@ -1162,20 +1162,20 @@ def read_iceberg_as_df(
     entries, delete_entries = src._entries_by_content(meta, sid)
     if not entries:
         return spark.createDataFrame([], table.read_schema)
-    # AVRO data files refuse loudly; ORC row-reads natively (r8) as long
-    # as no row-level deletes are in force (delete application keys on
-    # parquet row indexes)
-    pq_paths, orc_paths = _ff.split_readable(
+    # ORC row-reads via Spark's native scan, AVRO via the engine's
+    # distributed OCF decoder (r8) — both only while no row-level deletes
+    # are in force (delete application keys on parquet row indexes)
+    pq_paths, orc_paths, avro_paths = _ff.split_readable(
         (
             (e["data_file"]["file_path"], _ff.from_iceberg_manifest(e["data_file"].get("file_format")))
             for e in entries
         ),
         reader="read_iceberg_as_df",
     )
-    if orc_paths and delete_entries:
+    if (orc_paths or avro_paths) and delete_entries:
         raise NotImplementedError(
-            "read_iceberg_as_df: row-level deletes with ORC data files are "
-            "not supported (delete application keys on parquet row indexes)"
+            "read_iceberg_as_df: row-level deletes with ORC/AVRO data files "
+            "are not supported (delete application keys on parquet row indexes)"
         )
     paths = pq_paths
     from incubator_xtable_spark.model.core import PartitionTransformType
@@ -1216,6 +1216,13 @@ def read_iceberg_as_df(
             .withColumn("_nm_pos", F.lit(None).cast("long"))
         )
         df = orc_df if df is None else df.unionByName(orc_df)
+    if avro_paths:
+        from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+        avro_df = read_avro_rows(
+            spark, avro_paths, list(data_fields.fields), path_col="_scan_path"
+        ).withColumn("_nm_pos", F.lit(None).cast("long"))
+        df = avro_df if df is None else df.unionByName(avro_df)
     if delete_entries:
         # v2 position deletes applied row-level: the delete parquet scan
         # distributes with the data scan, anti-joined on

@@ -335,3 +335,112 @@ def test_encoder_differential_vs_jvm_decoder(spark):
     assert rec.get("a") == -987654321
     assert str(rec.get("s")) == "héllo"
     assert rec.get("o") == 2.5
+
+
+def test_write_ocf_jvm_datafilereader_differential(spark, tmp_path):
+    """r8: OCFs written by ``write_ocf`` (both codecs) must open in the
+    JVM's official DataFileReader with identical records — the engine's
+    avro data files are real avro, not a dialect."""
+    from incubator_xtable_spark.model.avro_codec import write_ocf
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "label", "type": ["null", "string"]},
+        ],
+    }
+    recs = [{"id": i, "label": (f"x{i}" if i % 2 else None)} for i in range(7)]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"w_{codec}.avro")
+        write_ocf(p, schema, recs, codec=codec)
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        got = []
+        while dfr.hasNext():
+            r = dfr.next()
+            lab = r.get("label")
+            got.append({"id": r.get("id"), "label": None if lab is None else str(lab)})
+        dfr.close()
+        assert got == recs, codec
+
+
+def test_write_ocf_empty_and_iter_stream(tmp_path):
+    from incubator_xtable_spark.model.avro_codec import iter_ocf, read_ocf, write_ocf
+
+    schema = {"type": "record", "name": "e", "fields": [{"name": "v", "type": "int"}]}
+    p = str(tmp_path / "empty.avro")
+    write_ocf(p, schema, [])
+    recs, meta = read_ocf(p)
+    assert recs == [] and meta["avro.codec"] == b"null"
+    write_ocf(p, schema, [{"v": i} for i in range(10)], codec="deflate")
+    assert [r["v"] for r in iter_ocf(p)] == list(range(10))
+
+
+def test_avro_scan_typed_columns(spark, tmp_path):
+    """The distributed OCF scan round-trips timestamps, dates, decimals,
+    arrays, and nested structs into the exact Spark read schema."""
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.avro_codec import write_ocf
+    from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "amt",
+                "type": {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2},
+            },
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "n",
+                    "fields": [{"name": "a", "type": "int"}, {"name": "b", "type": "string"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "id": i,
+            "ts": datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            "d": datetime.date(2024, 1, 1 + i),
+            "amt": decimal.Decimal(f"12.3{i}"),
+            "tags": ["a", f"b{i}"],
+            "nested": {"a": i, "b": f"n{i}"},
+        }
+        for i in range(3)
+    ]
+    p = str(tmp_path / "typed.avro")
+    write_ocf(p, schema, recs)
+    fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("amt", T.DecimalType(10, 2)),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField(
+            "nested",
+            T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]),
+        ),
+        # absent from the avro records entirely -> null (reader-schema defaulting)
+        T.StructField("missing", T.StringType()),
+    ]
+    rows = read_avro_rows(spark, [p], fields, path_col="_sp").orderBy("id").collect()
+    assert [r["ts"] for r in rows] == [datetime.datetime(2024, 1, 1, h) for h in range(3)]
+    assert rows[2]["d"] == datetime.date(2024, 1, 3)
+    assert rows[1]["amt"] == decimal.Decimal("12.31")
+    assert rows[0]["tags"] == ["a", "b0"]
+    assert rows[2]["nested"]["b"] == "n2"
+    assert all(r["missing"] is None for r in rows)
+    assert all(r["_sp"] == p for r in rows)

@@ -107,10 +107,26 @@ def _write_real_orc(spark, path: str, rows: list[tuple]):
     _shutil.rmtree(d)
 
 
+def _write_real_avro(path: str, rows: list[tuple]):
+    """One REAL avro OCF with the (id, label) schema at ``path``."""
+    from incubator_xtable_spark.model.avro_codec import write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "label", "type": ["null", "string"]},
+        ],
+    }
+    write_ocf(path, schema, [{"id": i, "label": s} for i, s in rows], codec="deflate")
+
+
 @pytest.fixture()
 def mixed_format_delta(tmp_path, spark):
     """A Delta table (provider=parquet) whose log registers one real parquet
-    file AND one REAL orc file (as a foreign writer could)."""
+    file, one REAL orc file, AND one REAL avro OCF (as foreign writers
+    could)."""
     base = str(tmp_path / "mixed")
     os.makedirs(base, exist_ok=True)
     pq.write_table(
@@ -120,6 +136,7 @@ def mixed_format_delta(tmp_path, spark):
     _write_real_orc(
         spark, os.path.join(base, "part-0002.orc"), [(3, "d"), (4, "e"), (5, "f")]
     )
+    _write_real_avro(os.path.join(base, "part-0003.avro"), [(6, "g"), (7, "h"), (8, "i")])
     meta = {
         "id": "fmt-test",
         "name": "fmt",
@@ -147,6 +164,7 @@ def mixed_format_delta(tmp_path, spark):
             {"metaData": meta},
             add("part-0001.parquet", [0, 1, 2]),
             add("part-0002.orc", [3, 4, 5]),
+            add("part-0003.avro", [6, 7, 8]),
         ],
     )
     return base
@@ -159,7 +177,11 @@ def test_delta_inventory_tags_by_extension(spark, mixed_format_delta):
         os.path.basename(r["physical_path"]): r["file_format"]
         for r in snap.files.collect()
     }
-    assert fmts == {"part-0001.parquet": "PARQUET", "part-0002.orc": "APACHE_ORC"}
+    assert fmts == {
+        "part-0001.parquet": "PARQUET",
+        "part-0002.orc": "APACHE_ORC",
+        "part-0003.avro": "APACHE_AVRO",
+    }
 
 
 def test_orc_tag_survives_delta_to_iceberg(spark, mixed_format_delta, tmp_path):
@@ -185,7 +207,11 @@ def test_orc_tag_survives_delta_to_iceberg(spark, mixed_format_delta, tmp_path):
         os.path.basename(e["data_file"]["file_path"]): e["data_file"]["file_format"]
         for e in entries
     }
-    assert by_name == {"part-0001.parquet": "PARQUET", "part-0002.orc": "ORC"}
+    assert by_name == {
+        "part-0001.parquet": "PARQUET",
+        "part-0002.orc": "ORC",
+        "part-0003.avro": "AVRO",
+    }
 
     # and the converted inventory reads back with the engine tag
     fmts = {
@@ -193,9 +219,11 @@ def test_orc_tag_survives_delta_to_iceberg(spark, mixed_format_delta, tmp_path):
         for r in isrc.get_current_snapshot().files.collect()
     }
     assert fmts["part-0002.orc"] == "APACHE_ORC"
+    assert fmts["part-0003.avro"] == "APACHE_AVRO"
 
-    # r8: BOTH row-level reads serve the ORC branch natively, and agree
-    want = [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"), (5, "f")]
+    # r8: BOTH row-level reads serve the ORC and AVRO branches natively,
+    # and agree
+    want = [(i, s) for i, s in zip(range(9), "abcdefghi")]
     got = sorted((r["id"], r["label"]) for r in read_delta_as_df(spark, mixed_format_delta).collect())
     assert got == want
     got_ice = sorted(
@@ -301,27 +329,29 @@ def test_parquet_only_targets_refuse_orc(spark, mixed_format_delta, tmp_path):
         source = DeltaConversionSource(spark, mixed_format_delta)
         res = ConversionController().sync(source, {fmt: target})[fmt]
         assert res.status != SyncStatusCode.SUCCESS
-        assert "APACHE_ORC" in str(res.error), (fmt, res.error)
+        assert any(
+            t in str(res.error) for t in ("APACHE_ORC", "APACHE_AVRO")
+        ), (fmt, res.error)
 
 
 def test_split_readable_unit():
     from incubator_xtable_spark.model.file_formats import split_readable
 
     assert split_readable(
-        [("/a.parquet", None), ("/b.orc", None)], reader="t"
-    ) == (["/a.parquet"], ["/b.orc"])
-    with pytest.raises(NotImplementedError, match=r"a\.avro.*APACHE_AVRO"):
-        split_readable([("/x/a.avro", None)], reader="t")
+        [("/a.parquet", None), ("/b.orc", None), ("/c.avro", None)], reader="t"
+    ) == (["/a.parquet"], ["/b.orc"], ["/c.avro"])
+    with pytest.raises(NotImplementedError, match=r"a\.hfile.*HFILE"):
+        split_readable([("/x/a.hfile", "HFILE")], reader="t")
 
 
 def test_cdf_reads_orc_adds(spark, mixed_format_delta):
-    """r8: the CDF derivation row-reads the commit's ORC adds natively —
-    all six rows emit as inserts, parquet and orc alike."""
+    """r8: the CDF derivation row-reads the commit's ORC and AVRO adds
+    natively — all nine rows emit as inserts across the three formats."""
     from incubator_xtable_spark.sources.delta_source import read_delta_cdf
 
     df = read_delta_cdf(spark, mixed_format_delta, 0)
     got = sorted((r["id"], r["_change_type"]) for r in df.collect())
-    assert got == [(i, "insert") for i in range(6)]
+    assert got == [(i, "insert") for i in range(9)]
 
 
 def test_read_hudi_orc_base_files(spark, tmp_path):
