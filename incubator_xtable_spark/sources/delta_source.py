@@ -602,7 +602,7 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
         if orc_paths:
             branches.append(
                 spark.read.schema(T.StructType(data_fields))
-                .orc(*orc_paths)
+                .orc(list(orc_paths))
                 .withColumn("_fp", fp)
                 .withColumn("_ri", F.lit(None).cast("long"))
             )
@@ -940,7 +940,7 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         # DV logic is parquet-branch-only (refused for orc above); the orc
         # scan unions in afterwards — partition attachment below keys on
         # input_file_name(), which is source-format-agnostic
-        orc_df = spark.read.schema(T.StructType(data_fields)).orc(*orc_paths)
+        orc_df = spark.read.schema(T.StructType(data_fields)).orc(list(orc_paths))
         df = orc_df if df is None else df.unionByName(orc_df)
     if avro_paths:
         # AVRO rows come from the distributed OCF scan (no file-scan

@@ -936,7 +936,7 @@ def read_hudi_as_df(
             if f.name not in part_cols or f.name in present
         ]
         reader = spark.read.schema(T.StructType(fields))
-        df = reader.orc(*grp_paths) if fmt == APACHE_ORC else reader.parquet(*grp_paths)
+        df = reader.orc(list(grp_paths)) if fmt == APACHE_ORC else reader.parquet(*grp_paths)
         missing = [c for c in part_cols if c not in present]
         if missing:
             pv_rows = []

@@ -1208,7 +1208,7 @@ def read_iceberg_as_df(
     if orc_paths:
         orc_df = (
             spark.read.schema(data_fields)
-            .orc(*orc_paths)
+            .orc(list(orc_paths))
             .withColumn(
                 "_scan_path",
                 F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),

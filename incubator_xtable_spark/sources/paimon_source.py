@@ -632,6 +632,15 @@ class PaimonConversionSource:
         return n
 
     def _dv_items(self, dv: dict[str, dict]) -> list[dict]:
+        # deletion vectors key on PARQUET row indexes (the engine decodes
+        # positions against _metadata.row_index / pyarrow row order); a DV
+        # pointing at an ORC/AVRO data file must refuse loudly, never
+        # silently mis-apply to a differently-ordered scan
+        from incubator_xtable_spark.model.file_formats import require_parquet
+
+        require_parquet(
+            ((p, None) for p in sorted(dv)), reader="paimon deletion vectors"
+        )
         return [
             {
                 "data_path": p,
@@ -950,50 +959,110 @@ def read_paimon_as_df(
     paths = [src._entry_abs_path(e, sch) for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)
-    # Native Paimon data files store the full row INCLUDING partition
-    # columns (the hive-style dirs are layout only). EXTERNAL files from
-    # a conversion (paimon_target references them via _EXTERNAL_PATH) may
-    # lack them — probe one footer and re-attach manifest partition
-    # values when missing (same posture as the hudi read path).
-    import pyarrow.parquet as _pq
+    # Paimon identifies a data file's format purely by suffix
+    # (`file.format` option; mixed formats across commits are legal after
+    # a format migration) — split into parquet / ORC / AVRO scan branches
+    # like the r8 Delta/Iceberg readers; unknown suffixes refuse loudly.
+    from incubator_xtable_spark.model.file_formats import from_extension, split_readable
 
-    part_keys = sch.get("partitionKeys") or []
-    footer_cols = set(_pq.read_schema(paths[0]).names)
-    missing_parts = [k for k in part_keys if k not in footer_cols]
-    scan_fields = [f for f in table.read_schema.fields if f.name not in missing_parts]
-    df = spark.read.schema(T.StructType(scan_fields)).parquet(*paths)
-    if missing_parts:
-        keys, codecs, dtypes = src._partition_ctx(sch)
-        options = sch.get("options") or {}
-        pv_rows = []
-        for e, p in zip(entries, paths):
-            pv, _ = src._decode_partition(e["_PARTITION"], keys, codecs, dtypes, options)
-            pv_rows.append((p, pv or {}))
-        pv_df = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
-        df = df.withColumn(
-            "abs_path", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
-        ).join(F.broadcast(pv_df), "abs_path", "left")
-        for k in missing_parts:
-            df = df.withColumn(k, F.col("pv").getItem(k).cast(table.read_schema[k].dataType))
-        df = df.drop("abs_path", "pv")
+    pq_paths, orc_paths, avro_paths = split_readable(
+        ((p, from_extension(p)) for p in paths), reader="read_paimon_as_df"
+    )
     dv = src._view_dvs(snap, sch, set(paths))
-    if dv:
-        # deletion vectors apply row-level: decode positions executor-side
-        # and anti-join on (_metadata.file_path, row_index) — same shape
-        # as the Delta DV read path, distributes with the scan
-        from incubator_xtable_spark.sources.paimon_dv import dv_positions_df
+    part_keys = sch.get("partitionKeys") or []
+    df = None
+    if pq_paths:
+        # Native Paimon data files store the full row INCLUDING partition
+        # columns (the hive-style dirs are layout only). EXTERNAL files
+        # from a conversion (paimon_target references them via
+        # _EXTERNAL_PATH) may lack them — probe one footer and re-attach
+        # manifest partition values when missing (same posture as the
+        # hudi read path). Only the parquet branch needs this: external
+        # files are parquet by construction, native ORC/AVRO files carry
+        # the full row.
+        import pyarrow.parquet as _pq
 
-        positions = dv_positions_df(spark, base_path, src._dv_items(dv))
-        df = (
-            df.withColumn("_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""))
-            .withColumn("_ri", F.col("_metadata.row_index"))
-            .join(
-                positions,
-                (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
-                "left_anti",
+        footer_cols = set(_pq.read_schema(pq_paths[0]).names)
+        missing_parts = [k for k in part_keys if k not in footer_cols]
+        scan_fields = [f for f in table.read_schema.fields if f.name not in missing_parts]
+        df = spark.read.schema(T.StructType(scan_fields)).parquet(*pq_paths)
+        if missing_parts:
+            keys, codecs, dtypes = src._partition_ctx(sch)
+            options = sch.get("options") or {}
+            pv_rows = []
+            for e, p in zip(entries, paths):
+                pv, _ = src._decode_partition(e["_PARTITION"], keys, codecs, dtypes, options)
+                pv_rows.append((p, pv or {}))
+            pv_df = spark.createDataFrame(pv_rows, "abs_path STRING, pv MAP<STRING,STRING>")
+            df = df.withColumn(
+                "abs_path", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+            ).join(F.broadcast(pv_df), "abs_path", "left")
+            for k in missing_parts:
+                df = df.withColumn(k, F.col("pv").getItem(k).cast(table.read_schema[k].dataType))
+            df = df.drop("abs_path", "pv")
+        if dv:
+            # deletion vectors apply row-level: decode positions
+            # executor-side and anti-join on (_metadata.file_path,
+            # row_index) — same shape as the Delta DV read path,
+            # distributes with the scan. _dv_items refuses DVs that point
+            # at non-parquet files (positions key on parquet row indexes).
+            from incubator_xtable_spark.sources.paimon_dv import dv_positions_df
+
+            positions = dv_positions_df(spark, base_path, src._dv_items(dv))
+            df = (
+                df.withColumn(
+                    "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+                )
+                .withColumn("_ri", F.col("_metadata.row_index"))
+                .join(
+                    positions,
+                    (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
+                    "left_anti",
+                )
             )
+        df = df.select(*[f.name for f in table.read_schema.fields])
+    elif dv:
+        # no parquet branch but DVs present: still surface the refusal
+        src._dv_items(dv)
+    if orc_paths:
+        orc_df = spark.read.schema(table.read_schema).orc(list(orc_paths)).select(
+            *[f.name for f in table.read_schema.fields]
         )
-    return df.select(*[f.name for f in table.read_schema.fields])
+        df = orc_df if df is None else df.unionByName(orc_df)
+    if avro_paths:
+        from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+        avro_df = read_avro_rows(spark, avro_paths, list(table.read_schema.fields))
+        df = avro_df if df is None else df.unionByName(avro_df)
+    return df
+
+
+def _scan_paimon_files(
+    spark: SparkSession, paths: list[str], read_schema: T.StructType, reader: str
+) -> DataFrame:
+    """Schema-driven scan of Paimon data/changelog files, format split by
+    suffix: parquet + ORC through Spark's native scans, AVRO through the
+    engine's distributed OCF decoder (one task per file). Branches union
+    by name so a table that migrated `file.format` mid-history still reads
+    every row."""
+    from incubator_xtable_spark.model.file_formats import from_extension, split_readable
+
+    pq_paths, orc_paths, avro_paths = split_readable(
+        ((p, from_extension(p)) for p in paths), reader=reader
+    )
+    cols = [f.name for f in read_schema.fields]
+    df = None
+    if pq_paths:
+        df = spark.read.schema(read_schema).parquet(*pq_paths)
+    if orc_paths:
+        orc_df = spark.read.schema(read_schema).orc(list(orc_paths))
+        df = orc_df if df is None else df.select(*cols).unionByName(orc_df.select(*cols))
+    if avro_paths:
+        from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+        avro_df = read_avro_rows(spark, avro_paths, list(read_schema.fields))
+        df = avro_df if df is None else df.select(*cols).unionByName(avro_df)
+    return df
 
 
 # RowKind ordinal -> Delta-CDF-style change type string
@@ -1040,7 +1109,7 @@ def read_paimon_changelog(
             [T.StructField("_VALUE_KIND", T.ByteType(), True)]
             + list(table.read_schema.fields)
         )
-        df = spark.read.schema(read_schema).parquet(*paths)
+        df = _scan_paimon_files(spark, paths, read_schema, "read_paimon_changelog")
         mapping = F.create_map(
             *[x for k, v in _CHANGE_TYPES.items() for x in (F.lit(k), F.lit(v))]
         )
@@ -1073,7 +1142,7 @@ def read_paimon_changelog(
             ),
         )
     paths = [src._entry_abs_path(e, sch) for e in entries]
-    df = spark.read.schema(table.read_schema).parquet(*paths)
+    df = _scan_paimon_files(spark, paths, table.read_schema, "read_paimon_changelog")
     return df.select(
         *data_cols,
         F.lit("insert").alias("_change_type"),

@@ -82,8 +82,13 @@ class PaimonTestTable:
         primary_keys: Sequence[str] = (),
         options: Optional[dict] = None,
         stats_cols: Optional[Sequence[str]] = None,
+        file_format: str = "parquet",
     ) -> None:
         self.base = base_path.rstrip("/")
+        # Paimon `file.format` option: data-file container format; the
+        # suffix identifies the format per file, so a table can mix formats
+        # across commits (mutate self.fmt mid-history to simulate that)
+        self.fmt = file_format
         self.fields = list(fields)
         self.partition_keys = list(partition_keys)
         self.primary_keys = list(primary_keys)
@@ -202,7 +207,58 @@ class PaimonTestTable:
                 vals = [None if v is None else Decimal(v) for v in vals]
             arrays.append(pa.array(vals, type=_pa_type(codec)))
             names.append(c)
-        pq.write_table(pa.table(arrays, names=names), path)
+        self._write_table(pa.table(arrays, names=names), path)
+
+    # avro spellings for the fixture-supported scalar kinds (simple types
+    # only — the ORC/AVRO tests exercise container plumbing, not the full
+    # logical-type matrix, which the parquet fixtures already cover)
+    _AVRO_KINDS = {
+        "boolean": "boolean",
+        "tinyint": "int",
+        "smallint": "int",
+        "int": "int",
+        "bigint": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "bytes": "bytes",
+    }
+
+    def _write_table(self, table: pa.Table, path: str) -> None:
+        if self.fmt == "parquet":
+            pq.write_table(table, path)
+        elif self.fmt == "orc":
+            import pyarrow.orc as po
+
+            po.write_table(table, path)
+        elif self.fmt == "avro":
+            from incubator_xtable_spark.model.avro_codec import write_ocf
+
+            fields = []
+            for name in table.column_names:
+                t = table.schema.field(name).type
+                kind = {
+                    pa.bool_(): "boolean",
+                    pa.int8(): "int",
+                    pa.int16(): "int",
+                    pa.int32(): "int",
+                    pa.int64(): "long",
+                    pa.float32(): "float",
+                    pa.float64(): "double",
+                    pa.string(): "string",
+                    pa.binary(): "bytes",
+                }.get(t)
+                if kind is None:
+                    raise NotImplementedError(f"avro fixture: unsupported type {t}")
+                fields.append({"name": name, "type": ["null", kind]})
+            schema = {"type": "record", "name": "paimon_row", "fields": fields}
+            cols = {c: table.column(c).to_pylist() for c in table.column_names}
+            records = [
+                {c: cols[c][i] for c in table.column_names} for i in range(table.num_rows)
+            ]
+            write_ocf(path, schema, records)
+        else:
+            raise ValueError(f"unknown fixture file format {self.fmt!r}")
 
     def _make_entry(
         self, rows: list[dict], part_vals: dict, bucket: int, level: int, kind: int = 0
@@ -218,7 +274,7 @@ class PaimonTestTable:
             else os.path.join(self.base, f"bucket-{bucket}")
         )
         os.makedirs(bucket_dir, exist_ok=True)
-        fname = f"data-{uuid.uuid4().hex[:12]}-0.parquet"
+        fname = f"data-{uuid.uuid4().hex[:12]}-0.{self.fmt}"
         fpath = os.path.join(bucket_dir, fname)
         self._write_parquet(rows, data_cols, fpath)
         stats, stats_cols = self._value_stats(rows, data_cols)
@@ -465,7 +521,7 @@ class PaimonTestTable:
             else os.path.join(self.base, f"bucket-{bucket}")
         )
         os.makedirs(bucket_dir, exist_ok=True)
-        fname = f"changelog-{uuid.uuid4().hex[:12]}-0.parquet"
+        fname = f"changelog-{uuid.uuid4().hex[:12]}-0.{self.fmt}"
         fpath = os.path.join(bucket_dir, fname)
         arrays = {
             "_VALUE_KIND": pa.array(
@@ -476,7 +532,7 @@ class PaimonTestTable:
             arrays[c] = pa.array(
                 [r.get(c) for _, r in rows_with_kind], _pa_type(self._codecs[c])
             )
-        pq.write_table(pa.table(arrays), fpath)
+        self._write_table(pa.table(arrays), fpath)
         empty_row = encode_binary_row([], [])
         empty_stats = {
             "_MIN_VALUES": empty_row,

@@ -397,3 +397,58 @@ def test_read_hudi_orc_base_files(spark, tmp_path):
     got = sorted((r["id"], r["label"]) for r in read_hudi_as_df(spark, base).collect())
     native = sorted((r["id"], r["label"]) for r in spark.read.orc(orc_file).collect())
     assert got == native == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_multi_orc_files_read_completely(spark, tmp_path):
+    """Regression (r8): pyspark's DataFrameReader.orc is NOT varargs —
+    `.orc(*paths)` silently bound the 2nd+ paths to mergeSchema/
+    pathGlobFilter, dropping every ORC file but the first. A table with
+    SEVERAL orc files must read all of them, in Delta and Iceberg reads."""
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+
+    base = str(tmp_path / "multi_orc")
+    os.makedirs(base, exist_ok=True)
+    _write_real_orc(spark, os.path.join(base, "part-0001.orc"), [(0, "a"), (1, "b")])
+    _write_real_orc(spark, os.path.join(base, "part-0002.orc"), [(2, "c"), (3, "d")])
+    _write_real_orc(spark, os.path.join(base, "part-0003.orc"), [(4, "e"), (5, "f")])
+    meta = {
+        "id": "multi-orc",
+        "name": "morc",
+        "format": {"provider": "orc", "options": {}},
+        "schemaString": SCHEMA_STRING,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 1,
+    }
+    add = lambda p, ids: {
+        "add": {
+            "path": p,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(base, p)),
+            "modificationTime": 1,
+            "dataChange": True,
+            "stats": _stats(ids),
+        }
+    }
+    _log_write(
+        base,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            add("part-0001.orc", [0, 1]),
+            add("part-0002.orc", [2, 3]),
+            add("part-0003.orc", [4, 5]),
+        ],
+    )
+    want = [(i, s) for i, s in zip(range(6), "abcdef")]
+    got = sorted((r["id"], r["label"]) for r in read_delta_as_df(spark, base).collect())
+    assert got == want
+
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, base),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, base)},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    got_ice = sorted((r["id"], r["label"]) for r in read_iceberg_as_df(spark, base).collect())
+    assert got_ice == want
