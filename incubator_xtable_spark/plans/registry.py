@@ -115,6 +115,7 @@ def _load_all() -> None:
         relational4,
         relational5,
         relational6,
+        streaming_queries,
     )
 
     graded = sum(1 for s in REGISTRY.values() if s.graded)

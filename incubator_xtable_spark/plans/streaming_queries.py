@@ -1,0 +1,143 @@
+"""Driver-visible streaming queries: each callable RUNS a real
+Structured Streaming pipeline (availableNow, checkpointed, multi
+micro-batch) inside the query call and returns the terminal result as a
+batch DataFrame, so the driver's DuckDB differential grades streaming
+semantics end-to-end.
+
+`dedup_streaming_firstseen` drives `streaming/stateful.py`'s
+applyInPandasWithState exact-dedup over a synthesized re-ingest: the
+documents table (doc_id < 400) streams in three micro-batches — two
+batches of originals, then a batch re-ingesting every doc_id % 5 == 0
+text under a new doc_id — and the emitted first/dup_update rows fold to
+(keeper_doc_id, text, dup_total). The oracle recomputes the synthesis +
+fold in SQL (GROUP BY text), so a hash-match proves: first-seen keeps
+the EARLIEST doc per text across batches, duplicate counts accumulate
+across the state store, and no text is emitted twice.
+
+The reference has no event-time/stateful processing (SURVEY §2.4); this
+row belongs to the engine's LLM-pipeline surface.
+
+Scale: the pinned 480-row sample keeps the driver/bench cost flat at
+every SF (the operator itself is the 100 TB path — state is O(distinct
+keys in TTL horizon), sharded by key). shuffle.partitions is pinned to
+8 for the stream's state store (fresh checkpoint per call) and restored
+after — a vanilla driver session would otherwise spread 480 rows over
+200 state partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_xtable_spark.plans.registry import register
+from incubator_xtable_spark.plans.common import t
+
+_N_DOCS = 400  # originals: doc_id < 400; re-ingest: doc_id % 5 == 0
+
+STREAM_DEDUP_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_N_DOCS}
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+  WHERE doc_id < {_N_DOCS} AND doc_id % 5 = 0
+)
+SELECT min(doc_id) AS keeper_doc_id,
+       text,
+       count(*) - 1 AS dup_total
+FROM src
+GROUP BY text
+"""
+
+
+def _src_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The three micro-batch frames, in ingest order. ts is synthetic
+    event time = epoch + doc_id minutes, so batch order == event-time
+    order and first-seen == min doc_id (what the oracle computes)."""
+    # base offset keeps every synthetic ts STRICTLY ABOVE epoch 0: Spark's
+    # initial watermark is 0, and a row whose event time equals the
+    # watermark is dropped as late — doc_id 0 would silently vanish
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    base = docs.select(
+        "doc_id",
+        F.timestamp_seconds(F.col("doc_id") * 60 + 86_400).alias("ts"),
+        "text",
+    )
+    half = _N_DOCS // 2
+    reingest = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.timestamp_seconds((F.col("doc_id") + 10000) * 60 + 86_400).alias("ts"),
+            "text",
+        )
+    )
+    return [
+        base.filter(F.col("doc_id") < half),
+        base.filter(F.col("doc_id") >= half),
+        reingest,
+    ]
+
+
+@register(
+    "dedup_streaming_firstseen",
+    oracle=STREAM_DEDUP_ORACLE,
+    category="dedup",
+    description="stateful streaming exact-dedup (applyInPandasWithState) folded to keeper+dup counts",
+    graded=False,
+)
+def dedup_streaming_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_xtable_spark.streaming.stateful import streaming_dedup_exact
+
+    work = tempfile.mkdtemp(prefix="xt_stream_dedup_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(in_dir)
+    now = 1_700_000_000  # any fixed base; only relative order matters
+    for i, frame in enumerate(_src_batches(spark, sf_dir)):
+        d = os.path.join(work, f"b{i}.dir")
+        frame.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in os.listdir(d) if p.startswith("part-") and p.endswith(".parquet"))
+        dest = os.path.join(in_dir, f"b{i}.parquet")
+        shutil.move(os.path.join(d, part), dest)
+        shutil.rmtree(d)
+        os.utime(dest, (now + 10 * i, now + 10 * i))
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            # TTL pinned far past the synthetic event-time span (~7 days
+            # vs the data's ~7 hours): batch-1 keys arm their timeout at
+            # watermark 0, and the re-ingest batch must still find them
+            # live. TTL EXPIRY semantics are gated separately in
+            # tests/test_streaming_stateful.py.
+            streaming_dedup_exact(
+                stream, watermark="10 seconds", ttl_ms=7 * 86_400 * 1000
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    emis = spark.read.parquet(out_dir)
+    firsts = emis.filter(F.col("emit_kind") == "first").select(
+        "content_key", F.col("doc_id").alias("keeper_doc_id"), "text"
+    )
+    totals = emis.groupBy("content_key").agg(F.max("dup_count").alias("dup_total"))
+    return firsts.join(totals, "content_key").select("keeper_doc_id", "text", "dup_total")
