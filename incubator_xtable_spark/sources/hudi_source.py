@@ -898,7 +898,10 @@ def read_hudi_as_df(
     declared = (
         read_properties(base_path).get("hoodie.table.base.file.format") or "PARQUET"
     ).upper()
-    default_fmt = PARQUET if declared == "PARQUET" else APACHE_ORC
+    # HFILE (or any other declared base format) must NOT alias to ORC:
+    # keep the raw tag so extension-less files under it hit the loud
+    # per-file refusal below instead of being parsed as ORC
+    default_fmt = {"PARQUET": PARQUET, "ORC": APACHE_ORC}.get(declared, declared)
 
     def _file_cols(abs_p: str, fmt: str) -> set[str]:
         if fmt == APACHE_ORC:
