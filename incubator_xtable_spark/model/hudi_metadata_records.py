@@ -237,7 +237,14 @@ def merge_metadata_records(
     stream: -> {record key: merged record}.
 
     - type 3 (COLUMN_STATS): newest record replaces; isDeleted tombstones
-      drop the key.
+      drop the key.  Interop boundary (ADVICE r8): real
+      HoodieMetadataPayload COMBINES two live stats records for the same
+      key (min of mins, max of maxes, summed value/null counts) — this
+      engine replaces latest-wins instead.  Every writer in this repo
+      emits complete per-(column,file) records (file stats are immutable
+      once written), so the two merges agree on engine-written logs; a
+      real-Hudi log carrying PARTIAL col-stats deltas for an existing key
+      would merge differently here.
     - type 1/2 (file lists): filesystemMetadata maps COMBINE per entry —
       a log record carries only the commit's mutations, so newer entries
       override per file name and isDeleted entries prune that file (the

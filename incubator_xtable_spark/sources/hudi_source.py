@@ -485,17 +485,41 @@ class HudiConversionSource:
         if hfile_files_available(self.base_path):
             # REAL-Hudi HFile `files` partition (r8): full-state base file
             # at the head instant serves the listing; a lagging index falls
-            # back to timeline replay. The full-state model carries no
-            # per-file commit instant, so last_modified_ms is the index
-            # snapshot instant (the head commit) for every row.
+            # back to timeline replay. The index records carry no per-file
+            # commit instant, but Hudi base-file NAMES embed their write
+            # instant (<fileId>_<token>_<instant>.<ext>) — derive
+            # last_modified_ms from it so inventory timestamps agree with
+            # the LITE-index and timeline-replay tiers (ADVICE r8); names
+            # that don't parse (foreign layouts, log files) fall back to
+            # the index snapshot instant.
             head = hfile_files_head_instant(self.base_path)
             if head != latest:
                 return None
+
+            def _ms(instant: str) -> int | None:
+                try:
+                    return instant_to_epoch_ms(instant)
+                except ValueError:
+                    return None
+
             idx = hfile_files_listing(self.spark, self.base_path)
+            name_instant = F.regexp_extract(
+                F.col("file_name"), r"_([0-9]{14,17})\.[A-Za-z][^.]*$", 1
+            )
+            idx = idx.withColumn(
+                "_instant", F.when(name_instant != "", name_instant).otherwise(F.lit(head))
+            )
+            instants = sorted(
+                r["_instant"] for r in idx.select("_instant").distinct().collect()
+            )
+            head_ms = _ms(head) or 0
+            ms_map = F.create_map(
+                *[x for i in instants for x in (F.lit(i), F.lit(_ms(i) or head_ms))]
+            )
             listing = idx.select(
                 abs_path.alias("physical_path"),
                 F.col("file_size").cast("long").alias("size_bytes"),
-                F.lit(instant_to_epoch_ms(head)).alias("last_modified_ms"),
+                ms_map[F.col("_instant")].alias("last_modified_ms"),
             )
             return self._listing_to_inventory(listing, table, with_stats)
 

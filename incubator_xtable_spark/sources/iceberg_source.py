@@ -659,14 +659,19 @@ class IcebergConversionSource:
             # serialized strings (the same conversion the inventory uses),
             # so targets re-serialize transform-aware; {} = global delete
             raw_part = df.get("partition") or {}
+            # 'key present with null value' is a partition-scoped delete on
+            # the null partition — distinct from 'key absent' (a global
+            # delete written under an unpartitioned spec); dropping nulls
+            # here misclassified it as global (ADVICE r8)
             part = {
                 c: from_iceberg_partition_value(raw_part.get(c), pf_by_name[c])
                 for c in pf_by_name
-                if raw_part.get(c) is not None
+                if c in raw_part
             }
             files.append(
                 {
                     "file_path": df["file_path"],
+                    "file_format": str(df.get("file_format") or "PARQUET").upper(),
                     "file_size": int(df.get("file_size_in_bytes") or 0),
                     "record_count": int(df.get("record_count") or 0),
                     "sequence_number": int(e.get("sequence_number") or 0),

@@ -393,6 +393,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         from incubator_xtable_spark.streaming.pacing import read_pacing_options
 
         self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
+        self._size_cache: dict = {}  # completed-commit bytes are immutable
         self._floor = self.starting - 1
         self.schema = schema
         meta = _py_latest_metadata(self.base_path)
@@ -411,14 +412,14 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         from incubator_xtable_spark.sources.delta_source import list_log_versions
-        from incubator_xtable_spark.streaming.pacing import paced_head
+        from incubator_xtable_spark.streaming.pacing import memoized_sizer, paced_head
 
         versions = list_log_versions(self.base_path)
         latest = versions[-1] if versions else self.starting - 1
         ahead = [v for v in versions if v > self._floor]
         head = paced_head(
             ahead,
-            lambda v: _commit_data_bytes(self.base_path, v),
+            memoized_sizer(self._size_cache, lambda v: _commit_data_bytes(self.base_path, v)),
             self.max_per_trigger,
             self.max_bytes_per_trigger,
         )

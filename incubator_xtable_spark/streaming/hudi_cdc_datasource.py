@@ -142,6 +142,7 @@ class HudiCDCStreamReader(DataSourceStreamReader):
         from incubator_xtable_spark.streaming.pacing import read_pacing_options
 
         self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
+        self._size_cache: dict = {}  # completed-commit bytes are immutable
         self._floor = self.starting
         self.table_schema = _table_schema(self.base_path)
 
@@ -149,7 +150,7 @@ class HudiCDCStreamReader(DataSourceStreamReader):
         return {"instant": self.starting}
 
     def latestOffset(self) -> dict:
-        from incubator_xtable_spark.streaming.pacing import paced_head
+        from incubator_xtable_spark.streaming.pacing import memoized_sizer, paced_head
         from incubator_xtable_spark.targets.hudi_target import list_completed_instants
 
         completed = list_completed_instants(self.base_path)
@@ -160,7 +161,7 @@ class HudiCDCStreamReader(DataSourceStreamReader):
             ahead = [i for i in instants if self._floor is None or i > self._floor]
             head = paced_head(
                 ahead,
-                lambda i: _instant_data_bytes(self.base_path, i, actions[i]),
+                memoized_sizer(self._size_cache, lambda i: _instant_data_bytes(self.base_path, i, actions[i])),
                 self.max_per_trigger,
                 self.max_bytes_per_trigger,
             )

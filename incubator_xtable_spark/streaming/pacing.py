@@ -34,6 +34,21 @@ def read_pacing_options(options: dict) -> tuple[Optional[int], Optional[int]]:
     )
 
 
+def memoized_sizer(cache: dict, fn: Callable[[C], int]) -> Callable[[C], int]:
+    """Per-reader-instance byte-size memo: completed commits are immutable,
+    but ``latestOffset`` fires every trigger and re-sizes the whole
+    backlog — without this, each micro-batch plan re-decodes O(backlog)
+    commit JSON / manifest lists (ADVICE r8). The cache key is the commit
+    id (version/instant/snapshot); bounded by backlog length."""
+
+    def _sized(c: C) -> int:
+        if c not in cache:
+            cache[c] = fn(c)
+        return cache[c]
+
+    return _sized
+
+
 def paced_head(
     ahead: Sequence[C],
     commit_bytes: Callable[[C], int],

@@ -120,6 +120,7 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
         from incubator_xtable_spark.streaming.pacing import read_pacing_options
 
         self.max_per_trigger, self.max_bytes_per_trigger = read_pacing_options(options)
+        self._size_cache: dict = {}  # completed-commit bytes are immutable
         self._floor = self.starting
         self.table_schema = src.get_table(latest).read_schema
 
@@ -127,7 +128,7 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
         return {"snapshot": self.starting}
 
     def latestOffset(self) -> dict:
-        from incubator_xtable_spark.streaming.pacing import paced_head
+        from incubator_xtable_spark.streaming.pacing import memoized_sizer, paced_head
 
         latest = _src(self.base_path).latest_snapshot_id()
         latest = latest if latest is not None else self.starting
@@ -135,7 +136,7 @@ class PaimonChangelogStreamReader(DataSourceStreamReader):
             ahead = list(range(self._floor + 1, latest + 1))
             head = paced_head(
                 ahead,
-                lambda sid: _snapshot_data_bytes(self.base_path, sid),
+                memoized_sizer(self._size_cache, lambda sid: _snapshot_data_bytes(self.base_path, sid)),
                 self.max_per_trigger,
                 self.max_bytes_per_trigger,
             )

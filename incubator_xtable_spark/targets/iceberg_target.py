@@ -887,7 +887,10 @@ class IcebergConversionTarget:
                     "data_file": {
                         "content": 2,
                         "file_path": f["file_path"],
-                        "file_format": "PARQUET",
+                        # relayed delete files keep their source format —
+                        # hard-coding PARQUET mis-tagged ORC/AVRO equality
+                        # files for downstream readers (ADVICE r8)
+                        "file_format": str(f.get("file_format") or "PARQUET").upper(),
                         "partition": self._iceberg_partition(pv),
                         "record_count": f.get("record_count") or 0,
                         "file_size_in_bytes": f.get("file_size") or 0,
