@@ -415,10 +415,35 @@ def write_hfile(
     checksum_type: int = 1,
     with_mvcc: bool = True,
 ) -> None:
-    """Write a spec-shaped HFile v3 from sorted (row_key, value) records —
-    the test-fixture twin of ``read_hfile`` (same role tests/hudi_logtable.py
-    plays for log blocks). Cells use empty family/qualifier and type Put,
-    which is exactly how Hudi's metadata writer shapes them."""
+    """Write a spec-shaped HFile v3 to ``path`` (atomic tmp+replace) —
+    see ``hfile_bytes`` for the container shape."""
+    data = hfile_bytes(
+        records,
+        file_info,
+        compression=compression,
+        block_size=block_size,
+        checksum_type=checksum_type,
+        with_mvcc=with_mvcc,
+    )
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
+def hfile_bytes(
+    records: list[tuple[bytes, bytes]],
+    file_info: Optional[dict] = None,
+    *,
+    compression: int = COMPRESSION_GZ,
+    block_size: int = 65536,
+    checksum_type: int = 1,
+    with_mvcc: bool = True,
+) -> bytes:
+    """A spec-shaped HFile v3 from sorted (row_key, value) records, as
+    bytes — the payload HFILE_DATA_BLOCK metadata log blocks embed and the
+    base-file writer persists. Cells use empty family/qualifier and type
+    Put, which is exactly how Hudi's metadata writer shapes them."""
     records = sorted(records, key=lambda kv: kv[0])
     out = bytearray()
     index_entries = []  # (offset, on_disk_size_with_header, first_key)
@@ -502,8 +527,77 @@ def write_hfile(
         raise HFileError("trailer overflow")
     trailer += b"\x00" * pad + struct.pack(">I", (3 << 24) | 3)
     out.extend(trailer)
+    return bytes(out)
 
-    tmp = path + f".tmp-{os.getpid()}"
-    with open(tmp, "wb") as fh:
-        fh.write(bytes(out))
-    os.replace(tmp, path)
+
+def lookup_hfile_bytes(
+    data: bytes, row: bytes, path: str = "<mem>", verify_checksums: bool = True
+) -> tuple[Optional[bytes], dict]:
+    """POINT lookup: -> (value bytes or None, file_info dict) for the cell
+    whose row key is ``row`` (file_info rides along because it carries the
+    embedded avro writer schema payload decoders need) — decoding ONLY the trailer, file info, root index and the one
+    candidate data block (real Hudi's HFile point-get shape: decompress +
+    cell-scan cost is O(one block) per probe, never the whole index; the
+    raw bytes are taken in one read — metadata-index files are
+    metadata-sized)."""
+    trailer = _parse_trailer(data, path)
+    codec = trailer.get("compression_codec", COMPRESSION_NONE)
+    if codec not in (COMPRESSION_GZ, COMPRESSION_NONE):
+        raise HFileError(f"{path}: unsupported compression codec ordinal {codec}")
+    if trailer.get("num_data_index_levels", 1) > 1:
+        raise HFileError(f"{path}: multi-level data index not supported")
+    file_info = {}
+    fi_off = trailer.get("file_info_offset")
+    if fi_off is not None:
+        magic, payload, _ = _read_block(data, fi_off, path, verify_checksums, codec)
+        if magic != FILE_INFO_MAGIC:
+            raise HFileError(f"{path}: expected FILEINF2 at {fi_off}, got {magic!r}")
+        file_info = _parse_file_info(payload, path)
+    kv_version = file_info.get("KEY_VALUE_VERSION")
+    with_mvcc = bool(kv_version) and struct.unpack(">i", kv_version)[0] >= 1
+    n_entries = trailer.get("data_index_count", 0)
+    if not n_entries:
+        return None, file_info
+    magic, payload, _ = _read_block(
+        data, trailer["load_on_open_data_offset"], path, verify_checksums, codec
+    )
+    if magic != ROOT_INDEX_MAGIC:
+        raise HFileError(f"{path}: expected IDXROOT2, got {magic!r}")
+    pos = 0
+    entries = []  # (block offset, first cell ROW)
+    for _ in range(n_entries):
+        boff, _bsize = struct.unpack_from(">qi", payload, pos)
+        pos += 12
+        klen, pos = read_vlong(payload, pos)
+        fkey = payload[pos : pos + klen]
+        pos += klen
+        (rlen,) = struct.unpack_from(">H", fkey, 0)
+        entries.append((boff, fkey[2 : 2 + rlen]))
+    # last block whose first row <= probe row (rows sort bytewise — the
+    # HoodieHBaseKVComparator order for empty family/qualifier cells)
+    lo, hi = 0, len(entries) - 1
+    cand = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if entries[mid][1] <= row:
+            cand = entries[mid][0]
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if cand is None:
+        return None, file_info
+    magic, payload, _ = _read_block(data, cand, path, verify_checksums, codec)
+    if magic != DATA_MAGIC:
+        raise HFileError(f"{path}: expected DATABLK* at {cand}, got {magic!r}")
+    for cell in _parse_cells(payload, with_mvcc, path):
+        if cell.row == row:
+            return cell.value, file_info
+    return None, file_info
+
+
+def lookup_hfile(
+    path: str, row: bytes, verify_checksums: bool = True
+) -> tuple[Optional[bytes], dict]:
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return lookup_hfile_bytes(data, row, path, verify_checksums)

@@ -24,11 +24,14 @@ avro schema resolution fills a reader's missing fields from their null
 defaults, which is exactly how real Hudi decodes HFile cells (writer
 schema embedded under file-info key ``schema``).
 
-Interop boundary (documented): record keys use the engine's readable
-``<column>;;<file>`` convention for column_stats, not real Hudi's hashed
-ColumnIndexID/FileIndexID base64 keys — real Hudi's point lookups by
-hashed key find no record and fall back to footer stats (the safe
-direction); full-partition scans see correct payloads either way.
+Record keys (r9): column_stats records key by real Hudi's hashed
+``ColumnIndexID + PartitionIndexID + FileIndexID`` base64 scheme
+(``model/hudi_hash.py``) — the key real Hudi's point lookups compute
+(``HoodieMetadataPayload.getColumnStatsIndexKey``), so a real reader's
+hashed probes resolve against engine-written indexes. The readable
+``<column>;;<file>`` convention remains available (``key_mode=
+"readable"``) for engine-internal fixtures; read paths never parse the
+key — the payload carries fileName/columnName.
 """
 
 from __future__ import annotations
@@ -158,7 +161,9 @@ def col_stats_key(column_name: str, file_name: str) -> str:
 
 
 def col_stats_key_file(key: str) -> str | None:
-    """file name out of a column_stats record key, None for foreign keys."""
+    """file name out of a READABLE column_stats record key, None for
+    hashed/foreign keys (hashed keys carry the file only as an MD5 — use
+    the payload's fileName instead)."""
     _, sep, fname = key.partition(";;")
     return fname if sep else None
 
@@ -172,9 +177,24 @@ def col_stats_record(
     value_count: int,
     null_count: int,
     is_deleted: bool = False,
+    *,
+    key_mode: str = "readable",
+    partition_path: str = "",
 ) -> tuple[bytes, bytes]:
-    """-> (cell row key, avro value bytes) for one column-stats record."""
-    key = col_stats_key(column_name, file_name)
+    """-> (cell row key, avro value bytes) for one column-stats record.
+
+    ``key_mode="hashed"`` keys the record by real Hudi's
+    getColumnStatsIndexKey (needs ``partition_path`` — '' = root); the
+    default readable ``<column>;;<file>`` key stays for engine-internal
+    fixtures. Payloads are identical either way."""
+    if key_mode == "hashed":
+        from incubator_xtable_spark.model.hudi_hash import col_stats_index_key
+
+        key = col_stats_index_key(partition_path, file_name, column_name)
+    elif key_mode == "readable":
+        key = col_stats_key(column_name, file_name)
+    else:
+        raise ValueError(f"unknown key_mode {key_mode!r}")
     rec = {
         "key": key,
         "type": 3,  # MetadataPartitionType COLUMN_STATS record type
@@ -222,6 +242,47 @@ def files_partition_records(
         "key": ALL_PARTITIONS_KEY,
         "type": 1,  # ALL_PARTITIONS record type
         "filesystemMetadata": all_parts,
+        "ColumnStatsMetadata": None,
+    }
+    out.append(
+        (ALL_PARTITIONS_KEY.encode("utf-8"), encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, head))
+    )
+    return out
+
+
+def files_partition_mutation_records(
+    adds: dict[str, dict[str, int]],
+    removes: dict[str, list[str]],
+) -> list[tuple[bytes, bytes]]:
+    """Per-commit DELTA records for the ``files`` partition: one type-2
+    record per touched partition carrying ONLY this commit's mutations
+    (added files with sizes, removed files as isDeleted entries) plus a
+    type-1 all-partitions record naming the touched partitions — the
+    shape real Hudi appends per deltacommit log block;
+    HoodieMetadataPayload's per-entry map combine (merge_metadata_records
+    here) folds them into the full state."""
+    out: list[tuple[bytes, bytes]] = []
+    touched: dict[str, dict] = {}
+    for part in sorted(set(adds) | set(removes)):
+        key = part if part else NON_PARTITIONED_NAME
+        touched[key] = {"size": 0, "isDeleted": False}
+        fsmeta: dict[str, dict] = {
+            fn: {"size": int(sz), "isDeleted": False}
+            for fn, sz in sorted((adds.get(part) or {}).items())
+        }
+        for fn in sorted(removes.get(part) or []):
+            fsmeta[fn] = {"size": 0, "isDeleted": True}
+        rec = {
+            "key": key,
+            "type": 2,
+            "filesystemMetadata": fsmeta,
+            "ColumnStatsMetadata": None,
+        }
+        out.append((key.encode("utf-8"), encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec)))
+    head = {
+        "key": ALL_PARTITIONS_KEY,
+        "type": 1,
+        "filesystemMetadata": touched,
         "ColumnStatsMetadata": None,
     }
     out.append(
@@ -295,12 +356,45 @@ def merged_metadata_slice_records(
     metadata_logs_supported first and fall back instead of serving stale
     state. Runs wherever called (executor-side from the read tiers);
     bounded by index size, never data size."""
+    from incubator_xtable_spark.model.hfile import read_hfile
+
+    ordered: list[tuple[str, dict]] = list(
+        _hfile_records(read_hfile(hfile_path), hfile_path)
+    )
+    ordered.extend(iter_log_records(log_paths))
+    return sorted(merge_metadata_records(ordered).items())
+
+
+def _hfile_records(hf, where: str) -> list[tuple[str, dict]]:
+    import io as _io
+    import json as _json
+
+    from incubator_xtable_spark.model.avro_codec import decode_value
+
+    avsc = hf.file_info.get("schema")
+    if avsc is None:
+        raise ValueError(f"{where}: HFile carries no avro schema in file info")
+    schema = _json.loads(avsc.decode("utf-8"))
+    out = []
+    for cell in hf.cells:
+        rec = decode_value(schema, _io.BytesIO(cell.value))
+        # writers may leave the avro key field empty (virtual keys);
+        # the cell row IS the record key then — real readers refill it
+        key = rec.get("key") or cell.row.decode("utf-8")
+        out.append((key, rec))
+    return out
+
+
+def iter_log_records(log_paths: list[str]) -> list[tuple[str, dict]]:
+    """Ordered (key, record) stream of a metadata file slice's log files —
+    AVRO_DATA_BLOCK / HFILE_DATA_BLOCK / DELETE_BLOCK decode; anything
+    else refuses loudly (callers probe with metadata_logs_supported)."""
     import io as _io
     import json as _json
     import struct as _struct
 
     from incubator_xtable_spark.model.avro_codec import decode_value
-    from incubator_xtable_spark.model.hfile import read_hfile, read_hfile_bytes
+    from incubator_xtable_spark.model.hfile import read_hfile_bytes
     from incubator_xtable_spark.sources.hudi_log import (
         AVRO_DATA_BLOCK,
         DELETE_BLOCK,
@@ -310,21 +404,7 @@ def merged_metadata_slice_records(
         read_log_blocks,
     )
 
-    def _hfile_records(hf) -> list[tuple[str, dict]]:
-        avsc = hf.file_info.get("schema")
-        if avsc is None:
-            raise ValueError(f"{hfile_path}: HFile carries no avro schema in file info")
-        schema = _json.loads(avsc.decode("utf-8"))
-        out = []
-        for cell in hf.cells:
-            rec = decode_value(schema, _io.BytesIO(cell.value))
-            # writers may leave the avro key field empty (virtual keys);
-            # the cell row IS the record key then — real readers refill it
-            key = rec.get("key") or cell.row.decode("utf-8")
-            out.append((key, rec))
-        return out
-
-    ordered: list[tuple[str, dict]] = list(_hfile_records(read_hfile(hfile_path)))
+    ordered: list[tuple[str, dict]] = []
     for lp in log_paths:
         for block in read_log_blocks(lp):
             if block.block_type == AVRO_DATA_BLOCK:
@@ -337,7 +417,10 @@ def merged_metadata_slice_records(
                     ordered.append((rec.get("key") or "", rec))
             elif block.block_type == HFILE_DATA_BLOCK:
                 ordered.extend(
-                    _hfile_records(read_hfile_bytes(block.content, f"{lp}:hfile-block"))
+                    _hfile_records(
+                        read_hfile_bytes(block.content, f"{lp}:hfile-block"),
+                        f"{lp}:hfile-block",
+                    )
                 )
             elif block.block_type == DELETE_BLOCK:
                 buf = _io.BytesIO(block.content)
@@ -352,7 +435,36 @@ def merged_metadata_slice_records(
                 raise ValueError(
                     f"{lp}: unsupported metadata log block type {block.block_type}"
                 )
-    return sorted(merge_metadata_records(ordered).items())
+    return ordered
+
+
+def point_lookup_slice_record(
+    hfile_path: str, log_paths: list[str], key: str
+) -> dict | None:
+    """POINT lookup of one record key across a metadata file slice — the
+    read shape real Hudi's getColumnStats uses against hashed keys: an
+    HFile block-index seek on the base file (O(one block) decode, see
+    model/hfile.lookup_hfile), then the slice's log records REPLAYED for
+    that key only (logs are per-commit deltas — metadata-sized). Returns
+    the merged record, or None when the key is absent/tombstoned."""
+    import io as _io
+    import json as _json
+
+    from incubator_xtable_spark.model.avro_codec import decode_value
+    from incubator_xtable_spark.model.hfile import lookup_hfile
+
+    row = key.encode("utf-8")
+    value, file_info = lookup_hfile(hfile_path, row)
+    ordered: list[tuple[str, dict]] = []
+    if value is not None:
+        avsc = file_info.get("schema")
+        if avsc is None:
+            raise ValueError(f"{hfile_path}: HFile carries no avro schema in file info")
+        rec = decode_value(_json.loads(avsc.decode("utf-8")), _io.BytesIO(value))
+        ordered.append((rec.get("key") or key, rec))
+    if log_paths:
+        ordered.extend((k, r) for k, r in iter_log_records(log_paths) if k == key)
+    return merge_metadata_records(ordered).get(key)
 
 
 def metadata_logs_supported(log_paths: list[str]) -> bool:

@@ -92,6 +92,14 @@ LIMIT 10
     description="TPC-H Q3-style 3-way join, broadcast dim, top-10",
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note (skew): the lineitem⋈orders shuffle join keys on
+    o_orderkey/l_orderkey — uniform in TPC-H, but a hot key (one customer
+    owning half the orders) stays safe because the plan is a plain
+    declarative SMJ, eligible for AQE's runtime skew split
+    (spark.sql.adaptive.skewJoin); tests/test_skew_join.py plants exactly
+    that skew and proves the split fires (skew=true) with the result
+    still hash-matching DuckDB. No manual salting needed for join-side
+    skew at 100x."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)

@@ -580,10 +580,27 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
             ((p, from_extension(p, default=provider_fmt)) for p in item_paths),
             reader="read_delta_cdf",
         )
-        if (orc_paths or avro_paths) and (cm_mode in ("name", "id") or positions is not None):
+        # same matrix as read_delta_as_df: ORC + mode=name derives CDF
+        # via physical-name resolution (data_fields are already physical
+        # and _rename_back applies after the union); mode=id on ORC and
+        # any mapping on AVRO refuse, as do DV row diffs on either
+        # (positions key on parquet row indexes)
+        if avro_paths and cm_mode in ("name", "id"):
             raise NotImplementedError(
-                "read_delta_cdf: ORC/AVRO data files do not support column "
-                "mapping or deletion-vector row diffs"
+                "read_delta_cdf: column mapping with AVRO data files is "
+                "not supported"
+            )
+        if orc_paths and cm_mode == "id":
+            raise NotImplementedError(
+                "read_delta_cdf: column mapping mode=id with ORC data "
+                "files is not supported (id resolution needs parquet "
+                "field ids)"
+            )
+        if (orc_paths or avro_paths) and positions is not None:
+            raise NotImplementedError(
+                "read_delta_cdf: deletion-vector row diffs on ORC/AVRO "
+                "data files are not supported (positions key on parquet "
+                "row indexes)"
             )
         if cm_mode == "id":
             _require_field_ids(spark, pq_paths)
@@ -874,10 +891,20 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         ((p, from_extension(p, default=provider_fmt)) for p in paths),
         reader="read_delta_as_df",
     )
-    if (orc_paths or avro_paths) and cm_mode in ("name", "id"):
+    # refusal matrix (README "Delta non-parquet depth"): ORC serves
+    # mode=name by PHYSICAL-NAME resolution (r9 — ORC columns ARE named
+    # the physical names; Spark's ORC reader matches by name); mode=id
+    # stays refused on ORC (id resolution keys on parquet field ids ORC
+    # files cannot carry), and AVRO stays refused under any mapping.
+    if avro_paths and cm_mode in ("name", "id"):
         raise NotImplementedError(
-            "read_delta_as_df: column mapping with ORC/AVRO data files is "
-            "not supported (column mapping is a parquet-era table feature)"
+            "read_delta_as_df: column mapping with AVRO data files is "
+            "not supported"
+        )
+    if orc_paths and cm_mode == "id":
+        raise NotImplementedError(
+            "read_delta_as_df: column mapping mode=id with ORC data files "
+            "is not supported (id resolution needs parquet field ids)"
         )
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_struct = (
@@ -939,8 +966,27 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     if orc_paths:
         # DV logic is parquet-branch-only (refused for orc above); the orc
         # scan unions in afterwards — partition attachment below keys on
-        # input_file_name(), which is source-format-agnostic
-        orc_df = spark.read.schema(T.StructType(data_fields)).orc(list(orc_paths))
+        # input_file_name(), which is source-format-agnostic. mode=name
+        # reads the physical struct and renames/casts back (same flow as
+        # the parquet branch, minus field ids).
+        orc_struct = (
+            _physical_type(T.StructType(data_fields), with_field_ids=False)
+            if cm_mode == "name"
+            else T.StructType(data_fields)
+        )
+        orc_df = spark.read.schema(orc_struct).orc(list(orc_paths))
+        if cm_mode == "name":
+            orc_df = _rename_back(
+                orc_df,
+                {
+                    rf.name: f.name
+                    for f, rf in zip(data_fields, orc_struct.fields)
+                    if rf.name != f.name
+                },
+            )
+            for f, rf in zip(data_fields, orc_struct.fields):
+                if rf.dataType != f.dataType:
+                    orc_df = orc_df.withColumn(f.name, F.col(f.name).cast(f.dataType))
         df = orc_df if df is None else df.unionByName(orc_df)
     if avro_paths:
         # AVRO rows come from the distributed OCF scan (no file-scan

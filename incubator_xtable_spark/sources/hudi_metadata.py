@@ -202,6 +202,38 @@ def hfile_col_stats_available(base_path: str) -> bool:
     return bool(slices)
 
 
+def lookup_col_stats_record(
+    base_path: str, partition_path: str, file_name: str, column: str
+) -> dict | None:
+    """REAL-Hudi hashed-key POINT lookup into the column_stats metadata
+    partition — the read shape HoodieTableMetadata.getColumnStats uses
+    (ref hudi/HudiFileStatsExtractor.java:99-186 keys its probes by
+    HoodieMetadataPayload.getColumnStatsIndexKey): compute the hashed
+    ColumnIndexID+PartitionIndexID+FileIndexID key, HFile-seek the base
+    file of each metadata file group (O(one block) decode), replay the
+    slice's log records for that key only. -> the merged
+    HoodieMetadataRecord dict, or None when absent/tombstoned.
+
+    Driver-side by design: a point probe is metadata-cheap; the
+    DISTRIBUTED full-partition scan (hfile_stats_records) remains the
+    bulk-stats path."""
+    from incubator_xtable_spark.model.hudi_hash import col_stats_index_key
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        point_lookup_slice_record,
+    )
+
+    key = col_stats_index_key(partition_path, file_name, column)
+    d = os.path.join(base_path, HFILE_COL_STATS_SUBDIR)
+    slices, logs_ok = _hfile_partition_state(d)
+    if not logs_ok:
+        return None
+    for base, logs in slices:
+        rec = point_lookup_slice_record(base, logs, key)
+        if rec is not None:
+            return rec
+    return None
+
+
 def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructType) -> DataFrame:
     """Decode a REAL Hudi column_stats partition (HFile base files) into
     the engine's stat-record shape: one row per (file_name, column_name)

@@ -1,52 +1,66 @@
-"""REAL-layout Hudi metadata-table index writes (HFile base files).
+"""REAL-layout Hudi metadata-table index writes (HFile base + log files).
 
 Opt-in via ``HudiConversionTarget(metadata_index_format="hfile")``: the
-``column_stats`` and ``files`` metadata partitions are written as HBase
-HFile base files named ``<fileId>_<writeToken>_<instant>.hfile`` holding
-HoodieMetadataRecord avro payloads, under ``.hoodie/metadata/``, plus the
-metadata table's OWN ``.hoodie`` timeline (hoodie.properties + per-commit
-deltacommit lifecycle) — the layout real Hudi's write client produces
-(ref hudi/HudiConversionTarget.java:267-470 drives that client; layout
-verified against an actual Hudi-written metadata table, see
-tests/test_hfile.py::test_reads_actual_hudi_written_hfile).
+``column_stats`` and ``files`` metadata partitions are written the way
+real Hudi's write client maintains them (ref
+hudi/HudiConversionTarget.java:267-470 drives that client; container
+layout verified against an actual Hudi-written metadata table, see
+tests/test_hfile.py::test_reads_actual_hudi_written_hfile):
 
-Merge model — "always-compacted": real Hudi appends log files to the
-metadata file groups and compacts periodically; readers merge
-base+logs latest-wins. This engine writes a NEW FULL-STATE base HFile
-per file group at every commit instead (the read tier — this engine's
-and real Hudi's MOR view alike — resolves the latest base file per file
-group, so a full base at the head instant is always a correct, already-
-compacted view). Unchanged records carry over as RAW avro value bytes
-(no decode/re-encode); only this commit's added files encode fresh
-records.
+- the FIRST commit writes an HBase HFile base file per metadata file
+  group (``<fileId>_<writeToken>_<instant>.hfile``) holding
+  HoodieMetadataRecord avro payloads;
+- every LATER commit appends one metadata log file per file group
+  (``.<fileId>_<baseInstant>.log.<version>_<writeToken>``) whose single
+  HFILE_DATA_BLOCK carries ONLY that commit's delta records — fresh
+  column stats per added file, ``isDeleted`` tombstones per replaced
+  file, per-partition file-list mutations — real Hudi's deltacommit
+  shape (r9; r8 rewrote a full-state base per commit, ~1 min/commit at
+  100k files);
+- after ``compact_every`` log files accrue on a slice, the commit
+  COMPACTS: base + logs merge (HoodieMetadataPayload semantics) into a
+  new full-state base at the commit instant, and subsequent logs attach
+  to the new base.  Column-stats records carry over as RAW avro bytes
+  (latest-wins per key needs no decode/re-encode — wrapper-union branch
+  choices stay byte-stable); file-list records merge decoded (their
+  schema has no ambiguous unions).
 
-Scale: index writes are driver-side pure python over metadata-sized
-state (files x columns records, ~1e-6 of data volume); the carry-over
-is a dict merge of raw bytes (no re-encode). Measured: 2,000 files x 8
-columns per commit = ~1.0 s/commit including the cumulative 48k-record
-rewrite by commit 3 (~16k fresh avro encodes/s; carried records are
-byte-copies). A 100k-file, 10-column table rewrites a ~1M-record HFile
-per commit (~1 min, dominated by the first full write) — the cost of
-the always-compacted posture; the default LITE parquet mode
-(metadata_index_format="parquet") stays per-commit-delta-sized for
-engine-internal use. Data rows never route through here.
+Record keys (r9): column_stats records key by real Hudi's hashed
+``ColumnIndexID+PartitionIndexID+FileIndexID`` scheme by default
+(``model/hudi_hash.py``), so a real Hudi reader's point lookups
+(HoodieMetadataPayload.getColumnStatsIndexKey →
+hudi/HudiFileStatsExtractor.java:99-186 via getColumnStats) resolve
+against the written index; ``files`` records keep real Hudi's plain
+partition-path keys.  ``key_mode="readable"`` keeps the engine's legacy
+``<column>;;<file>`` convention.
+
+Plus the metadata table's OWN ``.hoodie`` timeline (hoodie.properties +
+per-commit deltacommit lifecycle).
+
+Scale: index writes are driver-side pure python over METADATA-sized
+state; per-commit cost is now O(files touched x columns) — the commit's
+delta — not O(table files) as in r8; the compaction every N commits
+amortizes the full rewrite to 1/N of commits (see loadtest numbers in
+STATUS.md).  Data rows never route through here.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
+import struct
 import uuid
 
 from pyspark.sql import types as T
 
-from incubator_xtable_spark.model.hfile import read_hfile, write_hfile
+from incubator_xtable_spark.model.hfile import hfile_bytes, read_hfile, write_hfile
 from incubator_xtable_spark.model.hudi_metadata_records import (
     HUDI_METADATA_RECORD_SCHEMA,
-    col_stats_key_file,
     col_stats_record,
-    decode_files_partition,
+    files_partition_mutation_records,
     files_partition_records,
+    merge_metadata_records,
 )
 from incubator_xtable_spark.model.stat_codec import decode_stat
 
@@ -55,6 +69,7 @@ FILES_FILE_ID = "files-0000-0"
 WRITE_TOKEN = "0-0-0"
 COLUMN_STATS_PARTITION = "column_stats"
 FILES_PARTITION = "files"
+DEFAULT_COMPACT_EVERY = 10
 
 
 def metadata_table_dir(base_path: str) -> str:
@@ -65,24 +80,17 @@ def _partition_dir(base_path: str, partition: str) -> str:
     return os.path.join(metadata_table_dir(base_path), partition)
 
 
-def _latest_base(d: str, file_id: str) -> str | None:
-    from incubator_xtable_spark.sources.hudi_metadata import _latest_hfile_slices
+def _slice_state(d: str, file_id: str) -> tuple[str | None, list[str]]:
+    """-> (latest base hfile for the file group or None, its ordered logs)."""
+    from incubator_xtable_spark.sources.hudi_metadata import (
+        _latest_hfile_slices,
+        slice_log_files,
+    )
 
     for p in _latest_hfile_slices(d):
         if os.path.basename(p).startswith(file_id + "_"):
-            return p
-    return None
-
-
-def _prev_cells(d: str, file_id: str) -> tuple[list[tuple[bytes, bytes]], str | None]:
-    """Raw (row, value) cells + embedded writer schema of the current base
-    file, or ([], None) on a fresh index."""
-    p = _latest_base(d, file_id)
-    if p is None:
-        return [], None
-    hf = read_hfile(p)
-    avsc = hf.file_info.get("schema")
-    return [(c.row, c.value) for c in hf.cells], (avsc.decode("utf-8") if avsc else None)
+            return p, slice_log_files(d, p)
+    return None, []
 
 
 def _write_base(
@@ -101,6 +109,167 @@ def _write_base(
     return os.path.join(os.path.basename(d), os.path.basename(path)), os.path.getsize(path)
 
 
+def _append_log(
+    d: str, base_path_of_slice: str, instant: str, records: list[tuple[bytes, bytes]]
+) -> tuple[str, int]:
+    """Append one metadata log file carrying this commit's delta records as
+    a single HFILE_DATA_BLOCK (real Hudi's metadata log block format —
+    keyed+sorted so readers can seek inside blocks too); -> (rel path,
+    size). Put-if-absent via hard link, same posture as the timeline."""
+    from incubator_xtable_spark.sources.hudi_log import (
+        HFILE_DATA_BLOCK,
+        H_INSTANT_TIME,
+        H_SCHEMA,
+        _block_bytes,
+    )
+    from incubator_xtable_spark.sources.hudi_metadata import slice_log_files
+
+    name = os.path.basename(base_path_of_slice)[: -len(".hfile")]
+    file_id, _token, base_instant = name.split("_")[0], None, name.split("_")[2]
+    version = len(slice_log_files(d, base_path_of_slice)) + 1
+    records = sorted(records, key=lambda kv: kv[0])
+    content = hfile_bytes(
+        records, {"schema": json.dumps(HUDI_METADATA_RECORD_SCHEMA).encode("utf-8")}
+    )
+    block = _block_bytes(
+        HFILE_DATA_BLOCK,
+        {H_INSTANT_TIME: instant, H_SCHEMA: json.dumps(HUDI_METADATA_RECORD_SCHEMA)},
+        content,
+    )
+    path = os.path.join(d, f".{file_id}_{base_instant}.log.{version}_{WRITE_TOKEN}")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as fh:
+        fh.write(block)
+    try:
+        os.link(tmp, path)
+    except FileExistsError as exc:
+        raise RuntimeError(
+            f"concurrent Hudi metadata-index log append at {path}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+    return os.path.join(os.path.basename(d), os.path.basename(path)), len(block)
+
+
+def _iter_raw_slice(hfile_path: str, log_paths: list[str]):
+    """Replay-ordered (key str, raw avro value bytes | None, decoded rec)
+    triples of a metadata file slice — raw bytes ride along so compaction
+    can carry winning records without re-encoding (decode drops union
+    branch names, so a decode->encode roundtrip of wrapper values is not
+    byte-safe). Tombstones from DELETE_BLOCKs yield (key, None,
+    {"_tombstone": True})."""
+    from incubator_xtable_spark.model.avro_codec import decode_value
+    from incubator_xtable_spark.model.hfile import read_hfile_bytes
+    from incubator_xtable_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        DELETE_BLOCK,
+        DELETE_RECORD_LIST_SCHEMA,
+        HFILE_DATA_BLOCK,
+        H_SCHEMA,
+        read_log_blocks,
+    )
+
+    def _cells(hf, where):
+        avsc = hf.file_info.get("schema")
+        if avsc is None:
+            raise ValueError(f"{where}: HFile carries no avro schema in file info")
+        schema = json.loads(avsc.decode("utf-8"))
+        for cell in hf.cells:
+            rec = decode_value(schema, io.BytesIO(cell.value))
+            yield (rec.get("key") or cell.row.decode("utf-8"), cell.value, rec)
+
+    yield from _cells(read_hfile(hfile_path), hfile_path)
+    for lp in log_paths:
+        for block in read_log_blocks(lp):
+            if block.block_type == HFILE_DATA_BLOCK:
+                yield from _cells(
+                    read_hfile_bytes(block.content, f"{lp}:hfile-block"),
+                    f"{lp}:hfile-block",
+                )
+            elif block.block_type == AVRO_DATA_BLOCK:
+                schema = json.loads(block.headers[H_SCHEMA])
+                buf = io.BytesIO(block.content)
+                (_v, count) = struct.unpack(">ii", buf.read(8))
+                for _ in range(count):
+                    (ln,) = struct.unpack(">i", buf.read(4))
+                    raw = buf.read(ln)
+                    rec = decode_value(schema, io.BytesIO(raw))
+                    yield (rec.get("key") or "", raw, rec)
+            elif block.block_type == DELETE_BLOCK:
+                buf = io.BytesIO(block.content)
+                (_dv, ln) = struct.unpack(">ii", buf.read(8))
+                schema_json = block.headers.get(H_SCHEMA) or DELETE_RECORD_LIST_SCHEMA
+                wrapper = decode_value(json.loads(schema_json), io.BytesIO(buf.read(ln)))
+                for dr in wrapper.get("deleteRecordList") or []:
+                    if dr.get("recordKey"):
+                        yield (dr["recordKey"], None, {"_tombstone": True})
+            else:
+                raise ValueError(
+                    f"{lp}: unsupported metadata log block type {block.block_type}"
+                )
+
+
+def _compacted_records(
+    hfile_path: str, log_paths: list[str]
+) -> list[tuple[bytes, bytes]]:
+    """Full-state records of a slice for the compaction write.
+
+    Column-stats records (type 3) compact at the RAW byte level —
+    latest-wins per key, isDeleted payloads and tombstones drop the key —
+    so the winning record's wrapper bytes carry over untouched.  File-list
+    records (types 1/2) go through the decoded map-combine
+    (merge_metadata_records) and re-encode: their schema has no ambiguous
+    unions, so the roundtrip is lossless."""
+    from incubator_xtable_spark.model.avro_codec import encode_binary_record
+
+    raw_state: dict[str, bytes] = {}
+    fs_ordered: list[tuple[str, dict]] = []
+    for key, raw, rec in _iter_raw_slice(hfile_path, log_paths):
+        if rec.get("_tombstone"):
+            raw_state.pop(key, None)
+            fs_ordered.append((key, rec))
+            continue
+        rtype = rec.get("type")
+        if rtype in (1, 2):
+            fs_ordered.append((key, rec))
+            continue
+        cs = rec.get("ColumnStatsMetadata") or {}
+        if rtype == 3 and cs.get("isDeleted"):
+            raw_state.pop(key, None)
+        else:
+            raw_state[key] = raw
+    out = [(k.encode("utf-8"), v) for k, v in raw_state.items()]
+    for key, rec in merge_metadata_records(fs_ordered).items():
+        out.append(
+            (key.encode("utf-8"), encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec))
+        )
+    return out
+
+
+def _commit_partition(
+    d: str,
+    file_id: str,
+    instant: str,
+    delta_records: list[tuple[bytes, bytes]],
+    compact_every: int,
+) -> tuple[str, int, int]:
+    """One metadata file group's write for one commit: first commit -> base
+    HFile; later commits -> one delta log file; every ``compact_every``
+    logs -> merge base+logs (including this commit's delta) into a new
+    full-state base.  -> (rel path written, size, record count)."""
+    base, logs = _slice_state(d, file_id)
+    if base is None:
+        rel, size = _write_base(d, file_id, instant, delta_records)
+        return rel, size, len(delta_records)
+    rel, size = _append_log(d, base, instant, delta_records)
+    logs_after = logs + [os.path.join(d, os.path.basename(rel.split(os.sep)[-1]))]
+    if len(logs_after) >= compact_every:
+        merged = _compacted_records(base, logs_after)
+        rel, size = _write_base(d, file_id, instant, merged)
+        return rel, size, len(merged)
+    return rel, size, len(delta_records)
+
+
 def write_hfile_index_commit(
     base_path: str,
     instant: str,
@@ -108,6 +277,9 @@ def write_hfile_index_commit(
     removed_rel_paths: list[str],
     schema: T.StructType,
     table_name: str,
+    *,
+    key_mode: str = "hashed",
+    compact_every: int = DEFAULT_COMPACT_EVERY,
 ) -> None:
     """Maintain both HFile index partitions + the metadata timeline for one
     completed data-table commit.
@@ -117,51 +289,76 @@ def write_hfile_index_commit(
     ``removed_rel_paths``: files replaced/removed at this commit.
     """
     dtypes = {f.name: f.dataType for f in schema.fields}
-    touched = {os.path.basename(r) for r in removed_rel_paths}
-    touched.update(os.path.basename(a["rel_path"]) for a in adds)
 
-    # -- column_stats: carry raw bytes, drop touched files, encode adds ----
-    cs_dir = _partition_dir(base_path, COLUMN_STATS_PARTITION)
-    prev, _ = _prev_cells(cs_dir, COL_STATS_FILE_ID)
-    state: dict[bytes, bytes] = {
-        row: val
-        for row, val in prev
-        if (col_stats_key_file(row.decode("utf-8")) or "") not in touched
-    }
+    # -- column_stats delta: fresh records per add, tombstones per remove --
+    cs_records: list[tuple[bytes, bytes]] = []
     for a in adds:
-        fname = os.path.basename(a["rel_path"])
+        rel = a["rel_path"]
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
         for col, st in (a.get("column_stats") or {}).items():
             dtype = dtypes.get(col)
             if dtype is None:
                 continue
-            row, val = col_stats_record(
-                fname,
-                col,
-                decode_stat(st["min_json"], dtype),
-                decode_stat(st["max_json"], dtype),
-                dtype,
-                value_count=a.get("record_count") or 0,
-                null_count=st["null_count"],
+            cs_records.append(
+                col_stats_record(
+                    fname,
+                    col,
+                    decode_stat(st["min_json"], dtype),
+                    decode_stat(st["max_json"], dtype),
+                    dtype,
+                    value_count=a.get("record_count") or 0,
+                    null_count=st["null_count"],
+                    key_mode=key_mode,
+                    partition_path=part,
+                )
             )
-            state[row] = val
-    cs_rel, cs_size = _write_base(cs_dir, COL_STATS_FILE_ID, instant, list(state.items()))
-
-    # -- files: decode prev full state, apply the commit's file mutations --
-    f_dir = _partition_dir(base_path, FILES_PARTITION)
-    prev_f, prev_schema = _prev_cells(f_dir, FILES_FILE_ID)
-    fstate = (
-        decode_files_partition(prev_f, prev_schema)
-        if prev_f and prev_schema
-        else {}
+    for rel in removed_rel_paths:
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        # a replaced file tombstones on every indexed column (the current
+        # schema's columns — the same set real Hudi's delete-record
+        # generation walks). A record under a column dropped from the
+        # schema would survive, but stats reads join on LIVE files only,
+        # so a dead file's orphan record can never serve.
+        for col, dtype in dtypes.items():
+            cs_records.append(
+                col_stats_record(
+                    fname,
+                    col,
+                    None,
+                    None,
+                    dtype,
+                    value_count=0,
+                    null_count=0,
+                    is_deleted=True,
+                    key_mode=key_mode,
+                    partition_path=part,
+                )
+            )
+    cs_dir = _partition_dir(base_path, COLUMN_STATS_PARTITION)
+    cs_rel, cs_size, cs_n = _commit_partition(
+        cs_dir, COL_STATS_FILE_ID, instant, cs_records, compact_every
     )
-    for r in removed_rel_paths:
-        part, fname = os.path.dirname(r), os.path.basename(r)
-        fstate.get(part, {}).pop(fname, None)
+
+    # -- files delta: per-partition mutation records --------------------
+    f_adds: dict[str, dict[str, int]] = {}
     for a in adds:
         part, fname = os.path.dirname(a["rel_path"]), os.path.basename(a["rel_path"])
-        fstate.setdefault(part, {})[fname] = int(a["size_bytes"])
-    f_rel, f_size = _write_base(
-        f_dir, FILES_FILE_ID, instant, files_partition_records(fstate)
+        f_adds.setdefault(part, {})[fname] = int(a["size_bytes"])
+    f_removes: dict[str, list[str]] = {}
+    for rel in removed_rel_paths:
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        f_removes.setdefault(part, []).append(fname)
+    f_dir = _partition_dir(base_path, FILES_PARTITION)
+    f_base, _f_logs = _slice_state(f_dir, FILES_FILE_ID)
+    if f_base is None:
+        # first commit: the delta IS the full state — write it in the
+        # base-file shape (full per-partition maps + all-partitions head)
+        state = {p: dict(files) for p, files in f_adds.items()}
+        f_records = files_partition_records(state)
+    else:
+        f_records = files_partition_mutation_records(f_adds, f_removes)
+    f_rel, f_size, f_n = _commit_partition(
+        f_dir, FILES_FILE_ID, instant, f_records, compact_every
     )
 
     _ensure_metadata_table_properties(base_path, table_name)
@@ -169,8 +366,8 @@ def write_hfile_index_commit(
         base_path,
         instant,
         [
-            (COLUMN_STATS_PARTITION, COL_STATS_FILE_ID, cs_rel, cs_size, len(state)),
-            (FILES_PARTITION, FILES_FILE_ID, f_rel, f_size, len(fstate) + 1),
+            (COLUMN_STATS_PARTITION, COL_STATS_FILE_ID, cs_rel, cs_size, cs_n),
+            (FILES_PARTITION, FILES_FILE_ID, f_rel, f_size, f_n),
         ],
     )
 

@@ -112,6 +112,8 @@ class HudiConversionTarget:
         change_feed: bool = False,
         metadata_indexes: bool = True,
         metadata_index_format: str = "parquet",
+        metadata_index_key_mode: str = "hashed",
+        metadata_index_compact_every: int = 10,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -123,16 +125,19 @@ class HudiConversionTarget:
         # source uses its timeline-replay + footer tiers
         self.metadata_indexes = metadata_indexes
         # "parquet" (default): engine-internal LITE per-commit parquet
-        # deltas. "hfile": REAL Hudi metadata-table layout — full-state
-        # HFile base files + the metadata table's own timeline, readable
-        # by real Hudi AND by this engine's HFile read tier (r7). See
-        # targets/hudi_metadata_index.py for the always-compacted model.
+        # deltas. "hfile": REAL Hudi metadata-table layout — HFile base
+        # files + per-commit delta log files + periodic compaction, with
+        # real Hudi's hashed col-stats record keys (key_mode) — readable
+        # by real Hudi AND by this engine's HFile read tier. See
+        # targets/hudi_metadata_index.py.
         if metadata_index_format not in ("parquet", "hfile"):
             raise ValueError(
                 f"metadata_index_format must be 'parquet' or 'hfile', "
                 f"got {metadata_index_format!r}"
             )
         self.metadata_index_format = metadata_index_format
+        self.metadata_index_key_mode = metadata_index_key_mode
+        self.metadata_index_compact_every = metadata_index_compact_every
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -377,6 +382,8 @@ class HudiConversionTarget:
                 hfile_removed,
                 self._schema,
                 self.table_name or (self._table.name if self._table else "table"),
+                key_mode=self.metadata_index_key_mode,
+                compact_every=self.metadata_index_compact_every,
             )
         elif self.metadata_indexes:
             write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)

@@ -139,19 +139,53 @@ class SyntheticSource:
         return commit
 
 
-def scenario_full(spark, n_files: int, n_partitions: int) -> dict:
+def _build_target(spark, work: str, kind: str, compact_every: int):
+    """-> (TableFormat, target). ``hudi-hfile`` drives the REAL-layout
+    Hudi metadata-index writes (hashed keys, per-commit delta logs,
+    compaction every ``compact_every`` commits; 1 = the r8 full-rewrite
+    cost model for before/after comparison)."""
+    if kind == "hudi-hfile":
+        from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+        return TableFormat.HUDI, HudiConversionTarget(
+            spark,
+            work,
+            table_name="loadtest",
+            metadata_index_format="hfile",
+            metadata_index_compact_every=compact_every,
+        )
+    return TableFormat.DELTA, DeltaConversionTarget(spark, work)
+
+
+def _live_count(spark, work: str, fmt) -> int:
+    if fmt == TableFormat.HUDI:
+        from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
+
+        # exercises the written `files` HFile index (the accelerated tier)
+        return (
+            HudiConversionSource(spark, work)
+            .get_current_snapshot(with_stats=False)
+            .files.count()
+        )
+    return live_files_df(spark, work).count()
+
+
+def scenario_full(
+    spark, n_files: int, n_partitions: int, target_kind: str = "delta", compact_every: int = 10
+) -> dict:
     work = tempfile.mkdtemp(prefix="xtable_load_full_")
     try:
         source = SyntheticSource(spark, n_files, n_partitions, ["1"], 0)
-        target = DeltaConversionTarget(spark, work)
+        fmt, target = _build_target(spark, work, target_kind, compact_every)
         rss_before = rss_mb()
         t0 = time.perf_counter()
-        res = ConversionController().sync(source, {TableFormat.DELTA: target})
+        res = ConversionController().sync(source, {fmt: target})
         wall = time.perf_counter() - t0
-        status = res[TableFormat.DELTA].status
-        live = live_files_df(spark, work).count()
+        status = res[fmt].status
+        live = _live_count(spark, work, fmt)
         return {
             "scenario": "full_sync",
+            "target": target_kind,
             "files": n_files,
             "partitions": n_partitions,
             "status": status.value,
@@ -165,28 +199,40 @@ def scenario_full(spark, n_files: int, n_partitions: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def scenario_incremental(spark, n_commits: int, per_commit: int, n_partitions: int) -> dict:
+def scenario_incremental(
+    spark,
+    n_commits: int,
+    per_commit: int,
+    n_partitions: int,
+    target_kind: str = "delta",
+    compact_every: int = 10,
+    seed_files: int | None = None,
+) -> dict:
     work = tempfile.mkdtemp(prefix="xtable_load_incr_")
     try:
         commits = [str(i) for i in range(1, n_commits + 1)]
         source = SyntheticSource(spark, per_commit, n_partitions, commits, per_commit)
-        target = DeltaConversionTarget(spark, work)
-        # seed bookmark so the controller goes incremental
+        fmt, target = _build_target(spark, work, target_kind, compact_every)
+        # seed bookmark so the controller goes incremental (seed_files sets
+        # the PRE-EXISTING table size the per-commit index delta must not
+        # rescale with — the O(delta) vs O(table) proof point)
         ConversionController().sync(
-            SyntheticSource(spark, per_commit, n_partitions, ["0"], per_commit),
-            {TableFormat.DELTA: target},
+            SyntheticSource(spark, seed_files or per_commit, n_partitions, ["0"], per_commit),
+            {fmt: target},
         )
         rss_curve = [rss_mb()]
         t0 = time.perf_counter()
-        res = ConversionController().sync(source, {TableFormat.DELTA: target})
+        res = ConversionController().sync(source, {fmt: target})
         wall = time.perf_counter() - t0
         rss_curve.append(rss_mb())
         return {
             "scenario": "incremental_replay",
+            "target": target_kind,
             "commits": n_commits,
             "files_per_commit": per_commit,
-            "status": res[TableFormat.DELTA].status.value,
-            "mode": res[TableFormat.DELTA].mode.value,
+            "seed_files": seed_files or per_commit,
+            "status": res[fmt].status.value,
+            "mode": res[fmt].mode.value,
             "seconds": round(wall, 2),
             "seconds_per_commit": round(wall / n_commits, 3),
             "drain_mode": os.environ.get("XT_STREAM_INVENTORY") or "auto-snapshot/collect-diff",
@@ -203,6 +249,27 @@ def main() -> int:
     ap.add_argument("--commits", type=int, default=100)
     ap.add_argument("--per-commit", type=int, default=1_000)
     ap.add_argument(
+        "--target",
+        choices=["delta", "hudi-hfile"],
+        default="delta",
+        help="conversion target: delta (default) or the Hudi REAL-layout "
+        "HFile metadata-index writer",
+    )
+    ap.add_argument(
+        "--compact-every",
+        type=int,
+        default=10,
+        help="hudi-hfile: compact the metadata index every N commits "
+        "(1 = r8's full-rewrite-per-commit cost model)",
+    )
+    ap.add_argument(
+        "--seed-files",
+        type=int,
+        default=None,
+        help="incremental scenario: pre-existing table size before the "
+        "commit replay (defaults to --per-commit)",
+    )
+    ap.add_argument(
         "--stream",
         action="store_true",
         help="drain inventories via toLocalIterator (flat driver RSS; "
@@ -214,9 +281,19 @@ def main() -> int:
 
     spark = get_spark("xtable_loadtest")
     spark.sparkContext.setLogLevel("ERROR")
-    out1 = scenario_full(spark, args.files, args.partitions)
+    out1 = scenario_full(
+        spark, args.files, args.partitions, args.target, args.compact_every
+    )
     print(json.dumps(out1))
-    out2 = scenario_incremental(spark, args.commits, args.per_commit, args.partitions)
+    out2 = scenario_incremental(
+        spark,
+        args.commits,
+        args.per_commit,
+        args.partitions,
+        args.target,
+        args.compact_every,
+        args.seed_files,
+    )
     print(json.dumps(out2))
     ok = out1["status"] == "SUCCESS" and out2["status"] == "SUCCESS"
     return 0 if ok else 1

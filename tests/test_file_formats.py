@@ -452,3 +452,139 @@ def test_multi_orc_files_read_completely(spark, tmp_path):
     assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
     got_ice = sorted((r["id"], r["label"]) for r in read_iceberg_as_df(spark, base).collect())
     assert got_ice == want
+
+
+# -- ORC under column mapping (r9, VERDICT r8 #4) ---------------------------
+
+CM_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "renamed_id",
+                "type": "long",
+                "nullable": False,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-abc",
+                },
+            },
+            {
+                "name": "label",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-def",
+                },
+            },
+        ],
+    }
+)
+
+
+def _write_physical_orc(spark, path: str, rows: list[tuple]):
+    """One REAL orc file whose column NAMES are the physical names."""
+    import glob as _glob
+    import shutil as _shutil
+
+    d = path + ".dir"
+    spark.createDataFrame(rows, "`col-abc` LONG, `col-def` STRING").coalesce(
+        1
+    ).write.mode("overwrite").orc(d)
+    part = _glob.glob(os.path.join(d, "part-*.orc"))[0]
+    _shutil.move(part, path)
+    _shutil.rmtree(d)
+
+
+def _cm_orc_table(tmp_path, spark, mode: str = "name", with_parquet: bool = True):
+    base = str(tmp_path / f"cm_orc_{mode}")
+    os.makedirs(base, exist_ok=True)
+    _write_physical_orc(spark, os.path.join(base, "part-0001.orc"), [(1, "a"), (2, "b")])
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-orc",
+                "name": "cm",
+                "format": {"provider": "orc", "options": {}},
+                "schemaString": CM_SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+                "createdTime": 1,
+            }
+        },
+        {
+            "add": {
+                "path": "part-0001.orc",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(base, "part-0001.orc")),
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        },
+    ]
+    if with_parquet:
+        # a physical-named parquet file alongside: both branches must
+        # resolve to the same logical columns
+        pq.write_table(
+            pa.table(
+                {"col-abc": pa.array([3, 4], pa.int64()), "col-def": ["c", "d"]}
+            ),
+            os.path.join(base, "part-0002.parquet"),
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": "part-0002.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(base, "part-0002.parquet")),
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+        )
+    _log_write(base, 0, actions)
+    return base
+
+
+def test_orc_mode_name_rows_resolve_physical_columns(spark, tmp_path):
+    """provider=orc, mode=name, RENAMED column: row reads resolve the
+    physical ORC column names back to the logical schema — mixed with a
+    parquet file resolving through the same mapping (r9; r8 refused)."""
+    base = _cm_orc_table(tmp_path, spark, mode="name")
+    df = read_delta_as_df(spark, base)
+    assert df.columns == ["renamed_id", "label"]
+    got = {(r["renamed_id"], r["label"]) for r in df.collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_orc_mode_name_cdf_derives(spark, tmp_path):
+    """CDF derivation over the same table: commit 0's adds emit inserts
+    with logical column names."""
+    from incubator_xtable_spark.sources.delta_source import read_delta_cdf
+
+    cdf = read_delta_cdf(spark, _cm_orc_table(tmp_path, spark, mode="name"), 0)
+    rows = cdf.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {(r["renamed_id"], r["label"]) for r in rows} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    }
+
+
+def test_orc_mode_id_still_refuses(spark, tmp_path):
+    """mode=id keys resolution on parquet FIELD IDS, which ORC files cannot
+    carry — the refusal matrix pins this cell (README)."""
+    from incubator_xtable_spark.sources.delta_source import read_delta_cdf
+
+    base = _cm_orc_table(tmp_path, spark, mode="id", with_parquet=False)
+    with pytest.raises(NotImplementedError, match="mode=id with ORC"):
+        read_delta_as_df(spark, base)
+    with pytest.raises(NotImplementedError, match="mode=id with ORC"):
+        read_delta_cdf(spark, base, 0).collect()
