@@ -250,6 +250,66 @@ def files_partition_records(
     return out
 
 
+RECORD_INDEX_TYPE = 5  # MetadataPartitionType.RECORD_INDEX record type
+
+# writer schema for record_index records: HoodieMetadataRecord's
+# resolvable subset PLUS the HoodieRecordIndexInfo branch (public
+# HoodieMetadata.avsc shape; fileIdEncoding=1 stores the fileId RAW in
+# the fileId field — the encoding external/non-UUID file ids take)
+RECORD_INDEX_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": HUDI_METADATA_RECORD_SCHEMA["fields"]
+    + [
+        {
+            "name": "recordIndexMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieRecordIndexInfo",
+                    "fields": [
+                        {"name": "partitionName", "type": ["null", "string"], "default": None},
+                        {"name": "fileIdHighBits", "type": ["null", "long"], "default": None},
+                        {"name": "fileIdLowBits", "type": ["null", "long"], "default": None},
+                        {"name": "fileIndex", "type": ["null", "int"], "default": None},
+                        {"name": "fileId", "type": ["null", "string"], "default": None},
+                        {"name": "instantTime", "type": ["null", "long"], "default": None},
+                        {"name": "fileIdEncoding", "type": "int", "default": 0},
+                    ],
+                },
+            ],
+            "default": None,
+        }
+    ],
+}
+
+
+def record_index_record(
+    record_key: str, partition_path: str, file_id: str, instant_ms: int
+) -> tuple[bytes, bytes]:
+    """-> (cell row key, avro value bytes) for one record-index entry.
+    Row key = the PLAIN record key (real Hudi does not hash RLI keys);
+    external file ids (not UUID-derived) use fileIdEncoding=1 raw."""
+    rec = {
+        "key": record_key,
+        "type": RECORD_INDEX_TYPE,
+        "filesystemMetadata": None,
+        "ColumnStatsMetadata": None,
+        "recordIndexMetadata": {
+            "partitionName": partition_path if partition_path else NON_PARTITIONED_NAME,
+            "fileIdHighBits": None,
+            "fileIdLowBits": None,
+            "fileIndex": None,
+            "fileId": file_id,
+            "instantTime": int(instant_ms),
+            "fileIdEncoding": 1,
+        },
+    }
+    return record_key.encode("utf-8"), encode_binary_record(RECORD_INDEX_RECORD_SCHEMA, rec)
+
+
 def files_partition_mutation_records(
     adds: dict[str, dict[str, int]],
     removes: dict[str, list[str]],

@@ -515,6 +515,128 @@ def hfile_files_listing(spark: SparkSession, base_path: str) -> DataFrame:
     return listing.mapInPandas(_decode, out_schema)
 
 
+RECORD_INDEX_PARTITION = "record_index"
+HFILE_RECORD_INDEX_SUBDIR = os.path.join(".hoodie", "metadata", "record_index")
+
+
+def record_index_available(base_path: str) -> bool:
+    """isMetadataPartitionAvailable(RECORD_INDEX) analog: the table config
+    advertises the partition and decodable HFile slices exist in it."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if RECORD_INDEX_PARTITION not in parts:
+        return False
+    d = os.path.join(base_path, HFILE_RECORD_INDEX_SUBDIR)
+    slices, logs_ok = _hfile_partition_state(d)
+    if not logs_ok:
+        log.warning(
+            "record_index metadata partition of %s has undecodable log "
+            "file(s); key lookups unavailable",
+            base_path,
+        )
+        return False
+    return bool(slices)
+
+
+def record_index_num_shards(base_path: str) -> int:
+    """Shard count = number of record-index file groups on disk (the
+    writer names them record-index-<i:04d>-0; real Hudi likewise fixes
+    the file-group count at index build time)."""
+    d = os.path.join(base_path, HFILE_RECORD_INDEX_SUBDIR)
+    slices, _ = _hfile_partition_state(d)
+    return len(slices)
+
+
+def read_record_index(spark: SparkSession, base_path: str) -> DataFrame:
+    """Decode the record_index partition into (record_key, partition_path,
+    file_id, instant_ms) — one task per shard slice, pure-python
+    HFile/log/avro codecs in Arrow batch workers (the same distribution
+    as the col-stats and files tiers); tombstoned keys drop in the
+    merge. Beyond the reference (it consumes files/col_stats only)."""
+    slices, _ = _hfile_partition_state(os.path.join(base_path, HFILE_RECORD_INDEX_SUBDIR))
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_schema = T.StructType(
+        [
+            T.StructField("record_key", T.StringType(), False),
+            T.StructField("partition_path", T.StringType(), True),
+            T.StructField("file_id", T.StringType(), True),
+            T.StructField("instant_ms", T.LongType(), True),
+        ]
+    )
+
+    def _decode(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import json as _json
+
+        import pandas as pd
+
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            NON_PARTITIONED_NAME,
+            merged_metadata_slice_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for p, logs_json in zip(pdf["hfile_path"], pdf["log_paths"]):
+                for key, rec in merged_metadata_slice_records(p, _json.loads(logs_json)):
+                    ri = rec.get("recordIndexMetadata")
+                    if ri is None:
+                        continue
+                    part = ri.get("partitionName")
+                    rows.append(
+                        (
+                            key,
+                            "" if part == NON_PARTITIONED_NAME else part,
+                            ri.get("fileId"),
+                            ri.get("instantTime"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["record_key", "partition_path", "file_id", "instant_ms"]
+            )
+
+    listing = spark.createDataFrame(
+        [(p, json.dumps(logs)) for p, logs in slices],
+        "hfile_path STRING, log_paths STRING",
+    )
+    if listing.rdd.getNumPartitions() < len(slices):
+        listing = listing.repartition(len(slices))
+    return listing.mapInPandas(_decode, out_schema)
+
+
+def lookup_record_key(base_path: str, record_key: str) -> dict | None:
+    """POINT lookup of one record key — the RLI read shape real Hudi's
+    key-based file pruning uses: shard by
+    mapRecordKeyToFileGroupIndex (Java hashCode semantics), HFile-seek
+    that one shard's base, replay its logs for the key. -> decoded
+    HoodieRecordIndexInfo dict (partitionName/fileId/instantTime), or
+    None when the key is absent/tombstoned. Driver-side by design —
+    metadata-cheap probes; bulk reads go through read_record_index."""
+    from incubator_xtable_spark.model.hudi_hash import (
+        map_record_key_to_file_group_index,
+    )
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        point_lookup_slice_record,
+    )
+
+    d = os.path.join(base_path, HFILE_RECORD_INDEX_SUBDIR)
+    slices, logs_ok = _hfile_partition_state(d)
+    if not logs_ok or not slices:
+        return None
+    by_group = {os.path.basename(p).split("_")[0]: (p, logs) for p, logs in slices}
+    shard = map_record_key_to_file_group_index(record_key, len(slices))
+    hit = by_group.get(f"record-index-{shard:04d}-0")
+    if hit is None:
+        return None
+    rec = point_lookup_slice_record(hit[0], hit[1], record_key)
+    return (rec or {}).get("recordIndexMetadata")
+
+
 def relativize_expr(base_path: str, col: str = "physical_path"):
     """Strip an optional file: scheme plus the literal base-path prefix
     (substring arithmetic, no regex — metachar-safe)."""

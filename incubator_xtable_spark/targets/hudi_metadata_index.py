@@ -94,14 +94,18 @@ def _slice_state(d: str, file_id: str) -> tuple[str | None, list[str]]:
 
 
 def _write_base(
-    d: str, file_id: str, instant: str, records: list[tuple[bytes, bytes]]
+    d: str,
+    file_id: str,
+    instant: str,
+    records: list[tuple[bytes, bytes]],
+    record_schema: dict | None = None,
 ) -> tuple[str, int]:
     """Write one full-state base HFile; -> (rel path inside the metadata
     table, file size). Atomic via write_hfile's tmp+replace."""
     os.makedirs(d, exist_ok=True)
     records = sorted(records, key=lambda kv: kv[0])
     path = os.path.join(d, f"{file_id}_{WRITE_TOKEN}_{instant}.hfile")
-    info = {"schema": json.dumps(HUDI_METADATA_RECORD_SCHEMA).encode("utf-8")}
+    info = {"schema": json.dumps(record_schema or HUDI_METADATA_RECORD_SCHEMA).encode("utf-8")}
     if records:
         info["minRecordKey"] = records[0][0]
         info["maxRecordKey"] = records[-1][0]
@@ -110,13 +114,22 @@ def _write_base(
 
 
 def _append_log(
-    d: str, base_path_of_slice: str, instant: str, records: list[tuple[bytes, bytes]]
+    d: str,
+    base_path_of_slice: str,
+    instant: str,
+    records: list[tuple[bytes, bytes]],
+    delete_keys: list[str] | None = None,
+    record_schema: dict | None = None,
 ) -> tuple[str, int]:
     """Append one metadata log file carrying this commit's delta records as
     a single HFILE_DATA_BLOCK (real Hudi's metadata log block format —
-    keyed+sorted so readers can seek inside blocks too); -> (rel path,
-    size). Put-if-absent via hard link, same posture as the timeline."""
+    keyed+sorted so readers can seek inside blocks too), plus an optional
+    DELETE_BLOCK tombstoning ``delete_keys``; -> (rel path, size).
+    Put-if-absent via hard link, same posture as the timeline."""
+    from incubator_xtable_spark.model.avro_codec import encode_binary_record
     from incubator_xtable_spark.sources.hudi_log import (
+        DELETE_BLOCK,
+        DELETE_RECORD_LIST_SCHEMA,
         HFILE_DATA_BLOCK,
         H_INSTANT_TIME,
         H_SCHEMA,
@@ -124,18 +137,31 @@ def _append_log(
     )
     from incubator_xtable_spark.sources.hudi_metadata import slice_log_files
 
+    schema = record_schema or HUDI_METADATA_RECORD_SCHEMA
     name = os.path.basename(base_path_of_slice)[: -len(".hfile")]
     file_id, _token, base_instant = name.split("_")[0], None, name.split("_")[2]
     version = len(slice_log_files(d, base_path_of_slice)) + 1
     records = sorted(records, key=lambda kv: kv[0])
-    content = hfile_bytes(
-        records, {"schema": json.dumps(HUDI_METADATA_RECORD_SCHEMA).encode("utf-8")}
-    )
-    block = _block_bytes(
-        HFILE_DATA_BLOCK,
-        {H_INSTANT_TIME: instant, H_SCHEMA: json.dumps(HUDI_METADATA_RECORD_SCHEMA)},
-        content,
-    )
+    block = b""
+    if records or not delete_keys:
+        content = hfile_bytes(records, {"schema": json.dumps(schema).encode("utf-8")})
+        block = _block_bytes(
+            HFILE_DATA_BLOCK,
+            {H_INSTANT_TIME: instant, H_SCHEMA: json.dumps(schema)},
+            content,
+        )
+    if delete_keys:
+        wrapper = {
+            "deleteRecordList": [
+                {"recordKey": k, "partitionPath": None} for k in sorted(delete_keys)
+            ]
+        }
+        blob = encode_binary_record(DELETE_RECORD_LIST_SCHEMA, wrapper)
+        block += _block_bytes(
+            DELETE_BLOCK,
+            {H_INSTANT_TIME: instant, H_SCHEMA: DELETE_RECORD_LIST_SCHEMA},
+            struct.pack(">ii", 1, len(blob)) + blob,
+        )
     path = os.path.join(d, f".{file_id}_{base_instant}.log.{version}_{WRITE_TOKEN}")
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "wb") as fh:
@@ -252,22 +278,228 @@ def _commit_partition(
     instant: str,
     delta_records: list[tuple[bytes, bytes]],
     compact_every: int,
+    delete_keys: list[str] | None = None,
+    record_schema: dict | None = None,
 ) -> tuple[str, int, int]:
     """One metadata file group's write for one commit: first commit -> base
-    HFile; later commits -> one delta log file; every ``compact_every``
-    logs -> merge base+logs (including this commit's delta) into a new
-    full-state base.  -> (rel path written, size, record count)."""
+    HFile; later commits -> one delta log file (+DELETE_BLOCK tombstones);
+    every ``compact_every`` logs -> merge base+logs (including this
+    commit's delta) into a new full-state base.
+    -> (rel path written, size, record count)."""
     base, logs = _slice_state(d, file_id)
     if base is None:
-        rel, size = _write_base(d, file_id, instant, delta_records)
+        # fresh index: tombstones have nothing to drop
+        rel, size = _write_base(d, file_id, instant, delta_records, record_schema)
         return rel, size, len(delta_records)
-    rel, size = _append_log(d, base, instant, delta_records)
+    rel, size = _append_log(d, base, instant, delta_records, delete_keys, record_schema)
     logs_after = logs + [os.path.join(d, os.path.basename(rel.split(os.sep)[-1]))]
     if len(logs_after) >= compact_every:
         merged = _compacted_records(base, logs_after)
-        rel, size = _write_base(d, file_id, instant, merged)
+        rel, size = _write_base(d, file_id, instant, merged, record_schema)
         return rel, size, len(merged)
     return rel, size, len(delta_records)
+
+
+RECORD_INDEX_PARTITION = "record_index"
+DEFAULT_RECORD_INDEX_SHARDS = 4
+
+
+def write_record_index_commit(
+    spark,
+    base_path: str,
+    instant: str,
+    add_rel_paths: list[str],
+    removed_rel_paths: list[str],
+    record_key_field: str,
+    *,
+    num_shards: int = DEFAULT_RECORD_INDEX_SHARDS,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> list[tuple[str, str, str, int, int]]:
+    """Maintain the ``record_index`` metadata partition (real Hudi's RLI,
+    beyond the reference — it only consumes files/col_stats) for one
+    commit: one HoodieRecordIndexInfo record per data row keyed by the
+    PLAIN record key, sharded across ``num_shards`` file groups by
+    HoodieTableMetadataUtil.mapRecordKeyToFileGroupIndex (Java hashCode
+    semantics, model/hudi_hash.py) so real readers' point lookups land on
+    the right group. -> metadata-deltacommit stat tuples
+    (partition, fileId, rel_path, size, n_records).
+
+    Scale/distribution: the index is DATA-scale (one record per row), so
+    nothing funnels through the driver — added/removed files scan
+    distributed for the key column, keys shard by the Java hash, and each
+    shard's log/base file is written EXECUTOR-side by its own task
+    (applyInPandas over groupBy(shard); the pure-python HFile/log codecs
+    run in the worker). Removed files' keys that do not re-appear in this
+    commit's adds tombstone via DELETE_BLOCKs (a distributed left_anti —
+    the files still exist on disk, conversion is metadata-only).
+    Single-writer posture assumes a shared filesystem, the same
+    assumption every target's metadata write already makes."""
+    from pyspark.sql import functions as F
+
+    base = base_path.rstrip("/")
+
+    def _keys(rel_paths: list[str]):
+        if not rel_paths:
+            return None
+        paths = [os.path.join(base, p) for p in rel_paths]
+        df = spark.read.parquet(*paths).select(
+            F.col(record_key_field).cast("string").alias("record_key"),
+            F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias("_fp"),
+        )
+        rel = F.col("_fp").substr(F.lit(len(base) + 2), F.length(F.col("_fp")))
+        fname = F.substring_index(rel, "/", -1)
+        part = F.when(
+            rel.contains("/"), rel.substr(F.lit(1), F.length(rel) - F.length(fname) - 1)
+        ).otherwise(F.lit(""))
+        # fileId = file name stem (targets/hudi_target.file_id_of semantics)
+        file_id = F.regexp_replace(fname, r"\.[^.]*$", "")
+        return df.select(
+            "record_key",
+            part.alias("partition_path"),
+            file_id.alias("file_id"),
+        )
+
+    adds = _keys(add_rel_paths)
+    removed = _keys(removed_rel_paths)
+    if adds is None and removed is None:
+        return []
+    tomb = (
+        removed.select("record_key").join(adds.select("record_key"), "record_key", "left_anti")
+        if adds is not None and removed is not None
+        else (removed.select("record_key") if adds is None else None)
+    )
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    d = _partition_dir(base_path, RECORD_INDEX_PARTITION)
+    os.makedirs(d, exist_ok=True)
+    instant_ms = _instant_ms(instant)
+
+    # the shard->key mapping is FIXED at index build time (real Hudi
+    # likewise pins the file-group count): later commits must shard by
+    # the on-disk group count, whatever num_shards the caller passes now
+    from incubator_xtable_spark.sources.hudi_metadata import _hfile_partition_state
+
+    existing_groups, _ = _hfile_partition_state(d)
+    if existing_groups:
+        num_shards = len(existing_groups)
+
+    rows = None
+    if adds is not None:
+        rows = adds.select(
+            "record_key", "partition_path", "file_id", F.lit(False).alias("is_tombstone")
+        )
+    if tomb is not None:
+        trows = tomb.select(
+            "record_key",
+            F.lit("").alias("partition_path"),
+            F.lit("").alias("file_id"),
+            F.lit(True).alias("is_tombstone"),
+        ).distinct()
+        rows = trows if rows is None else rows.unionByName(trows)
+
+    import pandas as pd  # noqa: F401  (worker dependency, import-checked here)
+
+    out_schema = (
+        "shard INT, rel_path STRING, size LONG, n_records LONG"
+    )
+
+    def _write_shard(key, pdf):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import pandas as _pd
+
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            RECORD_INDEX_RECORD_SCHEMA,
+            record_index_record,
+        )
+        from incubator_xtable_spark.targets.hudi_metadata_index import (
+            _commit_partition as _cp,
+        )
+
+        shard = int(key[0])
+        file_id = f"record-index-{shard:04d}-0"
+        records, delete_keys = [], []
+        for rk, part, fid, is_t in zip(
+            pdf["record_key"], pdf["partition_path"], pdf["file_id"], pdf["is_tombstone"]
+        ):
+            if bool(is_t):
+                delete_keys.append(str(rk))
+            else:
+                records.append(record_index_record(str(rk), str(part), str(fid), instant_ms))
+        rel, size, n = _cp(
+            d,
+            file_id,
+            instant,
+            records,
+            compact_every,
+            delete_keys=delete_keys or None,
+            record_schema=RECORD_INDEX_RECORD_SCHEMA,
+        )
+        return _pd.DataFrame(
+            [(shard, rel, size, n)], columns=["shard", "rel_path", "size", "n_records"]
+        )
+
+    # shard assignment is Arrow-batched (mapInPandas — no row UDFs in
+    # this repo): Java String.hashCode semantics live in
+    # model/hudi_hash.map_record_key_to_file_group_index; the groupBy
+    # below is the single shuffle of the whole index write
+    shard_schema = (
+        "record_key STRING, partition_path STRING, file_id STRING, "
+        "is_tombstone BOOLEAN, shard INT"
+    )
+
+    def _assign_shards(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from incubator_xtable_spark.model.hudi_hash import (
+            map_record_key_to_file_group_index as _map,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["shard"] = [_map(str(k), num_shards) for k in pdf["record_key"]]
+            yield pdf
+
+    sharded = rows.mapInPandas(_assign_shards, shard_schema)
+    stats = sharded.groupBy("shard").applyInPandas(_write_shard, out_schema).collect()
+    out = [
+        (
+            RECORD_INDEX_PARTITION,
+            f"record-index-{int(r['shard']):04d}-0",
+            r["rel_path"],
+            int(r["size"]),
+            int(r["n_records"]),
+        )
+        for r in stats
+    ]
+    # every shard's file group must exist from the FIRST commit — the
+    # reader derives the shard modulus from the on-disk group count, so
+    # a missing (never-touched) group would silently change the mapping
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        RECORD_INDEX_RECORD_SCHEMA,
+    )
+
+    touched = {int(r["shard"]) for r in stats}
+    for i in range(num_shards):
+        fid = f"record-index-{i:04d}-0"
+        if i in touched or _slice_state(d, fid)[0] is not None:
+            continue
+        rel, size = _write_base(d, fid, instant, [], RECORD_INDEX_RECORD_SCHEMA)
+        out.append((RECORD_INDEX_PARTITION, fid, rel, size, 0))
+    return out
+
+
+def _instant_ms(instant: str) -> int:
+    from incubator_xtable_spark.targets.hudi_target import instant_to_epoch_ms
+
+    try:
+        return instant_to_epoch_ms(instant)
+    except ValueError:
+        return 0
 
 
 def write_hfile_index_commit(
@@ -280,6 +512,7 @@ def write_hfile_index_commit(
     *,
     key_mode: str = "hashed",
     compact_every: int = DEFAULT_COMPACT_EVERY,
+    extra_stats: list[tuple[str, str, str, int, int]] | None = None,
 ) -> None:
     """Maintain both HFile index partitions + the metadata timeline for one
     completed data-table commit.
@@ -368,7 +601,8 @@ def write_hfile_index_commit(
         [
             (COLUMN_STATS_PARTITION, COL_STATS_FILE_ID, cs_rel, cs_size, cs_n),
             (FILES_PARTITION, FILES_FILE_ID, f_rel, f_size, f_n),
-        ],
+        ]
+        + list(extra_stats or []),  # e.g. record_index shard writes
     )
 
 

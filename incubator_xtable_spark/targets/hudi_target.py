@@ -114,6 +114,8 @@ class HudiConversionTarget:
         metadata_index_format: str = "parquet",
         metadata_index_key_mode: str = "hashed",
         metadata_index_compact_every: int = 10,
+        record_index_field: Optional[str] = None,
+        record_index_shards: int = 4,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -138,6 +140,18 @@ class HudiConversionTarget:
         self.metadata_index_format = metadata_index_format
         self.metadata_index_key_mode = metadata_index_key_mode
         self.metadata_index_compact_every = metadata_index_compact_every
+        # opt-in record-level index (real Hudi's RLI metadata partition,
+        # beyond the reference): one record per data ROW keyed by this
+        # field, sharded by Java-hashCode file groups. Data-scale — built
+        # by a distributed scan of the commit's added/removed files, so
+        # it is the one index whose maintenance reads data bytes.
+        if record_index_field is not None and metadata_index_format != "hfile":
+            raise ValueError(
+                "record_index_field requires metadata_index_format='hfile' "
+                "(the record index is a real-Hudi metadata partition)"
+            )
+        self.record_index_field = record_index_field
+        self.record_index_shards = record_index_shards
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -189,9 +203,14 @@ class HudiConversionTarget:
 
             existing = read_properties(self.base_path)
             parts = [p for p in (existing.get(METADATA_PARTITIONS_KEY) or "").split(",") if p]
-            missing = [
-                p for p in (COLUMN_STATS_PARTITION, FILES_PARTITION) if p not in parts
-            ]
+            wanted = [COLUMN_STATS_PARTITION, FILES_PARTITION]
+            if self.record_index_field is not None:
+                from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    RECORD_INDEX_PARTITION,
+                )
+
+                wanted.append(RECORD_INDEX_PARTITION)
+            missing = [p for p in wanted if p not in parts]
             if missing and self.metadata_indexes:
                 with open(props_path, "a", encoding="utf-8") as fh:
                     fh.write(
@@ -217,6 +236,12 @@ class HudiConversionTarget:
         }
         if self.metadata_indexes:
             props[METADATA_PARTITIONS_KEY] = f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}"
+            if self.record_index_field is not None:
+                from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    RECORD_INDEX_PARTITION,
+                )
+
+                props[METADATA_PARTITIONS_KEY] += f",{RECORD_INDEX_PARTITION}"
         if self.change_feed:
             props["hoodie.table.cdc.enabled"] = "true"
             props["hoodie.table.cdc.supplemental.logging.mode"] = "data_before_after"
@@ -375,6 +400,22 @@ class HudiConversionTarget:
                 write_hfile_index_commit,
             )
 
+            extra_stats = []
+            if self.record_index_field is not None:
+                from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    write_record_index_commit,
+                )
+
+                extra_stats = write_record_index_commit(
+                    self.spark,
+                    self.base_path,
+                    instant,
+                    [a["rel_path"] for a in hfile_adds],
+                    hfile_removed,
+                    self.record_index_field,
+                    num_shards=self.record_index_shards,
+                    compact_every=self.metadata_index_compact_every,
+                )
             write_hfile_index_commit(
                 self.base_path,
                 instant,
@@ -384,6 +425,7 @@ class HudiConversionTarget:
                 self.table_name or (self._table.name if self._table else "table"),
                 key_mode=self.metadata_index_key_mode,
                 compact_every=self.metadata_index_compact_every,
+                extra_stats=extra_stats,
             )
         elif self.metadata_indexes:
             write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)

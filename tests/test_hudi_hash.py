@@ -104,3 +104,23 @@ def test_keys_are_distinct_across_components():
         for c in ("c1", "c2", "c3")
     }
     assert len(keys) == 3 * 2 * 3
+
+
+def test_java_string_hashcode_vectors():
+    from incubator_xtable_spark.model.hudi_hash import (
+        java_string_hashcode,
+        map_record_key_to_file_group_index,
+    )
+
+    # published Java String.hashCode values
+    assert java_string_hashcode("") == 0
+    assert java_string_hashcode("a") == 97
+    assert java_string_hashcode("abc") == 96354
+    assert java_string_hashcode("hello") == 99162322
+    # the famous Integer.MIN_VALUE case: Math.abs stays negative in Java,
+    # and the double-abs + truncated-mod shard math must survive it
+    assert java_string_hashcode("polygenelubricants") == -(2**31)
+    assert map_record_key_to_file_group_index("polygenelubricants", 7) == 2
+    for n in (1, 2, 4, 10):
+        for k in ("", "a", "abc", "key-12345", "polygenelubricants"):
+            assert 0 <= map_record_key_to_file_group_index(k, n) < n
