@@ -250,7 +250,67 @@ def files_partition_records(
     return out
 
 
+BLOOM_FILTER_TYPE = 4  # MetadataPartitionType.BLOOM_FILTERS record type
 RECORD_INDEX_TYPE = 5  # MetadataPartitionType.RECORD_INDEX record type
+
+# writer schema for bloom_filters records: HoodieMetadataRecord's
+# resolvable subset PLUS the HoodieMetadataBloomFilter branch (public
+# HoodieMetadata.avsc shape); ``bloomFilter`` carries the UTF-8 bytes of
+# the base64 SimpleBloomFilter string (model/hudi_bloom.py) — the string
+# form HoodieMetadataPayload ships
+BLOOM_FILTER_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": HUDI_METADATA_RECORD_SCHEMA["fields"]
+    + [
+        {
+            "name": "BloomFilterMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieMetadataBloomFilter",
+                    "fields": [
+                        {"name": "type", "type": "string"},
+                        {"name": "timestamp", "type": "string"},
+                        {"name": "bloomFilter", "type": "bytes"},
+                        {"name": "isDeleted", "type": "boolean"},
+                    ],
+                },
+            ],
+            "default": None,
+        }
+    ],
+}
+
+
+def bloom_filter_record(
+    partition_path: str,
+    file_name: str,
+    bloom_b64: str,
+    instant: str,
+    is_deleted: bool = False,
+) -> tuple[bytes, bytes]:
+    """-> (cell row key, avro value bytes) for one bloom-filter record,
+    keyed by HoodieMetadataPayload.getBloomFilterIndexKey (hashed
+    partitionID+fileID, model/hudi_hash.py)."""
+    from incubator_xtable_spark.model.hudi_hash import bloom_filter_index_key
+
+    key = bloom_filter_index_key(partition_path, file_name)
+    rec = {
+        "key": key,
+        "type": BLOOM_FILTER_TYPE,
+        "filesystemMetadata": None,
+        "ColumnStatsMetadata": None,
+        "BloomFilterMetadata": {
+            "type": "SIMPLE",
+            "timestamp": instant,
+            "bloomFilter": bloom_b64.encode("utf-8"),
+            "isDeleted": is_deleted,
+        },
+    }
+    return key.encode("utf-8"), encode_binary_record(BLOOM_FILTER_RECORD_SCHEMA, rec)
 
 # writer schema for record_index records: HoodieMetadataRecord's
 # resolvable subset PLUS the HoodieRecordIndexInfo branch (public
@@ -382,6 +442,13 @@ def merge_metadata_records(
         if rtype == 3:
             cs = rec.get("ColumnStatsMetadata") or {}
             if cs.get("isDeleted"):
+                out.pop(key, None)
+            else:
+                out[key] = rec
+            continue
+        if rtype == 4:
+            bf = rec.get("BloomFilterMetadata") or {}
+            if bf.get("isDeleted"):
                 out.pop(key, None)
             else:
                 out[key] = rec

@@ -637,6 +637,52 @@ def lookup_record_key(base_path: str, record_key: str) -> dict | None:
     return (rec or {}).get("recordIndexMetadata")
 
 
+BLOOM_FILTERS_PARTITION = "bloom_filters"
+HFILE_BLOOM_FILTERS_SUBDIR = os.path.join(".hoodie", "metadata", "bloom_filters")
+
+
+def bloom_filters_available(base_path: str) -> bool:
+    """isMetadataPartitionAvailable(BLOOM_FILTERS) analog."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if BLOOM_FILTERS_PARTITION not in parts:
+        return False
+    d = os.path.join(base_path, HFILE_BLOOM_FILTERS_SUBDIR)
+    slices, logs_ok = _hfile_partition_state(d)
+    return logs_ok and bool(slices)
+
+
+def lookup_bloom_filter(base_path: str, partition_path: str, file_name: str):
+    """POINT lookup of one file's bloom filter — the read shape real
+    Hudi's bloom-index file pruning uses: compute the hashed
+    getBloomFilterIndexKey, HFile-seek the base, replay logs for the key.
+    -> model/hudi_bloom.SimpleBloomFilter, or None when absent/deleted.
+    Probe keys with .might_contain(record_key)."""
+    from incubator_xtable_spark.model.hudi_bloom import SimpleBloomFilter
+    from incubator_xtable_spark.model.hudi_hash import bloom_filter_index_key
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        point_lookup_slice_record,
+    )
+
+    key = bloom_filter_index_key(partition_path, file_name)
+    d = os.path.join(base_path, HFILE_BLOOM_FILTERS_SUBDIR)
+    slices, logs_ok = _hfile_partition_state(d)
+    if not logs_ok:
+        return None
+    for base, logs in slices:
+        rec = point_lookup_slice_record(base, logs, key)
+        if rec is not None:
+            bf = rec.get("BloomFilterMetadata") or {}
+            if bf.get("isDeleted") or not bf.get("bloomFilter"):
+                return None
+            return SimpleBloomFilter.deserialize_from_string(
+                bytes(bf["bloomFilter"]).decode("utf-8")
+            )
+    return None
+
+
 def relativize_expr(base_path: str, col: str = "physical_path"):
     """Strip an optional file: scheme plus the literal base-path prefix
     (substring arithmetic, no regex — metachar-safe)."""

@@ -260,7 +260,8 @@ def _compacted_records(
             fs_ordered.append((key, rec))
             continue
         cs = rec.get("ColumnStatsMetadata") or {}
-        if rtype == 3 and cs.get("isDeleted"):
+        bf = rec.get("BloomFilterMetadata") or {}
+        if (rtype == 3 and cs.get("isDeleted")) or (rtype == 4 and bf.get("isDeleted")):
             raw_state.pop(key, None)
         else:
             raw_state[key] = raw
@@ -491,6 +492,100 @@ def write_record_index_commit(
         rel, size = _write_base(d, fid, instant, [], RECORD_INDEX_RECORD_SCHEMA)
         out.append((RECORD_INDEX_PARTITION, fid, rel, size, 0))
     return out
+
+
+BLOOM_FILTERS_PARTITION = "bloom_filters"
+BLOOM_FILTERS_FILE_ID = "bloom-filters-0000-0"
+
+
+def write_bloom_filters_commit(
+    spark,
+    base_path: str,
+    instant: str,
+    add_rel_paths: list[str],
+    removed_rel_paths: list[str],
+    record_key_field: str,
+    *,
+    fpp: float = 0.001,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> list[tuple[str, str, str, int, int]]:
+    """Maintain the ``bloom_filters`` metadata partition (real Hudi's
+    bloom index, beyond the reference) for one commit: one type-4
+    HoodieMetadataBloomFilter record per ADDED file — a Hadoop-format
+    SIMPLE bloom over the file's record keys (model/hudi_bloom.py) keyed
+    by getBloomFilterIndexKey's hashed partitionID+fileID — plus
+    isDeleted records per removed file. -> metadata-deltacommit stat
+    tuples.
+
+    Distribution: each added file's bloom builds in that file's own task
+    (groupBy(_fp).applyInPandas over ONLY the key column); what returns
+    to the driver is one row per FILE carrying KB-scale bloom bytes —
+    metadata volume — which the single file group then writes via the
+    same base/log/compaction lifecycle as col_stats."""
+    from pyspark.sql import functions as F
+
+    base = base_path.rstrip("/")
+    d = _partition_dir(base_path, BLOOM_FILTERS_PARTITION)
+    os.makedirs(d, exist_ok=True)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    records: list[tuple[bytes, bytes]] = []
+    if add_rel_paths:
+        paths = [os.path.join(base, p) for p in add_rel_paths]
+        df = spark.read.parquet(*paths).select(
+            F.col(record_key_field).cast("string").alias("record_key"),
+            F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias("_fp"),
+        )
+
+        def _build(key, pdf):
+            import sys as _sys
+
+            if pkg_root not in _sys.path:
+                _sys.path.insert(0, pkg_root)
+            import pandas as _pd
+
+            from incubator_xtable_spark.model.hudi_bloom import SimpleBloomFilter
+            from incubator_xtable_spark.model.hudi_metadata_records import (
+                bloom_filter_record,
+            )
+
+            fp = str(key[0])
+            rel = os.path.relpath(fp, base)
+            part, fname = os.path.dirname(rel), os.path.basename(rel)
+            bf = SimpleBloomFilter.for_entries(len(pdf), fpp)
+            for k in pdf["record_key"]:
+                bf.add(str(k))
+            row, blob = bloom_filter_record(part, fname, bf.serialize_to_string(), instant)
+            return _pd.DataFrame([(row, blob)], columns=["row", "value"])
+
+        built = (
+            df.groupBy("_fp")
+            .applyInPandas(_build, "row BINARY, value BINARY")
+            .collect()
+        )
+        records.extend((bytes(r["row"]), bytes(r["value"])) for r in built)
+
+    from incubator_xtable_spark.model.hudi_metadata_records import bloom_filter_record
+
+    for rel in removed_rel_paths:
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        records.append(bloom_filter_record(part, fname, "", instant, is_deleted=True))
+
+    if not records:
+        return []
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        BLOOM_FILTER_RECORD_SCHEMA,
+    )
+
+    rel, size, n = _commit_partition(
+        d,
+        BLOOM_FILTERS_FILE_ID,
+        instant,
+        records,
+        compact_every,
+        record_schema=BLOOM_FILTER_RECORD_SCHEMA,
+    )
+    return [(BLOOM_FILTERS_PARTITION, BLOOM_FILTERS_FILE_ID, rel, size, n)]
 
 
 def _instant_ms(instant: str) -> int:

@@ -116,6 +116,7 @@ class HudiConversionTarget:
         metadata_index_compact_every: int = 10,
         record_index_field: Optional[str] = None,
         record_index_shards: int = 4,
+        bloom_filters: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -152,6 +153,14 @@ class HudiConversionTarget:
             )
         self.record_index_field = record_index_field
         self.record_index_shards = record_index_shards
+        # opt-in bloom_filters metadata partition: a Hadoop-format SIMPLE
+        # bloom per data file over record_index_field's values (the same
+        # key source as the record index; also data-scale to build)
+        if bloom_filters and record_index_field is None:
+            raise ValueError(
+                "bloom_filters requires record_index_field as the key source"
+            )
+        self.bloom_filters = bloom_filters
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -206,10 +215,13 @@ class HudiConversionTarget:
             wanted = [COLUMN_STATS_PARTITION, FILES_PARTITION]
             if self.record_index_field is not None:
                 from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    BLOOM_FILTERS_PARTITION,
                     RECORD_INDEX_PARTITION,
                 )
 
                 wanted.append(RECORD_INDEX_PARTITION)
+                if self.bloom_filters:
+                    wanted.append(BLOOM_FILTERS_PARTITION)
             missing = [p for p in wanted if p not in parts]
             if missing and self.metadata_indexes:
                 with open(props_path, "a", encoding="utf-8") as fh:
@@ -238,10 +250,13 @@ class HudiConversionTarget:
             props[METADATA_PARTITIONS_KEY] = f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}"
             if self.record_index_field is not None:
                 from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    BLOOM_FILTERS_PARTITION,
                     RECORD_INDEX_PARTITION,
                 )
 
                 props[METADATA_PARTITIONS_KEY] += f",{RECORD_INDEX_PARTITION}"
+                if self.bloom_filters:
+                    props[METADATA_PARTITIONS_KEY] += f",{BLOOM_FILTERS_PARTITION}"
         if self.change_feed:
             props["hoodie.table.cdc.enabled"] = "true"
             props["hoodie.table.cdc.supplemental.logging.mode"] = "data_before_after"
@@ -416,6 +431,20 @@ class HudiConversionTarget:
                     num_shards=self.record_index_shards,
                     compact_every=self.metadata_index_compact_every,
                 )
+                if self.bloom_filters:
+                    from incubator_xtable_spark.targets.hudi_metadata_index import (
+                        write_bloom_filters_commit,
+                    )
+
+                    extra_stats = extra_stats + write_bloom_filters_commit(
+                        self.spark,
+                        self.base_path,
+                        instant,
+                        [a["rel_path"] for a in hfile_adds],
+                        hfile_removed,
+                        self.record_index_field,
+                        compact_every=self.metadata_index_compact_every,
+                    )
             write_hfile_index_commit(
                 self.base_path,
                 instant,
