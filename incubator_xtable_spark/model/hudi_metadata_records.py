@@ -386,12 +386,14 @@ def files_partition_mutation_records(
     for part in sorted(set(adds) | set(removes)):
         key = part if part else NON_PARTITIONED_NAME
         touched[key] = {"size": 0, "isDeleted": False}
+        # removes first, adds overwrite: a file removed AND re-added at
+        # the same path in one commit is LIVE (the r8 order; reversing it
+        # silently vanished live files from the listing)
         fsmeta: dict[str, dict] = {
-            fn: {"size": int(sz), "isDeleted": False}
-            for fn, sz in sorted((adds.get(part) or {}).items())
+            fn: {"size": 0, "isDeleted": True} for fn in sorted(removes.get(part) or [])
         }
-        for fn in sorted(removes.get(part) or []):
-            fsmeta[fn] = {"size": 0, "isDeleted": True}
+        for fn, sz in sorted((adds.get(part) or {}).items()):
+            fsmeta[fn] = {"size": int(sz), "isDeleted": False}
         rec = {
             "key": key,
             "type": 2,
@@ -516,6 +518,15 @@ def iter_log_records(log_paths: list[str]) -> list[tuple[str, dict]]:
     """Ordered (key, record) stream of a metadata file slice's log files —
     AVRO_DATA_BLOCK / HFILE_DATA_BLOCK / DELETE_BLOCK decode; anything
     else refuses loudly (callers probe with metadata_logs_supported)."""
+    return [(k, rec) for k, _raw, rec in iter_log_records_raw(log_paths)]
+
+
+def iter_log_records_raw(log_paths: list[str]) -> list[tuple[str, bytes | None, dict]]:
+    """The single log-block decoder: ordered (key, raw avro value bytes,
+    decoded record) triples. Raw bytes ride along for COMPACTION, which
+    must carry winning records without re-encoding (decode drops union
+    branch names — see targets/hudi_metadata_index._compacted_records);
+    tombstones from DELETE_BLOCKs yield (key, None, {"_tombstone"})."""
     import io as _io
     import json as _json
     import struct as _struct
@@ -531,7 +542,7 @@ def iter_log_records(log_paths: list[str]) -> list[tuple[str, dict]]:
         read_log_blocks,
     )
 
-    ordered: list[tuple[str, dict]] = []
+    ordered: list[tuple[str, bytes | None, dict]] = []
     for lp in log_paths:
         for block in read_log_blocks(lp):
             if block.block_type == AVRO_DATA_BLOCK:
@@ -540,15 +551,15 @@ def iter_log_records(log_paths: list[str]) -> list[tuple[str, dict]]:
                 (_v, count) = _struct.unpack(">ii", buf.read(8))
                 for _ in range(count):
                     (ln,) = _struct.unpack(">i", buf.read(4))
-                    rec = decode_value(schema, _io.BytesIO(buf.read(ln)))
-                    ordered.append((rec.get("key") or "", rec))
+                    raw = buf.read(ln)
+                    rec = decode_value(schema, _io.BytesIO(raw))
+                    ordered.append((rec.get("key") or "", raw, rec))
             elif block.block_type == HFILE_DATA_BLOCK:
-                ordered.extend(
-                    _hfile_records(
-                        read_hfile_bytes(block.content, f"{lp}:hfile-block"),
-                        f"{lp}:hfile-block",
-                    )
-                )
+                hf = read_hfile_bytes(block.content, f"{lp}:hfile-block")
+                for (key, rec), cell in zip(
+                    _hfile_records(hf, f"{lp}:hfile-block"), hf.cells
+                ):
+                    ordered.append((key, cell.value, rec))
             elif block.block_type == DELETE_BLOCK:
                 buf = _io.BytesIO(block.content)
                 (_dv, ln) = _struct.unpack(">ii", buf.read(8))
@@ -557,7 +568,7 @@ def iter_log_records(log_paths: list[str]) -> list[tuple[str, dict]]:
                 for dr in wrapper.get("deleteRecordList") or []:
                     key = dr.get("recordKey")
                     if key:
-                        ordered.append((key, {"_tombstone": True}))
+                        ordered.append((key, None, {"_tombstone": True}))
             else:
                 raise ValueError(
                     f"{lp}: unsupported metadata log block type {block.block_type}"

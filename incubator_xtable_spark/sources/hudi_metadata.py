@@ -38,6 +38,7 @@ import logging
 import os
 import shutil
 import uuid
+from struct import error as struct_error
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -159,12 +160,47 @@ def slice_log_files(d: str, hfile_path: str) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
-def _hfile_partition_state(d: str) -> tuple[list[tuple[str, list[str]]], bool]:
-    """-> ([(latest base hfile, its ordered logs)], logs_ok). logs_ok is
-    False when any slice carries a log file the merge cannot decode — the
-    caller warns and falls back instead of serving stale/partial state
-    (r7 refused ALL log-bearing slices; r8 merges supported ones through
-    sources/hudi_log + the pure avro codec)."""
+def _base_supported(path: str) -> bool:
+    """Cheap probe (trailer-only read): the base HFile's codec and index
+    depth are within the pure-python reader's support — a multi-level
+    data index or foreign codec must drop the TIER (footers/timeline),
+    not crash a lookup mid-read."""
+    from incubator_xtable_spark.model.hfile import (
+        COMPRESSION_GZ,
+        COMPRESSION_NONE,
+        HEADER_SIZE,
+        TRAILER_SIZE,
+        _parse_trailer,
+    )
+
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            # _parse_trailer slices the trailer off the END of the buffer
+            # and enforces a TRAILER_SIZE+HEADER_SIZE minimum
+            fh.seek(max(0, size - TRAILER_SIZE - HEADER_SIZE))
+            tail = fh.read()
+        trailer = _parse_trailer(tail, path)
+        if trailer.get("num_data_index_levels", 1) > 1:
+            return False
+        return trailer.get("compression_codec", COMPRESSION_NONE) in (
+            COMPRESSION_GZ,
+            COMPRESSION_NONE,
+        )
+    except Exception:
+        return False
+
+
+def _hfile_partition_state(
+    d: str, probe: bool = True
+) -> tuple[list[tuple[str, list[str]]], bool]:
+    """-> ([(latest base hfile, its ordered logs)], ok). ok is False when
+    any slice carries a log file the merge cannot decode OR a base file
+    beyond the reader's support (multi-level index / foreign codec) — the
+    caller warns and falls back instead of serving stale/partial state or
+    crashing mid-read. ``probe=False`` skips the (full-log-parse) probe
+    for POINT lookups, which instead catch decode errors per slice."""
     from incubator_xtable_spark.model.hudi_metadata_records import (
         metadata_logs_supported,
     )
@@ -172,8 +208,11 @@ def _hfile_partition_state(d: str) -> tuple[list[tuple[str, list[str]]], bool]:
     slices = []
     for base in _latest_hfile_slices(d):
         logs = slice_log_files(d, base)
-        if logs and not metadata_logs_supported(logs):
-            return [], False
+        if probe:
+            if not _base_supported(base):
+                return [], False
+            if logs and not metadata_logs_supported(logs):
+                return [], False
         slices.append((base, logs))
     return slices, True
 
@@ -224,14 +263,27 @@ def lookup_col_stats_record(
 
     key = col_stats_index_key(partition_path, file_name, column)
     d = os.path.join(base_path, HFILE_COL_STATS_SUBDIR)
-    slices, logs_ok = _hfile_partition_state(d)
-    if not logs_ok:
-        return None
+    # probe=False: a point probe must not pre-parse every log of every
+    # slice (that doubles the work the lookup itself does); decode
+    # failures on unsupported content answer None = no information
+    slices, _ = _hfile_partition_state(d, probe=False)
     for base, logs in slices:
-        rec = point_lookup_slice_record(base, logs, key)
+        rec = _safe_point_lookup(base, logs, key)
         if rec is not None:
             return rec
     return None
+
+
+def _safe_point_lookup(base: str, logs: list[str], key: str) -> dict | None:
+    from incubator_xtable_spark.model.hfile import HFileError
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        point_lookup_slice_record,
+    )
+
+    try:
+        return point_lookup_slice_record(base, logs, key)
+    except (HFileError, ValueError, KeyError, EOFError, struct_error):
+        return None
 
 
 def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructType) -> DataFrame:
@@ -620,20 +672,21 @@ def lookup_record_key(base_path: str, record_key: str) -> dict | None:
     from incubator_xtable_spark.model.hudi_hash import (
         map_record_key_to_file_group_index,
     )
-    from incubator_xtable_spark.model.hudi_metadata_records import (
-        point_lookup_slice_record,
-    )
 
     d = os.path.join(base_path, HFILE_RECORD_INDEX_SUBDIR)
-    slices, logs_ok = _hfile_partition_state(d)
-    if not logs_ok or not slices:
+    slices, _ = _hfile_partition_state(d, probe=False)
+    if not slices:
         return None
     by_group = {os.path.basename(p).split("_")[0]: (p, logs) for p, logs in slices}
     shard = map_record_key_to_file_group_index(record_key, len(slices))
     hit = by_group.get(f"record-index-{shard:04d}-0")
     if hit is None:
         return None
-    rec = point_lookup_slice_record(hit[0], hit[1], record_key)
+    rec = _safe_point_lookup(hit[0], hit[1], record_key)
+    # None means NOT INDEXED, not proven-absent: a crashed commit may
+    # leave tombstones for files the timeline still lists (the same
+    # orphan-index posture as col_stats, where the footer tier covers the
+    # gap) — consumers needing proof must fall back to a data scan.
     return (rec or {}).get("recordIndexMetadata")
 
 
@@ -659,20 +712,18 @@ def lookup_bloom_filter(base_path: str, partition_path: str, file_name: str):
     Hudi's bloom-index file pruning uses: compute the hashed
     getBloomFilterIndexKey, HFile-seek the base, replay logs for the key.
     -> model/hudi_bloom.SimpleBloomFilter, or None when absent/deleted.
-    Probe keys with .might_contain(record_key)."""
+    Probe keys with .might_contain(record_key). None means NO
+    INFORMATION (skip pruning), never proof of emptiness — e.g. a
+    crashed commit can tombstone a bloom for a file the timeline still
+    lists."""
     from incubator_xtable_spark.model.hudi_bloom import SimpleBloomFilter
     from incubator_xtable_spark.model.hudi_hash import bloom_filter_index_key
-    from incubator_xtable_spark.model.hudi_metadata_records import (
-        point_lookup_slice_record,
-    )
 
     key = bloom_filter_index_key(partition_path, file_name)
     d = os.path.join(base_path, HFILE_BLOOM_FILTERS_SUBDIR)
-    slices, logs_ok = _hfile_partition_state(d)
-    if not logs_ok:
-        return None
+    slices, _ = _hfile_partition_state(d, probe=False)
     for base, logs in slices:
-        rec = point_lookup_slice_record(base, logs, key)
+        rec = _safe_point_lookup(base, logs, key)
         if rec is not None:
             bf = rec.get("BloomFilterMetadata") or {}
             if bf.get("isDeleted") or not bf.get("bloomFilter"):

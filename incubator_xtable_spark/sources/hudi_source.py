@@ -512,7 +512,12 @@ class HudiConversionSource:
             instants = sorted(
                 r["_instant"] for r in idx.select("_instant").distinct().collect()
             )
-            head_ms = _ms(head) or 0
+            head_ms = _ms(head)
+            if head_ms is None:
+                # an unparseable head instant (legacy 14-digit or foreign
+                # format) has no honest fallback timestamp — serve the
+                # listing from timeline replay instead of epoch-0 rows
+                return None
             ms_map = F.create_map(
                 *[x for i in instants for x in (F.lit(i), F.lit(_ms(i) or head_ms))]
             )

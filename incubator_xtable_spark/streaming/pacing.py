@@ -34,15 +34,23 @@ def read_pacing_options(options: dict) -> tuple[Optional[int], Optional[int]]:
     )
 
 
+_SIZER_CACHE_MAX = 8192
+
+
 def memoized_sizer(cache: dict, fn: Callable[[C], int]) -> Callable[[C], int]:
     """Per-reader-instance byte-size memo: completed commits are immutable,
     but ``latestOffset`` fires every trigger and re-sizes the whole
     backlog — without this, each micro-batch plan re-decodes O(backlog)
-    commit JSON / manifest lists (ADVICE r8). The cache key is the commit
-    id (version/instant/snapshot); bounded by backlog length."""
+    commit JSON / manifest lists (ADVICE r8). Entries for commits the
+    stream has passed are never probed again, so the cache is cleared at
+    a size cap rather than evicted per-key — a long-lived continuous
+    reader stays bounded, and the rare post-clear re-size is one metadata
+    decode."""
 
     def _sized(c: C) -> int:
         if c not in cache:
+            if len(cache) >= _SIZER_CACHE_MAX:
+                cache.clear()
             cache[c] = fn(c)
         return cache[c]
 

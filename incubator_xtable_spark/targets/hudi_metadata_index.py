@@ -140,7 +140,19 @@ def _append_log(
     schema = record_schema or HUDI_METADATA_RECORD_SCHEMA
     name = os.path.basename(base_path_of_slice)[: -len(".hfile")]
     file_id, _token, base_instant = name.split("_")[0], None, name.split("_")[2]
-    version = len(slice_log_files(d, base_path_of_slice)) + 1
+    # idempotence under Spark task retries/speculation (shard appends run
+    # executor-side): the write token IS the commit instant, the content
+    # is deterministic (key-sorted records, order-free bloom bits), and
+    # one commit writes at most one log per file group — so a log whose
+    # token matches this instant is THIS append already done
+    existing = slice_log_files(d, base_path_of_slice)
+    for lp in existing:
+        if os.path.basename(lp).rpartition("_")[2] == instant:
+            return (
+                os.path.join(os.path.basename(d), os.path.basename(lp)),
+                os.path.getsize(lp),
+            )
+    version = len(existing) + 1
     records = sorted(records, key=lambda kv: kv[0])
     block = b""
     if records or not delete_keys:
@@ -162,13 +174,18 @@ def _append_log(
             {H_INSTANT_TIME: instant, H_SCHEMA: DELETE_RECORD_LIST_SCHEMA},
             struct.pack(">ii", 1, len(blob)) + blob,
         )
-    path = os.path.join(d, f".{file_id}_{base_instant}.log.{version}_{WRITE_TOKEN}")
+    path = os.path.join(d, f".{file_id}_{base_instant}.log.{version}_{instant}")
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "wb") as fh:
         fh.write(block)
     try:
         os.link(tmp, path)
     except FileExistsError as exc:
+        # a speculative duplicate attempt of the SAME commit lost the
+        # race to identical bytes — success; a different instant means a
+        # true concurrent writer — refuse
+        if os.path.basename(path).rpartition("_")[2] == instant:
+            return os.path.join(os.path.basename(d), os.path.basename(path)), len(block)
         raise RuntimeError(
             f"concurrent Hudi metadata-index log append at {path}"
         ) from exc
@@ -179,60 +196,24 @@ def _append_log(
 
 def _iter_raw_slice(hfile_path: str, log_paths: list[str]):
     """Replay-ordered (key str, raw avro value bytes | None, decoded rec)
-    triples of a metadata file slice — raw bytes ride along so compaction
-    can carry winning records without re-encoding (decode drops union
-    branch names, so a decode->encode roundtrip of wrapper values is not
-    byte-safe). Tombstones from DELETE_BLOCKs yield (key, None,
-    {"_tombstone": True})."""
+    triples of a metadata file slice — base cells first, then the shared
+    log decoder (model/hudi_metadata_records.iter_log_records_raw; raw
+    bytes ride along so compaction can carry winning records without
+    re-encoding — decode drops union branch names)."""
     from incubator_xtable_spark.model.avro_codec import decode_value
-    from incubator_xtable_spark.model.hfile import read_hfile_bytes
-    from incubator_xtable_spark.sources.hudi_log import (
-        AVRO_DATA_BLOCK,
-        DELETE_BLOCK,
-        DELETE_RECORD_LIST_SCHEMA,
-        HFILE_DATA_BLOCK,
-        H_SCHEMA,
-        read_log_blocks,
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        iter_log_records_raw,
     )
 
-    def _cells(hf, where):
-        avsc = hf.file_info.get("schema")
-        if avsc is None:
-            raise ValueError(f"{where}: HFile carries no avro schema in file info")
-        schema = json.loads(avsc.decode("utf-8"))
-        for cell in hf.cells:
-            rec = decode_value(schema, io.BytesIO(cell.value))
-            yield (rec.get("key") or cell.row.decode("utf-8"), cell.value, rec)
-
-    yield from _cells(read_hfile(hfile_path), hfile_path)
-    for lp in log_paths:
-        for block in read_log_blocks(lp):
-            if block.block_type == HFILE_DATA_BLOCK:
-                yield from _cells(
-                    read_hfile_bytes(block.content, f"{lp}:hfile-block"),
-                    f"{lp}:hfile-block",
-                )
-            elif block.block_type == AVRO_DATA_BLOCK:
-                schema = json.loads(block.headers[H_SCHEMA])
-                buf = io.BytesIO(block.content)
-                (_v, count) = struct.unpack(">ii", buf.read(8))
-                for _ in range(count):
-                    (ln,) = struct.unpack(">i", buf.read(4))
-                    raw = buf.read(ln)
-                    rec = decode_value(schema, io.BytesIO(raw))
-                    yield (rec.get("key") or "", raw, rec)
-            elif block.block_type == DELETE_BLOCK:
-                buf = io.BytesIO(block.content)
-                (_dv, ln) = struct.unpack(">ii", buf.read(8))
-                schema_json = block.headers.get(H_SCHEMA) or DELETE_RECORD_LIST_SCHEMA
-                wrapper = decode_value(json.loads(schema_json), io.BytesIO(buf.read(ln)))
-                for dr in wrapper.get("deleteRecordList") or []:
-                    if dr.get("recordKey"):
-                        yield (dr["recordKey"], None, {"_tombstone": True})
-            else:
-                raise ValueError(
-                    f"{lp}: unsupported metadata log block type {block.block_type}"
-                )
+    hf = read_hfile(hfile_path)
+    avsc = hf.file_info.get("schema")
+    if avsc is None:
+        raise ValueError(f"{hfile_path}: HFile carries no avro schema in file info")
+    schema = json.loads(avsc.decode("utf-8"))
+    for cell in hf.cells:
+        rec = decode_value(schema, io.BytesIO(cell.value))
+        yield (rec.get("key") or cell.row.decode("utf-8"), cell.value, rec)
+    yield from iter_log_records_raw(log_paths)
 
 
 def _compacted_records(
@@ -529,7 +510,17 @@ def write_bloom_filters_commit(
     os.makedirs(d, exist_ok=True)
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+    from incubator_xtable_spark.model.hudi_metadata_records import bloom_filter_record
+
+    # tombstones FIRST, and never for a path re-added this commit (the
+    # fresh bloom must win the latest-wins merge)
+    added_paths = set(add_rel_paths)
     records: list[tuple[bytes, bytes]] = []
+    for rel in removed_rel_paths:
+        if rel in added_paths:
+            continue
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        records.append(bloom_filter_record(part, fname, "", instant, is_deleted=True))
     if add_rel_paths:
         paths = [os.path.join(base, p) for p in add_rel_paths]
         df = spark.read.parquet(*paths).select(
@@ -564,12 +555,6 @@ def write_bloom_filters_commit(
             .collect()
         )
         records.extend((bytes(r["row"]), bytes(r["value"])) for r in built)
-
-    from incubator_xtable_spark.model.hudi_metadata_records import bloom_filter_record
-
-    for rel in removed_rel_paths:
-        part, fname = os.path.dirname(rel), os.path.basename(rel)
-        records.append(bloom_filter_record(part, fname, "", instant, is_deleted=True))
 
     if not records:
         return []
@@ -618,28 +603,17 @@ def write_hfile_index_commit(
     """
     dtypes = {f.name: f.dataType for f in schema.fields}
 
-    # -- column_stats delta: fresh records per add, tombstones per remove --
+    # a file removed AND re-added at the same rel path in one commit is
+    # live: never emit a tombstone for it (a same-key tombstone after the
+    # fresh record would win the latest-wins merge and silently drop the
+    # live file's stats/bloom/listing)
+    added_paths = {a["rel_path"] for a in adds}
+    removed_rel_paths = [r for r in removed_rel_paths if r not in added_paths]
+
+    # -- column_stats delta: tombstones per removed file, then fresh
+    # records per add (tombstone-first also keeps any foreign same-key
+    # pairing add-wins under ordered replay) --
     cs_records: list[tuple[bytes, bytes]] = []
-    for a in adds:
-        rel = a["rel_path"]
-        part, fname = os.path.dirname(rel), os.path.basename(rel)
-        for col, st in (a.get("column_stats") or {}).items():
-            dtype = dtypes.get(col)
-            if dtype is None:
-                continue
-            cs_records.append(
-                col_stats_record(
-                    fname,
-                    col,
-                    decode_stat(st["min_json"], dtype),
-                    decode_stat(st["max_json"], dtype),
-                    dtype,
-                    value_count=a.get("record_count") or 0,
-                    null_count=st["null_count"],
-                    key_mode=key_mode,
-                    partition_path=part,
-                )
-            )
     for rel in removed_rel_paths:
         part, fname = os.path.dirname(rel), os.path.basename(rel)
         # a replaced file tombstones on every indexed column (the current
@@ -658,6 +632,26 @@ def write_hfile_index_commit(
                     value_count=0,
                     null_count=0,
                     is_deleted=True,
+                    key_mode=key_mode,
+                    partition_path=part,
+                )
+            )
+    for a in adds:
+        rel = a["rel_path"]
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        for col, st in (a.get("column_stats") or {}).items():
+            dtype = dtypes.get(col)
+            if dtype is None:
+                continue
+            cs_records.append(
+                col_stats_record(
+                    fname,
+                    col,
+                    decode_stat(st["min_json"], dtype),
+                    decode_stat(st["max_json"], dtype),
+                    dtype,
+                    value_count=a.get("record_count") or 0,
+                    null_count=st["null_count"],
                     key_mode=key_mode,
                     partition_path=part,
                 )

@@ -146,10 +146,13 @@ class HudiConversionTarget:
         # field, sharded by Java-hashCode file groups. Data-scale — built
         # by a distributed scan of the commit's added/removed files, so
         # it is the one index whose maintenance reads data bytes.
-        if record_index_field is not None and metadata_index_format != "hfile":
+        if record_index_field is not None and (
+            metadata_index_format != "hfile" or not metadata_indexes
+        ):
             raise ValueError(
-                "record_index_field requires metadata_index_format='hfile' "
-                "(the record index is a real-Hudi metadata partition)"
+                "record_index_field requires metadata_indexes=True and "
+                "metadata_index_format='hfile' (the record index is a "
+                "real-Hudi metadata partition)"
             )
         self.record_index_field = record_index_field
         self.record_index_shards = record_index_shards

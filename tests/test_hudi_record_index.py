@@ -148,9 +148,18 @@ def test_all_shard_groups_exist_from_first_commit(spark, table_dir):
 
 
 def test_record_index_requires_hfile_mode(spark, tmp_path):
-    with pytest.raises(ValueError, match="requires metadata_index_format"):
+    with pytest.raises(ValueError, match="metadata_index_format='hfile'"):
         HudiConversionTarget(
             spark, str(tmp_path), record_index_field="n_nationkey"
+        )
+    # metadata_indexes=False would silently never write the index — refuse
+    with pytest.raises(ValueError, match="metadata_indexes=True"):
+        HudiConversionTarget(
+            spark,
+            str(tmp_path),
+            metadata_indexes=False,
+            metadata_index_format="hfile",
+            record_index_field="n_nationkey",
         )
 
 
