@@ -194,6 +194,7 @@ class HFileData:
     cells: list = field(default_factory=list)
     file_info: dict = field(default_factory=dict)  # str key -> bytes value
     trailer: dict = field(default_factory=dict)
+    meta_blocks: dict = field(default_factory=dict)  # str name -> payload bytes
 
 
 _TRAILER_FIELDS = {
@@ -336,9 +337,10 @@ def read_hfile_bytes(data: bytes, path: str, verify_checksums: bool = True) -> H
     # root data index -> data block offsets
     cells: list[HFileCell] = []
     n_entries = trailer.get("data_index_count", 0)
-    if n_entries:
-        loo = trailer["load_on_open_data_offset"]
-        magic, payload, _ = _read_block(data, loo, path, verify_checksums, codec)
+    after_root = None
+    loo = trailer.get("load_on_open_data_offset")
+    if loo is not None:
+        magic, payload, after_root = _read_block(data, loo, path, verify_checksums, codec)
         if magic != ROOT_INDEX_MAGIC:
             raise HFileError(f"{path}: expected IDXROOT2 at {loo}, got {magic!r}")
         pos = 0
@@ -358,7 +360,48 @@ def read_hfile_bytes(data: bytes, path: str, verify_checksums: bool = True) -> H
             if magic != DATA_MAGIC:
                 raise HFileError(f"{path}: expected DATABLK* at {boff}, got {magic!r}")
             cells.extend(_parse_cells(payload, with_mvcc, path))
-    return HFileData(cells=cells, file_info=file_info, trailer=trailer)
+    meta_blocks = _read_meta_blocks(
+        data, trailer, after_root, path, verify_checksums, codec
+    )
+    return HFileData(
+        cells=cells, file_info=file_info, trailer=trailer, meta_blocks=meta_blocks
+    )
+
+
+def _read_meta_blocks(
+    data: bytes,
+    trailer: dict,
+    after_root_index: Optional[int],
+    path: str,
+    verify: bool,
+    codec: int,
+) -> dict:
+    """Parse the meta index (the ROOT_INDEX-shaped block following the
+    root data index in the load-on-open section) and read every META
+    block it names -> {name: payload bytes}. Real Hudi stores the file's
+    internal bloom filter here as ``bloomFilter`` (HoodieAvroHFileWriter's
+    KEY_BLOOM_FILTER_META_BLOCK)."""
+    n_meta = trailer.get("meta_index_count", 0)
+    if not n_meta or after_root_index is None:
+        return {}
+    magic, payload, _ = _read_block(data, after_root_index, path, verify, codec)
+    if magic != ROOT_INDEX_MAGIC:
+        raise HFileError(
+            f"{path}: expected meta index IDXROOT2 at {after_root_index}, got {magic!r}"
+        )
+    out = {}
+    pos = 0
+    for _ in range(n_meta):
+        boff, _bsize = struct.unpack_from(">qi", payload, pos)
+        pos += 12
+        klen, pos = read_vlong(payload, pos)
+        name = payload[pos : pos + klen]
+        pos += klen
+        bmagic, bpayload, _ = _read_block(data, boff, path, verify, codec)
+        if bmagic != META_MAGIC:
+            raise HFileError(f"{path}: expected METABLKc at {boff}, got {bmagic!r}")
+        out[name.decode("utf-8")] = bpayload
+    return out
 
 
 # -- fixture writer ----------------------------------------------------------
@@ -414,6 +457,7 @@ def write_hfile(
     block_size: int = 65536,
     checksum_type: int = 1,
     with_mvcc: bool = True,
+    meta_blocks: Optional[dict] = None,
 ) -> None:
     """Write a spec-shaped HFile v3 to ``path`` (atomic tmp+replace) —
     see ``hfile_bytes`` for the container shape."""
@@ -424,6 +468,7 @@ def write_hfile(
         block_size=block_size,
         checksum_type=checksum_type,
         with_mvcc=with_mvcc,
+        meta_blocks=meta_blocks,
     )
     tmp = path + f".tmp-{os.getpid()}"
     with open(tmp, "wb") as fh:
@@ -439,11 +484,16 @@ def hfile_bytes(
     block_size: int = 65536,
     checksum_type: int = 1,
     with_mvcc: bool = True,
+    meta_blocks: Optional[dict] = None,
 ) -> bytes:
     """A spec-shaped HFile v3 from sorted (row_key, value) records, as
     bytes — the payload HFILE_DATA_BLOCK metadata log blocks embed and the
     base-file writer persists. Cells use empty family/qualifier and type
-    Put, which is exactly how Hudi's metadata writer shapes them."""
+    Put, which is exactly how Hudi's metadata writer shapes them.
+
+    ``meta_blocks`` ({name: payload bytes}) land as METABLKc blocks in the
+    non-scanned section with a populated meta index — the slot real Hudi
+    uses for the per-file ``bloomFilter``."""
     records = sorted(records, key=lambda kv: kv[0])
     out = bytearray()
     index_entries = []  # (offset, on_disk_size_with_header, first_key)
@@ -477,6 +527,17 @@ def hfile_bytes(
     total_uncompressed += len(buf)
     flush()
 
+    # META blocks (non-scanned section): after data blocks, before
+    # load-on-open; the meta index keys them by NAME bytes (HBase's meta
+    # index entry shape — same layout as root index entries)
+    meta_entries = []  # (offset, on_disk_size_with_header, name bytes)
+    for name in sorted(meta_blocks or {}):
+        payload = (meta_blocks or {})[name]
+        off = len(out)
+        blk = _block_bytes(META_MAGIC, payload, -1, compression, checksum_type)
+        out.extend(blk)
+        meta_entries.append((off, len(blk), name.encode("utf-8")))
+
     load_on_open = len(out)
     idx_payload = bytearray()
     for off, size, fkey in index_entries:
@@ -484,8 +545,15 @@ def hfile_bytes(
     out.extend(
         _block_bytes(ROOT_INDEX_MAGIC, bytes(idx_payload), -1, compression, checksum_type)
     )
-    # empty meta index (count 0) keeps the load-on-open section spec-shaped
-    out.extend(_block_bytes(ROOT_INDEX_MAGIC, b"", -1, compression, checksum_type))
+    # meta index (count 0 when no meta blocks) keeps load-on-open spec-shaped
+    meta_idx_payload = bytearray()
+    for off, size, name in meta_entries:
+        meta_idx_payload += struct.pack(">qi", off, size) + write_vlong(len(name)) + name
+    out.extend(
+        _block_bytes(
+            ROOT_INDEX_MAGIC, bytes(meta_idx_payload), -1, compression, checksum_type
+        )
+    )
 
     info = {
         "KEY_VALUE_VERSION": struct.pack(">i", 1 if with_mvcc else 0),
@@ -509,7 +577,7 @@ def hfile_bytes(
         (3, len(idx_payload)),
         (4, total_uncompressed),
         (5, len(index_entries)),
-        (6, 0),
+        (6, len(meta_entries)),
         (7, len(records)),
         (8, 1),
         (9, index_entries[0][0] if index_entries else 0),
@@ -531,7 +599,11 @@ def hfile_bytes(
 
 
 def lookup_hfile_bytes(
-    data: bytes, row: bytes, path: str = "<mem>", verify_checksums: bool = True
+    data: bytes,
+    row: bytes,
+    path: str = "<mem>",
+    verify_checksums: bool = True,
+    use_bloom: bool = True,
 ) -> tuple[Optional[bytes], dict]:
     """POINT lookup: -> (value bytes or None, file_info dict) for the cell
     whose row key is ``row`` (file_info rides along because it carries the
@@ -539,7 +611,13 @@ def lookup_hfile_bytes(
     candidate data block (real Hudi's HFile point-get shape: decompress +
     cell-scan cost is O(one block) per probe, never the whole index; the
     raw bytes are taken in one read — metadata-index files are
-    metadata-sized)."""
+    metadata-sized).
+
+    ``use_bloom``: consult minRecordKey/maxRecordKey file-info bounds and
+    the ``bloomFilter`` META block (real Hudi's HoodieNativeAvroHFileReader
+    probe order) before any data-block decode — a definite miss answers
+    None without touching data blocks. An unreadable bloom never fails the
+    probe (falls through to the seek)."""
     trailer = _parse_trailer(data, path)
     codec = trailer.get("compression_codec", COMPRESSION_NONE)
     if codec not in (COMPRESSION_GZ, COMPRESSION_NONE):
@@ -558,11 +636,32 @@ def lookup_hfile_bytes(
     n_entries = trailer.get("data_index_count", 0)
     if not n_entries:
         return None, file_info
-    magic, payload, _ = _read_block(
+    if use_bloom:
+        min_key = file_info.get("minRecordKey")
+        max_key = file_info.get("maxRecordKey")
+        if (min_key is not None and row < min_key) or (
+            max_key is not None and row > max_key
+        ):
+            return None, file_info
+    magic, payload, after_root = _read_block(
         data, trailer["load_on_open_data_offset"], path, verify_checksums, codec
     )
     if magic != ROOT_INDEX_MAGIC:
         raise HFileError(f"{path}: expected IDXROOT2, got {magic!r}")
+    if use_bloom and trailer.get("meta_index_count", 0):
+        try:
+            from incubator_xtable_spark.model.hudi_bloom import deserialize_bloom
+
+            metas = _read_meta_blocks(
+                data, trailer, after_root, path, verify_checksums, codec
+            )
+            blob = metas.get("bloomFilter")
+            if blob is not None:
+                code = file_info.get("bloomFilterTypeCode", b"SIMPLE").decode("utf-8")
+                if not deserialize_bloom(code, blob.decode("utf-8")).might_contain(row):
+                    return None, file_info
+        except (ValueError, KeyError, UnicodeDecodeError):
+            pass  # unreadable bloom -> no information; fall through to the seek
     pos = 0
     entries = []  # (block offset, first cell ROW)
     for _ in range(n_entries):

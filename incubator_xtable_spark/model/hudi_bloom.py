@@ -9,8 +9,12 @@ writable bytes:
 
 - Filter header (``Filter.write``): int VERSION = -1, int nbHash,
   byte hashType (1 = MURMUR), int vectorSize — all big-endian.
-- Bit vector (``BloomFilter.write``): ceil(vectorSize/8) bytes, bit i
-  at byte ``i//8`` mask ``0x80 >> (i % 8)`` (MSB-first).
+- Bit vector (``InternalBloomFilter.write``): ceil(vectorSize/8) bytes,
+  bit i at byte ``i//8`` mask ``1 << (i % 8)`` — LSB-first, the
+  ``java.util.BitSet.toByteArray()`` layout Hudi's bloom uses (NOT
+  classic Hadoop's MSB-first loop; pinned 30/30 against the bit
+  positions of the reference demo's real Hudi-written HFile bloom,
+  tests/test_hfile_meta_blocks.py).
 - Hashing (``HashFunction.hash``): nbHash CHAINED MurmurHash2-32 rounds
   — ``initval = murmur(key, seed=initval)`` starting at 0, each round's
   bit = ``Math.abs(initval % vectorSize)`` with Java int semantics
@@ -131,12 +135,12 @@ class SimpleBloomFilter:
     def add(self, key: str | bytes) -> None:
         b = key.encode("utf-8") if isinstance(key, str) else key
         for i in bloom_bit_indexes(b, self.nb_hash, self.vector_size):
-            self.bits[i >> 3] |= 0x80 >> (i & 7)
+            self.bits[i >> 3] |= 1 << (i & 7)
 
     def might_contain(self, key: str | bytes) -> bool:
         b = key.encode("utf-8") if isinstance(key, str) else key
         return all(
-            self.bits[i >> 3] & (0x80 >> (i & 7))
+            self.bits[i >> 3] & (1 << (i & 7))
             for i in bloom_bit_indexes(b, self.nb_hash, self.vector_size)
         )
 
@@ -160,3 +164,64 @@ class SimpleBloomFilter:
         if len(bits) != n_bytes:
             raise ValueError("truncated bloom filter bit vector")
         return cls(vector_size, nb_hash, bits)
+
+
+class DynamicBloomFilter:
+    """Probe-side decode of Hudi's ``DYNAMIC_V0`` bloom
+    (HoodieDynamicBoundedBloomFilter wrapping Hadoop's
+    ``DynamicBloomFilter``) — what real Hudi writes into HFile
+    ``bloomFilter`` META blocks by default (validated byte-level against
+    the reference demo's metadata-table HFile,
+    tests/test_hfile_meta_blocks.py).
+
+    Serialized layout (Hadoop ``DynamicBloomFilter.write`` after the
+    ``Filter.write`` header): outer header (int VERSION=-1, int nbHash,
+    byte hashType, int vectorSize) + int nr (records per row) + int
+    currentNbRecord + int matrix length + each matrix member as a full
+    ``BloomFilter.write`` (header + bit vector).  Membership = any
+    matrix member contains the key."""
+
+    TYPE_CODE = "DYNAMIC_V0"
+
+    def __init__(self, members: list[SimpleBloomFilter]):
+        self.members = members
+
+    def might_contain(self, key: str | bytes) -> bool:
+        return any(m.might_contain(key) for m in self.members)
+
+    @classmethod
+    def deserialize_from_string(cls, s: str) -> "DynamicBloomFilter":
+        raw = base64.b64decode(s)
+        version, _nb_hash, hash_type, _vector_size = struct.unpack_from(">iibi", raw, 0)
+        if version != _VERSION:
+            raise ValueError(f"unsupported Hadoop bloom filter version {version}")
+        if hash_type != MURMUR_HASH_TYPE:
+            raise ValueError(f"unsupported bloom hash type {hash_type} (expected MURMUR=1)")
+        _nr, _cur, n_matrix = struct.unpack_from(">iii", raw, 13)
+        if not 0 <= n_matrix <= 1_000_000:
+            raise ValueError(f"implausible DynamicBloomFilter matrix length {n_matrix}")
+        pos = 25
+        members = []
+        for _ in range(n_matrix):
+            m_ver, m_nbh, m_ht, m_vs = struct.unpack_from(">iibi", raw, pos)
+            if m_ver != _VERSION or m_ht != MURMUR_HASH_TYPE:
+                raise ValueError("malformed DynamicBloomFilter matrix member header")
+            pos += 13
+            n_bytes = (m_vs + 7) // 8
+            bits = bytearray(raw[pos : pos + n_bytes])
+            if len(bits) != n_bytes:
+                raise ValueError("truncated DynamicBloomFilter matrix bit vector")
+            pos += n_bytes
+            members.append(SimpleBloomFilter(m_vs, m_nbh, bits))
+        return cls(members)
+
+
+def deserialize_bloom(type_code: str, s: str):
+    """Dispatch on Hudi's BloomFilterTypeCode (the ``bloomFilterTypeCode``
+    HFile file-info entry): SIMPLE | DYNAMIC_V0."""
+    code = (type_code or SimpleBloomFilter.TYPE_CODE).strip().upper()
+    if code == SimpleBloomFilter.TYPE_CODE:
+        return SimpleBloomFilter.deserialize_from_string(s)
+    if code == DynamicBloomFilter.TYPE_CODE:
+        return DynamicBloomFilter.deserialize_from_string(s)
+    raise ValueError(f"unsupported Hudi bloom filter type code {type_code!r}")

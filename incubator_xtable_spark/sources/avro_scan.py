@@ -30,10 +30,14 @@ from pyspark.sql import types as T
 _BATCH_ROWS = 65536
 
 
-def _ddl(fields: list[T.StructField], path_col: Optional[str]) -> T.StructType:
+def _ddl(
+    fields: list[T.StructField], path_col: Optional[str], row_index_col: Optional[str]
+) -> T.StructType:
     out = T.StructType(list(fields))
     if path_col:
         out = out.add(path_col, T.StringType())
+    if row_index_col:
+        out = out.add(row_index_col, T.LongType())
     return out
 
 
@@ -43,12 +47,16 @@ def read_avro_rows(
     fields: list[T.StructField],
     *,
     path_col: Optional[str] = None,
+    row_index_col: Optional[str] = None,
 ) -> DataFrame:
     """Scan ``paths`` (avro OCFs) into a DataFrame of ``fields``,
     projected by name. ``path_col`` optionally appends the absolute file
     path per row (the `_scan_path` convention of the delete-aware
-    readers)."""
-    out_schema = _ddl(fields, path_col)
+    readers); ``row_index_col`` appends the 0-based ordinal of each row
+    WITHIN its file — OCF rows decode in container order, so this is the
+    per-file row index Delta deletion vectors key positions by (the avro
+    counterpart of parquet's `_metadata.row_index`)."""
+    out_schema = _ddl(fields, path_col, row_index_col)
     if not paths:
         return spark.createDataFrame([], out_schema)
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -66,11 +74,13 @@ def read_avro_rows(
 
         from incubator_xtable_spark.model.avro_codec import iter_ocf
 
-        def _flush(rows: list[dict], path: str):
+        def _flush(rows: list[dict], path: str, start_index: int):
             data = {n: [r.get(n) for r in rows] for n in names}
             pdf = pd.DataFrame(data, columns=names, dtype=object)
             if path_col:
                 pdf[path_col] = path
+            if row_index_col:
+                pdf[row_index_col] = range(start_index, start_index + len(rows))
             return pdf
 
         for pdf_in in batches:
@@ -80,10 +90,10 @@ def read_avro_rows(
                 for rec in iter_ocf(path):
                     buf.append(rec)
                     if len(buf) >= _BATCH_ROWS:
-                        yield _flush(buf, path)
+                        yield _flush(buf, path, n_out)
                         n_out += len(buf)
                         buf = []
                 if buf or n_out == 0:
-                    yield _flush(buf, path)
+                    yield _flush(buf, path, n_out)
 
     return pdf_paths.mapInPandas(_scan, out_schema)

@@ -891,15 +891,15 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         ((p, from_extension(p, default=provider_fmt)) for p in paths),
         reader="read_delta_as_df",
     )
-    # refusal matrix (README "Delta non-parquet depth"): ORC serves
-    # mode=name by PHYSICAL-NAME resolution (r9 — ORC columns ARE named
-    # the physical names; Spark's ORC reader matches by name); mode=id
-    # stays refused on ORC (id resolution keys on parquet field ids ORC
-    # files cannot carry), and AVRO stays refused under any mapping.
-    if avro_paths and cm_mode in ("name", "id"):
+    # refusal matrix (README "Delta non-parquet depth"): ORC and AVRO
+    # serve mode=name by PHYSICAL-NAME resolution (ORC columns / avro
+    # fields ARE named the physical names); mode=id stays refused on
+    # both (id resolution keys on parquet field ids those formats
+    # cannot carry).
+    if avro_paths and cm_mode == "id":
         raise NotImplementedError(
-            "read_delta_as_df: column mapping with AVRO data files is "
-            "not supported"
+            "read_delta_as_df: column mapping mode=id with AVRO data files "
+            "is not supported (id resolution needs parquet field ids)"
         )
     if orc_paths and cm_mode == "id":
         raise NotImplementedError(

@@ -101,15 +101,30 @@ def _write_base(
     record_schema: dict | None = None,
 ) -> tuple[str, int]:
     """Write one full-state base HFile; -> (rel path inside the metadata
-    table, file size). Atomic via write_hfile's tmp+replace."""
+    table, file size). Atomic via write_hfile's tmp+replace.
+
+    Every base carries real Hudi's HFile-INTERNAL bloom over its record
+    keys — a ``bloomFilter`` META block + ``bloomFilterTypeCode`` file
+    info (HoodieAvroHFileWriter's close() shape) — so point lookups
+    short-circuit definite misses without decoding any data block (the
+    engine writes SIMPLE; the read tier also decodes real Hudi's default
+    DYNAMIC_V0, model/hudi_bloom.py)."""
+    from incubator_xtable_spark.model.hudi_bloom import SimpleBloomFilter
+
     os.makedirs(d, exist_ok=True)
     records = sorted(records, key=lambda kv: kv[0])
     path = os.path.join(d, f"{file_id}_{WRITE_TOKEN}_{instant}.hfile")
     info = {"schema": json.dumps(record_schema or HUDI_METADATA_RECORD_SCHEMA).encode("utf-8")}
+    meta_blocks = None
     if records:
         info["minRecordKey"] = records[0][0]
         info["maxRecordKey"] = records[-1][0]
-    write_hfile(path, records, info)
+        bf = SimpleBloomFilter.for_entries(len(records), fpp=0.001)
+        for row, _v in records:
+            bf.add(row)
+        info["bloomFilterTypeCode"] = SimpleBloomFilter.TYPE_CODE.encode("utf-8")
+        meta_blocks = {"bloomFilter": bf.serialize_to_string().encode("utf-8")}
+    write_hfile(path, records, info, meta_blocks=meta_blocks)
     return os.path.join(os.path.basename(d), os.path.basename(path)), os.path.getsize(path)
 
 
