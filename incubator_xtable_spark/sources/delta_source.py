@@ -580,15 +580,17 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
             ((p, from_extension(p, default=provider_fmt)) for p in item_paths),
             reader="read_delta_cdf",
         )
-        # same matrix as read_delta_as_df: ORC + mode=name derives CDF
-        # via physical-name resolution (data_fields are already physical
-        # and _rename_back applies after the union); mode=id on ORC and
-        # any mapping on AVRO refuse, as do DV row diffs on either
-        # (positions key on parquet row indexes)
-        if avro_paths and cm_mode in ("name", "id"):
+        # same matrix as read_delta_as_df: ORC/AVRO serve mode=name via
+        # physical-name resolution (data_fields are already physical and
+        # _rename_back applies after the union); mode=id refuses on both
+        # (id resolution needs parquet field ids). DV row diffs ride
+        # per-file row ordinals: parquet from _metadata.row_index,
+        # ORC/AVRO from the engine's ordinal-preserving scans.
+        if avro_paths and cm_mode == "id":
             raise NotImplementedError(
-                "read_delta_cdf: column mapping with AVRO data files is "
-                "not supported"
+                "read_delta_cdf: column mapping mode=id with AVRO data "
+                "files is not supported (id resolution needs parquet "
+                "field ids)"
             )
         if orc_paths and cm_mode == "id":
             raise NotImplementedError(
@@ -596,17 +598,11 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
                 "files is not supported (id resolution needs parquet "
                 "field ids)"
             )
-        if (orc_paths or avro_paths) and positions is not None:
-            raise NotImplementedError(
-                "read_delta_cdf: deletion-vector row diffs on ORC/AVRO "
-                "data files are not supported (positions key on parquet "
-                "row indexes)"
-            )
         if cm_mode == "id":
             _require_field_ids(spark, pq_paths)
-        # _fp/_ri attach per branch: row_index is a parquet-only metadata
-        # field; the orc/avro branches carry a null _ri (only consumed by
-        # the positions join, which both refuse above)
+        # _fp/_ri attach per branch; ORC needs the pyarrow ordinal scan
+        # only when this call actually joins on positions (Spark's ORC
+        # reader exposes no _metadata.row_index)
         fp = F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
         branches = []
         if pq_paths:
@@ -616,7 +612,15 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
                 .withColumn("_fp", fp)
                 .withColumn("_ri", F.col("_metadata.row_index"))
             )
-        if orc_paths:
+        if orc_paths and positions is not None:
+            from incubator_xtable_spark.sources.orc_scan import read_orc_rows
+
+            branches.append(
+                read_orc_rows(
+                    spark, orc_paths, data_fields, path_col="_fp", row_index_col="_ri"
+                )
+            )
+        elif orc_paths:
             branches.append(
                 spark.read.schema(T.StructType(data_fields))
                 .orc(list(orc_paths))
@@ -627,8 +631,9 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
             from incubator_xtable_spark.sources.avro_scan import read_avro_rows
 
             branches.append(
-                read_avro_rows(spark, avro_paths, data_fields, path_col="_fp")
-                .withColumn("_ri", F.lit(None).cast("long"))
+                read_avro_rows(
+                    spark, avro_paths, data_fields, path_col="_fp", row_index_col="_ri"
+                )
             )
         df = branches[0]
         for b in branches[1:]:
@@ -651,18 +656,52 @@ def read_delta_cdf(spark: SparkSession, base_path: str, version: int) -> DataFra
     parts: list[DataFrame] = []
     cdc = [a["cdc"] for a in actions if a.get("cdc")]
     if cdc:
+        from incubator_xtable_spark.model.file_formats import (
+            from_delta_provider,
+            from_extension,
+            split_readable,
+        )
+
         cdc_fields = data_fields + [T.StructField("_change_type", T.StringType())]
         cdc_paths = [os.path.join(base, c["path"]) for c in cdc]
+        provider_fmt = from_delta_provider(
+            meta["format"]["provider"] if meta["format"] is not None else None
+        )
+        cdc_pq, cdc_orc, cdc_avro = split_readable(
+            ((p, from_extension(p, default=provider_fmt)) for p in cdc_paths),
+            reader="read_delta_cdf(change files)",
+        )
+        if (cdc_orc or cdc_avro) and cm_mode == "id":
+            raise NotImplementedError(
+                "read_delta_cdf: column mapping mode=id with ORC/AVRO "
+                "change files is not supported (id resolution needs "
+                "parquet field ids)"
+            )
         if cm_mode == "id":
-            _require_field_ids(spark, cdc_paths)
-        df = spark.read.schema(T.StructType(cdc_fields)).parquet(*cdc_paths)
+            _require_field_ids(spark, cdc_pq)
+        fp = F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        cdc_branches = []
+        if cdc_pq:
+            cdc_branches.append(
+                spark.read.schema(T.StructType(cdc_fields)).parquet(*cdc_pq).withColumn("_fp", fp)
+            )
+        if cdc_orc:
+            cdc_branches.append(
+                spark.read.schema(T.StructType(cdc_fields)).orc(list(cdc_orc)).withColumn("_fp", fp)
+            )
+        if cdc_avro:
+            from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+            cdc_branches.append(
+                read_avro_rows(spark, cdc_avro, cdc_fields, path_col="_fp")
+            )
+        df = cdc_branches[0]
+        for b in cdc_branches[1:]:
+            df = df.unionByName(b)
         df = _rename_back(df, cm_renames)
         for f, rf in zip(logical_fields, data_fields):
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        df = df.withColumn(
-            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
-        )
         df = _with_parts(df, [(c["path"], c.get("partitionValues"), None) for c in cdc])
         return df.withColumn("_commit_version", F.lit(version).cast("long")).select(*out_names)
 
@@ -925,13 +964,8 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
-    if orc_paths or avro_paths:
-        non_pq = set(orc_paths) | set(avro_paths)
-        if any(os.path.join(base, r["path"]) in non_pq for r in dv_rows):
-            raise NotImplementedError(
-                "read_delta_as_df: deletion vectors on ORC/AVRO data files "
-                "are not supported (DVs key on parquet row indexes)"
-            )
+    dv_abs = {os.path.join(base, r["path"]) for r in dv_rows}
+    positions = None
     if dv_rows:
         from incubator_xtable_spark.sources.delta_dv import (
             DV_DESCRIPTOR_SPARK_TYPE,
@@ -951,6 +985,9 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             ),
         )
         positions = dv_positions_df(spark, base, dv_files)
+    if df is not None and positions is not None:
+        # the anti-join keys on (file, row) so positions of non-parquet
+        # files simply never match this branch
         df = (
             df.withColumn(
                 "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
@@ -963,18 +1000,20 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
             )
             .drop("_fp", "_ri")
         )
-    if orc_paths:
-        # DV logic is parquet-branch-only (refused for orc above); the orc
-        # scan unions in afterwards — partition attachment below keys on
-        # input_file_name(), which is source-format-agnostic. mode=name
-        # reads the physical struct and renames/casts back (same flow as
-        # the parquet branch, minus field ids).
+    # ORC files WITHOUT deletion vectors stay on Spark's vectorized
+    # native reader; DV'd ORC files re-route through the
+    # ordinal-preserving pyarrow scan (sources/orc_scan.py — Spark's ORC
+    # reader exposes no _metadata.row_index). AVRO always rides the OCF
+    # scan, which emits ordinals when any avro file carries a DV.
+    orc_plain = [p for p in orc_paths if p not in dv_abs]
+    orc_dv = [p for p in orc_paths if p in dv_abs]
+    if orc_plain:
         orc_struct = (
             _physical_type(T.StructType(data_fields), with_field_ids=False)
             if cm_mode == "name"
             else T.StructType(data_fields)
         )
-        orc_df = spark.read.schema(orc_struct).orc(list(orc_paths))
+        orc_df = spark.read.schema(orc_struct).orc(list(orc_plain))
         if cm_mode == "name":
             orc_df = _rename_back(
                 orc_df,
@@ -988,28 +1027,72 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
                 if rf.dataType != f.dataType:
                     orc_df = orc_df.withColumn(f.name, F.col(f.name).cast(f.dataType))
         df = orc_df if df is None else df.unionByName(orc_df)
-    if avro_paths:
-        # AVRO rows come from the distributed OCF scan (no file-scan
-        # relation, so input_file_name() is empty there) — the branch
-        # attaches its own partition values keyed on the scan's path
-        # column, then unions fully-formed
-        from incubator_xtable_spark.sources.avro_scan import read_avro_rows
 
-        avro_df = read_avro_rows(spark, avro_paths, data_fields, path_col="abs_path")
+    def _positional_branch(reader_fn, branch_paths: list[str]) -> DataFrame:
+        """Read ``branch_paths`` through an ordinal-capable scan (no
+        file-scan relation, so input_file_name() is empty there): project
+        the physical struct by NAME, drop DV'd positions, rename/cast
+        back, attach partition values keyed on the scan's own path
+        column, and return fully-formed logical rows."""
+        struct = (
+            _physical_type(T.StructType(data_fields), with_field_ids=False)
+            if cm_mode == "name"
+            else T.StructType(data_fields)
+        )
+        needs_ri = positions is not None and any(p in dv_abs for p in branch_paths)
+        bdf = reader_fn(
+            spark,
+            branch_paths,
+            list(struct.fields),
+            path_col="abs_path",
+            row_index_col="_ri" if needs_ri else None,
+        )
+        if needs_ri:
+            bdf = bdf.join(
+                positions,
+                (F.col("abs_path") == positions.file_path)
+                & (F.col("_ri") == positions.pos),
+                "left_anti",
+            ).drop("_ri")
+        if cm_mode == "name":
+            bdf = _rename_back(
+                bdf,
+                {
+                    rf.name: f.name
+                    for f, rf in zip(data_fields, struct.fields)
+                    if rf.name != f.name
+                },
+            )
+            for f, rf in zip(data_fields, struct.fields):
+                if rf.dataType != f.dataType:
+                    bdf = bdf.withColumn(f.name, F.col(f.name).cast(f.dataType))
         if part_cols:
             apv = spark.createDataFrame(
                 [(os.path.join(base, r["path"]), dict(r["partitionValues"] or {})) for r in live],
                 "abs_path STRING, pv MAP<STRING,STRING>",
             )
-            avro_df = avro_df.join(F.broadcast(apv), "abs_path", "left")
+            bdf = bdf.join(F.broadcast(apv), "abs_path", "left")
             for c in part_cols:
-                avro_df = avro_df.withColumn(
+                bdf = bdf.withColumn(
                     c, F.col("pv").getItem(_physical_name(schema, c)).cast(schema[c].dataType)
                 )
-            avro_df = avro_df.drop("pv")
-        avro_df = avro_df.select(*[f.name for f in schema.fields])
-    else:
-        avro_df = None
+            bdf = bdf.drop("pv")
+        return bdf.select(*[f.name for f in schema.fields])
+
+    pos_branches = []
+    if orc_dv:
+        from incubator_xtable_spark.sources.orc_scan import read_orc_rows
+
+        pos_branches.append(_positional_branch(read_orc_rows, orc_dv))
+    if avro_paths:
+        from incubator_xtable_spark.sources.avro_scan import read_avro_rows
+
+        pos_branches.append(_positional_branch(read_avro_rows, avro_paths))
+    avro_df = None
+    if pos_branches:
+        avro_df = pos_branches[0]
+        for b in pos_branches[1:]:
+            avro_df = avro_df.unionByName(b)
     if df is None:
         return avro_df if avro_df is not None else spark.createDataFrame([], schema)
     if part_cols:
