@@ -413,21 +413,68 @@ def files_partition_mutation_records(
     return out
 
 
+def _unwrap_stat(wrapper):
+    """Comparable inner value of a min/max wrapper in either shape —
+    decoded dict ({"value": v}) or writer-side Branch("IntWrapper",
+    {"value": v}); None passes through."""
+    if wrapper is None:
+        return None
+    from incubator_xtable_spark.model.avro_codec import Branch
+
+    v = wrapper.value if isinstance(wrapper, Branch) else wrapper
+    return v.get("value") if isinstance(v, dict) else v
+
+
+def _combine_col_stats(prev: dict, new: dict) -> dict:
+    """Real HoodieMetadataPayload.mergeColumnStatsRecords over two LIVE
+    col-stats records for the same key: min of non-null mins, max of
+    non-null maxes, null-aware sums of the count/size fields. The picked
+    min/max wrappers carry over untouched (no branch re-inference)."""
+    pcs = prev.get("ColumnStatsMetadata") or {}
+    ncs = new.get("ColumnStatsMetadata") or {}
+
+    def _pick(field, want_min: bool):
+        pw, nw = pcs.get(field), ncs.get(field)
+        pv, nv = _unwrap_stat(pw), _unwrap_stat(nw)
+        if pv is None:
+            return nw
+        if nv is None:
+            return pw
+        if (pv <= nv) == want_min:
+            return pw
+        return nw
+
+    def _sum(field):
+        pv, nv = pcs.get(field), ncs.get(field)
+        if pv is None and nv is None:
+            return None
+        return int(pv or 0) + int(nv or 0)
+
+    merged_cs = dict(ncs)
+    merged_cs["minValue"] = _pick("minValue", want_min=True)
+    merged_cs["maxValue"] = _pick("maxValue", want_min=False)
+    for f in ("valueCount", "nullCount", "totalSize", "totalUncompressedSize"):
+        merged_cs[f] = _sum(f)
+    merged = dict(new)
+    merged["ColumnStatsMetadata"] = merged_cs
+    return merged
+
+
 def merge_metadata_records(
     ordered: list[tuple[str, dict]],
 ) -> dict[str, dict]:
     """HoodieMetadataPayload merge over an ordered (oldest-first) record
     stream: -> {record key: merged record}.
 
-    - type 3 (COLUMN_STATS): newest record replaces; isDeleted tombstones
-      drop the key.  Interop boundary (ADVICE r8): real
-      HoodieMetadataPayload COMBINES two live stats records for the same
-      key (min of mins, max of maxes, summed value/null counts) — this
-      engine replaces latest-wins instead.  Every writer in this repo
-      emits complete per-(column,file) records (file stats are immutable
-      once written), so the two merges agree on engine-written logs; a
-      real-Hudi log carrying PARTIAL col-stats deltas for an existing key
-      would merge differently here.
+    - type 3 (COLUMN_STATS): two LIVE records for the same key COMBINE
+      the way real HoodieMetadataPayload.mergeColumnStatsRecords does —
+      min of non-null mins, max of non-null maxes, null-aware summed
+      value/null counts and sizes (r9; previously latest-wins, which
+      agreed on engine-written logs — complete per-(column,file)
+      records — but diverged on real-Hudi logs carrying PARTIAL
+      col-stats deltas).  isDeleted records drop the key.  The winning
+      min/max keep their ORIGINAL wrapper objects, so no union branch is
+      ever re-inferred.
     - type 1/2 (file lists): filesystemMetadata maps COMBINE per entry —
       a log record carries only the commit's mutations, so newer entries
       override per file name and isDeleted entries prune that file (the
@@ -445,6 +492,11 @@ def merge_metadata_records(
             cs = rec.get("ColumnStatsMetadata") or {}
             if cs.get("isDeleted"):
                 out.pop(key, None)
+                continue
+            prev = out.get(key)
+            pcs = (prev or {}).get("ColumnStatsMetadata") or {}
+            if prev is not None and prev.get("type") == 3 and not pcs.get("isDeleted"):
+                out[key] = _combine_col_stats(prev, rec)
             else:
                 out[key] = rec
             continue

@@ -241,7 +241,14 @@ def _compacted_records(
     so the winning record's wrapper bytes carry over untouched.  File-list
     records (types 1/2) go through the decoded map-combine
     (merge_metadata_records) and re-encode: their schema has no ambiguous
-    unions, so the roundtrip is lossless."""
+    unions, so the roundtrip is lossless.
+
+    Boundary: raw latest-wins equals the read tier's real-Hudi stat
+    COMBINE (model/hudi_metadata_records._combine_col_stats) because the
+    engine only compacts slices it wrote itself, and those never carry
+    two live records for one key (files are immutable; replacements
+    tombstone first).  Real-Hudi metadata tables are read-only sources —
+    they merge through the read tier, never through this compactor."""
     from incubator_xtable_spark.model.avro_codec import encode_binary_record
 
     raw_state: dict[str, bytes] = {}

@@ -87,13 +87,26 @@ def test_log_block_corrects_stale_base_stats(spark, hudi_table, block_kind):  # 
     _drop_lite_index(hudi_table)
 
     d = os.path.join(hudi_table, HFILE_COL_STATS_SUBDIR)
-    # only the victim's corrected records ride the log (a commit's delta)
+    # only the victim's corrected records ride the log (a commit's delta).
+    # r9: live+live records for one key COMBINE (real HoodieMetadataPayload
+    # stat-merging), so a correction takes real Hudi's shape — tombstone
+    # the stale key first, then write the fresh record in the next log
     corrections = [
         rec
         for rec in good
         if rec[0].decode("utf-8").endswith(f";;{victim}")
     ]
-    write_metadata_log_file(d, corrections, block_kind=block_kind)
+    write_metadata_log_file(
+        d,
+        [],
+        delete_keys=[k.decode("utf-8") for k, _ in corrections],
+        version=1,
+        instant="00000000000000020",
+        block_kind="delete",
+    )
+    write_metadata_log_file(
+        d, corrections, version=2, instant="00000000000000030", block_kind=block_kind
+    )
 
     assert hfile_col_stats_available(hudi_table)
     served = stats_with_hfile_tier(spark, hudi_table, listing, schema)
@@ -178,3 +191,42 @@ def test_files_partition_log_merges_mutations(spark, tmp_path):
         for r in hfile_files_listing(spark, d).collect()
     }
     assert listed == {("", "b.parquet", 20), ("", "c.parquet", 30)}
+
+
+def test_partial_col_stats_records_combine_like_real_hudi():
+    """Real HoodieMetadataPayload.mergeColumnStatsRecords semantics on
+    PARTIAL col-stats deltas for an existing key (r9; ADVICE r8 flagged
+    the old latest-wins divergence): min of non-null mins, max of
+    non-null maxes, null-aware summed counts/sizes."""
+    import io
+
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.avro_codec import decode_value
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        col_stats_record as _csr,
+        merge_metadata_records,
+    )
+
+    def _decoded(minv, maxv, vc, nc):
+        key, blob = _csr("f1.parquet", "c", minv, maxv, T.LongType(), vc, nc)
+        return key.decode(), decode_value(HUDI_METADATA_RECORD_SCHEMA, io.BytesIO(blob))
+
+    k1, r1 = _decoded(3, 5, 10, 2)
+    _, r2 = _decoded(1, 4, 7, 1)
+    merged = merge_metadata_records([(k1, r1), (k1, r2)])[k1]
+    cs = merged["ColumnStatsMetadata"]
+    assert cs["minValue"] == {"value": 1}
+    assert cs["maxValue"] == {"value": 5}
+    assert cs["valueCount"] == 17
+    assert cs["nullCount"] == 3
+    # null min/max on one side: the non-null side wins
+    _, r3 = _decoded(None, None, 4, 4)
+    cs2 = merge_metadata_records([(k1, r1), (k1, r3)])[k1]["ColumnStatsMetadata"]
+    assert cs2["minValue"] == {"value": 3} and cs2["maxValue"] == {"value": 5}
+    assert cs2["valueCount"] == 14 and cs2["nullCount"] == 6
+    # a delete between two lives resets the combine (re-added key starts fresh)
+    key_del, blob_del = _csr("f1.parquet", "c", None, None, T.LongType(), 0, 0, is_deleted=True)
+    rd = decode_value(HUDI_METADATA_RECORD_SCHEMA, io.BytesIO(blob_del))
+    cs3 = merge_metadata_records([(k1, r1), (k1, rd), (k1, r2)])[k1]["ColumnStatsMetadata"]
+    assert cs3["valueCount"] == 7 and cs3["minValue"] == {"value": 1}
