@@ -49,6 +49,11 @@ class _Resolver:
 
     def __init__(self) -> None:
         self.named: dict[str, Any] = {}
+        # when True, union values decode as Branch(name, value) for
+        # named-type branches — lets callers RE-ENCODE losslessly
+        # (ambiguous wrapper unions can't re-infer the branch from the
+        # Python value alone)
+        self.keep_branches = False
 
     def define(self, schema: dict) -> None:
         name = schema.get("name")
@@ -147,7 +152,17 @@ def decode_value(schema: Any, buf: BinaryIO, res: Optional[_Resolver] = None) ->
         idx = _read_long(buf)
         if idx < 0 or idx >= len(schema):
             raise ValueError(f"avro union index {idx} out of range")
-        return decode_value(schema[idx], buf, res)
+        val = decode_value(schema[idx], buf, res)
+        if res.keep_branches:
+            branch = schema[idx]
+            name = (
+                branch
+                if isinstance(branch, str) and branch in res.named
+                else branch.get("name") if isinstance(branch, dict) else None
+            )
+            if name:
+                return Branch(name, val)
+        return val
     if isinstance(schema, dict):
         t = schema.get("type")
         if t == "record":
@@ -464,6 +479,20 @@ def encode_binary_record(schema_json: str | dict, record: dict) -> bytes:
     out = bytearray()
     encode_value(schema, record, out)
     return bytes(out)
+
+
+def decode_binary_record_with_branches(schema_json: str | dict, blob: bytes) -> Any:
+    """decode_value over raw record bytes with union branches PRESERVED
+    as ``Branch(name, value)`` — the lossless decode for callers that
+    must re-encode (plain decode drops branch names, and ambiguous
+    wrapper unions can't re-infer them from the Python value)."""
+    import io as _io
+
+    schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    res = _Resolver()
+    res.define_all(schema)
+    res.keep_branches = True
+    return decode_value(schema, _io.BytesIO(blob), res)
 
 
 def write_ocf(

@@ -176,6 +176,15 @@ def map_record_key_to_file_group_index(record_key: str, num_file_groups: int) ->
     return _java_abs32(r)
 
 
+def partition_stats_index_key(partition_path: str, column: str) -> str:
+    """HoodieMetadataPayload.getPartitionStatsIndexKey (columnID +
+    partitionID) — the col_stats key scheme minus the file member, so a
+    column's partition aggregates sort contiguously for range scans."""
+    return column_index_id(column) + partition_index_id(
+        partition_identifier(partition_path)
+    )
+
+
 def bloom_filter_index_key(partition_path: str, file_name: str) -> str:
     """HoodieMetadataPayload.getBloomFilterIndexKey (partitionID+fileID) —
     the key shape of the bloom_filters partition, kept here for when that

@@ -215,6 +215,50 @@ def col_stats_record(
     return key.encode("utf-8"), blob
 
 
+def partition_stats_record(
+    partition_path: str,
+    column_name: str,
+    min_value,
+    max_value,
+    dtype: T.DataType,
+    value_count: int,
+    null_count: int,
+    is_deleted: bool = False,
+) -> tuple[bytes, bytes]:
+    """-> (cell row key, avro value bytes) for one PARTITION-level stats
+    record (the ``partition_stats`` metadata partition, Hudi 1.0's
+    partition-pruning index, beyond the reference): a type-3
+    HoodieMetadataColumnStats keyed by getPartitionStatsIndexKey
+    (columnID+partitionID, model/hudi_hash.py) whose fileName carries the
+    partition identifier — records for one key accumulate across commits
+    through the real stat COMBINE (each commit appends only its delta
+    aggregate)."""
+    from incubator_xtable_spark.model.hudi_hash import (
+        partition_identifier,
+        partition_stats_index_key,
+    )
+
+    key = partition_stats_index_key(partition_path, column_name)
+    rec = {
+        "key": key,
+        "type": 3,  # partition stats reuse the COLUMN_STATS record type
+        "filesystemMetadata": None,
+        "ColumnStatsMetadata": {
+            "fileName": partition_identifier(partition_path),
+            "columnName": column_name,
+            "minValue": wrap_value(min_value, dtype),
+            "maxValue": wrap_value(max_value, dtype),
+            "valueCount": value_count,
+            "nullCount": null_count,
+            "totalSize": None,
+            "totalUncompressedSize": None,
+            "isDeleted": is_deleted,
+        },
+    }
+    blob = encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec)
+    return key.encode("utf-8"), blob
+
+
 def files_partition_records(
     state: dict[str, dict[str, int]],
 ) -> list[tuple[bytes, bytes]]:
@@ -429,9 +473,20 @@ def _combine_col_stats(prev: dict, new: dict) -> dict:
     """Real HoodieMetadataPayload.mergeColumnStatsRecords over two LIVE
     col-stats records for the same key: min of non-null mins, max of
     non-null maxes, null-aware sums of the count/size fields. The picked
-    min/max wrappers carry over untouched (no branch re-inference)."""
-    pcs = prev.get("ColumnStatsMetadata") or {}
-    ncs = new.get("ColumnStatsMetadata") or {}
+    min/max wrappers carry over untouched (no branch re-inference).
+    Accepts records in plain-decoded shape AND branch-preserving shape
+    (ColumnStatsMetadata as Branch — the lossless decode compaction
+    uses); the output keeps the newer record's shape."""
+    from incubator_xtable_spark.model.avro_codec import Branch
+
+    def _cs_of(rec):
+        v = rec.get("ColumnStatsMetadata")
+        if isinstance(v, Branch):
+            return v.value or {}, v.name
+        return v or {}, None
+
+    pcs, _pname = _cs_of(prev)
+    ncs, nname = _cs_of(new)
 
     def _pick(field, want_min: bool):
         pw, nw = pcs.get(field), ncs.get(field)
@@ -456,8 +511,29 @@ def _combine_col_stats(prev: dict, new: dict) -> dict:
     for f in ("valueCount", "nullCount", "totalSize", "totalUncompressedSize"):
         merged_cs[f] = _sum(f)
     merged = dict(new)
-    merged["ColumnStatsMetadata"] = merged_cs
+    merged["ColumnStatsMetadata"] = (
+        Branch(nname, merged_cs) if nname else merged_cs
+    )
     return merged
+
+
+def combine_col_stats_raw(blobs: list[bytes], schema: dict | None = None) -> bytes:
+    """Fold an ordered (oldest-first) list of RAW type-3 record payloads
+    for ONE key into one combined payload — the compaction shape for
+    partitions whose records accumulate by COMBINE (partition_stats:
+    every commit appends a delta aggregate for the same key). Decodes
+    branch-preservingly so the re-encode is lossless."""
+    from incubator_xtable_spark.model.avro_codec import (
+        decode_binary_record_with_branches,
+        encode_binary_record,
+    )
+
+    schema = schema or HUDI_METADATA_RECORD_SCHEMA
+    recs = [decode_binary_record_with_branches(schema, b) for b in blobs]
+    merged = recs[0]
+    for nxt in recs[1:]:
+        merged = _combine_col_stats(merged, nxt)
+    return encode_binary_record(schema, merged)
 
 
 def merge_metadata_records(

@@ -734,6 +734,66 @@ def lookup_bloom_filter(base_path: str, partition_path: str, file_name: str):
     return None
 
 
+PARTITION_STATS_PARTITION = "partition_stats"
+HFILE_PARTITION_STATS_SUBDIR = os.path.join(".hoodie", "metadata", "partition_stats")
+
+
+def partition_stats_available(base_path: str) -> bool:
+    """isMetadataPartitionAvailable(PARTITION_STATS) analog."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if PARTITION_STATS_PARTITION not in parts:
+        return False
+    d = os.path.join(base_path, HFILE_PARTITION_STATS_SUBDIR)
+    slices, logs_ok = _hfile_partition_state(d)
+    return logs_ok and bool(slices)
+
+
+def lookup_partition_stats(
+    base_path: str, partition_path: str, column: str
+) -> dict | None:
+    """POINT lookup of one partition's aggregate stats for one column —
+    the partition-pruning read shape of Hudi 1.0's partition_stats index:
+    compute the hashed getPartitionStatsIndexKey, HFile-seek the base,
+    replay logs for the key. Records for the key COMBINE (each commit
+    appended only its delta aggregate). -> the merged
+    ColumnStatsMetadata dict (minValue/maxValue wrappers,
+    valueCount/nullCount), or None when absent. Bounds are CONSERVATIVE
+    after deletes (supersets — always safe to prune on)."""
+    from incubator_xtable_spark.model.hudi_hash import partition_stats_index_key
+
+    key = partition_stats_index_key(partition_path, column)
+    d = os.path.join(base_path, HFILE_PARTITION_STATS_SUBDIR)
+    slices, _ = _hfile_partition_state(d, probe=False)
+    for base, logs in slices:
+        rec = _safe_point_lookup(base, logs, key)
+        if rec is not None:
+            return rec.get("ColumnStatsMetadata")
+    return None
+
+
+def read_partition_stats(base_path: str) -> dict[str, dict[str, dict]]:
+    """Full partition_stats state, merged (combine semantics):
+    -> {partition identifier: {column: ColumnStatsMetadata dict}}.
+    Driver-side — the index is metadata-sized (partitions x columns)."""
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        merged_metadata_slice_records,
+    )
+
+    d = os.path.join(base_path, HFILE_PARTITION_STATS_SUBDIR)
+    slices, _ = _hfile_partition_state(d, probe=False)
+    out: dict[str, dict[str, dict]] = {}
+    for base, logs in slices:
+        for _key, rec in merged_metadata_slice_records(base, logs):
+            cs = rec.get("ColumnStatsMetadata") or {}
+            if cs.get("isDeleted"):
+                continue
+            out.setdefault(cs.get("fileName") or "", {})[cs.get("columnName")] = cs
+    return out
+
+
 def relativize_expr(base_path: str, col: str = "physical_path"):
     """Strip an optional file: scheme plus the literal base-path prefix
     (substring arithmetic, no regex — metachar-safe)."""

@@ -232,7 +232,7 @@ def _iter_raw_slice(hfile_path: str, log_paths: list[str]):
 
 
 def _compacted_records(
-    hfile_path: str, log_paths: list[str]
+    hfile_path: str, log_paths: list[str], combine_type3: bool = False
 ) -> list[tuple[bytes, bytes]]:
     """Full-state records of a slice for the compaction write.
 
@@ -248,10 +248,17 @@ def _compacted_records(
     engine only compacts slices it wrote itself, and those never carry
     two live records for one key (files are immutable; replacements
     tombstone first).  Real-Hudi metadata tables are read-only sources —
-    they merge through the read tier, never through this compactor."""
+    they merge through the read tier, never through this compactor.
+    EXCEPTION: ``combine_type3=True`` (the partition_stats file group,
+    whose records accumulate per key by design) folds same-key type-3
+    records through the real stat combine via a branch-preserving
+    decode/re-encode (combine_col_stats_raw)."""
     from incubator_xtable_spark.model.avro_codec import encode_binary_record
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        combine_col_stats_raw,
+    )
 
-    raw_state: dict[str, bytes] = {}
+    raw_state: dict[str, list[bytes]] = {}
     fs_ordered: list[tuple[str, dict]] = []
     for key, raw, rec in _iter_raw_slice(hfile_path, log_paths):
         if rec.get("_tombstone"):
@@ -266,9 +273,14 @@ def _compacted_records(
         bf = rec.get("BloomFilterMetadata") or {}
         if (rtype == 3 and cs.get("isDeleted")) or (rtype == 4 and bf.get("isDeleted")):
             raw_state.pop(key, None)
+        elif combine_type3 and rtype == 3:
+            raw_state.setdefault(key, []).append(raw)
         else:
-            raw_state[key] = raw
-    out = [(k.encode("utf-8"), v) for k, v in raw_state.items()]
+            raw_state[key] = [raw]
+    out = [
+        (k.encode("utf-8"), vs[0] if len(vs) == 1 else combine_col_stats_raw(vs))
+        for k, vs in raw_state.items()
+    ]
     for key, rec in merge_metadata_records(fs_ordered).items():
         out.append(
             (key.encode("utf-8"), encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec))
@@ -284,6 +296,7 @@ def _commit_partition(
     compact_every: int,
     delete_keys: list[str] | None = None,
     record_schema: dict | None = None,
+    combine_type3: bool = False,
 ) -> tuple[str, int, int]:
     """One metadata file group's write for one commit: first commit -> base
     HFile; later commits -> one delta log file (+DELETE_BLOCK tombstones);
@@ -298,7 +311,7 @@ def _commit_partition(
     rel, size = _append_log(d, base, instant, delta_records, delete_keys, record_schema)
     logs_after = logs + [os.path.join(d, os.path.basename(rel.split(os.sep)[-1]))]
     if len(logs_after) >= compact_every:
-        merged = _compacted_records(base, logs_after)
+        merged = _compacted_records(base, logs_after, combine_type3=combine_type3)
         rel, size = _write_base(d, file_id, instant, merged, record_schema)
         return rel, size, len(merged)
     return rel, size, len(delta_records)
@@ -593,6 +606,78 @@ def write_bloom_filters_commit(
         record_schema=BLOOM_FILTER_RECORD_SCHEMA,
     )
     return [(BLOOM_FILTERS_PARTITION, BLOOM_FILTERS_FILE_ID, rel, size, n)]
+
+
+PARTITION_STATS_PARTITION = "partition_stats"
+PARTITION_STATS_FILE_ID = "partition-stats-0000-0"
+
+
+def write_partition_stats_commit(
+    base_path: str,
+    instant: str,
+    adds: list[dict],
+    removed_rel_paths: list[str],
+    schema: T.StructType,
+    *,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> list[tuple[str, str, str, int, int]]:
+    """Maintain the ``partition_stats`` metadata partition (Hudi 1.0's
+    partition-pruning index, beyond the reference) for one commit: ONE
+    type-3 record per (touched partition, column) carrying only THIS
+    commit's aggregate over its added files — real Hudi's shape, where
+    the HoodieMetadataPayload stat COMBINE accumulates records for the
+    same key across commits (min of mins, max of maxes, summed counts).
+    Compaction folds same-key records with the same combine
+    (combine_type3=True).
+
+    Deletes (``removed_rel_paths``): bounds and counts stay as written —
+    they become CONSERVATIVE upper bounds (real Hudi's pre-compaction
+    isTightBound=false posture). Pruning on a superset range is always
+    safe; counts may over-state after deletes until a full resync.
+
+    Scale: driver-side pure python over the commit's OWN adds (metadata
+    delta, never table state); per-commit cost O(touched partitions x
+    columns)."""
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        partition_stats_record,
+    )
+
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    # (partition, column) -> [min, max, value_count, null_count]
+    agg: dict[tuple[str, str], list] = {}
+    for a in adds:
+        part = os.path.dirname(a["rel_path"])
+        n = int(a.get("record_count") or 0)
+        for col, st in (a.get("column_stats") or {}).items():
+            dtype = dtypes.get(col)
+            if dtype is None:
+                continue
+            mn = decode_stat(st["min_json"], dtype)
+            mx = decode_stat(st["max_json"], dtype)
+            cur = agg.setdefault((part, col), [None, None, 0, 0])
+            if mn is not None and (cur[0] is None or mn < cur[0]):
+                cur[0] = mn
+            if mx is not None and (cur[1] is None or mx > cur[1]):
+                cur[1] = mx
+            cur[2] += n
+            # st may be a pyspark Row (no .get) — subscript only
+            cur[3] += int(st["null_count"] or 0)
+    records = [
+        partition_stats_record(part, col, mn, mx, dtypes[col], vc, nc)
+        for (part, col), (mn, mx, vc, nc) in sorted(agg.items())
+    ]
+    if not records:
+        return []
+    d = _partition_dir(base_path, PARTITION_STATS_PARTITION)
+    rel, size, n = _commit_partition(
+        d,
+        PARTITION_STATS_FILE_ID,
+        instant,
+        records,
+        compact_every,
+        combine_type3=True,
+    )
+    return [(PARTITION_STATS_PARTITION, PARTITION_STATS_FILE_ID, rel, size, n)]
 
 
 def _instant_ms(instant: str) -> int:

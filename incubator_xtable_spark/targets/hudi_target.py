@@ -117,6 +117,7 @@ class HudiConversionTarget:
         record_index_field: Optional[str] = None,
         record_index_shards: int = 4,
         bloom_filters: bool = False,
+        partition_stats: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -164,6 +165,18 @@ class HudiConversionTarget:
                 "bloom_filters requires record_index_field as the key source"
             )
         self.bloom_filters = bloom_filters
+        # opt-in partition_stats metadata partition (Hudi 1.0's
+        # partition-pruning index, beyond the reference): per-commit
+        # delta aggregates per (partition, column) that accumulate via
+        # the HoodieMetadataPayload stat combine — metadata-scale, built
+        # from the commit's own column stats, no data bytes read
+        if partition_stats and (metadata_index_format != "hfile" or not metadata_indexes):
+            raise ValueError(
+                "partition_stats requires metadata_indexes=True and "
+                "metadata_index_format='hfile' (it is a real-Hudi "
+                "metadata partition)"
+            )
+        self.partition_stats = partition_stats
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -225,6 +238,12 @@ class HudiConversionTarget:
                 wanted.append(RECORD_INDEX_PARTITION)
                 if self.bloom_filters:
                     wanted.append(BLOOM_FILTERS_PARTITION)
+            if self.partition_stats:
+                from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    PARTITION_STATS_PARTITION,
+                )
+
+                wanted.append(PARTITION_STATS_PARTITION)
             missing = [p for p in wanted if p not in parts]
             if missing and self.metadata_indexes:
                 with open(props_path, "a", encoding="utf-8") as fh:
@@ -260,6 +279,12 @@ class HudiConversionTarget:
                 props[METADATA_PARTITIONS_KEY] += f",{RECORD_INDEX_PARTITION}"
                 if self.bloom_filters:
                     props[METADATA_PARTITIONS_KEY] += f",{BLOOM_FILTERS_PARTITION}"
+            if self.partition_stats:
+                from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    PARTITION_STATS_PARTITION,
+                )
+
+                props[METADATA_PARTITIONS_KEY] += f",{PARTITION_STATS_PARTITION}"
         if self.change_feed:
             props["hoodie.table.cdc.enabled"] = "true"
             props["hoodie.table.cdc.supplemental.logging.mode"] = "data_before_after"
@@ -448,6 +473,19 @@ class HudiConversionTarget:
                         self.record_index_field,
                         compact_every=self.metadata_index_compact_every,
                     )
+            if self.partition_stats:
+                from incubator_xtable_spark.targets.hudi_metadata_index import (
+                    write_partition_stats_commit,
+                )
+
+                extra_stats = extra_stats + write_partition_stats_commit(
+                    self.base_path,
+                    instant,
+                    hfile_adds,
+                    hfile_removed,
+                    self._schema,
+                    compact_every=self.metadata_index_compact_every,
+                )
             write_hfile_index_commit(
                 self.base_path,
                 instant,
