@@ -815,6 +815,25 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
             _check_puffin_file(p, st.get("blob-metadata") or [], report)
         except Exception as exc:  # noqa: BLE001
             report.add("ICE_STATS_PUFFIN", p, str(exc))
+    # partition-statistics: same liveness/existence/size rules, parquet
+    # payload (table spec "Partition Statistics")
+    for st in meta.get("partition-statistics") or []:
+        where = f"{latest} partition-statistics[{st.get('snapshot-id')}]"
+        if st.get("snapshot-id") not in snapshots:
+            report.add(
+                "ICE_PART_STATS_SNAPSHOT", where, "partition-statistics entry for missing snapshot"
+            )
+        p = _abs_path(st.get("statistics-path") or "", base_path)
+        if not p or not os.path.exists(p):
+            report.add("ICE_PART_STATS_FILE_MISSING", where, str(st.get("statistics-path")))
+            continue
+        report.checked_files += 1
+        if st.get("file-size-in-bytes") != os.path.getsize(p):
+            report.add(
+                "ICE_PART_STATS_FILE_SIZE",
+                p,
+                f"file-size-in-bytes {st.get('file-size-in-bytes')} != actual {os.path.getsize(p)}",
+            )
     last_seq = meta.get("last-sequence-number", 0)
     for s in snapshots.values():
         if s.get("sequence-number", 0) > last_seq:

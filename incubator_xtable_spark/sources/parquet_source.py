@@ -89,9 +89,21 @@ class ParquetConversionSource:
 
     def get_current_table(self) -> InternalTable:
         # mergeSchema: schema evolution = union of all footers (newer files
-        # may carry added columns; older files back-fill with NULLs)
-        schema = self.spark.read.option("mergeSchema", "true").parquet(self.base_path).schema
+        # may carry added columns; older files back-fill with NULLs).
+        # Schema-read the LISTED data files with basePath, not the whole
+        # directory: colocated target metadata trees (iceberg `metadata/`)
+        # would otherwise poison Spark's hive-partition discovery on
+        # partitioned layouts (CONFLICTING_DIRECTORY_STRUCTURES)
         files = _list_parquet_files(self.base_path)
+        reader = self.spark.read.option("mergeSchema", "true").option(
+            "basePath", self.base_path
+        )
+        schema = (
+            reader.parquet(*[p for p, _, _ in files]).schema
+            if files
+            # empty dir: keep the original whole-dir read (and its error)
+            else self.spark.read.option("mergeSchema", "true").parquet(self.base_path).schema
+        )
         latest = max((mtime for _, _, mtime in files), default=None)
         layout = (
             DataLayoutStrategy.HIVE_STYLE_PARTITION

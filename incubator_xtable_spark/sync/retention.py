@@ -184,16 +184,20 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
             if r.get("snapshot-id") in retained_ids
         }
     # statistics files of expired snapshots are unreachable — drop their
-    # entries and puffin files with the snapshot
-    if meta.get("statistics"):
-        dropped = [s for s in meta["statistics"] if s["snapshot-id"] not in retained_ids]
-        for s in dropped:
-            p = s.get("statistics-path")
-            if p and os.path.exists(p):
-                os.unlink(p)
-        meta["statistics"] = [
-            s for s in meta["statistics"] if s["snapshot-id"] in retained_ids
-        ]
+    # entries and stats files with the snapshot (same rule for the
+    # table-level `statistics` puffins and `partition-statistics` parquets)
+    for stats_field in ("statistics", "partition-statistics"):
+        if meta.get(stats_field):
+            dropped = [
+                s for s in meta[stats_field] if s["snapshot-id"] not in retained_ids
+            ]
+            for s in dropped:
+                p = s.get("statistics-path")
+                if p and os.path.exists(p):
+                    os.unlink(p)
+            meta[stats_field] = [
+                s for s in meta[stats_field] if s["snapshot-id"] in retained_ids
+            ]
     version = (current_metadata_version(base_path) or 0) + 1
     path = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
     # put-if-absent via tmp + os.link, matching IcebergConversionTarget's

@@ -147,6 +147,171 @@ def _commit_statistics_entry(base_path: str, entry: dict) -> None:
             os.unlink(p)
 
 
+def write_partition_statistics(spark, base_path: str) -> str:
+    """Compute and commit the CURRENT snapshot's partition statistics
+    file (Iceberg table spec "Partition Statistics" section, beyond the
+    reference): one parquet row per partition of the unified (default
+    spec) partition tuple carrying data/delete record+file counts and
+    byte totals, referenced from table metadata's
+    ``partition-statistics`` list as {"snapshot-id", "statistics-path",
+    "file-size-in-bytes"}. Returns the stats file path.
+
+    Scale: aggregates MANIFEST entries (metadata plane) — no data file
+    is opened; cost is O(live files) driver-side like any manifest
+    replay, and the output is O(partitions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    snapshot_id = meta["current-snapshot-id"]
+    src = IcebergConversionSource(spark, base_path)
+    data, deletes = src._entries_by_content(meta, snapshot_id)
+    default_spec = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in meta.get("partition-specs", []) if s.get("spec-id") == default_spec),
+        {"fields": []},
+    )
+    part_fields = [pf["name"] for pf in spec.get("fields", [])]
+    # identity-transform values type by the SOURCE column (the unified
+    # partition type); non-identity transform values keep their
+    # spec-native manifest representation (ints for time transforms)
+    table = src.get_current_table()
+    dtype_by_name = {f.name: f.dataType for f in table.read_schema.fields}
+    casters = {}
+    for pf in spec.get("fields", []):
+        if (pf.get("transform") or "identity") != "identity":
+            continue
+        schema_field = next(
+            (f for f in meta.get("schemas", [{}])[-1].get("fields", []) if f.get("id") == pf.get("source-id")),
+            None,
+        )
+        src_name = schema_field.get("name") if schema_field else pf["name"]
+        dt = dtype_by_name.get(src_name)
+        tn = dt.typeName() if dt is not None else "string"
+        if tn in ("long", "integer", "short", "byte"):
+            casters[pf["name"]] = lambda v: int(v)
+        elif tn in ("double", "float"):
+            casters[pf["name"]] = lambda v: float(v)
+        elif tn == "boolean":
+            casters[pf["name"]] = lambda v: str(v).lower() == "true"
+
+    def _typed(name: str, v):
+        if v is None:
+            return None
+        try:
+            return casters[name](v) if name in casters else v
+        except (TypeError, ValueError):
+            return v
+
+    # per unified partition tuple: [data_records, data_files, data_bytes,
+    # pos_del_records, pos_del_files, eq_del_records, eq_del_files]
+    agg: dict[tuple, list[int]] = {}
+
+    def _key(df_rec: dict) -> tuple:
+        part = df_rec.get("partition") or {}
+        return tuple(_typed(n, part.get(n)) for n in part_fields)
+
+    for e in data:
+        df_rec = e["data_file"]
+        cur = agg.setdefault(_key(df_rec), [0] * 7)
+        cur[0] += int(df_rec.get("record_count") or 0)
+        cur[1] += 1
+        cur[2] += int(df_rec.get("file_size_in_bytes") or 0)
+    for e in deletes:
+        df_rec = e["data_file"]
+        cur = agg.setdefault(_key(df_rec), [0] * 7)
+        if (df_rec.get("content") or 0) == 1:
+            cur[3] += int(df_rec.get("record_count") or 0)
+            cur[4] += 1
+        else:
+            cur[5] += int(df_rec.get("record_count") or 0)
+            cur[6] += 1
+
+    keys = sorted(agg, key=lambda k: tuple((v is None, v) for v in k))
+    table = pa.table(
+        {
+            "partition": pa.array(
+                [{n: k[i] for i, n in enumerate(part_fields)} for k in keys]
+            )
+            if part_fields
+            else pa.array([{}] * len(keys), pa.struct([])),
+            "spec_id": pa.array([default_spec] * len(keys), pa.int32()),
+            "data_record_count": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "data_file_count": pa.array([agg[k][1] for k in keys], pa.int32()),
+            "total_data_file_size_in_bytes": pa.array([agg[k][2] for k in keys], pa.int64()),
+            "position_delete_record_count": pa.array([agg[k][3] for k in keys], pa.int64()),
+            "position_delete_file_count": pa.array([agg[k][4] for k in keys], pa.int32()),
+            "equality_delete_record_count": pa.array([agg[k][5] for k in keys], pa.int64()),
+            "equality_delete_file_count": pa.array([agg[k][6] for k in keys], pa.int32()),
+        }
+    )
+    # parquet payload with a NON-.parquet name (like the .stats puffins):
+    # the colocated parquet-dir source lists the table directory, and a
+    # *.parquet under metadata/ would poison its hive-partition inference
+    stats_path = os.path.join(
+        metadata_dir(base_path),
+        f"partition-stats-{snapshot_id}-{uuid.uuid4().hex[:12]}.pstats",
+    )
+    pq.write_table(table, stats_path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": os.path.getsize(stats_path),
+    }
+    _commit_stats_list_entry(base_path, "partition-statistics", entry)
+    return stats_path
+
+
+def _commit_stats_list_entry(base_path: str, field: str, entry: dict) -> None:
+    """New metadata.json version replacing any prior ``field`` entry for
+    the same snapshot (one entry per snapshot, like `statistics`);
+    replaced files unlink after the new version lands."""
+    meta = read_table_metadata(base_path)
+    replaced = [s for s in meta.get(field, []) if s["snapshot-id"] == entry["snapshot-id"]]
+    kept = [s for s in meta.get(field, []) if s["snapshot-id"] != entry["snapshot-id"]]
+    meta[field] = kept + [entry]
+    v = current_metadata_version(base_path) + 1
+    final = os.path.join(metadata_dir(base_path), f"v{v}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent iceberg commit at version {v}") from exc
+    finally:
+        os.unlink(tmp)
+    with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    for s in replaced:
+        p = s.get("statistics-path")
+        if p and p != entry["statistics-path"] and os.path.exists(p):
+            os.unlink(p)
+
+
+def read_partition_statistics(
+    base_path: str, snapshot_id: Optional[int] = None
+) -> list[dict]:
+    """Decoded rows of the given (default: current) snapshot's partition
+    statistics file, or [] when none is registered."""
+    import pyarrow.parquet as pq
+
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    entry = next(
+        (s for s in meta.get("partition-statistics", []) if s["snapshot-id"] == sid), None
+    )
+    if entry is None:
+        return []
+    return pq.read_table(entry["statistics-path"]).to_pylist()
+
+
 def has_statistics_for_current_snapshot(base_path: str) -> bool:
     """Cheap skip probe for schedulers: True when the CURRENT snapshot
     already carries a statistics entry (a no-op sync needs no

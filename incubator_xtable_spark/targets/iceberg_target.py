@@ -1329,9 +1329,11 @@ class IcebergConversionTarget:
                 )
             ),
             # statistics entries describe prior snapshots, which this
-            # commit keeps — carry them forward (write_ndv_statistics
-            # appends the new snapshot's entry separately)
+            # commit keeps — carry them forward (write_ndv_statistics /
+            # write_partition_statistics append the new snapshot's
+            # entries separately)
             "statistics": (prev or {}).get("statistics", []),
+            "partition-statistics": (prev or {}).get("partition-statistics", []),
             # main branch ref for the new head; preserve any OTHER
             # branches/tags an external writer created (spec `refs`)
             "refs": {
