@@ -734,6 +734,76 @@ def lookup_bloom_filter(base_path: str, partition_path: str, file_name: str):
     return None
 
 
+def prune_files_by_col_stats(
+    spark: SparkSession,
+    base_path: str,
+    rel_paths: list[str],
+    schema: T.StructType,
+    bounds: dict[str, tuple],
+) -> set[str]:
+    """Index-driven FILE pruning (the data-skipping consumer of the
+    column_stats metadata partition — what real Hudi's
+    ColumnStatsIndexSupport does at scan planning): -> the subset of
+    ``rel_paths`` that can intersect ``bounds`` ({column: (lower,
+    upper)}, either bound None = unbounded, both inclusive).
+
+    SAFE, never wrong: a file is dropped only when the index PROVES its
+    [min,max] excludes the requested range on some predicate column.
+    Files without index coverage (or with null mins/maxes, or when the
+    hfile col-stats partition is absent/undecodable) are KEPT. Pruning is
+    a plan-time optimization — callers still apply the real row filter.
+
+    Scale: the index decode is the DISTRIBUTED hfile_stats_records scan
+    (one task per metadata file slice); only predicate columns' stat rows
+    (O(files x |bounds|), metadata-sized) collect to the driver, where
+    the file list already lives (this engine's listing posture)."""
+    if not bounds or not rel_paths:
+        return set(rel_paths)
+    if not hfile_col_stats_available(base_path):
+        return set(rel_paths)
+    from incubator_xtable_spark.model.stat_codec import decode_stat
+
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    cols = [c for c in bounds if c in dtypes]
+    if not cols:
+        return set(rel_paths)
+    stats = (
+        hfile_stats_records(spark, base_path, schema)
+        .filter(F.col("column_name").isin(cols) & ~F.col("is_deleted"))
+        .select("file_name", "column_name", "min_json", "max_json")
+        .collect()
+    )
+    by_file: dict[str, dict[str, tuple]] = {}
+    for r in stats:
+        by_file.setdefault(r["file_name"], {})[r["column_name"]] = (
+            r["min_json"],
+            r["max_json"],
+        )
+    kept = set()
+    for rel in rel_paths:
+        fname = os.path.basename(rel)
+        fstats = by_file.get(fname)
+        if fstats is None:
+            kept.add(rel)  # uncovered: no information, never drop
+            continue
+        drop = False
+        for c in cols:
+            if c not in fstats:
+                continue
+            lo, hi = bounds[c]
+            mn = decode_stat(fstats[c][0], dtypes[c])
+            mx = decode_stat(fstats[c][1], dtypes[c])
+            if lo is not None and mx is not None and mx < lo:
+                drop = True
+                break
+            if hi is not None and mn is not None and mn > hi:
+                drop = True
+                break
+        if not drop:
+            kept.add(rel)
+    return kept
+
+
 PARTITION_STATS_PARTITION = "partition_stats"
 HFILE_PARTITION_STATS_SUBDIR = os.path.join(".hoodie", "metadata", "partition_stats")
 

@@ -881,6 +881,7 @@ def read_hudi_as_df(
     base_path: str,
     as_of_instant: Optional[str] = None,
     mode: str = "read_optimized",
+    prune: Optional[dict] = None,
 ) -> DataFrame:
     """Snapshot read of the Hudi table (time travel via as_of_instant):
     the engine's `spark.read.format("hudi")` equivalent.
@@ -891,8 +892,23 @@ def read_hudi_as_df(
     is merged in — log upserts replace/append rows keyed by
     hoodie.table.recordkey.fields, delete blocks drop keys (see
     sources/hudi_log.py for the from-spec block codec and the
-    HoodieMergedLogRecordScanner merge semantics)."""
+    HoodieMergedLogRecordScanner merge semantics).
+
+    ``prune`` ({column: (lower, upper)}, inclusive, None = unbounded):
+    plan-time DATA SKIPPING via the column_stats metadata index — files
+    whose indexed [min,max] provably excludes every requested range drop
+    from the scan before any footer is opened (the 100 TB planning win:
+    O(metadata) instead of O(files) I/O). Safe: uncovered files are
+    kept, and pruning never replaces the row filter — apply `.filter`
+    on the result for exact semantics. read_optimized only (a MOR log
+    overlay could resurrect pruned keys)."""
     include_logs = mode == "snapshot"
+    if prune and include_logs:
+        raise ValueError(
+            "read_hudi_as_df: prune= requires mode='read_optimized' "
+            "(MOR log overlays can add rows the base-file index "
+            "doesn't cover)"
+        )
     if include_logs and as_of_instant is None:
         # bound head reads at the latest COMPLETED instant: a writer may
         # already have appended an inflight commit's blocks to log files
@@ -903,6 +919,15 @@ def read_hudi_as_df(
     rows = [r for r in rows if r["path"] is not None]
     src = HudiConversionSource(spark, base_path)
     table = src.get_current_table()
+    if prune and rows and table is not None:
+        from incubator_xtable_spark.sources.hudi_metadata import (
+            prune_files_by_col_stats,
+        )
+
+        kept = prune_files_by_col_stats(
+            spark, base_path, [r["path"] for r in rows], table.read_schema, prune
+        )
+        rows = [r for r in rows if r["path"] in kept]
     if table is None or (not rows and not log_rows):
         return spark.createDataFrame([], table.read_schema if table else T.StructType([]))
     if not rows:  # log-only slices: everything comes from the overlay

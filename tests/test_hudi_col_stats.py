@@ -167,3 +167,108 @@ def test_properties_upgrade_adds_partition_key(spark, hudi_table):
     src = HudiConversionSource(spark, hudi_table)
     target.begin_sync(src.get_current_table())
     assert col_stats_available(hudi_table)
+
+
+# -- index-driven file pruning (r9: the data-skipping CONSUMER) --------------
+
+
+def _pruned_table(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    d = str(tmp_path / "prune_tab")
+    os.makedirs(d, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199), (200, 299)]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": [f"row-{v}" for v in range(lo, hi + 1)],
+                }
+            ),
+            os.path.join(d, f"part-{i:04d}.parquet"),
+        )
+    target = HudiConversionTarget(
+        spark, d, table_name="prune", metadata_index_format="hfile"
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="prune"), {TableFormat.HUDI: target}
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    return d
+
+
+def test_prune_files_by_col_stats_drops_provably_disjoint_files(spark, tmp_path):
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+    )
+
+    d = _pruned_table(spark, tmp_path)
+    rels = [r["path"] for r in live_files_rows(d) if r["path"]]
+    assert len(rels) == 3
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    kept = prune_files_by_col_stats(spark, d, rels, schema, {"id": (120, 150)})
+    assert kept == {r for r in rels if "part-0001" in r}
+    # open ranges
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (200, None)}) == {
+        r for r in rels if "part-0002" in r
+    }
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (None, 99)}) == {
+        r for r in rels if "part-0000" in r
+    }
+    # range spanning everything keeps everything; unknown column keeps all
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (None, None)}) == set(rels)
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"nope": (1, 2)}) == set(rels)
+
+
+def test_read_hudi_with_prune_is_exact_and_skips_files(spark, tmp_path):
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+
+    d = _pruned_table(spark, tmp_path)
+    import pyspark.sql.functions as F
+
+    pruned = read_hudi_as_df(spark, d, prune={"id": (120, 150)}).filter(
+        F.col("id").between(120, 150)
+    )
+    full = read_hudi_as_df(spark, d).filter(F.col("id").between(120, 150))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    ) == list(range(120, 151))
+    # the pruned plan scans exactly one data file
+    assert len(pruned.inputFiles()) == 1
+    assert len(full.inputFiles()) == 3
+    # a disjoint prune yields an empty (but well-schema'd) result
+    empty = read_hudi_as_df(spark, d, prune={"id": (1000, None)})
+    assert empty.count() == 0 and "id" in empty.columns
+
+
+def test_prune_keeps_files_without_index_coverage(spark, tmp_path):
+    import shutil
+
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+    )
+
+    d = _pruned_table(spark, tmp_path)
+    rels = [r["path"] for r in live_files_rows(d) if r["path"]]
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    # no col-stats partition at all -> no-op prune
+    shutil.rmtree(os.path.join(d, ".hoodie", "metadata", "column_stats"))
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (120, 150)}) == set(rels)
+
+
+def test_prune_refuses_mor_snapshot_mode(spark, tmp_path):
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+
+    d = _pruned_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="read_optimized"):
+        read_hudi_as_df(spark, d, mode="snapshot", prune={"id": (1, 2)})
