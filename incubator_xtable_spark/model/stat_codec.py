@@ -102,6 +102,17 @@ def _from_jsonable(value: Any, dtype: T.DataType) -> Any:
 # ---------------------------------------------------------------------------
 
 
+def stat_range_keeps(mn: Any, mx: Any, lo: Any, hi: Any) -> bool:
+    """Data-skipping keep rule, None-safe on every side: False ONLY when
+    a file's [mn, mx] PROVABLY misses the requested inclusive [lo, hi]
+    (unknown stats or unbounded requests always keep)."""
+    if lo is not None and mx is not None and mx < lo:
+        return False
+    if hi is not None and mn is not None and mn > hi:
+        return False
+    return True
+
+
 def to_delta_stats_json(
     record_count: Optional[int],
     column_stats: dict[str, dict[str, Any]],

@@ -883,7 +883,58 @@ def _require_field_ids(spark: SparkSession, paths: list[str]) -> None:
         )
 
 
-def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
+def _prune_live_rows(live, schema: T.StructType, part_cols: list[str], prune: dict):
+    """Data skipping over collected live AddFile rows: keep a file unless
+    its add.stats min/max (physical-named under column mapping) or its
+    partitionValues entry PROVABLY excludes a requested range. Files
+    lacking stats for a predicate column always keep. Driver-side over
+    the already-collected listing — O(files x |prune|) python, no I/O."""
+    from incubator_xtable_spark.model.stat_codec import (
+        decode_stat,
+        from_delta_stats_json,
+        stat_range_keeps,
+    )
+
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    cols = [c for c in prune if c in dtypes]
+    if not cols:
+        return live
+    kept = []
+    for r in live:
+        stats = None
+        keep = True
+        for c in cols:
+            lo, hi = prune[c]
+            if c in part_cols:
+                pv = dict(r["partitionValues"] or {}).get(_physical_name(schema, c))
+                if pv is None:
+                    continue
+                v = decode_stat(json.dumps(pv), dtypes[c])
+                if not stat_range_keeps(v, v, lo, hi):
+                    keep = False
+                    break
+                continue
+            if stats is None:
+                _n, stats = from_delta_stats_json(r["stats"])
+            st = stats.get(_physical_name(schema, c)) or stats.get(c)
+            if not st:
+                continue
+            mn = decode_stat(st.get("min_json"), dtypes[c])
+            mx = decode_stat(st.get("max_json"), dtypes[c])
+            if not stat_range_keeps(mn, mx, lo, hi):
+                keep = False
+                break
+        if keep:
+            kept.append(r)
+    return kept
+
+
+def read_delta_as_df(
+    spark: SparkSession,
+    base_path: str,
+    version: Optional[int] = None,
+    prune: Optional[dict] = None,
+) -> DataFrame:
     """The engine's `spark.read.format("delta")` equivalent: reconstruct
     the live file set (optionally at a past version = time travel) and read
     those parquet files, re-attaching partition columns from
@@ -897,7 +948,14 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
     cast back to the logical schema; mode=id tables resolve columns by
     PARQUET FIELD ID (Spark's fieldId.read matching fed from
     delta.columnMapping.id), so files whose column names match neither
-    logical nor physical names still read correctly."""
+    logical nor physical names still read correctly.
+
+    ``prune`` ({column: (lower, upper)}, inclusive, None = unbounded):
+    plan-time data skipping from the log's own add.stats
+    (minValues/maxValues) and partitionValues — files whose recorded
+    range provably excludes every requested range drop before any
+    footer opens. Safe: files without stats keep; apply the real row
+    filter on the result (DVs only REMOVE rows, so pruning composes)."""
     meta = latest_metadata(spark, base_path, version)
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {base_path}")
@@ -908,10 +966,12 @@ def read_delta_as_df(spark: SparkSession, base_path: str, version: Optional[int]
         _enable_field_id_reads(spark)
     live = (
         live_files_df(spark, base_path, version)
-        .select("path", "partitionValues", "deletionVector")
+        .select("path", "partitionValues", "deletionVector", "stats")
         .collect()
     )
     part_cols = list(meta["partitionColumns"] or [])
+    if prune:
+        live = _prune_live_rows(live, schema, part_cols, prune)
     base = base_path.rstrip("/")
     paths = [os.path.join(base, r["path"]) for r in live]
     if not paths:

@@ -761,7 +761,7 @@ def prune_files_by_col_stats(
         return set(rel_paths)
     if not hfile_col_stats_available(base_path):
         return set(rel_paths)
-    from incubator_xtable_spark.model.stat_codec import decode_stat
+    from incubator_xtable_spark.model.stat_codec import decode_stat, stat_range_keeps
 
     dtypes = {f.name: f.dataType for f in schema.fields}
     cols = [c for c in bounds if c in dtypes]
@@ -793,10 +793,7 @@ def prune_files_by_col_stats(
             lo, hi = bounds[c]
             mn = decode_stat(fstats[c][0], dtypes[c])
             mx = decode_stat(fstats[c][1], dtypes[c])
-            if lo is not None and mx is not None and mx < lo:
-                drop = True
-                break
-            if hi is not None and mn is not None and mn > hi:
+            if not stat_range_keeps(mn, mx, lo, hi):
                 drop = True
                 break
         if not drop:

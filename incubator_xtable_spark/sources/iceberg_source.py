@@ -1151,20 +1151,73 @@ def _read_name_mapped(spark, meta: dict, fields, paths: list[str]) -> DataFrame:
     return out
 
 
+def _prune_iceberg_entries(
+    entries: list[dict], table, prune: dict
+) -> list[dict]:
+    """Data skipping over manifest DATA entries: keep a file unless its
+    lower/upper bounds (single-value serialized, keyed by FIELD ID)
+    provably exclude a requested inclusive range. Entries lacking bounds
+    for a predicate column always keep. Deletes only REMOVE rows, so
+    pruning data files composes with delete application."""
+    from incubator_xtable_spark.model.iceberg_values import from_iceberg_bytes
+    from incubator_xtable_spark.model.stat_codec import stat_range_keeps
+
+    fid_dtype = {}
+    for f in table.read_schema.fields:
+        fid = (f.metadata or {}).get("xtable.fieldId")
+        if fid is not None and f.name in prune:
+            fid_dtype[f.name] = (fid, f.dataType)
+    if not fid_dtype:
+        return entries
+
+    def _bounds(raw_entries) -> dict[int, bytes]:
+        out = {}
+        for kv in raw_entries or []:
+            v = kv["value"]
+            out[kv["key"]] = v.encode("latin-1") if isinstance(v, str) else bytes(v)
+        return out
+
+    kept = []
+    for e in entries:
+        dfile = e["data_file"]
+        lower = _bounds(dfile.get("lower_bounds"))
+        upper = _bounds(dfile.get("upper_bounds"))
+        keep = True
+        for col, (fid, dtype) in fid_dtype.items():
+            lo, hi = prune[col]
+            mn = from_iceberg_bytes(lower.get(fid), dtype) if fid in lower else None
+            mx = from_iceberg_bytes(upper.get(fid), dtype) if fid in upper else None
+            if not stat_range_keeps(mn, mx, lo, hi):
+                keep = False
+                break
+        if keep:
+            kept.append(e)
+    return kept
+
+
 def read_iceberg_as_df(
     spark: SparkSession,
     base_path: str,
     snapshot_id: Optional[int] = None,
     ref: Optional[str] = None,
+    prune: Optional[dict] = None,
 ) -> DataFrame:
     """Snapshot read (time travel via snapshot_id, or a branch/tag name
     via ref — spec `refs`): the engine's `spark.read.format("iceberg")`
-    equivalent for our subset."""
+    equivalent for our subset.
+
+    ``prune`` ({column: (lower, upper)}, inclusive, None = unbounded):
+    plan-time data skipping from the manifests' own lower/upper bounds —
+    files whose bounds provably exclude every requested range drop
+    before any footer opens. Safe: files without bounds keep; apply the
+    real row filter on the result."""
     src = IcebergConversionSource(spark, base_path, ref=ref)
     meta = src._meta()
     table = src.get_current_table()
     sid = snapshot_id if snapshot_id is not None else src._head_snapshot_id(meta)
     entries, delete_entries = src._entries_by_content(meta, sid)
+    if prune and entries:
+        entries = _prune_iceberg_entries(entries, table, prune)
     if not entries:
         return spark.createDataFrame([], table.read_schema)
     # ORC row-reads via Spark's native scan, AVRO via the engine's

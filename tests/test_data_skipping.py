@@ -1,0 +1,111 @@
+"""Plan-time data skipping for Delta and Iceberg reads (`prune=`) — the
+consumer side of each format's own statistics channel: Delta add.stats
+minValues/maxValues + partitionValues, Iceberg manifest lower/upper
+bounds (the Hudi col-stats-index twin lives in test_hudi_col_stats.py).
+Keep rule pinned: drop ONLY on provable range exclusion; missing stats
+always keep; pruning composes with the real row filter."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+
+def _three_file_table(spark, tmp_path, fmt: TableFormat):
+    d = str(tmp_path / f"skip_{fmt.value.lower()}")
+    os.makedirs(d, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199), (200, 299)]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": [f"row-{v}" for v in range(lo, hi + 1)],
+                }
+            ),
+            os.path.join(d, f"part-{i:04d}.parquet"),
+        )
+    target = (
+        DeltaConversionTarget(spark, d)
+        if fmt == TableFormat.DELTA
+        else IcebergConversionTarget(spark, d, table_name="skip")
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="skip"), {fmt: target}
+    )
+    assert res[fmt].status == SyncStatusCode.SUCCESS
+    return d
+
+
+def test_delta_prune_skips_disjoint_files(spark, tmp_path):
+    d = _three_file_table(spark, tmp_path, TableFormat.DELTA)
+    pruned = read_delta_as_df(spark, d, prune={"id": (120, 150)})
+    assert len(pruned.inputFiles()) == 1
+    assert len(read_delta_as_df(spark, d).inputFiles()) == 3
+    got = sorted(
+        r["id"] for r in pruned.filter(F.col("id").between(120, 150)).collect()
+    )
+    assert got == list(range(120, 151))
+    # open ranges + spanning range + unknown column
+    assert len(read_delta_as_df(spark, d, prune={"id": (200, None)}).inputFiles()) == 1
+    assert len(read_delta_as_df(spark, d, prune={"id": (None, None)}).inputFiles()) == 3
+    assert len(read_delta_as_df(spark, d, prune={"nope": (1, 2)}).inputFiles()) == 3
+    empty = read_delta_as_df(spark, d, prune={"id": (1000, None)})
+    assert empty.count() == 0 and "id" in empty.columns
+
+
+def test_delta_prune_on_partition_values(spark, tmp_path):
+    d = str(tmp_path / "skip_delta_part")
+    (
+        spark.range(300)
+        .withColumn("bucket", (F.col("id") / 100).cast("int"))
+        .write.partitionBy("bucket")
+        .parquet(d)
+    )
+    from incubator_xtable_spark.model.core import InternalPartitionField
+
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="p", partition_fields=[InternalPartitionField("bucket")]
+        ),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    full = read_delta_as_df(spark, d)
+    pruned = read_delta_as_df(spark, d, prune={"bucket": (1, 1)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(100, 200))
+
+
+def test_iceberg_prune_skips_disjoint_files(spark, tmp_path):
+    d = _three_file_table(spark, tmp_path, TableFormat.ICEBERG)
+    pruned = read_iceberg_as_df(spark, d, prune={"id": (120, 150)})
+    assert len(pruned.inputFiles()) == 1
+    assert len(read_iceberg_as_df(spark, d).inputFiles()) == 3
+    got = sorted(
+        r["id"] for r in pruned.filter(F.col("id").between(120, 150)).collect()
+    )
+    assert got == list(range(120, 151))
+    assert len(read_iceberg_as_df(spark, d, prune={"id": (None, 99)}).inputFiles()) == 1
+    assert len(read_iceberg_as_df(spark, d, prune={"nope": (1, 2)}).inputFiles()) == 3
+    empty = read_iceberg_as_df(spark, d, prune={"id": (1000, None)})
+    assert empty.count() == 0 and "id" in empty.columns
+
+
+def test_iceberg_prune_string_bounds(spark, tmp_path):
+    d = _three_file_table(spark, tmp_path, TableFormat.ICEBERG)
+    # string column bounds: "row-0".."row-99" vs "row-100".."row-199" etc
+    # sort LEXICOGRAPHICALLY; ask for a range only file 0 can hold
+    pruned = read_iceberg_as_df(spark, d, prune={"label": ("row-95", "row-99")})
+    assert len(pruned.inputFiles()) == 1
+    rows = pruned.filter(F.col("label") >= "row-95").collect()
+    assert {r["label"] for r in rows} == {f"row-{v}" for v in (95, 96, 97, 98, 99)}
