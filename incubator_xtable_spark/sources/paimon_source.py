@@ -940,14 +940,63 @@ def parse_paimon_type_from_spark(dtype: T.DataType) -> tuple[T.DataType, Optiona
     return dtype, None, True
 
 
+def _prune_paimon_entries(src, entries: list[dict], sch: dict, prune: dict) -> list[dict]:
+    """Data skipping over view entries via each file's own SimpleStats
+    (_VALUE_STATS, decoded against the file's write schema): keep a file
+    unless its min/max provably excludes a requested inclusive range.
+    Files without stats for a predicate column always keep."""
+    from incubator_xtable_spark.model.stat_codec import decode_stat, stat_range_keeps
+
+    schema_cache: dict[int, T.StructType] = {}
+
+    def file_schema(schema_id: int) -> T.StructType:
+        if schema_id not in schema_cache:
+            try:
+                fields = src._schema(schema_id)["fields"]
+            except FileNotFoundError:
+                fields = sch["fields"]
+            schema_cache[schema_id] = paimon_fields_to_schema(fields)
+        return schema_cache[schema_id]
+
+    kept = []
+    for e in entries:
+        fm = e["_FILE"]
+        fschema = file_schema(int(fm.get("_SCHEMA_ID") or 0))
+        dtypes = {f.name: f.dataType for f in fschema.fields}
+        stats = src._decode_value_stats(fm, fschema) or {}
+        keep = True
+        for c, (lo, hi) in prune.items():
+            st = stats.get(c)
+            if not st or c not in dtypes:
+                continue
+            mn = decode_stat(st.get("min_json"), dtypes[c])
+            mx = decode_stat(st.get("max_json"), dtypes[c])
+            if not stat_range_keeps(mn, mx, lo, hi):
+                keep = False
+                break
+        if keep:
+            kept.append(e)
+    return kept
+
+
 def read_paimon_as_df(
-    spark: SparkSession, base_path: str, snapshot_id: Optional[int] = None
+    spark: SparkSession,
+    base_path: str,
+    snapshot_id: Optional[int] = None,
+    prune: Optional[dict] = None,
 ) -> DataFrame:
     """Snapshot read (time travel via snapshot_id). Primary-key tables
     read top-level (fully compacted) files only — the same read-optimized
     view the conversion source exposes. Partition columns are not stored
     in Paimon data files; they are attached from the manifest partition
-    values via a broadcast map join (distributed scan, no driver rows)."""
+    values via a broadcast map join (distributed scan, no driver rows).
+
+    ``prune`` ({column: (lower, upper)}, inclusive, None = unbounded):
+    plan-time data skipping from the manifests' SimpleStats — same safe
+    keep rule as the Delta/Iceberg/Hudi readers (drop only on provable
+    exclusion; apply the real row filter on the result; safe here even
+    for PK tables because this view reads stored top-level files with
+    no merge overlay, and DVs only remove rows)."""
     src = PaimonConversionSource(spark, base_path)
     sid = snapshot_id if snapshot_id is not None else src.latest_snapshot_id()
     if sid is None:
@@ -956,6 +1005,8 @@ def read_paimon_as_df(
     sch = src._schema(snap.get("schemaId", 0))
     table = src.get_table(sid)
     entries = src._view_entries(snap, sch)
+    if prune:
+        entries = _prune_paimon_entries(src, entries, sch, prune)
     paths = [src._entry_abs_path(e, sch) for e in entries]
     if not paths:
         return spark.createDataFrame([], table.read_schema)

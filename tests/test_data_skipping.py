@@ -109,3 +109,36 @@ def test_iceberg_prune_string_bounds(spark, tmp_path):
     assert len(pruned.inputFiles()) == 1
     rows = pruned.filter(F.col("label") >= "row-95").collect()
     assert {r["label"] for r in rows} == {f"row-{v}" for v in (95, 96, 97, 98, 99)}
+
+
+def test_paimon_prune_skips_disjoint_files(spark, tmp_path):
+    from incubator_xtable_spark.sources.paimon_source import read_paimon_as_df
+    from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+
+    d = str(tmp_path / "skip_paimon")
+    os.makedirs(d, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199), (200, 299)]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": [f"row-{v}" for v in range(lo, hi + 1)],
+                }
+            ),
+            os.path.join(d, f"part-{i:04d}.parquet"),
+        )
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="skip"),
+        {TableFormat.PAIMON: PaimonConversionTarget(spark, d, table_name="skip")},
+    )
+    assert res[TableFormat.PAIMON].status == SyncStatusCode.SUCCESS
+    pruned = read_paimon_as_df(spark, d, prune={"id": (120, 150)})
+    assert len(pruned.inputFiles()) == 1
+    assert len(read_paimon_as_df(spark, d).inputFiles()) == 3
+    got = sorted(
+        r["id"] for r in pruned.filter(F.col("id").between(120, 150)).collect()
+    )
+    assert got == list(range(120, 151))
+    assert len(read_paimon_as_df(spark, d, prune={"nope": (1, 2)}).inputFiles()) == 3
+    empty = read_paimon_as_df(spark, d, prune={"id": (1000, None)})
+    assert empty.count() == 0 and "id" in empty.columns
