@@ -332,27 +332,9 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
         dtypes = {f.name: f.dataType for f in data_schema.fields}
         cols = [f.name for f in out_schema.fields]
 
-        def _coerce(v, dtype):
-            # Hudi's typed wrappers store dates as plain epoch DAYS ints,
-            # timestamps as plain epoch MICROS longs (no avro logicalType),
-            # and decimals rescaled to the fixed (30,15) wrapper scale —
-            # normalize to the column's Spark type so encode_stat emits the
-            # byte-identical encoding the footer tier produces
-            if v is None:
-                return None
-            if isinstance(dtype, _T.DateType) and isinstance(v, int):
-                return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
-            if isinstance(dtype, _T.TimestampType) and isinstance(v, int):
-                # LTZ columns: footer tier encodes pyarrow's tz-aware UTC
-                # stats — stay aware here or min/max bytes diverge
-                return _dt.datetime(
-                    1970, 1, 1, tzinfo=_dt.timezone.utc
-                ) + _dt.timedelta(microseconds=v)
-            if isinstance(dtype, _T.TimestampNTZType) and isinstance(v, int):
-                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
-            if isinstance(dtype, _T.DecimalType) and isinstance(v, _decimal.Decimal):
-                return v.quantize(_decimal.Decimal(1).scaleb(-dtype.scale))
-            return v
+        from incubator_xtable_spark.sources.hudi_metadata import (
+            coerce_hudi_wrapper_value as _coerce,
+        )
         for pdf in batches:
             rows = []
             for p, logs_json in zip(pdf["hfile_path"], pdf["log_paths"]):
@@ -734,6 +716,49 @@ def lookup_bloom_filter(base_path: str, partition_path: str, file_name: str):
     return None
 
 
+def _index_group_instant(d: str) -> str:
+    """Latest write instant across a metadata partition's file slices —
+    base names end ``_<instant>.hfile``, log names ``.log.N_<instant>``.
+    '' when the partition has no decodable slices (sorts before every
+    real instant, so a missing index never passes a freshness check)."""
+    slices, _ = _hfile_partition_state(d, probe=False)
+    latest = ""
+    for base, logs in slices:
+        inst = os.path.basename(base)[: -len(".hfile")].split("_")[-1]
+        for lp in logs:
+            inst = max(inst, os.path.basename(lp).rpartition("_")[2])
+        latest = max(latest, inst)
+    return latest
+
+
+def coerce_hudi_wrapper_value(v, dtype):
+    """Hudi's typed wrappers store dates as plain epoch DAYS ints,
+    timestamps as plain epoch MICROS longs (no avro logicalType), and
+    decimals rescaled to the fixed (30,15) wrapper scale — normalize to
+    the column's Spark type (byte-identical to the footer tier's
+    encoding when re-encoded)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql import types as _T
+
+    if v is None:
+        return None
+    if isinstance(dtype, _T.DateType) and isinstance(v, int):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if isinstance(dtype, _T.TimestampType) and isinstance(v, int):
+        # LTZ columns: footer tier encodes pyarrow's tz-aware UTC
+        # stats — stay aware here or min/max bytes diverge
+        return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+            microseconds=v
+        )
+    if isinstance(dtype, _T.TimestampNTZType) and isinstance(v, int):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+    if isinstance(dtype, _T.DecimalType) and isinstance(v, _decimal.Decimal):
+        return v.quantize(_decimal.Decimal(1).scaleb(-dtype.scale))
+    return v
+
+
 def prune_files_by_col_stats(
     spark: SparkSession,
     base_path: str,
@@ -759,13 +784,48 @@ def prune_files_by_col_stats(
     the file list already lives (this engine's listing posture)."""
     if not bounds or not rel_paths:
         return set(rel_paths)
-    if not hfile_col_stats_available(base_path):
-        return set(rel_paths)
     from incubator_xtable_spark.model.stat_codec import decode_stat, stat_range_keeps
 
     dtypes = {f.name: f.dataType for f in schema.fields}
     cols = [c for c in bounds if c in dtypes]
     if not cols:
+        return set(rel_paths)
+    # partition-level pre-pass when the partition_stats index exists AND
+    # is current (its file group's latest write instant is not behind the
+    # column_stats group's — a stale aggregate missing newer adds could
+    # wrongly drop them): a whole partition whose aggregate [min,max]
+    # excludes the range drops ALL its files with O(partitions x
+    # |bounds|) point gets — before the O(files) col-stats decode even
+    # starts (the Hudi 1.0 pruning ladder)
+    if partition_stats_available(base_path) and _index_group_instant(
+        os.path.join(base_path, HFILE_PARTITION_STATS_SUBDIR)
+    ) >= _index_group_instant(os.path.join(base_path, HFILE_COL_STATS_SUBDIR)):
+        by_part: dict[str, list[str]] = {}
+        for rel in rel_paths:
+            by_part.setdefault(os.path.dirname(rel), []).append(rel)
+        surviving: list[str] = []
+        for part, rels in by_part.items():
+            keep_part = True
+            for c in cols:
+                cs = lookup_partition_stats(base_path, part, c)
+                if not cs:
+                    continue  # unindexed partition: no information
+                lo, hi = bounds[c]
+                mn = coerce_hudi_wrapper_value(
+                    (cs.get("minValue") or {}).get("value"), dtypes[c]
+                )
+                mx = coerce_hudi_wrapper_value(
+                    (cs.get("maxValue") or {}).get("value"), dtypes[c]
+                )
+                if not stat_range_keeps(mn, mx, lo, hi):
+                    keep_part = False
+                    break
+            if keep_part:
+                surviving.extend(rels)
+        rel_paths = surviving
+        if not rel_paths:
+            return set()
+    if not hfile_col_stats_available(base_path):
         return set(rel_paths)
     stats = (
         hfile_stats_records(spark, base_path, schema)

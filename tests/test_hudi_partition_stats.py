@@ -186,3 +186,127 @@ def test_branch_preserving_decode_roundtrips():
     _key, blob = partition_stats_record("p=1", "id", 3, 9, T.IntegerType(), 10, 0)
     rec = decode_binary_record_with_branches(HUDI_METADATA_RECORD_SCHEMA, blob)
     assert encode_binary_record(HUDI_METADATA_RECORD_SCHEMA, rec) == blob
+
+
+# -- partition-level pruning (the partition_stats CONSUMER) -------------------
+
+
+def _partitioned_hudi(spark, tmp_path, partition_stats=True):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import (
+        InternalPartitionField,
+        SyncStatusCode,
+        TableFormat,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    d = str(tmp_path / "hudi_part")
+    for b, (lo, hi) in [(0, (0, 99)), (1, (100, 199)), (2, (200, 299))]:
+        os.makedirs(os.path.join(d, f"bucket={b}"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": [f"row-{v}" for v in range(lo, hi + 1)],
+                }
+            ),
+            os.path.join(d, f"bucket={b}", f"f{b}.parquet"),
+        )
+    target = HudiConversionTarget(
+        spark,
+        d,
+        table_name="pp",
+        metadata_index_format="hfile",
+        partition_stats=partition_stats,
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="pp", partition_fields=[InternalPartitionField("bucket")]
+        ),
+        {TableFormat.HUDI: target},
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS, res[TableFormat.HUDI].error
+    return d
+
+
+def test_partition_level_prune_drops_whole_partitions(spark, tmp_path):
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+    )
+
+    d = _partitioned_hudi(spark, tmp_path)
+    rels = [r["path"] for r in live_files_rows(d) if r["path"]]
+    assert len(rels) == 3
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    kept = prune_files_by_col_stats(spark, d, rels, schema, {"id": (120, 150)})
+    assert kept == {r for r in rels if r.startswith("bucket=1/")}
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (None, None)}) == set(rels)
+    assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (5000, None)}) == set()
+
+
+def test_stale_partition_stats_index_skips_partition_pass(spark, tmp_path):
+    """A commit written while partition_stats was OFF leaves the
+    partition-level index BEHIND the col-stats group; the pruner must
+    detect the lag and fall through to file-level stats only — never
+    dropping files the stale aggregate missed."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import (
+        InternalPartitionField,
+        SyncStatusCode,
+        TableFormat,
+    )
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    d = _partitioned_hudi(spark, tmp_path)
+    # second commit WITHOUT partition_stats: new partition bucket=7 whose
+    # range overlaps the probe, invisible to the stale aggregate
+    time.sleep(1.1)  # hudi instants are second-resolution
+    os.makedirs(os.path.join(d, "bucket=7"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(120, 130), pa.int64()),
+                "label": [f"row-{v}" for v in range(120, 130)],
+            }
+        ),
+        os.path.join(d, "bucket=7", "f7.parquet"),
+    )
+    target = HudiConversionTarget(
+        spark,
+        d,
+        table_name="pp",
+        metadata_index_format="hfile",
+        partition_stats=False,
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="pp", partition_fields=[InternalPartitionField("bucket")]
+        ),
+        {TableFormat.HUDI: target},
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS, res[TableFormat.HUDI].error
+    rels = [r["path"] for r in live_files_rows(d) if r["path"]]
+    assert any(r.startswith("bucket=7/") for r in rels)
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    kept = prune_files_by_col_stats(spark, d, rels, schema, {"id": (120, 150)})
+    # file-level stats still prune correctly — and the new file SURVIVES
+    assert kept == {
+        r for r in rels if r.startswith("bucket=1/") or r.startswith("bucket=7/")
+    }
