@@ -249,3 +249,69 @@ def meta_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incremental_count",
         (F.col("full_count") == F.col("incremental_count")).alias("converged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data skipping end-to-end: REAL conversion -> pruned read (r9)
+# ---------------------------------------------------------------------------
+
+PRUNE_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_nationkey BETWEEN 5 AND 14
+ORDER BY n_nationkey
+"""
+
+
+@register(
+    "meta_prune_skipping",
+    oracle=PRUNE_ORACLE,
+    category="metadata",
+    description="convert->delta, stats-pruned read == plain filter",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def meta_prune_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data skipping (r9): stage `nation` as THREE parquet
+    files bucketed by key range, convert the directory to a REAL Delta
+    table through the engine (add.stats captured from footers), then
+    read with ``prune={"n_nationkey": (5, 14)}`` + the actual row filter.
+    The oracle is the plain SQL filter — proving pruning never changes
+    results — while tests/test_data_skipping.py pins that the pruned
+    scan touches fewer files. SF-invariant cost: nation is a fixed
+    25-row table, so staging/conversion never grows with scale."""
+    import tempfile
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+    work = tempfile.mkdtemp(prefix="xt_prune_")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    for i, (lo, hi) in enumerate([(0, 7), (8, 15), (16, 99)]):
+        (
+            nat.filter(F.col("n_nationkey").between(lo, hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{work}/b{i}")
+        )
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for i in range(3):
+        part = _glob.glob(f"{work}/b{i}/part-*.parquet")[0]
+        _shutil.move(part, f"{work}/file-{i:02d}.parquet")
+        _shutil.rmtree(f"{work}/b{i}")
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, work, name="nation"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, work)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    return (
+        read_delta_as_df(spark, work, prune={"n_nationkey": (5, 14)})
+        .filter(F.col("n_nationkey").between(5, 14))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
