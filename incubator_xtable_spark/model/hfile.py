@@ -660,7 +660,7 @@ def lookup_hfile_bytes(
                 code = file_info.get("bloomFilterTypeCode", b"SIMPLE").decode("utf-8")
                 if not deserialize_bloom(code, blob.decode("utf-8")).might_contain(row):
                     return None, file_info
-        except (ValueError, KeyError, UnicodeDecodeError):
+        except (ValueError, KeyError, UnicodeDecodeError, struct.error, IndexError):
             pass  # unreadable bloom -> no information; fall through to the seek
     pos = 0
     entries = []  # (block offset, first cell ROW)

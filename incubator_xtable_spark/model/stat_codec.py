@@ -105,11 +105,16 @@ def _from_jsonable(value: Any, dtype: T.DataType) -> Any:
 def stat_range_keeps(mn: Any, mx: Any, lo: Any, hi: Any) -> bool:
     """Data-skipping keep rule, None-safe on every side: False ONLY when
     a file's [mn, mx] PROVABLY misses the requested inclusive [lo, hi]
-    (unknown stats or unbounded requests always keep)."""
-    if lo is not None and mx is not None and mx < lo:
-        return False
-    if hi is not None and mn is not None and mn > hi:
-        return False
+    (unknown stats or unbounded requests always keep). Incomparable
+    pairs — e.g. a tz-aware stat against a naive bound from the caller —
+    prove nothing and KEEP rather than raise."""
+    try:
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
     return True
 
 

@@ -288,22 +288,30 @@ def meta_prune_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
 
     work = tempfile.mkdtemp(prefix="xt_prune_")
-    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    for i, (lo, hi) in enumerate([(0, 7), (8, 15), (16, 99)]):
-        (
-            nat.filter(F.col("n_nationkey").between(lo, hi))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{work}/b{i}")
-        )
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
+    # nation is 25 fixed rows — stage the three range-bucketed files
+    # driver-side with pyarrow (one collect, zero Spark write jobs; the
+    # bench pays conversion + pruned read, not shuffle-stage startup)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
-    for i in range(3):
-        part = _glob.glob(f"{work}/b{i}/part-*.parquet")[0]
-        _shutil.move(part, f"{work}/file-{i:02d}.parquet")
-        _shutil.rmtree(f"{work}/b{i}")
+    rows = sorted(
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    for i, (lo, hi) in enumerate([(0, 7), (8, 15), (16, 99)]):
+        part = [r for r in rows if lo <= r["n_nationkey"] <= hi]
+        _pq.write_table(
+            _pa.table(
+                {
+                    "n_nationkey": _pa.array([r["n_nationkey"] for r in part], _pa.int32()),
+                    "n_name": [r["n_name"] for r in part],
+                    "n_regionkey": _pa.array([r["n_regionkey"] for r in part], _pa.int32()),
+                }
+            ),
+            f"{work}/file-{i:02d}.parquet",
+        )
     res = ConversionController().sync(
         ParquetConversionSource(spark, work, name="nation"),
         {TableFormat.DELTA: DeltaConversionTarget(spark, work)},

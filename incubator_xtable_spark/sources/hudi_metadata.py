@@ -301,6 +301,7 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out_schema = T.StructType(
         [
+            T.StructField("record_key", T.StringType(), False),
             T.StructField("file_name", T.StringType(), False),
             T.StructField("column_name", T.StringType(), False),
             T.StructField("min_json", T.StringType(), True),
@@ -351,6 +352,7 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
                     mx = _coerce((cs.get("maxValue") or {}).get("value"), dtype)
                     rows.append(
                         (
+                            _key,
                             cs.get("fileName"),
                             col,
                             encode_stat(mn, dtype) if dtype is not None else None,
@@ -716,21 +718,6 @@ def lookup_bloom_filter(base_path: str, partition_path: str, file_name: str):
     return None
 
 
-def _index_group_instant(d: str) -> str:
-    """Latest write instant across a metadata partition's file slices —
-    base names end ``_<instant>.hfile``, log names ``.log.N_<instant>``.
-    '' when the partition has no decodable slices (sorts before every
-    real instant, so a missing index never passes a freshness check)."""
-    slices, _ = _hfile_partition_state(d, probe=False)
-    latest = ""
-    for base, logs in slices:
-        inst = os.path.basename(base)[: -len(".hfile")].split("_")[-1]
-        for lp in logs:
-            inst = max(inst, os.path.basename(lp).rpartition("_")[2])
-        latest = max(latest, inst)
-    return latest
-
-
 def coerce_hudi_wrapper_value(v, dtype):
     """Hudi's typed wrappers store dates as plain epoch DAYS ints,
     timestamps as plain epoch MICROS longs (no avro logicalType), and
@@ -775,8 +762,21 @@ def prune_files_by_col_stats(
     SAFE, never wrong: a file is dropped only when the index PROVES its
     [min,max] excludes the requested range on some predicate column.
     Files without index coverage (or with null mins/maxes, or when the
-    hfile col-stats partition is absent/undecodable) are KEPT. Pruning is
-    a plan-time optimization — callers still apply the real row filter.
+    hfile col-stats partition is absent/undecodable) are KEPT, and the
+    match keys on the RECORD KEY — hashed
+    ColumnIndexID+PartitionIndexID+FileIndexID (or the readable
+    ``<col>;;<file>`` spelling) — never on the bare file name, so two
+    partitions carrying the same base name can never serve each other's
+    stats. A readable key claimed by two candidate files is ambiguous
+    and keeps both. Pruning is a plan-time optimization — callers still
+    apply the real row filter.
+
+    The partition_stats index is deliberately NOT used to drop whole
+    partitions here: its aggregate only covers files whose footers
+    carried stats for the column, so a partition-level drop could
+    discard an uncovered file that holds matching rows. (Point
+    consumers with external coverage knowledge can call
+    lookup_partition_stats directly.)
 
     Scale: the index decode is the DISTRIBUTED hfile_stats_records scan
     (one task per metadata file slice); only predicate columns' stat rows
@@ -784,81 +784,49 @@ def prune_files_by_col_stats(
     the file list already lives (this engine's listing posture)."""
     if not bounds or not rel_paths:
         return set(rel_paths)
+    if not hfile_col_stats_available(base_path):
+        return set(rel_paths)
+    from incubator_xtable_spark.model.hudi_hash import col_stats_index_key
+    from incubator_xtable_spark.model.hudi_metadata_records import col_stats_key
     from incubator_xtable_spark.model.stat_codec import decode_stat, stat_range_keeps
 
     dtypes = {f.name: f.dataType for f in schema.fields}
     cols = [c for c in bounds if c in dtypes]
     if not cols:
         return set(rel_paths)
-    # partition-level pre-pass when the partition_stats index exists AND
-    # is current (its file group's latest write instant is not behind the
-    # column_stats group's — a stale aggregate missing newer adds could
-    # wrongly drop them): a whole partition whose aggregate [min,max]
-    # excludes the range drops ALL its files with O(partitions x
-    # |bounds|) point gets — before the O(files) col-stats decode even
-    # starts (the Hudi 1.0 pruning ladder)
-    if partition_stats_available(base_path) and _index_group_instant(
-        os.path.join(base_path, HFILE_PARTITION_STATS_SUBDIR)
-    ) >= _index_group_instant(os.path.join(base_path, HFILE_COL_STATS_SUBDIR)):
-        by_part: dict[str, list[str]] = {}
-        for rel in rel_paths:
-            by_part.setdefault(os.path.dirname(rel), []).append(rel)
-        surviving: list[str] = []
-        for part, rels in by_part.items():
-            keep_part = True
-            for c in cols:
-                cs = lookup_partition_stats(base_path, part, c)
-                if not cs:
-                    continue  # unindexed partition: no information
-                lo, hi = bounds[c]
-                mn = coerce_hudi_wrapper_value(
-                    (cs.get("minValue") or {}).get("value"), dtypes[c]
-                )
-                mx = coerce_hudi_wrapper_value(
-                    (cs.get("maxValue") or {}).get("value"), dtypes[c]
-                )
-                if not stat_range_keeps(mn, mx, lo, hi):
-                    keep_part = False
-                    break
-            if keep_part:
-                surviving.extend(rels)
-        rel_paths = surviving
-        if not rel_paths:
-            return set()
-    if not hfile_col_stats_available(base_path):
-        return set(rel_paths)
+    # expected record keys per (file, column) under BOTH key modes (the
+    # index was written with one; foreign expected keys simply never
+    # match). None marks an AMBIGUOUS key — readable keys carry no
+    # partition, so same-basename files in different partitions collide
+    # and must both stay unpruned.
+    expect: dict[str, tuple[str, str] | None] = {}
+    for rel in rel_paths:
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        for c in cols:
+            for k in (col_stats_index_key(part, fname, c), col_stats_key(c, fname)):
+                prev = expect.get(k, "absent")
+                if prev == "absent":
+                    expect[k] = (rel, c)
+                elif prev is not None and prev[0] != rel:
+                    expect[k] = None
     stats = (
         hfile_stats_records(spark, base_path, schema)
         .filter(F.col("column_name").isin(cols) & ~F.col("is_deleted"))
-        .select("file_name", "column_name", "min_json", "max_json")
+        .select("record_key", "min_json", "max_json")
         .collect()
     )
-    by_file: dict[str, dict[str, tuple]] = {}
+    drop: set[str] = set()
     for r in stats:
-        by_file.setdefault(r["file_name"], {})[r["column_name"]] = (
-            r["min_json"],
-            r["max_json"],
-        )
-    kept = set()
-    for rel in rel_paths:
-        fname = os.path.basename(rel)
-        fstats = by_file.get(fname)
-        if fstats is None:
-            kept.add(rel)  # uncovered: no information, never drop
-            continue
-        drop = False
-        for c in cols:
-            if c not in fstats:
-                continue
-            lo, hi = bounds[c]
-            mn = decode_stat(fstats[c][0], dtypes[c])
-            mx = decode_stat(fstats[c][1], dtypes[c])
-            if not stat_range_keeps(mn, mx, lo, hi):
-                drop = True
-                break
-        if not drop:
-            kept.add(rel)
-    return kept
+        hit = expect.get(r["record_key"])
+        if not hit:
+            continue  # foreign or ambiguous key: no usable information
+        rel, c = hit
+        lo, hi = bounds[c]
+        mn = decode_stat(r["min_json"], dtypes[c])
+        mx = decode_stat(r["max_json"], dtypes[c])
+        if not stat_range_keeps(mn, mx, lo, hi):
+            drop.add(rel)
+    return set(rel_paths) - drop
 
 
 PARTITION_STATS_PARTITION = "partition_stats"

@@ -169,14 +169,12 @@ def _append_log(
             )
     version = len(existing) + 1
     records = sorted(records, key=lambda kv: kv[0])
+    # DELETE block FIRST: blocks replay in file order, so a key both
+    # tombstoned and re-written this commit (a file rewritten in place —
+    # one HFile mini-block cannot hold two cells for one key) resolves
+    # delete-then-fresh = REPLACED, never combined with its old stats
+    # and never dropped
     block = b""
-    if records or not delete_keys:
-        content = hfile_bytes(records, {"schema": json.dumps(schema).encode("utf-8")})
-        block = _block_bytes(
-            HFILE_DATA_BLOCK,
-            {H_INSTANT_TIME: instant, H_SCHEMA: json.dumps(schema)},
-            content,
-        )
     if delete_keys:
         wrapper = {
             "deleteRecordList": [
@@ -189,6 +187,13 @@ def _append_log(
             {H_INSTANT_TIME: instant, H_SCHEMA: DELETE_RECORD_LIST_SCHEMA},
             struct.pack(">ii", 1, len(blob)) + blob,
         )
+    if records or not delete_keys:
+        content = hfile_bytes(records, {"schema": json.dumps(schema).encode("utf-8")})
+        block += _block_bytes(
+            HFILE_DATA_BLOCK,
+            {H_INSTANT_TIME: instant, H_SCHEMA: json.dumps(schema)},
+            content,
+        )
     path = os.path.join(d, f".{file_id}_{base_instant}.log.{version}_{instant}")
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "wb") as fh:
@@ -197,9 +202,13 @@ def _append_log(
         os.link(tmp, path)
     except FileExistsError as exc:
         # a speculative duplicate attempt of the SAME commit lost the
-        # race to identical bytes — success; a different instant means a
-        # true concurrent writer — refuse
-        if os.path.basename(path).rpartition("_")[2] == instant:
+        # race to IDENTICAL bytes — success; different content at the
+        # same path means a true concurrent writer — refuse (content
+        # compare, not name compare: the colliding name always carries
+        # this instant by construction)
+        with open(path, "rb") as fh:
+            existing = fh.read()
+        if existing == block:
             return os.path.join(os.path.basename(d), os.path.basename(path)), len(block)
         raise RuntimeError(
             f"concurrent Hudi metadata-index log append at {path}"
@@ -309,7 +318,12 @@ def _commit_partition(
         rel, size = _write_base(d, file_id, instant, delta_records, record_schema)
         return rel, size, len(delta_records)
     rel, size = _append_log(d, base, instant, delta_records, delete_keys, record_schema)
-    logs_after = logs + [os.path.join(d, os.path.basename(rel.split(os.sep)[-1]))]
+    # re-list instead of appending: _append_log's idempotent early-return
+    # (task retries) must not double-count a log toward compact_every or
+    # feed compaction the same delta twice
+    from incubator_xtable_spark.sources.hudi_metadata import slice_log_files
+
+    logs_after = slice_log_files(d, base)
     if len(logs_after) >= compact_every:
         merged = _compacted_records(base, logs_after, combine_type3=combine_type3)
         rel, size = _write_base(d, file_id, instant, merged, record_schema)
@@ -711,11 +725,31 @@ def write_hfile_index_commit(
     dtypes = {f.name: f.dataType for f in schema.fields}
 
     # a file removed AND re-added at the same rel path in one commit is
-    # live: never emit a tombstone for it (a same-key tombstone after the
-    # fresh record would win the latest-wins merge and silently drop the
-    # live file's stats/bloom/listing)
+    # live: its stats must REPLACE the old file's (not combine with them
+    # under the type-3 stat merge, not drop). One HFile mini-block cannot
+    # hold a tombstone cell AND a fresh cell for the same key, so re-added
+    # paths tombstone through the log's DELETE block, which _append_log
+    # writes BEFORE the data block (delete-then-fresh replay = replace).
+    # The files partition keeps the plain filter: its per-partition map
+    # has one entry per file name, and the fresh add entry IS the
+    # replacement.
     added_paths = {a["rel_path"] for a in adds}
+    re_added = [r for r in removed_rel_paths if r in added_paths]
     removed_rel_paths = [r for r in removed_rel_paths if r not in added_paths]
+    cs_delete_keys: list[str] = []
+    for rel in re_added:
+        part, fname = os.path.dirname(rel), os.path.basename(rel)
+        for col in dtypes:
+            if key_mode == "hashed":
+                from incubator_xtable_spark.model.hudi_hash import col_stats_index_key
+
+                cs_delete_keys.append(col_stats_index_key(part, fname, col))
+            else:
+                from incubator_xtable_spark.model.hudi_metadata_records import (
+                    col_stats_key,
+                )
+
+                cs_delete_keys.append(col_stats_key(col, fname))
 
     # -- column_stats delta: tombstones per removed file, then fresh
     # records per add (tombstone-first also keeps any foreign same-key
@@ -765,7 +799,12 @@ def write_hfile_index_commit(
             )
     cs_dir = _partition_dir(base_path, COLUMN_STATS_PARTITION)
     cs_rel, cs_size, cs_n = _commit_partition(
-        cs_dir, COL_STATS_FILE_ID, instant, cs_records, compact_every
+        cs_dir,
+        COL_STATS_FILE_ID,
+        instant,
+        cs_records,
+        compact_every,
+        delete_keys=cs_delete_keys or None,
     )
 
     # -- files delta: per-partition mutation records --------------------

@@ -182,11 +182,19 @@ def write_partition_statistics(spark, base_path: str) -> str:
     table = src.get_current_table()
     dtype_by_name = {f.name: f.dataType for f in table.read_schema.fields}
     casters = {}
+    cur_schema = next(
+        (
+            s
+            for s in meta.get("schemas", [])
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        (meta.get("schemas") or [{}])[-1],
+    )
     for pf in spec.get("fields", []):
         if (pf.get("transform") or "identity") != "identity":
             continue
         schema_field = next(
-            (f for f in meta.get("schemas", [{}])[-1].get("fields", []) if f.get("id") == pf.get("source-id")),
+            (f for f in cur_schema.get("fields", []) if f.get("id") == pf.get("source-id")),
             None,
         )
         src_name = schema_field.get("name") if schema_field else pf["name"]

@@ -294,34 +294,15 @@ def test_hashed_point_lookups_resolve_byte_equal_to_footers(spark, table_dir):
     """VERDICT r8 #1 done-criterion: the written index resolves stats via
     real Hudi's HASHED point-lookup keys (getColumnStatsIndexKey), and the
     served payloads re-encode byte-equal to the footer tier."""
-    import datetime as dt
-    import decimal
-
-    from pyspark.sql import types as T
-
     from incubator_xtable_spark.model.stat_codec import decode_stat, encode_stat
-    from incubator_xtable_spark.sources.hudi_metadata import lookup_col_stats_record
+    from incubator_xtable_spark.sources.hudi_metadata import (
+        coerce_hudi_wrapper_value as _coerce,
+        lookup_col_stats_record,
+    )
 
     _sync(spark, table_dir)
     listing, schema, footers = _footer_stats_map(spark, table_dir)
     dtypes = {f.name: f.dataType for f in schema.fields}
-
-    def _coerce(v, dtype):
-        # the Hudi wrapper plain representations -> Spark-typed values
-        # (same normalization the bulk read tier applies)
-        if v is None:
-            return None
-        if isinstance(dtype, T.DateType) and isinstance(v, int):
-            return dt.date(1970, 1, 1) + dt.timedelta(days=v)
-        if isinstance(dtype, T.TimestampType) and isinstance(v, int):
-            return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
-                microseconds=v
-            )
-        if isinstance(dtype, T.TimestampNTZType) and isinstance(v, int):
-            return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
-        if isinstance(dtype, T.DecimalType) and isinstance(v, decimal.Decimal):
-            return v.quantize(decimal.Decimal(1).scaleb(-dtype.scale))
-        return v
 
     n_probed = 0
     for r in footers.collect():
@@ -492,3 +473,46 @@ def test_hashed_and_readable_key_modes_serve_identical_stats(spark, table_dir):
     )
     readable = _stats_by_path(stats_with_hfile_tier(spark, table_dir, listing, schema))
     assert hashed == readable == _stats_by_path(footers)
+
+
+def test_same_commit_rewrite_replaces_stats_not_combines(tmp_path):
+    """A file removed AND re-added at the same rel path in ONE commit (an
+    in-place rewrite) must serve the NEW stats afterwards — under the
+    r9 type-3 stat COMBINE, a bare fresh record would merge with the old
+    one (summed counts, unioned min/max), so the writer tombstones the
+    key through the log's DELETE block, which replays BEFORE the data
+    block (delete-then-fresh = replace)."""
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.sources.hudi_metadata import (
+        lookup_col_stats_record,
+    )
+    from incubator_xtable_spark.targets.hudi_metadata_index import (
+        write_hfile_index_commit,
+    )
+
+    base = str(tmp_path / "tab")
+    os.makedirs(base, exist_ok=True)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    add_v1 = {
+        "rel_path": "a.parquet",
+        "size_bytes": 100,
+        "record_count": 100,
+        "column_stats": {"id": {"min_json": "0", "max_json": "9", "null_count": 1}},
+    }
+    write_hfile_index_commit(base, "00000000000001000", [add_v1], [], schema, "t")
+    add_v2 = {
+        "rel_path": "a.parquet",
+        "size_bytes": 50,
+        "record_count": 50,
+        "column_stats": {"id": {"min_json": "100", "max_json": "199", "null_count": 0}},
+    }
+    # in-place rewrite: the SAME path appears in removed AND adds
+    write_hfile_index_commit(
+        base, "00000000000002000", [add_v2], ["a.parquet"], schema, "t"
+    )
+    rec = lookup_col_stats_record(base, "", "a.parquet", "id")
+    cs = rec["ColumnStatsMetadata"]
+    assert cs["valueCount"] == 50, "combined (150) would mean the tombstone was lost"
+    assert cs["nullCount"] == 0
+    assert cs["minValue"] == {"value": 100} and cs["maxValue"] == {"value": 199}

@@ -272,3 +272,97 @@ def test_prune_refuses_mor_snapshot_mode(spark, tmp_path):
     d = _pruned_table(spark, tmp_path)
     with pytest.raises(ValueError, match="read_optimized"):
         read_hudi_as_df(spark, d, mode="snapshot", prune={"id": (1, 2)})
+
+
+def test_prune_keeps_file_whose_footer_lacks_column_stats(spark, tmp_path):
+    """Safety: a file whose parquet footer carries NO statistics for the
+    predicate column has no usable index entry — it must survive every
+    prune (its rows could be anywhere in the domain)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    d = str(tmp_path / "nostats_tab")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array(range(100), pa.int64()), "label": ["x"] * 100}),
+        os.path.join(d, "covered.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array(range(120, 160), pa.int64()), "label": ["y"] * 40}),
+        os.path.join(d, "uncovered.parquet"),
+        write_statistics=False,
+    )
+    target = HudiConversionTarget(
+        spark, d, table_name="ns", metadata_index_format="hfile"
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="ns"), {TableFormat.HUDI: target}
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    rels = [r["path"] for r in live_files_rows(d) if r["path"]]
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    kept = prune_files_by_col_stats(spark, d, rels, schema, {"id": (500, 600)})
+    # the covered file provably excludes [500,600]; the stats-less file
+    # must survive even though its rows also miss the range
+    assert kept == {r for r in rels if "uncovered" in r}
+
+
+def test_prune_duplicate_basenames_never_cross_serve(spark, tmp_path):
+    """Safety: two partitions carrying the SAME file base name must never
+    serve each other's stats — the hashed record keys carry the
+    partition, and the pruner matches on keys, not names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import (
+        InternalPartitionField,
+        SyncStatusCode,
+        TableFormat,
+    )
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    d = str(tmp_path / "dup_names")
+    for b, (lo, hi) in [(0, (0, 99)), (1, (100, 199))]:
+        os.makedirs(os.path.join(d, f"bucket={b}"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": ["x"] * (hi - lo + 1),
+                }
+            ),
+            os.path.join(d, f"bucket={b}", "data.parquet"),  # SAME basename
+        )
+    target = HudiConversionTarget(
+        spark, d, table_name="dup", metadata_index_format="hfile"
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="dup", partition_fields=[InternalPartitionField("bucket")]
+        ),
+        {TableFormat.HUDI: target},
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    rels = [r["path"] for r in live_files_rows(d) if r["path"]]
+    assert len({os.path.basename(r) for r in rels}) == 1  # basenames collide
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    # range only bucket=0 holds: bucket=1's file must drop, bucket=0 stay
+    kept = prune_files_by_col_stats(spark, d, rels, schema, {"id": (0, 50)})
+    assert kept == {r for r in rels if r.startswith("bucket=0/")}

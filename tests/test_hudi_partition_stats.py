@@ -233,7 +233,7 @@ def _partitioned_hudi(spark, tmp_path, partition_stats=True):
     return d
 
 
-def test_partition_level_prune_drops_whole_partitions(spark, tmp_path):
+def test_prune_across_partitions_via_hashed_keys(spark, tmp_path):
     from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
     from incubator_xtable_spark.sources.hudi_source import (
         HudiConversionSource,
@@ -250,11 +250,12 @@ def test_partition_level_prune_drops_whole_partitions(spark, tmp_path):
     assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (5000, None)}) == set()
 
 
-def test_stale_partition_stats_index_skips_partition_pass(spark, tmp_path):
+def test_prune_unaffected_by_stale_partition_stats(spark, tmp_path):
     """A commit written while partition_stats was OFF leaves the
-    partition-level index BEHIND the col-stats group; the pruner must
-    detect the lag and fall through to file-level stats only — never
-    dropping files the stale aggregate missed."""
+    partition-level aggregate stale; pruning decisions come from
+    file-level col-stats keyed records only (the partition_stats
+    aggregate is deliberately not a dropper — see
+    prune_files_by_col_stats), so the new file always survives."""
     import time
 
     import pyarrow as pa
