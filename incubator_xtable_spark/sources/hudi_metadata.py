@@ -39,6 +39,7 @@ import os
 import shutil
 import uuid
 from struct import error as struct_error
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -374,13 +375,22 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
 
 
 def file_stats_from_hfile_index(
-    spark: SparkSession, base_path: str, schema: T.StructType
+    spark: SparkSession,
+    base_path: str,
+    schema: T.StructType,
+    exclude_file_names: Optional[set] = None,
 ) -> DataFrame:
     """Pivot the decoded HFile records into (file_name, record_count,
     column_stats) — the REAL-Hudi twin of file_stats_from_index, keyed by
-    file NAME (Hudi file names are uuid-unique; the payload carries no
-    partition path)."""
+    file NAME (Hudi-native file names are uuid-unique; the payload
+    carries no partition path). ``exclude_file_names``: base names the
+    caller knows are AMBIGUOUS (the same name under several partitions —
+    possible on converted parquet-dir layouts) — their records are
+    dropped here so they route to the footer tier instead of
+    cross-serving or colliding in the stats map."""
     recs = hfile_stats_records(spark, base_path, schema).filter(~F.col("is_deleted"))
+    if exclude_file_names:
+        recs = recs.filter(~F.col("file_name").isin(sorted(exclude_file_names)))
     stat_struct = F.struct(
         F.col("min_json").alias("min_json"),
         F.col("max_json").alias("max_json"),
@@ -416,9 +426,26 @@ def stats_with_hfile_tier(
     from incubator_xtable_spark.sources.parquet_source import footer_stats
 
     paths = listing.select("physical_path")
-    idx = file_stats_from_hfile_index(spark, base_path, schema)
+    # base names shared by several listed paths are ambiguous for the
+    # name-keyed join — exclude them from the index tier (they fall to
+    # footers below) so one partition's stats can never serve another's
+    named = paths.withColumn("file_name", _basename(F.col("physical_path")))
+    dup_names = {
+        r["file_name"]
+        for r in named.groupBy("file_name").count().filter(F.col("count") > 1).collect()
+    }
+    if dup_names:
+        log.warning(
+            "%d duplicate file base name(s) across partitions in %s; the "
+            "name-keyed HFile stats tier serves footer stats for those files",
+            len(dup_names),
+            base_path,
+        )
+    idx = file_stats_from_hfile_index(
+        spark, base_path, schema, exclude_file_names=dup_names or None
+    )
     covered = (
-        paths.withColumn("file_name", _basename(F.col("physical_path")))
+        named
         .join(idx, "file_name")
         .select("physical_path", "record_count", "column_stats")
     )
@@ -764,12 +791,14 @@ def prune_files_by_col_stats(
     Files without index coverage (or with null mins/maxes, or when the
     hfile col-stats partition is absent/undecodable) are KEPT, and the
     match keys on the RECORD KEY — hashed
-    ColumnIndexID+PartitionIndexID+FileIndexID (or the readable
-    ``<col>;;<file>`` spelling) — never on the bare file name, so two
-    partitions carrying the same base name can never serve each other's
-    stats. A readable key claimed by two candidate files is ambiguous
-    and keeps both. Pruning is a plan-time optimization — callers still
-    apply the real row filter.
+    ColumnIndexID+PartitionIndexID+FileIndexID (or, for UNPARTITIONED
+    listings only, the readable ``<col>;;<file>`` spelling: readable
+    keys carry no partition, so on partitioned tables a same-named file
+    OUTSIDE this listing — another partition, another as-of version —
+    could own the matched record; hashed keys are trusted everywhere) —
+    never on the bare file name, so two partitions carrying the same
+    base name can never serve each other's stats. Pruning is a
+    plan-time optimization — callers still apply the real row filter.
 
     The partition_stats index is deliberately NOT used to drop whole
     partitions here: its aggregate only covers files whose footers
@@ -786,7 +815,6 @@ def prune_files_by_col_stats(
         return set(rel_paths)
     if not hfile_col_stats_available(base_path):
         return set(rel_paths)
-    from incubator_xtable_spark.model.hudi_hash import col_stats_index_key
     from incubator_xtable_spark.model.hudi_metadata_records import col_stats_key
     from incubator_xtable_spark.model.stat_codec import decode_stat, stat_range_keeps
 
@@ -796,19 +824,31 @@ def prune_files_by_col_stats(
         return set(rel_paths)
     # expected record keys per (file, column) under BOTH key modes (the
     # index was written with one; foreign expected keys simply never
-    # match). None marks an AMBIGUOUS key — readable keys carry no
-    # partition, so same-basename files in different partitions collide
-    # and must both stay unpruned.
-    expect: dict[str, tuple[str, str] | None] = {}
+    # match). Hashed keys carry the partition and are always safe;
+    # READABLE keys (<col>;;<file>) carry no partition, so they are only
+    # trusted on UNPARTITIONED listings — on a partitioned table a
+    # same-named file outside this listing (other partition, other
+    # as-of version) could own the matched record.
+    from incubator_xtable_spark.model.hudi_hash import (
+        column_index_id,
+        file_index_id,
+        partition_identifier,
+        partition_index_id,
+    )
+
+    col_ids = {c: column_index_id(c) for c in cols}
+    part_ids: dict[str, str] = {}
+    unpartitioned = all(os.path.dirname(rel) == "" for rel in rel_paths)
+    expect: dict[str, tuple[str, str]] = {}
     for rel in rel_paths:
         part, fname = os.path.dirname(rel), os.path.basename(rel)
+        if part not in part_ids:
+            part_ids[part] = partition_index_id(partition_identifier(part))
+        fid = file_index_id(fname)
         for c in cols:
-            for k in (col_stats_index_key(part, fname, c), col_stats_key(c, fname)):
-                prev = expect.get(k, "absent")
-                if prev == "absent":
-                    expect[k] = (rel, c)
-                elif prev is not None and prev[0] != rel:
-                    expect[k] = None
+            expect[col_ids[c] + part_ids[part] + fid] = (rel, c)
+            if unpartitioned:
+                expect[col_stats_key(c, fname)] = (rel, c)
     stats = (
         hfile_stats_records(spark, base_path, schema)
         .filter(F.col("column_name").isin(cols) & ~F.col("is_deleted"))

@@ -366,3 +366,74 @@ def test_prune_duplicate_basenames_never_cross_serve(spark, tmp_path):
     # range only bucket=0 holds: bucket=1's file must drop, bucket=0 stay
     kept = prune_files_by_col_stats(spark, d, rels, schema, {"id": (0, 50)})
     assert kept == {r for r in rels if r.startswith("bucket=0/")}
+
+
+def test_stats_tier_serves_duplicate_basenames_via_footers(spark, tmp_path):
+    """The name-keyed HFile stats tier cannot disambiguate two partitions
+    sharing a file base name — those files must route to the footer
+    fallback (same values, no DUPLICATED_MAP_KEY crash, no
+    cross-serving), while uniquely-named files stay on the index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import (
+        InternalPartitionField,
+        SyncStatusCode,
+        TableFormat,
+    )
+    from incubator_xtable_spark.sources.hudi_metadata import stats_with_hfile_tier
+    from incubator_xtable_spark.sources.hudi_source import HudiConversionSource
+    from incubator_xtable_spark.sources.parquet_source import (
+        ParquetConversionSource,
+        footer_stats,
+    )
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    d = str(tmp_path / "dup_stats")
+    for b, (lo, hi) in [(0, (0, 99)), (1, (100, 199))]:
+        os.makedirs(os.path.join(d, f"bucket={b}"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": ["x"] * (hi - lo + 1),
+                }
+            ),
+            os.path.join(d, f"bucket={b}", "data.parquet"),
+        )
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="ds", partition_fields=[InternalPartitionField("bucket")]
+        ),
+        {
+            TableFormat.HUDI: HudiConversionTarget(
+                spark, d, table_name="ds", metadata_index_format="hfile"
+            )
+        },
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    from pyspark.sql import types as ST
+
+    src = HudiConversionSource(spark, d)
+    table = src.get_current_table()
+    schema = ST.StructType(
+        [f for f in table.read_schema.fields if f.name != "bucket"]
+    )
+    listing = spark.createDataFrame(
+        [(os.path.join(d, f"bucket={b}", "data.parquet"),) for b in (0, 1)],
+        "physical_path STRING",
+    )
+    served = stats_with_hfile_tier(spark, d, listing, schema)
+    truth = footer_stats(spark, listing, schema)
+    by_path = lambda df: {
+        r["physical_path"]: (
+            r["record_count"],
+            {c: (s["min_json"], s["max_json"]) for c, s in (r["column_stats"] or {}).items()},
+        )
+        for r in df.collect()
+    }
+    got, want = by_path(served), by_path(truth)
+    assert got == want
+    # the two files genuinely differ — cross-serving would equalize them
+    assert len({v for v in (tuple(sorted(s.items())) for _, s in got.values())}) == 2

@@ -166,6 +166,9 @@ def test_target_opt_in_advertises_partition(tmp_path, spark):
     assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS, res[TableFormat.HUDI].error
     props = read_properties(d)
     assert "partition_stats" in (props.get("hoodie.table.metadata.partitions") or "")
+    from incubator_xtable_spark.sources.hudi_metadata import partition_stats_available
+
+    assert partition_stats_available(d)
     cs = lookup_partition_stats(d, "", "id")
     assert cs is not None and cs["valueCount"] == 3
     assert cs["minValue"] == {"value": 1} and cs["maxValue"] == {"value": 3}
