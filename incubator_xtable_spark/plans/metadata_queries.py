@@ -289,8 +289,11 @@ def meta_prune_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="xt_prune_")
     # nation is 25 fixed rows — stage the three range-bucketed files
-    # driver-side with pyarrow (one collect, zero Spark write jobs; the
-    # bench pays conversion + pruned read, not shuffle-stage startup)
+    # driver-side with pyarrow. This is the registry's ONE deliberate
+    # .collect(): nation is a fixed 25-row table at every SF, so this is
+    # fixture STAGING (like the streaming query's file staging), not a
+    # data path — zero Spark write jobs; the bench pays conversion +
+    # pruned read, not shuffle-stage startup.
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
