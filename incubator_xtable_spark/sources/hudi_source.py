@@ -901,13 +901,25 @@ def read_hudi_as_df(
     O(metadata) instead of O(files) I/O). Safe: uncovered files are
     kept, and pruning never replaces the row filter — apply `.filter`
     on the result for exact semantics. read_optimized only (a MOR log
-    overlay could resurrect pruned keys)."""
+    overlay could resurrect pruned keys), HEAD only (the column_stats
+    index replays to its latest state, and its hashed record keys are
+    version-agnostic per rel path — an as-of read would prune an OLD
+    file version against the NEW version's bounds and could silently
+    drop matching rows)."""
     include_logs = mode == "snapshot"
     if prune and include_logs:
         raise ValueError(
             "read_hudi_as_df: prune= requires mode='read_optimized' "
             "(MOR log overlays can add rows the base-file index "
             "doesn't cover)"
+        )
+    if prune and as_of_instant is not None:
+        raise ValueError(
+            "read_hudi_as_df: prune= cannot combine with as_of_instant "
+            "(the column_stats index reflects HEAD state and its keys "
+            "are version-agnostic per path — in-place rewrites would "
+            "prune the as-of file version against the new version's "
+            "bounds). Time-travel reads must scan unpruned."
         )
     if include_logs and as_of_instant is None:
         # bound head reads at the latest COMPLETED instant: a writer may

@@ -70,13 +70,19 @@ def read_orc_rows(
             for path in pdf_in["path"]:
                 f = orc.ORCFile(path)
                 present = [n for n in names if n in f.schema.names]
+                # when NONE of the requested columns exist, reading
+                # columns=[] would return 0-row tables and the file's
+                # rows would silently vanish (desyncing DV ordinals);
+                # read one physical column purely for cardinality — the
+                # pdf[names] projection below drops it again
+                read_cols = present or list(f.schema.names[:1])
                 offset = 0
                 n_stripes = f.nstripes
                 for i in range(max(1, n_stripes)):
                     if n_stripes == 0:
-                        tbl = f.read(columns=present)
+                        tbl = f.read(columns=read_cols)
                     else:
-                        tbl = f.read_stripe(i, columns=present)
+                        tbl = f.read_stripe(i, columns=read_cols)
                     pdf = tbl.to_pandas()
                     for n in names:
                         if n not in pdf.columns:

@@ -306,11 +306,16 @@ def _commit_partition(
     delete_keys: list[str] | None = None,
     record_schema: dict | None = None,
     combine_type3: bool = False,
+    full_state_fn=None,
 ) -> tuple[str, int, int]:
     """One metadata file group's write for one commit: first commit -> base
     HFile; later commits -> one delta log file (+DELETE_BLOCK tombstones);
     every ``compact_every`` logs -> merge base+logs (including this
     commit's delta) into a new full-state base.
+    ``full_state_fn`` (optional, no-arg): called ONLY at compaction; a
+    non-None return replaces the fold entirely — the hook partition_stats
+    uses to re-tighten its accumulated aggregates from live col_stats
+    (falling back to the fold when it returns None).
     -> (rel path written, size, record count)."""
     base, logs = _slice_state(d, file_id)
     if base is None:
@@ -325,7 +330,9 @@ def _commit_partition(
 
     logs_after = slice_log_files(d, base)
     if len(logs_after) >= compact_every:
-        merged = _compacted_records(base, logs_after, combine_type3=combine_type3)
+        merged = full_state_fn() if full_state_fn is not None else None
+        if merged is None:
+            merged = _compacted_records(base, logs_after, combine_type3=combine_type3)
         rel, size = _write_base(d, file_id, instant, merged, record_schema)
         return rel, size, len(merged)
     return rel, size, len(delta_records)
@@ -626,6 +633,136 @@ PARTITION_STATS_PARTITION = "partition_stats"
 PARTITION_STATS_FILE_ID = "partition-stats-0000-0"
 
 
+def _rebuilt_partition_stats_state(
+    base_path: str,
+    adds: list[dict],
+    removed_rel_paths: list[str],
+    schema: T.StructType,
+    key_mode: str,
+) -> list[tuple[bytes, bytes]] | None:
+    """EXACT full-state partition_stats records recomputed from the live
+    ``files`` + ``column_stats`` indexes (state as of the previous
+    commit — both tombstone correctly on rewrites) plus THIS commit's
+    in-hand delta — the compaction-time re-tightening that undoes the
+    delta path's conservative drift (deletes leave stale contributions,
+    in-place rewrites double-count; see write_partition_stats_commit).
+    Returns None whenever an exact rebuild cannot be guaranteed (either
+    index base missing/undecodable, or readable keys with ambiguous
+    duplicate base names) — the caller then falls back to the plain
+    combine fold, which is conservative but never wrong for pruning.
+
+    Scale: driver-side over METADATA state (live files x columns), the
+    same order as one files-index compaction; no data file opens."""
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        ALL_PARTITIONS_KEY,
+        NON_PARTITIONED_NAME,
+        _unwrap_stat,
+        col_stats_key,
+        merged_metadata_slice_records,
+        partition_stats_record,
+    )
+    from incubator_xtable_spark.sources.hudi_metadata import (
+        coerce_hudi_wrapper_value,
+    )
+
+    if key_mode not in ("hashed", "readable"):
+        return None
+    cs_base, cs_logs = _slice_state(
+        _partition_dir(base_path, COLUMN_STATS_PARTITION), COL_STATS_FILE_ID
+    )
+    f_base, f_logs = _slice_state(
+        _partition_dir(base_path, FILES_PARTITION), FILES_FILE_ID
+    )
+    if cs_base is None or f_base is None:
+        return None
+    try:
+        files_state = merged_metadata_slice_records(f_base, f_logs)
+        cs_state = {
+            k: rec.get("ColumnStatsMetadata") or {}
+            for k, rec in merged_metadata_slice_records(cs_base, cs_logs)
+            if rec.get("type") == 3
+            and not (rec.get("ColumnStatsMetadata") or {}).get("isDeleted")
+        }
+    except Exception:  # foreign/undecodable slice: fold instead
+        return None
+
+    removed = set(removed_rel_paths)
+    add_paths = {a["rel_path"] for a in adds}
+    # (partition, file name) pairs live as of AFTER this commit: the
+    # index's live files minus this commit's removes, adds layered on
+    # top from the in-hand stats (re-adds therefore REPLACE)
+    live: list[tuple[str, str]] = []
+    for key, rec in files_state:
+        if key == ALL_PARTITIONS_KEY or rec.get("type") not in (1, 2):
+            continue
+        part = "" if key == NON_PARTITIONED_NAME else key
+        for fname in (rec.get("filesystemMetadata") or {}):
+            rel = f"{part}/{fname}" if part else fname
+            if rel in removed or rel in add_paths:
+                continue
+            live.append((part, fname))
+    if key_mode == "readable":
+        # readable col_stats keys carry no partition: duplicate base
+        # names across partitions would cross-serve stats — bail
+        names = [fname for _, fname in live]
+        if len(names) != len(set(names)):
+            return None
+
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    # (partition, column) -> [min, max, value_count, null_count]
+    agg: dict[tuple[str, str], list] = {}
+
+    def _fold(part: str, col: str, mn, mx, vc: int, nc: int) -> None:
+        cur = agg.setdefault((part, col), [None, None, 0, 0])
+        if mn is not None and (cur[0] is None or mn < cur[0]):
+            cur[0] = mn
+        if mx is not None and (cur[1] is None or mx > cur[1]):
+            cur[1] = mx
+        cur[2] += vc
+        cur[3] += nc
+
+    for part, fname in live:
+        for col, dtype in dtypes.items():
+            if key_mode == "hashed":
+                from incubator_xtable_spark.model.hudi_hash import col_stats_index_key
+
+                key = col_stats_index_key(part, fname, col)
+            else:
+                key = col_stats_key(col, fname)
+            cs = cs_state.get(key)
+            if cs is None:
+                # no stats for this (file, column) — same as the delta
+                # path, which only aggregates columns the add carried
+                continue
+            _fold(
+                part,
+                col,
+                coerce_hudi_wrapper_value(_unwrap_stat(cs.get("minValue")), dtype),
+                coerce_hudi_wrapper_value(_unwrap_stat(cs.get("maxValue")), dtype),
+                int(cs.get("valueCount") or 0),
+                int(cs.get("nullCount") or 0),
+            )
+    for a in adds:
+        part = os.path.dirname(a["rel_path"])
+        n = int(a.get("record_count") or 0)
+        for col, st in (a.get("column_stats") or {}).items():
+            dtype = dtypes.get(col)
+            if dtype is None:
+                continue
+            _fold(
+                part,
+                col,
+                decode_stat(st["min_json"], dtype),
+                decode_stat(st["max_json"], dtype),
+                n,
+                int(st["null_count"] or 0),
+            )
+    return [
+        partition_stats_record(part, col, mn, mx, dtypes[col], vc, nc)
+        for (part, col), (mn, mx, vc, nc) in sorted(agg.items())
+    ]
+
+
 def write_partition_stats_commit(
     base_path: str,
     instant: str,
@@ -634,6 +771,7 @@ def write_partition_stats_commit(
     schema: T.StructType,
     *,
     compact_every: int = DEFAULT_COMPACT_EVERY,
+    key_mode: str = "hashed",
 ) -> list[tuple[str, str, str, int, int]]:
     """Maintain the ``partition_stats`` metadata partition (Hudi 1.0's
     partition-pruning index, beyond the reference) for one commit: ONE
@@ -641,13 +779,19 @@ def write_partition_stats_commit(
     commit's aggregate over its added files — real Hudi's shape, where
     the HoodieMetadataPayload stat COMBINE accumulates records for the
     same key across commits (min of mins, max of maxes, summed counts).
-    Compaction folds same-key records with the same combine
-    (combine_type3=True).
 
-    Deletes (``removed_rel_paths``): bounds and counts stay as written —
-    they become CONSERVATIVE upper bounds (real Hudi's pre-compaction
-    isTightBound=false posture). Pruning on a superset range is always
-    safe; counts may over-state after deletes until a full resync.
+    Deltas drift CONSERVATIVE between compactions (real Hudi's
+    pre-compaction isTightBound=false posture): deletes
+    (``removed_rel_paths``) leave the dead files' bounds/counts in the
+    aggregate, and an IN-PLACE REWRITE of an existing rel path adds the
+    new version's stats while the old contribution stays — counts
+    over-state and bounds widen. Pruning on a superset range is always
+    safe. COMPACTION re-tightens: every ``compact_every`` commits the
+    full state is REBUILT exactly from the live files + col_stats
+    indexes (which do tombstone rewrites) via
+    _rebuilt_partition_stats_state, falling back to the plain combine
+    fold (conservative, combine_type3=True) when an exact rebuild
+    cannot be guaranteed.
 
     Scale: driver-side pure python over the commit's OWN adds (metadata
     delta, never table state); per-commit cost O(touched partitions x
@@ -690,6 +834,9 @@ def write_partition_stats_commit(
         records,
         compact_every,
         combine_type3=True,
+        full_state_fn=lambda: _rebuilt_partition_stats_state(
+            base_path, adds, removed_rel_paths, schema, key_mode
+        ),
     )
     return [(PARTITION_STATS_PARTITION, PARTITION_STATS_FILE_ID, rel, size, n)]
 

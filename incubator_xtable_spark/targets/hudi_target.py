@@ -485,6 +485,7 @@ class HudiConversionTarget:
                     hfile_removed,
                     self._schema,
                     compact_every=self.metadata_index_compact_every,
+                    key_mode=self.metadata_index_key_mode,
                 )
             write_hfile_index_commit(
                 self.base_path,

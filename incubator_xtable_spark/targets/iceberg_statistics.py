@@ -176,6 +176,17 @@ def write_partition_statistics(spark, base_path: str) -> str:
         {"fields": []},
     )
     part_fields = [pf["name"] for pf in spec.get("fields", [])]
+    if not part_fields:
+        # parquet cannot store a zero-field struct (the unified partition
+        # type of an unpartitioned table), and a partition-stats file for
+        # an unpartitioned table carries no information a snapshot
+        # summary doesn't — refuse loudly instead of crashing inside
+        # pq.write_table with ArrowNotImplementedError
+        raise ValueError(
+            "write_partition_statistics: table's default partition spec "
+            f"has no partition fields (unpartitioned table at {base_path!r}) "
+            "— partition statistics are only defined for partitioned tables"
+        )
     # identity-transform values type by the SOURCE column (the unified
     # partition type); non-identity transform values keep their
     # spec-native manifest representation (ints for time transforms)

@@ -142,3 +142,21 @@ def test_paimon_prune_skips_disjoint_files(spark, tmp_path):
     assert len(read_paimon_as_df(spark, d, prune={"nope": (1, 2)}).inputFiles()) == 3
     empty = read_paimon_as_df(spark, d, prune={"id": (1000, None)})
     assert empty.count() == 0 and "id" in empty.columns
+
+
+def test_hudi_prune_refuses_time_travel(spark):
+    """prune= + as_of_instant must refuse: the column_stats index
+    replays to HEAD and its hashed keys are version-agnostic per rel
+    path, so an as-of read would prune the OLD file version against the
+    NEW version's bounds (silent row loss on in-place rewrites)."""
+    import pytest
+
+    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
+
+    with pytest.raises(ValueError, match="as_of_instant"):
+        read_hudi_as_df(
+            spark,
+            "/nonexistent/never-touched",
+            as_of_instant="00000000000001000",
+            prune={"id": (1, 2)},
+        )

@@ -119,6 +119,109 @@ def test_delete_keeps_conservative_bounds(tmp_path):
     assert cs["minValue"] == {"value": 3} and cs["maxValue"] == {"value": 9}
 
 
+def _commit_with_indexes(base, instant, adds, removed=(), compact_every=1):
+    """Mimic the target's per-commit order: partition_stats delta FIRST
+    (reads the previous commit's col_stats/files state at compaction),
+    then the col_stats + files index commit."""
+    from incubator_xtable_spark.targets.hudi_metadata_index import (
+        write_hfile_index_commit,
+    )
+
+    out = write_partition_stats_commit(
+        base, instant, adds, list(removed), SCHEMA, compact_every=compact_every
+    )
+    write_hfile_index_commit(
+        base,
+        instant,
+        adds,
+        list(removed),
+        SCHEMA,
+        "ps_retighten",
+        compact_every=compact_every,
+        extra_stats=out,
+    )
+    return out
+
+
+def test_compaction_retightens_after_inplace_rewrite(tmp_path):
+    """An in-place rewrite (same rel path removed AND re-added) leaves a
+    double-counted, widened delta aggregate — compaction must REBUILD
+    the partition aggregate from the live col_stats/files indexes so the
+    new version's stats fully REPLACE the old contribution."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    _commit_with_indexes(
+        base,
+        "00000000000001000",
+        [
+            _add("p=1/a.parquet", 10, 3, 9, "aa", "cc", nulls=1),
+            _add("p=1/b.parquet", 5, 1, 4, "bb", "zz"),
+        ],
+    )
+    # rewrite a.parquet in place: 4 rows, id 100..200 — compact_every=1
+    # fires a partition_stats compaction on this very commit
+    _commit_with_indexes(
+        base,
+        "00000000000002000",
+        [_add("p=1/a.parquet", 4, 100, 200, "dd", "ee")],
+        removed=["p=1/a.parquet"],
+    )
+    cs = lookup_partition_stats(base, "p=1", "id")
+    # tight: b.parquet (1..4, 5 rows) + new a.parquet (100..200, 4 rows);
+    # the combine fold would have kept min=1/max=200 but valueCount 19
+    assert cs["valueCount"] == 9, cs
+    assert cs["nullCount"] == 0
+    assert cs["minValue"] == {"value": 1} and cs["maxValue"] == {"value": 200}
+    lab = lookup_partition_stats(base, "p=1", "label")
+    assert lab["minValue"] == {"value": "bb"} and lab["maxValue"] == {"value": "zz"}
+
+
+def test_compaction_retightens_after_delete(tmp_path):
+    """A plain delete leaves the dead file's contribution until
+    compaction rebuilds from the live indexes; a partition whose last
+    file died disappears from the aggregate entirely."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    _commit_with_indexes(
+        base,
+        "00000000000001000",
+        [
+            _add("p=1/a.parquet", 10, 3, 9, "aa", "cc"),
+            _add("p=2/c.parquet", 7, 100, 200, "mm", "nn"),
+        ],
+    )
+    _commit_with_indexes(
+        base,
+        "00000000000002000",
+        [_add("p=1/b.parquet", 2, 5, 6, "dd", "ee")],
+        removed=["p=2/c.parquet"],
+    )
+    cs = lookup_partition_stats(base, "p=1", "id")
+    assert cs["valueCount"] == 12
+    assert cs["minValue"] == {"value": 3} and cs["maxValue"] == {"value": 9}
+    # p=2 lost its only file: the rebuilt state drops the key entirely
+    assert lookup_partition_stats(base, "p=2", "id") is None
+
+
+def test_compaction_falls_back_to_fold_without_indexes(tmp_path):
+    """Standalone partition_stats (no col_stats/files partitions on
+    disk): compaction keeps the conservative combine fold — rewrites
+    stay double-counted, proving the fallback (not the rebuild) ran."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    _commit(base, "00000000000001000", [_add("p=1/a.parquet", 10, 3, 9, "aa", "cc")], compact_every=1)
+    _commit(
+        base,
+        "00000000000002000",
+        [_add("p=1/a.parquet", 4, 100, 200, "dd", "ee")],
+        removed=["p=1/a.parquet"],
+        compact_every=1,
+    )
+    cs = lookup_partition_stats(base, "p=1", "id")
+    assert cs["valueCount"] == 14  # conservative: old + new both counted
+    assert cs["minValue"] == {"value": 3} and cs["maxValue"] == {"value": 200}
+
+
 def test_key_scheme_is_hashed_and_column_contiguous(tmp_path):
     from incubator_xtable_spark.model.hudi_hash import (
         column_index_id,

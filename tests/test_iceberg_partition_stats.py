@@ -162,3 +162,22 @@ def test_retention_drops_expired_snapshot_partition_stats(spark, tmp_path):
     assert all(s["snapshot-id"] != old_sid for s in meta.get("snapshots", []))
     assert meta.get("partition-statistics", []) == []
     assert not os.path.exists(p1)
+
+
+def test_unpartitioned_table_refuses_loudly(spark, tmp_path):
+    """Partition statistics on an UNPARTITIONED table: the unified
+    partition type is a zero-field struct parquet cannot store — the
+    public API must refuse with a clear message, not crash inside
+    pyarrow with ArrowNotImplementedError."""
+    base = str(tmp_path / "ice_flat")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").write.parquet(base)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, base, name="nation"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="nation")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    with pytest.raises(ValueError, match="unpartitioned"):
+        write_partition_statistics(spark, base)
+    # and nothing was committed: metadata carries no partition-statistics
+    meta = read_table_metadata(base)
+    assert meta.get("partition-statistics", []) == []

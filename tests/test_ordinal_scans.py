@@ -39,6 +39,28 @@ def test_orc_multi_stripe_ordinals_continuous(spark, tmp_path):
     assert all(r["ri"] == r["id"] for r in rows)
 
 
+def test_orc_all_requested_columns_absent_keeps_cardinality(spark, tmp_path):
+    """When NONE of the requested columns exist in the file, rows must
+    NOT silently vanish (that would desync DV ordinals): cardinality and
+    ordinals come from a physical column read purely for row counts, and
+    every requested column resolves to null."""
+    from incubator_xtable_spark.sources.orc_scan import read_orc_rows
+
+    n = 30_000
+    p = str(tmp_path / "foreign.orc")
+    orc.write_table(
+        pa.table({"other": pa.array(range(n), pa.int64())}),
+        p,
+        stripe_size=64 * 1024,
+    )
+    assert orc.ORCFile(p).nstripes > 3
+    df = read_orc_rows(spark, [p], FIELDS, path_col="fp", row_index_col="ri")
+    rows = df.collect()
+    assert len(rows) == n
+    assert all(r["id"] is None and r["label"] is None for r in rows)
+    assert sorted(r["ri"] for r in rows) == list(range(n))
+
+
 def test_orc_two_files_independent_ordinals(spark, tmp_path):
     from incubator_xtable_spark.sources.orc_scan import read_orc_rows
 
