@@ -687,7 +687,15 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
     if not meta_files:
         report.add("ICE_NO_METADATA_JSON", meta_dir, "no *.metadata.json")
         return report
-    latest = os.path.join(meta_dir, meta_files[-1])
+    # hint-less trees (catalog layout, 00001-<uuid> names): resolve the
+    # head by the metadata-log chain + embedded sequence, not name order
+    from incubator_xtable_spark.targets.iceberg_target import (
+        resolve_current_metadata_path,
+    )
+
+    latest = resolve_current_metadata_path(base_path) or os.path.join(
+        meta_dir, meta_files[-1]
+    )
     if os.path.exists(hint):
         with open(hint, encoding="utf-8") as fh:
             h = fh.read().strip()

@@ -31,7 +31,9 @@ opt-in format_version=3 writes row deletes as Puffin deletion vectors.
 from __future__ import annotations
 
 import json
+import logging
 import os
+import re
 import time
 import uuid
 from typing import Any, Optional
@@ -55,6 +57,8 @@ from incubator_xtable_spark.model.sync_metadata import TableSyncMetadata, XTABLE
 # fields carry their own FIELD_ID) so iceberg -> spark -> iceberg keeps
 # every nested id stable (IcebergSchemaExtractor.java:114-300 parity)
 from incubator_xtable_spark.model.schema_meta import NESTED_IDS  # noqa: E402
+
+log = logging.getLogger(__name__)
 
 
 def spark_type_to_iceberg(dt: T.DataType, field_meta: Optional[dict] = None) -> Any:
@@ -560,7 +564,88 @@ def metadata_dir(base_path: str) -> str:
     return os.path.join(base_path, "metadata")
 
 
-def current_metadata_version(base_path: str) -> Optional[int]:
+# HadoopTables names metadata ``v{N}.metadata.json`` next to a
+# ``version-hint.text``; CATALOG-managed tables (Spark/REST/Glue — the
+# common real-world case) name it ``{NNNNN}-{uuid}.metadata.json`` and
+# write NO hint file (the catalog itself tracks the current pointer).
+# The reference resolves both through HadoopTables / catalog loadTable
+# (ref iceberg/IcebergConversionSource.java:90-199); filesystem-only, we
+# resolve the head by the committed metadata-log chain with the embedded
+# (last-sequence-number, last-updated-ms) as tie-break.
+_V_META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+_CATALOG_META_RE = re.compile(r"^(\d+)-[0-9a-fA-F][0-9a-fA-F-]*\.metadata\.json$")
+
+
+def _metadata_file_version(name: str) -> Optional[int]:
+    """Metadata version number embedded in either naming scheme."""
+    m = _V_META_RE.match(name) or _CATALOG_META_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def resolve_current_metadata_path(base_path: str) -> Optional[str]:
+    """Path of the table's CURRENT metadata.json under either layout.
+
+    HadoopTables (hint file present and valid) resolves directly.
+    Otherwise every ``*.metadata.json`` candidate parses (metadata-sized
+    driver I/O) and the head is chosen among files NOT superseded —
+    i.e. not referenced in any other candidate's ``metadata-log`` (the
+    spec's committed-ancestor chain; a failed/orphaned commit attempt
+    never makes it into a later file's log) — by the embedded
+    (last-sequence-number, last-updated-ms, version, name) key. Ties on
+    the full key are inherently unresolvable without the catalog and
+    break deterministically by name with a warning."""
+    md = metadata_dir(base_path)
+    v = current_metadata_version_hint(base_path)
+    if v is not None:
+        p = os.path.join(md, f"v{v}.metadata.json")
+        if os.path.exists(p):
+            return p
+    if not os.path.isdir(md):
+        return None
+    candidates: list[tuple[str, dict]] = []
+    for name in sorted(os.listdir(md)):
+        if not (_V_META_RE.match(name) or _CATALOG_META_RE.match(name)):
+            continue
+        try:
+            with open(os.path.join(md, name), encoding="utf-8") as fh:
+                candidates.append((name, json.load(fh)))
+        except (OSError, json.JSONDecodeError):
+            continue  # torn/corrupt candidate can't be the committed head
+    if not candidates:
+        return None
+    superseded = set()
+    for _name, meta in candidates:
+        for entry in meta.get("metadata-log") or []:
+            mf = entry.get("metadata-file")
+            if mf:
+                superseded.add(os.path.basename(mf))
+    heads = [(n, m) for n, m in candidates if n not in superseded] or candidates
+
+    def _key(nm: tuple[str, dict]):
+        name, meta = nm
+        return (
+            int(meta.get("last-sequence-number") or 0),
+            int(meta.get("last-updated-ms") or 0),
+            _metadata_file_version(name) or -1,
+            name,
+        )
+
+    heads.sort(key=_key)
+    if len(heads) > 1 and _key(heads[-1])[:2] == _key(heads[-2])[:2]:
+        log.warning(
+            "iceberg metadata head ambiguous in %s (%s vs %s share "
+            "sequence-number and last-updated-ms — concurrent/orphaned "
+            "commit?); picking %s",
+            md,
+            heads[-1][0],
+            heads[-2][0],
+            heads[-1][0],
+        )
+    return os.path.join(md, heads[-1][0])
+
+
+def current_metadata_version_hint(base_path: str) -> Optional[int]:
+    """version-hint.text content (HadoopTables layout), None if absent."""
     hint = os.path.join(metadata_dir(base_path), "version-hint.text")
     if not os.path.exists(hint):
         return None
@@ -568,12 +653,25 @@ def current_metadata_version(base_path: str) -> Optional[int]:
         return int(fh.read().strip())
 
 
+def current_metadata_version(base_path: str) -> Optional[int]:
+    """Current metadata VERSION NUMBER under either layout: the hint
+    file when present, else the resolved head file's embedded version
+    (``v{N}`` N or the catalog name's numeric prefix) — so engine
+    commits on top of a catalog-written table continue the version
+    sequence instead of restarting at v1."""
+    v = current_metadata_version_hint(base_path)
+    if v is not None:
+        return v
+    p = resolve_current_metadata_path(base_path)
+    return _metadata_file_version(os.path.basename(p)) if p else None
+
+
 def read_table_metadata(base_path: str, version: Optional[int] = None) -> Optional[dict]:
-    v = version if version is not None else current_metadata_version(base_path)
-    if v is None:
-        return None
-    path = os.path.join(metadata_dir(base_path), f"v{v}.metadata.json")
-    if not os.path.exists(path):
+    if version is not None:
+        path = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
+    else:
+        path = resolve_current_metadata_path(base_path)
+    if path is None or not os.path.exists(path):
         return None
     with open(path, encoding="utf-8") as fh:
         return json.load(fh)

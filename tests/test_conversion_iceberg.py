@@ -482,3 +482,142 @@ def test_partition_spec_evolution_guard(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="not in metadata.json partition-specs"):
         IcebergConversionSource(spark, d).get_current_snapshot()
+
+
+# -- catalog-layout metadata discovery (no version-hint.text) -----------------
+
+
+def _to_catalog_layout(base: str) -> dict[str, str]:
+    """Rewrite a HadoopTables metadata tree into the CATALOG layout real
+    Spark/REST/Glue writers produce: ``{NNNNN}-{uuid}.metadata.json``
+    names, metadata-log entries referencing those names, and NO
+    version-hint.text. -> {old name: new name}."""
+    import re as _re
+    import uuid as _uuid
+
+    md = os.path.join(base, "metadata")
+    mapping = {}
+    for name in os.listdir(md):
+        m = _re.match(r"^v(\d+)\.metadata\.json$", name)
+        if m:
+            mapping[name] = f"{int(m.group(1)):05d}-{_uuid.uuid4()}.metadata.json"
+    for old, new in mapping.items():
+        with open(os.path.join(md, old), encoding="utf-8") as fh:
+            meta = json.load(fh)
+        for e in meta.get("metadata-log") or []:
+            b = os.path.basename(e.get("metadata-file") or "")
+            if b in mapping:
+                e["metadata-file"] = os.path.join(md, mapping[b])
+        with open(os.path.join(md, new), "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.unlink(os.path.join(md, old))
+    os.unlink(os.path.join(md, "version-hint.text"))
+    return mapping
+
+
+def test_catalog_layout_resolves_and_converts(spark, source_dir, tmp_path):
+    """A catalog-written Iceberg table (00001-<uuid>.metadata.json, no
+    version-hint file) must resolve and convert — full AND incremental —
+    exactly like the HadoopTables layout (ref
+    iceberg/IcebergConversionSource.java:90-199 loads via
+    HadoopTables/catalog; filesystem-only we resolve by metadata-log
+    chain + embedded sequence/timestamp)."""
+    source = ParquetConversionSource(spark, source_dir, name="region")
+    target = IcebergConversionTarget(spark, source_dir, table_name="region")
+    controller = ConversionController()
+    controller.sync(source, {TableFormat.ICEBERG: target})
+    snap1 = read_table_metadata(source_dir)["current-snapshot-id"]
+    extra = spark.read.parquet(f"{SF_SMOKE}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey") + 10
+    )
+    extra.coalesce(1).write.mode("append").parquet(source_dir)
+    controller.sync(source, {TableFormat.ICEBERG: target})
+    before = read_table_metadata(source_dir)
+    v_before = current_metadata_version(source_dir)
+
+    _to_catalog_layout(source_dir)
+
+    # resolution: same head, version number carried by the name prefix
+    after = read_table_metadata(source_dir)
+    assert after is not None, "catalog layout must resolve without a hint file"
+    assert after["current-snapshot-id"] == before["current-snapshot-id"]
+    assert current_metadata_version(source_dir) == v_before
+
+    # full conversion of the catalog-layout table
+    src = IcebergConversionSource(spark, source_dir)
+    mirror = str(tmp_path / "delta_mirror")
+    os.makedirs(mirror, exist_ok=True)
+    res = ConversionController().sync(
+        src, {TableFormat.DELTA: DeltaConversionTarget(spark, mirror)}
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res[TableFormat.DELTA].error
+    assert _rows(read_delta_as_df(spark, mirror), ["r_regionkey"]) == _rows(
+        read_iceberg_as_df(spark, source_dir), ["r_regionkey"]
+    )
+
+    # incremental: backlog + safety + per-commit diff all walk the chain
+    assert src.is_incremental_sync_safe_from(str(snap1))
+    backlog = src.get_commits_backlog(
+        InstantsForIncrementalSync(last_sync_instant=str(snap1))
+    )
+    assert backlog.commits_to_process == [str(before["current-snapshot-id"])]
+
+    # an ENGINE commit lands on top of the catalog layout, continuing the
+    # version sequence — and the resolver then prefers the new head
+    extra2 = spark.read.parquet(f"{SF_SMOKE}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey") + 20
+    )
+    extra2.coalesce(1).write.mode("append").parquet(source_dir)
+    r3 = controller.sync(source, {TableFormat.ICEBERG: target})
+    assert r3[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, r3[TableFormat.ICEBERG].error
+    meta3 = read_table_metadata(source_dir)
+    assert meta3["current-snapshot-id"] != before["current-snapshot-id"]
+    assert current_metadata_version(source_dir) == v_before + 1
+    assert read_iceberg_as_df(spark, source_dir).count() == 15
+
+
+def test_catalog_layout_conformance_green(spark, source_dir):
+    """The conformance layer must resolve a hint-less catalog-layout head
+    through the same chain rules (name-order would mis-pick on mixed
+    trees) and report the table clean."""
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    _to_catalog_layout(source_dir)
+    report = check_iceberg_conformance(spark, source_dir)
+    assert report.passed, report.issues
+
+
+def test_catalog_layout_orphan_loses_to_committed_head(spark, source_dir):
+    """A leftover metadata file from a FAILED commit attempt (highest
+    name prefix, but stale embedded sequence/timestamp and absent from
+    every metadata-log) must NOT be picked over the committed head —
+    name ordering alone would choose it."""
+    source = ParquetConversionSource(spark, source_dir, name="region")
+    target = IcebergConversionTarget(spark, source_dir, table_name="region")
+    controller = ConversionController()
+    controller.sync(source, {TableFormat.ICEBERG: target})
+    extra = spark.read.parquet(f"{SF_SMOKE}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey") + 10
+    )
+    extra.coalesce(1).write.mode("append").parquet(source_dir)
+    controller.sync(source, {TableFormat.ICEBERG: target})
+    head_snap = read_table_metadata(source_dir)["current-snapshot-id"]
+    mapping = _to_catalog_layout(source_dir)
+
+    # orphan: the SUPERSEDED v1 state under the highest-sorting name
+    md = os.path.join(source_dir, "metadata")
+    old_v1 = next(new for old, new in mapping.items() if old == "v1.metadata.json")
+    with open(os.path.join(md, old_v1), encoding="utf-8") as fh:
+        stale = json.load(fh)
+    with open(
+        os.path.join(md, "99999-00000000-dead-beef-0000-000000000000.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(stale, fh)
+
+    assert read_table_metadata(source_dir)["current-snapshot-id"] == head_snap
