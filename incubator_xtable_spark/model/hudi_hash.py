@@ -31,10 +31,14 @@ Hudi sources named above (the reference,
 hudi/HudiFileStatsExtractor.java:99-186, consumes it indirectly through
 ``HoodieTableMetadata.getColumnStats`` point lookups). The XXH64
 implementation below is gated on the algorithm's published test vectors
-(tests/test_hudi_hash.py); the environment ships no Hudi jars, so — like
-the r8 HFile container layout before a real artifact became available —
-end-to-end key equality against a live Hudi writer is pinned by spec,
-not by artifact. ``HASH_SEED`` is HashID's fixed XX seed constant.
+(tests/test_hudi_hash.py) AND cross-validated byte-for-byte against the
+JVM using net.openhft zero-allocation-hashing — the exact library real
+Hudi's HashID delegates to — on the full pipeline (XXH64(seed) ->
+big-endian bytes -> Base64, MD5 -> Base64, assembled 48-char keys):
+tests/test_hudi_hash_jvm.py. The env ships no Hudi jars, so the one
+remaining spec-restated (not artifact-pinned) piece is WHICH source
+string feeds which ID (partition-identifier mapping, member order).
+``HASH_SEED`` is HashID's fixed XX seed constant.
 """
 
 from __future__ import annotations
