@@ -548,9 +548,54 @@ def _check_delta_checkpoint(
         elif is_v2:
             _check_delta_v2_checkpoint(spark, log_dir, candidates, v, protocol_seen, report)
         else:
-            spark.read.parquet(*candidates).count()  # readability check
+            _check_delta_multipart_checkpoint(spark, candidates, meta, lc, report)
     except Exception as exc:  # noqa: BLE001
         report.add("DELTA_CHECKPOINT_UNREADABLE", candidates[0], str(exc))
+
+
+def _check_delta_multipart_checkpoint(
+    spark: SparkSession,
+    candidates: list,
+    meta: dict,
+    lc: str,
+    report: ConformanceReport,
+) -> None:
+    """V1 multi-part checkpoint invariants: every fragment declares the
+    same total <n>, the 1-based fragment indices form a complete
+    1..n set, `_last_checkpoint` carries the required ``parts`` field
+    matching <n>, and the total action count across fragments equals
+    ``size``."""
+    tokens = [os.path.basename(p).split(".") for p in candidates]
+    declared_n = {int(t[-2]) for t in tokens}
+    if len(declared_n) != 1:
+        report.add(
+            "DELTA_CHECKPOINT_MULTIPART_N",
+            candidates[0],
+            f"fragments disagree on total part count: {sorted(declared_n)}",
+        )
+        return
+    n = declared_n.pop()
+    indices = sorted(int(t[-3]) for t in tokens)
+    if indices != list(range(1, n + 1)):
+        report.add(
+            "DELTA_CHECKPOINT_MULTIPART_PARTS",
+            candidates[0],
+            f"fragment indices {indices} are not the complete 1..{n} set",
+        )
+        return
+    if meta.get("parts") != n:
+        report.add(
+            "DELTA_CHECKPOINT_MULTIPART_POINTER",
+            lc,
+            f"_last_checkpoint.parts {meta.get('parts')!r} != fragment count {n}",
+        )
+    total = spark.read.parquet(*candidates).count()
+    if total != meta["size"]:
+        report.add(
+            "DELTA_CHECKPOINT_SIZE",
+            candidates[0],
+            f"multi-part checkpoint rows {total} != _last_checkpoint.size {meta['size']}",
+        )
 
 
 def _check_delta_v2_checkpoint(

@@ -303,6 +303,15 @@ def write_checkpoint(
 
     layout="classic": one <v>.checkpoint.parquet holding the reconstructed
     state (latest protocol + metaData + live add actions).
+    layout="multipart" (the spec's legacy multi-part checkpoint): the
+    same reconstructed state split across N fragments named
+    <v>.checkpoint.<i>.<n>.parquet (i 1-based, both %010d), written
+    distributed (one task per fragment, no single-file coalesce) with
+    `_last_checkpoint` carrying the required ``parts`` field. V2
+    supersedes this layout, but real tables written by older engines
+    use it — and a target should be able to PRODUCE every shape it can
+    read.
+
     layout="v2" (Delta PROTOCOL.md V2 Checkpoints, requires the
     `v2Checkpoint` reader/writer table feature): file actions go to
     sidecar parquets under _delta_log/_sidecars/<uuid>.parquet; the
@@ -348,8 +357,13 @@ def write_checkpoint(
     if proto_rows:
         head_rows.append((None, None, None, proto_rows[0]["protocol"], None))
     log_dir = _log_dir(base_path)
+    n_parts = None
     if layout == "v2":
         n_total = _write_v2_checkpoint(spark, log_dir, version, adds, head_rows)
+    elif layout == "multipart":
+        n_total, n_parts = _write_multipart_checkpoint(
+            spark, log_dir, version, adds, head_rows
+        )
     else:
         head = spark.createDataFrame(head_rows, _ACTION_SCHEMA) if head_rows else None
         out = head.unionByName(adds) if head is not None else adds
@@ -362,14 +376,55 @@ def write_checkpoint(
         n_total = out.count()
     pointer = os.path.join(log_dir, "_last_checkpoint")
     tmp_ptr = pointer + f".tmp-{_uuid.uuid4().hex}"
+    lc: dict = {"version": version, "size": n_total}
+    if n_parts is not None:
+        lc["parts"] = n_parts  # required for multi-part checkpoints
     with open(tmp_ptr, "w", encoding="utf-8") as fh:
-        json.dump({"version": version, "size": n_total}, fh)
+        json.dump(lc, fh)
     os.replace(tmp_ptr, pointer)
 
 
 # actions per sidecar parquet: bounds per-file memory for readers while
 # keeping file count low (10M live files -> 20 sidecars)
 _SIDECAR_ACTIONS_PER_FILE = 500_000
+
+# actions per v1 multi-part checkpoint fragment (same bound rationale)
+_MULTIPART_ACTIONS_PER_FILE = 500_000
+
+
+def _write_multipart_checkpoint(
+    spark: SparkSession, log_dir: str, version: int, adds: DataFrame, head_rows: list
+) -> tuple[int, int]:
+    """V1 multi-part checkpoint: the reconstructed state repartitioned
+    into N fragments named ``<v>.checkpoint.<i>.<n>.parquet`` (both
+    tokens %010d, ``i`` 1-based). The spec lets actions land in any
+    fragment as long as the set is complete, so the split is a plain
+    round-robin repartition — one write task per fragment, no driver
+    funnel. -> (total action count, fragment count) for
+    ``_last_checkpoint``'s required size/parts fields."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    head = spark.createDataFrame(head_rows, _ACTION_SCHEMA) if head_rows else None
+    out = head.unionByName(adds) if head is not None else adds
+    out = out.persist()
+    n_total = out.count()
+    n_parts = max(1, -(-n_total // _MULTIPART_ACTIONS_PER_FILE))
+    tmp_dir = os.path.join(log_dir, f".cp-tmp-{_uuid.uuid4().hex}")
+    (out.repartition(n_parts) if n_parts > 1 else out.coalesce(1)).write.parquet(tmp_dir)
+    out.unpersist()
+    parts = sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet")))
+    # repartition(n) emits exactly n part files; pin the invariant the
+    # fragment names declare rather than silently misnaming
+    assert len(parts) == n_parts, (len(parts), n_parts)
+    for i, part in enumerate(parts, start=1):
+        final = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{i:010d}.{n_parts:010d}.parquet"
+        )
+        os.replace(part, final)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return n_total, n_parts
 
 
 def _write_v2_checkpoint(

@@ -107,11 +107,15 @@ class DeltaConversionTarget:
         # spec checkpoints every N commits (delta's own default is 10);
         # 0 disables
         self.checkpoint_interval = checkpoint_interval
-        # "classic" = single <v>.checkpoint.parquet; "v2" = UUID top-level
-        # + sidecar parquets (PROTOCOL.md V2 Checkpoints — requires and
+        # "classic" = single <v>.checkpoint.parquet; "multipart" = the
+        # spec's legacy v1 multi-part fragments
+        # (<v>.checkpoint.<i>.<n>.parquet + _last_checkpoint.parts) —
+        # no table feature required; "v2" = UUID top-level + sidecar
+        # parquets (PROTOCOL.md V2 Checkpoints — requires and
         # auto-declares the v2Checkpoint reader/writer table feature).
-        # v2 keeps checkpointing distributed at 10M+ live files.
-        if checkpoint_layout not in ("classic", "v2"):
+        # multipart and v2 keep checkpointing distributed at 10M+ live
+        # files (one write task per fragment/sidecar).
+        if checkpoint_layout not in ("classic", "multipart", "v2"):
             raise ValueError(f"unsupported checkpoint_layout: {checkpoint_layout}")
         self.checkpoint_layout = checkpoint_layout
         # Change Data Feed: when True, incremental row changes arriving on

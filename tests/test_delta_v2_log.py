@@ -415,3 +415,94 @@ def test_v2_checkpoint_then_incremental_commits(spark, tmp_path):
     # prune pre-checkpoint JSON; v3 must still apply on top of the checkpoint
     assert delta_expire_log(base) == [0, 1, 2]
     assert _rows(spark, base) == expected
+
+
+# -- v1 multi-part checkpoint WRITES (r10) ------------------------------------
+
+
+def _make_multipart_table(spark, tmp_path, monkeypatch, commits=3, interval=2, per_file=4):
+    """Delta target configured for multi-part checkpoints, with the
+    per-fragment action bound shrunk so a 15-row table spans fragments."""
+    import incubator_xtable_spark.sources.delta_source as ds
+
+    monkeypatch.setattr(ds, "_MULTIPART_ACTIONS_PER_FILE", per_file)
+    base = str(tmp_path / "mpw")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.parquet(base)
+    source = ParquetConversionSource(spark, base, name="region")
+    target = DeltaConversionTarget(
+        spark, base, checkpoint_interval=interval, checkpoint_layout="multipart"
+    )
+    ctrl = ConversionController()
+    res = ctrl.sync(source, {TableFormat.DELTA: target})
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    src_df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    for i in range(commits - 1):
+        src_df.withColumn("r_regionkey", F.col("r_regionkey") + 100 * (i + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(base)
+        res = ctrl.sync(source, {TableFormat.DELTA: target})
+        assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    return base
+
+
+def test_multipart_checkpoint_write_layout_and_readback(spark, tmp_path, monkeypatch):
+    base = _make_multipart_table(spark, tmp_path, monkeypatch, commits=3, interval=2)
+    log = os.path.join(base, "_delta_log")
+    # no classic single-file checkpoint at v2; only numbered fragments
+    assert not os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    frags = sorted(glob.glob(os.path.join(log, f"{2:020d}.checkpoint.*.*.parquet")))
+    assert len(frags) > 1, "fixture must span multiple fragments"
+    toks = [os.path.basename(p).split(".") for p in frags]
+    n = len(frags)
+    assert all(int(t[-2]) == n for t in toks)
+    assert sorted(int(t[-3]) for t in toks) == list(range(1, n + 1))
+    # %010d formatting on both tokens
+    assert all(len(t[-2]) == 10 and len(t[-3]) == 10 for t in toks)
+    cp = read_last_checkpoint(base)
+    assert cp["version"] == 2 and cp["parts"] == n
+    # readback survives pruning every pre-checkpoint commit JSON
+    expected = _rows(spark, base)
+    assert len(expected) == 15
+    assert delta_expire_log(base) == [0, 1, 2]
+    assert _rows(spark, base) == expected
+
+
+def test_multipart_checkpoint_then_incremental_commits(spark, tmp_path, monkeypatch):
+    base = _make_multipart_table(spark, tmp_path, monkeypatch, commits=4, interval=2)
+    expected = _rows(spark, base)
+    assert len(expected) == 20
+    assert delta_expire_log(base) == [0, 1, 2]
+    assert _rows(spark, base) == expected
+
+
+def test_multipart_checkpoint_conformance_green_then_red(spark, tmp_path, monkeypatch):
+    from incubator_xtable_spark.model.conformance import check_delta_conformance
+
+    base = _make_multipart_table(spark, tmp_path, monkeypatch, commits=3, interval=2)
+    report = check_delta_conformance(spark, base)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+    log = os.path.join(base, "_delta_log")
+    frags = sorted(glob.glob(os.path.join(log, f"{2:020d}.checkpoint.*.*.parquet")))
+
+    # red 1: a fragment goes missing -> incomplete 1..n set
+    stash = frags[0] + ".stash"
+    os.rename(frags[0], stash)
+    codes = {i.code for i in check_delta_conformance(spark, base).issues}
+    assert "DELTA_CHECKPOINT_MULTIPART_PARTS" in codes
+    os.rename(stash, frags[0])
+
+    # red 2: _last_checkpoint loses the required parts field
+    lc = os.path.join(log, "_last_checkpoint")
+    meta = json.load(open(lc))
+    good_parts = meta.pop("parts")
+    json.dump(meta, open(lc, "w"))
+    codes = {i.code for i in check_delta_conformance(spark, base).issues}
+    assert "DELTA_CHECKPOINT_MULTIPART_POINTER" in codes
+
+    # red 3: size disagrees with the fragment row total
+    meta["parts"] = good_parts
+    meta["size"] = meta["size"] + 5
+    json.dump(meta, open(lc, "w"))
+    codes = {i.code for i in check_delta_conformance(spark, base).issues}
+    assert "DELTA_CHECKPOINT_SIZE" in codes
