@@ -824,6 +824,38 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
                         latest,
                         f"partition field-id {pf.get('field-id')} < 1000",
                     )
+        # sort orders: default-sort-order-id must resolve, every sort
+        # field's source-id must be a schema field, direction/null-order
+        # must be spec values
+        order_ids = {o.get("order-id") for o in meta.get("sort-orders", [])}
+        if meta.get("default-sort-order-id") not in order_ids:
+            report.add(
+                "ICE_SORT_ORDER_DEFAULT",
+                latest,
+                f"default-sort-order-id {meta.get('default-sort-order-id')!r} "
+                f"not in sort-orders {sorted(order_ids, key=str)}",
+            )
+        for order in meta.get("sort-orders", []):
+            for sf in order.get("fields", []):
+                if sf.get("source-id") not in ids:
+                    report.add(
+                        "ICE_SORT_SOURCE_ID",
+                        latest,
+                        f"sort order {order.get('order-id')} source-id "
+                        f"{sf.get('source-id')} not in schema",
+                    )
+                if sf.get("direction") not in ("asc", "desc"):
+                    report.add(
+                        "ICE_SORT_DIRECTION",
+                        latest,
+                        f"sort direction {sf.get('direction')!r} invalid",
+                    )
+                if sf.get("null-order") not in ("nulls-first", "nulls-last"):
+                    report.add(
+                        "ICE_SORT_NULL_ORDER",
+                        latest,
+                        f"sort null-order {sf.get('null-order')!r} invalid",
+                    )
 
     snapshots = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     cur_id = meta.get("current-snapshot-id")

@@ -94,6 +94,21 @@ class InternalPartitionField:
 
 
 @dataclass
+class InternalSortField:
+    """One member of a table's DECLARED write sort order (Iceberg spec
+    "Sort Orders"): the source column by name (dot path for nested
+    struct members), an Iceberg transform string, sort direction and
+    null ordering. Metadata-plane only — the engine never re-sorts data
+    files; the declaration is carried source -> target so downstream
+    writers/readers keep the clustering contract."""
+
+    source_field: str
+    transform: str = "identity"
+    direction: str = "asc"  # "asc" | "desc"
+    null_order: str = "nulls-first"  # "nulls-first" | "nulls-last"
+
+
+@dataclass
 class InternalTable:
     name: str
     table_format: TableFormat
@@ -103,6 +118,8 @@ class InternalTable:
     layout_strategy: DataLayoutStrategy = DataLayoutStrategy.FLAT
     latest_commit_time_ms: Optional[int] = None
     latest_metadata_path: Optional[str] = None
+    # declared write sort order (Iceberg "Sort Orders"); [] = unsorted
+    sort_order: list[InternalSortField] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------

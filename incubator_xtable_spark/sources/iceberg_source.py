@@ -25,8 +25,11 @@ Reference parity:
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Optional
+
+log = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +132,7 @@ class IcebergConversionSource:
             pf = from_iceberg_transform(f.get("transform", "identity"), source_name)
             pf.partition_field_name = f["name"]
             part_fields.append(pf)
+        sort_order = self._default_sort_order(meta, schema_json)
         return InternalTable(
             name=self.name,
             table_format=TableFormat.ICEBERG,
@@ -142,7 +146,59 @@ class IcebergConversionSource:
             ),
             latest_commit_time_ms=meta.get("last-updated-ms"),
             latest_metadata_path=os.path.join(self.base_path, "metadata"),
+            sort_order=sort_order,
         )
+
+    def _default_sort_order(self, meta: dict, schema_json: dict) -> list:
+        """The table's DEFAULT declared sort order (spec "Sort Orders")
+        as InternalSortFields with source columns resolved by field id to
+        dot paths — carried source -> target so a sorted table converts
+        with its clustering contract intact (the reference drops it; ref
+        iceberg/IcebergConversionSource.java builds no sort model).
+        An unresolvable source-id drops the WHOLE order with a warning
+        (a partial order is a different, wrong contract)."""
+        from incubator_xtable_spark.model.core import InternalSortField
+
+        so_id = meta.get("default-sort-order-id", 0)
+        order = next(
+            (s for s in meta.get("sort-orders", []) if s.get("order-id") == so_id),
+            None,
+        )
+        if not order or not order.get("fields"):
+            return []
+
+        def _paths(fields: list, prefix: str = "") -> dict:
+            out: dict = {}
+            for f in fields:
+                p = prefix + f["name"]
+                out[f["id"]] = p
+                t = f.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    out.update(_paths(t.get("fields", []), p + "."))
+            return out
+
+        by_id = _paths(schema_json.get("fields", []))
+        out = []
+        for f in order["fields"]:
+            path = by_id.get(f.get("source-id"))
+            if path is None:
+                log.warning(
+                    "sort order %s of %s references unknown source-id %s; "
+                    "dropping the declared order",
+                    so_id,
+                    self.base_path,
+                    f.get("source-id"),
+                )
+                return []
+            out.append(
+                InternalSortField(
+                    source_field=path,
+                    transform=f.get("transform", "identity"),
+                    direction=f.get("direction", "asc"),
+                    null_order=f.get("null-order", "nulls-first"),
+                )
+            )
+        return out
 
     # -- snapshots ---------------------------------------------------------
 

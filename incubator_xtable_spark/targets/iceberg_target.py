@@ -1291,6 +1291,52 @@ class IcebergConversionTarget:
             ],
         }
 
+    def _sort_orders_json(self, schema_json: dict) -> tuple[int, list[dict]]:
+        """(default-sort-order-id, sort-orders) for the metadata commit:
+        when the SOURCE table declares a write sort order
+        (InternalTable.sort_order — an Iceberg source extracts its
+        default order), carry it through with source-ids remapped into
+        THIS table's field ids by dot path, exactly like partition specs
+        remap (spec "Sort Orders"; the reference drops declared orders).
+        Unsorted tables keep order 0; an unresolvable member drops the
+        whole order with a warning (a partial order is a wrong
+        contract)."""
+        empty = (0, [{"order-id": 0, "fields": []}])
+        sfs = getattr(self._table, "sort_order", None) if self._table else None
+        if not sfs:
+            return empty
+
+        def _fid(fields: list, path: str):
+            cur, fid = fields, None
+            for part in path.split("."):
+                f = next((x for x in cur if x.get("name") == part), None)
+                if f is None:
+                    return None
+                fid = f.get("id")
+                t = f.get("type")
+                cur = t.get("fields", []) if isinstance(t, dict) else []
+            return fid
+
+        fields = []
+        for sf in sfs:
+            fid = _fid(schema_json.get("fields", []), sf.source_field)
+            if fid is None:
+                log.warning(
+                    "declared sort order references %r which is absent "
+                    "from the synced schema; writing the table unsorted",
+                    sf.source_field,
+                )
+                return empty
+            fields.append(
+                {
+                    "transform": sf.transform,
+                    "source-id": fid,
+                    "direction": sf.direction,
+                    "null-order": sf.null_order,
+                }
+            )
+        return 1, [{"order-id": 0, "fields": []}, {"order-id": 1, "fields": fields}]
+
     def _resolve_partition_specs(self, prev: Optional[dict]) -> tuple[int, list[dict], int]:
         """Partition-spec EVOLUTION on the write side: when the source's
         partition fields change between syncs, APPEND a new spec (next
@@ -1386,6 +1432,7 @@ class IcebergConversionTarget:
         }
         if snapshot["parent-snapshot-id"] is None:
             snapshot.pop("parent-snapshot-id")
+        sort_order_id, sort_orders = self._sort_orders_json(schema_json)
         meta = {
             "format-version": self.format_version,
             "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
@@ -1401,8 +1448,8 @@ class IcebergConversionTarget:
             "last-partition-id": getattr(
                 self, "_last_partition_id", 1000 + max(len(self._partition_cols) - 1, 0)
             ),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": sort_order_id,
+            "sort-orders": sort_orders,
             "properties": properties,
             "current-snapshot-id": snapshot_id,
             "snapshots": (prev or {}).get("snapshots", []) + [snapshot],

@@ -621,3 +621,122 @@ def test_catalog_layout_orphan_loses_to_committed_head(spark, source_dir):
         json.dump(stale, fh)
 
     assert read_table_metadata(source_dir)["current-snapshot-id"] == head_snap
+
+
+# -- sort-order passthrough (r10) ---------------------------------------------
+
+
+def _declare_sort_order(base: str, column: str = "r_regionkey") -> None:
+    """Simulate a foreign writer that declared a write sort order: edit
+    the head metadata to carry a desc/nulls-last identity order on
+    ``column`` (order-id 1)."""
+    md = os.path.join(base, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    p = os.path.join(md, f"v{v}.metadata.json")
+    with open(p, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    schema = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    fid = next(f["id"] for f in schema["fields"] if f["name"] == column)
+    meta["sort-orders"] = [
+        {"order-id": 0, "fields": []},
+        {
+            "order-id": 1,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": fid,
+                    "direction": "desc",
+                    "null-order": "nulls-last",
+                }
+            ],
+        },
+    ]
+    meta["default-sort-order-id"] = 1
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def test_sort_order_carried_to_iceberg_target(spark, source_dir, tmp_path):
+    """A declared write sort order converts with the clustering contract
+    intact: the mirror's default sort order has the same member shape
+    with source-ids remapped into the mirror's own field ids, across
+    full AND incremental syncs (spec "Sort Orders"; the reference drops
+    declared orders)."""
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    _declare_sort_order(source_dir)
+
+    src = IcebergConversionSource(spark, source_dir)
+    table = src.get_current_table()
+    assert [
+        (sf.source_field, sf.transform, sf.direction, sf.null_order)
+        for sf in table.sort_order
+    ] == [("r_regionkey", "identity", "desc", "nulls-last")]
+
+    mirror = str(tmp_path / "ice_mirror")
+    os.makedirs(mirror, exist_ok=True)
+    mt = IcebergConversionTarget(spark, mirror, table_name="region")
+    ctrl = ConversionController()
+    res = ctrl.sync(src, {TableFormat.ICEBERG: mt})
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res[TableFormat.ICEBERG].error
+
+    def _assert_order(meta):
+        assert meta["default-sort-order-id"] == 1
+        order = next(o for o in meta["sort-orders"] if o["order-id"] == 1)
+        [f] = order["fields"]
+        schema = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+        )
+        fid = next(x["id"] for x in schema["fields"] if x["name"] == "r_regionkey")
+        assert f == {
+            "transform": "identity",
+            "source-id": fid,
+            "direction": "desc",
+            "null-order": "nulls-last",
+        }
+
+    _assert_order(read_table_metadata(mirror))
+
+    # incremental sync keeps the declared order
+    extra = spark.read.parquet(f"{SF_SMOKE}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey") + 10
+    )
+    extra.coalesce(1).write.mode("append").parquet(source_dir)
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    _declare_sort_order(source_dir)  # the engine's own commit resets to unsorted
+    res2 = ctrl.sync(IcebergConversionSource(spark, source_dir), {TableFormat.ICEBERG: mt})
+    assert res2[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res2[TableFormat.ICEBERG].error
+    meta2 = read_table_metadata(mirror)
+    _assert_order(meta2)
+
+    # conformance green on the sorted mirror, red on injected corruption
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+
+    report = check_iceberg_conformance(spark, mirror)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+    md = os.path.join(mirror, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    p = os.path.join(md, f"v{v}.metadata.json")
+    meta_c = json.load(open(p))
+    meta_c["default-sort-order-id"] = 7
+    json.dump(meta_c, open(p, "w"))
+    codes = {i.code for i in check_iceberg_conformance(spark, mirror).issues}
+    assert "ICE_SORT_ORDER_DEFAULT" in codes
+
+    meta_c["default-sort-order-id"] = 1
+    next(o for o in meta_c["sort-orders"] if o["order-id"] == 1)["fields"][0][
+        "source-id"
+    ] = 999999
+    json.dump(meta_c, open(p, "w"))
+    codes = {i.code for i in check_iceberg_conformance(spark, mirror).issues}
+    assert "ICE_SORT_SOURCE_ID" in codes
