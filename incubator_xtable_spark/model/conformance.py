@@ -749,12 +749,13 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
         elif h:
             latest = os.path.join(meta_dir, f"v{h}.metadata.json")
     report.checked_files += 1
-    with open(latest, encoding="utf-8") as fh:
-        try:
-            meta = json.load(fh)
-        except json.JSONDecodeError as exc:
-            report.add("ICE_METADATA_JSON", latest, str(exc))
-            return report
+    from incubator_xtable_spark.targets.iceberg_target import read_metadata_json_file
+
+    try:
+        meta = read_metadata_json_file(latest)
+    except ValueError as exc:  # covers JSONDecodeError + bad gzip payloads
+        report.add("ICE_METADATA_JSON", latest, str(exc))
+        return report
 
     for req in (
         "format-version",

@@ -572,14 +572,30 @@ def metadata_dir(base_path: str) -> str:
 # (ref iceberg/IcebergConversionSource.java:90-199); filesystem-only, we
 # resolve the head by the committed metadata-log chain with the embedded
 # (last-sequence-number, last-updated-ms) as tie-break.
-_V_META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
-_CATALOG_META_RE = re.compile(r"^(\d+)-[0-9a-fA-F][0-9a-fA-F-]*\.metadata\.json$")
+_V_META_RE = re.compile(r"^v(\d+)(\.gz)?\.metadata\.json$")
+_CATALOG_META_RE = re.compile(r"^(\d+)-[0-9a-fA-F][0-9a-fA-F-]*(\.gz)?\.metadata\.json$")
 
 
 def _metadata_file_version(name: str) -> Optional[int]:
     """Metadata version number embedded in either naming scheme."""
     m = _V_META_RE.match(name) or _CATALOG_META_RE.match(name)
     return int(m.group(1)) if m else None
+
+
+def read_metadata_json_file(path: str) -> dict:
+    """Parse one metadata.json that may be gzip-compressed
+    (``write.metadata.compression=gzip`` names files
+    ``<v>-<uuid>.gz.metadata.json``): sniff the gzip magic rather than
+    trusting the name — foreign writers have shipped either."""
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+        fh.seek(0)
+        raw = fh.read()
+    if head == b"\x1f\x8b":
+        import gzip
+
+        raw = gzip.decompress(raw)
+    return json.loads(raw.decode("utf-8"))
 
 
 def resolve_current_metadata_path(base_path: str) -> Optional[str]:
@@ -607,9 +623,8 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
         if not (_V_META_RE.match(name) or _CATALOG_META_RE.match(name)):
             continue
         try:
-            with open(os.path.join(md, name), encoding="utf-8") as fh:
-                candidates.append((name, json.load(fh)))
-        except (OSError, json.JSONDecodeError):
+            candidates.append((name, read_metadata_json_file(os.path.join(md, name))))
+        except (OSError, ValueError):
             continue  # torn/corrupt candidate can't be the committed head
     if not candidates:
         return None
@@ -673,8 +688,7 @@ def read_table_metadata(base_path: str, version: Optional[int] = None) -> Option
         path = resolve_current_metadata_path(base_path)
     if path is None or not os.path.exists(path):
         return None
-    with open(path, encoding="utf-8") as fh:
-        return json.load(fh)
+    return read_metadata_json_file(path)
 
 
 class IcebergConversionTarget:

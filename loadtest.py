@@ -242,6 +242,148 @@ def scenario_incremental(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _gen_real_dataset(spark, data_dir: str, n_files: int, n_partitions: int, rows_per_file: int, start_idx: int = 0) -> None:
+    """Write ``n_files`` REAL hive-partitioned parquet files (unique
+    string keys — the record/bloom indexes scan actual rows), fanned out
+    via mapInPandas (each task pyarrow-writes its slice; no single-file
+    driver loop)."""
+
+    # one UNIFORM mtime per generation batch: the parquet-dir source
+    # groups commits by modification time, and a per-file mtime spread
+    # would shatter one logical append into hundreds of commits
+    mtime = time.time()
+
+    def _write(batches):
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            done = []
+            for raw in pdf["id"]:
+                i = int(raw)
+                d = _os.path.join(data_dir, f"p={i % n_partitions}")
+                _os.makedirs(d, exist_ok=True)
+                base = i * rows_per_file
+                p = _os.path.join(d, f"f-{i:07d}.parquet")
+                _pq.write_table(
+                    _pa.table(
+                        {
+                            "rk": [f"k{base + j:012d}" for j in range(rows_per_file)],
+                            "v": _pa.array(
+                                [base + j for j in range(rows_per_file)], _pa.int64()
+                            ),
+                        }
+                    ),
+                    p,
+                )
+                _os.utime(p, (mtime, mtime))
+                done.append(i)
+            yield _pd.DataFrame({"id": done})
+
+    spark.range(start_idx, start_idx + n_files, 1, 64).mapInPandas(_write, "id long").count()
+
+
+def scenario_indexes(
+    spark,
+    n_files: int,
+    n_partitions: int,
+    per_commit: int,
+    rows_per_file: int = 10,
+    compact_every: int = 10,
+) -> list[dict]:
+    """ALL r9 Hudi metadata indexes at once over REAL data files:
+    record_index (per-ROW — the one data-sized index; executor-side
+    shard writes), bloom_filters, partition_stats, col_stats + files.
+    Full sync over ``n_files`` real files, then ONE incremental commit
+    of ``per_commit`` more — wall + RSS for both, plus index read-back
+    proof (distributed record-index count == total rows; point lookups
+    resolve)."""
+    from incubator_xtable_spark.model.core import InternalPartitionField
+    from incubator_xtable_spark.sources.hudi_metadata import (
+        lookup_partition_stats,
+        lookup_record_key,
+        read_record_index,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    work = tempfile.mkdtemp(prefix="xtable_load_idx_")
+    out: list[dict] = []
+    try:
+        _gen_real_dataset(spark, work, n_files, n_partitions, rows_per_file)
+        source = ParquetConversionSource(
+            spark, work, name="loadidx", partition_fields=[InternalPartitionField("p")]
+        )
+        target = HudiConversionTarget(
+            spark,
+            work,
+            table_name="loadidx",
+            metadata_index_format="hfile",
+            record_index_field="rk",
+            bloom_filters=True,
+            partition_stats=True,
+            metadata_index_compact_every=compact_every,
+        )
+        ctrl = ConversionController()
+        rss_before = rss_mb()
+        t0 = time.perf_counter()
+        res = ctrl.sync(source, {TableFormat.HUDI: target})
+        wall = time.perf_counter() - t0
+        out.append(
+            {
+                "scenario": "full_sync_all_indexes",
+                "files": n_files,
+                "rows": n_files * rows_per_file,
+                "partitions": n_partitions,
+                "status": res[TableFormat.HUDI].status.value,
+                "seconds": round(wall, 2),
+                "rss_mb_before": rss_before,
+                "rss_mb_after": rss_mb(),
+            }
+        )
+        # read-back proof: distributed record-index count == rows written,
+        # a sampled point lookup resolves to the right file, and the
+        # partition aggregate covers the partition's rows
+        n_idx = read_record_index(spark, work).count()
+        probe = lookup_record_key(work, f"k{0:012d}")
+        pstats = lookup_partition_stats(work, "p=0", "v")
+        out.append(
+            {
+                "scenario": "index_readback",
+                "record_index_rows": n_idx,
+                "rows_expected": n_files * rows_per_file,
+                "point_lookup_ok": bool(probe and probe.get("fileId", "").startswith("f-0000000")),
+                "partition_stats_ok": bool(pstats and int(pstats.get("valueCount") or 0) > 0),
+            }
+        )
+        # one incremental commit of per_commit files
+        _gen_real_dataset(
+            spark, work, per_commit, n_partitions, rows_per_file, start_idx=n_files
+        )
+        rss_before = rss_mb()
+        t0 = time.perf_counter()
+        res2 = ctrl.sync(source, {TableFormat.HUDI: target})
+        wall2 = time.perf_counter() - t0
+        out.append(
+            {
+                "scenario": "incremental_all_indexes",
+                "files_added": per_commit,
+                "rows_added": per_commit * rows_per_file,
+                "status": res2[TableFormat.HUDI].status.value,
+                "mode": res2[TableFormat.HUDI].mode.value,
+                "seconds": round(wall2, 2),
+                "rss_mb_before": rss_before,
+                "rss_mb_after": rss_mb(),
+            }
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=100_000)
@@ -250,10 +392,19 @@ def main() -> int:
     ap.add_argument("--per-commit", type=int, default=1_000)
     ap.add_argument(
         "--target",
-        choices=["delta", "hudi-hfile"],
+        choices=["delta", "hudi-hfile", "hudi-indexes"],
         default="delta",
-        help="conversion target: delta (default) or the Hudi REAL-layout "
-        "HFile metadata-index writer",
+        help="conversion target: delta (default), the Hudi REAL-layout "
+        "HFile metadata-index writer over a synthetic inventory, or "
+        "hudi-indexes = ALL r9 index partitions (record_index + blooms "
+        "+ partition_stats) over REAL generated data files",
+    )
+    ap.add_argument(
+        "--rows-per-file",
+        type=int,
+        default=10,
+        help="hudi-indexes: rows per generated data file (record_index "
+        "cost is per-row)",
     )
     ap.add_argument(
         "--compact-every",
@@ -281,6 +432,18 @@ def main() -> int:
 
     spark = get_spark("xtable_loadtest")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.target == "hudi-indexes":
+        outs = scenario_indexes(
+            spark,
+            args.files,
+            args.partitions,
+            args.per_commit,
+            args.rows_per_file,
+            args.compact_every,
+        )
+        for o in outs:
+            print(json.dumps(o))
+        return 0 if all(o.get("status", "SUCCESS") == "SUCCESS" for o in outs) else 1
     out1 = scenario_full(
         spark, args.files, args.partitions, args.target, args.compact_every
     )

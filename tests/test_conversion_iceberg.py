@@ -740,3 +740,51 @@ def test_sort_order_carried_to_iceberg_target(spark, source_dir, tmp_path):
     json.dump(meta_c, open(p, "w"))
     codes = {i.code for i in check_iceberg_conformance(spark, mirror).issues}
     assert "ICE_SORT_SOURCE_ID" in codes
+
+
+def test_catalog_layout_gzip_metadata_resolves(spark, source_dir, tmp_path):
+    """write.metadata.compression=gzip names files
+    <v>-<uuid>.gz.metadata.json and gzips the payload — resolution and
+    reads must sniff the magic and decompress (both naming schemes)."""
+    import gzip as _gzip
+    import uuid as _uuid
+
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    before = read_table_metadata(source_dir)
+    md = os.path.join(source_dir, "metadata")
+    # re-encode every metadata file gzipped under catalog-style names
+    import re as _re
+
+    for name in list(os.listdir(md)):
+        m = _re.match(r"^v(\d+)\.metadata\.json$", name)
+        if not m:
+            continue
+        with open(os.path.join(md, name), "rb") as fh:
+            raw = fh.read()
+        new = f"{int(m.group(1)):05d}-{_uuid.uuid4()}.gz.metadata.json"
+        with open(os.path.join(md, new), "wb") as fh:
+            fh.write(_gzip.compress(raw))
+        os.unlink(os.path.join(md, name))
+    os.unlink(os.path.join(md, "version-hint.text"))
+
+    after = read_table_metadata(source_dir)
+    assert after is not None and after["current-snapshot-id"] == before["current-snapshot-id"]
+    assert current_metadata_version(source_dir) == 1
+    # full read + conversion still work
+    assert read_iceberg_as_df(spark, source_dir).count() == 5
+    mirror = str(tmp_path / "gz_mirror")
+    os.makedirs(mirror, exist_ok=True)
+    res = ConversionController().sync(
+        IcebergConversionSource(spark, source_dir),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, mirror)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, res[TableFormat.DELTA].error
+    assert read_delta_as_df(spark, mirror).count() == 5
+    # conformance reads the gzipped head cleanly
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+
+    report = check_iceberg_conformance(spark, source_dir)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
