@@ -301,3 +301,81 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup PAIRS -> canonical cluster assignment
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster assignment over an undirected edge set: -> one row per
+    node appearing in ``edges`` with ``(node, cluster_id)`` where
+    cluster_id is the MINIMUM node id reachable from it — the canonical
+    "keeper" semantics a dedup pipeline needs to go from near-dup PAIRS
+    (MinHash/SimHash/Jaccard output) to per-document keep/drop
+    decisions with transitivity (a~b, b~c => one cluster even when a~c
+    was never scored).
+
+    Algorithm: hash-min label propagation — every node starts as its
+    own label; each round every node takes the min of its own and its
+    neighbors' labels; fixpoint = components. Fully DataFrame-native
+    (join + groupBy.min per round, no Python in the loop).
+
+    Scale (100 TB posture): per round ONE shuffle join (edges x labels
+    on node id) + one min-agg; labels monotonically decrease, so
+    convergence is checked with a cheap sum() probe (strictly smaller
+    iff anything changed — no second join). Rounds needed = graph
+    DIAMETER: near-dup graphs are stars and short chains, so a handful
+    in practice; ``max_iterations`` bounds adversarial chains and the
+    operator raises rather than returning a half-converged clustering
+    (the published large-star/small-star algorithm [Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"] is the O(log n)
+    upgrade path if diameter ever becomes the bottleneck). Lineage is
+    cut every round with localCheckpoint — iterative joins otherwise
+    stack plans until the optimizer chokes; on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
+    """
+    und = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev")).unionByName(
+        edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev"))
+    )
+    und = und.repartition("eu").localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("eu").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    ).localCheckpoint(eager=True)
+    probe = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels, und["ev"] == labels["node"], "inner")
+            .select(F.col("eu").alias("nd"), F.col("comp"))
+            .groupBy("nd")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["nd"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_probe = new_labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if new_probe == probe:  # labels only decrease: equal sum = fixpoint
+            return labels.select("node", F.col("comp").alias("cluster_id"))
+        probe = new_probe
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter exceeds the bound; raise max_iterations or use a "
+        "star-contraction variant)"
+    )

@@ -369,3 +369,66 @@ def text_langid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits["de"].cast("int").alias("hits_de"),
         pred.alias("predicted_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment: near-dup pairs -> connected components
+# ---------------------------------------------------------------------------
+
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) // {JACCARD_BAND} AS lenband,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           AND b.lenband BETWEEN a.lenband - 1 AND a.lenband + 1
+  WHERE a.doc_id % 7 = 0
+    AND len(list_intersect(a.shingles, b.shingles)) > 0
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=CLUSTER_ORACLE,
+    category="dedup",
+    description="near-dup pairs -> connected-component cluster ids",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: the n-gram Jaccard candidate PAIRS
+    (same plan as dedup_ngram_jaccard) collapse into canonical clusters
+    via operators.dedup.connected_components — cluster_id = min doc_id
+    reachable, i.e. the document a keep/drop policy keeps. The DuckDB
+    oracle recomputes the same closure with a recursive CTE.
+
+    Scale: pair generation is the banded jaccard join (bounded blocks);
+    the component loop is one shuffle join + min-agg per round, rounds =
+    graph diameter (near-dup graphs: stars/short chains)."""
+    from incubator_xtable_spark.operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )

@@ -242,3 +242,41 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert full_recall >= recall
     # n_probe = n_centroids probes everything -> recall 1.0 (exact)
     assert full_recall == 1.0
+
+
+# -- connected components (r10) ------------------------------------------------
+
+
+def _cc(spark, pairs, **kw):
+    from incubator_xtable_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    out = connected_components(df, **kw)
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_connected_components_chain_star_and_islands(spark):
+    # chain 1-2-3-4 (transitivity across never-scored pairs), star 10,
+    # pair island 20-21
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 24-node path needs ~diameter rounds; must converge, not truncate
+    pairs = [(i, i + 1) for i in range(24)]
+    got = _cc(spark, pairs)
+    assert set(got.values()) == {0} and len(got) == 25
+
+
+def test_connected_components_raises_past_iteration_bound(spark):
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(12)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, pairs, max_iterations=2)
+
+
+def test_connected_components_empty_edges(spark):
+    got = _cc(spark, [])
+    assert got == {}
