@@ -167,6 +167,17 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             table_name=dataset.get("tableName"),
             # persist CDC-channel row changes as CDC supplemental blocks
             change_feed=str(dataset.get("hudiChangeFeed", "")).lower() == "true",
+            # "hfile" -> REAL Hudi metadata-table layout (HFile bases +
+            # delta logs + compaction, hashed record keys)
+            metadata_index_format=dataset.get("hudiMetadataIndexFormat", "parquet"),
+            metadata_index_compact_every=int(
+                dataset.get("hudiMetadataIndexCompactEvery", 10)
+            ),
+            # per-ROW record-level index sharded by the given key field
+            record_index_field=dataset.get("hudiRecordIndexField"),
+            record_index_shards=int(dataset.get("hudiRecordIndexShards", 4)),
+            bloom_filters=str(dataset.get("hudiBloomFilters", "")).lower() == "true",
+            partition_stats=str(dataset.get("hudiPartitionStats", "")).lower() == "true",
         )
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
