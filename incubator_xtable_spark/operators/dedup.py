@@ -379,3 +379,47 @@ def connected_components(
         "(graph diameter exceeds the bound; raise max_iterations or use a "
         "star-contraction variant)"
     )
+
+
+def fuzzy_dedup_keep_decisions(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """The END-TO-END fuzzy-dedup pipeline a training corpus needs, as
+    one composition: MinHash signatures -> LSH banding -> exact-Jaccard
+    verification (minhash_near_duplicates) -> transitive clusters
+    (connected_components) -> per-document KEEP decision. Returns one
+    row per document that belongs to any near-dup cluster:
+    (doc_id, cluster_id, keep) where keep is true only for the cluster's
+    minimum doc id (the canonical keeper). Documents with no near-dup
+    never appear — a corpus filter is
+    ``docs.join(out.filter(~out.keep), id_col, "left_anti")``.
+
+    Scale: inherits the LSH path's bounded buckets (no all-pairs), plus
+    the component loop's one-shuffle-per-round over EDGES only (the
+    pair set, a tiny fraction of the corpus — never the corpus itself).
+    """
+    pairs = minhash_near_duplicates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", max_iterations=max_iterations
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )

@@ -153,3 +153,22 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=3).orderBy(
         "q_id", "rank"
     )
+
+
+@register(
+    "dedup_fuzzy_pipeline",
+    category="dedup",
+    description="minhash->LSH->jaccard->components->keep (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup decision pipeline in one plan: MinHash
+    signatures -> LSH banding -> exact-Jaccard verification ->
+    connected-component clusters -> per-doc keep/drop (keeper = min
+    doc_id per cluster). Rows-only (murmur3); transitive-collapse and
+    keeper-selection QUALITY is pinned by
+    tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.dedup import fuzzy_dedup_keep_decisions
+
+    docs = t(spark, sf_dir, "documents")
+    return fuzzy_dedup_keep_decisions(docs, threshold=0.5).orderBy("doc_id")

@@ -280,3 +280,35 @@ def test_connected_components_raises_past_iteration_bound(spark):
 def test_connected_components_empty_edges(spark):
     got = _cc(spark, [])
     assert got == {}
+
+
+def test_fuzzy_dedup_keep_decisions_transitive_and_keeper(spark):
+    """Planted transitive near-dups: A~B and B~C pass the Jaccard gate
+    (A~C may never be scored) — the pipeline must put all three in ONE
+    cluster, keep exactly the min id, and leave the unrelated doc out."""
+    from incubator_xtable_spark.operators.dedup import fuzzy_dedup_keep_decisions
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    words = base.split()
+    # B shares most of A; C shares most of B but less of A
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["tonight"])
+    c = " ".join(["well"] + words[:-1])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (99, "completely unrelated text about spark engines")],
+        "doc_id LONG, text STRING",
+    )
+    out = fuzzy_dedup_keep_decisions(docs, threshold=0.3).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out}
+    assert 99 not in got, "doc with no near-dup must not appear"
+    assert set(got) == {1, 2, 3}
+    assert {cid for cid, _ in got.values()} == {1}, got
+    assert got[1][1] is True and got[2][1] is False and got[3][1] is False
+    # corpus filter shape: anti-join drops exactly the non-keepers
+    from pyspark.sql import functions as F
+
+    drops = spark.createDataFrame(
+        [(k,) for k, (_, keep) in got.items() if not keep], "doc_id LONG"
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 99]
