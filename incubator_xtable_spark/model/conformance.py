@@ -583,7 +583,10 @@ def _check_delta_multipart_checkpoint(
             f"fragment indices {indices} are not the complete 1..{n} set",
         )
         return
-    if meta.get("parts") != n:
+    # spec: `parts` is optional in _last_checkpoint, but when present it
+    # must agree with the fragments' declared count (the engine's own
+    # multipart writer always records it)
+    if "parts" in meta and meta["parts"] != n:
         report.add(
             "DELTA_CHECKPOINT_MULTIPART_POINTER",
             lc,

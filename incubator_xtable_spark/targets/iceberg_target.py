@@ -598,6 +598,15 @@ def read_metadata_json_file(path: str) -> dict:
     return json.loads(raw.decode("utf-8"))
 
 
+# hint-less head resolution memo: {metadata dir: (dir mtime_ns, path)}.
+# metadata.json files are immutable and every commit ADDS one (changing
+# the directory mtime), so the dir mtime is a sound invalidation key —
+# without it, every read of a catalog-layout table re-parses every
+# retained metadata version (sources call read_table_metadata per
+# snapshot/diff operation).
+_RESOLVE_CACHE: dict = {}
+
+
 def resolve_current_metadata_path(base_path: str) -> Optional[str]:
     """Path of the table's CURRENT metadata.json under either layout.
 
@@ -618,6 +627,10 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
             return p
     if not os.path.isdir(md):
         return None
+    dir_mtime = os.stat(md).st_mtime_ns
+    cached = _RESOLVE_CACHE.get(md)
+    if cached and cached[0] == dir_mtime and os.path.exists(cached[1]):
+        return cached[1]
     candidates: list[tuple[str, dict]] = []
     for name in sorted(os.listdir(md)):
         if not (_V_META_RE.match(name) or _CATALOG_META_RE.match(name)):
@@ -656,7 +669,9 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
             heads[-2][0],
             heads[-1][0],
         )
-    return os.path.join(md, heads[-1][0])
+    resolved = os.path.join(md, heads[-1][0])
+    _RESOLVE_CACHE[md] = (dir_mtime, resolved)
+    return resolved
 
 
 def current_metadata_version_hint(base_path: str) -> Optional[int]:

@@ -492,10 +492,12 @@ def test_multipart_checkpoint_conformance_green_then_red(spark, tmp_path, monkey
     assert "DELTA_CHECKPOINT_MULTIPART_PARTS" in codes
     os.rename(stash, frags[0])
 
-    # red 2: _last_checkpoint loses the required parts field
+    # red 2: _last_checkpoint's parts disagrees with the fragment count
+    # (the field itself is spec-optional — only a MISMATCH is flagged)
     lc = os.path.join(log, "_last_checkpoint")
     meta = json.load(open(lc))
-    good_parts = meta.pop("parts")
+    good_parts = meta["parts"]
+    meta["parts"] = good_parts + 3
     json.dump(meta, open(lc, "w"))
     codes = {i.code for i in check_delta_conformance(spark, base).issues}
     assert "DELTA_CHECKPOINT_MULTIPART_POINTER" in codes
