@@ -307,7 +307,8 @@ def write_checkpoint(
     same reconstructed state split across N fragments named
     <v>.checkpoint.<i>.<n>.parquet (i 1-based, both %010d), written
     distributed (one task per fragment, no single-file coalesce) with
-    `_last_checkpoint` carrying the required ``parts`` field. V2
+    `_last_checkpoint` recording the ``parts`` count (spec-optional;
+    always written here). V2
     supersedes this layout, but real tables written by older engines
     use it — and a target should be able to PRODUCE every shape it can
     read.
@@ -378,7 +379,7 @@ def write_checkpoint(
     tmp_ptr = pointer + f".tmp-{_uuid.uuid4().hex}"
     lc: dict = {"version": version, "size": n_total}
     if n_parts is not None:
-        lc["parts"] = n_parts  # required for multi-part checkpoints
+        lc["parts"] = n_parts  # spec-optional; always recorded here
     with open(tmp_ptr, "w", encoding="utf-8") as fh:
         json.dump(lc, fh)
     os.replace(tmp_ptr, pointer)
@@ -401,7 +402,7 @@ def _write_multipart_checkpoint(
     fragment as long as the set is complete, so the split is a plain
     round-robin repartition — one write task per fragment, no driver
     funnel. -> (total action count, fragment count) for
-    ``_last_checkpoint``'s required size/parts fields."""
+    ``_last_checkpoint``'s size/parts fields."""
     import glob
     import shutil
     import uuid as _uuid

@@ -1462,6 +1462,33 @@ class IcebergConversionTarget:
         if snapshot["parent-snapshot-id"] is None:
             snapshot.pop("parent-snapshot-id")
         sort_order_id, sort_orders = self._sort_orders_json(schema_json)
+        # the previous head's ACTUAL path (a catalog-written table's head
+        # is 0000N-<uuid>[.gz].metadata.json, not v{N}) — metadata-log
+        # entries must reference real files or time travel breaks
+        prev_path = resolve_current_metadata_path(self.base_path) or os.path.join(
+            metadata_dir(self.base_path), f"v{version - 1}.metadata.json"
+        )
+        metadata_log = (prev or {}).get("metadata-log", []) + (
+            [
+                {
+                    "timestamp-ms": (prev or {}).get("last-updated-ms", now_ms),
+                    "metadata-file": prev_path,
+                }
+            ]
+            if prev is not None
+            else []
+        )
+        # spec property write.metadata.previous-versions-max (default
+        # 100): bound the tracked previous versions so metadata.json
+        # doesn't grow one entry per commit forever;
+        # write.metadata.delete-after-commit.enabled additionally unlinks
+        # the dropped files once the new version lands
+        keep_prev = int(properties.get("write.metadata.previous-versions-max", 100))
+        dropped_meta_files = [
+            e.get("metadata-file")
+            for e in metadata_log[: max(0, len(metadata_log) - keep_prev)]
+        ]
+        metadata_log = metadata_log[-keep_prev:] if keep_prev > 0 else []
         meta = {
             "format-version": self.format_version,
             "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
@@ -1485,23 +1512,9 @@ class IcebergConversionTarget:
             "snapshot-log": (prev or {}).get("snapshot-log", [])
             + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
             # spec: previous metadata files, oldest first (readers use it
-            # for metadata time travel; retention may prune it)
-            "metadata-log": (
-                (prev or {}).get("metadata-log", [])
-                + (
-                    [
-                        {
-                            "timestamp-ms": (prev or {}).get("last-updated-ms", now_ms),
-                            "metadata-file": os.path.join(
-                                metadata_dir(self.base_path),
-                                f"v{version - 1}.metadata.json",
-                            ),
-                        }
-                    ]
-                    if prev is not None
-                    else []
-                )
-            ),
+            # for metadata time travel), bounded by
+            # write.metadata.previous-versions-max above
+            "metadata-log": metadata_log,
             # statistics entries describe prior snapshots, which this
             # commit keeps — carry them forward (write_ndv_statistics /
             # write_partition_statistics append the new snapshot's
@@ -1531,6 +1544,18 @@ class IcebergConversionTarget:
             os.unlink(tmp)
         with open(os.path.join(metadata_dir(self.base_path), "version-hint.text"), "w") as fh:
             fh.write(str(version))
+        # only AFTER the new version landed: physically drop metadata
+        # files that fell off the bounded metadata-log, when opted in
+        if (
+            str(properties.get("write.metadata.delete-after-commit.enabled", "")).lower()
+            == "true"
+        ):
+            for p in dropped_meta_files:
+                if p and os.path.exists(p):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass  # best-effort; an orphan file is harmless
 
     # -- metadata read-back ------------------------------------------------
 

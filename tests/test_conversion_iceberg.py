@@ -788,3 +788,42 @@ def test_catalog_layout_gzip_metadata_resolves(spark, source_dir, tmp_path):
 
     report = check_iceberg_conformance(spark, source_dir)
     assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+
+def test_metadata_log_bounded_and_optionally_deleted(spark, source_dir):
+    """write.metadata.previous-versions-max bounds the metadata-log (one
+    entry per commit forever otherwise) and
+    write.metadata.delete-after-commit.enabled unlinks the dropped files
+    once the new version lands — spec table properties."""
+    source = ParquetConversionSource(spark, source_dir, name="region")
+    target = IcebergConversionTarget(spark, source_dir, table_name="region")
+    ctrl = ConversionController()
+    ctrl.sync(source, {TableFormat.ICEBERG: target})
+    md = os.path.join(source_dir, "metadata")
+    # inject the properties on the head (they carry forward per commit)
+    with open(os.path.join(md, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    p = os.path.join(md, f"v{v}.metadata.json")
+    meta = json.load(open(p))
+    meta.setdefault("properties", {})["write.metadata.previous-versions-max"] = "2"
+    meta["properties"]["write.metadata.delete-after-commit.enabled"] = "true"
+    json.dump(meta, open(p, "w"))
+
+    src_df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    for i in range(4):
+        src_df.withColumn("r_regionkey", F.col("r_regionkey") + 100 * (i + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(source_dir)
+        res = ctrl.sync(source, {TableFormat.ICEBERG: target})
+        assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+
+    head = read_table_metadata(source_dir)
+    log_entries = head["metadata-log"]
+    assert len(log_entries) == 2, log_entries
+    # the tracked previous versions exist; older ones were unlinked
+    for e in log_entries:
+        assert os.path.exists(e["metadata-file"])
+    assert not os.path.exists(os.path.join(md, "v1.metadata.json"))
+    assert not os.path.exists(os.path.join(md, "v2.metadata.json"))
+    # table still reads and resolves normally
+    assert read_iceberg_as_df(spark, source_dir).count() == 25
