@@ -226,3 +226,110 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.2)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + quantized top-k (exact-integer scores)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md)
+
+SQ_ORACLE = f"""
+WITH dims AS (
+  SELECT i, MIN(embedding[i]) AS mn, MAX(embedding[i]) AS mx
+  FROM embeddings, generate_series(1, {EMB_DIM}) AS t(i)
+  GROUP BY i
+), b AS (
+  SELECT list(CAST(mn AS DOUBLE) ORDER BY i) AS mins,
+         list(CASE WHEN mx > mn THEN 255.0 / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) ELSE 0.0 END ORDER BY i) AS scales
+  FROM dims
+), qz AS (
+  SELECT vec_id,
+         list_transform(range(1, {EMB_DIM + 1}),
+           i -> floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * scales[i] + 0.5) - 128) AS qv
+  FROM embeddings, b
+), scored AS (
+  SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_dot_product(a.qv, c.qv) AS BIGINT) AS qscore
+  FROM qz a JOIN qz c ON a.vec_id < 8 AND a.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, qscore, CAST(rn AS INTEGER) AS rank
+FROM (SELECT q_id, c_id, qscore,
+             row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, c_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+ORDER BY q_id, rank
+"""
+
+
+def quantize_embeddings(emb: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Int8 scalar quantization (per-dimension min/max over the corpus):
+    appends ``qv`` — array<bigint> of floor((x - mn_i) * 255/(mx_i -
+    mn_i) + 0.5) - 128 — the memory-footprint play a 100 TB embedding
+    store needs (4 bytes -> 1 byte per dim at retrieval quality loss
+    bounded by the quantization step).
+
+    Cross-engine determinism: double math in EXACTLY the oracle's
+    operation order (subtract, multiply by the precomputed per-dim
+    scale, +0.5, floor — never round()), so quantized codes and the
+    resulting INTEGER dot-product scores hash-match DuckDB bit-for-bit
+    (the vector_label_centroids fixed-point lesson).
+
+    Scale: ONE aggregate over the corpus computes all 2*dim bounds
+    (map-side partial agg, no shuffle of rows); bounds ride a broadcast
+    1-row cross join — the corpus itself never reshuffles. Quantization
+    is a narrow JVM projection."""
+    bounds = emb.agg(
+        F.array(
+            *[F.min(F.element_at(vec_col, i + 1)).cast("double") for i in range(dim)]
+        ).alias("mins"),
+        F.array(
+            *[F.max(F.element_at(vec_col, i + 1)).cast("double") for i in range(dim)]
+        ).alias("maxs"),
+    ).select(
+        "mins",
+        F.zip_with(
+            "maxs",
+            "mins",
+            lambda mx, mn: F.when(mx > mn, F.lit(255.0) / (mx - mn)).otherwise(F.lit(0.0)),
+        ).alias("scales"),
+    )
+    shifted = F.zip_with(F.col(vec_col), F.col("mins"), lambda x, mn: x.cast("double") - mn)
+    qv = F.zip_with(
+        shifted,
+        F.col("scales"),
+        lambda d, s: (F.floor(d * s + F.lit(0.5)) - F.lit(128)).cast("long"),
+    )
+    return emb.crossJoin(F.broadcast(bounds)).withColumn("qv", qv).drop("mins", "scales")
+
+
+@register(
+    "vector_quantized_topk",
+    oracle=SQ_ORACLE,
+    category="vector",
+    description="int8 scalar-quantized top-5 by integer dot product",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def vector_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = quantize_embeddings(t(spark, sf_dir, "embeddings"), EMB_DIM)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qa")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("qv").alias("qb"))
+    qscore = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("qscore", qscore)
+        .select("q_id", "c_id", "qscore")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qscore"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "qscore", "rank")
+        .orderBy("q_id", "rank")
+    )
