@@ -312,3 +312,45 @@ def test_fuzzy_dedup_keep_decisions_transitive_and_keeper(spark):
     )
     kept = docs.join(drops, "doc_id", "left_anti")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 99]
+
+
+def test_quantized_topk_recall_vs_exact_dot(spark):
+    """Int8 quantization quality gate: top-5 by quantized integer dot
+    product overlaps the exact double dot-product top-5 (mean recall
+    >= 0.7 measured 0.80 at this SF; the parity suite separately pins
+    bit-exact agreement with the DuckDB oracle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.plans.registry import REGISTRY, _load_all
+    from incubator_xtable_spark.plans.vector_queries import dot
+    from incubator_xtable_spark.plans.common import t as load
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    quant = REGISTRY["vector_quantized_topk"].fn(spark, sf).collect()
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qa")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("qb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    exact = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("score", dot(F.col("qa"), F.col("qb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    top_q, top_e = defaultdict(set), defaultdict(set)
+    for r in quant:
+        top_q[r["q_id"]].add(r["c_id"])
+    for r in exact:
+        top_e[r["q_id"]].add(r["c_id"])
+    recalls = [len(top_q[k] & top_e[k]) / 5 for k in top_e]
+    assert len(recalls) == 8
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    assert min(recalls) >= 0.4, recalls
