@@ -330,7 +330,9 @@ def connected_components(
     Scale (100 TB posture): per round ONE shuffle join (edges x labels
     on node id) + one min-agg; labels monotonically decrease, so
     convergence is checked with a cheap sum() probe (strictly smaller
-    iff anything changed — no second join). Rounds needed = graph
+    iff anything changed — no second join). The probe's collect() is a
+    ONE-ROW aggregate scalar per round (the loop-control value a driver
+    must see), never row data. Rounds needed = graph
     DIAMETER: near-dup graphs are stars and short chains, so a handful
     in practice; ``max_iterations`` bounds adversarial chains and the
     operator raises rather than returning a half-converged clustering
