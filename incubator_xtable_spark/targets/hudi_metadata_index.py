@@ -48,11 +48,14 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import os
 import struct
 import uuid
 
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 from incubator_xtable_spark.model.hfile import hfile_bytes, read_hfile, write_hfile
 from incubator_xtable_spark.model.hudi_metadata_records import (
@@ -646,13 +649,38 @@ def _rebuilt_partition_stats_state(
     in-hand delta — the compaction-time re-tightening that undoes the
     delta path's conservative drift (deletes leave stale contributions,
     in-place rewrites double-count; see write_partition_stats_commit).
-    Returns None whenever an exact rebuild cannot be guaranteed (either
-    index base missing/undecodable, or readable keys with ambiguous
-    duplicate base names) — the caller then falls back to the plain
-    combine fold, which is conservative but never wrong for pruning.
+    Returns None whenever an exact rebuild cannot be guaranteed (index
+    base missing/undecodable, readable keys with ambiguous duplicate
+    base names, or ANY exception from decoding/folding foreign index
+    state — e.g. a real-Hudi log whose coerced min/max type doesn't
+    compare against this commit's decoded values) — the caller then
+    falls back to the plain combine fold, which is conservative but
+    never wrong for pruning. A compaction must never fail the sync
+    commit over a re-tightening OPTIMIZATION.
 
     Scale: driver-side over METADATA state (live files x columns), the
     same order as one files-index compaction; no data file opens."""
+    try:
+        return _rebuild_partition_stats_exact(
+            base_path, adds, removed_rel_paths, schema, key_mode
+        )
+    except Exception:  # noqa: BLE001 — fold fallback is always safe
+        log.warning(
+            "partition_stats exact rebuild failed for %s; compacting via "
+            "the conservative combine fold instead",
+            base_path,
+            exc_info=True,
+        )
+        return None
+
+
+def _rebuild_partition_stats_exact(
+    base_path: str,
+    adds: list[dict],
+    removed_rel_paths: list[str],
+    schema: T.StructType,
+    key_mode: str,
+) -> list[tuple[bytes, bytes]] | None:
     from incubator_xtable_spark.model.hudi_metadata_records import (
         ALL_PARTITIONS_KEY,
         NON_PARTITIONED_NAME,

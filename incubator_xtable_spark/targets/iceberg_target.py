@@ -586,24 +586,35 @@ def read_metadata_json_file(path: str) -> dict:
     """Parse one metadata.json that may be gzip-compressed
     (``write.metadata.compression=gzip`` names files
     ``<v>-<uuid>.gz.metadata.json``): sniff the gzip magic rather than
-    trusting the name — foreign writers have shipped either."""
+    trusting the name — foreign writers have shipped either.
+    Malformed payloads (torn gzip: EOFError; corrupt body: zlib.error;
+    bad utf-8/json) all normalize to ValueError so callers need one
+    exception contract for "this candidate is not readable"."""
     with open(path, "rb") as fh:
         head = fh.read(2)
         fh.seek(0)
         raw = fh.read()
     if head == b"\x1f\x8b":
         import gzip
+        import zlib
 
-        raw = gzip.decompress(raw)
-    return json.loads(raw.decode("utf-8"))
+        try:
+            raw = gzip.decompress(raw)
+        except (EOFError, zlib.error, gzip.BadGzipFile) as exc:
+            raise ValueError(f"malformed gzip metadata file {path!r}: {exc}") from exc
+    try:
+        return json.loads(raw.decode("utf-8"))
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"metadata file {path!r} is not utf-8 json: {exc}") from exc
 
 
-# hint-less head resolution memo: {metadata dir: (dir mtime_ns, path)}.
-# metadata.json files are immutable and every commit ADDS one (changing
-# the directory mtime), so the dir mtime is a sound invalidation key —
-# without it, every read of a catalog-layout table re-parses every
-# retained metadata version (sources call read_table_metadata per
-# snapshot/diff operation).
+# hint-less head resolution memo: {metadata dir: (candidate name tuple,
+# resolved path)}. metadata.json files are IMMUTABLE and the resolution
+# is a pure function of which candidates exist, so the sorted name set
+# is a sound invalidation key (directory mtime is not — coarse-mtime
+# filesystems can land two commits in one tick). The listdir stays; only
+# the per-candidate parsing is skipped — that's the O(versions x size)
+# cost sources would otherwise pay per read_table_metadata call.
 _RESOLVE_CACHE: dict = {}
 
 
@@ -627,14 +638,16 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
             return p
     if not os.path.isdir(md):
         return None
-    dir_mtime = os.stat(md).st_mtime_ns
+    names = tuple(
+        name
+        for name in sorted(os.listdir(md))
+        if _V_META_RE.match(name) or _CATALOG_META_RE.match(name)
+    )
     cached = _RESOLVE_CACHE.get(md)
-    if cached and cached[0] == dir_mtime and os.path.exists(cached[1]):
+    if cached and cached[0] == names and os.path.exists(cached[1]):
         return cached[1]
     candidates: list[tuple[str, dict]] = []
-    for name in sorted(os.listdir(md)):
-        if not (_V_META_RE.match(name) or _CATALOG_META_RE.match(name)):
-            continue
+    for name in names:
         try:
             candidates.append((name, read_metadata_json_file(os.path.join(md, name))))
         except (OSError, ValueError):
@@ -670,7 +683,7 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
             heads[-1][0],
         )
     resolved = os.path.join(md, heads[-1][0])
-    _RESOLVE_CACHE[md] = (dir_mtime, resolved)
+    _RESOLVE_CACHE[md] = (names, resolved)
     return resolved
 
 
@@ -1320,17 +1333,27 @@ class IcebergConversionTarget:
             ],
         }
 
-    def _sort_orders_json(self, schema_json: dict) -> tuple[int, list[dict]]:
+    def _sort_orders_json(
+        self, schema_json: dict, prev: Optional[dict]
+    ) -> tuple[int, list[dict]]:
         """(default-sort-order-id, sort-orders) for the metadata commit:
         when the SOURCE table declares a write sort order
         (InternalTable.sort_order — an Iceberg source extracts its
         default order), carry it through with source-ids remapped into
         THIS table's field ids by dot path, exactly like partition specs
         remap (spec "Sort Orders"; the reference drops declared orders).
-        Unsorted tables keep order 0; an unresolvable member drops the
-        whole order with a warning (a partial order is a wrong
-        contract)."""
-        empty = (0, [{"order-id": 0, "fields": []}])
+        Sort orders are APPEND-ONLY definitions identified by order-id
+        (data files and foreign writers may record sort_order_id): a
+        changed source order appends the next id, an identical one
+        reuses its existing id, and prior definitions are never
+        redefined — the same evolution posture as
+        _resolve_partition_specs. Unsorted tables flip the default back
+        to order 0; an unresolvable member drops the whole order with a
+        warning (a partial order is a wrong contract)."""
+        prev_orders = [dict(o) for o in (prev or {}).get("sort-orders") or []]
+        if not any(o.get("order-id") == 0 for o in prev_orders):
+            prev_orders.insert(0, {"order-id": 0, "fields": []})
+        empty = (0, prev_orders)
         sfs = getattr(self._table, "sort_order", None) if self._table else None
         if not sfs:
             return empty
@@ -1364,7 +1387,11 @@ class IcebergConversionTarget:
                     "null-order": sf.null_order,
                 }
             )
-        return 1, [{"order-id": 0, "fields": []}, {"order-id": 1, "fields": fields}]
+        for o in prev_orders:
+            if o.get("fields") == fields:
+                return o["order-id"], prev_orders
+        new_id = max(int(o.get("order-id", 0)) for o in prev_orders) + 1
+        return new_id, prev_orders + [{"order-id": new_id, "fields": fields}]
 
     def _resolve_partition_specs(self, prev: Optional[dict]) -> tuple[int, list[dict], int]:
         """Partition-spec EVOLUTION on the write side: when the source's
@@ -1461,7 +1488,7 @@ class IcebergConversionTarget:
         }
         if snapshot["parent-snapshot-id"] is None:
             snapshot.pop("parent-snapshot-id")
-        sort_order_id, sort_orders = self._sort_orders_json(schema_json)
+        sort_order_id, sort_orders = self._sort_orders_json(schema_json, prev)
         # the previous head's ACTUAL path (a catalog-written table's head
         # is 0000N-<uuid>[.gz].metadata.json, not v{N}) — metadata-log
         # entries must reference real files or time travel breaks

@@ -827,3 +827,76 @@ def test_metadata_log_bounded_and_optionally_deleted(spark, source_dir):
     assert not os.path.exists(os.path.join(md, "v2.metadata.json"))
     # table still reads and resolves normally
     assert read_iceberg_as_df(spark, source_dir).count() == 25
+
+
+def test_sort_order_evolution_appends_new_id(spark, source_dir, tmp_path):
+    """Sort orders are append-only definitions: a CHANGED source order
+    appends the next order-id (prior ids keep their meaning — data
+    files may record sort_order_id), an identical one reuses its id."""
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    _declare_sort_order(source_dir, column="r_regionkey")
+    mirror = str(tmp_path / "ice_mirror_evo")
+    os.makedirs(mirror, exist_ok=True)
+    mt = IcebergConversionTarget(spark, mirror, table_name="region")
+    ctrl = ConversionController()
+    ctrl.sync(IcebergConversionSource(spark, source_dir), {TableFormat.ICEBERG: mt})
+    m1 = read_table_metadata(mirror)
+    assert m1["default-sort-order-id"] == 1
+
+    # source order changes to a different column -> next id appended
+    extra = spark.read.parquet(f"{SF_SMOKE}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey") + 10
+    )
+    extra.coalesce(1).write.mode("append").parquet(source_dir)
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    _declare_sort_order(source_dir, column="r_name")
+    res = ctrl.sync(IcebergConversionSource(spark, source_dir), {TableFormat.ICEBERG: mt})
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS, res[TableFormat.ICEBERG].error
+    m2 = read_table_metadata(mirror)
+    assert m2["default-sort-order-id"] == 2
+    ids = sorted(o["order-id"] for o in m2["sort-orders"])
+    assert ids == [0, 1, 2]
+    # order 1 kept its ORIGINAL definition (r_regionkey), order 2 is r_name
+    schema = next(
+        s for s in m2["schemas"] if s.get("schema-id", 0) == m2.get("current-schema-id", 0)
+    )
+    fid_key = next(x["id"] for x in schema["fields"] if x["name"] == "r_regionkey")
+    fid_name = next(x["id"] for x in schema["fields"] if x["name"] == "r_name")
+    o1 = next(o for o in m2["sort-orders"] if o["order-id"] == 1)
+    o2 = next(o for o in m2["sort-orders"] if o["order-id"] == 2)
+    assert o1["fields"][0]["source-id"] == fid_key
+    assert o2["fields"][0]["source-id"] == fid_name
+
+
+def test_torn_gzip_candidate_skipped(spark, source_dir):
+    """A truncated gzip metadata candidate (crashed writer: magic bytes
+    present, payload torn) must be SKIPPED during head resolution, not
+    crash every read of the table."""
+    import gzip as _gzip
+
+    ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, source_dir, table_name="region")},
+    )
+    head_snap = read_table_metadata(source_dir)["current-snapshot-id"]
+    mapping = _to_catalog_layout(source_dir)
+    md = os.path.join(source_dir, "metadata")
+    # torn candidate that sorts after everything: gzip magic + garbage
+    good = _gzip.compress(b'{"x": 1}')
+    with open(
+        os.path.join(md, "99999-aaaaaaaa-0000-0000-0000-000000000000.gz.metadata.json"),
+        "wb",
+    ) as fh:
+        fh.write(good[: len(good) // 2])
+    meta = read_table_metadata(source_dir)
+    assert meta is not None and meta["current-snapshot-id"] == head_snap
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+
+    report = check_iceberg_conformance(spark, source_dir)
+    assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
