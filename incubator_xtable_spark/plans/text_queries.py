@@ -432,3 +432,84 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic sampling + per-group caps
+# ---------------------------------------------------------------------------
+
+SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2000
+ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_hash_sample",
+    oracle=SAMPLE_ORACLE,
+    category="text",
+    description="deterministic md5-keyed ~20% corpus sample",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling — the reproducibility
+    requirement rand()-based df.sample cannot give a training pipeline:
+    membership depends only on the row's own key (md5 prefix mod 1e4),
+    so reruns, retries and resumed jobs select the SAME subset on any
+    cluster size or partitioning.
+
+    Scale: a narrow per-row predicate, no shuffle, fully pushed into
+    the scan stage; tune the threshold for any rate at 0.01% grain."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long") % 10000
+    return docs.filter(bucket < 2000).select("doc_id", "lang").orderBy("doc_id")
+
+
+CAP_ORACLE = """
+SELECT lang, doc_id
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
+@register(
+    "corpus_lang_cap",
+    oracle=CAP_ORACLE,
+    category="text",
+    description="per-language cap: 5 docs by deterministic md5 shuffle",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def corpus_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-balanced downsampling: cap each language at N documents,
+    chosen by a DETERMINISTIC md5 shuffle order (not arrival order —
+    arrival order biases toward whatever crawled first; not rand() —
+    irreproducible). The dominant-language cap is how a multilingual
+    corpus keeps tail languages from drowning.
+
+    Scale: rank<=N over a window triggers Spark's WindowGroupLimit
+    rewrite — each map task pre-keeps only its local top-N per key
+    before the shuffle, so the exchange carries O(keys x N), not the
+    corpus; a skewed dominant language therefore never funnels into
+    one reducer's full sort."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
