@@ -40,14 +40,16 @@ from incubator_xtable_spark.model.hudi_hash import (
     xxhash64,
 )
 
+# any local maven/coursier-style cache layout: .../net/openhft/
+# zero-allocation-hashing/<version>/zero-allocation-hashing-<version>.jar
 _ZAH_GLOB = (
-    "/root/.cache/coursier/v1/*/*/*/maven-all/net/openhft/"
+    "/root/.cache/coursier/**/net/openhft/"
     "zero-allocation-hashing/*/zero-allocation-hashing-*.jar"
 )
 
 
 def _find_zah_jar() -> str | None:
-    hits = sorted(glob.glob(_ZAH_GLOB))
+    hits = sorted(glob.glob(_ZAH_GLOB, recursive=True))
     return hits[-1] if hits else None
 
 
