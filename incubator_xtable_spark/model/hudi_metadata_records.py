@@ -600,7 +600,7 @@ def merge_metadata_records(
 
 
 def merged_metadata_slice_records(
-    hfile_path: str, log_paths: list[str]
+    hfile_path: str, log_paths: list[str], as_of_instant: str | None = None
 ) -> list[tuple[str, dict]]:
     """Decode one metadata file slice — base HFile plus its ordered log
     files — into merged (key, HoodieMetadataRecord) pairs.
@@ -618,7 +618,7 @@ def merged_metadata_slice_records(
     ordered: list[tuple[str, dict]] = list(
         _hfile_records(read_hfile(hfile_path), hfile_path)
     )
-    ordered.extend(iter_log_records(log_paths))
+    ordered.extend(iter_log_records(log_paths, as_of_instant))
     return sorted(merge_metadata_records(ordered).items())
 
 
@@ -642,19 +642,31 @@ def _hfile_records(hf, where: str) -> list[tuple[str, dict]]:
     return out
 
 
-def iter_log_records(log_paths: list[str]) -> list[tuple[str, dict]]:
+def iter_log_records(
+    log_paths: list[str], as_of_instant: str | None = None
+) -> list[tuple[str, dict]]:
     """Ordered (key, record) stream of a metadata file slice's log files —
     AVRO_DATA_BLOCK / HFILE_DATA_BLOCK / DELETE_BLOCK decode; anything
     else refuses loudly (callers probe with metadata_logs_supported)."""
-    return [(k, rec) for k, _raw, rec in iter_log_records_raw(log_paths)]
+    return [
+        (k, rec) for k, _raw, rec in iter_log_records_raw(log_paths, as_of_instant)
+    ]
 
 
-def iter_log_records_raw(log_paths: list[str]) -> list[tuple[str, bytes | None, dict]]:
+def iter_log_records_raw(
+    log_paths: list[str], as_of_instant: str | None = None
+) -> list[tuple[str, bytes | None, dict]]:
     """The single log-block decoder: ordered (key, raw avro value bytes,
     decoded record) triples. Raw bytes ride along for COMPACTION, which
     must carry winning records without re-encoding (decode drops union
     branch names — see targets/hudi_metadata_index._compacted_records);
-    tombstones from DELETE_BLOCKs yield (key, None, {"_tombstone"})."""
+    tombstones from DELETE_BLOCKs yield (key, None, {"_tombstone"}).
+
+    ``as_of_instant`` replays only blocks whose INSTANT_TIME header is at
+    or before the given data-table instant — the index AS OF that
+    commit. A block WITHOUT the header is skipped under as-of (its
+    commit is unknowable; missing state degrades to "keep/fall back" in
+    every consumer, never to wrong-era stats)."""
     import io as _io
     import json as _json
     import struct as _struct
@@ -670,9 +682,15 @@ def iter_log_records_raw(log_paths: list[str]) -> list[tuple[str, bytes | None, 
         read_log_blocks,
     )
 
+    from incubator_xtable_spark.sources.hudi_log import H_INSTANT_TIME
+
     ordered: list[tuple[str, bytes | None, dict]] = []
     for lp in log_paths:
         for block in read_log_blocks(lp):
+            if as_of_instant is not None:
+                b_instant = (block.headers or {}).get(H_INSTANT_TIME)
+                if b_instant is None or b_instant > as_of_instant:
+                    continue
             if block.block_type == AVRO_DATA_BLOCK:
                 schema = _json.loads(block.headers[H_SCHEMA])
                 buf = _io.BytesIO(block.content)

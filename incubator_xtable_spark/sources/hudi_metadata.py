@@ -117,10 +117,14 @@ def col_stats_available(base_path: str) -> bool:
     return bool(_delta_files(base_path))
 
 
-def _latest_hfile_slices(d: str) -> list[str]:
+def _latest_hfile_slices(d: str, as_of_instant: str | None = None) -> list[str]:
     """Latest base .hfile per metadata file group. Base file names are
     ``<fileId>_<writeToken>_<instant>.hfile``; the latest instant per
-    fileId is the current slice's base file.
+    fileId is the current slice's base file. ``as_of_instant`` replays
+    the index AS OF a data-table instant: only bases written at or
+    before it qualify (a group with no such base simply drops out — its
+    keys go unresolved, which every consumer treats as "keep/fall
+    back", the safe direction).
 
     Known limitation (documented): real Hudi can be configured to write
     metadata partitions with PARQUET base files; this probe globs .hfile
@@ -133,6 +137,8 @@ def _latest_hfile_slices(d: str) -> list[str]:
         if len(parts) < 3:
             continue
         file_id, instant = parts[0], parts[2]
+        if as_of_instant is not None and instant > as_of_instant:
+            continue
         cur = best.get(file_id)
         if cur is None or instant > cur[0]:
             best[file_id] = (instant, p)
@@ -194,20 +200,23 @@ def _base_supported(path: str) -> bool:
 
 
 def _hfile_partition_state(
-    d: str, probe: bool = True
+    d: str, probe: bool = True, as_of_instant: str | None = None
 ) -> tuple[list[tuple[str, list[str]]], bool]:
     """-> ([(latest base hfile, its ordered logs)], ok). ok is False when
     any slice carries a log file the merge cannot decode OR a base file
     beyond the reader's support (multi-level index / foreign codec) — the
     caller warns and falls back instead of serving stale/partial state or
     crashing mid-read. ``probe=False`` skips the (full-log-parse) probe
-    for POINT lookups, which instead catch decode errors per slice."""
+    for POINT lookups, which instead catch decode errors per slice.
+    ``as_of_instant`` replays the index as of a data-table instant (base
+    selection here; log BLOCKS filter by their INSTANT_TIME header in
+    the record merge)."""
     from incubator_xtable_spark.model.hudi_metadata_records import (
         metadata_logs_supported,
     )
 
     slices = []
-    for base in _latest_hfile_slices(d):
+    for base in _latest_hfile_slices(d, as_of_instant):
         logs = slice_log_files(d, base)
         if probe:
             if not _base_supported(base):
@@ -218,7 +227,7 @@ def _hfile_partition_state(
     return slices, True
 
 
-def hfile_col_stats_available(base_path: str) -> bool:
+def hfile_col_stats_available(base_path: str, as_of_instant: str | None = None) -> bool:
     """REAL-Hudi col-stats tier availability: the table config advertises
     the partition and HFile base files exist. Log-bearing slices are
     MERGED (AVRO/HFILE/DELETE log blocks via the pure-python codecs);
@@ -231,7 +240,7 @@ def hfile_col_stats_available(base_path: str) -> bool:
     if COLUMN_STATS_PARTITION not in parts:
         return False
     d = os.path.join(base_path, HFILE_COL_STATS_SUBDIR)
-    slices, logs_ok = _hfile_partition_state(d)
+    slices, logs_ok = _hfile_partition_state(d, as_of_instant=as_of_instant)
     if not logs_ok:
         log.warning(
             "column_stats metadata partition of %s has undecodable log "
@@ -287,17 +296,27 @@ def _safe_point_lookup(base: str, logs: list[str], key: str) -> dict | None:
         return None
 
 
-def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructType) -> DataFrame:
+def hfile_stats_records(
+    spark: SparkSession,
+    base_path: str,
+    schema: T.StructType,
+    as_of_instant: str | None = None,
+) -> DataFrame:
     """Decode a REAL Hudi column_stats partition (HFile base files) into
     the engine's stat-record shape: one row per (file_name, column_name)
     with min/max re-encoded by the data schema's column types.
+    ``as_of_instant`` replays the index AS OF a data-table instant
+    (base selection by embedded instant + log blocks by INSTANT_TIME
+    header) — the state a time-travel read may trust.
 
     Distribution: one task per file SLICE — base HFile plus its unmerged
     log files (pure-python HFile/log/Avro codecs in Arrow batch workers —
     index files are metadata-sized); the schema travels as JSON, values
     re-encode executor-side. No driver funnel.
     """
-    slices, _ = _hfile_partition_state(os.path.join(base_path, HFILE_COL_STATS_SUBDIR))
+    slices, _ = _hfile_partition_state(
+        os.path.join(base_path, HFILE_COL_STATS_SUBDIR), as_of_instant=as_of_instant
+    )
     schema_json = schema.json()
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out_schema = T.StructType(
@@ -343,7 +362,9 @@ def hfile_stats_records(spark: SparkSession, base_path: str, schema: T.StructTyp
                 # base + unmerged log files resolve slice-side (r8: the
                 # log-bearing limitation is lifted; tombstoned records
                 # drop out in the merge)
-                for _key, rec in merged_metadata_slice_records(p, _json.loads(logs_json)):
+                for _key, rec in merged_metadata_slice_records(
+                    p, _json.loads(logs_json), as_of_instant
+                ):
                     cs = rec.get("ColumnStatsMetadata")
                     if cs is None:
                         continue
@@ -779,6 +800,7 @@ def prune_files_by_col_stats(
     rel_paths: list[str],
     schema: T.StructType,
     bounds: dict[str, tuple],
+    as_of_instant: str | None = None,
 ) -> set[str]:
     """Index-driven FILE pruning (the data-skipping consumer of the
     column_stats metadata partition — what real Hudi's
@@ -813,7 +835,7 @@ def prune_files_by_col_stats(
     the file list already lives (this engine's listing posture)."""
     if not bounds or not rel_paths:
         return set(rel_paths)
-    if not hfile_col_stats_available(base_path):
+    if not hfile_col_stats_available(base_path, as_of_instant):
         return set(rel_paths)
     from incubator_xtable_spark.model.hudi_metadata_records import col_stats_key
     from incubator_xtable_spark.model.stat_codec import decode_stat, stat_range_keeps
@@ -850,7 +872,7 @@ def prune_files_by_col_stats(
             if unpartitioned:
                 expect[col_stats_key(c, fname)] = (rel, c)
     stats = (
-        hfile_stats_records(spark, base_path, schema)
+        hfile_stats_records(spark, base_path, schema, as_of_instant)
         .filter(F.col("column_name").isin(cols) & ~F.col("is_deleted"))
         .select("record_key", "min_json", "max_json")
         .collect()

@@ -901,25 +901,20 @@ def read_hudi_as_df(
     O(metadata) instead of O(files) I/O). Safe: uncovered files are
     kept, and pruning never replaces the row filter — apply `.filter`
     on the result for exact semantics. read_optimized only (a MOR log
-    overlay could resurrect pruned keys), HEAD only (the column_stats
-    index replays to its latest state, and its hashed record keys are
-    version-agnostic per rel path — an as-of read would prune an OLD
-    file version against the NEW version's bounds and could silently
-    drop matching rows)."""
+    overlay could resurrect pruned keys). Combined with
+    ``as_of_instant``, the column_stats index REPLAYS AS OF that
+    instant (base files by embedded instant, log blocks by their
+    INSTANT_TIME header) — hashed record keys are version-agnostic per
+    rel path, so trusting HEAD state would prune an as-of file version
+    against a LATER rewrite's bounds and silently drop matching rows;
+    the as-of replay serves each path's contemporaneous stats, and any
+    file group without as-of state degrades to "keep"."""
     include_logs = mode == "snapshot"
     if prune and include_logs:
         raise ValueError(
             "read_hudi_as_df: prune= requires mode='read_optimized' "
             "(MOR log overlays can add rows the base-file index "
             "doesn't cover)"
-        )
-    if prune and as_of_instant is not None:
-        raise ValueError(
-            "read_hudi_as_df: prune= cannot combine with as_of_instant "
-            "(the column_stats index reflects HEAD state and its keys "
-            "are version-agnostic per path — in-place rewrites would "
-            "prune the as-of file version against the new version's "
-            "bounds). Time-travel reads must scan unpruned."
         )
     if include_logs and as_of_instant is None:
         # bound head reads at the latest COMPLETED instant: a writer may
@@ -937,7 +932,12 @@ def read_hudi_as_df(
         )
 
         kept = prune_files_by_col_stats(
-            spark, base_path, [r["path"] for r in rows], table.read_schema, prune
+            spark,
+            base_path,
+            [r["path"] for r in rows],
+            table.read_schema,
+            prune,
+            as_of_instant=as_of_instant,
         )
         rows = [r for r in rows if r["path"] in kept]
     if table is None or (not rows and not log_rows):

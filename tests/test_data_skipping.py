@@ -144,19 +144,109 @@ def test_paimon_prune_skips_disjoint_files(spark, tmp_path):
     assert empty.count() == 0 and "id" in empty.columns
 
 
-def test_hudi_prune_refuses_time_travel(spark):
-    """prune= + as_of_instant must refuse: the column_stats index
-    replays to HEAD and its hashed keys are version-agnostic per rel
-    path, so an as-of read would prune the OLD file version against the
-    NEW version's bounds (silent row loss on in-place rewrites)."""
-    import pytest
+def test_hudi_prune_replays_index_as_of_instant(spark, tmp_path):
+    """prune= + as_of_instant replays the column_stats index AS OF the
+    requested instant (r9 advisor finding): hashed record keys are
+    version-agnostic per rel path, so HEAD state mixes a later in-place
+    rewrite's bounds into the as-of decision; the replay serves each
+    path's contemporaneous stats. (Row-level caveat, inherent to
+    metadata-only conversion: an EXTERNAL file rewritten in place has
+    its old bytes gone, so as-of ROW reads of that path serve new bytes
+    regardless of pruning — the index replay is about never pruning on
+    wrong-era bounds.)"""
+    from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        list_completed_instants,
+        live_files_rows,
+        read_hudi_as_df,
+    )
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
 
-    from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
-
-    with pytest.raises(ValueError, match="as_of_instant"):
-        read_hudi_as_df(
-            spark,
-            "/nonexistent/never-touched",
-            as_of_instant="00000000000001000",
-            prune={"id": (1, 2)},
+    d = str(tmp_path / "asof_prune")
+    os.makedirs(d, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199)]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": [f"row-{v}" for v in range(lo, hi + 1)],
+                }
+            ),
+            os.path.join(d, f"part-{i:04d}.parquet"),
         )
+    source = ParquetConversionSource(spark, d, name="asof")
+    target = HudiConversionTarget(spark, d, table_name="asof", metadata_index_format="hfile")
+    ctrl = ConversionController()
+    assert ctrl.sync(source, {TableFormat.HUDI: target})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    t1 = list_completed_instants(d)[-1][0]
+
+    # commit 2 — REWRITE part-0001 in place: ids jump to 1000..1099
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(1000, 1100), pa.int64()),
+                "label": [f"row-{v}" for v in range(1000, 1100)],
+            }
+        ),
+        os.path.join(d, "part-0001.parquet"),
+    )
+    assert ctrl.sync(source, {TableFormat.HUDI: target})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+
+    schema = HudiConversionSource(spark, d).get_current_table().read_schema
+    rels = [r["path"] for r in live_files_rows(d, t1) if r["path"]]
+    assert sorted(rels) == ["part-0000.parquet", "part-0001.parquet"]
+
+    # the DIVERGENCE the replay exists for: at t1 part-0001 was 100..199,
+    # so a (1050, inf) predicate excludes it AS OF t1 — while HEAD state
+    # (which mixes the rewrite's 1000..1099) keeps it
+    kept_head = prune_files_by_col_stats(spark, d, rels, schema, {"id": (1050, None)})
+    kept_asof = prune_files_by_col_stats(
+        spark, d, rels, schema, {"id": (1050, None)}, as_of_instant=t1
+    )
+    assert "part-0001.parquet" in kept_head
+    assert kept_asof == set()
+    # contemporaneous bounds serve the as-of decision on every range
+    assert prune_files_by_col_stats(
+        spark, d, rels, schema, {"id": (120, 150)}, as_of_instant=t1
+    ) == {"part-0001.parquet"}
+    assert prune_files_by_col_stats(
+        spark, d, rels, schema, {"id": (0, 50)}, as_of_instant=t1
+    ) == {"part-0000.parquet"}
+
+    # end-to-end: as_of + prune on an append-only history (no rewrite)
+    # is exact and skips files
+    d2 = str(tmp_path / "asof_prune_clean")
+    os.makedirs(d2, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199)]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(lo, hi + 1), pa.int64()),
+                    "label": [f"row-{v}" for v in range(lo, hi + 1)],
+                }
+            ),
+            os.path.join(d2, f"part-{i:04d}.parquet"),
+        )
+    source2 = ParquetConversionSource(spark, d2, name="asof2")
+    target2 = HudiConversionTarget(spark, d2, table_name="asof2", metadata_index_format="hfile")
+    assert ctrl.sync(source2, {TableFormat.HUDI: target2})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    t1b = list_completed_instants(d2)[-1][0]
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(200, 300), pa.int64()),
+                "label": [f"row-{v}" for v in range(200, 300)],
+            }
+        ),
+        os.path.join(d2, "part-0002.parquet"),
+    )
+    assert ctrl.sync(source2, {TableFormat.HUDI: target2})[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    pruned = read_hudi_as_df(spark, d2, as_of_instant=t1b, prune={"id": (120, 150)}).filter(
+        F.col("id").between(120, 150)
+    )
+    full = read_hudi_as_df(spark, d2, as_of_instant=t1b).filter(F.col("id").between(120, 150))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    ) == list(range(120, 151))
+    assert len(pruned.inputFiles()) == 1 and len(full.inputFiles()) == 2
