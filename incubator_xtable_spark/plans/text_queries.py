@@ -513,3 +513,222 @@ def corpus_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals: top-unigram / top-bigram mass per document
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+uni AS (
+  SELECT doc_id, u AS gram, count(*) AS c
+  FROM toks, unnest(tk) AS t(u)
+  GROUP BY 1, 2
+),
+topu AS (SELECT doc_id, max(c) AS top_uni FROM uni GROUP BY 1),
+bi AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram, count(*) AS c
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+  GROUP BY 1, 2
+),
+topb AS (SELECT doc_id, max(c) AS top_bi FROM bi GROUP BY 1)
+SELECT
+  toks.doc_id,
+  CAST(len(tk) AS INTEGER) AS n_tokens,
+  CAST(topu.top_uni AS INTEGER) AS top_unigram_count,
+  CAST(coalesce(topb.top_bi, 0) AS INTEGER) AS top_bigram_count,
+  CAST(topu.top_uni AS DOUBLE) / len(tk) AS top_unigram_share,
+  CASE WHEN len(tk) > 1
+       THEN CAST(coalesce(topb.top_bi, 0) AS DOUBLE) / (len(tk) - 1)
+       ELSE 0.0 END AS top_bigram_share
+FROM toks
+JOIN topu USING (doc_id)
+LEFT JOIN topb USING (doc_id)
+"""
+
+
+@register(
+    "text_repetition_signals",
+    oracle=REPETITION_ORACLE,
+    category="text",
+    description="top-unigram/top-bigram mass — repetition quality filter",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals used by published corpus-quality filters (the
+    Gopher/MassiveText family): the share of a document's tokens claimed
+    by its single most frequent unigram and bigram. Machine-generated or
+    boilerplate text spikes both; thresholding on them is a standard
+    pre-training pass.
+
+    Plan shape: unigrams and bigrams are tagged ('u:'/'b:') and counted
+    in ONE exploded groupBy (doc_id, gram) pass, then a second agg takes
+    the per-kind max — two shuffles total regardless of how many gram
+    kinds ride along. Shares are int/int double divisions (exact-in,
+    IEEE-deterministic). Scale: the explode carries O(total tokens) rows
+    partitioned by (doc_id, gram) — no skew funnel since doc_id leads
+    the key; no driver collects; long documents stream through the
+    hash-agg map side (partial aggregation collapses repeated grams
+    before the exchange)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    # Materialized size, reused by both shares (memory rule: never fan a
+    # computed column into N derived expressions un-materialized).
+    docs = docs.withColumn("n_tokens", F.size("toks"))
+    tagged = F.concat(
+        F.transform(F.col("toks"), lambda x: F.concat(F.lit("u:"), x)),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat('b:', toks[i], ' ', toks[i + 1]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    gram_counts = (
+        docs.select("doc_id", "n_tokens", F.explode(tagged).alias("gram"))
+        .groupBy("doc_id", "n_tokens", "gram")
+        .count()
+    )
+    tops = gram_counts.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("gram").startswith("u:"), F.col("count"))).alias("top_uni"),
+        F.coalesce(
+            F.max(F.when(F.col("gram").startswith("b:"), F.col("count"))), F.lit(0)
+        ).alias("top_bi"),
+    )
+    return tops.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("top_uni").cast("int").alias("top_unigram_count"),
+        F.col("top_bi").cast("int").alias("top_bigram_count"),
+        (F.col("top_uni").cast("double") / F.col("n_tokens")).alias("top_unigram_share"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.col("top_bi").cast("double") / (F.col("n_tokens") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction with per-category counts
+# ---------------------------------------------------------------------------
+
+# Shared Java-regex/RE2 subset (both engines agree on these constructs).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+PII_ORACLE = rf"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' dial 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+    AS atext
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, atext,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(atext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_IP_RE}', '<IP>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(atext, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(atext, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(atext, '{_IP_RE}')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(redacted, '{_EMAIL_RE}'))
+     + len(regexp_extract_all(redacted, '{_PHONE_RE}'))
+     + len(regexp_extract_all(redacted, '{_IP_RE}')) AS INTEGER) AS n_residual,
+  md5(redacted) AS redacted_fp
+FROM scrub
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=PII_ORACLE,
+    category="text",
+    description="regex PII redaction (email/phone/IP) + counts + residual proof",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before text leaves quarantine. The synthetic corpus carries no
+    natural PII (a vacuous gate proves nothing — r2 verdict rule), so
+    the entry deterministically INJECTS doc_id-derived email/phone/IP
+    spans in-plan and the DuckDB oracle recomputes the same injection in
+    SQL (the `multimodal_decode` precedent): what is actually gated
+    cross-engine is the regex redaction semantics, the per-category
+    match counts, and an `n_residual == 0` column proving no pattern
+    survives its own scrub.
+
+    Scale: narrow per-row projection, zero shuffles, zero UDFs — all
+    regexp_* run JVM-side inside whole-stage codegen; at 100 TB this is
+    a map-only pass bounded by scan bandwidth. Patterns stay in the
+    Java-regex/RE2 shared subset so both engines agree byte-for-byte."""
+    docs = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" dial 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    # Materialize the augmented text once before fanning into six
+    # regexp expressions (Catalyst would inline and recompute it).
+    staged = docs.select("doc_id", aug.alias("atext"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("atext"), _EMAIL_RE, "<EMAIL>"),
+            _IP_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    scrub = staged.select("doc_id", "atext", redacted.alias("redacted"))
+    return scrub.select(
+        "doc_id",
+        F.regexp_count(F.col("atext"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("atext"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("atext"), F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        (
+            F.regexp_count(F.col("redacted"), F.lit(_EMAIL_RE))
+            + F.regexp_count(F.col("redacted"), F.lit(_PHONE_RE))
+            + F.regexp_count(F.col("redacted"), F.lit(_IP_RE))
+        )
+        .cast("int")
+        .alias("n_residual"),
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_fp"),
+    )
