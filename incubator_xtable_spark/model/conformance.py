@@ -244,6 +244,10 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
     live_dv_uses = []  # (file, descriptor)
     schema_fields: set[str] = set()
     partition_columns: list[str] = []
+    # In-Commit Timestamps bookkeeping: the FIRST action key of each commit
+    # and its commitInfo.inCommitTimestamp (None when absent)
+    first_action_key: dict[int, str] = {}
+    ict_by_version: dict[int, Optional[int]] = {}
 
     for v in versions:
         fname = os.path.join(log_dir, f"{v:020d}.json")
@@ -271,6 +275,10 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                     report.add("DELTA_UNKNOWN_ACTION", where, f"unknown action {key!r}")
                     continue
                 body = action[key]
+                if v not in first_action_key:
+                    first_action_key[v] = key
+                    raw_ict = body.get("inCommitTimestamp") if key == "commitInfo" else None
+                    ict_by_version[v] = int(raw_ict) if isinstance(raw_ict, int) else None
                 if key == "protocol":
                     protocol_seen = body
                     _check_delta_protocol(body, where, report)
@@ -340,8 +348,95 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 "deletionVector present but deletionVectors not in reader+writer features",
             )
 
+    _check_delta_ict(
+        log_dir, versions, first_action_key, ict_by_version,
+        metadata_seen, protocol_seen, report,
+    )
     _check_delta_checkpoint(spark, log_dir, report, protocol_seen)
     return report
+
+
+def _check_delta_ict(
+    log_dir: str,
+    versions: list[int],
+    first_action_key: dict[int, str],
+    ict_by_version: dict[int, Optional[int]],
+    metadata_seen: Optional[dict],
+    protocol_seen: Optional[dict],
+    report: ConformanceReport,
+) -> None:
+    """In-Commit Timestamps (PROTOCOL.md): when
+    delta.enableInCommitTimestamps is true, every commit at/after the
+    enablement version must START with a commitInfo action carrying a
+    strictly monotonically increasing inCommitTimestamp; enabling on an
+    existing table must record the enablement version/timestamp properties;
+    and the protocol must declare the inCommitTimestamp writer feature."""
+    cfg = (metadata_seen or {}).get("configuration") or {}
+    if cfg.get("delta.enableInCommitTimestamps") != "true":
+        return
+    ever = cfg.get("delta.inCommitTimestampEnablementVersion")
+    ets = cfg.get("delta.inCommitTimestampEnablementTimestamp")
+    if (ever is None) != (ets is None):
+        report.add(
+            "DELTA_ICT_ENABLEMENT_PROPS",
+            log_dir,
+            "inCommitTimestampEnablementVersion and ...EnablementTimestamp "
+            "must be set together",
+        )
+    try:
+        # absent props = ICT-from-creation: authority starts at the first
+        # retained commit
+        enable_v = int(ever) if ever is not None else versions[0]
+    except (TypeError, ValueError):
+        report.add(
+            "DELTA_ICT_ENABLEMENT_PROPS", log_dir,
+            f"enablement version not an int: {ever!r}",
+        )
+        return
+    if protocol_seen is not None:
+        wv = protocol_seen.get("minWriterVersion", 1)
+        wf = set(protocol_seen.get("writerFeatures") or [])
+        if wv < 7 or "inCommitTimestamp" not in wf:
+            report.add(
+                "DELTA_ICT_PROTOCOL",
+                log_dir,
+                "delta.enableInCommitTimestamps requires minWriterVersion 7 "
+                "with the inCommitTimestamp writer feature",
+            )
+    prev_ict: Optional[int] = None
+    for v in versions:
+        if v < enable_v:
+            continue
+        if first_action_key.get(v) != "commitInfo" or ict_by_version.get(v) is None:
+            report.add(
+                "DELTA_ICT_MISSING",
+                os.path.join(log_dir, f"{v:020d}.json"),
+                "commit at/after ICT enablement must start with commitInfo "
+                "carrying inCommitTimestamp",
+            )
+            continue
+        cur = ict_by_version[v]
+        if prev_ict is not None and cur <= prev_ict:
+            report.add(
+                "DELTA_ICT_NOT_MONOTONIC",
+                os.path.join(log_dir, f"{v:020d}.json"),
+                f"inCommitTimestamp {cur} not > previous commit's {prev_ict}",
+            )
+        prev_ict = cur
+        if ets is not None and ever is not None and str(v) == str(ever):
+            try:
+                if int(ets) != cur:
+                    report.add(
+                        "DELTA_ICT_ENABLEMENT_TS",
+                        log_dir,
+                        f"enablement timestamp property {ets} != the "
+                        f"enablement commit's inCommitTimestamp {cur}",
+                    )
+            except ValueError:
+                report.add(
+                    "DELTA_ICT_ENABLEMENT_PROPS", log_dir,
+                    f"enablement timestamp not an int: {ets!r}",
+                )
 
 
 def _check_delta_protocol(p: dict, where: str, report: ConformanceReport) -> None:

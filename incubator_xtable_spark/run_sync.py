@@ -157,6 +157,11 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             checkpoint_layout=dataset.get("deltaCheckpointLayout", "classic"),
             # persist CDC-channel row changes as Change Data Files
             change_feed=str(dataset.get("deltaChangeFeed", "")).lower() == "true",
+            # monotonic commitInfo.inCommitTimestamp (writer table feature)
+            in_commit_timestamps=str(
+                dataset.get("deltaInCommitTimestamps", "")
+            ).lower()
+            == "true",
         )
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget

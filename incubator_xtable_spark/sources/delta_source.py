@@ -137,6 +137,58 @@ def list_log_versions(base_path: str) -> list[int]:
     )
 
 
+def commit_timestamps(base_path: str) -> list[tuple[int, int]]:
+    """(version, effective-timestamp-ms) per existing commit json, sorted by
+    version, per the spec's In-Commit-Timestamps read rule: a commit whose
+    FIRST action carries commitInfo.inCommitTimestamp is timestamped by it
+    (ICT exists exactly on commits at/after the enablement version); earlier
+    or ICT-less commits fall back to file modification time. A running max
+    smooths non-monotonic mtimes (Delta's "adjusted timestamps" — file
+    copies and backfills can reorder mtime, never ICT)."""
+    d = _log_dir(base_path)
+    out: list[tuple[int, int]] = []
+    running = 0
+    for v in list_log_versions(base_path):
+        fp = os.path.join(d, f"{v:020d}.json")
+        ts: Optional[int] = None
+        with open(fp, encoding="utf-8") as fh:
+            first = fh.readline()
+        if '"inCommitTimestamp"' in first:
+            try:
+                info = json.loads(first).get("commitInfo") or {}
+                raw = info.get("inCommitTimestamp")
+                ts = int(raw) if raw is not None else None
+            except (json.JSONDecodeError, TypeError, ValueError):
+                ts = None
+        if ts is None:
+            ts = int(os.stat(fp).st_mtime * 1000)
+        running = max(running, ts)
+        out.append((v, running))
+    return out
+
+
+def version_at_timestamp(base_path: str, ts_ms: int) -> int:
+    """Timestamp time travel: the newest version whose effective commit
+    timestamp (ICT when present, else adjusted file mtime) is <= ``ts_ms``.
+    Raises on a timestamp before the earliest retained commit — silently
+    serving the oldest state would misrepresent history the log no longer
+    has (retention may have pruned it)."""
+    stamps = commit_timestamps(base_path)
+    if not stamps:
+        raise ValueError(f"not a delta table (no commit files): {base_path}")
+    if ts_ms < stamps[0][1]:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the earliest retained commit "
+            f"(version {stamps[0][0]} at {stamps[0][1]}); earlier history "
+            "is unavailable"
+        )
+    best = stamps[0][0]
+    for v, ts in stamps:
+        if ts <= ts_ms:
+            best = v
+    return best
+
+
 def read_last_checkpoint(base_path: str) -> Optional[dict]:
     """Parse `_last_checkpoint` (Delta spec checkpoint pointer)."""
     p = os.path.join(_log_dir(base_path), "_last_checkpoint")
@@ -990,6 +1042,7 @@ def read_delta_as_df(
     base_path: str,
     version: Optional[int] = None,
     prune: Optional[dict] = None,
+    as_of_timestamp_ms: Optional[int] = None,
 ) -> DataFrame:
     """The engine's `spark.read.format("delta")` equivalent: reconstruct
     the live file set (optionally at a past version = time travel) and read
@@ -1011,7 +1064,18 @@ def read_delta_as_df(
     (minValues/maxValues) and partitionValues — files whose recorded
     range provably excludes every requested range drop before any
     footer opens. Safe: files without stats keep; apply the real row
-    filter on the result (DVs only REMOVE rows, so pruning composes)."""
+    filter on the result (DVs only REMOVE rows, so pruning composes).
+
+    ``as_of_timestamp_ms``: timestamp time travel — resolves to the newest
+    version whose effective commit timestamp (commitInfo.inCommitTimestamp
+    when the table has In-Commit Timestamps, else adjusted file mtime) is
+    <= the requested instant; mutually exclusive with ``version``."""
+    if as_of_timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "read_delta_as_df: pass either version or as_of_timestamp_ms, not both"
+            )
+        version = version_at_timestamp(base_path, as_of_timestamp_ms)
     meta = latest_metadata(spark, base_path, version)
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {base_path}")

@@ -101,6 +101,7 @@ class DeltaConversionTarget:
         compaction_interval: int = 0,
         checkpoint_layout: str = "classic",
         change_feed: bool = False,
+        in_commit_timestamps: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -128,6 +129,16 @@ class DeltaConversionTarget:
         # see sync/retention.delta_compact_log): keeps JSON-tail listing
         # bounded between checkpoints on commit-heavy tables; 0 disables
         self.compaction_interval = compaction_interval
+        # In-Commit Timestamps (PROTOCOL.md, writer feature
+        # `inCommitTimestamp`): commitInfo becomes the commit's FIRST
+        # action and carries a strictly monotonically increasing
+        # inCommitTimestamp, making timestamp time travel immune to
+        # log-file mtime drift (copies, backfills, filesystem moves).
+        # Enabling mid-table records delta.inCommitTimestampEnablementVersion
+        # / ...EnablementTimestamp so readers know where the authority
+        # switches from file mtime to ICT. Once enabled it stays enabled
+        # (the engine never demotes table features).
+        self.in_commit_timestamps = in_commit_timestamps
         self._reset()
 
     # Delta can express row-level deletes natively (deletion vectors);
@@ -324,6 +335,24 @@ class DeltaConversionTarget:
 
         mapped_schema, max_col_id = self._with_column_mapping(schema)
 
+        # In-Commit Timestamps: resolve this commit's ICT before any action
+        # renders. Strict monotonicity (> previous commit's ICT) is the
+        # spec's one hard ICT invariant — two commits inside the same
+        # wall-clock millisecond still advance by 1. Once the table has the
+        # flag, it stays on even if this target instance was built without
+        # it (features never demote).
+        prev_cfg_all = self._previous_configuration() if version else {}
+        ict_was_on = prev_cfg_all.get("delta.enableInCommitTimestamps") == "true"
+        ict_on = self.in_commit_timestamps or ict_was_on
+        ict: Optional[int] = None
+        if ict_on:
+            prev_ict = self._read_prev_ict(version - 1) if version and ict_was_on else None
+            ict = now_ms if prev_ict is None else max(now_ms, prev_ict + 1)
+        # enabling on an EXISTING table: the spec requires the enablement
+        # version/timestamp properties so readers know where the time-travel
+        # authority flips from file modification time to ICT
+        ict_enable_now = ict_on and version > 0 and not ict_was_on
+
         # row-delete channel: write DV files and split them into
         # (a) descriptors attached to this commit's adds and
         # (b) remove+re-add pairs for files already live in the target
@@ -399,16 +428,18 @@ class DeltaConversionTarget:
             cdc_actions = self._write_change_data(self._row_changes, mapped_schema)
 
         def actions() -> Iterator[str]:
-            yield json.dumps(
-                {
-                    "commitInfo": {
-                        "timestamp": now_ms,
-                        "operation": "XTABLE SYNC" if version else "CREATE TABLE",
-                        "operationParameters": {},
-                        "engineInfo": "incubator_xtable_spark/0.1",
-                    }
-                }
-            )
+            commit_info: dict[str, Any] = {
+                "timestamp": now_ms,
+                "operation": "XTABLE SYNC" if version else "CREATE TABLE",
+                "operationParameters": {},
+                "engineInfo": "incubator_xtable_spark/0.1",
+            }
+            if ict is not None:
+                # spec: with ICT enabled, commitInfo MUST be the commit's
+                # first action and carry inCommitTimestamp (this yield is
+                # already first)
+                commit_info["inCommitTimestamp"] = ict
+            yield json.dumps({"commitInfo": commit_info})
             # generated columns require writer protocol v4; column mapping
             # reader 2 / writer 5; deletion vectors reader 3 / writer 7
             # with named table features (Delta PROTOCOL.md)
@@ -425,6 +456,10 @@ class DeltaConversionTarget:
             if need_dv or need_v2cp:
                 reader_version = max(reader_version, 3)
                 writer_version = max(writer_version, 7)
+            if ict_on:
+                # inCommitTimestamp is a WRITER-only table feature: writer 7,
+                # reader version untouched
+                writer_version = max(writer_version, 7)
             prev_proto = None if version == 0 else self._read_latest_protocol()
             prev_reader_feats = set((prev_proto or {}).get("readerFeatures") or [])
             prev_writer_feats = set((prev_proto or {}).get("writerFeatures") or [])
@@ -440,6 +475,11 @@ class DeltaConversionTarget:
                     or (prev_wv >= 7 and "changeDataFeed" not in prev_writer_feats)
                 )
             )
+            ict_upgrade_needed = (
+                ict_on
+                and prev_proto is not None
+                and (prev_wv < 7 or "inCommitTimestamp" not in prev_writer_feats)
+            )
             if version == 0 or (
                 need_dv
                 and prev_proto is not None
@@ -449,7 +489,7 @@ class DeltaConversionTarget:
                 )
             ) or (
                 need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats
-            ) or cdf_upgrade_needed:
+            ) or cdf_upgrade_needed or ict_upgrade_needed:
                 # an existing table-features protocol stays on 3/7 even if
                 # this commit's own needs are lower (features cannot demote)
                 if prev_reader_feats:
@@ -460,7 +500,7 @@ class DeltaConversionTarget:
                     "minReaderVersion": reader_version,
                     "minWriterVersion": writer_version,
                 }
-                if need_dv or need_v2cp or prev_writer_feats:
+                if need_dv or need_v2cp or ict_on or prev_writer_feats:
                     # a table-features protocol (3/7) must list EVERY
                     # active feature, including those the replaced legacy
                     # protocol implied — not just the newly needed one
@@ -493,25 +533,55 @@ class DeltaConversionTarget:
                         writer_feats.add("columnMapping")
                     if self._generated_fields:
                         writer_feats.add("generatedColumns")
-                    prev_cfg = self._previous_configuration() if version else {}
-                    if "delta.columnMapping.mode" in prev_cfg:
+                    if ict_on:
+                        writer_feats.add("inCommitTimestamp")
+                    if "delta.columnMapping.mode" in prev_cfg_all:
                         reader_feats.add("columnMapping")
                         writer_feats.add("columnMapping")
-                    proto["readerFeatures"] = sorted(reader_feats)
+                    # spec: readerFeatures exists only on reader-3 protocols
+                    # (a writer-7/reader-1 table — e.g. ICT alone — lists
+                    # writerFeatures only; reader capabilities stay implied
+                    # by the legacy minReaderVersion)
+                    if reader_version >= 3:
+                        proto["readerFeatures"] = sorted(reader_feats)
                     proto["writerFeatures"] = sorted(writer_feats)
                 yield json.dumps({"protocol": proto})
-            if version == 0 or self._metadata_json is not None or self._schema is not None:
+            if (
+                version == 0
+                or self._metadata_json is not None
+                or self._schema is not None
+                or ict_enable_now
+            ):
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}
                 if self.change_feed:
                     configuration["delta.enableChangeDataFeed"] = "true"
+                if ict_on:
+                    configuration["delta.enableInCommitTimestamps"] = "true"
+                    if ict_enable_now:
+                        # first ICT commit on an existing table: record where
+                        # the time-travel authority flips (spec requirement)
+                        configuration["delta.inCommitTimestampEnablementVersion"] = str(
+                            version
+                        )
+                        configuration["delta.inCommitTimestampEnablementTimestamp"] = str(
+                            ict
+                        )
+                    else:
+                        # carry the enablement markers forward verbatim —
+                        # this metaData rebuild must not erase them
+                        for k in (
+                            "delta.inCommitTimestampEnablementVersion",
+                            "delta.inCommitTimestampEnablementTimestamp",
+                        ):
+                            if k in prev_cfg_all:
+                                configuration[k] = prev_cfg_all[k]
                 if self._metadata_json is not None:
                     configuration[XTABLE_METADATA_KEY] = self._metadata_json
                 # column mapping only on tables CREATED with it (a later
                 # mode flip would need a mid-table protocol upgrade +
                 # physical-name rewrite; out of scope for conversion)
                 use_mapping = bool(max_col_id) and (
-                    version == 0
-                    or "delta.columnMapping.mode" in self._previous_configuration()
+                    version == 0 or "delta.columnMapping.mode" in prev_cfg_all
                 )
                 out_schema = mapped_schema if use_mapping else schema
                 if use_mapping:
@@ -728,6 +798,26 @@ class DeltaConversionTarget:
             ) from exc
         finally:
             os.unlink(tmp)
+
+    def _read_prev_ict(self, version: int) -> Optional[int]:
+        """The inCommitTimestamp of the newest existing commit file at or
+        below ``version`` (the monotonicity floor for the next commit).
+        Scans downward so a retention-pruned tail (commits expired behind a
+        checkpoint) degrades to wall-clock rather than crashing — the spec
+        only requires monotonicity against commits that still exist."""
+        for ver in range(version, -1, -1):
+            fp = _version_file(self.base_path, ver)
+            if not os.path.exists(fp):
+                continue
+            with open(fp, encoding="utf-8") as fh:
+                first = fh.readline()
+            try:
+                info = json.loads(first).get("commitInfo") or {}
+            except json.JSONDecodeError:
+                return None
+            v = info.get("inCommitTimestamp")
+            return int(v) if v is not None else None
+        return None
 
     def _previous_configuration(self) -> dict[str, Any]:
         meta = self._read_latest_metadata()
