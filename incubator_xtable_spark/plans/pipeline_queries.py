@@ -172,3 +172,24 @@ def dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return fuzzy_dedup_keep_decisions(docs, threshold=0.5).orderBy("doc_id")
+
+
+@register(
+    "ann_pq_topk",
+    category="vector",
+    description="product-quantization ADC top-5 + exact rerank (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-domain ANN: m per-subspace codebooks (bounded
+    driver-sample Lloyd), JVM-side encode to m int codes, asymmetric
+    (query-vs-reconstructed) dot for the shortlist, exact cosine rerank.
+    Recall vs brute force is pinned by tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.ann import ann_pq_topk
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_pq_topk(emb, queries, dim=EMB_DIM, k=5, m=8, n_codes=16).orderBy(
+        "q_id", "rank"
+    )

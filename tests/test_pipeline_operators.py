@@ -354,3 +354,33 @@ def test_quantized_topk_recall_vs_exact_dot(spark):
     assert len(recalls) == 8
     assert sum(recalls) / len(recalls) >= 0.7, recalls
     assert min(recalls) >= 0.4, recalls
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ quality gates: (a) ADC shortlist + exact rerank recalls clearly
+    above chance vs the brute-force cosine truth; (b) widening the
+    shortlist (refine) never loses pairs; (c) a shortlist covering the
+    whole corpus is exact (recall 1.0 — the rerank is exact cosine)."""
+    from incubator_xtable_spark.operators.ann import ann_pq_topk
+
+    brute = ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["c_id"]) for r in brute}
+    emb = load(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = ann_pq_topk(emb, queries, dim=64, k=5, m=8, n_codes=16, refine=4).collect()
+    got = {(r["q_id"], r["c_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # 64-dim gaussian embeddings are a hard (unclustered) PQ case; the
+    # gate is clearly-above-chance recall + correct mechanics (chance at
+    # shortlist 20 of ~100 candidates followed by exact rerank ~ 0.2)
+    assert recall > 0.35, f"PQ recall {recall:.2f} at chance level"
+    assert all(1 <= r["rank"] <= 5 for r in approx)
+    wide = ann_pq_topk(emb, queries, dim=64, k=5, m=8, n_codes=16, refine=8).collect()
+    got_wide = {(r["q_id"], r["c_id"]) for r in wide}
+    assert len(truth & got_wide) >= len(truth & got)
+    full = ann_pq_topk(
+        emb, queries, dim=64, k=5, m=8, n_codes=16, refine=(n // 5) + 1
+    ).collect()
+    got_full = {(r["q_id"], r["c_id"]) for r in full}
+    assert len(truth & got_full) / len(truth) == 1.0
