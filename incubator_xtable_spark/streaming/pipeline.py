@@ -81,6 +81,58 @@ def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: purchases within ``interval``
+    of a signup by the same user — the streaming twin of
+    plans/events_queries.events_interval_join (pytest asserts stream ==
+    batch under availableNow).
+
+    State-boundedness at 100 TB ingest: both sides carry a watermark and
+    the join condition time-bounds the match window, so Spark derives a
+    state-eviction watermark for EACH side — a signup older than
+    (watermark + interval) can never match a future purchase and its
+    state drops; purchases age out after the watermark alone. Without
+    the time bound the signup side would accumulate forever."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {interval}")),
+    )
+    return joined.select(
+        "user_id",
+        "signup_event",
+        "purchase_event",
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias(
+            "micros_between"
+        ),
+        "purchase_value",
+    )
+
+
 def run_available_now(stream_df: DataFrame, table_name: str, checkpoint: str) -> None:
     """Drain everything currently available into an in-memory sink
     (test/bootstrap harness for streaming jobs)."""

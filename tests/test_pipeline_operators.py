@@ -384,3 +384,36 @@ def test_ann_pq_recall_vs_bruteforce(spark):
     ).collect()
     got_full = {(r["q_id"], r["c_id"]) for r in full}
     assert len(truth & got_full) / len(truth) == 1.0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == its batch twin under
+    availableNow (same assertion style as the windowed-counts test)."""
+    from incubator_xtable_spark.plans.registry import REGISTRY, _load_all
+    from incubator_xtable_spark.streaming.pipeline import (
+        events_stream,
+        stream_stream_interval_join,
+    )
+
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    os.symlink(f"{SF_SMOKE}/events.parquet", stream_dir / "events.parquet")
+    stream = events_stream(spark, str(stream_dir))
+    joined = stream_stream_interval_join(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_interval")
+        .outputMode("append")  # stream-stream inner joins emit append-only
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table("ss_interval").collect()))
+
+    _load_all()
+    batch = sorted(
+        map(tuple, REGISTRY["events_interval_join"].fn(spark, SF_SMOKE).collect())
+    )
+    assert streamed == batch
+    assert len(batch) > 0  # non-vacuous at sf0.001 (3 pairs)
