@@ -241,6 +241,7 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
     protocol_seen: Optional[dict] = None
     metadata_seen: Optional[dict] = None
     cdc_seen = False
+    domain_seen = False
     live_dv_uses = []  # (file, descriptor)
     schema_fields: set[str] = set()
     partition_columns: list[str] = []
@@ -294,6 +295,24 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 elif key == "remove":
                     if "path" not in body:
                         report.add("DELTA_REMOVE_NO_PATH", where, "remove.path required")
+                elif key == "domainMetadata":
+                    domain_seen = True
+                    if not isinstance(body.get("domain"), str) or not body["domain"]:
+                        report.add(
+                            "DELTA_DOMAIN_FIELDS", where, "domainMetadata.domain required"
+                        )
+                    if not isinstance(body.get("configuration"), str):
+                        report.add(
+                            "DELTA_DOMAIN_FIELDS",
+                            where,
+                            "domainMetadata.configuration must be a string",
+                        )
+                    if not isinstance(body.get("removed"), bool):
+                        report.add(
+                            "DELTA_DOMAIN_FIELDS",
+                            where,
+                            "domainMetadata.removed must be a boolean",
+                        )
                 elif key == "cdc":
                     cdc_seen = True
                     if "path" not in body:
@@ -336,6 +355,18 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                     "cdc actions require minWriterVersion 4-6 (legacy) or "
                     "the changeDataFeed writer feature on version 7",
                 )
+
+    # feature gating: domainMetadata actions require the writer feature
+    if domain_seen and protocol_seen is not None:
+        wv = protocol_seen.get("minWriterVersion", 1)
+        wf = set(protocol_seen.get("writerFeatures") or [])
+        if wv < 7 or "domainMetadata" not in wf:
+            report.add(
+                "DELTA_DOMAIN_FEATURE_MISSING",
+                log_dir,
+                "domainMetadata actions require minWriterVersion 7 with the "
+                "domainMetadata writer feature",
+            )
 
     # feature gating: any DV use requires the deletionVectors feature
     if live_dv_uses and protocol_seen is not None:

@@ -108,6 +108,11 @@ _ACTION_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    # feature lists must survive checkpointing: a reader
+                    # bootstrapping from a checkpoint (pre-checkpoint JSON
+                    # pruned by retention) would otherwise lose them
+                    T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+                    T.StructField("writerFeatures", T.ArrayType(T.StringType())),
                 ]
             ),
         ),
@@ -117,6 +122,16 @@ _ACTION_SCHEMA = T.StructType(
                 [
                     T.StructField("timestamp", T.LongType()),
                     T.StructField("operation", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "domainMetadata",
+            T.StructType(
+                [
+                    T.StructField("domain", T.StringType()),
+                    T.StructField("configuration", T.StringType()),
+                    T.StructField("removed", T.BooleanType()),
                 ]
             ),
         ),
@@ -403,12 +418,18 @@ def write_checkpoint(
         null_struct("metaData").alias("metaData"),
         null_struct("protocol").alias("protocol"),
         null_struct("commitInfo").alias("commitInfo"),
+        null_struct("domainMetadata").alias("domainMetadata"),
     )
     head_rows = []
     if meta is not None:
-        head_rows.append((None, None, meta, None, None))
+        head_rows.append((None, None, meta, None, None, None))
     if proto_rows:
-        head_rows.append((None, None, None, proto_rows[0]["protocol"], None))
+        head_rows.append((None, None, None, proto_rows[0]["protocol"], None, None))
+    # spec "Domain Metadata": a checkpoint must carry the latest action per
+    # domain, INCLUDING removed=true tombstones (concurrent writers need
+    # them to detect conflicts); domains are few — a bounded collect
+    for dm in latest_domain_metadata_rows(spark, base_path, version):
+        head_rows.append((None, None, None, None, None, dm))
     log_dir = _log_dir(base_path)
     n_parts = None
     if layout == "v2":
@@ -530,11 +551,13 @@ def _write_v2_checkpoint(
             ),
         ]
     )
-    top_rows: list[tuple] = [(None, None, None, None, None, (version, None), None)]
-    for _, _, m, p, _ in head_rows:
-        top_rows.append((None, None, m, p, None, None, None))
+    top_rows: list[tuple] = [(None, None, None, None, None, None, (version, None), None)]
+    for _, _, m, p, _, dm in head_rows:
+        top_rows.append((None, None, m, p, None, dm, None, None))
     for name, size, mtime in sidecars:
-        top_rows.append((None, None, None, None, None, None, (name, size, mtime, None)))
+        top_rows.append(
+            (None, None, None, None, None, None, None, (name, size, mtime, None))
+        )
     top = spark.createDataFrame(top_rows, top_schema)
     tmp_dir = os.path.join(log_dir, f".cp-tmp-{_uuid.uuid4().hex}")
     top.coalesce(1).write.parquet(tmp_dir)
@@ -543,6 +566,40 @@ def _write_v2_checkpoint(
     os.replace(part, final)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return n_adds + len(top_rows)
+
+
+def latest_domain_metadata_rows(
+    spark: SparkSession, base_path: str, version: Optional[int] = None
+) -> list:
+    """Latest domainMetadata action per domain at ``version`` (spec "Domain
+    Metadata" reconciliation: per-domain latest-wins), INCLUDING
+    removed=true tombstones — checkpoint construction needs them. Bounded
+    output (one row per domain); checkpoint-aware via read_log_actions."""
+    actions = read_log_actions(spark, base_path, version)
+    if version is not None:
+        actions = actions.filter(F.col("version") <= version)
+    dm = actions.filter(F.col("domainMetadata.domain").isNotNull())
+    w = W.partitionBy(F.col("domainMetadata.domain")).orderBy(F.desc("version"))
+    return [
+        r["domainMetadata"]
+        for r in dm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("domainMetadata")
+        .collect()
+    ]
+
+
+def live_domain_metadata(
+    spark: SparkSession, base_path: str, version: Optional[int] = None
+) -> dict[str, str]:
+    """{domain: configuration} of the LIVE domains at ``version`` —
+    removed=true tombstones drop (they exist only for conflict
+    detection)."""
+    return {
+        r["domain"]: r["configuration"]
+        for r in latest_domain_metadata_rows(spark, base_path, version)
+        if not r["removed"]
+    }
 
 
 def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:

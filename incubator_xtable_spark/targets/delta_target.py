@@ -156,6 +156,8 @@ class DeltaConversionTarget:
         self._committed_version: Optional[int] = None
         self._row_deletes: Optional[DataFrame] = None
         self._row_changes: Optional[DataFrame] = None
+        self._domain_metadata: dict[str, str] = {}
+        self._removed_domains: set[str] = set()
         # True when adds/removes came from a FULL-snapshot sync (the one
         # unbounded inventory) -> drains use the auto collect/stream probe
         self._snapshot_sync = False
@@ -208,6 +210,24 @@ class DeltaConversionTarget:
                 T.StructField(name, dtype, True, {"delta.generationExpression": expr})
             )
             self._partition_cols.append(name)
+
+    def sync_domain_metadata(
+        self, domains: dict[str, str], removed: tuple[str, ...] | set[str] = ()
+    ) -> None:
+        """Stage spec `domainMetadata` actions for the next commit
+        (PROTOCOL.md "Domain Metadata": per-domain string configuration,
+        latest-wins reconciliation, removed=true tombstones). Requires and
+        auto-declares the domainMetadata writer table feature (writer 7).
+        Domain state is metadata-sized (one action per touched domain per
+        commit) and checkpoints carry the latest action per domain, so
+        readers bootstrapping from a checkpoint see it."""
+        overlap = set(domains) & set(removed)
+        if overlap:
+            raise ValueError(
+                f"sync_domain_metadata: domains both set and removed: {sorted(overlap)}"
+            )
+        self._domain_metadata.update(domains)
+        self._removed_domains.update(removed)
 
     def sync_metadata(self, metadata: TableSyncMetadata) -> None:
         self._metadata_json = metadata.to_json()
@@ -460,6 +480,10 @@ class DeltaConversionTarget:
                 # inCommitTimestamp is a WRITER-only table feature: writer 7,
                 # reader version untouched
                 writer_version = max(writer_version, 7)
+            need_domain = bool(self._domain_metadata or self._removed_domains)
+            if need_domain:
+                # domainMetadata is likewise writer-only
+                writer_version = max(writer_version, 7)
             prev_proto = None if version == 0 else self._read_latest_protocol()
             prev_reader_feats = set((prev_proto or {}).get("readerFeatures") or [])
             prev_writer_feats = set((prev_proto or {}).get("writerFeatures") or [])
@@ -480,6 +504,11 @@ class DeltaConversionTarget:
                 and prev_proto is not None
                 and (prev_wv < 7 or "inCommitTimestamp" not in prev_writer_feats)
             )
+            domain_upgrade_needed = (
+                need_domain
+                and prev_proto is not None
+                and (prev_wv < 7 or "domainMetadata" not in prev_writer_feats)
+            )
             if version == 0 or (
                 need_dv
                 and prev_proto is not None
@@ -489,7 +518,7 @@ class DeltaConversionTarget:
                 )
             ) or (
                 need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats
-            ) or cdf_upgrade_needed or ict_upgrade_needed:
+            ) or cdf_upgrade_needed or ict_upgrade_needed or domain_upgrade_needed:
                 # an existing table-features protocol stays on 3/7 even if
                 # this commit's own needs are lower (features cannot demote)
                 if prev_reader_feats:
@@ -500,7 +529,7 @@ class DeltaConversionTarget:
                     "minReaderVersion": reader_version,
                     "minWriterVersion": writer_version,
                 }
-                if need_dv or need_v2cp or ict_on or prev_writer_feats:
+                if need_dv or need_v2cp or ict_on or need_domain or prev_writer_feats:
                     # a table-features protocol (3/7) must list EVERY
                     # active feature, including those the replaced legacy
                     # protocol implied — not just the newly needed one
@@ -535,6 +564,8 @@ class DeltaConversionTarget:
                         writer_feats.add("generatedColumns")
                     if ict_on:
                         writer_feats.add("inCommitTimestamp")
+                    if need_domain:
+                        writer_feats.add("domainMetadata")
                     if "delta.columnMapping.mode" in prev_cfg_all:
                         reader_feats.add("columnMapping")
                         writer_feats.add("columnMapping")
@@ -604,6 +635,23 @@ class DeltaConversionTarget:
                             "createdTime": now_ms,
                         }
                     }
+                )
+            # domain metadata: one action per touched domain (spec allows at
+            # most one per domain per commit); removal tombstones keep an
+            # empty configuration
+            for d in sorted(self._domain_metadata):
+                yield json.dumps(
+                    {
+                        "domainMetadata": {
+                            "domain": d,
+                            "configuration": self._domain_metadata[d],
+                            "removed": False,
+                        }
+                    }
+                )
+            for d in sorted(self._removed_domains):
+                yield json.dumps(
+                    {"domainMetadata": {"domain": d, "configuration": "", "removed": True}}
                 )
             if self._removes is not None:
                 for row in _drain(self._removes, auto=self._snapshot_sync):
