@@ -719,6 +719,99 @@ def read_table_metadata(base_path: str, version: Optional[int] = None) -> Option
     return read_metadata_json_file(path)
 
 
+def publish_branch(
+    base_path: str,
+    branch: str,
+    target: str = "main",
+    drop_branch: bool = False,
+    validate=None,
+) -> int:
+    """Write-audit-publish PUBLISH step: fast-forward ``target`` (default
+    main) to a staged branch's head, as one metadata-only commit.
+
+    WAP flow: IcebergConversionTarget(branch="audit") stages sync commits
+    on the audit ref (main readers never see them); the audit step runs
+    whatever checks it wants (pass a ``validate`` callable — it runs AFTER
+    the ancestry check and BEFORE anything is written; raise to abort);
+    then publish_branch flips the target ref. Spec semantics mirror
+    Iceberg's fast_forward procedure: the move is REFUSED unless the
+    target's current head is an ancestor of the branch head (no implicit
+    merges — diverged refs need a new staged sync, not a publish).
+
+    ``drop_branch`` removes the staged ref after publishing (its snapshots
+    stay ancestry-reachable from the target). Returns the published
+    snapshot id. Metadata-sized work only — no data or manifest I/O."""
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    refs = dict(meta.get("refs") or {})
+    if branch not in refs:
+        raise ValueError(f"no ref {branch!r} to publish (refs: {sorted(refs)})")
+    if refs[branch].get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a {refs[branch].get('type')}, not a branch")
+    sid = refs[branch]["snapshot-id"]
+    snapshots = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    tgt_head = (refs.get(target) or {}).get("snapshot-id")
+    if tgt_head is None and target == "main":
+        cur = meta.get("current-snapshot-id")
+        tgt_head = cur if cur not in (None, -1) else None
+    if tgt_head is not None and tgt_head != sid:
+        node, ok = sid, False
+        while node is not None:
+            if node == tgt_head:
+                ok = True
+                break
+            node = snapshots.get(node, {}).get("parent-snapshot-id")
+        if not ok:
+            raise ValueError(
+                f"cannot fast-forward {target!r} ({tgt_head}) to {branch!r} "
+                f"({sid}): target head is not an ancestor of the branch head"
+            )
+    if validate is not None:
+        validate()  # audit hook — raise to abort the publish
+    now_ms = int(time.time() * 1000)
+    new = dict(meta)
+    refs[target] = {"snapshot-id": sid, "type": "branch"}
+    if drop_branch and branch != target:
+        refs.pop(branch)
+    new["refs"] = refs
+    if target == "main":
+        new["current-snapshot-id"] = sid
+        new["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": sid}
+        ]
+    new["last-updated-ms"] = now_ms
+    prev_path = resolve_current_metadata_path(base_path)
+    metadata_log = meta.get("metadata-log", []) + (
+        [
+            {
+                "timestamp-ms": meta.get("last-updated-ms", now_ms),
+                "metadata-file": prev_path,
+            }
+        ]
+        if prev_path
+        else []
+    )
+    keep_prev = int(
+        (meta.get("properties") or {}).get("write.metadata.previous-versions-max", 100)
+    )
+    new["metadata-log"] = metadata_log[-keep_prev:] if keep_prev > 0 else []
+    version = (current_metadata_version(base_path) or 0) + 1
+    final = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(new, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent iceberg commit at version {version}") from exc
+    finally:
+        os.unlink(tmp)
+    with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return sid
+
+
 class IcebergConversionTarget:
     """ConversionTarget writing the Iceberg v2 HadoopTables protocol."""
 
@@ -728,12 +821,22 @@ class IcebergConversionTarget:
         base_path: str,
         table_name: Optional[str] = None,
         format_version: int = 2,
+        branch: str = "main",
     ) -> None:
         if format_version not in (2, 3):
             raise ValueError(f"unsupported Iceberg format version {format_version}")
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_name = table_name
+        # Write-audit-publish staging (spec `refs`): commits land on this
+        # branch ref; branch != "main" leaves main/current-snapshot-id
+        # untouched so main readers never see unaudited state. Publish with
+        # publish_branch() (fast-forward, ancestry-checked). A staged sync
+        # moves the XTABLE bookmark with the branch — publish before
+        # resuming main-facing incremental flows.
+        if not branch:
+            raise ValueError("branch must be a non-empty ref name")
+        self.branch = branch
         # v3 expresses row-level deletes as puffin deletion vectors
         # (deletion-vector-v1 blobs, the Delta-compatible frame) instead
         # of v2 position-delete parquets
@@ -1474,9 +1577,16 @@ class IcebergConversionTarget:
             # converted data files carry no iceberg field ids; the name
             # mapping keeps them readable by id-based engines
             properties[NAME_MAPPING_PROP] = json.dumps(name_mapping_json(self._schema))
+        # the new snapshot's parent is the BRANCH head (a staged branch
+        # advances its own lineage); a branch's first staged commit forks
+        # from main's current head
+        prev_refs = (prev or {}).get("refs") or {}
+        branch_head = (prev_refs.get(self.branch) or {}).get("snapshot-id")
         snapshot = {
             "snapshot-id": snapshot_id,
-            "parent-snapshot-id": (prev or {}).get("current-snapshot-id"),
+            "parent-snapshot-id": branch_head
+            if branch_head is not None
+            else (prev or {}).get("current-snapshot-id"),
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
@@ -1486,8 +1596,8 @@ class IcebergConversionTarget:
             },
             "schema-id": 0,
         }
-        if snapshot["parent-snapshot-id"] is None:
-            snapshot.pop("parent-snapshot-id")
+        if snapshot.get("parent-snapshot-id") in (None, -1):
+            snapshot.pop("parent-snapshot-id", None)
         sort_order_id, sort_orders = self._sort_orders_json(schema_json, prev)
         # the previous head's ACTUAL path (a catalog-written table's head
         # is 0000N-<uuid>[.gz].metadata.json, not v{N}) — metadata-log
@@ -1534,10 +1644,19 @@ class IcebergConversionTarget:
             "default-sort-order-id": sort_order_id,
             "sort-orders": sort_orders,
             "properties": properties,
-            "current-snapshot-id": snapshot_id,
+            # current-snapshot-id / snapshot-log track MAIN; a staged
+            # branch commit leaves them untouched (-1 = no main head yet,
+            # e.g. a table whose every commit so far is staged)
+            "current-snapshot-id": snapshot_id
+            if self.branch == "main"
+            else (prev or {}).get("current-snapshot-id", -1),
             "snapshots": (prev or {}).get("snapshots", []) + [snapshot],
             "snapshot-log": (prev or {}).get("snapshot-log", [])
-            + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+            + (
+                [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+                if self.branch == "main"
+                else []
+            ),
             # spec: previous metadata files, oldest first (readers use it
             # for metadata time travel), bounded by
             # write.metadata.previous-versions-max above
@@ -1548,15 +1667,11 @@ class IcebergConversionTarget:
             # entries separately)
             "statistics": (prev or {}).get("statistics", []),
             "partition-statistics": (prev or {}).get("partition-statistics", []),
-            # main branch ref for the new head; preserve any OTHER
-            # branches/tags an external writer created (spec `refs`)
+            # advance THIS target's branch ref; preserve every other
+            # branch/tag an external writer created (spec `refs`)
             "refs": {
-                **{
-                    name: r
-                    for name, r in ((prev or {}).get("refs") or {}).items()
-                    if name != "main"
-                },
-                "main": {"snapshot-id": snapshot_id, "type": "branch"},
+                **{name: r for name, r in prev_refs.items() if name != self.branch},
+                self.branch: {"snapshot-id": snapshot_id, "type": "branch"},
             },
         }
         final = os.path.join(metadata_dir(self.base_path), f"v{version}.metadata.json")
