@@ -249,6 +249,10 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
     # and its commitInfo.inCommitTimestamp (None when absent)
     first_action_key: dict[int, str] = {}
     ict_by_version: dict[int, Optional[int]] = {}
+    # Row Tracking bookkeeping: last add per path -> (baseRowId,
+    # defaultRowCommitVersion, numRecords, where); latest domain configs
+    rt_adds: dict[str, tuple] = {}
+    domain_latest: dict[str, dict] = {}
 
     for v in versions:
         fname = os.path.join(log_dir, f"{v:020d}.json")
@@ -292,11 +296,27 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                     )
                     if body.get("deletionVector"):
                         live_dv_uses.append((where, body["deletionVector"]))
+                    if "path" in body:
+                        n_records = None
+                        try:
+                            n_records = json.loads(body.get("stats") or "{}").get(
+                                "numRecords"
+                            )
+                        except json.JSONDecodeError:
+                            pass
+                        rt_adds[body["path"]] = (
+                            body.get("baseRowId"),
+                            body.get("defaultRowCommitVersion"),
+                            n_records,
+                            where,
+                        )
                 elif key == "remove":
                     if "path" not in body:
                         report.add("DELTA_REMOVE_NO_PATH", where, "remove.path required")
                 elif key == "domainMetadata":
                     domain_seen = True
+                    if isinstance(body.get("domain"), str):
+                        domain_latest[body["domain"]] = body
                     if not isinstance(body.get("domain"), str) or not body["domain"]:
                         report.add(
                             "DELTA_DOMAIN_FIELDS", where, "domainMetadata.domain required"
@@ -383,8 +403,86 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
         log_dir, versions, first_action_key, ict_by_version,
         metadata_seen, protocol_seen, report,
     )
+    _check_delta_row_tracking(
+        log_dir, metadata_seen, protocol_seen, rt_adds, domain_latest, report
+    )
     _check_delta_checkpoint(spark, log_dir, report, protocol_seen)
     return report
+
+
+def _check_delta_row_tracking(
+    log_dir: str,
+    metadata_seen: Optional[dict],
+    protocol_seen: Optional[dict],
+    rt_adds: dict[str, tuple],
+    domain_latest: dict[str, dict],
+    report: ConformanceReport,
+) -> None:
+    """Row Tracking (PROTOCOL.md): with delta.enableRowTracking, the
+    protocol must list rowTracking + domainMetadata (writer 7), every add
+    carries baseRowId/defaultRowCommitVersion, live fresh-row ranges
+    [base, base+numRecords-1] are pairwise disjoint across paths, and the
+    delta.rowTracking domain's rowIdHighWaterMark covers every assigned
+    id."""
+    cfg = (metadata_seen or {}).get("configuration") or {}
+    if cfg.get("delta.enableRowTracking") != "true":
+        return
+    if protocol_seen is not None:
+        wv = protocol_seen.get("minWriterVersion", 1)
+        wf = set(protocol_seen.get("writerFeatures") or [])
+        if wv < 7 or "rowTracking" not in wf or "domainMetadata" not in wf:
+            report.add(
+                "DELTA_ROW_TRACKING_PROTOCOL",
+                log_dir,
+                "delta.enableRowTracking requires minWriterVersion 7 with the "
+                "rowTracking AND domainMetadata writer features",
+            )
+    ranges: list[tuple[int, int, str]] = []  # (base, end_exclusive, where)
+    max_id = -1
+    for path, (base, dcv, n, where) in rt_adds.items():
+        if base is None or dcv is None:
+            report.add(
+                "DELTA_ROW_TRACKING_BASE_ID",
+                where,
+                "add must carry baseRowId and defaultRowCommitVersion on a "
+                "row-tracking table",
+            )
+            continue
+        n = int(n or 0)
+        ranges.append((int(base), int(base) + n, where))
+        max_id = max(max_id, int(base) + n - 1)
+    ranges.sort()
+    for (b1, e1, w1), (b2, e2, w2) in zip(ranges, ranges[1:]):
+        # empty ranges (0-record files) cannot overlap anything
+        if b2 < e1 and e1 > b1 and e2 > b2:
+            report.add(
+                "DELTA_ROW_TRACKING_OVERLAP",
+                w2,
+                f"fresh row-id range [{b2},{e2}) overlaps [{b1},{e1}) ({w1})",
+            )
+    dm = domain_latest.get("delta.rowTracking")
+    if dm is None or dm.get("removed"):
+        report.add(
+            "DELTA_ROW_TRACKING_DOMAIN",
+            log_dir,
+            "row-tracking table has no live delta.rowTracking domain metadata",
+        )
+        return
+    try:
+        hwm = int(json.loads(dm.get("configuration") or "{}").get("rowIdHighWaterMark"))
+    except (json.JSONDecodeError, TypeError, ValueError):
+        report.add(
+            "DELTA_ROW_TRACKING_DOMAIN",
+            log_dir,
+            f"delta.rowTracking configuration not parseable: {dm.get('configuration')!r}",
+        )
+        return
+    if max_id > hwm:
+        report.add(
+            "DELTA_ROW_TRACKING_HWM",
+            log_dir,
+            f"assigned row id {max_id} exceeds rowIdHighWaterMark {hwm}",
+        )
 
 
 def _check_delta_ict(

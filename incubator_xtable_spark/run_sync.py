@@ -162,6 +162,9 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
                 dataset.get("deltaInCommitTimestamps", "")
             ).lower()
             == "true",
+            # baseRowId/defaultRowCommitVersion on adds + high-watermark
+            # domain (writer table feature; creation-only)
+            row_tracking=str(dataset.get("deltaRowTracking", "")).lower() == "true",
         )
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget

@@ -53,6 +53,11 @@ _ACTION_SCHEMA = T.StructType(
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
                     T.StructField("stats", T.StringType()),
+                    # Row Tracking (PROTOCOL.md): fresh-row-id base and the
+                    # commit version assigned at first add; stable across
+                    # re-adds (DV updates)
+                    T.StructField("baseRowId", T.LongType()),
+                    T.StructField("defaultRowCommitVersion", T.LongType()),
                     T.StructField(
                         "deletionVector",
                         T.StructType(
@@ -412,6 +417,8 @@ def write_checkpoint(
             F.col("modificationTime"),
             F.lit(False).alias("dataChange"),  # checkpoint entries are state, not changes
             F.col("stats"),
+            F.col("baseRowId"),
+            F.col("defaultRowCommitVersion"),
             F.col("deletionVector"),
         ).alias("add"),
         null_struct("remove").alias("remove"),
@@ -616,6 +623,8 @@ def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = 
         F.col("add.size").alias("size"),
         F.col("add.modificationTime").alias("modificationTime"),
         F.col("add.stats").alias("stats"),
+        F.col("add.baseRowId").alias("baseRowId"),
+        F.col("add.defaultRowCommitVersion").alias("defaultRowCommitVersion"),
         F.col("add.deletionVector").alias("deletionVector"),
     ).filter(F.col("path").isNotNull())
     # within one version, the add wins the tie: a DV commit removes AND
@@ -1100,6 +1109,7 @@ def read_delta_as_df(
     version: Optional[int] = None,
     prune: Optional[dict] = None,
     as_of_timestamp_ms: Optional[int] = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """The engine's `spark.read.format("delta")` equivalent: reconstruct
     the live file set (optionally at a past version = time travel) and read
@@ -1126,7 +1136,12 @@ def read_delta_as_df(
     ``as_of_timestamp_ms``: timestamp time travel — resolves to the newest
     version whose effective commit timestamp (commitInfo.inCommitTimestamp
     when the table has In-Commit Timestamps, else adjusted file mtime) is
-    <= the requested instant; mutually exclusive with ``version``."""
+    <= the requested instant; mutually exclusive with ``version``.
+
+    ``with_row_ids``: on a Row-Tracking table, append `_row_id` =
+    add.baseRowId + physical position (the spec's default row-id
+    derivation) — stable across DV updates because re-adds keep their
+    original baseRowId. Parquet-only (keys on _metadata.row_index)."""
     if as_of_timestamp_ms is not None:
         if version is not None:
             raise ValueError(
@@ -1143,7 +1158,7 @@ def read_delta_as_df(
         _enable_field_id_reads(spark)
     live = (
         live_files_df(spark, base_path, version)
-        .select("path", "partitionValues", "deletionVector", "stats")
+        .select("path", "partitionValues", "deletionVector", "stats", "baseRowId")
         .collect()
     )
     part_cols = list(meta["partitionColumns"] or [])
@@ -1152,7 +1167,12 @@ def read_delta_as_df(
     base = base_path.rstrip("/")
     paths = [os.path.join(base, r["path"]) for r in live]
     if not paths:
-        return spark.createDataFrame([], schema)
+        empty_schema = (
+            T.StructType(list(schema.fields) + [T.StructField("_row_id", T.LongType())])
+            if with_row_ids
+            else schema
+        )
+        return spark.createDataFrame([], empty_schema)
     # avro/unknown data files refuse loudly; orc row-reads natively (r8)
     from incubator_xtable_spark.model.file_formats import (
         from_delta_provider,
@@ -1200,6 +1220,17 @@ def read_delta_as_df(
         for f, rf in zip(data_fields, read_struct.fields):
             if rf.dataType != f.dataType:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    if with_row_ids:
+        if orc_paths or avro_paths:
+            raise NotImplementedError(
+                "with_row_ids is parquet-only (row ids key on _metadata.row_index)"
+            )
+        missing = [r["path"] for r in live if r["baseRowId"] is None]
+        if missing:
+            raise ValueError(
+                "with_row_ids: table has adds without baseRowId (row tracking "
+                f"not enabled), e.g. {missing[0]!r}"
+            )
     dv_rows = [r for r in live if r["deletionVector"] and r["deletionVector"]["storageType"]]
     dv_abs = {os.path.join(base, r["path"]) for r in dv_rows}
     positions = None
@@ -1222,21 +1253,32 @@ def read_delta_as_df(
             ),
         )
         positions = dv_positions_df(spark, base, dv_files)
-    if df is not None and positions is not None:
-        # the anti-join keys on (file, row) so positions of non-parquet
-        # files simply never match this branch
-        df = (
-            df.withColumn(
-                "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+    if df is not None and (positions is not None or with_row_ids):
+        # _metadata is resolvable only on the scan relation (not through
+        # joins): materialize file path + physical position ONCE, then
+        # both the row-id attach and the DV anti-join key on them
+        df = df.withColumn(
+            "_fp", F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        ).withColumn("_ri", F.col("_metadata.row_index"))
+        if with_row_ids:
+            rid = spark.createDataFrame(
+                [(os.path.join(base, r["path"]), r["baseRowId"]) for r in live],
+                "_fp STRING, _base LONG",
             )
-            .withColumn("_ri", F.col("_metadata.row_index"))
-            .join(
+            df = (
+                df.join(F.broadcast(rid), "_fp")
+                .withColumn("_row_id", F.col("_base") + F.col("_ri"))
+                .drop("_base")
+            )
+        if positions is not None:
+            # the anti-join keys on (file, row) so positions of non-parquet
+            # files simply never match this branch
+            df = df.join(
                 positions,
                 (F.col("_fp") == positions.file_path) & (F.col("_ri") == positions.pos),
                 "left_anti",
             )
-            .drop("_fp", "_ri")
-        )
+        df = df.drop("_fp", "_ri")
     # ORC files WITHOUT deletion vectors stay on Spark's vectorized
     # native reader; DV'd ORC files re-route through the
     # ordinal-preserving pyarrow scan (sources/orc_scan.py — Spark's ORC
@@ -1346,7 +1388,9 @@ def read_delta_as_df(
                 c, F.col("pv").getItem(_physical_name(schema, c)).cast(schema[c].dataType)
             )
         df = df.drop("abs_path", "pv")
-    out = df.select(*[f.name for f in schema.fields])
+    out = df.select(
+        *([f.name for f in schema.fields] + (["_row_id"] if with_row_ids else []))
+    )
     return out.unionByName(avro_df) if avro_df is not None else out
 
 

@@ -102,6 +102,7 @@ class DeltaConversionTarget:
         checkpoint_layout: str = "classic",
         change_feed: bool = False,
         in_commit_timestamps: bool = False,
+        row_tracking: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -139,6 +140,15 @@ class DeltaConversionTarget:
         # switches from file mtime to ICT. Once enabled it stays enabled
         # (the engine never demotes table features).
         self.in_commit_timestamps = in_commit_timestamps
+        # Row Tracking (PROTOCOL.md, writer feature `rowTracking` — which
+        # itself requires domainMetadata): every add carries baseRowId +
+        # defaultRowCommitVersion; fresh ranges are handed out from the
+        # delta.rowTracking domain's rowIdHighWaterMark so they never
+        # overlap; a re-add (DV update) keeps its original values, making
+        # row ids (baseRowId + physical position) stable across rewrites.
+        # Supported from table creation only — enabling mid-table would
+        # need a backfill of every live add (refused loudly instead).
+        self.row_tracking = row_tracking
         self._reset()
 
     # Delta can express row-level deletes natively (deletion vectors);
@@ -373,6 +383,31 @@ class DeltaConversionTarget:
         # authority flips from file modification time to ICT
         ict_enable_now = ict_on and version > 0 and not ict_was_on
 
+        # Row tracking: creation-only enablement (mid-table would need a
+        # baseRowId backfill of every live add); once on, stays on. Fresh
+        # ranges start above the domain's high watermark.
+        rt_was_on = prev_cfg_all.get("delta.enableRowTracking") == "true"
+        if self.row_tracking and version > 0 and not rt_was_on:
+            raise NotImplementedError(
+                "row_tracking can only be enabled at table creation: existing "
+                "adds carry no baseRowId and would need a backfill commit"
+            )
+        rt_on = (self.row_tracking and version == 0) or rt_was_on
+        rt_state: Optional[dict[str, int]] = None
+        if rt_on:
+            hwm = -1
+            if version > 0:
+                from incubator_xtable_spark.sources.delta_source import (
+                    live_domain_metadata,
+                )
+
+                raw = live_domain_metadata(self.spark, self.base_path).get(
+                    "delta.rowTracking"
+                )
+                if raw:
+                    hwm = int(json.loads(raw).get("rowIdHighWaterMark", -1))
+            rt_state = {"hwm": hwm, "assigned": 0}
+
         # row-delete channel: write DV files and split them into
         # (a) descriptors attached to this commit's adds and
         # (b) remove+re-add pairs for files already live in the target
@@ -406,7 +441,15 @@ class DeltaConversionTarget:
                     if self._removes is not None
                     else set()
                 )
-                live_cols = ["path", "partitionValues", "size", "modificationTime", "stats"]
+                live_cols = [
+                    "path",
+                    "partitionValues",
+                    "size",
+                    "modificationTime",
+                    "stats",
+                    "baseRowId",
+                    "defaultRowCommitVersion",
+                ]
                 live = live_files_df(self.spark, self.base_path, version - 1)
                 has_live_dv = "deletionVector" in live.columns
                 if has_live_dv:
@@ -435,6 +478,11 @@ class DeltaConversionTarget:
                         "modificationTime": r["modificationTime"],
                         "stats": r["stats"],
                     }
+                    # row tracking: a re-add keeps its original fresh-row-id
+                    # range (stable row ids across DV updates — spec rule)
+                    if r["baseRowId"] is not None:
+                        readd["baseRowId"] = r["baseRowId"]
+                        readd["defaultRowCommitVersion"] = r["defaultRowCommitVersion"]
                     if desc is not None:
                         readd["deletionVector"] = desc
                     dv_readds.append(readd)
@@ -481,8 +529,8 @@ class DeltaConversionTarget:
                 # reader version untouched
                 writer_version = max(writer_version, 7)
             need_domain = bool(self._domain_metadata or self._removed_domains)
-            if need_domain:
-                # domainMetadata is likewise writer-only
+            if need_domain or rt_on:
+                # domainMetadata / rowTracking are likewise writer-only
                 writer_version = max(writer_version, 7)
             prev_proto = None if version == 0 else self._read_latest_protocol()
             prev_reader_feats = set((prev_proto or {}).get("readerFeatures") or [])
@@ -529,7 +577,7 @@ class DeltaConversionTarget:
                     "minReaderVersion": reader_version,
                     "minWriterVersion": writer_version,
                 }
-                if need_dv or need_v2cp or ict_on or need_domain or prev_writer_feats:
+                if need_dv or need_v2cp or ict_on or need_domain or rt_on or prev_writer_feats:
                     # a table-features protocol (3/7) must list EVERY
                     # active feature, including those the replaced legacy
                     # protocol implied — not just the newly needed one
@@ -566,6 +614,11 @@ class DeltaConversionTarget:
                         writer_feats.add("inCommitTimestamp")
                     if need_domain:
                         writer_feats.add("domainMetadata")
+                    if rt_on:
+                        # spec: rowTracking depends on domainMetadata (the
+                        # high watermark lives in a metadata domain)
+                        writer_feats.add("rowTracking")
+                        writer_feats.add("domainMetadata")
                     if "delta.columnMapping.mode" in prev_cfg_all:
                         reader_feats.add("columnMapping")
                         writer_feats.add("columnMapping")
@@ -586,6 +639,8 @@ class DeltaConversionTarget:
                 configuration = {"delta.logRetentionDuration": "interval 7 days"}
                 if self.change_feed:
                     configuration["delta.enableChangeDataFeed"] = "true"
+                if rt_on:
+                    configuration["delta.enableRowTracking"] = "true"
                 if ict_on:
                     configuration["delta.enableInCommitTimestamps"] = "true"
                     if ict_enable_now:
@@ -666,7 +721,14 @@ class DeltaConversionTarget:
                     )
             if self._adds is not None:
                 for row in _drain(self._adds, auto=self._snapshot_sync):
-                    yield self._add_action(row, schema, now_ms, dv_map.get(row["physical_path"]))
+                    yield self._add_action(
+                        row,
+                        schema,
+                        now_ms,
+                        dv_map.get(row["physical_path"]),
+                        rt_state=rt_state,
+                        version=version,
+                    )
             # DV-update shape for files already live: remove + re-add with
             # the new deletion vector (what a Delta DELETE commit writes)
             for ra in dv_readds:
@@ -684,6 +746,21 @@ class DeltaConversionTarget:
                 yield json.dumps({"add": add})
             for c in cdc_actions:
                 yield json.dumps({"cdc": c})
+            if rt_state is not None:
+                # the high watermark AFTER this commit's fresh assignments
+                # (action order within a commit is free except ICT's
+                # commitInfo-first, so emitting last is legal)
+                yield json.dumps(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": rt_state["hwm"]}
+                            ),
+                            "removed": False,
+                        }
+                    }
+                )
 
         self._atomic_write(version, actions())
         self._committed_version = version
@@ -787,7 +864,13 @@ class DeltaConversionTarget:
         return out
 
     def _add_action(
-        self, row: Row, schema: T.StructType, now_ms: int, dv_desc: Optional[dict] = None
+        self,
+        row: Row,
+        schema: T.StructType,
+        now_ms: int,
+        dv_desc: Optional[dict] = None,
+        rt_state: Optional[dict] = None,
+        version: int = 0,
     ) -> str:
         col_stats = {}
         raw_stats = row["column_stats"]
@@ -815,6 +898,20 @@ class DeltaConversionTarget:
             "dataChange": True,
             "stats": to_delta_stats_json(row["record_count"], col_stats, schema),
         }
+        if rt_state is not None:
+            # fresh row-id range: [hwm+1, hwm+numRecords]; sequential
+            # hand-out during the drain keeps ranges disjoint by
+            # construction (spec "Row Tracking" fresh-row requirement)
+            n = row["record_count"]
+            if n is None:
+                raise ValueError(
+                    f"row_tracking needs record counts; file "
+                    f"{row['physical_path']!r} has no record_count stat"
+                )
+            add["baseRowId"] = rt_state["hwm"] + 1
+            add["defaultRowCommitVersion"] = version
+            rt_state["hwm"] += int(n)
+            rt_state["assigned"] += 1
         if dv_desc is not None:
             add["deletionVector"] = dv_desc
         return json.dumps({"add": add})
