@@ -196,6 +196,9 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             table_name=dataset.get("tableName"),
             # v3 writes row deletes as puffin deletion vectors
             format_version=int(dataset.get("icebergFormatVersion", 2)),
+            # write-audit-publish: stage commits on a ref; publish with
+            # targets.iceberg_target.publish_branch
+            branch=dataset.get("icebergBranch", "main"),
         )
     if fmt == TableFormat.PAIMON.value:
         from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
