@@ -313,6 +313,11 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 elif key == "remove":
                     if "path" not in body:
                         report.add("DELTA_REMOVE_NO_PATH", where, "remove.path required")
+                    else:
+                        # row-tracking checks apply to LIVE files only: a
+                        # real table enabled mid-life legitimately has
+                        # removed-before-enablement adds without baseRowId
+                        rt_adds.pop(body["path"], None)
                 elif key == "domainMetadata":
                     domain_seen = True
                     if isinstance(body.get("domain"), str):
@@ -451,15 +456,23 @@ def _check_delta_row_tracking(
         n = int(n or 0)
         ranges.append((int(base), int(base) + n, where))
         max_id = max(max_id, int(base) + n - 1)
+    # running-max sweep (adjacent-pair comparison would let an interposed
+    # EMPTY range — a 0-record add at base=hwm+1 — mask a real overlap)
     ranges.sort()
-    for (b1, e1, w1), (b2, e2, w2) in zip(ranges, ranges[1:]):
-        # empty ranges (0-record files) cannot overlap anything
-        if b2 < e1 and e1 > b1 and e2 > b2:
+    max_end: Optional[int] = None
+    max_where: Optional[str] = None
+    for b, e, w in ranges:
+        if e <= b:
+            continue  # empty range (0-record file) cannot overlap anything
+        if max_end is not None and b < max_end:
             report.add(
                 "DELTA_ROW_TRACKING_OVERLAP",
-                w2,
-                f"fresh row-id range [{b2},{e2}) overlaps [{b1},{e1}) ({w1})",
+                w,
+                f"fresh row-id range [{b},{e}) overlaps one ending at "
+                f"{max_end} ({max_where})",
             )
+        if max_end is None or e > max_end:
+            max_end, max_where = e, w
     dm = domain_latest.get("delta.rowTracking")
     if dm is None or dm.get("removed"):
         report.add(

@@ -195,6 +195,13 @@ def kmeans_centroids(
     )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
+    return _lloyd(x, n_centroids, rng, max_iter).tolist()
+
+
+def _lloyd(x: "np.ndarray", n_centroids: int, rng, max_iter: int) -> "np.ndarray":
+    """The shared k-means kernel (seeded init, vectorized assign, mean
+    update, allclose convergence) behind the IVF coarse quantizer and the
+    PQ sub-codebooks — one implementation so fixes land in both."""
     n = len(x)
     k = min(n_centroids, n)
     centers = x[rng.choice(n, size=k, replace=False)]
@@ -214,7 +221,7 @@ def kmeans_centroids(
         if np.allclose(new_centers, centers):
             break
         centers = new_centers
-    return centers.tolist()
+    return centers
 
 
 def ann_ivf_topk(
@@ -353,29 +360,10 @@ def pq_train(
     )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        xs = x[:, j * sub : (j + 1) * sub]
-        n = len(xs)
-        k = min(n_codes, n)
-        centers = xs[rng.choice(n, size=k, replace=False)]
-        for _ in range(max_iter):
-            d = (
-                (xs * xs).sum(axis=1)[:, None]
-                - 2.0 * xs @ centers.T
-                + (centers * centers).sum(axis=1)[None, :]
-            )
-            assign = d.argmin(axis=1)
-            new_centers = centers.copy()
-            for c in range(k):
-                members = xs[assign == c]
-                if len(members):
-                    new_centers[c] = members.mean(axis=0)
-            if np.allclose(new_centers, centers):
-                break
-            centers = new_centers
-        books.append(centers.tolist())
-    return books
+    return [
+        _lloyd(x[:, j * sub : (j + 1) * sub], n_codes, rng, max_iter).tolist()
+        for j in range(m)
+    ]
 
 
 def _pq_code(vec: Column, lit_book: Column, j: int, sub: int) -> Column:

@@ -157,6 +157,23 @@ def list_log_versions(base_path: str) -> list[int]:
     )
 
 
+def read_commit_ict(path: str) -> Optional[int]:
+    """commitInfo.inCommitTimestamp from a commit file's FIRST line (the
+    spec pins ICT-bearing commitInfo to first position), or None when the
+    commit predates ICT enablement / the line is malformed. The single
+    parser behind both the reader's time-travel authority and the
+    writer's monotonicity floor — they must never disagree."""
+    with open(path, encoding="utf-8") as fh:
+        first = fh.readline()
+    if '"inCommitTimestamp"' not in first:
+        return None
+    try:
+        raw = (json.loads(first).get("commitInfo") or {}).get("inCommitTimestamp")
+        return int(raw) if raw is not None else None
+    except (json.JSONDecodeError, TypeError, ValueError):
+        return None
+
+
 def commit_timestamps(base_path: str) -> list[tuple[int, int]]:
     """(version, effective-timestamp-ms) per existing commit json, sorted by
     version, per the spec's In-Commit-Timestamps read rule: a commit whose
@@ -170,16 +187,7 @@ def commit_timestamps(base_path: str) -> list[tuple[int, int]]:
     running = 0
     for v in list_log_versions(base_path):
         fp = os.path.join(d, f"{v:020d}.json")
-        ts: Optional[int] = None
-        with open(fp, encoding="utf-8") as fh:
-            first = fh.readline()
-        if '"inCommitTimestamp"' in first:
-            try:
-                info = json.loads(first).get("commitInfo") or {}
-                raw = info.get("inCommitTimestamp")
-                ts = int(raw) if raw is not None else None
-            except (json.JSONDecodeError, TypeError, ValueError):
-                ts = None
+        ts = read_commit_ict(fp)
         if ts is None:
             ts = int(os.stat(fp).st_mtime * 1000)
         running = max(running, ts)

@@ -236,6 +236,17 @@ class DeltaConversionTarget:
             raise ValueError(
                 f"sync_domain_metadata: domains both set and removed: {sorted(overlap)}"
             )
+        # spec: `delta.`-prefixed domains are system-controlled; user writes
+        # there would also collide with the engine's own emissions (e.g. a
+        # delta.rowTracking tombstone + the automatic high-watermark action
+        # in ONE commit — two same-domain actions, and a nondeterministic
+        # hwm reset to -1 reusing row ids)
+        reserved = [d for d in set(domains) | set(removed) if d.startswith("delta.")]
+        if reserved:
+            raise ValueError(
+                f"sync_domain_metadata: 'delta.'-prefixed domains are "
+                f"system-controlled: {sorted(reserved)}"
+            )
         self._domain_metadata.update(domains)
         self._removed_domains.update(removed)
 
@@ -636,7 +647,16 @@ class DeltaConversionTarget:
                 or self._schema is not None
                 or ict_enable_now
             ):
-                configuration = {"delta.logRetentionDuration": "interval 7 days"}
+                # seed from the PREVIOUS configuration: a metaData rebuild
+                # (every sync emits one) must not erase properties set by an
+                # earlier run or an external writer — rebuilding from
+                # instance flags alone silently demoted e.g.
+                # delta.enableChangeDataFeed when a later target instance
+                # was built without change_feed (r10 self-review)
+                configuration = dict(prev_cfg_all)
+                configuration.setdefault(
+                    "delta.logRetentionDuration", "interval 7 days"
+                )
                 if self.change_feed:
                     configuration["delta.enableChangeDataFeed"] = "true"
                 if rt_on:
@@ -652,15 +672,6 @@ class DeltaConversionTarget:
                         configuration["delta.inCommitTimestampEnablementTimestamp"] = str(
                             ict
                         )
-                    else:
-                        # carry the enablement markers forward verbatim —
-                        # this metaData rebuild must not erase them
-                        for k in (
-                            "delta.inCommitTimestampEnablementVersion",
-                            "delta.inCommitTimestampEnablementTimestamp",
-                        ):
-                            if k in prev_cfg_all:
-                                configuration[k] = prev_cfg_all[k]
                 if self._metadata_json is not None:
                     configuration[XTABLE_METADATA_KEY] = self._metadata_json
                 # column mapping only on tables CREATED with it (a later
@@ -950,18 +961,13 @@ class DeltaConversionTarget:
         Scans downward so a retention-pruned tail (commits expired behind a
         checkpoint) degrades to wall-clock rather than crashing — the spec
         only requires monotonicity against commits that still exist."""
+        from incubator_xtable_spark.sources.delta_source import read_commit_ict
+
         for ver in range(version, -1, -1):
             fp = _version_file(self.base_path, ver)
             if not os.path.exists(fp):
                 continue
-            with open(fp, encoding="utf-8") as fh:
-                first = fh.readline()
-            try:
-                info = json.loads(first).get("commitInfo") or {}
-            except json.JSONDecodeError:
-                return None
-            v = info.get("inCommitTimestamp")
-            return int(v) if v is not None else None
+            return read_commit_ict(fp)
         return None
 
     def _previous_configuration(self) -> dict[str, Any]:

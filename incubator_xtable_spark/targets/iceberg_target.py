@@ -749,6 +749,12 @@ def publish_branch(
         raise ValueError(f"no ref {branch!r} to publish (refs: {sorted(refs)})")
     if refs[branch].get("type") != "branch":
         raise ValueError(f"ref {branch!r} is a {refs[branch].get('type')}, not a branch")
+    if target in refs and refs[target].get("type") != "branch":
+        # tags are immutable pins — fast-forwarding one would silently
+        # rewrite it as a branch and move external readers' pinned data
+        raise ValueError(
+            f"publish target {target!r} is a {refs[target].get('type')}, not a branch"
+        )
     sid = refs[branch]["snapshot-id"]
     snapshots = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     tgt_head = (refs.get(target) or {}).get("snapshot-id")
@@ -1267,10 +1273,19 @@ class IcebergConversionTarget:
         return out
 
     def _current_live_entries(self, meta: Optional[dict]) -> list[dict]:
-        if meta is None or not meta.get("current-snapshot-id"):
+        if meta is None:
+            return []
+        # carry-forward base = THIS TARGET'S BRANCH head: a second staged
+        # commit must build on the first staged snapshot, not on main
+        # (keying on current-snapshot-id silently dropped every file the
+        # earlier staged commits added — caught by self-review r10)
+        head = ((meta.get("refs") or {}).get(self.branch) or {}).get(
+            "snapshot-id"
+        ) or meta.get("current-snapshot-id")
+        if not head or head == -1:
             return []
         snap = next(
-            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == meta["current-snapshot-id"]),
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == head),
             None,
         )
         if snap is None:

@@ -180,3 +180,25 @@ def test_domain_set_and_remove_overlap_refused(spark, source_dir):
     target._reset()
     with pytest.raises(ValueError, match="both set and removed"):
         target.sync_domain_metadata({"d": "x"}, removed={"d"})
+
+
+def test_configuration_carries_forward_across_target_instances(spark, source_dir):
+    """A metaData rebuild must not erase previously-set properties: a
+    table created with change_feed=True keeps delta.enableChangeDataFeed
+    even when a later sync's target instance was built without the flag
+    (r10 self-review: rebuild-from-instance-flags silently demoted it)."""
+    _sync(spark, source_dir, change_feed=True)
+    _append_rows(spark, source_dir, 100)
+    _sync(spark, source_dir)  # no change_feed flag on this instance
+    target = DeltaConversionTarget(spark, source_dir)
+    cfg = target.get_table_properties()
+    assert cfg["delta.enableChangeDataFeed"] == "true"
+
+
+def test_reserved_delta_domain_refused(spark, source_dir):
+    target = DeltaConversionTarget(spark, source_dir)
+    target._reset()
+    with pytest.raises(ValueError, match="system-controlled"):
+        target.sync_domain_metadata({"delta.rowTracking": "{}"})
+    with pytest.raises(ValueError, match="system-controlled"):
+        target.sync_domain_metadata({}, removed={"delta.clustering"})

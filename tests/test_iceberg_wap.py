@@ -123,6 +123,16 @@ def test_wap_branch_only_table_then_first_publish(spark, source_dir):
     s2 = meta3["refs"]["staging"]["snapshot-id"]
     staged = next(s for s in meta3["snapshots"] if s["snapshot-id"] == s2)
     assert staged["parent-snapshot-id"] == meta2["current-snapshot-id"]
+    # the staged snapshot carries BOTH commits' files (carry-forward must
+    # key on the branch head, not main — r10 self-review regression)
+    assert read_iceberg_as_df(spark, source_dir, ref="staging").count() == 10
+    assert read_iceberg_as_df(spark, source_dir).count() == 5
+    # a third staged sync stacks on the second without a publish between
+    _append_rows(spark, source_dir, 200)
+    _sync(spark, source_dir, branch="staging")
+    assert read_iceberg_as_df(spark, source_dir, ref="staging").count() == 15
+    publish_branch(source_dir, "staging")
+    assert read_iceberg_as_df(spark, source_dir).count() == 15
 
 
 def test_wap_publish_refuses_non_fast_forward(spark, source_dir):
