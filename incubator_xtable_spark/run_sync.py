@@ -165,6 +165,13 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             # baseRowId/defaultRowCommitVersion on adds + high-watermark
             # domain (writer table feature; creation-only)
             row_tracking=str(dataset.get("deltaRowTracking", "")).lower() == "true",
+            # declared clustering layout (delta.clustering domain +
+            # clustering writer feature); comma-separated column names
+            clustering_columns=[
+                c.strip()
+                for c in str(dataset.get("deltaClusteringColumns", "")).split(",")
+                if c.strip()
+            ],
         )
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget

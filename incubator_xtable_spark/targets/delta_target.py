@@ -103,6 +103,7 @@ class DeltaConversionTarget:
         change_feed: bool = False,
         in_commit_timestamps: bool = False,
         row_tracking: bool = False,
+        clustering_columns: Optional[list[str]] = None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -149,6 +150,14 @@ class DeltaConversionTarget:
         # Supported from table creation only — enabling mid-table would
         # need a backfill of every live add (refused loudly instead).
         self.row_tracking = row_tracking
+        # Clustered table (PROTOCOL.md "Clustered Table", writer feature
+        # `clustering`): the clustering column set lives in the
+        # delta.clustering metadata domain as {"clusteringColumns":
+        # [[<physical name path>], ...]}. The engine records the layout
+        # INTENT (so downstream OPTIMIZE/Z-order maintenance and readers
+        # see the declared clustering); it does not rewrite data files —
+        # conversion is metadata-only by design.
+        self.clustering_columns = list(clustering_columns or [])
         self._reset()
 
     # Delta can express row-level deletes natively (deletion vectors);
@@ -394,6 +403,42 @@ class DeltaConversionTarget:
         # authority flips from file modification time to ICT
         ict_enable_now = ict_on and version > 0 and not ict_was_on
 
+        # Clustered table: resolve the delta.clustering domain payload
+        # (physical names under column mapping); emit only when the set
+        # actually changes. Top-level columns only; clustered tables are
+        # unpartitioned by spec.
+        clustering_json: Optional[str] = None
+        if self.clustering_columns:
+            if self._partition_cols:
+                raise ValueError(
+                    "clustering_columns: clustered Delta tables must be "
+                    f"unpartitioned (partitioned by {self._partition_cols})"
+                )
+            bad = [c for c in self.clustering_columns if "." in c]
+            if bad:
+                raise NotImplementedError(
+                    f"clustering_columns: nested paths unsupported: {bad}"
+                )
+            missing = [c for c in self.clustering_columns if c not in schema.names]
+            if missing:
+                raise ValueError(f"clustering_columns not in schema: {missing}")
+            phys = {f.name: rf.name for f, rf in zip(schema.fields, mapped_schema.fields)}
+            clustering_json = json.dumps(
+                {"clusteringColumns": [[phys.get(c, c)] for c in self.clustering_columns]}
+            )
+            if version > 0:
+                from incubator_xtable_spark.sources.delta_source import (
+                    live_domain_metadata,
+                )
+
+                if (
+                    live_domain_metadata(self.spark, self.base_path).get(
+                        "delta.clustering"
+                    )
+                    == clustering_json
+                ):
+                    clustering_json = None  # unchanged — no re-emission
+
         # Row tracking: creation-only enablement (mid-table would need a
         # baseRowId backfill of every live add); once on, stays on. Fresh
         # ranges start above the domain's high watermark.
@@ -540,8 +585,9 @@ class DeltaConversionTarget:
                 # reader version untouched
                 writer_version = max(writer_version, 7)
             need_domain = bool(self._domain_metadata or self._removed_domains)
-            if need_domain or rt_on:
-                # domainMetadata / rowTracking are likewise writer-only
+            need_clustering = bool(self.clustering_columns)
+            if need_domain or rt_on or need_clustering:
+                # domainMetadata / rowTracking / clustering are writer-only
                 writer_version = max(writer_version, 7)
             prev_proto = None if version == 0 else self._read_latest_protocol()
             prev_reader_feats = set((prev_proto or {}).get("readerFeatures") or [])
@@ -564,9 +610,13 @@ class DeltaConversionTarget:
                 and (prev_wv < 7 or "inCommitTimestamp" not in prev_writer_feats)
             )
             domain_upgrade_needed = (
-                need_domain
+                (need_domain or need_clustering)
                 and prev_proto is not None
-                and (prev_wv < 7 or "domainMetadata" not in prev_writer_feats)
+                and (
+                    prev_wv < 7
+                    or "domainMetadata" not in prev_writer_feats
+                    or (need_clustering and "clustering" not in prev_writer_feats)
+                )
             )
             if version == 0 or (
                 need_dv
@@ -588,7 +638,15 @@ class DeltaConversionTarget:
                     "minReaderVersion": reader_version,
                     "minWriterVersion": writer_version,
                 }
-                if need_dv or need_v2cp or ict_on or need_domain or rt_on or prev_writer_feats:
+                if (
+                    need_dv
+                    or need_v2cp
+                    or ict_on
+                    or need_domain
+                    or rt_on
+                    or need_clustering
+                    or prev_writer_feats
+                ):
                     # a table-features protocol (3/7) must list EVERY
                     # active feature, including those the replaced legacy
                     # protocol implied — not just the newly needed one
@@ -624,6 +682,11 @@ class DeltaConversionTarget:
                     if ict_on:
                         writer_feats.add("inCommitTimestamp")
                     if need_domain:
+                        writer_feats.add("domainMetadata")
+                    if need_clustering:
+                        # clustering state lives in the delta.clustering
+                        # domain, so both features are required
+                        writer_feats.add("clustering")
                         writer_feats.add("domainMetadata")
                     if rt_on:
                         # spec: rowTracking depends on domainMetadata (the
@@ -757,6 +820,16 @@ class DeltaConversionTarget:
                 yield json.dumps({"add": add})
             for c in cdc_actions:
                 yield json.dumps({"cdc": c})
+            if clustering_json is not None:
+                yield json.dumps(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.clustering",
+                            "configuration": clustering_json,
+                            "removed": False,
+                        }
+                    }
+                )
             if rt_state is not None:
                 # the high watermark AFTER this commit's fresh assignments
                 # (action order within a commit is free except ICT's

@@ -202,3 +202,49 @@ def test_reserved_delta_domain_refused(spark, source_dir):
         target.sync_domain_metadata({"delta.rowTracking": "{}"})
     with pytest.raises(ValueError, match="system-controlled"):
         target.sync_domain_metadata({}, removed={"delta.clustering"})
+
+
+def test_clustered_table_domain_and_feature(spark, source_dir):
+    """Clustered table declaration (PROTOCOL.md "Clustered Table"): the
+    delta.clustering domain carries the column set, the clustering +
+    domainMetadata writer features are declared, unchanged sets do not
+    re-emit, and changed sets do."""
+    _sync(spark, source_dir, clustering_columns=["r_regionkey"])
+    assert json.loads(
+        live_domain_metadata(spark, source_dir)["delta.clustering"]
+    ) == {"clusteringColumns": [["r_regionkey"]]}
+    with open(os.path.join(source_dir, "_delta_log", f"{0:020d}.json")) as fh:
+        v0 = [json.loads(l) for l in fh if l.strip()]
+    proto = next(l["protocol"] for l in v0 if "protocol" in l)
+    assert "clustering" in proto["writerFeatures"]
+    assert "domainMetadata" in proto["writerFeatures"]
+
+    # unchanged set: the next commit re-emits nothing
+    _append_rows(spark, source_dir, 100)
+    _sync(spark, source_dir, clustering_columns=["r_regionkey"])
+    with open(os.path.join(source_dir, "_delta_log", f"{1:020d}.json")) as fh:
+        v1 = [json.loads(l) for l in fh if l.strip()]
+    assert not any(
+        "domainMetadata" in l and l["domainMetadata"]["domain"] == "delta.clustering"
+        for l in v1
+    )
+
+    # changed set: re-emitted, latest wins
+    _append_rows(spark, source_dir, 200)
+    _sync(spark, source_dir, clustering_columns=["r_name", "r_regionkey"])
+    assert json.loads(
+        live_domain_metadata(spark, source_dir)["delta.clustering"]
+    ) == {"clusteringColumns": [["r_name"], ["r_regionkey"]]}
+
+    report = check_delta_conformance(spark, source_dir)
+    assert report.passed, report.issues
+
+    # refusals: unknown column (new data so the sync actually commits)
+    _append_rows(spark, source_dir, 300)
+    t = DeltaConversionTarget(spark, source_dir, clustering_columns=["nope"])
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, source_dir, name="region"),
+        {TableFormat.DELTA: t},
+    )
+    assert res[TableFormat.DELTA].status != SyncStatusCode.SUCCESS
+    assert "not in schema" in res[TableFormat.DELTA].error.error_message
