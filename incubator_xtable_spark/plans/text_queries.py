@@ -732,3 +732,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_residual"),
         F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-rebalanced multilingual sampling (sqrt = temperature 0.5)
+# ---------------------------------------------------------------------------
+
+TEMP_SAMPLE_ORACLE = r"""
+WITH quotas AS (
+  SELECT lang,
+         least(count(*), CAST(floor(3 * sqrt(count(*))) AS BIGINT)) AS quota
+  FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rn <= q.quota
+ORDER BY r.lang, r.doc_id
+"""
+
+
+@register(
+    "corpus_temperature_sample",
+    oracle=TEMP_SAMPLE_ORACLE,
+    category="text",
+    description="sqrt-temperature multilingual rebalancing (quota per lang)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced sampling — the canonical multilingual
+    data-mix pass: per-language quotas proportional to n_l^0.5 (sampling
+    exponent alpha = 0.5) flatten the language distribution so dominant
+    languages stop drowning the tail, selection within a language by the
+    deterministic md5 shuffle (reproducible on any cluster/partitioning).
+
+    Cross-engine exactness note: alpha is expressed as sqrt(), which
+    IEEE-754 requires to be CORRECTLY ROUNDED — bit-identical in the JVM
+    and DuckDB — where pow(n, alpha) carries no such guarantee across
+    libm implementations; quota = floor(3 * sqrt(n_l)) is one multiply +
+    floor on exact inputs, deterministic on both engines.
+
+    Scale: quotas are a tiny per-language aggregate (broadcast); the
+    rank<=quota filter rides the same WindowGroupLimit map-side
+    pre-top-N as corpus_lang_cap, so the exchange carries O(langs x
+    quota), not the corpus."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    quotas = docs.groupBy("lang").agg(
+        F.least(
+            F.count(F.lit(1)),
+            F.floor(F.lit(3) * F.sqrt(F.count(F.lit(1)))).cast("long"),
+        ).alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), F.col("doc_id")
+    )
+    ranked = docs.select("lang", "doc_id").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
