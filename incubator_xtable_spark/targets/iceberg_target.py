@@ -719,6 +719,105 @@ def read_table_metadata(base_path: str, version: Optional[int] = None) -> Option
     return read_metadata_json_file(path)
 
 
+def _write_next_metadata(base_path: str, new: dict, now_ms: int) -> None:
+    """Commit ``new`` as the next metadata version: bounded metadata-log
+    append referencing the resolved previous head, atomic link, hint
+    update. Shared by the metadata-only ref operations."""
+    new["last-updated-ms"] = now_ms
+    prev = read_table_metadata(base_path) or {}
+    prev_path = resolve_current_metadata_path(base_path)
+    metadata_log = prev.get("metadata-log", []) + (
+        [
+            {
+                "timestamp-ms": prev.get("last-updated-ms", now_ms),
+                "metadata-file": prev_path,
+            }
+        ]
+        if prev_path
+        else []
+    )
+    keep_prev = int(
+        (prev.get("properties") or {}).get("write.metadata.previous-versions-max", 100)
+    )
+    new["metadata-log"] = metadata_log[-keep_prev:] if keep_prev > 0 else []
+    version = (current_metadata_version(base_path) or 0) + 1
+    final = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(new, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent iceberg commit at version {version}") from exc
+    finally:
+        os.unlink(tmp)
+    with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+def create_ref(
+    base_path: str,
+    name: str,
+    ref_type: str = "tag",
+    snapshot_id: Optional[int] = None,
+    max_ref_age_ms: Optional[int] = None,
+) -> int:
+    """Create (or move) a branch/tag ref (spec `refs`) in one
+    metadata-only commit — the release step after a WAP publish ("tag
+    what shipped"). ``snapshot_id`` defaults to the current main head;
+    it must be a live snapshot. Tags may not overwrite an existing ref of
+    a different type (an immutable pin changing kind would strand
+    readers). Returns the pinned snapshot id."""
+    if ref_type not in ("branch", "tag"):
+        raise ValueError(f"ref type must be branch or tag, got {ref_type!r}")
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    sid = snapshot_id
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("no current snapshot to pin (pass snapshot_id)")
+    snapshots = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if sid not in snapshots:
+        raise ValueError(f"snapshot {sid} not in table (live snapshots only)")
+    if name == "main" and ref_type != "branch":
+        raise ValueError("main must remain a branch")
+    refs = dict(meta.get("refs") or {})
+    existing = refs.get(name)
+    if existing is not None and existing.get("type") != ref_type:
+        raise ValueError(
+            f"ref {name!r} already exists as a {existing.get('type')}; "
+            f"refusing to change its type"
+        )
+    entry: dict = {"snapshot-id": sid, "type": ref_type}
+    if max_ref_age_ms is not None:
+        entry["max-ref-age-ms"] = int(max_ref_age_ms)
+    refs[name] = entry
+    new = dict(meta)
+    new["refs"] = refs
+    _write_next_metadata(base_path, new, int(time.time() * 1000))
+    return sid
+
+
+def remove_ref(base_path: str, name: str) -> None:
+    """Drop a branch/tag ref in one metadata-only commit. Refuses main
+    (the table's head lineage); the pinned snapshots become ordinary
+    expiry candidates afterwards (retention keeps ref-pinned history)."""
+    if name == "main":
+        raise ValueError("refusing to remove the main branch ref")
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} (refs: {sorted(refs)})")
+    refs.pop(name)
+    new = dict(meta)
+    new["refs"] = refs
+    _write_next_metadata(base_path, new, int(time.time() * 1000))
+
+
 def publish_branch(
     base_path: str,
     branch: str,
@@ -786,35 +885,7 @@ def publish_branch(
         new["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"timestamp-ms": now_ms, "snapshot-id": sid}
         ]
-    new["last-updated-ms"] = now_ms
-    prev_path = resolve_current_metadata_path(base_path)
-    metadata_log = meta.get("metadata-log", []) + (
-        [
-            {
-                "timestamp-ms": meta.get("last-updated-ms", now_ms),
-                "metadata-file": prev_path,
-            }
-        ]
-        if prev_path
-        else []
-    )
-    keep_prev = int(
-        (meta.get("properties") or {}).get("write.metadata.previous-versions-max", 100)
-    )
-    new["metadata-log"] = metadata_log[-keep_prev:] if keep_prev > 0 else []
-    version = (current_metadata_version(base_path) or 0) + 1
-    final = os.path.join(metadata_dir(base_path), f"v{version}.metadata.json")
-    tmp = final + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(new, fh)
-    try:
-        os.link(tmp, final)
-    except FileExistsError as exc:
-        raise RuntimeError(f"concurrent iceberg commit at version {version}") from exc
-    finally:
-        os.unlink(tmp)
-    with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_next_metadata(base_path, new, now_ms)
     return sid
 
 

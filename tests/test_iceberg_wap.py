@@ -168,3 +168,46 @@ def test_wap_publish_refuses_non_fast_forward(spark, source_dir):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="not a branch"):
         publish_branch(source_dir, "pin")
+
+
+def test_create_and_remove_refs(spark, source_dir):
+    """Tag-what-shipped: create_ref pins a tag after publish, branches can
+    move, type flips and main removal refuse, remove_ref drops."""
+    from incubator_xtable_spark.targets.iceberg_target import create_ref, remove_ref
+
+    _sync(spark, source_dir)
+    meta = read_table_metadata(source_dir)
+    s1 = meta["current-snapshot-id"]
+
+    sid = create_ref(source_dir, "release-1")  # tag at main head
+    assert sid == s1
+    meta = read_table_metadata(source_dir)
+    assert meta["refs"]["release-1"] == {"snapshot-id": s1, "type": "tag"}
+    assert read_iceberg_as_df(spark, source_dir, ref="release-1").count() == 5
+
+    _append_rows(spark, source_dir, 100)
+    _sync(spark, source_dir)
+    s2 = read_table_metadata(source_dir)["current-snapshot-id"]
+    assert s2 != s1
+    # the tag still pins the OLD state after main advanced
+    assert read_iceberg_as_df(spark, source_dir, ref="release-1").count() == 5
+
+    # a branch ref with an age limit
+    create_ref(source_dir, "dev", ref_type="branch", max_ref_age_ms=1000)
+    assert read_table_metadata(source_dir)["refs"]["dev"]["max-ref-age-ms"] == 1000
+
+    with pytest.raises(ValueError, match="refusing to change its type"):
+        create_ref(source_dir, "release-1", ref_type="branch")
+    with pytest.raises(ValueError, match="main must remain a branch"):
+        create_ref(source_dir, "main", ref_type="tag")
+    with pytest.raises(ValueError, match="not in table"):
+        create_ref(source_dir, "bogus", snapshot_id=123456)
+    with pytest.raises(ValueError, match="main"):
+        remove_ref(source_dir, "main")
+
+    remove_ref(source_dir, "release-1")
+    assert "release-1" not in read_table_metadata(source_dir)["refs"]
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+
+    report = check_iceberg_conformance(spark, source_dir)
+    assert report.passed, report.issues
