@@ -800,3 +800,77 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints: rolling k-gram hashes, min per window (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tk) - 2),
+           i -> CAST(('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 8)) AS BIGINT)) AS hs
+  FROM toks WHERE len(tk) >= 4
+),
+winnowed AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range(1, len(hs) - 3),
+           w -> list_min(hs[w:w+4]))) AS wins
+  FROM grams WHERE len(hs) >= 5
+)
+SELECT doc_id,
+  CAST(len(wins) AS INTEGER) AS n_fingerprints,
+  CAST(list_min(hs) AS BIGINT) AS min_gram_hash,
+  md5(array_to_string(list_sort(wins), ',')) AS fingerprint_set_hash
+FROM winnowed
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=WINNOW_ORACLE,
+    category="text",
+    description="winnowing: rolling 4-gram hashes, min per 5-window (MOSS)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    algorithm): hash every rolling 4-token gram, keep the MINIMUM hash of
+    each 5-gram window, emit the distinct winnowed set. Guarantees any
+    shared run of >= w+k-1 tokens between two documents shares at least
+    one fingerprint — the near-dup detector that survives insertions
+    (positional hashes don't).
+
+    Everything is per-row JVM array HOFs (transform/slice/array_min) —
+    no explode, no shuffle, 32-bit md5-prefix gram hashes identical on
+    both engines. The set digest (md5 over the sorted winnowed hashes)
+    makes the cross-engine gate sensitive to every selected fingerprint.
+    Scale: map-only over the corpus; join winnowed sets by fingerprint
+    explode downstream when pairing (bounded by set size ~ n_tokens/w,
+    not n_tokens^2)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    docs = docs.filter(F.size("tk") >= 4)
+    grams = F.expr(
+        "transform(sequence(1, size(tk) - 3),"
+        " i -> cast(conv(substring(md5(array_join(slice(tk, i, 4), ' ')), 1, 8),"
+        "              16, 10) AS LONG))"
+    )
+    docs = docs.select("doc_id", grams.alias("hs")).filter(F.size("hs") >= 5)
+    wins = F.array_distinct(
+        F.expr("transform(sequence(1, size(hs) - 4), w -> array_min(slice(hs, w, 5)))")
+    )
+    docs = docs.select("doc_id", "hs", wins.alias("wins"))
+    return docs.select(
+        "doc_id",
+        F.size("wins").cast("int").alias("n_fingerprints"),
+        F.array_min("hs").cast("long").alias("min_gram_hash"),
+        F.md5(
+            F.encode(F.concat_ws(",", F.array_sort("wins")), "UTF-8")
+        ).alias("fingerprint_set_hash"),
+    )
