@@ -425,3 +425,76 @@ def fuzzy_dedup_keep_decisions(
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprint sets: rolling k-token-gram 32-bit
+    hashes, minimum per w-window, distinct — any shared token run of
+    length >= w + k - 1 between two documents is GUARANTEED to share a
+    fingerprint (robust to insertions, unlike positional hashing).
+    Narrow per-row projection (array HOFs, no shuffle); the registry's
+    text_winnow_fingerprint pins the selection against DuckDB."""
+    tk = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(tk) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(array_join(slice(tk, i, {k}), ' ')), 1, 8),"
+        "              16, 10) AS LONG))"
+    )
+    wins = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}),"
+        f" w_i -> array_min(slice(hs, w_i, {w}))))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+        .filter(F.size("tk") >= k + w - 1)
+        .select("doc_id", grams.alias("hs"))
+        .select("doc_id", wins.alias("fingerprints"))
+    )
+
+
+def winnow_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing >= min_shared
+    fingerprints. The inverted-index shape: explode fingerprint sets,
+    self-join inside fingerprint buckets, count per pair.
+
+    Scale: ONE shuffle groups postings by fingerprint; "stop
+    fingerprints" appearing in more than max_bucket documents are
+    dropped before the self-join (a common phrase would otherwise make
+    one bucket quadratic — same reason text search engines drop stop
+    words), so bucket joins stay bounded. Quadratic blowup is impossible
+    by construction: sum over buckets of |bucket|^2 <= N * max_bucket."""
+    fp = winnow_fingerprints(
+        _spread(docs), id_col=id_col, text_col=text_col, k=k, w=w
+    ).select("doc_id", F.explode("fingerprints").alias("fp"))
+    # stop-fingerprint filter: bound every bucket
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    fp = fp.join(
+        F.broadcast(counts.filter(F.col("n_docs") > max_bucket).select("fp")),
+        "fp",
+        "left_anti",
+    )
+    left = fp.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    right = fp.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    pairs = left.join(right, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -417,3 +417,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(batch) > 0  # non-vacuous at sf0.001 (3 pairs)
+
+
+def test_winnow_near_duplicates_find_planted(spark, docs_with_dups):
+    """Winnowing inverted-index pairing: exact copies share their whole
+    fingerprint set; one-token-appended near-dups still share almost all
+    (shared runs >= w+k-1 guarantee a shared fingerprint)."""
+    from incubator_xtable_spark.operators.dedup import winnow_near_duplicates
+
+    pairs = winnow_near_duplicates(docs_with_dups, min_shared=2).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in pairs}
+    for d in range(5, 8):
+        assert (d, d + 200000) in found, f"exact dup {d} missed by winnowing"
+    near_hits = sum(1 for d in range(5) if (d, d + 100000) in found)
+    assert near_hits >= 4, f"only {near_hits}/5 near-dups found"
+    # exact copies share at least as many fingerprints as any other pair
+    # involving the same doc
+    assert all(n >= 2 for n in found.values())
+
+
+def test_winnow_stop_fingerprints_bound_buckets(spark):
+    """A fingerprint shared by > max_bucket docs must be dropped: 60
+    identical docs with max_bucket=50 produce NO pairs (the bucket is a
+    stop fingerprint), while 10 identical docs pair fully."""
+    from incubator_xtable_spark.operators.dedup import winnow_near_duplicates
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    big = spark.createDataFrame(
+        [(i, text) for i in range(60)], "doc_id LONG, text STRING"
+    )
+    assert winnow_near_duplicates(big, max_bucket=50).count() == 0
+    small = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    assert winnow_near_duplicates(small, max_bucket=50).count() == 45
