@@ -257,3 +257,67 @@ def test_row_tracking_conformance_red(spark, source_dir):
     with open(fp, "w", encoding="utf-8") as fh:
         fh.write(original)
     assert not [c for c in codes() if c.startswith("DELTA_ROW_TRACKING")]
+
+
+def test_all_writer_features_compose(spark, source_dir, tmp_path):
+    """Feature interaction: ICT + row tracking + clustering + user domain
+    metadata + CDF on ONE table — protocol lists every feature, commits
+    stay commitInfo-first with monotone ICTs, row ids assign, the
+    clustering and user domains coexist with delta.rowTracking, and
+    conformance is green across two commits + a checkpoint."""
+    source = ParquetConversionSource(spark, source_dir, name="region")
+
+    def make_target():
+        t = DeltaConversionTarget(
+            spark,
+            source_dir,
+            in_commit_timestamps=True,
+            row_tracking=True,
+            clustering_columns=["r_regionkey"],
+            change_feed=True,
+            checkpoint_interval=1,
+        )
+        orig = t.begin_sync
+
+        def begin(table):
+            orig(table)
+            t.sync_domain_metadata({"engine.note": "v"})
+
+        t.begin_sync = begin
+        return t
+
+    res = ConversionController().sync(source, {TableFormat.DELTA: make_target()})
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, (
+        res[TableFormat.DELTA].error
+    )
+    _append_rows(spark, source_dir, 100)
+    res = ConversionController().sync(source, {TableFormat.DELTA: make_target()})
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS, (
+        res[TableFormat.DELTA].error
+    )
+
+    with open(os.path.join(source_dir, "_delta_log", f"{0:020d}.json")) as fh:
+        v0 = [json.loads(l) for l in fh if l.strip()]
+    proto = next(l["protocol"] for l in v0 if "protocol" in l)
+    for feat in ("inCommitTimestamp", "rowTracking", "clustering",
+                 "domainMetadata", "changeDataFeed"):
+        assert feat in proto["writerFeatures"], feat
+    # commitInfo-first with monotone ICTs on both commits
+    icts = []
+    for v in (0, 1):
+        with open(os.path.join(source_dir, "_delta_log", f"{v:020d}.json")) as fh:
+            lines = [json.loads(l) for l in fh if l.strip()]
+        assert next(iter(lines[0])) == "commitInfo"
+        icts.append(lines[0]["commitInfo"]["inCommitTimestamp"])
+    assert icts[1] > icts[0]
+
+    dom = live_domain_metadata(spark, source_dir)
+    assert dom["engine.note"] == "v"
+    assert "delta.clustering" in dom and "delta.rowTracking" in dom
+
+    df = read_delta_as_df(spark, source_dir, with_row_ids=True)
+    ids = sorted(r["_row_id"] for r in df.collect())
+    assert ids == list(range(10))
+
+    report = check_delta_conformance(spark, source_dir)
+    assert report.passed, report.issues
