@@ -42,6 +42,7 @@ import datetime
 import json
 import os
 import re
+import uuid
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -400,6 +401,14 @@ class PaimonConversionSource:
 
     def _snapshot(self, snapshot_id: int) -> dict:
         p = os.path.join(self._snapshot_dir(), f"snapshot-{snapshot_id}")
+        if not os.path.exists(p):
+            # expired from snapshot/ but possibly pinned by a tag: each
+            # tag file under tag/ is a FULL snapshot copy (spec layout),
+            # so tagged history stays readable after snapshot expiration
+            # (expiry deletes pointers, not manifests/data)
+            for snap in list_paimon_tags(self.base_path).values():
+                if snap.get("id") == snapshot_id:
+                    return snap
         with open(p) as fh:
             return json.load(fh)
 
@@ -979,11 +988,81 @@ def _prune_paimon_entries(src, entries: list[dict], sch: dict, prune: dict) -> l
     return kept
 
 
+def _tag_dir(base_path: str) -> str:
+    return os.path.join(base_path.rstrip("/"), "tag")
+
+
+def list_paimon_tags(base_path: str) -> dict[str, dict]:
+    """{tag name: snapshot dict} from the spec tag layout (`tag/tag-<name>`,
+    each file a full snapshot JSON copy)."""
+    d = _tag_dir(base_path)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, dict] = {}
+    for n in sorted(os.listdir(d)):
+        if not n.startswith("tag-"):
+            continue
+        with open(os.path.join(d, n), encoding="utf-8") as fh:
+            out[n[len("tag-") :]] = json.load(fh)
+    return out
+
+
+def create_paimon_tag(
+    base_path: str, name: str, snapshot_id: Optional[int] = None
+) -> int:
+    """Pin a snapshot as a tag (spec layout: the tag file IS a copy of
+    the snapshot JSON, so the pinned state outlives snapshot expiration —
+    expiry deletes snapshot/ pointers, never manifests or data files).
+    Defaults to the latest snapshot; refuses overwriting an existing tag
+    (tags are immutable pins). Returns the pinned snapshot id."""
+    src_dir = os.path.join(base_path.rstrip("/"), "snapshot")
+    if snapshot_id is None:
+        hint = os.path.join(src_dir, "LATEST")
+        if os.path.exists(hint):
+            with open(hint, encoding="utf-8") as fh:
+                snapshot_id = int(fh.read().strip())
+        else:
+            ids = sorted(
+                int(n[len("snapshot-") :])
+                for n in (os.listdir(src_dir) if os.path.isdir(src_dir) else [])
+                if n.startswith("snapshot-") and n[len("snapshot-") :].isdigit()
+            )
+            if not ids:
+                raise ValueError(f"no snapshots to tag in {base_path}")
+            snapshot_id = ids[-1]
+    sp = os.path.join(src_dir, f"snapshot-{snapshot_id}")
+    if not os.path.exists(sp):
+        raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
+    d = _tag_dir(base_path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"tag-{name}")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(sp, encoding="utf-8") as fh:
+        payload = fh.read()
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)") from exc
+    finally:
+        os.unlink(tmp)
+    return snapshot_id
+
+
+def remove_paimon_tag(base_path: str, name: str) -> None:
+    p = os.path.join(_tag_dir(base_path), f"tag-{name}")
+    if not os.path.exists(p):
+        raise ValueError(f"no tag {name!r} in {base_path}")
+    os.unlink(p)
+
+
 def read_paimon_as_df(
     spark: SparkSession,
     base_path: str,
     snapshot_id: Optional[int] = None,
     prune: Optional[dict] = None,
+    tag: Optional[str] = None,
 ) -> DataFrame:
     """Snapshot read (time travel via snapshot_id). Primary-key tables
     read top-level (fully compacted) files only — the same read-optimized
@@ -997,6 +1076,15 @@ def read_paimon_as_df(
     exclusion; apply the real row filter on the result; safe here even
     for PK tables because this view reads stored top-level files with
     no merge overlay, and DVs only remove rows)."""
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "read_paimon_as_df: pass either snapshot_id or tag, not both"
+            )
+        tags = list_paimon_tags(base_path)
+        if tag not in tags:
+            raise ValueError(f"no tag {tag!r} in {base_path} (tags: {sorted(tags)})")
+        snapshot_id = tags[tag]["id"]
     src = PaimonConversionSource(spark, base_path)
     sid = snapshot_id if snapshot_id is not None else src.latest_snapshot_id()
     if sid is None:

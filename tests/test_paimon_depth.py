@@ -285,3 +285,51 @@ def test_changelog_pk_without_producer_raises(spark, tmp_path):
     sid, _ = t.append(_mkrows(0, 3), level=0)
     with pytest.raises(ValueError, match="changelog"):
         read_paimon_changelog(spark, t.base, sid)
+
+
+# ---------------------------------------------------------------------------
+# Tags: pinned snapshots that survive expiration (spec tag/ layout)
+# ---------------------------------------------------------------------------
+
+
+def test_paimon_tags_pin_state_through_expiration(spark, tmp_path):
+    from incubator_xtable_spark.sources.paimon_source import (
+        create_paimon_tag,
+        list_paimon_tags,
+        remove_paimon_tag,
+    )
+    from incubator_xtable_spark.sync.retention import paimon_expire_snapshots
+
+    base = str(tmp_path / "pt_tags")
+    t = PaimonTestTable(spark, base, FIELDS).create()
+    s1, _ = t.append(_mkrows(0, 4))
+    sid = create_paimon_tag(base, "release-1")
+    assert sid == s1
+    s2, _ = t.append(_mkrows(100, 3))
+
+    # tag resolves the OLD state while head moved on
+    assert _ids(read_paimon_as_df(spark, base, tag="release-1")) == [0, 1, 2, 3]
+    assert len(_ids(read_paimon_as_df(spark, base))) == 7
+
+    # expire everything but the head: the tag file is a full snapshot
+    # copy, so the pinned state STILL reads (expiry deletes pointers,
+    # never manifests/data)
+    expired = paimon_expire_snapshots(base, keep_last=1)
+    assert s1 in expired
+    assert _ids(read_paimon_as_df(spark, base, tag="release-1")) == [0, 1, 2, 3]
+    assert list(list_paimon_tags(base)) == ["release-1"]
+
+    # immutability + refusals
+    with pytest.raises(ValueError, match="immutable"):
+        create_paimon_tag(base, "release-1")
+    with pytest.raises(ValueError, match="expired"):
+        create_paimon_tag(base, "next", snapshot_id=s1)
+    with pytest.raises(ValueError, match="not both"):
+        read_paimon_as_df(spark, base, snapshot_id=s2, tag="release-1")
+    with pytest.raises(ValueError, match="no tag"):
+        read_paimon_as_df(spark, base, tag="bogus")
+
+    remove_paimon_tag(base, "release-1")
+    assert list_paimon_tags(base) == {}
+    with pytest.raises(ValueError, match="no tag"):
+        remove_paimon_tag(base, "release-1")
