@@ -278,3 +278,61 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# native session windows: gap-based sessions via F.session_window
+# ---------------------------------------------------------------------------
+
+SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS INTEGER) AS n_events
+FROM numbered GROUP BY user_id, seq
+"""
+
+
+@register(
+    "events_session_window_agg",
+    oracle=SESSION_WINDOW_ORACLE,
+    category="events",
+    description="native session_window (30 min gap) per-user sessions",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions through Spark's NATIVE session_window operator
+    (vs events_sessionize's manual lag/cumsum construction — same
+    semantics, but this one is streaming-capable: the identical
+    expression runs under a watermark in streaming/pipeline.py and
+    pytest pins stream == batch). Boundary rule: Spark merges an event
+    only when its ts is STRICTLY before the current session end, so the
+    oracle's new-session test is gap >= 30 min (not >); session_end =
+    last event + gap (Spark's definition).
+
+    Scale: one shuffle on user_id; session merging is per-key local;
+    streaming state is bounded by the watermark (closed sessions
+    evict)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

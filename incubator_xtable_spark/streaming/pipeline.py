@@ -133,6 +133,26 @@ def stream_stream_interval_join(
     )
 
 
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-based sessions: the SAME session_window expression as
+    the batch entry events_session_window_agg under a watermark — closed
+    sessions (end < watermark) emit and their state evicts, so state is
+    bounded by active sessions, not history. pytest pins stream == batch
+    under availableNow."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, table_name: str, checkpoint: str) -> None:
     """Drain everything currently available into an in-memory sink
     (test/bootstrap harness for streaming jobs)."""

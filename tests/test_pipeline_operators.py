@@ -451,3 +451,34 @@ def test_winnow_stop_fingerprints_bound_buckets(spark):
         [(i, text) for i in range(10)], "doc_id LONG, text STRING"
     )
     assert winnow_near_duplicates(small, max_bucket=50).count() == 45
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Native session_window under a watermark == the batch registry
+    entry (availableNow drain, complete output)."""
+    from incubator_xtable_spark.plans.registry import REGISTRY, _load_all
+    from incubator_xtable_spark.streaming.pipeline import (
+        events_stream,
+        session_window_counts,
+    )
+
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    os.symlink(f"{SF_SMOKE}/events.parquet", stream_dir / "events.parquet")
+    agg = session_window_counts(events_stream(spark, str(stream_dir)))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table("ss_sessions").collect()))
+
+    _load_all()
+    batch = sorted(
+        map(tuple, REGISTRY["events_session_window_agg"].fn(spark, SF_SMOKE).collect())
+    )
+    assert streamed == batch and len(batch) > 0
