@@ -188,14 +188,27 @@ def kmeans_centroids(
     sample is ~25 MB and converges in milliseconds locally. One Spark
     job total (the limited sample collect); the corpus itself is never
     shuffled for training."""
-    rows = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(max_sample)
-        .collect()
-    )
+    rows = _deterministic_sample(vectors, vec_col, max_sample)
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     return _lloyd(x, n_centroids, rng, max_iter).tolist()
+
+
+def _deterministic_sample(vectors: DataFrame, vec_col: str, max_sample: int) -> list:
+    """Bounded training sample whose CONTENT is a pure function of the
+    data: rows ordered by xxhash64 of the vector itself (a seeded
+    pseudo-random but reproducible order), then limited. A bare
+    ``.limit(n)`` takes whatever partitions answer first, so codebooks —
+    and every downstream ANN result — would vary with partition layout
+    despite the fixed k-means seed. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k + merge, no full sort
+    shuffle), so the determinism is free at scale."""
+    return (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64("v"))
+        .limit(max_sample)
+        .collect()
+    )
 
 
 def _lloyd(x: "np.ndarray", n_centroids: int, rng, max_iter: int) -> "np.ndarray":
@@ -353,11 +366,7 @@ def pq_train(
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(max_sample)
-        .collect()
-    )
+    rows = _deterministic_sample(vectors, vec_col, max_sample)
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     return [

@@ -174,6 +174,24 @@ def read_commit_ict(path: str) -> Optional[int]:
         return None
 
 
+def _commit_stamps_with_era(base_path: str) -> list[tuple[int, int, bool]]:
+    """(version, effective-timestamp-ms, is_ict) per commit — the shared
+    kernel behind commit_timestamps and version_at_timestamp (the latter
+    needs the ICT-era boundary to search the two eras independently)."""
+    d = _log_dir(base_path)
+    out: list[tuple[int, int, bool]] = []
+    running = 0
+    for v in list_log_versions(base_path):
+        fp = os.path.join(d, f"{v:020d}.json")
+        ict = read_commit_ict(fp)
+        if ict is not None:
+            running = ict
+        else:
+            running = max(running, int(os.stat(fp).st_mtime * 1000))
+        out.append((v, running, ict is not None))
+    return out
+
+
 def commit_timestamps(base_path: str) -> list[tuple[int, int]]:
     """(version, effective-timestamp-ms) per existing commit json, sorted by
     version, per the spec's In-Commit-Timestamps read rule: a commit whose
@@ -181,18 +199,13 @@ def commit_timestamps(base_path: str) -> list[tuple[int, int]]:
     (ICT exists exactly on commits at/after the enablement version); earlier
     or ICT-less commits fall back to file modification time. A running max
     smooths non-monotonic mtimes (Delta's "adjusted timestamps" — file
-    copies and backfills can reorder mtime, never ICT)."""
-    d = _log_dir(base_path)
-    out: list[tuple[int, int]] = []
-    running = 0
-    for v in list_log_versions(base_path):
-        fp = os.path.join(d, f"{v:020d}.json")
-        ts = read_commit_ict(fp)
-        if ts is None:
-            ts = int(os.stat(fp).st_mtime * 1000)
-        running = max(running, ts)
-        out.append((v, running))
-    return out
+    copies and backfills can reorder mtime) for the PRE-ICT era only:
+    once a commit carries an ICT, that value is the sole timestamp
+    authority (the running max resets to it), so a pre-enablement
+    commit file whose mtime drifted into the future — exactly the drift
+    ICT exists to neutralize — can never inflate post-enablement
+    effective timestamps."""
+    return [(v, ts) for v, ts, _ in _commit_stamps_with_era(base_path)]
 
 
 def version_at_timestamp(base_path: str, ts_ms: int) -> int:
@@ -200,18 +213,33 @@ def version_at_timestamp(base_path: str, ts_ms: int) -> int:
     timestamp (ICT when present, else adjusted file mtime) is <= ``ts_ms``.
     Raises on a timestamp before the earliest retained commit — silently
     serving the oldest state would misrepresent history the log no longer
-    has (retention may have pruned it)."""
-    stamps = commit_timestamps(base_path)
+    has (retention may have pruned it).
+
+    The two timestamp eras are searched INDEPENDENTLY: a timestamp at or
+    after the first ICT resolves within the ICT suffix alone (ICTs are
+    strictly monotonic by writer guarantee), so a pre-enablement commit
+    whose adjusted mtime drifted past the ICTs can neither shadow the
+    ICT era nor eject it as "before the earliest commit"; an earlier
+    timestamp searches only the pre-ICT mtime prefix."""
+    stamps = _commit_stamps_with_era(base_path)
     if not stamps:
         raise ValueError(f"not a delta table (no commit files): {base_path}")
-    if ts_ms < stamps[0][1]:
+    ict_suffix = [(v, ts) for v, ts, is_ict in stamps if is_ict]
+    if ict_suffix and ts_ms >= ict_suffix[0][1]:
+        best = ict_suffix[0][0]
+        for v, ts in ict_suffix:
+            if ts <= ts_ms:
+                best = v
+        return best
+    prefix = [(v, ts) for v, ts, is_ict in stamps if not is_ict]
+    if not prefix or ts_ms < prefix[0][1]:
         raise ValueError(
             f"timestamp {ts_ms} predates the earliest retained commit "
             f"(version {stamps[0][0]} at {stamps[0][1]}); earlier history "
             "is unavailable"
         )
-    best = stamps[0][0]
-    for v, ts in stamps:
+    best = prefix[0][0]
+    for v, ts in prefix:
         if ts <= ts_ms:
             best = v
     return best
@@ -226,21 +254,57 @@ def read_last_checkpoint(base_path: str) -> Optional[dict]:
         return json.loads(fh.read())
 
 
-def _checkpoint_parquets(base_path: str, version: int) -> list[str]:
+def _checkpoint_parquets(
+    base_path: str, version: int, parts: Optional[int] = None
+) -> list[str]:
     """All parquet files that make up the checkpoint at ``version``,
     covering the three spec layouts: classic single-file
     (<v>.checkpoint.parquet), v1 multi-part
     (<v>.checkpoint.<i>.<n>.parquet), and v2 UUID-named
-    (<v>.checkpoint.<uuid>.parquet — may reference sidecars)."""
+    (<v>.checkpoint.<uuid>.parquet — may reference sidecars).
+
+    ``parts`` is `_last_checkpoint.parts` when the pointer declares it:
+    a torn earlier multi-part attempt with a DIFFERENT fragment count can
+    leave stale `<v>.checkpoint.<i>.<n'>.parquet` files at the same
+    version; a bare glob would read both sets together and duplicate
+    checkpoint actions. Fragments are therefore grouped by their declared
+    <n>, only the group matching ``parts`` (or, absent the optional
+    field, the highest COMPLETE group) is selected, and the 1..n index
+    set is verified — an incomplete selected group refuses loudly."""
     import glob as _glob
 
     d = _log_dir(base_path)
     classic = os.path.join(d, f"{version:020d}.checkpoint.parquet")
     if os.path.exists(classic):
         return [classic]
-    multipart = sorted(_glob.glob(os.path.join(d, f"{version:020d}.checkpoint.*.*.parquet")))
-    if multipart:
-        return multipart
+    multipart = _glob.glob(os.path.join(d, f"{version:020d}.checkpoint.*.*.parquet"))
+    groups: dict[int, dict[int, str]] = {}
+    for p in multipart:
+        m = re.match(r"^\d{20}\.checkpoint\.(\d+)\.(\d+)\.parquet$", os.path.basename(p))
+        if m:
+            groups.setdefault(int(m.group(2)), {})[int(m.group(1))] = p
+    if groups:
+
+        def _complete(n: int) -> bool:
+            return set(groups[n]) == set(range(1, n + 1))
+
+        if parts is not None:
+            if parts not in groups or not _complete(parts):
+                have = sorted(groups.get(parts, {}))
+                raise ValueError(
+                    f"multi-part checkpoint at version {version} is incomplete: "
+                    f"_last_checkpoint declares parts={parts} but fragments "
+                    f"{have} exist under that part count"
+                )
+            return [groups[parts][i] for i in range(1, parts + 1)]
+        complete_ns = [n for n in groups if _complete(n)]
+        if not complete_ns:
+            raise ValueError(
+                f"no complete multi-part checkpoint at version {version}: "
+                f"fragment groups {sorted((n, sorted(ix)) for n, ix in groups.items())}"
+            )
+        n = max(complete_ns)
+        return [groups[n][i] for i in range(1, n + 1)]
     v2 = sorted(_glob.glob(os.path.join(d, f"{version:020d}.checkpoint.*.parquet")))
     # several UUID candidates can exist after writer retries; any single
     # one is a complete checkpoint — take the lexicographically last
@@ -348,7 +412,7 @@ def read_log_actions(
     cp_df = None
     if use_checkpoint:
         cp_version = cp["version"]
-        cp_paths = _checkpoint_parquets(base_path, cp_version)
+        cp_paths = _checkpoint_parquets(base_path, cp_version, cp.get("parts"))
         cp_paths = cp_paths + _sidecar_paths(spark, base_path, cp_paths)
         # explicit schema: checkpoints written before newer action fields
         # (e.g. add.deletionVector) existed read back with nulls; v2

@@ -58,14 +58,18 @@ def _log_dir(base_path: str) -> str:
     return os.path.join(base_path, "_delta_log")
 
 
-def _py_checkpoint_actions(base_path: str, cp_version: int) -> Iterator[dict]:
+def _py_checkpoint_actions(
+    base_path: str, cp_version: int, cp_parts: int | None = None
+) -> Iterator[dict]:
     """Yield the checkpoint's actions as dicts (pyarrow; classic,
-    multi-part and v2 UUID+sidecar layouts)."""
+    multi-part and v2 UUID+sidecar layouts). ``cp_parts`` is the
+    pointer's optional `parts` field — it pins fragment selection so a
+    torn earlier multi-part attempt can't duplicate actions."""
     import pyarrow.parquet as pq
 
     from incubator_xtable_spark.sources.delta_source import _checkpoint_parquets
 
-    paths = list(_checkpoint_parquets(base_path, cp_version))
+    paths = list(_checkpoint_parquets(base_path, cp_version, cp_parts))
     sidecars: list[str] = []
     for p in paths:
         tbl = pq.read_table(p)
@@ -120,7 +124,7 @@ def _py_versioned_actions(
     floor = -1
     if cp is not None and (max_version is None or max_version >= cp["version"]):
         floor = cp["version"]
-        for action in _py_checkpoint_actions(base_path, cp["version"]):
+        for action in _py_checkpoint_actions(base_path, cp["version"], cp.get("parts")):
             yield floor, action
     for path, tag in _commit_slices(base_path, floor, max_version):
         with open(path, encoding="utf-8") as fh:

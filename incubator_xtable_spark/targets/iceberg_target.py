@@ -629,13 +629,17 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
     never makes it into a later file's log) — by the embedded
     (last-sequence-number, last-updated-ms, version, name) key. Ties on
     the full key are inherently unresolvable without the catalog and
-    break deterministically by name with a warning."""
+    break deterministically by name with a warning.
+
+    The hint is NOT blindly authoritative on a mixed-writer tree: once
+    the engine commits on a catalog-written table it creates a hint, but
+    a later catalog-layout commit never updates it — trusting a
+    superseded hint would silently shadow that commit and the next
+    engine commit would orphan it. So the hint short-circuits only on a
+    pure ``v{N}`` tree (HadoopTables writers always bump it); when
+    catalog-named candidates coexist, the hinted file must additionally
+    not be referenced in any other candidate's metadata-log."""
     md = metadata_dir(base_path)
-    v = current_metadata_version_hint(base_path)
-    if v is not None:
-        p = os.path.join(md, f"v{v}.metadata.json")
-        if os.path.exists(p):
-            return p
     if not os.path.isdir(md):
         return None
     names = tuple(
@@ -643,8 +647,14 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
         for name in sorted(os.listdir(md))
         if _V_META_RE.match(name) or _CATALOG_META_RE.match(name)
     )
+    hint_name = None
+    v = current_metadata_version_hint(base_path)
+    if v is not None and os.path.exists(os.path.join(md, f"v{v}.metadata.json")):
+        hint_name = f"v{v}.metadata.json"
+        if all(_V_META_RE.match(n) for n in names):
+            return os.path.join(md, hint_name)
     cached = _RESOLVE_CACHE.get(md)
-    if cached and cached[0] == names and os.path.exists(cached[1]):
+    if cached and cached[0] == (names, hint_name) and os.path.exists(cached[1]):
         return cached[1]
     candidates: list[tuple[str, dict]] = []
     for name in names:
@@ -660,6 +670,12 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
             mf = entry.get("metadata-file")
             if mf:
                 superseded.add(os.path.basename(mf))
+    if hint_name is not None and hint_name not in superseded:
+        # mixed tree, but nothing committed on top of the hinted file —
+        # the hint stays authoritative (engine-written head)
+        resolved = os.path.join(md, hint_name)
+        _RESOLVE_CACHE[md] = ((names, hint_name), resolved)
+        return resolved
     heads = [(n, m) for n, m in candidates if n not in superseded] or candidates
 
     def _key(nm: tuple[str, dict]):
@@ -683,7 +699,7 @@ def resolve_current_metadata_path(base_path: str) -> Optional[str]:
             heads[-1][0],
         )
     resolved = os.path.join(md, heads[-1][0])
-    _RESOLVE_CACHE[md] = (names, resolved)
+    _RESOLVE_CACHE[md] = ((names, hint_name), resolved)
     return resolved
 
 
@@ -697,16 +713,19 @@ def current_metadata_version_hint(base_path: str) -> Optional[int]:
 
 
 def current_metadata_version(base_path: str) -> Optional[int]:
-    """Current metadata VERSION NUMBER under either layout: the hint
-    file when present, else the resolved head file's embedded version
-    (``v{N}`` N or the catalog name's numeric prefix) — so engine
-    commits on top of a catalog-written table continue the version
-    sequence instead of restarting at v1."""
-    v = current_metadata_version_hint(base_path)
-    if v is not None:
-        return v
+    """Current metadata VERSION NUMBER under either layout: the RESOLVED
+    head file's embedded version (``v{N}`` N or the catalog name's
+    numeric prefix) — so engine commits on top of a catalog-written
+    table continue the version sequence instead of restarting at v1.
+    Derives from resolve_current_metadata_path rather than the raw hint
+    so a hint superseded by a later catalog-layout commit can't roll the
+    sequence back (the resolver still fast-paths pure ``v{N}`` trees via
+    the hint); a hint whose file vanished falls back to the hint number
+    only when nothing else resolves."""
     p = resolve_current_metadata_path(base_path)
-    return _metadata_file_version(os.path.basename(p)) if p else None
+    if p is not None:
+        return _metadata_file_version(os.path.basename(p))
+    return current_metadata_version_hint(base_path)
 
 
 def read_table_metadata(base_path: str, version: Optional[int] = None) -> Optional[dict]:

@@ -900,3 +900,59 @@ def test_torn_gzip_candidate_skipped(spark, source_dir):
 
     report = check_iceberg_conformance(spark, source_dir)
     assert report.passed, [f"{i.code}: {i.detail}" for i in report.issues]
+
+
+def test_superseded_version_hint_yields_to_catalog_commit(spark, source_dir):
+    """ADVICE r10 mixed-writer interop: once the engine commits on a
+    catalog-written table it creates a version-hint, but a LATER
+    catalog-layout commit never updates that hint. Trusting a superseded
+    hint would silently shadow the catalog commit (and the next engine
+    commit would orphan it) — the hint short-circuits only while the
+    hinted file is not referenced in any newer candidate's metadata-log."""
+    import uuid as _uuid
+
+    from incubator_xtable_spark.targets.iceberg_target import (
+        resolve_current_metadata_path,
+    )
+
+    source = ParquetConversionSource(spark, source_dir, name="region")
+    target = IcebergConversionTarget(spark, source_dir, table_name="region")
+    ConversionController().sync(source, {TableFormat.ICEBERG: target})
+    md = os.path.join(source_dir, "metadata")
+    v = current_metadata_version(source_dir)
+    hinted = os.path.join(md, f"v{v}.metadata.json")
+    assert resolve_current_metadata_path(source_dir) == hinted
+    with open(hinted, encoding="utf-8") as fh:
+        head_meta = json.load(fh)
+
+    # an ORPHANED catalog candidate (references nothing, stale clock)
+    # must NOT displace a live hint on a mixed tree
+    orphan = dict(head_meta)
+    orphan["metadata-log"] = []
+    orphan["last-updated-ms"] = int(head_meta.get("last-updated-ms") or 0) - 1
+    with open(
+        os.path.join(md, f"{v:05d}-{_uuid.uuid4()}.metadata.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(orphan, fh)
+    assert resolve_current_metadata_path(source_dir) == hinted
+
+    # a catalog writer commits ON TOP of the hinted head: higher
+    # timestamp, metadata-log referencing the hinted file, hint untouched
+    cat = dict(head_meta)
+    cat["properties"] = dict(head_meta.get("properties") or {}, **{"catalog.writer": "true"})
+    cat["last-updated-ms"] = int(head_meta.get("last-updated-ms") or 0) + 60_000
+    cat["metadata-log"] = (head_meta.get("metadata-log") or []) + [
+        {
+            "timestamp-ms": int(head_meta.get("last-updated-ms") or 0),
+            "metadata-file": hinted,
+        }
+    ]
+    cat_name = f"{v + 1:05d}-{_uuid.uuid4()}.metadata.json"
+    with open(os.path.join(md, cat_name), "w", encoding="utf-8") as fh:
+        json.dump(cat, fh)
+
+    resolved = resolve_current_metadata_path(source_dir)
+    assert os.path.basename(resolved) == cat_name, resolved
+    assert read_table_metadata(source_dir)["properties"]["catalog.writer"] == "true"
+    # the next engine commit continues from the catalog head's version
+    assert current_metadata_version(source_dir) == v + 1

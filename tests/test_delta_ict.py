@@ -227,3 +227,37 @@ def test_ict_conformance_red(spark, source_dir):
     restore(0, orig)
 
     assert not [c for c in codes() if c.startswith("DELTA_ICT")]
+
+
+def test_pre_ict_future_mtime_cannot_inflate_post_ict_timestamps(spark, source_dir):
+    """ADVICE r10: after ICT enablement the ICT is the SOLE timestamp
+    authority — a pre-enablement commit file whose mtime drifted into
+    the future (copy/backfill, exactly the drift ICT neutralizes) must
+    not inflate post-enablement effective timestamps through the
+    running-max mtime adjustment."""
+    _sync(spark, source_dir)  # v0: no ICT (mtime era)
+    _append_rows(spark, source_dir, 100)
+    _sync(spark, source_dir, in_commit_timestamps=True)  # v1: ICT era begins
+
+    stamps = dict(commit_timestamps(source_dir))
+    log = os.path.join(source_dir, "_delta_log")
+    ict_v1 = stamps[1]
+
+    # sabotage: v0's mtime jumps ~30 years into the future
+    far_future = 2_000_000_000  # seconds -> year 2033
+    os.utime(os.path.join(log, f"{0:020d}.json"), (far_future, far_future))
+
+    after = dict(commit_timestamps(source_dir))
+    # v0 (pre-ICT era) legitimately reflects its adjusted mtime...
+    assert after[0] == far_future * 1000
+    # ...but v1's effective timestamp stays its ICT, NOT the running max
+    assert after[1] == ict_v1
+    # and timestamp time travel keeps resolving v1 by its ICT (the eras
+    # search independently: the drifted pre-ICT prefix can neither
+    # shadow the ICT suffix nor eject it as "before the earliest commit")
+    assert version_at_timestamp(source_dir, ict_v1) == 1
+    assert version_at_timestamp(source_dir, ict_v1 + 10_000) == 1
+    # below the ICT era only the (drifted) mtime prefix remains: nothing
+    # there claims a timestamp this old, so the reader refuses
+    with pytest.raises(ValueError, match="predates the earliest"):
+        version_at_timestamp(source_dir, ict_v1 - 1)

@@ -508,3 +508,41 @@ def test_multipart_checkpoint_conformance_green_then_red(spark, tmp_path, monkey
     json.dump(meta, open(lc, "w"))
     codes = {i.code for i in check_delta_conformance(spark, base).issues}
     assert "DELTA_CHECKPOINT_SIZE" in codes
+
+
+def test_multipart_torn_fragments_from_earlier_attempt_are_ignored(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: leftover fragments from a torn earlier multi-part
+    attempt with a DIFFERENT declared part count at the same version
+    must not be read together with the complete set (duplicated
+    checkpoint actions). `_last_checkpoint.parts` pins the selection;
+    absent it, only a COMPLETE 1..n group qualifies."""
+    from incubator_xtable_spark.sources.delta_source import _checkpoint_parquets
+
+    base = _make_multipart_table(spark, tmp_path, monkeypatch, commits=3, interval=2)
+    log = os.path.join(base, "_delta_log")
+    cp = read_last_checkpoint(base)
+    n = cp["parts"]
+    expected = _rows(spark, base)
+
+    # torn attempt: one stray fragment declaring n+3 parts (indexes 1..1)
+    frag1 = glob.glob(os.path.join(log, f"{cp['version']:020d}.checkpoint.*.{n:010d}.parquet"))[0]
+    stray = os.path.join(
+        log, f"{cp['version']:020d}.checkpoint.{1:010d}.{n + 3:010d}.parquet"
+    )
+    shutil.copyfile(frag1, stray)
+
+    # parts-pinned selection excludes the stray file
+    sel = _checkpoint_parquets(base, cp["version"], cp.get("parts"))
+    assert len(sel) == n and stray not in sel
+    # pointer-driven read path unchanged by the torn attempt
+    assert _rows(spark, base) == expected
+
+    # without the optional parts field, the highest COMPLETE group wins
+    sel2 = _checkpoint_parquets(base, cp["version"], None)
+    assert sel2 == sel
+
+    # a pointer declaring the torn group's count refuses loudly
+    with pytest.raises(ValueError, match="incomplete"):
+        _checkpoint_parquets(base, cp["version"], n + 3)

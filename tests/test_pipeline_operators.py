@@ -482,3 +482,27 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         map(tuple, REGISTRY["events_session_window_agg"].fn(spark, SF_SMOKE).collect())
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_training_samples_are_partition_layout_invariant(spark):
+    """ADVICE r10: pq_train/kmeans_centroids drew their bounded training
+    sample with a bare .limit(), so codebooks (and downstream ANN
+    results/recall) depended on partition layout despite the fixed seed.
+    The sample is now content-deterministic (ordered by xxhash64 of the
+    vector before the limit): identical codebooks regardless of how the
+    corpus is partitioned, even when the corpus exceeds max_sample."""
+    from incubator_xtable_spark.operators.ann import kmeans_centroids, pq_train
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    cap = max(8, n // 3)  # strictly smaller than the corpus: limit MUST choose
+    assert cap < n
+    layouts = [emb.repartition(1), emb.repartition(13), emb.coalesce(2)]
+    books = [
+        pq_train(df, dim=64, m=4, n_codes=8, max_sample=cap) for df in layouts
+    ]
+    assert books[0] == books[1] == books[2]
+    cents = [
+        kmeans_centroids(df, n_centroids=8, max_sample=cap) for df in layouts
+    ]
+    assert cents[0] == cents[1] == cents[2]
