@@ -427,6 +427,118 @@ def fuzzy_dedup_keep_decisions(
     )
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """UNLABELED embedding near-duplicate pairs — the SemDeDup-shaped
+    operator a real 100 TB pipeline runs (real corpora carry no label
+    column to block on). Returns (vec_a, vec_b, cos_sim) with
+    vec_a < vec_b and exact cosine >= threshold.
+
+    Blocking: n_bands independent random-hyperplane LSH tables
+    (operators/ann.lsh_bucket — the ann_lsh_topk banding shape applied
+    to a SELF-join). Candidates meet only inside (band, bucket) groups;
+    with multiprobe, each vector additionally posts its n_planes
+    1-bit-flip neighbor buckets on ONE side of the join (covering band
+    keys at Hamming distance <= 1 in either direction, since every
+    vector appears on both sides before the canonical least/greatest
+    pairing). Exact cosine verifies every surviving pair — LSH decides
+    only WHO gets compared, never the similarity value.
+
+    Recall (random-hyperplane theory, collision prob per plane
+    1 - theta/pi): at cos >= 0.9 a Hamming<=1 band match happens with
+    p ~ 0.67 per 8-plane band, so 8 bands miss a true pair with prob
+    ~ (1-p)^8 < 1e-3; the pytest gate plants near-identical vectors and
+    requires >= 0.9 recall vs the exact all-pairs baseline.
+
+    Scale (100 TB posture): NO all-pairs and NO label crutch — the
+    candidate stream is (bucket, id) only (narrow rows), bucket
+    population is bounded by 2^n_planes per band times the data's
+    direction distribution, and sum over buckets of |bucket|^2 stays
+    subquadratic for any corpus that isn't a single direction. Shuffles:
+    one bucket self-join + one pair distinct + one vector re-attach;
+    vectors (dim-sized arrays) never ride the explode — they re-attach
+    by id AFTER the dedupe, the ann_lsh_topk lesson. Versus the
+    label-blocked dedup_embedding_cosine registry entry (an ORACLE
+    BASELINE, O(N^2/L) within labels): this is the recipe that survives
+    a 100x scale-up."""
+    from incubator_xtable_spark.operators.ann import dot, lsh_bucket_bands
+
+    vectors = _spread(vectors)
+
+    # band keys materialize ONCE per vector as a single array expression
+    # (materialize-before-fanout: inlined, each of the n_planes
+    # 1-bit-flip probe variants would recompute its band's hyperplane
+    # dots; and one 3-D literal keeps the Catalyst tree ~3 nodes instead
+    # of n_bands*n_planes literal subtrees — both measured)
+    keyed = vectors.select(
+        F.col(id_col).alias("kid"),
+        lsh_bucket_bands(F.col(vec_col), dim, n_planes, n_bands, seed).alias("bkeys"),
+    ).select(
+        "kid", *[F.col("bkeys").getItem(b).alias(f"b{b}") for b in range(n_bands)]
+    )
+    # narrow candidate stream: (band-prefixed bucket, id); exact buckets
+    # on the left, exact + 1-bit-flip probes on the right
+    exact = keyed.select(
+        F.col("kid").alias("lid"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"b{b}").cast("string"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    probe_cols = []
+    for b in range(n_bands):
+        key = F.col(f"b{b}")
+        probe_cols.append(F.concat(F.lit(f"{b}:"), key.cast("string")))
+        if multiprobe:
+            probe_cols.extend(
+                F.concat(F.lit(f"{b}:"), key.bitwiseXOR(F.lit(2**i)).cast("string"))
+                for i in range(n_planes)
+            )
+    probed = keyed.select(
+        F.col("kid").alias("rid"), F.explode(F.array(*probe_cols)).alias("bucket")
+    )
+    pairs = (
+        exact.join(probed, "bucket")
+        .filter(F.col("lid") != F.col("rid"))
+        # canonical orientation BEFORE distinct: a collision seen only as
+        # (exact of y, probe of x) must still yield the (min, max) pair
+        .select(
+            F.least("lid", "rid").alias("vec_a"),
+            F.greatest("lid", "rid").alias("vec_b"),
+        )
+        .distinct()
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     *,

@@ -193,3 +193,53 @@ def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(emb, queries, dim=EMB_DIM, k=5, m=8, n_codes=16).orderBy(
         "q_id", "rank"
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    category="dedup",
+    description="UNLABELED embedding near-dup pairs via multiband LSH "
+    "blocking + exact-cosine verify (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe embedding near-dup recipe (no label column — real
+    corpora have none): candidates meet only inside seeded-hyperplane
+    LSH buckets (8 planes x 8 bands + 1-bit multiprobe), exact cosine
+    verifies every pair. Planted-near-dup recall >= 0.9 vs the exact
+    all-pairs baseline is pinned by tests/test_pipeline_operators.py;
+    the label-blocked dedup_embedding_cosine entry remains only as the
+    oracle BASELINE (O(N^2/L) within labels — not the scale recipe)."""
+    from incubator_xtable_spark.operators.dedup import embedding_near_duplicates
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    # 0.4 sits inside the testdata's natural similarity range (gaussian
+    # embeddings top out ~0.48 at sf0.001) so the entry emits rows; the
+    # planted-dup recall gate runs at the production threshold 0.9
+    return embedding_near_duplicates(emb, dim=EMB_DIM, threshold=0.4).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    category="vector",
+    description="IVF-PQ (IVFADC): probed cells + residual ADC + exact "
+    "rerank (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def ann_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-vector composition: coarse IVF cells bound the probe
+    set, PQ codes of the RESIDUAL (x - centroid) score inside probed
+    cells in the compressed domain, exact cosine reranks the shortlist.
+    Recall-vs-probe-budget gates (>= IVF alone at an equal exact-score
+    budget) are pinned by tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.ann import ann_ivfpq_topk
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_ivfpq_topk(
+        emb, queries, dim=EMB_DIM, k=5, n_centroids=16, n_probe=4, m=8, n_codes=16
+    ).orderBy("q_id", "rank")

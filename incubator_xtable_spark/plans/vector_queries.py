@@ -195,9 +195,18 @@ WHERE list_dot_product(a.dv, b.dv)
     "dedup_embedding_cosine",
     oracle=COSDUP_ORACLE,
     category="dedup",
-    description="embedding-cosine near-dup pairs with label blocking",
+    description="embedding-cosine near-dup pairs with label blocking "
+    "(ORACLE BASELINE — not the scale recipe)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE BASELINE ONLY — label-blocked all-pairs cosine, kept
+    because it is exactly SQL-expressible (the DuckDB hash-match pins
+    the engine's cosine math bit-for-bit). It is NOT the scale recipe:
+    with bounded label cardinality L the pair count is O(N^2/L) — at
+    100x the data this entry is quadratic. The production path is
+    operators/dedup.embedding_near_duplicates (registry entry
+    dedup_embedding_lsh): LSH-bucket blocking with the SAME exact-cosine
+    verification, bounded buckets, recall-gated in pytest."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     v = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
