@@ -308,11 +308,103 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _two_phase_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Two-Phase connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", Algorithm 3): alternate
+
+    - LARGE-STAR: per node u with m = min(neighbors(u) + {u}), re-point
+      every strictly LARGER neighbor v > u at m;
+    - SMALL-STAR: direct every edge large->small, then per node u with
+      m = min(smaller-neighbors + {u}), point every smaller neighbor AND
+      u itself at m;
+
+    until the edge set is stable — provably a star forest whose centers
+    are the component MINIMA, reached in O(log n) rounds on ANY graph
+    (hash-min label propagation needs diameter rounds — a 10k-node path
+    converges here in ~14 alternations vs 10k). Both operations preserve
+    connectivity, so correctness never depends on the round count.
+
+    Scale: each phase is one groupBy-min + one join over the CURRENT
+    edge set (which only shrinks toward n-1 star edges); convergence is
+    a (count, xxhash64-sum) checksum — one scalar row per round, no
+    edge-set comparison join. Lineage is cut per round with
+    localCheckpoint, same as the hash-min path."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    # nodes from the RAW edge set: a self-loop-only node still labels
+    # itself (hash-min parity)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        # decimal(38,0) sum: int64 hash sums overflow under ANSI mode
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_rounds):
+        # LARGE-STAR over the bidirected view
+        bi = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        e = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR over the large->small directed view
+        d = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("du"),
+            F.least(F.col("u"), F.col("v")).alias("dv"),
+        )
+        mins2 = d.groupBy("du").agg(F.min("dv").alias("m"))
+        to_m = d.join(mins2, "du").select(F.col("dv").alias("u"), F.col("m").alias("v"))
+        self_m = mins2.select(F.col("du").alias("u"), F.col("m").alias("v"))
+        e = (
+            to_m.unionByName(self_m)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if cur == prev:  # fixed point: star forest centered at minima
+            labels = nodes.join(e, nodes["node"] == e["u"], "left").select(
+                "node", F.coalesce(F.col("v"), F.col("node")).alias("cluster_id")
+            )
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"two-phase connected components did not converge in {max_rounds} "
+        "rounds — at O(log n) convergence this indicates a bug or a graph "
+        f"of > 2^{max_rounds} nodes"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Cluster assignment over an undirected edge set: -> one row per
     node appearing in ``edges`` with ``(node, cluster_id)`` where
@@ -334,15 +426,25 @@ def connected_components(
     ONE-ROW aggregate scalar per round (the loop-control value a driver
     must see), never row data. Rounds needed = graph
     DIAMETER: near-dup graphs are stars and short chains, so a handful
-    in practice; ``max_iterations`` bounds adversarial chains and the
-    operator raises rather than returning a half-converged clustering
-    (the published large-star/small-star algorithm [Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"] is the O(log n)
-    upgrade path if diameter ever becomes the bottleneck). Lineage is
+    in practice; ``max_iterations`` bounds adversarial chains. Lineage is
     cut every round with localCheckpoint — iterative joins otherwise
     stack plans until the optimizer chokes; on a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
+
+    ``algorithm`` selects the strategy:
+    - "auto" (default): hash-min first (cheapest per round, unchanged
+      fast path for the small diameters near-dup graphs have); if the
+      diameter exceeds ``max_iterations``, AUTO-SWITCHES to the O(log n)
+      two-phase large-star/small-star algorithm (_two_phase_components,
+      Kiveris et al.) instead of raising — a 10k-node path graph
+      converges in ~14 alternations;
+    - "hashmin": the bound raises (callers that want the refusal);
+    - "twophase": straight to large-star/small-star.
     """
+    if algorithm not in ("auto", "hashmin", "twophase"):
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
+    if algorithm == "twophase":
+        return _two_phase_components(edges, src=src, dst=dst)
     und = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev")).unionByName(
         edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev"))
     )
@@ -376,10 +478,20 @@ def connected_components(
         if new_probe == probe:  # labels only decrease: equal sum = fixpoint
             return labels.select("node", F.col("comp").alias("cluster_id"))
         probe = new_probe
+    if algorithm == "auto":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: hash-min did not converge in %d rounds "
+            "(graph diameter exceeds the bound); switching to the O(log n) "
+            "two-phase large-star/small-star algorithm",
+            max_iterations,
+        )
+        return _two_phase_components(edges, src=src, dst=dst)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "
-        "(graph diameter exceeds the bound; raise max_iterations or use a "
-        "star-contraction variant)"
+        "(graph diameter exceeds the bound; raise max_iterations or use "
+        'algorithm="twophase"/"auto" for the O(log n) star-contraction path)'
     )
 
 

@@ -7,6 +7,15 @@ Reference parity: xtable-service ConversionResource.java:32-43 +
 ConversionService.java:72-160 (request: source format/path/name + target
 formats; response: per-target ConvertedTable{targetFormat, targetSchema
 (DDL), targetMetadataPath}).
+
+Contract conformance: the reference ships a formal OpenAPI contract
+(`spec/rest-service-open-api.yaml`); request/response field names here
+match its ConvertTableRequest / ConvertTableResponse / TargetTable
+schemas exactly (spec-hyphenated keys, response key ``conversions``),
+asserted by tests/test_rest_contract.py against the YAML itself. Fields
+beyond the contract (sync-status, sync-mode, error) are engine
+extensions — OpenAPI objects without additionalProperties:false admit
+them, and the conformance test pins the allowed extension set.
 """
 
 from __future__ import annotations
@@ -42,8 +51,8 @@ class ConversionService:
             {"source-format": "PARQUET", "source-table-name": "t",
              "source-table-path": "/data/t", "target-formats": ["DELTA", ...]}
         Response shape (ConvertTableResponse):
-            {"convertedTables": [{"target-format": ..., "target-schema": DDL,
-                                  "target-metadata-path": ...}, ...]}
+            {"conversions": [{"target-format": ..., "target-schema": DDL,
+                              "target-metadata-path": ...}, ...]}
         """
         src_fmt = request["source-format"]
         dataset = {
@@ -71,4 +80,4 @@ class ConversionService:
             if res.error is not None:
                 entry["error"] = res.error.error_message
             converted.append(entry)
-        return {"convertedTables": sorted(converted, key=lambda e: e["target-format"])}
+        return {"conversions": sorted(converted, key=lambda e: e["target-format"])}

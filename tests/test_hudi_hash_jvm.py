@@ -205,3 +205,111 @@ def test_partition_stats_and_bloom_key_shapes_match_jvm(jvm_hashes):
     assert bloom_filter_index_key(part, fname) == (
         jvm_hashes[part][0] + jvm_hashes[fname][1]
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-string recipe probe against REAL hudi-common (VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+# The gap the suite above leaves open: WHICH string feeds which ID —
+# ColumnIndexID(column) vs PartitionIndexID(getPartitionIdentifier(part))
+# vs FileIndexID(fileName), and the col_stats / partition_stats /
+# bloom_filters key assembly — is restated from public Hudi sources. The
+# probe below pins it against the real classes whenever a hudi-common
+# jar exists in any local artifact cache.
+#
+# NEGATIVE PROBE RESULT (round 11, 2026-08): a filesystem-wide search
+# (`find / -name 'hudi-*.jar'`, plus the coursier/.m2/.ivy2 glob set
+# below) finds NO hudi-common anywhere on this machine — the coursier
+# cache carries only Hudi's hashing DEPENDENCY (zero-allocation-hashing,
+# pinned above). The reference demo's real-Hudi artifact
+# (demo/data/db/hudi_dimCustomer/.hoodie/metadata) ships only the
+# READABLE-KEY `files` partition (already pinned by
+# test_hudi_files_index.py and the bloom META block tests) — no
+# hashed-key col_stats partition exists in it. This test therefore
+# SKIPS today and becomes a live gate the moment a jar appears.
+
+_HUDI_COMMON_GLOBS = [
+    "/root/.cache/coursier/**/org/apache/hudi/hudi-common/*/hudi-common-*.jar",
+    "/root/.m2/**/hudi-common-*.jar",
+    "/root/.ivy2/**/hudi-common-*.jar",
+    "/opt/**/hudi-common-*.jar",
+    "/usr/local/**/hudi-common-*.jar",
+]
+
+
+def _find_hudi_common_jar() -> str | None:
+    for pattern in _HUDI_COMMON_GLOBS:
+        hits = sorted(glob.glob(pattern, recursive=True))
+        if hits:
+            return hits[-1]
+    return None
+
+
+def test_key_source_string_recipes_vs_real_hudi(tmp_path):
+    jar = _find_hudi_common_jar()
+    if jar is None:
+        pytest.skip(
+            "negative probe: no hudi-common jar in any local artifact cache "
+            "(coursier/.m2/.ivy2/opt/usr-local); ID-to-source-string "
+            "recipes remain restated from public Hudi sources — see the "
+            "probe docstring for what the reference demo artifact does and "
+            "does not cover"
+        )
+    src = tmp_path / "KeyProbe.java"
+    # reflection keeps the probe compilable against any hudi-common
+    # version (method homes moved across releases); it prints one
+    # tab-separated line per case: colID, partID, fileID, colStatsKey
+    src.write_text(
+        """
+import java.lang.reflect.Method;
+
+public class KeyProbe {
+  static String call(String cls, String method, String arg) throws Exception {
+    Class<?> c = Class.forName(cls);
+    Object o = c.getConstructor(String.class).newInstance(arg);
+    return (String) c.getMethod("asBase64EncodedString").invoke(o);
+  }
+  public static void main(String[] args) throws Exception {
+    String col = args[0], part = args[1], file = args[2];
+    Class<?> util = Class.forName(
+        "org.apache.hudi.metadata.HoodieTableMetadataUtil");
+    Method pid = util.getMethod("getPartitionIdentifier", String.class);
+    String partIdent = (String) pid.invoke(null, part);
+    String colId = call("org.apache.hudi.common.util.hash.ColumnIndexID", "ColumnIndexID", col);
+    String partId = call("org.apache.hudi.common.util.hash.PartitionIndexID", "PartitionIndexID", partIdent);
+    String fileId = call("org.apache.hudi.common.util.hash.FileIndexID", "FileIndexID", file);
+    String key = "";
+    try {
+      Class<?> payload = Class.forName("org.apache.hudi.metadata.HoodieMetadataPayload");
+      Method m = payload.getMethod(
+          "getColumnStatsIndexKey", String.class, String.class, String.class);
+      key = (String) m.invoke(null, part, file, col);
+    } catch (Throwable t) {
+      key = "UNAVAILABLE:" + t.getClass().getSimpleName();
+    }
+    System.out.println(colId + "\\t" + partId + "\\t" + fileId + "\\t" + key);
+  }
+}
+"""
+    )
+    subprocess.run(
+        ["javac", str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    col, part, fname = (
+        "n_nationkey",
+        "year=2024/month=07/day=15",
+        "c8e0f3a5-0f12-4d7b-9f9e-000000000001-0_1-2-3_20240101010101000.parquet",
+    )
+    out = subprocess.run(
+        ["java", "-cp", f"{jar}{os.pathsep}{_JAR}{os.pathsep}{tmp_path}",
+         "KeyProbe", col, part, fname],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout.strip().split("\t")
+    jvm_col_id, jvm_part_id, jvm_file_id, jvm_key = out
+    assert column_index_id(col) == jvm_col_id
+    assert partition_index_id(partition_identifier(part)) == jvm_part_id
+    assert file_index_id(fname) == jvm_file_id
+    if not jvm_key.startswith("UNAVAILABLE:"):
+        assert col_stats_index_key(part, fname, col) == jvm_key

@@ -119,7 +119,7 @@ def test_conversion_service_contract(spark, tmp_path):
             "target-formats": ["DELTA", "HUDI", "ICEBERG", "PAIMON"],
         }
     )
-    tables = resp["convertedTables"]
+    tables = resp["conversions"]
     assert [e["target-format"] for e in tables] == ["DELTA", "HUDI", "ICEBERG", "PAIMON"]
     for e in tables:
         assert e["sync-status"] == "SUCCESS", e
@@ -134,7 +134,7 @@ def test_conversion_service_contract(spark, tmp_path):
             "target-formats": ["DELTA"],
         }
     )
-    assert resp2["convertedTables"][0]["sync-mode"] == SyncMode.INCREMENTAL.value
+    assert resp2["conversions"][0]["sync-mode"] == SyncMode.INCREMENTAL.value
 
 
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
