@@ -334,7 +334,11 @@ def _two_phase_components(
     a (count, xxhash64-sum) checksum — one scalar row per round, no
     edge-set comparison join. Lineage is cut per round with
     localCheckpoint, same as the hash-min path."""
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # raw edges materialize ONCE (the upstream pair-generation plan would
+    # otherwise recompute for the node inventory and both union branches)
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
@@ -399,12 +403,49 @@ def _two_phase_components(
     )
 
 
+def _driver_union_find(e0: DataFrame) -> DataFrame:
+    """Union-find over a BOUNDED, already-materialized edge list (the
+    small-graph fast path of connected_components — see its docstring
+    for the gating). Representative = component minimum, matching the
+    distributed paths exactly. Path-halving keeps it near-linear."""
+    rows = e0.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo  # min id stays the representative
+    out = [(n, find(n)) for n in parent]
+    spark = e0.sparkSession
+    node_type = e0.schema.fields[0].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
     algorithm: str = "auto",
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Cluster assignment over an undirected edge set: -> one row per
     node appearing in ``edges`` with ``(node, cluster_id)`` where
@@ -432,29 +473,58 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
 
     ``algorithm`` selects the strategy:
-    - "auto" (default): hash-min first (cheapest per round, unchanged
-      fast path for the small diameters near-dup graphs have); if the
-      diameter exceeds ``max_iterations``, AUTO-SWITCHES to the O(log n)
-      two-phase large-star/small-star algorithm (_two_phase_components,
-      Kiveris et al.) instead of raising — a 10k-node path graph
-      converges in ~14 alternations;
-    - "hashmin": the bound raises (callers that want the refusal);
+    - "auto" (default): if the materialized edge set is at most
+      ``small_graph_threshold`` rows, a driver-side union-find finishes
+      in milliseconds — banded dedup blocking emits a pair set orders of
+      magnitude smaller than the corpus, and paying one Spark job per
+      graph-diameter round for a few hundred edges is pure overhead
+      (measured: 562 edges x ~0.5 s/round dominated the bench entry).
+      The collect is BOUNDED by the threshold (~100k edges = a few MB)
+      and gated by an exact count of the already-checkpointed edges.
+      Larger edge sets run distributed hash-min (cheapest per round);
+      if the diameter then exceeds ``max_iterations``, AUTO-SWITCHES to
+      the O(log n) two-phase large-star/small-star algorithm
+      (_two_phase_components, Kiveris et al.) instead of raising — a
+      10k-node path graph converges in ~14 alternations;
+    - "hashmin": distributed loop only; the bound raises (callers that
+      want the refusal);
     - "twophase": straight to large-star/small-star.
     """
     if algorithm not in ("auto", "hashmin", "twophase"):
         raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
     if algorithm == "twophase":
         return _two_phase_components(edges, src=src, dst=dst)
-    und = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev")).unionByName(
-        edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev"))
+    # materialize the RAW edge list first: the bidirectional union embeds
+    # the (often expensive) upstream pair-generation plan twice, so
+    # checkpointing only `und` computed that upstream twice in one job
+    # (measured: the banded-Jaccard upstream dominated the whole entry)
+    e0 = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev")).localCheckpoint(
+        eager=True
     )
+    if algorithm == "auto" and small_graph_threshold and e0.count() <= small_graph_threshold:
+        return _driver_union_find(e0)
+    und = e0.unionByName(e0.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
     und = und.repartition("eu").localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("eu").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-    ).localCheckpoint(eager=True)
-    probe = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+
+    def _probe_and_checkpoint(df: DataFrame) -> tuple[DataFrame, int]:
+        """Materialize the round's labels AND read the convergence scalar
+        in ONE job: a LAZY localCheckpoint materializes on the first
+        action, and the one-row sum agg is that action — vs the r10
+        shape (eager checkpoint job + separate agg job) this halves the
+        per-round job count (bench: the loop cost is fixed overhead, not
+        data)."""
+        df = df.localCheckpoint(eager=False)
+        s = df.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        return df, s
+
+    # seed labels at min(self, direct neighbors) — exactly the result of
+    # what used to be round 1, computed in the same single shuffle the
+    # old node-distinct init cost; saves one full loop round
+    labels, probe = _probe_and_checkpoint(
+        und.groupBy(F.col("eu").alias("node"))
+        .agg(F.min("ev").alias("nbr_min"))
+        .select("node", F.least(F.col("node"), F.col("nbr_min")).alias("comp"))
+    )
     for _ in range(max_iterations):
         nbr = (
             und.join(labels, und["ev"] == labels["node"], "inner")
@@ -462,17 +532,14 @@ def connected_components(
             .groupBy("nd")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["nd"], "left")
-            .select(
+        new_labels, new_probe = _probe_and_checkpoint(
+            labels.join(nbr, labels["node"] == nbr["nd"], "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias(
                     "comp"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
-        new_probe = new_labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
         if new_probe == probe:  # labels only decrease: equal sum = fixpoint

@@ -264,9 +264,21 @@ def test_connected_components_chain_star_and_islands(spark):
 
 def test_connected_components_long_chain_converges(spark):
     # a 24-node path needs ~diameter rounds; must converge, not truncate
+    # (threshold=0 forces the DISTRIBUTED loop past the small-graph path)
     pairs = [(i, i + 1) for i in range(24)]
-    got = _cc(spark, pairs)
+    got = _cc(spark, pairs, small_graph_threshold=0)
     assert set(got.values()) == {0} and len(got) == 25
+
+
+def test_connected_components_small_graph_fast_path_matches_loop(spark):
+    """The bounded driver union-find (auto default for small edge sets)
+    must agree exactly with the distributed hash-min loop, including
+    self-loop-only nodes and min-id representatives."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21), (5, 5), (7, 6)]
+    fast = _cc(spark, pairs)  # default threshold takes the union-find path
+    loop = _cc(spark, pairs, small_graph_threshold=0)
+    assert fast == loop
+    assert fast[7] == 6 and fast[5] == 5
 
 
 def test_connected_components_raises_past_iteration_bound(spark):
@@ -278,11 +290,12 @@ def test_connected_components_raises_past_iteration_bound(spark):
 
 
 def test_connected_components_auto_switches_past_bound(spark):
-    """algorithm='auto' (the default) must no longer refuse a
-    past-the-bound diameter — it switches to two-phase and still
-    produces the exact component minima."""
+    """algorithm='auto' must no longer refuse a past-the-bound diameter —
+    it switches to two-phase and still produces the exact component
+    minima (threshold=0 forces the distributed loop so the switch is
+    actually exercised)."""
     pairs = [(i, i + 1) for i in range(12)]
-    got = _cc(spark, pairs, max_iterations=2)
+    got = _cc(spark, pairs, max_iterations=2, small_graph_threshold=0)
     assert set(got.values()) == {0} and len(got) == 13
 
 
