@@ -260,8 +260,6 @@ def simhash_near_duplicates(
     corpus), bucket population stays bounded as the corpus grows. Shuffles:
     one for the band self-join, one for the pair distinct.
     """
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
     sigs = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         # 64-bit token hashes (xxhash64) feed a 64-bit signature
@@ -273,6 +271,44 @@ def simhash_near_duplicates(
     ).select(
         "doc_id",
         simhash_from_hashes(F.col("th"), bits).alias("sh"),
+        *[F.col(c) for c in block_cols],
+    )
+    return hamming_banded_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        bits=bits,
+        n_bands=n_bands,
+        block_cols=block_cols,
+    )
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "sh",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int = 4,
+    block_cols: tuple[str, ...] = (),
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The Hamming-space banding kernel behind simhash_near_duplicates
+    AND the multimodal dHash pairing: split each ``bits``-wide signature
+    into n_bands contiguous slices, self-join on (band, value
+    [, block_cols]), verify candidates with the exact popcount distance.
+    Pigeonhole guarantees recall for max_hamming <= n_bands - 1.
+
+    ``max_bucket`` (optional) drops band-value buckets holding more
+    members — the stop-fingerprint bound from winnow_near_duplicates:
+    a corpus of near-uniform signatures (e.g. synthetic gradients that
+    all hash alike) would otherwise make one bucket quadratic; with the
+    bound, sum over buckets of |bucket|^2 <= N * max_bucket."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("sh"),
         *[F.col(c) for c in block_cols],
     )
     band_vals = F.array(
@@ -287,6 +323,14 @@ def simhash_near_duplicates(
         "doc_id", "sh", *block_cols, F.posexplode(band_vals).alias("band", "bval")
     )
     keys = ["band", "bval", *block_cols]
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select(*keys)
+        )
+        bands = bands.join(F.broadcast(hot), keys, "left_anti")
     a = bands.select(*keys, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = bands.select(*keys, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = (

@@ -469,3 +469,193 @@ def encode_mp4(
     moov = _box("moov".encode(), _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# Pixel/sample-level decode + perceptual fingerprints (r11)
+# ---------------------------------------------------------------------------
+# PNG is FULLY decodable with the stdlib (zlib inflate + per-row unfilter,
+# PNG spec §9 "Filtering"); WAV sample frames are raw PCM via the stdlib
+# wave reader. These feed the dHash perceptual near-dup tier — the one
+# multimodal family member that needs pixels, not just headers.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec §9.4 Paeth predictor
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(data: bytes) -> list[list[int]]:
+    """Full grayscale pixel decode of an 8-bit non-interlaced PNG:
+    concatenated IDAT inflate, per-row unfilter (types 0-4), then
+    channel fold to luma (integer mean of color channels; alpha
+    dropped). Color types 0/2/4/6 supported; palette (3), sub-byte
+    depths and Adam7 interlace refuse loudly — the corpus-quarantine
+    posture, not a silent wrong answer."""
+    info = decode_png(data)  # signature + IHDR + CRC validation
+    width, height = info["width"], info["height"]
+    bit_depth = info["bit_depth"]
+    color_type = struct.unpack(">IIBB", data[16:26])[3]
+    interlace = data[28]
+    if bit_depth != 8:
+        raise MediaDecodeError(f"PNG pixel decode supports bit depth 8, got {bit_depth}")
+    if color_type == 3:
+        raise MediaDecodeError("PNG pixel decode does not support palette images")
+    if interlace != 0:
+        raise MediaDecodeError("PNG pixel decode does not support Adam7 interlace")
+    nch = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            idat.extend(body)
+        if ctype == b"IEND":
+            break
+        pos += 12 + length
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaDecodeError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise MediaDecodeError(
+            f"PNG pixel payload is {len(raw)} bytes, expected {height * (stride + 1)}"
+        )
+    rows: list[list[int]] = []
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise MediaDecodeError(f"PNG row {y}: unknown filter type {ftype}")
+        prev = bytes(line)
+        if nch == 1:
+            rows.append(list(line))
+        else:
+            n_color = 3 if nch >= 3 else 1  # drop alpha from the fold
+            rows.append(
+                [
+                    sum(line[x * nch : x * nch + n_color]) // n_color
+                    for x in range(width)
+                ]
+            )
+    return rows
+
+
+def encode_png_from_pixels(rows: list[list[int]]) -> bytes:
+    """Grayscale 8-bit PNG from explicit pixel rows (filter type None) —
+    the planted-perturbation fixture encoder for the dHash tests."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for r in rows:
+        if len(r) != width:
+            raise ValueError("ragged pixel rows")
+        raw.append(0)
+        raw.extend(v & 0xFF for v in r)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def wav_samples(data: bytes) -> list[int]:
+    """Channel-0 PCM samples via the stdlib wave reader (16-bit PCM)."""
+    try:
+        with _wave.open(io.BytesIO(data), "rb") as wf:
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            if width != 2:
+                raise MediaDecodeError(f"WAV sample decode supports 16-bit PCM, got {width * 8}")
+            frames = wf.readframes(wf.getnframes())
+    except _wave.Error as exc:
+        raise MediaDecodeError(f"WAV sample decode failed: {exc}") from exc
+    step = 2 * nch
+    return [
+        struct.unpack_from("<h", frames, i)[0] for i in range(0, len(frames) - step + 1, step)
+    ]
+
+
+def _grid_means(rows: list[list[int]], gw: int, gh: int) -> list[list[int]]:
+    """Box-mean downsample to a gw x gh grid (integer means) — the resize
+    step of dHash, robust to small pixel perturbations."""
+    height, width = len(rows), len(rows[0])
+    out = []
+    for gy in range(gh):
+        y0, y1 = gy * height // gh, max((gy + 1) * height // gh, gy * height // gh + 1)
+        line = []
+        for gx in range(gw):
+            x0, x1 = gx * width // gw, max((gx + 1) * width // gw, gx * width // gw + 1)
+            total = 0
+            n = 0
+            for y in range(y0, min(y1, height)):
+                r = rows[y]
+                for x in range(x0, min(x1, width)):
+                    total += r[x]
+                    n += 1
+            line.append(total // n if n else 0)
+        out.append(line)
+    return out
+
+
+def dhash64_image(rows: list[list[int]]) -> int:
+    """64-bit difference hash (dHash): box-mean resize to 9x8, bit (y,x)
+    set iff grid[y][x] < grid[y][x+1] — gradient DIRECTIONS survive
+    brightness shifts and small noise, which is exactly the perceptual
+    invariance a near-identical-image detector needs."""
+    g = _grid_means(rows, 9, 8)
+    h = 0
+    bit = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y][x] < g[y][x + 1]:
+                h |= 1 << bit
+            bit += 1
+    return h
+
+
+def dhash64_audio(samples: list[int]) -> int:
+    """The 1-D dHash analog for audio: mean |amplitude| over 65 equal
+    time buckets, bit i set iff bucket[i] < bucket[i+1] — an energy-
+    envelope fingerprint robust to gain changes of identical content."""
+    if not samples:
+        return 0
+    n = len(samples)
+    means = []
+    for b in range(65):
+        i0, i1 = b * n // 65, max((b + 1) * n // 65, b * n // 65 + 1)
+        seg = samples[i0:min(i1, n)] or [0]
+        means.append(sum(abs(s) for s in seg) // len(seg))
+    h = 0
+    for i in range(64):
+        if means[i] < means[i + 1]:
+            h |= 1 << i
+    return h

@@ -256,3 +256,119 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("media_meta"),
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Perceptual 64-bit difference-hash per media blob — the fingerprint
+    step of multimodal near-dup detection. PNG blobs (including the
+    zlib-wrapped tier) decode to PIXELS with the pure-stdlib inflate +
+    unfilter path (media_codecs.decode_png_pixels) and hash via the
+    classic 9x8 box-mean dHash; WAV blobs hash their energy envelope
+    (dhash64_audio). Containers whose pixel/sample decode needs external
+    codec libraries (JPEG entropy decode, GIF LZW frames, MP4 tracks)
+    yield dhash=NULL with the reason in ``error`` — the quarantine
+    posture (strict=True raises naming the media_id instead).
+
+    Scale: one Arrow-batched mapInPandas pass, bounded work per blob
+    (these fixtures are small; real corpora gate pixel decode by blob
+    size upstream), output is narrow (id + one int64) so the downstream
+    Hamming banding shuffles fingerprints, never pixels."""
+    pkg_root = _PKG_ROOT
+
+    def _dhash(batches: Iterator["object"]) -> Iterator["object"]:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import zlib as _zlib
+
+        import pandas as pd
+
+        from incubator_xtable_spark.operators.media_codecs import (
+            MediaDecodeError,
+            decode_png_pixels,
+            dhash64_audio,
+            dhash64_image,
+            sniff_media,
+            wav_samples,
+        )
+
+        def _signed64(h: int) -> int:
+            return h - (1 << 64) if h >= 1 << 63 else h
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                if content is None:
+                    rows.append((mid, None, None, "null content"))
+                    continue
+                blob = bytes(content)
+                try:
+                    info = sniff_media(blob)
+                    mime = info["mime"]
+                    if info["container"].startswith("zlib+"):
+                        blob = _zlib.decompress(blob)
+                    if mime == "image/png":
+                        h = dhash64_image(decode_png_pixels(blob))
+                    elif mime == "audio/wav":
+                        h = dhash64_audio(wav_samples(blob))
+                    else:
+                        rows.append(
+                            (mid, mime, None,
+                             f"pixel/sample decode unsupported for {mime}")
+                        )
+                        continue
+                    rows.append((mid, mime, _signed64(h), None))
+                except MediaDecodeError as exc:
+                    if strict:
+                        raise MediaDecodeError(f"media_id={mid}: {exc}") from exc
+                    rows.append((mid, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "dhash", "error"])
+
+    narrow = df.select("media_id", "content")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    return narrow.mapInPandas(_dhash, DHASH_SCHEMA)
+
+
+def media_near_duplicates(
+    df: DataFrame,
+    *,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Multimodal near-dup pairs: dHash fingerprints -> Hamming-banded
+    self-join BLOCKED BY MIME (an image never pairs with a WAV even on a
+    fingerprint collision) -> exact popcount verify. Returns
+    (doc_a, doc_b, mime, hamming). Reuses the SimHash banding kernel
+    (operators/dedup.hamming_banded_pairs) with its stop-bucket bound —
+    synthetic/near-uniform corpora can't go quadratic inside a bucket."""
+    from incubator_xtable_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = media_dhash(df).filter(F.col("dhash").isNotNull())
+    pairs = hamming_banded_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="dhash",
+        max_hamming=max_hamming,
+        bits=64,
+        n_bands=n_bands,
+        block_cols=("mime",),
+        max_bucket=max_bucket,
+    )
+    # re-attach the block mime (narrow join on the pair's left id)
+    mimes = sigs.select(F.col("media_id").alias("doc_a"), "mime")
+    return pairs.join(mimes, "doc_a").select("doc_a", "doc_b", "mime", "hamming")

@@ -243,3 +243,30 @@ def ann_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk(
         emb, queries, dim=EMB_DIM, k=5, n_centroids=16, n_probe=4, m=8, n_codes=16
     ).orderBy("q_id", "rank")
+
+
+@register(
+    "multimodal_near_dup",
+    category="multimodal",
+    description="perceptual dHash near-dup pairs over decoded media "
+    "pixels/samples (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal member of the near-dup family: synthesized REAL
+    container bytes (PNG/GIF/WAV/JPEG from the documents table) ->
+    pixel/sample decode for the stdlib-decodable formats (PNG inflate +
+    unfilter, WAV PCM) -> 64-bit dHash -> mime-blocked Hamming banding
+    with the stop-bucket bound -> exact popcount verify. JPEG/GIF/MP4
+    pixel decode needs external codecs and yields no fingerprint
+    (quarantined, not wrong). Planted near-identical-image recall is
+    pinned by tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.multimodal import (
+        media_near_duplicates,
+        synthesize_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return media_near_duplicates(
+        synthesize_media(docs), max_hamming=2, max_bucket=64
+    ).orderBy("doc_a", "doc_b")

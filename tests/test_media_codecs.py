@@ -205,3 +205,121 @@ def test_synthesized_media_decodes_to_formula(spark):
         else:
             assert r["mime"] == "image/jpeg"
             assert (r["width"], r["height"]) == (10 + i % 50, 10 + i % 40)
+
+
+# ---------------------------------------------------------------------------
+# pixel decode + dHash (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_png_pixel_roundtrip_and_filters():
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_png_pixels,
+        encode_png,
+        encode_png_from_pixels,
+    )
+
+    img = encode_png(20, 16, seed=7)
+    rows = decode_png_pixels(img)
+    assert len(rows) == 16 and len(rows[0]) == 20
+    for y, x in ((0, 0), (3, 5), (15, 19)):
+        assert rows[y][x] == (x * 31 + y * 7 + 7) & 0xFF
+    # arbitrary-pixel roundtrip (filter None)
+    import random
+
+    rnd = random.Random(1)
+    pix = [[rnd.randrange(256) for _ in range(9)] for _ in range(7)]
+    assert decode_png_pixels(encode_png_from_pixels(pix)) == pix
+
+
+def test_png_pixel_decode_all_filter_types():
+    """A PNG whose rows use every filter type (0-4) must unfilter back to
+    the exact source pixels — pin against a hand-built file."""
+    import struct
+    import zlib
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    width, height = 6, 5
+    pix = [[(x * 37 + y * 11) & 0xFF for x in range(width)] for y in range(height)]
+    raw = bytearray()
+    prev = [0] * width
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ftype)
+        line = pix[y]
+        for x in range(width):
+            left = line[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ftype == 0:
+                enc = line[x]
+            elif ftype == 1:
+                enc = line[x] - left
+            elif ftype == 2:
+                enc = line[x] - up
+            elif ftype == 3:
+                enc = line[x] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                enc = line[x] - pred
+            raw.append(enc & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(blob) == pix
+
+
+def test_png_pixel_decode_refusals():
+    import pytest
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        MediaDecodeError,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    img = bytearray(encode_png(8, 8, seed=0))
+    img[28] = 1  # interlace flag inside IHDR -> CRC now wrong too
+    with pytest.raises(MediaDecodeError):
+        decode_png_pixels(bytes(img))
+    with pytest.raises(MediaDecodeError, match="not a PNG"):
+        decode_png_pixels(b"\x00" * 40)
+
+
+def test_dhash_invariances():
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_png_pixels,
+        dhash64_audio,
+        dhash64_image,
+        encode_png,
+        encode_wav,
+        wav_samples,
+    )
+
+    rows = decode_png_pixels(encode_png(24, 18, seed=9))
+    h = dhash64_image(rows)
+    # brightness shift: gradient directions (and the hash) are invariant
+    # under a uniform +40 with no wraparound (halve first so it can't wrap
+    # — the invariance claim is about monotone shifts, not mod-256 math)
+    base = [[v >> 1 for v in r] for r in rows]
+    shifted = [[v + 40 for v in r] for r in base]
+    assert dhash64_image(base) == dhash64_image(shifted)
+    # small perturbation: a few pixels +3 leaves the hash within 2 bits
+    pert = [r[:] for r in rows]
+    for i in range(5):
+        pert[i][i] = (pert[i][i] + 3) & 0xFF
+    assert bin(h ^ dhash64_image(pert)).count("1") <= 2
+    # audio: gain scaling preserves the envelope hash
+    s = wav_samples(encode_wav(1600))
+    assert dhash64_audio(s) == dhash64_audio([v * 2 for v in s])

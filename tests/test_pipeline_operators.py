@@ -689,3 +689,64 @@ def test_lsh_bucket_bands_matches_per_band_lsh_bucket(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_media_near_duplicates_planted_images(spark):
+    """Multimodal near-dup: planted near-identical PNGs (a few pixels
+    perturbed) and a re-encoded WAV must pair with small Hamming; an
+    unrelated random image must NOT pair with them. Mime blocking keeps
+    images and audio in separate buckets by construction."""
+    import random
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        encode_png_from_pixels,
+        encode_wav,
+    )
+    from incubator_xtable_spark.operators.multimodal import media_near_duplicates
+
+    rnd = random.Random(7)
+    blobs = []
+    planted = set()
+    # 10 random base images + a perturbed twin for the first 4
+    bases = []
+    for i in range(10):
+        pix = [[rnd.randrange(256) for _ in range(24)] for _ in range(18)]
+        bases.append(pix)
+        blobs.append((i, encode_png_from_pixels(pix)))
+    for i in range(4):
+        twin = [r[:] for r in bases[i]]
+        for k in range(6):
+            twin[k][k] = (twin[k][k] + 2) & 0xFF
+        blobs.append((100 + i, encode_png_from_pixels(twin)))
+        planted.add((i, 100 + i))
+    # identical audio content at two ids (same synthesizer params)
+    blobs.append((200, encode_wav(1234)))
+    blobs.append((201, encode_wav(1234)))
+    planted.add((200, 201))
+    df = spark.createDataFrame(blobs, "media_id LONG, content BINARY")
+
+    pairs = media_near_duplicates(df, max_hamming=2).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted multimodal near-dup recall {recall:.2f}: {got}"
+    # no cross-mime pairs and no random-random pairs at this distance
+    for r in pairs:
+        assert r["hamming"] <= 2
+        assert (r["doc_a"], r["doc_b"]) in planted or r["hamming"] <= 2
+    cross = {(a, b) for a, b in got if a < 10 and b < 10}
+    assert not cross, f"unrelated random images paired: {cross}"
+
+
+def test_media_dhash_quarantine_and_strict(spark):
+    from incubator_xtable_spark.operators.media_codecs import encode_jpeg
+    from incubator_xtable_spark.operators.multimodal import media_dhash
+
+    df = spark.createDataFrame(
+        [(1, encode_jpeg(10, 10)), (2, b"\x00\x01garbage")],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in media_dhash(df).collect()}
+    assert rows[1]["dhash"] is None and "unsupported" in rows[1]["error"]
+    assert rows[2]["dhash"] is None and rows[2]["error"]
+    with pytest.raises(Exception, match="media_id="):
+        media_dhash(df, strict=True).collect()
