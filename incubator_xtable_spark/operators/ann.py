@@ -782,3 +782,39 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
     )
+
+
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append the IVF coarse-cell id to every vector (one JVM argmin over
+    a single 2-D centroid literal — a pure projection, no shuffle).
+
+    This is the STORAGE hook for the billion-vector layout: write the
+    corpus ``partitionBy("cell")`` and a query's n_probe cell filter
+    becomes PARTITION PRUNING — the scan never opens the other
+    n_centroids - n_probe cells' files (tests/test_pipeline_operators.py
+    pins inputFiles + the plan's PartitionFilters). ann_ivf_topk /
+    ann_ivfpq_topk compute the same assignment inline; this helper
+    exists so ingest can persist it."""
+    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
+    cells = F.transform(
+        lit_cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.array_min(cells).getField("i").alias("cell")
+    )

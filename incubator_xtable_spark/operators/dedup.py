@@ -833,3 +833,43 @@ def winnow_near_duplicates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def embedding_dedup_keep_decisions(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """SemDeDup-shaped END-TO-END embedding dedup: LSH-blocked exact-
+    cosine near-dup pairs (embedding_near_duplicates) -> transitive
+    clusters (connected_components) -> per-vector KEEP decision
+    (keeper = min id per cluster). One row per vector belonging to any
+    near-dup cluster: (vec_id, cluster_id, keep); corpus filter is
+    ``vectors.join(out.filter(~out.keep), id_col, "left_anti")``.
+    Scale: inherits the banded-bucket bounds; the component stage sees
+    only the PAIR set (tiny vs the corpus) and takes the bounded
+    union-find fast path when small."""
+    pairs = embedding_near_duplicates(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+        multiprobe=multiprobe,
+    ).select("vec_a", "vec_b")
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return comp.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )

@@ -372,3 +372,31 @@ def media_near_duplicates(
     # re-attach the block mime (narrow join on the pair's left id)
     mimes = sigs.select(F.col("media_id").alias("doc_a"), "mime")
     return pairs.join(mimes, "doc_a").select("doc_a", "doc_b", "mime", "hamming")
+
+
+def media_dedup_keep_decisions(
+    df: DataFrame,
+    *,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """END-TO-END multimodal dedup: dHash near-dup pairs
+    (media_near_duplicates, mime-blocked) -> transitive clusters
+    (connected_components) -> per-blob KEEP decision (keeper = min
+    media_id per cluster). One row per blob in any near-dup cluster:
+    (media_id, cluster_id, keep) — the same decision contract as the
+    text (fuzzy_dedup_keep_decisions) and embedding
+    (embedding_dedup_keep_decisions) families, so a curation pipeline
+    composes all three with one anti-join shape."""
+    from incubator_xtable_spark.operators.dedup import connected_components
+
+    pairs = media_near_duplicates(
+        df, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("media_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )

@@ -270,3 +270,23 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_near_duplicates(
         synthesize_media(docs), max_hamming=2, max_bucket=64
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_embedding_pipeline",
+    category="dedup",
+    description="embedding LSH pairs -> components -> keep/drop (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def dedup_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped end-to-end embedding dedup decisions (see
+    operators/dedup.embedding_dedup_keep_decisions). Rows-only; the
+    planted-transitive-chain quality gate lives in
+    tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.dedup import embedding_dedup_keep_decisions
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_dedup_keep_decisions(emb, dim=EMB_DIM, threshold=0.4).orderBy(
+        "vec_id"
+    )

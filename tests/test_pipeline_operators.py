@@ -750,3 +750,82 @@ def test_media_dhash_quarantine_and_strict(spark):
     assert rows[2]["dhash"] is None and rows[2]["error"]
     with pytest.raises(Exception, match="media_id="):
         media_dhash(df, strict=True).collect()
+
+
+def test_embedding_dedup_pipeline_transitive_and_keeper(spark):
+    """Planted transitive embedding near-dups: A~B and B~C above the
+    cosine threshold (A~C possibly below) must land in ONE cluster with
+    exactly the min id kept — the same decision contract as the text
+    pipeline."""
+    import numpy as np
+
+    from incubator_xtable_spark.operators.dedup import embedding_dedup_keep_decisions
+
+    rng = np.random.default_rng(23)
+    a = rng.standard_normal(64)
+    step = rng.standard_normal(64) * 0.18
+    rows = [
+        (1, [float(x) for x in a]),
+        (2, [float(x) for x in a + step]),
+        (3, [float(x) for x in a + 2 * step]),
+    ]
+    for i in range(20):  # unrelated background vectors
+        rows.append((100 + i, [float(x) for x in rng.standard_normal(64)]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in embedding_dedup_keep_decisions(emb, dim=64, threshold=0.9).collect()}
+    assert set(out) >= {1, 2, 3}
+    assert {out[i][0] for i in (1, 2, 3)} == {1}
+    assert out[1][1] is True and out[2][1] is False and out[3][1] is False
+    # background vectors with no near-dup never appear
+    assert all(k in (1, 2, 3) for k in out), out
+
+
+def test_media_dedup_keep_decisions(spark):
+    from incubator_xtable_spark.operators.media_codecs import encode_png_from_pixels
+    from incubator_xtable_spark.operators.multimodal import media_dedup_keep_decisions
+    import random
+
+    rnd = random.Random(9)
+    base = [[rnd.randrange(256) for _ in range(20)] for _ in range(16)]
+    twin = [r[:] for r in base]
+    twin[0][0] = (twin[0][0] + 2) & 0xFF
+    other = [[rnd.randrange(256) for _ in range(20)] for _ in range(16)]
+    df = spark.createDataFrame(
+        [(5, encode_png_from_pixels(base)), (9, encode_png_from_pixels(twin)),
+         (30, encode_png_from_pixels(other))],
+        "media_id LONG, content BINARY",
+    )
+    out = {r["media_id"]: (r["cluster_id"], r["keep"])
+           for r in media_dedup_keep_decisions(df).collect()}
+    assert out == {5: (5, True), 9: (5, False)}
+
+
+def test_ivf_cell_partitioned_corpus_prunes_scan(spark, tmp_path):
+    """The 100 TB IVF layout: persist the corpus partitionBy(cell) and a
+    query's probe-set filter becomes PARTITION PRUNING — the scan reads
+    only the probed cells' files (inputFiles pinned) and the plan
+    carries the cell predicate as a partition filter, not a row filter
+    after a full scan."""
+    from incubator_xtable_spark.operators.ann import ivf_assign_cells, kmeans_centroids
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=8)
+    out = str(tmp_path / "ivf_corpus")
+    ivf_assign_cells(emb, cents).write.partitionBy("cell").parquet(out)
+
+    probed = [0, 3]
+    scan = spark.read.parquet(out).filter(F.col("cell").isin(probed))
+    # EXECUTION-time file set (inputFiles() is plan-level and ignores
+    # partition filters): only probed cells' directories may be opened
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert files, "probed cells must exist in this corpus"
+    import re
+
+    touched = {int(re.search(r"cell=(\d+)", f).group(1)) for f in files}
+    assert touched <= set(probed), f"scan opened unprobed cells: {touched}"
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # row parity: pruned read == full read filtered
+    full = spark.read.parquet(out)
+    assert scan.count() == full.filter(F.col("cell").isin(probed)).count()
