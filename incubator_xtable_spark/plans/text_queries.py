@@ -874,3 +874,57 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.concat_ws(",", F.array_sort("wins")), "UTF-8")
         ).alias("fingerprint_set_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token rarity vs the corpus unigram distribution (r11)
+# ---------------------------------------------------------------------------
+
+RARITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS f FROM tok GROUP BY token
+)
+SELECT t.doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       CAST(sum(f.f) AS DOUBLE) / count(*) AS mean_token_freq,
+       CAST(sum(CASE WHEN f.f <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS rare_ratio
+FROM tok t JOIN freq f USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "text_token_rarity",
+    oracle=RARITY_ORACLE,
+    category="text",
+    description="per-doc token rarity vs the corpus unigram distribution",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-based quality signal real curation pipelines run
+    (the deterministic stand-in for LM-perplexity filters, which need a
+    model and a cross-libm log): per document, the mean CORPUS frequency
+    of its tokens and the fraction of token instances that are corpus-
+    rare (freq <= 2) — boilerplate-heavy docs score high mean_token_freq,
+    gibberish scores high rare_ratio. All math is exact-integer sums +
+    one int/int double division (cross-engine deterministic; no log/pow).
+
+    Scale: one token-count agg (map-side partial), one token-keyed join
+    (heavy-hitter tokens skew it — AQE skew-join splits apply; at
+    extreme scale prune the freq side to the top-K vocabulary and
+    broadcast, treating the tail as freq=1), one per-doc agg."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    joined = tok.join(freq, "token")
+    n = F.count(F.lit(1))
+    return joined.groupBy("doc_id").agg(
+        n.cast("int").alias("n_tokens"),
+        (F.sum("f").cast("double") / n).alias("mean_token_freq"),
+        (
+            F.sum(F.when(F.col("f") <= 2, F.lit(1)).otherwise(F.lit(0))).cast("double") / n
+        ).alias("rare_ratio"),
+    )
