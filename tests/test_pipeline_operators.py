@@ -829,3 +829,56 @@ def test_ivf_cell_partitioned_corpus_prunes_scan(spark, tmp_path):
     # row parity: pruned read == full read filtered
     full = spark.read.parquet(out)
     assert scan.count() == full.filter(F.col("cell").isin(probed)).count()
+
+
+def test_corpus_curation_composition_end_to_end(spark):
+    """The full curation story composes: quality gate -> EXACT dedup ->
+    fuzzy (MinHash->Jaccard->components) keep/drop -> embedding near-dup
+    keep/drop — each stage a monotone corpus filter, the whole chain
+    deterministic across runs. This is the composition a 100 TB
+    training-data pipeline runs; every stage's own quality gates live in
+    their operator tests, this pins that they CHAIN (schemas line up,
+    anti-join shapes compose, nothing recomputes nondeterministically)."""
+    from incubator_xtable_spark.operators.dedup import (
+        embedding_dedup_keep_decisions,
+        fuzzy_dedup_keep_decisions,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    emb = load(spark, SF_SMOKE, "embeddings")
+    n0 = docs.count()
+
+    def run_chain():
+        # 1. quality gate (the text_quality_score heuristics inline):
+        #    drop ultra-short docs and whitespace-degenerate docs
+        toks = F.split(F.col("text"), " ")
+        q = docs.filter((F.size(toks) >= 5) & (F.col("n_chars") >= 20))
+        # 2. exact dedup: keep min doc_id per exact text
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("text").orderBy("doc_id")
+        exact = q.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        # 3. fuzzy dedup keep/drop
+        fuzzy_drops = fuzzy_dedup_keep_decisions(exact, threshold=0.5).filter(
+            ~F.col("keep")
+        )
+        after_fuzzy = exact.join(fuzzy_drops.select("doc_id"), "doc_id", "left_anti")
+        # 4. embedding near-dup keep/drop over the surviving docs' vectors
+        surv_emb = emb.join(
+            after_fuzzy.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        emb_drops = embedding_dedup_keep_decisions(
+            surv_emb, dim=64, threshold=0.4
+        ).filter(~F.col("keep"))
+        final = after_fuzzy.join(
+            emb_drops.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        return q.count(), exact.count(), after_fuzzy.count(), sorted(
+            r["doc_id"] for r in final.select("doc_id").collect()
+        )
+
+    n_q, n_exact, n_fuzzy, final_ids = run_chain()
+    # monotone shrinkage, nothing degenerate
+    assert n0 >= n_q >= n_exact >= n_fuzzy >= len(final_ids) > 0
+    # deterministic: the same chain yields the same corpus
+    assert run_chain()[3] == final_ids

@@ -105,3 +105,71 @@ def test_skewed_join_under_aqe_matches_oracle(spark, duck, tmp_path):
     hot = spark.read.parquet(skew_dir).filter(F.col("o_custkey") == 1).count()
     total = spark.read.parquet(skew_dir).count()
     assert hot >= total * 0.45
+
+
+def test_salted_join_matches_plain_and_spreads_hot_key(spark, tmp_path):
+    """Explicit salting (functions/skew.salted_join) for the case AQE
+    can't split — a hot key concentrated in few mappers: (a) result
+    equals the plain join exactly (inner + left, incl. unmatched left
+    rows); (b) the hot key's rows physically land in > 1 shuffle
+    partition of the salted plan while the plain plan puts them in one."""
+    from incubator_xtable_spark.functions.skew import salted_join
+
+    d = _skewed_orders(spark, str(tmp_path / "salt_orders"))
+    orders = spark.read.parquet(d)
+    cust = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = orders.join(cust, "o_custkey").select("o_orderkey", "o_custkey", "c_name")
+        salted = salted_join(orders, cust, "o_custkey").select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+        # left join keeps unmatched big-side rows exactly once
+        half = cust.filter(F.col("o_custkey") % 2 == 0)
+        plain_l = orders.join(half, "o_custkey", "left").select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        salted_l = salted_join(orders, half, "o_custkey", how="left").select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        assert sorted(
+            map(tuple, plain_l.collect())
+        ) == sorted(map(tuple, salted_l.collect()))
+
+        # spread: the hot key's rows carry many distinct salt values, so
+        # the (key, salt) exchange distributes them across that many
+        # reduce partitions — versus exactly 1 partition for the plain
+        # key exchange. (Partition ids of the tiny filtered JOIN output
+        # are not probeable directly: AQE re-coalesces them.)
+        salt_expr = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in orders.columns])), F.lit(8)
+        )
+        n_salts_hot = (
+            orders.filter(F.col("o_custkey") == 1)
+            .select(salt_expr.alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_salts_hot > 1, "hot key did not spread across salt values"
+        n_plain_parts = (
+            orders.repartition("o_custkey")
+            .filter(F.col("o_custkey") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert n_plain_parts == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(orders, cust, "o_custkey", how="full")
