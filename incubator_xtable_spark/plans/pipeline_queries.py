@@ -290,3 +290,45 @@ def dedup_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_keep_decisions(emb, dim=EMB_DIM, threshold=0.4).orderBy(
         "vec_id"
     )
+
+
+@register(
+    "layout_zorder_pruning",
+    category="layout",
+    description="Z-order clustered write -> measured min/max file-pruning "
+    "effect per layout (rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical layout operator behind multi-dimension data skipping:
+    rewrite orders once range-clustered by o_custkey (the 1-D best case)
+    and once Z-ordered by (o_custkey, o_orderdate)
+    (functions/zorder.zorder_write), then measure what a min/max footer
+    pruner can drop per layout for a one-month date predicate. The
+    linear layout prunes ~0 on the dimension it isn't sorted by; the
+    Z layout prunes on both (quality gates in
+    tests/test_data_skipping.py). Returns one row per layout:
+    (layout, n_files, date_prune_fraction). Rows-only: file boundaries
+    come from repartitionByRange's sampling, so fractions are
+    layout-stable but not bit-pinned."""
+    import datetime
+    import tempfile
+
+    from incubator_xtable_spark.functions.zorder import (
+        file_pruning_fraction,
+        zorder_write,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="xt_zorder_")
+    lin, zed = f"{work}/linear", f"{work}/zordered"
+    orders.repartitionByRange(16, "o_custkey").write.mode("overwrite").parquet(lin)
+    zorder_write(orders, ["o_custkey", "o_orderdate"], zed, n_files=16)
+    box_d = (datetime.datetime(1995, 3, 1), datetime.datetime(1995, 3, 31))
+    rows = [
+        ("linear_custkey", 16, file_pruning_fraction(spark.read.parquet(lin), {"o_orderdate": box_d})),
+        ("zorder_custkey_orderdate", 16, file_pruning_fraction(spark.read.parquet(zed), {"o_orderdate": box_d})),
+    ]
+    return spark.createDataFrame(
+        rows, "layout STRING, n_files INT, date_prune_fraction DOUBLE"
+    ).orderBy("layout")
