@@ -140,6 +140,20 @@ _ACTION_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # SetTransaction (PROTOCOL.md "Transaction Identifiers"): streaming
+        # writers record (appId, version) per commit for idempotent
+        # replays; checkpoints must carry the latest txn per appId or a
+        # reader bootstrapping past log retention loses the watermark
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                    T.StructField("lastUpdated", T.LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -498,17 +512,23 @@ def write_checkpoint(
         null_struct("protocol").alias("protocol"),
         null_struct("commitInfo").alias("commitInfo"),
         null_struct("domainMetadata").alias("domainMetadata"),
+        null_struct("txn").alias("txn"),
     )
     head_rows = []
     if meta is not None:
-        head_rows.append((None, None, meta, None, None, None))
+        head_rows.append((None, None, meta, None, None, None, None))
     if proto_rows:
-        head_rows.append((None, None, None, proto_rows[0]["protocol"], None, None))
+        head_rows.append((None, None, None, proto_rows[0]["protocol"], None, None, None))
     # spec "Domain Metadata": a checkpoint must carry the latest action per
     # domain, INCLUDING removed=true tombstones (concurrent writers need
     # them to detect conflicts); domains are few — a bounded collect
     for dm in latest_domain_metadata_rows(spark, base_path, version):
-        head_rows.append((None, None, None, None, None, dm))
+        head_rows.append((None, None, None, None, None, dm, None))
+    # spec "Transaction Identifiers": the latest txn per appId must survive
+    # checkpointing or streaming idempotence breaks once retention prunes
+    # the JSON commits behind the checkpoint; appIds are few — bounded
+    for tx in latest_txn_rows(spark, base_path, version):
+        head_rows.append((None, None, None, None, None, None, tx))
     log_dir = _log_dir(base_path)
     n_parts = None
     if layout == "v2":
@@ -630,12 +650,14 @@ def _write_v2_checkpoint(
             ),
         ]
     )
-    top_rows: list[tuple] = [(None, None, None, None, None, None, (version, None), None)]
-    for _, _, m, p, _, dm in head_rows:
-        top_rows.append((None, None, m, p, None, dm, None, None))
+    top_rows: list[tuple] = [
+        (None, None, None, None, None, None, None, (version, None), None)
+    ]
+    for _, _, m, p, _, dm, tx in head_rows:
+        top_rows.append((None, None, m, p, None, dm, tx, None, None))
     for name, size, mtime in sidecars:
         top_rows.append(
-            (None, None, None, None, None, None, None, (name, size, mtime, None))
+            (None, None, None, None, None, None, None, None, (name, size, mtime, None))
         )
     top = spark.createDataFrame(top_rows, top_schema)
     tmp_dir = os.path.join(log_dir, f".cp-tmp-{_uuid.uuid4().hex}")
@@ -664,6 +686,27 @@ def latest_domain_metadata_rows(
         for r in dm.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("domainMetadata")
+        .collect()
+    ]
+
+
+def latest_txn_rows(
+    spark: SparkSession, base_path: str, version: Optional[int] = None
+) -> list:
+    """Latest SetTransaction action per appId at ``version`` (spec
+    "Transaction Identifiers" reconciliation) — the streaming-writer
+    idempotence watermarks. Bounded output (one row per appId);
+    checkpoint-aware via read_log_actions."""
+    actions = read_log_actions(spark, base_path, version)
+    if version is not None:
+        actions = actions.filter(F.col("version") <= version)
+    tx = actions.filter(F.col("txn.appId").isNotNull())
+    w = W.partitionBy(F.col("txn.appId")).orderBy(F.desc("version"))
+    return [
+        r["txn"]
+        for r in tx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("txn")
         .collect()
     ]
 

@@ -30,3 +30,17 @@ def register_stream_sources(spark) -> list[str]:
             pass  # already registered
         names.append(ds.name())
     return names
+
+
+def register_stream_sinks(spark) -> list[str]:
+    """Register the writeStream sinks. Formats: delta_sink — arriving
+    micro-batches land as parquet files + ONE real Delta commit each,
+    exactly-once via the spec's SetTransaction watermark (see
+    streaming/delta_sink.py for options and boundaries)."""
+    from incubator_xtable_spark.streaming.delta_sink import DeltaSinkDataSource
+
+    try:
+        spark.dataSource.register(DeltaSinkDataSource)
+    except Exception:
+        pass  # already registered
+    return [DeltaSinkDataSource.name()]
