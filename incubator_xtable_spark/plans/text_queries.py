@@ -928,3 +928,255 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("f") <= 2, F.lit(1)).otherwise(F.lit(0))).cast("double") / n
         ).alias("rare_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark n-gram decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # fixture-proportionate n (real pipelines run 8-13 on web docs)
+
+DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, source, array_to_string(ts[i:i+{_DECON_N - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(ts) - {_DECON_N - 1})) AS r(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT DISTINCT gr.doc_id, gr.g
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.source <> 'src0'
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched_grams
+FROM hits GROUP BY doc_id
+"""
+
+
+@register(
+    "text_ngram_decontaminate",
+    oracle=DECON_ORACLE,
+    category="text",
+    description="benchmark n-gram overlap decontamination (GPT-3-style)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap pass every
+    published pre-training pipeline runs (GPT-3 appendix C / PaLM /
+    Llama: drop or flag training docs sharing any n-gram with an eval
+    benchmark). The 'benchmark' here is the src0 slice of `documents`
+    (deterministic, non-vacuous: planted overlaps exist at every SF);
+    output is each contaminated training doc with its count of DISTINCT
+    matched benchmark n-grams.
+
+    Spark shape: both sides shingle in-plan via sequence+transform+slice
+    (JVM HOFs, no UDF); the benchmark n-gram set is distinct-ed and
+    BROADCAST (eval suites are tiny vs the corpus — the asymmetry the
+    operator exploits at 100 TB), so the contaminated-doc probe is a
+    map-side broadcast hash join over the exploded training grams; the
+    only exchange is the final per-doc distinct-count agg, keyed by
+    (doc_id, g) so hot benchmark grams cannot funnel one reducer.
+    Docs shorter than n yield an empty shingle set on both engines
+    (guarded: Spark's sequence() would otherwise run DESCENDING for
+    start > stop; DuckDB generate_series is empty)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("ts")
+    )
+    n = _DECON_N
+    shingles = F.when(
+        F.size("ts") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ts) - {n - 1}),"
+            f" i -> array_join(slice(ts, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", "source", F.explode(shingles).alias("g"))
+    bench = (
+        grams.filter(F.col("source") == "src0").select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched_grams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk) for fixed-context training
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # fixture-scale context budget (tokens per packed chunk)
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cs
+  FROM toks
+),
+binned AS (
+  SELECT lang, (cs - n_tok) // {_PACK_BUDGET} AS chunk_id, n_tok FROM cum
+)
+SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
+FROM binned GROUP BY lang, chunk_id
+"""
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=PACK_ORACLE,
+    category="text",
+    description="sequence packing: concat-and-chunk docs into context budgets",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step that turns a curated
+    corpus into fixed-context training examples (every LLM data pipeline
+    ends here): documents are laid out in a deterministic order within a
+    stream (here: per language, ordered by doc_id), token counts are
+    cumulatively summed, and each document is assigned to the chunk its
+    STARTING offset falls in (chunk = floor(start / budget)); the output
+    is the per-chunk packing manifest (doc count + token occupancy).
+
+    Spark shape: one window cumsum per language partition + one hash agg.
+    Scale note: a window partitioned by a bounded-cardinality key (lang)
+    serializes each language through one task — at 100 TB the stream key
+    must carry a shard component, e.g. (lang, xxhash64(doc_id) % K),
+    which keeps chunks deterministic per shard and windows bounded; the
+    fixture keys by lang alone so the DuckDB oracle can replay the exact
+    same layout. Integer token counts + integer floor-div keep both
+    engines bit-identical (no double accumulation)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = toks.withColumn("cs", F.sum("n_tok").over(w))
+    binned = cum.select(
+        "lang",
+        F.expr(f"(cs - n_tok) div {_PACK_BUDGET}").alias("chunk_id"),
+        "n_tok",
+    )
+    return binned.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip (markup removal on ingest)
+# ---------------------------------------------------------------------------
+
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"[ ]{2,}"
+
+HTML_ORACLE = rf"""
+WITH aug AS (
+  SELECT doc_id,
+    '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+      || '</title><style>p {{color:#000}}</style></head><body><h1>Doc '
+      || CAST(doc_id AS VARCHAR) || '</h1><p class="body">' || text
+      || '</p><script type="text/javascript">var x = 1 < 2;</script>'
+      || '<!-- footer --></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<style[^>]*>.*?</style>', ' ', 'g'),
+        '{_TAG_RE}', ' ', 'g'),
+      '{_WS_RE}', ' ', 'g')) AS clean
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(html) AS INTEGER) AS n_html_chars,
+  CAST(len(clean) AS INTEGER) AS n_clean_chars,
+  CAST(len(regexp_extract_all(clean, '{_TAG_RE}')) AS INTEGER) AS n_residual_tags,
+  md5(clean) AS clean_fp
+FROM stripped
+"""
+
+
+@register(
+    "text_html_strip",
+    oracle=HTML_ORACLE,
+    category="text",
+    description="HTML markup strip on ingest (script/style drop, tag removal)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip — the ingest step between a web crawl and
+    every text operator above (CCNet/RefinedWeb-style pipelines start
+    here). The corpus ships plain text, so the entry deterministically
+    wraps each doc in a realistic HTML shell IN-PLAN (title/style/h1/p/
+    script/comment, with a '1 < 2' script-body trap that naive tag
+    regexes mangle) and the DuckDB oracle recomputes the same wrap —
+    what is gated cross-engine is the strip semantics: script/style
+    elements drop WITH their content (non-greedy span match), remaining
+    tags and comments collapse to spaces, whitespace normalizes, and an
+    n_residual_tags == 0 column proves no markup survives.
+
+    Scale: map-only regexp_replace chain, zero shuffles, zero UDFs, all
+    inside whole-stage codegen — bounded by scan bandwidth at 100 TB.
+    Patterns stay in the shared Java-regex/RE2 subset; '.' does not
+    cross newlines in either engine, which is safe here because the
+    injected script/style bodies are single-line (a real crawl pipeline
+    would enable DOTALL on both sides)."""
+    docs = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p {color:#000}</style></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="body">'),
+        F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<!-- footer --></body></html>"),
+    )
+    aug = docs.select("doc_id", html.alias("html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("html"), r"<script[^>]*>.*?</script>", " "
+                    ),
+                    r"<style[^>]*>.*?</style>",
+                    " ",
+                ),
+                _TAG_RE,
+                " ",
+            ),
+            _WS_RE,
+            " ",
+        )
+    )
+    stripped = aug.withColumn("clean", clean)
+    return stripped.select(
+        "doc_id",
+        F.length("html").cast("int").alias("n_html_chars"),
+        F.length("clean").cast("int").alias("n_clean_chars"),
+        F.size(F.expr(f"regexp_extract_all(clean, '{_TAG_RE}')"))
+        .cast("int")
+        .alias("n_residual_tags"),
+        F.md5("clean").alias("clean_fp"),
+    )
