@@ -253,6 +253,9 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
     # defaultRowCommitVersion, numRecords, where); latest domain configs
     rt_adds: dict[str, tuple] = {}
     domain_latest: dict[str, dict] = {}
+    # Version-checksum bookkeeping: live path -> size from the replay
+    # (sound only when the log is retained from version 0)
+    live_sizes: dict[str, int] = {}
 
     for v in versions:
         fname = os.path.join(log_dir, f"{v:020d}.json")
@@ -310,6 +313,7 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                             n_records,
                             where,
                         )
+                        live_sizes[body["path"]] = int(body.get("size") or 0)
                 elif key == "remove":
                     if "path" not in body:
                         report.add("DELTA_REMOVE_NO_PATH", where, "remove.path required")
@@ -318,6 +322,7 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                         # real table enabled mid-life legitimately has
                         # removed-before-enablement adds without baseRowId
                         rt_adds.pop(body["path"], None)
+                        live_sizes.pop(body["path"], None)
                 elif key == "domainMetadata":
                     domain_seen = True
                     if isinstance(body.get("domain"), str):
@@ -357,6 +362,56 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
             if metadata_seen is None:
                 report.add("DELTA_V0_NO_METADATA", fname, "version 0 must contain metaData")
 
+        # version checksum sidecar (<v>.crc): post-commit state summary —
+        # counts/bytes must equal the replayed live-file state (checkable
+        # only on logs retained from version 0), and the embedded
+        # protocol/metaData must be the commit's effective ones
+        crc_path = os.path.join(log_dir, f"{v:020d}.crc")
+        if os.path.exists(crc_path):
+            report.checked_files += 1
+            try:
+                with open(crc_path, encoding="utf-8") as fh:
+                    crc = json.loads(fh.read())
+            except (OSError, json.JSONDecodeError) as exc:
+                report.add("DELTA_CRC_NOT_JSON", crc_path, str(exc))
+                crc = None
+            if crc is not None:
+                if not isinstance(crc.get("numFiles"), int) or not isinstance(
+                    crc.get("tableSizeBytes"), int
+                ):
+                    report.add(
+                        "DELTA_CRC_FIELDS",
+                        crc_path,
+                        "numFiles and tableSizeBytes must be integers",
+                    )
+                elif versions[0] == 0:
+                    if crc["numFiles"] != len(live_sizes):
+                        report.add(
+                            "DELTA_CRC_STATE",
+                            crc_path,
+                            f"numFiles {crc['numFiles']} != replayed live "
+                            f"file count {len(live_sizes)}",
+                        )
+                    if crc["tableSizeBytes"] != sum(live_sizes.values()):
+                        report.add(
+                            "DELTA_CRC_STATE",
+                            crc_path,
+                            f"tableSizeBytes {crc['tableSizeBytes']} != replayed "
+                            f"live byte total {sum(live_sizes.values())}",
+                        )
+                if protocol_seen is not None and crc.get("protocol") != protocol_seen:
+                    report.add(
+                        "DELTA_CRC_PROTOCOL",
+                        crc_path,
+                        "embedded protocol differs from the commit's effective protocol",
+                    )
+                if metadata_seen is not None and crc.get("metadata") != metadata_seen:
+                    report.add(
+                        "DELTA_CRC_METADATA",
+                        crc_path,
+                        "embedded metaData differs from the commit's effective metaData",
+                    )
+
     # feature gating: cdc actions require change data feed to be enabled
     # (property) and a writer that understands it (protocol 4+ legacy or
     # the changeDataFeed table feature)
@@ -391,6 +446,28 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 log_dir,
                 "domainMetadata actions require minWriterVersion 7 with the "
                 "domainMetadata writer feature",
+            )
+
+    # feature gating: a schema carrying TIMESTAMP_NTZ anywhere requires the
+    # timestampNtz reader-writer feature (legacy readers would interpret
+    # the physical values as UTC-adjusted and silently shift them)
+    if (
+        metadata_seen is not None
+        and protocol_seen is not None
+        and '"timestamp_ntz"' in (metadata_seen.get("schemaString") or "")
+    ):
+        rf = set(protocol_seen.get("readerFeatures") or [])
+        wf = set(protocol_seen.get("writerFeatures") or [])
+        if (
+            protocol_seen.get("minReaderVersion", 1) < 3
+            or "timestampNtz" not in rf
+            or "timestampNtz" not in wf
+        ):
+            report.add(
+                "DELTA_NTZ_FEATURE_MISSING",
+                log_dir,
+                "schema contains timestamp_ntz but the protocol does not "
+                "declare the timestampNtz feature (reader 3 + both lists)",
             )
 
     # feature gating: any DV use requires the deletionVectors feature

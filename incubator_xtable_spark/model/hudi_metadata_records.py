@@ -414,6 +414,91 @@ def record_index_record(
     return record_key.encode("utf-8"), encode_binary_record(RECORD_INDEX_RECORD_SCHEMA, rec)
 
 
+SECONDARY_INDEX_TYPE = 7  # MetadataPartitionType.SECONDARY_INDEX record type
+
+# writer schema for secondary-index records: HoodieMetadataRecord's
+# resolvable subset PLUS the HoodieSecondaryIndexInfo branch (public
+# HoodieMetadata.avsc, Hudi 1.0). The (secondary key, record key) pair
+# lives in the RECORD KEY itself — escaped parts joined by '$' per
+# SecondaryIndexKeyUtils — so the payload carries only the liveness flag.
+SECONDARY_INDEX_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": HUDI_METADATA_RECORD_SCHEMA["fields"]
+    + [
+        {
+            "name": "SecondaryIndexMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieSecondaryIndexInfo",
+                    "fields": [{"name": "isDeleted", "type": "boolean"}],
+                },
+            ],
+            "default": None,
+        }
+    ],
+}
+
+
+def escape_secondary_key_part(part: str) -> str:
+    r"""SecondaryIndexKeyUtils.escapeSpecialChars (public Hudi 1.0):
+    backslash doubles, the '$' separator escapes to '\$'."""
+    return part.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def construct_secondary_index_key(secondary_key: str, record_key: str) -> str:
+    """escape(secondaryKey) + '$' + escape(recordKey) — the metadata-table
+    record key for one secondary-index mapping (SecondaryIndexKeyUtils.
+    constructSecondaryIndexKey; recipe restated from public Hudi sources,
+    unpinnable against a real artifact on this machine — the hudi-common
+    probe in tests/test_hudi_hash_jvm.py found no jar)."""
+    return f"{escape_secondary_key_part(secondary_key)}${escape_secondary_key_part(record_key)}"
+
+
+def split_secondary_index_key(key: str) -> tuple[str, str]:
+    """Inverse of construct_secondary_index_key: split on the first
+    UNESCAPED '$', unescape both parts."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(key):
+        c = key[i]
+        if c == "\\" and i + 1 < len(key):
+            buf.append(key[i + 1])
+            i += 2
+            continue
+        if c == "$" and not parts:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    if not parts:
+        raise ValueError(f"secondary-index key has no unescaped '$': {key!r}")
+    return parts[0], "".join(buf)
+
+
+def secondary_index_record(
+    secondary_key: str, record_key: str, is_deleted: bool = False
+) -> tuple[bytes, bytes]:
+    """-> (cell row key, avro value bytes) for one secondary-index mapping;
+    isDeleted=True is the update/delete tombstone real
+    HoodieMetadataPayload ships for a superseded mapping."""
+    key = construct_secondary_index_key(secondary_key, record_key)
+    rec = {
+        "key": key,
+        "type": SECONDARY_INDEX_TYPE,
+        "filesystemMetadata": None,
+        "ColumnStatsMetadata": None,
+        "SecondaryIndexMetadata": {"isDeleted": is_deleted},
+    }
+    return key.encode("utf-8"), encode_binary_record(SECONDARY_INDEX_RECORD_SCHEMA, rec)
+
+
 def files_partition_mutation_records(
     adds: dict[str, dict[str, int]],
     removes: dict[str, list[str]],
@@ -579,6 +664,13 @@ def merge_metadata_records(
         if rtype == 4:
             bf = rec.get("BloomFilterMetadata") or {}
             if bf.get("isDeleted"):
+                out.pop(key, None)
+            else:
+                out[key] = rec
+            continue
+        if rtype == 7:
+            si = rec.get("SecondaryIndexMetadata") or {}
+            if si.get("isDeleted"):
                 out.pop(key, None)
             else:
                 out[key] = rec

@@ -172,6 +172,10 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
                 for c in str(dataset.get("deltaClusteringColumns", "")).split(",")
                 if c.strip()
             ],
+            # <version>.crc post-commit state summaries (delta-spark's
+            # VersionChecksum sidecar), incrementally maintained
+            version_checksum=str(dataset.get("deltaVersionChecksum", "")).lower()
+            == "true",
         )
     if fmt == TableFormat.HUDI.value:
         from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
@@ -193,6 +197,9 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             record_index_shards=int(dataset.get("hudiRecordIndexShards", 4)),
             bloom_filters=str(dataset.get("hudiBloomFilters", "")).lower() == "true",
             partition_stats=str(dataset.get("hudiPartitionStats", "")).lower() == "true",
+            # Hudi 1.0 secondary index on one column (requires the RLI)
+            secondary_index_field=dataset.get("hudiSecondaryIndexField"),
+            secondary_index_shards=int(dataset.get("hudiSecondaryIndexShards", 4)),
         )
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget

@@ -722,6 +722,120 @@ def lookup_record_key(base_path: str, record_key: str) -> dict | None:
     return (rec or {}).get("recordIndexMetadata")
 
 
+def _secondary_index_dir(base_path: str, field: str) -> str:
+    return os.path.join(
+        base_path, ".hoodie", "metadata", f"secondary_index_idx_{field}"
+    )
+
+
+def secondary_index_available(base_path: str, field: str) -> bool:
+    """isMetadataPartitionAvailable(SECONDARY_INDEX) analog for the
+    ``secondary_index_idx_<field>`` partition."""
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+
+    props = read_properties(base_path)
+    parts = (props.get(METADATA_PARTITIONS_KEY) or "").split(",")
+    if f"secondary_index_idx_{field}" not in parts:
+        return False
+    slices, logs_ok = _hfile_partition_state(_secondary_index_dir(base_path, field))
+    if not logs_ok:
+        log.warning(
+            "secondary_index_idx_%s partition of %s has undecodable log "
+            "file(s); secondary lookups unavailable",
+            field,
+            base_path,
+        )
+        return False
+    return bool(slices)
+
+
+def read_secondary_index(spark: SparkSession, base_path: str, field: str) -> DataFrame:
+    """Decode a secondary-index partition into (secondary_key, record_key)
+    mappings — one task per shard slice, pure-python codecs in Arrow
+    batch workers; isDeleted mappings drop in the type-7 merge. Beyond
+    the reference (Hudi 1.0 feature; the reference consumes
+    files/col_stats only)."""
+    slices, _ = _hfile_partition_state(_secondary_index_dir(base_path, field))
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_schema = T.StructType(
+        [
+            T.StructField("secondary_key", T.StringType(), False),
+            T.StructField("record_key", T.StringType(), False),
+        ]
+    )
+
+    def _decode(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import json as _json
+
+        import pandas as pd
+
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            merged_metadata_slice_records,
+            split_secondary_index_key,
+        )
+
+        for pdf in batches:
+            rows = []
+            for p, logs_json in zip(pdf["hfile_path"], pdf["log_paths"]):
+                for key, rec in merged_metadata_slice_records(p, _json.loads(logs_json)):
+                    if rec.get("type") != 7:
+                        continue
+                    rows.append(split_secondary_index_key(key))
+            yield pd.DataFrame(rows, columns=["secondary_key", "record_key"])
+
+    listing = spark.createDataFrame(
+        [(p, json.dumps(logs)) for p, logs in slices],
+        "hfile_path STRING, log_paths STRING",
+    )
+    if listing.rdd.getNumPartitions() < len(slices):
+        listing = listing.repartition(len(slices))
+    return listing.mapInPandas(_decode, out_schema)
+
+
+def lookup_secondary_key(base_path: str, field: str, value: str) -> list[str]:
+    """POINT lookup: record keys whose ``field`` equals ``value``,
+    resolved from ONE shard (mappings shard by Java hashCode of the
+    escaped secondary part — see
+    targets/hudi_metadata_index.write_secondary_index_commit; an engine
+    routing decision, documented there). Prefix-scans the pinned shard's
+    merged records for ``escape(value)$`` — bounded by that shard's index
+    size, metadata-cheap by construction; bulk reads go through
+    read_secondary_index. Returns [] when the value is absent (or its
+    mappings are all tombstoned)."""
+    from incubator_xtable_spark.model.hudi_hash import (
+        map_record_key_to_file_group_index,
+    )
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        escape_secondary_key_part,
+        merged_metadata_slice_records,
+        split_secondary_index_key,
+    )
+
+    d = _secondary_index_dir(base_path, field)
+    slices, _ = _hfile_partition_state(d, probe=False)
+    if not slices:
+        return []
+    by_group = {os.path.basename(p).split("_")[0]: (p, logs) for p, logs in slices}
+    shard = map_record_key_to_file_group_index(
+        escape_secondary_key_part(value), len(slices)
+    )
+    hit = by_group.get(f"secondary-index-{shard:04d}-0")
+    if hit is None:
+        return []
+    prefix = escape_secondary_key_part(value) + "$"
+    out = []
+    for key, rec in merged_metadata_slice_records(hit[0], list(hit[1])):
+        if rec.get("type") == 7 and key.startswith(prefix):
+            sec, rk = split_secondary_index_key(key)
+            if sec == value:
+                out.append(rk)
+    return sorted(out)
+
+
 BLOOM_FILTERS_PARTITION = "bloom_filters"
 HFILE_BLOOM_FILTERS_SUBDIR = os.path.join(".hoodie", "metadata", "bloom_filters")
 

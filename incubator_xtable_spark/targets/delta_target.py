@@ -51,6 +51,20 @@ def _version_file(base_path: str, version: int) -> str:
     return os.path.join(_log_dir(base_path), f"{version:020d}.json")
 
 
+def read_version_checksum(base_path: str, version: int) -> Optional[dict]:
+    """Read ``_delta_log/<version>.crc`` (delta-spark's VersionChecksum
+    sidecar); None when absent or unparseable (a torn checksum must never
+    fail a commit — readers treat it as advisory state)."""
+    path = os.path.join(_log_dir(base_path), f"{version:020d}.crc")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return json.loads(fh.read())
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def current_log_version(base_path: str) -> Optional[int]:
     d = _log_dir(base_path)
     if not os.path.isdir(d):
@@ -104,6 +118,7 @@ class DeltaConversionTarget:
         in_commit_timestamps: bool = False,
         row_tracking: bool = False,
         clustering_columns: Optional[list[str]] = None,
+        version_checksum: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -158,6 +173,16 @@ class DeltaConversionTarget:
         # see the declared clustering); it does not rewrite data files —
         # conversion is metadata-only by design.
         self.clustering_columns = list(clustering_columns or [])
+        # Version checksum sidecars (<version>.crc next to <version>.json):
+        # the post-commit state summary delta-spark emits — tableSizeBytes /
+        # numFiles / the commit's effective protocol + metaData — letting a
+        # reader cross-check a snapshot without replaying file actions.
+        # Computed INCREMENTALLY from the previous checksum plus this
+        # commit's add/remove byte deltas (remove actions then carry the
+        # spec-optional `size` field so the decrement is O(commit), the
+        # same trick delta-spark's RemoveFile uses); falls back to one
+        # distributed live-files aggregation when no prior checksum exists.
+        self.version_checksum = version_checksum
         self._reset()
 
     # Delta can express row-level deletes natively (deletion vectors);
@@ -281,8 +306,11 @@ class DeltaConversionTarget:
     def sync_files_for_diff(self, change: TableChange) -> None:
         self._snapshot_sync = False
         self._adds = change.files_added
+        # size rides along so remove actions can carry the spec-optional
+        # `size` field (keeps the version-checksum decrement O(commit))
         self._removes = change.files_removed.select(
-            _relativize_col(F.col("physical_path"), self.base_path).alias("path")
+            _relativize_col(F.col("physical_path"), self.base_path).alias("path"),
+            F.col("size_bytes").alias("size"),
         )
 
     def sync_row_deletes(self, deletes: DataFrame) -> None:
@@ -551,6 +579,18 @@ class DeltaConversionTarget:
         if self.change_feed and self._row_changes is not None and version > 0:
             cdc_actions = self._write_change_data(self._row_changes, mapped_schema)
 
+        # version-checksum running totals, filled while actions() streams
+        # (the generator is fully consumed by _atomic_write below)
+        crc_acc: dict[str, Any] = {
+            "add_n": 0,
+            "add_bytes": 0,
+            "rm_n": 0,
+            "rm_bytes": 0,
+            "rm_unsized": False,
+            "protocol": None,
+            "metadata": None,
+        }
+
         def actions() -> Iterator[str]:
             commit_info: dict[str, Any] = {
                 "timestamp": now_ms,
@@ -577,7 +617,25 @@ class DeltaConversionTarget:
                 writer_version = max(writer_version, 5)
             need_dv = bool(dv_map) or bool(dv_readds)
             need_v2cp = self.checkpoint_layout == "v2" and self.checkpoint_interval > 0
-            if need_dv or need_v2cp:
+            # timestampNtz (PROTOCOL.md): a schema carrying TIMESTAMP_NTZ
+            # anywhere (nested included) requires the reader-writer table
+            # feature — legacy readers interpret the physical values as
+            # UTC-adjusted and silently shift them otherwise
+            def _has_ntz(dt: T.DataType) -> bool:
+                if isinstance(dt, T.TimestampNTZType):
+                    return True
+                if isinstance(dt, T.StructType):
+                    return any(_has_ntz(f.dataType) for f in dt.fields)
+                if isinstance(dt, T.ArrayType):
+                    return _has_ntz(dt.elementType)
+                if isinstance(dt, T.MapType):
+                    return _has_ntz(dt.keyType) or _has_ntz(dt.valueType)
+                return False
+
+            need_ntz = _has_ntz(schema) or any(
+                _has_ntz(f.dataType) for f in self._generated_fields or []
+            )
+            if need_dv or need_v2cp or need_ntz:
                 reader_version = max(reader_version, 3)
                 writer_version = max(writer_version, 7)
             if ict_on:
@@ -618,6 +676,14 @@ class DeltaConversionTarget:
                     or (need_clustering and "clustering" not in prev_writer_feats)
                 )
             )
+            ntz_upgrade_needed = (
+                need_ntz
+                and prev_proto is not None
+                and (
+                    prev_proto.get("minReaderVersion", 1) < 3
+                    or "timestampNtz" not in prev_reader_feats
+                )
+            )
             if version == 0 or (
                 need_dv
                 and prev_proto is not None
@@ -627,7 +693,7 @@ class DeltaConversionTarget:
                 )
             ) or (
                 need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats
-            ) or cdf_upgrade_needed or ict_upgrade_needed or domain_upgrade_needed:
+            ) or cdf_upgrade_needed or ict_upgrade_needed or domain_upgrade_needed or ntz_upgrade_needed:
                 # an existing table-features protocol stays on 3/7 even if
                 # this commit's own needs are lower (features cannot demote)
                 if prev_reader_feats:
@@ -641,6 +707,7 @@ class DeltaConversionTarget:
                 if (
                     need_dv
                     or need_v2cp
+                    or need_ntz
                     or ict_on
                     or need_domain
                     or rt_on
@@ -674,6 +741,9 @@ class DeltaConversionTarget:
                     if need_v2cp:
                         reader_feats.add("v2Checkpoint")
                         writer_feats.add("v2Checkpoint")
+                    if need_ntz or "timestampNtz" in prev_reader_feats:
+                        reader_feats.add("timestampNtz")
+                        writer_feats.add("timestampNtz")
                     if max_col_id:
                         reader_feats.add("columnMapping")
                         writer_feats.add("columnMapping")
@@ -703,6 +773,7 @@ class DeltaConversionTarget:
                     if reader_version >= 3:
                         proto["readerFeatures"] = sorted(reader_feats)
                     proto["writerFeatures"] = sorted(writer_feats)
+                crc_acc["protocol"] = proto
                 yield json.dumps({"protocol": proto})
             if (
                 version == 0
@@ -752,19 +823,17 @@ class DeltaConversionTarget:
                     if self._generated_fields
                     else out_schema
                 )
-                yield json.dumps(
-                    {
-                        "metaData": {
-                            "id": self._table_id(),
-                            "name": self._table.name if self._table else None,
-                            "format": {"provider": "parquet", "options": {}},
-                            "schemaString": full_schema.json(),
-                            "partitionColumns": self._partition_cols,
-                            "configuration": configuration,
-                            "createdTime": now_ms,
-                        }
-                    }
-                )
+                meta_action = {
+                    "id": self._table_id(),
+                    "name": self._table.name if self._table else None,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": full_schema.json(),
+                    "partitionColumns": self._partition_cols,
+                    "configuration": configuration,
+                    "createdTime": now_ms,
+                }
+                crc_acc["metadata"] = meta_action
+                yield json.dumps({"metaData": meta_action})
             # domain metadata: one action per touched domain (spec allows at
             # most one per domain per commit); removal tombstones keep an
             # empty configuration
@@ -784,17 +853,23 @@ class DeltaConversionTarget:
                 )
             if self._removes is not None:
                 for row in _drain(self._removes, auto=self._snapshot_sync):
-                    yield json.dumps(
-                        {
-                            "remove": {
-                                "path": row["path"],
-                                "deletionTimestamp": now_ms,
-                                "dataChange": True,
-                            }
-                        }
-                    )
+                    d = row.asDict()
+                    rm: dict[str, Any] = {
+                        "path": d["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                    if d.get("size") is not None:
+                        rm["size"] = d["size"]
+                        crc_acc["rm_bytes"] += d["size"]
+                    else:
+                        crc_acc["rm_unsized"] = True
+                    crc_acc["rm_n"] += 1
+                    yield json.dumps({"remove": rm})
             if self._adds is not None:
                 for row in _drain(self._adds, auto=self._snapshot_sync):
+                    crc_acc["add_n"] += 1
+                    crc_acc["add_bytes"] += row["size_bytes"]
                     yield self._add_action(
                         row,
                         schema,
@@ -804,14 +879,21 @@ class DeltaConversionTarget:
                         version=version,
                     )
             # DV-update shape for files already live: remove + re-add with
-            # the new deletion vector (what a Delta DELETE commit writes)
+            # the new deletion vector (what a Delta DELETE commit writes).
+            # Net zero for the version checksum (same file, same size) but
+            # counted through both sides to keep the running totals exact.
             for ra in dv_readds:
+                crc_acc["rm_n"] += 1
+                crc_acc["rm_bytes"] += ra["size"]
+                crc_acc["add_n"] += 1
+                crc_acc["add_bytes"] += ra["size"]
                 yield json.dumps(
                     {
                         "remove": {
                             "path": ra["path"],
                             "deletionTimestamp": now_ms,
                             "dataChange": True,
+                            "size": ra["size"],
                         }
                     }
                 )
@@ -848,6 +930,8 @@ class DeltaConversionTarget:
 
         self._atomic_write(version, actions())
         self._committed_version = version
+        if self.version_checksum:
+            self._write_version_checksum(version, crc_acc, ict)
         if self.checkpoint_interval and version > 0 and version % self.checkpoint_interval == 0:
             from incubator_xtable_spark.sources.delta_source import write_checkpoint
 
@@ -1000,6 +1084,65 @@ class DeltaConversionTarget:
             add["deletionVector"] = dv_desc
         return json.dumps({"add": add})
 
+    def _write_version_checksum(
+        self, version: int, acc: dict[str, Any], ict: Optional[int]
+    ) -> None:
+        """Emit ``_delta_log/<version>.crc`` — the post-commit state summary
+        delta-spark's VersionChecksum hook writes (tableSizeBytes, numFiles,
+        numMetadata/numProtocol, the effective metaData + protocol, the
+        commit's inCommitTimestamp when ICT is on).
+
+        Scale: O(commit) — the previous version's checksum seeds the totals
+        and this commit's add/remove deltas adjust them (every remove action
+        carries the optional ``size`` field exactly so this decrement never
+        needs the prior snapshot). Only when no prior checksum exists (first
+        commit, or checksums enabled mid-table) does it fall back to ONE
+        distributed live-files aggregation."""
+        prev = read_version_checksum(self.base_path, version - 1) if version else None
+        usable_prev = (
+            prev is not None
+            and not acc["rm_unsized"]
+            and isinstance(prev.get("numFiles"), int)
+            and isinstance(prev.get("tableSizeBytes"), int)
+        )
+        if version == 0:
+            num_files = acc["add_n"]
+            table_bytes = acc["add_bytes"]
+        elif usable_prev:
+            num_files = prev["numFiles"] + acc["add_n"] - acc["rm_n"]
+            table_bytes = prev["tableSizeBytes"] + acc["add_bytes"] - acc["rm_bytes"]
+        else:
+            from incubator_xtable_spark.sources.delta_source import live_files_df
+
+            row = (
+                live_files_df(self.spark, self.base_path, version)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("size"), F.lit(0)).alias("b"),
+                )
+                .collect()[0]
+            )
+            num_files, table_bytes = int(row["n"]), int(row["b"])
+        protocol = acc["protocol"] or self._read_latest_protocol()
+        metadata = acc["metadata"] or self._read_latest_metadata()
+        payload: dict[str, Any] = {
+            "txnId": str(uuid.uuid4()),
+            "tableSizeBytes": table_bytes,
+            "numFiles": num_files,
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "metadata": metadata,
+            "protocol": protocol,
+        }
+        if ict is not None:
+            payload["inCommitTimestampOpt"] = ict
+        final = os.path.join(_log_dir(self.base_path), f"{version:020d}.crc")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(payload))
+            fh.write("\n")
+        os.replace(tmp, final)
+
     def _table_id(self) -> str:
         existing = self.get_table_properties()
         if existing is not None and existing.get("__table_id"):
@@ -1107,4 +1250,6 @@ class DeltaConversionTarget:
             return None
         from incubator_xtable_spark.sources.delta_source import live_files_df
 
-        return live_files_df(self.spark, self.base_path, v).select("path")
+        # size rides along for the snapshot-as-diff remove set (see
+        # sync_files_for_diff: remove actions carry the optional `size`)
+        return live_files_df(self.spark, self.base_path, v).select("path", "size")

@@ -283,7 +283,12 @@ def _compacted_records(
             continue
         cs = rec.get("ColumnStatsMetadata") or {}
         bf = rec.get("BloomFilterMetadata") or {}
-        if (rtype == 3 and cs.get("isDeleted")) or (rtype == 4 and bf.get("isDeleted")):
+        si = rec.get("SecondaryIndexMetadata") or {}
+        if (
+            (rtype == 3 and cs.get("isDeleted"))
+            or (rtype == 4 and bf.get("isDeleted"))
+            or (rtype == 7 and si.get("isDeleted"))
+        ):
             raw_state.pop(key, None)
         elif combine_type3 and rtype == 3:
             raw_state.setdefault(key, []).append(raw)
@@ -531,6 +536,190 @@ def write_record_index_commit(
             continue
         rel, size = _write_base(d, fid, instant, [], RECORD_INDEX_RECORD_SCHEMA)
         out.append((RECORD_INDEX_PARTITION, fid, rel, size, 0))
+    return out
+
+
+DEFAULT_SECONDARY_INDEX_SHARDS = 4
+
+
+def secondary_index_partition_name(field: str) -> str:
+    """Hudi 1.0 names SQL-created secondary indexes
+    ``secondary_index_<index name>``; the engine derives the index name as
+    ``idx_<field>`` (what ``CREATE INDEX idx_<field> ...`` would yield)."""
+    return f"secondary_index_idx_{field}"
+
+
+def write_secondary_index_commit(
+    spark,
+    base_path: str,
+    instant: str,
+    add_rel_paths: list[str],
+    removed_rel_paths: list[str],
+    record_key_field: str,
+    secondary_key_field: str,
+    *,
+    num_shards: int = DEFAULT_SECONDARY_INDEX_SHARDS,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> list[tuple[str, str, str, int, int]]:
+    """Maintain a ``secondary_index_idx_<field>`` metadata partition
+    (Hudi 1.0's secondary index, beyond the reference): one type-7
+    HoodieSecondaryIndexInfo record per (secondary value, record key)
+    mapping in ADDED files — keyed by SecondaryIndexKeyUtils'
+    ``escape(sec)$escape(rec)`` — plus isDeleted records for mappings
+    that leave with REMOVED files (the payload tombstone real
+    HoodieMetadataPayload ships for superseded mappings, dropped by the
+    type-7 merge at read and at compaction). -> metadata-deltacommit
+    stat tuples.
+
+    Sharding: mappings shard by Java hashCode of the ESCAPED secondary
+    part (model/hudi_hash.map_record_key_to_file_group_index), so a
+    secondary-key lookup pins ONE file group, mirroring the RLI point-
+    lookup shape. (Real Hudi's exact SI file-group routing is unpinnable
+    on this machine — the hudi-common probe in tests/test_hudi_hash_jvm
+    found no jar; the key RECIPE is restated from public sources and the
+    routing is an engine decision, documented at the read tier.)
+    NULL secondary values are not indexed (documented posture — a
+    secondary lookup is an equality probe, and the writer would need a
+    null-marker key real Hudi does not publish).
+
+    Distribution: added/removed files scan distributed for the two key
+    columns; pairs shard via one Arrow-batched pass; each shard's
+    base/log write runs in its own task through the shared
+    base/log/compaction lifecycle (_commit_partition). The single
+    shuffle is the groupBy(shard)."""
+    from pyspark.sql import functions as F
+
+    base = base_path.rstrip("/")
+    partition = secondary_index_partition_name(secondary_key_field)
+    d = _partition_dir(base_path, partition)
+    os.makedirs(d, exist_ok=True)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    instant_s = instant
+
+    def _pairs(rel_paths: list[str]):
+        if not rel_paths:
+            return None
+        paths = [os.path.join(base, p) for p in rel_paths]
+        return (
+            spark.read.parquet(*paths)
+            .select(
+                F.col(secondary_key_field).cast("string").alias("sec"),
+                F.col(record_key_field).cast("string").alias("rec"),
+            )
+            .filter(F.col("sec").isNotNull() & F.col("rec").isNotNull())
+            .distinct()
+        )
+
+    adds = _pairs(add_rel_paths)
+    removed = _pairs(removed_rel_paths)
+    if adds is None and removed is None:
+        return []
+    # a mapping leaving with a removed file tombstones only if no added
+    # file re-asserts the SAME (sec, rec) pair this commit
+    tomb = (
+        removed.join(adds, ["sec", "rec"], "left_anti")
+        if adds is not None and removed is not None
+        else removed
+    )
+
+    # shard modulus is pinned by the on-disk group count after the first
+    # commit (same rule as record_index)
+    from incubator_xtable_spark.sources.hudi_metadata import _hfile_partition_state
+
+    existing_groups, _ = _hfile_partition_state(d)
+    if existing_groups:
+        num_shards = len(existing_groups)
+
+    rows = None
+    if adds is not None:
+        rows = adds.select("sec", "rec", F.lit(False).alias("is_tombstone"))
+    if tomb is not None:
+        trows = tomb.select("sec", "rec", F.lit(True).alias("is_tombstone"))
+        rows = trows if rows is None else rows.unionByName(trows)
+
+    shard_schema = "sec STRING, rec STRING, is_tombstone BOOLEAN, shard INT"
+
+    def _assign_shards(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from incubator_xtable_spark.model.hudi_hash import (
+            map_record_key_to_file_group_index as _map,
+        )
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            escape_secondary_key_part as _esc,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["shard"] = [_map(_esc(str(s)), num_shards) for s in pdf["sec"]]
+            yield pdf
+
+    out_schema = "shard INT, rel_path STRING, size LONG, n_records LONG"
+
+    def _write_shard(key, pdf):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import pandas as _pd
+
+        from incubator_xtable_spark.model.hudi_metadata_records import (
+            SECONDARY_INDEX_RECORD_SCHEMA,
+            secondary_index_record,
+        )
+        from incubator_xtable_spark.targets.hudi_metadata_index import (
+            _commit_partition as _cp,
+        )
+
+        shard = int(key[0])
+        file_id = f"secondary-index-{shard:04d}-0"
+        # tombstones render FIRST so a same-commit re-assert wins the
+        # ordered merge (defensive: the left_anti above already prevents
+        # a live pair from tombstoning)
+        pdf = pdf.sort_values("is_tombstone", ascending=False, kind="mergesort")
+        records = [
+            secondary_index_record(str(s), str(r), is_deleted=bool(t))
+            for s, r, t in zip(pdf["sec"], pdf["rec"], pdf["is_tombstone"])
+        ]
+        rel, size, n = _cp(
+            d,
+            file_id,
+            instant_s,
+            records,
+            compact_every,
+            record_schema=SECONDARY_INDEX_RECORD_SCHEMA,
+        )
+        return _pd.DataFrame(
+            [(shard, rel, size, n)], columns=["shard", "rel_path", "size", "n_records"]
+        )
+
+    sharded = rows.mapInPandas(_assign_shards, shard_schema)
+    stats = sharded.groupBy("shard").applyInPandas(_write_shard, out_schema).collect()
+    out = [
+        (
+            partition,
+            f"secondary-index-{int(r['shard']):04d}-0",
+            r["rel_path"],
+            int(r["size"]),
+            int(r["n_records"]),
+        )
+        for r in stats
+    ]
+    # pre-create every shard group (the reader derives the modulus from
+    # the on-disk group count — same invariant as record_index)
+    from incubator_xtable_spark.model.hudi_metadata_records import (
+        SECONDARY_INDEX_RECORD_SCHEMA,
+    )
+
+    touched = {int(r["shard"]) for r in stats}
+    for i in range(num_shards):
+        fid = f"secondary-index-{i:04d}-0"
+        if i in touched or _slice_state(d, fid)[0] is not None:
+            continue
+        rel, size = _write_base(d, fid, instant, [], SECONDARY_INDEX_RECORD_SCHEMA)
+        out.append((partition, fid, rel, size, 0))
     return out
 
 

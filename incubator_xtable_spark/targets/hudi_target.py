@@ -118,6 +118,8 @@ class HudiConversionTarget:
         record_index_shards: int = 4,
         bloom_filters: bool = False,
         partition_stats: bool = False,
+        secondary_index_field: Optional[str] = None,
+        secondary_index_shards: int = 4,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -177,6 +179,24 @@ class HudiConversionTarget:
                 "metadata partition)"
             )
         self.partition_stats = partition_stats
+        # opt-in secondary index (Hudi 1.0's secondary_index_idx_<field>
+        # metadata partition, beyond the reference): one type-7 mapping
+        # per (secondary value, record key), keyed per
+        # SecondaryIndexKeyUtils, sharded so an equality lookup pins one
+        # file group. Requires the record index (real Hudi's SI is built
+        # on RLI-tracked record keys) — data-scale to maintain.
+        if secondary_index_field is not None and record_index_field is None:
+            raise ValueError(
+                "secondary_index_field requires record_index_field (Hudi "
+                "secondary indexes map secondary values to RLI record keys)"
+            )
+        if secondary_index_field is not None and secondary_index_field == record_index_field:
+            raise ValueError(
+                "secondary_index_field must differ from record_index_field "
+                "(a secondary index on the record key is the record index)"
+            )
+        self.secondary_index_field = secondary_index_field
+        self.secondary_index_shards = secondary_index_shards
         # CDC channel -> Hudi CDC supplemental blocks: incremental row
         # changes persist as CDC_DATA_BLOCK log files named by cdcStats
         # in the commit's write stats (the shape hoodie.table.cdc.enabled
@@ -238,6 +258,14 @@ class HudiConversionTarget:
                 wanted.append(RECORD_INDEX_PARTITION)
                 if self.bloom_filters:
                     wanted.append(BLOOM_FILTERS_PARTITION)
+                if self.secondary_index_field is not None:
+                    from incubator_xtable_spark.targets.hudi_metadata_index import (
+                        secondary_index_partition_name,
+                    )
+
+                    wanted.append(
+                        secondary_index_partition_name(self.secondary_index_field)
+                    )
             if self.partition_stats:
                 from incubator_xtable_spark.targets.hudi_metadata_index import (
                     PARTITION_STATS_PARTITION,
@@ -279,6 +307,14 @@ class HudiConversionTarget:
                 props[METADATA_PARTITIONS_KEY] += f",{RECORD_INDEX_PARTITION}"
                 if self.bloom_filters:
                     props[METADATA_PARTITIONS_KEY] += f",{BLOOM_FILTERS_PARTITION}"
+                if self.secondary_index_field is not None:
+                    from incubator_xtable_spark.targets.hudi_metadata_index import (
+                        secondary_index_partition_name,
+                    )
+
+                    props[METADATA_PARTITIONS_KEY] += (
+                        "," + secondary_index_partition_name(self.secondary_index_field)
+                    )
             if self.partition_stats:
                 from incubator_xtable_spark.targets.hudi_metadata_index import (
                     PARTITION_STATS_PARTITION,
@@ -471,6 +507,22 @@ class HudiConversionTarget:
                         [a["rel_path"] for a in hfile_adds],
                         hfile_removed,
                         self.record_index_field,
+                        compact_every=self.metadata_index_compact_every,
+                    )
+                if self.secondary_index_field is not None:
+                    from incubator_xtable_spark.targets.hudi_metadata_index import (
+                        write_secondary_index_commit,
+                    )
+
+                    extra_stats = extra_stats + write_secondary_index_commit(
+                        self.spark,
+                        self.base_path,
+                        instant,
+                        [a["rel_path"] for a in hfile_adds],
+                        hfile_removed,
+                        self.record_index_field,
+                        self.secondary_index_field,
+                        num_shards=self.secondary_index_shards,
                         compact_every=self.metadata_index_compact_every,
                     )
             if self.partition_stats:
