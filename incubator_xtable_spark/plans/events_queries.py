@@ -336,3 +336,93 @@ def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential funnel: view -> click -> purchase, strictly time-ordered
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH a AS (
+  SELECT user_id, min(ts) AS ta FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+b AS (
+  SELECT e.user_id, min(e.ts) AS tb
+  FROM events e JOIN a ON e.user_id = a.user_id AND e.ts > a.ta
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN b ON e.user_id = b.user_id AND e.ts > b.tb
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT
+  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_step_view,
+  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_step_click,
+  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_step_purchase,
+  CAST((SELECT count(*) FROM b) AS DOUBLE)
+    / (SELECT count(*) FROM a) AS view_to_click,
+  CAST((SELECT count(*) FROM c) AS DOUBLE)
+    / (SELECT count(*) FROM b) AS click_to_purchase
+"""
+
+
+@register(
+    "events_funnel",
+    oracle=FUNNEL_ORACLE,
+    category="events",
+    description="sequential conversion funnel (view -> click -> purchase)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: users counted at each step only when
+    the step's event happens STRICTLY AFTER their first event of the
+    previous step (the product-analytics operator every event warehouse
+    ships; a window/self-join composition here, no UDFs).
+
+    Plan shape: step 1 is one groupBy(user_id) over the view slice; each
+    later step joins the (shrinking) qualified-user set back to a
+    filtered event slice ON user_id with the time bound as a join-side
+    predicate, then re-aggregates min(ts) — the step sets are strictly
+    monotone decreasing, so Spark broadcasts them against the fact scan
+    (AQE sizes them at runtime). The three final counts are one-row
+    aggregates combined by broadcast scalar cross-joins. At 100 TB the
+    event scan partitions by user_id once; conversion ratios are
+    int/int double divisions (exact-in, IEEE-deterministic)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("ta")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(F.col("ts") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("ts") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_step_view"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_step_click"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_step_purchase"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nc)
+        .select(
+            "n_step_view",
+            "n_step_click",
+            "n_step_purchase",
+            (F.col("n_step_click").cast("double") / F.col("n_step_view")).alias(
+                "view_to_click"
+            ),
+            (F.col("n_step_purchase").cast("double") / F.col("n_step_click")).alias(
+                "click_to_purchase"
+            ),
+        )
+    )

@@ -1180,3 +1180,87 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_residual_tags"),
         F.md5("clean").alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact dedup (the RefinedWeb/CCNet line-dedup analog)
+# ---------------------------------------------------------------------------
+
+_SEG = 10  # tokens per segment (a "line" for this newline-free corpus)
+
+SEGMENT_DEDUP_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+segs AS (
+  SELECT d.doc_id,
+         array_to_string(d.tk[i.i*{_SEG}+1 : i.i*{_SEG}+{_SEG}], ' ') AS seg
+  FROM d, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(d.tk)/{_SEG}.0) AS BIGINT))) AS i
+  ) i
+),
+cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+SELECT
+  segs.doc_id,
+  CAST(count(*) AS INTEGER) AS n_segments,
+  CAST(count(*) FILTER (cnt.nd >= 2) AS INTEGER) AS n_dup_segments,
+  CAST(count(*) FILTER (cnt.nd >= 2) AS DOUBLE) / count(*) AS dup_fraction
+FROM segs JOIN cnt USING (seg)
+GROUP BY segs.doc_id
+"""
+
+
+@register(
+    "text_segment_dedup",
+    oracle=SEGMENT_DEDUP_ORACLE,
+    category="dedup",
+    description="segment-level exact dedup (RefinedWeb line-dedup analog)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact deduplication — the published line/sentence
+    dedup pass (CCNet hashes lines; RefinedWeb drops exact-duplicate
+    spans) adapted to this newline-free corpus: the token stream splits
+    into consecutive 10-token segments and a segment counts as
+    duplicated when it appears verbatim in >= 2 DISTINCT documents.
+    Output per doc: segment count, duplicated-segment count, and the
+    duplicated fraction a removal pass would cut.
+
+    Plan shape: one explode carries O(total tokens / 10) segment rows;
+    the corpus-wide count groups by md5(segment) so the exchange moves a
+    32-hex key instead of full segment text (the oracle groups by the
+    text itself — identical counts, md5 being injective modulo
+    collisions the gate would expose); the count re-joins the narrow
+    (doc_id, seg_key) stream on that same key — two shuffles total, both
+    on the segment hash, no driver collects. The token array
+    materializes ONCE before the fan-out (explode then slice reads the
+    bound attribute, never recomputing split per segment row). At
+    100 TB: segment cardinality ~= corpus size / 10 — partial map-side
+    aggregation collapses repeats before the exchange, and boilerplate
+    mega-segments cannot skew a partition because the leading md5 key is
+    uniform."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    n_segs = F.ceil(F.size("tk") / F.lit(_SEG)).cast("int")
+    segs = (
+        docs.select("doc_id", "tk", F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.concat_ws(" ", F.slice(F.col("tk"), F.col("i") * _SEG + 1, _SEG)),
+                    "UTF-8",
+                )
+            ).alias("seg_key"),
+        )
+    )
+    cnt = segs.groupBy("seg_key").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        segs.join(cnt, "seg_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum(dup).cast("int").alias("n_dup_segments"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_fraction"),
+        )
+    )
