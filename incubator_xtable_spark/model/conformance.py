@@ -1255,6 +1255,86 @@ def check_iceberg_conformance(spark: SparkSession, base_path: str) -> Conformanc
                 f"snapshot-log references expired/unknown snapshot {entry.get('snapshot-id')}",
             )
 
+    # v3 row lineage (spec "Row Lineage"): next-row-id required; every
+    # snapshot's first-row-id bounded by it; the current snapshot's live
+    # data files must carry resolvable, DISJOINT row-id ranges whose max
+    # end never exceeds next-row-id
+    if meta.get("format-version") == 3 and snapshots:
+        next_row_id = meta.get("next-row-id")
+        if not isinstance(next_row_id, int) or next_row_id < 0:
+            report.add(
+                "ICE_NEXT_ROW_ID_MISSING",
+                latest,
+                f"v3 metadata requires next-row-id, got {next_row_id!r}",
+            )
+        else:
+            for s in snapshots.values():
+                fri = s.get("first-row-id")
+                if fri is not None and fri > next_row_id:
+                    report.add(
+                        "ICE_SNAP_FIRST_ROW_ID_BOUND",
+                        latest,
+                        f"snapshot {s['snapshot-id']} first-row-id {fri} > next-row-id {next_row_id}",
+                    )
+            if cur_id in snapshots:
+                ml = _abs_path(snapshots[cur_id].get("manifest-list", ""), base_path)
+                ranges: list[tuple[int, int, str]] = []
+                if os.path.exists(ml):
+                    try:
+                        mf_entries, _ = _read_avro_with_meta(spark, ml, [])
+                        for mf in mf_entries:
+                            mf = {k: _unwrap(v) for k, v in mf.items()}
+                            if (mf.get("content") or 0) != 0:
+                                continue
+                            mp = _abs_path(mf.get("manifest_path") or "", base_path)
+                            if not os.path.exists(mp):
+                                continue
+                            recs, _m = _read_avro_with_meta(spark, mp, [])
+                            running = mf.get("first_row_id")
+                            for entry in recs:
+                                entry = {k: _unwrap(v) for k, v in entry.items()}
+                                if entry.get("status") == 2:
+                                    continue
+                                df = entry.get("data_file")
+                                if not isinstance(df, dict):
+                                    continue
+                                df = {k: _unwrap(v) for k, v in df.items()}
+                                if (df.get("content") or 0) != 0:
+                                    continue
+                                fid = df.get("first_row_id")
+                                n = int(df.get("record_count") or 0)
+                                if fid is None and running is not None:
+                                    fid = running
+                                    running += n
+                                if fid is None:
+                                    report.add(
+                                        "ICE_ROW_ID_UNASSIGNED",
+                                        mp,
+                                        f"v3 data file {df.get('file_path')} has no "
+                                        "first_row_id and no manifest inheritance base",
+                                    )
+                                    continue
+                                ranges.append((int(fid), int(fid) + n, df.get("file_path") or ""))
+                    except Exception as exc:  # noqa: BLE001
+                        report.add("ICE_ROW_ID_WALK", ml, str(exc))
+                ranges.sort()
+                for (a_start, a_end, a_path), (b_start, _b_end, b_path) in zip(
+                    ranges, ranges[1:]
+                ):
+                    if b_start < a_end:
+                        report.add(
+                            "ICE_ROW_ID_OVERLAP",
+                            latest,
+                            f"row-id ranges overlap: {a_path} [{a_start},{a_end}) vs "
+                            f"{b_path} starting {b_start}",
+                        )
+                if ranges and ranges[-1][1] > next_row_id:
+                    report.add(
+                        "ICE_ROW_ID_BOUND",
+                        latest,
+                        f"max assigned row id {ranges[-1][1]} > next-row-id {next_row_id}",
+                    )
+
     # manifest list + manifests of the current snapshot
     if cur_id in snapshots:
         _check_iceberg_manifests(

@@ -235,6 +235,12 @@ class IcebergConversionSource:
                 if mf_spec not in mappings:
                     mappings[mf_spec] = self._spec_field_mapping(meta, mf_spec)
                 mapping = mappings[mf_spec]
+            # v3 row lineage inheritance (spec field 520 / 142): a data
+            # file with null first_row_id takes the manifest's
+            # first_row_id plus the record counts of the null-id data
+            # files before it in the manifest — materialized here so
+            # every consumer sees explicit ids
+            running = mf.get("first_row_id")
             for entry in self.avro.read_records(mf["manifest_path"]):
                 if entry["status"] == 2:
                     continue
@@ -245,6 +251,10 @@ class IcebergConversionSource:
                         for dn, on in mapping
                     }
                 content = entry["data_file"].get("content") or 0
+                if content == 0 and running is not None:
+                    if entry["data_file"].get("first_row_id") is None:
+                        entry["data_file"]["first_row_id"] = running
+                        running += int(entry["data_file"].get("record_count") or 0)
                 (deletes if content in (1, 2) else data).append(entry)
         return data, deletes
 
@@ -1257,6 +1267,7 @@ def read_iceberg_as_df(
     snapshot_id: Optional[int] = None,
     ref: Optional[str] = None,
     prune: Optional[dict] = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read (time travel via snapshot_id, or a branch/tag name
     via ref — spec `refs`): the engine's `spark.read.format("iceberg")`
@@ -1266,7 +1277,14 @@ def read_iceberg_as_df(
     plan-time data skipping from the manifests' own lower/upper bounds —
     files whose bounds provably exclude every requested range drop
     before any footer opens. Safe: files without bounds keep; apply the
-    real row filter on the result."""
+    real row filter on the result.
+
+    ``with_row_ids``: on a v3 row-lineage table, append ``_row_id`` =
+    data file ``first_row_id`` + physical row position (the spec's row
+    lineage derivation; inherited manifest ids are materialized by
+    `_entries_by_content`). Stable across commits, rewrites and
+    deletes — the Iceberg twin of read_delta_as_df's Row Tracking
+    reads. Parquet-only (positions key on _metadata.row_index)."""
     src = IcebergConversionSource(spark, base_path, ref=ref)
     meta = src._meta()
     table = src.get_current_table()
@@ -1291,6 +1309,21 @@ def read_iceberg_as_df(
             "read_iceberg_as_df: row-level deletes with ORC/AVRO data files "
             "are not supported (delete application keys on parquet row indexes)"
         )
+    if with_row_ids:
+        if orc_paths or avro_paths:
+            raise NotImplementedError(
+                "with_row_ids is parquet-only (row ids key on _metadata.row_index)"
+            )
+        no_id = [
+            e["data_file"]["file_path"]
+            for e in entries
+            if e["data_file"].get("first_row_id") is None
+        ]
+        if no_id:
+            raise ValueError(
+                f"with_row_ids: {len(no_id)} data file(s) carry no first_row_id "
+                f"(not a v3 row-lineage table?), e.g. {no_id[:3]}"
+            )
     paths = pq_paths
     from incubator_xtable_spark.model.core import PartitionTransformType
 
@@ -1371,6 +1404,17 @@ def read_iceberg_as_df(
         for c in part_cols:
             df = df.withColumn(c, F.col("pv").getItem(c).cast(table.read_schema[c].dataType))
         df = df.drop("abs_path", "pv")
+    if with_row_ids:
+        fr = spark.createDataFrame(
+            [
+                (e["data_file"]["file_path"], int(e["data_file"]["first_row_id"]))
+                for e in entries
+            ],
+            "_fr_path STRING, _first_row_id LONG",
+        )
+        df = df.join(F.broadcast(fr), df["_scan_path"] == fr["_fr_path"], "left")
+        df = df.withColumn("_row_id", F.col("_first_row_id") + F.col("_nm_pos"))
+        return df.select(*[f.name for f in table.read_schema.fields], "_row_id")
     return df.select(*[f.name for f in table.read_schema.fields])
 
 

@@ -442,6 +442,25 @@ MANIFEST_LIST_SCHEMA = json.dumps(
 )
 
 
+def manifest_list_schema(format_version: int = 2) -> str:
+    """v3 (row lineage) adds ``first_row_id`` (spec field 520): the
+    starting ``_row_id`` for rows in this manifest's data files whose
+    per-file ``first_row_id`` is null (inheritance base); null for
+    delete manifests. v2 manifest lists keep the exact v2 field set."""
+    if format_version < 3:
+        return MANIFEST_LIST_SCHEMA
+    base = json.loads(MANIFEST_LIST_SCHEMA)
+    base["fields"].append(
+        {
+            "name": "first_row_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 520,
+        }
+    )
+    return json.dumps(base)
+
+
 def _kv_map_field(name: str, map_field_id: int, key_id: int, value_id: int, value_type: str) -> dict:
     """Spec encoding of map<int, X> columns: nullable array of key/value
     records with field-ids (e.g. lower_bounds = k126_v127)."""
@@ -470,9 +489,9 @@ def manifest_entry_schema(partition_cols: list, format_version: int = 2) -> str:
     """partition_cols: names (string-typed identity values) or
     (name, avro_type) pairs — time/bucket transforms store spec-native
     ints (year/month/day/hour since epoch, bucket ordinal).
-    format_version=3 adds the deletion-vector reference fields
-    (referenced_data_file 143, content_offset 144,
-    content_size_in_bytes 145)."""
+    format_version=3 adds the row-lineage field (first_row_id 142) and
+    the deletion-vector reference fields (referenced_data_file 143,
+    content_offset 144, content_size_in_bytes 145)."""
     partition_fields = [
         {
             "name": c if isinstance(c, str) else c[0],
@@ -526,6 +545,15 @@ def manifest_entry_schema(partition_cols: list, format_version: int = 2) -> str:
                         ]
                         + (
                             [
+                                {
+                                    # v3 row lineage: the _row_id of the
+                                    # file's first row; null = inherit from
+                                    # the manifest's first_row_id
+                                    "name": "first_row_id",
+                                    "type": ["null", "long"],
+                                    "default": None,
+                                    "field-id": 142,
+                                },
                                 {
                                     "name": "referenced_data_file",
                                     "type": ["null", "string"],
@@ -1108,6 +1136,29 @@ class IcebergConversionTarget:
             if e.get("status") == 1 and e.get("snapshot_id") != snapshot_id:
                 e["status"] = 0
 
+        # v3 row lineage (spec "Row Lineage"): every data file carries an
+        # EXPLICIT first_row_id — new files draw a contiguous
+        # [next-row-id, +record_count) range; carried files keep the id
+        # they were assigned (stable row ids across commits). A file
+        # carried from pre-v3 commits (format upgrade) has none yet and is
+        # assigned on this first v3 commit — explicit materialization, so
+        # the ids are stable from then on. Delete manifests never carry
+        # row ids. The snapshot's first-row-id and the advanced table
+        # next-row-id land in _write_table_metadata.
+        self._first_row_id = None
+        self._next_row_id = None
+        if self.format_version >= 3:
+            fr = int((meta or {}).get("next-row-id") or 0)
+            self._first_row_id = fr
+            for e in entries:
+                df = e["data_file"]
+                if df.get("first_row_id") is None:
+                    df["first_row_id"] = fr
+                    fr += int(df.get("record_count") or 0)
+            for e in delete_entries:
+                e["data_file"].setdefault("first_row_id", None)
+            self._next_row_id = fr
+
         # standard snapshot summary size/count stats (real Iceberg writers
         # emit these; readers — incl. the engine's maxBytesPerTrigger
         # stream pacing — size micro-batches from them)
@@ -1382,8 +1433,21 @@ class IcebergConversionTarget:
             return []
         entries: list[dict] = []
         for mf in self.avro.read_records(snap["manifest-list"]):
+            # v3 row lineage: materialize manifest-inherited row ids while
+            # carrying entries forward — a foreign writer's null per-file
+            # first_row_id must resolve to its INHERITED id here, or the
+            # next commit would reassign (and silently change) them
+            running = mf.get("first_row_id")
             for entry in self.avro.read_records(mf["manifest_path"]):
                 if entry["status"] != 2:  # not DELETED
+                    df = entry.get("data_file") or {}
+                    if (
+                        running is not None
+                        and (df.get("content") or 0) == 0
+                        and df.get("first_row_id") is None
+                    ):
+                        df["first_row_id"] = running
+                        running += int(df.get("record_count") or 0)
                     entries.append(entry)
         return entries
 
@@ -1494,6 +1558,17 @@ class IcebergConversionTarget:
                     "deleted_rows_count": 0,
                 }
             )
+            if self.format_version >= 3:
+                # v3 row lineage (field 520): the inheritance base for the
+                # manifest — every file this writer emits carries an
+                # explicit first_row_id, so the base is informational: the
+                # smallest row id in the chunk (null for delete manifests)
+                ids = [
+                    e["data_file"].get("first_row_id")
+                    for e in chunk
+                    if content == 0 and e["data_file"].get("first_row_id") is not None
+                ]
+                records[-1]["first_row_id"] = min(ids) if ids else None
         return records
 
     def _write_manifest_list(self, manifest_records: list[dict], snapshot_id: int, seq: int) -> str:
@@ -1502,7 +1577,7 @@ class IcebergConversionTarget:
         )
         self.avro.write_records(
             path,
-            MANIFEST_LIST_SCHEMA,
+            manifest_list_schema(self.format_version),
             manifest_records,
             {"format-version": str(self.format_version)},
         )
@@ -1701,6 +1776,11 @@ class IcebergConversionTarget:
             },
             "schema-id": 0,
         }
+        # v3 row lineage: the snapshot records where its row-id range
+        # starts; the table metadata's next-row-id advances past every id
+        # this commit assigned (spec: "Row Lineage")
+        if self.format_version >= 3 and getattr(self, "_first_row_id", None) is not None:
+            snapshot["first-row-id"] = self._first_row_id
         if snapshot.get("parent-snapshot-id") in (None, -1):
             snapshot.pop("parent-snapshot-id", None)
         sort_order_id, sort_orders = self._sort_orders_json(schema_json, prev)
@@ -1779,6 +1859,11 @@ class IcebergConversionTarget:
                 self.branch: {"snapshot-id": snapshot_id, "type": "branch"},
             },
         }
+        if self.format_version >= 3:
+            assigned = getattr(self, "_next_row_id", None)
+            prev_next = int((prev or {}).get("next-row-id") or 0)
+            # monotone: never regress below what an earlier commit handed out
+            meta["next-row-id"] = max(prev_next, assigned if assigned is not None else 0)
         final = os.path.join(metadata_dir(self.base_path), f"v{version}.metadata.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as fh:
