@@ -187,6 +187,9 @@ class InternalSnapshot:
     # metadata-sized; targets that can express content=2 deletes
     # re-register the SAME files with preserved sequence ordering
     equality_deletes: Any = None
+    # row-lineage channel: {physical_path: first row id} for every LIVE
+    # data file (see TableChange.row_lineage)
+    row_lineage: Any = None
 
 
 @dataclass
@@ -205,6 +208,13 @@ class TableChange:
     # update_preimage / update_postimage / delete). Targets that can
     # express a change feed (Delta CDF) persist them.
     row_changes: Any = None  # DataFrame or None
+    # row-lineage channel (sources with expose_row_lineage=True):
+    # {physical_path: first row id} for this commit's ADDED files —
+    # Delta Row Tracking baseRowId / Iceberg v3 first_row_id. Targets
+    # with sync_row_lineage preserve the ids instead of assigning fresh
+    # ranges, so stable row ids SURVIVE format conversion. Metadata-
+    # sized: one long per added file (same posture as equality_deletes).
+    row_lineage: Any = None  # dict[str, int] or None
 
 
 @dataclass

@@ -335,3 +335,87 @@ def meta_prune_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Row lineage across a format conversion (Delta Row Tracking -> Iceberg
+# v3 first_row_id via the row_lineage channel) — r11
+# ---------------------------------------------------------------------------
+
+ROW_LINEAGE_ORACLE = """
+SELECT
+  n_nationkey,
+  CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS _row_id
+FROM nation
+"""
+
+_LINEAGE_STAGE_CACHE: dict = {}
+
+
+def _staged_lineage_table(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    cached = _LINEAGE_STAGE_CACHE.get(sf_dir)
+    if cached and _os.path.isdir(_os.path.join(cached, "metadata")):
+        return cached
+    work = tempfile.mkdtemp(prefix="xt_lineage_")
+    # ONE key-sorted file: physical row order == n_nationkey order, so
+    # _row_id is the 0-based key rank — SQL-expressible for the oracle.
+    # nation is fixed 25 rows at every SF (pyarrow staging, no Spark job).
+    tbl = _pq.read_table(
+        _os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).sort_by("n_nationkey")
+    _pq.write_table(tbl, f"{work}/file-00.parquet")
+    ctrl = ConversionController()
+    res = ctrl.sync(
+        ParquetConversionSource(spark, work, name="nation"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, work, row_tracking=True)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    res = ctrl.sync(
+        DeltaConversionSource(spark, work, expose_row_lineage=True),
+        {
+            TableFormat.ICEBERG: IcebergConversionTarget(
+                spark, work, table_name="nation", format_version=3
+            )
+        },
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    _LINEAGE_STAGE_CACHE[sf_dir] = work
+    return work
+
+
+@register(
+    "meta_row_lineage",
+    oracle=ROW_LINEAGE_ORACLE,
+    category="metadata",
+    description="row ids survive Delta->Iceberg conversion (row_lineage channel)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def meta_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end row-lineage preservation (r11): stage `nation` as one
+    key-sorted file, convert it to a Row-Tracking Delta table, convert
+    THAT to Iceberg v3 with expose_row_lineage (baseRowId ->
+    first_row_id verbatim), and read `_row_id` back from the ICEBERG
+    side. Because the file is key-sorted, the stable row id equals the
+    0-based key rank — which is what the DuckDB oracle computes from the
+    raw rows, so the gate proves the whole channel end to end.
+    SF-invariant cost (25 rows); repeat calls reuse the staged tables."""
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+
+    work = _staged_lineage_table(spark, sf_dir)
+    return (
+        read_iceberg_as_df(spark, work, with_row_ids=True)
+        .select("n_nationkey", "_row_id")
+        .orderBy("n_nationkey")
+    )

@@ -309,6 +309,16 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
         ):
             source.expose_row_deletes = True
 
+        # row-lineage preservation is an EXPLICIT opt-in (not auto): it
+        # has hard prerequisites on both sides (Row Tracking / Iceberg
+        # v3) and the refusals should name them, not be silently skipped
+        if str(dataset.get("exposeRowLineage", "")).lower() == "true":
+            if not hasattr(source, "expose_row_lineage"):
+                raise ValueError(
+                    f"exposeRowLineage is not supported by {type(source).__name__}"
+                )
+            source.expose_row_lineage = True
+
         # catalog registrations for this dataset (convert AND register in
         # one run — RunCatalogSync.java:129-185)
         target_catalogs: dict[TableFormat, list[TargetCatalogConfig]] = {}

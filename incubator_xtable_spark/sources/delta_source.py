@@ -1620,6 +1620,7 @@ class DeltaConversionSource:
         name: Optional[str] = None,
         expose_row_deletes: bool = False,
         emit_row_changes: bool = False,
+        expose_row_lineage: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -1634,6 +1635,12 @@ class DeltaConversionSource:
         # Iceberg v2 target); otherwise the default purged-shadow path
         # keeps row parity for targets that cannot.
         self.expose_row_deletes = expose_row_deletes
+        # Row-lineage channel: attach {path: baseRowId} (Delta Row
+        # Tracking) to snapshot/change.row_lineage so lineage-capable
+        # targets (Iceberg v3) PRESERVE stable row ids across the
+        # conversion instead of assigning fresh ranges. Requires every
+        # live add to carry baseRowId (a Row Tracking table).
+        self.expose_row_lineage = expose_row_lineage
 
     def get_current_table(self) -> Optional[InternalTable]:
         return self.get_table_at_version(None)
@@ -1698,7 +1705,46 @@ class DeltaConversionSource:
             version=str(version),
             files=files,
             row_deletes=self._row_deletes_for(live) if self.expose_row_deletes else None,
+            row_lineage=self._row_lineage_map(live) if self.expose_row_lineage else None,
         )
+
+    def _row_lineage_map(self, adds: DataFrame) -> dict:
+        """Add actions -> {absolute path: baseRowId} for the row-lineage
+        channel. Refuses loudly when an add carries no baseRowId (not a
+        Row Tracking table) or when a deletion vector is present without
+        expose_row_deletes (the purged-shadow rewrite renumbers physical
+        rows, so the original ids cannot survive it). Metadata-sized:
+        one driver row per file, same posture as _row_deletes_for."""
+        cols = ["path", "baseRowId"]
+        has_dv = "deletionVector" in adds.columns
+        if has_dv:
+            cols.append("deletionVector")
+        rows = adds.select(*cols).collect()
+        missing = [r["path"] for r in rows if r["baseRowId"] is None]
+        if missing:
+            raise ValueError(
+                f"expose_row_lineage: {len(missing)} add(s) carry no baseRowId "
+                f"(not a Row Tracking table?), e.g. {missing[:3]}"
+            )
+        if (
+            has_dv
+            and not self.expose_row_deletes
+            and any(
+                r["deletionVector"] and r["deletionVector"]["storageType"] for r in rows
+            )
+        ):
+            raise ValueError(
+                "expose_row_lineage with deletion vectors requires "
+                "expose_row_deletes=True: the purged-shadow rewrite renumbers "
+                "physical rows, so baseRowId-derived ids cannot survive it"
+            )
+        base = self.base_path.rstrip("/") + "/"
+        return {
+            (r["path"] if r["path"].startswith("/") else base + r["path"]): int(
+                r["baseRowId"]
+            )
+            for r in rows
+        }
 
     def _row_deletes_for(self, adds: DataFrame) -> DataFrame:
         """DV'd files -> ROW_DELETES_SCHEMA rows; materializes the
@@ -1872,6 +1918,13 @@ class DeltaConversionSource:
             change.row_changes = read_delta_cdf(
                 self.spark, self.base_path, int(commit)
             ).drop("_commit_version")
+        if self.expose_row_lineage:
+            actions = read_log_actions(self.spark, self.base_path).filter(
+                F.col("version") == int(commit)
+            )
+            change.row_lineage = self._row_lineage_map(
+                actions.filter(F.col("add.path").isNotNull()).select("add.*")
+            )
         return change
 
     def _table_change_impl(self, commit: str) -> TableChange:

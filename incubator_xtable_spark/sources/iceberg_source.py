@@ -65,6 +65,7 @@ class IcebergConversionSource:
         emit_row_changes: bool = False,
         ref: Optional[str] = None,
         expose_equality_deletes: bool = False,
+        expose_row_lineage: bool = False,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -91,6 +92,13 @@ class IcebergConversionSource:
                 "expose_equality_deletes requires expose_row_deletes"
             )
         self.expose_equality_deletes = expose_equality_deletes
+        # Row-lineage channel: {path: first_row_id} (v3 Row Lineage) rides
+        # on snapshot/change.row_lineage so lineage-capable targets (Delta
+        # Row Tracking, another Iceberg v3 table) preserve stable row ids.
+        # Incompatible with the purged-shadow delete path (shadows
+        # renumber physical rows) — tables with applicable deletes need
+        # expose_row_deletes too.
+        self.expose_row_lineage = expose_row_lineage
 
     # -- table -------------------------------------------------------------
 
@@ -753,6 +761,27 @@ class IcebergConversionSource:
             },
         }
 
+    def _lineage_map(self, entries: list[dict]) -> dict:
+        """Data entries -> {file_path: first_row_id} for the row-lineage
+        channel; refuses when any live data file lacks an id (not a v3
+        row-lineage table — inheritance was already materialized by
+        _entries_by_content, so null here means genuinely unassigned)."""
+        out: dict = {}
+        missing = []
+        for e in entries:
+            df = e["data_file"]
+            fid = df.get("first_row_id")
+            if fid is None:
+                missing.append(df["file_path"])
+            else:
+                out[df["file_path"]] = int(fid)
+        if missing:
+            raise ValueError(
+                f"expose_row_lineage: {len(missing)} data file(s) carry no "
+                f"first_row_id (not a v3 row-lineage table?), e.g. {missing[:3]}"
+            )
+        return out
+
     def get_current_snapshot(self) -> InternalSnapshot:
         meta = self._meta()
         table = self.get_current_table()
@@ -776,6 +805,15 @@ class IcebergConversionSource:
                     if self.expose_equality_deletes
                     else None
                 ),
+                row_lineage=self._lineage_map(entries)
+                if self.expose_row_lineage
+                else None,
+            )
+        if affected and self.expose_row_lineage:
+            raise ValueError(
+                "expose_row_lineage with applicable deletes requires "
+                "expose_row_deletes=True: the purged-shadow rewrite renumbers "
+                "physical rows, so first_row_id-derived ids cannot survive it"
             )
         if affected:
             self._materialize_delete_shadows(affected, deletes, entries)
@@ -783,6 +821,7 @@ class IcebergConversionSource:
             table=table,
             version=str(snapshot_id),
             files=self._to_inventory(entries, table, affected),
+            row_lineage=self._lineage_map(entries) if self.expose_row_lineage else None,
         )
 
     def _to_inventory(
@@ -986,6 +1025,9 @@ class IcebergConversionSource:
                     if self.expose_equality_deletes
                     else None
                 ),
+                row_lineage=self._lineage_map(added)
+                if self.expose_row_lineage
+                else None,
             )
 
         def eff_view(sid: Optional[int], materialize: bool):
@@ -1007,11 +1049,18 @@ class IcebergConversionSource:
 
         added = [e for p, e in cur_eff.items() if p not in prev_eff]
         removed = [e for p, e in prev_eff.items() if p not in cur_eff]
+        if self.expose_row_lineage and (cur_affected or prev_affected):
+            raise ValueError(
+                "expose_row_lineage with applicable deletes requires "
+                "expose_row_deletes=True: the purged-shadow rewrite renumbers "
+                "physical rows, so first_row_id-derived ids cannot survive it"
+            )
         return TableChange(
             table=table,
             commit_id=commit,
             files_added=self._to_inventory(added, table, cur_affected),
             files_removed=self._to_inventory(removed, table, prev_affected),
+            row_lineage=self._lineage_map(added) if self.expose_row_lineage else None,
         )
 
     def get_commit_identifier(self, commit: str) -> str:

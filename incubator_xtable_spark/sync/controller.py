@@ -214,6 +214,10 @@ class ConversionController:
                     target.sync_row_deletes(snapshot.row_deletes)
                 if getattr(snapshot, "equality_deletes", None) is not None:
                     target.sync_equality_deletes(snapshot.equality_deletes)
+                if getattr(snapshot, "row_lineage", None) is not None:
+                    # only sources configured with expose_row_lineage set
+                    # this; a target without sync_row_lineage fails here
+                    target.sync_row_lineage(snapshot.row_lineage)
                 target.complete_sync()
                 results[fmt] = SyncResult(
                     mode=SyncMode.FULL,
@@ -299,6 +303,8 @@ class ConversionController:
                         target.sync_row_deletes(change.row_deletes)
                     if getattr(change, "equality_deletes", None) is not None:
                         target.sync_equality_deletes(change.equality_deletes)
+                    if getattr(change, "row_lineage", None) is not None:
+                        target.sync_row_lineage(change.row_lineage)
                     if getattr(change, "row_changes", None) is not None and hasattr(
                         target, "sync_row_changes"
                     ):

@@ -200,6 +200,7 @@ class DeltaConversionTarget:
         self._committed_version: Optional[int] = None
         self._row_deletes: Optional[DataFrame] = None
         self._row_changes: Optional[DataFrame] = None
+        self._row_lineage: Optional[dict] = None
         self._domain_metadata: dict[str, str] = {}
         self._removed_domains: set[str] = set()
         # True when adds/removes came from a FULL-snapshot sync (the one
@@ -321,6 +322,16 @@ class DeltaConversionTarget:
         in the target re-commit as remove + re-add with the new DV (the
         shape a Delta DELETE writes); an unchanged delete set is a no-op."""
         self._row_deletes = deletes
+
+    def sync_row_lineage(self, mapping: dict) -> None:
+        """Row-lineage channel ({physical_path: first row id}): this
+        commit's adds take the SOURCE's row ids as their baseRowId
+        (Iceberg v3 first_row_id -> Delta Row Tracking), so stable row
+        ids survive the conversion. Requires row_tracking=True on this
+        target (validated at commit); when the channel is active every
+        added file must be named in the mapping — mixing source ids with
+        fresh ranges inside one commit cannot be proven disjoint."""
+        self._row_lineage = dict(mapping)
 
     def sync_row_changes(self, changes: DataFrame) -> None:
         """CDC channel: the commit's row-level changes (table columns +
@@ -477,7 +488,12 @@ class DeltaConversionTarget:
                 "adds carry no baseRowId and would need a backfill commit"
             )
         rt_on = (self.row_tracking and version == 0) or rt_was_on
-        rt_state: Optional[dict[str, int]] = None
+        if self._row_lineage is not None and not rt_on:
+            raise ValueError(
+                "row-lineage preservation needs Row Tracking: construct this "
+                "target with row_tracking=True (creation-only, like the spec)"
+            )
+        rt_state: Optional[dict[str, Any]] = None
         if rt_on:
             hwm = -1
             if version > 0:
@@ -490,7 +506,10 @@ class DeltaConversionTarget:
                 )
                 if raw:
                     hwm = int(json.loads(raw).get("rowIdHighWaterMark", -1))
-            rt_state = {"hwm": hwm, "assigned": 0}
+            # hwm0 freezes the pre-commit watermark (lineage hand-outs
+            # below it would collide with already-assigned ranges); spans
+            # proves THIS commit's provided ranges mutually disjoint
+            rt_state = {"hwm": hwm, "assigned": 0, "hwm0": hwm, "spans": []}
 
         # row-delete channel: write DV files and split them into
         # (a) descriptors attached to this commit's adds and
@@ -1076,9 +1095,40 @@ class DeltaConversionTarget:
                     f"row_tracking needs record counts; file "
                     f"{row['physical_path']!r} has no record_count stat"
                 )
-            add["baseRowId"] = rt_state["hwm"] + 1
+            if self._row_lineage is not None:
+                # lineage channel: take the SOURCE's range verbatim
+                provided = self._row_lineage.get(row["physical_path"])
+                if provided is None:
+                    raise ValueError(
+                        "row-lineage channel active but add "
+                        f"{row['physical_path']!r} is not in the mapping — the "
+                        "source must provide lineage for every added file"
+                    )
+                provided = int(provided)
+                if provided <= rt_state["hwm0"]:
+                    raise ValueError(
+                        f"provided row-id range [{provided},{provided + int(n)}) "
+                        f"falls under the table's watermark {rt_state['hwm0']} — "
+                        "enable the lineage channel at table creation, not mid-life"
+                    )
+                import bisect
+
+                spans = rt_state["spans"]
+                i = bisect.bisect_left(spans, (provided, provided))
+                if (i > 0 and spans[i - 1][1] > provided) or (
+                    i < len(spans) and spans[i][0] < provided + int(n)
+                ):
+                    raise ValueError(
+                        f"provided row-id range [{provided},{provided + int(n)}) "
+                        "overlaps another provided range in this commit"
+                    )
+                spans.insert(i, (provided, provided + int(n)))
+                add["baseRowId"] = provided
+                rt_state["hwm"] = max(rt_state["hwm"], provided + int(n) - 1)
+            else:
+                add["baseRowId"] = rt_state["hwm"] + 1
+                rt_state["hwm"] += int(n)
             add["defaultRowCommitVersion"] = version
-            rt_state["hwm"] += int(n)
             rt_state["assigned"] += 1
         if dv_desc is not None:
             add["deletionVector"] = dv_desc

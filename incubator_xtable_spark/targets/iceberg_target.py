@@ -984,6 +984,7 @@ class IcebergConversionTarget:
         self._committed_snapshot: Optional[int] = None
         self._row_deletes: Optional[DataFrame] = None
         self._equality_deletes: Optional[dict] = None
+        self._row_lineage: Optional[dict] = None
 
     # -- sync steps --------------------------------------------------------
 
@@ -1021,6 +1022,20 @@ class IcebergConversionTarget:
         position-delete file entry in a content=1 manifest at this
         commit's sequence number — the data files are NOT rewritten."""
         self._row_deletes = deletes
+
+    def sync_row_lineage(self, mapping: dict) -> None:
+        """Row-lineage channel ({physical_path: first row id}): new data
+        files named in the mapping take the SOURCE's row-id range
+        (first_row_id = the Delta baseRowId / foreign first_row_id)
+        instead of a fresh one, so stable row ids survive the format
+        conversion; files the mapping does not name still draw fresh
+        ranges. v3 only — row lineage does not exist below format v3."""
+        if self.format_version < 3:
+            raise NotImplementedError(
+                "row-lineage preservation requires format_version=3 "
+                f"(this target is v{self.format_version})"
+            )
+        self._row_lineage = dict(mapping)
 
     def sync_equality_deletes(self, eq: dict) -> None:
         """Equality-delete channel (Iceberg->Iceberg relay, r8): the
@@ -1148,8 +1163,21 @@ class IcebergConversionTarget:
         self._first_row_id = None
         self._next_row_id = None
         if self.format_version >= 3:
-            fr = int((meta or {}).get("next-row-id") or 0)
-            self._first_row_id = fr
+            start = int((meta or {}).get("next-row-id") or 0)
+            self._first_row_id = start
+            # row-lineage channel first: id-less files named in the mapping
+            # take the SOURCE's range verbatim (ids survive conversion);
+            # fresh assignment then starts above BOTH the table's own
+            # watermark and every preserved range
+            provided = self._row_lineage or {}
+            fr = start
+            for e in entries:
+                df = e["data_file"]
+                if df.get("first_row_id") is None:
+                    src_id = provided.get(df["file_path"])
+                    if src_id is not None:
+                        df["first_row_id"] = int(src_id)
+                        fr = max(fr, int(src_id) + int(df.get("record_count") or 0))
             for e in entries:
                 df = e["data_file"]
                 if df.get("first_row_id") is None:
@@ -1158,6 +1186,25 @@ class IcebergConversionTarget:
             for e in delete_entries:
                 e["data_file"].setdefault("first_row_id", None)
             self._next_row_id = fr
+            # disjointness is a spec invariant — a channel activated on a
+            # table that already assigned its OWN ids can collide; refuse
+            # at commit time rather than write overlapping lineage
+            spans = sorted(
+                (
+                    int(e["data_file"]["first_row_id"]),
+                    int(e["data_file"]["first_row_id"])
+                    + int(e["data_file"].get("record_count") or 0),
+                    e["data_file"]["file_path"],
+                )
+                for e in entries
+            )
+            for (a0, a1, ap), (b0, _b1, bp) in zip(spans, spans[1:]):
+                if b0 < a1:
+                    raise ValueError(
+                        "row-id ranges would overlap: "
+                        f"{ap} [{a0},{a1}) vs {bp} starting {b0} — enable the "
+                        "row-lineage channel at table creation, not mid-life"
+                    )
 
         # standard snapshot summary size/count stats (real Iceberg writers
         # emit these; readers — incl. the engine's maxBytesPerTrigger
