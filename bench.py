@@ -112,6 +112,22 @@ def main() -> None:
             ParquetConversionSource(spark, warm_dir, name="warm"),
             {TableFormat.DELTA: DeltaConversionTarget(spark, warm_dir)},
         )
+        # the Iceberg machinery (JVM avro classes, manifest codec) has its
+        # own one-time load the Delta warm-up doesn't touch; warm it with
+        # the same throwaway table so meta_row_lineage's timed run pays
+        # its REAL two-sync cost, not first-touch classloading
+        from incubator_xtable_spark.targets.iceberg_target import (
+            IcebergConversionTarget,
+        )
+
+        ConversionController().sync(
+            ParquetConversionSource(spark, warm_dir, name="warm"),
+            {
+                TableFormat.ICEBERG: IcebergConversionTarget(
+                    spark, warm_dir, table_name="warm", format_version=3
+                )
+            },
+        )
     except Exception:  # noqa: BLE001
         pass
     calibration = calibration_probe(spark)

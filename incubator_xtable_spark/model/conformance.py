@@ -470,6 +470,27 @@ def check_delta_conformance(spark: SparkSession, base_path: str) -> ConformanceR
                 "declare the timestampNtz feature (reader 3 + both lists)",
             )
 
+    # same gating for VARIANT: legacy readers cannot decode the physical
+    # (metadata, value) binary pair at all
+    if (
+        metadata_seen is not None
+        and protocol_seen is not None
+        and '"variant"' in (metadata_seen.get("schemaString") or "")
+    ):
+        rf = set(protocol_seen.get("readerFeatures") or [])
+        wf = set(protocol_seen.get("writerFeatures") or [])
+        if (
+            protocol_seen.get("minReaderVersion", 1) < 3
+            or "variantType" not in rf
+            or "variantType" not in wf
+        ):
+            report.add(
+                "DELTA_VARIANT_FEATURE_MISSING",
+                log_dir,
+                "schema contains variant but the protocol does not declare "
+                "the variantType feature (reader 3 + both lists)",
+            )
+
     # feature gating: any DV use requires the deletionVectors feature
     if live_dv_uses and protocol_seen is not None:
         rf = set(protocol_seen.get("readerFeatures") or [])

@@ -88,6 +88,72 @@ def lsh_bucket_bands(
     return F.transform(lit3, band_key)
 
 
+def lsh_band_keys_arrow(
+    vectors: "DataFrame",
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    seed: int = 42,
+) -> "DataFrame":
+    """(kid, b0..b{n_bands-1}) band keys via ONE Arrow-batched numpy
+    projection: each batch is a single (n, dim) @ (dim, bands*planes)
+    float64 matmul + sign + bit-weight sum — vectorized C per batch
+    instead of Catalyst's per-element interpreted HOF lambdas.
+
+    Why not the pure-JVM lsh_bucket_bands expression here: measured at
+    sf0.1 (2,000 x 64-dim vectors) the nested transform/zip_with/
+    aggregate tree costs ~2 s PER EVALUATION (~8M interpreted lambda
+    calls + per-element allocations); the Arrow matmul is ~10 ms plus
+    batch transfer. Same hyperplanes (driver-side, seed-deterministic,
+    captured in the closure — no worker-side repo imports), so recall
+    properties are identical; keys are row-local, hence partition-layout
+    invariant. Sign ties at dot==0.0 may resolve differently than the
+    JVM fold (summation order), which changes WHO gets compared, never
+    a verified similarity value. Scale: map-only, zero shuffles, zero
+    driver collects; the hyperplane literal is (bands*planes*dim)
+    floats broadcast once in the closure."""
+    import pyarrow as _pa_mod  # noqa: F401 — assert availability at plan time
+
+    H = np.asarray(
+        [_hyperplanes(dim, n_planes, seed + 1000 * b) for b in range(n_bands)],
+        dtype=np.float64,
+    )
+    planes_t = np.ascontiguousarray(H.reshape(n_bands * n_planes, dim).T)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    out_schema = ", ".join(["kid LONG"] + [f"b{b} INT" for b in range(n_bands)])
+    nb, npl, d = n_bands, n_planes, dim
+
+    def _keys(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            if lst.null_count:
+                raise ValueError("lsh_band_keys_arrow: null vectors are not bucketable")
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) != len(ids) * d:
+                raise ValueError(
+                    f"lsh_band_keys_arrow: expected uniform dim {d}, got "
+                    f"{len(flat)} values for {len(ids)} vectors"
+                )
+            arr = _np.asarray(flat, dtype=_np.float64).reshape(len(ids), d)
+            bits = (arr @ planes_t) > 0.0
+            keys = (bits.reshape(-1, nb, npl) * weights).sum(axis=2).astype(_np.int32)
+            yield _pa.record_batch(
+                [ids] + [_pa.array(keys[:, b]) for b in range(nb)],
+                names=["kid"] + [f"b{b}" for b in range(nb)],
+            )
+
+    return vectors.select(
+        F.col(id_col).cast("long").alias("kid"), F.col(vec_col).alias("v")
+    ).mapInArrow(_keys, out_schema)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -694,21 +694,24 @@ def embedding_near_duplicates(
     label-blocked dedup_embedding_cosine registry entry (an ORACLE
     BASELINE, O(N^2/L) within labels): this is the recipe that survives
     a 100x scale-up."""
-    from incubator_xtable_spark.operators.ann import dot, lsh_bucket_bands
+    from incubator_xtable_spark.operators.ann import dot, lsh_band_keys_arrow
 
     vectors = _spread(vectors)
 
-    # band keys materialize ONCE per vector as a single array expression
-    # (materialize-before-fanout: inlined, each of the n_planes
-    # 1-bit-flip probe variants would recompute its band's hyperplane
-    # dots; and one 3-D literal keeps the Catalyst tree ~3 nodes instead
-    # of n_bands*n_planes literal subtrees — both measured)
-    keyed = vectors.select(
-        F.col(id_col).alias("kid"),
-        lsh_bucket_bands(F.col(vec_col), dim, n_planes, n_bands, seed).alias("bkeys"),
-    ).select(
-        "kid", *[F.col("bkeys").getItem(b).alias(f"b{b}") for b in range(n_bands)]
-    )
+    # band keys via ONE Arrow-batched numpy matmul (r11: the pure-JVM
+    # lsh_bucket_bands HOF tree cost ~2 s/evaluation at sf0.1 — ~8M
+    # interpreted lambda calls; the matmul is ~10 ms/batch), lazily
+    # localCheckpointed so the exact and probe branches of the self-join
+    # read the SAME materialized keys instead of projecting twice
+    keyed = lsh_band_keys_arrow(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+    ).localCheckpoint(eager=False)
     # narrow candidate stream: (band-prefixed bucket, id); exact buckets
     # on the left, exact + 1-bit-flip probes on the right
     exact = keyed.select(

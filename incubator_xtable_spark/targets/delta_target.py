@@ -636,25 +636,34 @@ class DeltaConversionTarget:
                 writer_version = max(writer_version, 5)
             need_dv = bool(dv_map) or bool(dv_readds)
             need_v2cp = self.checkpoint_layout == "v2" and self.checkpoint_interval > 0
-            # timestampNtz (PROTOCOL.md): a schema carrying TIMESTAMP_NTZ
-            # anywhere (nested included) requires the reader-writer table
-            # feature — legacy readers interpret the physical values as
-            # UTC-adjusted and silently shift them otherwise
-            def _has_ntz(dt: T.DataType) -> bool:
-                if isinstance(dt, T.TimestampNTZType):
+            # type-gated reader-writer features (PROTOCOL.md): a schema
+            # carrying TIMESTAMP_NTZ anywhere (nested included) requires
+            # timestampNtz — legacy readers interpret the physical values
+            # as UTC-adjusted and silently shift them; VARIANT requires
+            # variantType — legacy readers cannot decode the physical
+            # (metadata, value) binary pair at all
+            def _schema_has(dt: T.DataType, klass) -> bool:
+                if isinstance(dt, klass):
                     return True
                 if isinstance(dt, T.StructType):
-                    return any(_has_ntz(f.dataType) for f in dt.fields)
+                    return any(_schema_has(f.dataType, klass) for f in dt.fields)
                 if isinstance(dt, T.ArrayType):
-                    return _has_ntz(dt.elementType)
+                    return _schema_has(dt.elementType, klass)
                 if isinstance(dt, T.MapType):
-                    return _has_ntz(dt.keyType) or _has_ntz(dt.valueType)
+                    return _schema_has(dt.keyType, klass) or _schema_has(
+                        dt.valueType, klass
+                    )
                 return False
 
-            need_ntz = _has_ntz(schema) or any(
-                _has_ntz(f.dataType) for f in self._generated_fields or []
-            )
-            if need_dv or need_v2cp or need_ntz:
+            def _need_type(klass) -> bool:
+                return _schema_has(schema, klass) or any(
+                    _schema_has(f.dataType, klass) for f in self._generated_fields or []
+                )
+
+            need_ntz = _need_type(T.TimestampNTZType)
+            _variant_t = getattr(T, "VariantType", None)
+            need_variant = _variant_t is not None and _need_type(_variant_t)
+            if need_dv or need_v2cp or need_ntz or need_variant:
                 reader_version = max(reader_version, 3)
                 writer_version = max(writer_version, 7)
             if ict_on:
@@ -703,6 +712,14 @@ class DeltaConversionTarget:
                     or "timestampNtz" not in prev_reader_feats
                 )
             )
+            variant_upgrade_needed = (
+                need_variant
+                and prev_proto is not None
+                and (
+                    prev_proto.get("minReaderVersion", 1) < 3
+                    or "variantType" not in prev_reader_feats
+                )
+            )
             if version == 0 or (
                 need_dv
                 and prev_proto is not None
@@ -712,7 +729,7 @@ class DeltaConversionTarget:
                 )
             ) or (
                 need_v2cp and prev_proto is not None and "v2Checkpoint" not in prev_reader_feats
-            ) or cdf_upgrade_needed or ict_upgrade_needed or domain_upgrade_needed or ntz_upgrade_needed:
+            ) or cdf_upgrade_needed or ict_upgrade_needed or domain_upgrade_needed or ntz_upgrade_needed or variant_upgrade_needed:
                 # an existing table-features protocol stays on 3/7 even if
                 # this commit's own needs are lower (features cannot demote)
                 if prev_reader_feats:
@@ -727,6 +744,7 @@ class DeltaConversionTarget:
                     need_dv
                     or need_v2cp
                     or need_ntz
+                    or need_variant
                     or ict_on
                     or need_domain
                     or rt_on
@@ -763,6 +781,9 @@ class DeltaConversionTarget:
                     if need_ntz or "timestampNtz" in prev_reader_feats:
                         reader_feats.add("timestampNtz")
                         writer_feats.add("timestampNtz")
+                    if need_variant or "variantType" in prev_reader_feats:
+                        reader_feats.add("variantType")
+                        writer_feats.add("variantType")
                     if max_col_id:
                         reader_feats.add("columnMapping")
                         writer_feats.add("columnMapping")

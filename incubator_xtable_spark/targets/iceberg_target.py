@@ -95,6 +95,12 @@ def spark_type_to_iceberg(dt: T.DataType, field_meta: Optional[dict] = None) -> 
         return "binary"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
+    _variant_t = getattr(T, "VariantType", None)
+    if _variant_t is not None and isinstance(dt, _variant_t):
+        # Iceberg v3 `variant` (semi-structured (metadata, value) binary
+        # pair — the same Spark-shredded encoding Delta's variantType
+        # uses); the target gates this on format_version>=3 at sync time
+        return "variant"
     raise ValueError(f"unsupported type for iceberg mapping: {dt}")
 
 
@@ -124,6 +130,13 @@ def iceberg_type_to_spark(t: Any) -> tuple[T.DataType, dict]:
             return T.BinaryType(), {LOGICAL_TYPE: "uuid", FIXED_BYTES_SIZE: 16}
         if t.startswith("fixed["):
             return T.BinaryType(), {FIXED_BYTES_SIZE: int(t[len("fixed[") : -1])}
+        if t == "variant":
+            _variant_t = getattr(T, "VariantType", None)
+            if _variant_t is None:
+                raise ValueError(
+                    "iceberg `variant` needs a Spark runtime with VariantType"
+                )
+            return _variant_t(), {}
     raise ValueError(f"unsupported iceberg type: {t}")
 
 
@@ -994,6 +1007,26 @@ class IcebergConversionTarget:
         os.makedirs(metadata_dir(self.base_path), exist_ok=True)
 
     def sync_schema(self, schema: T.StructType) -> None:
+        # `variant` exists only in spec v3 — a v2 table cannot express it
+        _variant_t = getattr(T, "VariantType", None)
+        if _variant_t is not None and self.format_version < 3:
+
+            def _has_variant(dt: T.DataType) -> bool:
+                if isinstance(dt, _variant_t):
+                    return True
+                if isinstance(dt, T.StructType):
+                    return any(_has_variant(f.dataType) for f in dt.fields)
+                if isinstance(dt, T.ArrayType):
+                    return _has_variant(dt.elementType)
+                if isinstance(dt, T.MapType):
+                    return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+                return False
+
+            if _has_variant(schema):
+                raise ValueError(
+                    "VARIANT columns require format_version=3 (Iceberg v3 "
+                    f"`variant` type); this target is v{self.format_version}"
+                )
         self._schema = schema
 
     def sync_partition_spec(self, partition_fields: list) -> None:
