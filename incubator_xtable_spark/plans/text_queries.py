@@ -1264,3 +1264,92 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY lang, split
+"""
+
+
+@register(
+    "corpus_split_assign",
+    oracle=SPLIT_ORACLE,
+    category="corpus",
+    description="deterministic stratified train/val/test split (hash ranges)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step every
+    training pipeline needs to be REPRODUCIBLE and leak-free: membership
+    is a pure function of the document's own key (md5 prefix mod 100 ->
+    90/5/5 ranges), so reruns, late-arriving shards and resumed jobs
+    place every document in the SAME split on any cluster size or
+    partition layout, and a document can never drift between train and
+    eval across pipeline versions (the contamination class rand()-based
+    splits create). Reported per (lang, split) so skewed language mixes
+    are visible at assignment time.
+
+    Scale: the assignment is a narrow map-side expression in the scan
+    stage; the only shuffle is the reporting groupBy. The same predicate
+    filters a 100 TB corpus split-side with zero data movement."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge learning (tokenizer training pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_merges",
+    oracle=None,  # iterative — not SQL-expressible; pytest differential
+    category="text",
+    description="distributed BPE merge learning over the corpus (top-8 merges)",
+    graded=False,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's top-8 BPE merges (Sennrich et al. 2016) — the
+    tokenizer-training pass of an LLM pipeline, Spark-first: ONE
+    corpus-sized groupBy(word) bounds all later work by VOCABULARY size,
+    then each merge round is one narrow pair aggregation over the vocab
+    table plus a one-row argmax collect (full tie-break: count desc,
+    pair asc — deterministic on any partition layout). Gate: pytest
+    differential against an independent pure-Python BPE on the same
+    corpus (exact merge list AND weighted counts), see
+    tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.bpe import bpe_merges_df
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, docs, n_merges=8)

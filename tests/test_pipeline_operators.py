@@ -882,3 +882,60 @@ def test_corpus_curation_composition_end_to_end(spark):
     assert n0 >= n_q >= n_exact >= n_fuzzy >= len(final_ids) > 0
     # deterministic: the same chain yields the same corpus
     assert run_chain()[3] == final_ids
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(texts, n_merges, min_freq=2):
+    """Independent pure-Python BPE (Sennrich 2016) with the operator's
+    tie-break (count desc, pair asc) — the differential oracle."""
+    import collections
+
+    freq = collections.Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {tuple(w): c for w, c in freq.items()}
+    out = []
+    for rank in range(n_merges):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_freq:
+            break
+        out.append((rank, a, b, n))
+        newv = {}
+        for syms, c in vocab.items():
+            merged = []
+            for s in syms:
+                if merged and merged[-1] == a and s == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(s)
+            k = tuple(merged)
+            newv[k] = newv.get(k, 0) + c
+        vocab = newv
+    return out
+
+
+def test_bpe_merges_match_reference(spark):
+    from incubator_xtable_spark.operators.bpe import learn_bpe_merges
+
+    docs = load(spark, SF_SMOKE, "documents")
+    got = learn_bpe_merges(docs, n_merges=8)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _reference_bpe(texts, 8)
+    assert len(got) == 8  # this corpus has at least 8 learnable merges
+
+
+def test_bpe_merges_partition_layout_invariant(spark):
+    from incubator_xtable_spark.operators.bpe import learn_bpe_merges
+
+    docs = load(spark, SF_SMOKE, "documents")
+    a = learn_bpe_merges(docs.repartition(17), n_merges=5)
+    b = learn_bpe_merges(docs.coalesce(1), n_merges=5)
+    assert a == b and len(a) == 5
