@@ -1567,11 +1567,11 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
         report.add("HUDI_NO_HOODIE_DIR", hoodie, ".hoodie directory missing")
         return report
     props_path = os.path.join(hoodie, "hoodie.properties")
+    props: dict = {}
     if not os.path.exists(props_path):
         report.add("HUDI_NO_PROPERTIES", props_path, "hoodie.properties missing")
     else:
         report.checked_files += 1
-        props = {}
         with open(props_path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -1619,33 +1619,73 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
                     "parquet index nor an HFile partition is present",
                 )
 
-    completed: list[tuple[str, str]] = []
-    names = set(os.listdir(hoodie))
+    # active timeline: `.hoodie/timeline` (Hudi 1.0 / table version 8,
+    # completed files named {requested}_{completion}.{action}) or
+    # `.hoodie` itself (<= v6). The dir and the declared table version
+    # must agree.
+    tdir = os.path.join(hoodie, "timeline")
+    v8_layout = os.path.isdir(tdir)
+    active_dir = tdir if v8_layout else hoodie
+    declared_version = props.get("hoodie.table.version")
+    if v8_layout and declared_version not in (None, "8"):
+        report.add(
+            "HUDI_TIMELINE_VERSION",
+            tdir,
+            f".hoodie/timeline present but hoodie.table.version={declared_version}",
+        )
+    if not v8_layout and declared_version == "8":
+        report.add(
+            "HUDI_TIMELINE_VERSION",
+            hoodie,
+            "hoodie.table.version=8 but no .hoodie/timeline directory",
+        )
+    completed: list[tuple[str, str, str, Optional[str]]] = []
+    names = set(os.listdir(active_dir))
     for fn in sorted(names):
         parts = fn.split(".")
-        if len(parts) == 2 and parts[1] in ("commit", "replacecommit", "deltacommit") and parts[0].isdigit():
-            completed.append((parts[0], parts[1]))
-    seen_instants = [i for i, _ in completed]
+        if len(parts) != 2 or parts[1] not in ("commit", "replacecommit", "deltacommit"):
+            continue
+        stem = parts[0]
+        if stem.isdigit():
+            completed.append((stem, parts[1], fn, None))
+        else:
+            req, sep, comp = stem.partition("_")
+            if sep and req.isdigit() and comp.isdigit():
+                completed.append((req, parts[1], fn, comp))
+    seen_instants = [i for i, _, _, _ in completed]
     if len(seen_instants) != len(set(seen_instants)):
-        report.add("HUDI_DUP_INSTANT", hoodie, "two completed actions share one instant")
-    for instant, action in completed:
+        report.add("HUDI_DUP_INSTANT", active_dir, "two completed actions share one instant")
+    for instant, action, fn, completion in completed:
         if len(instant) not in (14, 17):
             report.add(
                 "HUDI_INSTANT_FORMAT",
-                f"{instant}.{action}",
+                fn,
                 "instant must be yyyyMMddHHmmss or yyyyMMddHHmmssSSS",
             )
+        if completion is not None:
+            # v8: the embedded completion time must be a valid instant
+            # that does not precede the request time
+            if len(completion) not in (14, 17):
+                report.add(
+                    "HUDI_INSTANT_FORMAT", fn, "completion time malformed"
+                )
+            elif completion < instant:
+                report.add(
+                    "HUDI_COMPLETION_ORDER",
+                    fn,
+                    f"completion {completion} precedes request {instant}",
+                )
         # state machine: completed requires requested + inflight markers.
         # Real-Hudi naming: the commit action's inflight marker is the
         # bare "<instant>.inflight"; other actions embed the action name.
         requested = f"{instant}.{action}.requested"
         inflight = f"{instant}.inflight" if action == "commit" else f"{instant}.{action}.inflight"
         if requested not in names:
-            report.add("HUDI_NO_REQUESTED", f"{instant}.{action}", f"missing {requested}")
+            report.add("HUDI_NO_REQUESTED", fn, f"missing {requested}")
         if inflight not in names:
-            report.add("HUDI_NO_INFLIGHT", f"{instant}.{action}", f"missing {inflight}")
+            report.add("HUDI_NO_INFLIGHT", fn, f"missing {inflight}")
         report.checked_files += 1
-        with open(os.path.join(hoodie, f"{instant}.{action}"), encoding="utf-8") as fh:
+        with open(os.path.join(active_dir, fn), encoding="utf-8") as fh:
             try:
                 cm = json.load(fh)
             except json.JSONDecodeError as exc:

@@ -200,6 +200,9 @@ def build_target(spark, fmt: str, dataset: dict[str, Any]):
             # Hudi 1.0 secondary index on one column (requires the RLI)
             secondary_index_field=dataset.get("hudiSecondaryIndexField"),
             secondary_index_shards=int(dataset.get("hudiSecondaryIndexShards", 4)),
+            # 8 -> Hudi 1.0 active-timeline layout (.hoodie/timeline,
+            # completion-time instant filenames)
+            table_version=int(dataset.get("hudiTableVersion", 6)),
         )
     if fmt == TableFormat.ICEBERG.value:
         from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget

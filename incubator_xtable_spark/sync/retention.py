@@ -227,8 +227,10 @@ def hudi_archive_timeline(base_path: str, keep_last: int = 10) -> list[str]:
     `.hoodie/archived/commits.archive` (JSON lines), bounding the active
     timeline like Hudi's archival service."""
     from incubator_xtable_spark.targets.hudi_target import (
+        completed_instant_file,
         list_completed_instants,
         read_commit_metadata,
+        timeline_dir,
     )
 
     instants = list_completed_instants(base_path)
@@ -244,9 +246,14 @@ def hudi_archive_timeline(base_path: str, keep_last: int = 10) -> list[str]:
             meta = read_commit_metadata(base_path, instant, action)
             fh.write(json.dumps({"instant": instant, "action": action, "metadata": meta}))
             fh.write("\n")
+    # the active dir is `.hoodie/timeline` on v8 tables, `.hoodie` before
+    tdir = timeline_dir(base_path)
     for instant, action in to_archive:
-        for suffix in (action, f"{action}.requested", f"{action}.inflight", "inflight"):
-            p = os.path.join(hoodie, f"{instant}.{suffix}")
+        completed = completed_instant_file(base_path, instant, action)
+        if completed and os.path.exists(completed):
+            os.unlink(completed)
+        for suffix in (f"{action}.requested", f"{action}.inflight", "inflight"):
+            p = os.path.join(tdir, f"{instant}.{suffix}")
             if os.path.exists(p):
                 os.unlink(p)
     return [i for i, _ in to_archive]

@@ -79,25 +79,85 @@ def file_id_of(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def timeline_dir(base_path: str) -> str:
+    """Active-timeline directory: ``.hoodie/timeline`` when present —
+    the Hudi 1.0 layout (table version 8, ``hoodie.timeline.path``) —
+    else ``.hoodie`` (table version <= 6). Directory presence is the
+    detection signal both real Hudi 1.0 writers and this engine's v8
+    mode produce."""
+    t = os.path.join(base_path, HOODIE_DIR, "timeline")
+    return t if os.path.isdir(t) else os.path.join(base_path, HOODIE_DIR)
+
+
+def _parse_completed_name(fn: str) -> Optional[tuple[str, str, Optional[str]]]:
+    """Completed-instant filename -> (requested instant, action,
+    completion instant or None). Accepts BOTH timeline namings:
+    v6 ``{instant}.{action}`` and v8 ``{instant}_{completion}.{action}``
+    (Hudi 1.0 embeds the completion time in the filename)."""
+    parts = fn.split(".")
+    if len(parts) != 2 or parts[1] not in (
+        COMMIT_ACTION,
+        REPLACE_ACTION,
+        DELTA_COMMIT_ACTION,
+    ):
+        return None
+    stem = parts[0]
+    if stem.isdigit():
+        return stem, parts[1], None
+    req, sep, comp = stem.partition("_")
+    if sep and req.isdigit() and comp.isdigit():
+        return req, parts[1], comp
+    return None
+
+
 def list_completed_instants(base_path: str) -> list[tuple[str, str]]:
-    """[(instant, action)] for completed commits, sorted by instant."""
-    d = _hoodie_dir(base_path)
+    """[(instant, action)] for completed commits, sorted by instant —
+    instants key on the REQUESTED time in both timeline versions (what
+    every consumer orders and diffs by; v8 completion times are exposed
+    separately via completion_time_of)."""
+    d = timeline_dir(base_path)
     if not os.path.isdir(d):
         return []
     out = []
     for fn in os.listdir(d):
-        parts = fn.split(".")
-        if (
-            len(parts) == 2
-            and parts[1] in (COMMIT_ACTION, REPLACE_ACTION, DELTA_COMMIT_ACTION)
-            and parts[0].isdigit()
-        ):
-            out.append((parts[0], parts[1]))
+        parsed = _parse_completed_name(fn)
+        if parsed is not None:
+            out.append((parsed[0], parsed[1]))
     return sorted(out)
 
 
+def completed_instant_file(base_path: str, instant: str, action: str) -> Optional[str]:
+    """Absolute path of the completed-instant file under either timeline
+    naming; None when the instant has not completed."""
+    d = timeline_dir(base_path)
+    v6 = os.path.join(d, f"{instant}.{action}")
+    if os.path.exists(v6):
+        return v6
+    if os.path.isdir(d):
+        for fn in os.listdir(d):
+            parsed = _parse_completed_name(fn)
+            if parsed is not None and parsed[0] == instant and parsed[1] == action:
+                return os.path.join(d, fn)
+    return None
+
+
+def completion_time_of(base_path: str, instant: str, action: str) -> Optional[str]:
+    """The v8 completion instant embedded in the completed filename;
+    None for v6-named instants (completion time is not recorded there)."""
+    p = completed_instant_file(base_path, instant, action)
+    if p is None:
+        return None
+    parsed = _parse_completed_name(os.path.basename(p))
+    return parsed[2] if parsed else None
+
+
 def read_commit_metadata(base_path: str, instant: str, action: str) -> dict:
-    with open(os.path.join(_hoodie_dir(base_path), f"{instant}.{action}"), encoding="utf-8") as fh:
+    p = completed_instant_file(base_path, instant, action)
+    if p is None:
+        raise FileNotFoundError(
+            f"no completed {action} for instant {instant} under {timeline_dir(base_path)}"
+        )
+    with open(p, encoding="utf-8") as fh:
         return json.load(fh)
 
 
@@ -120,10 +180,23 @@ class HudiConversionTarget:
         partition_stats: bool = False,
         secondary_index_field: Optional[str] = None,
         secondary_index_shards: int = 4,
+        table_version: int = 6,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_name = table_name
+        # 6 (default): the 0.x timeline layout the reference targets.
+        # 8: the Hudi 1.0 ACTIVE-TIMELINE layout — instants live under
+        # `.hoodie/timeline/` and completed files embed the completion
+        # time (`{requested}_{completion}.{action}`), with
+        # hoodie.table.version=8 / hoodie.timeline.path declared.
+        # Restated from public Hudi 1.0 release notes + docs; the
+        # METADATA TABLE keeps the engine's existing layout in v8 mode
+        # (documented interop boundary — real-Hudi 1.0 metadata-table
+        # readers can be disabled via hoodie.metadata.enable=false).
+        if table_version not in (6, 8):
+            raise ValueError(f"table_version must be 6 or 8, got {table_version}")
+        self.table_version = table_version
         # False = write no hoodie.table.metadata.partitions flag and no
         # LITE index deltas (README "Hudi metadata-index interop
         # boundary"): real-Hudi readers then need no
@@ -247,6 +320,15 @@ class HudiConversionTarget:
             from incubator_xtable_spark.sources.hudi_source import read_properties
 
             existing = read_properties(self.base_path)
+            existing_version = int(existing.get("hoodie.table.version", "6"))
+            if existing_version != self.table_version:
+                raise ValueError(
+                    f"table at {self.base_path} has hoodie.table.version="
+                    f"{existing_version} but this target was constructed with "
+                    f"table_version={self.table_version}; timeline-layout "
+                    "migration is not a metadata-only operation — recreate the "
+                    "target table or match the version"
+                )
             parts = [p for p in (existing.get(METADATA_PARTITIONS_KEY) or "").split(",") if p]
             wanted = [COLUMN_STATS_PARTITION, FILES_PARTITION]
             if self.record_index_field is not None:
@@ -288,14 +370,17 @@ class HudiConversionTarget:
         props = {
             "hoodie.table.name": name,
             "hoodie.table.type": "COPY_ON_WRITE",
-            "hoodie.table.version": "6",
-            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.version": str(self.table_version),
+            "hoodie.timeline.layout.version": "2" if self.table_version >= 8 else "1",
             "hoodie.table.base.file.format": "PARQUET",
             "hoodie.populate.meta.fields": "false",
             "hoodie.table.partition.fields": part_cols,
             "hoodie.datasource.write.drop.partition.columns": "false",
             "hoodie.table.checksum": "0",
         }
+        if self.table_version >= 8:
+            # Hudi 1.0 declares the active-timeline location explicitly
+            props["hoodie.timeline.path"] = "timeline"
         if self.metadata_indexes:
             props[METADATA_PARTITIONS_KEY] = f"{COLUMN_STATS_PARTITION},{FILES_PARTITION}"
             if self.record_index_field is not None:
@@ -678,15 +763,29 @@ class HudiConversionTarget:
 
     def _write_instant_lifecycle(self, instant: str, action: str, meta: dict) -> None:
         """requested -> inflight -> completed, completed written atomically
-        (put-if-absent via hard link, like the Delta target)."""
-        d = _hoodie_dir(self.base_path)
+        (put-if-absent via hard link, like the Delta target). Table
+        version 8 writes under `.hoodie/timeline/` with the completion
+        time embedded in the completed filename (Hudi 1.0 naming); the
+        put-if-absent race check then keys on the instant (any completed
+        file for it), since two writers would embed different completion
+        times."""
+        if self.table_version >= 8:
+            d = os.path.join(_hoodie_dir(self.base_path), "timeline")
+            os.makedirs(d, exist_ok=True)
+        else:
+            d = _hoodie_dir(self.base_path)
         # real-Hudi timeline naming: the commit action's inflight marker
         # is the bare "<instant>.inflight" (HoodieTimeline special-cases
         # commits); other actions use "<instant>.<action>.inflight"
         inflight = "inflight" if action == COMMIT_ACTION else f"{action}.inflight"
         for suffix in (f"{action}.requested", inflight):
             open(os.path.join(d, f"{instant}.{suffix}"), "w", encoding="utf-8").close()
-        final = os.path.join(d, f"{instant}.{action}")
+        if self.table_version >= 8:
+            if completed_instant_file(self.base_path, instant, action) is not None:
+                raise RuntimeError(f"concurrent Hudi commit at instant {instant}")
+            final = os.path.join(d, f"{instant}_{instant_now()}.{action}")
+        else:
+            final = os.path.join(d, f"{instant}.{action}")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh, sort_keys=True)
