@@ -321,3 +321,215 @@ def hudi_clean_mor_shadows(spark, base_path: str) -> list[str]:
             os.unlink(p)
             removed.append(rel)
     return sorted(removed)
+
+
+def delta_optimize(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: Optional[int] = None,
+) -> dict:
+    """Delta OPTIMIZE — small-file bin-packing compaction, the
+    maintenance pass a streaming-ingested table needs before its file
+    count throttles every reader. Per partition, data files below
+    ``min_file_bytes`` (default target/2) — plus every file carrying a
+    deletion vector, which compaction APPLIES and drops, real
+    OPTIMIZE's behavior — rewrite into files sized toward
+    ``target_file_bytes``; the commit is the spec's rewrite shape:
+    remove + add pairs with ``dataChange=false``, so CDF derivation
+    emits NO row changes for it (readers see a pure layout change) and
+    time travel to pre-optimize versions still resolves the old files.
+
+    Honest refusals: columnMapping tables (a rewrite must emit physical
+    column names) and Row Tracking tables (merging files breaks
+    positional baseRowId lineage; real Delta materializes a row-id
+    column for this — not a metadata-only move) raise loudly.
+
+    Scale: candidate selection is a driver pass over the LIVE file
+    inventory (metadata-sized); each partition's rewrite is one
+    distributed read->coalesce->write job sized by the bin math; stats
+    for the new files come from one distributed footer pass
+    (parquet_source.footer_stats). ICT tables get a monotonic
+    inCommitTimestamp. Returns {"removed": [...], "added": [...],
+    "version": committed version or None when nothing qualified}.
+    """
+    import math
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.stat_codec import to_delta_stats_json
+    from incubator_xtable_spark.sources.delta_dv import read_dv_positions
+    from incubator_xtable_spark.sources.delta_source import (
+        latest_metadata,
+        list_log_versions,
+        live_files_df,
+        read_commit_ict,
+    )
+    from incubator_xtable_spark.sources.parquet_source import footer_stats
+
+    meta = latest_metadata(spark, base_path)
+    if meta is None:
+        raise ValueError(f"not a delta table: {base_path}")
+    cfg = dict(meta["configuration"] or {})
+    if cfg.get("delta.columnMapping.mode") not in (None, "none"):
+        raise NotImplementedError(
+            "delta_optimize on a columnMapping table needs physical-name "
+            "rewrites; not supported"
+        )
+    if cfg.get("delta.enableRowTracking") == "true":
+        raise NotImplementedError(
+            "delta_optimize on a Row Tracking table would break positional "
+            "baseRowId lineage (a rewrite must materialize row ids); not "
+            "supported"
+        )
+    min_file_bytes = min_file_bytes or target_file_bytes // 2
+    version = max(list_log_versions(base_path))
+    live_cols = ["path", "partitionValues", "size"]
+    live = live_files_df(spark, base_path, version)
+    has_dv = "deletionVector" in live.columns
+    if has_dv:
+        live_cols.append("deletionVector")
+    rows = live.select(*live_cols).collect()
+    base = base_path.rstrip("/") + "/"
+
+    def _abs(p: str) -> str:
+        return p if p.startswith("/") else base + p
+
+    groups: dict = {}
+    for r in rows:
+        key = tuple(sorted((r["partitionValues"] or {}).items()))
+        groups.setdefault(key, []).append(r)
+
+    removed: list[dict] = []
+    added: list[tuple[str, dict]] = []  # (new rel path, partitionValues)
+    for key, members in groups.items():
+        pv = dict(key)
+        cand = [
+            r
+            for r in members
+            if r["size"] < min_file_bytes
+            or (has_dv and r["deletionVector"] and r["deletionVector"]["storageType"])
+        ]
+        only_dv = [
+            r for r in cand if has_dv and r["deletionVector"] and r["deletionVector"]["storageType"]
+        ]
+        if len(cand) < 2 and not only_dv:
+            continue
+        paths = [_abs(r["path"]) for r in cand]
+        df = spark.read.parquet(*paths)
+        pos_rows = []
+        for r in only_dv:
+            desc = r["deletionVector"].asDict()
+            for pos in read_dv_positions(base_path, desc):
+                pos_rows.append((_abs(r["path"]), int(pos)))
+        if pos_rows:
+            df = df.withColumn(
+                "_opt_path",
+                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),
+            ).withColumn("_opt_pos", F.col("_metadata.row_index"))
+            dels = spark.createDataFrame(pos_rows, "p STRING, pos LONG")
+            df = df.join(
+                dels,
+                (F.col("_opt_path") == F.col("p")) & (F.col("_opt_pos") == F.col("pos")),
+                "left_anti",
+            ).drop("_opt_path", "_opt_pos")
+        n_out = max(1, math.ceil(sum(r["size"] for r in cand) / target_file_bytes))
+        tmp = os.path.join(base_path, f".optimize-{_uuid.uuid4().hex}")
+        df.coalesce(n_out).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            new_name = f"optimized-{_uuid.uuid4().hex}.parquet"
+            _shutil.move(part, os.path.join(base_path, new_name))
+            added.append((new_name, pv))
+        _shutil.rmtree(tmp)
+        for r in cand:
+            removed.append({"path": r["path"], "size": r["size"]})
+    if not added:
+        return {"removed": [], "added": [], "version": None}
+
+    # stats for the new files: one distributed footer pass
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_names = set(meta["partitionColumns"] or [])
+    data_fields = T.StructType([f for f in schema.fields if f.name not in part_names])
+    listing = spark.createDataFrame(
+        [(os.path.join(base_path, p),) for p, _ in added], "physical_path STRING"
+    )
+    stats_by_path = {
+        r["physical_path"]: r
+        for r in footer_stats(spark, listing, data_fields).collect()
+    }
+
+    now_ms = int(_time.time() * 1000)
+    lines = []
+    commit_info: dict = {
+        "timestamp": now_ms,
+        "operation": "OPTIMIZE",
+        "operationParameters": {
+            "targetSize": str(target_file_bytes),
+            "minFileSize": str(min_file_bytes),
+        },
+    }
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
+        log_dir = os.path.join(base_path, "_delta_log")
+        prev_ict = read_commit_ict(os.path.join(log_dir, f"{version:020d}.json")) or 0
+        commit_info["inCommitTimestamp"] = max(prev_ict + 1, now_ms)
+    lines.append(json.dumps({"commitInfo": commit_info}))
+    for r in removed:
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "size": r["size"],
+                    }
+                }
+            )
+        )
+    for rel, pv in added:
+        absolute = os.path.join(base_path, rel)
+        st = stats_by_path.get(absolute)
+        col_stats = (
+            {k: v.asDict() for k, v in (st["column_stats"] or {}).items()}
+            if st is not None
+            else {}
+        )
+        n_records = int(st["record_count"]) if st is not None else None
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(absolute),
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": to_delta_stats_json(n_records, col_stats, data_fields),
+                    }
+                }
+            )
+        )
+    new_version = version + 1
+    log_dir = os.path.join(base_path, "_delta_log")
+    final = os.path.join(log_dir, f"{new_version:020d}.json")
+    tmp_f = final + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp_f, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    try:
+        os.link(tmp_f, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent delta commit at version {new_version}") from exc
+    finally:
+        os.unlink(tmp_f)
+    return {
+        "removed": [r["path"] for r in removed],
+        "added": [p for p, _ in added],
+        "version": new_version,
+    }

@@ -1,0 +1,166 @@
+"""delta_optimize (sync/retention.py): small-file bin-packing with the
+spec's rewrite shape — remove+add pairs at dataChange=false, DV
+application on compaction, CDF silence, time travel to pre-optimize
+versions, ICT monotonicity, and the honest refusal matrix."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from incubator_xtable_spark.model.conformance import check_delta_conformance
+from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.delta_source import (
+    list_log_versions,
+    live_files_df,
+    read_delta_as_df,
+    read_delta_cdf,
+)
+from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+from incubator_xtable_spark.sync.controller import ConversionController
+from incubator_xtable_spark.sync.retention import delta_optimize
+from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+from .conftest import SF_SMOKE
+
+
+def _make_table(spark, tmp_path, n_files=4, **target_kw) -> str:
+    d = str(tmp_path / "opt_table")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").repartition(n_files).write.parquet(d)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="nation"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d, **target_kw)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    return d
+
+
+def _keys(df):
+    return sorted(r["n_nationkey"] for r in df.select("n_nationkey").collect())
+
+
+def test_optimize_compacts_and_preserves_rows(spark, tmp_path):
+    d = _make_table(spark, tmp_path, n_files=4)
+    v0 = max(list_log_versions(d))
+    before = _keys(read_delta_as_df(spark, d))
+    n_before = live_files_df(spark, d).count()
+    assert n_before == 4
+
+    out = delta_optimize(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert out["version"] == v0 + 1
+    assert len(out["removed"]) == 4 and len(out["added"]) == 1
+
+    assert live_files_df(spark, d).count() == 1
+    assert _keys(read_delta_as_df(spark, d)) == before
+    # time travel: the pre-optimize version still reads the old layout
+    assert live_files_df(spark, d, v0).count() == 4
+    assert _keys(read_delta_as_df(spark, d, version=v0)) == before
+
+    # the commit is the spec rewrite shape: everything dataChange=false
+    with open(os.path.join(d, "_delta_log", f"{out['version']:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    assert all(
+        a.get("commitInfo")
+        or a.get("remove", {}).get("dataChange") is False
+        or a.get("add", {}).get("dataChange") is False
+        for a in actions
+    )
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and json.loads(adds[0]["stats"])["numRecords"] == 25
+
+    # CDF: a pure layout change emits no row changes
+    assert read_delta_cdf(spark, d, out["version"]).count() == 0
+
+    report = check_delta_conformance(spark, d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_optimize_applies_deletion_vectors(spark, tmp_path):
+    from .test_row_delete_conversion import _base_table, _dv_commit
+
+    base, s1, _ = _base_table(tmp_path)  # two 10-row files
+    _dv_commit(base, 1, s1, [2, 3, 7])
+    # the shared fixture writes a bare 3/7 protocol; declare the feature
+    # lists so the conformance sweep at the end has a spec-true protocol
+    log0 = os.path.join(base, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log0):
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["deletionVectors"]
+            a["protocol"]["writerFeatures"] = ["deletionVectors"]
+        if "metaData" in a and "format" not in a["metaData"]:
+            a["metaData"]["format"] = {"provider": "parquet", "options": {}}
+        lines.append(json.dumps(a) + "\n")
+    open(log0, "w").writelines(lines)
+    expected = sorted(i for i in range(20) if i not in (2, 3, 7))
+    out = delta_optimize(spark, base, target_file_bytes=64 * 1024 * 1024)
+    assert out["version"] is not None
+    live = live_files_df(spark, base).collect()
+    # compaction applied + dropped the DV
+    assert all(
+        (r["deletionVector"] is None or r["deletionVector"]["storageType"] is None)
+        for r in live
+        if "deletionVector" in r.asDict()
+    )
+    got = sorted(r["id"] for r in read_delta_as_df(spark, base).select("id").collect())
+    assert got == expected
+    report = check_delta_conformance(spark, base)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_optimize_noop_when_files_are_big_enough(spark, tmp_path):
+    d = _make_table(spark, tmp_path, n_files=2)
+    out = delta_optimize(spark, d, target_file_bytes=64, min_file_bytes=1)
+    assert out == {"removed": [], "added": [], "version": None}
+
+
+def test_optimize_refusals(spark, tmp_path):
+    d = _make_table(spark, tmp_path, n_files=2, row_tracking=True)
+    with pytest.raises(NotImplementedError, match="Row Tracking"):
+        delta_optimize(spark, d)
+
+    # a column-mapped table (hand-written minimal log with mode=name)
+    from .test_row_delete_conversion import SCHEMA_STRING, _add, _log_write, _write_data_file
+
+    d2 = str(tmp_path / "cm_table")
+    os.makedirs(d2)
+    s = _write_data_file(os.path.join(d2, "part-0001.parquet"), list(range(5)))
+    _log_write(
+        d2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm",
+                    "schemaString": SCHEMA_STRING,
+                    "format": {"provider": "parquet", "options": {}},
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "createdTime": 1,
+                }
+            },
+            _add(d2, "part-0001.parquet", s),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        delta_optimize(spark, d2)
+
+
+def test_optimize_ict_monotonic(spark, tmp_path):
+    d = _make_table(spark, tmp_path, n_files=3, in_commit_timestamps=True)
+    v0 = max(list_log_versions(d))
+    from incubator_xtable_spark.sources.delta_source import read_commit_ict
+
+    prev_ict = read_commit_ict(os.path.join(d, "_delta_log", f"{v0:020d}.json"))
+    assert prev_ict is not None
+    out = delta_optimize(spark, d, target_file_bytes=64 * 1024 * 1024)
+    got_ict = read_commit_ict(
+        os.path.join(d, "_delta_log", f"{out['version']:020d}.json")
+    )
+    assert got_ict is not None and got_ict > prev_ict
+    report = check_delta_conformance(spark, d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
