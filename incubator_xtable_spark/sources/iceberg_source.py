@@ -1495,6 +1495,17 @@ def read_iceberg_cdc(spark: SparkSession, base_path: str, snapshot_id: int) -> D
     snap = src._snapshot_by_id(meta, snapshot_id)
     if snap is None:
         raise ValueError(f"no snapshot {snapshot_id} in {base_path}")
+    if (snap.get("summary") or {}).get("operation") == "replace":
+        # spec: replace snapshots (compaction/rewrites) change the file
+        # layout, never the logical rows — the changelog scan skips them
+        empty_schema = T.StructType(
+            list(table.read_schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_snapshot_id", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
     parent = snap.get("parent-snapshot-id")
     if parent is not None and src._snapshot_by_id(meta, parent) is None:
         # an expired parent would silently turn the whole table into

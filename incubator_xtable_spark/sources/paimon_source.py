@@ -1258,6 +1258,19 @@ def read_paimon_changelog(
             F.lit(int(snapshot_id)).alias("_commit_snapshot_id"),
         )
 
+    if snap.get("commitKind") == "COMPACT":
+        # compaction rewrites the layout, never the logical rows — the
+        # changelog of a COMPACT snapshot is empty by definition
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(table.read_schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_snapshot_id", T.LongType()),
+                ]
+            ),
+        )
     if sch.get("primaryKeys") or snap.get("commitKind") != "APPEND":
         raise ValueError(
             f"snapshot {snapshot_id} has no changelog manifests and its "

@@ -165,6 +165,9 @@ def _plan_snapshot(meta: dict, snapshot_id: int) -> list[dict]:
     )
     if snap is None:
         raise ValueError(f"no snapshot {snapshot_id}")
+    if (snap.get("summary") or {}).get("operation") == "replace":
+        # replace = layout-only rewrite (compaction): no logical changes
+        return []
     parent = snap.get("parent-snapshot-id")
     if parent is not None and not any(
         s["snapshot-id"] == parent for s in meta.get("snapshots", [])

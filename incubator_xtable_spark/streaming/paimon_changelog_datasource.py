@@ -65,6 +65,9 @@ def _plan_snapshot(base_path: str, snapshot_id: int) -> list[dict]:
         return [
             {"kind": "cl", "path": src._entry_abs_path(e, sch)} for e in cl_entries
         ]
+    if snap.get("commitKind") == "COMPACT":
+        # layout-only rewrite: an empty changelog, never an error
+        return []
     if sch.get("primaryKeys") or snap.get("commitKind") != "APPEND":
         raise ValueError(
             f"snapshot {snapshot_id} has no changelog manifests and its "

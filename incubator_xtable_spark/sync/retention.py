@@ -533,3 +533,490 @@ def delta_optimize(
         "added": [p for p, _ in added],
         "version": new_version,
     }
+
+
+def iceberg_rewrite_data_files(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    table_name: Optional[str] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: Optional[int] = None,
+) -> dict:
+    """Iceberg rewrite-data-files (the RewriteDataFiles/OPTIMIZE twin of
+    delta_optimize): per partition, data files below ``min_file_bytes``
+    — plus every file with APPLICABLE position/puffin deletes, which the
+    rewrite applies and drops — compact toward ``target_file_bytes``.
+    The commit is a snapshot with summary operation ``replace``: carried
+    files stay EXISTING at their sequence numbers, the delete set
+    restates to empty (every delete-carrying file was rewritten; deletes
+    that never applied are dead and drop with them), and BOTH CDC
+    consumers (read_iceberg_cdc and the iceberg_cdc stream source) skip
+    replace snapshots — a layout change is never row churn.
+
+    Honest refusals: equality deletes (content=2 semantics survive
+    rewrites only with per-row key evaluation) and format-version 3
+    (merging files breaks positional first_row_id row lineage) raise.
+
+    Scale: candidate selection walks the manifest plane (metadata-
+    sized); each partition's rewrite is one distributed
+    read->anti-join->coalesce->write job; new-file stats come from one
+    distributed footer pass. Returns {"removed", "added",
+    "snapshot_id"} (snapshot_id None when nothing qualified)."""
+    import math
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        ROW_DELETES_SCHEMA,
+        TableChange,
+    )
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from incubator_xtable_spark.sources.parquet_source import footer_stats
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    src = IcebergConversionSource(spark, base_path, name=table_name)
+    meta = src._meta()
+    if meta.get("format-version") == 3:
+        raise NotImplementedError(
+            "iceberg_rewrite_data_files on a v3 table would break positional "
+            "first_row_id row lineage (a rewrite must materialize row ids); "
+            "not supported"
+        )
+    table = src.get_current_table()
+    sid = src._head_snapshot_id(meta)
+    entries, delete_entries = src._entries_by_content(meta, sid)
+    if any((e["data_file"].get("content") or 0) == 2 for e in delete_entries):
+        raise NotImplementedError(
+            "iceberg_rewrite_data_files with equality deletes is not "
+            "supported (content=2 application needs per-row key evaluation)"
+        )
+    min_file_bytes = min_file_bytes or target_file_bytes // 2
+    affected = src._applicable_deletes(entries, delete_entries)
+
+    groups: dict = {}
+    for e in entries:
+        part = e["data_file"].get("partition") or {}
+        key = tuple(sorted((k, str(v)) for k, v in part.items()))
+        groups.setdefault(key, []).append(e)
+
+    # partition_values serialization comes from the source's own
+    # inventory mapping (identity values + transform spellings)
+    inv_by_path = {
+        r["physical_path"]: r
+        for r in src._to_inventory(entries, table, None).collect()
+    }
+
+    removed_entries: list = []
+    added_rows: list[tuple] = []
+    now_ms = int(__import__("time").time() * 1000)
+    for key, members in groups.items():
+        cand = [
+            e
+            for e in members
+            if int(e["data_file"].get("file_size_in_bytes") or 0) < min_file_bytes
+            or e["data_file"]["file_path"] in affected
+        ]
+        has_deletes = any(e["data_file"]["file_path"] in affected for e in cand)
+        if len(cand) < 2 and not has_deletes:
+            continue
+        paths = [e["data_file"]["file_path"] for e in cand]
+        df = spark.read.parquet(*paths)
+        if has_deletes:
+            seq_df = spark.createDataFrame(
+                [(p, int(e.get("sequence_number") or 0)) for e, p in zip(cand, paths)],
+                "file_path STRING, data_seq LONG",
+            )
+            applicable_pos = (
+                src._positions_df(delete_entries, entries)
+                .join(F.broadcast(seq_df), "file_path")
+                .filter(F.col("delete_seq") >= F.col("data_seq"))
+                .select("file_path", "pos")
+            )
+            df = (
+                df.withColumn(
+                    "_rw_path",
+                    F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", ""),
+                )
+                .withColumn("_rw_pos", F.col("_metadata.row_index"))
+                .join(
+                    applicable_pos,
+                    (F.col("_rw_path") == F.col("file_path"))
+                    & (F.col("_rw_pos") == F.col("pos")),
+                    "left_anti",
+                )
+                .drop("_rw_path", "_rw_pos")
+            )
+        total = sum(int(e["data_file"].get("file_size_in_bytes") or 0) for e in cand)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        data_dir = os.path.join(base_path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        tmp = os.path.join(base_path, f".rewrite-{_uuid.uuid4().hex}")
+        df.coalesce(n_out).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        pv = inv_by_path[paths[0]]["partition_values"]
+        pv = dict(pv) if pv else None
+        for part_file in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            new_abs = os.path.join(data_dir, f"rewritten-{_uuid.uuid4().hex}.parquet")
+            _shutil.move(part_file, new_abs)
+            added_rows.append((new_abs, os.path.getsize(new_abs), pv))
+        _shutil.rmtree(tmp)
+        removed_entries.extend(cand)
+    if not added_rows:
+        return {"removed": [], "added": [], "snapshot_id": None}
+
+    listing = spark.createDataFrame(
+        [(p,) for p, _, _ in added_rows], "physical_path STRING"
+    )
+    from pyspark.sql import types as T
+
+    part_names = {pf.output_name for pf in table.partition_fields}
+    data_fields = T.StructType(
+        [f for f in table.read_schema.fields if f.name not in part_names]
+    )
+    stats_by_path = {
+        r["physical_path"]: r for r in footer_stats(spark, listing, data_fields).collect()
+    }
+    added_inv = spark.createDataFrame(
+        [
+            (
+                p,
+                "PARQUET",
+                size,
+                int(stats_by_path[p]["record_count"])
+                if p in stats_by_path
+                else None,
+                now_ms,
+                pv,
+                {
+                    k: v.asDict()
+                    for k, v in (stats_by_path[p]["column_stats"] or {}).items()
+                }
+                if p in stats_by_path
+                else None,
+            )
+            for p, size, pv in added_rows
+        ],
+        FILE_INVENTORY_SCHEMA,
+    )
+    removed_inv = src._to_inventory(removed_entries, table, None)
+
+    tgt = IcebergConversionTarget(
+        spark,
+        base_path,
+        table_name=table_name or table.name,
+        format_version=int(meta.get("format-version") or 2),
+    )
+    tgt.begin_sync(table)
+    tgt.sync_schema(table.read_schema)
+    tgt.sync_partition_spec(table.partition_fields)
+    tgt.sync_files_for_diff(
+        TableChange(
+            table=table,
+            commit_id="rewrite-data-files",
+            files_added=added_inv,
+            files_removed=removed_inv,
+        )
+    )
+    if affected:
+        # every delete-carrying file was rewritten: restate the delete
+        # set as EMPTY so stale delete manifests drop with their files
+        tgt.sync_row_deletes(spark.createDataFrame([], ROW_DELETES_SCHEMA))
+    tgt._summary_operation = "replace"
+    new_sid = tgt.complete_sync()
+    return {
+        "removed": [e["data_file"]["file_path"] for e in removed_entries],
+        "added": [p for p, _, _ in added_rows],
+        "snapshot_id": new_sid,
+    }
+
+
+def hudi_cluster_small_files(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    table_name: Optional[str] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: Optional[int] = None,
+) -> dict:
+    """Hudi clustering (the replacecommit compaction twin of
+    delta_optimize / iceberg_rewrite_data_files): per partition, base
+    files below ``min_file_bytes`` rewrite toward ``target_file_bytes``
+    and commit as a REPLACECOMMIT — replaced fileIds drop their groups,
+    new files start fresh ones (exactly the shape real Hudi clustering
+    writes and the engine's fs-view already replays). Driven through
+    the HudiConversionTarget itself, so metadata-index deltas
+    (files/col_stats, HFile when configured) stay maintained and the
+    instant lifecycle/table-version layout (v6 or the 1.0 timeline)
+    follow the table's own properties. CDC: a clustering rewrite
+    changes no rows, so read_hudi_cdc's representation diff derives
+    ZERO changes for the instant.
+
+    Boundaries: file groups carrying MOR log files are skipped (real
+    clustering must merge the log tail first — that is compaction, not
+    clustering); non-parquet base files refuse in the target.
+
+    Scale: the fs-view replay is the driver-side timeline pass the
+    source already does; each partition's rewrite is one distributed
+    read->coalesce->write; stats come from one distributed footer pass.
+    Returns {"removed", "added", "instant"} (instant None when nothing
+    qualified)."""
+    import math
+    import uuid as _uuid
+
+    from incubator_xtable_spark.model.core import FILE_INVENTORY_SCHEMA, TableChange
+    from incubator_xtable_spark.sources.hudi_source import (
+        HudiConversionSource,
+        live_files_rows,
+        read_properties,
+    )
+    from incubator_xtable_spark.sources.parquet_source import footer_stats
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    src = HudiConversionSource(spark, base_path, name=table_name)
+    table = src.get_current_table()
+    if table is None:
+        raise ValueError(f"not a hudi table: {base_path}")
+    min_file_bytes = min_file_bytes or target_file_bytes // 2
+    rows = live_files_rows(base_path)
+    base = base_path.rstrip("/") + "/"
+
+    groups: dict = {}
+    for r in rows:
+        if r.get("path") is None:
+            continue  # log-only group (no base file): clustering skips it
+        groups.setdefault(os.path.dirname(r["path"]), []).append(r)
+
+    removed: list[dict] = []
+    added_rows: list[tuple] = []
+    now_ms = int(__import__("time").time() * 1000)
+    for partition, members in groups.items():
+        cand = [
+            r
+            for r in members
+            if int(r.get("size") or 0) < min_file_bytes and not r.get("log_files")
+        ]
+        if len(cand) < 2:
+            continue
+        paths = [base + r["path"] for r in cand]
+        df = spark.read.parquet(*paths)
+        total = sum(int(r.get("size") or 0) for r in cand)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        tmp = os.path.join(base_path, f".cluster-{_uuid.uuid4().hex}")
+        df.coalesce(n_out).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        part_dir = os.path.join(base_path, partition) if partition else base_path
+        os.makedirs(part_dir, exist_ok=True)
+        for part_file in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            new_abs = os.path.join(part_dir, f"clustered-{_uuid.uuid4().hex}.parquet")
+            _shutil.move(part_file, new_abs)
+            added_rows.append((new_abs, os.path.getsize(new_abs)))
+        _shutil.rmtree(tmp)
+        removed.extend(cand)
+    if not added_rows:
+        return {"removed": [], "added": [], "instant": None}
+
+    from pyspark.sql import types as T
+
+    listing = spark.createDataFrame(
+        [(p,) for p, _ in added_rows], "physical_path STRING"
+    )
+    part_names = {pf.output_name for pf in table.partition_fields}
+    data_fields = T.StructType(
+        [f for f in table.read_schema.fields if f.name not in part_names]
+    )
+    stats_by_path = {
+        r["physical_path"]: r for r in footer_stats(spark, listing, data_fields).collect()
+    }
+    added_inv = spark.createDataFrame(
+        [
+            (
+                p,
+                "PARQUET",
+                size,
+                int(stats_by_path[p]["record_count"]) if p in stats_by_path else None,
+                now_ms,
+                None,
+                {
+                    k: v.asDict()
+                    for k, v in (stats_by_path[p]["column_stats"] or {}).items()
+                }
+                if p in stats_by_path
+                else None,
+            )
+            for p, size in added_rows
+        ],
+        FILE_INVENTORY_SCHEMA,
+    )
+    removed_inv = spark.createDataFrame(
+        [
+            (base + r["path"], "PARQUET", int(r.get("size") or 0), None, None, None, None)
+            for r in removed
+        ],
+        FILE_INVENTORY_SCHEMA,
+    )
+
+    props = read_properties(base_path)
+    tgt = HudiConversionTarget(
+        spark,
+        base_path,
+        table_name=table_name or table.name,
+        table_version=int(props.get("hoodie.table.version", "6")),
+    )
+    tgt.begin_sync(table)
+    tgt.sync_schema(table.read_schema)
+    tgt.sync_partition_spec(table.partition_fields)
+    tgt.sync_files_for_diff(
+        TableChange(
+            table=table,
+            commit_id="cluster-small-files",
+            files_added=added_inv,
+            files_removed=removed_inv,
+        )
+    )
+    instant = tgt.complete_sync()
+    return {
+        "removed": [r["path"] for r in removed],
+        "added": [p[len(base):] if p.startswith(base) else p for p, _ in added_rows],
+        "instant": instant,
+    }
+
+
+def paimon_compact_small_files(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    table_name: Optional[str] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: Optional[int] = None,
+) -> dict:
+    """Paimon compaction (completing the four-format maintenance
+    quartet): per partition, data files below ``min_file_bytes``
+    rewrite toward ``target_file_bytes`` and commit as a snapshot with
+    commitKind=COMPACT — the delta manifest removes the old entries and
+    adds the new ones, and BOTH changelog consumers
+    (read_paimon_changelog and the paimon_changelog stream source)
+    return an EMPTY changelog for COMPACT snapshots (layout change, not
+    row churn — real Paimon semantics).
+
+    Boundaries: PK tables are already impossible as engine targets;
+    tables carrying a deletion-vector index refuse (compaction must
+    apply DVs per file — follow-up; the shadow-based read path already
+    gives row-accurate conversions meanwhile).
+
+    Scale: inventory selection is metadata-plane; each partition's
+    rewrite is one distributed read->coalesce->write; stats come from
+    one distributed footer pass. Returns {"removed", "added",
+    "snapshot_id"}."""
+    import math
+    import uuid as _uuid
+
+    from incubator_xtable_spark.model.core import FILE_INVENTORY_SCHEMA, TableChange
+    from incubator_xtable_spark.sources.paimon_source import PaimonConversionSource
+    from incubator_xtable_spark.sources.parquet_source import footer_stats
+    from incubator_xtable_spark.targets.paimon_target import PaimonConversionTarget
+
+    src = PaimonConversionSource(spark, base_path, name=table_name)
+    snap_meta = src._latest()
+    if snap_meta.get("indexManifest"):
+        raise NotImplementedError(
+            "paimon_compact_small_files on a table with a deletion-vector "
+            "index must apply the DVs per file; not supported"
+        )
+    snapshot = src.get_current_snapshot()
+    table = snapshot.table
+    min_file_bytes = min_file_bytes or target_file_bytes // 2
+    rows = snapshot.files.collect()
+
+    groups: dict = {}
+    for r in rows:
+        key = tuple(sorted((r["partition_values"] or {}).items()))
+        groups.setdefault(key, []).append(r)
+
+    removed: list = []
+    added_rows: list[tuple] = []
+    now_ms = int(__import__("time").time() * 1000)
+    data_dir = os.path.join(base_path, "compacted")
+    for key, members in groups.items():
+        pv = dict(key) or None
+        cand = [r for r in members if int(r["size_bytes"] or 0) < min_file_bytes]
+        if len(cand) < 2:
+            continue
+        paths = [r["physical_path"] for r in cand]
+        df = spark.read.parquet(*paths)
+        total = sum(int(r["size_bytes"] or 0) for r in cand)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        os.makedirs(data_dir, exist_ok=True)
+        tmp = os.path.join(base_path, f".compact-{_uuid.uuid4().hex}")
+        df.coalesce(n_out).write.parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        for part_file in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            new_abs = os.path.join(data_dir, f"compacted-{_uuid.uuid4().hex}.parquet")
+            _shutil.move(part_file, new_abs)
+            added_rows.append((new_abs, os.path.getsize(new_abs), pv))
+        _shutil.rmtree(tmp)
+        removed.extend(cand)
+    if not added_rows:
+        return {"removed": [], "added": [], "snapshot_id": None}
+
+    from pyspark.sql import types as T
+
+    listing = spark.createDataFrame(
+        [(p,) for p, _, _ in added_rows], "physical_path STRING"
+    )
+    part_names = {pf.output_name for pf in table.partition_fields}
+    data_fields = T.StructType(
+        [f for f in table.read_schema.fields if f.name not in part_names]
+    )
+    stats_by_path = {
+        r["physical_path"]: r for r in footer_stats(spark, listing, data_fields).collect()
+    }
+    added_inv = spark.createDataFrame(
+        [
+            (
+                p,
+                "PARQUET",
+                size,
+                int(stats_by_path[p]["record_count"]) if p in stats_by_path else None,
+                now_ms,
+                pv,
+                {
+                    k: v.asDict()
+                    for k, v in (stats_by_path[p]["column_stats"] or {}).items()
+                }
+                if p in stats_by_path
+                else None,
+            )
+            for p, size, pv in added_rows
+        ],
+        FILE_INVENTORY_SCHEMA,
+    )
+    removed_inv = spark.createDataFrame(removed, FILE_INVENTORY_SCHEMA)
+
+    tgt = PaimonConversionTarget(spark, base_path, table_name=table_name or table.name)
+    tgt.begin_sync(table)
+    tgt.sync_schema(table.read_schema)
+    tgt.sync_partition_spec(table.partition_fields)
+    tgt.sync_files_for_diff(
+        TableChange(
+            table=table,
+            commit_id="compact-small-files",
+            files_added=added_inv,
+            files_removed=removed_inv,
+        )
+    )
+    tgt._commit_kind_override = "COMPACT"
+    new_sid = tgt.complete_sync()
+    return {
+        "removed": [r["physical_path"] for r in removed],
+        "added": [p for p, _, _ in added_rows],
+        "snapshot_id": new_sid,
+    }

@@ -998,6 +998,9 @@ class IcebergConversionTarget:
         self._row_deletes: Optional[DataFrame] = None
         self._equality_deletes: Optional[dict] = None
         self._row_lineage: Optional[dict] = None
+        # snapshot summary `operation` override: maintenance actions set
+        # "replace" (layout-only rewrite — CDC consumers skip it)
+        self._summary_operation: Optional[str] = None
 
     # -- sync steps --------------------------------------------------------
 
@@ -1851,7 +1854,8 @@ class IcebergConversionTarget:
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
             "summary": {
-                "operation": "overwrite" if prev else "append",
+                "operation": self._summary_operation
+                or ("overwrite" if prev else "append"),
                 **getattr(self, "_summary_stats", {}),
             },
             "schema-id": 0,

@@ -184,6 +184,9 @@ class PaimonConversionTarget:
         self._snapshot_sync = False
         self._row_deletes: Optional[DataFrame] = None
         self._row_changes: Optional[DataFrame] = None
+        # commitKind override: maintenance actions set "COMPACT"
+        # (layout-only rewrite — changelog consumers see no row changes)
+        self._commit_kind_override: Optional[str] = None
 
     # -- dirs / current state ----------------------------------------------
 
@@ -783,7 +786,8 @@ class PaimonConversionTarget:
             "indexManifest": index_manifest,
             "commitUser": "xtable-spark",
             "commitIdentifier": new_id,
-            "commitKind": "OVERWRITE" if n_removed else "APPEND",
+            "commitKind": self._commit_kind_override
+            or ("OVERWRITE" if n_removed else "APPEND"),
             "timeMillis": EPOCH_MS_BASE + new_id * 1000,
             "logOffsets": {},
             "totalRecordCount": None,
