@@ -88,3 +88,49 @@ def test_clustering_noop_when_big_enough(spark, tmp_path):
     d = _make_hudi(spark, tmp_path, n_files=2)
     out = hudi_cluster_small_files(spark, d, target_file_bytes=64, min_file_bytes=1)
     assert out == {"removed": [], "added": [], "instant": None}
+
+
+def test_clustering_hfile_index_table_keeps_hfile_shape(spark, tmp_path):
+    d = str(tmp_path / "hudi_hfile")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").repartition(3).write.parquet(d)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="nation"),
+        {
+            TableFormat.HUDI: HudiConversionTarget(
+                spark, d, table_name="nation", metadata_index_format="hfile"
+            )
+        },
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    before = _keys(read_hudi_as_df(spark, d))
+    out = hudi_cluster_small_files(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert out["instant"] is not None
+    assert _keys(read_hudi_as_df(spark, d)) == before
+    # the maintenance commit wrote HFILE-shaped index deltas, not parquet
+    files_dir = os.path.join(d, ".hoodie", "metadata", "files")
+    assert any(f.endswith((".hfile", ".log.1_0-0-0")) for f in os.listdir(files_dir))
+    assert not any(f.endswith(".parquet") for f in os.listdir(files_dir))
+    report = check_hudi_conformance(d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_clustering_refuses_row_keyed_indexes(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "hudi_rli")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").repartition(3).write.parquet(d)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="nation"),
+        {
+            TableFormat.HUDI: HudiConversionTarget(
+                spark,
+                d,
+                table_name="nation",
+                metadata_index_format="hfile",
+                record_index_field="n_nationkey",
+            )
+        },
+    )
+    assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+    with pytest.raises(NotImplementedError, match="record_index"):
+        hudi_cluster_small_files(spark, d, target_file_bytes=64 * 1024 * 1024)
