@@ -426,3 +426,67 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id,
+         CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         CAST(date_diff('day', date_trunc('week', f.first_ts),
+                        date_trunc('week', e.ts)) / 7 AS INTEGER) AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=COHORT_ORACLE,
+    category="events",
+    description="weekly cohort retention matrix (first-seen week x offset)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — users bucketed by the Monday week of
+    their FIRST event; each later active week counts them at its offset
+    (the retention matrix every product-analytics warehouse derives).
+    Week math is Monday-anchored date_trunc on BOTH engines, and the
+    offset is an exact days/7 integer (trunc-to-trunc distances are
+    multiples of 7), so the gate is bit-deterministic.
+
+    Plan shape: one groupBy(user_id) for first-seen, one user-keyed
+    join back to the events (AQE broadcasts the shrunken first-seen
+    side), one (cohort, offset) countDistinct. At 100 TB the event scan
+    shuffles on user_id once and the matrix is tiny."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.date_trunc("week", F.col("first_ts")).cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )

@@ -234,9 +234,14 @@ def hudi_archive_timeline(base_path: str, keep_last: int = 10) -> list[str]:
     )
 
     instants = list_completed_instants(base_path)
+    # savepointed instants are pinned: archival must not move them (real
+    # Hudi's savepoint contract — the Iceberg-tag analog here)
+    pinned = set(hudi_list_savepoints(base_path))
     if len(instants) <= keep_last:
         return []
-    to_archive = instants[:-keep_last]
+    to_archive = [(i, a) for i, a in instants[:-keep_last] if i not in pinned]
+    if not to_archive:
+        return []
     hoodie = os.path.join(base_path, ".hoodie")
     archived_dir = os.path.join(hoodie, "archived")
     os.makedirs(archived_dir, exist_ok=True)
@@ -1052,3 +1057,187 @@ def paimon_compact_small_files(
         "added": [p for p, _, _ in added_rows],
         "snapshot_id": new_sid,
     }
+
+
+def hudi_create_savepoint(base_path: str, instant: str, comment: str = "") -> str:
+    """Write a ``<instant>.savepoint`` timeline action (real Hudi's
+    savepoint: pins a completed commit so cleaning/archival cannot drop
+    it — the Hudi twin of an Iceberg tag). The instant must be a
+    completed commit; `hudi_archive_timeline` skips savepointed instants
+    so time travel to them keeps working after archival. Returns the
+    completed savepoint path."""
+    import uuid as _uuid
+
+    from incubator_xtable_spark.targets.hudi_target import (
+        completed_instant_file,
+        list_completed_instants,
+        timeline_dir,
+    )
+
+    completed = {i for i, _ in list_completed_instants(base_path)}
+    if instant not in completed:
+        raise ValueError(
+            f"savepoint target {instant} is not a completed instant "
+            f"(completed: {sorted(completed)[-3:]})"
+        )
+    d = timeline_dir(base_path)
+    for suffix in ("savepoint.requested", "savepoint.inflight"):
+        open(os.path.join(d, f"{instant}.{suffix}"), "w", encoding="utf-8").close()
+    final = os.path.join(d, f"{instant}.savepoint")
+    tmp = final + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"savepointedBy": "xtable-spark", "comments": comment}, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass  # already savepointed — idempotent
+    finally:
+        os.unlink(tmp)
+    return final
+
+
+def hudi_list_savepoints(base_path: str) -> list[str]:
+    from incubator_xtable_spark.targets.hudi_target import timeline_dir
+
+    d = timeline_dir(base_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in os.listdir(d):
+        parts = fn.split(".")
+        if len(parts) == 2 and parts[1] == "savepoint" and parts[0].isdigit():
+            out.append(parts[0])
+    return sorted(out)
+
+
+def hudi_delete_savepoint(base_path: str, instant: str) -> None:
+    from incubator_xtable_spark.targets.hudi_target import timeline_dir
+
+    d = timeline_dir(base_path)
+    for suffix in ("savepoint", "savepoint.requested", "savepoint.inflight"):
+        p = os.path.join(d, f"{instant}.{suffix}")
+        if os.path.exists(p):
+            os.unlink(p)
+
+
+def delta_restore(spark: SparkSession, base_path: str, to_version: int) -> dict:
+    """Delta RESTORE: one commit that returns the table's DATA to what
+    version ``to_version`` served — files live then but since removed
+    re-add (with their original stats/DV/row-id metadata), files added
+    since remove, and files whose deletion vector changed re-commit with
+    the old DV (the remove+add update shape). All actions carry
+    dataChange=true — a restore IS row churn, and the CDF derivation
+    correctly reports the restored/deleted rows. Protocol and metaData
+    stay CURRENT (Delta RESTORE semantics: data travels, table config
+    does not). Vacuumed files refuse loudly before anything is written.
+
+    ICT tables get a monotonic inCommitTimestamp. Returns
+    {"readded", "removed", "version"}."""
+    import time as _time
+    import uuid as _uuid
+
+    from incubator_xtable_spark.sources.delta_source import (
+        latest_metadata,
+        list_log_versions,
+        live_files_df,
+        read_commit_ict,
+    )
+
+    head = max(list_log_versions(base_path))
+    if to_version >= head:
+        raise ValueError(f"restore target {to_version} is not before head {head}")
+    cols = ["path", "partitionValues", "size", "modificationTime", "stats"]
+    old_df = live_files_df(spark, base_path, to_version)
+    new_df = live_files_df(spark, base_path, head)
+    opt = [c for c in ("deletionVector", "baseRowId", "defaultRowCommitVersion") if c in old_df.columns]
+    old = {r["path"]: r for r in old_df.select(*cols, *opt).collect()}
+    opt_new = [c for c in ("deletionVector",) if c in new_df.columns]
+    new = {r["path"]: r for r in new_df.select("path", "size", *opt_new).collect()}
+
+    def _dv_id(row) -> Optional[tuple]:
+        dv = row["deletionVector"] if "deletionVector" in row.asDict() else None
+        if dv is None or dv["storageType"] is None:
+            return None
+        return (dv["storageType"], dv["pathOrInlineDv"], dv["offset"])
+
+    readds = [p for p in old if p not in new or _dv_id(old[p]) != _dv_id(new[p])]
+    removes = [p for p in new if p not in old]
+    if not readds and not removes:
+        return {"readded": [], "removed": [], "version": None}
+    base = base_path.rstrip("/") + "/"
+    missing = [
+        p for p in readds if not os.path.exists(p if p.startswith("/") else base + p)
+    ]
+    if missing:
+        raise ValueError(
+            f"restore to {to_version} needs {len(missing)} file(s) that were "
+            f"vacuumed, e.g. {missing[:3]} — the version is no longer restorable"
+        )
+
+    meta = latest_metadata(spark, base_path)
+    cfg = dict(meta["configuration"] or {}) if meta is not None else {}
+    now_ms = int(_time.time() * 1000)
+    commit_info: dict = {
+        "timestamp": now_ms,
+        "operation": "RESTORE",
+        "operationParameters": {"version": str(to_version)},
+    }
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
+        log_dir = os.path.join(base_path, "_delta_log")
+        prev_ict = read_commit_ict(os.path.join(log_dir, f"{head:020d}.json")) or 0
+        commit_info["inCommitTimestamp"] = max(prev_ict + 1, now_ms)
+    lines = [json.dumps({"commitInfo": commit_info})]
+    for p in sorted(removes):
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "size": new[p]["size"],
+                    }
+                }
+            )
+        )
+    for p in sorted(readds):
+        r = old[p]
+        d = r.asDict(recursive=True)
+        add = {
+            "path": p,
+            "partitionValues": dict(d.get("partitionValues") or {}),
+            "size": d["size"],
+            "modificationTime": d.get("modificationTime") or now_ms,
+            "dataChange": True,
+            "stats": d.get("stats"),
+        }
+        for k in ("deletionVector", "baseRowId", "defaultRowCommitVersion"):
+            if d.get(k) is not None:
+                add[k] = d[k]
+        if p in new:  # DV change: spec update shape is remove + re-add
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            "size": d["size"],
+                        }
+                    }
+                )
+            )
+        lines.append(json.dumps({"add": add}))
+    version = head + 1
+    log_dir = os.path.join(base_path, "_delta_log")
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = final + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent delta commit at version {version}") from exc
+    finally:
+        os.unlink(tmp)
+    return {"readded": sorted(readds), "removed": sorted(removes), "version": version}
