@@ -229,6 +229,99 @@ def _max_field_id(schema: T.StructType) -> int:
     return best
 
 
+def _reuse_prev_schema_ids(schema: T.StructType, prev_fields: list[dict]) -> T.StructType:
+    """Annotate an ID-LESS spark schema with the field ids the table's
+    PREVIOUS Iceberg schema assigned to the same name paths (struct
+    members by name, collection element/key/value slots positionally),
+    so schema evolution cannot renumber surviving fields.
+
+    Why this matters: fresh pre-order assignment is stable only for
+    append-at-end evolution — dropping a column (or inserting one
+    mid-schema) from an id-less source would otherwise RECYCLE the
+    dropped field's id onto a different column, silently re-attributing
+    every carried manifest's bounds/null-counts to the wrong column.
+    Fields already carrying ids (Iceberg/Hudi-id-tracking/Delta-mapping
+    sources) are left untouched; genuinely new fields stay unannotated
+    and draw fresh ids ABOVE the previous last-column-id (the caller
+    passes that floor to assign_field_ids). A field whose collection
+    SHAPE changed gets fresh collection ids (its old bounds are
+    meaningless anyway)."""
+    from incubator_xtable_spark.model.schema_meta import NESTED_IDS as _NIDS
+
+    field_ids: dict[tuple, int] = {}
+    nested_ids: dict[tuple, list[int]] = {}
+
+    def type_slots(t: Any, acc: list[int]) -> None:
+        # collection ids under one field, in conv_type's pop order,
+        # stopping at struct boundaries (struct members carry their own)
+        if isinstance(t, dict):
+            if t.get("type") == "list":
+                acc.append(int(t["element-id"]))
+                type_slots(t["element"], acc)
+            elif t.get("type") == "map":
+                acc.append(int(t["key-id"]))
+                type_slots(t["key"], acc)
+                acc.append(int(t["value-id"]))
+                type_slots(t["value"], acc)
+
+    def walk_prev(fields: list[dict], path: tuple) -> None:
+        for f in fields:
+            p = path + (f["name"],)
+            field_ids[p] = int(f["id"])
+            acc: list[int] = []
+            type_slots(f["type"], acc)
+            nested_ids[p] = acc
+            descend(f["type"], p)
+
+    def descend(t: Any, path: tuple) -> None:
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                walk_prev(t["fields"], path)
+            elif t.get("type") == "list":
+                descend(t["element"], path + ("[]",))
+            elif t.get("type") == "map":
+                descend(t["key"], path + ("[k]",))
+                descend(t["value"], path + ("[v]",))
+
+    walk_prev(prev_fields, ())
+
+    def count_slots(dt: T.DataType) -> int:
+        if isinstance(dt, T.ArrayType):
+            return 1 + count_slots(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 2 + count_slots(dt.keyType) + count_slots(dt.valueType)
+        return 0
+
+    def ann_type(dt: T.DataType, path: tuple) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([ann_field(f, path) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(ann_type(dt.elementType, path + ("[]",)), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                ann_type(dt.keyType, path + ("[k]",)),
+                ann_type(dt.valueType, path + ("[v]",)),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def ann_field(f: T.StructField, path: tuple) -> T.StructField:
+        p = path + (f.name,)
+        meta = dict(f.metadata or {})
+        if meta.get(FIELD_ID) is None and p in field_ids:
+            meta[FIELD_ID] = field_ids[p]
+        prev_slots = nested_ids.get(p) or []
+        if (
+            meta.get(_NIDS) is None
+            and prev_slots
+            and count_slots(f.dataType) == len(prev_slots)
+        ):
+            meta[_NIDS] = prev_slots
+        return T.StructField(f.name, ann_type(f.dataType, p), f.nullable, meta)
+
+    return T.StructType([ann_field(f, ()) for f in schema.fields])
+
+
 def schema_to_iceberg_fields(schema: T.StructType) -> list[dict]:
     """Spark schema -> Iceberg schema JSON `fields`, full nested
     struct/map/list support with stable field ids
@@ -1029,6 +1122,22 @@ class IcebergConversionTarget:
                 raise ValueError(
                     "VARIANT columns require format_version=3 (Iceberg v3 "
                     f"`variant` type); this target is v{self.format_version}"
+                )
+        # id stability under schema EVOLUTION for id-less sources: reuse
+        # the previous table schema's ids by name path and float fresh
+        # ids above the previous last-column-id, so a dropped/inserted
+        # column can never recycle an id that carried manifests' bounds
+        # still reference (id-carrying sources are untouched)
+        prev = read_table_metadata(self.base_path)
+        if prev is not None:
+            schemas = {s.get("schema-id"): s for s in prev.get("schemas", [])}
+            cur = schemas.get(prev.get("current-schema-id"))
+            if cur is None and prev.get("schemas"):
+                cur = prev["schemas"][0]
+            if cur and cur.get("fields"):
+                schema = _reuse_prev_schema_ids(schema, cur["fields"])
+                schema = assign_field_ids(
+                    schema, start=int(prev.get("last-column-id") or 0) + 1
                 )
         self._schema = schema
 
@@ -1832,7 +1941,29 @@ class IcebergConversionTarget:
     ) -> None:
         version = (current_metadata_version(self.base_path) or 0) + 1
         schema_json = self._iceberg_schema_json()
-        last_column_id = max((f["id"] for f in schema_json["fields"]), default=0)
+
+        # spec: last-column-id is the highest id assigned ANYWHERE in the
+        # schema — nested struct members and collection element/key/value
+        # ids included (top-level-only would let evolution recycle them);
+        # never regress below the previous table's watermark either
+        def _deep_max(t: Any, best: int) -> int:
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    for f in t.get("fields", []):
+                        best = max(best, int(f["id"]))
+                        best = _deep_max(f["type"], best)
+                elif t.get("type") == "list":
+                    best = max(best, int(t["element-id"]))
+                    best = _deep_max(t["element"], best)
+                elif t.get("type") == "map":
+                    best = max(best, int(t["key-id"]), int(t["value-id"]))
+                    best = _deep_max(t["key"], best)
+                    best = _deep_max(t["value"], best)
+            return best
+
+        last_column_id = _deep_max({"type": "struct", "fields": schema_json["fields"]}, 0)
+        if prev is not None:
+            last_column_id = max(last_column_id, int(prev.get("last-column-id") or 0))
         properties = dict((prev or {}).get("properties") or {})
         if self._metadata_json is not None:
             properties[XTABLE_METADATA_KEY] = self._metadata_json

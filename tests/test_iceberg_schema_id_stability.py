@@ -1,0 +1,120 @@
+"""Field-id stability under schema EVOLUTION for id-less sources
+(targets/iceberg_target._reuse_prev_schema_ids): dropping or inserting
+a column must never recycle an id that carried manifests' bounds still
+reference — surviving fields (nested members and collection
+element/key/value slots included) keep their ids, new fields draw ids
+above the previous last-column-id, and last-column-id counts EVERY id
+in the schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+
+def _commit(spark, base, schema):
+    tgt = IcebergConversionTarget(spark, base, table_name="evo")
+    tgt.begin_sync(None)
+    tgt.sync_schema(schema)
+    tgt.sync_partition_spec([])
+    tgt.complete_sync()
+    return IcebergConversionSource(spark, base)._meta()
+
+
+def _ids(meta) -> dict:
+    """{path: id} over the CURRENT schema, descending everything."""
+    out = {}
+
+    def walk(t, path):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t.get("fields", []):
+                    out[path + (f["name"],)] = f["id"]
+                    walk(f["type"], path + (f["name"],))
+            elif t.get("type") == "list":
+                out[path + ("[]",)] = t["element-id"]
+                walk(t["element"], path + ("[]",))
+            elif t.get("type") == "map":
+                out[path + ("[k]",)] = t["key-id"]
+                out[path + ("[v]",)] = t["value-id"]
+                walk(t["key"], path + ("[k]",))
+                walk(t["value"], path + ("[v]",))
+
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    cur = schemas[meta["current-schema-id"]]
+    walk({"type": "struct", "fields": cur["fields"]}, ())
+    return out
+
+
+def test_drop_and_add_never_recycles_ids(spark, tmp_path):
+    base = str(tmp_path / "evo1")
+    s1 = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    m1 = _commit(spark, base, s1)
+    ids1 = _ids(m1)
+    # drop b, add d — d must NOT take b's id
+    s2 = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("c", T.DoubleType()),
+            T.StructField("d", T.StringType()),
+        ]
+    )
+    m2 = _commit(spark, base, s2)
+    ids2 = _ids(m2)
+    assert ids2[("a",)] == ids1[("a",)]
+    assert ids2[("c",)] == ids1[("c",)]
+    assert ids2[("d",)] > m1["last-column-id"]
+    assert ids2[("d",)] != ids1[("b",)]
+    assert m2["last-column-id"] >= ids2[("d",)]
+
+
+def test_nested_and_collection_ids_stable_on_append(spark, tmp_path):
+    base = str(tmp_path / "evo2")
+    s1 = T.StructType(
+        [
+            T.StructField(
+                "s", T.StructType([T.StructField("x", T.LongType())])
+            ),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    m1 = _commit(spark, base, s1)
+    ids1 = _ids(m1)
+    # last-column-id must already cover the collection slots
+    assert m1["last-column-id"] >= max(ids1.values())
+    s2 = T.StructType(list(s1.fields) + [T.StructField("z", T.StringType())])
+    m2 = _commit(spark, base, s2)
+    ids2 = _ids(m2)
+    for p in (("s",), ("s", "x"), ("arr",), ("arr", "[]"), ("m",), ("m", "[k]"), ("m", "[v]")):
+        assert ids2[p] == ids1[p], p
+    assert ids2[("z",)] > m1["last-column-id"]
+
+
+def test_mid_insert_keeps_existing_ids(spark, tmp_path):
+    base = str(tmp_path / "evo3")
+    s1 = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    m1 = _commit(spark, base, s1)
+    ids1 = _ids(m1)
+    # insert new column BETWEEN a and b — a pre-order reassignment would
+    # have renumbered b
+    s2 = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("mid", T.DoubleType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    m2 = _commit(spark, base, s2)
+    ids2 = _ids(m2)
+    assert ids2[("a",)] == ids1[("a",)]
+    assert ids2[("b",)] == ids1[("b",)]
+    assert ids2[("mid",)] > m1["last-column-id"]
