@@ -675,17 +675,38 @@ class PaimonConversionTarget:
     def _ensure_schema_file(self) -> int:
         """Write schema-N when the schema, partition keys, or bookmark
         changed (Paimon materializes option changes as new schema files).
-        Returns the current schema id."""
-        fields = [
-            {
-                "id": i,
-                "name": f.name,
-                "type": spark_type_to_paimon_str(f.dataType, f.nullable),
-            }
-            for i, f in enumerate(self._schema.fields)
-        ]
-        options = {}
+        Returns the current schema id.
+
+        Field ids follow real Paimon's evolution rule: surviving fields
+        KEEP their ids (matched by name against the previous schema
+        file) and new fields draw from the highestFieldId watermark —
+        ordinal renumbering on a drop/mid-insert would break by-id
+        schema-evolution resolution in real-Paimon readers. The
+        watermark itself is monotone so dropped ids never recycle."""
         latest = self._latest_schema()
+        prev_by_name: dict = {}
+        prev_high = -1
+        if latest is not None:
+            prev_by_name = {f["name"]: int(f["id"]) for f in latest[1].get("fields", [])}
+            prev_high = int(latest[1].get("highestFieldId", -1))
+            if prev_by_name:
+                prev_high = max(prev_high, max(prev_by_name.values()))
+        next_id = prev_high
+        fields = []
+        for f in self._schema.fields:
+            if f.name in prev_by_name:
+                fid = prev_by_name[f.name]
+            else:
+                next_id += 1
+                fid = next_id
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "type": spark_type_to_paimon_str(f.dataType, f.nullable),
+                }
+            )
+        options = {}
         if latest is not None:
             options.update(latest[1].get("options") or {})
         if self._metadata_json is not None:
@@ -694,7 +715,9 @@ class PaimonConversionTarget:
             "version": 3,
             "id": 0 if latest is None else latest[0],
             "fields": fields,
-            "highestFieldId": len(fields) - 1,
+            "highestFieldId": max(
+                next_id, prev_high, max((f["id"] for f in fields), default=-1)
+            ),
             "partitionKeys": self._partition_keys,
             "primaryKeys": [],
             "options": options,

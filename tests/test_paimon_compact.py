@@ -5,6 +5,8 @@ snapshot, conformance stays green."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from incubator_xtable_spark.model.conformance import check_paimon_conformance
@@ -66,3 +68,54 @@ def test_compact_noop_when_big_enough(spark, tmp_path):
     d = _make_paimon(spark, tmp_path, n_files=2)
     out = paimon_compact_small_files(spark, d, target_file_bytes=64, min_file_bytes=1)
     assert out == {"removed": [], "added": [], "snapshot_id": None}
+
+
+def test_schema_evolution_keeps_field_ids(spark, tmp_path):
+    """Drop+add evolution must keep surviving ids and never recycle a
+    dropped one (real Paimon's highestFieldId watermark rule)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    base = str(tmp_path / "paimon_evo")
+    s1 = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    from incubator_xtable_spark.model.core import InternalTable, TableFormat as TF
+
+    def _tbl(schema):
+        return InternalTable(
+            name="evo", table_format=TF.PAIMON, base_path=base, read_schema=schema
+        )
+
+    tgt = PaimonConversionTarget(spark, base, table_name="evo")
+    tgt.begin_sync(_tbl(s1))
+    tgt.sync_schema(s1)
+    tgt.sync_partition_spec([])
+    sid0 = tgt._ensure_schema_file()
+    doc0 = json.load(open(os.path.join(base, "schema", f"schema-{sid0}")))
+    ids0 = {f["name"]: f["id"] for f in doc0["fields"]}
+    assert ids0 == {"a": 0, "b": 1, "c": 2} and doc0["highestFieldId"] == 2
+
+    s2 = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("mid", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    tgt2 = PaimonConversionTarget(spark, base, table_name="evo")
+    tgt2.begin_sync(_tbl(s2))
+    tgt2.sync_schema(s2)
+    tgt2.sync_partition_spec([])
+    sid1 = tgt2._ensure_schema_file()
+    assert sid1 == sid0 + 1
+    doc1 = json.load(open(os.path.join(base, "schema", f"schema-{sid1}")))
+    ids1 = {f["name"]: f["id"] for f in doc1["fields"]}
+    assert ids1["a"] == 0 and ids1["c"] == 2
+    assert ids1["mid"] == 3  # above the watermark, never b's dropped 1
+    assert doc1["highestFieldId"] == 3
