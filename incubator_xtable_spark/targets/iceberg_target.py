@@ -1942,6 +1942,27 @@ class IcebergConversionTarget:
         version = (current_metadata_version(self.base_path) or 0) + 1
         schema_json = self._iceberg_schema_json()
 
+        # schema-evolution HISTORY (spec: `schemas` is the full list and
+        # snapshots record the schema-id they were written under): an
+        # unchanged schema reuses its id; a changed one appends with the
+        # next id — prior schemas stay resolvable so time travel reads
+        # the schema each snapshot actually had
+        prev_schemas = list((prev or {}).get("schemas") or [])
+        match = next(
+            (s for s in prev_schemas if s.get("fields") == schema_json["fields"]), None
+        )
+        if match is not None:
+            current_schema_id = int(match.get("schema-id", 0))
+            schemas_out = prev_schemas
+        else:
+            current_schema_id = (
+                max((int(s.get("schema-id", 0)) for s in prev_schemas), default=-1) + 1
+            )
+            schema_json = dict(schema_json, **{"schema-id": current_schema_id})
+            schemas_out = prev_schemas + [schema_json]
+        if not schemas_out:
+            schemas_out = [schema_json]
+
         # spec: last-column-id is the highest id assigned ANYWHERE in the
         # schema — nested struct members and collection element/key/value
         # ids included (top-level-only would let evolution recycle them);
@@ -1989,7 +2010,7 @@ class IcebergConversionTarget:
                 or ("overwrite" if prev else "append"),
                 **getattr(self, "_summary_stats", {}),
             },
-            "schema-id": 0,
+            "schema-id": current_schema_id,
         }
         # v3 row lineage: the snapshot records where its row-id range
         # starts; the table metadata's next-row-id advances past every id
@@ -2033,8 +2054,8 @@ class IcebergConversionTarget:
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
             "last-column-id": last_column_id,
-            "current-schema-id": 0,
-            "schemas": [schema_json],
+            "current-schema-id": current_schema_id,
+            "schemas": schemas_out,
             "default-spec-id": getattr(self, "_spec_id", 0),
             "partition-specs": getattr(self, "_all_specs", None)
             or [self._partition_spec_json()],

@@ -118,3 +118,26 @@ def test_mid_insert_keeps_existing_ids(spark, tmp_path):
     assert ids2[("a",)] == ids1[("a",)]
     assert ids2[("b",)] == ids1[("b",)]
     assert ids2[("mid",)] > m1["last-column-id"]
+
+
+def test_schema_history_tracked(spark, tmp_path):
+    """Evolution appends a NEW schema-id instead of overwriting schema 0;
+    each snapshot records the schema it was written under."""
+    base = str(tmp_path / "evo4")
+    s1 = T.StructType([T.StructField("a", T.LongType())])
+    m1 = _commit(spark, base, s1)
+    assert [s["schema-id"] for s in m1["schemas"]] == [0]
+    assert m1["current-schema-id"] == 0
+
+    s2 = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    m2 = _commit(spark, base, s2)
+    assert [s["schema-id"] for s in m2["schemas"]] == [0, 1]
+    assert m2["current-schema-id"] == 1
+    by_id = {s["snapshot-id"]: s for s in m2["snapshots"]}
+    old_snap, new_snap = sorted(m2["snapshots"], key=lambda s: s["sequence-number"])
+    assert old_snap["schema-id"] == 0 and new_snap["schema-id"] == 1
+
+    # an UNCHANGED third commit reuses schema-id 1, no new schema appended
+    m3 = _commit(spark, base, s2)
+    assert [s["schema-id"] for s in m3["schemas"]] == [0, 1]
+    assert m3["current-schema-id"] == 1
