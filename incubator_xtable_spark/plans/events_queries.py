@@ -490,3 +490,71 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# trailing-window anomaly flags over daily event volumes
+# ---------------------------------------------------------------------------
+
+ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+trailed AS (
+  SELECT event_type, day, n,
+         sum(n) OVER w AS trail_sum,
+         CAST(count(*) OVER w AS BIGINT) AS trail_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       CAST(trail_sum AS DOUBLE) / trail_n AS trail_mean,
+       CAST(n * trail_n > 2 * trail_sum AS BOOLEAN) AS is_spike
+FROM trailed
+WHERE trail_n > 0
+"""
+
+
+@register(
+    "events_anomaly_trailing",
+    oracle=ANOMALY_ORACLE,
+    category="events",
+    description="daily volume anomaly flags vs a trailing 7-day window",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def events_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly detection: a day spikes when its count
+    exceeds 2x the trailing 7-day mean. The spike predicate is kept in
+    EXACT integer arithmetic (n * trail_n > 2 * trail_sum) so the flag
+    is bit-deterministic cross-engine; the mean column is an int/int
+    double division (exact-in, IEEE-deterministic). Plan shape: one
+    (type, day) count, one bounded-rows window — both shuffle on the
+    same key; at 100 TB the daily rollup is tiny regardless of event
+    volume."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    trailed = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    ).filter(F.col("trail_n") > 0)
+    return trailed.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("trail_sum").cast("double") / F.col("trail_n")).alias("trail_mean"),
+        (F.col("n") * F.col("trail_n") > 2 * F.col("trail_sum")).alias("is_spike"),
+    )

@@ -419,3 +419,79 @@ def meta_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "_row_id")
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE equivalence: compaction is a pure layout change — r11
+# ---------------------------------------------------------------------------
+
+OPTIMIZE_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+ORDER BY n_nationkey
+"""
+
+_OPT_STAGE_CACHE: dict = {}
+
+
+def _staged_optimized_table(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.sync.retention import delta_optimize
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+    cached = _OPT_STAGE_CACHE.get(sf_dir)
+    if cached and _os.path.isdir(_os.path.join(cached, "_delta_log")):
+        return cached
+    work = tempfile.mkdtemp(prefix="xt_opt_")
+    tbl = _pq.read_table(
+        _os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).sort_by("n_nationkey")
+    # three deliberately small files -> the optimize pass has real work
+    for i, (lo, hi) in enumerate([(0, 7), (8, 15), (16, 99)]):
+        keys = tbl["n_nationkey"].to_pylist()
+        idx = [j for j, k in enumerate(keys) if lo <= k <= hi]
+        _pq.write_table(tbl.take(_pa.array(idx, _pa.int64())), f"{work}/f{i:02d}.parquet")
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, work, name="nation"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, work)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    out = delta_optimize(spark, work, target_file_bytes=64 * 1024 * 1024)
+    assert out["version"] is not None and len(out["added"]) == 1
+    _OPT_STAGE_CACHE[sf_dir] = work
+    return work
+
+
+@register(
+    "meta_optimize_equivalence",
+    oracle=OPTIMIZE_ORACLE,
+    category="metadata",
+    description="delta_optimize compaction == plain rows (layout-only rewrite)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def meta_optimize_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end OPTIMIZE correctness (r11): stage `nation` as three
+    small files, convert to Delta through the engine, run the
+    delta_optimize maintenance pass (3 files -> 1, remove+add at
+    dataChange=false), and read the COMPACTED table back. The oracle is
+    the plain source rows — proving the layout rewrite never changes a
+    row — while tests/test_delta_optimize.py pins the commit shape, DV
+    application, CDF silence and time travel. SF-invariant (nation is
+    25 rows at every SF); repeat calls reuse the staged table."""
+    from incubator_xtable_spark.sources.delta_source import read_delta_as_df
+
+    work = _staged_optimized_table(spark, sf_dir)
+    return (
+        read_delta_as_df(spark, work)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
