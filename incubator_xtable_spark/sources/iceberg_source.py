@@ -1338,6 +1338,27 @@ def read_iceberg_as_df(
     meta = src._meta()
     table = src.get_current_table()
     sid = snapshot_id if snapshot_id is not None else src._head_snapshot_id(meta)
+    # schema-aware time travel: a snapshot written under an OLDER schema
+    # reads with THAT schema (spec: snapshots record their schema-id and
+    # `schemas` keeps the history) — columns added later don't appear,
+    # columns since dropped come back
+    snap_meta = src._snapshot_by_id(meta, sid)
+    snap_schema_id = (snap_meta or {}).get("schema-id")
+    if snap_schema_id is not None and snap_schema_id != meta.get("current-schema-id"):
+        hist = next(
+            (s for s in meta.get("schemas", []) if s.get("schema-id") == snap_schema_id),
+            None,
+        )
+        if hist is not None:
+            from dataclasses import replace as _dc_replace
+
+            from incubator_xtable_spark.targets.iceberg_target import (
+                iceberg_fields_to_schema,
+            )
+
+            table = _dc_replace(
+                table, read_schema=iceberg_fields_to_schema(hist["fields"])
+            )
     entries, delete_entries = src._entries_by_content(meta, sid)
     if prune and entries:
         entries = _prune_iceberg_entries(entries, table, prune)

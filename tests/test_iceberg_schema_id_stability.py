@@ -141,3 +141,62 @@ def test_schema_history_tracked(spark, tmp_path):
     m3 = _commit(spark, base, s2)
     assert [s["schema-id"] for s in m3["schemas"]] == [0, 1]
     assert m3["current-schema-id"] == 1
+
+
+def test_time_travel_reads_snapshot_schema(spark, tmp_path):
+    """A snapshot written under an older schema reads WITH that schema:
+    later-added columns absent at the old snapshot, present (null for
+    old files) at head."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.model.core import (
+        FILE_INVENTORY_SCHEMA,
+        InternalTable,
+        TableFormat,
+    )
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+
+    base = str(tmp_path / "evo_read")
+    os.makedirs(base)
+    f1 = os.path.join(base, "f1.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), f1)
+    s1 = T.StructType([T.StructField("a", T.LongType())])
+
+    def _sync(schema, inv_rows):
+        tgt = IcebergConversionTarget(spark, base, table_name="evo")
+        tgt.begin_sync(
+            InternalTable(
+                name="evo",
+                table_format=TableFormat.ICEBERG,
+                base_path=base,
+                read_schema=schema,
+            )
+        )
+        tgt.sync_schema(schema)
+        tgt.sync_partition_spec([])
+        tgt.sync_files_for_snapshot(spark.createDataFrame(inv_rows, FILE_INVENTORY_SCHEMA))
+        return tgt.complete_sync()
+
+    def _inv(path, n):
+        return (path, "PARQUET", os.path.getsize(path), n, 1, None, None)
+
+    sid1 = _sync(s1, [_inv(f1, 2)])
+
+    f2 = os.path.join(base, "f2.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array([3], pa.int64()), "b": pa.array(["x"])}), f2
+    )
+    s2 = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    _sync(s2, [_inv(f1, 2), _inv(f2, 1)])
+
+    head = read_iceberg_as_df(spark, base)
+    assert set(head.columns) == {"a", "b"}
+    rows = {r["a"]: r["b"] for r in head.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+
+    old = read_iceberg_as_df(spark, base, snapshot_id=sid1)
+    assert set(old.columns) == {"a"}
+    assert sorted(r["a"] for r in old.collect()) == [1, 2]
