@@ -926,6 +926,19 @@ def read_hudi_as_df(
     rows = [r for r in rows if r["path"] is not None]
     src = HudiConversionSource(spark, base_path)
     table = src.get_current_table()
+    # schema-aware time travel: resolve the schema the AS-OF commit
+    # declared (commit extraMetadata walks back from <= instant), so a
+    # pre-evolution read does not project columns that did not exist yet
+    if as_of_instant is not None and table is not None:
+        asof_instants = [
+            t for t in list_completed_instants(base_path) if t[0] <= as_of_instant
+        ]
+        if asof_instants:
+            from dataclasses import replace as _dc_replace
+
+            hist = src._read_schema(asof_instants)
+            if hist.fields and hist != table.read_schema:
+                table = _dc_replace(table, read_schema=hist)
     if prune and rows and table is not None:
         from incubator_xtable_spark.sources.hudi_metadata import (
             prune_files_by_col_stats,
