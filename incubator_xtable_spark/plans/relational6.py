@@ -300,3 +300,83 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM-style customer segmentation (fixed-rule, exact arithmetic)
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = """
+WITH anchor AS (SELECT max(o_orderdate) AS latest FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT latest FROM anchor)) AS recency_days,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+classed AS (
+  SELECT CASE WHEN recency_days <= 180 THEN 'active'
+              WHEN recency_days <= 540 THEN 'warm'
+              ELSE 'cold' END AS recency_class,
+         CASE WHEN n_orders >= 20 THEN 'frequent'
+              WHEN n_orders >= 10 THEN 'regular'
+              ELSE 'occasional' END AS frequency_class,
+         monetary
+  FROM per_cust
+)
+SELECT recency_class, frequency_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(CAST(sum(monetary) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM classed
+GROUP BY recency_class, frequency_class
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=RFM_ORACLE,
+    category="relational",
+    description="RFM-style customer segmentation (fixed integer rules)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary customer segmentation with FIXED
+    integer thresholds — deliberately not quantile-based: fixed rules
+    are exact cross-engine AND scale-right (quantile cutoffs would need
+    either an unpartitioned ntile window — a single-task funnel — or
+    interpolated percentiles whose float math differs in final ulps
+    between engines; at 100 TB the production pattern is approximate
+    cutoffs broadcast from a sample, which is not oracle-exact, so the
+    gate uses the rule-based variant). One groupBy(custkey), a
+    broadcast scalar anchor date, one tiny class rollup; decimal money
+    throughout."""
+    o = t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("latest"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff(F.col("latest"), F.col("last_order")))
+    )
+    classed = per_cust.select(
+        F.when(F.col("recency_days") <= 180, "active")
+        .when(F.col("recency_days") <= 540, "warm")
+        .otherwise("cold")
+        .alias("recency_class"),
+        F.when(F.col("n_orders") >= 20, "frequent")
+        .when(F.col("n_orders") >= 10, "regular")
+        .otherwise("occasional")
+        .alias("frequency_class"),
+        "monetary",
+    )
+    return classed.groupBy("recency_class", "frequency_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_out(F.sum("monetary").cast("decimal(38,2)"), 2).alias("total_value"),
+    )
