@@ -411,6 +411,12 @@ def run_once(spark, cfg: dict[str, Any], mode: SyncMode) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    raw = list(_sys.argv[1:]) if argv is None else list(argv)
+    if raw[:1] == ["maintenance"]:
+        return run_maintenance(raw[1:])
+    argv = raw
     ap = argparse.ArgumentParser(description="xtable-pyspark sync runner")
     ap.add_argument("--config", "-c", required=True)
     ap.add_argument("--mode", choices=["FULL", "INCREMENTAL"], default="INCREMENTAL")
@@ -435,6 +441,92 @@ def main(argv: list[str] | None = None) -> int:
             break
         time.sleep(args.interval)
     return 1 if failures else 0
+
+
+
+
+def run_maintenance(argv: list[str] | None = None) -> int:
+    """Maintenance CLI (`python -m incubator_xtable_spark.run_sync
+    maintenance ...` via main's subcommand detection): one action per
+    invocation, each mapping to a sync/retention function. Prints one
+    JSON result line.
+
+    Actions: optimize (delta) / rewrite (iceberg) / cluster (hudi) /
+    compact (paimon) — the four-format compaction quartet — plus
+    restore (delta, --to-version), savepoint / unsavepoint (hudi,
+    --instant), vacuum (delta, destructive only with --no-dry-run),
+    archive (hudi, --keep-last), expire (iceberg, --keep-last)."""
+    ap = argparse.ArgumentParser(description="xtable-pyspark maintenance runner")
+    ap.add_argument(
+        "action",
+        choices=[
+            "optimize",
+            "rewrite",
+            "cluster",
+            "compact",
+            "restore",
+            "savepoint",
+            "unsavepoint",
+            "vacuum",
+            "archive",
+            "expire",
+        ],
+    )
+    ap.add_argument("--path", required=True, help="table base path")
+    ap.add_argument("--table-name", default=None)
+    ap.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    ap.add_argument("--min-file-bytes", type=int, default=None)
+    ap.add_argument("--to-version", type=int, default=None, help="restore target")
+    ap.add_argument("--instant", default=None, help="savepoint instant")
+    ap.add_argument("--keep-last", type=int, default=10)
+    ap.add_argument("--no-dry-run", action="store_true", help="vacuum really deletes")
+    args = ap.parse_args(argv)
+
+    from incubator_xtable_spark.sync import retention as R
+
+    spark = None
+    if args.action in ("optimize", "rewrite", "cluster", "compact", "restore", "vacuum"):
+        spark = get_spark("xtable_maintenance")
+        spark.sparkContext.setLogLevel("ERROR")
+    size_kw = {
+        "target_file_bytes": args.target_file_bytes,
+        "min_file_bytes": args.min_file_bytes,
+    }
+    if args.action == "optimize":
+        out = R.delta_optimize(spark, args.path, **size_kw)
+    elif args.action == "rewrite":
+        out = R.iceberg_rewrite_data_files(
+            spark, args.path, table_name=args.table_name, **size_kw
+        )
+    elif args.action == "cluster":
+        out = R.hudi_cluster_small_files(
+            spark, args.path, table_name=args.table_name, **size_kw
+        )
+    elif args.action == "compact":
+        out = R.paimon_compact_small_files(
+            spark, args.path, table_name=args.table_name, **size_kw
+        )
+    elif args.action == "restore":
+        if args.to_version is None:
+            raise SystemExit("restore requires --to-version")
+        out = R.delta_restore(spark, args.path, args.to_version)
+    elif args.action == "savepoint":
+        if args.instant is None:
+            raise SystemExit("savepoint requires --instant")
+        out = {"savepoint": R.hudi_create_savepoint(args.path, args.instant)}
+    elif args.action == "unsavepoint":
+        if args.instant is None:
+            raise SystemExit("unsavepoint requires --instant")
+        R.hudi_delete_savepoint(args.path, args.instant)
+        out = {"removed_savepoint": args.instant}
+    elif args.action == "vacuum":
+        out = {"orphans": R.delta_vacuum(spark, args.path, dry_run=not args.no_dry_run)}
+    elif args.action == "archive":
+        out = {"archived": R.hudi_archive_timeline(args.path, keep_last=args.keep_last)}
+    else:  # expire
+        out = {"expired": R.iceberg_expire_snapshots(args.path, keep_last=args.keep_last)}
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
