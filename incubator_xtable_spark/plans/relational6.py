@@ -380,3 +380,74 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         money_out(F.sum("monetary").cast("decimal(38,2)"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence over a bounded top-K part set
+# ---------------------------------------------------------------------------
+
+BASKET_ORACLE = """
+WITH cust_part AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+top_parts AS (
+  SELECT part FROM (
+    SELECT part, count(*) AS n FROM cust_part GROUP BY part
+    ORDER BY n DESC, part LIMIT 50
+  )
+),
+bounded AS (
+  SELECT cp.cust, cp.part FROM cust_part cp
+  JOIN top_parts tp ON cp.part = tp.part
+)
+SELECT a.part AS part_a, b.part AS part_b,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM bounded a JOIN bounded b ON a.cust = b.cust AND a.part < b.part
+GROUP BY part_a, part_b
+ORDER BY n_customers DESC, part_a, part_b
+LIMIT 10
+"""
+
+
+@register(
+    "part_pair_affinity",
+    oracle=BASKET_ORACLE,
+    category="relational",
+    description="market-basket part co-occurrence over a bounded top-50 set",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — which parts the same customers buy
+    together — with the self-join BOUNDED to the top-50 parts by
+    customer reach (fully tie-broken), so the pair space is at most
+    K^2/2 regardless of corpus size: the standard way this shape stays
+    sane at 100 TB (the unbounded all-parts self-join is quadratic in
+    the catalog). The top-part set broadcasts against the
+    (customer, part) stream; counts are exact integers; the final
+    top-10 is fully tie-broken."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust_part = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    top_parts = (
+        cust_part.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "part")
+        .limit(50)
+        .select("part")
+    )
+    bounded = cust_part.join(F.broadcast(top_parts), "part")
+    a = bounded.select(F.col("cust"), F.col("part").alias("part_a"))
+    b = bounded.select(F.col("cust"), F.col("part").alias("part_b"))
+    return (
+        a.join(b, "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "part_a", "part_b")
+        .limit(10)
+    )
