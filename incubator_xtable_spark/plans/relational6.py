@@ -451,3 +451,51 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), "part_a", "part_b")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# shipping-delay distribution (exact integer histogram)
+# ---------------------------------------------------------------------------
+
+DELAY_ORACLE = """
+SELECT
+  CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INTEGER) AS delay_days,
+  CAST(count(*) AS BIGINT) AS n_lineitems,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY delay_days
+"""
+
+
+@register(
+    "lineitem_delay_histogram",
+    oracle=DELAY_ORACLE,
+    category="relational",
+    description="order-to-ship fulfillment histogram (exact integer day buckets)",
+    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+)
+def lineitem_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order-to-ship fulfillment times in whole days
+    (this testdata's reduced lineitem carries l_shipdate only, so the
+    lateness base is the order date): exact integer date arithmetic end
+    to end, one orderkey join + one groupBy on a bounded key space
+    (delays are small integers — no skew, tiny result at any SF; the
+    orders side broadcasts or co-shuffles on the same key as q04/q12)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("int")
+            .alias("delay_days"),
+            "l_suppkey",
+        )
+        .groupBy("delay_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
