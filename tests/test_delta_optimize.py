@@ -164,3 +164,50 @@ def test_optimize_ict_monotonic(spark, tmp_path):
     assert got_ict is not None and got_ict > prev_ict
     report = check_delta_conformance(spark, d)
     assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_optimize_partitioned_table_bins_per_partition(spark, tmp_path):
+    """Partitioned tables bin WITHIN each partition and the new adds
+    carry the partition's own partitionValues."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.model.core import InternalPartitionField
+
+    d = str(tmp_path / "opt_part")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .withColumn("region", F.concat(F.lit("r"), F.col("n_regionkey")))
+        .repartition(2)  # 2 small files PER partition dir
+        .write.partitionBy("region")
+        .parquet(d)
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="nation",
+            partition_fields=[InternalPartitionField(source_field="region")],
+        ),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+    before = sorted(
+        (r["n_nationkey"], r["region"])
+        for r in read_delta_as_df(spark, d).select("n_nationkey", "region").collect()
+    )
+    n_parts = len({pv for (_, pv) in before})
+    files_before = live_files_df(spark, d).collect()
+    assert len(files_before) > n_parts  # multiple files per partition
+
+    out = delta_optimize(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert out["version"] is not None
+    live = live_files_df(spark, d).collect()
+    # one compacted file per partition, each carrying its partitionValues
+    assert len(live) == n_parts
+    pvs = sorted(dict(r["partitionValues"])["region"] for r in live)
+    assert pvs == sorted({pv for (_, pv) in before})
+    after = sorted(
+        (r["n_nationkey"], r["region"])
+        for r in read_delta_as_df(spark, d).select("n_nationkey", "region").collect()
+    )
+    assert after == before
+    report = check_delta_conformance(spark, d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
