@@ -109,3 +109,51 @@ def test_rewrite_noop_when_big_enough(spark, tmp_path):
     d = _make_iceberg(spark, tmp_path, n_files=2)
     out = iceberg_rewrite_data_files(spark, d, target_file_bytes=64, min_file_bytes=1)
     assert out == {"removed": [], "added": [], "snapshot_id": None}
+
+
+def test_rewrite_partitioned_table_bins_per_partition(spark, tmp_path):
+    """Partitioned tables bin WITHIN each partition; new entries keep
+    their partition tuple so partition pruning still works."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.model.core import InternalPartitionField
+
+    d = str(tmp_path / "ice_part")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .withColumn("region", F.concat(F.lit("r"), F.col("n_regionkey")))
+        .repartition(2)
+        .write.partitionBy("region")
+        .parquet(d)
+    )
+    res = ConversionController().sync(
+        ParquetConversionSource(
+            spark, d, name="nation",
+            partition_fields=[InternalPartitionField(source_field="region")],
+        ),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, d, table_name="nation")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    src = IcebergConversionSource(spark, d)
+    meta = src._meta()
+    entries = src._live_entries(meta, meta["current-snapshot-id"])
+    parts_before = {e["data_file"]["partition"].get("region") for e in entries}
+    assert len(entries) > len(parts_before)
+    before = sorted(
+        (r["n_nationkey"], r["region"])
+        for r in read_iceberg_as_df(spark, d).select("n_nationkey", "region").collect()
+    )
+
+    out = iceberg_rewrite_data_files(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert out["snapshot_id"] is not None
+    meta2 = src._meta()
+    entries2 = src._live_entries(meta2, out["snapshot_id"])
+    assert len(entries2) == len(parts_before)  # one file per partition
+    assert {e["data_file"]["partition"].get("region") for e in entries2} == parts_before
+    after = sorted(
+        (r["n_nationkey"], r["region"])
+        for r in read_iceberg_as_df(spark, d).select("n_nationkey", "region").collect()
+    )
+    assert after == before
+    report = check_iceberg_conformance(spark, d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
