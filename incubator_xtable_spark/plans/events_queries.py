@@ -373,7 +373,7 @@ SELECT
     oracle=FUNNEL_ORACLE,
     category="events",
     description="sequential conversion funnel (view -> click -> purchase)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship analytics)
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel analysis: users counted at each step only when
@@ -455,7 +455,7 @@ GROUP BY cohort_week, week_offset
     oracle=COHORT_ORACLE,
     category="events",
     description="weekly cohort retention matrix (first-seen week x offset)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship analytics)
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention — users bucketed by the Monday week of

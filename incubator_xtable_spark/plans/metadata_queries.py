@@ -400,7 +400,7 @@ def _staged_lineage_table(spark: SparkSession, sf_dir: str) -> str:
     oracle=ROW_LINEAGE_ORACLE,
     category="metadata",
     description="row ids survive Delta->Iceberg conversion (row_lineage channel)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship conversion-lineage proof)
 )
 def meta_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end row-lineage preservation (r11): stage `nation` as one
@@ -476,7 +476,7 @@ def _staged_optimized_table(spark: SparkSession, sf_dir: str) -> str:
     oracle=OPTIMIZE_ORACLE,
     category="metadata",
     description="delta_optimize compaction == plain rows (layout-only rewrite)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (compaction-equivalence proof)
 )
 def meta_optimize_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OPTIMIZE correctness (r11): stage `nation` as three

@@ -590,6 +590,7 @@ WHERE o_custkey < 50
     oracle=RUNNING_ORACLE,
     category="relational",
     description="running sum + sequence number per customer",
+    graded=False,  # r12: rotated out (window_topn_per_nation keeps the family graded)
 )
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -131,6 +131,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     oracle=LAGLEAD_ORACLE,
     category="relational",
     description="lag/lead/first_value + inter-order gaps",
+    graded=False,  # r12: rotated out (window_topn_per_nation keeps the family graded)
 )
 def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -142,6 +142,7 @@ WHERE supp_value > (
     oracle=Q11_ORACLE,
     category="relational",
     description="TPC-H Q11-style global-threshold scalar subquery",
+    graded=False,  # r12: rotated out of the driver window for flagship ops
 )
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -185,6 +186,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     oracle=Q14_ORACLE,
     category="relational",
     description="TPC-H Q14-style conditional revenue share",
+    graded=False,  # r12: rotated out of the driver window for flagship ops
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
@@ -307,6 +309,7 @@ WHERE sp.l_partkey < 200
     oracle=Q02_ORACLE,
     category="relational",
     description="TPC-H Q2-style per-group minimum matching",
+    graded=False,  # r12: rotated out of the driver window for flagship ops
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")

@@ -37,6 +37,7 @@ ORDER BY s_suppkey
     oracle=Q15_ORACLE,
     category="relational",
     description="TPC-H Q15-style max-over-view with scalar subquery",
+    graded=False,  # r12: rotated out of the driver window for flagship ops
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
@@ -171,6 +172,7 @@ GROUP BY cntrycode
     oracle=Q22_ORACLE,
     category="relational",
     description="TPC-H Q22-style anti-join + global-average scalar subquery",
+    graded=False,  # r12: rotated out of the driver window for flagship ops
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
@@ -218,6 +220,7 @@ GROUP BY window_start
     oracle=HOPPING_ORACLE,
     category="events",
     description="2h sliding windows hopping every 1h (event explosion)",
+    graded=False,  # r12: rotated out (events_tumbling_hourly keeps the family graded)
 )
 def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")

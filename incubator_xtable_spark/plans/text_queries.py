@@ -960,7 +960,7 @@ FROM hits GROUP BY doc_id
     oracle=DECON_ORACLE,
     category="text",
     description="benchmark n-gram overlap decontamination (GPT-3-style)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship LLM-pipeline op)
 )
 def text_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the n-gram-overlap pass every
@@ -1039,7 +1039,7 @@ FROM binned GROUP BY lang, chunk_id
     oracle=PACK_ORACLE,
     category="text",
     description="sequence packing: concat-and-chunk docs into context budgets",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship LLM-pipeline op)
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the concat-and-chunk step that turns a curated
@@ -1121,7 +1121,7 @@ FROM stripped
     oracle=HTML_ORACLE,
     category="text",
     description="HTML markup strip on ingest (script/style drop, tag removal)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship LLM-pipeline op)
 )
 def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip — the ingest step between a web crawl and
@@ -1213,7 +1213,7 @@ GROUP BY segs.doc_id
     oracle=SEGMENT_DEDUP_ORACLE,
     category="dedup",
     description="segment-level exact dedup (RefinedWeb line-dedup analog)",
-    graded=False,  # driver window pinned at 50; oracle-gated via pytest parity
+    # r12: rotated INTO the driver window (flagship LLM-pipeline op)
 )
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level exact deduplication — the published line/sentence
