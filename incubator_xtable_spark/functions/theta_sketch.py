@@ -19,11 +19,16 @@ Puffin theta blobs, so converted tables can carry engine-usable NDV
 stats — cost-based optimizers (Trino/Spark) read exactly this blob
 type.
 
-Scale: sketching is ONE shuffle-free Spark job for ALL requested
-columns — a single mapInArrow scan that hashes each batch and
-pre-reduces to the k smallest distinct hashes per (batch, column), so
-only k longs per batch-column survive to the driver's KMV merge. Wide
-tables pay one scan instead of a sequential shuffle per column.
+Scale: sketching is one mapInArrow scan for ALL requested columns
+(per-PARTITION KMV pre-reduction — at most k+1 longs per column leave
+a partition regardless of row count) followed by a two-level
+EXECUTOR-SIDE tree merge (bucketed streaming KMV reducers, O(k) memory
+each), so the driver receives exactly one <= k+1 hash set per column —
+O(k x cols) driver payload independent of the input partition count.
+Fixed-width values (int/float/date/bool) hash through a numpy-
+vectorized murmur3 batch kernel; only variable-length values (strings/
+bytes) pay a per-value Python hash, and only for each batch's DISTINCT
+values (Arrow-level unique() runs first).
 """
 
 from __future__ import annotations
@@ -272,59 +277,199 @@ class ThetaSketch:
 # ---------------------------------------------------------------------------
 
 
+def _hash8_theta_vec(bits):
+    """Vectorized MurmurHash3 x64 128 (seed 9001) ``>> 1`` for
+    exactly-8-byte little-endian inputs — the ``hash_item`` byte
+    conventions for int/float/date/bool all pack to one 8-byte word, so
+    the whole batch reduces to the algorithm's single-tail-block path,
+    which is pure uint64 arithmetic and vectorizes cleanly.
+
+    ``bits``: uint64 array holding each value's 8 input bytes (LE word).
+    Returns a uint64 array elementwise equal to ``hash_item`` (pinned by
+    tests/test_theta_statistics.py parity checks)."""
+    import numpy as np
+
+    u = np.uint64
+    with np.errstate(over="ignore"):
+        k1 = bits * u(_C1)
+        k1 = (k1 << u(31)) | (k1 >> u(33))
+        k1 = k1 * u(_C2)
+        # scalar path for len==8: h1 = seed ^ k1' ; h2 = seed; both ^= len
+        h1 = (u(DEFAULT_SEED) ^ k1) ^ u(8)
+        h2s = u(DEFAULT_SEED) ^ u(8)
+        h1 = h1 + h2s
+        h2 = h2s + h1
+
+        def _fmix(x):
+            x = x ^ (x >> u(33))
+            x = x * u(0xFF51AFD7ED558CCD)
+            x = x ^ (x >> u(33))
+            x = x * u(0xC4CEB9FE1A85EC53)
+            return x ^ (x >> u(33))
+
+        h1 = _fmix(h1)
+        h2 = _fmix(h2)
+        h1 = h1 + h2
+        return h1 >> u(1)
+
+
+def _kmv_update(kmv: dict, thr: dict, c: str, hv, k1: int) -> None:
+    """Fold a batch of theta hashes into the running per-column KMV set,
+    pruning back to the k1 smallest whenever it overgrows (bounded
+    memory however many batches a partition streams)."""
+    t = thr.get(c)
+    if t is not None:
+        hv = hv[hv < t]
+    if len(hv) == 0:
+        return
+    s = kmv[c]
+    s.update(int(x) for x in hv)
+    if len(s) > 4 * k1:
+        keep = sorted(s)[:k1]
+        kmv[c] = set(keep)
+        thr[c] = keep[-1]
+
+
+def _emit_kmv(kmv: dict, k1: int):
+    import pyarrow as pa
+
+    names: list[str] = []
+    out: list[int] = []
+    for c, s in kmv.items():
+        mins = sorted(s)[:k1]
+        names.extend([c] * len(mins))
+        out.extend(mins)
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(names, pa.string()), pa.array(out, pa.int64())], ["c", "h"]
+    )
+
+
+def sketch_hashes_df(spark, df, columns: list[str], lg_k: int = DEFAULT_LG_K):
+    """The distributed half of ``build_column_sketches``: a DataFrame of
+    ``(c, h)`` holding, per requested column, the k+1 smallest distinct
+    theta hashes of the whole input — at most ``(k+1) x len(columns)``
+    rows however many partitions the input has.
+
+    k+1 (not k) survives every merge level because estimation-mode theta
+    is the (k+1)-th smallest global hash; truncating to k executor-side
+    would silently flip an over-k column into exact mode.
+
+    Plan shape (scale posture): one mapInArrow scan with per-PARTITION
+    KMV carry-over (<= k+1 longs per column leave a partition), then two
+    streaming KMV reduce levels — first keyed by (column, hash-bucket)
+    to fan in partition count, then by column — each a repartition +
+    mapInArrow with O(k) state per column, no collect_set buffers, no
+    driver participation. Arrow-level null dropping + unique() run
+    before hashing: a pandas conversion would float-ify integer batches
+    containing nulls and corrupt the hashes."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    k1 = (1 << lg_k) + 1
+
+    def _hash_partition(batches, _cols=tuple(columns), _k1=k1):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from incubator_xtable_spark.functions.theta_sketch import (
+            _emit_kmv,
+            _hash8_theta_vec,
+            _kmv_update,
+            hash_item,
+        )
+
+        kmv: dict[str, set] = {c: set() for c in _cols}
+        thr: dict = {}
+        for rb in batches:
+            for c in _cols:
+                arr = rb.column(rb.schema.get_field_index(c)).drop_null()
+                if len(arr) == 0:
+                    continue
+                uniq = pc.unique(arr)
+                t = uniq.type
+                bits = None
+                if pa.types.is_boolean(t):
+                    bits = uniq.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+                elif pa.types.is_integer(t) and not (
+                    pa.types.is_unsigned_integer(t) and t.bit_width == 64
+                ):
+                    bits = uniq.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+                elif pa.types.is_floating(t):
+                    f = uniq.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
+                    bits = f.view(np.uint64)
+                elif pa.types.is_date32(t):
+                    days = uniq.cast(pa.int32()).to_numpy(zero_copy_only=False)
+                    bits = days.astype(np.int64).view(np.uint64)
+                if bits is not None:
+                    hv = _hash8_theta_vec(bits).view(np.int64)  # < 2^63: sign-safe
+                else:
+                    hv = np.asarray(
+                        [hash_item(v) for v in uniq.to_pylist()], dtype=np.int64
+                    )
+                _kmv_update(kmv, thr, c, hv, _k1)
+        yield from _emit_kmv(kmv, _k1)
+
+    def _reduce_stream(batches, _k1=k1):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import numpy as np
+
+        from incubator_xtable_spark.functions.theta_sketch import _emit_kmv, _kmv_update
+
+        kmv: dict[str, set] = {}
+        thr: dict = {}
+        for rb in batches:
+            cs = rb.column(0).to_pylist()
+            hs = rb.column(1).to_numpy(zero_copy_only=False)
+            order = np.argsort(np.asarray(cs, dtype=object), kind="stable")
+            sorted_cs = [cs[i] for i in order]
+            sorted_hs = hs[order]
+            start = 0
+            for i in range(1, len(sorted_cs) + 1):
+                if i == len(sorted_cs) or sorted_cs[i] != sorted_cs[start]:
+                    c = sorted_cs[start]
+                    kmv.setdefault(c, set())
+                    _kmv_update(kmv, thr, c, sorted_hs[start:i], _k1)
+                    start = i
+        yield from _emit_kmv(kmv, _k1)
+
+    out_schema = "c STRING, h LONG"
+    pre = df.select(*columns).mapInArrow(_hash_partition, out_schema)
+    # level 1: fan partition count into (column x 32 hash buckets) streams
+    fan = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    lvl1 = pre.repartition(
+        fan, F.col("c"), F.pmod(F.col("h"), F.lit(32))
+    ).mapInArrow(_reduce_stream, out_schema)
+    # level 2: one <= k+1 set per column (columns scatter across tasks)
+    return lvl1.repartition(F.col("c")).mapInArrow(_reduce_stream, out_schema)
+
+
 def build_column_sketches(
     spark,
     df,
     columns: Optional[list[str]] = None,
     lg_k: int = DEFAULT_LG_K,
 ) -> dict[str, ThetaSketch]:
-    """One theta sketch per column of ``df``, built in ONE Spark job.
+    """One theta sketch per column of ``df``.
 
-    Plan: a single mapInArrow pass over only the requested columns. Each
-    Arrow batch hashes every column's non-null values and pre-reduces to
-    that column's k smallest DISTINCT hashes, so at most k longs per
-    (batch, column) reach the driver, where the final per-column KMV
-    merge runs. Arrow-level null dropping is deliberate: a pandas
-    conversion would float-ify integer batches that contain nulls and
-    silently corrupt the hashes (ints would hash as doubles).
-
-    Versus the previous one-distinct-job-per-column plan this trades
-    JVM-side dedupe (duplicates now cost a Python hash each, dedupe
-    happens in the per-batch set) for a shuffle-free single scan: an
-    N-column stats collection costs 1 job / 0 shuffles instead of N
-    sequential shuffles — the latency win dominates for wide tables,
-    which is what table-statistics collection runs against."""
-    import os as _os
-
-    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    The entire scan + hash + KMV merge runs executor-side
+    (``sketch_hashes_df``); the driver only collects <= k+1 longs per
+    column and assembles the ThetaSketch objects — identical bit-for-bit
+    to a single-node ``ThetaSketch.from_items`` over the same values
+    regardless of input partition layout (pinned by tests)."""
     cols = list(columns or [f.name for f in df.schema.fields])
     if not cols:
         return {}
-    k = 1 << lg_k
-    sel = df.select(*cols)
-
-    def _hash_batches(batches, _cols=tuple(cols), _k=k):
-        import sys as _sys
-
-        if pkg_root not in _sys.path:
-            _sys.path.insert(0, pkg_root)
-        import pyarrow as pa
-
-        from incubator_xtable_spark.functions.theta_sketch import hash_item as _hi
-
-        for rb in batches:
-            names: list[str] = []
-            hs: list[int] = []
-            for c in _cols:
-                arr = rb.column(rb.schema.get_field_index(c))
-                mins = sorted({_hi(v) for v in arr.drop_null().to_pylist()})[:_k]
-                names.extend([c] * len(mins))
-                hs.extend(mins)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(names, pa.string()), pa.array(hs, pa.int64())], ["c", "h"]
-            )
-
     by_col: dict[str, list[int]] = {c: [] for c in cols}
-    for r in sel.mapInArrow(_hash_batches, "c STRING, h LONG").collect():
+    for r in sketch_hashes_df(spark, df, cols, lg_k=lg_k).collect():
         by_col[r["c"]].append(r["h"])
     return {c: ThetaSketch.from_hashes(by_col[c], lg_k=lg_k) for c in cols}

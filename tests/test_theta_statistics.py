@@ -161,24 +161,92 @@ def test_build_column_sketches_matches_exact_counts(spark):
         assert sk.estimate() == float(exact[c]), c
 
 
-def test_build_column_sketches_is_one_job(spark):
-    """The whole multi-column build must run as ONE Spark job (a wide
-    table previously paid a sequential distinct-shuffle per column)."""
+def test_build_column_sketches_single_scan_all_columns(spark):
+    """A wide table pays ONE data scan for all columns (plus the two
+    bounded tree-merge shuffles), never a distinct-shuffle per column —
+    and int columns must hash as longs end-to-end."""
     df = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
     cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
-    sc = spark.sparkContext
-    group = "theta-one-job"
-    sc.setJobGroup(group, "theta build")
-    try:
-        sketches = build_column_sketches(spark, df, columns=cols)
-    finally:
-        sc.setJobGroup(None, None)
-    jobs = sc.statusTracker().getJobIdsForGroup(group)
-    assert len(jobs) == 1, jobs
+    sketches = build_column_sketches(spark, df, columns=cols)
     assert set(sketches) == set(cols)
-    # int columns containing no nulls must hash as longs end-to-end
     exact = df.select("c_nationkey").distinct().count()
     assert sketches["c_nationkey"].estimate() == float(exact)
+
+
+def test_vectorized_hash8_matches_hash_item():
+    """The numpy murmur3 batch kernel must be elementwise identical to
+    the scalar hash_item for every 8-byte convention (int, float —
+    incl. -0.0 canonicalization, NaN, infinities — bool, date): a
+    single-bit divergence would write interoperable-LOOKING but wrong
+    Puffin sketches."""
+    import datetime
+    import struct
+
+    import numpy as np
+
+    from incubator_xtable_spark.functions.theta_sketch import _hash8_theta_vec
+
+    rng = np.random.default_rng(7)
+    ints = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, size=500, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+        ]
+    )
+    got = _hash8_theta_vec(ints.view(np.uint64)).view(np.int64)
+    for v, h in zip(ints.tolist(), got.tolist()):
+        assert h == hash_item(v), v
+
+    floats = np.array(
+        [0.0, -0.0, 1.5, -2.25, 3.14159, np.nan, np.inf, -np.inf, 1e-308, 1e308],
+        dtype=np.float64,
+    )
+    canon = floats + 0.0  # mirrors hash_item's -0.0 canonicalization
+    got_f = _hash8_theta_vec(canon.view(np.uint64)).view(np.int64)
+    for v, h in zip(floats.tolist(), got_f.tolist()):
+        assert h == hash_item(float(v)), v
+
+    bools = np.array([0, 1], dtype=np.uint64)
+    got_b = _hash8_theta_vec(bools).view(np.int64)
+    assert got_b[0] == hash_item(False) and got_b[1] == hash_item(True)
+
+    days = np.array([0, 10, -365, 20000], dtype=np.int64)
+    got_d = _hash8_theta_vec(days.view(np.uint64)).view(np.int64)
+    epoch = datetime.date(1970, 1, 1)
+    for d, h in zip(days.tolist(), got_d.tolist()):
+        assert h == hash_item(epoch + datetime.timedelta(days=d)), d
+    # sanity: the int convention really is the 8 LE bytes of the long
+    assert struct.pack("<q", -5) == np.int64(-5).tobytes()
+
+
+def test_sketch_tree_merge_is_layout_invariant_and_payload_bounded(spark):
+    """The executor-side tree merge must produce sketches bit-identical
+    to a single-node build in ESTIMATION mode (NDV >> k, so theta —
+    the (k+1)-th smallest hash — has to survive every merge level), for
+    any input partition layout; and the driver-facing row stream stays
+    <= (k+1) x columns however many partitions feed it."""
+    from pyspark.sql import Row
+
+    from incubator_xtable_spark.functions.theta_sketch import sketch_hashes_df
+
+    lg_k = 4  # k=16 so 3000 distinct values are deep into estimation mode
+    rows = [Row(i=i, s=f"doc-{i}", f=i * 0.5) for i in range(3000)]
+    expected = {
+        "i": ThetaSketch.from_items(range(3000), lg_k=lg_k),
+        "s": ThetaSketch.from_items((f"doc-{i}" for i in range(3000)), lg_k=lg_k),
+        "f": ThetaSketch.from_items((i * 0.5 for i in range(3000)), lg_k=lg_k),
+    }
+    for nparts in (1, 7, 64):
+        df = spark.createDataFrame(rows).repartition(nparts)
+        sketches = build_column_sketches(spark, df, columns=["i", "s", "f"], lg_k=lg_k)
+        for c in expected:
+            assert sketches[c].entries == expected[c].entries, (c, nparts)
+            assert sketches[c].theta == expected[c].theta, (c, nparts)
+            assert sketches[c].is_estimation
+    # driver payload: one <= k+1 set per column, independent of layout
+    df64 = spark.createDataFrame(rows).repartition(64)
+    n = sketch_hashes_df(spark, df64, ["i", "s", "f"], lg_k=lg_k).count()
+    assert n <= ((1 << lg_k) + 1) * 3, n
 
 
 # -- Iceberg statistics commit ----------------------------------------------
