@@ -138,6 +138,16 @@ def decode_jpeg(data: bytes) -> dict:
     raise MediaDecodeError("JPEG: no SOF frame header found")
 
 
+def _gif_skip_subblocks(data: bytes, p: int) -> int:
+    while p < len(data):
+        size = data[p]
+        p += 1
+        if size == 0:
+            return p
+        p += size
+    raise MediaDecodeError("GIF: unterminated sub-blocks")
+
+
 def decode_gif(data: bytes) -> dict:
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("not a GIF: bad header")
@@ -149,13 +159,7 @@ def decode_gif(data: bytes) -> dict:
     total_delay_cs = 0
 
     def _skip_subblocks(p: int) -> int:
-        while p < len(data):
-            size = data[p]
-            p += 1
-            if size == 0:
-                return p
-            p += size
-        raise MediaDecodeError("GIF: unterminated sub-blocks")
+        return _gif_skip_subblocks(data, p)
 
     while pos < len(data):
         block = data[pos]
@@ -585,6 +589,204 @@ def encode_png_from_pixels(rows: list[list[int]]) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Full GIF LZW decompression (GIF89a appendix F): variable-width
+    LSB-first codes starting at min_code_size+1 bits, code table growth
+    to 4096 entries with the standard width bump at 2^width, deferred
+    clear (table frozen at 4096 until the encoder sends CLEAR), and the
+    KwKwK special case (code == next unassigned entry)."""
+    if not 2 <= min_code_size <= 8:
+        raise MediaDecodeError(f"GIF: LZW minimum code size {min_code_size} out of range")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]  # clear/eoi placeholders
+    table = list(base)
+    next_code = clear + 2
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended without EOI: lenient (some encoders omit it)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            next_code = clear + 2
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise MediaDecodeError("GIF: first LZW code after clear is not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise MediaDecodeError(f"GIF: LZW code {code} beyond table size {next_code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_lzw_compress(pixels: list[int], min_code_size: int = 8) -> bytes:
+    """REAL GIF LZW compression (dictionary growth, width bumps mirrored
+    to the decoder's schedule, CLEAR-and-reset at table exhaustion) —
+    unlike the degenerate ``_gif_lzw_encode``, this exercises the
+    decoder's growth path and keeps large fixtures small."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    w = _LSBBitWriter()
+    w.write(clear, width)
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    prev: tuple = ()
+    for p in pixels:
+        cur = prev + (p,)
+        if cur in table:
+            prev = cur
+            continue
+        w.write(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the decoder assigns this entry one code later, so its width bump
+        # lands one emission later too: bump at 2^width + 1 keeps sync
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            w.write(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = clear + 2
+            width = min_code_size + 1
+        prev = (p,)
+    if prev:
+        w.write(table[prev], width)
+    w.write(eoi, width)
+    return w.finish()
+
+
+def decode_gif_pixels(data: bytes) -> list[list[int]]:
+    """First-frame grayscale pixel decode of a GIF: full LZW
+    decompression (``_gif_lzw_decode``), palette lookup through the
+    active (local-else-global) color table, interlace de-weave (the
+    4-pass row order of GIF89a §20), RGB -> luma integer mean. Joins
+    PNG/WAV in the dHash perceptual tier — GIF leaves the quarantine."""
+    decode_gif(data)  # header + block-structure validation
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: skip
+            pos = _gif_skip_subblocks(data, pos + 2)
+            continue
+        if block != 0x2C:
+            raise MediaDecodeError(f"GIF: unknown block 0x{block:02x} at {pos}")
+        _left, _top, fw, fh, local_packed = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        pal = gct
+        if local_packed & 0x80:
+            n = 2 << (local_packed & 0x07)
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise MediaDecodeError("GIF: frame has no color table")
+        if fw == 0 or fh == 0:
+            raise MediaDecodeError("GIF: zero-sized frame")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data):
+            size = data[pos]
+            pos += 1
+            if size == 0:
+                break
+            lzw += data[pos : pos + size]
+            pos += size
+        idx = _gif_lzw_decode(bytes(lzw), mcs)
+        if len(idx) < fw * fh:
+            raise MediaDecodeError(
+                f"GIF: LZW stream yields {len(idx)} pixels, frame needs {fw * fh}"
+            )
+        npal = len(pal) // 3
+        luma = [(pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]) // 3 for i in range(npal)]
+        rows_linear: list[list[int]] = []
+        for y in range(fh):
+            line = []
+            for x in range(fw):
+                v = idx[y * fw + x]
+                if v >= npal:
+                    raise MediaDecodeError(f"GIF: pixel index {v} beyond {npal}-color table")
+                line.append(luma[v])
+            rows_linear.append(line)
+        if local_packed & 0x40:  # interlaced: de-weave the 4 passes
+            rows: list = [None] * fh
+            order = [
+                y
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for y in range(start, fh, step)
+            ]
+            for src_i, y in enumerate(order):
+                rows[y] = rows_linear[src_i]
+            return rows
+        return rows_linear
+    raise MediaDecodeError("GIF: no image descriptor")
+
+
+def encode_gif_from_pixels(rows: list[list[int]], *, interlace: bool = False) -> bytes:
+    """GIF89a from explicit grayscale rows: 256-entry gray color table
+    (index == luma) + REAL LZW compression — the planted-perturbation
+    fixture encoder for the GIF dHash tests (optionally interlaced to
+    exercise the de-weave path)."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+    for v in range(256):
+        out += bytes([v, v, v])
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    ordered = rows
+    if interlace:
+        order = [
+            y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, height, step)
+        ]
+        ordered = [rows[y] for y in order]
+    pixels = []
+    for r in ordered:
+        if len(r) != width:
+            raise ValueError("ragged pixel rows")
+        pixels.extend(v & 0xFF for v in r)
+    out += bytes([8])
+    out += _gif_subblocks(_gif_lzw_compress(pixels, min_code_size=8))
+    out += b"\x3b"
+    return bytes(out)
 
 
 def wav_samples(data: bytes) -> list[int]:

@@ -272,12 +272,15 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
     """Perceptual 64-bit difference-hash per media blob — the fingerprint
     step of multimodal near-dup detection. PNG blobs (including the
     zlib-wrapped tier) decode to PIXELS with the pure-stdlib inflate +
-    unfilter path (media_codecs.decode_png_pixels) and hash via the
-    classic 9x8 box-mean dHash; WAV blobs hash their energy envelope
-    (dhash64_audio). Containers whose pixel/sample decode needs external
-    codec libraries (JPEG entropy decode, GIF LZW frames, MP4 tracks)
-    yield dhash=NULL with the reason in ``error`` — the quarantine
-    posture (strict=True raises naming the media_id instead).
+    unfilter path (media_codecs.decode_png_pixels); GIF blobs decode
+    their first frame through the pure-stdlib LZW decompressor +
+    palette-to-luma fold (media_codecs.decode_gif_pixels, r12); both
+    hash via the classic 9x8 box-mean dHash. WAV blobs hash their
+    energy envelope (dhash64_audio). Containers whose pixel/sample
+    decode needs external codec libraries (JPEG entropy decode, MP4
+    tracks) yield dhash=NULL with the reason in ``error`` — the
+    quarantine posture (strict=True raises naming the media_id
+    instead).
 
     Scale: one Arrow-batched mapInPandas pass, bounded work per blob
     (these fixtures are small; real corpora gate pixel decode by blob
@@ -296,6 +299,7 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
 
         from incubator_xtable_spark.operators.media_codecs import (
             MediaDecodeError,
+            decode_gif_pixels,
             decode_png_pixels,
             dhash64_audio,
             dhash64_image,
@@ -321,6 +325,8 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
                         blob = _zlib.decompress(blob)
                     if mime == "image/png":
                         h = dhash64_image(decode_png_pixels(blob))
+                    elif mime == "image/gif":
+                        h = dhash64_image(decode_gif_pixels(blob))
                     elif mime == "audio/wav":
                         h = dhash64_audio(wav_samples(blob))
                     else:

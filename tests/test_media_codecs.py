@@ -323,3 +323,110 @@ def test_dhash_invariances():
     # audio: gain scaling preserves the envelope hash
     s = wav_samples(encode_wav(1600))
     assert dhash64_audio(s) == dhash64_audio([v * 2 for v in s])
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode: full LZW (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_exercises_growth_and_reset():
+    """The real LZW compressor/decompressor pair must roundtrip streams
+    that grow the code table through every width bump (9->12 bits) and
+    past 4096 entries (CLEAR-and-reset), plus the degenerate encoder's
+    clear-per-literal stream."""
+    import random
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        _gif_lzw_compress,
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rnd = random.Random(3)
+    cases = [
+        [rnd.randrange(256) for _ in range(10_000)],  # incompressible
+        [7] * 5_000,  # max dictionary reuse (KwKwK path)
+        [0, 255] * 3_000,
+        [(i * i) % 256 for i in range(30_000)],  # grows past 4096 -> reset
+    ]
+    for pixels in cases:
+        blob = _gif_lzw_compress(pixels, 8)
+        assert _gif_lzw_decode(blob, 8) == pixels
+    for mcs in (2, 4):
+        pix = [rnd.randrange(1 << mcs) for _ in range(4_000)]
+        assert _gif_lzw_decode(_gif_lzw_compress(pix, mcs), mcs) == pix
+    pix4 = [rnd.randrange(4) for _ in range(500)]
+    assert _gif_lzw_decode(_gif_lzw_encode(pix4, 2), 2) == pix4
+
+
+def test_gif_pixel_roundtrip_and_interlace():
+    import random
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_gif_pixels,
+        encode_gif_from_pixels,
+    )
+
+    rnd = random.Random(11)
+    rows = [[rnd.randrange(256) for _ in range(24)] for _ in range(18)]
+    assert decode_gif_pixels(encode_gif_from_pixels(rows)) == rows
+    # interlaced file: rows stored in the 4-pass order must de-weave back
+    assert decode_gif_pixels(encode_gif_from_pixels(rows, interlace=True)) == rows
+
+
+def test_gif_pixel_decode_legacy_fixture_pattern():
+    """The 4-color header-tier fixture encoder (encode_gif) must decode
+    to the luma of its GCT pattern GCT[(x+y) & 3] — pinning palette
+    lookup + luma fold against known bytes."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    px = decode_gif_pixels(encode_gif(9, 7, n_frames=2))
+    luma = [0, 255, (255 + 0 + 0) // 3, (0 + 0 + 255) // 3]
+    assert px == [[luma[(x + y) & 3] for x in range(9)] for y in range(7)]
+
+
+def test_gif_pixel_decode_refusals():
+    import pytest
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        MediaDecodeError,
+        decode_gif_pixels,
+        encode_gif_from_pixels,
+    )
+
+    with pytest.raises(MediaDecodeError, match="not a GIF"):
+        decode_gif_pixels(b"\x00" * 20)
+    # truncate the LZW data so the frame comes up short on pixels
+    blob = bytearray(encode_gif_from_pixels([[1, 2, 3], [4, 5, 6]]))
+    # image descriptor sits right after header(13) + 256-entry GCT(768)
+    at = 13 + 768
+    assert blob[at] == 0x2C
+    truncated = bytes(blob[: at + 11]) + b"\x01\x08\x00\x3b"
+    with pytest.raises(MediaDecodeError, match="pixels"):
+        decode_gif_pixels(truncated)
+
+
+def test_gif_dhash_joins_perceptual_tier():
+    """A perturbed GIF twin must land within 2 Hamming bits of its base
+    (same invariance contract as PNG), and the JPEG/MP4 quarantine is
+    unchanged."""
+    import random
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_gif_pixels,
+        dhash64_image,
+        encode_gif_from_pixels,
+    )
+
+    rnd = random.Random(5)
+    rows = [[rnd.randrange(256) for _ in range(24)] for _ in range(18)]
+    h = dhash64_image(decode_gif_pixels(encode_gif_from_pixels(rows)))
+    twin = [r[:] for r in rows]
+    for i in range(5):
+        twin[i][i] = (twin[i][i] + 3) & 0xFF
+    h2 = dhash64_image(decode_gif_pixels(encode_gif_from_pixels(twin)))
+    assert bin(h ^ h2).count("1") <= 2

@@ -692,13 +692,16 @@ def test_lsh_bucket_bands_matches_per_band_lsh_bucket(spark):
 
 
 def test_media_near_duplicates_planted_images(spark):
-    """Multimodal near-dup: planted near-identical PNGs (a few pixels
-    perturbed) and a re-encoded WAV must pair with small Hamming; an
-    unrelated random image must NOT pair with them. Mime blocking keeps
-    images and audio in separate buckets by construction."""
+    """Multimodal near-dup: planted near-identical PNGs AND GIFs (a few
+    pixels perturbed; GIF rides the r12 pure-stdlib LZW pixel decode)
+    and a re-encoded WAV must pair with small Hamming; an unrelated
+    random image must NOT pair with them. Mime blocking keeps PNG, GIF
+    and audio in separate buckets by construction — a GIF re-encode of
+    a PNG's pixels can never cross-pair even at Hamming 0."""
     import random
 
     from incubator_xtable_spark.operators.media_codecs import (
+        encode_gif_from_pixels,
         encode_png_from_pixels,
         encode_wav,
     )
@@ -719,6 +722,21 @@ def test_media_near_duplicates_planted_images(spark):
             twin[k][k] = (twin[k][k] + 2) & 0xFF
         blobs.append((100 + i, encode_png_from_pixels(twin)))
         planted.add((i, 100 + i))
+    # GIF tier: 4 random bases + perturbed twins for the first 3, one of
+    # them interlaced (de-weave must not perturb the fingerprint)
+    gif_bases = []
+    for i in range(4):
+        pix = [[rnd.randrange(256) for _ in range(24)] for _ in range(18)]
+        gif_bases.append(pix)
+        blobs.append((300 + i, encode_gif_from_pixels(pix)))
+    for i in range(3):
+        twin = [r[:] for r in gif_bases[i]]
+        for k in range(6):
+            twin[k][k] = (twin[k][k] + 2) & 0xFF
+        blobs.append((400 + i, encode_gif_from_pixels(twin, interlace=(i == 0))))
+        planted.add((300 + i, 400 + i))
+    # a GIF re-encode of PNG base 0's exact pixels: mime-blocked from PNGs
+    blobs.append((500, encode_gif_from_pixels(bases[0])))
     # identical audio content at two ids (same synthesizer params)
     blobs.append((200, encode_wav(1234)))
     blobs.append((201, encode_wav(1234)))
@@ -732,9 +750,12 @@ def test_media_near_duplicates_planted_images(spark):
     # no cross-mime pairs and no random-random pairs at this distance
     for r in pairs:
         assert r["hamming"] <= 2
-        assert (r["doc_a"], r["doc_b"]) in planted or r["hamming"] <= 2
     cross = {(a, b) for a, b in got if a < 10 and b < 10}
     assert not cross, f"unrelated random images paired: {cross}"
+    # the pixel-identical PNG/GIF pair is blocked by mime
+    assert (0, 500) not in got and (500, 0) not in got
+    gif_cross = {(a, b) for a, b in got if 300 <= a < 310 and 300 <= b < 310}
+    assert not gif_cross, f"unrelated random GIFs paired: {gif_cross}"
 
 
 def test_media_dhash_quarantine_and_strict(spark):
