@@ -416,6 +416,8 @@ def main(argv: list[str] | None = None) -> int:
     raw = list(_sys.argv[1:]) if argv is None else list(argv)
     if raw[:1] == ["maintenance"]:
         return run_maintenance(raw[1:])
+    if raw[:1] == ["serve"]:
+        return run_serve(raw[1:])
     argv = raw
     ap = argparse.ArgumentParser(description="xtable-pyspark sync runner")
     ap.add_argument("--config", "-c", required=True)
@@ -443,6 +445,22 @@ def main(argv: list[str] | None = None) -> int:
     return 1 if failures else 0
 
 
+
+
+def run_serve(argv: list[str] | None = None) -> int:
+    """`python -m incubator_xtable_spark.run_sync serve --port 8080` —
+    the reference's REST service (`POST /v1/conversion/table`) over a
+    real stdlib-http socket (see http_service.py)."""
+    ap = argparse.ArgumentParser(description="xtable-pyspark REST service")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    from incubator_xtable_spark.http_service import serve
+
+    spark = get_spark("xtable_service")
+    spark.sparkContext.setLogLevel("ERROR")
+    serve(spark, host=args.host, port=args.port)
+    return 0
 
 
 def run_maintenance(argv: list[str] | None = None) -> int:

@@ -1,7 +1,7 @@
 """Conversion service facade — the reference's REST service surface
-(`POST /v1/conversion/table`) as a plain request/response function, so an
-HTTP layer (FastAPI/Flask — not available in this container) can mount it
-1:1.
+(`POST /v1/conversion/table`) as a plain request/response function. The
+live HTTP layer that mounts it over a real socket is
+``http_service.ConversionHttpServer`` (stdlib http.server; r12).
 
 Reference parity: xtable-service ConversionResource.java:32-43 +
 ConversionService.java:72-160 (request: source format/path/name + target
