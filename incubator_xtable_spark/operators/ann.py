@@ -628,24 +628,6 @@ def ann_ivfpq_topk(
             seed=seed,
         )
     centroids, codebooks = trained
-    sub = dim // len(codebooks)
-    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
-
-    def nearest(vec: Column, n: int) -> Column:
-        cells = F.transform(
-            lit_cents,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                i.alias("i"),
-            ),
-        )
-        return F.slice(F.array_sort(cells), 1, n).getField("i")
 
     # skew gate (multimodal rule): spread a single-file input before the
     # per-row encode, never full-shuffle a well-split scan
@@ -653,20 +635,73 @@ def ann_ivfpq_topk(
     if vectors.rdd.getNumPartitions() < parallelism:
         vectors = vectors.repartition(parallelism)
 
-    # encode: cell assignment, then PQ codes of the RESIDUAL. The residual
-    # materializes through an intermediate select so Catalyst computes the
-    # cell argmin once, not once per subspace (materialize-before-fanout).
+    enc_full = ivfpq_encode_corpus(
+        vectors, trained, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    enc = enc_full.select("c_id", "cell", "codes")
+    cv = vectors.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
+    return _ivfpq_score_rerank(
+        enc, cv, queries, centroids, codebooks, dim,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, refine=refine,
+    )
+
+
+def _nearest_cells(vec: Column, lit_cents: Column, n: int) -> Column:
+    """Indexes of the n nearest coarse centroids (squared L2), as one
+    JVM expression over a single 2-D centroid literal."""
+    cells = F.transform(
+        lit_cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    return F.slice(F.array_sort(cells), 1, n).getField("i")
+
+
+def ivfpq_encode_corpus(
+    vectors: DataFrame,
+    trained: tuple[list[list[float]], list[list[list[float]]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+) -> DataFrame:
+    """IVF-PQ ingest encode: (c_id, cv, cell, codes) — cell assignment
+    plus PQ codes of the RESIDUAL, all JVM expressions. Persist with
+    ``.write.partitionBy("cell")`` to get the file-pruning serving
+    layout consumed by ``ann_ivfpq_topk_partitioned`` (raw vectors ride
+    along so the rerank reads them from the SAME pruned files).
+
+    The residual materializes through an intermediate select so Catalyst
+    computes the cell argmin once, not once per subspace
+    (materialize-before-fanout)."""
+    centroids, codebooks = trained
+    if dim % len(codebooks):
+        raise ValueError(f"dim {dim} not divisible by m {len(codebooks)}")
+    sub = dim // len(codebooks)
+    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
     with_cell = vectors.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("cv"),
-        nearest(F.col(vec_col), 1).getItem(0).alias("cell"),
+        _nearest_cells(F.col(vec_col), lit_cents, 1).getItem(0).alias("cell"),
     )
     resid = F.zip_with(
         F.col("cv"),
         F.element_at(lit_cents, F.col("cell") + 1),
         lambda x, y: x.cast("double") - y,
     )
-    with_resid = with_cell.select("c_id", "cell", resid.alias("rv"))
+    with_resid = with_cell.select("c_id", "cv", "cell", resid.alias("rv"))
     codes = F.array(
         *[
             _pq_code(
@@ -678,8 +713,53 @@ def ann_ivfpq_topk(
             for j in range(len(codebooks))
         ]
     )
-    enc = with_resid.select("c_id", "cell", codes.alias("codes"))
+    return with_resid.select("c_id", "cv", "cell", codes.alias("codes"))
 
+
+def ivfpq_probe_cells(
+    queries: DataFrame,
+    trained: tuple[list[list[float]], list[list[list[float]]]],
+    *,
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+) -> list[int]:
+    """Driver-side union of every query's probed cells — at most
+    n_centroids ints from one bounded collect (cells, not data), the
+    static partition-pruning predicate for the cell-partitioned layout."""
+    centroids, _ = trained
+    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
+    rows = (
+        queries.select(
+            F.explode(_nearest_cells(F.col(vec_col), lit_cents, n_probe)).alias("cell")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["cell"]) for r in rows)
+
+
+def _ivfpq_score_rerank(
+    enc: DataFrame,
+    cv: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    refine: int,
+) -> DataFrame:
+    """Shared IVFADC scoring: broadcast probe join on cell, ADC approx
+    dot, per-query shortlist window, exact-cosine rerank. ``enc`` is
+    (c_id, cell, codes); ``cv`` is (c_id, cv, c_norm) — possibly both
+    pre-pruned to the probed cells (the partitioned serving path)."""
+    from pyspark.sql import Window as W
+
+    sub = dim // len(codebooks)
+    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
@@ -689,7 +769,7 @@ def ann_ivfpq_topk(
     probes = qv.select(
         "q_id",
         "qv",
-        F.explode(nearest(F.col("qv"), n_probe)).alias("cell"),
+        F.explode(_nearest_cells(F.col("qv"), lit_cents, n_probe)).alias("cell"),
     ).withColumn(
         "q_cent_dot",
         F.aggregate(
@@ -729,11 +809,6 @@ def ann_ivfpq_topk(
         .select("q_id", "c_id")
     )
 
-    cv = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
-    )
     reranked = (
         shortlist.join(cv, "c_id")
         .join(F.broadcast(qv.select("q_id", "qv", "q_norm")), "q_id")
@@ -746,6 +821,48 @@ def ann_ivfpq_topk(
         reranked.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )
+
+
+def ann_ivfpq_topk_partitioned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    trained: tuple[list[list[float]], list[list[list[float]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ serving over the CELL-PARTITIONED corpus — the actual
+    billion-vector layout: ``corpus`` is an ``ivfpq_encode_corpus``
+    output persisted ``partitionBy("cell")`` and read back, so the
+    static ``cell IN (probe set)`` filter applied here is PARTITION
+    PRUNING — the scan opens only the probed cells' FILES (probing
+    n_probe of n_centroids cells reads ~n_probe/n_centroids of the
+    bytes), then the per-query broadcast probe join narrows candidates
+    within them exactly as the in-memory path does. The probe set is
+    the union over queries (<= n_centroids ints, one bounded collect of
+    cell ids — never data). Results are IDENTICAL to ann_ivfpq_topk
+    with the same ``trained`` pair: the static filter is a superset of
+    every query's probe list, so no candidate is lost.
+
+    The rerank's raw vectors come from the SAME pruned scan (cv rides
+    in the corpus), so at no point does any stage read an unprobed
+    cell's bytes. Recall gates: tests/test_pipeline_operators.py
+    asserts partitioned == in-memory equality and file-level pruning."""
+    centroids, codebooks = trained
+    cells = ivfpq_probe_cells(queries, trained, vec_col=vec_col, n_probe=n_probe)
+    pruned = corpus.filter(F.col("cell").isin(cells))
+    enc = pruned.select("c_id", "cell", "codes")
+    cv = pruned.select(
+        "c_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_norm")
+    )
+    return _ivfpq_score_rerank(
+        enc, cv, queries, centroids, codebooks, dim,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, refine=refine,
     )
 
 

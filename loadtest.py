@@ -293,18 +293,24 @@ def scenario_indexes(
     per_commit: int,
     rows_per_file: int = 10,
     compact_every: int = 10,
+    table_version: int = 6,
+    secondary_index: bool = False,
 ) -> list[dict]:
-    """ALL r9 Hudi metadata indexes at once over REAL data files:
+    """ALL Hudi metadata indexes at once over REAL data files:
     record_index (per-ROW — the one data-sized index; executor-side
-    shard writes), bloom_filters, partition_stats, col_stats + files.
-    Full sync over ``n_files`` real files, then ONE incremental commit
-    of ``per_commit`` more — wall + RSS for both, plus index read-back
-    proof (distributed record-index count == total rows; point lookups
+    shard writes), bloom_filters, partition_stats, col_stats + files,
+    optionally the r11 secondary index (``--secondary-index``, on the
+    int column ``v``) and the Hudi 1.0 ``.hoodie/timeline`` layout
+    (``--table-version 8``). Full sync over ``n_files`` real files,
+    then ONE incremental commit of ``per_commit`` more — wall + RSS for
+    both, plus index read-back proof (distributed record-index count ==
+    total rows; record/partition-stats/secondary point lookups
     resolve)."""
     from incubator_xtable_spark.model.core import InternalPartitionField
     from incubator_xtable_spark.sources.hudi_metadata import (
         lookup_partition_stats,
         lookup_record_key,
+        lookup_secondary_key,
         read_record_index,
     )
     from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
@@ -326,6 +332,8 @@ def scenario_indexes(
             bloom_filters=True,
             partition_stats=True,
             metadata_index_compact_every=compact_every,
+            table_version=table_version,
+            secondary_index_field="v" if secondary_index else None,
         )
         ctrl = ConversionController()
         rss_before = rss_mb()
@@ -338,6 +346,8 @@ def scenario_indexes(
                 "files": n_files,
                 "rows": n_files * rows_per_file,
                 "partitions": n_partitions,
+                "table_version": table_version,
+                "secondary_index": secondary_index,
                 "status": res[TableFormat.HUDI].status.value,
                 "seconds": round(wall, 2),
                 "rss_mb_before": rss_before,
@@ -350,15 +360,23 @@ def scenario_indexes(
         n_idx = read_record_index(spark, work).count()
         probe = lookup_record_key(work, f"k{0:012d}")
         pstats = lookup_partition_stats(work, "p=0", "v")
-        out.append(
-            {
-                "scenario": "index_readback",
-                "record_index_rows": n_idx,
-                "rows_expected": n_files * rows_per_file,
-                "point_lookup_ok": bool(probe and probe.get("fileId", "").startswith("f-0000000")),
-                "partition_stats_ok": bool(pstats and int(pstats.get("valueCount") or 0) > 0),
-            }
-        )
+        readback = {
+            "scenario": "index_readback",
+            "record_index_rows": n_idx,
+            "rows_expected": n_files * rows_per_file,
+            "point_lookup_ok": bool(probe and probe.get("fileId", "").startswith("f-0000000")),
+            "partition_stats_ok": bool(pstats and int(pstats.get("valueCount") or 0) > 0),
+        }
+        if secondary_index:
+            # secondary value "7" maps to record key k...7 in file f-0000000
+            sec_keys = lookup_secondary_key(work, "v", "7")
+            readback["secondary_lookup_ok"] = sec_keys == [f"k{7:012d}"]
+            readback["secondary_pins_one_group"] = bool(
+                sec_keys and lookup_record_key(work, sec_keys[0])
+            )
+        if table_version == 8:
+            readback["timeline_v8"] = os.path.isdir(os.path.join(work, ".hoodie", "timeline"))
+        out.append(readback)
         # one incremental commit of per_commit files
         _gen_real_dataset(
             spark, work, per_commit, n_partitions, rows_per_file, start_idx=n_files
@@ -414,6 +432,18 @@ def main() -> int:
         "(1 = r8's full-rewrite-per-commit cost model)",
     )
     ap.add_argument(
+        "--table-version",
+        type=int,
+        default=6,
+        choices=[6, 8],
+        help="hudi-indexes: Hudi table version (8 = 1.0 .hoodie/timeline layout)",
+    )
+    ap.add_argument(
+        "--secondary-index",
+        action="store_true",
+        help="hudi-indexes: also maintain secondary_index_idx_v on column v",
+    )
+    ap.add_argument(
         "--seed-files",
         type=int,
         default=None,
@@ -440,6 +470,8 @@ def main() -> int:
             args.per_commit,
             args.rows_per_file,
             args.compact_every,
+            args.table_version,
+            args.secondary_index,
         )
         for o in outs:
             print(json.dumps(o))

@@ -960,3 +960,55 @@ def test_bpe_merges_partition_layout_invariant(spark):
     a = learn_bpe_merges(docs.repartition(17), n_merges=5)
     b = learn_bpe_merges(docs.coalesce(1), n_merges=5)
     assert a == b and len(a) == 5
+
+
+def test_ivfpq_partitioned_serving_prunes_files_and_matches_inmemory(spark, tmp_path):
+    """The IVF-PQ serving layout (r12): encode the corpus with
+    ivfpq_encode_corpus, persist partitionBy(cell), and
+    ann_ivfpq_topk_partitioned must (a) return EXACTLY what the
+    in-memory ann_ivfpq_topk returns for the same trained pair — the
+    static probe-set filter is a superset of every query's probes, so
+    recall is unchanged by construction — while (b) opening only the
+    probed cells' FILES (execution-time input_file_name check) and (c)
+    carrying the cell predicate as a PartitionFilter in the scan."""
+    import re
+
+    from incubator_xtable_spark.operators.ann import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_partitioned,
+        ivfpq_encode_corpus,
+        ivfpq_probe_cells,
+        ivfpq_train,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    dim = 64
+    trained = ivfpq_train(emb, dim=dim, n_centroids=16, m=8, n_codes=16)
+    out = str(tmp_path / "ivfpq_corpus")
+    ivfpq_encode_corpus(emb, trained, dim=dim).write.partitionBy("cell").parquet(out)
+    corpus = spark.read.parquet(out)
+    queries = emb.orderBy("vec_id").limit(6)
+
+    got = ann_ivfpq_topk_partitioned(
+        corpus, queries, trained=trained, dim=dim, k=5, n_probe=3
+    )
+    want = ann_ivfpq_topk(
+        emb, queries, dim=dim, k=5, n_probe=3, trained=trained
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
+
+    # file-level pruning: the pruned scan opens ONLY probed cells' files
+    cells = ivfpq_probe_cells(queries, trained, n_probe=3)
+    assert 0 < len(cells) < 16, cells  # a real subset, or the test is vacuous
+    pruned = corpus.filter(F.col("cell").isin(cells))
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files
+    touched = {int(re.search(r"cell=(\d+)", f).group(1)) for f in files}
+    assert touched <= set(cells), f"opened unprobed cells: {touched - set(cells)}"
+    # scanned-file fraction ~ probed-cell fraction of the whole corpus
+    all_files = [r[0] for r in corpus.select(F.input_file_name()).distinct().collect()]
+    assert len(files) < len(all_files)
+    # the serving plan itself carries the partition filter on the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and re.search(r"cell.*(IN|isin|in)", plan, re.I), plan
