@@ -558,3 +558,55 @@ def events_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("trail_sum").cast("double") / F.col("trail_n")).alias("trail_mean"),
         (F.col("n") * F.col("trail_n") > 2 * F.col("trail_sum")).alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type Markov transitions (r12)
+# ---------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=MARKOV_ORACLE,
+    category="events",
+    description="per-user event-type transition matrix (Markov counts)",
+    graded=False,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for every user's
+    time-ordered event stream (ties broken by event_id — deterministic
+    on any layout), count each consecutive (from, to) event-type pair
+    and the distinct users exhibiting it — the input to Markov-chain
+    session models and anomaly scoring.
+
+    Scale: one window shuffle keyed by user_id (uniform), then one
+    small-cardinality (from, to) aggregation with map-side partial
+    combine; |event_types|^2 output rows regardless of input size."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.plans.common import money_out, revenue, t
+from incubator_xtable_spark.plans.common import money, money_out, revenue, t
 from incubator_xtable_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -498,4 +498,57 @@ def lineitem_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration deciles (r12)
+# ---------------------------------------------------------------------------
+
+PARETO_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+  FROM orders GROUP BY o_custkey
+), d AS (
+  SELECT o_custkey, s, ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(CAST(sum(s) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM d GROUP BY decile
+"""
+
+
+@register(
+    "orders_pareto_share",
+    oracle=PARETO_ORACLE,
+    category="relational",
+    description="revenue concentration by customer decile (Pareto curve)",
+    graded=False,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration analysis: customers ranked by exact-decimal
+    total spend (ties broken by key), split into ntile(10) deciles,
+    per-decile customer count and revenue — the '20% of customers drive
+    X% of revenue' curve.
+
+    Scale: the fact-table shuffle is ONE per-customer aggregation; the
+    global ntile window then runs over the AGGREGATED |customers| rows
+    only. A global ORDER BY window is single-partition by nature — fine
+    at |customers| scale; at billions of customers the documented
+    alternative is approx-percentile cutoffs joined back (same output
+    contract, no total order)."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money(F.col("o_totalprice"))).alias("s"))
+    )
+    w = W.orderBy(F.desc("s"), F.asc("o_custkey"))
+    d = spend.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_out(F.sum("s")).alias("revenue"),
     )

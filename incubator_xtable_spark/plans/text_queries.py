@@ -1353,3 +1353,126 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return bpe_merges_df(spark, docs, n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# language-balanced token-budget mix (r12)
+# ---------------------------------------------------------------------------
+
+DOMAIN_MIX_ORACLE = """
+WITH tok AS (
+  SELECT lang, doc_id, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT lang, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum_tok
+  FROM tok
+)
+SELECT lang,
+       CAST(count(*) FILTER (WHERE cum_tok <= 20000) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(sum(n_tok) FILTER (WHERE cum_tok <= 20000), 0) AS BIGINT)
+         AS tokens_kept,
+       CAST(count(*) AS BIGINT) AS n_docs_total
+FROM cum
+GROUP BY lang
+"""
+
+
+@register(
+    "corpus_domain_mix",
+    oracle=DOMAIN_MIX_ORACLE,
+    category="text",
+    description="language-balanced token-budget selection (data-mix step)",
+    graded=False,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-MIXING step of a training pipeline: cap every language at
+    a fixed token budget (20k here), choosing docs in deterministic
+    md5(text) order so the selection is content-defined — independent of
+    partition layout, stable across reruns, leak-free against re-splits
+    (the corpus_split_assign property). Emits the per-language mix
+    summary (docs/tokens kept vs total).
+
+    Scale: one window shuffle keyed by lang (the cumsum), one lang
+    aggregation — both on a low-cardinality uniform key; per-doc state
+    is one long. At 100 TB the same plan holds; a skewed giant language
+    costs one tall window partition, which is exactly the quantity the
+    budget caps (the cumsum could early-stop via a two-pass
+    bucket-prefilter if a language's corpus dwarfs its budget)."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    cum = tok.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = F.col("cum_tok") <= 20000
+    return cum.groupBy("lang").agg(
+        F.count(F.when(kept, 1)).alias("n_docs_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).alias("tokens_kept"),
+        F.count(F.lit(1)).alias("n_docs_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per document (r12)
+# ---------------------------------------------------------------------------
+
+TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.token, (tf.tf * 1000000) // df.df AS score
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=TFIDF_ORACLE,
+    category="text",
+    description="per-doc top-3 terms by exact-integer tf/df ranking",
+    graded=False,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: rank tokens by the exact-rational
+    tf/df ratio (score = tf*1e6 div df in INTEGER arithmetic — the
+    deliberately oracle-exact variant of tf-idf; the float
+    tf*ln(N/df) ranking is the documented production alternative,
+    same plan shape). Keeps the fully tie-broken top 3 per doc.
+
+    Scale: two shuffles on uniform keys — (doc, token) term counts and
+    token document frequencies — then a token-keyed join (both sides
+    aggregated: |doc-term| x |vocab|, no raw text moves) and a per-doc
+    rank window. All integer arithmetic, zero UDFs."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id", "token", F.expr("tf * 1000000 div df").alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "score", "rnk")
+    )
