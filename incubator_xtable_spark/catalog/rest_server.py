@@ -1,0 +1,336 @@
+"""Iceberg REST catalog SERVER (stdlib http.server) — the serving side
+of the public Iceberg REST Catalog OpenAPI spec, backed by a warehouse
+directory of location-registered tables.
+
+Why it exists: the engine's Iceberg targets are HadoopTables-layout
+trees; real query engines increasingly speak ONLY the REST catalog
+protocol. This server fronts converted tables behind that protocol so
+any REST-speaking engine can load them, and it closes the loop with the
+repo's own client (`catalog/rest_client.py`): the e2e test drives the
+client over a real socket against this server — client and server pin
+each other (the same differential posture as the format conformance
+layer).
+
+Route surface (rest-catalog-open-api.yaml subset — the lifecycle our
+client and the sync orchestration exercise):
+
+  GET    /v1/config
+  GET    /v1/namespaces                      list
+  POST   /v1/namespaces                      create (409 on exists)
+  GET    /v1/namespaces/{ns}                 load   (404)
+  DELETE /v1/namespaces/{ns}                 drop   (409 when non-empty)
+  GET    /v1/namespaces/{ns}/tables          list identifiers
+  POST   /v1/namespaces/{ns}/register        RegisterTableRequest
+                                             (+engine `overwrite` ext)
+  GET    /v1/namespaces/{ns}/tables/{t}      LoadTableResult
+  POST   /v1/namespaces/{ns}/tables/{t}      CommitTableRequest
+                                             (set-properties — writes a
+                                             REAL new metadata.json)
+  DELETE /v1/namespaces/{ns}/tables/{t}      drop pointer (purge refused)
+
+Multipart namespaces use the spec's %1F separator in paths. Errors are
+the spec's ErrorResponse shape {"error": {message, type, code}}.
+
+State is one JSON document (namespaces + table -> metadata-location
+pointers) atomically rewritten under a process lock; table METADATA
+lives where it always lived — in the table's own metadata/ tree. The
+commit endpoint performs a real Iceberg metadata evolution: new
+v{N+1}.metadata.json with the update applied, previous location
+appended to metadata-log, version-hint advanced; a drop NEVER deletes
+table files (purgeRequested=true is refused — converted tables' files
+belong to the source table).
+
+Scale: every call is metadata-sized; the server holds no table data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, unquote, urlparse
+
+_NS_SEP = "\x1f"
+
+
+def _error(message: str, etype: str, code: int) -> dict[str, Any]:
+    return {"error": {"message": message, "type": etype, "code": code}}
+
+
+class _CatalogState:
+    """Namespaces + table pointers, persisted as one JSON file with
+    atomic replace (tempfile + os.replace) under a lock."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.path = os.path.join(warehouse, "rest_catalog.json")
+        self.lock = threading.Lock()
+        os.makedirs(warehouse, exist_ok=True)
+        if not os.path.exists(self.path):
+            self._write({"namespaces": {}, "tables": {}})
+
+    def _read(self) -> dict:
+        with open(self.path, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _write(self, state: dict) -> None:
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh, indent=1)
+        os.replace(tmp, self.path)
+
+
+def _table_key(ns: list[str], name: str) -> str:
+    return _NS_SEP.join(ns) + "\x00" + name
+
+
+def _load_metadata(location: str) -> dict:
+    with open(location, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit_set_properties(location: str, updates: dict[str, str]) -> str:
+    """Apply a set-properties update as a REAL metadata evolution: write
+    v{N+1}.metadata.json beside the current one, append the previous
+    location to metadata-log, advance version-hint. Returns the new
+    metadata location."""
+    meta = _load_metadata(location)
+    mdir = os.path.dirname(location)
+    base = os.path.basename(location)
+    if not (base.startswith("v") and base.endswith(".metadata.json")):
+        raise ValueError(f"unversioned metadata filename: {base}")
+    version = int(base[1 : -len(".metadata.json")])
+    meta.setdefault("properties", {}).update(updates)
+    meta.setdefault("metadata-log", []).append(
+        {"timestamp-ms": meta.get("last-updated-ms", 0), "metadata-file": location}
+    )
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_loc = os.path.join(mdir, f"v{version + 1}.metadata.json")
+    tmp = f"{new_loc}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, new_loc)
+    hint = os.path.join(mdir, "version-hint.text")
+    with open(hint, "w", encoding="utf-8") as fh:
+        fh.write(str(version + 1))
+    return new_loc
+
+
+class IcebergRestCatalogServer:
+    """``with IcebergRestCatalogServer(warehouse) as srv:`` — serves the
+    catalog on 127.0.0.1:``port`` (0 = ephemeral, read ``srv.port``)."""
+
+    def __init__(self, warehouse: str, host: str = "127.0.0.1", port: int = 0) -> None:
+        state = _CatalogState(warehouse)
+        self.state = state
+
+        class _Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt: str, *args: Any) -> None:
+                pass
+
+            def _send(self, code: int, payload: Optional[dict]) -> None:
+                body = b"" if payload is None else json.dumps(payload).encode()
+                self.send_response(code)
+                if body:
+                    self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def _body(self) -> dict:
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length) if length else b""
+                return json.loads(raw) if raw else {}
+
+            # -- routing ----------------------------------------------------
+
+            def _route(self) -> tuple[str, list[str], dict]:
+                parsed = urlparse(self.path)
+                parts = [unquote(p) for p in parsed.path.strip("/").split("/")]
+                return parsed.path, parts, parse_qs(parsed.query)
+
+            def do_GET(self) -> None:  # noqa: N802
+                _, p, _q = self._route()
+                if p == ["v1", "config"]:
+                    self._send(200, {"defaults": {}, "overrides": {}})
+                    return
+                if p == ["v1", "namespaces"]:
+                    with state.lock:
+                        s = state._read()
+                    self._send(
+                        200,
+                        {"namespaces": [ns.split(_NS_SEP) for ns in sorted(s["namespaces"])]},
+                    )
+                    return
+                if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+                    with state.lock:
+                        s = state._read()
+                    if p[2] not in s["namespaces"]:
+                        self._send(404, _error(f"namespace {p[2]!r} not found", "NoSuchNamespaceException", 404))
+                        return
+                    self._send(
+                        200,
+                        {"namespace": p[2].split(_NS_SEP), "properties": s["namespaces"][p[2]]},
+                    )
+                    return
+                if len(p) == 4 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
+                    ns = p[2]
+                    with state.lock:
+                        s = state._read()
+                    idents = [
+                        {"namespace": k.split("\x00")[0].split(_NS_SEP), "name": k.split("\x00")[1]}
+                        for k in sorted(s["tables"])
+                        if k.split("\x00")[0] == ns
+                    ]
+                    self._send(200, {"identifiers": idents})
+                    return
+                if len(p) == 5 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
+                    key = _table_key(p[2].split(_NS_SEP), p[4])
+                    with state.lock:
+                        s = state._read()
+                    loc = s["tables"].get(key)
+                    if loc is None:
+                        self._send(404, _error(f"table {p[4]!r} not found", "NoSuchTableException", 404))
+                        return
+                    try:
+                        meta = _load_metadata(loc)
+                    except OSError as exc:
+                        self._send(500, _error(str(exc), "CommitStateUnknownException", 500))
+                        return
+                    self._send(200, {"metadata-location": loc, "metadata": meta, "config": {}})
+                    return
+                self._send(404, _error(f"no such route: {self.path}", "NotFound", 404))
+
+            def do_POST(self) -> None:  # noqa: N802
+                _, p, _q = self._route()
+                try:
+                    body = self._body()
+                except (ValueError, json.JSONDecodeError) as exc:
+                    self._send(400, _error(f"invalid JSON: {exc}", "BadRequestException", 400))
+                    return
+                if p == ["v1", "namespaces"]:
+                    ns = _NS_SEP.join(body.get("namespace") or [])
+                    if not ns:
+                        self._send(400, _error("namespace required", "BadRequestException", 400))
+                        return
+                    with state.lock:
+                        s = state._read()
+                        if ns in s["namespaces"]:
+                            self._send(409, _error(f"namespace exists: {ns!r}", "AlreadyExistsException", 409))
+                            return
+                        s["namespaces"][ns] = dict(body.get("properties") or {})
+                        state._write(s)
+                    self._send(200, {"namespace": ns.split(_NS_SEP), "properties": s["namespaces"][ns]})
+                    return
+                if len(p) == 4 and p[:2] == ["v1", "namespaces"] and p[3] == "register":
+                    ns, name = p[2], body.get("name")
+                    loc = body.get("metadata-location")
+                    if not name or not loc:
+                        self._send(400, _error("name and metadata-location required", "BadRequestException", 400))
+                        return
+                    if not os.path.exists(loc):
+                        self._send(400, _error(f"metadata-location does not exist: {loc}", "BadRequestException", 400))
+                        return
+                    key = _table_key(ns.split(_NS_SEP), name)
+                    with state.lock:
+                        s = state._read()
+                        if ns not in s["namespaces"]:
+                            self._send(404, _error(f"namespace {ns!r} not found", "NoSuchNamespaceException", 404))
+                            return
+                        if key in s["tables"] and not body.get("overwrite"):
+                            self._send(409, _error(f"table exists: {name!r}", "AlreadyExistsException", 409))
+                            return
+                        s["tables"][key] = loc
+                        state._write(s)
+                    self._send(200, {"metadata-location": loc, "metadata": _load_metadata(loc), "config": {}})
+                    return
+                if len(p) == 5 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
+                    key = _table_key(p[2].split(_NS_SEP), p[4])
+                    for req in body.get("requirements") or []:
+                        self._send(400, _error(f"unsupported requirement: {req.get('type')}", "BadRequestException", 400))
+                        return
+                    props: dict[str, str] = {}
+                    for upd in body.get("updates") or []:
+                        if upd.get("action") != "set-properties":
+                            self._send(400, _error(f"unsupported update action: {upd.get('action')}", "BadRequestException", 400))
+                            return
+                        props.update(upd.get("updates") or {})
+                    with state.lock:
+                        s = state._read()
+                        loc = s["tables"].get(key)
+                        if loc is None:
+                            self._send(404, _error(f"table {p[4]!r} not found", "NoSuchTableException", 404))
+                            return
+                        try:
+                            new_loc = _commit_set_properties(loc, props)
+                        except (OSError, ValueError) as exc:
+                            self._send(500, _error(str(exc), "CommitStateUnknownException", 500))
+                            return
+                        s["tables"][key] = new_loc
+                        state._write(s)
+                    self._send(200, {"metadata-location": new_loc, "metadata": _load_metadata(new_loc)})
+                    return
+                self._send(404, _error(f"no such route: {self.path}", "NotFound", 404))
+
+            def do_DELETE(self) -> None:  # noqa: N802
+                _, p, q = self._route()
+                if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+                    ns = p[2]
+                    with state.lock:
+                        s = state._read()
+                        if ns not in s["namespaces"]:
+                            self._send(404, _error(f"namespace {ns!r} not found", "NoSuchNamespaceException", 404))
+                            return
+                        if any(k.split("\x00")[0] == ns for k in s["tables"]):
+                            self._send(409, _error(f"namespace {ns!r} is not empty", "NamespaceNotEmptyException", 409))
+                            return
+                        del s["namespaces"][ns]
+                        state._write(s)
+                    self._send(204, None)
+                    return
+                if len(p) == 5 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
+                    if (q.get("purgeRequested") or ["false"])[0].lower() == "true":
+                        # converted tables' files belong to the SOURCE table
+                        self._send(400, _error("purge is not supported: registered tables' files belong to the source table", "BadRequestException", 400))
+                        return
+                    key = _table_key(p[2].split(_NS_SEP), p[4])
+                    with state.lock:
+                        s = state._read()
+                        if key not in s["tables"]:
+                            self._send(404, _error(f"table {p[4]!r} not found", "NoSuchTableException", 404))
+                            return
+                        del s["tables"][key]
+                        state._write(s)
+                    self._send(204, None)
+                    return
+                self._send(404, _error(f"no such route: {self.path}", "NotFound", 404))
+
+        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def uri(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "IcebergRestCatalogServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self) -> "IcebergRestCatalogServer":
+        return self.start()
+
+    def __exit__(self, *exc: Any) -> None:
+        self.stop()

@@ -1,0 +1,169 @@
+"""Iceberg REST catalog SERVER e2e: the repo's own REST client drives
+the new rest_server over a real socket — client and server pin each
+other (register/load/commit/refresh/drop), the commit endpoint performs
+a genuine metadata.json evolution, and the conversion orchestration
+registers a converted table through the live catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from incubator_xtable_spark.catalog.rest_client import (
+    RestCatalogError,
+    UrllibRestTransport,
+    make_rest_client,
+)
+from incubator_xtable_spark.catalog.sync_client import CatalogTableIdentifier
+from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+from incubator_xtable_spark.sync.controller import (
+    ConversionController,
+    TargetCatalogConfig,
+)
+from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+from .conftest import SF_SMOKE
+
+IDENT = CatalogTableIdentifier(database="lake.bronze", table="nation")
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+
+    wh = str(tmp_path_factory.mktemp("rest_wh"))
+    with IcebergRestCatalogServer(wh) as srv:
+        yield srv
+
+
+def _convert(spark, base):
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, base, name="nation"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="nation")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    return res
+
+
+def _staged(spark, tmp_path):
+    base = str(tmp_path / "nation")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").coalesce(1).write.parquet(base)
+    return base
+
+
+def test_full_lifecycle_over_live_socket(spark, server, tmp_path):
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+    base = _staged(spark, tmp_path)
+    _convert(spark, base)
+    client = make_rest_client({"uri": server.uri})
+
+    # namespace lifecycle
+    assert not client.has_database(IDENT)
+    client.create_database(IDENT)
+    assert client.has_database(IDENT)
+    client.create_database(IDENT)  # idempotent (409 tolerated)
+
+    # register by metadata location; load returns the ON-DISK metadata
+    table = IcebergConversionSource(spark, base).get_current_table()
+    client.create_table(table, IDENT)
+    loaded = client.get_table(IDENT)
+    assert loaded is not None
+    loc = loaded["metadata-location"]
+    assert os.path.exists(loc) and loc.startswith(base)
+    with open(loc, encoding="utf-8") as fh:
+        assert loaded["metadata"] == json.load(fh)
+    # double register without overwrite is a conflict
+    with pytest.raises(RestCatalogError):
+        client.create_table(table, IDENT)
+
+    # commit endpoint: set-properties writes a REAL new metadata.json
+    v_before = int(os.path.basename(loc)[1:].split(".")[0])
+    client.update_table_properties(IDENT, {"owner": "xtable", "tier": "bronze"})
+    got = client.get_table_properties(IDENT, ["owner", "tier", "absent"])
+    assert got == {"owner": "xtable", "tier": "bronze"}
+    loc2 = client.get_table(IDENT)["metadata-location"]
+    v_after = int(os.path.basename(loc2)[1:].split(".")[0])
+    assert v_after == v_before + 1 and os.path.exists(loc2)
+    # previous metadata recorded in the log; table still readable
+    meta2 = client.get_table(IDENT)["metadata"]
+    assert any(e["metadata-file"] == loc for e in meta2["metadata-log"])
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+
+    assert read_iceberg_as_df(spark, base).count() == 25
+
+    # a second conversion commit + refresh rotates the pointer forward
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100
+    ).coalesce(1).write.mode("append").parquet(base)
+    _convert(spark, base)
+    table2 = IcebergConversionSource(spark, base).get_current_table()
+    client.refresh_table(table2, client.get_table(IDENT), IDENT)
+    loc3 = client.get_table(IDENT)["metadata-location"]
+    assert int(os.path.basename(loc3)[1:].split(".")[0]) > v_after
+
+    # drop removes the pointer, never the files
+    client.drop_table(table2, IDENT)
+    assert client.get_table(IDENT) is None
+    assert os.path.exists(loc3)
+
+
+def test_orchestration_registers_through_live_catalog(spark, server, tmp_path):
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+    base = _staged(spark, tmp_path)
+    client = make_rest_client({"uri": server.uri})
+    ident = CatalogTableIdentifier(database="lake.silver", table="nation_sync")
+    client.create_database(ident)
+    res = ConversionController().sync_table_across_catalogs(
+        ParquetConversionSource(spark, base, name="nation"),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="nation")},
+        {
+            TableFormat.ICEBERG: [
+                TargetCatalogConfig(catalog_id="rest", client=client, ident=ident)
+            ]
+        },
+        # register the CONVERTED table's state (the reference re-reads the
+        # target before registering) — the REST client refuses non-Iceberg
+        readback_sources={TableFormat.ICEBERG: IcebergConversionSource(spark, base)},
+    )
+    out = res[TableFormat.ICEBERG]
+    assert out.status == SyncStatusCode.SUCCESS
+    assert [c.status for c in out.catalog_sync_statuses] == [SyncStatusCode.SUCCESS]
+    loaded = client.get_table(ident)
+    assert loaded and loaded["metadata"]["current-snapshot-id"]
+    # the engine's sync bookmark property is visible through the catalog
+    assert "XTABLE_METADATA" in loaded["metadata"]["properties"]
+
+
+def test_error_shapes_and_purge_refusal(server, tmp_path):
+    t = UrllibRestTransport(server.uri)
+    # spec ErrorResponse shape on unknown table
+    status, body = t.request("GET", "/v1/namespaces/missing/tables/nope")
+    assert status == 404
+    assert set(body["error"]) >= {"message", "type", "code"}
+    assert body["error"]["type"] == "NoSuchTableException"
+    # register into a missing namespace
+    status, body = t.request(
+        "POST",
+        "/v1/namespaces/ghost/register",
+        {"name": "t", "metadata-location": "/nope.metadata.json"},
+    )
+    assert status == 400  # nonexistent location refused before ns check
+    # purge refused: converted tables' files belong to the source
+    status, body = t.request(
+        "DELETE", "/v1/namespaces/lake%1Fbronze/tables/nation?purgeRequested=true"
+    )
+    assert status == 400 and "purge" in body["error"]["message"]
+    # non-empty namespace refuses deletion once a table is registered
+    status, _ = t.request("GET", "/v1/namespaces")
+    assert status == 200
+    # list endpoints answer
+    status, body = t.request("GET", "/v1/config")
+    assert status == 200 and "defaults" in body
