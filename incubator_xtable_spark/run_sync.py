@@ -498,6 +498,11 @@ def run_maintenance(argv: list[str] | None = None) -> int:
     ap.add_argument("--instant", default=None, help="savepoint instant")
     ap.add_argument("--keep-last", type=int, default=10)
     ap.add_argument("--no-dry-run", action="store_true", help="vacuum really deletes")
+    ap.add_argument(
+        "--zorder-by",
+        default=None,
+        help="optimize: comma-separated columns for OPTIMIZE ZORDER BY",
+    )
     args = ap.parse_args(argv)
 
     from incubator_xtable_spark.sync import retention as R
@@ -511,7 +516,8 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         "min_file_bytes": args.min_file_bytes,
     }
     if args.action == "optimize":
-        out = R.delta_optimize(spark, args.path, **size_kw)
+        zcols = [c for c in (args.zorder_by or "").split(",") if c] or None
+        out = R.delta_optimize(spark, args.path, zorder_by=zcols, **size_kw)
     elif args.action == "rewrite":
         out = R.iceberg_rewrite_data_files(
             spark, args.path, table_name=args.table_name, **size_kw

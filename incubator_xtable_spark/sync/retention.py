@@ -334,6 +334,7 @@ def delta_optimize(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_file_bytes: Optional[int] = None,
+    zorder_by: Optional[list[str]] = None,
 ) -> dict:
     """Delta OPTIMIZE — small-file bin-packing compaction, the
     maintenance pass a streaming-ingested table needs before its file
@@ -345,6 +346,16 @@ def delta_optimize(
     remove + add pairs with ``dataChange=false``, so CDF derivation
     emits NO row changes for it (readers see a pure layout change) and
     time travel to pre-optimize versions still resolves the old files.
+
+    ``zorder_by`` switches to OPTIMIZE ZORDER BY semantics (real
+    Delta's): EVERY live file of each partition rewrites (Z-ordering is
+    a layout change, not just small-file cleanup) through the Morton
+    clustering writer (functions/zorder.zorder_write — one global-bounds
+    aggregate + one range shuffle per partition), so each output file
+    covers a narrow hyper-rectangle and min/max stats prune on all the
+    named columns; the commit records zOrderBy in operationParameters
+    like delta-spark. The row-preservation, CDF-silence and time-travel
+    guarantees are identical to the plain pass (shared commit path).
 
     Honest refusals: columnMapping tables (a rewrite must emit physical
     column names) and Row Tracking tables (merging files breaks
@@ -413,16 +424,23 @@ def delta_optimize(
     added: list[tuple[str, dict]] = []  # (new rel path, partitionValues)
     for key, members in groups.items():
         pv = dict(key)
-        cand = [
-            r
-            for r in members
-            if r["size"] < min_file_bytes
-            or (has_dv and r["deletionVector"] and r["deletionVector"]["storageType"])
-        ]
+        if zorder_by:
+            # ZORDER rewrites the whole partition: clustering is a layout
+            # change for every row, not just the small files
+            cand = list(members)
+        else:
+            cand = [
+                r
+                for r in members
+                if r["size"] < min_file_bytes
+                or (has_dv and r["deletionVector"] and r["deletionVector"]["storageType"])
+            ]
         only_dv = [
             r for r in cand if has_dv and r["deletionVector"] and r["deletionVector"]["storageType"]
         ]
-        if len(cand) < 2 and not only_dv:
+        if not zorder_by and len(cand) < 2 and not only_dv:
+            continue
+        if zorder_by and not cand:
             continue
         paths = [_abs(r["path"]) for r in cand]
         df = spark.read.parquet(*paths)
@@ -444,7 +462,15 @@ def delta_optimize(
             ).drop("_opt_path", "_opt_pos")
         n_out = max(1, math.ceil(sum(r["size"] for r in cand) / target_file_bytes))
         tmp = os.path.join(base_path, f".optimize-{_uuid.uuid4().hex}")
-        df.coalesce(n_out).write.parquet(tmp)
+        if zorder_by:
+            from incubator_xtable_spark.functions.zorder import zorder_write
+
+            missing = [c for c in zorder_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder_by columns not in data schema: {missing}")
+            zorder_write(df, list(zorder_by), tmp, n_files=n_out)
+        else:
+            df.coalesce(n_out).write.parquet(tmp)
         import glob as _glob
         import shutil as _shutil
 
@@ -480,6 +506,8 @@ def delta_optimize(
             "minFileSize": str(min_file_bytes),
         },
     }
+    if zorder_by:
+        commit_info["operationParameters"]["zOrderBy"] = json.dumps(list(zorder_by))
     if cfg.get("delta.enableInCommitTimestamps") == "true":
         log_dir = os.path.join(base_path, "_delta_log")
         prev_ict = read_commit_ict(os.path.join(log_dir, f"{version:020d}.json")) or 0

@@ -211,3 +211,77 @@ def test_optimize_partitioned_table_bins_per_partition(spark, tmp_path):
     assert after == before
     report = check_delta_conformance(spark, d)
     assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (r12): every live file rewrites through the
+    Morton clustering writer, so post-optimize each file covers a
+    narrow range of the z-ordered column and a box predicate prunes
+    most files — versus the pre-optimize layout where shuffled values
+    make every file span the whole domain. Rows, CDF silence and time
+    travel ride the shared commit path; zOrderBy lands in
+    commitInfo.operationParameters like delta-spark."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "z_table")
+    n = 20000
+    # x is a bijective scramble of 0..n-1: round-robin repartition makes
+    # every pre-optimize file span essentially the whole x domain
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(n)).cast("long").alias("x"),
+    )
+    df.repartition(4).write.parquet(d)
+    res = ConversionController().sync(
+        ParquetConversionSource(spark, d, name="ztab"),
+        {TableFormat.DELTA: DeltaConversionTarget(spark, d)},
+    )
+    assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+
+    def _x_ranges(paths):
+        out = []
+        for p in paths:
+            md = pq.read_metadata(p)
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["x"]
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mns.append(st.min)
+                mxs.append(st.max)
+            out.append((min(mns), max(mxs)))
+        return out
+
+    live = live_files_df(spark, d).collect()
+    pre_paths = [os.path.join(d, r["path"]) for r in live]
+    pre = _x_ranges(pre_paths)
+    assert all(mx - mn > 0.9 * n for mn, mx in pre), pre  # shuffled layout
+
+    total = sum(r["size"] for r in live)
+    before = sorted(r["k"] for r in read_delta_as_df(spark, d).select("k").collect())
+    v0 = max(list_log_versions(d))
+    out = delta_optimize(spark, d, target_file_bytes=max(1, total // 4), zorder_by=["x"])
+    assert out["version"] == v0 + 1 and len(out["added"]) >= 3
+
+    post_paths = [
+        os.path.join(d, r["path"]) for r in live_files_df(spark, d).collect()
+    ]
+    post = _x_ranges(post_paths)
+    lo, hi = 0, n // 10
+    pre_hit = sum(1 for mn, mx in pre if not (mx < lo or mn > hi))
+    post_hit = sum(1 for mn, mx in post if not (mx < lo or mn > hi))
+    assert pre_hit == len(pre)  # no pruning possible before
+    assert post_hit <= max(1, len(post) // 2), (post_hit, post)
+
+    # rows preserved; commit records the clustering; conformance green
+    after = sorted(r["k"] for r in read_delta_as_df(spark, d).select("k").collect())
+    assert after == before
+    with open(os.path.join(d, "_delta_log", f"{out['version']:020d}.json")) as fh:
+        commit = json.loads(fh.readline())["commitInfo"]
+    assert json.loads(commit["operationParameters"]["zOrderBy"]) == ["x"]
+    report = check_delta_conformance(spark, d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
+    # refusal: unknown zorder column
+    with pytest.raises(ValueError, match="zorder_by columns"):
+        delta_optimize(spark, d, zorder_by=["nope"])
