@@ -1655,6 +1655,19 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
     seen_instants = [i for i, _, _, _ in completed]
     if len(seen_instants) != len(set(seen_instants)):
         report.add("HUDI_DUP_INSTANT", active_dir, "two completed actions share one instant")
+    # completed CLEAN actions legitimately delete files still referenced
+    # by pre-boundary commit metadata (the cleaner contract: readers may
+    # not time-travel past earliestCommitToRetain) — exempt exactly the
+    # files each clean payload declares deleted, nothing else
+    cleaned_files: set = set()
+    for fn in names:
+        if not fn.endswith(".clean"):
+            continue
+        try:
+            with open(os.path.join(active_dir, fn), encoding="utf-8") as fh:
+                cleaned_files.update(json.load(fh).get("filesDeleted") or [])
+        except (OSError, json.JSONDecodeError):
+            report.add("HUDI_CLEAN_NOT_JSON", fn, "completed clean payload unreadable")
     for instant, action, fn, completion in completed:
         if len(instant) not in (14, 17):
             report.add(
@@ -1705,7 +1718,11 @@ def check_hudi_conformance(base_path: str) -> ConformanceReport:
                             f"writeStat.{req} required",
                         )
                 p = st.get("path")
-                if p and not os.path.exists(os.path.join(base_path, p)):
+                if (
+                    p
+                    and p not in cleaned_files
+                    and not os.path.exists(os.path.join(base_path, p))
+                ):
                     report.add(
                         "HUDI_STAT_FILE_MISSING", f"{instant}.{action}:{partition}", p
                     )

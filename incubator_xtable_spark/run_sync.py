@@ -488,6 +488,7 @@ def run_maintenance(argv: list[str] | None = None) -> int:
             "vacuum",
             "archive",
             "expire",
+            "clean",
         ],
     )
     ap.add_argument("--path", required=True, help="table base path")
@@ -547,6 +548,8 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         out = {"orphans": R.delta_vacuum(spark, args.path, dry_run=not args.no_dry_run)}
     elif args.action == "archive":
         out = {"archived": R.hudi_archive_timeline(args.path, keep_last=args.keep_last)}
+    elif args.action == "clean":
+        out = R.hudi_clean(spark, args.path, keep_last=args.keep_last)
     else:  # expire
         out = {"expired": R.iceberg_expire_snapshots(args.path, keep_last=args.keep_last)}
     print(json.dumps(out))

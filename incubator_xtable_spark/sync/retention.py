@@ -295,6 +295,140 @@ def paimon_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     return expired
 
 
+def hudi_clean(spark, base_path: str, *, keep_last: int = 10) -> dict:
+    """Hudi CLEAN with the KEEP_LATEST_COMMITS policy (real Hudi's
+    default cleaner): reclaim file slices that no RETAINED commit view
+    references — the boundary ("earliestCommitToRetain") is the
+    keep_last-th newest completed write instant; savepointed instants
+    pin their views like real Hudi's savepoint contract. Completes the
+    maintenance matrix: delta_vacuum <-> hudi_clean <->
+    iceberg_expire_snapshots <-> paimon_expire_snapshots.
+
+    Conversion-engine adaptation (documented, deliberate): this table's
+    data files are mostly EXTERNAL — they belong to the SOURCE table
+    (hudi_target maps them by fileId without copying), so deleting them
+    would destroy the source. Clean therefore physically deletes only
+    ENGINE-CREATED rewrite artifacts (clustering outputs
+    ``clustered-*.parquet``, compaction shadows ``*.compacted-*``) that
+    left every retained view, and reports external files that aged out
+    of retention under ``skipped_external`` without touching them.
+    Timeline: a real requested -> inflight -> completed ``.clean``
+    instant under the table's own layout (v6 or the 1.0 timeline dir);
+    the payload is this engine's JSON convention (real Hudi serializes
+    HoodieCleanMetadata as Avro — byte-level interop is NOT claimed for
+    the clean payload, unlike the commit JSON which real Hudi also
+    stores as JSON). After a clean, time travel to instants before the
+    boundary refuses naturally (the view resolves paths that no longer
+    exist); head reads are unaffected.
+
+    Scale: the view resolution is one driver-side timeline replay per
+    retained/savepointed instant (metadata plane, O(live files) each);
+    nothing data-sized runs.
+    Returns {"instant", "earliest_retained", "deleted",
+    "skipped_external"}."""
+    import uuid as _uuid
+
+    from incubator_xtable_spark.sources.hudi_source import (
+        live_files_rows,
+        read_properties,
+    )
+    from incubator_xtable_spark.targets.hudi_target import (
+        instant_now,
+        list_completed_instants,
+        timeline_dir,
+    )
+
+    instants = list_completed_instants(base_path)
+    if len(instants) <= keep_last:
+        return {"instant": None, "earliest_retained": None, "deleted": [], "skipped_external": []}
+    boundary = instants[-keep_last][0]
+    pinned = set(hudi_list_savepoints(base_path))
+    view_instants = sorted(
+        {i for i, _ in instants if i >= boundary} | (pinned & {i for i, _ in instants})
+    )
+
+    def _paths_at(instant: str) -> set:
+        out = set()
+        for r in live_files_rows(base_path, instant, include_log_only=True):
+            if r.get("path"):
+                out.add(r["path"])
+            for lf in r.get("log_files") or []:
+                out.add(lf if isinstance(lf, str) else lf.get("path"))
+        out.discard(None)
+        return out
+
+    keep: set = set()
+    for vi in view_instants:
+        keep |= _paths_at(vi)
+    ever: set = set()
+    for i, _a in instants:
+        if i < boundary and i not in pinned:
+            ever |= _paths_at(i)
+    cleanable = sorted(ever - keep)
+
+    deleted: list[str] = []
+    skipped_external: list[str] = []
+    for rel in cleanable:
+        name = os.path.basename(rel)
+        engine_owned = (
+            name.startswith("clustered-")
+            or name.startswith("optimized-")
+            or ".compacted-" in name
+        )
+        ap = os.path.join(base_path, rel)
+        if engine_owned:
+            if os.path.exists(ap):
+                os.unlink(ap)
+                deleted.append(rel)
+        else:
+            skipped_external.append(rel)
+
+    # the clean instant: requested -> inflight -> completed, honoring the
+    # table's timeline layout (no-op cleans write no instant, like real
+    # Hudi's cleaner skipping an empty plan)
+    if not deleted and not skipped_external:
+        return {
+            "instant": None,
+            "earliest_retained": boundary,
+            "deleted": [],
+            "skipped_external": [],
+        }
+    props = read_properties(base_path)
+    v8 = int(props.get("hoodie.table.version", "6")) >= 8
+    d = timeline_dir(base_path)
+    os.makedirs(d, exist_ok=True)
+    instant = instant_now()
+    meta = {
+        "startCleanTime": instant,
+        "policy": "KEEP_LATEST_COMMITS",
+        "retainedCommits": keep_last,
+        "earliestCommitToRetain": boundary,
+        "filesDeleted": deleted,
+        "externalFilesSkipped": skipped_external,
+        "totalFilesDeleted": len(deleted),
+    }
+    for suffix in ("clean.requested", "clean.inflight"):
+        open(os.path.join(d, f"{instant}.{suffix}"), "w", encoding="utf-8").close()
+    final = os.path.join(
+        d, f"{instant}_{instant_now()}.clean" if v8 else f"{instant}.clean"
+    )
+    tmp = final + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent Hudi clean at instant {instant}") from exc
+    finally:
+        os.unlink(tmp)
+    return {
+        "instant": instant,
+        "earliest_retained": boundary,
+        "deleted": deleted,
+        "skipped_external": skipped_external,
+    }
+
+
 def hudi_clean_mor_shadows(spark, base_path: str) -> list[str]:
     """Delete compaction shadows superseded by the CURRENT head state.
 
