@@ -131,7 +131,15 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
     calibration = calibration_probe(spark)
-    print(f"# calibration_sec: {calibration:.3f}", file=sys.stderr)
+    # loadavg BEFORE the run starts: residual machine load inflates heavy
+    # entries ~40% (see auto-memory "bench only at idle") and the start-of-
+    # run calibration probe can miss decaying load — record both so
+    # cross-round normalization stops guessing.
+    loadavg_start = round(os.getloadavg()[0], 2)
+    print(
+        f"# calibration_sec: {calibration:.3f} loadavg_start: {loadavg_start}",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
@@ -159,6 +167,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calibration_sec": calibration,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             fh,
