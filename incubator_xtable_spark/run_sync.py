@@ -489,6 +489,7 @@ def run_maintenance(argv: list[str] | None = None) -> int:
             "archive",
             "expire",
             "clean",
+            "orphans",
         ],
     )
     ap.add_argument("--path", required=True, help="table base path")
@@ -509,7 +510,7 @@ def run_maintenance(argv: list[str] | None = None) -> int:
     from incubator_xtable_spark.sync import retention as R
 
     spark = None
-    if args.action in ("optimize", "rewrite", "cluster", "compact", "restore", "vacuum"):
+    if args.action in ("optimize", "rewrite", "cluster", "compact", "restore", "vacuum", "orphans"):
         spark = get_spark("xtable_maintenance")
         spark.sparkContext.setLogLevel("ERROR")
     size_kw = {
@@ -550,6 +551,8 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         out = {"archived": R.hudi_archive_timeline(args.path, keep_last=args.keep_last)}
     elif args.action == "clean":
         out = R.hudi_clean(spark, args.path, keep_last=args.keep_last)
+    elif args.action == "orphans":
+        out = R.iceberg_remove_orphan_files(spark, args.path, dry_run=not args.no_dry_run)
     else:  # expire
         out = {"expired": R.iceberg_expire_snapshots(args.path, keep_last=args.keep_last)}
     print(json.dumps(out))

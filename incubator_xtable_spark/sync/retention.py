@@ -1221,6 +1221,104 @@ def paimon_compact_small_files(
     }
 
 
+def iceberg_remove_orphan_files(
+    spark,
+    base_path: str,
+    *,
+    older_than_ms: Optional[int] = None,
+    dry_run: bool = True,
+) -> dict:
+    """Iceberg REMOVE ORPHAN FILES — the delta_vacuum analog (real
+    Iceberg's RemoveOrphanFiles action): files under the table tree
+    that NO snapshot of the current metadata references. Expiring
+    snapshots deletes only their manifest-LIST files; their manifests
+    (and any superseded rewrite outputs) linger until this action
+    reclaims them.
+
+    Referenced set: every snapshot's manifest-list + every manifest it
+    names + every data/delete file path inside (puffin DVs ride the
+    delete entries), plus all v*.metadata.json / version-hint /
+    statistics / partition-statistics files.
+
+    Conversion-engine ownership rule (same as hudi_clean): physical
+    deletion only for ICEBERG-OWNED artifacts — files under metadata/
+    and engine-created rewrite outputs (rewritten-*.parquet). Anything
+    else unreferenced (external source-table files that aged out of
+    history) is reported under ``skipped_external`` and never touched.
+    ``older_than_ms`` guards against racing an in-flight commit (real
+    Iceberg defaults to 3 days; None = no age filter — tests).
+
+    Scale: the reference walk is the driver-side manifest replay every
+    sync already performs (metadata plane); the directory scan is
+    os.walk over the table tree — file-count-sized, no data reads.
+    Returns {"orphans": [...], "skipped_external": [...], "deleted":
+    bool} with paths relative to the table root."""
+    import time as _time
+
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from incubator_xtable_spark.targets.iceberg_target import (
+        metadata_dir,
+        read_table_metadata,
+    )
+
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    src = IcebergConversionSource(spark, base_path)
+    base = base_path.rstrip("/")
+    mdir = metadata_dir(base_path)
+
+    referenced: set = set()
+    for fn in os.listdir(mdir):
+        if fn.endswith(".metadata.json") or fn == "version-hint.text":
+            referenced.add(os.path.join(mdir, fn))
+    for field in ("statistics", "partition-statistics"):
+        for e in meta.get(field) or []:
+            referenced.add(e["statistics-path"])
+    for snap in meta.get("snapshots") or []:
+        ml = snap.get("manifest-list")
+        if not ml:
+            continue
+        referenced.add(ml)
+        if not os.path.exists(ml):
+            continue
+        for mf in src.avro.read_records(ml):
+            referenced.add(mf["manifest_path"])
+            if not os.path.exists(mf["manifest_path"]):
+                continue
+            for entry in src.avro.read_records(mf["manifest_path"]):
+                p = entry["data_file"].get("file_path")
+                if p:
+                    referenced.add(p)
+    referenced = {os.path.abspath(p) for p in referenced}
+
+    cutoff = None if older_than_ms is None else _time.time() - older_than_ms / 1000.0
+    orphans: list[str] = []
+    skipped_external: list[str] = []
+    skip_dirs = {"_delta_log", ".hoodie", "snapshot", "manifest", "schema", "tag", "index"}
+    for root, dirs, files in os.walk(base):
+        dirs[:] = [d for d in dirs if d not in skip_dirs and not d.startswith(".")]
+        in_metadata = os.path.abspath(root).startswith(os.path.abspath(mdir))
+        for fn in files:
+            ap = os.path.abspath(os.path.join(root, fn))
+            if ap in referenced:
+                continue
+            if cutoff is not None and os.path.getmtime(ap) > cutoff:
+                continue
+            rel = os.path.relpath(ap, base)
+            if in_metadata or fn.startswith("rewritten-"):
+                orphans.append(rel)
+            elif fn.endswith(".parquet"):
+                # unreferenced but SOURCE-owned: report, never delete
+                skipped_external.append(rel)
+    orphans.sort()
+    skipped_external.sort()
+    if not dry_run:
+        for rel in orphans:
+            os.unlink(os.path.join(base, rel))
+    return {"orphans": orphans, "skipped_external": skipped_external, "deleted": not dry_run}
+
+
 def hudi_create_savepoint(base_path: str, instant: str, comment: str = "") -> str:
     """Write a ``<instant>.savepoint`` timeline action (real Hudi's
     savepoint: pins a completed commit so cleaning/archival cannot drop
