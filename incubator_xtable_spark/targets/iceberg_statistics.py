@@ -74,7 +74,19 @@ def write_ndv_statistics(
     ]
     df = read_iceberg_as_df(spark, base_path)
     sketches = build_column_sketches(spark, df.select(*cols), columns=cols, lg_k=lg_k)
+    return _commit_sketches(base_path, snapshot_id, seq, sketches, field_ids)
 
+
+def _commit_sketches(
+    base_path: str,
+    snapshot_id: int,
+    seq: int,
+    sketches: dict[str, ThetaSketch],
+    field_ids: dict[str, Optional[int]],
+) -> str:
+    """Serialize per-column sketches into the snapshot's Puffin file and
+    commit the `statistics` metadata entry. Shared by the full build and
+    the incremental union path."""
     blobs = []
     for col, sk in sketches.items():
         blobs.append(
@@ -111,6 +123,106 @@ def write_ndv_statistics(
     }
     _commit_statistics_entry(base_path, entry)
     return stats_path
+
+
+def update_ndv_statistics(
+    spark,
+    base_path: str,
+    lg_k: int = DEFAULT_LG_K,
+) -> tuple[str, dict]:
+    """Incrementally maintain NDV statistics — the 100 TB stats posture:
+    when the CURRENT snapshot is a pure APPEND over the newest
+    statistics-bearing snapshot (its data-file set is a superset, no
+    delete files on either side), sketch ONLY the added files and UNION
+    the result with the prior sketches. KMV k-min sets are
+    union-distributive, so the merged sketch is BIT-IDENTICAL to a full
+    rebuild (pinned by tests) at O(appended bytes) scan cost instead of
+    O(table). Any other shape — deletes, rewrites, column-set drift, no
+    prior stats — falls back to the full build, which is always correct.
+
+    Returns (stats_path, info) where info = {"mode": "full" |
+    "incremental" | "noop", "scanned_files": n, "base_snapshot": id}."""
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+    meta = read_table_metadata(base_path)
+    if meta is None:
+        raise ValueError(f"not an iceberg table: {base_path}")
+    snapshot_id = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id)
+    seq = int(snap.get("sequence-number") or 0)
+    live_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    prior_entries = [
+        e
+        for e in meta.get("statistics", [])
+        if e["snapshot-id"] in live_ids and e["snapshot-id"] != snapshot_id
+    ]
+    if any(e["snapshot-id"] == snapshot_id for e in meta.get("statistics", [])):
+        e = next(e for e in meta["statistics"] if e["snapshot-id"] == snapshot_id)
+        return e["statistics-path"], {
+            "mode": "noop",
+            "scanned_files": 0,
+            "base_snapshot": snapshot_id,
+        }
+
+    def _full() -> tuple[str, dict]:
+        path = write_ndv_statistics(spark, base_path, lg_k=lg_k)
+        return path, {"mode": "full", "scanned_files": None, "base_snapshot": None}
+
+    if not prior_entries:
+        return _full()
+    # newest stats-bearing snapshot by sequence number
+    seq_of = {
+        s["snapshot-id"]: int(s.get("sequence-number") or 0) for s in meta["snapshots"]
+    }
+    prior = max(prior_entries, key=lambda e: seq_of[e["snapshot-id"]])
+    prior_sid = prior["snapshot-id"]
+
+    src = IcebergConversionSource(spark, base_path)
+    cur_data, cur_del = src._entries_by_content(meta, snapshot_id)
+    old_data, old_del = src._entries_by_content(meta, prior_sid)
+    if cur_del or old_del:
+        return _full()
+    cur_paths = {e["data_file"]["file_path"] for e in cur_data}
+    old_paths = {e["data_file"]["file_path"] for e in old_data}
+    if not old_paths <= cur_paths:
+        return _full()  # rewrite/shrink: sketches cannot subtract
+    added = sorted(cur_paths - old_paths)
+
+    prior_stats = read_ndv_statistics(base_path, prior_sid)
+    table = src.get_current_table()
+    name_by_fid = {
+        (f.metadata or {}).get("xtable.fieldId"): f.name for f in table.read_schema.fields
+    }
+    field_ids = {
+        f.name: (f.metadata or {}).get("xtable.fieldId") for f in table.read_schema.fields
+    }
+    cols: list[str] = []
+    prior_sketches: dict[str, ThetaSketch] = {}
+    for key, v in prior_stats.items():
+        if not key.startswith("field:"):
+            return _full()  # unattributed blob: cannot re-key safely
+        name = name_by_fid.get(int(key[len("field:") :]))
+        if name is None:
+            return _full()  # column dropped since: full rebuild
+        cols.append(name)
+        prior_sketches[name] = v["sketch"]
+    if not cols:
+        return _full()
+
+    if not added:
+        merged = prior_sketches
+    else:
+        df = spark.read.parquet(*added)
+        if not set(cols) <= set(df.columns):
+            return _full()  # stats column not stored in the data files
+        fresh = build_column_sketches(spark, df.select(*cols), columns=cols, lg_k=lg_k)
+        merged = {c: prior_sketches[c].union(fresh[c]) for c in cols}
+    path = _commit_sketches(base_path, snapshot_id, seq, merged, field_ids)
+    return path, {
+        "mode": "incremental",
+        "scanned_files": len(added),
+        "base_snapshot": prior_sid,
+    }
 
 
 def _commit_statistics_entry(base_path: str, entry: dict) -> None:

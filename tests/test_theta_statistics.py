@@ -405,3 +405,79 @@ def test_retention_respects_refs_and_drops_expired_statistics(spark, tmp_path):
     assert meta3.get("statistics", []) == []
     assert not os.path.exists(stats_path)
     assert "main" in (meta3.get("refs") or {})
+
+
+def test_update_ndv_statistics_incremental_union_equals_full(spark, tmp_path):
+    """Incremental stats maintenance (r12): on a pure append, sketching
+    only the ADDED files and unioning with the prior sketches must be
+    BIT-IDENTICAL to a full rebuild (KMV k-min sets are union-
+    distributive) — the O(delta) stats posture at 100 TB. Rewrites and
+    already-covered snapshots take the full/noop paths."""
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.sync.retention import iceberg_rewrite_data_files
+    from incubator_xtable_spark.targets.iceberg_statistics import (
+        read_ndv_statistics,
+        update_ndv_statistics,
+        write_ndv_statistics,
+    )
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    base = str(tmp_path / "ice_incr_stats")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").coalesce(1).write.parquet(base)
+
+    def _sync():
+        res = ConversionController().sync(
+            ParquetConversionSource(spark, base, name="nation"),
+            {TableFormat.ICEBERG: IcebergConversionTarget(spark, base, table_name="nation")},
+        )
+        assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+
+    _sync()
+    write_ndv_statistics(spark, base, columns=["n_nationkey", "n_name", "n_regionkey"])
+
+    # append 25 shifted rows as 2 new files, re-sync
+    pre = set(glob.glob(os.path.join(base, "*.parquet")))
+    (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .withColumn("n_nationkey", F.col("n_nationkey") + 100)
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_B")))
+        .repartition(2)
+        .write.mode("append")
+        .parquet(base)
+    )
+    future = time.time() + 10
+    for p in set(glob.glob(os.path.join(base, "*.parquet"))) - pre:
+        os.utime(p, (future, future))
+    _sync()
+
+    path, info = update_ndv_statistics(spark, base)
+    assert info["mode"] == "incremental" and info["scanned_files"] == 2
+    incr = read_ndv_statistics(base)
+    assert {v["ndv"] for v in incr.values()} == {50, 50, 5}  # keys/names doubled
+
+    # full rebuild of the SAME snapshot replaces the entry: bit-identical
+    write_ndv_statistics(spark, base, columns=["n_nationkey", "n_name", "n_regionkey"])
+    full = read_ndv_statistics(base)
+    assert set(full) == set(incr)
+    for k in full:
+        assert full[k]["sketch"] == incr[k]["sketch"], k
+
+    # covered snapshot -> noop
+    _, info2 = update_ndv_statistics(spark, base)
+    assert info2["mode"] == "noop"
+
+    # a rewrite is not an append: falls back to the full path
+    out = iceberg_rewrite_data_files(
+        spark, base, target_file_bytes=128 * 1024 * 1024, min_file_bytes=64 * 1024 * 1024
+    )
+    assert out["snapshot_id"] is not None
+    _, info3 = update_ndv_statistics(spark, base)
+    assert info3["mode"] == "full"
+    assert {v["ndv"] for v in read_ndv_statistics(base).values()} == {50, 50, 5}
