@@ -342,3 +342,25 @@ def vector_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "qscore", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+@register(
+    "text_hash_embeddings",
+    oracle=None,  # xxhash64 has no DuckDB twin; property-gated in pytest
+    category="vector",
+    description="feature-hashing doc embeddings (hashing trick, model-free)",
+    graded=False,
+)
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings via the hashing trick
+    (operators/hash_embed.py): token sign-hash contributions into a
+    64-dim L2-normalized vector, entirely JVM-side (two uniform-key
+    shuffles, zero UDFs). Feeds the same embedding consumers as the
+    embeddings table (ANN, near-dup keep/drop). Gates: partition-layout
+    invariance, unit norms, edited-doc cosine similarity, and
+    composition with embedding_near_duplicates — see
+    tests/test_pipeline_operators.py."""
+    from incubator_xtable_spark.operators.hash_embed import hash_embed
+
+    docs = t(spark, sf_dir, "documents")
+    return hash_embed(docs, dim=64).orderBy("doc_id")

@@ -1012,3 +1012,59 @@ def test_ivfpq_partitioned_serving_prunes_files_and_matches_inmemory(spark, tmp_
     # the serving plan itself carries the partition filter on the scan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and re.search(r"cell.*(IN|isin|in)", plan, re.I), plan
+
+
+def test_hash_embed_properties_and_near_dup_composition(spark):
+    """Feature-hashing embeddings (r12): content-deterministic on any
+    partition layout, unit-norm, similar for lightly-edited docs and
+    dissimilar for unrelated ones — and they COMPOSE with the embedding
+    near-dup operator (a planted edited twin is detected, unrelated
+    docs are not)."""
+    import math
+    import random
+
+    from incubator_xtable_spark.operators.dedup import embedding_near_duplicates
+    from incubator_xtable_spark.operators.hash_embed import hash_embed
+
+    rnd = random.Random(31)
+    words = [f"w{i}" for i in range(500)]
+    base_txt = " ".join(rnd.choice(words) for _ in range(80))
+    edited = base_txt.split(" ")
+    edited[7] = "changed"
+    rows = [(1, base_txt), (2, " ".join(edited))]
+    for i in range(20):
+        rows.append((100 + i, " ".join(rnd.choice(words) for _ in range(80))))
+    rows.append((999, ""))  # degenerate: embeds as the zero vector
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    out1 = {r["doc_id"]: r["embedding"] for r in hash_embed(docs.repartition(1)).collect()}
+    out13 = {r["doc_id"]: r["embedding"] for r in hash_embed(docs.repartition(13)).collect()}
+    assert out1 == out13  # exact layout invariance
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        return num / (na * nb) if na and nb else 0.0
+
+    for did, v in out1.items():
+        n = math.sqrt(sum(x * x for x in v))
+        if did == 999:
+            assert n == 0.0
+        else:
+            assert abs(n - 1.0) < 1e-9, did
+    assert cos(out1[1], out1[2]) > 0.9
+    unrelated = [cos(out1[1], out1[100 + i]) for i in range(20)]
+    assert max(unrelated) < 0.8 and sum(unrelated) / 20 < 0.5
+
+    # composition: the near-dup operator finds exactly the planted twin
+    # (zero vectors filter out first — embedding_near_duplicates' cosine
+    # contract, same as any encoder pipeline dropping empty docs)
+    emb = (
+        hash_embed(docs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0)
+    )
+    pairs = embedding_near_duplicates(emb, dim=64, threshold=0.9).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all({a, b} == {1, 2} for a, b in got), got
