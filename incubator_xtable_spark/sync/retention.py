@@ -1290,7 +1290,16 @@ def iceberg_remove_orphan_files(
                 p = entry["data_file"].get("file_path")
                 if p:
                     referenced.add(p)
-    referenced = {os.path.abspath(p) for p in referenced}
+    # foreign writers may record file: URIs; normalize so a URI-form
+    # reference never lets its target be misclassified as an orphan
+    def _norm(p: str) -> str:
+        if p.startswith("file://"):
+            p = p[len("file://") :]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        return os.path.abspath(p)
+
+    referenced = {_norm(p) for p in referenced}
 
     cutoff = None if older_than_ms is None else _time.time() - older_than_ms / 1000.0
     orphans: list[str] = []
