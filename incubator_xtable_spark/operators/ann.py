@@ -400,16 +400,13 @@ def ann_ivf_topk(
         )
         return F.slice(F.array_sort(cells), 1, n).getField("i")
 
-    # skew gate (multimodal rule): spread a single-file input before the
-    # per-row assignment, never full-shuffle a well-split scan
-    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    if vectors.rdd.getNumPartitions() < parallelism:
-        vectors = vectors.repartition(parallelism)
-
-    cand = vectors.select(
-        F.col(id_col).alias("c_id"),
-        nearest(F.col(vec_col), 1).getItem(0).alias("cell"),
-    )
+    # corpus-side assignment: the Arrow matmul kernel (the HOF argmin
+    # tree is interpreted per element — the r12 encode lesson); the
+    # small query side keeps the JVM expression below
+    dim = len(centroids[0])
+    cand = _encode_arrow(
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim, centroids=centroids
+    ).select("c_id", "cell")
     qp = queries.select(
         F.col(id_col).alias("q_id"),
         F.explode(nearest(F.col(vec_col), n_probe)).alias("cell"),
@@ -479,24 +476,6 @@ def pq_train(
     ]
 
 
-def _pq_code(vec: Column, lit_book: Column, j: int, sub: int) -> Column:
-    """argmin centroid id for subspace j — JVM-side: distances to the
-    subspace's codebook as (dist, id) structs, array_min picks the code."""
-    sv = F.slice(vec, j * sub + 1, sub)
-    cells = F.transform(
-        lit_book,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(sv, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            i.alias("i"),
-        ),
-    )
-    return F.array_min(cells).getField("i")
-
-
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
@@ -506,24 +485,16 @@ def pq_encode(
     dim: int,
 ) -> DataFrame:
     """Encode every vector as m codebook ids (array<int>, one per
-    subspace) — a pure projection (no shuffle, no Python). At 100 TB the
-    encoded corpus is dim/m * 4-bit-ish per subspace instead of 4-8 bytes
-    per float: a 64-dim float64 row (512 B) compresses to m ints
-    (m=8 -> ~32 B logical, 8 B as int8 storage), so the compressed-domain
-    scan reads ~16-64x fewer bytes than raw vectors."""
-    sub = dim // len(codebooks)
-    codes = F.array(
-        *[
-            _pq_code(
-                F.col(vec_col),
-                F.lit([[float(x) for x in c] for c in codebooks[j]]),
-                j,
-                sub,
-            ).cast("int")
-            for j in range(len(codebooks))
-        ]
-    )
-    return vectors.select(F.col(id_col).alias("c_id"), codes.alias("codes"))
+    subspace) — one Arrow matmul pass, map-only (the r12 encode
+    kernel; the previous JVM HOF argmin was interpreted per element).
+    At 100 TB the encoded corpus is dim/m * 4-bit-ish per subspace
+    instead of 4-8 bytes per float: a 64-dim float64 row (512 B)
+    compresses to m ints (m=8 -> ~32 B logical, 8 B as int8 storage),
+    so the compressed-domain scan reads ~16-64x fewer bytes than raw
+    vectors."""
+    return _encode_arrow(
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim, codebooks=codebooks
+    ).select("c_id", "codes")
 
 
 def ivfpq_train(
@@ -678,42 +649,129 @@ def ivfpq_encode_corpus(
     dim: int,
 ) -> DataFrame:
     """IVF-PQ ingest encode: (c_id, cv, cell, codes) — cell assignment
-    plus PQ codes of the RESIDUAL, all JVM expressions. Persist with
+    plus PQ codes of the RESIDUAL. Persist with
     ``.write.partitionBy("cell")`` to get the file-pruning serving
     layout consumed by ``ann_ivfpq_topk_partitioned`` (raw vectors ride
     along so the rerank reads them from the SAME pruned files).
 
-    The residual materializes through an intermediate select so Catalyst
-    computes the cell argmin once, not once per subspace
-    (materialize-before-fanout)."""
+    The encode is ONE Arrow pass of numpy matmuls per batch —
+    (n, dim) @ (dim, K) for cells, then per-subspace (n, sub) @
+    (sub, codes) for residual codes. The previous Catalyst HOF argmin
+    tree was interpreted per element (~1 us each) and measured 2.85 s
+    at sf0.1 (50k x 64-dim); the matmul kernel is the
+    lsh_band_keys_arrow lesson applied to the encode. Centroids and
+    codebooks are small closure literals; map-only, zero shuffles.
+    Distance ties resolve to the lowest cell/code index (same rule as
+    the JVM array_min ordering); exact float ulps may differ from the
+    HOF fold on boundary points — the recall gates and the
+    partitioned == in-memory equality (both sides share THIS encode)
+    are unaffected."""
     centroids, codebooks = trained
     if dim % len(codebooks):
         raise ValueError(f"dim {dim} not divisible by m {len(codebooks)}")
-    sub = dim // len(codebooks)
-    lit_cents = F.lit([[float(x) for x in c] for c in centroids])
-    with_cell = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_cells(F.col(vec_col), lit_cents, 1).getItem(0).alias("cell"),
+    return _encode_arrow(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        centroids=centroids,
+        codebooks=codebooks,
+        keep_vec=True,
     )
-    resid = F.zip_with(
-        F.col("cv"),
-        F.element_at(lit_cents, F.col("cell") + 1),
-        lambda x, y: x.cast("double") - y,
-    )
-    with_resid = with_cell.select("c_id", "cv", "cell", resid.alias("rv"))
-    codes = F.array(
-        *[
-            _pq_code(
-                F.col("rv"),
-                F.lit([[float(x) for x in c] for c in codebooks[j]]),
-                j,
-                sub,
-            ).cast("int")
-            for j in range(len(codebooks))
-        ]
-    )
-    return with_resid.select("c_id", "cv", "cell", codes.alias("codes"))
+
+
+def _encode_arrow(
+    vectors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Shared Arrow matmul encode kernel: per batch, (n, dim) @ (dim, K)
+    argmin for ``cell`` (when centroids given) and per-subspace
+    (n, sub) @ (sub, codes) argmin for ``codes`` (when codebooks given;
+    of the RESIDUAL when centroids are also given, of the raw vector
+    otherwise — flat PQ). Output columns: c_id[, cv][, cell][, codes].
+    Map-only, zero shuffles; argmin ties take the lowest index (the JVM
+    array_min struct-ordering rule)."""
+    from pyspark.sql import types as T
+
+    C = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+    Cn2 = None if C is None else (C * C).sum(axis=1)
+    books = None if codebooks is None else [np.asarray(b, dtype=np.float64) for b in codebooks]
+    books_n2 = None if books is None else [(B * B).sum(axis=1) for B in books]
+    sub = None if books is None else dim // len(books)
+    d_ = dim
+    m_ = None if books is None else len(books)
+
+    id_field = next(f for f in vectors.schema.fields if f.name == id_col)
+    vec_field = next(f for f in vectors.schema.fields if f.name == vec_col)
+    fields = [T.StructField("c_id", id_field.dataType, id_field.nullable)]
+    names = ["c_id"]
+    if keep_vec:
+        fields.append(T.StructField("cv", vec_field.dataType, vec_field.nullable))
+        names.append("cv")
+    if C is not None:
+        fields.append(T.StructField("cell", T.IntegerType(), False))
+        names.append("cell")
+    if books is not None:
+        fields.append(T.StructField("codes", T.ArrayType(T.IntegerType()), False))
+        names.append("codes")
+    out_schema = T.StructType(fields)
+
+    def _enc(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for rb in batches:
+            ids = rb.column(0)
+            lst = rb.column(1)
+            if len(ids) == 0:
+                continue
+            if lst.null_count:
+                raise ValueError("arrow encode: null vectors are not encodable")
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if len(flat) != n * d_:
+                raise ValueError(
+                    f"arrow encode: expected uniform dim {d_}, got "
+                    f"{len(flat)} values for {n} vectors"
+                )
+            X = _np.asarray(flat, dtype=_np.float64).reshape(n, d_)
+            cols = [ids]
+            if keep_vec:
+                cols.append(lst)
+            R = X
+            if C is not None:
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + Cn2[None, :]
+                cell = d2.argmin(axis=1)
+                R = X - C[cell]
+                cols.append(_pa.array(cell.astype(_np.int32)))
+            if books is not None:
+                codes = _np.empty((n, m_), dtype=_np.int32)
+                for j, (B, Bn2) in enumerate(zip(books, books_n2)):
+                    Rj = R[:, j * sub : (j + 1) * sub]
+                    dj = (Rj * Rj).sum(axis=1)[:, None] - 2.0 * (Rj @ B.T) + Bn2[None, :]
+                    codes[:, j] = dj.argmin(axis=1)
+                cols.append(
+                    _pa.ListArray.from_arrays(
+                        _pa.array(_np.arange(0, (n + 1) * m_, m_, dtype=_np.int32)),
+                        _pa.array(codes.ravel()),
+                    )
+                )
+            yield _pa.record_batch(cols, names=names)
+
+    # skew gate (multimodal rule): spread a single-file corpus across the
+    # cores before the per-row encode; never full-shuffle a well-split scan
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < parallelism:
+        vectors = vectors.repartition(parallelism)
+    return vectors.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    ).mapInArrow(_enc, out_schema)
 
 
 def ivfpq_probe_cells(
