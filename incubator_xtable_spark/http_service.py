@@ -81,14 +81,24 @@ class ConversionHttpServer:
                     self.wfile.write(body)
 
             def do_POST(self) -> None:  # noqa: N802 (http.server contract)
+                # drain the body FIRST: answering before reading it would
+                # desync a keep-alive connection (the unread bytes would
+                # parse as the next request's start line)
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    raw = self.rfile.read(length)
+                except ValueError as exc:
+                    self._send_json(
+                        400, _error_model(f"bad Content-Length: {exc}", "BadRequest", 400)
+                    )
+                    return
                 if self.path.rstrip("/") != _COLLECTION_PATH:
                     self._send_json(
                         404, _error_model(f"no such path: {self.path}", "NotFound", 404)
                     )
                     return
                 try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    request = json.loads(self.rfile.read(length) or b"")
+                    request = json.loads(raw or b"")
                 except (ValueError, json.JSONDecodeError) as exc:
                     self._send_json(
                         400, _error_model(f"invalid JSON body: {exc}", "BadRequest", 400)
