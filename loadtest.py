@@ -402,6 +402,128 @@ def scenario_indexes(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def scenario_dv_relay(
+    spark, n_files: int, n_partitions: int, dv_every: int = 10, positions_per_file: int = 50
+) -> list[dict]:
+    """LoadTest shape #3 — the delete-heavy metadata-only conversion
+    claim, measured: a full sync of ``n_files`` whose every
+    ``dv_every``-th file carries a row-level delete set converts to
+    Delta (REAL 'u'-storage roaring DV per file, executor-side builds)
+    AND Iceberg (content=1 position-delete manifests re-referencing the
+    SAME positions parquets — zero byte rewrite) in one pass. No data
+    file is ever read or written: the wall time is pure metadata +
+    delete-set processing, the petabyte-table payoff of the row-delete
+    channel. Read-back proofs: Delta live adds carry exactly D
+    deletionVector descriptors with the right cardinality; the Iceberg
+    head snapshot lists exactly D delete entries."""
+    from incubator_xtable_spark.model.core import ROW_DELETES_SCHEMA
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    work = tempfile.mkdtemp(prefix="xtable_load_dv_")
+    out: list[dict] = []
+    try:
+        pos_dir = os.path.join(work, "_positions")
+        os.makedirs(pos_dir, exist_ok=True)
+        n_dv = n_files // dv_every
+
+        # one positions parquet per DV'd file, fanned out via mapInPandas
+        def _write_pos(batches):
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                done = []
+                for raw in pdf["id"]:
+                    i = int(raw) * dv_every
+                    rel = f"level={i % n_partitions}/file_{i}_base.parquet"
+                    p = os.path.join(pos_dir, f"pos-{i:08d}.parquet")
+                    _pq.write_table(
+                        _pa.table(
+                            {
+                                "file_path": [rel] * positions_per_file,
+                                "pos": _pa.array(
+                                    list(range(positions_per_file)), _pa.int64()
+                                ),
+                            }
+                        ),
+                        p,
+                    )
+                    done.append(int(raw))
+                yield _pd.DataFrame({"id": done})
+
+        t0 = time.perf_counter()
+        spark.range(n_dv, numPartitions=64).mapInPandas(_write_pos, "id long").count()
+        gen_sec = time.perf_counter() - t0
+
+        rd_rows = [
+            (
+                f"level={i % n_partitions}/file_{i}_base.parquet",
+                os.path.join(pos_dir, f"pos-{i:08d}.parquet"),
+                positions_per_file,
+                {"level": str(i % n_partitions)},
+            )
+            for i in range(0, n_dv * dv_every, dv_every)
+        ]
+
+        class DVSource(SyntheticSource):
+            def get_current_snapshot(self) -> InternalSnapshot:
+                snap = super().get_current_snapshot()
+                snap.row_deletes = self.spark.createDataFrame(rd_rows, ROW_DELETES_SCHEMA)
+                return snap
+
+        source = DVSource(spark, n_files, n_partitions, ["1"], 0)
+        targets = {
+            TableFormat.DELTA: DeltaConversionTarget(spark, work),
+            TableFormat.ICEBERG: IcebergConversionTarget(spark, work, table_name="loadtest"),
+        }
+        rss_before = rss_mb()
+        t0 = time.perf_counter()
+        res = ConversionController().sync(source, targets)
+        wall = time.perf_counter() - t0
+        statuses = {f.value: r.status.value for f, r in res.items()}
+        out.append(
+            {
+                "scenario": "dv_relay_full_sync",
+                "files": n_files,
+                "dv_files": n_dv,
+                "positions_per_file": positions_per_file,
+                "positions_gen_seconds": round(gen_sec, 2),
+                "statuses": statuses,
+                "seconds": round(wall, 2),
+                "rss_mb_before": rss_before,
+                "rss_mb_after": rss_mb(),
+            }
+        )
+
+        # read-back proofs (both sides, metadata plane only)
+        live = live_files_df(spark, work)
+        dv_adds = (
+            live.filter("deletionVector IS NOT NULL AND deletionVector.storageType != ''")
+            .select("deletionVector.cardinality")
+            .collect()
+        )
+        from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+
+        ice = IcebergConversionSource(spark, work)
+        meta = ice._meta()
+        _data, deletes = ice._entries_by_content(meta, ice._head_snapshot_id(meta))
+        out.append(
+            {
+                "scenario": "dv_relay_readback",
+                "delta_dv_files": len(dv_adds),
+                "delta_cardinality_ok": all(
+                    int(r["cardinality"]) == positions_per_file for r in dv_adds
+                ),
+                "iceberg_delete_entries": len(deletes),
+                "expected": n_dv,
+            }
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=100_000)
@@ -410,7 +532,7 @@ def main() -> int:
     ap.add_argument("--per-commit", type=int, default=1_000)
     ap.add_argument(
         "--target",
-        choices=["delta", "hudi-hfile", "hudi-indexes"],
+        choices=["delta", "hudi-hfile", "hudi-indexes", "dv-relay"],
         default="delta",
         help="conversion target: delta (default), the Hudi REAL-layout "
         "HFile metadata-index writer over a synthetic inventory, or "
@@ -462,6 +584,18 @@ def main() -> int:
 
     spark = get_spark("xtable_loadtest")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.target == "dv-relay":
+        outs = scenario_dv_relay(spark, args.files, args.partitions)
+        for o in outs:
+            print(json.dumps(o))
+        rb = outs[-1]
+        ok = (
+            all(v == "SUCCESS" for v in outs[0]["statuses"].values())
+            and rb["delta_dv_files"] == rb["expected"]
+            and rb["iceberg_delete_entries"] == rb["expected"]
+            and rb["delta_cardinality_ok"]
+        )
+        return 0 if ok else 1
     if args.target == "hudi-indexes":
         outs = scenario_indexes(
             spark,
