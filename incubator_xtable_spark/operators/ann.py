@@ -400,6 +400,12 @@ def ann_ivf_topk(
         )
         return F.slice(F.array_sort(cells), 1, n).getField("i")
 
+    # skew gate HERE (not just inside the encode): the exact-cosine
+    # branch below reads `vectors` too, and a single-file corpus would
+    # score single-threaded without it
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < parallelism:
+        vectors = vectors.repartition(parallelism)
     # corpus-side assignment: the Arrow matmul kernel (the HOF argmin
     # tree is interpreted per element — the r12 encode lesson); the
     # small query side keeps the JVM expression below
