@@ -495,3 +495,142 @@ def meta_optimize_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-delete channel across a format conversion (Delta deletion vectors
+# -> Iceberg v2 position deletes, zero data rewrite) — r12
+# ---------------------------------------------------------------------------
+
+DV_RELAY_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_nationkey % 5 <> 0
+ORDER BY n_nationkey
+"""
+
+_DV_STAGE_CACHE: dict = {}
+
+
+def _staged_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    import json as _json
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.delta_dv import write_dv_file
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    cached = _DV_STAGE_CACHE.get(sf_dir)
+    if cached and _os.path.isdir(_os.path.join(cached, "metadata")):
+        return cached
+    work = tempfile.mkdtemp(prefix="xt_dvrelay_")
+    tbl = _pq.read_table(
+        _os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).sort_by("n_nationkey")
+    _pq.write_table(tbl, f"{work}/data-00.parquet")
+    keys = tbl["n_nationkey"].to_pylist()
+    # file is key-sorted: row position == key rank, so deleting every
+    # 5th KEY is deleting the positions whose key % 5 == 0 — a predicate
+    # the DuckDB oracle states directly on the raw rows
+    positions = [i for i, k in enumerate(keys) if k % 5 == 0]
+    dv_desc = write_dv_file(work, positions)
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "n_nationkey", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "n_name", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "n_regionkey", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    log_dir = _os.path.join(work, "_delta_log")
+    _os.makedirs(log_dir)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "xt-dv-relay",
+                "name": "nation",
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1,
+                "format": {"provider": "parquet", "options": {}},
+            }
+        },
+        {
+            "add": {
+                "path": "data-00.parquet",
+                "partitionValues": {},
+                "size": _os.path.getsize(f"{work}/data-00.parquet"),
+                "modificationTime": 1,
+                "dataChange": True,
+                "stats": _json.dumps(
+                    {
+                        "numRecords": len(keys),
+                        "minValues": {"n_nationkey": min(keys)},
+                        "maxValues": {"n_nationkey": max(keys)},
+                        "nullCount": {"n_nationkey": 0},
+                    }
+                ),
+                "deletionVector": dv_desc,
+            }
+        },
+    ]
+    with open(_os.path.join(log_dir, f"{0:020d}.json"), "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, work, expose_row_deletes=True),
+        {
+            TableFormat.ICEBERG: IcebergConversionTarget(
+                spark, work, table_name="nation"
+            )
+        },
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    _DV_STAGE_CACHE[sf_dir] = work
+    return work
+
+
+@register(
+    "meta_dv_relay",
+    oracle=DV_RELAY_ORACLE,
+    category="metadata",
+    description="Delta deletion vectors -> Iceberg position deletes, oracle-read",
+    graded=False,
+)
+def meta_dv_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end row-delete channel under the oracle gate (r12): stage
+    `nation` as ONE key-sorted file in a REAL Delta table whose add
+    carries a roaring deletion vector over every 5th key's position,
+    convert to Iceberg with expose_row_deletes (the DV becomes a
+    content=1 position-delete manifest — zero data rewrite), and read
+    the ICEBERG side back. Because the file is key-sorted, the deleted
+    positions are exactly the keys divisible by 5 — which is what the
+    DuckDB oracle filters from the raw rows, so the gate proves DV
+    decode -> channel -> position-delete write -> delete application
+    end to end. SF-invariant (25 rows); repeat calls reuse the staged
+    tables."""
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+
+    work = _staged_dv_table(spark, sf_dir)
+    return (
+        read_iceberg_as_df(spark, work)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
