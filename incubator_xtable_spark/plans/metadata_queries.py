@@ -634,3 +634,100 @@ def meta_dv_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed under the oracle gate — r12
+# ---------------------------------------------------------------------------
+
+CDF_ORACLE = """
+SELECT
+  CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey,
+  n_name,
+  n_regionkey,
+  'insert' AS _change_type
+FROM nation
+ORDER BY n_nationkey
+"""
+
+_CDF_STAGE_CACHE: dict = {}
+
+
+def _staged_cdf_table(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.delta_target import DeltaConversionTarget
+
+    cached = _CDF_STAGE_CACHE.get(sf_dir)
+    if cached and _os.path.isdir(_os.path.join(cached, "_delta_log")):
+        return cached
+    work = tempfile.mkdtemp(prefix="xt_cdf_")
+    tbl = _pq.read_table(
+        _os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).sort_by("n_nationkey")
+    _pq.write_table(tbl, f"{work}/base-00.parquet")
+    ctrl = ConversionController()
+
+    def _sync():
+        res = ctrl.sync(
+            ParquetConversionSource(spark, work, name="nation"),
+            {TableFormat.DELTA: DeltaConversionTarget(spark, work)},
+        )
+        assert res[TableFormat.DELTA].status == SyncStatusCode.SUCCESS
+
+    _sync()  # Delta version 0: the base snapshot
+    shifted = tbl.set_column(
+        0,
+        tbl.schema.field(0),
+        _pc.add(tbl["n_nationkey"], 100).cast(tbl.schema.field(0).type),
+    )
+    p2 = f"{work}/appended-01.parquet"
+    _pq.write_table(shifted, p2)
+    future = _time.time() + 10  # distinct mtime => its own source commit
+    _os.utime(p2, (future, future))
+    _sync()  # Delta version 1: the appended file, incrementally
+    _CDF_STAGE_CACHE[sf_dir] = work
+    return work
+
+
+@register(
+    "meta_cdf_insert_derivation",
+    oracle=CDF_ORACLE,
+    category="metadata",
+    description="Delta CDF of one commit == the appended rows (spec derivation)",
+    graded=False,
+)
+def meta_cdf_insert_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed under the oracle gate (r12): stage nation as a
+    Delta table, append a key-shifted copy as an INCREMENTAL commit
+    through the engine, and read that commit's CDF
+    (sources/delta_source.read_delta_cdf — the spec's derivation rules:
+    add(dataChange) = inserts of the file's visible rows). The oracle
+    recomputes the appended rows with a literal 'insert' change type
+    from the raw table, so the gate pins the derivation's row set AND
+    change typing. SF-invariant (25 rows); repeat calls reuse the
+    staged table. The richer CDF shapes (DV-diff deletes, restores,
+    explicit cdc files) are differential-tested in test_delta_cdf.py /
+    test_delta_optimize.py."""
+    from incubator_xtable_spark.sources.delta_source import read_delta_cdf
+
+    work = _staged_cdf_table(spark, sf_dir)
+    return (
+        read_delta_cdf(spark, work, version=1)
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+            "_change_type",
+        )
+        .orderBy("n_nationkey")
+    )
