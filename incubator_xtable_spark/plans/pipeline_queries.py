@@ -245,6 +245,54 @@ def ann_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+_IVFPQ_LAYOUT_CACHE: dict = {}
+
+
+@register(
+    "ann_ivfpq_partitioned_topk",
+    category="vector",
+    description="IVF-PQ over the cell-partitioned serving layout "
+    "(probe set prunes FILES; rows-only)",
+    graded=False,  # driver window pinned at 50
+)
+def ann_ivfpq_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-vector SERVING layout under the bench loop (r12):
+    the corpus is encoded once (ivfpq_encode_corpus — Arrow matmul
+    kernel) and persisted ``partitionBy(cell)``; the query applies the
+    probe-cell union as a static partition filter, so the scan opens
+    only the probed cells' FILES before the per-query broadcast probe
+    join. Results are provably identical to the in-memory
+    ann_ivfpq_topk for the same trained pair (superset filter; equality
+    + file-level pruning pinned in tests/test_pipeline_operators.py).
+    Staging (train + encode + partitioned write) runs once per sf_dir
+    and is excluded from what repeat calls pay."""
+    import tempfile
+
+    from incubator_xtable_spark.operators.ann import (
+        ann_ivfpq_topk_partitioned,
+        ivfpq_encode_corpus,
+        ivfpq_train,
+    )
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    cached = _IVFPQ_LAYOUT_CACHE.get(sf_dir)
+    if cached is None:
+        work = tempfile.mkdtemp(prefix="xt_ivfpq_layout_")
+        trained = ivfpq_train(emb, dim=EMB_DIM, n_centroids=16, m=8, n_codes=16)
+        ivfpq_encode_corpus(emb, trained, dim=EMB_DIM).write.partitionBy(
+            "cell"
+        ).parquet(work, mode="overwrite")
+        cached = (work, trained)
+        _IVFPQ_LAYOUT_CACHE[sf_dir] = cached
+    work, trained = cached
+    corpus = spark.read.parquet(work)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_ivfpq_topk_partitioned(
+        corpus, queries, trained=trained, dim=EMB_DIM, k=5, n_probe=4
+    ).orderBy("q_id", "rank")
+
+
 @register(
     "multimodal_near_dup",
     category="multimodal",
