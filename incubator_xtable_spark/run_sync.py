@@ -490,6 +490,7 @@ def run_maintenance(argv: list[str] | None = None) -> int:
             "expire",
             "clean",
             "orphans",
+            "rollback",
         ],
     )
     ap.add_argument("--path", required=True, help="table base path")
@@ -553,6 +554,8 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         out = R.hudi_clean(spark, args.path, keep_last=args.keep_last)
     elif args.action == "orphans":
         out = R.iceberg_remove_orphan_files(spark, args.path, dry_run=not args.no_dry_run)
+    elif args.action == "rollback":
+        out = R.hudi_rollback_pending(args.path, before=args.instant)
     else:  # expire
         out = {"expired": R.iceberg_expire_snapshots(args.path, keep_last=args.keep_last)}
     print(json.dumps(out))

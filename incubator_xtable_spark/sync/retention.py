@@ -295,6 +295,81 @@ def paimon_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     return expired
 
 
+def hudi_rollback_pending(base_path: str, *, before: Optional[str] = None) -> dict:
+    """Roll back TORN instants — requested/inflight markers whose commit
+    never completed (a crashed writer's leftovers; this engine's commits
+    are atomic put-if-absent, so torn markers only ever come from a
+    process dying between marker and completion). Real Hudi's rollback
+    table service: remove the markers and record a completed
+    ``.rollback`` instant naming what was rolled back, honoring the
+    table's timeline layout (v6 and the 1.0 timeline dir). Data files
+    are never touched — the engine stages data through temp dirs and
+    publishes by rename, so an uncompleted instant has published
+    nothing (no files to delete, unlike real Hudi's marker-file walk).
+
+    ``before``: only instants strictly older than this instant roll
+    back (guard against racing a LIVE in-flight writer — real Hudi's
+    cleaner uses a time lag the same way); default rolls back every
+    torn instant, which is only safe when no writer is running.
+
+    Returns {"instant": rollback instant or None, "rolled_back": [...]}.
+    """
+    import uuid as _uuid
+
+    from incubator_xtable_spark.sources.hudi_source import read_properties
+    from incubator_xtable_spark.targets.hudi_target import (
+        instant_now,
+        list_completed_instants,
+        timeline_dir,
+    )
+
+    d = timeline_dir(base_path)
+    if not os.path.isdir(d):
+        return {"instant": None, "rolled_back": []}
+    completed = {i for i, _a in list_completed_instants(base_path)}
+    # pending markers: <instant>.<action>.requested / .<action>.inflight,
+    # plus the commit action's bare <instant>.inflight special case
+    pending: dict[str, list[str]] = {}
+    for fn in os.listdir(d):
+        stem, _, suffix = fn.partition(".")
+        if not stem.isdigit() or not suffix:
+            continue
+        if suffix == "inflight" or suffix.endswith(".requested") or suffix.endswith(
+            ".inflight"
+        ):
+            if stem in completed:
+                continue  # normal lifecycle leftovers of a COMPLETED instant
+            if before is not None and stem >= before:
+                continue  # possibly a live writer — out of scope
+            pending.setdefault(stem, []).append(fn)
+    if not pending:
+        return {"instant": None, "rolled_back": []}
+    for fns in pending.values():
+        for fn in fns:
+            os.unlink(os.path.join(d, fn))
+    props = read_properties(base_path)
+    v8 = int(props.get("hoodie.table.version", "6")) >= 8
+    instant = instant_now()
+    meta = {
+        "startRollbackTime": instant,
+        "instantsRollback": sorted(pending),
+        "totalFilesDeleted": 0,  # metadata-only staging: nothing published
+    }
+    final = os.path.join(
+        d, f"{instant}_{instant_now()}.rollback" if v8 else f"{instant}.rollback"
+    )
+    tmp = final + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"concurrent Hudi rollback at instant {instant}") from exc
+    finally:
+        os.unlink(tmp)
+    return {"instant": instant, "rolled_back": sorted(pending)}
+
+
 def hudi_clean(spark, base_path: str, *, keep_last: int = 10) -> dict:
     """Hudi CLEAN with the KEEP_LATEST_COMMITS policy (real Hudi's
     default cleaner): reclaim file slices that no RETAINED commit view

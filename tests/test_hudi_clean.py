@@ -159,3 +159,49 @@ def test_clean_on_v8_timeline(spark, tmp_path):
     assert sep and req.isdigit() and comp.isdigit() and comp >= req
     report = check_hudi_conformance(d)
     assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_rollback_pending_removes_torn_markers_only(spark, tmp_path):
+    """hudi_rollback_pending (r12): torn requested/inflight markers roll
+    back (removed + recorded in a completed .rollback instant); a
+    COMPLETED instant's lifecycle markers and instants at/after the
+    ``before`` guard stay untouched; idempotent when nothing is torn."""
+    from incubator_xtable_spark.sync.retention import hudi_rollback_pending
+
+    d = str(tmp_path / "hudi_rb")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").coalesce(1).write.parquet(d)
+    _sync(spark, d)
+    tdir = timeline_dir(d)
+    completed_markers = {
+        f for f in os.listdir(tdir) if f.endswith((".requested", ".inflight"))
+    }
+    assert completed_markers  # the real commit's own lifecycle markers
+
+    # plant two torn instants (crashed writers) around the guard
+    for torn, action in (("19990101000000111", "commit"), ("29990101000000222", "replacecommit")):
+        open(os.path.join(tdir, f"{torn}.{action}.requested"), "w").close()
+        inflight = "inflight" if action == "commit" else f"{action}.inflight"
+        open(os.path.join(tdir, f"{torn}.{inflight}"), "w").close()
+
+    res = hudi_rollback_pending(d, before="29990101000000222")
+    assert res["rolled_back"] == ["19990101000000111"]
+    assert not [f for f in os.listdir(tdir) if f.startswith("19990101000000111.")]
+    # the guarded instant and the completed commit's markers survive
+    assert [f for f in os.listdir(tdir) if f.startswith("29990101000000222.")]
+    assert completed_markers <= set(os.listdir(tdir))
+    rb = [f for f in os.listdir(tdir) if f.endswith(".rollback")]
+    assert len(rb) == 1
+    with open(os.path.join(tdir, rb[0]), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    assert meta["instantsRollback"] == ["19990101000000111"]
+    assert meta["totalFilesDeleted"] == 0
+
+    # second pass takes the remaining torn instant; third is a no-op
+    res2 = hudi_rollback_pending(d)
+    assert res2["rolled_back"] == ["29990101000000222"]
+    assert hudi_rollback_pending(d) == {"instant": None, "rolled_back": []}
+    # table still reads and conforms; replay ignores rollback actions
+    assert len(_keys(read_hudi_as_df(spark, d))) == 25
+    assert all(a != "rollback" for _, a in list_completed_instants(d))
+    report = check_hudi_conformance(d)
+    assert report.passed, [(i.code, i.detail) for i in report.issues]
