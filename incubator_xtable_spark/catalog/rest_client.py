@@ -182,6 +182,89 @@ class IcebergRestCatalogSyncClient:
                 continue  # commit conflict (concurrent writer) — retry
             raise RestCatalogError(status, f"commit set-properties failed: {resp}")
 
+    def commit_add_column(
+        self,
+        ident: CatalogTableIdentifier,
+        name: str,
+        field_type: str = "string",
+        *,
+        required: bool = False,
+        doc: Optional[str] = None,
+    ) -> dict:
+        """Schema evolution through the commit endpoint: add one column
+        via the spec's assert-then-update protocol — requirements
+        [assert-table-uuid, assert-current-schema-id] guard against a
+        concurrent writer, updates [add-schema (current schema + the new
+        optional field, next field id), set-current-schema(-1 = the
+        schema added in this commit)]. 409 refreshes the assertions and
+        retries, like the property commit. Returns the server's commit
+        response (metadata-location + metadata)."""
+        for attempt in range(self.max_commit_retries + 1):
+            loaded = self.get_table(ident)
+            if loaded is None:
+                raise RestCatalogError(404, f"table not found: {ident.table!r}")
+            meta = loaded.get("metadata") or {}
+            cur_id = meta.get("current-schema-id")
+            cur = next(
+                (s for s in meta.get("schemas") or [] if s.get("schema-id") == cur_id),
+                None,
+            )
+            if cur is None:
+                raise RestCatalogError(
+                    500, f"current schema {cur_id!r} not present in table metadata"
+                )
+            fields = list(cur.get("fields") or [])
+            if any(f.get("name") == name for f in fields):
+                raise RestCatalogError(409, f"column already exists: {name!r}")
+            new_field_id = (
+                max(
+                    int(meta.get("last-column-id", 0)),
+                    *(int(f.get("id", 0)) for f in fields),
+                )
+                + 1
+                if fields
+                else int(meta.get("last-column-id", 0)) + 1
+            )
+            field: dict = {
+                "id": new_field_id,
+                "name": name,
+                "required": required,
+                "type": field_type,
+            }
+            if doc:
+                field["doc"] = doc
+            body = {
+                "identifier": {
+                    "namespace": self._ns_parts(ident),
+                    "name": ident.table,
+                },
+                "requirements": [
+                    {"type": "assert-table-uuid", "uuid": meta.get("table-uuid")},
+                    {"type": "assert-current-schema-id", "current-schema-id": cur_id},
+                ],
+                "updates": [
+                    {
+                        "action": "add-schema",
+                        # schema-id is assigned by the server (spec: the
+                        # client's value is a placeholder)
+                        "schema": {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": fields + [field],
+                        },
+                        "last-column-id": new_field_id,
+                    },
+                    {"action": "set-current-schema", "schema-id": -1},
+                ],
+            }
+            status, resp = self._call("POST", self._table_path(ident), body)
+            if status == 200:
+                return resp
+            if status == 409 and attempt < self.max_commit_retries:
+                continue  # commit conflict — refresh assertions, retry
+            raise RestCatalogError(status, f"commit add-column failed: {resp}")
+        raise RestCatalogError(409, "commit add-column retries exhausted")
+
     # -- helpers -----------------------------------------------------------
 
     @staticmethod

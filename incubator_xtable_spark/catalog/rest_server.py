@@ -24,8 +24,13 @@ client and the sync orchestration exercise):
                                              (+engine `overwrite` ext)
   GET    /v1/namespaces/{ns}/tables/{t}      LoadTableResult
   POST   /v1/namespaces/{ns}/tables/{t}      CommitTableRequest
-                                             (set-properties — writes a
-                                             REAL new metadata.json)
+                                             (assert-table-uuid /
+                                             assert-current-schema-id
+                                             requirements; set-properties
+                                             / add-schema /
+                                             set-current-schema updates —
+                                             each a REAL new
+                                             metadata.json evolution)
   DELETE /v1/namespaces/{ns}/tables/{t}      drop pointer (purge refused)
 
 Multipart namespaces use the spec's %1F separator in paths. Errors are
@@ -91,18 +96,100 @@ def _load_metadata(location: str) -> dict:
         return json.load(fh)
 
 
-def _commit_set_properties(location: str, updates: dict[str, str]) -> str:
-    """Apply a set-properties update as a REAL metadata evolution: write
+class _CommitFailed(Exception):
+    """A requirement assertion failed — the spec's CommitFailedException
+    (409): the client must refresh and retry."""
+
+
+class _UnsupportedCommit(Exception):
+    """A requirement or update type this server does not implement —
+    BadRequestException (400), never silently ignored."""
+
+
+def _check_requirements(meta: dict, requirements: list[dict]) -> None:
+    """Apply the spec's assert-then-update protocol. Supported:
+    assert-table-uuid (pyiceberg and Spark's REST catalog send it on
+    every commit) and assert-current-schema-id (guards schema
+    evolution). Unknown requirement types refuse with 400 — skipping an
+    assertion we don't understand would break the optimistic-concurrency
+    contract."""
+    for req in requirements:
+        rtype = req.get("type")
+        if rtype == "assert-table-uuid":
+            if req.get("uuid") != meta.get("table-uuid"):
+                raise _CommitFailed(
+                    f"table-uuid mismatch: requirement {req.get('uuid')!r} "
+                    f"vs table {meta.get('table-uuid')!r}"
+                )
+        elif rtype == "assert-current-schema-id":
+            if req.get("current-schema-id") != meta.get("current-schema-id"):
+                raise _CommitFailed(
+                    "current-schema-id mismatch: requirement "
+                    f"{req.get('current-schema-id')!r} vs table "
+                    f"{meta.get('current-schema-id')!r}"
+                )
+        else:
+            raise _UnsupportedCommit(f"unsupported requirement: {rtype!r}")
+
+
+def _apply_updates(meta: dict, updates: list[dict]) -> None:
+    """Mutate ``meta`` per the commit's update list. Supported actions:
+    set-properties, add-schema (server assigns the new schema-id —
+    max existing + 1 — and advances last-column-id), set-current-schema
+    (schema-id -1 = the schema added in THIS commit, the spec's
+    last-added sentinel)."""
+    last_added: Optional[int] = None
+    for upd in updates:
+        action = upd.get("action")
+        if action == "set-properties":
+            meta.setdefault("properties", {}).update(upd.get("updates") or {})
+        elif action == "add-schema":
+            schema = dict(upd.get("schema") or {})
+            fields = schema.get("fields")
+            if schema.get("type") != "struct" or not isinstance(fields, list):
+                raise _UnsupportedCommit("add-schema requires a struct schema with fields")
+            schemas = meta.setdefault("schemas", [])
+            new_id = max((int(s.get("schema-id", 0)) for s in schemas), default=-1) + 1
+            schema["schema-id"] = new_id
+            schemas.append(schema)
+            last_added = new_id
+            top_ids = [int(f.get("id", 0)) for f in fields]
+            meta["last-column-id"] = max(
+                int(meta.get("last-column-id", 0)),
+                int(upd.get("last-column-id") or 0),
+                *(top_ids or [0]),
+            )
+        elif action == "set-current-schema":
+            sid = upd.get("schema-id")
+            if sid == -1:
+                if last_added is None:
+                    raise _UnsupportedCommit(
+                        "set-current-schema -1 without an add-schema in this commit"
+                    )
+                sid = last_added
+            if all(int(s.get("schema-id", -2)) != sid for s in meta.get("schemas") or []):
+                raise _CommitFailed(f"no schema with id {sid} in table metadata")
+            meta["current-schema-id"] = sid
+        else:
+            raise _UnsupportedCommit(f"unsupported update action: {action!r}")
+
+
+def _apply_commit(
+    location: str, requirements: list[dict], updates: list[dict]
+) -> tuple[str, dict]:
+    """CommitTableRequest as a REAL metadata evolution: assert the
+    requirements against the CURRENT metadata, apply the updates, write
     v{N+1}.metadata.json beside the current one, append the previous
-    location to metadata-log, advance version-hint. Returns the new
-    metadata location."""
+    location to metadata-log, advance version-hint. Returns
+    (new metadata location, new metadata)."""
     meta = _load_metadata(location)
+    _check_requirements(meta, requirements)
     mdir = os.path.dirname(location)
     base = os.path.basename(location)
     if not (base.startswith("v") and base.endswith(".metadata.json")):
         raise ValueError(f"unversioned metadata filename: {base}")
     version = int(base[1 : -len(".metadata.json")])
-    meta.setdefault("properties", {}).update(updates)
+    _apply_updates(meta, updates)
     meta.setdefault("metadata-log", []).append(
         {"timestamp-ms": meta.get("last-updated-ms", 0), "metadata-file": location}
     )
@@ -115,7 +202,7 @@ def _commit_set_properties(location: str, updates: dict[str, str]) -> str:
     hint = os.path.join(mdir, "version-hint.text")
     with open(hint, "w", encoding="utf-8") as fh:
         fh.write(str(version + 1))
-    return new_loc
+    return new_loc, meta
 
 
 class IcebergRestCatalogServer:
@@ -199,7 +286,7 @@ class IcebergRestCatalogServer:
                         return
                     try:
                         meta = _load_metadata(loc)
-                    except OSError as exc:
+                    except (OSError, ValueError) as exc:
                         self._send(500, _error(str(exc), "CommitStateUnknownException", 500))
                         return
                     self._send(200, {"metadata-location": loc, "metadata": meta, "config": {}})
@@ -245,21 +332,20 @@ class IcebergRestCatalogServer:
                         if key in s["tables"] and not body.get("overwrite"):
                             self._send(409, _error(f"table exists: {name!r}", "AlreadyExistsException", 409))
                             return
+                        try:
+                            meta = _load_metadata(loc)
+                        except (OSError, ValueError) as exc:
+                            # malformed/unreadable metadata must NOT
+                            # register a broken pointer (or crash the
+                            # handler thread mid-response)
+                            self._send(400, _error(f"unreadable metadata at {loc}: {exc}", "BadRequestException", 400))
+                            return
                         s["tables"][key] = loc
                         state._write(s)
-                    self._send(200, {"metadata-location": loc, "metadata": _load_metadata(loc), "config": {}})
+                    self._send(200, {"metadata-location": loc, "metadata": meta, "config": {}})
                     return
                 if len(p) == 5 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
                     key = _table_key(p[2].split(_NS_SEP), p[4])
-                    for req in body.get("requirements") or []:
-                        self._send(400, _error(f"unsupported requirement: {req.get('type')}", "BadRequestException", 400))
-                        return
-                    props: dict[str, str] = {}
-                    for upd in body.get("updates") or []:
-                        if upd.get("action") != "set-properties":
-                            self._send(400, _error(f"unsupported update action: {upd.get('action')}", "BadRequestException", 400))
-                            return
-                        props.update(upd.get("updates") or {})
                     with state.lock:
                         s = state._read()
                         loc = s["tables"].get(key)
@@ -267,13 +353,23 @@ class IcebergRestCatalogServer:
                             self._send(404, _error(f"table {p[4]!r} not found", "NoSuchTableException", 404))
                             return
                         try:
-                            new_loc = _commit_set_properties(loc, props)
+                            new_loc, new_meta = _apply_commit(
+                                loc,
+                                body.get("requirements") or [],
+                                body.get("updates") or [],
+                            )
+                        except _CommitFailed as exc:
+                            self._send(409, _error(str(exc), "CommitFailedException", 409))
+                            return
+                        except _UnsupportedCommit as exc:
+                            self._send(400, _error(str(exc), "BadRequestException", 400))
+                            return
                         except (OSError, ValueError) as exc:
                             self._send(500, _error(str(exc), "CommitStateUnknownException", 500))
                             return
                         s["tables"][key] = new_loc
                         state._write(s)
-                    self._send(200, {"metadata-location": new_loc, "metadata": _load_metadata(new_loc)})
+                    self._send(200, {"metadata-location": new_loc, "metadata": new_meta})
                     return
                 self._send(404, _error(f"no such route: {self.path}", "NotFound", 404))
 

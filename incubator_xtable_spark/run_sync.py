@@ -506,6 +506,14 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         default=None,
         help="optimize: comma-separated columns for OPTIMIZE ZORDER BY",
     )
+    ap.add_argument(
+        "--older-than-ms",
+        type=int,
+        default=3 * 24 * 3600 * 1000,
+        help="orphans: only unreferenced files at least this old are "
+        "deleted (default 3 days, real Iceberg's in-flight-commit guard; "
+        "0 disables the age filter — tests only)",
+    )
     args = ap.parse_args(argv)
 
     from incubator_xtable_spark.sync import retention as R
@@ -553,7 +561,12 @@ def run_maintenance(argv: list[str] | None = None) -> int:
     elif args.action == "clean":
         out = R.hudi_clean(spark, args.path, keep_last=args.keep_last)
     elif args.action == "orphans":
-        out = R.iceberg_remove_orphan_files(spark, args.path, dry_run=not args.no_dry_run)
+        out = R.iceberg_remove_orphan_files(
+            spark,
+            args.path,
+            dry_run=not args.no_dry_run,
+            older_than_ms=args.older_than_ms if args.older_than_ms > 0 else None,
+        )
     elif args.action == "rollback":
         out = R.hudi_rollback_pending(args.path, before=args.instant)
     else:  # expire

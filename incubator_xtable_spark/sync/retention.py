@@ -319,14 +319,28 @@ def hudi_rollback_pending(base_path: str, *, before: Optional[str] = None) -> di
     from incubator_xtable_spark.sources.hudi_source import read_properties
     from incubator_xtable_spark.targets.hudi_target import (
         instant_now,
-        list_completed_instants,
         timeline_dir,
     )
 
     d = timeline_dir(base_path)
     if not os.path.isdir(d):
         return {"instant": None, "rolled_back": []}
-    completed = {i for i, _a in list_completed_instants(base_path)}
+    # completed (instant, action) pairs for EVERY action — write actions
+    # AND table services (clean/rollback/savepoint), which also run the
+    # requested -> inflight -> completed lifecycle and leave their
+    # markers behind; classifying a completed clean's leftovers as torn
+    # would delete a finished service's lifecycle record. v6 names
+    # "{instant}.{action}", v8 "{instant}_{completion}.{action}".
+    completed_any: set[tuple[str, str]] = set()
+    for fn in os.listdir(d):
+        stem0, _, action0 = fn.partition(".")
+        if not action0 or "." in action0 or action0 in ("requested", "inflight"):
+            continue
+        req0, sep0, comp0 = stem0.partition("_")
+        if stem0.isdigit():
+            completed_any.add((stem0, action0))
+        elif sep0 and req0.isdigit() and comp0.isdigit():
+            completed_any.add((req0, action0))
     # pending markers: <instant>.<action>.requested / .<action>.inflight,
     # plus the commit action's bare <instant>.inflight special case
     pending: dict[str, list[str]] = {}
@@ -334,14 +348,21 @@ def hudi_rollback_pending(base_path: str, *, before: Optional[str] = None) -> di
         stem, _, suffix = fn.partition(".")
         if not stem.isdigit() or not suffix:
             continue
-        if suffix == "inflight" or suffix.endswith(".requested") or suffix.endswith(
-            ".inflight"
-        ):
-            if stem in completed:
-                continue  # normal lifecycle leftovers of a COMPLETED instant
-            if before is not None and stem >= before:
-                continue  # possibly a live writer — out of scope
-            pending.setdefault(stem, []).append(fn)
+        if suffix == "inflight":
+            action = "commit"
+        elif suffix.endswith(".requested"):
+            action = suffix[: -len(".requested")]
+        elif suffix.endswith(".inflight"):
+            action = suffix[: -len(".inflight")]
+        else:
+            continue
+        if "." in action or not action:
+            continue
+        if (stem, action) in completed_any:
+            continue  # normal lifecycle leftovers of a COMPLETED instant
+        if before is not None and stem >= before:
+            continue  # possibly a live writer — out of scope
+        pending.setdefault(stem, []).append(fn)
     if not pending:
         return {"instant": None, "rolled_back": []}
     for fns in pending.values():

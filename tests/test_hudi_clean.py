@@ -196,12 +196,53 @@ def test_rollback_pending_removes_torn_markers_only(spark, tmp_path):
     assert meta["instantsRollback"] == ["19990101000000111"]
     assert meta["totalFilesDeleted"] == 0
 
+    # a COMPLETED table service's lifecycle markers are NOT torn: run a
+    # real clean (leaves <i>.clean.requested/.inflight beside the
+    # completed .clean), then verify rollback leaves them alone instead
+    # of deleting a finished clean's record (ADVICE r12 high)
+    for _ in range(2):  # push the table past keep_last=1
+        (
+            spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+        _sync(spark, d)
+    from incubator_xtable_spark.sync.retention import hudi_cluster_small_files
+
+    out = hudi_cluster_small_files(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert out["instant"] is not None
+    (
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(d)
+    )
+    _sync(spark, d)
+    out2 = hudi_cluster_small_files(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert out2["instant"] is not None
+    clean_res = hudi_clean(spark, d, keep_last=1)
+    assert clean_res["instant"] is not None
+    clean_markers = {
+        f"{clean_res['instant']}.clean.requested",
+        f"{clean_res['instant']}.clean.inflight",
+    }
+    assert clean_markers <= set(os.listdir(tdir))
+
     # second pass takes the remaining torn instant; third is a no-op
     res2 = hudi_rollback_pending(d)
     assert res2["rolled_back"] == ["29990101000000222"]
+    # the completed clean's lifecycle markers and payload survived
+    assert clean_markers <= set(os.listdir(tdir))
+    assert [f for f in os.listdir(tdir) if f.endswith(".clean")]
+    for f in os.listdir(tdir):
+        if f.endswith(".rollback"):
+            with open(os.path.join(tdir, f), encoding="utf-8") as fh:
+                assert clean_res["instant"] not in json.load(fh)["instantsRollback"]
     assert hudi_rollback_pending(d) == {"instant": None, "rolled_back": []}
     # table still reads and conforms; replay ignores rollback actions
-    assert len(_keys(read_hudi_as_df(spark, d))) == 25
+    # (the clean-then-rollback staging appended nation 3 more times)
+    assert len(_keys(read_hudi_as_df(spark, d))) == 100
     assert all(a != "rollback" for _, a in list_completed_instants(d))
     report = check_hudi_conformance(d)
     assert report.passed, [(i.code, i.detail) for i in report.issues]

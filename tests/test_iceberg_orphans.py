@@ -74,6 +74,34 @@ def test_orphan_removal_after_expiry(spark, tmp_path):
     assert report.passed, [(i.code, i.detail) for i in report.issues]
 
 
+def test_cli_orphans_defaults_to_age_guard(spark, tmp_path, capsys):
+    """ADVICE r12: `maintenance orphans --no-dry-run` must default to a
+    3-day age filter (real Iceberg's in-flight-commit guard) — a run
+    racing a live commit must not delete a just-written manifest.
+    --older-than-ms 0 reaches the unguarded path explicitly."""
+    import json
+
+    from incubator_xtable_spark.run_sync import run_maintenance
+
+    d = str(tmp_path / "ice_cli_orphans")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").repartition(3).write.parquet(d)
+    _sync(spark, d)
+    iceberg_rewrite_data_files(spark, d, target_file_bytes=64 * 1024 * 1024)
+    iceberg_expire_snapshots(d, keep_last=1)
+
+    # default: the seconds-old orphans are age-filtered -> nothing deleted
+    run_maintenance(["orphans", "--path", d, "--no-dry-run"])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["orphans"] == []
+
+    # explicit 0 disables the guard and reclaims them
+    run_maintenance(["orphans", "--path", d, "--no-dry-run", "--older-than-ms", "0"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any(p.endswith(".avro") for p in out2["orphans"]), out2
+    for rel in out2["orphans"]:
+        assert not os.path.exists(os.path.join(d, rel)), rel
+
+
 def test_superseded_rewrite_output_is_reclaimed(spark, tmp_path):
     d = str(tmp_path / "ice_orphans2")
     spark.read.parquet(f"{SF_SMOKE}/nation.parquet").repartition(3).write.parquet(d)
