@@ -612,7 +612,10 @@ def _staged_dv_table(spark: SparkSession, sf_dir: str) -> str:
     oracle=DV_RELAY_ORACLE,
     category="metadata",
     description="Delta deletion vectors -> Iceberg position deletes, oracle-read",
-    graded=False,
+    # promoted into the graded window in r13 (VERDICT r12 #1): the
+    # row-delete channel is a flagship conversion capability; the slot
+    # came from the redundant scalar_string_functions variant
+    # (scalar_date_functions keeps the shape family's graded row)
 )
 def meta_dv_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end row-delete channel under the oracle gate (r12): stage
@@ -704,7 +707,10 @@ def _staged_cdf_table(spark: SparkSession, sf_dir: str) -> str:
     oracle=CDF_ORACLE,
     category="metadata",
     description="Delta CDF of one commit == the appended rows (spec derivation)",
-    graded=False,
+    # promoted into the graded window in r13 (VERDICT r12 #1): the CDF
+    # spec derivation is a flagship conversion capability; the slot came
+    # from the redundant setops_repeat_customers variant
+    # (union_all_appearances + meta_files_diff keep set ops graded)
 )
 def meta_cdf_insert_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed under the oracle gate (r12): stage nation as a

@@ -661,6 +661,11 @@ SELECT c_custkey FROM (
     oracle=SETOPS_ORACLE,
     category="relational",
     description="INTERSECT of two snapshots of the same table",
+    # rotated to the ungraded tier in r13 to free a graded slot for
+    # meta_cdf_insert_derivation (VERDICT r12 #1); union_all_appearances
+    # and meta_files_diff (EXCEPT) keep set ops graded, and this entry
+    # stays oracle-gated via the pytest parity suite + the bench
+    graded=False,
 )
 def setops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")

@@ -247,6 +247,11 @@ WHERE p_partkey < 500
     oracle=SCALARS_ORACLE,
     category="relational",
     description="string scalar function battery",
+    # rotated to the ungraded tier in r13 to free a graded slot for
+    # meta_dv_relay (VERDICT r12 #1); scalar_date_functions keeps the
+    # scalar shape family graded, and this entry stays oracle-gated via
+    # the pytest parity suite + the per-round bench
+    graded=False,
 )
 def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
