@@ -31,6 +31,7 @@ each blob (bounded work per row regardless of blob size).
 from __future__ import annotations
 
 import io
+import math as _math
 import struct
 import zlib
 import wave as _wave
@@ -786,6 +787,454 @@ def encode_gif_from_pixels(rows: list[list[int]], *, interlace: bool = False) ->
     out += bytes([8])
     out += _gif_subblocks(_gif_lzw_compress(pixels, min_code_size=8))
     out += b"\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline entropy codec (r13) — ITU-T T.81 baseline sequential DCT.
+# Decode: huffman entropy decode of every block to stay bitstream-exact,
+# DC-only luma reconstruction (each block's dequantized DC / 8 + 128 is
+# the block's pixel mean) — a 1/8-scale luma thumbnail, which is exactly
+# the resolution dHash needs (it box-means to 9x8 anyway). Encode: real
+# 2-D DCT + quantization + canonical huffman so the fixture files carry
+# genuine entropy-coded pixels any baseline decoder can reconstruct.
+# ---------------------------------------------------------------------------
+
+# zigzag position -> natural order index v*8+u (T.81 Figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_DCT_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for x in range(8)] for u in range(8)
+]
+
+
+def _jpeg_huff_table(bits: list[int], values: bytes) -> dict:
+    """DHT (BITS, HUFFVAL) -> {(code length, code): symbol} per the
+    canonical code assignment of T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(values):
+                raise MediaDecodeError("JPEG: DHT counts exceed value list")
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _MSBBitWriter:
+    """JPEG entropy data is MSB-first with 0xFF byte stuffing (a literal
+    0xFF data byte is followed by 0x00 so it can't alias a marker)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def byte_align(self) -> None:
+        """Pad the partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+    def raw_marker(self, marker: int) -> None:
+        self.byte_align()
+        self.out += bytes([0xFF, marker])
+
+
+class _MSBBitReader:
+    """Entropy-segment bit reader: MSB-first, 0xFF00 unstuffing; restart
+    markers are consumed explicitly via expect_restart()."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise MediaDecodeError("JPEG: entropy data truncated")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed literal 0xFF
+                else:
+                    raise MediaDecodeError(
+                        f"JPEG: unexpected marker 0xFF{nxt:02X} inside entropy data"
+                        if nxt is not None
+                        else "JPEG: entropy data truncated at 0xFF"
+                    )
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 F.2.1.3.1)."""
+        self._n = 0  # discard pad bits
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise MediaDecodeError(
+                f"JPEG: expected restart marker at offset {self.pos}"
+            )
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.2.2.1): s-bit magnitude v
+    maps to v when the high bit is set, else v - (2^s - 1)."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_huff_decode(reader: _MSBBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise MediaDecodeError("JPEG: invalid huffman code in entropy data")
+
+
+def _jpeg_decode_block(
+    reader: _MSBBitReader, dc_table: dict, ac_table: dict, pred: int
+) -> int:
+    """Entropy-decode ONE 8x8 block, returning the new DC value. AC
+    coefficient bits are read (mandatory to stay in sync) and discarded —
+    the thumbnail needs only the DC."""
+    s = _jpeg_huff_decode(reader, dc_table)
+    if s > 11:
+        raise MediaDecodeError(f"JPEG: DC category {s} out of range")
+    dc = pred + _jpeg_extend(reader.read_bits(s), s) if s else pred
+    k = 1
+    while k <= 63:
+        rs = _jpeg_huff_decode(reader, ac_table)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise MediaDecodeError("JPEG: AC run extends past block end")
+        reader.read_bits(size)
+        k += 1
+    return dc
+
+
+def decode_jpeg_pixels(data: bytes) -> list[list[int]]:
+    """Baseline sequential JPEG -> 1/8-scale LUMA thumbnail (one pixel
+    per 8x8 block: dequantized DC / 8 + 128 = the block's mean — the
+    spec's own downscale identity). Full huffman entropy decode of every
+    component's blocks (interleaved MCUs with arbitrary sampling
+    factors, restart intervals) keeps the bitstream exact; chroma blocks
+    are decoded for sync and dropped. Progressive (SOF2) and arithmetic
+    coding refuse loudly — the quarantine posture, not a wrong answer."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG: missing SOI")
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    sof = None  # (height, width, [(comp_id, h, v, tq)])
+    restart_interval = 0
+    pos = 2
+    scan = None  # ([(comp_idx, td, ta)], entropy_start)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaDecodeError(f"JPEG: expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise MediaDecodeError("JPEG: 16-bit quant tables unsupported")
+                qtables[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                htables[(tc, th)] = _jpeg_huff_table(
+                    bits, body[p + 17 : p + 17 + n]
+                )
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential huffman
+            precision, height, width, n_comp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise MediaDecodeError(f"JPEG: precision {precision} unsupported")
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = struct.unpack(">BBB", body[6 + 3 * c : 9 + 3 * c])
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                f"JPEG: only baseline sequential decode supported (SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise MediaDecodeError("JPEG: SOS before SOF")
+            ns = body[0]
+            comp_ids = [c[0] for c in sof[2]]
+            sel = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in comp_ids:
+                    raise MediaDecodeError(f"JPEG: scan component {cs} not in frame")
+                sel.append((comp_ids.index(cs), tdta >> 4, tdta & 0x0F))
+            scan = (sel, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if sof is None or scan is None:
+        raise MediaDecodeError("JPEG: missing SOF/SOS")
+    height, width, comps = sof
+    sel, entropy_start = scan
+    if len(sel) != len(comps):
+        raise MediaDecodeError("JPEG: multi-scan (non-interleaved) files unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    luma_idx = 0  # first frame component is luma (Y) by convention
+    _, lh, lv, ltq = comps[luma_idx]
+    if ltq not in qtables:
+        raise MediaDecodeError(f"JPEG: quant table {ltq} undeclared")
+    q_dc = qtables[ltq][0]  # DQT is zigzag order; position 0 IS the DC
+    dc_grid = [[0] * (mcus_x * lh) for _ in range(mcus_y * lv)]
+    reader = _MSBBitReader(data, entropy_start)
+    preds = [0] * len(comps)
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.expect_restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for comp_idx, td, ta in sel:
+            _, ch, cv, _tq = comps[comp_idx]
+            dc_t, ac_t = htables.get((0, td)), htables.get((1, ta))
+            if dc_t is None or ac_t is None:
+                raise MediaDecodeError("JPEG: scan references undeclared huffman table")
+            for by in range(cv):
+                for bx in range(ch):
+                    preds[comp_idx] = _jpeg_decode_block(
+                        reader, dc_t, ac_t, preds[comp_idx]
+                    )
+                    if comp_idx == luma_idx:
+                        dc_grid[my * lv + by][mx * lh + bx] = preds[comp_idx]
+    # crop the padded MCU grid to the component's true block dims
+    comp_w = -(-width * lh // hmax)
+    comp_h = -(-height * lv // vmax)
+    blocks_w = -(-comp_w // 8)
+    blocks_h = -(-comp_h // 8)
+    rows: list[list[int]] = []
+    for y in range(blocks_h):
+        line = []
+        for x in range(blocks_w):
+            mean = int(round(dc_grid[y][x] * q_dc / 8.0)) + 128
+            line.append(min(255, max(0, mean)))
+        rows.append(line)
+    return rows
+
+
+def encode_jpeg_from_pixels(
+    rows: list[list[int]],
+    *,
+    q: int = 16,
+    color: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL baseline JPEG from explicit grayscale pixel rows: level
+    shift, 2-D DCT per 8x8 block (edge-replicated padding), flat
+    quantization (step ``q``), canonical single-length huffman tables
+    built from the actually-used symbols (DHT emitted, all-ones code
+    left unassigned per T.81 C.2), MSB-first entropy data with 0xFF
+    stuffing. ``color=True`` writes a 3-component 4:4:4 YCbCr frame with
+    neutral chroma (exercises decoders' interleaved-MCU path);
+    ``restart_interval`` inserts DRI + RSTn markers. Any spec-compliant
+    baseline decoder reconstructs the image (the repo's own
+    decode_jpeg_pixels recovers the per-block means exactly)."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    if not height or not width:
+        raise ValueError("empty pixel rows")
+    bw, bh = -(-width // 8), -(-height // 8)
+    n_comp = 3 if color else 1
+
+    def _block(bx: int, by: int) -> list[list[int]]:
+        out = []
+        for y in range(8):
+            sy = min(by * 8 + y, height - 1)
+            r = rows[sy]
+            out.append([r[min(bx * 8 + x, width - 1)] - 128 for x in range(8)])
+        return out
+
+    # zigzag index of each natural position, precomputed once
+    zz_of_nat = [0] * 64
+    for zi, nat in enumerate(_JPEG_ZIGZAG):
+        zz_of_nat[nat] = zi
+
+    def _dct_quant(block: list[list[int]]) -> list[int]:
+        flat = block[0][0]
+        if all(v == flat for r in block for v in r):
+            # constant block: only the DC survives (F(0,0) = 8 * value) —
+            # exact, and the fast path for block-quantized corpus fixtures
+            zz = [0] * 64
+            zz[0] = int(round(8 * flat / q))
+            return zz
+        tmp = [
+            [sum(block[y][x] * _DCT_COS[u][x] for x in range(8)) for u in range(8)]
+            for y in range(8)
+        ]
+        zz = [0] * 64
+        inv_sqrt2 = 1.0 / _math.sqrt(2)
+        for v in range(8):
+            cv = inv_sqrt2 if v == 0 else 1.0
+            for u in range(8):
+                cu = inv_sqrt2 if u == 0 else 1.0
+                f = 0.25 * cu * cv * sum(tmp[y][u] * _DCT_COS[v][y] for y in range(8))
+                zz[zz_of_nat[v * 8 + u]] = int(round(f / q))
+        return zz
+
+    def _tokens_for(zz: list[int], pred: int) -> tuple[list[tuple], int]:
+        toks: list[tuple] = []
+        diff = zz[0] - pred
+        s = abs(diff).bit_length()
+        extra = diff if diff >= 0 else diff + (1 << s) - 1
+        toks.append((0, s, extra, s))  # (table class, symbol, bits, nbits)
+        run = 0
+        for k in range(1, 64):
+            c = zz[k]
+            if c == 0:
+                run += 1
+                continue
+            while run > 15:
+                toks.append((1, 0xF0, 0, 0))
+                run -= 16
+            sz = abs(c).bit_length()
+            extra = c if c >= 0 else c + (1 << sz) - 1
+            toks.append((1, (run << 4) | sz, extra, sz))
+            run = 0
+        if run:
+            toks.append((1, 0x00, 0, 0))
+        return toks, zz[0]
+
+    # pass 1: tokenize every MCU (luma block + optional neutral chroma)
+    mcu_tokens: list[list[tuple]] = []
+    preds = [0] * n_comp
+    n_mcus = bw * bh
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = [0] * n_comp
+        by, bx = divmod(m, bw)
+        toks: list[tuple] = []
+        zz = _dct_quant(_block(bx, by))
+        t, preds[0] = _tokens_for(zz, preds[0])
+        toks += t
+        for c in range(1, n_comp):  # neutral chroma: DC 0, EOB
+            t, preds[c] = _tokens_for([0] * 64, preds[c])
+            toks += t
+        mcu_tokens.append(toks)
+
+    # huffman: one DC + one AC table shared by all components; all used
+    # symbols at a single code length L with n < 2^L (all-ones unused)
+    def _build(symbols: set) -> tuple[list[int], bytes, dict]:
+        vals = sorted(symbols)
+        n = max(1, len(vals))
+        length = max(2, (n + 1).bit_length())  # n <= 2^L - 1
+        bits = [0] * 16
+        bits[length - 1] = len(vals)
+        enc = {sym: (length, code) for code, sym in enumerate(vals)}
+        return bits, bytes(vals), enc
+
+    dc_syms = {s for toks in mcu_tokens for cls, s, _b, _n in toks if cls == 0}
+    ac_syms = {s for toks in mcu_tokens for cls, s, _b, _n in toks if cls == 1}
+    dc_bits, dc_vals, dc_enc = _build(dc_syms)
+    ac_bits, ac_vals, ac_enc = _build(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    dqt = bytes([0]) + bytes([q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_bits) + dc_vals
+    dht += bytes([0x10]) + bytes(ac_bits) + ac_vals
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([n_comp])
+    for c in range(n_comp):
+        sos += struct.pack(">BB", c + 1, 0x00)
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    w = _MSBBitWriter()
+    for m, toks in enumerate(mcu_tokens):
+        if restart_interval and m and m % restart_interval == 0:
+            w.raw_marker(0xD0 + ((m // restart_interval - 1) % 8))
+        for cls, sym, bits_v, nbits in toks:
+            length, code = (dc_enc if cls == 0 else ac_enc)[sym]
+            w.write(code, length)
+            if nbits:
+                w.write(bits_v, nbits)
+    w.byte_align()
+    out += w.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

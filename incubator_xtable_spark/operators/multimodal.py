@@ -165,7 +165,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
         from incubator_xtable_spark.operators.media_codecs import (
             encode_gif,
-            encode_jpeg,
+            encode_jpeg_from_pixels,
             encode_png,
             encode_wav,
         )
@@ -189,7 +189,17 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     blob = encode_wav(800 + (n_chars % 100) * 40, sample_rate=8000)
                     mtype = "audio"
                 else:
-                    blob = encode_jpeg(10 + did % 50, 10 + did % 40)
+                    # REAL baseline JPEG (r13): block-quantized gradient
+                    # pixels, a pure integer function of did (the oracle
+                    # recomputes width/height/depth/channels); per-block
+                    # constant values take the exact flat-DCT fast path
+                    w, h = 10 + did % 50, 10 + did % 40
+                    px = [
+                        [((x // 8) * 37 + (y // 8) * 59 + did * 7) % 256
+                         for x in range(w)]
+                        for y in range(h)
+                    ]
+                    blob = encode_jpeg_from_pixels(px)
                     mtype = "image"
                 rows.append((did, mtype, blob))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
@@ -201,7 +211,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             T.StructField("content", T.BinaryType(), True),
         ]
     )
-    return docs.select("doc_id", "n_chars").mapInPandas(_synth, out_schema)
+    narrow = docs.select("doc_id", "n_chars")
+    # documents ships as ONE parquet file at these SFs: without a gate
+    # the per-row encoders (r13: real JPEG DCT+huffman) run single-task
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    return narrow.mapInPandas(_synth, out_schema)
 
 
 def fake_feature_extract(df: DataFrame, n_features: int = 8) -> DataFrame:
@@ -274,13 +290,15 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
     zlib-wrapped tier) decode to PIXELS with the pure-stdlib inflate +
     unfilter path (media_codecs.decode_png_pixels); GIF blobs decode
     their first frame through the pure-stdlib LZW decompressor +
-    palette-to-luma fold (media_codecs.decode_gif_pixels, r12); both
-    hash via the classic 9x8 box-mean dHash. WAV blobs hash their
-    energy envelope (dhash64_audio). Containers whose pixel/sample
-    decode needs external codec libraries (JPEG entropy decode, MP4
-    tracks) yield dhash=NULL with the reason in ``error`` — the
-    quarantine posture (strict=True raises naming the media_id
-    instead).
+    palette-to-luma fold (media_codecs.decode_gif_pixels, r12); JPEG
+    blobs huffman-decode to the 1/8-scale DC luma thumbnail
+    (media_codecs.decode_jpeg_pixels, r13 — exactly the resolution the
+    hash box-means to); all hash via the classic 9x8 box-mean dHash.
+    WAV blobs hash their energy envelope (dhash64_audio). Containers
+    whose frame decode needs external codec libraries (MP4 video
+    tracks) — and non-baseline JPEGs (progressive/arithmetic) — yield
+    dhash=NULL with the reason in ``error`` — the quarantine posture
+    (strict=True raises naming the media_id instead).
 
     Scale: one Arrow-batched mapInPandas pass, bounded work per blob
     (these fixtures are small; real corpora gate pixel decode by blob
@@ -300,6 +318,7 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
         from incubator_xtable_spark.operators.media_codecs import (
             MediaDecodeError,
             decode_gif_pixels,
+            decode_jpeg_pixels,
             decode_png_pixels,
             dhash64_audio,
             dhash64_image,
@@ -327,6 +346,10 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
                         h = dhash64_image(decode_png_pixels(blob))
                     elif mime == "image/gif":
                         h = dhash64_image(decode_gif_pixels(blob))
+                    elif mime == "image/jpeg":
+                        # baseline huffman decode -> 1/8-scale DC luma
+                        # (the resolution dHash box-means to anyway)
+                        h = dhash64_image(decode_jpeg_pixels(blob))
                     elif mime == "audio/wav":
                         h = dhash64_audio(wav_samples(blob))
                     else:

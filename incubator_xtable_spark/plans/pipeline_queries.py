@@ -304,11 +304,12 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal member of the near-dup family: synthesized REAL
     container bytes (PNG/GIF/WAV/JPEG from the documents table) ->
     pixel/sample decode for the stdlib-decodable formats (PNG inflate +
-    unfilter, WAV PCM) -> 64-bit dHash -> mime-blocked Hamming banding
-    with the stop-bucket bound -> exact popcount verify. JPEG/GIF/MP4
-    pixel decode needs external codecs and yields no fingerprint
-    (quarantined, not wrong). Planted near-identical-image recall is
-    pinned by tests/test_pipeline_operators.py."""
+    unfilter, GIF LZW + interlace de-weave — r12, WAV PCM) -> 64-bit
+    dHash -> mime-blocked Hamming banding with the stop-bucket bound ->
+    exact popcount verify. MP4 video frames still need external codecs
+    and yield no fingerprint (quarantined, not wrong). Planted
+    near-identical-image recall is pinned by
+    tests/test_pipeline_operators.py."""
     from incubator_xtable_spark.operators.multimodal import (
         media_near_duplicates,
         synthesize_media,

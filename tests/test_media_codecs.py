@@ -430,3 +430,126 @@ def test_gif_dhash_joins_perceptual_tier():
         twin[i][i] = (twin[i][i] + 3) & 0xFF
     h2 = dhash64_image(decode_gif_pixels(encode_gif_from_pixels(twin)))
     assert bin(h ^ h2).count("1") <= 2
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline entropy codec (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_pixel_roundtrip_dc_exact():
+    """encode_jpeg_from_pixels -> decode_jpeg_pixels recovers every 8x8
+    block's mean within the DC quantization step (q=16 -> 2 grey
+    levels), across grayscale/color frames and restart intervals; the
+    header decoder agrees on dims/depth/channels."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_jpeg,
+        decode_jpeg_pixels,
+        encode_jpeg_from_pixels,
+    )
+
+    W, H = 96, 80
+    rows = [[(x * 2 + y * 3) % 256 for x in range(W)] for y in range(H)]
+    for color in (False, True):
+        for ri in (0, 3):
+            blob = encode_jpeg_from_pixels(rows, color=color, restart_interval=ri)
+            info = decode_jpeg(blob)
+            assert (info["width"], info["height"]) == (W, H)
+            assert info["bit_depth"] == 8
+            assert info["channels"] == (3 if color else 1)
+            thumb = decode_jpeg_pixels(blob)
+            assert len(thumb) == H // 8 and len(thumb[0]) == W // 8
+            for by in range(H // 8):
+                for bx in range(W // 8):
+                    mean = (
+                        sum(
+                            rows[by * 8 + y][bx * 8 + x]
+                            for y in range(8)
+                            for x in range(8)
+                        )
+                        / 64
+                    )
+                    assert abs(thumb[by][bx] - mean) <= 1.0
+
+
+def test_jpeg_pixel_decode_odd_dims_and_flat_fast_path():
+    """Non-multiple-of-8 dims crop the padded MCU grid correctly, and a
+    per-block-constant image (the synthesize_media fast path) decodes to
+    exactly its block values (flat-block DCT identity F(0,0)=8*v)."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_from_pixels,
+    )
+
+    W, H = 75, 43  # 10 x 6 blocks after ceil
+    blk = [[(bx * 37 + by * 59 + 5) % 256 for bx in range(10)] for by in range(6)]
+    rows = [[blk[y // 8][x // 8] for x in range(W)] for y in range(H)]
+    thumb = decode_jpeg_pixels(encode_jpeg_from_pixels(rows))
+    assert len(thumb) == 6 and len(thumb[0]) == 10
+    for by in range(6):
+        for bx in range(10):
+            assert abs(thumb[by][bx] - blk[by][bx]) <= 1  # quant step /2
+
+
+def test_jpeg_pixel_decode_refusals():
+    """Progressive frames, 16-bit quant tables and truncated entropy
+    data refuse loudly (quarantine posture, never a wrong hash)."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        MediaDecodeError,
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_from_pixels,
+    )
+
+    rows = [[(x + y) % 256 for x in range(32)] for y in range(24)]
+    blob = bytearray(encode_jpeg_from_pixels(rows))
+    # flip SOF0 -> SOF2 (progressive): the marker byte after 0xFF 0xC0
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with _pytest.raises(MediaDecodeError, match="baseline"):
+        decode_jpeg_pixels(bytes(blob))
+    # 16-bit precision DQT refuses
+    blob2 = bytearray(encode_jpeg_from_pixels(rows))
+    j = blob2.find(b"\xff\xdb")
+    blob2[j + 4] = 0x10  # Pq=1
+    with _pytest.raises(MediaDecodeError, match="quant"):
+        decode_jpeg_pixels(bytes(blob2))
+    # truncated entropy data
+    blob3 = encode_jpeg_from_pixels(rows)[:-40]
+    with _pytest.raises(MediaDecodeError):
+        decode_jpeg_pixels(blob3)
+    # the legacy header-only fixture (fake scan, no AC table) refuses
+    with _pytest.raises(MediaDecodeError):
+        decode_jpeg_pixels(encode_jpeg(16, 16))
+
+
+def test_jpeg_dhash_joins_perceptual_tier():
+    """The dHash over the 1/8-scale DC luma is stable under pixel-level
+    perturbation (invisible to block means) and differs across distinct
+    block patterns — JPEG leaves the quarantine tier."""
+    import random
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_jpeg_pixels,
+        dhash64_image,
+        encode_jpeg_from_pixels,
+    )
+
+    rnd = random.Random(11)
+    blk = [[rnd.randrange(256) for _ in range(12)] for _ in range(10)]
+    rows = [[blk[y // 8][x // 8] for x in range(96)] for y in range(80)]
+    h = dhash64_image(decode_jpeg_pixels(encode_jpeg_from_pixels(rows)))
+    twin = [r[:] for r in rows]
+    for _ in range(30):
+        y, x = rnd.randrange(80), rnd.randrange(96)
+        twin[y][x] = max(0, min(255, twin[y][x] + rnd.randint(-10, 10)))
+    h2 = dhash64_image(decode_jpeg_pixels(encode_jpeg_from_pixels(twin)))
+    assert bin(h ^ h2).count("1") <= 2
+    other_blk = [[rnd.randrange(256) for _ in range(12)] for _ in range(10)]
+    other = [[other_blk[y // 8][x // 8] for x in range(96)] for y in range(80)]
+    h3 = dhash64_image(decode_jpeg_pixels(encode_jpeg_from_pixels(other)))
+    assert bin(h ^ h3).count("1") > 8

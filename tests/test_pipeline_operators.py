@@ -692,16 +692,18 @@ def test_lsh_bucket_bands_matches_per_band_lsh_bucket(spark):
 
 
 def test_media_near_duplicates_planted_images(spark):
-    """Multimodal near-dup: planted near-identical PNGs AND GIFs (a few
-    pixels perturbed; GIF rides the r12 pure-stdlib LZW pixel decode)
-    and a re-encoded WAV must pair with small Hamming; an unrelated
-    random image must NOT pair with them. Mime blocking keeps PNG, GIF
-    and audio in separate buckets by construction — a GIF re-encode of
-    a PNG's pixels can never cross-pair even at Hamming 0."""
+    """Multimodal near-dup: planted near-identical PNGs, GIFs (r12
+    pure-stdlib LZW pixel decode) AND JPEGs (r13 baseline huffman +
+    DC-luma decode) plus a re-encoded WAV must pair with small Hamming;
+    an unrelated random image must NOT pair with them. Mime blocking
+    keeps PNG, GIF, JPEG and audio in separate buckets by construction —
+    a GIF or JPEG re-encode of a PNG's pixels can never cross-pair even
+    at Hamming 0."""
     import random
 
     from incubator_xtable_spark.operators.media_codecs import (
         encode_gif_from_pixels,
+        encode_jpeg_from_pixels,
         encode_png_from_pixels,
         encode_wav,
     )
@@ -737,6 +739,32 @@ def test_media_near_duplicates_planted_images(spark):
         planted.add((300 + i, 400 + i))
     # a GIF re-encode of PNG base 0's exact pixels: mime-blocked from PNGs
     blobs.append((500, encode_gif_from_pixels(bases[0])))
+    # JPEG tier (r13): the decoder sees the 1/8-scale DC luma, so bases
+    # are block-structured (random value per 8x8 block) and twins
+    # perturb individual pixels — invisible to block means, hamming ~0.
+    # One twin rides a restart-interval stream, one a 3-component
+    # (neutral-chroma) frame: both interleave paths must not perturb the
+    # fingerprint.
+    jpeg_bases = []
+    for i in range(4):
+        blk = [[rnd.randrange(256) for _ in range(12)] for _ in range(10)]
+        pix = [[blk[y // 8][x // 8] for x in range(96)] for y in range(80)]
+        jpeg_bases.append(pix)
+        blobs.append((600 + i, encode_jpeg_from_pixels(pix)))
+    for i in range(3):
+        twin = [r[:] for r in jpeg_bases[i]]
+        for k in range(24):
+            y, x = rnd.randrange(80), rnd.randrange(96)
+            twin[y][x] = max(0, min(255, twin[y][x] + rnd.randint(-12, 12)))
+        kw = {}
+        if i == 0:
+            kw["restart_interval"] = 3
+        elif i == 1:
+            kw["color"] = True
+        blobs.append((700 + i, encode_jpeg_from_pixels(twin, **kw)))
+        planted.add((600 + i, 700 + i))
+    # a JPEG re-encode of PNG base 0's exact pixels: mime-blocked too
+    blobs.append((800, encode_jpeg_from_pixels(bases[0])))
     # identical audio content at two ids (same synthesizer params)
     blobs.append((200, encode_wav(1234)))
     blobs.append((201, encode_wav(1234)))
@@ -752,23 +780,38 @@ def test_media_near_duplicates_planted_images(spark):
         assert r["hamming"] <= 2
     cross = {(a, b) for a, b in got if a < 10 and b < 10}
     assert not cross, f"unrelated random images paired: {cross}"
-    # the pixel-identical PNG/GIF pair is blocked by mime
+    # the pixel-identical PNG/GIF and PNG/JPEG pairs are blocked by mime
     assert (0, 500) not in got and (500, 0) not in got
+    assert (0, 800) not in got and (800, 0) not in got
     gif_cross = {(a, b) for a, b in got if 300 <= a < 310 and 300 <= b < 310}
     assert not gif_cross, f"unrelated random GIFs paired: {gif_cross}"
+    jpeg_cross = {(a, b) for a, b in got if 600 <= a < 610 and 600 <= b < 610}
+    assert not jpeg_cross, f"unrelated random JPEGs paired: {jpeg_cross}"
 
 
 def test_media_dhash_quarantine_and_strict(spark):
-    from incubator_xtable_spark.operators.media_codecs import encode_jpeg
+    """MP4 video frames stay quarantined ('unsupported'); a JPEG whose
+    entropy data is not decodable (the header-only fixture encoder's
+    fake scan) quarantines with the decode error, never a wrong hash;
+    garbage quarantines; strict mode names the media_id."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        encode_jpeg,
+        encode_mp4,
+    )
     from incubator_xtable_spark.operators.multimodal import media_dhash
 
     df = spark.createDataFrame(
-        [(1, encode_jpeg(10, 10)), (2, b"\x00\x01garbage")],
+        [
+            (1, encode_jpeg(10, 10)),
+            (2, b"\x00\x01garbage"),
+            (3, encode_mp4(320, 240, duration_ms=1000)),
+        ],
         "media_id LONG, content BINARY",
     )
     rows = {r["media_id"]: r for r in media_dhash(df).collect()}
-    assert rows[1]["dhash"] is None and "unsupported" in rows[1]["error"]
+    assert rows[1]["dhash"] is None and rows[1]["error"]  # undecodable scan
     assert rows[2]["dhash"] is None and rows[2]["error"]
+    assert rows[3]["dhash"] is None and "unsupported" in rows[3]["error"]
     with pytest.raises(Exception, match="media_id="):
         media_dhash(df, strict=True).collect()
 
