@@ -154,6 +154,14 @@ def _build_target(spark, work: str, kind: str, compact_every: int):
             metadata_index_format="hfile",
             metadata_index_compact_every=compact_every,
         )
+    if kind == "hudi":
+        from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+        # plain timeline target (no metadata indexes): the clean scenario
+        # measures VIEW RESOLUTION over the timeline, not index writes
+        return TableFormat.HUDI, HudiConversionTarget(
+            spark, work, table_name="loadtest", metadata_indexes=False
+        )
     return TableFormat.DELTA, DeltaConversionTarget(spark, work)
 
 
@@ -237,6 +245,68 @@ def scenario_incremental(
             "seconds_per_commit": round(wall / n_commits, 3),
             "drain_mode": os.environ.get("XT_STREAM_INVENTORY") or "auto-snapshot/collect-diff",
             "rss_mb_curve": rss_curve,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+class _ChurnSource(SyntheticSource):
+    """SyntheticSource whose commit N REPLACES commit N-1's files (and
+    commit 1 replaces the first per_commit seed files) — the churn shape
+    that leaves files behind retention for hudi_clean to resolve."""
+
+    def get_table_change_for_commit(self, commit: str) -> TableChange:
+        prev_tag = "base" if commit == "1" else str(int(commit) - 1)
+        return TableChange(
+            table=self._table(),
+            commit_id=commit,
+            files_added=synthetic_inventory(
+                self.spark, self.per_commit, self.n_partitions, commit
+            ),
+            files_removed=synthetic_inventory(
+                self.spark, self.per_commit, self.n_partitions, prev_tag
+            ),
+        )
+
+
+def scenario_clean(
+    spark, n_files: int, n_partitions: int, n_commits: int, per_commit: int
+) -> dict:
+    """hudi_clean view resolution at scale (VERDICT r12 #4): seed a
+    100k-file Hudi table, churn N replace-commits, then clean with
+    keep_last=2 — the interval-based resolver must produce every
+    retained/savepointed view in ONE timeline replay (seconds, flat
+    RSS), with the aged-out external files reported untouched."""
+    from incubator_xtable_spark.sync.retention import hudi_clean
+
+    work = tempfile.mkdtemp(prefix="xtable_load_clean_")
+    try:
+        fmt, target = _build_target(spark, work, "hudi", 10)
+        ConversionController().sync(
+            SyntheticSource(spark, n_files, n_partitions, ["0"], per_commit),
+            {fmt: target},
+        )
+        commits = [str(i) for i in range(1, n_commits + 1)]
+        source = _ChurnSource(spark, per_commit, n_partitions, commits, per_commit)
+        res = ConversionController().sync(source, {fmt: target})
+        status = res[fmt].status
+        rss_before = rss_mb()
+        t0 = time.perf_counter()
+        out = hudi_clean(spark, work, keep_last=2)
+        wall = time.perf_counter() - t0
+        return {
+            "scenario": "hudi_clean",
+            "files": n_files,
+            "churn_commits": n_commits,
+            "files_per_commit": per_commit,
+            "status": status.value,
+            "clean_instant": out["instant"],
+            "earliest_retained": out["earliest_retained"],
+            "deleted_engine_artifacts": len(out["deleted"]),
+            "skipped_external": len(out["skipped_external"]),
+            "clean_seconds": round(wall, 2),
+            "rss_mb_before": rss_before,
+            "rss_mb_after": rss_mb(),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -532,7 +602,7 @@ def main() -> int:
     ap.add_argument("--per-commit", type=int, default=1_000)
     ap.add_argument(
         "--target",
-        choices=["delta", "hudi-hfile", "hudi-indexes", "dv-relay"],
+        choices=["delta", "hudi-hfile", "hudi-indexes", "dv-relay", "hudi-clean"],
         default="delta",
         help="conversion target: delta (default), the Hudi REAL-layout "
         "HFile metadata-index writer over a synthetic inventory, or "
@@ -584,6 +654,12 @@ def main() -> int:
 
     spark = get_spark("xtable_loadtest")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.target == "hudi-clean":
+        out = scenario_clean(
+            spark, args.files, args.partitions, args.commits, args.per_commit
+        )
+        print(json.dumps(out))
+        return 0 if out["status"] == "SUCCESS" and out["clean_instant"] else 1
     if args.target == "dv-relay":
         outs = scenario_dv_relay(spark, args.files, args.partitions)
         for o in outs:

@@ -246,3 +246,30 @@ def test_rollback_pending_removes_torn_markers_only(spark, tmp_path):
     assert all(a != "rollback" for _, a in list_completed_instants(d))
     report = check_hudi_conformance(d)
     assert report.passed, [(i.code, i.detail) for i in report.issues]
+
+
+def test_file_liveness_intervals_match_per_instant_replay(spark, tmp_path):
+    """The single-replay interval resolver (r13) must agree with
+    live_files_rows at EVERY completed instant — including through
+    clustering supersession and MOR-style lifecycles — since hudi_clean
+    now derives all retained views from it."""
+    from incubator_xtable_spark.sources.hudi_source import (
+        file_liveness_intervals,
+        live_files_rows,
+    )
+
+    d, _out1, _out2 = _staged_two_generations(spark, tmp_path)
+    intervals = file_liveness_intervals(d)
+    for instant, _a in list_completed_instants(d):
+        expect = set()
+        for r in live_files_rows(d, instant, include_log_only=True):
+            if r.get("path"):
+                expect.add(r["path"])
+            for lf in r.get("log_files") or []:
+                expect.add(lf if isinstance(lf, str) else lf.get("path"))
+        got = {
+            p
+            for p, a, rm in intervals
+            if a <= instant and (rm is None or instant < rm)
+        }
+        assert got == expect, (instant, got ^ expect)
