@@ -109,3 +109,81 @@ def bpe_merges_df(
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY / ENCODE (r13) — tokenize a corpus with a FIXED merge table
+# ---------------------------------------------------------------------------
+
+# Each symbol is wrapped \x01sym\x02 so a merge (a, b) is ONE string
+# replace of "\x01a\x02\x01b\x02" -> "\x01ab\x02": scanning replace is
+# left-to-right non-overlapping over DISJOINT matches, which is exactly
+# the standard BPE application order — proven equivalent to the
+# aggregate() fold (_merge_pair_expr) by pytest across overlap chains.
+# String replaces stay inside whole-stage codegen (the fold is an
+# interpreted HOF tree — the "Catalyst HOF vs Arrow matmul" lesson),
+# and the markers make mid-symbol false matches impossible (symbols
+# never contain \x01/\x02).
+_SYM_OPEN = "\x01"
+_SYM_CLOSE = "\x02"
+
+
+def bpe_apply_expr(col, merges: list[tuple[str, str]]):
+    """Column expr: word string -> wrapped-token string after applying
+    ``merges`` in rank order. Token count = number of \\x01 markers."""
+    wrapped = F.regexp_replace(col, "(.)", f"{_SYM_OPEN}$1{_SYM_CLOSE}")
+    out = wrapped
+    for a, b in merges:
+        out = F.replace(
+            out,
+            F.lit(f"{_SYM_OPEN}{a}{_SYM_CLOSE}{_SYM_OPEN}{b}{_SYM_CLOSE}"),
+            F.lit(f"{_SYM_OPEN}{a}{b}{_SYM_CLOSE}"),
+        )
+    return out
+
+
+def bpe_encode_doc_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under a FIXED merge table and emit per-doc
+    token statistics: (id, n_words, n_tokens, n_chars_tokenized,
+    chars_per_token_e6). The merge application runs once per DISTINCT
+    word (the learner's scale insight: vocabulary-bounded, not
+    corpus-bounded), then joins counts back — at 100 TB the expensive
+    pass touches millions of vocab rows while the corpus only pays a
+    word-count groupBy and one join on the word key. chars_per_token_e6
+    is an exact integer ratio (cross-engine bit-deterministic)."""
+    words = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # token count = number of open markers; counted via ONE split so the
+    # replace chain has a single consumer (Catalyst projection collapse
+    # would inline it into every consumer — memory rule)
+    vocab = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w",
+            (F.size(F.split(bpe_apply_expr(F.col("w"), merges), _SYM_OPEN)) - 1)
+            .cast("long")
+            .alias("toks"),
+        )
+    )
+    joined = words.join(vocab, "w")
+    return joined.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("toks")).cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars_tokenized"),
+    ).withColumn(
+        # exact integer ratio (DIV), bit-identical across engines —
+        # never a double division (CLAUDE.md oracle rule)
+        "chars_per_token_e6",
+        F.expr("CAST((n_chars_tokenized * 1000000) DIV n_tokens AS BIGINT)"),
+    )

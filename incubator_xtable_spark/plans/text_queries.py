@@ -1476,3 +1476,80 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode under a FIXED merge table (r13)
+# ---------------------------------------------------------------------------
+
+# the fixed literal merge table both engines apply, in rank order
+BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB recomputes the tokenization independently: wrap each char
+    as chr(1)||c||chr(2), chain one replace() per merge (scanning
+    replace over disjoint matches == left-to-right non-overlapping BPE
+    application), count tokens as the number of open markers."""
+    expr = "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+    for a, b in BPE_FIXED_MERGES:
+        pat = f"chr(1) || '{a}' || chr(2) || chr(1) || '{b}' || chr(2)"
+        rep = f"chr(1) || '{a}{b}' || chr(2)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    toks = f"(length({expr}) - length(replace({expr}, chr(1), '')))"
+    return f"""
+WITH words AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  )
+  WHERE length(w) > 0
+  GROUP BY doc_id, w
+),
+vocab AS (
+  SELECT w, CAST({toks} AS BIGINT) AS toks
+  FROM (SELECT DISTINCT w FROM words)
+)
+SELECT
+  words.doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_words,
+  CAST(SUM(cnt * toks) AS BIGINT) AS n_tokens,
+  CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars_tokenized,
+  CAST((SUM(cnt * length(w)) * 1000000) // SUM(cnt * toks) AS BIGINT)
+    AS chars_per_token_e6
+FROM words JOIN vocab USING (w)
+GROUP BY words.doc_id
+ORDER BY words.doc_id
+"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_oracle_sql(),
+    category="text",
+    description="BPE tokenization under a fixed merge table: per-doc "
+    "token stats (oracle-checked)",
+    graded=False,  # driver window pinned at 50; oracle-gated via parity
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE family (the learner is
+    text_bpe_merges): tokenize every document under the FIXED
+    BPE_FIXED_MERGES table and emit per-doc token statistics. The merge
+    application runs once per DISTINCT word (vocabulary-bounded — the
+    same scale insight as the learner) as a whole-stage-codegen string
+    replace chain (no interpreted HOFs, no UDFs), then word counts join
+    back on the word key. The DuckDB oracle recomputes the tokenization
+    from the same literal merge list; the replace-chain semantics are
+    additionally pinned against the aggregate() fold and an independent
+    Python BPE in tests/test_pipeline_operators.py (composition:
+    learned merges -> encode -> stats).
+
+    Scale: one corpus groupBy(doc, word), one vocab distinct, one join
+    on the word key, one per-doc agg — all uniform-key shuffles."""
+    from incubator_xtable_spark.operators.bpe import bpe_encode_doc_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_encode_doc_stats(docs, BPE_FIXED_MERGES).orderBy("doc_id")
