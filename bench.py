@@ -53,6 +53,11 @@ def calibration_probe(spark) -> float:
 
 
 def main() -> None:
+    # loadavg BEFORE anything starts: the warm-up phase below drives its
+    # own load, so the post-warmup reading can't distinguish "machine was
+    # busy" from "bench warmed up" — the idle criterion ("bench only at
+    # idle", loadavg < 1.5) is judged on THIS number.
+    loadavg_at_launch = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("xtable_bench")
@@ -150,7 +155,8 @@ def main() -> None:
     # cross-round normalization stops guessing.
     loadavg_start = round(os.getloadavg()[0], 2)
     print(
-        f"# calibration_sec: {calibration:.3f} loadavg_start: {loadavg_start}",
+        f"# calibration_sec: {calibration:.3f} loadavg_at_launch: "
+        f"{loadavg_at_launch} loadavg_start(post-warmup): {loadavg_start}",
         file=sys.stderr,
     )
 
@@ -181,6 +187,7 @@ def main() -> None:
                 "queries": timings,
                 "calibration_sec": calibration,
                 "ivfpq_staging_sec": ivfpq_staging_sec,
+                "loadavg_at_launch": loadavg_at_launch,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": round(os.getloadavg()[0], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -387,7 +387,17 @@ def media_near_duplicates(
     synthetic/near-uniform corpora can't go quadratic inside a bucket."""
     from incubator_xtable_spark.operators.dedup import hamming_banded_pairs
 
-    sigs = media_dhash(df).filter(F.col("dhash").isNotNull())
+    # materialize the fingerprints ONCE: the banding kernel fans sigs
+    # into several consumers (bucket census, both self-join sides) and
+    # the mime re-attach reads it again — without the checkpoint each
+    # consumer re-runs the Python pixel-decode pass (measured ~2x on the
+    # sf0.1 bench after the JPEG tier joined). The checkpointed frame is
+    # narrow: (id, mime, int64 hash).
+    sigs = (
+        media_dhash(df)
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     pairs = hamming_banded_pairs(
         sigs,
         id_col="media_id",
