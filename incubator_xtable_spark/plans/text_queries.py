@@ -1553,3 +1553,92 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return bpe_encode_doc_stats(docs, BPE_FIXED_MERGES).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained bigram LM quality score (r13)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[CAST(i AS BIGINT)] AS a, w[CAST(i AS BIGINT)+1] AS b
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+model AS (
+  SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b
+),
+prefix AS (
+  SELECT a, COUNT(*) AS p FROM bg GROUP BY a
+),
+doc_bg AS (
+  SELECT doc_id, a, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, a, b
+)
+SELECT
+  doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+  CAST(SUM(cnt * ((c * 1000000) // p)) // SUM(cnt) AS BIGINT) AS lm_score_e6
+FROM doc_bg JOIN model USING (a, b) JOIN prefix USING (a)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=BIGRAM_LM_ORACLE,
+    category="text",
+    description="corpus-trained bigram LM fluency score per doc "
+    "(exact-integer conditional MLE)",
+    graded=False,  # driver window pinned at 50; oracle-gated via parity
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring — the KenLM-filtering pattern of LLM
+    data pipelines, in its deliberately oracle-exact integer form: train
+    bigram conditional MLEs on the corpus itself (count(a,b) * 1e6 DIV
+    count(a ·)), then score each document by the count-weighted mean of
+    its bigrams' conditionals. Repetitive/templated documents score HIGH
+    (their transitions dominate their prefixes); diverse prose scores
+    low — the same separation a real LM-perplexity filter keys on,
+    without float log-probs that would never hash-match across engines
+    (the documented production alternative: real log-space smoothing).
+
+    Scale: bigram explode is map-side; model + prefix tables are
+    vocab^2-bounded aggregations; the score join keys on (a, b) with
+    both sides pre-aggregated — the corpus shuffles once for the doc-
+    level bigram counts and never again. Zero UDFs, all integer."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0).alias("w"),
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1), "
+                "(s, i) -> struct(s AS a, w[i + 1] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    model = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    prefix = bg.groupBy("a").agg(F.count(F.lit(1)).alias("p"))
+    doc_bg = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        doc_bg.join(model, ["a", "b"])
+        .join(prefix, "a")
+        .withColumn("score_e6", F.expr("(c * 1000000) DIV p"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.expr("CAST(SUM(cnt * score_e6) DIV SUM(cnt) AS BIGINT)").alias(
+                "lm_score_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
