@@ -265,6 +265,112 @@ class IcebergRestCatalogSyncClient:
             raise RestCatalogError(status, f"commit add-column failed: {resp}")
         raise RestCatalogError(409, "commit add-column retries exhausted")
 
+    def commit_refresh(
+        self, ident: CatalogTableIdentifier, table: InternalTable
+    ) -> dict:
+        """Refresh the catalog's view of a converted table via a REAL
+        COMMIT instead of register-overwrite: diff the table's newest
+        on-disk metadata against the catalog's current state and apply
+        the delta as add-snapshot updates (history order) +
+        set-snapshot-ref(main) + set-properties, guarded by
+        assert-table-uuid + assert-ref-snapshot-id — the optimistic-
+        concurrency protocol a shared catalog needs (two writers can't
+        both advance main from the same snapshot). Refuses (raises
+        RestCatalogError) when the evolution is NOT a pure snapshot
+        append — uuid changed, history rewritten/expired, schema/spec/
+        sort-order/statistics drift — where register-overwrite
+        (refresh_table) remains the correct fallback. Returns the
+        server's commit response."""
+        import json as _json
+
+        loc = self._metadata_location(table)
+        with open(loc, encoding="utf-8") as fh:
+            new_meta = _json.load(fh)
+        loaded = self.get_table(ident)
+        if loaded is None:
+            raise RestCatalogError(404, f"table not found: {ident.table!r}")
+        cm = loaded.get("metadata") or {}
+        if cm.get("table-uuid") != new_meta.get("table-uuid"):
+            raise RestCatalogError(
+                409, "table-uuid changed: not an append — use refresh_table"
+            )
+        # append-only check: every catalog snapshot must survive, and the
+        # structural fields must be untouched (schema evolution, spec
+        # evolution, statistics rotation go through their own commits)
+        cur_ids = {s.get("snapshot-id") for s in cm.get("snapshots") or []}
+        new_snaps = new_meta.get("snapshots") or []
+        new_ids = {s.get("snapshot-id") for s in new_snaps}
+        if not cur_ids <= new_ids:
+            raise RestCatalogError(
+                409,
+                "catalog snapshots missing from the new metadata "
+                "(history rewritten or expired): not an append",
+            )
+        for field in (
+            "format-version",
+            "location",
+            "schemas",
+            "current-schema-id",
+            "last-column-id",
+            "partition-specs",
+            "default-spec-id",
+            "sort-orders",
+            "default-sort-order-id",
+            "statistics",
+            "partition-statistics",
+        ):
+            if cm.get(field) != new_meta.get(field):
+                raise RestCatalogError(
+                    409, f"{field} changed: not a snapshot append — use refresh_table"
+                )
+        added = [s for s in new_snaps if s.get("snapshot-id") not in cur_ids]
+        # history order: parents commit before children (sequence number,
+        # then timestamp — snapshot ids are random and never ordered)
+        added.sort(
+            key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0))
+        )
+        updates: list[dict] = [{"action": "add-snapshot", "snapshot": s} for s in added]
+        new_head = new_meta.get("current-snapshot-id")
+        if new_head != cm.get("current-snapshot-id"):
+            if new_head in (None, -1):
+                raise RestCatalogError(409, "new metadata has no current snapshot")
+            updates.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": new_head,
+                    "type": "branch",
+                }
+            )
+        old_props = cm.get("properties") or {}
+        new_props = new_meta.get("properties") or {}
+        if not set(old_props) <= set(new_props):
+            raise RestCatalogError(
+                409, "properties removed: not expressible as set-properties"
+            )
+        changed = {k: v for k, v in new_props.items() if old_props.get(k) != v}
+        if changed:
+            updates.append({"action": "set-properties", "updates": changed})
+        if not updates:
+            return loaded  # already current
+        cur_head = cm.get("current-snapshot-id")
+        body = {
+            "identifier": {"namespace": self._ns_parts(ident), "name": ident.table},
+            "requirements": [
+                {"type": "assert-table-uuid", "uuid": cm.get("table-uuid")},
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": None if cur_head in (None, -1) else cur_head,
+                },
+            ],
+            "updates": updates,
+        }
+        status, resp = self._call("POST", self._table_path(ident), body)
+        if status != 200:
+            raise RestCatalogError(status, f"commit refresh failed: {resp}")
+        return resp
+
     # -- helpers -----------------------------------------------------------
 
     @staticmethod

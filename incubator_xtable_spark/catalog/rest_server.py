@@ -25,10 +25,13 @@ client and the sync orchestration exercise):
   GET    /v1/namespaces/{ns}/tables/{t}      LoadTableResult
   POST   /v1/namespaces/{ns}/tables/{t}      CommitTableRequest
                                              (assert-table-uuid /
-                                             assert-current-schema-id
+                                             assert-current-schema-id /
+                                             assert-ref-snapshot-id
                                              requirements; set-properties
                                              / add-schema /
-                                             set-current-schema updates —
+                                             set-current-schema /
+                                             add-snapshot /
+                                             set-snapshot-ref updates —
                                              each a REAL new
                                              metadata.json evolution)
   DELETE /v1/namespaces/{ns}/tables/{t}      drop pointer (purge refused)
@@ -128,6 +131,19 @@ def _check_requirements(meta: dict, requirements: list[dict]) -> None:
                     f"{req.get('current-schema-id')!r} vs table "
                     f"{meta.get('current-schema-id')!r}"
                 )
+        elif rtype == "assert-ref-snapshot-id":
+            # spec: snapshot-id null asserts the ref does NOT exist
+            ref = req.get("ref")
+            cur = ((meta.get("refs") or {}).get(ref) or {}).get("snapshot-id")
+            if cur is None and ref == "main":
+                cur = meta.get("current-snapshot-id")
+                if cur in (-1, None):
+                    cur = None
+            if req.get("snapshot-id") != cur:
+                raise _CommitFailed(
+                    f"ref {ref!r} snapshot mismatch: requirement "
+                    f"{req.get('snapshot-id')!r} vs table {cur!r}"
+                )
         else:
             raise _UnsupportedCommit(f"unsupported requirement: {rtype!r}")
 
@@ -170,6 +186,54 @@ def _apply_updates(meta: dict, updates: list[dict]) -> None:
             if all(int(s.get("schema-id", -2)) != sid for s in meta.get("schemas") or []):
                 raise _CommitFailed(f"no schema with id {sid} in table metadata")
             meta["current-schema-id"] = sid
+        elif action == "add-snapshot":
+            snap = upd.get("snapshot")
+            if not isinstance(snap, dict) or "snapshot-id" not in snap:
+                raise _UnsupportedCommit("add-snapshot requires a snapshot object")
+            snaps = meta.setdefault("snapshots", [])
+            if any(s.get("snapshot-id") == snap["snapshot-id"] for s in snaps):
+                raise _CommitFailed(
+                    f"snapshot {snap['snapshot-id']} already present"
+                )
+            parent = snap.get("parent-snapshot-id")
+            if parent is not None and all(
+                s.get("snapshot-id") != parent for s in snaps
+            ):
+                raise _CommitFailed(
+                    f"add-snapshot parent {parent} not in table history"
+                )
+            snaps.append(snap)
+            meta["last-sequence-number"] = max(
+                int(meta.get("last-sequence-number", 0)),
+                int(snap.get("sequence-number", 0)),
+            )
+        elif action == "set-snapshot-ref":
+            name, sid = upd.get("ref-name"), upd.get("snapshot-id")
+            if not name or sid is None:
+                raise _UnsupportedCommit(
+                    "set-snapshot-ref requires ref-name and snapshot-id"
+                )
+            match = next(
+                (
+                    s
+                    for s in meta.get("snapshots") or []
+                    if s.get("snapshot-id") == sid
+                ),
+                None,
+            )
+            if match is None:
+                raise _CommitFailed(f"no snapshot {sid} in table metadata")
+            refs = meta.setdefault("refs", {})
+            refs[name] = {"snapshot-id": sid, "type": upd.get("type") or "branch"}
+            if name == "main":
+                meta["current-snapshot-id"] = sid
+                meta.setdefault("snapshot-log", []).append(
+                    {
+                        "timestamp-ms": match.get("timestamp-ms")
+                        or meta.get("last-updated-ms", 0),
+                        "snapshot-id": sid,
+                    }
+                )
         else:
             raise _UnsupportedCommit(f"unsupported update action: {action!r}")
 
@@ -188,7 +252,16 @@ def _apply_commit(
     base = os.path.basename(location)
     if not (base.startswith("v") and base.endswith(".metadata.json")):
         raise ValueError(f"unversioned metadata filename: {base}")
+    # next version = max EXISTING version in the directory + 1, not the
+    # catalog pointer + 1: the table's own writer may have produced newer
+    # files the catalog hasn't been pointed at yet (the commit_refresh
+    # flow) — overwriting one would destroy the writer's history
     version = int(base[1 : -len(".metadata.json")])
+    for fn in os.listdir(mdir):
+        if fn.startswith("v") and fn.endswith(".metadata.json"):
+            stem = fn[1 : -len(".metadata.json")]
+            if stem.isdigit():
+                version = max(version, int(stem))
     _apply_updates(meta, updates)
     meta.setdefault("metadata-log", []).append(
         {"timestamp-ms": meta.get("last-updated-ms", 0), "metadata-file": location}

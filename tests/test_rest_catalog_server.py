@@ -209,11 +209,11 @@ def test_schema_evolution_commit_over_live_socket(spark, server, tmp_path):
         "POST",
         path,
         {
-            "requirements": [{"type": "assert-ref-snapshot-id", "ref": "main"}],
+            "requirements": [{"type": "assert-default-spec-id", "default-spec-id": 0}],
             "updates": [],
         },
     )
-    assert status == 400 and "assert-ref-snapshot-id" in body["error"]["message"]
+    assert status == 400 and "assert-default-spec-id" in body["error"]["message"]
     # a MATCHING assert-table-uuid commits cleanly (what pyiceberg sends)
     status, body = t.request(
         "POST",
@@ -274,3 +274,120 @@ def test_error_shapes_and_purge_refusal(server, tmp_path):
     # list endpoints answer
     status, body = t.request("GET", "/v1/config")
     assert status == 200 and "defaults" in body
+
+
+def test_snapshot_commit_refresh_over_live_socket(spark, tmp_path):
+    """r13: refreshing a converted table can be a REAL REST commit —
+    the client diffs the table's new on-disk metadata against the
+    catalog state and applies add-snapshot (history order) +
+    set-snapshot-ref(main) + set-properties under assert-table-uuid +
+    assert-ref-snapshot-id. Stale assertions 409; non-append evolutions
+    refuse client-side (register-overwrite remains the fallback)."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        base = _staged(spark, tmp_path)
+        _convert(spark, base)
+        client = make_rest_client({"uri": server.uri})
+        ident = CatalogTableIdentifier(database="lake.commit", table="nation_c")
+        client.create_database(ident)
+        table1 = IcebergConversionSource(spark, base).get_current_table()
+        client.create_table(table1, ident)
+        before = client.get_table(ident)["metadata"]
+        head_before = before["current-snapshot-id"]
+
+        # no-op refresh: nothing to commit, catalog state untouched
+        same = client.commit_refresh(ident, table1)
+        assert same["metadata-location"] == client.get_table(ident)["metadata-location"]
+
+        # append through the engine -> the refresh is ONE REST commit
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+            "n_nationkey", F.col("n_nationkey") + 500
+        ).coalesce(1).write.mode("append").parquet(base)
+        _convert(spark, base)
+        table2 = IcebergConversionSource(spark, base).get_current_table()
+        resp = client.commit_refresh(ident, table2)
+        after = resp["metadata"]
+        assert after["current-snapshot-id"] != head_before
+        assert {s["snapshot-id"] for s in before["snapshots"]} < {
+            s["snapshot-id"] for s in after["snapshots"]
+        }
+        assert after["refs"]["main"]["snapshot-id"] == after["current-snapshot-id"]
+        # the engine's bookmark property rode the same commit
+        assert "XTABLE_METADATA" in after["properties"]
+        # snapshot-log gained the new head
+        assert after["snapshot-log"][-1]["snapshot-id"] == after["current-snapshot-id"]
+        # a fresh load agrees, the table still reads, conformance green
+        fresh = make_rest_client({"uri": server.uri}).get_table(ident)
+        assert fresh["metadata"]["current-snapshot-id"] == after["current-snapshot-id"]
+        assert read_iceberg_as_df(spark, base).count() == 50
+        report = check_iceberg_conformance(spark, base)
+        assert report.passed, [(i.code, i.detail) for i in report.issues]
+        # the server allocated PAST the engine's own newest version file
+        mdir = os.path.join(base, "metadata")
+        versions = sorted(
+            int(f[1:].split(".")[0])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        )
+        committed_v = int(os.path.basename(resp["metadata-location"])[1:].split(".")[0])
+        assert committed_v == versions[-1]
+
+        # optimistic concurrency: a stale assert-ref-snapshot-id -> 409
+        t = UrllibRestTransport(server.uri)
+        status, body = t.request(
+            "POST",
+            "/v1/namespaces/lake%1Fcommit/tables/nation_c",
+            {
+                "requirements": [
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": head_before,  # stale
+                    }
+                ],
+                "updates": [],
+            },
+        )
+        assert status == 409 and body["error"]["type"] == "CommitFailedException"
+        # add-snapshot with an unknown parent -> 409 (broken chain)
+        status, body = t.request(
+            "POST",
+            "/v1/namespaces/lake%1Fcommit/tables/nation_c",
+            {
+                "requirements": [],
+                "updates": [
+                    {
+                        "action": "add-snapshot",
+                        "snapshot": {
+                            "snapshot-id": 123456789,
+                            "parent-snapshot-id": 987654321,
+                            "sequence-number": 99,
+                            "timestamp-ms": 1,
+                        },
+                    }
+                ],
+            },
+        )
+        assert status == 409 and "parent" in body["error"]["message"]
+
+        # non-append evolution (schema drift) refuses CLIENT-side: evolve
+        # the schema on disk, then point the catalog BACK at the
+        # pre-evolution metadata — the head now differs structurally
+        old_loc = client.get_table(ident)["metadata-location"]
+        client.commit_add_column(ident, "extra_col")
+        status, _ = t.request(
+            "POST",
+            "/v1/namespaces/lake%1Fcommit/register",
+            {"name": "nation_c", "metadata-location": old_loc, "overwrite": True},
+        )
+        assert status == 200
+        with pytest.raises(RestCatalogError, match="changed"):
+            client.commit_refresh(ident, table2)
