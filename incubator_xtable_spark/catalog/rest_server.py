@@ -15,11 +15,12 @@ Route surface (rest-catalog-open-api.yaml subset — the lifecycle our
 client and the sync orchestration exercise):
 
   GET    /v1/config
-  GET    /v1/namespaces                      list
+  GET    /v1/namespaces                      list (pageSize/pageToken)
   POST   /v1/namespaces                      create (409 on exists)
   GET    /v1/namespaces/{ns}                 load   (404)
   DELETE /v1/namespaces/{ns}                 drop   (409 when non-empty)
   GET    /v1/namespaces/{ns}/tables          list identifiers
+                                             (pageSize/pageToken)
   POST   /v1/namespaces/{ns}/register        RegisterTableRequest
                                              (+engine `overwrite` ext)
   GET    /v1/namespaces/{ns}/tables/{t}      LoadTableResult
@@ -92,6 +93,28 @@ class _CatalogState:
 
 def _table_key(ns: list[str], name: str) -> str:
     return _NS_SEP.join(ns) + "\x00" + name
+
+
+def _paginate(keys: list[str], q: dict) -> tuple[list[str], Optional[str]]:
+    """Spec list pagination: ``pageToken`` is opaque — here the last key
+    of the previous page (sorted-order cursor, stable across inserts
+    before the cursor) — and ``pageSize`` caps the page. Returns
+    (page, next-page-token or None when exhausted). Without pageSize the
+    full listing returns in one response (spec default)."""
+    token = (q.get("pageToken") or [None])[0]
+    if token is not None:
+        import bisect
+
+        keys = keys[bisect.bisect_right(keys, token):]
+    sizes = q.get("pageSize") or []
+    if not sizes:
+        return keys, None
+    try:
+        size = max(1, int(sizes[0]))
+    except ValueError:
+        return keys, None
+    page = keys[:size]
+    return page, (page[-1] if len(keys) > size and page else None)
 
 
 def _load_metadata(location: str) -> dict:
@@ -322,10 +345,11 @@ class IcebergRestCatalogServer:
                 if p == ["v1", "namespaces"]:
                     with state.lock:
                         s = state._read()
-                    self._send(
-                        200,
-                        {"namespaces": [ns.split(_NS_SEP) for ns in sorted(s["namespaces"])]},
-                    )
+                    page, token = _paginate(sorted(s["namespaces"]), _q)
+                    out = {"namespaces": [ns.split(_NS_SEP) for ns in page]}
+                    if token is not None:
+                        out["next-page-token"] = token
+                    self._send(200, out)
                     return
                 if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
                     with state.lock:
@@ -342,12 +366,20 @@ class IcebergRestCatalogServer:
                     ns = p[2]
                     with state.lock:
                         s = state._read()
-                    idents = [
-                        {"namespace": k.split("\x00")[0].split(_NS_SEP), "name": k.split("\x00")[1]}
-                        for k in sorted(s["tables"])
-                        if k.split("\x00")[0] == ns
-                    ]
-                    self._send(200, {"identifiers": idents})
+                    keys = [k for k in sorted(s["tables"]) if k.split("\x00")[0] == ns]
+                    page, token = _paginate(keys, _q)
+                    out = {
+                        "identifiers": [
+                            {
+                                "namespace": k.split("\x00")[0].split(_NS_SEP),
+                                "name": k.split("\x00")[1],
+                            }
+                            for k in page
+                        ]
+                    }
+                    if token is not None:
+                        out["next-page-token"] = token
+                    self._send(200, out)
                     return
                 if len(p) == 5 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
                     key = _table_key(p[2].split(_NS_SEP), p[4])

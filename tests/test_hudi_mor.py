@@ -198,3 +198,53 @@ def test_log_only_group_not_exposed(spark, mor_table):
     with_logs = live_files_rows(mor_table, include_log_only=True)
     g3 = next(r for r in with_logs if r["fileId"] == "g3")
     assert g3["path"] is None and g3["log_files"] == [".g3_004.log.1_0-1-0"]
+
+
+def test_file_liveness_intervals_track_log_slices(spark, mor_table):
+    """file_liveness_intervals (r13, the hudi_clean resolver) on a MOR
+    lifecycle: log files attach to their slice's interval and drop when
+    compaction writes the new base file — the interval view must equal
+    live_files_rows(include_log_only=True) at EVERY instant, and a
+    log-only group's log must carry its own interval."""
+    from incubator_xtable_spark.sources.hudi_source import file_liveness_intervals
+    from incubator_xtable_spark.targets.hudi_target import list_completed_instants
+
+    # compaction supersedes g1's slice (base + its log)
+    s = _write_base(mor_table, "g1_0-0-0_003.parquet", list(range(5)))
+    _commit(
+        mor_table,
+        "20240101000003000",
+        "commit",
+        [{"fileId": "g1", "path": "g1_0-0-0_003.parquet", "fileSizeInBytes": s, "numWrites": 5}],
+    )
+    # a log-only group (insert into MOR log before any base file)
+    lsz = _write_log(mor_table, ".g9_004.log.1_0-1-0")
+    _commit(
+        mor_table,
+        "20240101000004000",
+        "deltacommit",
+        [{"fileId": "g9", "path": ".g9_004.log.1_0-1-0", "fileSizeInBytes": lsz, "numWrites": 1}],
+    )
+    intervals = file_liveness_intervals(mor_table)
+    by_path = {p: (a, r) for p, a, r in intervals}
+    # g1's original base AND its log closed at the compaction instant
+    assert by_path["g1_0-0-0_001.parquet"][1] == "20240101000003000"
+    assert by_path[".g1_001.log.1_0-1-0"] == (
+        "20240101000002000",
+        "20240101000003000",
+    )
+    # the compacted base and the log-only group's log are live at head
+    assert by_path["g1_0-0-0_003.parquet"] == ("20240101000003000", None)
+    assert by_path[".g9_004.log.1_0-1-0"] == ("20240101000004000", None)
+    # full equivalence with the per-instant replay at every instant
+    for instant, _a in list_completed_instants(mor_table):
+        expect = set()
+        for r in live_files_rows(mor_table, instant, include_log_only=True):
+            if r.get("path"):
+                expect.add(r["path"])
+            for lf in r.get("log_files") or []:
+                expect.add(lf if isinstance(lf, str) else lf.get("path"))
+        got = {
+            p for p, a, rm in intervals if a <= instant and (rm is None or instant < rm)
+        }
+        assert got == expect, (instant, got ^ expect)

@@ -391,3 +391,59 @@ def test_snapshot_commit_refresh_over_live_socket(spark, tmp_path):
         assert status == 200
         with pytest.raises(RestCatalogError, match="changed"):
             client.commit_refresh(ident, table2)
+
+
+def test_list_pagination(tmp_path):
+    """Spec list pagination: pageSize caps each page, next-page-token
+    resumes after the last key, the walk covers everything exactly once,
+    and unpaged requests still return the full listing."""
+    from urllib.parse import quote
+
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        t = UrllibRestTransport(server.uri)
+        for i in range(7):
+            status, _ = t.request(
+                "POST", "/v1/namespaces", {"namespace": ["pg", f"ns{i}"]}
+            )
+            assert status == 200
+        # unpaged: everything in one response, no token
+        status, body = t.request("GET", "/v1/namespaces")
+        assert status == 200 and len(body["namespaces"]) == 7
+        assert "next-page-token" not in body
+        # paged walk of 3
+        seen = []
+        token = None
+        for _ in range(5):
+            path = "/v1/namespaces?pageSize=3"
+            if token:
+                path += f"&pageToken={quote(token, safe='')}"
+            status, body = t.request("GET", path)
+            assert status == 200 and len(body["namespaces"]) <= 3
+            seen.extend(tuple(ns) for ns in body["namespaces"])
+            token = body.get("next-page-token")
+            if token is None:
+                break
+        assert seen == [("pg", f"ns{i}") for i in range(7)]
+
+        # table listing pages the same way
+        bad = tmp_path / "v1.metadata.json"
+        bad.write_text("{}", encoding="utf-8")
+        # register real minimal metadata files (empty JSON object loads)
+        for i in range(4):
+            status, _ = t.request(
+                "POST",
+                "/v1/namespaces/pg%1Fns0/register",
+                {"name": f"t{i}", "metadata-location": str(bad)},
+            )
+            assert status == 200
+        status, body = t.request("GET", "/v1/namespaces/pg%1Fns0/tables?pageSize=3")
+        assert len(body["identifiers"]) == 3 and body.get("next-page-token")
+        token = body["next-page-token"]
+        status, body = t.request(
+            "GET",
+            f"/v1/namespaces/pg%1Fns0/tables?pageSize=3&pageToken={quote(token, safe='')}",
+        )
+        assert [i["name"] for i in body["identifiers"]] == ["t3"]
+        assert "next-page-token" not in body
