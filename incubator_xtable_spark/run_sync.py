@@ -491,9 +491,15 @@ def run_maintenance(argv: list[str] | None = None) -> int:
             "clean",
             "orphans",
             "rollback",
+            "clone",
         ],
     )
     ap.add_argument("--path", required=True, help="table base path")
+    ap.add_argument(
+        "--to-path",
+        default=None,
+        help="clone: destination path for the metadata-only shallow clone",
+    )
     ap.add_argument("--table-name", default=None)
     ap.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--min-file-bytes", type=int, default=None)
@@ -519,7 +525,7 @@ def run_maintenance(argv: list[str] | None = None) -> int:
     from incubator_xtable_spark.sync import retention as R
 
     spark = None
-    if args.action in ("optimize", "rewrite", "cluster", "compact", "restore", "vacuum", "orphans"):
+    if args.action in ("optimize", "rewrite", "cluster", "compact", "restore", "vacuum", "orphans", "clone"):
         spark = get_spark("xtable_maintenance")
         spark.sparkContext.setLogLevel("ERROR")
     size_kw = {
@@ -569,6 +575,12 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         )
     elif args.action == "rollback":
         out = R.hudi_rollback_pending(args.path, before=args.instant)
+    elif args.action == "clone":
+        if args.to_path is None:
+            raise SystemExit("clone requires --to-path")
+        out = R.delta_shallow_clone(
+            spark, args.path, args.to_path, version=args.to_version
+        )
     else:  # expire
         out = {"expired": R.iceberg_expire_snapshots(args.path, keep_last=args.keep_last)}
     print(json.dumps(out))

@@ -1612,3 +1612,158 @@ def delta_restore(spark: SparkSession, base_path: str, to_version: int) -> dict:
     finally:
         os.unlink(tmp)
     return {"readded": sorted(readds), "removed": sorted(removes), "version": version}
+
+
+def delta_shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    version: Optional[int] = None,
+) -> dict:
+    """Delta SHALLOW CLONE — a zero-copy, metadata-only table copy (the
+    delta-spark operation): the clone's version-0 commit re-references
+    the SOURCE's live files by ABSOLUTE path (the spec allows absolute
+    add.path; this engine's readers already resolve them — conversion
+    targets reference external files the same way). Relative 'u'-storage
+    deletion vectors re-point through absolute 'p'-storage descriptors
+    (offset/size/cardinality preserved), so even a delete-heavy table
+    clones without touching a data byte — the same zero-rewrite property
+    as the cross-format row-delete channel. The clone gets a FRESH table
+    id and its own history (commitInfo operation CLONE with
+    source/sourceVersion provenance); ``version`` clones a historical
+    snapshot (time-travel clone). Protocol and table configuration carry
+    over unchanged, so feature gating (DVs, column mapping, row
+    tracking) stays correct.
+
+    Caveat (same as delta-spark): VACUUM on the SOURCE does not know
+    about clones — it can reclaim files the clone references. Clones are
+    snapshots for experimentation/branching, not backups.
+
+    Scale: metadata-sized — one log read of the source, one commit file
+    written; no data moves. Returns {"cloned_files", "source_version",
+    "version"}."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.sources.delta_dv import dv_absolute_path
+    from incubator_xtable_spark.sources.delta_source import (
+        latest_metadata,
+        list_log_versions,
+        live_files_df,
+        read_log_actions,
+    )
+
+    src = os.path.abspath(src_path)
+    dst = os.path.abspath(dst_path)
+    versions = list_log_versions(src)
+    if not versions:
+        raise ValueError(f"not a delta table (no log): {src}")
+    src_version = max(versions) if version is None else version
+    if version is not None and version not in versions and version > max(versions):
+        raise ValueError(f"clone version {version} is beyond head {max(versions)}")
+    meta = latest_metadata(spark, src, src_version)
+    if meta is None:
+        raise ValueError(f"not a delta table (no metaData): {src}")
+    proto_actions = read_log_actions(spark, src, src_version)
+    proto_rows = (
+        proto_actions.filter(
+            F.col("protocol.minReaderVersion").isNotNull()
+            & (F.col("version") <= src_version)
+        )
+        .orderBy(F.desc("version"))
+        .select("protocol")
+        .limit(1)
+        .collect()
+    )
+    if not proto_rows:
+        raise ValueError(f"not a delta table (no protocol): {src}")
+    proto = {
+        k: v
+        for k, v in proto_rows[0]["protocol"].asDict(recursive=True).items()
+        if v is not None
+    }
+    now_ms = int(_time.time() * 1000)
+    md = meta.asDict(recursive=True)
+    md_out = {
+        "id": str(_uuid.uuid4()),  # a clone is a NEW table identity
+        "format": {
+            "provider": (md.get("format") or {}).get("provider") or "parquet",
+            "options": dict((md.get("format") or {}).get("options") or {}),
+        },
+        "schemaString": md["schemaString"],
+        "partitionColumns": list(md.get("partitionColumns") or []),
+        "configuration": dict(md.get("configuration") or {}),
+        "createdTime": now_ms,
+    }
+    if md.get("name"):
+        md_out["name"] = md["name"]
+
+    src_base = src.rstrip("/") + "/"
+    rows = live_files_df(spark, src, src_version).collect()
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": src,
+                        "sourceVersion": str(src_version),
+                    },
+                }
+            }
+        ),
+        json.dumps({"protocol": proto}),
+        json.dumps({"metaData": md_out}),
+    ]
+    for r in sorted(rows, key=lambda x: x["path"]):
+        d = r.asDict(recursive=True)
+        p = d["path"]
+        add = {
+            "path": p if p.startswith("/") else src_base + p,
+            "partitionValues": dict(d.get("partitionValues") or {}),
+            "size": d["size"],
+            "modificationTime": d.get("modificationTime") or now_ms,
+            "dataChange": True,
+        }
+        if d.get("stats"):
+            add["stats"] = d["stats"]
+        for k in ("baseRowId", "defaultRowCommitVersion"):
+            if d.get(k) is not None:
+                add[k] = d[k]
+        dv = d.get("deletionVector")
+        if dv and dv.get("storageType"):
+            if dv["storageType"] == "u":
+                # relative storage resolves against the TABLE path — in
+                # the clone that would point at the wrong tree; re-point
+                # through the spec's absolute 'p' storage, same bytes
+                dv = {
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_absolute_path(src, dv),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv["sizeInBytes"],
+                    "cardinality": dv["cardinality"],
+                }
+            add["deletionVector"] = {k: v for k, v in dv.items() if v is not None}
+        lines.append(json.dumps({"add": add}))
+
+    log_dir = os.path.join(dst, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    final = os.path.join(log_dir, f"{0:020d}.json")
+    tmp = final + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(f"destination is already a delta table: {dst}") from exc
+    finally:
+        os.unlink(tmp)
+    return {
+        "cloned_files": len(rows),
+        "source_version": src_version,
+        "version": 0,
+    }
