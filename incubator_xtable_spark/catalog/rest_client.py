@@ -263,7 +263,7 @@ class IcebergRestCatalogSyncClient:
             if status == 409 and attempt < self.max_commit_retries:
                 continue  # commit conflict — refresh assertions, retry
             raise RestCatalogError(status, f"commit add-column failed: {resp}")
-        raise RestCatalogError(409, "commit add-column retries exhausted")
+        raise AssertionError("unreachable: the loop always returns or raises")
 
     def commit_refresh(
         self, ident: CatalogTableIdentifier, table: InternalTable

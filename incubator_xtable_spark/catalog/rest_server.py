@@ -95,6 +95,10 @@ def _table_key(ns: list[str], name: str) -> str:
     return _NS_SEP.join(ns) + "\x00" + name
 
 
+class _BadPage(ValueError):
+    """Malformed pagination parameter -> 400 BadRequestException."""
+
+
 def _paginate(keys: list[str], q: dict) -> tuple[list[str], Optional[str]]:
     """Spec list pagination: ``pageToken`` is opaque — here the last key
     of the previous page (sorted-order cursor, stable across inserts
@@ -110,9 +114,13 @@ def _paginate(keys: list[str], q: dict) -> tuple[list[str], Optional[str]]:
     if not sizes:
         return keys, None
     try:
-        size = max(1, int(sizes[0]))
-    except ValueError:
-        return keys, None
+        size = int(sizes[0])
+    except ValueError as exc:
+        # loud 400, like every other malformed input — a silent
+        # full-listing response on a typo'd pageSize is unbounded
+        raise _BadPage(f"invalid pageSize: {sizes[0]!r}") from exc
+    if size < 1:
+        raise _BadPage(f"pageSize must be >= 1, got {size}")
     page = keys[:size]
     return page, (page[-1] if len(keys) > size and page else None)
 
@@ -130,6 +138,26 @@ class _CommitFailed(Exception):
 class _UnsupportedCommit(Exception):
     """A requirement or update type this server does not implement —
     BadRequestException (400), never silently ignored."""
+
+
+def _all_field_ids(node) -> list[int]:
+    """Every field/element/key/value id in an Iceberg schema JSON tree —
+    structs nest ids in fields[].id, lists in element-id, maps in
+    key-id/value-id; a top-level-only walk would miss them."""
+    ids: list[int] = []
+    if isinstance(node, dict):
+        for key in ("id", "element-id", "key-id", "value-id"):
+            v = node.get(key)
+            if isinstance(v, int):
+                ids.append(v)
+        for key in ("fields", "type", "element", "key", "value"):
+            v = node.get(key)
+            if isinstance(v, (dict, list)):
+                ids.extend(_all_field_ids(v))
+    elif isinstance(node, list):
+        for item in node:
+            ids.extend(_all_field_ids(item))
+    return ids
 
 
 def _check_requirements(meta: dict, requirements: list[dict]) -> None:
@@ -192,11 +220,14 @@ def _apply_updates(meta: dict, updates: list[dict]) -> None:
             schema["schema-id"] = new_id
             schemas.append(schema)
             last_added = new_id
-            top_ids = [int(f.get("id", 0)) for f in fields]
+            # last-column-id must cover NESTED field ids too (a struct
+            # column's element ids) — last-column-id is optional in the
+            # request, and missing a nested id would hand out a duplicate
+            # on the next add-column commit
             meta["last-column-id"] = max(
                 int(meta.get("last-column-id", 0)),
                 int(upd.get("last-column-id") or 0),
-                *(top_ids or [0]),
+                *( _all_field_ids(schema) or [0]),
             )
         elif action == "set-current-schema":
             sid = upd.get("schema-id")
@@ -345,7 +376,11 @@ class IcebergRestCatalogServer:
                 if p == ["v1", "namespaces"]:
                     with state.lock:
                         s = state._read()
-                    page, token = _paginate(sorted(s["namespaces"]), _q)
+                    try:
+                        page, token = _paginate(sorted(s["namespaces"]), _q)
+                    except _BadPage as exc:
+                        self._send(400, _error(str(exc), "BadRequestException", 400))
+                        return
                     out = {"namespaces": [ns.split(_NS_SEP) for ns in page]}
                     if token is not None:
                         out["next-page-token"] = token
@@ -367,7 +402,11 @@ class IcebergRestCatalogServer:
                     with state.lock:
                         s = state._read()
                     keys = [k for k in sorted(s["tables"]) if k.split("\x00")[0] == ns]
-                    page, token = _paginate(keys, _q)
+                    try:
+                        page, token = _paginate(keys, _q)
+                    except _BadPage as exc:
+                        self._send(400, _error(str(exc), "BadRequestException", 400))
+                        return
                     out = {
                         "identifiers": [
                             {

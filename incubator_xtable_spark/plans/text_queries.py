@@ -1499,7 +1499,6 @@ def _bpe_oracle_sql() -> str:
         pat = f"chr(1) || '{a}' || chr(2) || chr(1) || '{b}' || chr(2)"
         rep = f"chr(1) || '{a}{b}' || chr(2)"
         expr = f"replace({expr}, {pat}, {rep})"
-    toks = f"(length({expr}) - length(replace({expr}, chr(1), '')))"
     return f"""
 WITH words AS (
   SELECT doc_id, w, COUNT(*) AS cnt
@@ -1509,9 +1508,13 @@ WITH words AS (
   WHERE length(w) > 0
   GROUP BY doc_id, w
 ),
+encoded AS (
+  -- the replace chain evaluates ONCE per distinct word
+  SELECT w, {expr} AS enc FROM (SELECT DISTINCT w FROM words)
+),
 vocab AS (
-  SELECT w, CAST({toks} AS BIGINT) AS toks
-  FROM (SELECT DISTINCT w FROM words)
+  SELECT w, CAST(length(enc) - length(replace(enc, chr(1), '')) AS BIGINT) AS toks
+  FROM encoded
 )
 SELECT
   words.doc_id,
@@ -1614,7 +1617,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0).alias("w"),
-    )
+    ).filter(F.size("w") >= 2)  # <2 tokens = no bigrams; slice(w,1,-1) would throw
     bg = toks.select(
         "doc_id",
         F.explode(

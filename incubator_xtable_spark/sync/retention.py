@@ -329,18 +329,15 @@ def hudi_rollback_pending(base_path: str, *, before: Optional[str] = None) -> di
     # AND table services (clean/rollback/savepoint), which also run the
     # requested -> inflight -> completed lifecycle and leave their
     # markers behind; classifying a completed clean's leftovers as torn
-    # would delete a finished service's lifecycle record. v6 names
-    # "{instant}.{action}", v8 "{instant}_{completion}.{action}".
+    # would delete a finished service's lifecycle record. One parser
+    # for both timeline namings: hudi_target._parse_completed_name.
+    from incubator_xtable_spark.targets.hudi_target import _parse_completed_name
+
     completed_any: set[tuple[str, str]] = set()
     for fn in os.listdir(d):
-        stem0, _, action0 = fn.partition(".")
-        if not action0 or "." in action0 or action0 in ("requested", "inflight"):
-            continue
-        req0, sep0, comp0 = stem0.partition("_")
-        if stem0.isdigit():
-            completed_any.add((stem0, action0))
-        elif sep0 and req0.isdigit() and comp0.isdigit():
-            completed_any.add((req0, action0))
+        parsed = _parse_completed_name(fn, any_action=True)
+        if parsed is not None:
+            completed_any.add((parsed[0], parsed[1]))
     # pending markers: <instant>.<action>.requested / .<action>.inflight,
     # plus the commit action's bare <instant>.inflight special case
     pending: dict[str, list[str]] = {}
@@ -1662,8 +1659,15 @@ def delta_shallow_clone(
     if not versions:
         raise ValueError(f"not a delta table (no log): {src}")
     src_version = max(versions) if version is None else version
-    if version is not None and version not in versions and version > max(versions):
-        raise ValueError(f"clone version {version} is beyond head {max(versions)}")
+    if version is not None and version not in versions:
+        # membership, not just <= head: negative versions and versions
+        # whose JSON commits were pruned behind a checkpoint are equally
+        # un-cloneable — refuse with the real reason, not a misleading
+        # "no metaData" downstream error
+        raise ValueError(
+            f"clone version {version} is not available "
+            f"(retained log versions: {versions[0]}..{versions[-1]})"
+        )
     meta = latest_metadata(spark, src, src_version)
     if meta is None:
         raise ValueError(f"not a delta table (no metaData): {src}")

@@ -89,24 +89,32 @@ def timeline_dir(base_path: str) -> str:
     return t if os.path.isdir(t) else os.path.join(base_path, HOODIE_DIR)
 
 
-def _parse_completed_name(fn: str) -> Optional[tuple[str, str, Optional[str]]]:
+def _parse_completed_name(
+    fn: str, *, any_action: bool = False
+) -> Optional[tuple[str, str, Optional[str]]]:
     """Completed-instant filename -> (requested instant, action,
     completion instant or None). Accepts BOTH timeline namings:
     v6 ``{instant}.{action}`` and v8 ``{instant}_{completion}.{action}``
-    (Hudi 1.0 embeds the completion time in the filename)."""
+    (Hudi 1.0 embeds the completion time in the filename). By default
+    only WRITE actions parse (what replay/backlog consumers order by);
+    ``any_action=True`` also accepts table services (clean/rollback/
+    savepoint — everything that runs the requested->inflight->completed
+    lifecycle), for consumers like rollback's torn-marker check."""
     parts = fn.split(".")
-    if len(parts) != 2 or parts[1] not in (
-        COMMIT_ACTION,
-        REPLACE_ACTION,
-        DELTA_COMMIT_ACTION,
-    ):
+    if len(parts) != 2:
+        return None
+    action = parts[1]
+    if any_action:
+        if not action or action in ("requested", "inflight"):
+            return None
+    elif action not in (COMMIT_ACTION, REPLACE_ACTION, DELTA_COMMIT_ACTION):
         return None
     stem = parts[0]
     if stem.isdigit():
-        return stem, parts[1], None
+        return stem, action, None
     req, sep, comp = stem.partition("_")
     if sep and req.isdigit() and comp.isdigit():
-        return req, parts[1], comp
+        return req, action, comp
     return None
 
 

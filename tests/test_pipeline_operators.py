@@ -1191,3 +1191,44 @@ def test_bpe_learn_then_encode_composition(spark):
         ws = [w for w in r["text"].split(" ") if w]
         n_tokens = sum(len(_py_bpe_apply(w, merges)) for w in ws)
         assert got[r["doc_id"]] == (len(ws), n_tokens), r["doc_id"]
+
+
+def test_bigram_lm_score_survives_degenerate_texts(spark, tmp_path):
+    """Review pin: documents with empty / whitespace-only / single-token
+    text yield no bigrams and must be EXCLUDED (both engines agree) —
+    not crash Spark's slice(w, 1, size-1) with a negative length."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_xtable_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    d = tmp_path / "edge_docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": ["the cat sat", "", "   ", "one", "the cat ran far"],
+                "lang": ["en"] * 5,
+                "source": ["t"] * 5,
+                "n_chars": pa.array([11, 0, 3, 3, 15], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_e6"])
+        for r in REGISTRY["text_bigram_lm_score"].fn(spark, str(d)).collect()
+    }
+    assert set(got) == {1, 5}  # degenerate docs excluded, no crash
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    oracle = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(REGISTRY["text_bigram_lm_score"].oracle).fetchall()
+    }
+    assert got == oracle

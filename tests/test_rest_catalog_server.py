@@ -447,3 +447,68 @@ def test_list_pagination(tmp_path):
         )
         assert [i["name"] for i in body["identifiers"]] == ["t3"]
         assert "next-page-token" not in body
+
+
+def test_pagination_and_schema_edge_guards(tmp_path):
+    """Review pins: malformed pageSize is a loud 400 (never an unbounded
+    full listing), and add-schema advances last-column-id past NESTED
+    field ids (list/map/struct) so a later add-column cannot mint a
+    duplicate id."""
+    from incubator_xtable_spark.catalog.rest_server import (
+        IcebergRestCatalogServer,
+        _apply_updates,
+    )
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        t = UrllibRestTransport(server.uri)
+        status, body = t.request("GET", "/v1/namespaces?pageSize=abc")
+        assert status == 400 and body["error"]["type"] == "BadRequestException"
+        status, body = t.request("GET", "/v1/namespaces?pageSize=0")
+        assert status == 400
+
+    meta = {
+        "table-uuid": "u",
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": []}],
+        "current-schema-id": 0,
+        "last-column-id": 0,
+    }
+    # a struct column whose nested ids exceed the top-level id; the
+    # client omitted last-column-id (it is optional in the spec)
+    _apply_updates(
+        meta,
+        [
+            {
+                "action": "add-schema",
+                "schema": {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": [
+                        {
+                            "id": 5,
+                            "name": "s",
+                            "required": False,
+                            "type": {
+                                "type": "struct",
+                                "fields": [
+                                    {"id": 6, "name": "a", "required": False, "type": "int"},
+                                    {
+                                        "id": 7,
+                                        "name": "l",
+                                        "required": False,
+                                        "type": {
+                                            "type": "list",
+                                            "element-id": 8,
+                                            "element": "int",
+                                            "element-required": False,
+                                        },
+                                    },
+                                ],
+                            },
+                        }
+                    ],
+                },
+            },
+            {"action": "set-current-schema", "schema-id": -1},
+        ],
+    )
+    assert meta["last-column-id"] == 8  # nested list element-id counted
