@@ -1094,14 +1094,17 @@ def encode_jpeg_from_pixels(
     q: int = 16,
     color: bool = False,
     restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """REAL baseline JPEG from explicit grayscale pixel rows: level
     shift, 2-D DCT per 8x8 block (edge-replicated padding), flat
     quantization (step ``q``), canonical single-length huffman tables
     built from the actually-used symbols (DHT emitted, all-ones code
     left unassigned per T.81 C.2), MSB-first entropy data with 0xFF
-    stuffing. ``color=True`` writes a 3-component 4:4:4 YCbCr frame with
+    stuffing. ``color=True`` writes a 3-component YCbCr frame with
     neutral chroma (exercises decoders' interleaved-MCU path);
+    ``subsampling=(2, 2)`` with color gives the real-world 4:2:0 MCU
+    shape (four luma blocks + Cb + Cr per MCU — what camera JPEGs use);
     ``restart_interval`` inserts DRI + RSTn markers. Any spec-compliant
     baseline decoder reconstructs the image (the repo's own
     decode_jpeg_pixels recovers the per-block means exactly)."""
@@ -1109,8 +1112,14 @@ def encode_jpeg_from_pixels(
     width = len(rows[0]) if rows else 0
     if not height or not width:
         raise ValueError("empty pixel rows")
-    bw, bh = -(-width // 8), -(-height // 8)
+    sh, sv = subsampling
+    if (sh, sv) != (1, 1) and not color:
+        raise ValueError("subsampling requires color=True (chroma to subsample)")
+    if not (1 <= sh <= 4 and 1 <= sv <= 4):
+        raise ValueError(f"sampling factors out of range: {subsampling}")
     n_comp = 3 if color else 1
+    mcus_x = -(-width // (8 * sh))
+    mcus_y = -(-height // (8 * sv))
 
     def _block(bx: int, by: int) -> list[list[int]]:
         out = []
@@ -1173,16 +1182,19 @@ def encode_jpeg_from_pixels(
     # pass 1: tokenize every MCU (luma block + optional neutral chroma)
     mcu_tokens: list[list[tuple]] = []
     preds = [0] * n_comp
-    n_mcus = bw * bh
+    n_mcus = mcus_x * mcus_y
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             preds = [0] * n_comp
-        by, bx = divmod(m, bw)
+        my, mx = divmod(m, mcus_x)
         toks: list[tuple] = []
-        zz = _dct_quant(_block(bx, by))
-        t, preds[0] = _tokens_for(zz, preds[0])
-        toks += t
-        for c in range(1, n_comp):  # neutral chroma: DC 0, EOB
+        # luma: sh x sv blocks per MCU in raster order (T.81 A.2.3)
+        for by in range(sv):
+            for bx in range(sh):
+                zz = _dct_quant(_block(mx * sh + bx, my * sv + by))
+                t, preds[0] = _tokens_for(zz, preds[0])
+                toks += t
+        for c in range(1, n_comp):  # neutral chroma: DC 0, EOB (1x1)
             t, preds[c] = _tokens_for([0] * 64, preds[c])
             toks += t
         mcu_tokens.append(toks)
@@ -1210,7 +1222,8 @@ def encode_jpeg_from_pixels(
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
     sof = struct.pack(">BHHB", 8, height, width, n_comp)
     for c in range(n_comp):
-        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+        hv = (sh << 4) | sv if c == 0 else 0x11
+        sof += struct.pack(">BBB", c + 1, hv, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     dht = bytes([0x00]) + bytes(dc_bits) + dc_vals
     dht += bytes([0x10]) + bytes(ac_bits) + ac_vals

@@ -553,3 +553,42 @@ def test_jpeg_dhash_joins_perceptual_tier():
     other = [[other_blk[y // 8][x // 8] for x in range(96)] for y in range(80)]
     h3 = dhash64_image(decode_jpeg_pixels(encode_jpeg_from_pixels(other)))
     assert bin(h ^ h3).count("1") > 8
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 and 4:2:2 frames (the real-world camera-JPEG MCU shapes —
+    multiple luma blocks per interleaved MCU) decode to the same exact
+    block means as 4:4:4, including non-MCU-aligned dims (padding crop),
+    and the dHash is invariant to the sampling choice."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_jpeg,
+        decode_jpeg_pixels,
+        dhash64_image,
+        encode_jpeg_from_pixels,
+    )
+
+    W, H = 100, 84  # not multiples of 16
+    rows = [[(x * 2 + y * 3) % 256 for x in range(W)] for y in range(H)]
+    hashes = []
+    for sub in ((1, 1), (2, 2), (2, 1)):
+        blob = encode_jpeg_from_pixels(
+            rows, color=True, subsampling=sub, restart_interval=3
+        )
+        info = decode_jpeg(blob)
+        assert (info["width"], info["height"], info["channels"]) == (W, H, 3)
+        thumb = decode_jpeg_pixels(blob)
+        assert len(thumb) == -(-H // 8) and len(thumb[0]) == -(-W // 8)
+        for by in range(H // 8):
+            for bx in range(W // 8):
+                mean = (
+                    sum(rows[by * 8 + y][bx * 8 + x] for y in range(8) for x in range(8))
+                    / 64
+                )
+                assert abs(thumb[by][bx] - mean) <= 1.0, (sub, by, bx)
+        hashes.append(dhash64_image(thumb))
+    assert len(set(hashes)) == 1  # sampling choice never moves the hash
+    # grayscale cannot subsample (no chroma): loud refusal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="color"):
+        encode_jpeg_from_pixels(rows, subsampling=(2, 2))

@@ -761,6 +761,7 @@ def test_media_near_duplicates_planted_images(spark):
             kw["restart_interval"] = 3
         elif i == 1:
             kw["color"] = True
+            kw["subsampling"] = (2, 2)  # the real-world 4:2:0 MCU shape
         blobs.append((700 + i, encode_jpeg_from_pixels(twin, **kw)))
         planted.add((600 + i, 700 + i))
     # a JPEG re-encode of PNG base 0's exact pixels: mime-blocked too
