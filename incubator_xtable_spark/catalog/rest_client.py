@@ -123,11 +123,23 @@ class IcebergRestCatalogSyncClient:
     def refresh_table(
         self, table: InternalTable, catalog_table: dict, ident: CatalogTableIdentifier
     ) -> None:
-        """Point the catalog at the newest metadata.json. Preferred:
-        register with ``overwrite`` (newer REST spec revisions); servers
-        that reject an existing table (409) get the drop + re-register
-        fallback — the same net state, matching the HMS/Glue clients'
-        metadata_location rotation."""
+        """Point the catalog at the newest metadata.json. Preferred
+        (r13): a REAL commit through the table-update protocol
+        (commit_refresh — add-snapshot/set-snapshot-ref under
+        assert-then-update, so a concurrent writer surfaces as 409
+        instead of being silently overwritten). Non-append evolutions
+        (uuid change, rewritten/expired history, schema or spec drift)
+        and protocol errors fall back to register with ``overwrite``;
+        servers that reject an existing table (409) get the drop +
+        re-register fallback — the same net state, matching the
+        HMS/Glue clients' metadata_location rotation."""
+        try:
+            self.commit_refresh(ident, table)
+            return
+        except (RestCatalogError, OSError, ValueError):
+            # not an append, a commit-protocol gap, or metadata this
+            # client can't read locally — overwrite-register instead
+            pass
         status, resp = self._call(
             "POST",
             f"{self._ns_path(ident)}/register",

@@ -340,6 +340,25 @@ def test_snapshot_commit_refresh_over_live_socket(spark, tmp_path):
         committed_v = int(os.path.basename(resp["metadata-location"])[1:].split(".")[0])
         assert committed_v == versions[-1]
 
+        # refresh_table PREFERS the commit path (r13): another engine
+        # append refreshed through the generic API must land as a commit
+        # — the catalog points at a server-written version BEYOND the
+        # engine's own head file, not at the engine's head (which is
+        # what register-overwrite would do)
+        spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+            "n_nationkey", F.col("n_nationkey") + 900
+        ).coalesce(1).write.mode("append").parquet(base)
+        _convert(spark, base)
+        table3 = IcebergConversionSource(spark, base).get_current_table()
+        engine_head = client._metadata_location(table3)
+        client.refresh_table(table3, client.get_table(ident), ident)
+        loc_after = client.get_table(ident)["metadata-location"]
+        assert loc_after != engine_head
+        assert int(os.path.basename(loc_after)[1:].split(".")[0]) > int(
+            os.path.basename(engine_head)[1:].split(".")[0]
+        )
+        assert read_iceberg_as_df(spark, base).count() == 75
+
         # optimistic concurrency: a stale assert-ref-snapshot-id -> 409
         t = UrllibRestTransport(server.uri)
         status, body = t.request(
