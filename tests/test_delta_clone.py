@@ -222,3 +222,28 @@ def test_clone_cli(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["version"] == 0 and out["cloned_files"] >= 1
     assert len(_keys(read_delta_as_df(spark, dst))) == 25
+
+
+def test_clone_converts_onward_to_iceberg(spark, tmp_path):
+    """A shallow clone is a full conversion citizen: DeltaConversionSource
+    reads the clone (absolute-path adds), and converting the CLONE to
+    Iceberg yields row parity with the original table — the clone's
+    files flow through as external references, still zero-copy."""
+    from incubator_xtable_spark.sources.delta_source import DeltaConversionSource
+    from incubator_xtable_spark.sources.iceberg_source import read_iceberg_as_df
+    from incubator_xtable_spark.targets.iceberg_target import IcebergConversionTarget
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").coalesce(1).write.parquet(src)
+    _sync(spark, src)
+    delta_shallow_clone(spark, src, dst)
+
+    res = ConversionController().sync(
+        DeltaConversionSource(spark, dst),
+        {TableFormat.ICEBERG: IcebergConversionTarget(spark, dst, table_name="clone")},
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatusCode.SUCCESS
+    assert _keys(read_iceberg_as_df(spark, dst)) == _keys(read_delta_as_df(spark, src))
+    # still zero-copy: no data files under the clone directory
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
