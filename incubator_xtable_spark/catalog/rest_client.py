@@ -356,10 +356,9 @@ class IcebergRestCatalogSyncClient:
             )
         old_props = cm.get("properties") or {}
         new_props = new_meta.get("properties") or {}
-        if not set(old_props) <= set(new_props):
-            raise RestCatalogError(
-                409, "properties removed: not expressible as set-properties"
-            )
+        removed = sorted(k for k in old_props if k not in new_props)
+        if removed:
+            updates.append({"action": "remove-properties", "removals": removed})
         changed = {k: v for k, v in new_props.items() if old_props.get(k) != v}
         if changed:
             updates.append({"action": "set-properties", "updates": changed})

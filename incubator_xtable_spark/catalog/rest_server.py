@@ -29,7 +29,8 @@ client and the sync orchestration exercise):
                                              assert-current-schema-id /
                                              assert-ref-snapshot-id
                                              requirements; set-properties
-                                             / add-schema /
+                                             / remove-properties /
+                                             add-schema /
                                              set-current-schema /
                                              add-snapshot /
                                              set-snapshot-ref updates —
@@ -210,6 +211,10 @@ def _apply_updates(meta: dict, updates: list[dict]) -> None:
         action = upd.get("action")
         if action == "set-properties":
             meta.setdefault("properties", {}).update(upd.get("updates") or {})
+        elif action == "remove-properties":
+            props = meta.setdefault("properties", {})
+            for k in upd.get("removals") or []:
+                props.pop(k, None)  # spec: absent keys remove as no-ops
         elif action == "add-schema":
             schema = dict(upd.get("schema") or {})
             fields = schema.get("fields")

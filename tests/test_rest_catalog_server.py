@@ -531,3 +531,40 @@ def test_pagination_and_schema_edge_guards(tmp_path):
         ],
     )
     assert meta["last-column-id"] == 8  # nested list element-id counted
+
+
+def test_remove_properties_update(tmp_path):
+    """remove-properties (the spec's property-removal update): removed
+    keys vanish from the rewritten metadata; absent keys are no-ops."""
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        t = UrllibRestTransport(server.uri)
+        t.request("POST", "/v1/namespaces", {"namespace": ["rp"]})
+        mdir = tmp_path / "tbl" / "metadata"
+        mdir.mkdir(parents=True)
+        (mdir / "v1.metadata.json").write_text(
+            json.dumps({"table-uuid": "u1", "properties": {"a": "1", "b": "2"}}),
+            encoding="utf-8",
+        )
+        status, _ = t.request(
+            "POST",
+            "/v1/namespaces/rp/register",
+            {"name": "t", "metadata-location": str(mdir / "v1.metadata.json")},
+        )
+        assert status == 200
+        status, body = t.request(
+            "POST",
+            "/v1/namespaces/rp/tables/t",
+            {
+                "requirements": [{"type": "assert-table-uuid", "uuid": "u1"}],
+                "updates": [
+                    {"action": "remove-properties", "removals": ["b", "absent"]}
+                ],
+            },
+        )
+        assert status == 200
+        assert body["metadata"]["properties"] == {"a": "1"}
+        # the rewritten metadata file agrees
+        with open(body["metadata-location"], encoding="utf-8") as fh:
+            assert json.load(fh)["properties"] == {"a": "1"}
