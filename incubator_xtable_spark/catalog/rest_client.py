@@ -51,6 +51,14 @@ class RestCatalogError(RuntimeError):
         self.status = status
 
 
+class NotAnAppendError(RestCatalogError):
+    """CLIENT-side refusal from ``commit_refresh``: the table's new
+    metadata is not a pure snapshot append over the catalog state (uuid
+    change, rewritten/expired history, schema/spec/structural drift).
+    Distinct from a SERVER 409 CommitFailedException (a concurrent
+    writer), which must be retried — never overwritten (ADVICE r13)."""
+
+
 class IcebergRestCatalogSyncClient:
     """CatalogSyncClient over an Iceberg REST catalog transport.
 
@@ -132,14 +140,33 @@ class IcebergRestCatalogSyncClient:
         and protocol errors fall back to register with ``overwrite``;
         servers that reject an existing table (409) get the drop +
         re-register fallback — the same net state, matching the
-        HMS/Glue clients' metadata_location rotation."""
-        try:
-            self.commit_refresh(ident, table)
-            return
-        except (RestCatalogError, OSError, ValueError):
-            # not an append, a commit-protocol gap, or metadata this
-            # client can't read locally — overwrite-register instead
-            pass
+        HMS/Glue clients' metadata_location rotation.
+
+        ADVICE r13 (medium): a SERVER 409 CommitFailedException — a
+        concurrent writer advanced the table between our load and our
+        commit — is NOT a fallback case: overwrite-register would
+        last-writer-wins clobber the concurrent commit. On server 409
+        the commit is retried bounded times (commit_refresh re-loads
+        the catalog state each call, so a retry IS the spec's
+        refresh+retry); a conflict that persists past the retries
+        propagates. The overwrite fallback is reserved for client-side
+        NotAnAppendError refusals, 400 UnsupportedCommit protocol gaps,
+        404s, and metadata this client cannot read locally."""
+        for attempt in range(self.max_commit_retries + 1):
+            try:
+                self.commit_refresh(ident, table)
+                return
+            except NotAnAppendError:
+                break  # structural divergence — overwrite-register below
+            except RestCatalogError as exc:
+                if exc.status == 409:
+                    if attempt < self.max_commit_retries:
+                        continue  # concurrent writer — refresh + retry
+                    raise  # persistent conflict: never clobber it
+                break  # 400/404 protocol gap — overwrite-register below
+            except (OSError, ValueError):
+                # metadata this client can't read locally
+                break
         status, resp = self._call(
             "POST",
             f"{self._ns_path(ident)}/register",
@@ -303,7 +330,7 @@ class IcebergRestCatalogSyncClient:
             raise RestCatalogError(404, f"table not found: {ident.table!r}")
         cm = loaded.get("metadata") or {}
         if cm.get("table-uuid") != new_meta.get("table-uuid"):
-            raise RestCatalogError(
+            raise NotAnAppendError(
                 409, "table-uuid changed: not an append — use refresh_table"
             )
         # append-only check: every catalog snapshot must survive, and the
@@ -313,7 +340,7 @@ class IcebergRestCatalogSyncClient:
         new_snaps = new_meta.get("snapshots") or []
         new_ids = {s.get("snapshot-id") for s in new_snaps}
         if not cur_ids <= new_ids:
-            raise RestCatalogError(
+            raise NotAnAppendError(
                 409,
                 "catalog snapshots missing from the new metadata "
                 "(history rewritten or expired): not an append",
@@ -332,20 +359,42 @@ class IcebergRestCatalogSyncClient:
             "partition-statistics",
         ):
             if cm.get(field) != new_meta.get(field):
-                raise RestCatalogError(
+                raise NotAnAppendError(
                     409, f"{field} changed: not a snapshot append — use refresh_table"
                 )
-        added = [s for s in new_snaps if s.get("snapshot-id") not in cur_ids]
-        # history order: parents commit before children (sequence number,
-        # then timestamp — snapshot ids are random and never ordered)
-        added.sort(
-            key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0))
-        )
+        # history order: parents commit before children. ADVICE r13:
+        # NEVER by (sequence-number, timestamp) — format-version-1
+        # metadata has no sequence-number (all default 0) and
+        # same-millisecond commits would tie, sending a child before its
+        # parent and 409ing the server's parent check. Order by the
+        # parent-snapshot-id chain instead (the repo's own snapshot-id
+        # rule: ids are random, only the parent chain orders commits) —
+        # a stable topological emit: a snapshot goes out once its parent
+        # is already known to the catalog or emitted in this commit.
+        pending = [s for s in new_snaps if s.get("snapshot-id") not in cur_ids]
+        known = set(cur_ids)
+        added: list[dict] = []
+        while pending:
+            emitted = [
+                s
+                for s in pending
+                if s.get("parent-snapshot-id") is None
+                or s.get("parent-snapshot-id") in known
+            ]
+            if not emitted:
+                # orphan parents (expired outside the catalog's view) —
+                # metadata-file order is the best remaining signal; the
+                # server's parent check stays the authority
+                added.extend(pending)
+                break
+            added.extend(emitted)
+            known.update(s.get("snapshot-id") for s in emitted)
+            pending = [s for s in pending if s.get("snapshot-id") not in known]
         updates: list[dict] = [{"action": "add-snapshot", "snapshot": s} for s in added]
         new_head = new_meta.get("current-snapshot-id")
         if new_head != cm.get("current-snapshot-id"):
             if new_head in (None, -1):
-                raise RestCatalogError(409, "new metadata has no current snapshot")
+                raise NotAnAppendError(409, "new metadata has no current snapshot")
             updates.append(
                 {
                     "action": "set-snapshot-ref",

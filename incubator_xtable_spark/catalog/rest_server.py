@@ -327,10 +327,27 @@ def _apply_commit(
     )
     meta["last-updated-ms"] = int(time.time() * 1000)
     new_loc = os.path.join(mdir, f"v{version + 1}.metadata.json")
-    tmp = f"{new_loc}.tmp.{os.getpid()}"
+    tmp = f"{new_loc}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(meta, fh, indent=1)
-    os.replace(tmp, new_loc)
+    # ADVICE r13: EXCLUSIVE create (os.link), matching the engine
+    # writer's own discipline (iceberg_target._write_next_metadata) —
+    # os.replace would silently destroy a writer commit that landed
+    # between the version scan above and this write (TOCTOU). On
+    # collision the commit did NOT apply and our updates were computed
+    # against now-stale metadata, so bumping the version would drop the
+    # concurrent writer's changes from the chain: refuse with 409
+    # CommitFailedException instead — the client refreshes (re-reading
+    # the now-newer on-disk metadata) and retries.
+    try:
+        os.link(tmp, new_loc)
+    except FileExistsError:
+        raise _CommitFailed(
+            f"metadata version v{version + 1} appeared during the commit "
+            "(concurrent writer): refresh and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     hint = os.path.join(mdir, "version-hint.text")
     with open(hint, "w", encoding="utf-8") as fh:
         fh.write(str(version + 1))

@@ -337,3 +337,157 @@ def test_commit_conflict_retries_then_succeeds(spark, tmp_path):
     server.request = always_conflict
     with pytest.raises(RestCatalogError, match="409"):
         client.update_table_properties(ident, {"k": "v2"})
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13: refresh_table vs server 409, and parent-chain commit order
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_iceberg_table(tmp_path, meta: dict):
+    """A minimal on-disk Iceberg metadata tree + InternalTable handle for
+    exercising commit_refresh without a Spark conversion."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from incubator_xtable_spark.model.core import InternalTable
+
+    base = tmp_path / "synth"
+    mdir = base / "metadata"
+    mdir.mkdir(parents=True)
+    (mdir / "v1.metadata.json").write_text(json.dumps(meta), encoding="utf-8")
+    (mdir / "version-hint.text").write_text("1", encoding="utf-8")
+    return InternalTable(
+        name="synth",
+        table_format=TableFormat.ICEBERG,
+        base_path=str(base),
+        read_schema=T.StructType([]),
+    )
+
+
+class _CommitProbeServer:
+    """GET loads a fixed catalog state; POST commit answers a scripted
+    status; register calls are recorded (they must NOT happen on a
+    persistent commit conflict)."""
+
+    def __init__(self, cm: dict, commit_status: int = 200) -> None:
+        self.cm = cm
+        self.commit_status = commit_status
+        self.commit_bodies: list[dict] = []
+        self.register_calls: list[dict] = []
+
+    def request(self, method: str, path: str, body=None):
+        if method == "GET":
+            return 200, {"metadata-location": "/catalog/loc", "metadata": self.cm}
+        if method == "POST" and path.endswith("/register"):
+            self.register_calls.append(body)
+            return 200, {"metadata-location": body["metadata-location"], "metadata": self.cm}
+        if method == "POST":
+            self.commit_bodies.append(body)
+            if self.commit_status == 200:
+                return 200, {"metadata-location": "/catalog/loc2", "metadata": self.cm}
+            return self.commit_status, {"error": {"type": "CommitFailedException"}}
+        return 404, {}
+
+
+def _chain_meta(uuid="u-1"):
+    """v1-style metadata (NO sequence-numbers, same timestamp-ms): chain
+    A(111) <- B(55) <- C(999), listed OUT of parent order (A, C, B) —
+    snapshot ids deliberately non-monotone vs history position."""
+    a = {"snapshot-id": 111, "timestamp-ms": 1000}
+    b = {"snapshot-id": 55, "parent-snapshot-id": 111, "timestamp-ms": 1000}
+    c = {"snapshot-id": 999, "parent-snapshot-id": 55, "timestamp-ms": 1000}
+    catalog = {"table-uuid": uuid, "snapshots": [a], "current-snapshot-id": 111, "properties": {}}
+    disk = {"table-uuid": uuid, "snapshots": [a, c, b], "current-snapshot-id": 999, "properties": {}}
+    return catalog, disk
+
+
+def test_commit_refresh_orders_added_snapshots_by_parent_chain(tmp_path):
+    """ADVICE r13 (low): format-version-1 metadata has no
+    sequence-number, so (seq, ts) tie-breaks could send a child before
+    its parent. The commit must order added snapshots by the
+    parent-snapshot-id chain: B(55) before C(999) even though C precedes
+    B in the metadata file and 999 > 55 numerically."""
+    catalog, disk = _chain_meta()
+    table = _synthetic_iceberg_table(tmp_path, disk)
+    server = _CommitProbeServer(catalog)
+    client = IcebergRestCatalogSyncClient(server)
+    client.commit_refresh(CatalogTableIdentifier("db", "synth"), table)
+    assert len(server.commit_bodies) == 1
+    updates = server.commit_bodies[0]["updates"]
+    adds = [u["snapshot"]["snapshot-id"] for u in updates if u["action"] == "add-snapshot"]
+    assert adds == [55, 999]  # parent before child
+    ref = next(u for u in updates if u["action"] == "set-snapshot-ref")
+    assert ref["snapshot-id"] == 999
+    reqs = server.commit_bodies[0]["requirements"]
+    assert {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 111} in reqs
+
+
+def test_refresh_table_propagates_persistent_commit_conflict(tmp_path):
+    """ADVICE r13 (medium): a server 409 CommitFailedException is a
+    CONCURRENT WRITER — refresh_table retries the commit (bounded) and,
+    when the conflict persists, PROPAGATES instead of falling through to
+    register-overwrite (which would last-writer-wins clobber the
+    concurrent commit)."""
+    import pytest
+
+    catalog, disk = _chain_meta()
+    table = _synthetic_iceberg_table(tmp_path, disk)
+    server = _CommitProbeServer(catalog, commit_status=409)
+    client = IcebergRestCatalogSyncClient(server)
+    ident = CatalogTableIdentifier("db", "synth")
+    with pytest.raises(RestCatalogError, match="409"):
+        client.refresh_table(table, {"metadata": catalog}, ident)
+    # bounded retries all hit the commit endpoint; the overwrite
+    # fallback NEVER fired
+    assert len(server.commit_bodies) == client.max_commit_retries + 1
+    assert server.register_calls == []
+
+
+def test_refresh_table_transient_conflict_retries_then_succeeds(tmp_path):
+    """A transient 409 (the concurrent writer finished) retries the
+    commit — commit_refresh re-loads the catalog state each call, which
+    IS the spec's refresh+retry — and succeeds without any register."""
+    catalog, disk = _chain_meta()
+    table = _synthetic_iceberg_table(tmp_path, disk)
+    server = _CommitProbeServer(catalog, commit_status=409)
+    orig = server.request
+
+    def flaky(method, path, body=None):
+        if method == "POST" and not path.endswith("/register") and server.commit_bodies:
+            server.commit_status = 200  # second attempt wins
+        return orig(method, path, body)
+
+    server.request = flaky
+    client = IcebergRestCatalogSyncClient(server)
+    client.refresh_table(table, {"metadata": catalog}, CatalogTableIdentifier("db", "synth"))
+    assert len(server.commit_bodies) == 2
+    assert server.register_calls == []
+
+
+def test_refresh_table_unsupported_commit_falls_back_to_register(tmp_path):
+    """A 400 (protocol gap: the server doesn't speak the commit updates)
+    is NOT a conflict — the overwrite-register fallback is the correct
+    path and must still fire."""
+    catalog, disk = _chain_meta()
+    table = _synthetic_iceberg_table(tmp_path, disk)
+    server = _CommitProbeServer(catalog, commit_status=400)
+    client = IcebergRestCatalogSyncClient(server)
+    client.refresh_table(table, {"metadata": catalog}, CatalogTableIdentifier("db", "synth"))
+    assert len(server.commit_bodies) == 1  # no pointless retries on 400
+    assert len(server.register_calls) == 1
+    assert server.register_calls[0]["overwrite"] is True
+
+
+def test_refresh_table_not_an_append_falls_back_to_register(tmp_path):
+    """Client-side NotAnAppendError (uuid drift) still takes the
+    overwrite-register fallback without ever POSTing a commit."""
+    catalog, disk = _chain_meta()
+    catalog["table-uuid"] = "different-uuid"
+    table = _synthetic_iceberg_table(tmp_path, disk)
+    server = _CommitProbeServer(catalog, commit_status=409)
+    client = IcebergRestCatalogSyncClient(server)
+    client.refresh_table(table, {"metadata": catalog}, CatalogTableIdentifier("db", "synth"))
+    assert server.commit_bodies == []
+    assert len(server.register_calls) == 1

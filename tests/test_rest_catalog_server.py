@@ -568,3 +568,149 @@ def test_remove_properties_update(tmp_path):
         # the rewritten metadata file agrees
         with open(body["metadata-location"], encoding="utf-8") as fh:
             assert json.load(fh)["properties"] == {"a": "1"}
+
+
+def test_commit_exclusive_write_refuses_toctou_collision(tmp_path, monkeypatch):
+    """ADVICE r13 (low): a writer commit landing between the server's
+    version scan and its metadata write must NOT be clobbered — the
+    write is an exclusive os.link create; on collision the commit
+    refuses with CommitFailedException (the client refreshes + retries
+    against the now-newer metadata)."""
+    from incubator_xtable_spark.catalog import rest_server as rs
+
+    mdir = tmp_path / "t" / "metadata"
+    mdir.mkdir(parents=True)
+    loc = mdir / "v1.metadata.json"
+    loc.write_text(json.dumps({"table-uuid": "u", "properties": {}}), encoding="utf-8")
+
+    orig = rs._apply_updates
+
+    def racing_writer(meta, updates):
+        orig(meta, updates)
+        # an engine writer lands v2 between the scan and the write
+        (mdir / "v2.metadata.json").write_text(
+            json.dumps({"table-uuid": "u", "writer-commit": True}), encoding="utf-8"
+        )
+
+    monkeypatch.setattr(rs, "_apply_updates", racing_writer)
+    with pytest.raises(rs._CommitFailed, match="concurrent"):
+        rs._apply_commit(
+            str(loc), [], [{"action": "set-properties", "updates": {"x": "1"}}]
+        )
+    # the writer's v2 survived byte-intact; no tmp litter remains
+    assert json.loads((mdir / "v2.metadata.json").read_text())["writer-commit"] is True
+    assert not [f for f in os.listdir(mdir) if ".tmp." in f]
+
+
+class _BarrierTransport:
+    """Wraps a live transport; the FIRST commit POST of each thread
+    parks at a shared barrier so both committers send bodies built from
+    the same observed catalog state (the deterministic race)."""
+
+    def __init__(self, inner, barrier):
+        self.inner = inner
+        self.barrier = barrier
+        self.waited = False
+        self.commit_statuses: list[int] = []
+
+    def request(self, method, path, body=None):
+        is_commit = (
+            method == "POST"
+            and "/tables/" in path
+            and isinstance(body, dict)
+            and "updates" in body
+        )
+        if is_commit and not self.waited:
+            self.waited = True
+            self.barrier.wait(timeout=30)
+        status, resp = self.inner.request(method, path, body)
+        if is_commit:
+            self.commit_statuses.append(status)
+        return status, resp
+
+
+def test_two_live_racing_committers(spark, tmp_path):
+    """VERDICT r13 #7: two LIVE clients race commit_refresh from the
+    same observed state over the socket. Exactly one first-try winner;
+    the loser 409s, refreshes, and succeeds (its retry finds nothing
+    left to commit). Two raced rounds leave BOTH appends in the chain in
+    order, and the loser never falls back to register-overwrite (the
+    catalog head stays a server-written version past the engine head)."""
+    import threading
+
+    from incubator_xtable_spark.catalog.rest_client import (
+        IcebergRestCatalogSyncClient,
+    )
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from pyspark.sql import functions as F
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        base = _staged(spark, tmp_path)
+        _convert(spark, base)
+        boot = make_rest_client({"uri": server.uri})
+        ident = CatalogTableIdentifier(database="lake.race", table="nation_r")
+        boot.create_database(ident)
+        table0 = IcebergConversionSource(spark, base).get_current_table()
+        boot.create_table(table0, ident)
+        chain_heads = []
+
+        for round_no in (1, 2):
+            spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+                "n_nationkey", F.col("n_nationkey") + 1000 * round_no
+            ).coalesce(1).write.mode("append").parquet(base)
+            _convert(spark, base)
+            table = IcebergConversionSource(spark, base).get_current_table()
+            engine_head = boot._metadata_location(table)
+
+            barrier = threading.Barrier(2)
+            transports = [
+                _BarrierTransport(UrllibRestTransport(server.uri), barrier)
+                for _ in range(2)
+            ]
+            clients = [IcebergRestCatalogSyncClient(t) for t in transports]
+            errors: list[BaseException] = []
+
+            def refresh(c=None, t=None):
+                try:
+                    c.refresh_table(t, None, ident)
+                except BaseException as exc:  # noqa: BLE001
+                    errors.append(exc)
+
+            threads = [
+                threading.Thread(target=refresh, kwargs={"c": c, "t": table})
+                for c in clients
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=60)
+            assert errors == [], errors
+
+            first_tries = [t.commit_statuses[0] for t in transports]
+            assert sorted(first_tries) == [200, 409], first_tries
+            # the loser's refresh-retry found the commit already applied
+            # (no second POST) or re-committed cleanly — every recorded
+            # status after the first is a 200
+            for t in transports:
+                assert all(s == 200 for s in t.commit_statuses[1:])
+
+            loaded = boot.get_table(ident)
+            meta = loaded["metadata"]
+            chain_heads.append(meta["current-snapshot-id"])
+            # the commit path won (never register-overwrite): the catalog
+            # points PAST the engine's own head file
+            assert loaded["metadata-location"] != engine_head
+            assert int(
+                os.path.basename(loaded["metadata-location"])[1:].split(".")[0]
+            ) > int(os.path.basename(engine_head)[1:].split(".")[0])
+
+        # both raced appends are in the final chain, in order
+        final = boot.get_table(ident)["metadata"]
+        ids = [s["snapshot-id"] for s in final["snapshots"]]
+        assert ids.index(chain_heads[0]) < ids.index(chain_heads[1])
+        assert final["current-snapshot-id"] == chain_heads[1]
+        parents = {
+            s["snapshot-id"]: s.get("parent-snapshot-id") for s in final["snapshots"]
+        }
+        assert parents[chain_heads[1]] == chain_heads[0]
