@@ -274,6 +274,146 @@ def ann_lsh_topk(
     )
 
 
+def md5_plane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic INTEGER hyperplane weights derived from md5: weight
+    of plane p (0-based) at dimension d (1-based) is the first 4 hex
+    digits of md5(f"{p}_{d}") minus 32768 — i.e. a value in
+    [-32768, 32767]. Both Spark's md5() and DuckDB's md5() compute the
+    same digest, so an oracle can recompute the planes exactly; here
+    they are precomputed driver-side (data-independent constants) and
+    shipped as literals."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:4], 16) - 32768
+            for d in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def ann_lsh_md5_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 3,
+) -> DataFrame:
+    """ORACLE-EXPRESSIBLE banded LSH top-k (r14): the integer-exact
+    variant of ann_lsh_topk. Embedding values quantize to
+    floor(double(x) * 1e9 + 0.5) int64; each of ``n_planes`` hyperplanes
+    is an md5-derived INTEGER weight vector (md5_plane_weights), so the
+    sign bits come from pure int64 dot products — bit-identical in
+    Spark, numpy AND DuckDB SQL (no float summation-order hazard).
+    The ``n_planes``-bit signature splits into ``n_bands`` contiguous
+    bands; candidates share >= 1 band value with a query (the
+    MinHash-banding shape); exact double cosine reranks (the proven
+    KNN_ORACLE arithmetic), fully tie-broken by c_id.
+
+    Plan shape is ann_lsh_topk's: one Arrow map pass for signatures
+    (integer matmul — exact), narrow (bucket, id) candidate stream,
+    broadcast query probes, distinct before the rerank join. No
+    multiprobe (the oracle mirrors bands exactly). Scale: bucket count
+    per band = 2^(n_planes/n_bands); candidate volume bounded by band
+    collisions, never quadratic.
+
+    Overflow envelope: |quantized| <= ~2^35 for unit-ish embeddings,
+    |weight| <= 2^15, dim 64 -> |dot| < 2^56, safely inside int64 on
+    every engine."""
+    from pyspark.sql import Window as W
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide into n_bands equal slices")
+    band_bits = n_planes // n_bands
+    W_int = np.asarray(md5_plane_weights(n_planes, dim), dtype=np.int64)
+    planes_t = np.ascontiguousarray(W_int.T)  # (dim, n_planes)
+    bitw = 2 ** np.arange(n_planes, dtype=np.int64)
+    d = dim
+
+    def _sig(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            if lst.null_count:
+                raise ValueError("ann_lsh_md5_topk: null vectors are not bucketable")
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) != len(ids) * d:
+                raise ValueError(
+                    f"ann_lsh_md5_topk: expected uniform dim {d}, got "
+                    f"{len(flat)} values for {len(ids)} vectors"
+                )
+            arr = _np.asarray(flat, dtype=_np.float64).reshape(len(ids), d)
+            q9 = _np.floor(arr * 1e9 + 0.5).astype(_np.int64)
+            bits = (q9 @ planes_t) >= 0  # integer matmul: exact
+            sig = (bits * bitw).sum(axis=1).astype(_np.int64)
+            yield _pa.record_batch([ids, _pa.array(sig)], names=["kid", "sig"])
+
+    def sigs_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias("kid"), F.col(vec_col).alias("v")
+        ).mapInArrow(_sig, "kid LONG, sig LONG")
+
+    mask = (1 << band_bits) - 1
+
+    def band_keys(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col("kid").alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("int")
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "bval"),
+        )
+
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < parallelism:
+        vectors = vectors.repartition(parallelism)
+    cand = band_keys(sigs_of(vectors), "c_id")
+    qp = band_keys(sigs_of(queries), "q_id")
+    pairs = (
+        cand.join(F.broadcast(qp), ["band", "bval"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+    )
+    scored = (
+        pairs.join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     *,

@@ -78,6 +78,22 @@ def base_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.hash(s).cast("long") + F.lit(2**31))
 
 
+def base_hashes_md5(shingles: Column) -> Column:
+    """One md5-derived 32-bit hash per shingle — the ORACLE-EXPRESSIBLE
+    hash family (r14): DuckDB's md5() produces the identical digest, so
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT`` recomputes this value
+    exactly and the whole MinHash+LSH pipeline becomes differential-
+    checkable. Value range [0, 2^32) — the same int64-safe envelope as
+    the murmur3 family, so the affine-permutation arithmetic is
+    unchanged. Cost: md5 is a JVM intrinsic (~2-3x murmur3 per call),
+    paid once per DISTINCT shingle per row — still codegen'd, still
+    zero Python."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def signature_from_base(base: Column, num_hashes: int) -> Column:
     """Affine permutations over precomputed base hashes.
 
@@ -104,44 +120,51 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     Two docs land in the same bucket iff one band (num_hashes/bands
     consecutive signature slots) matches exactly. Returns
     (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
+
+    ``hash_family``: "murmur3" (default — Spark hash(), band keys
+    re-hashed to int) or "md5" (r14 — base hashes from md5 hex prefixes
+    and band keys as the RAW comma-joined signature slice, both exactly
+    recomputable by a DuckDB oracle; identical plan shape and shuffle
+    count, only the hash primitives differ).
     """
     rows_per_band = num_hashes // bands
     # spread rows before the signature compute: a table that arrives as one
     # file is one partition, and per-row expression work would serialize
     docs = _spread(docs)
+    base_fn = base_hashes_md5 if hash_family == "md5" else base_hashes
     # two-step select so base hashes materialize once (see signature_from_base)
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
-        base_hashes(shingles_col(F.col(text_col), shingle_n)).alias("bh"),
+        base_fn(shingles_col(F.col(text_col), shingle_n)).alias("bh"),
     ).select(
         "doc_id",
         signature_from_base(F.col("bh"), num_hashes).alias("sig"),
     )
+
+    def band_key(b: int) -> Column:
+        raw = F.concat_ws(
+            ",",
+            *[
+                F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        # md5 family: keep the raw slice string (oracle-recomputable);
+        # murmur3 family: re-hash to a narrow int key as before
+        return raw if hash_family == "md5" else F.hash(raw)
+
     banded = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    # band signature: hash of its slice of the minhash vector
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band", "band_sig"
+        ),
     )
     left = banded.select(
         F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_a")
@@ -162,11 +185,18 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
     Returns (doc_a, doc_b, jaccard)."""
     cands = minhash_lsh_candidates(
-        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
     )
     sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
@@ -243,9 +273,18 @@ def simhash_near_duplicates(
     bits: int = 64,
     n_bands: int = 4,
     block_cols: tuple[str, ...] = (),
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """SimHash near-dup pairs via multi-band blocking (the MinHash-banding
     shape applied to Hamming space).
+
+    ``hash_family``: "murmur3" (default — hash()/xxhash64 token hashes)
+    or "md5" (r14, bits must be <= 32): token hashes from md5 hex
+    prefixes, exactly recomputable by a DuckDB oracle. Because banding
+    recall is EXACT for max_hamming <= n_bands - 1 (pigeonhole, no
+    max_bucket drop here), the banded result set equals the brute-force
+    within-block result — so the oracle can verify with a simple blocked
+    self-join while this plan keeps the bounded-bucket banding shape.
 
     The signature is split into n_bands contiguous slices; by pigeonhole,
     any pair within Hamming <= n_bands-1 agrees EXACTLY on at least one
@@ -260,12 +299,22 @@ def simhash_near_duplicates(
     corpus), bucket population stays bounded as the corpus grows. Shuffles:
     one for the band self-join, one for the pair distinct.
     """
+    if hash_family == "md5":
+        if bits > 32:
+            raise ValueError("md5 hash family derives 32 hash bits; bits must be <= 32")
+
+        def tok_hash(tok: Column) -> Column:
+            return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+    else:
+        # 64-bit token hashes (xxhash64) feed a 64-bit signature
+        def tok_hash(tok: Column) -> Column:
+            return F.xxhash64(tok) if bits > 32 else F.hash(tok)
+
     sigs = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        # 64-bit token hashes (xxhash64) feed a 64-bit signature
         F.transform(
-            F.array_distinct(tokens_col(F.col(text_col))),
-            (lambda tok: F.xxhash64(tok)) if bits > 32 else (lambda tok: F.hash(tok)),
+            F.array_distinct(tokens_col(F.col(text_col))), tok_hash
         ).alias("th"),
         *[F.col(c) for c in block_cols],
     ).select(

@@ -258,6 +258,60 @@ def fake_feature_extract(df: DataFrame, n_features: int = 8) -> DataFrame:
     return narrow.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def exact_feature_extract(df: DataFrame, n_features: int = 8) -> DataFrame:
+    """ORACLE-EXPRESSIBLE variant of fake_feature_extract (r14): the same
+    chunked-byte-mean features, computed in PURE INTEGER arithmetic —
+    feature k = round-half-up(chunk_sum * 1e6 / chunk_len) as int64 —
+    so a DuckDB oracle can recompute them exactly from the same blob
+    bytes (hex(blob) + substr byte extraction + BIGINT division). Chunk
+    boundaries follow numpy.array_split: the first (n % k) chunks get
+    one extra byte. Emits the first two features (f1_e6, f2_e6) plus
+    n_bytes — the feature columns the registry entry exposes.
+
+    Scale posture identical to fake_feature_extract: Arrow-batched
+    mapInPandas, skew-gated repartition, narrow output."""
+
+    def _extract(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        def chunk_stats(arr, k):
+            n = len(arr)
+            base, extra = divmod(n, n_features)
+            length = base + (1 if k < extra else 0)
+            start = k * base + min(k, extra)
+            if length == 0:
+                return 0
+            s = int(np.sum(arr[start : start + length], dtype=np.int64))
+            # round-half-up of s*1e6/length in exact integer math
+            return (2 * s * 10**6 + length) // (2 * length)
+
+        for pdf in batches:
+            rows = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                if content is None:
+                    rows.append((mid, mtype, None, None, None))
+                    continue
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                rows.append(
+                    (mid, mtype, int(len(arr)), chunk_stats(arr, 0), chunk_stats(arr, 1))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "n_bytes", "f1_e6", "f2_e6"]
+            )
+
+    narrow = df.select("media_id", "media_type", "content")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    return narrow.mapInPandas(
+        _extract,
+        "media_id LONG, media_type STRING, n_bytes LONG, f1_e6 LONG, f2_e6 LONG",
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/demos: treat document text bytes as opaque blobs
     (the container has no real media), preserving the MEDIA_SCHEMA contract."""

@@ -1,12 +1,15 @@
 """Registry entries for the scale-path pipeline operators (MinHash-LSH,
 SimHash, ANN-LSH, multimodal feature extraction).
 
-These have no DuckDB oracle (murmur3 hashing / seeded hyperplanes / Arrow
-batch transforms are not expressible in the oracle's SQL), so the driver
-records the weaker rows-only check; determinism across runs is guaranteed
-(Spark hash() is stable Murmur3; hyperplanes use a fixed numpy seed; the
-fake decoder is pure byte math). pytest verifies their QUALITY instead:
-LSH recall against brute force, near-dup pairs superset of exact dups.
+r14: the four graded family representatives are ORACLE-BEARING — the
+hash primitives moved to an md5-derived family (Spark md5() == DuckDB
+md5()) and the feature extractor to exact integer math, so the DuckDB
+oracle recomputes the full pipelines (signatures, banding, candidate
+sets, verification) value-for-value. The plan SHAPES are unchanged from
+the rows-only era (same banding kernels, same shuffle counts, same
+Arrow batch plumbing) — only the hash family / quantization differs.
+The legacy murmur3/xxhash/seeded-hyperplane variants stay registered in
+the ungraded tier (still pytest-quality-gated and bench-timed).
 """
 
 from __future__ import annotations
@@ -14,34 +17,251 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_xtable_spark.operators.ann import ann_lsh_topk
+from incubator_xtable_spark.operators.ann import ann_lsh_md5_topk, ann_lsh_topk
 from incubator_xtable_spark.operators.dedup import (
+    _permutation_params,
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
-from incubator_xtable_spark.operators.multimodal import documents_as_media, fake_feature_extract
+from incubator_xtable_spark.operators.multimodal import (
+    documents_as_media,
+    exact_feature_extract,
+)
 from incubator_xtable_spark.plans.common import t
 from incubator_xtable_spark.plans.registry import register
+
+# the exact affine-permutation constants the Spark signature uses,
+# inlined into the oracle so DuckDB derives the SAME 64 minhashes
+_AB_SQL = (
+    "["
+    + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in _permutation_params(64))
+    + "]"
+)
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id, shingles,
+         list_transform({_AB_SQL},
+           p -> list_min(list_transform(shingles,
+                s -> (('0x' || substr(md5(s), 1, 8))::BIGINT * p[1] + p[2]) % 2147483647))) AS sg
+  FROM sh
+), banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(sg[4*b + 1 : 4*b + 4], ',') AS bsig
+  FROM sig, range(0, 16) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
     category="dedup",
-    description="MinHash+LSH banding near-dup pairs (rows-only; murmur3)",
+    description="MinHash+LSH banding near-dup pairs (md5 family — the "
+    "oracle replays signatures, banding AND the Jaccard verify)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash with the md5 hash family: one md5 per distinct
+    shingle -> 64 affine permutations -> 16 bands x 4 rows -> candidate
+    pairs sharing >= 1 band -> exact Jaccard >= 0.5. The DuckDB oracle
+    recomputes every stage (including which pairs become candidates),
+    certifying the LSH mechanics themselves. Shuffles: band grouping +
+    candidate self-join + verify join — identical to the murmur3 plan."""
     docs = t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+    return minhash_near_duplicates(docs, threshold=0.5, hash_family="md5").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH th AS (
+  SELECT doc_id, lang, source,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS h
+  FROM documents
+), sg AS (
+  SELECT doc_id, lang, source,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN 2 * coalesce(list_sum(list_transform(h, v -> (v >> b) & 1)), 0) > len(h)
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+  FROM th
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sg a
+JOIN sg b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
     category="dedup",
-    description="SimHash fingerprint near-dup pairs (rows-only)",
+    description="SimHash near-dup pairs (md5 family; banding == "
+    "brute-force within blocks by pigeonhole, which the oracle exploits)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit signature, 4x16-bit band blocking: recall is exact for
-    # Hamming <= 3 (pigeonhole), buckets stay bounded on skewed corpora
+    """32-bit md5-family SimHash, 4x8-bit band blocking within
+    (lang, source): banding recall is EXACT for Hamming <= 3
+    (pigeonhole), so the banded result set provably equals the
+    brute-force within-block result — the oracle verifies with the
+    simple blocked self-join while this plan keeps the bounded-bucket
+    banding shape (2^8 buckets per band per block; one band self-join
+    shuffle + one pair distinct)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs,
+        max_hamming=3,
+        bits=32,
+        n_bands=4,
+        block_cols=("lang", "source"),
+        hash_family="md5",
+    ).orderBy("doc_a", "doc_b")
+
+
+_ANN_LSH_ORACLE = """
+WITH w AS (
+  SELECT p, list_transform(range(1, 65),
+         d -> ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 4))::BIGINT - 32768) AS wt
+  FROM range(0, 12) t(p)
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS q9,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bits AS (
+  SELECT e.vec_id, w.p,
+         CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> e.q9[i] * w.wt[i])) AS BIGINT) >= 0
+              THEN (1::BIGINT << w.p) ELSE 0::BIGINT END AS bitv
+  FROM e, w
+), sig AS (
+  SELECT vec_id, CAST(sum(bitv) AS BIGINT) AS sig FROM bits GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, b AS band, (sig >> (4 * b)) & 15 AS bval
+  FROM sig, range(0, 3) t(b)
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM banded q
+  JOIN banded c ON q.band = c.band AND q.bval = c.bval
+  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+), scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim,
+         list_dot_product(qe.v, ce.v)
+           / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos_raw
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.q_id
+  JOIN e ce ON ce.vec_id = cand.c_id
+)
+SELECT q_id, c_id, cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (SELECT q_id, c_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+ORDER BY q_id, rank
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_ANN_LSH_ORACLE,
+    category="vector",
+    description="banded-LSH cosine top-5 (integer md5 hyperplanes — the "
+    "oracle replays bucketing, candidates AND the rerank)",
+)
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-expressible banded LSH: md5-derived INTEGER hyperplanes
+    over floor(x*1e9+0.5)-quantized embeddings give bit-exact sign
+    signatures on every engine (operators/ann.ann_lsh_md5_topk); 3
+    bands x 4 bits bound the candidate buckets; exact double cosine
+    reranks (the proven KNN arithmetic). The seeded float-hyperplane
+    multiprobe variant stays registered as ann_lsh_multiprobe."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_lsh_md5_topk(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+_MM_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, strlen(text) AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         n // 8 + CASE WHEN n % 8 > 0 THEN 1 ELSE 0 END AS l0,
+         n // 8 + CASE WHEN n % 8 > 1 THEN 1 ELSE 0 END AS l1
+  FROM b
+), s AS (
+  SELECT c.doc_id, c.n, c.l0, c.l1,
+         coalesce(list_sum(list_transform(range(1, c.l0 + 1),
+            i -> ('0x' || substr(b.h, 2*i - 1, 2))::BIGINT)), 0) AS s0,
+         coalesce(list_sum(list_transform(range(c.l0 + 1, c.l0 + c.l1 + 1),
+            i -> ('0x' || substr(b.h, 2*i - 1, 2))::BIGINT)), 0) AS s1
+  FROM c JOIN b ON b.doc_id = c.doc_id
+)
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN l0 = 0 THEN 0 ELSE (2 * s0 * 1000000 + l0) // (2 * l0) END AS BIGINT) AS f1_e6,
+       CAST(CASE WHEN l1 = 0 THEN 0 ELSE (2 * s1 * 1000000 + l1) // (2 * l1) END AS BIGINT) AS f2_e6
+FROM s
+ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_features",
+    oracle=_MM_FEATURES_ORACLE,
+    category="multimodal",
+    description="binary-column feature extraction via Arrow batches "
+    "(exact integer chunk means — the oracle recomputes them from the "
+    "same blob bytes via hex extraction)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic Arrow-batched extractor in ORACLE-EXACT form
+    (operators/multimodal.exact_feature_extract): numpy.array_split
+    chunked byte means as round-half-up(sum*1e6/len) int64. The DuckDB
+    oracle extracts the identical bytes from hex(blob) and applies the
+    same integer formula — certifying the mapInPandas batch plumbing
+    end-to-end by value. Same skew-gated repartition + narrow output as
+    the float extractor (which multimodal_decode and the dHash tier
+    keep exercising)."""
+    docs = t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return exact_feature_extract(media).orderBy("media_id")
+
+
+@register(
+    "dedup_simhash64",
+    category="dedup",
+    description="64-bit xxhash SimHash near-dup pairs (rows-only legacy "
+    "family; 4x16-bit bands)",
+    graded=False,
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 graded entry, kept bench-timed: 64-bit xxhash
+    signatures, 4x16-bit band blocking (recall exact for Hamming <= 3),
+    (lang, source) blocks."""
     docs = t(spark, sf_dir, "documents")
     return simhash_near_duplicates(
         docs, max_hamming=3, block_cols=("lang", "source")
@@ -49,32 +269,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     category="vector",
-    description="LSH-bucketed cosine top-5 (rows-only; seeded hyperplanes)",
+    description="LSH-bucketed cosine top-5 (rows-only legacy family; "
+    "seeded float hyperplanes + 1-bit multiprobe)",
+    graded=False,
 )
-def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 graded entry, kept bench-timed: seeded float
+    hyperplanes, 8 planes x 2 bands, 1-bit-flip multiprobe; recall vs
+    brute force pinned in tests/test_pipeline_operators.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_lsh_topk(emb, queries, k=5).orderBy("q_id", "rank")
 
 
 @register(
-    "multimodal_features",
-    category="multimodal",
-    description="binary-column feature extraction via Arrow batches (rows-only)",
+    "dedup_minhash_murmur3",
+    category="dedup",
+    description="MinHash+LSH banding near-dup pairs (rows-only legacy "
+    "family; murmur3 + hashed band keys)",
+    graded=False,
 )
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 graded entry, kept bench-timed: murmur3 base hashes
+    and int-hashed band keys (the cheapest-per-shingle family; also the
+    family dedup_fuzzy_pipeline composes)."""
     docs = t(spark, sf_dir, "documents")
-    media = documents_as_media(docs)
-    feats = fake_feature_extract(media)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f1"),
-        F.round(F.element_at("features", 2), 6).alias("f2"),
-    ).orderBy("media_id")
+    return minhash_near_duplicates(docs, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
 _MM_DECODE_ORACLE = """

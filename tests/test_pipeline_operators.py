@@ -1233,3 +1233,101 @@ def test_bigram_lm_score_survives_degenerate_texts(spark, tmp_path):
         for row in con.execute(REGISTRY["text_bigram_lm_score"].oracle).fetchall()
     }
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# r14: md5 (oracle-expressible) hash family — quality matches the legacy
+# families and the exact extractor matches a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_md5_family_finds_planted_dups(spark, docs_with_dups):
+    pairs = minhash_near_duplicates(
+        docs_with_dups, threshold=0.5, hash_family="md5"
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for d in range(5, 8):
+        assert (d, d + 200000) in found, f"exact dup {d} missed (md5 family)"
+    near_hits = sum(1 for d in range(5) if (d, d + 100000) in found)
+    assert near_hits >= 3, f"only {near_hits}/5 near-dups found (md5 family)"
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_md5_family_finds_exact_dups(spark, docs_with_dups):
+    pairs = simhash_near_duplicates(
+        docs_with_dups, max_hamming=3, bits=32, n_bands=4, hash_family="md5"
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for d in range(5, 8):
+        assert (d, d + 200000) in found, f"exact dup {d} missed (md5 simhash)"
+    exact_keys = {(d, d + 200000) for d in range(5, 8)}
+    assert all(r["hamming"] == 0 for r in pairs if (r["doc_a"], r["doc_b"]) in exact_keys)
+    # md5 family refuses > 32 bits loudly (only 32 hash bits derived)
+    with pytest.raises(ValueError, match="32"):
+        simhash_near_duplicates(docs_with_dups, bits=64, hash_family="md5").collect()
+
+
+def test_ann_lsh_md5_recall_and_rerank_exactness(spark):
+    from incubator_xtable_spark.operators.ann import ann_lsh_md5_topk
+
+    brute = ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["c_id"]) for r in brute}
+    brute_sim = {(r["q_id"], r["c_id"]): r["cos_sim"] for r in brute}
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = ann_lsh_md5_topk(emb, queries, k=5).collect()
+    got = {(r["q_id"], r["c_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall > 0.1, f"md5-LSH recall {recall:.2f} at chance level"
+    # the rerank is EXACT cosine: any pair also in the brute-force top-5
+    # must carry the identical rounded similarity
+    for r in approx:
+        key = (r["q_id"], r["c_id"])
+        if key in brute_sim:
+            assert r["cos_sim"] == brute_sim[key]
+    assert all(1 <= r["rank"] <= 5 for r in approx)
+
+
+def test_ann_lsh_md5_layout_invariance(spark):
+    """Band keys are row-local (integer matmul per row): repartitioning
+    the corpus must not change the result set."""
+    from incubator_xtable_spark.operators.ann import ann_lsh_md5_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = ann_lsh_md5_topk(emb, queries, k=5).collect()
+    b = ann_lsh_md5_topk(emb.repartition(13), queries, k=5).collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert sorted(((r["q_id"], r["c_id"], r["cos_sim"], r["rank"]) for r in a)) == sorted(
+        ((r["q_id"], r["c_id"], r["cos_sim"], r["rank"]) for r in b)
+    )
+
+
+def test_exact_feature_extract_matches_python_reference(spark):
+    """The integer chunk-mean features equal a from-scratch Python
+    computation on the same bytes, including the numpy.array_split
+    boundary rule and short blobs (n < n_features)."""
+    from incubator_xtable_spark.operators.multimodal import exact_feature_extract
+
+    texts = ["", "a", "ab", "abcdefg", "abcdefgh", "abcdefghi", "hello world " * 7]
+    rows = [(i, "image", t.encode()) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "media_id LONG, media_type STRING, content BINARY")
+    got = {r["media_id"]: r for r in exact_feature_extract(df).collect()}
+
+    def ref(data, k, n_features=8):
+        n = len(data)
+        base, extra = divmod(n, n_features)
+        length = base + (1 if k < extra else 0)
+        start = k * base + min(k, extra)
+        if length == 0:
+            return 0
+        s = sum(data[start : start + length])
+        return (2 * s * 10**6 + length) // (2 * length)
+
+    for i, t in enumerate(texts):
+        data = t.encode()
+        r = got[i]
+        assert r["n_bytes"] == len(data)
+        assert r["f1_e6"] == ref(data, 0), (i, t)
+        assert r["f2_e6"] == ref(data, 1), (i, t)
