@@ -455,7 +455,10 @@ GROUP BY cohort_week, week_offset
     oracle=COHORT_ORACLE,
     category="events",
     description="weekly cohort retention matrix (first-seen week x offset)",
-    # r12: rotated INTO the driver window (flagship analytics)
+    # r12: rotated INTO the driver window (flagship analytics); r14:
+    # rotated back out for text_bigram_lm_score (events_funnel keeps the
+    # analytics family graded); still oracle-gated via parity + bench
+    graded=False,
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention — users bucketed by the Monday week of
@@ -645,7 +648,9 @@ ORDER BY h.event_type, h.window_start
     category="events",
     description="|z| > 2 hourly-volume anomaly flags per event type "
     "(integer-exact cross-multiplied variance)",
-    graded=False,  # driver window pinned at 50; oracle-gated via parity
+    # r14: promoted into the graded window (VERDICT r13 #2); the slot
+    # came from distinct_parts_per_supplier (dedup_exact_summary keeps
+    # the distinct/dedup family's graded representative)
 )
 def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume anomaly detection — the monitoring shape every event

@@ -61,6 +61,10 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     oracle=GSETS_ORACLE,
     category="relational",
     description="explicit GROUPING SETS",
+    # r14: rotated out of the graded window for text_bpe_encode
+    # (rollup_acctbal keeps the grouping-sets/rollup family graded);
+    # still oracle-gated via the parity suite + bench
+    graded=False,
 )
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")

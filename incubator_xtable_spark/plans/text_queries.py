@@ -1535,7 +1535,9 @@ ORDER BY words.doc_id
     category="text",
     description="BPE tokenization under a fixed merge table: per-doc "
     "token stats (oracle-checked)",
-    graded=False,  # driver window pinned at 50; oracle-gated via parity
+    # r14: promoted into the graded window (VERDICT r13 #2); the slot
+    # came from grouping_sets_orders (rollup_acctbal keeps the
+    # grouping-sets/rollup family's graded representative)
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of the BPE family (the learner is
@@ -1596,7 +1598,9 @@ ORDER BY doc_id
     category="text",
     description="corpus-trained bigram LM fluency score per doc "
     "(exact-integer conditional MLE)",
-    graded=False,  # driver window pinned at 50; oracle-gated via parity
+    # r14: promoted into the graded window (VERDICT r13 #2); the slot
+    # came from events_retention_cohorts (events_funnel keeps the
+    # analytics family's graded representative)
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring — the KenLM-filtering pattern of LLM
