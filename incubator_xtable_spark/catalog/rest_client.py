@@ -304,6 +304,52 @@ class IcebergRestCatalogSyncClient:
             raise RestCatalogError(status, f"commit add-column failed: {resp}")
         raise AssertionError("unreachable: the loop always returns or raises")
 
+    def commit_expire_snapshots(
+        self, ident: CatalogTableIdentifier, snapshot_ids: list[int]
+    ) -> dict:
+        """Retire history through the commit protocol (r14): one
+        remove-snapshots update under assert-table-uuid +
+        assert-ref-snapshot-id(main) — the atomic path real engines use
+        for snapshot expiration, so a concurrent commit cannot interleave
+        with the removal. 409 refreshes the assertions and retries
+        (dropping ids a racing expiration already removed). Returns the
+        server's commit response."""
+        remaining = list(snapshot_ids)
+        for attempt in range(self.max_commit_retries + 1):
+            loaded = self.get_table(ident)
+            if loaded is None:
+                raise RestCatalogError(404, f"table not found: {ident.table!r}")
+            meta = loaded.get("metadata") or {}
+            present = {s.get("snapshot-id") for s in meta.get("snapshots") or []}
+            remaining = [i for i in remaining if i in present]
+            if not remaining:
+                return loaded  # nothing left to expire (raced or already done)
+            cur_head = meta.get("current-snapshot-id")
+            body = {
+                "identifier": {
+                    "namespace": self._ns_parts(ident),
+                    "name": ident.table,
+                },
+                "requirements": [
+                    {"type": "assert-table-uuid", "uuid": meta.get("table-uuid")},
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": None if cur_head in (None, -1) else cur_head,
+                    },
+                ],
+                "updates": [
+                    {"action": "remove-snapshots", "snapshot-ids": remaining}
+                ],
+            }
+            status, resp = self._call("POST", self._table_path(ident), body)
+            if status == 200:
+                return resp
+            if status == 409 and attempt < self.max_commit_retries:
+                continue  # refresh assertions / drop raced ids, retry
+            raise RestCatalogError(status, f"commit expire-snapshots failed: {resp}")
+        raise AssertionError("unreachable: the loop always returns or raises")
+
     def commit_refresh(
         self, ident: CatalogTableIdentifier, table: InternalTable
     ) -> dict:

@@ -266,6 +266,52 @@ def _apply_updates(meta: dict, updates: list[dict]) -> None:
                 int(meta.get("last-sequence-number", 0)),
                 int(snap.get("sequence-number", 0)),
             )
+        elif action == "remove-snapshots":
+            ids = upd.get("snapshot-ids")
+            if not isinstance(ids, list) or not ids:
+                raise _UnsupportedCommit(
+                    "remove-snapshots requires a non-empty snapshot-ids list"
+                )
+            idset = set(ids)
+            snaps = meta.get("snapshots") or []
+            present = {s.get("snapshot-id") for s in snaps}
+            missing = idset - present
+            if missing:
+                raise _CommitFailed(
+                    f"remove-snapshots: not in table history: {sorted(missing)}"
+                )
+            # the current head and ref-pinned snapshots are NOT removable
+            # (real expiration excludes them; removing one would break
+            # every reader mid-flight)
+            if meta.get("current-snapshot-id") in idset:
+                raise _CommitFailed(
+                    "remove-snapshots: cannot remove the current snapshot"
+                )
+            pinned = {
+                r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
+            } & idset
+            if pinned:
+                raise _CommitFailed(
+                    f"remove-snapshots: ref-pinned snapshots: {sorted(pinned)}"
+                )
+            meta["snapshots"] = [
+                s for s in snaps if s.get("snapshot-id") not in idset
+            ]
+            meta["snapshot-log"] = [
+                e
+                for e in meta.get("snapshot-log") or []
+                if e.get("snapshot-id") not in idset
+            ]
+            # statistics of removed snapshots are unreachable: drop their
+            # ENTRIES (the files belong to the table owner — the server
+            # never deletes table files; the retention client cleans up)
+            for stats_field in ("statistics", "partition-statistics"):
+                if meta.get(stats_field):
+                    meta[stats_field] = [
+                        s
+                        for s in meta[stats_field]
+                        if s.get("snapshot-id") not in idset
+                    ]
         elif action == "set-snapshot-ref":
             name, sid = upd.get("ref-name"), upd.get("snapshot-id")
             if not name or sid is None:
@@ -325,6 +371,20 @@ def _apply_commit(
     meta.setdefault("metadata-log", []).append(
         {"timestamp-ms": meta.get("last-updated-ms", 0), "metadata-file": location}
     )
+    # metadata-log trimming (history retirement, the write-side half of
+    # expiration): real writers bound previous-metadata history by the
+    # table property write.metadata.previous-versions-max; honor it when
+    # set (entries only — the server never deletes metadata FILES)
+    try:
+        max_prev = int(
+            (meta.get("properties") or {}).get(
+                "write.metadata.previous-versions-max", 0
+            )
+        )
+    except (TypeError, ValueError):
+        max_prev = 0
+    if max_prev > 0 and len(meta["metadata-log"]) > max_prev:
+        meta["metadata-log"] = meta["metadata-log"][-max_prev:]
     meta["last-updated-ms"] = int(time.time() * 1000)
     new_loc = os.path.join(mdir, f"v{version + 1}.metadata.json")
     tmp = f"{new_loc}.tmp.{os.getpid()}.{threading.get_ident()}"

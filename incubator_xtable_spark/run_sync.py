@@ -520,6 +520,19 @@ def run_maintenance(argv: list[str] | None = None) -> int:
         "deleted (default 3 days, real Iceberg's in-flight-commit guard; "
         "0 disables the age filter — tests only)",
     )
+    ap.add_argument(
+        "--rest-uri",
+        default=None,
+        help="expire: Iceberg REST catalog URI — when given (with "
+        "--rest-ident), the expiration rides the catalog's atomic "
+        "remove-snapshots commit instead of a local metadata rewrite",
+    )
+    ap.add_argument(
+        "--rest-ident",
+        default=None,
+        help="expire: catalog identifier as namespace.table (the last "
+        "dot splits namespace from table name)",
+    )
     args = ap.parse_args(argv)
 
     from incubator_xtable_spark.sync import retention as R
@@ -582,7 +595,26 @@ def run_maintenance(argv: list[str] | None = None) -> int:
             spark, args.path, args.to_path, version=args.to_version
         )
     else:  # expire
-        out = {"expired": R.iceberg_expire_snapshots(args.path, keep_last=args.keep_last)}
+        rest_client = rest_ident = None
+        if args.rest_uri and args.rest_ident:
+            from incubator_xtable_spark.catalog.rest_client import make_rest_client
+            from incubator_xtable_spark.catalog.sync_client import (
+                CatalogTableIdentifier,
+            )
+
+            db, _, tbl = args.rest_ident.rpartition(".")
+            if not db or not tbl:
+                raise SystemExit("--rest-ident must be namespace.table")
+            rest_client = make_rest_client({"uri": args.rest_uri})
+            rest_ident = CatalogTableIdentifier(database=db, table=tbl)
+        out = {
+            "expired": R.iceberg_expire_snapshots(
+                args.path,
+                keep_last=args.keep_last,
+                rest_client=rest_client,
+                rest_ident=rest_ident,
+            )
+        }
     print(json.dumps(out))
     return 0
 

@@ -137,12 +137,29 @@ def delta_vacuum(spark: SparkSession, base_path: str, dry_run: bool = True) -> l
 # ---------------------------------------------------------------------------
 
 
-def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
+def iceberg_expire_snapshots(
+    base_path: str,
+    keep_last: int = 1,
+    *,
+    rest_client=None,
+    rest_ident=None,
+) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots from the table
     metadata and delete their manifest-list files. Expired snapshot ids are
     returned; the parent chain behind the retained window is broken, which
     downstream incremental-safety checks detect
-    (IcebergConversionSource.java:266-290)."""
+    (IcebergConversionSource.java:266-290).
+
+    r14: when the table is REST-catalog-registered (``rest_client`` +
+    ``rest_ident`` given and the catalog is CURRENT — same table-uuid
+    and same head snapshot as the on-disk metadata), the metadata
+    evolution rides the ATOMIC commit path
+    (rest_client.commit_expire_snapshots: one remove-snapshots update
+    under assert-table-uuid + assert-ref-snapshot-id), so a concurrent
+    catalog commit cannot interleave with the removal; the engine then
+    deletes the now-unreachable manifest-list/statistics FILES locally
+    (metadata first, files after — the real-world expiration order).
+    A stale or foreign catalog state falls back to the local rewrite."""
     from incubator_xtable_spark.targets.iceberg_target import (
         current_metadata_version,
         metadata_dir,
@@ -166,6 +183,12 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     expired = [s for s in snapshots if s["snapshot-id"] not in keep]
     if not expired:
         return []
+    if rest_client is not None and rest_ident is not None:
+        done = _expire_via_rest_commit(
+            base_path, meta, expired, rest_client, rest_ident
+        )
+        if done is not None:
+            return done
     for s in expired:
         ml = s.get("manifest-list")
         if ml and os.path.exists(ml):
@@ -215,6 +238,52 @@ def iceberg_expire_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     with open(os.path.join(metadata_dir(base_path), "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return [s["snapshot-id"] for s in expired]
+
+
+def _expire_via_rest_commit(
+    base_path: str, meta: dict, expired: list[dict], rest_client, rest_ident
+) -> "list[int] | None":
+    """Attempt the atomic REST expire (see iceberg_expire_snapshots).
+    Returns the expired ids on success, None to signal the caller to
+    fall back to the local rewrite (stale/foreign catalog state, or a
+    server without the remove-snapshots update)."""
+    try:
+        loaded = rest_client.get_table(rest_ident)
+    except Exception:  # transport-level failure -> local path
+        return None
+    cm = (loaded or {}).get("metadata") or {}
+    # the catalog must be CURRENT for this exact table: same uuid, same
+    # head — otherwise the server would evolve a different/stale chain
+    if (
+        cm.get("table-uuid") != meta.get("table-uuid")
+        or cm.get("current-snapshot-id") != meta.get("current-snapshot-id")
+    ):
+        return None
+    expired_ids = [s["snapshot-id"] for s in expired]
+    # collect the files that become unreachable BEFORE the commit
+    # (afterwards the entries are gone from the metadata)
+    doomed_files = [
+        s.get("manifest-list")
+        for s in expired
+        if s.get("manifest-list")
+    ]
+    gone = set(expired_ids)
+    for stats_field in ("statistics", "partition-statistics"):
+        doomed_files.extend(
+            e.get("statistics-path")
+            for e in meta.get(stats_field) or []
+            if e.get("snapshot-id") in gone and e.get("statistics-path")
+        )
+    try:
+        rest_client.commit_expire_snapshots(rest_ident, expired_ids)
+    except Exception:
+        # 400 (server lacks remove-snapshots) / persistent 409 — the
+        # caller's local rewrite still converges; never half-expire
+        return None
+    for p in doomed_files:
+        if os.path.exists(p):
+            os.unlink(p)
+    return expired_ids
 
 
 # ---------------------------------------------------------------------------

@@ -714,3 +714,194 @@ def test_two_live_racing_committers(spark, tmp_path):
             s["snapshot-id"]: s.get("parent-snapshot-id") for s in final["snapshots"]
         }
         assert parents[chain_heads[1]] == chain_heads[0]
+
+
+def test_expire_snapshots_rides_rest_commit(spark, tmp_path):
+    """VERDICT r13 #5: snapshot expiration through the live socket —
+    iceberg_expire_snapshots detects the REST-registered current table
+    and retires history via ONE remove-snapshots commit under
+    assert-table-uuid + assert-ref-snapshot-id; client, catalog and the
+    engine's own source agree on the surviving chain; conformance stays
+    green; incremental-safety reports the broken chain; unreachable
+    manifest-lists are deleted locally AFTER the commit."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+    from incubator_xtable_spark.model.conformance import check_iceberg_conformance
+    from incubator_xtable_spark.sources.iceberg_source import (
+        IcebergConversionSource,
+        read_iceberg_as_df,
+    )
+    from incubator_xtable_spark.sync.retention import iceberg_expire_snapshots
+    from incubator_xtable_spark.targets.iceberg_target import read_table_metadata
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        base = _staged(spark, tmp_path)
+        _convert(spark, base)
+        client = make_rest_client({"uri": server.uri})
+        ident = CatalogTableIdentifier(database="lake.exp", table="nation_e")
+        client.create_database(ident)
+        first_head = read_table_metadata(base)["current-snapshot-id"]
+        for i in (1, 2):
+            spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+                "n_nationkey", F.col("n_nationkey") + 100 * i
+            ).coalesce(1).write.mode("append").parquet(base)
+            _convert(spark, base)
+        table = IcebergConversionSource(spark, base).get_current_table()
+        client.create_table(table, ident)
+        meta_before = read_table_metadata(base)
+        assert len(meta_before["snapshots"]) == 3
+        doomed_mls = [
+            s["manifest-list"]
+            for s in meta_before["snapshots"]
+            if s["snapshot-id"] != meta_before["current-snapshot-id"]
+        ]
+
+        expired = iceberg_expire_snapshots(
+            base, keep_last=1, rest_client=client, rest_ident=ident
+        )
+        assert first_head in expired and len(expired) == 2
+
+        # catalog, fresh client AND the engine's source agree on the chain
+        loaded = client.get_table(ident)
+        cat_meta = loaded["metadata"]
+        disk_meta = read_table_metadata(base)
+        assert [s["snapshot-id"] for s in cat_meta["snapshots"]] == [
+            s["snapshot-id"] for s in disk_meta["snapshots"]
+        ]
+        assert len(disk_meta["snapshots"]) == 1
+        assert disk_meta["current-snapshot-id"] == meta_before["current-snapshot-id"]
+        # the commit path won: the catalog points at a server-written
+        # version (the expire was a catalog commit, not a local rewrite)
+        assert loaded["metadata-location"] == os.path.join(
+            base, "metadata",
+            os.path.basename(loaded["metadata-location"]),
+        )
+        # snapshot-log trimmed to the surviving chain
+        assert all(
+            e["snapshot-id"] == disk_meta["current-snapshot-id"]
+            for e in disk_meta.get("snapshot-log", [])
+        )
+        # unreachable manifest-lists deleted locally after the commit
+        assert doomed_mls and all(not os.path.exists(p) for p in doomed_mls)
+        # table still reads at head; conformance green
+        assert read_iceberg_as_df(spark, base).count() == 75
+        report = check_iceberg_conformance(spark, base)
+        assert report.passed, [(i.code, i.detail) for i in report.issues]
+        # incremental from an expired snapshot is now UNSAFE
+        src = IcebergConversionSource(spark, base)
+        assert not src.is_incremental_sync_safe_from(str(first_head))
+
+        # guards over the live socket: removing the current head or an
+        # unknown snapshot refuses with 409 CommitFailedException
+        t = UrllibRestTransport(server.uri)
+        path = "/v1/namespaces/lake%1Fexp/tables/nation_e"
+        status, body = t.request(
+            "POST",
+            path,
+            {
+                "requirements": [],
+                "updates": [
+                    {
+                        "action": "remove-snapshots",
+                        "snapshot-ids": [disk_meta["current-snapshot-id"]],
+                    }
+                ],
+            },
+        )
+        assert status == 409 and "current" in body["error"]["message"]
+        status, body = t.request(
+            "POST",
+            path,
+            {
+                "requirements": [],
+                "updates": [{"action": "remove-snapshots", "snapshot-ids": [42]}],
+            },
+        )
+        assert status == 409 and "not in table history" in body["error"]["message"]
+
+
+def test_expire_falls_back_local_when_catalog_stale(spark, tmp_path):
+    """A catalog pointing at a STALE head (engine advanced since the
+    last refresh) must not be asked to evolve the wrong chain: the
+    expire falls back to the local rewrite and still converges."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+    from incubator_xtable_spark.sources.iceberg_source import IcebergConversionSource
+    from incubator_xtable_spark.sync.retention import iceberg_expire_snapshots
+    from incubator_xtable_spark.targets.iceberg_target import read_table_metadata
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        base = _staged(spark, tmp_path)
+        _convert(spark, base)
+        client = make_rest_client({"uri": server.uri})
+        ident = CatalogTableIdentifier(database="lake.stale", table="nation_s")
+        client.create_database(ident)
+        client.create_table(
+            IcebergConversionSource(spark, base).get_current_table(), ident
+        )
+        cat_loc_before = client.get_table(ident)["metadata-location"]
+        # engine advances WITHOUT refreshing the catalog
+        for i in (1, 2):
+            spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumn(
+                "n_nationkey", F.col("n_nationkey") + 100 * i
+            ).coalesce(1).write.mode("append").parquet(base)
+            _convert(spark, base)
+
+        expired = iceberg_expire_snapshots(
+            base, keep_last=1, rest_client=client, rest_ident=ident
+        )
+        assert len(expired) == 2
+        assert len(read_table_metadata(base)["snapshots"]) == 1
+        # the catalog pointer was NOT advanced by the fallback (no commit)
+        assert client.get_table(ident)["metadata-location"] == cat_loc_before
+
+
+def test_metadata_log_trimming_honors_table_property(tmp_path):
+    """write.metadata.previous-versions-max bounds the metadata-log on
+    every commit (entries only; files untouched)."""
+    t = None
+    from incubator_xtable_spark.catalog.rest_server import IcebergRestCatalogServer
+
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as server:
+        t = UrllibRestTransport(server.uri)
+        t.request("POST", "/v1/namespaces", {"namespace": ["ml"]})
+        mdir = tmp_path / "tbl" / "metadata"
+        mdir.mkdir(parents=True)
+        (mdir / "v1.metadata.json").write_text(
+            json.dumps(
+                {
+                    "table-uuid": "u1",
+                    "properties": {"write.metadata.previous-versions-max": "2"},
+                }
+            ),
+            encoding="utf-8",
+        )
+        status, _ = t.request(
+            "POST",
+            "/v1/namespaces/ml/register",
+            {"name": "t", "metadata-location": str(mdir / "v1.metadata.json")},
+        )
+        assert status == 200
+        locs = []
+        for i in range(4):
+            status, body = t.request(
+                "POST",
+                "/v1/namespaces/ml/tables/t",
+                {
+                    "requirements": [{"type": "assert-table-uuid", "uuid": "u1"}],
+                    "updates": [
+                        {"action": "set-properties", "updates": {f"k{i}": "v"}}
+                    ],
+                },
+            )
+            assert status == 200
+            locs.append(body["metadata-location"])
+        final = json.loads(open(locs[-1], encoding="utf-8").read())
+        log = final["metadata-log"]
+        assert len(log) == 2  # trimmed to the property bound
+        # the trimmed entries are the two NEWEST predecessors
+        assert [e["metadata-file"] for e in log] == [locs[-3], locs[-2]]
+        # older metadata FILES still exist (entries trimmed, files kept)
+        assert os.path.exists(locs[0])
