@@ -229,21 +229,7 @@ def decode_mp4(data: bytes) -> dict:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise MediaDecodeError("not an MP4: missing ftyp box")
 
-    def _boxes(buf: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            (size,), btype = struct.unpack(">I", buf[pos : pos + 4]), buf[pos + 4 : pos + 8]
-            if size == 1:  # 64-bit largesize
-                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
-                yield btype, pos + 16, pos + size
-            elif size == 0:  # to end of enclosing box
-                yield btype, pos + 8, end
-                return
-            else:
-                yield btype, pos + 8, pos + size
-            if size < 8:
-                raise MediaDecodeError("MP4: bad box size")
-            pos += size
+    _boxes = _mp4_boxes  # shared iterator (also drives the r14 sample-table walk)
 
     timescale = duration = width = height = None
     for btype, s, e in _boxes(data, 0, len(data)):
@@ -474,6 +460,244 @@ def encode_mp4(
     moov = _box("moov".encode(), _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     return ftyp + moov
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """ISO-BMFF box iterator (shared by decode_mp4 and the sample-table
+    walk): yields (type, body_start, body_end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,), btype = struct.unpack(">I", buf[pos : pos + 4]), buf[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            yield btype, pos + 16, pos + size
+        elif size == 0:  # to end of enclosing box
+            yield btype, pos + 8, end
+            return
+        else:
+            yield btype, pos + 8, pos + size
+        if size < 8:
+            raise MediaDecodeError("MP4: bad box size")
+        pos += size
+
+
+# sample-description fourccs that carry JPEG frames (QuickTime 'jpeg',
+# motion-JPEG A/B, the AVI-era 'MJPG' spelling)
+_MJPEG_FOURCCS = (b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"mjpg")
+
+
+def mp4_first_video_sample(data: bytes) -> tuple[bytes, bytes]:
+    """Walk moov/trak/mdia/minf/stbl sample tables (stsd + stsz +
+    stco/co64) of the first VIDEO track and return (codec_fourcc,
+    first-sample bytes). The first sample starts at the first chunk
+    offset (per ISO 14496-12 the first sample of chunk 1 IS sample 1);
+    its size comes from stsz (fixed sample_size or entry 1).
+    Raises MediaDecodeError on missing/malformed tables."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise MediaDecodeError("not an MP4: missing ftyp box")
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(data, s, e):
+            if ctype != b"trak":
+                continue
+            handler = None
+            stbl = None
+            for ttype, ts, te in _mp4_boxes(data, cs, ce):
+                if ttype != b"mdia":
+                    continue
+                for mtype, ms, me in _mp4_boxes(data, ts, te):
+                    if mtype == b"hdlr":
+                        handler = data[ms + 8 : ms + 12]
+                    elif mtype == b"minf":
+                        for ntype, ns, ne in _mp4_boxes(data, ms, me):
+                            if ntype == b"stbl":
+                                stbl = (ns, ne)
+            if stbl is None or (handler is not None and handler != b"vide"):
+                continue
+            fourcc = sample_size = offset = None
+            ns, ne = stbl
+            for xtype, xs, xe in _mp4_boxes(data, ns, ne):
+                body = data[xs:xe]
+                if xtype == b"stsd":
+                    if len(body) < 16:
+                        raise MediaDecodeError("MP4: truncated stsd box")
+                    (entry_count,) = struct.unpack(">I", body[4:8])
+                    if entry_count < 1:
+                        raise MediaDecodeError("MP4: empty stsd box")
+                    fourcc = body[12:16]
+                elif xtype == b"stsz":
+                    if len(body) < 12:
+                        raise MediaDecodeError("MP4: truncated stsz box")
+                    fixed, count = struct.unpack(">II", body[4:12])
+                    if count < 1:
+                        raise MediaDecodeError("MP4: stsz has no samples")
+                    if fixed:
+                        sample_size = fixed
+                    else:
+                        if len(body) < 16:
+                            raise MediaDecodeError("MP4: truncated stsz entries")
+                        (sample_size,) = struct.unpack(">I", body[12:16])
+                elif xtype in (b"stco", b"co64"):
+                    if len(body) < 8:
+                        raise MediaDecodeError(f"MP4: truncated {xtype.decode()} box")
+                    (n_chunks,) = struct.unpack(">I", body[4:8])
+                    if n_chunks < 1:
+                        raise MediaDecodeError("MP4: no chunks in chunk-offset box")
+                    if xtype == b"stco":
+                        (offset,) = struct.unpack(">I", body[8:12])
+                    else:
+                        (offset,) = struct.unpack(">Q", body[8:16])
+            if fourcc is None or sample_size is None or offset is None:
+                raise MediaDecodeError(
+                    "MP4: video track lacks stsd/stsz/stco sample tables"
+                )
+            if offset + sample_size > len(data):
+                raise MediaDecodeError("MP4: first sample extends past the file")
+            return fourcc, data[offset : offset + sample_size]
+    raise MediaDecodeError("MP4: no video track with sample tables")
+
+
+def decode_mp4_mjpeg_frame(data: bytes) -> list[list[int]]:
+    """First-frame pixel decode for MOTION-JPEG MP4/QuickTime files
+    (r14, VERDICT r13 #3): resolve the first video sample through the
+    stsd/stsz/stco tables and baseline-decode it with the r13 JPEG
+    entropy decoder (1/8-scale DC luma rows — the resolution dHash
+    box-means to). Non-JPEG codecs (H.264 'avc1' etc.) refuse loudly
+    naming the fourcc — pixel reconstruction there genuinely needs
+    external codec libraries; the quarantine stays honest."""
+    fourcc, sample = mp4_first_video_sample(data)
+    if fourcc not in _MJPEG_FOURCCS:
+        raise MediaDecodeError(
+            f"MP4 video codec {fourcc.decode(errors='replace')!r} needs "
+            "external codecs (only MJPEG/'jpeg' sample entries decode here)"
+        )
+    if sample[:2] != b"\xff\xd8":
+        raise MediaDecodeError("MP4: MJPEG sample does not start with JPEG SOI")
+    return decode_jpeg_pixels(sample)
+
+
+def encode_mp4_mjpeg(
+    frames: list[list[list[int]]],
+    *,
+    timescale: int = 1000,
+    frame_duration: int = 40,
+    q: int = 16,
+) -> bytes:
+    """Structurally valid MJPEG-in-MP4 fixture: each frame (grayscale
+    pixel rows) becomes a real baseline JPEG (encode_jpeg_from_pixels);
+    the moov carries a video trak with hdlr('vide') and full
+    stsd('jpeg')/stts/stsc/stsz/stco sample tables; frames live in mdat
+    one chunk per sample with ABSOLUTE file offsets (computed after the
+    moov is assembled, the standard moov-before-mdat layout)."""
+    if not frames:
+        raise ValueError("encode_mp4_mjpeg requires at least one frame")
+    jpegs = [encode_jpeg_from_pixels(fr, q=q) for fr in frames]
+    width = len(frames[0][0])
+    height = len(frames[0])
+    n = len(jpegs)
+    duration = n * frame_duration
+
+    mvhd = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    mdhd = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0)  # und language, pre_defined
+    )
+    hdlr = (
+        b"\x00\x00\x00\x00"
+        + b"\x00" * 4
+        + b"vide"
+        + b"\x00" * 12
+        + b"MJPEG Video Handler\x00"
+    )
+    # VisualSampleEntry 'jpeg' (ISO 14496-12 §12.1.3)
+    sample_entry_body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 1)
+        + _box(b"jpeg", sample_entry_body)
+    )
+    stts = b"\x00\x00\x00\x00" + struct.pack(">I", 1) + struct.pack(
+        ">II", n, frame_duration
+    )
+    stsc = b"\x00\x00\x00\x00" + struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1)
+    stsz = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(j)) for j in jpegs)
+    )
+    dref = b"\x00\x00\x00\x00" + struct.pack(">I", 1) + _box(
+        b"url ", b"\x00\x00\x00\x01"
+    )
+    vmhd = b"\x00\x00\x00\x01" + b"\x00" * 8
+
+    def build_moov(offsets: list[int]) -> bytes:
+        stco = (
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", n)
+            + b"".join(struct.pack(">I", o) for o in offsets)
+        )
+        stbl = (
+            _box(b"stsd", stsd)
+            + _box(b"stts", stts)
+            + _box(b"stsc", stsc)
+            + _box(b"stsz", stsz)
+            + _box(b"stco", stco)
+        )
+        minf = _box(b"vmhd", vmhd) + _box(b"dinf", _box(b"dref", dref)) + _box(
+            b"stbl", stbl
+        )
+        mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + _box(b"minf", minf)
+        trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+        return _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak))
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41qt  ")
+    # stco sizes don't depend on the offset VALUES (fixed 4-byte each),
+    # so one dry build sizes the moov, then real offsets go in
+    moov_size = len(build_moov([0] * n))
+    mdat_payload_start = len(ftyp) + moov_size + 8
+    offsets = []
+    at = mdat_payload_start
+    for j in jpegs:
+        offsets.append(at)
+        at += len(j)
+    moov = build_moov(offsets)
+    assert len(moov) == moov_size
+    mdat = _box(b"mdat", b"".join(jpegs))
+    return ftyp + moov + mdat
 
 
 # ---------------------------------------------------------------------------

@@ -348,11 +348,13 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
     blobs huffman-decode to the 1/8-scale DC luma thumbnail
     (media_codecs.decode_jpeg_pixels, r13 — exactly the resolution the
     hash box-means to); all hash via the classic 9x8 box-mean dHash.
-    WAV blobs hash their energy envelope (dhash64_audio). Containers
-    whose frame decode needs external codec libraries (MP4 video
-    tracks) — and non-baseline JPEGs (progressive/arithmetic) — yield
-    dhash=NULL with the reason in ``error`` — the quarantine posture
-    (strict=True raises naming the media_id instead).
+    WAV blobs hash their energy envelope (dhash64_audio). MP4 video
+    tracks with MJPEG/'jpeg' sample entries decode frame 1 through the
+    stsd/stsz/stco sample-table walk + the same JPEG decoder (r14);
+    codecs that genuinely need external libraries (H.264 'avc1' etc.) —
+    and non-baseline JPEGs (progressive/arithmetic) — yield dhash=NULL
+    with the reason in ``error`` — the quarantine posture (strict=True
+    raises naming the media_id instead).
 
     Scale: one Arrow-batched mapInPandas pass, bounded work per blob
     (these fixtures are small; real corpora gate pixel decode by blob
@@ -373,6 +375,7 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
             MediaDecodeError,
             decode_gif_pixels,
             decode_jpeg_pixels,
+            decode_mp4_mjpeg_frame,
             decode_png_pixels,
             dhash64_audio,
             dhash64_image,
@@ -406,6 +409,12 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
                         h = dhash64_image(decode_jpeg_pixels(blob))
                     elif mime == "audio/wav":
                         h = dhash64_audio(wav_samples(blob))
+                    elif mime == "video/mp4":
+                        # r14: MJPEG sample entries decode frame 1 via the
+                        # stsd/stsz/stco walk + the r13 JPEG decoder;
+                        # H.264 and friends still refuse inside (the
+                        # honest quarantine, caught below as an error row)
+                        h = dhash64_image(decode_mp4_mjpeg_frame(blob))
                     else:
                         rows.append(
                             (mid, mime, None,

@@ -546,10 +546,12 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel/sample decode for the stdlib-decodable formats (PNG inflate +
     unfilter, GIF LZW + interlace de-weave — r12, WAV PCM) -> 64-bit
     dHash -> mime-blocked Hamming banding with the stop-bucket bound ->
-    exact popcount verify. MP4 video frames still need external codecs
-    and yield no fingerprint (quarantined, not wrong). Planted
-    near-identical-image recall is pinned by
-    tests/test_pipeline_operators.py."""
+    exact popcount verify. MJPEG-in-MP4 first frames decode through the
+    stsd/stsz/stco sample-table walk + the JPEG decoder (r14); only
+    codecs that genuinely need external libraries (H.264 'avc1' etc.)
+    yield no fingerprint (quarantined, not wrong). Planted
+    near-identical-image/MJPEG recall is pinned by
+    tests/test_media_codecs.py + tests/test_pipeline_operators.py."""
     from incubator_xtable_spark.operators.multimodal import (
         media_near_duplicates,
         synthesize_media,

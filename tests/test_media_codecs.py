@@ -592,3 +592,137 @@ def test_jpeg_chroma_subsampling_roundtrip():
 
     with _pytest.raises(ValueError, match="color"):
         encode_jpeg_from_pixels(rows, subsampling=(2, 2))
+
+
+# ---------------------------------------------------------------------------
+# r14: MJPEG-in-MP4 — sample-table walk + first-frame JPEG decode
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_mp4_roundtrip_and_header_decode():
+    """encode_mp4_mjpeg builds a structurally valid ISO-BMFF file: the
+    header decoder reads dims/duration, the sample-table walk returns
+    the 'jpeg' fourcc and the exact first JPEG, and the frame decode
+    recovers the block means."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_jpeg_pixels,
+        decode_mp4,
+        decode_mp4_mjpeg_frame,
+        encode_jpeg_from_pixels,
+        encode_mp4_mjpeg,
+        mp4_first_video_sample,
+    )
+
+    rows = [[(x * 3 + y * 5) % 256 for x in range(48)] for y in range(32)]
+    rows2 = [[255 - v for v in r] for r in rows]
+    blob = encode_mp4_mjpeg([rows, rows2], frame_duration=40)
+    info = decode_mp4(blob)
+    assert (info["width"], info["height"]) == (48, 32)
+    assert info["duration_ms"] == 80
+    fourcc, sample = mp4_first_video_sample(blob)
+    assert fourcc == b"jpeg"
+    assert sample == encode_jpeg_from_pixels(rows)  # frame 1, byte-exact
+    thumb = decode_mp4_mjpeg_frame(blob)
+    assert thumb == decode_jpeg_pixels(encode_jpeg_from_pixels(rows))
+    assert len(thumb) == 4 and len(thumb[0]) == 6  # 1/8 scale of 48x32
+
+
+def test_mjpeg_mp4_non_jpeg_codec_refuses_naming_fourcc():
+    """H.264 stays loudly refused: a sample entry with fourcc 'avc1'
+    raises naming the codec; headerless tables raise too."""
+    import pytest
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        MediaDecodeError,
+        decode_mp4_mjpeg_frame,
+        encode_mp4,
+        encode_mp4_mjpeg,
+    )
+
+    rows = [[10] * 16 for _ in range(16)]
+    blob = encode_mp4_mjpeg([rows])
+    avc = blob.replace(b"jpeg", b"avc1", 1)  # first 'jpeg' is the stsd fourcc
+    with pytest.raises(MediaDecodeError, match="avc1"):
+        decode_mp4_mjpeg_frame(avc)
+    # the r13-era header-only skeleton has no sample tables at all
+    with pytest.raises(MediaDecodeError, match="sample tables|video track"):
+        decode_mp4_mjpeg_frame(encode_mp4(32, 16, duration_ms=100))
+
+
+def test_mjpeg_mp4_dhash_joins_perceptual_tier():
+    """VERDICT r13 #3 done-criterion: planted near-identical MJPEG blobs
+    (pixel-level noise twins + a re-encoded q-twin) land within Hamming
+    2 of their originals through media_dhash, while distinct videos
+    separate — recall over the planted set must be >= 0.9."""
+    import random
+
+    from incubator_xtable_spark.operators.media_codecs import (
+        decode_mp4_mjpeg_frame,
+        dhash64_image,
+        encode_mp4_mjpeg,
+    )
+
+    rnd = random.Random(23)
+    planted = []
+    for i in range(6):
+        blk = [[rnd.randrange(256) for _ in range(12)] for _ in range(10)]
+        rows = [[blk[y // 8][x // 8] for x in range(96)] for y in range(80)]
+        twin = [r[:] for r in rows]
+        for _ in range(30):
+            y, x = rnd.randrange(80), rnd.randrange(96)
+            twin[y][x] = max(0, min(255, twin[y][x] + rnd.randint(-9, 9)))
+        planted.append(
+            (encode_mp4_mjpeg([rows, rows]), encode_mp4_mjpeg([twin], q=16))
+        )
+    hits = 0
+    hashes = []
+    for orig, twin in planted:
+        h1 = dhash64_image(decode_mp4_mjpeg_frame(orig))
+        h2 = dhash64_image(decode_mp4_mjpeg_frame(twin))
+        if bin(h1 ^ h2).count("1") <= 2:
+            hits += 1
+        hashes.append(h1)
+    assert hits / len(planted) >= 0.9, f"MJPEG twin recall {hits}/{len(planted)}"
+    # distinct videos separate (no hash collapse across the planted set)
+    seps = [
+        bin(hashes[i] ^ hashes[j]).count("1")
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+    ]
+    assert min(seps) > 2, seps
+
+
+def test_mjpeg_mp4_through_spark_dhash_tier(spark):
+    """media_dhash fingerprints MJPEG MP4s next to PNG/GIF/WAV/JPEG and
+    quarantines only the non-decodable codec, with the reason naming
+    it; media_near_duplicates pairs the planted MJPEG twins."""
+    from incubator_xtable_spark.operators.media_codecs import (
+        encode_mp4_mjpeg,
+        encode_png_from_pixels,
+    )
+    from incubator_xtable_spark.operators.multimodal import (
+        media_dhash,
+        media_near_duplicates,
+    )
+
+    rows = [[(x * 7 + y * 3) % 256 for x in range(48)] for y in range(40)]
+    twin = [r[:] for r in rows]
+    twin[5][5] = (twin[5][5] + 4) % 256
+    mj1 = encode_mp4_mjpeg([rows])
+    mj2 = encode_mp4_mjpeg([twin])
+    avc = mj1.replace(b"jpeg", b"avc1", 1)
+    png = encode_png_from_pixels(rows)
+    df = spark.createDataFrame(
+        [(1, mj1), (2, mj2), (3, avc), (4, png)],
+        "media_id LONG, content BINARY",
+    )
+    got = {r["media_id"]: r for r in media_dhash(df).collect()}
+    assert got[1]["mime"] == "video/mp4" and got[1]["dhash"] is not None
+    assert got[2]["dhash"] is not None
+    assert got[3]["dhash"] is None and "avc1" in got[3]["error"]
+    assert got[4]["dhash"] is not None
+    # the MJPEG pair emerges from the banded near-dup kernel, mime-blocked
+    pairs = media_near_duplicates(df, max_hamming=2).collect()
+    assert {(r["doc_a"], r["doc_b"], r["mime"]) for r in pairs} == {
+        (1, 2, "video/mp4")
+    }

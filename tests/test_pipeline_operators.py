@@ -791,10 +791,12 @@ def test_media_near_duplicates_planted_images(spark):
 
 
 def test_media_dhash_quarantine_and_strict(spark):
-    """MP4 video frames stay quarantined ('unsupported'); a JPEG whose
-    entropy data is not decodable (the header-only fixture encoder's
-    fake scan) quarantines with the decode error, never a wrong hash;
-    garbage quarantines; strict mode names the media_id."""
+    """MP4 video without decodable MJPEG sample tables stays quarantined
+    (r14: the error names the missing tables instead of a blanket
+    'unsupported'); a JPEG whose entropy data is not decodable (the
+    header-only fixture encoder's fake scan) quarantines with the decode
+    error, never a wrong hash; garbage quarantines; strict mode names
+    the media_id."""
     from incubator_xtable_spark.operators.media_codecs import (
         encode_jpeg,
         encode_mp4,
@@ -812,7 +814,7 @@ def test_media_dhash_quarantine_and_strict(spark):
     rows = {r["media_id"]: r for r in media_dhash(df).collect()}
     assert rows[1]["dhash"] is None and rows[1]["error"]  # undecodable scan
     assert rows[2]["dhash"] is None and rows[2]["error"]
-    assert rows[3]["dhash"] is None and "unsupported" in rows[3]["error"]
+    assert rows[3]["dhash"] is None and "video track" in rows[3]["error"]
     with pytest.raises(Exception, match="media_id="):
         media_dhash(df, strict=True).collect()
 
