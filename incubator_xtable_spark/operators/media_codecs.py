@@ -1158,6 +1158,107 @@ def _jpeg_huff_decode(reader: _MSBBitReader, table: dict) -> int:
     raise MediaDecodeError("JPEG: invalid huffman code in entropy data")
 
 
+def _jpeg_huff_lut(table: dict) -> tuple[int, list[int]]:
+    """Flatten a {(length, code): symbol} table into a peek-LUT (r14,
+    the decode hot-loop fix measured by `loadtest --target media-decode`):
+    index = the next ``maxlen`` bits of the stream, entry =
+    (code length << 8) | symbol, 0 = invalid prefix. One list lookup
+    replaces the per-bit tree walk (~4x on entropy-dense baselines).
+    LUT size is 2^maxlen of the table's actual deepest code (<= 2^16)."""
+    maxlen = max((ln for ln, _ in table), default=1)
+    lut = [0] * (1 << maxlen)
+    for (length, code), sym in table.items():
+        base = code << (maxlen - length)
+        entry = (length << 8) | sym
+        for i in range(1 << (maxlen - length)):
+            lut[base + i] = entry
+    return maxlen, lut
+
+
+class _FastBitReader:
+    """Windowed entropy reader (r14): same stream semantics as
+    _MSBBitReader (MSB-first, 0xFF00 unstuffing, explicit restart
+    consumption) but byte-at-a-time refill into a small int window with
+    n-bit peek/consume — the shape the huffman LUT needs. ``peek`` past
+    the segment end (next marker / EOF) pads with 1-bits, which is
+    exactly what T.81 F.1.2.3 pads the final byte with; ``consume``
+    never passes real-bit boundaries (a code that needs padded bits is
+    a corrupt stream and raises on the fill)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        data = self.data
+        ln = len(data)
+        while self.nbits < need:
+            pos = self.pos
+            if pos >= ln:
+                raise MediaDecodeError("JPEG: entropy data truncated")
+            b = data[pos]
+            if b == 0xFF:
+                nxt = data[pos + 1] if pos + 1 < ln else None
+                if nxt == 0x00:
+                    self.pos = pos + 2  # stuffed literal 0xFF
+                else:
+                    raise MediaDecodeError(
+                        f"JPEG: unexpected marker 0xFF{nxt:02X} inside entropy data"
+                        if nxt is not None
+                        else "JPEG: entropy data truncated at 0xFF"
+                    )
+            else:
+                self.pos = pos + 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def peek(self, n: int) -> int:
+        if self.nbits < n:
+            try:
+                self._fill(n)
+            except MediaDecodeError:
+                pad = n - self.nbits
+                return ((self.acc << pad) | ((1 << pad) - 1)) & ((1 << n) - 1)
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if self.nbits < n:
+            self._fill(n)  # raises on a code that needed padded bits
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def expect_restart(self) -> None:
+        """Byte-align (discard pad bits) and consume the next RSTn."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise MediaDecodeError(
+                f"JPEG: expected restart marker at offset {self.pos}"
+            )
+        self.pos += 2
+
+
 def _jpeg_decode_block(
     reader: _MSBBitReader, dc_table: dict, ac_table: dict, pred: int
 ) -> int:
@@ -1182,6 +1283,125 @@ def _jpeg_decode_block(
             raise MediaDecodeError("JPEG: AC run extends past block end")
         reader.read_bits(size)
         k += 1
+    return dc
+
+
+def _jpeg_decode_block_fast(
+    reader: _FastBitReader,
+    dc_lut: tuple[int, list[int]],
+    ac_lut: tuple[int, list[int]],
+    pred: int,
+) -> int:
+    """_jpeg_decode_block over the peek-LUT reader (identical stream
+    semantics; the per-bit tree walk becomes one list index per symbol).
+    The window state lives in LOCALS for the whole block (one attribute
+    sync at entry/exit) — in pure Python the method-call/attribute
+    overhead per symbol is the hot loop, measured ~4x total vs the
+    per-bit tree walk on entropy-dense baselines."""
+    data = reader.data
+    ln = len(data)
+    pos = reader.pos
+    acc = reader.acc
+    nbits = reader.nbits
+    dc_max, dc_l = dc_lut
+    ac_max, ac_l = ac_lut
+    dc = pred
+    k = 0  # 0 = DC phase, then AC index 1..63
+    while True:
+        need = dc_max if k == 0 else ac_max
+        # fill the window to `need` bits when the segment allows
+        while nbits < need:
+            if pos >= ln:
+                break
+            b = data[pos]
+            if b == 0xFF:
+                nxt = data[pos + 1] if pos + 1 < ln else None
+                if nxt != 0x00:
+                    break  # a marker ends the segment (pad-peek below)
+                pos += 2  # stuffed literal 0xFF
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        if nbits < need:  # segment end: T.81 pads with 1-bits
+            peekv = ((acc << (need - nbits)) | ((1 << (need - nbits)) - 1)) & (
+                (1 << need) - 1
+            )
+        else:
+            peekv = (acc >> (nbits - need)) & ((1 << need) - 1)
+        e = (dc_l if k == 0 else ac_l)[peekv]
+        if not e:
+            raise MediaDecodeError("JPEG: invalid huffman code in entropy data")
+        clen = e >> 8
+        if clen > nbits:
+            raise MediaDecodeError("JPEG: entropy data truncated")
+        nbits -= clen
+        acc &= (1 << nbits) - 1
+        sym = e & 0xFF
+        if k == 0:
+            if sym > 11:
+                raise MediaDecodeError(f"JPEG: DC category {sym} out of range")
+            size = sym
+            if size:
+                while nbits < size:
+                    if pos >= ln:
+                        raise MediaDecodeError("JPEG: entropy data truncated")
+                    b = data[pos]
+                    if b == 0xFF:
+                        nxt = data[pos + 1] if pos + 1 < ln else None
+                        if nxt != 0x00:
+                            raise MediaDecodeError(
+                                f"JPEG: unexpected marker 0xFF{nxt:02X} inside entropy data"
+                                if nxt is not None
+                                else "JPEG: entropy data truncated at 0xFF"
+                            )
+                        pos += 2
+                    else:
+                        pos += 1
+                    acc = (acc << 8) | b
+                    nbits += 8
+                nbits -= size
+                v = (acc >> nbits) & ((1 << size) - 1)
+                acc &= (1 << nbits) - 1
+                dc = pred + (v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+            k = 1
+            continue
+        r, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                if k <= 63:
+                    continue
+                break  # ZRL filled the block (same exit as the tree-walk loop)
+            break  # EOB
+        k += r
+        if k > 63:
+            raise MediaDecodeError("JPEG: AC run extends past block end")
+        while nbits < size:
+            if pos >= ln:
+                raise MediaDecodeError("JPEG: entropy data truncated")
+            b = data[pos]
+            if b == 0xFF:
+                nxt = data[pos + 1] if pos + 1 < ln else None
+                if nxt != 0x00:
+                    raise MediaDecodeError(
+                        f"JPEG: unexpected marker 0xFF{nxt:02X} inside entropy data"
+                        if nxt is not None
+                        else "JPEG: entropy data truncated at 0xFF"
+                    )
+                pos += 2
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        nbits -= size  # AC magnitude bits: read for sync, discarded
+        acc &= (1 << nbits) - 1
+        k += 1
+        if k > 63:
+            break
+    reader.pos = pos
+    reader.acc = acc
+    reader.nbits = nbits
     return dc
 
 
@@ -1278,7 +1498,8 @@ def decode_jpeg_pixels(data: bytes) -> list[list[int]]:
         raise MediaDecodeError(f"JPEG: quant table {ltq} undeclared")
     q_dc = qtables[ltq][0]  # DQT is zigzag order; position 0 IS the DC
     dc_grid = [[0] * (mcus_x * lh) for _ in range(mcus_y * lv)]
-    reader = _MSBBitReader(data, entropy_start)
+    reader = _FastBitReader(data, entropy_start)
+    luts = {k: _jpeg_huff_lut(t) for k, t in htables.items()}
     preds = [0] * len(comps)
     for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:
@@ -1287,12 +1508,12 @@ def decode_jpeg_pixels(data: bytes) -> list[list[int]]:
         my, mx = divmod(m, mcus_x)
         for comp_idx, td, ta in sel:
             _, ch, cv, _tq = comps[comp_idx]
-            dc_t, ac_t = htables.get((0, td)), htables.get((1, ta))
+            dc_t, ac_t = luts.get((0, td)), luts.get((1, ta))
             if dc_t is None or ac_t is None:
                 raise MediaDecodeError("JPEG: scan references undeclared huffman table")
             for by in range(cv):
                 for bx in range(ch):
-                    preds[comp_idx] = _jpeg_decode_block(
+                    preds[comp_idx] = _jpeg_decode_block_fast(
                         reader, dc_t, ac_t, preds[comp_idx]
                     )
                     if comp_idx == luma_idx:

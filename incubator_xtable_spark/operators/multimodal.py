@@ -359,7 +359,20 @@ def media_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
     Scale: one Arrow-batched mapInPandas pass, bounded work per blob
     (these fixtures are small; real corpora gate pixel decode by blob
     size upstream), output is narrow (id + one int64) so the downstream
-    Hamming banding shuffles fingerprints, never pixels."""
+    Hamming banding shuffles fingerprints, never pixels.
+
+    Throughput (MEASURED, r14 — `loadtest.py --target media-decode`
+    re-measures per round): pure-Python codecs decode ~1 MB/s/core
+    overall on mixed 64 MB (PNG ~0.7, WAV ~0.9, GIF ~0.5, JPEG ~0.4
+    MB/s/core at the Spark tier; the JPEG entropy hot loop is the
+    windowed peek-LUT decoder, 4x over the r13 per-bit tree walk, and
+    is bit-serial — not further vectorizable without a native codec).
+    100 TB BUDGET RULE: at ~1 MB/s/core, full-corpus pixel decode costs
+    ~30k core-hours per 100 TB — acceptable as a one-time fingerprint
+    pass on a 1000-executor cluster (~1 day), NOT per-query. Gate
+    repeated runs by sampling (fingerprint a per-group sample upstream)
+    or persist fingerprints once and reuse (what multimodal_near_dup's
+    checkpoint does within a run)."""
     pkg_root = _PKG_ROOT
 
     def _dhash(batches: Iterator["object"]) -> Iterator["object"]:
