@@ -665,6 +665,7 @@ def fuzzy_dedup_keep_decisions(
     bands: int = 16,
     shingle_n: int = 3,
     max_iterations: int = 25,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """The END-TO-END fuzzy-dedup pipeline a training corpus needs, as
     one composition: MinHash signatures -> LSH banding -> exact-Jaccard
@@ -688,6 +689,7 @@ def fuzzy_dedup_keep_decisions(
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
+        hash_family=hash_family,
     ).select("doc_a", "doc_b")
     comp = connected_components(
         pairs, src="doc_a", dst="doc_b", max_iterations=max_iterations

@@ -38,8 +38,9 @@ _AB_SQL = (
     + "]"
 )
 
-_MINHASH_ORACLE = f"""
-WITH sh AS (
+# shared CTE chain for the md5 MinHash family: shingles -> 64 affine
+# minhashes -> 16x4 banding -> candidate pairs -> Jaccard-verified pairs
+_MINHASH_CORE = f"""sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -59,15 +60,20 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a
   JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-)
-SELECT c.doc_a, c.doc_b,
-       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
-FROM cand c
-JOIN sh x ON x.doc_id = c.doc_a
-JOIN sh y ON y.doc_id = c.doc_b
-WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CORE}
+SELECT doc_a, doc_b, jaccard FROM verified
 ORDER BY doc_a, doc_b
 """
 
@@ -282,6 +288,48 @@ def ann_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_lsh_topk(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+_FUZZY_MD5_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CORE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS keep
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_fuzzy_md5_pipeline",
+    oracle=_FUZZY_MD5_ORACLE,
+    category="dedup",
+    description="END-TO-END oracle-certified fuzzy dedup: md5 MinHash -> "
+    "LSH banding -> Jaccard verify -> components -> keep decisions",
+    graded=False,  # driver window pinned at 50
+)
+def dedup_fuzzy_md5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup decision pipeline under the md5 hash family
+    (r14): every stage — signatures, banding, candidate generation,
+    exact-Jaccard verification, TRANSITIVE closure and the per-doc
+    keep/drop decision — is recomputed by the DuckDB oracle (recursive
+    CTE over the same verified pair set), so the whole composition is
+    value-certified, not just its stages. Plan is identical to
+    dedup_fuzzy_pipeline (bounded LSH buckets, edge-only component
+    rounds); only the hash family differs."""
+    from incubator_xtable_spark.operators.dedup import fuzzy_dedup_keep_decisions
+
+    docs = t(spark, sf_dir, "documents")
+    return fuzzy_dedup_keep_decisions(
+        docs, threshold=0.5, hash_family="md5"
+    ).orderBy("doc_id")
 
 
 @register(
