@@ -293,6 +293,53 @@ def md5_plane_weights(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def md5_sign_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+) -> DataFrame:
+    """(kid LONG, sig LONG) integer-exact hyperplane sign signatures:
+    embeddings quantize to floor(double(x)*1e9+0.5) int64, each plane is
+    an md5-derived INTEGER weight vector (md5_plane_weights), the sign
+    bits come from one Arrow integer matmul per batch — bit-identical in
+    Spark, numpy and DuckDB SQL (no float summation-order hazard). The
+    shared kernel under ann_lsh_md5_topk and the oracle-expressible
+    embedding near-dup entry. Map-only, zero shuffles; the weight
+    literal is (n_planes*dim) small ints in the closure."""
+    W_int = np.asarray(md5_plane_weights(n_planes, dim), dtype=np.int64)
+    planes_t = np.ascontiguousarray(W_int.T)  # (dim, n_planes)
+    bitw = 2 ** np.arange(n_planes, dtype=np.int64)
+    d = dim
+
+    def _sig(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            if lst.null_count:
+                raise ValueError("md5_sign_signatures: null vectors are not bucketable")
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) != len(ids) * d:
+                raise ValueError(
+                    f"md5_sign_signatures: expected uniform dim {d}, got "
+                    f"{len(flat)} values for {len(ids)} vectors"
+                )
+            arr = _np.asarray(flat, dtype=_np.float64).reshape(len(ids), d)
+            q9 = _np.floor(arr * 1e9 + 0.5).astype(_np.int64)
+            bits = (q9 @ planes_t) >= 0  # integer matmul: exact
+            sig = (bits * bitw).sum(axis=1).astype(_np.int64)
+            yield _pa.record_batch([ids, _pa.array(sig)], names=["kid", "sig"])
+
+    return df.select(
+        F.col(id_col).cast("long").alias("kid"), F.col(vec_col).alias("v")
+    ).mapInArrow(_sig, "kid LONG, sig LONG")
+
+
 def ann_lsh_md5_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -330,36 +377,11 @@ def ann_lsh_md5_topk(
     if n_planes % n_bands:
         raise ValueError("n_planes must divide into n_bands equal slices")
     band_bits = n_planes // n_bands
-    W_int = np.asarray(md5_plane_weights(n_planes, dim), dtype=np.int64)
-    planes_t = np.ascontiguousarray(W_int.T)  # (dim, n_planes)
-    bitw = 2 ** np.arange(n_planes, dtype=np.int64)
-    d = dim
-
-    def _sig(batches):
-        import numpy as _np
-        import pyarrow as _pa
-
-        for batch in batches:
-            ids = batch.column(0)
-            lst = batch.column(1)
-            if lst.null_count:
-                raise ValueError("ann_lsh_md5_topk: null vectors are not bucketable")
-            flat = lst.flatten().to_numpy(zero_copy_only=False)
-            if len(flat) != len(ids) * d:
-                raise ValueError(
-                    f"ann_lsh_md5_topk: expected uniform dim {d}, got "
-                    f"{len(flat)} values for {len(ids)} vectors"
-                )
-            arr = _np.asarray(flat, dtype=_np.float64).reshape(len(ids), d)
-            q9 = _np.floor(arr * 1e9 + 0.5).astype(_np.int64)
-            bits = (q9 @ planes_t) >= 0  # integer matmul: exact
-            sig = (bits * bitw).sum(axis=1).astype(_np.int64)
-            yield _pa.record_batch([ids, _pa.array(sig)], names=["kid", "sig"])
 
     def sigs_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).cast("long").alias("kid"), F.col(vec_col).alias("v")
-        ).mapInArrow(_sig, "kid LONG, sig LONG")
+        return md5_sign_signatures(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes
+        )
 
     mask = (1 << band_bits) - 1
 

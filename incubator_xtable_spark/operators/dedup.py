@@ -701,6 +701,84 @@ def fuzzy_dedup_keep_decisions(
     )
 
 
+def embedding_near_duplicates_md5(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 24,
+    n_bands: int = 3,
+) -> DataFrame:
+    """ORACLE-EXPRESSIBLE unlabeled embedding near-dup pairs (r14): the
+    integer md5-hyperplane variant of embedding_near_duplicates.
+    Signatures come from ann.md5_sign_signatures (one Arrow integer
+    matmul — bit-exact on every engine); candidates meet inside
+    (band, 8-bit band value) buckets (24 planes / 3 bands: pairs within
+    <= 2 sign disagreements are guaranteed candidates by pigeonhole);
+    exact double cosine verifies >= threshold. Returns
+    (vec_a, vec_b, cos_sim rounded to 6). A DuckDB oracle replays
+    bucketing, candidate generation AND the verify value-for-value.
+
+    Scale: buckets per band = 2^(n_planes/n_bands) (256 at 24/3) —
+    bounded candidate streams, one band self-join shuffle + one pair
+    distinct; vectors re-attach by id after the narrow dedupe (the
+    ann_lsh plan rule)."""
+    from incubator_xtable_spark.operators.ann import dot, md5_sign_signatures
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide into n_bands equal slices")
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < parallelism:
+        vectors = vectors.repartition(parallelism)
+    sigs = md5_sign_signatures(
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes
+    )
+    banded = sigs.select(
+        "kid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("int")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a = banded.select("band", "bval", F.col("kid").alias("vec_a"))
+    b = banded.select("band", "bval", F.col("kid").alias("vec_b"))
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).cast("long").alias("vec_a"),
+        F.col(vec_col).alias("av"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("a_norm"),
+    )
+    vb = vectors.select(
+        F.col(id_col).cast("long").alias("vec_b"),
+        F.col(vec_col).alias("bv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("b_norm"),
+    )
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cos_raw", dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm"))
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     *,

@@ -290,6 +290,67 @@ def ann_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, k=5).orderBy("q_id", "rank")
 
 
+_EMB_LSH_MD5_ORACLE = """
+WITH w AS (
+  SELECT p, list_transform(range(1, 65),
+         d -> ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 4))::BIGINT - 32768) AS wt
+  FROM range(0, 24) t(p)
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS q9,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bits AS (
+  SELECT e.vec_id, w.p,
+         CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> e.q9[i] * w.wt[i])) AS BIGINT) >= 0
+              THEN (1::BIGINT << w.p) ELSE 0::BIGINT END AS bitv
+  FROM e, w
+), sig AS (
+  SELECT vec_id, CAST(sum(bitv) AS BIGINT) AS sig FROM bits GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, b AS band, (sig >> (8 * b)) & 255 AS bval
+  FROM sig, range(0, 3) t(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+FROM cand c
+JOIN e x ON x.vec_id = c.vec_a
+JOIN e y ON y.vec_id = c.vec_b
+WHERE list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_md5_lsh",
+    oracle=_EMB_LSH_MD5_ORACLE,
+    category="dedup",
+    description="unlabeled embedding near-dup pairs via integer md5 "
+    "hyperplane LSH (oracle replays bucketing + verify)",
+    graded=False,  # driver window pinned at 50
+)
+def dedup_embedding_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-certified member of the embedding near-dup family
+    (operators/dedup.embedding_near_duplicates_md5): 24 integer md5
+    hyperplanes over quantized embeddings -> 3x8-bit band buckets ->
+    exact-cosine verify >= 0.4. The seeded float-hyperplane multiprobe
+    variant (dedup_embedding_lsh) remains the recall-gated scale recipe;
+    this entry certifies the LSH mechanics by value against DuckDB."""
+    from incubator_xtable_spark.operators.dedup import embedding_near_duplicates_md5
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates_md5(emb, dim=EMB_DIM, threshold=0.4).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 _FUZZY_MD5_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_CORE},
 edges AS (

@@ -1333,3 +1333,33 @@ def test_exact_feature_extract_matches_python_reference(spark):
         assert r["n_bytes"] == len(data)
         assert r["f1_e6"] == ref(data, 0), (i, t)
         assert r["f2_e6"] == ref(data, 1), (i, t)
+
+
+def test_embedding_md5_lsh_finds_planted_twins(spark):
+    """The oracle-certified md5 embedding LSH still behaves as a
+    near-dup detector: planted near-identical vectors (tiny
+    perturbation — signatures agree on >= 1 band) surface as pairs with
+    cos_sim ~ 1, and the pair set is layout-invariant."""
+    import numpy as np
+
+    from incubator_xtable_spark.operators.dedup import embedding_near_duplicates_md5
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+        if i < 6:  # plant a twin at id+1000
+            w = v + rng.standard_normal(64) * 0.01
+            rows.append((i + 1000, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = embedding_near_duplicates_md5(df, dim=64, threshold=0.9).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    hits = sum(1 for i in range(6) if (i, i + 1000) in found)
+    assert hits >= 5, f"only {hits}/6 planted twins found"
+    for r in pairs:
+        assert r["cos_sim"] >= 0.9
+    again = embedding_near_duplicates_md5(df.repartition(7), dim=64, threshold=0.9).collect()
+    assert sorted((r["vec_a"], r["vec_b"], r["cos_sim"]) for r in pairs) == sorted(
+        (r["vec_a"], r["vec_b"], r["cos_sim"]) for r in again
+    )
