@@ -351,6 +351,90 @@ def dedup_embedding_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CTE core of the md5 embedding LSH oracle (reused by the end-to-end
+# embedding dedup pipeline oracle below)
+_EMB_MD5_CORE = """w AS (
+  SELECT p, list_transform(range(1, 65),
+         d -> ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 4))::BIGINT - 32768) AS wt
+  FROM range(0, 24) t(p)
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS q9,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bits AS (
+  SELECT e.vec_id, w.p,
+         CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> e.q9[i] * w.wt[i])) AS BIGINT) >= 0
+              THEN (1::BIGINT << w.p) ELSE 0::BIGINT END AS bitv
+  FROM e, w
+), sig AS (
+  SELECT vec_id, CAST(sum(bitv) AS BIGINT) AS sig FROM bits GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, b AS band, (sig >> (8 * b)) & 255 AS bval
+  FROM sig, range(0, 3) t(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+), vpairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c
+  JOIN e x ON x.vec_id = c.vec_a
+  JOIN e y ON y.vec_id = c.vec_b
+  WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+)"""
+
+_EMB_PIPE_MD5_ORACLE = f"""
+WITH RECURSIVE {_EMB_MD5_CORE},
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM vpairs
+  UNION
+  SELECT vec_b, vec_a FROM vpairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+)
+SELECT u AS vec_id, MIN(v) AS cluster_id, (u = MIN(v)) AS keep
+FROM reach GROUP BY u ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_embedding_md5_pipeline",
+    oracle=_EMB_PIPE_MD5_ORACLE,
+    category="dedup",
+    description="END-TO-END oracle-certified embedding dedup: md5 "
+    "hyperplane LSH -> cosine verify -> components -> keep decisions",
+    graded=False,  # driver window pinned at 50
+)
+def dedup_embedding_md5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding dedup with EVERY stage value-certified
+    (r14): md5-hyperplane LSH pairs (embedding_near_duplicates_md5) ->
+    transitive connected components -> per-vector keep/drop, recomputed
+    end-to-end by one DuckDB oracle (recursive-CTE closure over the
+    same verified pair set) — the embedding twin of
+    dedup_fuzzy_md5_pipeline."""
+    from incubator_xtable_spark.operators.dedup import (
+        connected_components,
+        embedding_near_duplicates_md5,
+    )
+    from incubator_xtable_spark.plans.vector_queries import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates_md5(emb, dim=EMB_DIM, threshold=0.4).select(
+        "vec_a", "vec_b"
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    ).orderBy("vec_id")
+
+
 _FUZZY_MD5_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_CORE},
 edges AS (
