@@ -163,3 +163,135 @@ def dedup_streaming_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = emis.groupBy("content_key").agg(F.max("dup_count").alias("dup_total"))
     return firsts.join(totals, "content_key").select("keeper_doc_id", "text", "dup_total")
+
+
+# ---------------------------------------------------------------------------
+# r14: streaming SimHash near-dup — the banding kernel as a stream
+# ---------------------------------------------------------------------------
+
+_ND_DOCS = 200  # originals: doc_id < 200; twins: doc_id % 9 == 0 re-ingested
+
+# The oracle recomputes the md5 SimHash signatures over the SAME
+# synthesized union and takes the BRUTE-FORCE pair set (no blocking):
+# with 4 bands over 32 bits, banding recall is exact for Hamming <= 3
+# (pigeonhole), so the streaming banded result equals brute force —
+# certifying the stateful banding mechanics by value.
+STREAM_NEARDUP_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_ND_DOCS}
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' extraword' AS text FROM documents
+  WHERE doc_id < {_ND_DOCS} AND doc_id % 9 = 0
+), th AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS h
+  FROM src
+), sg AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN 2 * coalesce(list_sum(list_transform(h, v -> (v >> b) & 1)), 0) > len(h)
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+  FROM th
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sg a
+JOIN sg b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_streaming_neardup",
+    oracle=STREAM_NEARDUP_ORACLE,
+    category="dedup",
+    description="stateful streaming SimHash near-dup (per-bucket banding "
+    "state) folded to the distinct pair set",
+    graded=False,
+)
+def dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/stateful.streaming_simhash_near_dups driven availableNow
+    over a synthesized two-batch ingest (originals, then near-identical
+    twins of every doc_id % 9 == 0 under new ids) — cross-batch pairing,
+    per-bucket state and the md5 signature family all exercised; the
+    emitted per-band rows fold to DISTINCT (doc_a, doc_b, hamming),
+    which the DuckDB oracle certifies against the brute-force pair set
+    (banding recall is exact for max_hamming <= n_bands - 1, so the
+    sets provably coincide). Same pinned-sample scale posture as
+    dedup_streaming_firstseen."""
+    from incubator_xtable_spark.streaming.stateful import streaming_simhash_near_dups
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ND_DOCS)
+        .select("doc_id", "text")
+    )
+    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    base = docs.select(
+        "doc_id",
+        (epoch + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+        "text",
+    )
+    twins = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        (epoch + F.make_interval(mins=F.lit(500))).alias("ts"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="xt_stream_neardup_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(in_dir)
+    now = 1_700_000_000
+    for i, frame in enumerate([base, twins]):
+        tbl = frame.toArrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("ts", pa.timestamp("us", tz="UTC")),
+                    ("text", pa.string()),
+                ]
+            )
+        )
+        dest = os.path.join(in_dir, f"b{i}.parquet")
+        pq.write_table(tbl, dest)
+        os.utime(dest, (now + 10 * i, now + 10 * i))
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    sink = f"xt_stream_neardup_{uuid.uuid4().hex[:12]}"
+    try:
+        stream = (
+            spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_simhash_near_dups(
+                stream,
+                watermark="10 seconds",
+                max_hamming=3,
+                max_bucket=1_000_000,  # the oracle is uncapped brute force
+                ttl_ms=7 * 86_400 * 1000,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    emis = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return (
+        emis.select("doc_a", "doc_b", "hamming")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

@@ -143,3 +143,169 @@ def streaming_dedup_exact(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup detection (r14): stateful SimHash banding
+# ---------------------------------------------------------------------------
+
+# state per (band, bval) bucket: member ids + signatures (bounded) and
+# the saturation flag (stop-bucket semantics)
+_NEARDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+        T.StructField("saturated", T.BooleanType()),
+    ]
+)
+
+_NEARDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bval", T.IntegerType()),
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _make_neardup_fn(max_hamming: int, max_bucket: int, ttl_ms: int):
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
+        if state.exists:
+            doc_ids, sigs, saturated = state.get
+            doc_ids = list(doc_ids)
+            sigs = list(sigs)
+            saturated = bool(saturated)
+        else:
+            doc_ids, sigs, saturated = [], [], False
+        out_a, out_b, out_h, out_ts = [], [], [], []
+        for doc_id, sig, ts in zip(rows["doc_id"], rows["sig"], rows["ts"]):
+            doc_id = int(doc_id)
+            sig = int(sig)
+            if saturated:
+                break  # stop-bucket: hot buckets stop matching AND growing
+            if doc_id in doc_ids:
+                continue  # replayed document: already a member, no re-emit
+            if len(doc_ids) >= max_bucket:
+                # the bucket went hot: drop its members, emit nothing for
+                # this arrival, stop pairing (the batch kernel's
+                # stop-fingerprint bound — sum over buckets of |bucket|^2
+                # stays <= N * max_bucket; the cap trips BEFORE pairing so
+                # a hot bucket's overflow arrival never fans out)
+                doc_ids, sigs, saturated = [], [], True
+                break
+            for prev_id, prev_sig in zip(doc_ids, sigs):
+                h = bin(prev_sig ^ sig).count("1")
+                if h <= max_hamming:
+                    a, b = (prev_id, doc_id) if prev_id < doc_id else (doc_id, prev_id)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(h)
+                    out_ts.append(ts)
+            doc_ids.append(doc_id)
+            sigs.append(sig)
+        state.update((doc_ids, sigs, saturated))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band": [int(key[0])] * len(out_a),
+                    "bval": [int(key[1])] * len(out_a),
+                    "doc_a": out_a,
+                    "doc_b": out_b,
+                    "hamming": out_h,
+                    "ts": out_ts,
+                }
+            )
+
+    return _fn
+
+
+def streaming_simhash_near_dups(
+    stream_df: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+    ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection (r14) — the banding kernel of
+    `operators/dedup.simhash_near_duplicates` as a stateful stream
+    operator. Each arriving document's SimHash (md5 token-hash family,
+    the oracle-certified one; signature built JVM-side, zero Python in
+    the per-row path) fans into ``n_bands`` (band, bval) bucket keys;
+    per-bucket state holds the (doc_id, signature) members seen inside
+    the TTL horizon, and an arriving document emits one row per
+    in-bucket member within ``max_hamming`` — so a near-dup of ANY
+    earlier in-horizon document surfaces the moment it arrives (the
+    ingest-time quarantine gate batch sweeps can't give you).
+
+    A close pair agreeing on several bands emits once PER band:
+    consumers dedupe with ``dropDuplicates(["doc_a", "doc_b"])`` (or
+    batch-side distinct in availableNow runs); the per-band emission
+    keeps output append-mode and state per key O(bucket).
+
+    Pigeonhole recall within the horizon matches the batch kernel:
+    exact for ``max_hamming <= n_bands - 1``. Buckets that exceed
+    ``max_bucket`` members SATURATE: members drop, further arrivals
+    neither pair nor accrete (the batch stop-bucket bound — a
+    near-uniform synthetic corpus cannot go quadratic in one bucket).
+    Scale: state shards by (band, bval) across executors; per-key state
+    is O(max_bucket) longs; TTL expiry bounds the horizon exactly like
+    streaming_dedup_exact."""
+    from incubator_xtable_spark.operators.dedup import simhash_from_hashes
+
+    if bits > 32:
+        raise ValueError("md5 token-hash family derives 32 hash bits")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+
+    def tok_hash(tok):
+        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+    sigs = (
+        stream_df.withWatermark("ts", watermark)
+        .select(
+            "doc_id",
+            "ts",
+            F.transform(
+                F.array_distinct(F.split(F.col("text"), " ")), tok_hash
+            ).alias("th"),
+        )
+        .select("doc_id", "ts", simhash_from_hashes(F.col("th"), bits).alias("sig"))
+    )
+    banded = sigs.select(
+        "doc_id",
+        "ts",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("int")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    return banded.groupBy("band", "bval").applyInPandasWithState(
+        _make_neardup_fn(max_hamming, max_bucket, ttl_ms),
+        outputStructType=_NEARDUP_OUT_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -131,3 +131,137 @@ def test_no_ttl_within_horizon_keeps_state(spark, tmp_path):
     )
     kinds = [r["emit_kind"] for r in out.orderBy("ts").collect()]
     assert kinds == ["first", "dup_update"]
+
+
+# ---------------------------------------------------------------------------
+# r14: streaming SimHash near-dup (stateful banding)
+# ---------------------------------------------------------------------------
+
+
+def _run_neardup(spark, in_dir: str, out_dir: str, ckpt: str, **kw):
+    from incubator_xtable_spark.streaming.stateful import streaming_simhash_near_dups
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_simhash_near_dups(stream, **kw)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir)
+
+
+def test_streaming_neardup_matches_batch_kernel(spark, tmp_path):
+    """availableNow over a staged corpus finds exactly the pair set of
+    the batch md5-SimHash banding kernel (same signatures, same bands) —
+    including a CROSS-batch pair (near-dup arriving a micro-batch after
+    its original). Per-band emissions collapse to the batch pair set
+    under dropDuplicates."""
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.operators.dedup import simhash_near_duplicates
+    from incubator_xtable_spark.sources.tables import load
+
+    from .conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 120)
+    base_rows = [
+        (int(r["doc_id"]), TS0, r["text"]) for r in docs.select("doc_id", "text").collect()
+    ]
+    # plant: near-identical twin of doc 7 arriving in a LATER batch
+    twin_text = next(t for i, _, t in base_rows if i == 7) + " extraword"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = time.time()
+    _write_batch_file(spark, in_dir, base_rows[:60], "b1", now - 30)
+    _write_batch_file(spark, in_dir, base_rows[60:], "b2", now - 20)
+    _write_batch_file(
+        spark, in_dir, [(900007, "2024-01-01 00:30:00", twin_text)], "b3", now - 10
+    )
+    out = _run_neardup(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        watermark="10 seconds",
+        max_hamming=3,
+        max_bucket=100_000,  # the batch twin runs uncapped
+    )
+    stream_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in out.dropDuplicates(["doc_a", "doc_b"]).collect()
+    }
+    # batch twin: same md5 family / 32 bits / 4 bands, NO blocking cols
+    batch_df = docs.select("doc_id", "text", "lang", "source").unionByName(
+        spark.createDataFrame(
+            [(900007, twin_text, "xx", "planted")],
+            "doc_id LONG, text STRING, lang STRING, source STRING",
+        )
+    )
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            batch_df, max_hamming=3, bits=32, n_bands=4, hash_family="md5"
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert (7, 900007) in {(a, b) for a, b, _ in stream_pairs}  # cross-batch hit
+
+
+def test_streaming_neardup_bucket_saturation_and_ttl(spark, tmp_path):
+    """Stop-bucket semantics: a bucket pushed past max_bucket saturates
+    (later members neither pair nor accrete); and TTL expiry drops
+    bucket state so a post-horizon near-dup pair is NOT emitted (the
+    bounded-state trade, same as exact dedup)."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = time.time()
+    # identical docs all land in the same buckets: 4 members with
+    # max_bucket=3 -> saturation after the 4th arrival
+    _write_batch_file(
+        spark,
+        in_dir,
+        [(i, TS0, "same text here") for i in range(1, 5)],
+        "b1",
+        now - 30,
+    )
+    # post-saturation arrival pairs with nothing
+    _write_batch_file(
+        spark, in_dir, [(9, "2024-01-01 00:05:00", "same text here")], "b2", now - 20
+    )
+    out = _run_neardup(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        watermark="10 seconds",
+        max_bucket=3,
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    # members 1-3 paired before saturation; 4 tripped the cap; 9 found a
+    # saturated bucket
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    # TTL: near-dup arriving past the horizon emits nothing
+    in2 = str(tmp_path / "in2")
+    os.makedirs(in2)
+    _write_batch_file(spark, in2, [(1, TS0, "alpha beta gamma")], "c1", now - 30)
+    # unrelated doc advances the watermark far past ttl -> bucket expires
+    _write_batch_file(spark, in2, [(2, "2024-01-01 02:00:00", "unrelated words entirely")], "c2", now - 20)
+    _write_batch_file(spark, in2, [(3, "2024-01-01 02:10:00", "alpha beta gamma")], "c3", now - 10)
+    out2 = _run_neardup(
+        spark,
+        in2,
+        str(tmp_path / "out2"),
+        str(tmp_path / "ck2"),
+        watermark="0 seconds",
+        ttl_ms=1,
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in out2.collect()} == set()
