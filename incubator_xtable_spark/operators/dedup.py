@@ -134,18 +134,44 @@ def minhash_lsh_candidates(
     recomputable by a DuckDB oracle; identical plan shape and shuffle
     count, only the hash primitives differ).
     """
+    sh = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    )
+    return _lsh_candidates_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_family: str = "murmur3",
+) -> DataFrame:
+    """Banding candidates from a prepared (doc_id, sh) shingle frame.
+
+    The signature frame is lazily localCheckpointed before the band
+    self-join: both join sides (and the broadcast build) would otherwise
+    re-evaluate the whole shingling -> hash -> 64-permutation pipeline —
+    the r14 plan audit showed the documents scan + signature subtree
+    duplicated per side (no ReuseExchange across a BroadcastExchange).
+    The checkpointed frame is narrow (doc_id + 64 longs, ~0.5 KB/row),
+    far cheaper to materialize than to recompute at any scale."""
     rows_per_band = num_hashes // bands
-    # spread rows before the signature compute: a table that arrives as one
-    # file is one partition, and per-row expression work would serialize
-    docs = _spread(docs)
     base_fn = base_hashes_md5 if hash_family == "md5" else base_hashes
     # two-step select so base hashes materialize once (see signature_from_base)
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        base_fn(shingles_col(F.col(text_col), shingle_n)).alias("bh"),
-    ).select(
-        "doc_id",
-        signature_from_base(F.col("bh"), num_hashes).alias("sig"),
+    sig = (
+        sh.select(
+            "doc_id",
+            base_fn(F.col("sh")).alias("bh"),
+        )
+        .select(
+            "doc_id",
+            signature_from_base(F.col("bh"), num_hashes).alias("sig"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     def band_key(b: int) -> Column:
@@ -189,17 +215,21 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
     Returns (doc_a, doc_b, jaccard)."""
-    cands = minhash_lsh_candidates(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        hash_family=hash_family,
+    # ONE shingling pass feeds both the signatures and the Jaccard verify:
+    # the shingle frame is lazily localCheckpointed so the candidate
+    # subtree and the two verify sides read the same materialized arrays
+    # instead of re-scanning + re-shingling the corpus (the r14 plan audit
+    # counted 4 independent documents scans in this operator's plan).
+    sh = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
-    sh = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    cands = _lsh_candidates_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -311,6 +341,11 @@ def simhash_near_duplicates(
         def tok_hash(tok: Column) -> Column:
             return F.xxhash64(tok) if bits > 32 else F.hash(tok)
 
+    # lazy localCheckpoint: the banding kernel fans this frame into the
+    # bucket census and both self-join sides — each would re-evaluate the
+    # bits x per-token aggregate signature tree (the media_near_duplicates
+    # lesson applied to text SimHash; the checkpointed frame is one int64
+    # + blocks per doc)
     sigs = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
@@ -321,7 +356,7 @@ def simhash_near_duplicates(
         "doc_id",
         simhash_from_hashes(F.col("th"), bits).alias("sh"),
         *[F.col(c) for c in block_cols],
-    )
+    ).localCheckpoint(eager=False)
     return hamming_banded_pairs(
         sigs,
         max_hamming=max_hamming,
