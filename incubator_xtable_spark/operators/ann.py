@@ -162,6 +162,143 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _flat2d(lst, n: int, dim: int, what: str) -> "np.ndarray":
+    """Arrow list column -> (n, dim) float64, refusing ragged/null input."""
+    if lst.null_count:
+        raise ValueError(f"{what}: null vectors are not scorable")
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) != n * dim:
+        raise ValueError(
+            f"{what}: expected uniform dim {dim}, got {len(flat)} values for {n} rows"
+        )
+    return np.asarray(flat, dtype=np.float64).reshape(n, dim)
+
+
+def _seq_dot_rows(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Per-row dot product in STRICT left-to-right accumulation order —
+    bit-identical to the JVM ``dot`` fold (((0+x0*y0)+x1*y1)+...), which
+    is what keeps Arrow-scored values equal to the HOF-scored values the
+    DuckDB oracles replay. One vectorized add per dimension instead of
+    one interpreted Catalyst lambda call per element (~1 us each)."""
+    acc = np.zeros(len(a), dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc += a[:, j] * b[:, j]
+    return acc
+
+
+def attach_cos_raw_arrow(df: DataFrame, *, dim: int, keep: list[str]) -> DataFrame:
+    """Append ``cos_raw`` = dot(qv, cv) / (||qv|| * ||cv||) via ONE Arrow
+    pass, preserving the exact IEEE semantics of the JVM expression it
+    replaces (sequential-order dots and norms, sqrt, then the same
+    multiply/divide shape) — so rounded outputs, window orderings and
+    oracle hashes are unchanged. ``df`` must carry ``qv``/``cv`` array
+    columns; ``keep`` lists the pass-through output columns.
+
+    Why: the per-candidate rerank cosine was a Catalyst HOF fold —
+    interpreted per element, measured ~1 us/element/core — so a 75k-pair
+    rerank at dim 64 burned ~5M lambda calls per side. The kernel is a
+    handful of vectorized ops per batch. Map-only, no shuffle change."""
+    from pyspark.sql import types as T
+
+    fields = [next(f for f in df.schema.fields if f.name == c) for c in keep]
+    out_schema = T.StructType(
+        [*fields, T.StructField("cos_raw", T.DoubleType(), True)]
+    )
+    idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    keep_idx = [idx[c] for c in keep]
+    qv_i, cv_i = idx["qv"], idx["cv"]
+    d_ = dim
+
+    def _cos(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            q = _flat2d(rb.column(qv_i), n, d_, "attach_cos_raw_arrow(qv)")
+            c = _flat2d(rb.column(cv_i), n, d_, "attach_cos_raw_arrow(cv)")
+            cos = _seq_dot_rows(q, c) / (
+                _np.sqrt(_seq_dot_rows(q, q)) * _np.sqrt(_seq_dot_rows(c, c))
+            )
+            yield _pa.record_batch(
+                [rb.column(i) for i in keep_idx] + [_pa.array(cos)],
+                names=[*keep, "cos_raw"],
+            )
+
+    return df.mapInArrow(_cos, out_schema)
+
+
+def attach_adc_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    dim: int,
+    keep: list[str],
+    base_col: str | None = None,
+) -> DataFrame:
+    """Append ``approx_dot`` — the PQ/IVFADC compressed-domain score
+    sum_j <q_sub_j, book_j[code_j]> (plus ``base_col``, the per-probe
+    <q, centroid_cell> term, when given) — via ONE Arrow pass with a
+    codebook GATHER per subspace, replacing the chain of m Catalyst HOF
+    aggregates that evaluated interpreted per element per candidate.
+    Accumulation order is preserved exactly (base term first, then
+    subspaces in order, each subspace's dims left-to-right), so the
+    shortlist ordering matches the HOF chain bit-for-bit.
+
+    This is the textbook ADC formulation: the codebook reconstruction is
+    a (n,) integer gather into an (n_codes, sub) array — vectorized C —
+    instead of element_at on a 2-D literal per row."""
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = dim // m
+    fields = [next(f for f in df.schema.fields if f.name == c) for c in keep]
+    out_schema = T.StructType(
+        [*fields, T.StructField("approx_dot", T.DoubleType(), True)]
+    )
+    idx = {f.name: i for i, f in enumerate(df.schema.fields)}
+    keep_idx = [idx[c] for c in keep]
+    qv_i, codes_i = idx["qv"], idx["codes"]
+    base_i = idx[base_col] if base_col is not None else None
+    d_ = dim
+
+    def _adc(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            q = _flat2d(rb.column(qv_i), n, d_, "attach_adc_arrow(qv)")
+            codes_l = rb.column(codes_i)
+            if codes_l.null_count:
+                raise ValueError("attach_adc_arrow: null code rows are not scorable")
+            codes = _np.asarray(
+                codes_l.flatten().to_numpy(zero_copy_only=False)
+            ).reshape(n, m)
+            acc = None
+            if base_i is not None:
+                acc = rb.column(base_i).to_numpy(zero_copy_only=False).astype(
+                    _np.float64, copy=True
+                )
+            for j, B in enumerate(books):
+                bv = B[codes[:, j]]  # (n, sub) gather
+                tacc = _np.zeros(n, dtype=_np.float64)
+                for t in range(sub):
+                    tacc += q[:, j * sub + t] * bv[:, t]
+                acc = tacc if acc is None else acc + tacc
+            yield _pa.record_batch(
+                [rb.column(i) for i in keep_idx] + [_pa.array(acc)],
+                names=[*keep, "approx_dot"],
+            )
+
+    return df.mapInArrow(_adc, out_schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     n_a = F.sqrt(dot(a, a))
     n_b = F.sqrt(dot(b, b))
@@ -201,14 +338,6 @@ def ann_lsh_topk(
     """
     from pyspark.sql import Window as W
 
-    def band_key(vec: Column, band: int) -> Column:
-        # distinct plane family per band via the seed; key prefixed with
-        # the band id so buckets never collide across bands
-        return F.concat(
-            F.lit(f"{band}:"),
-            lsh_bucket(vec, dim, n_planes, seed + 1000 * band).cast("string"),
-        )
-
     # skew gate (multimodal rule): spread a single-file input before the
     # per-row bucket computation, but never full-shuffle a well-split scan
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
@@ -219,19 +348,29 @@ def ann_lsh_topk(
     # per (candidate x band) and makes distinct() hash wide rows — measured
     # 3-4x slower at sf0.1 (r3 bench regression); vectors re-attach by id
     # AFTER the dedupe, when only true candidates remain.
-    cand = vectors.select(
-        F.col(id_col).alias("c_id"),
+    # Band keys come from the Arrow matmul kernel on BOTH sides (r14: the
+    # corpus side was still the interpreted lsh_bucket HOF tree —
+    # n_bands * n_planes * dim lambda calls per row, the exact cost
+    # lsh_band_keys_arrow was built to remove for the embedding family);
+    # same hyperplanes, so bucket semantics and recall are unchanged.
+    cand = lsh_band_keys_arrow(
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_bands=n_bands, seed=seed,
+    ).select(
+        F.col("kid").alias("c_id"),
         F.explode(
-            F.array(*[band_key(F.col(vec_col), b) for b in range(n_bands)])
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"b{b}").cast("string"))
+                    for b in range(n_bands)
+                ]
+            )
         ).alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        *[
-            lsh_bucket(F.col(vec_col), dim, n_planes, seed + 1000 * b).alias(f"b{b}")
-            for b in range(n_bands)
-        ],
-    )
+    q = lsh_band_keys_arrow(
+        queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_bands=n_bands, seed=seed,
+    ).withColumnRenamed("kid", "q_id")
     probe_keys = []
     for b in range(n_bands):
         base = F.col(f"b{b}")
@@ -249,22 +388,19 @@ def ann_lsh_topk(
         .select("q_id", "c_id")
         .distinct()
     )
+    # rerank via the Arrow cosine kernel (exact sequential-sum semantics —
+    # see attach_cos_raw_arrow): norms are computed only for candidate
+    # pairs instead of a corpus-wide HOF projection
     cv = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+        F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
     )
     qv = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+        F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = (
-        pairs.join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .withColumn(
-            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
-        )
+    scored = attach_cos_raw_arrow(
+        pairs.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
+        dim=dim,
+        keep=["q_id", "c_id"],
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
@@ -411,22 +547,19 @@ def ann_lsh_md5_topk(
         .select("q_id", "c_id")
         .distinct()
     )
+    # rerank via the Arrow cosine kernel — exact sequential-sum semantics
+    # (attach_cos_raw_arrow), so the DuckDB oracle's replayed values and
+    # tie-breaks are bit-identical to the previous HOF fold
     cv = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+        F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
     )
     qv = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+        F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = (
-        pairs.join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .withColumn(
-            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
-        )
+    scored = attach_cos_raw_arrow(
+        pairs.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
+        dim=dim,
+        keep=["q_id", "c_id"],
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
@@ -585,22 +718,19 @@ def ann_ivf_topk(
         .select("q_id", "c_id")
         .distinct()
     )
+    # exact-cosine verify via the Arrow kernel (sequential-sum exactness,
+    # norms computed only for probed candidates — the corpus-wide HOF
+    # norm projection is gone)
     cv = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+        F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
     )
     qv = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+        F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = (
-        pairs.join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .withColumn(
-            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
-        )
+    scored = attach_cos_raw_arrow(
+        pairs.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
+        dim=dim,
+        keep=["q_id", "c_id"],
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
@@ -778,11 +908,7 @@ def ann_ivfpq_topk(
         vectors, trained, id_col=id_col, vec_col=vec_col, dim=dim
     )
     enc = enc_full.select("c_id", "cell", "codes")
-    cv = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
-    )
+    cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
     return _ivfpq_score_rerank(
         enc, cv, queries, centroids, codebooks, dim,
         id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, refine=refine,
@@ -979,19 +1105,20 @@ def _ivfpq_score_rerank(
     refine: int,
 ) -> DataFrame:
     """Shared IVFADC scoring: broadcast probe join on cell, ADC approx
-    dot, per-query shortlist window, exact-cosine rerank. ``enc`` is
-    (c_id, cell, codes); ``cv`` is (c_id, cv, c_norm) — possibly both
-    pre-pruned to the probed cells (the partitioned serving path)."""
+    dot (Arrow codebook-gather kernel — attach_adc_arrow), per-query
+    shortlist window, exact-cosine rerank (Arrow sequential-sum kernel —
+    attach_cos_raw_arrow). ``enc`` is (c_id, cell, codes); ``cv`` is
+    (c_id, cv) — possibly both pre-pruned to the probed cells (the
+    partitioned serving path)."""
     from pyspark.sql import Window as W
 
-    sub = dim // len(codebooks)
     lit_cents = F.lit([[float(x) for x in c] for c in centroids])
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
     )
-    # probe list per query + the constant <q, centroid_cell> term
+    # probe list per query + the constant <q, centroid_cell> term (a
+    # |Q| x n_probe frame — stays a JVM expression, it is tiny)
     probes = qv.select(
         "q_id",
         "qv",
@@ -1009,24 +1136,12 @@ def _ivfpq_score_rerank(
         ),
     )
 
-    approx = F.col("q_cent_dot")
-    for j in range(len(codebooks)):
-        lit_book = F.lit([[float(x) for x in c] for c in codebooks[j]])
-        centroid = F.element_at(lit_book, F.col("codes").getItem(j) + 1)
-        approx = approx + F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qv"), j * sub + 1, sub),
-                centroid,
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    scored = (
-        enc.join(F.broadcast(probes), "cell")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .withColumn("approx_dot", approx)
+    scored = attach_adc_arrow(
+        enc.join(F.broadcast(probes), "cell").filter(F.col("c_id") != F.col("q_id")),
+        codebooks,
+        dim=dim,
+        keep=["q_id", "c_id"],
+        base_col="q_cent_dot",
     )
     w_short = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("c_id"))
     shortlist = (
@@ -1035,12 +1150,10 @@ def _ivfpq_score_rerank(
         .select("q_id", "c_id")
     )
 
-    reranked = (
-        shortlist.join(cv, "c_id")
-        .join(F.broadcast(qv.select("q_id", "qv", "q_norm")), "q_id")
-        .withColumn(
-            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
-        )
+    reranked = attach_cos_raw_arrow(
+        shortlist.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
+        dim=dim,
+        keep=["q_id", "c_id"],
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
@@ -1083,9 +1196,7 @@ def ann_ivfpq_topk_partitioned(
     cells = ivfpq_probe_cells(queries, trained, vec_col=vec_col, n_probe=n_probe)
     pruned = corpus.filter(F.col("cell").isin(cells))
     enc = pruned.select("c_id", "cell", "codes")
-    cv = pruned.select(
-        "c_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_norm")
-    )
+    cv = pruned.select("c_id", "cv")
     return _ivfpq_score_rerank(
         enc, cv, queries, centroids, codebooks, dim,
         id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, refine=refine,
@@ -1142,29 +1253,16 @@ def ann_pq_topk(
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
     )
     # ADC score: per subspace, the query's subvector dotted with the
-    # candidate's RECONSTRUCTED subvector (codebook_j[code_j]); one 2-D
-    # codebook literal per subspace, element_at indexes by the stored code
-    approx = None
-    for j in range(len(codebooks)):
-        lit_book = F.lit([[float(x) for x in c] for c in codebooks[j]])
-        centroid = F.element_at(lit_book, F.col("codes").getItem(j) + 1)
-        term = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qv"), j * sub + 1, sub),
-                centroid,
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        approx = term if approx is None else approx + term
-
-    scored = (
-        enc.join(F.broadcast(qv), F.col("c_id") != F.col("q_id"))
-        .withColumn("approx_dot", approx)
+    # candidate's RECONSTRUCTED subvector (codebook_j[code_j]) — the
+    # Arrow codebook-gather kernel (attach_adc_arrow) replaces the chain
+    # of m interpreted HOF aggregates per candidate row
+    scored = attach_adc_arrow(
+        enc.join(F.broadcast(qv), F.col("c_id") != F.col("q_id")),
+        codebooks,
+        dim=dim,
+        keep=["q_id", "c_id"],
     )
     w_short = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("c_id"))
     shortlist = (
@@ -1173,17 +1271,11 @@ def ann_pq_topk(
         .select("q_id", "c_id")
     )
 
-    cv = vectors.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
-    )
-    reranked = (
-        shortlist.join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .withColumn(
-            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
-        )
+    cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    reranked = attach_cos_raw_arrow(
+        shortlist.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
+        dim=dim,
+        keep=["q_id", "c_id"],
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
