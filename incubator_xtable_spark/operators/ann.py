@@ -186,7 +186,14 @@ def _seq_dot_rows(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
     return acc
 
 
-def attach_cos_raw_arrow(df: DataFrame, *, dim: int, keep: list[str]) -> DataFrame:
+def attach_cos_raw_arrow(
+    df: DataFrame,
+    *,
+    dim: int,
+    keep: list[str],
+    qv_col: str = "qv",
+    cv_col: str = "cv",
+) -> DataFrame:
     """Append ``cos_raw`` = dot(qv, cv) / (||qv|| * ||cv||) via ONE Arrow
     pass, preserving the exact IEEE semantics of the JVM expression it
     replaces (sequential-order dots and norms, sqrt, then the same
@@ -206,7 +213,7 @@ def attach_cos_raw_arrow(df: DataFrame, *, dim: int, keep: list[str]) -> DataFra
     )
     idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     keep_idx = [idx[c] for c in keep]
-    qv_i, cv_i = idx["qv"], idx["cv"]
+    qv_i, cv_i = idx[qv_col], idx[cv_col]
     d_ = dim
 
     def _cos(batches):

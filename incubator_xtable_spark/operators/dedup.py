@@ -760,7 +760,7 @@ def embedding_near_duplicates_md5(
     bounded candidate streams, one band self-join shuffle + one pair
     distinct; vectors re-attach by id after the narrow dedupe (the
     ann_lsh plan rule)."""
-    from incubator_xtable_spark.operators.ann import dot, md5_sign_signatures
+    from incubator_xtable_spark.operators.ann import md5_sign_signatures
 
     if n_planes % n_bands:
         raise ValueError("n_planes must divide into n_bands equal slices")
@@ -793,21 +793,25 @@ def embedding_near_duplicates_md5(
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # exact-cosine verify via the Arrow kernel (sequential-sum exactness —
+    # operators/ann.attach_cos_raw_arrow): the per-candidate HOF fold was
+    # interpreted per element, and the corpus-wide norm projections are
+    # now candidate-only work
+    from incubator_xtable_spark.operators.ann import attach_cos_raw_arrow
+
     va = vectors.select(
-        F.col(id_col).cast("long").alias("vec_a"),
-        F.col(vec_col).alias("av"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("a_norm"),
+        F.col(id_col).cast("long").alias("vec_a"), F.col(vec_col).alias("av")
     )
     vb = vectors.select(
-        F.col(id_col).cast("long").alias("vec_b"),
-        F.col(vec_col).alias("bv"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("b_norm"),
+        F.col(id_col).cast("long").alias("vec_b"), F.col(vec_col).alias("bv")
     )
     return (
-        pairs.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn(
-            "cos_raw", dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm"))
+        attach_cos_raw_arrow(
+            pairs.join(va, "vec_a").join(vb, "vec_b"),
+            dim=dim,
+            keep=["vec_a", "vec_b"],
+            qv_col="av",
+            cv_col="bv",
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
@@ -858,7 +862,7 @@ def embedding_near_duplicates(
     label-blocked dedup_embedding_cosine registry entry (an ORACLE
     BASELINE, O(N^2/L) within labels): this is the recipe that survives
     a 100x scale-up."""
-    from incubator_xtable_spark.operators.ann import dot, lsh_band_keys_arrow
+    from incubator_xtable_spark.operators.ann import lsh_band_keys_arrow
 
     vectors = _spread(vectors)
 
@@ -912,18 +916,21 @@ def embedding_near_duplicates(
         )
         .distinct()
     )
-    v = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
-    )
-    a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # exact-cosine verify via the Arrow kernel (sequential-sum exactness —
+    # operators/ann.attach_cos_raw_arrow) instead of the interpreted HOF
+    # fold per candidate pair
+    from incubator_xtable_spark.operators.ann import attach_cos_raw_arrow
+
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
-        pairs.join(a, "vec_a")
-        .join(b, "vec_b")
-        .withColumn("cos_raw", cos)
+        attach_cos_raw_arrow(
+            pairs.join(a, "vec_a").join(b, "vec_b"),
+            dim=dim,
+            keep=["vec_a", "vec_b"],
+            qv_col="va",
+            cv_col="vb",
+        )
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
