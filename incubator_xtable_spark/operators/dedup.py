@@ -27,6 +27,131 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _list_col_numpy(col):
+    """(flat_values int64 ndarray, absolute offsets int64 ndarray) of an
+    Arrow list<int64> column, trimmed so reduceat's implicit last segment
+    ends at the final offset even on sliced buffers."""
+    import numpy as np
+
+    lo = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)[: lo[-1]]
+    return np.asarray(flat, dtype=np.int64), lo
+
+
+def simhash_sigs_arrow(
+    df: DataFrame, *, hashes_col: str = "th", out_col: str = "sh", bits: int = 64
+) -> DataFrame:
+    """SimHash signatures from precomputed token hashes via ONE vectorized
+    Arrow pass: bit b of sig = 1 iff 2 * sum((h >> b) & 1 over tokens) >
+    n_tokens — bit-identical to the JVM ``simhash_from_hashes`` fold it
+    replaces (pure int64 two's-complement ops on both paths), so oracle
+    values and pair sets are unchanged.
+
+    Why: the expression-tree fold evaluates ``bits`` separate aggregate
+    lambdas per row (interpreted per token — measured as the dominant
+    cost of the simhash entries at sf0.1); here each batch is bits
+    vectorized numpy passes over the flattened token-hash buffer.
+    Map-only, zero shuffles — the same scale posture, cheaper per task
+    (guide §4.2). Output schema: every input column except
+    ``hashes_col``, plus ``out_col`` long."""
+    from pyspark.sql import types as T
+
+    keep = [f for f in df.schema.fields if f.name != hashes_col]
+    names = [f.name for f in keep] + [out_col]
+    out_schema = T.StructType(list(keep) + [T.StructField(out_col, T.LongType())])
+    h_idx = [f.name for f in df.schema.fields].index(hashes_col)
+    keep_idx = [i for i, f in enumerate(df.schema.fields) if f.name != hashes_col]
+    bits_ = bits
+
+    def _sig(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            flat, lo = _list_col_numpy(rb.column(h_idx))
+            lens = np.diff(lo)
+            # dummy 0 pad: keeps every reduceat index in-bounds when rows
+            # are empty (lo[i] == len(flat)); a 0 contributes nothing to a
+            # bit-count sum, and empty rows are masked below anyway
+            flat = np.append(flat, np.int64(0))
+            sig = np.zeros(n, dtype=np.uint64)
+            empty = lens == 0
+            for b in range(bits_):
+                ones = np.add.reduceat((flat >> b) & 1, lo[:-1])
+                ones[empty] = 0
+                sig |= ((2 * ones > lens).astype(np.uint64)) << np.uint64(b)
+            yield pa.record_batch(
+                [rb.column(i) for i in keep_idx] + [pa.array(sig.view(np.int64))],
+                names=names,
+            )
+
+    return df.mapInArrow(_sig, out_schema)
+
+
+def minhash_sigs_arrow(
+    df: DataFrame,
+    *,
+    base_col: str = "bh",
+    out_col: str = "sig",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures from precomputed base hashes via ONE vectorized
+    Arrow pass: sig_i = min over shingles of (h * a_i + b_i) mod p —
+    value-identical to the JVM ``signature_from_base`` tree (h < 2^32 and
+    a < 2^31 keep every product inside positive int64 on both paths, and
+    the modulus is positive, so Java % == numpy %).
+
+    Why: the expression tree evaluates num_hashes transform+array_min
+    lambdas per row (interpreted per shingle); here each batch is
+    num_hashes vectorized passes over the flattened base-hash buffer with
+    a per-row minimum.reduceat. Map-only, zero shuffles (guide §4.2).
+    Output schema: every input column except ``base_col``, plus
+    ``out_col`` array<long>. Raises on an empty shingle array (the JVM
+    path would emit null signature slots; shingles_col always emits >= 1
+    shingle, so this is a loud guard, not a behavior change)."""
+    from pyspark.sql import types as T
+
+    params = _permutation_params(num_hashes)
+    keep = [f for f in df.schema.fields if f.name != base_col]
+    names = [f.name for f in keep] + [out_col]
+    out_schema = T.StructType(
+        list(keep) + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+    b_idx = [f.name for f in df.schema.fields].index(base_col)
+    keep_idx = [i for i, f in enumerate(df.schema.fields) if f.name != base_col]
+    nh = num_hashes
+
+    def _sig(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            flat, lo = _list_col_numpy(rb.column(b_idx))
+            if (np.diff(lo) == 0).any():
+                raise ValueError("minhash_sigs_arrow: empty shingle array")
+            sig = np.empty((n, nh), dtype=np.int64)
+            for i, (a, b) in enumerate(params):
+                sig[:, i] = np.minimum.reduceat((flat * a + b) % _MERSENNE_PRIME, lo[:-1])
+            yield pa.record_batch(
+                [rb.column(i) for i in keep_idx]
+                + [
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, (n + 1) * nh, nh, dtype=np.int64), type=pa.int32()),
+                        pa.array(sig.ravel()),
+                    )
+                ],
+                names=names,
+            )
+
+    return df.mapInArrow(_sig, out_schema)
+
+
 def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -161,18 +286,14 @@ def _lsh_candidates_from_shingles(
     far cheaper to materialize than to recompute at any scale."""
     rows_per_band = num_hashes // bands
     base_fn = base_hashes_md5 if hash_family == "md5" else base_hashes
-    # two-step select so base hashes materialize once (see signature_from_base)
-    sig = (
-        sh.select(
-            "doc_id",
-            base_fn(F.col("sh")).alias("bh"),
-        )
-        .select(
-            "doc_id",
-            signature_from_base(F.col("bh"), num_hashes).alias("sig"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # base hashes stay JVM-side (cross-engine hash primitives); the 64
+    # affine permutations + per-row minima run in the vectorized Arrow
+    # kernel instead of num_hashes interpreted transform+array_min lambdas
+    # per row (value-identical int64 math)
+    sig = minhash_sigs_arrow(
+        sh.select("doc_id", base_fn(F.col("sh")).alias("bh")),
+        num_hashes=num_hashes,
+    ).localCheckpoint(eager=False)
 
     def band_key(b: int) -> Column:
         raw = F.concat_ws(
@@ -343,19 +464,20 @@ def simhash_near_duplicates(
 
     # lazy localCheckpoint: the banding kernel fans this frame into the
     # bucket census and both self-join sides — each would re-evaluate the
-    # bits x per-token aggregate signature tree (the media_near_duplicates
-    # lesson applied to text SimHash; the checkpointed frame is one int64
-    # + blocks per doc)
-    sigs = _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.array_distinct(tokens_col(F.col(text_col))), tok_hash
-        ).alias("th"),
-        *[F.col(c) for c in block_cols],
-    ).select(
-        "doc_id",
-        simhash_from_hashes(F.col("th"), bits).alias("sh"),
-        *[F.col(c) for c in block_cols],
+    # signature pipeline (the media_near_duplicates lesson applied to text
+    # SimHash; the checkpointed frame is one int64 + blocks per doc).
+    # Token hashes stay JVM-side (cross-engine hash primitives); the
+    # per-bit majority vote runs in the vectorized Arrow kernel instead of
+    # bits interpreted aggregate folds per row (bit-identical ints).
+    sigs = simhash_sigs_arrow(
+        _spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            F.transform(
+                F.array_distinct(tokens_col(F.col(text_col))), tok_hash
+            ).alias("th"),
+        ),
+        bits=bits,
     ).localCheckpoint(eager=False)
     return hamming_banded_pairs(
         sigs,

@@ -62,27 +62,44 @@ GROUP BY text
 """
 
 
-def _src_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    """The micro-batch frames, in ingest order. ts is synthetic
+def _docs_arrow(sf_dir: str, n_docs: int):
+    """(doc_id int64, text string) pyarrow table of documents with
+    doc_id < n_docs — DRIVER-SIDE fixture staging with zero Spark jobs
+    (r14: the previous Spark-frame staging paid a full documents scan +
+    toArrow collect per micro-batch frame; the pinned sample is a direct
+    pyarrow read, same rows, same types)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return tbl.filter(pc.less(tbl["doc_id"], n_docs))
+
+
+def _src_batches(spark: SparkSession, sf_dir: str) -> list:
+    """The micro-batch pyarrow tables, in ingest order. ts is synthetic
     event time = epoch + doc_id minutes, so batch order == event-time
     order and first-seen == min doc_id (what the oracle computes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     # base offset keeps every synthetic ts STRICTLY ABOVE epoch 0: Spark's
     # initial watermark is 0, and a row whose event time equals the
     # watermark is dropped as late — doc_id 0 would silently vanish
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
-    base = docs.select(
-        "doc_id",
-        F.timestamp_seconds(F.col("doc_id") * 60 + 86_400).alias("ts"),
-        "text",
+    docs = _docs_arrow(sf_dir, _N_DOCS)
+    ts_us = lambda ids: pc.multiply(  # noqa: E731
+        pc.add(pc.multiply(ids, 60), 86_400), 1_000_000
+    ).cast(pa.timestamp("us", tz="UTC"))
+    base = pa.table(
+        {"doc_id": docs["doc_id"], "ts": ts_us(docs["doc_id"]), "text": docs["text"]}
     )
-    reingest = (
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
-            F.timestamp_seconds((F.col("doc_id") + 10000) * 60 + 86_400).alias("ts"),
-            "text",
-        )
-    )
+    ids_np = docs["doc_id"].to_numpy()
+    re = docs.filter(pa.array(ids_np % 5 == 0))
+    new_ids = pc.add(re["doc_id"], 10_000)
+    reingest = pa.table({"doc_id": new_ids, "ts": ts_us(new_ids), "text": re["text"]})
     return [base, reingest]
 
 
@@ -105,24 +122,22 @@ def dedup_streaming_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(in_dir)
     now = 1_700_000_000  # any fixed base; only relative order matters
     # FIXTURE SYNTHESIS, not a data path: the micro-batch files are a
-    # pinned 480-row sample, staged driver-side via pyarrow (one Arrow
-    # collect per batch frame — cheaper than per-batch coalesce(1) write
-    # jobs; a real ingest streams from arriving files, never through here)
-    for i, frame in enumerate(_src_batches(spark, sf_dir)):
-        tbl = frame.toArrow().cast(
-            # tz=UTC keeps isAdjustedToUTC=true in the parquet footer, so
-            # the readStream TIMESTAMP schema reads the same instants back
-            # regardless of the driver session's timezone
-            pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("ts", pa.timestamp("us", tz="UTC")),
-                    ("text", pa.string()),
-                ]
-            )
-        )
+    # pinned 480-row sample, staged ENTIRELY driver-side via pyarrow
+    # (r14: zero Spark jobs — the previous per-frame toArrow collect paid
+    # a documents scan each; a real ingest streams from arriving files,
+    # never through here). tz=UTC keeps isAdjustedToUTC=true in the
+    # parquet footer, so the readStream TIMESTAMP schema reads the same
+    # instants back regardless of the driver session's timezone.
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("text", pa.string()),
+        ]
+    )
+    for i, tbl in enumerate(_src_batches(spark, sf_dir)):
         dest = os.path.join(in_dir, f"b{i}.parquet")
-        pq.write_table(tbl, dest)
+        pq.write_table(tbl.cast(schema), dest)
         os.utime(dest, (now + 10 * i, now + 10 * i))
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -226,39 +241,49 @@ def dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _ND_DOCS)
-        .select("doc_id", "text")
+    import pyarrow.compute as pc
+
+    # pinned-sample fixture staging, zero Spark jobs (r14 — see
+    # dedup_streaming_firstseen): epoch 2024-01-01 UTC = 1704067200 s
+    docs = _docs_arrow(sf_dir, _ND_DOCS)
+    _EPOCH_US = 1_704_067_200 * 1_000_000
+    base = pa.table(
+        {
+            "doc_id": docs["doc_id"],
+            "ts": pc.add(
+                pc.multiply(docs["doc_id"], 60 * 1_000_000), _EPOCH_US
+            ).cast(pa.timestamp("us", tz="UTC")),
+            "text": docs["text"],
+        }
     )
-    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp")
-    base = docs.select(
-        "doc_id",
-        (epoch + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
-        "text",
-    )
-    twins = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        (epoch + F.make_interval(mins=F.lit(500))).alias("ts"),
-        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    tw = docs.filter(pa.array(docs["doc_id"].to_numpy() % 9 == 0))
+    twin_ts = pa.array(
+        [_EPOCH_US + 500 * 60 * 1_000_000] * len(tw), pa.int64()
+    ).cast(pa.timestamp("us", tz="UTC"))
+    twins = pa.table(
+        {
+            "doc_id": pc.add(tw["doc_id"], 20_000),
+            "ts": twin_ts,
+            "text": pc.binary_join_element_wise(
+                tw["text"].cast(pa.string()), " extraword", ""
+            ),
+        }
     )
     work = tempfile.mkdtemp(prefix="xt_stream_neardup_")
     in_dir = os.path.join(work, "in")
     ckpt = os.path.join(work, "ck")
     os.makedirs(in_dir)
     now = 1_700_000_000
-    for i, frame in enumerate([base, twins]):
-        tbl = frame.toArrow().cast(
-            pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("ts", pa.timestamp("us", tz="UTC")),
-                    ("text", pa.string()),
-                ]
-            )
-        )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("text", pa.string()),
+        ]
+    )
+    for i, tbl in enumerate([base, twins]):
         dest = os.path.join(in_dir, f"b{i}.parquet")
-        pq.write_table(tbl, dest)
+        pq.write_table(tbl.cast(schema), dest)
         os.utime(dest, (now + 10 * i, now + 10 * i))
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")

@@ -76,10 +76,15 @@ def _make_dedup_fn(ttl_ms: int):
             # bounded-state trade)
             state.remove()
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if rows.empty:
+        # avoid pd.concat/sort for the common tiny-group shapes: most
+        # content keys see a single 1-row chunk per micro-batch, and the
+        # per-group python overhead IS the cost of this operator (r14)
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
             return
-        rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(rows) > 1:
+            rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
         n = int(len(rows))
         first = rows.iloc[0]
         ts_us = int(first["ts"].value // 1_000)
@@ -178,10 +183,14 @@ def _make_neardup_fn(max_hamming: int, max_bucket: int, ttl_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if rows.empty:
+        # tiny-group fast path (see _make_dedup_fn): most buckets get one
+        # 1-row chunk per micro-batch
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
             return
-        rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(rows) > 1:
+            rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
         if state.exists:
             doc_ids, sigs, saturated = state.get
             doc_ids = list(doc_ids)
