@@ -400,6 +400,74 @@ def _commit_slices(
     return slices
 
 
+# Below this many total log-JSON bytes the commit tail is parsed on the
+# DRIVER into a LocalRelation instead of a distributed spark.read.json
+# (r14): every downstream metadata action (latest_metadata's order/limit
+# collect, the live-files window, stats parses) then plans against local
+# rows at ~millisecond cost instead of paying a full local[32] job per
+# action — measured as the dominant cost of small-table conversions. At
+# scale the threshold routes big logs to the distributed path unchanged;
+# env XT_DRIVER_LOG_MAX_BYTES overrides (0 disables the fast path).
+# Production justification: a log under a few MB is driver-trivial on any
+# cluster; the distributed read exists for unbounded logs, not these.
+_DRIVER_LOG_MAX_BYTES = int(
+    os.environ.get("XT_DRIVER_LOG_MAX_BYTES", str(4 * 1024 * 1024))
+)
+
+
+def _schema_dict(value, dtype):
+    """Project a parsed-JSON value onto a Spark DataType the way the
+    PERMISSIVE JSON reader does: unknown fields dropped, missing fields
+    null, nested structs recursed. Raises on shape mismatches — the
+    caller falls back to the distributed reader."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.StructType):
+        return {f.name: _schema_dict(value.get(f.name), f.dataType) for f in dtype.fields}
+    if isinstance(dtype, T.ArrayType):
+        return [_schema_dict(v, dtype.elementType) for v in value]
+    if isinstance(dtype, T.MapType):
+        return dict(value)
+    return value
+
+
+def _read_log_actions_local(
+    spark: SparkSession, slices: list[tuple[str, int]]
+) -> Optional[DataFrame]:
+    """Driver-side parse of a SMALL commit-json tail (see
+    _DRIVER_LOG_MAX_BYTES) into the exact _ACTION_SCHEMA + version frame
+    the distributed reader yields — the version tag comes from the slice
+    list itself (compacted ranges tag as their END, same rule as the
+    filename regex). Returns None when the tail is too big or anything
+    about it surprises the parser (caller falls back)."""
+    try:
+        total = 0
+        for p, _ in slices:
+            total += os.path.getsize(p)
+            if total > _DRIVER_LOG_MAX_BYTES:
+                return None
+        out_schema = T.StructType(
+            list(_ACTION_SCHEMA.fields) + [T.StructField("version", T.LongType())]
+        )
+        rows = []
+        for p, ver in slices:
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    d = json.loads(line)
+                    row = {
+                        f.name: _schema_dict(d.get(f.name), f.dataType)
+                        for f in _ACTION_SCHEMA.fields
+                    }
+                    row["version"] = ver
+                    rows.append(row)
+        return spark.createDataFrame(rows, out_schema)
+    except Exception:  # noqa: BLE001 — any surprise routes to the spark reader
+        return None
+
+
 def read_log_actions(
     spark: SparkSession, base_path: str, max_version: Optional[int] = None
 ) -> DataFrame:
@@ -444,6 +512,10 @@ def read_log_actions(
         return spark.createDataFrame(
             [], T.StructType(list(_ACTION_SCHEMA.fields) + [T.StructField("version", T.LongType())])
         )
+    if cp_df is None and _DRIVER_LOG_MAX_BYTES > 0:
+        local = _read_log_actions_local(spark, slices)
+        if local is not None:
+            return local
     tail_df = (
         spark.read.schema(_ACTION_SCHEMA)
         .json([p for p, _ in slices])
@@ -1641,6 +1713,20 @@ class DeltaConversionSource:
         # conversion instead of assigning fresh ranges. Requires every
         # live add to carry baseRowId (a Row Tracking table).
         self.expose_row_lineage = expose_row_lineage
+        # metaData lookup cache (r14): one sync resolves the same metaData
+        # row 2-3 times (table build + file-format default), each a full
+        # Spark log-scan job. Keyed by (requested version, current log
+        # head) so an incremental commit through a long-lived source can
+        # never serve a stale row — the listdir probe is microseconds.
+        self._meta_cache: dict = {}
+
+    def _latest_meta(self, version: Optional[int] = None):
+        head = max(list_log_versions(self.base_path), default=-1)
+        key = (version, head)
+        if key not in self._meta_cache:
+            self._meta_cache.clear()  # old-head entries are dead weight
+            self._meta_cache[key] = latest_metadata(self.spark, self.base_path, version)
+        return self._meta_cache[key]
 
     def get_current_table(self) -> Optional[InternalTable]:
         return self.get_table_at_version(None)
@@ -1652,7 +1738,7 @@ class DeltaConversionSource:
         (delta/DeltaConversionSource.java:106 getSnapshotAt); parsing
         add.stats of an old commit with the latest schema mis-types the
         min/max values whenever the backlog crosses a schema change."""
-        meta = latest_metadata(self.spark, self.base_path, version)
+        meta = self._latest_meta(version)
         if meta is None:
             return None
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1699,6 +1785,17 @@ class DeltaConversionSource:
             raise ValueError(f"not a delta table: {self.base_path}")
         version = max(list_log_versions(self.base_path))
         live = live_files_df(self.spark, self.base_path, version)
+        # materialize the live-files frame ONCE when several consumers fan
+        # out of it (inventory projection + DV scan + delete/lineage maps
+        # each re-ran the full log read + window otherwise — r14 measured
+        # the duplicated evaluations dominating the small-table sync);
+        # metadata-sized rows, so the checkpoint is cheap at any scale
+        if (
+            self.expose_row_deletes
+            or self.expose_row_lineage
+            or "deletionVector" in live.columns
+        ):
+            live = live.localCheckpoint(eager=True)
         files = self._to_inventory_adds(live, table)
         return InternalSnapshot(
             table=table,
@@ -1808,7 +1905,7 @@ class DeltaConversionSource:
         if getattr(self, "_format_default", None) is None:
             from incubator_xtable_spark.model.file_formats import from_delta_provider
 
-            meta = latest_metadata(self.spark, self.base_path)
+            meta = self._latest_meta()
             provider = None
             if meta is not None and meta["format"] is not None:
                 provider = meta["format"]["provider"]
