@@ -594,13 +594,12 @@ def kmeans_centroids(
     sample is ~25 MB and converges in milliseconds locally. One Spark
     job total (the limited sample collect); the corpus itself is never
     shuffled for training."""
-    rows = _deterministic_sample(vectors, vec_col, max_sample)
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x = _deterministic_sample(vectors, vec_col, max_sample)
     rng = np.random.default_rng(seed)
     return _lloyd(x, n_centroids, rng, max_iter).tolist()
 
 
-def _deterministic_sample(vectors: DataFrame, vec_col: str, max_sample: int) -> list:
+def _deterministic_sample(vectors: DataFrame, vec_col: str, max_sample: int) -> "np.ndarray":
     """Bounded training sample whose CONTENT is a pure function of the
     data: rows ordered by xxhash64 of the vector itself (a seeded
     pseudo-random but reproducible order), then limited. A bare
@@ -608,13 +607,20 @@ def _deterministic_sample(vectors: DataFrame, vec_col: str, max_sample: int) -> 
     and every downstream ANN result — would vary with partition layout
     despite the fixed k-means seed. orderBy+limit compiles to
     TakeOrderedAndProject (per-partition top-k + merge, no full sort
-    shuffle), so the determinism is free at scale."""
-    return (
+    shuffle), so the determinism is free at scale. Returns the sample as
+    an (n, dim) float64 ndarray via ONE Arrow transfer (r14 — the
+    row-pickle collect measured ~3x slower on a cold path; same rows,
+    same order, same doubles)."""
+    tbl = (
         vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(F.xxhash64("v"))
         .limit(max_sample)
-        .collect()
+        .toArrow()
     )
+    lst = tbl.column("v").combine_chunks()
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    n = len(lst)
+    return np.asarray(flat, dtype=np.float64).reshape(n, -1) if n else np.empty((0, 0))
 
 
 def _lloyd(x: "np.ndarray", n_centroids: int, rng, max_iter: int) -> "np.ndarray":
@@ -772,8 +778,7 @@ def pq_train(
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows = _deterministic_sample(vectors, vec_col, max_sample)
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x = _deterministic_sample(vectors, vec_col, max_sample)
     rng = np.random.default_rng(seed)
     return [
         _lloyd(x[:, j * sub : (j + 1) * sub], n_codes, rng, max_iter).tolist()
@@ -828,8 +833,7 @@ def ivfpq_train(
     if dim % m:
         raise ValueError(f"ivfpq_train: dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows = _deterministic_sample(vectors, vec_col, max_sample)
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x = _deterministic_sample(vectors, vec_col, max_sample)
     rng = np.random.default_rng(seed)
     centers = _lloyd(x, n_centroids, rng, max_iter)
     d = (

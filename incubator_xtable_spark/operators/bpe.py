@@ -32,6 +32,51 @@ from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 4
 
+# Below this many distinct words the merge loop runs on the DRIVER over
+# the collected (symbols, freq) table (r14): BPE statistics are
+# vocabulary-bounded by construction, and paying 2 Spark jobs per merge
+# round for a vocab that fits in a few MB is pure scheduler latency —
+# the same auto-gating as connected_components' union-find fast path.
+# The driver loop replays the distributed algorithm exactly (overlapping
+# adjacent-pair counts, count-desc/pair-asc argmax, left-to-right
+# non-overlapping merge), pinned by the pytest differential against the
+# independent reference implementation. Env XT_DRIVER_VOCAB_MAX
+# overrides (0 disables).
+_DRIVER_VOCAB_MAX = int(__import__("os").environ.get("XT_DRIVER_VOCAB_MAX", "200000"))
+
+
+def _learn_merges_driver(
+    words: list[tuple[list[str], int]], n_merges: int, min_freq: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over a BOUNDED, already-collected vocabulary —
+    value-identical to the distributed rounds (ASCII and non-ASCII alike:
+    UTF-8 byte order is code-point order, so Python's str compare matches
+    Spark's binary string ordering in the tie-break)."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_freq:
+            break
+        merges.append((rank, a, b, int(n)))
+        nxt = []
+        for syms, freq in words:
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            nxt.append((acc, freq))
+        words = nxt
+    return merges
+
 
 def _merge_pair_expr(syms_col: str, left: str, right: str):
     """Fold that applies ONE merge (left,right) -> left||right to a
@@ -65,6 +110,11 @@ def learn_bpe_merges(
         .select(F.split(F.col("w"), "").alias("syms"), "freq")
         .localCheckpoint(eager=False)
     )
+    if _DRIVER_VOCAB_MAX > 0 and vocab.count() <= _DRIVER_VOCAB_MAX:
+        rows = vocab.collect()
+        return _learn_merges_driver(
+            [(list(r["syms"]), int(r["freq"])) for r in rows], n_merges, min_freq
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = vocab.select(

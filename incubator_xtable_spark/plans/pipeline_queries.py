@@ -687,9 +687,13 @@ def ivfpq_stage_layout(spark: SparkSession, sf_dir: str) -> float:
     emb = t(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="xt_ivfpq_layout_")
     trained = ivfpq_train(emb, dim=EMB_DIM, n_centroids=16, m=8, n_codes=16)
-    ivfpq_encode_corpus(emb, trained, dim=EMB_DIM).write.partitionBy("cell").parquet(
-        work, mode="overwrite"
-    )
+    # hash-distribute by cell before the partitioned write (guide §6
+    # write.distribution-mode=hash): one file per cell instead of
+    # (encode tasks x cells) small files — fewer commit objects at write
+    # time AND fewer opens per probed cell at serving time
+    ivfpq_encode_corpus(emb, trained, dim=EMB_DIM).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(work, mode="overwrite")
     _IVFPQ_LAYOUT_CACHE[sf_dir] = (work, trained)
     return _time.perf_counter() - t0
 
@@ -803,6 +807,10 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_write,
     )
 
+    # examined r14: materializing the orders scan once (localCheckpoint)
+    # REGRESSED cold runs 6.8 -> 9.6 s — the single-file source pins the
+    # checkpoint to one partition, serializing the rewrite inputs through
+    # one task; three independent parallel parquet scans are cheaper.
     orders = t(spark, sf_dir, "orders")
     work = tempfile.mkdtemp(prefix="xt_zorder_")
     lin, zed = f"{work}/linear", f"{work}/zordered"

@@ -428,10 +428,16 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 is fully tie-broken."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # materialize the joined+distinct stream once, pre-partitioned by the
+    # self-join key: top_parts and BOTH self-join sides read it (3 full
+    # evaluations of the join+distinct otherwise — r14 plan audit), and
+    # the cust partitioning makes the pair self-join exchange-free
     cust_part = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        .repartition("cust")
+        .localCheckpoint(eager=False)
     )
     top_parts = (
         cust_part.groupBy("part")

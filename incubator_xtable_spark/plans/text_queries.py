@@ -217,8 +217,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lenband = F.floor(F.size(tokens) / JACCARD_BAND)
-    sh = docs.filter(F.size(tokens) >= 3).select(
-        "doc_id", "lang", "source", lenband.alias("lenband"), shingles.alias("shingles")
+    # spread the single-file scan before the per-row shingle transform
+    # (repo rule: repartition single-file tables before heavy per-row
+    # operators), then materialize ONCE — both join sides read this frame
+    # and would otherwise re-shingle the corpus (r14; values unchanged)
+    sh = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(tokens) >= 3)
+        .select(
+            "doc_id", "lang", "source", lenband.alias("lenband"), shingles.alias("shingles")
+        )
+        .localCheckpoint(eager=False)
     )
     # probe side explodes into {band-1, band, band+1} so the band stays in
     # the equi-join KEY (bounded shuffle blocks even on a one-language
@@ -852,16 +861,25 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only over the corpus; join winnowed sets by fingerprint
     explode downstream when pairing (bounded by set size ~ n_tokens/w,
     not n_tokens^2)."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    # spread the single-file scan before the per-row gram-hash transform
+    # (repo rule; the whole md5-per-gram pass otherwise runs in ONE task)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.col("text"), " ").alias("tk"))
     )
-    docs = docs.filter(F.size("tk") >= 4)
+    # size(hs) == size(tk) - 3, so the ">= 5 windows" guard is stated as
+    # size(tk) >= 8 ON THE RAW TOKENS (subsumes the >= 4 gram guard):
+    # a filter on size(hs) pushed below the projection and re-evaluated
+    # the whole md5-per-gram transform per row (r14 plan audit — the
+    # dominant stage ran twice). Same row set, same values.
+    docs = docs.filter(F.size("tk") >= 8)
     grams = F.expr(
         "transform(sequence(1, size(tk) - 3),"
         " i -> cast(conv(substring(md5(array_join(slice(tk, i, 4), ' ')), 1, 8),"
         "              16, 10) AS LONG))"
     )
-    docs = docs.select("doc_id", grams.alias("hs")).filter(F.size("hs") >= 5)
+    docs = docs.select("doc_id", grams.alias("hs"))
     wins = F.array_distinct(
         F.expr("transform(sequence(1, size(hs) - 4), w -> array_min(slice(hs, w, 5)))")
     )

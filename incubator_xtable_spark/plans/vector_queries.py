@@ -322,7 +322,13 @@ def quantize_embeddings(emb: DataFrame, dim: int, vec_col: str = "embedding") ->
 def vector_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = quantize_embeddings(t(spark, sf_dir, "embeddings"), EMB_DIM)
+    # lazy localCheckpoint: both join sides derive from the quantized
+    # frame — without it each side re-runs the 2*dim bounds aggregate and
+    # the quantization projection (no ReuseExchange across the broadcast
+    # build; r14 measured the duplicated subtree). Values unchanged.
+    emb = quantize_embeddings(
+        t(spark, sf_dir, "embeddings"), EMB_DIM
+    ).localCheckpoint(eager=False)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("qv").alias("qa")
     )
