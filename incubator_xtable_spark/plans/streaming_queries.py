@@ -142,6 +142,16 @@ def dedup_streaming_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
+    # r14 (guide §1 measured): availableNow appends a ZERO-input
+    # micro-batch after the last file purely to evaluate event-time
+    # timeouts — a full addBatch (state-store load/commit + Python
+    # stateful exchange, ~1/3 of the entry's wall time) that provably
+    # emits nothing here: the TTL is pinned 7 DAYS past a ~7-hour
+    # event-time horizon, so no key can expire within the run. TTL
+    # expiry semantics keep their own gate (tests/test_streaming_stateful.py,
+    # which leaves this conf at its default). Restored in finally.
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     sink = f"xt_stream_dedup_{uuid.uuid4().hex[:12]}"
     try:
         stream = (
@@ -167,6 +177,7 @@ def dedup_streaming_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
 
     # materialize off the memory sink's in-memory table before returning
     # (the driver collects later; localCheckpoint pins the 400 rows so the
@@ -288,6 +299,10 @@ def dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
+    # skip the zero-input timeout batch — same rationale and restore
+    # discipline as dedup_streaming_firstseen (TTL 7 days >> horizon)
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     sink = f"xt_stream_neardup_{uuid.uuid4().hex[:12]}"
     try:
         stream = (
@@ -312,6 +327,7 @@ def dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
 
     emis = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
