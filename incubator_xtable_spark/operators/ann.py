@@ -16,6 +16,8 @@ No Python UDFs: dot products are zip_with/aggregate expressions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -237,6 +239,239 @@ def attach_cos_raw_arrow(
     return df.mapInArrow(_cos, out_schema)
 
 
+def _broadcast_vecs_max_bytes() -> int:
+    """Bounded-corpus gate for the gather-verify path (0 disables).
+
+    Same auto-gating pattern as connected_components' union-find and the
+    driver footer path: when the RAW vector matrix fits comfortably in a
+    broadcast (default 64 MB — the session's autoBroadcastJoinThreshold),
+    shipping two id columns to the Python workers and gathering rows from
+    one broadcast matrix beats re-attaching a dim-sized array payload to
+    every candidate pair. The gate is on BYTES of the corpus, not SF: a
+    100 TB corpus always takes the join path below."""
+    try:
+        return int(os.environ.get("XT_BROADCAST_VECS_MAX_BYTES", str(64 * 1024 * 1024)))
+    except ValueError:
+        return 64 * 1024 * 1024
+
+
+def cos_verify_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+) -> DataFrame:
+    """``cos_raw`` for an (a_col, b_col) candidate-id pair stream against
+    a vector corpus keyed by unique ``id_col`` — the verify step of every
+    embedding near-dup path. Output: (a_col, b_col, cos_raw).
+
+    Two tiers, bit-identical values (both run ``_seq_dot_rows`` — the
+    strict left-to-right JVM-fold order the DuckDB oracles replay):
+
+    - BOUNDED corpora (raw matrix <= XT_BROADCAST_VECS_MAX_BYTES,
+      default 64 MB; probed with a short-circuiting limit(n+1), so a
+      100 TB corpus pays one cheap probe, never a collect): the corpus
+      ships ONCE as a broadcast ndarray and only the two id columns
+      cross the Python boundary per pair. Versus the join tier this
+      removes two joins from the plan and cuts the boundary payload
+      from 2*dim doubles per pair to 2 longs (measured 0.5 GB -> 8 MB
+      for a 526k-pair verify at dim 64, guide §8: move keys, not
+      payloads). Pairs whose id is absent from the corpus drop, exactly
+      like the inner joins they replace.
+    - LARGER corpora: re-attach vectors by id (two joins) and score via
+      ``attach_cos_raw_arrow`` — the shape that needs no driver memory.
+    """
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    corpus = None
+    if max_rows > 0:
+        probe = (
+            vectors.select(
+                F.col(id_col).cast("long").alias("kid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .limit(max_rows + 1)
+            .toArrow()
+        )
+        if probe.num_rows <= max_rows:
+            corpus = probe
+    if corpus is None:
+        va = vectors.select(
+            F.col(id_col).cast("long").alias(a_col), F.col(vec_col).alias("__av")
+        )
+        vb = vectors.select(
+            F.col(id_col).cast("long").alias(b_col), F.col(vec_col).alias("__bv")
+        )
+        return attach_cos_raw_arrow(
+            pairs.select(a_col, b_col).join(va, a_col).join(vb, b_col),
+            dim=dim,
+            keep=[a_col, b_col],
+            qv_col="__av",
+            cv_col="__bv",
+        )
+
+    ids = corpus.column("kid").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _flat2d(corpus.column("v").combine_chunks(), len(ids), dim, "cos_verify_pairs")
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    mat_sorted = np.ascontiguousarray(mat[order])
+    # per-vector norms once (same _seq_dot_rows accumulation the join tier
+    # runs per PAIR row — identical input row, identical double)
+    norms_sorted = np.sqrt(_seq_dot_rows(mat_sorted, mat_sorted))
+    bc = pairs.sparkSession.sparkContext.broadcast((ids_sorted, mat_sorted, norms_sorted))
+
+    from pyspark.sql import types as T
+
+    a_t = next(f.dataType for f in pairs.schema.fields if f.name == a_col)
+    b_t = next(f.dataType for f in pairs.schema.fields if f.name == b_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(a_col, a_t, True),
+            T.StructField(b_col, b_t, True),
+            T.StructField("cos_raw", T.DoubleType(), True),
+        ]
+    )
+
+    def _gather_cos(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        kids, kmat, knorm = bc.value
+
+        def _lookup(col):
+            want = col.to_numpy(zero_copy_only=False).astype(_np.int64)
+            pos = _np.searchsorted(kids, want)
+            pos_c = _np.clip(pos, 0, len(kids) - 1)
+            ok = kids[pos_c] == want
+            return pos_c, ok
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ia, ok_a = _lookup(rb.column(0).cast("int64"))
+            ib, ok_b = _lookup(rb.column(1).cast("int64"))
+            keep = ok_a & ok_b
+            if not keep.all():
+                rb = rb.take(_pa.array(_np.flatnonzero(keep), type=_pa.int64()))
+                ia, ib = ia[keep], ib[keep]
+                if rb.num_rows == 0:
+                    continue
+            cos = _seq_dot_rows(kmat[ia], kmat[ib]) / (knorm[ia] * knorm[ib])
+            yield _pa.record_batch(
+                [rb.column(0), rb.column(1), _pa.array(cos)],
+                names=[a_col, b_col, "cos_raw"],
+            )
+
+    return pairs.select(a_col, b_col).mapInArrow(_gather_cos, out_schema)
+
+
+def cos_rerank_pairs(
+    pairs: DataFrame,
+    qv: DataFrame,
+    cv: DataFrame,
+    *,
+    dim: int,
+) -> DataFrame:
+    """``cos_raw`` for an ANN (q_id, c_id) shortlist against a query
+    frame ``qv`` = (q_id, qv) and a candidate frame ``cv`` = (c_id, cv)
+    — the rerank step shared by every ANN path (``cv`` may already be
+    cell/partition-pruned; the probe below then collects only pruned
+    rows). Output: (q_id, c_id, cos_raw).
+
+    Same two tiers as ``cos_verify_pairs``, bit-identical values
+    (_seq_dot_rows both ways): when BOTH frames fit the
+    XT_BROADCAST_VECS_MAX_BYTES gate (short-circuiting limit(n+1)
+    probes), only the id pairs cross the Python boundary and the two
+    matrices ride one broadcast — removing the two re-attach joins and
+    the per-pair array payload from the plan; otherwise the unchanged
+    join tier (stream cv, broadcast qv) runs. Pairs naming an id absent
+    from either frame drop, exactly like the inner joins."""
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+
+    def _probe(frame, idc, vecc):
+        tbl = (
+            frame.select(
+                F.col(idc).cast("long").alias("kid"),
+                F.col(vecc).cast("array<double>").alias("v"),
+            )
+            .limit(max_rows + 1)
+            .toArrow()
+        )
+        return tbl if tbl.num_rows <= max_rows else None
+
+    q_tbl = _probe(qv, "q_id", "qv") if max_rows > 0 else None
+    c_tbl = _probe(cv, "c_id", "cv") if q_tbl is not None else None
+    if c_tbl is None:
+        return attach_cos_raw_arrow(
+            pairs.select("q_id", "c_id").join(cv, "c_id").join(F.broadcast(qv), "q_id"),
+            dim=dim,
+            keep=["q_id", "c_id"],
+        )
+
+    def _prep(tbl, what):
+        ids = tbl.column("kid").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _flat2d(tbl.column("v").combine_chunks(), len(ids), dim, what)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], np.ascontiguousarray(mat[order])
+
+    q_ids, q_mat = _prep(q_tbl, "cos_rerank_pairs(qv)")
+    c_ids, c_mat = _prep(c_tbl, "cos_rerank_pairs(cv)")
+    q_norm = np.sqrt(_seq_dot_rows(q_mat, q_mat))
+    c_norm = np.sqrt(_seq_dot_rows(c_mat, c_mat))
+    bc = pairs.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norm, c_ids, c_mat, c_norm)
+    )
+
+    from pyspark.sql import types as T
+
+    q_t = next(f.dataType for f in pairs.schema.fields if f.name == "q_id")
+    c_t = next(f.dataType for f in pairs.schema.fields if f.name == "c_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", q_t, True),
+            T.StructField("c_id", c_t, True),
+            T.StructField("cos_raw", T.DoubleType(), True),
+        ]
+    )
+
+    def _gather_cos(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        qi, qm, qn, ci, cm, cn = bc.value
+
+        def _lookup(col, kids):
+            want = col.to_numpy(zero_copy_only=False).astype(_np.int64)
+            pos = _np.searchsorted(kids, want)
+            pos_c = _np.clip(pos, 0, max(len(kids) - 1, 0))
+            ok = kids[pos_c] == want if len(kids) else _np.zeros(len(want), bool)
+            return pos_c, ok
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            iq, ok_q = _lookup(rb.column(0).cast("int64"), qi)
+            ic, ok_c = _lookup(rb.column(1).cast("int64"), ci)
+            keep = ok_q & ok_c
+            if not keep.all():
+                rb = rb.take(_pa.array(_np.flatnonzero(keep), type=_pa.int64()))
+                iq, ic = iq[keep], ic[keep]
+                if rb.num_rows == 0:
+                    continue
+            cos = _seq_dot_rows(qm[iq], cm[ic]) / (qn[iq] * cn[ic])
+            yield _pa.record_batch(
+                [rb.column(0), rb.column(1), _pa.array(cos)],
+                names=["q_id", "c_id", "cos_raw"],
+            )
+
+    return pairs.select("q_id", "c_id").mapInArrow(_gather_cos, out_schema)
+
+
 def attach_adc_arrow(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -404,11 +639,7 @@ def ann_lsh_topk(
     qv = queries.select(
         F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = attach_cos_raw_arrow(
-        pairs.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
-        dim=dim,
-        keep=["q_id", "c_id"],
-    )
+    scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -563,11 +794,7 @@ def ann_lsh_md5_topk(
     qv = queries.select(
         F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = attach_cos_raw_arrow(
-        pairs.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
-        dim=dim,
-        keep=["q_id", "c_id"],
-    )
+    scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -740,11 +967,7 @@ def ann_ivf_topk(
     qv = queries.select(
         F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = attach_cos_raw_arrow(
-        pairs.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
-        dim=dim,
-        keep=["q_id", "c_id"],
-    )
+    scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -1161,11 +1384,7 @@ def _ivfpq_score_rerank(
         .select("q_id", "c_id")
     )
 
-    reranked = attach_cos_raw_arrow(
-        shortlist.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
-        dim=dim,
-        keep=["q_id", "c_id"],
-    )
+    reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         reranked.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -1283,11 +1502,7 @@ def ann_pq_topk(
     )
 
     cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-    reranked = attach_cos_raw_arrow(
-        shortlist.join(cv, "c_id").join(F.broadcast(qv), "q_id"),
-        dim=dim,
-        keep=["q_id", "c_id"],
-    )
+    reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         reranked.withColumn("rank", F.row_number().over(w).cast("int"))

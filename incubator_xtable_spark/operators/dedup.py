@@ -915,26 +915,15 @@ def embedding_near_duplicates_md5(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    # exact-cosine verify via the Arrow kernel (sequential-sum exactness —
-    # operators/ann.attach_cos_raw_arrow): the per-candidate HOF fold was
-    # interpreted per element, and the corpus-wide norm projections are
-    # now candidate-only work
-    from incubator_xtable_spark.operators.ann import attach_cos_raw_arrow
+    # exact-cosine verify: bounded corpora gather rows from ONE broadcast
+    # matrix (ids-only boundary payload), larger corpora re-attach vectors
+    # by id — operators/ann.cos_verify_pairs, bit-identical either tier
+    # (sequential-sum dots both ways, so the DuckDB oracle's replay of the
+    # verify VALUE is unaffected)
+    from incubator_xtable_spark.operators.ann import cos_verify_pairs
 
-    va = vectors.select(
-        F.col(id_col).cast("long").alias("vec_a"), F.col(vec_col).alias("av")
-    )
-    vb = vectors.select(
-        F.col(id_col).cast("long").alias("vec_b"), F.col(vec_col).alias("bv")
-    )
     return (
-        attach_cos_raw_arrow(
-            pairs.join(va, "vec_a").join(vb, "vec_b"),
-            dim=dim,
-            keep=["vec_a", "vec_b"],
-            qv_col="av",
-            cv_col="bv",
-        )
+        cos_verify_pairs(pairs, vectors, id_col=id_col, vec_col=vec_col, dim=dim)
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
@@ -1003,13 +992,17 @@ def embedding_near_duplicates(
         seed=seed,
     ).localCheckpoint(eager=False)
     # narrow candidate stream: (band-prefixed bucket, id); exact buckets
-    # on the left, exact + 1-bit-flip probes on the right
+    # on the left, exact + 1-bit-flip probes on the right. Band-prefixing
+    # is an INT compose (band * 2^n_planes + key) — a 1:1 relabel of the
+    # old "band:key" strings (same collisions, same pairs) that shuffles
+    # 4-byte ints instead of strings (guide §2.3 narrower types)
+    stride = 1 << n_planes
     exact = keyed.select(
         F.col("kid").alias("lid"),
         F.explode(
             F.array(
                 *[
-                    F.concat(F.lit(f"{b}:"), F.col(f"b{b}").cast("string"))
+                    (F.lit(b * stride) + F.col(f"b{b}")).cast("int")
                     for b in range(n_bands)
                 ]
             )
@@ -1018,10 +1011,10 @@ def embedding_near_duplicates(
     probe_cols = []
     for b in range(n_bands):
         key = F.col(f"b{b}")
-        probe_cols.append(F.concat(F.lit(f"{b}:"), key.cast("string")))
+        probe_cols.append((F.lit(b * stride) + key).cast("int"))
         if multiprobe:
             probe_cols.extend(
-                F.concat(F.lit(f"{b}:"), key.bitwiseXOR(F.lit(2**i)).cast("string"))
+                (F.lit(b * stride) + key.bitwiseXOR(F.lit(2**i))).cast("int")
                 for i in range(n_planes)
             )
     probed = keyed.select(
@@ -1038,21 +1031,13 @@ def embedding_near_duplicates(
         )
         .distinct()
     )
-    # exact-cosine verify via the Arrow kernel (sequential-sum exactness —
-    # operators/ann.attach_cos_raw_arrow) instead of the interpreted HOF
-    # fold per candidate pair
-    from incubator_xtable_spark.operators.ann import attach_cos_raw_arrow
+    # exact-cosine verify: bounded corpora gather rows from ONE broadcast
+    # matrix (ids-only boundary payload), larger corpora re-attach vectors
+    # by id — operators/ann.cos_verify_pairs, bit-identical either tier
+    from incubator_xtable_spark.operators.ann import cos_verify_pairs
 
-    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
-        attach_cos_raw_arrow(
-            pairs.join(a, "vec_a").join(b, "vec_b"),
-            dim=dim,
-            keep=["vec_a", "vec_b"],
-            qv_col="va",
-            cv_col="vb",
-        )
+        cos_verify_pairs(pairs, vectors, id_col=id_col, vec_col=vec_col, dim=dim)
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )

@@ -602,6 +602,67 @@ def test_embedding_near_duplicates_unlabeled_recall(spark):
         assert abs(r["cos_sim"] - sims[idx[r["vec_a"]], idx[r["vec_b"]]]) < 1e-5
 
 
+def test_cos_verify_pairs_tiers_identical(spark, monkeypatch):
+    """r14: the verify kernel's two tiers — bounded-corpus broadcast
+    gather (ids-only boundary payload) and the at-scale join re-attach —
+    must produce IDENTICAL rows, and pairs naming an id absent from the
+    corpus must drop exactly like the inner joins they replace."""
+    import numpy as np
+
+    from incubator_xtable_spark.operators.ann import cos_verify_pairs
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((40, 16))
+    vecs = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    pair_rows = [(int(i), int(j)) for i in range(0, 30, 3) for j in range(i + 1, 40, 7)]
+    pair_rows.append((5, 999))  # 999 absent from the corpus -> must drop
+    pairs = spark.createDataFrame(pair_rows, "vec_a LONG, vec_b LONG")
+
+    def run():
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["cos_raw"])
+            for r in cos_verify_pairs(
+                pairs, vecs, id_col="vec_id", vec_col="embedding", dim=16
+            ).collect()
+        )
+
+    gathered = run()  # default gate: 40x16 doubles is far under the bound
+    monkeypatch.setenv("XT_BROADCAST_VECS_MAX_BYTES", "0")  # force join tier
+    joined = run()
+    assert gathered == joined and len(gathered) == len(pair_rows) - 1
+    assert all(v not in (999,) for _, v, _ in gathered)
+
+    # same contract for the ANN rerank seam (distinct query/candidate
+    # frames, broadcast-qv join fallback)
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.operators.ann import cos_rerank_pairs
+
+    qf = vecs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cf = vecs.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    sl = spark.createDataFrame(
+        [(int(i), int(j)) for i in range(6) for j in range(10, 40, 4)] + [(2, 999)],
+        "q_id LONG, c_id LONG",
+    )
+
+    def run_rr():
+        return sorted(
+            (r["q_id"], r["c_id"], r["cos_raw"])
+            for r in cos_rerank_pairs(sl, qf, cf, dim=16).collect()
+        )
+
+    monkeypatch.delenv("XT_BROADCAST_VECS_MAX_BYTES")
+    g2 = run_rr()
+    monkeypatch.setenv("XT_BROADCAST_VECS_MAX_BYTES", "0")
+    j2 = run_rr()
+    assert g2 == j2 and len(g2) == 6 * 8  # the (2, 999) row dropped
+
+
 def test_embedding_near_duplicates_partition_layout_invariant(spark):
     """Deterministic blocking: identical pair sets across partition layouts."""
     import numpy as np
