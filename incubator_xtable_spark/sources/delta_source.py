@@ -822,7 +822,52 @@ def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = 
     return latest.filter(F.col("is_add")).drop("rn")
 
 
+_META_LOCAL_MISS = object()
+
+
+def _latest_metadata_local(base_path: str, max_version: Optional[int] = None):
+    """Driver-side `latest_metadata` for small un-checkpointed log tails
+    (the _DRIVER_LOG_MAX_BYTES gate — same eligibility as
+    _read_log_actions_local): the metaData row is a few hundred bytes of
+    JSON, and resolving it through a Spark job costs a fixed scheduling
+    latency that dwarfs the read. Returns the same dict shape the
+    PERMISSIVE reader row projects to (nested structs as dicts,
+    bracket-access compatible), None for "no metaData", or
+    _META_LOCAL_MISS when ineligible (checkpoint in range / oversized
+    tail / parse surprise) so the caller falls back to the Spark path."""
+    try:
+        cp = read_last_checkpoint(base_path)
+        if cp is not None and (max_version is None or max_version >= cp["version"]):
+            return _META_LOCAL_MISS
+        slices = _commit_slices(base_path, -1, max_version)
+        total = 0
+        for p, _ in slices:
+            total += os.path.getsize(p)
+            if total > _DRIVER_LOG_MAX_BYTES:
+                return _META_LOCAL_MISS
+        meta_type = next(f.dataType for f in _ACTION_SCHEMA.fields if f.name == "metaData")
+        best, best_ver = None, -1
+        for p, ver in slices:
+            if ver < best_ver:
+                continue
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    md = json.loads(line).get("metaData")
+                    if md is not None and md.get("schemaString") is not None and ver >= best_ver:
+                        best, best_ver = _schema_dict(md, meta_type), ver
+        return best
+    except Exception:  # noqa: BLE001 — any surprise routes to the spark reader
+        return _META_LOCAL_MISS
+
+
 def latest_metadata(spark: SparkSession, base_path: str, version: Optional[int] = None):
+    if _DRIVER_LOG_MAX_BYTES > 0:
+        local = _latest_metadata_local(base_path, version)
+        if local is not _META_LOCAL_MISS:
+            return local
     actions = read_log_actions(spark, base_path, version)
     if version is not None:
         actions = actions.filter(F.col("version") <= version)

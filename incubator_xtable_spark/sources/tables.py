@@ -6,6 +6,9 @@ documents embeddings — one parquet file per table under an sf dir.
 
 from __future__ import annotations
 
+import os
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -36,6 +39,38 @@ def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Per-session SCHEMA cache (r14, guide §1: the bench floor is per-query
+# fixed cost): a bare spark.read.parquet() re-infers the schema from the
+# footer on EVERY call (~100 ms of driver/JVM latency); with ~2-3 loads
+# per registry query that re-inference alone was ~10% of the whole bench.
+# Only the SCHEMA is memoized — every load returns a FRESH DataFrame whose
+# actions re-read the parquet bytes (no data/result caching, no .cache()),
+# exactly like resolving a table through a catalog instead of re-probing
+# the footer per query. Keyed by (sf_dir, name, file size, mtime) inside a
+# WeakKeyDictionary per SparkSession, so a regenerated file or a new
+# session re-infers.
+_SCHEMA_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (sf_dir, name, st.st_size, st.st_mtime_ns)
+    except OSError:
+        # missing file: keep the original whole-read error behavior
+        return spark.read.parquet(path)
+    per = _SCHEMA_CACHE.setdefault(spark, {})
+    schema = per.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        # drop stale entries for THIS table only (old size/mtime)
+        for k in [k for k in per if k[:2] == (sf_dir, name)]:
+            del per[k]
+        per[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -48,7 +83,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ). Normalize both to TIMESTAMP_LTZ under a pinned
         # UTC session so unix_micros/date_trunc/windows are deterministic
         # and bit-match the DuckDB oracle's naive-timestamp view.
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read(spark, sf_dir, name)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
@@ -58,7 +93,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # if a harness session set that conf to TIMESTAMP_NTZ.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read(spark, sf_dir, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1759,7 +1759,9 @@ def delta_shallow_clone(
         if v is not None
     }
     now_ms = int(_time.time() * 1000)
-    md = meta.asDict(recursive=True)
+    # latest_metadata yields a Row from the Spark reader or a plain dict
+    # from the small-log driver parse (r14) — same bracket shape either way
+    md = meta.asDict(recursive=True) if hasattr(meta, "asDict") else meta
     md_out = {
         "id": str(_uuid.uuid4()),  # a clone is a NEW table identity
         "format": {
