@@ -297,6 +297,14 @@ def drain_rows(df: Any, streaming: Any = None):
         streaming = env == "1"
     elif streaming == "auto" and env in ("0", "1"):
         streaming = env == "1"
+    if streaming == "auto" and getattr(df, "_xt_local_hint", False):
+        # The source tagged this inventory as a driver-built LocalRelation
+        # (small-log replay / bounded footer listing — every tag site is
+        # byte- or file-count-gated, never SF-gated). Projections over a
+        # LocalRelation fold at optimization time, so ONE collect() runs
+        # jobless; the persist+count probe would only add two extra
+        # planning passes to learn a row count the source already bounded.
+        return iter(df.collect())
     if streaming == "auto":
         df = df.persist()
         n = df.count()

@@ -344,6 +344,19 @@ def write_purged_files(
         (r["abs_path"], _json.dumps(r["deletionVector"]), purged_path(r["abs_path"], r["deletionVector"]))
         for r in dv_adds
     ]
+    # driver tier (r14 optimization): purging reads DATA bytes, so the
+    # gate is the total size of the files still needing a shadow — a
+    # metadata-sized batch (small fixtures, single small files) runs
+    # inline instead of paying a Python-worker job round trip. The SAME
+    # per-file body runs on both tiers; big batches keep the
+    # one-task-per-file parallel path.
+    pending_bytes = sum(
+        os.path.getsize(src) for src, _, out in rows if not os.path.exists(out) and os.path.exists(src)
+    )
+    if pending_bytes <= _DRIVER_PURGE_MAX_BYTES:
+        for src, dv_json, out in rows:
+            _write_one_purged_file(base_path, src, dv_json, out)
+        return
     df = spark.createDataFrame(rows, "abs_path STRING, dv_json STRING, out_path STRING")
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     bp = base_path
@@ -353,32 +366,48 @@ def write_purged_files(
 
         if pkg_root not in _sys.path:
             _sys.path.insert(0, pkg_root)
-        import json as _j
-
         import pandas as pd
-        import pyarrow.parquet as pq
 
-        from incubator_xtable_spark.sources.delta_dv import read_dv_positions
+        from incubator_xtable_spark.sources.delta_dv import _write_one_purged_file
 
         for pdf in batches:
             outs = []
             for src, dv_json, out in zip(pdf["abs_path"], pdf["dv_json"], pdf["out_path"]):
-                if not os.path.exists(out):
-                    positions = read_dv_positions(bp, _j.loads(dv_json))
-                    table = pq.read_table(src)
-                    keep = np.setdiff1d(
-                        np.arange(table.num_rows, dtype=np.int64),
-                        positions.astype(np.int64),
-                        assume_unique=True,
-                    )
-                    tmp = out + f".tmp-{os.getpid()}"
-                    pq.write_table(table.take(keep), tmp)
-                    os.replace(tmp, out)
+                _write_one_purged_file(bp, src, dv_json, out)
                 outs.append(out)
             yield pd.DataFrame({"out_path": outs})
 
     # one task per shadow file so purges run in parallel
     df.repartition(len(rows)).mapInPandas(_purge, "out_path STRING").count()
+
+
+# Purged-shadow batches whose PENDING data bytes are at or under this run
+# inline on the driver (one small file re-write); bigger batches keep the
+# parallel executor tier. A bytes gate, never SF. Env-tunable; 0 disables.
+_DRIVER_PURGE_MAX_BYTES = int(
+    os.environ.get("XT_DRIVER_PURGE_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _write_one_purged_file(base_path: str, src: str, dv_json: str, out: str) -> None:
+    """The per-(file, DV) shadow rewrite both tiers share: read, drop the
+    DV'd positions, write, atomic replace, idempotent."""
+    import json as _j
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(out):
+        return
+    positions = read_dv_positions(base_path, _j.loads(dv_json))
+    table = pq.read_table(src)
+    keep = np.setdiff1d(
+        np.arange(table.num_rows, dtype=np.int64),
+        positions.astype(np.int64),
+        assume_unique=True,
+    )
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table.take(keep), tmp)
+    os.replace(tmp, out)
 
 
 def dv_positions_df(spark: SparkSession, base_path: str, files_with_dv: DataFrame) -> DataFrame:
@@ -458,6 +487,16 @@ def write_delete_position_files(
         )
         for r in dv_adds
     ]
+    # driver tier (r14 optimization): the positions payload is bounded by
+    # the DVs' own serialized size, so when the whole batch is metadata-
+    # sized the per-file write runs inline — a Spark job would cost a
+    # fixed Python-worker round trip to move a few KB. The SAME loop body
+    # runs on both tiers (byte-identical outputs); big DV sets keep the
+    # one-task-per-file distributed path.
+    if sum(int(r["deletionVector"].get("sizeInBytes") or 0) for r in dv_adds) <= _DRIVER_DV_MAX_BYTES:
+        for src, dv_json, out in rows:
+            _write_one_delete_file(base_path, src, dv_json, out)
+        return
     df = spark.createDataFrame(rows, "abs_path STRING, dv_json STRING, out_path STRING")
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     bp = base_path
@@ -467,32 +506,48 @@ def write_delete_position_files(
 
         if pkg_root not in _sys.path:
             _sys.path.insert(0, pkg_root)
-        import json as _j
-
         import pandas as pd
-        import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        from incubator_xtable_spark.sources.delta_dv import read_dv_positions
+        from incubator_xtable_spark.sources.delta_dv import _write_one_delete_file
 
         for pdf in batches:
             outs = []
             for src, dv_json, out in zip(pdf["abs_path"], pdf["dv_json"], pdf["out_path"]):
-                if not os.path.exists(out):
-                    positions = np.sort(read_dv_positions(bp, _j.loads(dv_json)).astype(np.int64))
-                    table = pa.table(
-                        {
-                            "file_path": pa.array([src] * len(positions), pa.string()),
-                            "pos": pa.array(positions, pa.int64()),
-                        }
-                    )
-                    tmp = out + f".tmp-{os.getpid()}"
-                    pq.write_table(table, tmp)
-                    os.replace(tmp, out)
+                _write_one_delete_file(bp, src, dv_json, out)
                 outs.append(out)
             yield pd.DataFrame({"out_path": outs})
 
     df.repartition(len(rows)).mapInPandas(_write, "out_path STRING").count()
+
+
+# Metadata-sized DV batches (total serialized DV bytes at or under this)
+# write their position files inline on the driver; bigger sets keep the
+# one-task-per-file distributed tier. Positions scale with DV bytes, so
+# the gate bounds driver work in BYTES, never SF. Env-tunable;
+# 0 disables the driver tier.
+_DRIVER_DV_MAX_BYTES = int(os.environ.get("XT_DRIVER_DV_MAX_BYTES", str(4 * 1024 * 1024)))
+
+
+def _write_one_delete_file(base_path: str, src: str, dv_json: str, out: str) -> None:
+    """The per-(file, DV) positions-parquet write both tiers share:
+    decode, sort, write (file_path, pos), atomic replace, idempotent."""
+    import json as _j
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(out):
+        return
+    positions = np.sort(read_dv_positions(base_path, _j.loads(dv_json)).astype(np.int64))
+    table = pa.table(
+        {
+            "file_path": pa.array([src] * len(positions), pa.string()),
+            "pos": pa.array(positions, pa.int64()),
+        }
+    )
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
 
 
 def write_dv_files_from_positions(

@@ -796,9 +796,102 @@ def live_domain_metadata(
     }
 
 
+def _live_files_schema() -> T.StructType:
+    """The exact column list live_files_df projects, typed straight off
+    _ACTION_SCHEMA's add struct so the local and distributed tiers can
+    never drift."""
+    add_t = next(f.dataType for f in _ACTION_SCHEMA.fields if f.name == "add")
+
+    def ft(n: str) -> T.DataType:
+        return next(f.dataType for f in add_t.fields if f.name == n)
+
+    return T.StructType(
+        [
+            T.StructField("version", T.LongType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("is_add", T.BooleanType(), False),
+            T.StructField("partitionValues", ft("partitionValues")),
+            T.StructField("size", ft("size")),
+            T.StructField("modificationTime", ft("modificationTime")),
+            T.StructField("stats", ft("stats")),
+            T.StructField("baseRowId", ft("baseRowId")),
+            T.StructField("defaultRowCommitVersion", ft("defaultRowCommitVersion")),
+            T.StructField("deletionVector", ft("deletionVector")),
+        ]
+    )
+
+
+def _live_files_rows_local(base_path: str, version: Optional[int]):
+    """Driver-side live-files replay for small un-checkpointed log tails
+    (the _DRIVER_LOG_MAX_BYTES gate — same eligibility as
+    _read_log_actions_local): last-action-per-path-wins over a
+    metadata-sized action list is pure dict work, and running it through
+    a Spark window costs a shuffle job plus a full planning pass that
+    dwarfs the replay. Within one version the add wins the tie (the
+    Spark window's version DESC, is_add DESC rule — a DV commit removes
+    AND re-adds the same path). Returns live-add row dicts in
+    first-seen-path order, or None when ineligible (checkpoint in range
+    / oversized tail / parse surprise) so the caller falls back."""
+    try:
+        cp = read_last_checkpoint(base_path)
+        if cp is not None and (version is None or version >= cp["version"]):
+            return None
+        slices = _commit_slices(base_path, -1, version)
+        total = 0
+        for p, _ in slices:
+            total += os.path.getsize(p)
+            if total > _DRIVER_LOG_MAX_BYTES:
+                return None
+        add_t = next(f.dataType for f in _ACTION_SCHEMA.fields if f.name == "add")
+        winners: dict = {}  # path -> [version, is_add, projected add dict]
+        for p, ver in slices:
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    d = json.loads(line)
+                    add, remove = d.get("add"), d.get("remove")
+                    if add is not None and add.get("path") is not None:
+                        path, is_add, proj = add["path"], True, _schema_dict(add, add_t)
+                    elif remove is not None and remove.get("path") is not None:
+                        path, is_add, proj = remove["path"], False, None
+                    else:
+                        continue
+                    w = winners.get(path)
+                    if w is None or ver > w[0] or (ver == w[0] and (is_add or not w[1])):
+                        winners[path] = (ver, is_add, proj)
+        return [
+            {
+                "version": ver,
+                "path": path,
+                "is_add": True,
+                "partitionValues": proj.get("partitionValues"),
+                "size": proj.get("size"),
+                "modificationTime": proj.get("modificationTime"),
+                "stats": proj.get("stats"),
+                "baseRowId": proj.get("baseRowId"),
+                "defaultRowCommitVersion": proj.get("defaultRowCommitVersion"),
+                "deletionVector": proj.get("deletionVector"),
+            }
+            for path, (ver, is_add, proj) in winners.items()
+            if is_add
+        ]
+    except Exception:  # noqa: BLE001 — any surprise routes to the spark reader
+        return None
+
+
 def live_files_df(spark: SparkSession, base_path: str, version: Optional[int] = None) -> DataFrame:
     """Live AddFiles at a version (time travel when version is given):
     last action per path wins; a remove kills the path."""
+    if _DRIVER_LOG_MAX_BYTES > 0:
+        rows = _live_files_rows_local(base_path, version)
+        if rows is not None:
+            df = spark.createDataFrame(rows, _live_files_schema())
+            # LocalRelation inventory: consumers' projections fold
+            # driver-side and drain_rows collects without a count probe
+            df._xt_local_hint = True
+            return df
     actions = read_log_actions(spark, base_path, version)
     if version is not None:
         actions = actions.filter(F.col("version") <= version)
@@ -1839,7 +1932,9 @@ class DeltaConversionSource:
             self.expose_row_deletes
             or self.expose_row_lineage
             or "deletionVector" in live.columns
-        ):
+        ) and not getattr(live, "_xt_local_hint", False):
+            # a LocalRelation live frame is already materialized rows —
+            # checkpointing it would only add a job
             live = live.localCheckpoint(eager=True)
         files = self._to_inventory_adds(live, table)
         return InternalSnapshot(
@@ -1995,6 +2090,10 @@ class DeltaConversionSource:
             F.col("partitionValues").alias("partition_values"),
             column_stats_expr(data_schema, parsed).alias("column_stats"),
         )
+        # deterministic projections over a LocalRelation live frame fold
+        # driver-side — carry the drain hint through
+        if getattr(adds, "_xt_local_hint", False):
+            plain_inv._xt_local_hint = True
         if "deletionVector" not in adds.columns:
             return plain_inv
         dv_list = adds.filter(has_dv).select(

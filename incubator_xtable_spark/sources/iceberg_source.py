@@ -911,6 +911,9 @@ class IcebergConversionSource:
                     )
                 )
         inv = self.spark.createDataFrame(rows, FILE_INVENTORY_SCHEMA)
+        # manifest entries were walked driver-side already: the inventory
+        # is a LocalRelation, so drains can collect without a count probe
+        inv._xt_local_hint = True
         if affected:
             from incubator_xtable_spark.sources.parquet_source import data_schema, footer_stats
 

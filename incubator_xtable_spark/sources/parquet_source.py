@@ -195,6 +195,7 @@ class ParquetConversionSource:
             if part_entries
             else F.lit(None).cast("map<string,string>"),
         )
+        joined_stats = False
         if with_stats:
             stats = footer_stats(
                 self.spark,
@@ -203,11 +204,12 @@ class ParquetConversionSource:
                 local_paths=[p for p, _, _ in local_files] if local_files is not None else None,
             )
             inv = inv.join(stats, "physical_path", "left")
+            joined_stats = True
         elif with_stats is False:
             inv = inv.withColumn("record_count", F.lit(None).cast("long")).withColumn(
                 "column_stats", F.lit(None).cast(FILE_INVENTORY_SCHEMA["column_stats"].dataType)
             )
-        return inv.select(
+        out = inv.select(
             "physical_path",
             F.lit("PARQUET").alias("file_format"),
             "size_bytes",
@@ -216,6 +218,12 @@ class ParquetConversionSource:
             "partition_values",
             "column_stats",
         )
+        if not joined_stats:
+            # listing + driver-footer stats are one LocalRelation and the
+            # partition-regex projection folds over it — drains can collect
+            # without a count probe (the footer-join tier stays untagged)
+            out._xt_local_hint = True
+        return out
 
     # -- commits (mtime-based, like the reference) -------------------------
     # NOTE: mtime commits only observe ADDITIONS. Deleted files are only
