@@ -133,6 +133,33 @@ def main() -> None:
                 )
             },
         )
+        # the DELTA-SOURCE machinery (log JSON parse, from_json stats
+        # inventory, Jackson/codegen first touch) is one-time load the
+        # parquet->X warms above never reach; a throwaway delta->iceberg
+        # sync in a SECOND scratch dir warms it so the first
+        # delta-source-bearing entry pays its real per-sync cost, not
+        # classloading (r14; same rationale as the r10 conversion warm-up)
+        from incubator_xtable_spark.sources.delta_source import (
+            DeltaConversionSource,
+        )
+
+        warm_dir2 = tempfile.mkdtemp(prefix="xt_bench_warm2_")
+        _pq.write_table(
+            _pa.table({"id": _pa.array([1, 2, 3], _pa.int64())}),
+            os.path.join(warm_dir2, "w.parquet"),
+        )
+        ConversionController().sync(
+            ParquetConversionSource(spark, warm_dir2, name="warm2"),
+            {TableFormat.DELTA: DeltaConversionTarget(spark, warm_dir2)},
+        )
+        ConversionController().sync(
+            DeltaConversionSource(spark, warm_dir2),
+            {
+                TableFormat.ICEBERG: IcebergConversionTarget(
+                    spark, warm_dir2, table_name="warm2", format_version=3
+                )
+            },
+        )
     except Exception:  # noqa: BLE001
         pass
     # Warm the IVF-PQ serving-layout staging once (untimed, cost recorded):

@@ -298,13 +298,21 @@ def drain_rows(df: Any, streaming: Any = None):
     elif streaming == "auto" and env in ("0", "1"):
         streaming = env == "1"
     if streaming == "auto" and getattr(df, "_xt_local_hint", False):
-        # The source tagged this inventory as a driver-built LocalRelation
-        # (small-log replay / bounded footer listing — every tag site is
-        # byte- or file-count-gated, never SF-gated). Projections over a
-        # LocalRelation fold at optimization time, so ONE collect() runs
-        # jobless; the persist+count probe would only add two extra
-        # planning passes to learn a row count the source already bounded.
-        return iter(df.collect())
+        # The source tagged this inventory as driver-built and
+        # metadata-sized (every tag site is byte- or file-count-gated,
+        # never SF-gated): ONE collect() suffices — the persist+count
+        # probe would only add two extra planning passes to learn a row
+        # count the source already bounded. Whole-stage codegen is also
+        # skipped for just this collect: compiling the stats-projection
+        # stage costs ~1.3 s of janino for rows the interpreter finishes
+        # in milliseconds (same operators, same values, on any cluster).
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            return iter(df.collect())
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev)
     if streaming == "auto":
         df = df.persist()
         n = df.count()
