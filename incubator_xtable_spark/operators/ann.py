@@ -255,6 +255,32 @@ def _broadcast_vecs_max_bytes() -> int:
         return 64 * 1024 * 1024
 
 
+def _probe_vec_table(frame: DataFrame, idc: str, vecc: str, max_rows: int):
+    """Short-circuiting boundedness probe shared by the gather tiers:
+    collect up to ``max_rows + 1`` (kid, v) rows as ONE Arrow table;
+    return it when the frame proved bounded, else None (the caller then
+    takes the join tier). A 100 TB corpus pays one cheap limit probe,
+    never a full collect."""
+    tbl = (
+        frame.select(
+            F.col(idc).cast("long").alias("kid"),
+            F.col(vecc).cast("array<double>").alias("v"),
+        )
+        .limit(max_rows + 1)
+        .toArrow()
+    )
+    return tbl if tbl.num_rows <= max_rows else None
+
+
+def _sorted_vec_matrix(tbl, dim: int, what: str):
+    """(ids_sorted, mat_sorted) from a ``_probe_vec_table`` result —
+    stable-argsorted by id so kernels can searchsorted-gather."""
+    ids = tbl.column("kid").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _flat2d(tbl.column("v").combine_chunks(), len(ids), dim, what)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], np.ascontiguousarray(mat[order])
+
+
 def cos_verify_pairs(
     pairs: DataFrame,
     vectors: DataFrame,
@@ -375,6 +401,7 @@ def cos_rerank_pairs(
     cv: DataFrame,
     *,
     dim: int,
+    q_tbl=None,
 ) -> DataFrame:
     """``cos_raw`` for an ANN (q_id, c_id) shortlist against a query
     frame ``qv`` = (q_id, qv) and a candidate frame ``cv`` = (c_id, cv)
@@ -389,23 +416,18 @@ def cos_rerank_pairs(
     matrices ride one broadcast — removing the two re-attach joins and
     the per-pair array payload from the plan; otherwise the unchanged
     join tier (stream cv, broadcast qv) runs. Pairs naming an id absent
-    from either frame drop, exactly like the inner joins."""
+    from either frame drop, exactly like the inner joins.
+
+    ``q_tbl`` accepts a pre-probed Arrow table for ``qv`` (the exact
+    ``_probe_vec_table`` output a caller already collected, e.g. the
+    IVFADC scorer's query broadcast) so one collect serves both the ADC
+    gather and this rerank instead of re-running the probe job."""
     limit_bytes = _broadcast_vecs_max_bytes()
     max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
 
-    def _probe(frame, idc, vecc):
-        tbl = (
-            frame.select(
-                F.col(idc).cast("long").alias("kid"),
-                F.col(vecc).cast("array<double>").alias("v"),
-            )
-            .limit(max_rows + 1)
-            .toArrow()
-        )
-        return tbl if tbl.num_rows <= max_rows else None
-
-    q_tbl = _probe(qv, "q_id", "qv") if max_rows > 0 else None
-    c_tbl = _probe(cv, "c_id", "cv") if q_tbl is not None else None
+    if q_tbl is None and max_rows > 0:
+        q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows)
+    c_tbl = _probe_vec_table(cv, "c_id", "cv", max_rows) if q_tbl is not None else None
     if c_tbl is None:
         return attach_cos_raw_arrow(
             pairs.select("q_id", "c_id").join(cv, "c_id").join(F.broadcast(qv), "q_id"),
@@ -413,14 +435,8 @@ def cos_rerank_pairs(
             keep=["q_id", "c_id"],
         )
 
-    def _prep(tbl, what):
-        ids = tbl.column("kid").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _flat2d(tbl.column("v").combine_chunks(), len(ids), dim, what)
-        order = np.argsort(ids, kind="stable")
-        return ids[order], np.ascontiguousarray(mat[order])
-
-    q_ids, q_mat = _prep(q_tbl, "cos_rerank_pairs(qv)")
-    c_ids, c_mat = _prep(c_tbl, "cos_rerank_pairs(cv)")
+    q_ids, q_mat = _sorted_vec_matrix(q_tbl, dim, "cos_rerank_pairs(qv)")
+    c_ids, c_mat = _sorted_vec_matrix(c_tbl, dim, "cos_rerank_pairs(cv)")
     q_norm = np.sqrt(_seq_dot_rows(q_mat, q_mat))
     c_norm = np.sqrt(_seq_dot_rows(c_mat, c_mat))
     bc = pairs.sparkSession.sparkContext.broadcast(
@@ -479,6 +495,7 @@ def attach_adc_arrow(
     dim: int,
     keep: list[str],
     base_col: str | None = None,
+    qv_bc=None,
 ) -> DataFrame:
     """Append ``approx_dot`` — the PQ/IVFADC compressed-domain score
     sum_j <q_sub_j, book_j[code_j]> (plus ``base_col``, the per-probe
@@ -488,6 +505,17 @@ def attach_adc_arrow(
     Accumulation order is preserved exactly (base term first, then
     subspaces in order, each subspace's dims left-to-right), so the
     shortlist ordering matches the HOF chain bit-for-bit.
+
+    ``qv_bc`` (r14, guide §8 "move keys, not payloads"): a broadcast of
+    ``(q_ids_sorted, q_mat_sorted)`` built from the SAME bounded query
+    frame the join would otherwise attach. When given, ``df`` carries NO
+    ``qv`` column — the kernel gathers each row's query vector by
+    ``q_id`` from the broadcast, so the Python boundary ships 8 bytes of
+    key instead of ``dim`` doubles per candidate row (dim 64: 512 B ->
+    8 B, the dominant boundary payload of the scoring join). The gathered
+    rows are the identical float64s the join delivered, so approx_dot is
+    bit-for-bit unchanged; a q_id absent from the broadcast cannot occur
+    (the probe rows derive from the same frame) and raises loudly.
 
     This is the textbook ADC formulation: the codebook reconstruction is
     a (n,) integer gather into an (n_codes, sub) array — vectorized C —
@@ -503,7 +531,9 @@ def attach_adc_arrow(
     )
     idx = {f.name: i for i, f in enumerate(df.schema.fields)}
     keep_idx = [idx[c] for c in keep]
-    qv_i, codes_i = idx["qv"], idx["codes"]
+    qv_i = None if qv_bc is not None else idx["qv"]
+    qid_i = idx["q_id"] if qv_bc is not None else None
+    codes_i = idx["codes"]
     base_i = idx[base_col] if base_col is not None else None
     d_ = dim
 
@@ -515,7 +545,21 @@ def attach_adc_arrow(
             n = rb.num_rows
             if n == 0:
                 continue
-            q = _flat2d(rb.column(qv_i), n, d_, "attach_adc_arrow(qv)")
+            if qv_bc is not None:
+                q_ids, q_mat = qv_bc.value
+                want = rb.column(qid_i).cast("int64").to_numpy(
+                    zero_copy_only=False
+                ).astype(_np.int64)
+                pos = _np.searchsorted(q_ids, want)
+                pos_c = _np.clip(pos, 0, max(len(q_ids) - 1, 0))
+                if len(q_ids) == 0 or not (q_ids[pos_c] == want).all():
+                    raise ValueError(
+                        "attach_adc_arrow: q_id absent from the broadcast "
+                        "query matrix (the probe rows must derive from it)"
+                    )
+                q = q_mat[pos_c]
+            else:
+                q = _flat2d(rb.column(qv_i), n, d_, "attach_adc_arrow(qv)")
             codes_l = rb.column(codes_i)
             if codes_l.null_count:
                 raise ValueError("attach_adc_arrow: null code rows are not scorable")
@@ -935,28 +979,36 @@ def ann_ivf_topk(
         )
         return F.slice(F.array_sort(cells), 1, n).getField("i")
 
-    # skew gate HERE (not just inside the encode): the exact-cosine
-    # branch below reads `vectors` too, and a single-file corpus would
-    # score single-threaded without it
+    # skew gate for the per-row ENCODE only: the rerank frames below are
+    # either probed (gather tier — a collect, where a repartition is a
+    # wasted shuffle) or re-shuffled by their join keys anyway (join
+    # tier), so only the encode input needs spreading. One .rdd probe
+    # total (guide §1.2: each probe re-plans the frame on the driver).
+    enc_in = vectors
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    if vectors.rdd.getNumPartitions() < parallelism:
-        vectors = vectors.repartition(parallelism)
+    if enc_in.rdd.getNumPartitions() < parallelism:
+        enc_in = enc_in.repartition(parallelism)
     # corpus-side assignment: the Arrow matmul kernel (the HOF argmin
     # tree is interpreted per element — the r12 encode lesson); the
     # small query side keeps the JVM expression below
     dim = len(centroids[0])
     cand = _encode_arrow(
-        vectors, id_col=id_col, vec_col=vec_col, dim=dim, centroids=centroids
+        enc_in, id_col=id_col, vec_col=vec_col, dim=dim, centroids=centroids,
+        spread=False,
     ).select("c_id", "cell")
     qp = queries.select(
         F.col(id_col).alias("q_id"),
         F.explode(nearest(F.col(vec_col), n_probe)).alias("cell"),
     )
+    # no .distinct() on the pairs: every candidate lives in exactly ONE
+    # cell and a query's probed cells are distinct indexes of one sorted
+    # slice, so the join cannot emit a (q_id, c_id) pair twice — the
+    # distinct was a full exchange+aggregate for a provable no-op
+    # (guide §2.4 "a distinct on data that is already unique")
     pairs = (
         cand.join(F.broadcast(qp), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
-        .distinct()
     )
     # exact-cosine verify via the Arrow kernel (sequential-sum exactness,
     # norms computed only for probed candidates — the corpus-wide HOF
@@ -1016,6 +1068,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int,
+    spread: bool = True,
 ) -> DataFrame:
     """Encode every vector as m codebook ids (array<int>, one per
     subspace) — one Arrow matmul pass, map-only (the r12 encode
@@ -1026,7 +1079,8 @@ def pq_encode(
     so the compressed-domain scan reads ~16-64x fewer bytes than raw
     vectors."""
     return _encode_arrow(
-        vectors, id_col=id_col, vec_col=vec_col, dim=dim, codebooks=codebooks
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim, codebooks=codebooks,
+        spread=spread,
     ).select("c_id", "codes")
 
 
@@ -1132,14 +1186,16 @@ def ann_ivfpq_topk(
         )
     centroids, codebooks = trained
 
-    # skew gate (multimodal rule): spread a single-file input before the
-    # per-row encode, never full-shuffle a well-split scan
+    # skew gate for the per-row ENCODE input only (one .rdd probe; the
+    # rerank cv below is probed/collected or re-shuffled by its join key,
+    # so repartitioning it is a wasted shuffle in both rerank tiers)
+    enc_in = vectors
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    if vectors.rdd.getNumPartitions() < parallelism:
-        vectors = vectors.repartition(parallelism)
+    if enc_in.rdd.getNumPartitions() < parallelism:
+        enc_in = enc_in.repartition(parallelism)
 
     enc_full = ivfpq_encode_corpus(
-        vectors, trained, id_col=id_col, vec_col=vec_col, dim=dim
+        enc_in, trained, id_col=id_col, vec_col=vec_col, dim=dim, spread=False
     )
     enc = enc_full.select("c_id", "cell", "codes")
     cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
@@ -1175,6 +1231,7 @@ def ivfpq_encode_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int,
+    spread: bool = True,
 ) -> DataFrame:
     """IVF-PQ ingest encode: (c_id, cv, cell, codes) — cell assignment
     plus PQ codes of the RESIDUAL. Persist with
@@ -1205,6 +1262,7 @@ def ivfpq_encode_corpus(
         centroids=centroids,
         codebooks=codebooks,
         keep_vec=True,
+        spread=spread,
     )
 
 
@@ -1217,6 +1275,7 @@ def _encode_arrow(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     keep_vec: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Shared Arrow matmul encode kernel: per batch, (n, dim) @ (dim, K)
     argmin for ``cell`` (when centroids given) and per-subspace
@@ -1224,7 +1283,10 @@ def _encode_arrow(
     of the RESIDUAL when centroids are also given, of the raw vector
     otherwise — flat PQ). Output columns: c_id[, cv][, cell][, codes].
     Map-only, zero shuffles; argmin ties take the lowest index (the JVM
-    array_min struct-ordering rule)."""
+    array_min struct-ordering rule). ``spread=False`` skips the skew
+    gate when the CALLER already spread the input — each ``.rdd`` probe
+    re-plans the whole frame on the driver (r14: ~0.1-0.3 s/query of
+    pure plan-conversion overhead, guide §1.2 per-task work)."""
     from pyspark.sql import types as T
 
     C = None if centroids is None else np.asarray(centroids, dtype=np.float64)
@@ -1294,9 +1356,10 @@ def _encode_arrow(
 
     # skew gate (multimodal rule): spread a single-file corpus across the
     # cores before the per-row encode; never full-shuffle a well-split scan
-    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    if vectors.rdd.getNumPartitions() < parallelism:
-        vectors = vectors.repartition(parallelism)
+    if spread:
+        parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+        if vectors.rdd.getNumPartitions() < parallelism:
+            vectors = vectors.repartition(parallelism)
     return vectors.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
     ).mapInArrow(_enc, out_schema)
@@ -1343,7 +1406,17 @@ def _ivfpq_score_rerank(
     shortlist window, exact-cosine rerank (Arrow sequential-sum kernel —
     attach_cos_raw_arrow). ``enc`` is (c_id, cell, codes); ``cv`` is
     (c_id, cv) — possibly both pre-pruned to the probed cells (the
-    partitioned serving path)."""
+    partitioned serving path).
+
+    Boundary payload (r14, guide §8): when the query frame proves
+    bounded (one XT_BROADCAST_VECS_MAX_BYTES limit-probe — reused for
+    the rerank, so no extra job), the probe join carries only
+    (q_id, cell, q_cent_dot) and the ADC kernel gathers each row's
+    query vector from a broadcast matrix; the raw ``qv`` payload
+    otherwise rides EVERY candidate row through the exchange and the
+    Python boundary (dim 64: 512 B -> 12 B per row). Unbounded query
+    streams keep the join-payload tier unchanged. Either way approx_dot
+    is bit-identical (same floats, same accumulation order)."""
     from pyspark.sql import Window as W
 
     lit_cents = F.lit([[float(x) for x in c] for c in centroids])
@@ -1370,12 +1443,28 @@ def _ivfpq_score_rerank(
         ),
     )
 
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    if q_tbl is not None:
+        q_ids, q_mat = _sorted_vec_matrix(q_tbl, dim, "_ivfpq_score_rerank(qv)")
+        qv_bc = enc.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+        joined = enc.join(
+            F.broadcast(probes.drop("qv")), "cell"
+        ).filter(F.col("c_id") != F.col("q_id"))
+    else:
+        qv_bc = None
+        joined = enc.join(F.broadcast(probes), "cell").filter(
+            F.col("c_id") != F.col("q_id")
+        )
+
     scored = attach_adc_arrow(
-        enc.join(F.broadcast(probes), "cell").filter(F.col("c_id") != F.col("q_id")),
+        joined,
         codebooks,
         dim=dim,
         keep=["q_id", "c_id"],
         base_col="q_cent_dot",
+        qv_bc=qv_bc,
     )
     w_short = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("c_id"))
     shortlist = (
@@ -1384,7 +1473,7 @@ def _ivfpq_score_rerank(
         .select("q_id", "c_id")
     )
 
-    reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim)
+    reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim, q_tbl=q_tbl)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         reranked.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -1472,13 +1561,16 @@ def ann_pq_topk(
         )
     sub = dim // len(codebooks)
 
-    # skew gate (multimodal rule): spread a single-file input before the
-    # per-row encode, never full-shuffle a well-split scan
+    # skew gate for the per-row ENCODE input only (one .rdd probe; the
+    # rerank cv below is probed/collected or re-shuffled by its join key)
+    enc_in = vectors
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    if vectors.rdd.getNumPartitions() < parallelism:
-        vectors = vectors.repartition(parallelism)
+    if enc_in.rdd.getNumPartitions() < parallelism:
+        enc_in = enc_in.repartition(parallelism)
 
-    enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col, dim=dim)
+    enc = pq_encode(
+        enc_in, codebooks, id_col=id_col, vec_col=vec_col, dim=dim, spread=False
+    )
 
     qv = queries.select(
         F.col(id_col).alias("q_id"),
@@ -1487,12 +1579,27 @@ def ann_pq_topk(
     # ADC score: per subspace, the query's subvector dotted with the
     # candidate's RECONSTRUCTED subvector (codebook_j[code_j]) — the
     # Arrow codebook-gather kernel (attach_adc_arrow) replaces the chain
-    # of m interpreted HOF aggregates per candidate row
+    # of m interpreted HOF aggregates per candidate row. Bounded query
+    # frames ship ONCE as a broadcast matrix and only q_id rides the
+    # scoring join (guide §8 — the qv payload otherwise crosses the
+    # boundary per candidate row); the probe table is reused by the
+    # rerank below, so the tier costs no extra job.
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    if q_tbl is not None:
+        q_ids, q_mat = _sorted_vec_matrix(q_tbl, dim, "ann_pq_topk(qv)")
+        qv_bc = enc.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+        join_q = qv.select("q_id")
+    else:
+        qv_bc = None
+        join_q = qv
     scored = attach_adc_arrow(
-        enc.join(F.broadcast(qv), F.col("c_id") != F.col("q_id")),
+        enc.join(F.broadcast(join_q), F.col("c_id") != F.col("q_id")),
         codebooks,
         dim=dim,
         keep=["q_id", "c_id"],
+        qv_bc=qv_bc,
     )
     w_short = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("c_id"))
     shortlist = (
@@ -1502,7 +1609,7 @@ def ann_pq_topk(
     )
 
     cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-    reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim)
+    reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim, q_tbl=q_tbl)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         reranked.withColumn("rank", F.row_number().over(w).cast("int"))
