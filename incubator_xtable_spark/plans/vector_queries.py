@@ -322,7 +322,7 @@ def quantize_embeddings(emb: DataFrame, dim: int, vec_col: str = "embedding") ->
 def vector_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # lazy localCheckpoint: both join sides derive from the quantized
+    # lazy localCheckpoint: both scoring inputs derive from the quantized
     # frame — without it each side re-runs the 2*dim bounds aggregate and
     # the quantization projection (no ReuseExchange across the broadcast
     # build; r14 measured the duplicated subtree). Values unchanged.
@@ -332,15 +332,7 @@ def vector_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("qv").alias("qa")
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("qv").alias("qb"))
-    qscore = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("qscore", qscore)
-        .select("q_id", "c_id", "qscore")
-    )
+    scored = _int_dot_pairs(q, emb)
     w = Window.partitionBy("q_id").orderBy(F.desc("qscore"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -348,6 +340,98 @@ def vector_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "qscore", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+def _int_dot_pairs(q: DataFrame, emb: DataFrame) -> DataFrame:
+    """(q_id, c_id, qscore) for every query x candidate (q_id != c_id)
+    where qscore = exact int64 dot of the two quantized vectors.
+
+    Two tiers, value-identical (int64 addition is associative and
+    overflow-free here — |element| <= 255, dim 64 => |dot| < 2^23, so
+    any summation order yields the same integer, unlike float paths):
+
+    - BOUNDED query frames (raw matrix <= XT_BROADCAST_VECS_MAX_BYTES,
+      probed with a short-circuiting limit) broadcast the query matrix
+      once and ONE Arrow pass computes the (n, |Q|) integer matmul per
+      corpus batch — replacing a broadcast join that expanded every
+      corpus row |Q|-fold through the JVM and an interpreted
+      per-element HOF fold per pair (~dim lambda evals each, the r12
+      encode lesson; guide §4.2).
+    - Unbounded query frames keep the join + HOF fold tier.
+    """
+    from incubator_xtable_spark.operators.ann import (
+        _broadcast_vecs_max_bytes,
+        _flat2d,
+    )
+
+    dim = EMB_DIM
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    q_tbl = None
+    if max_rows > 0:
+        q_tbl = (
+            q.select(
+                F.col("q_id").cast("long").alias("kid"),
+                F.col("qa").cast("array<bigint>").alias("v"),
+            )
+            .limit(max_rows + 1)
+            .toArrow()
+        )
+        if q_tbl.num_rows > max_rows:
+            q_tbl = None
+    if q_tbl is None:
+        c = emb.select(F.col("vec_id").alias("c_id"), F.col("qv").alias("qb"))
+        qscore = F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+            .withColumn("qscore", qscore)
+            .select("q_id", "c_id", "qscore")
+        )
+
+    import numpy as np
+    import pyarrow as pa
+
+    q_ids = q_tbl.column("kid").to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _flat2d(q_tbl.column("v").combine_chunks(), len(q_ids), dim, "_int_dot_pairs(q)")
+    q_int = np.ascontiguousarray(q_mat.astype(np.int64))
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_int))
+
+    def _dots(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        kq_ids, kq = bc.value
+        nq = len(kq_ids)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0 or nq == 0:
+                continue
+            c_ids = rb.column(0).cast("int64").to_numpy(zero_copy_only=False)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            qb = _np.asarray(flat, dtype=_np.int64).reshape(n, dim)
+            scores = qb @ kq.T  # (n, nq) exact int64
+            out_q = _np.repeat(kq_ids[None, :], n, axis=0).ravel()
+            out_c = _np.repeat(c_ids, nq)
+            out_s = scores.ravel()
+            keep = out_q != out_c
+            yield _pa.record_batch(
+                [
+                    _pa.array(out_q[keep]),
+                    _pa.array(out_c[keep]),
+                    _pa.array(out_s[keep]),
+                ],
+                names=["q_id", "c_id", "qscore"],
+            )
+
+    src = emb.select(
+        F.col("vec_id").cast("long").alias("c_id"),
+        F.col("qv").cast("array<bigint>").alias("qb"),
+    )
+    return src.mapInArrow(_dots, "q_id long, c_id long, qscore long")
 
 
 @register(
