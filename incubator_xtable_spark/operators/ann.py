@@ -585,6 +585,429 @@ def attach_adc_arrow(
     return df.mapInArrow(_adc, out_schema)
 
 
+def _int_ids_or_none(df: DataFrame, col: str, *, long_only: bool = False):
+    """The fused single-pass tiers compare/searchsorted ids as int64 (the
+    same assumption the r14 gather tiers already make); non-integer id
+    schemas fall back to the join tiers. ``long_only`` additionally
+    requires LongType — the fused kernels EMIT q_id as int64, so a
+    narrower query-id schema must keep the join tier to preserve the
+    output schema exactly."""
+    from pyspark.sql import types as T
+
+    t_ = next(f.dataType for f in df.schema.fields if f.name == col)
+    if long_only:
+        return t_ if isinstance(t_, T.LongType) else None
+    return t_ if isinstance(t_, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) else None
+
+
+def _probe_pair_expand(cell_arr, probe_cells, probe_rows_by_cell):
+    """(row_pos, probe_pos) index arrays pairing every batch row whose
+    cell is probed with every probe entry for that cell. Pure index
+    bookkeeping — the float scoring that follows sees exactly the rows
+    the broadcast probe JOIN would have produced (same pairs; per-pair
+    arithmetic is row-independent, so pairing order never changes a
+    value)."""
+    rows_l, probes_l = [], []
+    for c, pidx in zip(probe_cells, probe_rows_by_cell):
+        rows = np.flatnonzero(cell_arr == c)
+        if rows.size and pidx.size:
+            rows_l.append(np.repeat(rows, pidx.size))
+            probes_l.append(np.tile(pidx, rows.size))
+    if not rows_l:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    return np.concatenate(rows_l), np.concatenate(probes_l)
+
+
+def fused_adc_scores(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    codebooks: list[list[list[float]]],
+    qv_bc,
+    probe_tbl=None,
+    centroids: list[list[float]] | None = None,
+    pre_encoded: bool = False,
+    id_col: str = "c_id",
+    vec_col: str = "cv",
+    q_id_type=None,
+) -> DataFrame:
+    """FUSED encode + probe-join + ADC (r15, guide §4.2 / §2.4 / §8):
+    ONE mapInArrow pass over the corpus that (a) PQ/IVF-encodes each raw
+    batch (exact ``_encode_arrow`` float ops — same matmul argmin, same
+    lowest-index tie rule; skipped when ``pre_encoded``), (b) pairs rows
+    with the queries probing their cell (``probe_tbl``: the COLLECTED
+    JVM-computed (q_id, cell, q_cent_dot) probe frame, so the cell list
+    and base dot keep the _nearest_cells sequential-fold values
+    bit-for-bit — nothing is re-derived in numpy; ``None`` = flat PQ,
+    every query scores every row, no base term), and (c) emits
+    (q_id, c_id, approx_dot) with the exact ``attach_adc_arrow``
+    accumulation (base first, then subspaces in order, dims
+    left-to-right within each) — so the shortlist ordering is
+    bit-identical to the three-operator chain it replaces.
+
+    Why: the chain was encode-kernel -> Arrow->JVM -> BroadcastExchange
+    + BroadcastHashJoin on cell -> JVM->Arrow -> ADC kernel: two Python
+    boundary round-trips and two codegen stages whose only job was to
+    glue two numpy passes together. Scale posture unchanged: map-only
+    over the corpus, zero shuffles, the probe table is |Q| x n_probe
+    rows collected once (bounded-queries tier only — unbounded query
+    streams keep the join tier in the callers)."""
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = dim // m
+    C = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+    Cn2 = None if C is None else (C * C).sum(axis=1)
+    d_ = dim
+
+    q_ids_sorted = qv_bc.value[0]
+    # driver-side: resolve each probe row's position in the broadcast
+    # query matrix once (attach_adc_arrow's per-batch searchsorted hoisted)
+    if probe_tbl is not None:
+        p_qid = probe_tbl.column("q_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p_cell = probe_tbl.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        p_base = probe_tbl.column("q_cent_dot").to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(q_ids_sorted, p_qid)
+        pos_c = np.clip(pos, 0, max(len(q_ids_sorted) - 1, 0))
+        if p_qid.size and (
+            len(q_ids_sorted) == 0 or not (q_ids_sorted[pos_c] == p_qid).all()
+        ):
+            raise ValueError(
+                "fused_adc_scores: probe q_id absent from the broadcast "
+                "query matrix (the probe rows must derive from it)"
+            )
+        probe_cells = [int(c) for c in np.unique(p_cell)]
+        probe_rows_by_cell = [np.flatnonzero(p_cell == c) for c in probe_cells]
+        p_qpos = pos_c
+    else:
+        # flat PQ: every query probes "everything"; base term absent
+        p_qid = q_ids_sorted
+        p_base = None
+        probe_cells = None
+        probe_rows_by_cell = None
+        p_qpos = np.arange(len(q_ids_sorted), dtype=np.int64)
+
+    id_field = next(f for f in corpus.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", q_id_type or T.LongType(), True),
+            T.StructField("c_id", id_field.dataType, id_field.nullable),
+            T.StructField("approx_dot", T.DoubleType(), True),
+        ]
+    )
+    if pre_encoded:
+        src = corpus.select(F.col(id_col).alias("c_id"), "cell", "codes")
+    else:
+        src = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+
+    def _score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        qm = qv_bc.value[1]
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            if pre_encoded:
+                cell = rb.column(1).to_numpy(zero_copy_only=False).astype(_np.int64)
+                codes_l = rb.column(2)
+                if codes_l.null_count:
+                    raise ValueError("fused_adc_scores: null code rows are not scorable")
+                codes = _np.asarray(
+                    codes_l.flatten().to_numpy(zero_copy_only=False)
+                ).reshape(n, m)
+            else:
+                X = _flat2d(rb.column(1), n, d_, "fused_adc_scores(cv)")
+                R = X
+                cell = None
+                if C is not None:
+                    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + Cn2[None, :]
+                    cell = d2.argmin(axis=1)
+                    R = X - C[cell]
+                codes = _np.empty((n, m), dtype=_np.int64)
+                for j, B in enumerate(books):
+                    Rj = R[:, j * sub : (j + 1) * sub]
+                    Bn2 = (B * B).sum(axis=1)
+                    dj = (Rj * Rj).sum(axis=1)[:, None] - 2.0 * (Rj @ B.T) + Bn2[None, :]
+                    codes[:, j] = dj.argmin(axis=1)
+            if probe_cells is not None:
+                rowp, pp = _probe_pair_expand(cell, probe_cells, probe_rows_by_cell)
+            else:
+                rowp = _np.repeat(_np.arange(n, dtype=_np.int64), len(p_qid))
+                pp = _np.tile(_np.arange(len(p_qid), dtype=_np.int64), n)
+            if rowp.size == 0:
+                continue
+            # drop self-pairs (the JVM filter c_id != q_id)
+            cid64 = ids.cast("int64").to_numpy(zero_copy_only=False).astype(_np.int64)
+            keep = cid64[rowp] != p_qid[pp]
+            rowp, pp = rowp[keep], pp[keep]
+            if rowp.size == 0:
+                continue
+            q = qm[p_qpos[pp]]
+            acc = None if p_base is None else p_base[pp].copy()
+            pc = codes[rowp]
+            for j, B in enumerate(books):
+                bv = B[pc[:, j]]
+                tacc = _np.zeros(len(rowp), dtype=_np.float64)
+                for t in range(sub):
+                    tacc += q[:, j * sub + t] * bv[:, t]
+                acc = tacc if acc is None else acc + tacc
+            idx = _pa.array(rowp, type=_pa.int64())
+            yield _pa.record_batch(
+                [
+                    _pa.array(p_qid[pp]),
+                    ids.take(idx),
+                    _pa.array(acc),
+                ],
+                names=["q_id", "c_id", "approx_dot"],
+            )
+
+    return src.mapInArrow(_score, out_schema)
+
+
+def fused_cell_cos_scores(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    centroids: list[list[float]],
+    q_tbl,
+    probe_tbl,
+    id_col: str = "c_id",
+    vec_col: str = "cv",
+    q_id_type=None,
+) -> DataFrame:
+    """FUSED IVF scoring (r15, guide §4.2 / §2.4 / §8): ONE mapInArrow
+    pass over the RAW corpus that assigns each row's coarse cell (the
+    exact ``_encode_arrow`` matmul argmin — lowest-index ties), pairs it
+    with the queries probing that cell (``probe_tbl``: the collected
+    JVM-computed (q_id, cell) frame — query-side probe order untouched),
+    and emits the exact cosine (q_id, c_id, cos_raw) directly — the
+    ``_seq_dot_rows`` accumulation and norm shape of the
+    ``cos_rerank_pairs`` gather kernel it replaces, so values are
+    bit-identical.
+
+    Versus the r14 chain (encode kernel -> JVM -> broadcast probe join
+    -> rerank gather kernel): one Python boundary instead of two, no
+    BroadcastExchange, and — because each row's raw vector is already in
+    the kernel's batch — NO corpus-wide bounded collect for the rerank
+    matrix: the corpus side streams at any size (the collected side is
+    only the |Q|-row query matrix). Bounded-queries tier only; unbounded
+    query streams keep the join tier in ann_ivf_topk."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn2 = (C * C).sum(axis=1)
+    d_ = dim
+
+    q_ids_sorted, q_mat = _sorted_vec_matrix(q_tbl, dim, "fused_cell_cos_scores(qv)")
+    q_norm = np.sqrt(_seq_dot_rows(q_mat, q_mat))
+
+    p_qid = probe_tbl.column("q_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    p_cell = probe_tbl.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(q_ids_sorted, p_qid)
+    pos_c = np.clip(pos, 0, max(len(q_ids_sorted) - 1, 0))
+    ok = q_ids_sorted[pos_c] == p_qid if len(q_ids_sorted) else np.zeros(len(p_qid), bool)
+    # probes whose q_id is absent from the query frame drop, exactly like
+    # the inner rerank join they replace
+    p_qid, p_cell, p_qpos = p_qid[ok], p_cell[ok], pos_c[ok]
+    probe_cells = [int(c) for c in np.unique(p_cell)]
+    probe_rows_by_cell = [np.flatnonzero(p_cell == c) for c in probe_cells]
+
+    bc = corpus.sparkSession.sparkContext.broadcast((q_mat, q_norm))
+
+    id_field = next(f for f in corpus.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", q_id_type or T.LongType(), True),
+            T.StructField("c_id", id_field.dataType, id_field.nullable),
+            T.StructField("cos_raw", T.DoubleType(), True),
+        ]
+    )
+    src = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+
+    def _score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        qm, qn = bc.value
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            X = _flat2d(rb.column(1), n, d_, "fused_cell_cos_scores(cv)")
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + Cn2[None, :]
+            cell = d2.argmin(axis=1)
+            rowp, pp = _probe_pair_expand(cell, probe_cells, probe_rows_by_cell)
+            if rowp.size == 0:
+                continue
+            cid64 = ids.cast("int64").to_numpy(zero_copy_only=False).astype(_np.int64)
+            keep = cid64[rowp] != p_qid[pp]
+            rowp, pp = rowp[keep], pp[keep]
+            if rowp.size == 0:
+                continue
+            # candidate norms per batch row once, gathered per pair — the
+            # same _seq_dot_rows input rows, hence the same doubles the
+            # gather tier computes from its collected matrix
+            cn = _np.sqrt(_seq_dot_rows(X, X))
+            cos = _seq_dot_rows(qm[p_qpos[pp]], X[rowp]) / (qn[p_qpos[pp]] * cn[rowp])
+            idx = _pa.array(rowp, type=_pa.int64())
+            yield _pa.record_batch(
+                [_pa.array(p_qid[pp]), ids.take(idx), _pa.array(cos)],
+                names=["q_id", "c_id", "cos_raw"],
+            )
+
+    return src.mapInArrow(_score, out_schema)
+
+
+def _band_probe_csr(q_band_keys: "np.ndarray", probe_fn) -> list[tuple]:
+    """Per-band CSR probe index for the fused LSH kernels: for band b,
+    (keys_sorted, offsets, qpos_flat) such that a corpus key's matching
+    query positions are qpos_flat[offsets[i]:offsets[i+1]] where i is the
+    key's searchsorted slot. ``probe_fn(base_keys) -> list of key arrays``
+    expands each query's probe set (multi-probe bit flips; identity for
+    exact banding)."""
+    bands = []
+    n_q = len(q_band_keys)
+    for b in range(q_band_keys.shape[1]) if q_band_keys.size else []:
+        keys_l, qpos_l = [], []
+        for probe_keys in probe_fn(q_band_keys[:, b]):
+            keys_l.append(probe_keys)
+            qpos_l.append(np.arange(n_q, dtype=np.int64))
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+        qpos = np.concatenate(qpos_l) if qpos_l else np.empty(0, np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, qpos = keys[order], qpos[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        offsets = np.append(starts, len(keys)).astype(np.int64)
+        bands.append((uniq, offsets, qpos))
+    return bands
+
+
+def fused_lsh_cos_scores(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    q_tbl,
+    corpus_keys_fn,
+    query_keys_fn,
+    probe_fn,
+    id_col: str = "c_id",
+    vec_col: str = "cv",
+) -> DataFrame:
+    """FUSED banded-LSH candidate generation + exact cosine (r15, guide
+    §4.2 / §2.4 / §8): ONE mapInArrow pass over the raw corpus that
+    computes each row's band keys (``corpus_keys_fn`` — the exact numpy
+    math of the lsh_band_keys_arrow / md5_sign_signatures kernels it
+    absorbs), matches them against a driver-built probe index over the
+    bounded query frame (``query_keys_fn`` runs the SAME numpy ops on the
+    collected query matrix, so bucket values are identical to the
+    Spark-side kernel they replace; ``probe_fn`` expands multi-probe bit
+    flips), de-duplicates multi-band collisions LOCALLY (all of a corpus
+    row's bands live in its own batch row, so the per-row unique is
+    exactly the global distinct the join pipeline needed), drops
+    self-pairs, and emits (q_id, c_id, cos_raw) with the
+    ``cos_rerank_pairs`` gather-kernel arithmetic (_seq_dot_rows dots and
+    norms) — bit-identical values.
+
+    Versus the r14 chain (band-keys kernel x2 -> bucket explode ->
+    BroadcastExchange + join -> distinct Exchange+HashAggregate ->
+    rerank gather kernel + its corpus-side bounded collect): one Python
+    boundary, zero shuffles before the top-k window, and the corpus side
+    streams at ANY size — only the |Q|-row query matrix is collected.
+    Bounded-queries tier only; unbounded query streams keep the join
+    pipeline in the callers."""
+    from pyspark.sql import types as T
+
+    q_ids_sorted, q_mat = _sorted_vec_matrix(q_tbl, dim, "fused_lsh_cos_scores(qv)")
+    q_norm = np.sqrt(_seq_dot_rows(q_mat, q_mat))
+    q_keys = query_keys_fn(q_mat) if len(q_mat) else np.empty((0, 0), np.int64)
+    bands = _band_probe_csr(np.asarray(q_keys, dtype=np.int64), probe_fn)
+    n_q = len(q_ids_sorted)
+    d_ = dim
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids_sorted, q_mat, q_norm, bands)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), True),
+            T.StructField("c_id", T.LongType(), True),
+            T.StructField("cos_raw", T.DoubleType(), True),
+        ]
+    )
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
+    )
+
+    def _score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        qids, qm, qn, bands_ = bc.value
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0 or not bands_:
+                continue
+            ids64 = rb.column(0).to_numpy(zero_copy_only=False).astype(_np.int64)
+            X = _flat2d(rb.column(1), n, d_, "fused_lsh_cos_scores(cv)")
+            ckeys = _np.asarray(corpus_keys_fn(X), dtype=_np.int64)
+            rows_l, qpos_l = [], []
+            for b, (keys_s, offs, qpos_flat) in enumerate(bands_):
+                if not len(keys_s):
+                    continue
+                rk = ckeys[:, b]
+                slot = _np.searchsorted(keys_s, rk)
+                slot_c = _np.clip(slot, 0, len(keys_s) - 1)
+                hit = keys_s[slot_c] == rk
+                rows = _np.flatnonzero(hit)
+                if not rows.size:
+                    continue
+                s = slot_c[rows]
+                cnt = offs[s + 1] - offs[s]
+                nz = cnt > 0
+                rows, s, cnt = rows[nz], s[nz], cnt[nz]
+                if not rows.size:
+                    continue
+                total = int(cnt.sum())
+                # CSR expansion: each matched row repeats for its slot's
+                # query positions
+                rep_start = _np.repeat(offs[s], cnt)
+                within = _np.arange(total) - _np.repeat(
+                    _np.cumsum(cnt) - cnt, cnt
+                )
+                rows_l.append(_np.repeat(rows, cnt))
+                qpos_l.append(qpos_flat[rep_start + within])
+            if not rows_l:
+                continue
+            rowp = _np.concatenate(rows_l)
+            qpp = _np.concatenate(qpos_l)
+            # multi-band collisions: one (q, c) pair scores once — the
+            # local equivalent of the pipeline's global distinct
+            pair_key = rowp * max(n_q, 1) + qpp
+            uniq_idx = _np.unique(pair_key, return_index=True)[1]
+            rowp, qpp = rowp[uniq_idx], qpp[uniq_idx]
+            keep = ids64[rowp] != qids[qpp]
+            rowp, qpp = rowp[keep], qpp[keep]
+            if not rowp.size:
+                continue
+            cn = _np.sqrt(_seq_dot_rows(X, X))
+            cos = _seq_dot_rows(qm[qpp], X[rowp]) / (qn[qpp] * cn[rowp])
+            yield _pa.record_batch(
+                [
+                    _pa.array(qids[qpp]),
+                    _pa.array(ids64[rowp]),
+                    _pa.array(cos),
+                ],
+                names=["q_id", "c_id", "cos_raw"],
+            )
+
+    return src.mapInArrow(_score, out_schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     n_a = F.sqrt(dot(a, a))
     n_b = F.sqrt(dot(b, b))
@@ -629,61 +1052,90 @@ def ann_lsh_topk(
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     if vectors.rdd.getNumPartitions() < parallelism:
         vectors = vectors.repartition(parallelism)
-    # NARROW candidate stream: (bucket, c_id) only. Carrying the vectors
-    # through the bucket explode + pair dedupe shuffles dim-sized arrays
-    # per (candidate x band) and makes distinct() hash wide rows — measured
-    # 3-4x slower at sf0.1 (r3 bench regression); vectors re-attach by id
-    # AFTER the dedupe, when only true candidates remain.
-    # Band keys come from the Arrow matmul kernel on BOTH sides (r14: the
-    # corpus side was still the interpreted lsh_bucket HOF tree —
-    # n_bands * n_planes * dim lambda calls per row, the exact cost
-    # lsh_band_keys_arrow was built to remove for the embedding family);
-    # same hyperplanes, so bucket semantics and recall are unchanged.
-    cand = lsh_band_keys_arrow(
-        vectors, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_planes=n_planes, n_bands=n_bands, seed=seed,
-    ).select(
-        F.col("kid").alias("c_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(F.lit(f"{b}:"), F.col(f"b{b}").cast("string"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
-    q = lsh_band_keys_arrow(
-        queries, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_planes=n_planes, n_bands=n_bands, seed=seed,
-    ).withColumnRenamed("kid", "q_id")
-    probe_keys = []
-    for b in range(n_bands):
-        base = F.col(f"b{b}")
-        probe_keys.append(F.concat(F.lit(f"{b}:"), base.cast("string")))
-        if multiprobe:
-            probe_keys.extend(
-                F.concat(F.lit(f"{b}:"), base.bitwiseXOR(F.lit(2**i)).cast("string"))
-                for i in range(n_planes)
-            )
-    qp = q.select("q_id", F.explode(F.array(*probe_keys)).alias("bucket"))
-    # a close pair collides in several bands — dedupe (narrow rows) first
-    pairs = (
-        cand.join(F.broadcast(qp), "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    # rerank via the Arrow cosine kernel (exact sequential-sum semantics —
-    # see attach_cos_raw_arrow): norms are computed only for candidate
-    # pairs instead of a corpus-wide HOF projection
-    cv = vectors.select(
-        F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
-    )
     qv = queries.select(
         F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
+    H = np.asarray(
+        [_hyperplanes(dim, n_planes, seed + 1000 * b) for b in range(n_bands)],
+        dtype=np.float64,
+    )
+    planes_t = np.ascontiguousarray(H.reshape(n_bands * n_planes, dim).T)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    nb, npl = n_bands, n_planes
+
+    def _keys_fn(X):
+        # the exact lsh_band_keys_arrow math (same hyperplanes, same sign
+        # rule) — shared by the corpus batches and the collected query
+        # matrix, so bucket values are identical on both sides
+        bits = (X @ planes_t) > 0.0
+        return (bits.reshape(-1, nb, npl) * weights).sum(axis=2)
+
+    def _probe_fn(base_keys):
+        out = [base_keys]
+        if multiprobe:
+            out.extend(base_keys ^ (1 << i) for i in range(npl))
+        return out
+
+    # Bounded-queries tier (r15, guide §4.2/§2.4/§8): band keys, bucket
+    # probing, multi-band dedupe AND the exact cosine fuse into ONE Arrow
+    # pass over the raw corpus (fused_lsh_cos_scores) — the two band-key
+    # kernels, bucket explode, broadcast join, distinct exchange and the
+    # rerank's corpus-side bounded collect are gone; the corpus streams
+    # at any size. Unbounded query streams keep the join pipeline below.
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    if q_tbl is not None:
+        scored = fused_lsh_cos_scores(
+            vectors, dim=dim, q_tbl=q_tbl, corpus_keys_fn=_keys_fn,
+            query_keys_fn=_keys_fn, probe_fn=_probe_fn,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        # NARROW candidate stream: (bucket, c_id) only. Carrying the
+        # vectors through the bucket explode + pair dedupe shuffles
+        # dim-sized arrays per (candidate x band) and makes distinct()
+        # hash wide rows — measured 3-4x slower at sf0.1 (r3 bench
+        # regression); vectors re-attach by id AFTER the dedupe.
+        cand = lsh_band_keys_arrow(
+            vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_planes=n_planes, n_bands=n_bands, seed=seed,
+        ).select(
+            F.col("kid").alias("c_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(F.lit(f"{b}:"), F.col(f"b{b}").cast("string"))
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        q = lsh_band_keys_arrow(
+            queries, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_planes=n_planes, n_bands=n_bands, seed=seed,
+        ).withColumnRenamed("kid", "q_id")
+        probe_keys = []
+        for b in range(n_bands):
+            base = F.col(f"b{b}")
+            probe_keys.append(F.concat(F.lit(f"{b}:"), base.cast("string")))
+            if multiprobe:
+                probe_keys.extend(
+                    F.concat(F.lit(f"{b}:"), base.bitwiseXOR(F.lit(2**i)).cast("string"))
+                    for i in range(n_planes)
+                )
+        qp = q.select("q_id", F.explode(F.array(*probe_keys)).alias("bucket"))
+        # a close pair collides in several bands — dedupe (narrow) first
+        pairs = (
+            cand.join(F.broadcast(qp), "bucket")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id")
+            .distinct()
+        )
+        cv = vectors.select(
+            F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
+        )
+        scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -821,24 +1273,58 @@ def ann_lsh_md5_topk(
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     if vectors.rdd.getNumPartitions() < parallelism:
         vectors = vectors.repartition(parallelism)
-    cand = band_keys(sigs_of(vectors), "c_id")
-    qp = band_keys(sigs_of(queries), "q_id")
-    pairs = (
-        cand.join(F.broadcast(qp), ["band", "bval"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    # rerank via the Arrow cosine kernel — exact sequential-sum semantics
-    # (attach_cos_raw_arrow), so the DuckDB oracle's replayed values and
-    # tie-breaks are bit-identical to the previous HOF fold
-    cv = vectors.select(
-        F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
-    )
     qv = queries.select(
         F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
+    W_int = np.asarray(md5_plane_weights(n_planes, dim), dtype=np.int64)
+    planes_t = np.ascontiguousarray(W_int.T)
+    bitw = 2 ** np.arange(n_planes, dtype=np.int64)
+    nb, bb = n_bands, band_bits
+
+    def _keys_fn(X):
+        # the exact md5_sign_signatures math + the band_keys shift/mask
+        # split — INTEGER arithmetic throughout, so corpus batches, the
+        # collected query matrix and the DuckDB oracle all agree exactly
+        q9 = np.floor(X * 1e9 + 0.5).astype(np.int64)
+        sig = (((q9 @ planes_t) >= 0) * bitw).sum(axis=1)
+        return np.stack([(sig >> (b * bb)) & mask for b in range(nb)], axis=1)
+
+    def _probe_fn(base_keys):
+        return [base_keys]  # exact banding: the oracle mirrors bands 1:1
+
+    # Bounded-queries tier (r15, guide §4.2/§2.4/§8): signatures, band
+    # probing, multi-band dedupe AND the exact cosine fuse into ONE Arrow
+    # pass over the raw corpus (fused_lsh_cos_scores) — two signature
+    # kernels, the posexplode, broadcast join, distinct exchange and the
+    # rerank's corpus-side bounded collect leave the plan; candidate sets
+    # and cos_raw values are bit-identical (integer bucket math, same
+    # _seq_dot_rows rerank arithmetic), so the oracle hash is unchanged.
+    # Unbounded query streams keep the join pipeline below.
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    if q_tbl is not None:
+        scored = fused_lsh_cos_scores(
+            vectors, dim=dim, q_tbl=q_tbl, corpus_keys_fn=_keys_fn,
+            query_keys_fn=_keys_fn, probe_fn=_probe_fn,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cand = band_keys(sigs_of(vectors), "c_id")
+        qp = band_keys(sigs_of(queries), "q_id")
+        pairs = (
+            cand.join(F.broadcast(qp), ["band", "bval"])
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id")
+            .distinct()
+        )
+        # rerank via the Arrow cosine kernel — exact sequential-sum
+        # semantics (attach_cos_raw_arrow), so the DuckDB oracle's
+        # replayed values and tie-breaks are bit-identical
+        cv = vectors.select(
+            F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
+        )
+        scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -988,38 +1474,55 @@ def ann_ivf_topk(
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     if enc_in.rdd.getNumPartitions() < parallelism:
         enc_in = enc_in.repartition(parallelism)
-    # corpus-side assignment: the Arrow matmul kernel (the HOF argmin
-    # tree is interpreted per element — the r12 encode lesson); the
-    # small query side keeps the JVM expression below
     dim = len(centroids[0])
-    cand = _encode_arrow(
-        enc_in, id_col=id_col, vec_col=vec_col, dim=dim, centroids=centroids,
-        spread=False,
-    ).select("c_id", "cell")
     qp = queries.select(
         F.col(id_col).alias("q_id"),
         F.explode(nearest(F.col(vec_col), n_probe)).alias("cell"),
     )
-    # no .distinct() on the pairs: every candidate lives in exactly ONE
-    # cell and a query's probed cells are distinct indexes of one sorted
-    # slice, so the join cannot emit a (q_id, c_id) pair twice — the
-    # distinct was a full exchange+aggregate for a provable no-op
-    # (guide §2.4 "a distinct on data that is already unique")
-    pairs = (
-        cand.join(F.broadcast(qp), "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-    )
-    # exact-cosine verify via the Arrow kernel (sequential-sum exactness,
-    # norms computed only for probed candidates — the corpus-wide HOF
-    # norm projection is gone)
     cv = vectors.select(
         F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
     )
     qv = queries.select(
         F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
     )
-    scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
+    # Bounded-queries tier (r15, guide §4.2/§2.4/§8): cell assignment,
+    # probe matching AND the exact cosine fuse into ONE Arrow pass over
+    # the raw corpus (fused_cell_cos_scores) — the encode boundary
+    # round-trip, the probes BroadcastExchange+join and the rerank's
+    # corpus-side bounded collect are gone (the corpus side now streams
+    # at ANY size; only the query matrix is collected). The probe cells
+    # are collected from the same JVM `nearest` expression, so WHO gets
+    # compared is unchanged; cos_raw keeps the _seq_dot_rows semantics.
+    # Unbounded query streams keep the join tier below.
+    limit_bytes = _broadcast_vecs_max_bytes()
+    max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
+    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    if q_tbl is not None:
+        probe_tbl = qp.select(F.col("q_id").cast("long").alias("q_id"), "cell").toArrow()
+        scored = fused_cell_cos_scores(
+            enc_in.select(
+                F.col(id_col).cast("long").alias("c_id"), F.col(vec_col).alias("cv")
+            ),
+            dim=dim, centroids=centroids, q_tbl=q_tbl, probe_tbl=probe_tbl,
+        )
+    else:
+        # corpus-side assignment: the Arrow matmul kernel (the HOF argmin
+        # tree is interpreted per element — the r12 encode lesson); the
+        # small query side keeps the JVM expression above.
+        # No .distinct() on the pairs: every candidate lives in exactly
+        # ONE cell and a query's probed cells are distinct indexes of one
+        # sorted slice, so the join cannot emit a (q_id, c_id) pair twice
+        # (guide §2.4 "a distinct on data that is already unique")
+        cand = _encode_arrow(
+            enc_in, id_col=id_col, vec_col=vec_col, dim=dim, centroids=centroids,
+            spread=False,
+        ).select("c_id", "cell")
+        pairs = (
+            cand.join(F.broadcast(qp), "cell")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id")
+        )
+        scored = cos_rerank_pairs(pairs, qv, cv, dim=dim)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -1186,22 +1689,22 @@ def ann_ivfpq_topk(
         )
     centroids, codebooks = trained
 
-    # skew gate for the per-row ENCODE input only (one .rdd probe; the
-    # rerank cv below is probed/collected or re-shuffled by its join key,
-    # so repartitioning it is a wasted shuffle in both rerank tiers)
+    # skew gate for the per-row ENCODE/SCORE input only (one .rdd probe;
+    # the rerank cv below is probed/collected or re-shuffled by its join
+    # key, so repartitioning it is a wasted shuffle in both rerank tiers)
     enc_in = vectors
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     if enc_in.rdd.getNumPartitions() < parallelism:
         enc_in = enc_in.repartition(parallelism)
 
-    enc_full = ivfpq_encode_corpus(
-        enc_in, trained, id_col=id_col, vec_col=vec_col, dim=dim, spread=False
-    )
-    enc = enc_full.select("c_id", "cell", "codes")
     cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    # raw corpus handed down: the bounded-queries tier fuses
+    # encode + probe + ADC into one Arrow pass (fused_adc_scores); the
+    # join tier encodes it there via ivfpq_encode_corpus unchanged
     return _ivfpq_score_rerank(
-        enc, cv, queries, centroids, codebooks, dim,
+        None, cv, queries, centroids, codebooks, dim,
         id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, refine=refine,
+        raw=enc_in,
     )
 
 
@@ -1388,7 +1891,7 @@ def ivfpq_probe_cells(
 
 
 def _ivfpq_score_rerank(
-    enc: DataFrame,
+    enc: DataFrame | None,
     cv: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
@@ -1400,23 +1903,27 @@ def _ivfpq_score_rerank(
     k: int,
     n_probe: int,
     refine: int,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared IVFADC scoring: broadcast probe join on cell, ADC approx
-    dot (Arrow codebook-gather kernel — attach_adc_arrow), per-query
-    shortlist window, exact-cosine rerank (Arrow sequential-sum kernel —
-    attach_cos_raw_arrow). ``enc`` is (c_id, cell, codes); ``cv`` is
-    (c_id, cv) — possibly both pre-pruned to the probed cells (the
-    partitioned serving path).
+    """Shared IVFADC scoring: per-query shortlist window over the ADC
+    approx dot, then exact-cosine rerank. ``enc`` is the pre-encoded
+    (c_id, cell, codes) frame (the partitioned serving path, possibly
+    cell-pruned); ``raw`` is the raw vector frame for the in-memory path
+    — exactly one of the two is given (when ``raw`` is given and the
+    join tier needs an encode, it encodes here). ``cv`` is (c_id, cv).
 
-    Boundary payload (r14, guide §8): when the query frame proves
-    bounded (one XT_BROADCAST_VECS_MAX_BYTES limit-probe — reused for
-    the rerank, so no extra job), the probe join carries only
-    (q_id, cell, q_cent_dot) and the ADC kernel gathers each row's
-    query vector from a broadcast matrix; the raw ``qv`` payload
-    otherwise rides EVERY candidate row through the exchange and the
-    Python boundary (dim 64: 512 B -> 12 B per row). Unbounded query
-    streams keep the join-payload tier unchanged. Either way approx_dot
-    is bit-identical (same floats, same accumulation order)."""
+    Tiers (r15, guide §4.2 / §2.4 / §8): when the query frame proves
+    bounded (one XT_BROADCAST_VECS_MAX_BYTES limit-probe — reused by the
+    rerank, so no extra job) AND ids are integer, the whole
+    encode + probe-join + ADC chain runs as ONE fused mapInArrow pass
+    (fused_adc_scores) fed by a driver collect of the tiny JVM-computed
+    (q_id, cell, q_cent_dot) probe frame — two Python boundary
+    round-trips, one BroadcastExchange and one BroadcastHashJoin
+    removed from the plan, approx_dot bit-identical (same floats, same
+    accumulation order, probe cells/bases straight from the JVM
+    expressions). Unbounded query streams keep the r13 join-payload
+    tier unchanged (probes broadcast-joined on cell, qv riding each
+    candidate row, attach_adc_arrow scoring)."""
     from pyspark.sql import Window as W
 
     lit_cents = F.lit([[float(x) for x in c] for c in centroids])
@@ -1443,29 +1950,52 @@ def _ivfpq_score_rerank(
         ),
     )
 
+    corpus = enc if enc is not None else raw
+    q_id_type = _int_ids_or_none(qv, "q_id", long_only=True)
+    c_id_ok = _int_ids_or_none(cv, "c_id") is not None
     limit_bytes = _broadcast_vecs_max_bytes()
     max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
-    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    q_tbl = (
+        _probe_vec_table(qv, "q_id", "qv", max_rows)
+        if max_rows > 0 and q_id_type is not None and c_id_ok
+        else None
+    )
     if q_tbl is not None:
         q_ids, q_mat = _sorted_vec_matrix(q_tbl, dim, "_ivfpq_score_rerank(qv)")
-        qv_bc = enc.sparkSession.sparkContext.broadcast((q_ids, q_mat))
-        joined = enc.join(
-            F.broadcast(probes.drop("qv")), "cell"
-        ).filter(F.col("c_id") != F.col("q_id"))
+        qv_bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+        probe_tbl = (
+            probes.select(
+                F.col("q_id").cast("long").alias("q_id"), "cell", "q_cent_dot"
+            ).toArrow()
+        )
+        if enc is not None:
+            scored = fused_adc_scores(
+                enc, dim=dim, codebooks=codebooks, qv_bc=qv_bc,
+                probe_tbl=probe_tbl, pre_encoded=True, q_id_type=q_id_type,
+            )
+        else:
+            scored = fused_adc_scores(
+                raw.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+                dim=dim, codebooks=codebooks, qv_bc=qv_bc, probe_tbl=probe_tbl,
+                centroids=centroids, pre_encoded=False, q_id_type=q_id_type,
+            )
     else:
-        qv_bc = None
+        if enc is None:
+            enc = ivfpq_encode_corpus(
+                raw, (centroids, codebooks), id_col=id_col, vec_col=vec_col,
+                dim=dim, spread=False,
+            ).select("c_id", "cell", "codes")
         joined = enc.join(F.broadcast(probes), "cell").filter(
             F.col("c_id") != F.col("q_id")
         )
-
-    scored = attach_adc_arrow(
-        joined,
-        codebooks,
-        dim=dim,
-        keep=["q_id", "c_id"],
-        base_col="q_cent_dot",
-        qv_bc=qv_bc,
-    )
+        scored = attach_adc_arrow(
+            joined,
+            codebooks,
+            dim=dim,
+            keep=["q_id", "c_id"],
+            base_col="q_cent_dot",
+            qv_bc=None,
+        )
     w_short = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("c_id"))
     shortlist = (
         scored.withColumn("srank", F.row_number().over(w_short))
@@ -1568,39 +2098,48 @@ def ann_pq_topk(
     if enc_in.rdd.getNumPartitions() < parallelism:
         enc_in = enc_in.repartition(parallelism)
 
-    enc = pq_encode(
-        enc_in, codebooks, id_col=id_col, vec_col=vec_col, dim=dim, spread=False
-    )
-
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
     )
+    cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
     # ADC score: per subspace, the query's subvector dotted with the
-    # candidate's RECONSTRUCTED subvector (codebook_j[code_j]) — the
-    # Arrow codebook-gather kernel (attach_adc_arrow) replaces the chain
-    # of m interpreted HOF aggregates per candidate row. Bounded query
-    # frames ship ONCE as a broadcast matrix and only q_id rides the
-    # scoring join (guide §8 — the qv payload otherwise crosses the
-    # boundary per candidate row); the probe table is reused by the
-    # rerank below, so the tier costs no extra job.
+    # candidate's RECONSTRUCTED subvector (codebook_j[code_j]). Bounded
+    # query frames (r15, guide §4.2/§2.4/§8): the encode + every-query
+    # scoring runs as ONE fused Arrow pass over the raw corpus
+    # (fused_adc_scores, probe_tbl=None = flat PQ all-pairs) — the
+    # encode boundary round-trip and the broadcast nested-loop join are
+    # gone from the plan; approx_dot keeps the exact attach_adc_arrow
+    # accumulation. Unbounded query streams keep the join tier (encode,
+    # broadcast join with the qv payload, attach_adc_arrow).
+    q_id_type = _int_ids_or_none(qv, "q_id", long_only=True)
+    c_id_ok = _int_ids_or_none(cv, "c_id") is not None
     limit_bytes = _broadcast_vecs_max_bytes()
     max_rows = limit_bytes // (dim * 8) if limit_bytes > 0 else 0
-    q_tbl = _probe_vec_table(qv, "q_id", "qv", max_rows) if max_rows > 0 else None
+    q_tbl = (
+        _probe_vec_table(qv, "q_id", "qv", max_rows)
+        if max_rows > 0 and q_id_type is not None and c_id_ok
+        else None
+    )
     if q_tbl is not None:
         q_ids, q_mat = _sorted_vec_matrix(q_tbl, dim, "ann_pq_topk(qv)")
-        qv_bc = enc.sparkSession.sparkContext.broadcast((q_ids, q_mat))
-        join_q = qv.select("q_id")
+        qv_bc = vectors.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+        scored = fused_adc_scores(
+            enc_in.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+            dim=dim, codebooks=codebooks, qv_bc=qv_bc, probe_tbl=None,
+            pre_encoded=False, q_id_type=q_id_type,
+        )
     else:
-        qv_bc = None
-        join_q = qv
-    scored = attach_adc_arrow(
-        enc.join(F.broadcast(join_q), F.col("c_id") != F.col("q_id")),
-        codebooks,
-        dim=dim,
-        keep=["q_id", "c_id"],
-        qv_bc=qv_bc,
-    )
+        enc = pq_encode(
+            enc_in, codebooks, id_col=id_col, vec_col=vec_col, dim=dim, spread=False
+        )
+        scored = attach_adc_arrow(
+            enc.join(F.broadcast(qv), F.col("c_id") != F.col("q_id")),
+            codebooks,
+            dim=dim,
+            keep=["q_id", "c_id"],
+            qv_bc=None,
+        )
     w_short = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("c_id"))
     shortlist = (
         scored.withColumn("srank", F.row_number().over(w_short))
@@ -1608,7 +2147,6 @@ def ann_pq_topk(
         .select("q_id", "c_id")
     )
 
-    cv = vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
     reranked = cos_rerank_pairs(shortlist, qv, cv, dim=dim, q_tbl=q_tbl)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (

@@ -663,6 +663,62 @@ def test_cos_verify_pairs_tiers_identical(spark, monkeypatch):
     assert g2 == j2 and len(g2) == 6 * 8  # the (2, 999) row dropped
 
 
+def test_fused_ann_tiers_identical(spark, monkeypatch):
+    """r15: every ANN operator's fused single-pass tier (bounded queries:
+    encode + probe + score in ONE mapInArrow) must produce rows IDENTICAL
+    to the join tier it bypasses — including under planted exact-duplicate
+    vectors, which force approx_dot/cos_raw TIES at the shortlist and
+    final-rank boundaries (the c_id tie-break must resolve the same on
+    both tiers)."""
+    import numpy as np
+
+    from incubator_xtable_spark.operators.ann import (
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        ann_lsh_md5_topk,
+        ann_lsh_topk,
+        ann_pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((60, 16))
+    # planted ties: exact duplicates (same codes -> same approx_dot, same
+    # cos_raw) scattered across the id range so ranks tie-break on c_id
+    for dup in (17, 23, 41, 52):
+        mat[dup] = mat[3]
+    for dup in (29, 37):
+        mat[dup] = mat[8]
+    vecs = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    cases = {
+        "ivfpq": lambda: ann_ivfpq_topk(
+            vecs, queries, dim=16, k=3, n_centroids=4, n_probe=2, m=4, n_codes=8, refine=2
+        ),
+        "pq": lambda: ann_pq_topk(
+            vecs, queries, dim=16, k=3, m=4, n_codes=8, refine=2
+        ),
+        "ivf": lambda: ann_ivf_topk(vecs, queries, k=3, n_centroids=4, n_probe=2),
+        "lsh": lambda: ann_lsh_topk(
+            vecs, queries, k=3, dim=16, n_planes=6, n_bands=2, multiprobe=True
+        ),
+        "lsh_md5": lambda: ann_lsh_md5_topk(
+            vecs, queries, k=3, dim=16, n_planes=12, n_bands=3
+        ),
+    }
+    for name, make in cases.items():
+        monkeypatch.delenv("XT_BROADCAST_VECS_MAX_BYTES", raising=False)
+        fused = sorted(map(tuple, make().collect()))
+        monkeypatch.setenv("XT_BROADCAST_VECS_MAX_BYTES", "0")  # force join tier
+        joined = sorted(map(tuple, make().collect()))
+        monkeypatch.delenv("XT_BROADCAST_VECS_MAX_BYTES")
+        assert fused == joined, f"{name}: fused tier diverged from join tier"
+        assert fused, f"{name}: no rows"
+
+
 def test_embedding_near_duplicates_partition_layout_invariant(spark):
     """Deterministic blocking: identical pair sets across partition layouts."""
     import numpy as np
