@@ -223,7 +223,10 @@ def main() -> None:
             indent=1,
         )
 
-    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # top-15 (was top-5 through r14; ADDITIVE — the old five are a subset):
+    # the driver compares per-query times at BOTH core counts, so a wider
+    # top-N gives its scaling block real coverage (r14 verdict item 7)
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     print(
         json.dumps(
             {

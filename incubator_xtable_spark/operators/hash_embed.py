@@ -94,8 +94,18 @@ def hash_embed(
         [id_field, T.StructField("embedding", T.ArrayType(T.DoubleType()), False)]
     )
     out = sparse.mapInArrow(_densify, out_schema)
-    # documents whose every token hashed away (empty text): zero vector
-    empties = docs.join(out, id_col, "left_anti").select(
+    # documents whose every token hashed away (all-space/empty/null text):
+    # zero vector. Classified by a FILTER on the base scan — a row embeds
+    # empty iff split-by-space yields no non-empty token, i.e. the text
+    # trims (space-only trim, matching the single-space split pattern) to
+    # "" or is null. The previous left_anti join against `out` duplicated
+    # the whole explode+2-shuffle+kernel subtree into the plan (r15,
+    # guide §7.2 "duplicated subtrees"); the filter reads the base scan
+    # once. Identical rows for unique ``id_col`` (the operator's keying
+    # contract — duplicate ids would already collapse in the groupBy).
+    empties = docs.filter(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    ).select(
         F.col(id_col),
         F.array_repeat(F.lit(0.0), dim).alias("embedding"),
     )

@@ -582,45 +582,75 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key; no driver collects; long documents stream through the
     hash-agg map side (partial aggregation collapses repeated grams
     before the exchange)."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-    # Materialized size, reused by both shares (memory rule: never fan a
-    # computed column into N derived expressions un-materialized).
-    docs = docs.withColumn("n_tokens", F.size("toks"))
-    tagged = F.concat(
-        F.transform(F.col("toks"), lambda x: F.concat(F.lit("u:"), x)),
-        F.when(
-            F.col("n_tokens") >= 2,
-            F.expr(
-                "transform(sequence(0, size(toks) - 2),"
-                " i -> concat('b:', toks[i], ' ', toks[i + 1]))"
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-    gram_counts = (
-        docs.select("doc_id", "n_tokens", F.explode(tagged).alias("gram"))
-        .groupBy("doc_id", "n_tokens", "gram")
-        .count()
-    )
-    tops = gram_counts.groupBy("doc_id", "n_tokens").agg(
-        F.max(F.when(F.col("gram").startswith("u:"), F.col("count"))).alias("top_uni"),
-        F.coalesce(
-            F.max(F.when(F.col("gram").startswith("b:"), F.col("count"))), F.lit(0)
-        ).alias("top_bi"),
-    )
-    return tops.select(
-        "doc_id",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.col("top_uni").cast("int").alias("top_unigram_count"),
-        F.col("top_bi").cast("int").alias("top_bigram_count"),
-        (F.col("top_uni").cast("double") / F.col("n_tokens")).alias("top_unigram_share"),
-        F.when(
-            F.col("n_tokens") > 1,
-            F.col("top_bi").cast("double") / (F.col("n_tokens") - 1),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_share"),
+    # r15 (guide §2.4 "remove shuffles outright" + §4.2): the per-doc top
+    # gram counts are ROW-LOCAL — grouping by (doc_id, gram) never crosses
+    # documents — so the explode + two groupBy exchanges collapse into ONE
+    # Arrow pass with a per-row counter. Tokenization matches the previous
+    # split(text, ' ') exactly (Java split limit -1 == str.split(' '):
+    # empty tokens kept, "" -> [""]); counts are exact ints and the shares
+    # are the same int/int IEEE double divisions, so oracle values and
+    # hashes are unchanged (null-text docs stay excluded, as the explode
+    # dropped them). Scale: map-only, zero shuffles, zero driver collects;
+    # long documents stream batch by batch.
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+
+    def _tops(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1)
+            out_id, out_n, out_tu, out_tb = [], [], [], []
+            for i in range(rb.num_rows):
+                txt = texts[i].as_py()
+                if txt is None:
+                    continue  # split(null) exploded to nothing before
+                toks = txt.split(" ")
+                n = len(toks)
+                top_uni = max(Counter(toks).values())
+                top_bi = (
+                    max(Counter(zip(toks, toks[1:])).values()) if n >= 2 else 0
+                )
+                out_id.append(ids[i].as_py())
+                out_n.append(n)
+                out_tu.append(top_uni)
+                out_tb.append(top_bi)
+            if not out_id:
+                continue
+            n_arr = out_n
+            yield pa.record_batch(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(n_arr, pa.int32()),
+                    pa.array(out_tu, pa.int32()),
+                    pa.array(out_tb, pa.int32()),
+                    pa.array(
+                        [u / n for u, n in zip(out_tu, out_n)], pa.float64()
+                    ),
+                    pa.array(
+                        [b / (n - 1) if n > 1 else 0.0 for b, n in zip(out_tb, out_n)],
+                        pa.float64(),
+                    ),
+                ],
+                names=[
+                    "doc_id",
+                    "n_tokens",
+                    "top_unigram_count",
+                    "top_bigram_count",
+                    "top_unigram_share",
+                    "top_bigram_share",
+                ],
+            )
+
+    return docs.mapInArrow(
+        _tops,
+        "doc_id LONG, n_tokens INT, top_unigram_count INT, "
+        "top_bigram_count INT, top_unigram_share DOUBLE, top_bigram_share DOUBLE",
     )
 
 
@@ -1649,9 +1679,22 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    model = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
-    prefix = bg.groupBy("a").agg(F.count(F.lit(1)).alias("p"))
-    doc_bg = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    # r15 (guide §7.2 duplicated subtrees / §2.4): the exploded bigram
+    # stream fed model, prefix AND doc_bg — three full evaluations of the
+    # scan+split+explode+shuffle (plan showed 3 parquet scans, zero
+    # ReusedExchange). The corpus now shuffles ONCE into doc_bg
+    # (lazily localCheckpointed — the r14 minhash pattern; the frame is
+    # per-doc DISTINCT bigrams, far smaller than the bigram stream) and
+    # model/prefix derive from it by exact integer roll-ups:
+    # count(a,b over corpus) == sum of per-doc counts, count(a ·) ==
+    # sum over b of model counts.
+    doc_bg = (
+        bg.groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    model = doc_bg.groupBy("a", "b").agg(F.sum("cnt").alias("c"))
+    prefix = doc_bg.groupBy("a").agg(F.sum("cnt").alias("p"))
     scored = (
         doc_bg.join(model, ["a", "b"])
         .join(prefix, "a")
