@@ -42,10 +42,8 @@ from incubator_xtable_spark.targets.hudi_target import (
 from .conftest import SF_SMOKE
 
 
-@pytest.fixture()
-def hudi_table(spark, tmp_path):
+def _build_hudi_table(spark, d: str) -> str:
     """Multi-commit COW table: full sync then an incremental append."""
-    d = str(tmp_path / "colstats_table")
     base = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
     base.filter(F.col("n_nationkey") >= 5).repartition(3).write.mode("overwrite").parquet(d)
 
@@ -61,6 +59,23 @@ def hudi_table(spark, tmp_path):
     return d
 
 
+@pytest.fixture()
+def hudi_table(spark, tmp_path):
+    """Per-test copy for tests that MUTATE the table (append commits,
+    delete index deltas, rewrite properties)."""
+    return _build_hudi_table(spark, str(tmp_path / "colstats_table"))
+
+
+@pytest.fixture(scope="module")
+def hudi_table_ro(spark, tmp_path_factory):
+    """One shared build for READ-ONLY tests (r15: the per-test build is
+    two syncs + two writes of fixed-latency Spark jobs — the dominant
+    cost of this file; sharing it changes no test semantics)."""
+    return _build_hudi_table(
+        spark, str(tmp_path_factory.mktemp("colstats_ro") / "colstats_table")
+    )
+
+
 def _stats_by_path(df):
     out = {}
     for r in df.collect():
@@ -72,24 +87,24 @@ def _stats_by_path(df):
     return out
 
 
-def test_index_written_and_advertised(spark, hudi_table):
-    props = read_properties(hudi_table)
+def test_index_written_and_advertised(spark, hudi_table_ro):
+    props = read_properties(hudi_table_ro)
     assert COLUMN_STATS_PARTITION in props.get(METADATA_PARTITIONS_KEY, "").split(",")
-    deltas = sorted(glob.glob(os.path.join(col_stats_dir(hudi_table), "*.parquet")))
-    instants = [i for i, _ in list_completed_instants(hudi_table)]
+    deltas = sorted(glob.glob(os.path.join(col_stats_dir(hudi_table_ro), "*.parquet")))
+    instants = [i for i, _ in list_completed_instants(hudi_table_ro)]
     # one index delta per commit, named by the commit instant
     assert [os.path.splitext(os.path.basename(p))[0] for p in deltas] == instants
-    assert col_stats_available(hudi_table)
+    assert col_stats_available(hudi_table_ro)
 
 
-def test_index_stats_equal_footer_stats(spark, hudi_table):
+def test_index_stats_equal_footer_stats(spark, hudi_table_ro):
     """The differential the verdict asked for: stats served from the index
     byte-equal a footer recompute on the same live files."""
-    src = HudiConversionSource(spark, hudi_table)
+    src = HudiConversionSource(spark, hudi_table_ro)
     snap = src.get_current_snapshot(with_stats=True)
     listing = snap.files.select("physical_path", "size_bytes", "last_modified_ms")
 
-    via_index = file_stats_from_index(spark, hudi_table).join(
+    via_index = file_stats_from_index(spark, hudi_table_ro).join(
         listing.select("physical_path"), "physical_path"
     )
     via_footers = footer_stats(spark, listing, data_schema(snap.table))
@@ -172,7 +187,7 @@ def test_properties_upgrade_adds_partition_key(spark, hudi_table):
 # -- index-driven file pruning (r9: the data-skipping CONSUMER) --------------
 
 
-def _pruned_table(spark, tmp_path):
+def _build_pruned_table(spark, d: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -180,8 +195,6 @@ def _pruned_table(spark, tmp_path):
     from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
     from incubator_xtable_spark.sync.controller import ConversionController
     from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
-
-    d = str(tmp_path / "prune_tab")
     os.makedirs(d, exist_ok=True)
     for i, (lo, hi) in enumerate([(0, 99), (100, 199), (200, 299)]):
         pq.write_table(
@@ -203,14 +216,22 @@ def _pruned_table(spark, tmp_path):
     return d
 
 
-def test_prune_files_by_col_stats_drops_provably_disjoint_files(spark, tmp_path):
+@pytest.fixture(scope="module")
+def pruned_table_ro(spark, tmp_path_factory):
+    """One shared build for READ-ONLY prune tests (the build is a full
+    sync's worth of fixed-latency Spark jobs; the rmtree-mutating test
+    keeps its own per-test build)."""
+    return _build_pruned_table(spark, str(tmp_path_factory.mktemp("prune_ro") / "prune_tab"))
+
+
+def test_prune_files_by_col_stats_drops_provably_disjoint_files(spark, pruned_table_ro):
     from incubator_xtable_spark.sources.hudi_metadata import prune_files_by_col_stats
     from incubator_xtable_spark.sources.hudi_source import (
         HudiConversionSource,
         live_files_rows,
     )
 
-    d = _pruned_table(spark, tmp_path)
+    d = pruned_table_ro
     rels = [r["path"] for r in live_files_rows(d) if r["path"]]
     assert len(rels) == 3
     schema = HudiConversionSource(spark, d).get_current_table().read_schema
@@ -228,10 +249,10 @@ def test_prune_files_by_col_stats_drops_provably_disjoint_files(spark, tmp_path)
     assert prune_files_by_col_stats(spark, d, rels, schema, {"nope": (1, 2)}) == set(rels)
 
 
-def test_read_hudi_with_prune_is_exact_and_skips_files(spark, tmp_path):
+def test_read_hudi_with_prune_is_exact_and_skips_files(spark, pruned_table_ro):
     from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
 
-    d = _pruned_table(spark, tmp_path)
+    d = pruned_table_ro
     import pyspark.sql.functions as F
 
     pruned = read_hudi_as_df(spark, d, prune={"id": (120, 150)}).filter(
@@ -258,7 +279,7 @@ def test_prune_keeps_files_without_index_coverage(spark, tmp_path):
         live_files_rows,
     )
 
-    d = _pruned_table(spark, tmp_path)
+    d = _build_pruned_table(spark, str(tmp_path / "prune_tab"))
     rels = [r["path"] for r in live_files_rows(d) if r["path"]]
     schema = HudiConversionSource(spark, d).get_current_table().read_schema
     # no col-stats partition at all -> no-op prune
@@ -266,12 +287,11 @@ def test_prune_keeps_files_without_index_coverage(spark, tmp_path):
     assert prune_files_by_col_stats(spark, d, rels, schema, {"id": (120, 150)}) == set(rels)
 
 
-def test_prune_refuses_mor_snapshot_mode(spark, tmp_path):
+def test_prune_refuses_mor_snapshot_mode(spark, pruned_table_ro):
     from incubator_xtable_spark.sources.hudi_source import read_hudi_as_df
 
-    d = _pruned_table(spark, tmp_path)
     with pytest.raises(ValueError, match="read_optimized"):
-        read_hudi_as_df(spark, d, mode="snapshot", prune={"id": (1, 2)})
+        read_hudi_as_df(spark, pruned_table_ro, mode="snapshot", prune={"id": (1, 2)})
 
 
 def test_prune_keeps_file_whose_footer_lacks_column_stats(spark, tmp_path):
