@@ -1151,6 +1151,114 @@ def _write_index_delta(recs: DataFrame, d: str, instant: str) -> bool:
     return True
 
 
+def _strip_file_scheme(path: str) -> str:
+    # python twin of relativize_expr's ^file:(//)? strip
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
+def _relativize_py(base_path: str, path: str) -> str:
+    base = base_path.rstrip("/") + "/"
+    p = _strip_file_scheme(path)
+    return p[len(base) :] if p.startswith(base) else p
+
+
+def _write_index_delta_rows(records: list[tuple], fields: list[tuple], d: str, instant: str) -> bool:
+    """Driver tier of ``_write_index_delta``: identical records, identical
+    single-parquet rename layout, zero Spark jobs. Engaged only for
+    metadata-sized deltas the target already drained to the driver (both
+    index readers load with an explicit Spark schema, so the pyarrow file
+    is read exactly like the Spark-written one). An empty ``records`` list
+    still writes a 0-row typed file — the Spark tier does too (one delta
+    per commit, named by the instant)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    cols = list(zip(*records)) if records else [[] for _ in fields]
+    table = pa.table(
+        {name: pa.array(list(col), type=typ) for (name, typ), col in zip(fields, cols)}
+    )
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(d, f"{instant}.parquet"))
+    return True
+
+
+def _arrow_index_fields(spark_schema) -> list[tuple]:
+    import pyarrow as pa
+
+    mapping = {"string": pa.string(), "bigint": pa.int64(), "boolean": pa.bool_()}
+    return [(f.name, mapping[f.dataType.simpleString()]) for f in spark_schema.fields]
+
+
+def write_col_stats_delta_rows(
+    add_rows: list[dict] | None,
+    removed_rels: list[str] | None,
+    base_path: str,
+    instant: str,
+) -> bool:
+    """Driver-tier twin of ``write_col_stats_delta`` over rows the target
+    already drained for write stats: one record per (added file x column)
+    in drain order, then one tombstone per removed file — the same rows,
+    in the same order, as the Spark expression pipeline emits. ``None``
+    means that input is absent (the Spark tier's ``adds is None``)."""
+    if add_rows is None and removed_rels is None:
+        return False
+    recs: list[tuple] = []
+    for r in add_rows or []:
+        rel = r["rel_path"]
+        pp, fn = os.path.dirname(rel), os.path.basename(rel)
+        for cname, stat in (r["column_stats"] or {}).items():
+            recs.append(
+                (
+                    instant,
+                    pp,
+                    fn,
+                    cname,
+                    stat["min_json"],
+                    stat["max_json"],
+                    stat["null_count"],
+                    r["record_count"],
+                    False,
+                )
+            )
+    for rel in removed_rels or []:
+        recs.append((instant, os.path.dirname(rel), os.path.basename(rel), None, None, None, None, None, True))
+    return _write_index_delta_rows(
+        recs, _arrow_index_fields(COL_STATS_RECORD_SCHEMA), col_stats_dir(base_path), instant
+    )
+
+
+def write_files_delta_rows(
+    add_rows: list[dict] | None,
+    removed_rels: list[str] | None,
+    base_path: str,
+    instant: str,
+) -> bool:
+    """Driver-tier twin of ``write_files_delta`` (see above)."""
+    if add_rows is None and removed_rels is None:
+        return False
+    recs: list[tuple] = [
+        (
+            instant,
+            os.path.dirname(r["rel_path"]),
+            os.path.basename(r["rel_path"]),
+            r["size_bytes"],
+            False,
+        )
+        for r in add_rows or []
+    ]
+    for rel in removed_rels or []:
+        recs.append((instant, os.path.dirname(rel), os.path.basename(rel), None, True))
+    return _write_index_delta_rows(
+        recs, _arrow_index_fields(FILES_RECORD_SCHEMA), files_dir(base_path), instant
+    )
+
+
 def write_col_stats_delta(
     adds: DataFrame | None,
     removed_rel_paths: DataFrame | None,

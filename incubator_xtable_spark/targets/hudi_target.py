@@ -502,11 +502,22 @@ class HudiConversionTarget:
         action = REPLACE_ACTION if has_replacements else COMMIT_ACTION
 
         from incubator_xtable_spark.model.core import drain_rows
+        from incubator_xtable_spark.sources.hudi_metadata import _relativize_py
 
         hfile_mode = self.metadata_indexes and self.metadata_index_format == "hfile"
         hfile_adds: list[dict] = []
         adds_have_stats = self._adds is not None and "column_stats" in self._adds.columns
         partition_to_stats: dict[str, list[dict]] = {}
+        # Parquet-index deltas are metadata-sized and this drain already has
+        # every field they need — buffer the rows (file-count gated, never
+        # SF-gated) so the index writes run as driver pyarrow appends instead
+        # of two Spark write jobs re-evaluating the adds plan (~1.6 s/sync of
+        # fixed job latency). Overflowing the cap falls back to the Spark
+        # tier; XT_DRIVER_INDEX_MAX_FILES=0 disables the driver tier.
+        index_cap = int(os.environ.get("XT_DRIVER_INDEX_MAX_FILES", "10000"))
+        index_adds: Optional[list[dict]] = (
+            [] if (self.metadata_indexes and not hfile_mode and index_cap > 0) else None
+        )
         if self._adds is not None:
             for row in drain_rows(self._adds, "auto" if self._snapshot_sync else None):
                 if (row["file_format"] or "PARQUET").upper() != "PARQUET":
@@ -538,15 +549,30 @@ class HudiConversionTarget:
                             "column_stats": row["column_stats"] if adds_have_stats else None,
                         }
                     )
+                if index_adds is not None:
+                    if len(index_adds) >= index_cap:
+                        index_adds = None  # overflow: Spark tier re-evaluates
+                    else:
+                        index_adds.append(
+                            {
+                                # relativize_expr twin (file-scheme strip)
+                                "rel_path": _relativize_py(self.base_path, row["physical_path"]),
+                                "size_bytes": row["size_bytes"],
+                                "record_count": row["record_count"],
+                                "column_stats": row["column_stats"] if adds_have_stats else None,
+                            }
+                        )
 
         partition_to_replaced: dict[str, list[str]] = {}
         hfile_removed: list[str] = []
+        index_removed: list[str] = []
         if has_replacements:
             for row in drain_rows(self._replaced_paths):
                 rel = self._relativize(row["path"])
                 partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
                 if hfile_mode:
                     hfile_removed.append(rel)
+                index_removed.append(_relativize_py(self.base_path, row["path"]))
 
         # maintain the col-stats index BEFORE completing the instant (the
         # write-client posture: an orphan index delta from a crashed commit
@@ -644,8 +670,28 @@ class HudiConversionTarget:
                 extra_stats=extra_stats,
             )
         elif self.metadata_indexes:
-            write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
-            write_files_delta(self._adds, removed_for_index, self.base_path, instant)
+            if index_adds is not None:
+                from incubator_xtable_spark.sources.hudi_metadata import (
+                    write_col_stats_delta_rows,
+                    write_files_delta_rows,
+                )
+
+                removed_rels = index_removed if has_replacements else None
+                write_col_stats_delta_rows(
+                    index_adds if adds_have_stats else None,
+                    removed_rels,
+                    self.base_path,
+                    instant,
+                )
+                write_files_delta_rows(
+                    index_adds if self._adds is not None else None,
+                    removed_rels,
+                    self.base_path,
+                    instant,
+                )
+            else:
+                write_col_stats_delta(adds_for_index, removed_for_index, self.base_path, instant)
+                write_files_delta(self._adds, removed_for_index, self.base_path, instant)
 
         # CDC channel -> CDC supplemental block file + cdcStats on a write
         # stat (read_hudi_cdc tier 1 locates CDC files exclusively through

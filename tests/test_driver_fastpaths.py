@@ -163,3 +163,67 @@ def test_sync_identical_with_fastpath_off(spark, tmp_path):
         DS._DRIVER_LOG_MAX_BYTES = old
         MQ._DV_STAGE_CACHE.clear()
     assert rows_fast == rows_slow
+
+
+def test_hudi_index_delta_driver_tier_equals_spark_tier(spark, tmp_path, monkeypatch):
+    """The driver pyarrow index-delta writer (r15) emits the same
+    col-stats and files records as the Spark expression pipeline: build
+    the SAME physical table twice (copied files, so part names match)
+    and compare both merged index views row-for-row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from incubator_xtable_spark.model.core import SyncStatusCode, TableFormat
+    from incubator_xtable_spark.sources.hudi_metadata import (
+        read_col_stats_index,
+        read_files_index,
+    )
+    from incubator_xtable_spark.sources.parquet_source import ParquetConversionSource
+    from incubator_xtable_spark.sync.controller import ConversionController
+    from incubator_xtable_spark.targets.hudi_target import HudiConversionTarget
+
+    sf = "/root/testdata/sf0.001"
+    stage = str(tmp_path / "stage")
+    base = spark.read.parquet(f"{sf}/nation.parquet")
+    base.filter(F.col("n_nationkey") >= 5).repartition(3).write.parquet(stage)
+    stage2 = str(tmp_path / "stage2")
+    base.repartition(2).write.parquet(stage2)
+
+    def build(d):
+        def sync():
+            res = ConversionController().sync(
+                ParquetConversionSource(spark, d, name="nation"),
+                {TableFormat.HUDI: HudiConversionTarget(spark, d, table_name="nation")},
+            )
+            assert res[TableFormat.HUDI].status == SyncStatusCode.SUCCESS
+
+        shutil.copytree(stage, d)
+        sync()  # commit 1: adds
+        # commit 2: full rewrite => adds + tombstones for every old file
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(d, f))
+        for f in os.listdir(stage2):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(stage2, f), os.path.join(d, f))
+        sync()
+
+    def norm(rows):
+        insts = sorted({r["commit_instant"] for r in rows})
+        ordinal = {v: i for i, v in enumerate(insts)}
+        return sorted(
+            tuple(sorted({**r.asDict(), "commit_instant": ordinal[r["commit_instant"]]}.items()))
+            for r in rows
+        )
+
+    build(str(tmp_path / "driver_tier"))
+    monkeypatch.setenv("XT_DRIVER_INDEX_MAX_FILES", "0")
+    build(str(tmp_path / "spark_tier"))
+    monkeypatch.delenv("XT_DRIVER_INDEX_MAX_FILES")
+
+    for reader in (read_col_stats_index, read_files_index):
+        fast = norm(reader(spark, str(tmp_path / "driver_tier")).collect())
+        slow = norm(reader(spark, str(tmp_path / "spark_tier")).collect())
+        assert fast == slow
+        assert fast  # non-vacuous
