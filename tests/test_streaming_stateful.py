@@ -38,15 +38,25 @@ def _run_dedup(spark, in_dir: str, out_dir: str, ckpt: str, **kw):
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    q = (
-        streaming_dedup_exact(stream, **kw)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # 4 state-store partitions (pinned at checkpoint creation), not the
+    # session's 32: keeps DISTRIBUTED multi-partition state semantics
+    # under test while dropping 28 store load/commit cycles per
+    # micro-batch of fixture-sized data (r15 suite-latency work; TTL and
+    # noDataMicroBatches confs stay at their defaults here on purpose)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_dedup_exact(stream, **kw)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
 
 
@@ -146,15 +156,20 @@ def _run_neardup(spark, in_dir: str, out_dir: str, ckpt: str, **kw):
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    q = (
-        streaming_simhash_near_dups(stream, **kw)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # see _run_dedup
+    try:
+        q = (
+            streaming_simhash_near_dups(stream, **kw)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
 
 
