@@ -496,13 +496,19 @@ class HudiConversionTarget:
         if existing and instant <= existing[-1][0]:
             instant = epoch_ms_to_instant(instant_to_epoch_ms(existing[-1][0]) + 1)
 
-        has_replacements = self._replaced_paths is not None and bool(
-            self._replaced_paths.head(1)
-        )
-        action = REPLACE_ACTION if has_replacements else COMMIT_ACTION
-
         from incubator_xtable_spark.model.core import drain_rows
         from incubator_xtable_spark.sources.hudi_metadata import _relativize_py
+
+        # ONE evaluation of the replaced-paths plan: the old head(1)
+        # emptiness probe ran the full snapshot-as-diff join as its own
+        # job (~0.7 s/commit) and the non-empty case then re-evaluated it
+        # in the drain below. The listing is metadata-sized (the drain
+        # already buffered it into Python lists).
+        replaced_rows = (
+            list(drain_rows(self._replaced_paths)) if self._replaced_paths is not None else []
+        )
+        has_replacements = bool(replaced_rows)
+        action = REPLACE_ACTION if has_replacements else COMMIT_ACTION
 
         hfile_mode = self.metadata_indexes and self.metadata_index_format == "hfile"
         hfile_adds: list[dict] = []
@@ -567,7 +573,7 @@ class HudiConversionTarget:
         hfile_removed: list[str] = []
         index_removed: list[str] = []
         if has_replacements:
-            for row in drain_rows(self._replaced_paths):
+            for row in replaced_rows:
                 rel = self._relativize(row["path"])
                 partition_to_replaced.setdefault(os.path.dirname(rel), []).append(file_id_of(rel))
                 if hfile_mode:
