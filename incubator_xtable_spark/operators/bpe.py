@@ -212,6 +212,11 @@ def bpe_encode_doc_stats(
         .filter(F.length("w") > 0)
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # lazily localCheckpointed (r15, guide §2.2): both the vocab
+        # distinct and the count join-back consume this |doc-term| frame —
+        # unmaterialized, Catalyst evaluates the corpus scan + tokenize +
+        # word-count groupBy twice (see plans/r15/text_bpe_encode_*.txt)
+        .localCheckpoint(eager=False)
     )
     # token count = number of open markers; counted via ONE split so the
     # replace chain has a single consumer (Catalyst projection collapse

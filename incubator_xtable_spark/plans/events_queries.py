@@ -379,52 +379,67 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel analysis: users counted at each step only when
     the step's event happens STRICTLY AFTER their first event of the
     previous step (the product-analytics operator every event warehouse
-    ships; a window/self-join composition here, no UDFs).
+    ships; a conditional-aggregation composition here, no UDFs).
 
-    Plan shape: step 1 is one groupBy(user_id) over the view slice; each
-    later step joins the (shrinking) qualified-user set back to a
-    filtered event slice ON user_id with the time bound as a join-side
-    predicate, then re-aggregates min(ts) — the step sets are strictly
-    monotone decreasing, so Spark broadcasts them against the fact scan
-    (AQE sizes them at runtime). The three final counts are one-row
-    aggregates combined by broadcast scalar cross-joins. At 100 TB the
-    event scan partitions by user_id once; conversion ratios are
-    int/int double divisions (exact-in, IEEE-deterministic)."""
+    Plan shape (r15, guide §2.2): ONE scan of the fact table and ONE
+    hash-partition by user_id — the r14 shape joined three filtered
+    event slices through monotone step sets, which Catalyst planned as
+    SIX independent scans with the step-1/step-2 aggregations evaluated
+    up to three times each (zero ReusedExchange; see
+    plans/r15/events_funnel_before.txt). Now a single groupBy(user_id)
+    collects min(view ts) plus the SORTED click/purchase timestamp
+    arrays, and each later step's min-after-bound is the first array
+    element past the previous bound (array_sort + filter + get — exact
+    same min the join computed, proven by the unchanged oracle). The
+    three counts fold in one single-row aggregate instead of two scalar
+    cross-joins. Per-user array size is bounded by that user's
+    click/purchase event count (the same rows the old join shuffled).
+    Conversion ratios are int/int double divisions (exact-in,
+    IEEE-deterministic)."""
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    a = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("ta")
-    )
-    b = (
-        ev.filter(F.col("event_type") == "click")
-        .join(a, "user_id")
-        .filter(F.col("ts") > F.col("ta"))
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("tb"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(b, "user_id")
-        .filter(F.col("ts") > F.col("tb"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    na = a.agg(F.count(F.lit(1)).alias("n_step_view"))
-    nb = b.agg(F.count(F.lit(1)).alias("n_step_click"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_step_purchase"))
-    return (
-        na.crossJoin(nb)
-        .crossJoin(nc)
-        .select(
-            "n_step_view",
-            "n_step_click",
-            "n_step_purchase",
-            (F.col("n_step_click").cast("double") / F.col("n_step_view")).alias(
-                "view_to_click"
-            ),
-            (F.col("n_step_purchase").cast("double") / F.col("n_step_click")).alias(
-                "click_to_purchase"
-            ),
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("ta"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ).alias("purchases"),
         )
+    )
+    # F.get (not element_at) — returns NULL on out-of-bounds instead of
+    # raising under ANSI; arrays are sorted ascending so element 0 of the
+    # filtered suffix IS min(ts > bound), exactly the old join's agg
+    tb = F.when(
+        F.col("ta").isNotNull(),
+        F.get(F.filter("clicks", lambda x: x > F.col("ta")), F.lit(0)),
+    )
+    # two chained projections: tb must EXIST as a column before the
+    # purchases lambda binds it (and CollapseProject keeps the non-cheap
+    # tb alias un-inlined because it is referenced twice — computed once
+    # per row, not once per purchase element)
+    stepped = per_user.select("ta", tb.alias("tb"), "purchases").select(
+        "ta",
+        "tb",
+        F.get(F.filter("purchases", lambda x: x > F.col("tb")), F.lit(0)).alias("tc"),
+    )
+    return stepped.agg(
+        F.count("ta").alias("n_step_view"),
+        F.count("tb").alias("n_step_click"),
+        F.count("tc").alias("n_step_purchase"),
+    ).select(
+        "n_step_view",
+        "n_step_click",
+        "n_step_purchase",
+        (F.col("n_step_click").cast("double") / F.col("n_step_view")).alias(
+            "view_to_click"
+        ),
+        (F.col("n_step_purchase").cast("double") / F.col("n_step_click")).alias(
+            "click_to_purchase"
+        ),
     )
 
 
@@ -667,9 +682,17 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (broadcast — |event types| rows), one broadcast join
     back. Zero UDFs."""
     ev = t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # lazily localCheckpointed (r15, guide §2.2): both the per-type
+        # stats and the join-back consume this (hours x types)-cardinality
+        # frame — unmaterialized, Catalyst evaluates the full events scan
+        # + hourly agg twice (see plans/r15/events_anomaly_hours_before.txt)
+        .localCheckpoint(eager=False)
+    )
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("total"),

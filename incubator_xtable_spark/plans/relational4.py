@@ -44,10 +44,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))
-        .cast("decimal(38,4)")
-        .alias("total_revenue")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("total_revenue")
+        )
+        # lazily localCheckpointed (r15, guide §2.2): both the scalar max
+        # and the supplier join consume this supplier-cardinality frame —
+        # unmaterialized, Catalyst evaluates the lineitem scan + revenue
+        # agg twice (see plans/r15/q15_top_supplier_before.txt)
+        .localCheckpoint(eager=False)
     )
     # broadcast the 1-row max instead of a driver collect (in-plan scalar)
     max_rev = rev.agg(F.max("total_revenue").alias("m"))

@@ -960,20 +960,37 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish scores high rare_ratio. All math is exact-integer sums +
     one int/int double division (cross-engine deterministic; no log/pow).
 
-    Scale: one token-count agg (map-side partial), one token-keyed join
-    (heavy-hitter tokens skew it — AQE skew-join splits apply; at
+    Scale (r15, guide §2.2): the token stream rolls up to (doc, token)
+    counts ONCE (map-side partial agg) and is lazily localCheckpointed —
+    the r14 shape tokenized the corpus twice and pushed every token
+    INSTANCE through the corpus-frequency join; now corpus frequencies
+    derive from the rollup (sum of per-doc counts) and the join moves
+    |distinct doc-term| rows instead of |token instances| (plan:
+    2 parquet scans -> 1; see plans/r15/text_token_rarity_*.txt). The
+    per-doc sums weight each term by its count — exact integer
+    arithmetic, same totals the instance-level join produced (heavy-
+    hitter tokens still skew the join — AQE skew-join splits apply; at
     extreme scale prune the freq side to the top-K vocabulary and
-    broadcast, treating the tail as freq=1), one per-doc agg."""
+    broadcast, treating the tail as freq=1)."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    joined = tok.join(freq, "token")
-    n = F.count(F.lit(1))
+    dt = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    freq = dt.groupBy("token").agg(F.sum("cnt").alias("f"))
+    joined = dt.join(freq, "token")
+    n = F.sum("cnt")
     return joined.groupBy("doc_id").agg(
         n.cast("int").alias("n_tokens"),
-        (F.sum("f").cast("double") / n).alias("mean_token_freq"),
+        (F.sum(F.col("cnt") * F.col("f")).cast("double") / n).alias("mean_token_freq"),
         (
-            F.sum(F.when(F.col("f") <= 2, F.lit(1)).otherwise(F.lit(0))).cast("double") / n
+            F.sum(
+                F.col("cnt")
+                * F.when(F.col("f") <= 2, F.lit(1)).otherwise(F.lit(0))
+            ).cast("double")
+            / n
         ).alias("rare_ratio"),
     )
 
@@ -1300,6 +1317,13 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seg_key"),
         )
+        # lazily localCheckpointed (r15, guide §2.2): both the corpus-wide
+        # count and the join-back consume this frame — unmaterialized, the
+        # scan+split+md5 pipeline evaluated twice (2 parquet scans, see
+        # plans/r15/text_segment_dedup_before.txt). The stored frame is
+        # the narrow (doc_id, 32-hex seg_key) stream, the r14 minhash
+        # signature posture (signatures << corpus text).
+        .localCheckpoint(eager=False)
     )
     cnt = segs.groupBy("seg_key").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
@@ -1505,16 +1529,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf*ln(N/df) ranking is the documented production alternative,
     same plan shape). Keeps the fully tie-broken top 3 per doc.
 
-    Scale: two shuffles on uniform keys — (doc, token) term counts and
-    token document frequencies — then a token-keyed join (both sides
-    aggregated: |doc-term| x |vocab|, no raw text moves) and a per-doc
-    rank window. All integer arithmetic, zero UDFs."""
+    Scale: the corpus tokenizes ONCE into the (doc, token) term-count
+    frame (map-side partial agg, lazily localCheckpointed — r15, guide
+    §2.2; the r14 shape ran the scan+split+explode twice), and document
+    frequencies derive from it: tf has exactly one row per (doc, token),
+    so count-per-token over tf IS countDistinct(doc_id) over the raw
+    stream. Then the token-keyed join (both sides aggregated: |doc-term|
+    x |vocab|, no raw text moves) and a per-doc rank window. All integer
+    arithmetic, zero UDFs."""
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "token").select(
         "doc_id", "token", F.expr("tf * 1000000 div df").alias("score")
     )
