@@ -891,9 +891,13 @@ def embedding_near_duplicates_md5(
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     if vectors.rdd.getNumPartitions() < parallelism:
         vectors = vectors.repartition(parallelism)
+    # lazily localCheckpointed (r15): both sides of the band self-join
+    # read this frame — unmaterialized, the scan + md5 signature kernel
+    # evaluates twice (the non-md5 variant below already materializes its
+    # band keys for exactly this reason; this variant had missed it)
     sigs = md5_sign_signatures(
         vectors, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes
-    )
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         "kid",
         F.posexplode(
